@@ -1,0 +1,554 @@
+package graft
+
+import graft.functions.{TextFunctions => TF, VectorFunctions => VF}
+import graft.operators.{Dedup, FuzzyMatch, Multimodal, Ops, Similarity}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The engine's query surface: one entry per operator family of
+  * SURVEY.md §2 (the reference's Kettle step inventory re-expressed
+  * Spark-first over the driver's TPC-H-ish tables) plus the
+  * training-data-pipeline operators (dedup, ANN, text analysis,
+  * multimodal plumbing) over `documents` / `embeddings`.
+  *
+  * Each query optionally carries equivalent ANSI SQL for the DuckDB
+  * oracle. Column names are aliased identically on both sides (the driver
+  * sorts columns by name before hashing); integral outputs are cast to
+  * BIGINT on both sides (DuckDB widens int32/int128 differently from
+  * Spark); doubles produced by aggregation are rounded to a fixed scale.
+  */
+object Queries {
+
+  final case class Q(name: String,
+                     run: (SparkSession, String) => DataFrame,
+                     oracle: Option[String])
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** `events.ts` is TIMESTAMP(NANOS) parquet, which Spark only reads as a
+    * nanosecond long (`spark.sql.legacy.parquet.nanosAsLong`, set by
+    * [[GraftSession]]/[[Verify]]/[[Bench]]). Normalize to a microsecond
+    * timestamp — the same truncation DuckDB applies on read, so oracle
+    * values agree. Integer `div` keeps full precision (ns since epoch
+    * exceeds a double's 53-bit mantissa).
+    */
+  private def events(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events").withColumn("ts", timestamp_micros(expr("ts div 1000")))
+
+  // ---------------------------------------------------------------------
+  // §2.2 projection / rename / retype  (SelectValues, Edit Name)
+  // ---------------------------------------------------------------------
+  private val qSelect = Q("q_select_rename_cast",
+    (s, dir) => Ops.selectValues(t(s, dir, "lineitem"), Seq(
+      ("l_orderkey", "okey", Some(LongType)),
+      ("l_linenumber", "linenum", Some(LongType)),
+      ("l_returnflag", "flag", None),
+      ("l_partkey", "pkey_str", Some(StringType)),
+      ("l_shipdate", "ship_date", Some(DateType)))),
+    Some("""SELECT CAST(l_orderkey AS BIGINT) AS okey,
+           |       CAST(l_linenumber AS BIGINT) AS linenum,
+           |       l_returnflag AS flag,
+           |       CAST(l_partkey AS VARCHAR) AS pkey_str,
+           |       CAST(l_shipdate AS DATE) AS ship_date
+           |FROM lineitem""".stripMargin))
+
+  // ---------------------------------------------------------------------
+  // §2.3 filters (FilterRows WHERE + true/false routing)
+  // ---------------------------------------------------------------------
+  private val qFilter = Q("q_filter",
+    (s, dir) => t(s, dir, "lineitem")
+      .filter(col("l_quantity") >= 25 && col("l_returnflag") =!= "A")
+      .select(col("l_orderkey").cast("bigint").as("okey"),
+        col("l_linenumber").cast("bigint").as("linenum"),
+        col("l_quantity").as("qty"),
+        col("l_returnflag").as("flag")),
+    Some("""SELECT CAST(l_orderkey AS BIGINT) AS okey,
+           |       CAST(l_linenumber AS BIGINT) AS linenum,
+           |       l_quantity AS qty, l_returnflag AS flag
+           |FROM lineitem WHERE l_quantity >= 25 AND l_returnflag <> 'A'""".stripMargin))
+
+  private val qFilterRouter = Q("q_filter_router",
+    (s, dir) => {
+      val li = t(s, dir, "lineitem").select(
+        col("l_orderkey").cast("bigint").as("okey"),
+        col("l_linenumber").cast("bigint").as("linenum"),
+        col("l_quantity").as("qty"))
+      val (tru, fls) = Ops.filterRouter(li, col("qty") > 25)
+      Ops.unionAppend(
+        tru.withColumn("branch", lit("true")),
+        fls.withColumn("branch", lit("false")))
+    },
+    Some("""SELECT CAST(l_orderkey AS BIGINT) AS okey,
+           |       CAST(l_linenumber AS BIGINT) AS linenum,
+           |       l_quantity AS qty,
+           |       CASE WHEN l_quantity > 25 THEN 'true' ELSE 'false' END AS branch
+           |FROM lineitem""".stripMargin))
+
+  // ---------------------------------------------------------------------
+  // §2.4 joins (inner / left 3-key / right / 5-way on one key)
+  // ---------------------------------------------------------------------
+  private val qJoinInner = Q("q_join_inner",
+    (s, dir) => t(s, dir, "orders")
+      .join(t(s, dir, "customer"),
+        col("o_custkey") === col("c_custkey"), "inner")
+      .select(col("o_orderkey").cast("bigint").as("okey"),
+        col("c_custkey").cast("bigint").as("custkey"),
+        col("c_name").as("cust_name"),
+        col("o_totalprice").as("total"),
+        col("c_mktsegment").as("segment")),
+    Some("""SELECT CAST(o_orderkey AS BIGINT) AS okey,
+           |       CAST(c_custkey AS BIGINT) AS custkey,
+           |       c_name AS cust_name, o_totalprice AS total,
+           |       c_mktsegment AS segment
+           |FROM orders JOIN customer ON o_custkey = c_custkey""".stripMargin))
+
+  /** LEFT join on a 3-part key with genuinely unmatched rows (mirrors the
+    * reference's quali join J7, motogp.ktr:3654). */
+  private val qJoinLeft3key = Q("q_join_left_3key",
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val grp = li.groupBy("l_orderkey", "l_returnflag", "l_linestatus")
+        .agg(round(sum("l_quantity"), 4).as("grp_qty"))
+        .filter(col("grp_qty") > 60)
+      li.join(grp, Seq("l_orderkey", "l_returnflag", "l_linestatus"), "left")
+        .select(col("l_orderkey").cast("bigint").as("okey"),
+          col("l_linenumber").cast("bigint").as("linenum"),
+          col("l_returnflag").as("flag"),
+          col("l_linestatus").as("status"),
+          col("l_quantity").as("qty"),
+          col("grp_qty"))
+    },
+    Some("""SELECT CAST(l.l_orderkey AS BIGINT) AS okey,
+           |       CAST(l.l_linenumber AS BIGINT) AS linenum,
+           |       l.l_returnflag AS flag, l.l_linestatus AS status,
+           |       l.l_quantity AS qty, g.grp_qty
+           |FROM lineitem l LEFT JOIN (
+           |  SELECT l_orderkey, l_returnflag, l_linestatus,
+           |         round(sum(l_quantity), 4) AS grp_qty
+           |  FROM lineitem GROUP BY 1,2,3 HAVING round(sum(l_quantity),4) > 60
+           |) g ON l.l_orderkey = g.l_orderkey
+           |   AND l.l_returnflag = g.l_returnflag
+           |   AND l.l_linestatus = g.l_linestatus""".stripMargin))
+
+  /** RIGHT OUTER join (mirrors J4: stats ⋈ master keeping all master
+    * rows). */
+  private val qJoinRight = Q("q_join_right",
+    (s, dir) => {
+      val agg = t(s, dir, "orders").groupBy("o_custkey")
+        .agg(count(lit(1)).cast("bigint").as("n_orders"),
+          round(sum("o_totalprice"), 4).as("total_spent"))
+      agg.join(t(s, dir, "customer"),
+          agg("o_custkey") === col("c_custkey"), "right")
+        .select(col("c_custkey").cast("bigint").as("custkey"),
+          col("c_name").as("cust_name"), col("n_orders"),
+          col("total_spent"))
+    },
+    Some("""SELECT CAST(c_custkey AS BIGINT) AS custkey,
+           |       c_name AS cust_name, a.n_orders, a.total_spent
+           |FROM (SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders,
+           |             round(sum(o_totalprice), 4) AS total_spent
+           |      FROM orders GROUP BY 1) a
+           |RIGHT JOIN customer ON a.o_custkey = c_custkey""".stripMargin))
+
+  /** 5-way INNER join on a single key (mirrors J12 + A1-A4: per-class
+    * count legs joined inner — the INNER semantics drop keys missing any
+    * leg, reproduced exactly). */
+  private val qJoinMultiway = Q("q_join_multiway",
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+      def leg(cond: Column, as: String): DataFrame =
+        li.filter(cond).groupBy("l_suppkey")
+          .agg(count(lit(1)).cast("bigint").as(as))
+      val sup = t(s, dir, "supplier").select(
+        col("s_suppkey").cast("bigint").as("skey"), col("s_name"))
+      sup
+        .join(leg(col("l_linenumber") === 1, "n1"),
+          sup("skey") === col("l_suppkey")).drop("l_suppkey")
+        .join(leg(col("l_linenumber") === 3, "n3"),
+          col("skey") === col("l_suppkey")).drop("l_suppkey")
+        .join(leg(!col("l_linenumber").isin(1, 2, 3), "n_other"),
+          col("skey") === col("l_suppkey")).drop("l_suppkey")
+        .join(leg(col("l_linenumber") === 2, "n2"),
+          col("skey") === col("l_suppkey")).drop("l_suppkey")
+        .select(col("skey"), col("s_name"), col("n1"), col("n2"),
+          col("n3"), col("n_other"))
+    },
+    Some("""SELECT CAST(s.s_suppkey AS BIGINT) AS skey, s.s_name,
+           |       c1.n1, c2.n2, c3.n3, c4.n_other
+           |FROM supplier s
+           |JOIN (SELECT l_suppkey, CAST(count(*) AS BIGINT) AS n1
+           |      FROM lineitem WHERE l_linenumber = 1 GROUP BY 1) c1
+           |  ON s.s_suppkey = c1.l_suppkey
+           |JOIN (SELECT l_suppkey, CAST(count(*) AS BIGINT) AS n3
+           |      FROM lineitem WHERE l_linenumber = 3 GROUP BY 1) c3
+           |  ON s.s_suppkey = c3.l_suppkey
+           |JOIN (SELECT l_suppkey, CAST(count(*) AS BIGINT) AS n_other
+           |      FROM lineitem WHERE l_linenumber NOT IN (1,2,3) GROUP BY 1) c4
+           |  ON s.s_suppkey = c4.l_suppkey
+           |JOIN (SELECT l_suppkey, CAST(count(*) AS BIGINT) AS n2
+           |      FROM lineitem WHERE l_linenumber = 2 GROUP BY 1) c2
+           |  ON s.s_suppkey = c2.l_suppkey""".stripMargin))
+
+  // ---------------------------------------------------------------------
+  // §2.5 aggregation (COUNT_ALL / SUM / DISTINCT)
+  // ---------------------------------------------------------------------
+  private val qAgg = Q("q_agg",
+    (s, dir) => t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag").as("flag"), col("l_linestatus").as("status"))
+      .agg(count(lit(1)).cast("bigint").as("n"),
+        round(sum("l_quantity"), 4).as("sum_qty"),
+        round(sum("l_extendedprice"), 4).as("sum_price"),
+        round(avg("l_discount"), 6).as("avg_disc")),
+    Some("""SELECT l_returnflag AS flag, l_linestatus AS status,
+           |       CAST(count(*) AS BIGINT) AS n,
+           |       round(sum(l_quantity), 4) AS sum_qty,
+           |       round(sum(l_extendedprice), 4) AS sum_price,
+           |       round(avg(l_discount), 6) AS avg_disc
+           |FROM lineitem GROUP BY 1, 2""".stripMargin))
+
+  private val qDistinct = Q("q_distinct",
+    (s, dir) => Ops.distinctRows(
+      t(s, dir, "orders")
+        .select(col("o_orderstatus").as("status"),
+          col("o_orderpriority").as("priority")),
+      Seq("status", "priority")),
+    Some("SELECT DISTINCT o_orderstatus AS status, o_orderpriority AS priority FROM orders"))
+
+  // ---------------------------------------------------------------------
+  // §2.6 window rank (the reference's hand-rolled JS group rank W1)
+  // ---------------------------------------------------------------------
+  private val qWindowRank = Q("q_window_rank",
+    (s, dir) => {
+      val standings = t(s, dir, "orders")
+        .groupBy(year(col("o_orderdate")).cast("bigint").as("oyear"),
+          col("o_orderpriority").as("priority"))
+        .agg(round(sum("o_totalprice"), 4).as("total"))
+      Ops.rankInGroup(standings, Seq("oyear"),
+          Seq(col("total").desc, col("priority").asc), "pos")
+        .withColumn("pos", col("pos").cast("bigint"))
+    },
+    Some("""SELECT oyear, priority, total,
+           |       CAST(row_number() OVER (PARTITION BY oyear
+           |            ORDER BY total DESC, priority) AS BIGINT) AS pos
+           |FROM (SELECT CAST(year(o_orderdate) AS BIGINT) AS oyear,
+           |             o_orderpriority AS priority,
+           |             round(sum(o_totalprice), 4) AS total
+           |      FROM orders GROUP BY 1, 2) s""".stripMargin))
+
+  // ---------------------------------------------------------------------
+  // §2.7 sorts / union / keep-first dedup
+  // ---------------------------------------------------------------------
+  private val qSort = Q("q_sort",
+    (s, dir) => t(s, dir, "customer")
+      .select(col("c_custkey").cast("bigint").as("custkey"),
+        col("c_name").as("cust_name"), col("c_acctbal").as("acctbal"))
+      .orderBy(col("acctbal").desc, col("custkey").asc),
+    Some("""SELECT CAST(c_custkey AS BIGINT) AS custkey, c_name AS cust_name,
+           |       c_acctbal AS acctbal
+           |FROM customer ORDER BY acctbal DESC, custkey""".stripMargin))
+
+  /** UNION ALL of two disjoint halves then keep-first dedup by key with an
+    * explicit deterministic order (mirrors Append streams + Unique rows,
+    * motogp.ktr:1379/8722). */
+  private val qUnionDedup = Q("q_union_dedup",
+    (s, dir) => {
+      val ev = events(s, dir).select(
+        col("user_id").cast("bigint").as("user_id"),
+        col("event_type"), col("ts"),
+        col("event_id").cast("bigint").as("event_id"))
+      val unioned = Ops.unionAppend(
+        ev.filter(col("event_id") % 2 === 0), ev.filter(col("event_id") % 2 =!= 0))
+      Ops.dedupKeepFirst(unioned, Seq("user_id", "event_type"),
+        Seq(col("ts").asc, col("event_id").asc))
+    },
+    Some("""SELECT CAST(user_id AS BIGINT) AS user_id, event_type, ts,
+           |       CAST(event_id AS BIGINT) AS event_id
+           |FROM (SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+           |                ORDER BY ts, event_id) AS rn FROM events) x
+           |WHERE rn = 1""".stripMargin))
+
+  // ---------------------------------------------------------------------
+  // §2.8 scalar string / date functions
+  // ---------------------------------------------------------------------
+  private val qStringFuncs = Q("q_string_funcs",
+    (s, dir) => t(s, dir, "part").select(
+      col("p_partkey").cast("bigint").as("pkey"),
+      upper(trim(col("p_type"))).as("type_up"),
+      lower(col("p_name")).as("name_lo"),
+      regexp_replace(col("p_brand"), "Brand#", "B_").as("brand_repl"),
+      translate(col("p_name"), " ", "_").as("name_us")),
+    Some("""SELECT CAST(p_partkey AS BIGINT) AS pkey,
+           |       upper(trim(p_type)) AS type_up,
+           |       lower(p_name) AS name_lo,
+           |       replace(p_brand, 'Brand#', 'B_') AS brand_repl,
+           |       replace(p_name, ' ', '_') AS name_us
+           |FROM part""".stripMargin))
+
+  /** Split + positional extract + re-concat (mirrors C9-C14 split/concat
+    * gymnastics incl. the swapped word order). */
+  private val qSplitConcat = Q("q_split_concat",
+    (s, dir) => {
+      val c = t(s, dir, "customer")
+      val parts = split(col("c_name"), "#")
+      c.select(col("c_custkey").cast("bigint").as("custkey"),
+        parts.getItem(0).as("word"),
+        parts.getItem(1).as("num"),
+        concat_ws("#", parts.getItem(0), parts.getItem(1)).as("rejoined"),
+        concat(parts.getItem(1), lit("-"), parts.getItem(0)).as("swapped"))
+    },
+    Some("""SELECT CAST(c_custkey AS BIGINT) AS custkey,
+           |       split_part(c_name, '#', 1) AS word,
+           |       split_part(c_name, '#', 2) AS num,
+           |       split_part(c_name, '#', 1) || '#' || split_part(c_name, '#', 2) AS rejoined,
+           |       split_part(c_name, '#', 2) || '-' || split_part(c_name, '#', 1) AS swapped
+           |FROM customer""".stripMargin))
+
+  private val qDateParts = Q("q_date_parts",
+    (s, dir) => t(s, dir, "orders").select(
+      col("o_orderkey").cast("bigint").as("okey"),
+      col("o_orderdate").cast("date").as("odate"),
+      year(col("o_orderdate")).cast("bigint").as("oyear"),
+      month(col("o_orderdate")).cast("bigint").as("omonth"),
+      add_months(col("o_orderdate").cast("date"), 1).as("next_month"),
+      datediff(col("o_orderdate").cast("date"), lit("1995-01-01").cast("date"))
+        .cast("bigint").as("days_since")),
+    Some("""SELECT CAST(o_orderkey AS BIGINT) AS okey,
+           |       CAST(o_orderdate AS DATE) AS odate,
+           |       CAST(year(o_orderdate) AS BIGINT) AS oyear,
+           |       CAST(month(o_orderdate) AS BIGINT) AS omonth,
+           |       CAST(CAST(o_orderdate AS DATE) + INTERVAL 1 MONTH AS DATE) AS next_month,
+           |       CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS days_since
+           |FROM orders""".stripMargin))
+
+  // ---------------------------------------------------------------------
+  // §2.11 deterministic contiguous sequence ids
+  // ---------------------------------------------------------------------
+  private val qSeqId = Q("q_seq_id",
+    (s, dir) => Ops.sequenceId(
+      t(s, dir, "nation").select(
+        col("n_nationkey").cast("bigint").as("nkey"), col("n_name")),
+      Seq(col("n_name").asc, col("nkey").asc), "seq")
+      .select(col("nkey"), col("n_name"), col("seq")),
+    Some("""SELECT CAST(n_nationkey AS BIGINT) AS nkey, n_name,
+           |       CAST(row_number() OVER (ORDER BY n_name, n_nationkey) AS BIGINT) AS seq
+           |FROM nation""".stripMargin))
+
+  // ---------------------------------------------------------------------
+  // §2.9 fuzzy best-match join (Jaro-Winkler, Kettle FuzzyMatch)
+  // ---------------------------------------------------------------------
+  private val qFuzzyMatch = Q("q_fuzzy_match",
+    (s, dir) => {
+      val nations = t(s, dir, "nation").select(
+        col("n_nationkey").cast("bigint").as("nkey"), col("n_name"))
+      val regions = t(s, dir, "region")
+        .select(col("r_regionkey").cast("bigint").as("rkey"), col("r_name"))
+        .orderBy(col("rkey")) // lookup "load order" = rkey asc, pinned for the oracle
+      FuzzyMatch.bestMatchById(nations, "nkey", "n_name",
+          regions, "r_name", Seq("rkey"))
+        .withColumn("match_score", round(col("match_score"), 6))
+    },
+    Some("""SELECT nkey, n_name, rkey, match_value, match_score FROM (
+           |  SELECT CAST(n.n_nationkey AS BIGINT) AS nkey, n.n_name,
+           |         CAST(r.r_regionkey AS BIGINT) AS rkey,
+           |         r.r_name AS match_value,
+           |         round(jaro_winkler_similarity(lower(n.n_name), lower(r.r_name)), 6) AS match_score,
+           |         row_number() OVER (PARTITION BY n.n_nationkey
+           |           ORDER BY jaro_winkler_similarity(lower(n.n_name), lower(r.r_name)) DESC,
+           |                    r.r_regionkey) AS rn
+           |  FROM nation n CROSS JOIN region r) x
+           |WHERE rn = 1""".stripMargin))
+
+  // ---------------------------------------------------------------------
+  // time-window aggregation over the events stream table (batch mirror of
+  // the streaming path in graft.streaming)
+  // ---------------------------------------------------------------------
+  private val qEventsHourly = Q("q_events_hourly",
+    (s, dir) => events(s, dir)
+      .groupBy(date_trunc("hour", col("ts")).as("hour"),
+        col("event_type"))
+      .agg(count(lit(1)).cast("bigint").as("n"),
+        round(sum("value"), 4).as("sum_value")),
+    Some("""SELECT date_trunc('hour', ts) AS hour, event_type,
+           |       CAST(count(*) AS BIGINT) AS n,
+           |       round(sum(value), 4) AS sum_value
+           |FROM events GROUP BY 1, 2""".stripMargin))
+
+  // ---------------------------------------------------------------------
+  // Deduplication suite (documents)
+  // ---------------------------------------------------------------------
+  private val qDedupExact = Q("q_dedup_exact",
+    (s, dir) => Dedup.exact(t(s, dir, "documents"), "text", "doc_id")
+      .select(col("keep_id").cast("bigint").as("keep_id"),
+        col("dup_count").cast("bigint").as("dup_count")),
+    // oracle groups by the same normalized content (the engine hashes it;
+    // equal unless xxhash64 collides)
+    Some("""SELECT CAST(min(doc_id) AS BIGINT) AS keep_id,
+           |       CAST(count(*) AS BIGINT) AS dup_count
+           |FROM documents
+           |GROUP BY lower(regexp_replace(trim(text), '\s+', ' ', 'g'))""".stripMargin))
+
+  private val qDedupMinhash = Q("q_dedup_minhash",
+    (s, dir) => Dedup.minhashLsh(t(s, dir, "documents"), "text", "doc_id",
+      shingleSize = 5, numHashes = 16, bands = 4, threshold = 0.5),
+    None) // xxhash64-based signature: not oracle-expressible; rows-only check
+
+  private val qDedupSimhash = Q("q_dedup_simhash",
+    (s, dir) => Dedup.simhashPairs(t(s, dir, "documents"), "text", "doc_id",
+      maxHamming = 3, bands = 4),
+    None) // murmur3-based sketch: rows-only check
+
+  /** Exact n-gram Jaccard pairs, blocked by language, capped to a fixed
+    * doc subset so the quadratic stage stays bounded at every SF. */
+  private val qNgramJaccard = Q("q_ngram_jaccard",
+    (s, dir) => Dedup.ngramJaccardPairs(
+      t(s, dir, "documents").filter(col("doc_id") < 300),
+      "text", "doc_id", "lang", n = 3)
+      .filter(col("jaccard") >= 0.2)
+      .select(col("id_a").cast("bigint").as("id_a"),
+        col("id_b").cast("bigint").as("id_b"), col("jaccard")),
+    Some("""WITH t AS (
+           |  SELECT doc_id, lang, lower(trim(text)) AS s
+           |  FROM documents WHERE doc_id < 300
+           |), sh AS (
+           |  SELECT doc_id, lang,
+           |         CASE WHEN len(s) <= 3 THEN [s]
+           |              ELSE list_distinct([substr(s, i, 3) for i in range(1, len(s) - 1)])
+           |         END AS g
+           |  FROM t)
+           |SELECT CAST(a.doc_id AS BIGINT) AS id_a,
+           |       CAST(b.doc_id AS BIGINT) AS id_b,
+           |       round(CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+           |             / len(list_distinct(list_concat(a.g, b.g))), 6) AS jaccard
+           |FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+           |WHERE round(CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+           |            / len(list_distinct(list_concat(a.g, b.g))), 6) >= 0.2""".stripMargin))
+
+  private val qEmbeddingNearDup = Q("q_embedding_neardup",
+    (s, dir) => Dedup.embeddingNearDup(t(s, dir, "embeddings"),
+      "embedding", "vec_id", threshold = 0.9, lshBits = 8)
+      .select(col("id_a").cast("bigint").as("id_a"),
+        col("id_b").cast("bigint").as("id_b"), col("cosine")),
+    None) // LSH-bucketed candidates: rows-only check (recall < 1 by design)
+
+  // ---------------------------------------------------------------------
+  // Similarity search (ANN)
+  // ---------------------------------------------------------------------
+  private val qAnnBrute = Q("q_ann_brute",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 16),
+          "embedding", "vec_id", k = 5)
+        .select(col("query_id").cast("bigint").as("query_id"),
+          col("corpus_id").cast("bigint").as("corpus_id"),
+          col("cosine"), col("rank").cast("bigint").as("rank"))
+    },
+    Some("""WITH q AS (SELECT vec_id AS qid,
+           |                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+           |           FROM embeddings WHERE vec_id < 16),
+           |     c AS (SELECT vec_id AS cid,
+           |                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+           |           FROM embeddings)
+           |SELECT CAST(qid AS BIGINT) AS query_id, CAST(cid AS BIGINT) AS corpus_id,
+           |       cosine, CAST(rn AS BIGINT) AS rank
+           |FROM (SELECT qid, cid,
+           |             round(list_cosine_similarity(qv, cv), 6) AS cosine,
+           |             row_number() OVER (PARTITION BY qid
+           |               ORDER BY round(list_cosine_similarity(qv, cv), 6) DESC, cid) AS rn
+           |      FROM q, c WHERE qid <> cid) x
+           |WHERE rn <= 5""".stripMargin))
+
+  private val qAnnLsh = Q("q_ann_lsh",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.lshTopK(emb, emb.filter(col("vec_id") < 16),
+          "embedding", "vec_id", k = 5, nBits = 6)
+        .select(col("query_id").cast("bigint").as("query_id"),
+          col("corpus_id").cast("bigint").as("corpus_id"),
+          col("cosine"), col("rank").cast("bigint").as("rank"))
+    },
+    None) // approximate by design: rows-only check
+
+  // ---------------------------------------------------------------------
+  // Text analysis (documents)
+  // ---------------------------------------------------------------------
+  private val qTextStats = Q("q_text_stats",
+    (s, dir) => t(s, dir, "documents").select(
+      col("doc_id").cast("bigint").as("doc_id"),
+      TF.tokenCount(col("text")).as("n_tokens"),
+      TF.regexTokenCount(col("text")).as("n_subtokens"),
+      round(TF.punctRatio(col("text")), 6).as("punct_ratio"),
+      round(TF.stopwordRatio(col("text")), 6).as("stop_ratio"),
+      TF.langIdHeuristic(col("text")).as("lang_guess"),
+      TF.qualityScore(col("text")).as("quality")),
+    Some("""WITH b AS (
+           |  SELECT doc_id, text, trim(text) AS tt,
+           |         CASE WHEN len(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+           |              ELSE string_split_regex(trim(text), '\s+') END AS toks
+           |  FROM documents),
+           |m AS (
+           |  SELECT doc_id, text, toks,
+           |    CAST(len(toks) AS BIGINT) AS n_tokens,
+           |    CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS BIGINT) AS n_subtokens,
+           |    CASE WHEN len(text) = 0 THEN 0.0
+           |         ELSE CAST(len(regexp_replace(text, '[\p{L}\p{N}\s]', '', 'g')) AS DOUBLE) / len(text)
+           |    END AS punct_raw,
+           |    CASE WHEN len(toks) = 0 THEN 0.0
+           |         ELSE CAST(len(list_filter(toks, x -> list_contains(
+           |                ['the','a','an','and','of','to','in','is','it','that'], lower(x)))) AS DOUBLE)
+           |              / len(toks)
+           |    END AS stop_raw,
+           |    len(list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> list_contains(
+           |         ['the','a','an','and','of','to','in','is','it','that'], x))) AS hits_en,
+           |    len(list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> list_contains(
+           |         ['le','la','les','de','des','et','un','une','est','que'], x))) AS hits_fr,
+           |    len(list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> list_contains(
+           |         ['el','la','los','las','de','y','un','una','es','que'], x))) AS hits_es,
+           |    len(list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> list_contains(
+           |         ['der','die','das','und','ein','eine','ist','von','zu','mit'], x))) AS hits_de
+           |  FROM b)
+           |SELECT CAST(doc_id AS BIGINT) AS doc_id, n_tokens, n_subtokens,
+           |       round(punct_raw, 6) AS punct_ratio,
+           |       round(stop_raw, 6) AS stop_ratio,
+           |       CASE WHEN greatest(hits_en, hits_fr, hits_es, hits_de) = 0 THEN 'und'
+           |            WHEN hits_en = greatest(hits_en, hits_fr, hits_es, hits_de) THEN 'en'
+           |            WHEN hits_fr = greatest(hits_en, hits_fr, hits_es, hits_de) THEN 'fr'
+           |            WHEN hits_es = greatest(hits_en, hits_fr, hits_es, hits_de) THEN 'es'
+           |            ELSE 'de' END AS lang_guess,
+           |       round(0.5 * least(CAST(n_tokens AS DOUBLE), 200.0) / 200.0
+           |             + 0.3 * (1.0 - least(punct_raw * 4.0, 1.0))
+           |             + 0.2 * least(stop_raw * 5.0, 1.0), 6) AS quality
+           |FROM m""".stripMargin))
+
+  private val qFingerprint = Q("q_fingerprint",
+    (s, dir) => t(s, dir, "documents").select(
+      col("doc_id").cast("bigint").as("doc_id"),
+      TF.contentFingerprint(col("text")).as("fp")),
+    None) // xxhash64: rows-only check
+
+  // ---------------------------------------------------------------------
+  // Multimodal plumbing (binary column -> batched stub decode -> features)
+  // ---------------------------------------------------------------------
+  private val qMultimodal = Q("q_multimodal_features",
+    (s, dir) => {
+      val media = t(s, dir, "documents")
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("blob"))
+      Multimodal.featurize(media, "doc_id", "blob", dim = 8)
+        .select(col("media_id").cast("bigint").as("media_id"),
+          col("n_bytes").cast("bigint").as("n_bytes"),
+          round(element_at(col("feature"), 1).cast("double"), 6).as("feat0"))
+    },
+    None) // stub decoder output: rows-only check
+
+  /** Every query, in a stable order. */
+  val all: Seq[Q] = Seq(
+    qSelect, qFilter, qFilterRouter,
+    qJoinInner, qJoinLeft3key, qJoinRight, qJoinMultiway,
+    qAgg, qDistinct, qWindowRank, qSort, qUnionDedup,
+    qStringFuncs, qSplitConcat, qDateParts, qSeqId,
+    qFuzzyMatch, qEventsHourly,
+    qDedupExact, qDedupMinhash, qDedupSimhash, qNgramJaccard,
+    qEmbeddingNearDup, qAnnBrute, qAnnLsh,
+    qTextStats, qFingerprint, qMultimodal)
+}

@@ -1,0 +1,114 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column combinators for large-scale training-data
+  * pipelines: tokenization, character shingles, language-ID heuristic,
+  * quality scoring, token counting, document fingerprinting.
+  *
+  * Everything here composes built-in (codegen'd) `functions._` — no UDFs —
+  * so the expressions stay inside whole-stage codegen and are expressible
+  * as equivalent ANSI SQL for the DuckDB oracle.
+  */
+object TextFunctions {
+
+  /** Whitespace tokens of trimmed text; empty string -> empty array. */
+  def tokens(text: Column): Column = {
+    val t = trim(text)
+    when(length(t) === 0, array().cast("array<string>"))
+      .otherwise(split(t, "\\s+"))
+  }
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(tokens(text)).cast("bigint")
+
+  /** BPE-ish token count: counts maximal runs of letters, digits, or
+    * other-non-space (a cheap proxy for subword tokenizers when sizing
+    * training corpora). RE2/Java-compatible pattern.
+    */
+  def regexTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"), lit(0)))
+      .cast("bigint")
+
+  /** Character n-gram shingles (distinct), lowercase. Text shorter than n
+    * yields the whole (lowercased, trimmed) text as a single shingle, so
+    * short documents still participate in MinHash/Jaccard dedup.
+    */
+  def charShingles(text: Column, n: Int): Column = {
+    val t = lower(trim(text))
+    val len = length(t)
+    when(len <= n, array(t)).otherwise(
+      array_distinct(
+        transform(sequence(lit(1), len - (n - 1)), i => t.substr(i, lit(n)))))
+  }
+
+  /** Ratio of punctuation characters to total characters (0 for empty). */
+  def punctRatio(text: Column): Column = {
+    val len = length(text)
+    val stripped = length(regexp_replace(text, "[\\p{L}\\p{N}\\s]", ""))
+    when(len === 0, lit(0.0)).otherwise(stripped.cast("double") / len.cast("double"))
+  }
+
+  /** Fraction of tokens that are common-English stopwords. */
+  def stopwordRatio(text: Column): Column = {
+    val toks = tokens(text)
+    val stops = array(StopwordsEn.map(lit): _*)
+    val hits = size(filter(toks, t => array_contains(stops, lower(t))))
+    when(size(toks) === 0, lit(0.0))
+      .otherwise(hits.cast("double") / size(toks).cast("double"))
+  }
+
+  val StopwordsEn: Seq[String] =
+    Seq("the", "a", "an", "and", "of", "to", "in", "is", "it", "that")
+  val StopwordsFr: Seq[String] =
+    Seq("le", "la", "les", "de", "des", "et", "un", "une", "est", "que")
+  val StopwordsEs: Seq[String] =
+    Seq("el", "la", "los", "las", "de", "y", "un", "una", "es", "que")
+  val StopwordsDe: Seq[String] =
+    Seq("der", "die", "das", "und", "ein", "eine", "ist", "von", "zu", "mit")
+
+  private def stopHits(text: Column, words: Seq[String]): Column = {
+    val toks = tokens(lower(text))
+    val stops = array(words.map(lit): _*)
+    size(filter(toks, t => array_contains(stops, t)))
+  }
+
+  /** Deterministic language-ID heuristic: stopword-hit votes per language,
+    * argmax with fixed precedence en > fr > es > de, 'und' (undetermined)
+    * when no list scores > 0. A real pipeline would swap in fastText/CLD3;
+    * the operator contract (text -> lang code) is what matters here.
+    */
+  def langIdHeuristic(text: Column): Column = {
+    val en = stopHits(text, StopwordsEn)
+    val fr = stopHits(text, StopwordsFr)
+    val es = stopHits(text, StopwordsEs)
+    val de = stopHits(text, StopwordsDe)
+    val best = greatest(en, fr, es, de)
+    when(best === 0, lit("und"))
+      .when(en === best, lit("en"))
+      .when(fr === best, lit("fr"))
+      .when(es === best, lit("es"))
+      .otherwise(lit("de"))
+  }
+
+  /** Composite quality score in [0,1]:
+    * 0.5 * min(tokens,200)/200  (length signal)
+    * + 0.3 * (1 - min(punctRatio*4, 1))  (not mostly punctuation)
+    * + 0.2 * min(stopwordRatio*5, 1)  (natural-language signal).
+    * Deterministic arithmetic — oracle-expressible.
+    */
+  def qualityScore(text: Column): Column = {
+    val lenSig = least(tokenCount(text).cast("double"), lit(200.0)) / 200.0
+    val punctSig = lit(1.0) - least(punctRatio(text) * 4.0, lit(1.0))
+    val stopSig = least(stopwordRatio(text) * 5.0, lit(1.0))
+    round(lenSig * 0.5 + punctSig * 0.3 + stopSig * 0.2, 6)
+  }
+
+  /** 64-bit content fingerprint of normalized text (lowercased, runs of
+    * whitespace collapsed) — exact-dup detection key that survives
+    * trivial formatting differences.
+    */
+  def contentFingerprint(text: Column): Column =
+    xxhash64(lower(regexp_replace(trim(text), "\\s+", " ")))
+}

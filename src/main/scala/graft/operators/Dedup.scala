@@ -1,0 +1,150 @@
+package graft.operators
+
+import graft.functions.{SimHash, TextFunctions, VectorFunctions}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines, each designed to
+  * stay shuffle-lean at 100 TB:
+  *
+  *  - exact:   one hash-aggregate on a 64-bit content fingerprint
+  *  - MinHash+LSH: shingle -> K minhashes -> B bands -> self-join only
+  *    within (band, bandHash) buckets, then exact Jaccard verification
+  *    of candidates (standard Broder '97 / MMDS ch.3 construction)
+  *  - SimHash: 64-bit sketch + banded buckets, Hamming verification
+  *  - n-gram Jaccard: exact pairwise within caller-provided blocks
+  *  - embedding near-dup: cosine over LSH buckets
+  *
+  * All pairwise stages emit (id_a < id_b) canonical pairs to halve work
+  * and keep outputs deterministic.
+  */
+object Dedup {
+
+  /** Exact dedup: keep the lowest-id row per normalized-content
+    * fingerprint, count the cluster size. One shuffle (hash aggregate).
+    */
+  def exact(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.withColumn("__fp", TextFunctions.contentFingerprint(col(textCol)))
+      .groupBy(col("__fp"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
+      .drop("__fp")
+
+  /** MinHash signature as K independent min-hashes of the shingle set.
+    * Each hash family member is xxhash64(seed_k, shingle) — deterministic,
+    * codegen'd, no UDF.
+    */
+  def minhashSignature(shingles: Column, k: Int): Column =
+    array((0 until k).map { i =>
+      array_min(transform(shingles, s => xxhash64(lit(i), s)))
+    }: _*)
+
+  /** MinHash + LSH candidate pairs with exact-Jaccard verification.
+    *
+    * @param numHashes total minhashes (bands * rowsPerBand)
+    * @param bands     LSH bands; a pair collides if any band matches.
+    *                  P(collide) = 1 - (1 - j^r)^b, r = numHashes/bands
+    * @param threshold exact Jaccard cutoff applied to candidates
+    * @return (id_a, id_b, jaccard) with id_a < id_b
+    *
+    * Scale: the only shuffles are the groupBy on (band, bandHash) —
+    * uniform because bandHash is a hash — and the candidate-pair dedup.
+    * No O(N^2) stage exists unless a bucket is hot, which AQE skew
+    * handling splits.
+    */
+  def minhashLsh(df: DataFrame, textCol: String, idCol: String,
+                 shingleSize: Int = 5, numHashes: Int = 16, bands: Int = 4,
+                 threshold: Double = 0.5): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+
+    val withSig = df
+      .select(col(idCol).as("__id"), col(textCol).as("__text"))
+      .withColumn("__sh", TextFunctions.charShingles(col("__text"), shingleSize))
+      .withColumn("__sig", minhashSignature(col("__sh"), numHashes))
+
+    // explode into (band, bandHash) buckets
+    val banded = withSig.select(
+      col("__id"), col("__sh"),
+      posexplode(array((0 until bands).map { b =>
+        xxhash64(slice(col("__sig"), b * r + 1, r).cast("array<string>").cast("string"))
+      }: _*)).as(Seq("__band", "__bandhash")))
+
+    val a = banded.select(col("__band"), col("__bandhash"),
+      col("__id").as("id_a"), col("__sh").as("__sh_a"))
+    val b = banded.select(col("__band"), col("__bandhash"),
+      col("__id").as("id_b"), col("__sh").as("__sh_b"))
+
+    a.join(b, Seq("__band", "__bandhash"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("__sh_a"), col("__sh_b"))
+      .dropDuplicates("id_a", "id_b") // same pair can collide in several bands
+      .withColumn("jaccard", round(
+        size(array_intersect(col("__sh_a"), col("__sh_b"))).cast("double") /
+          size(array_union(col("__sh_a"), col("__sh_b"))).cast("double"), 6))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** SimHash near-dup pairs: 64-bit sketch, banded into `bands` chunks
+    * (pigeonhole: pairs within Hamming distance bands-1 share >= 1 exact
+    * band), verified with bit_count(xor) <= maxHamming.
+    */
+  def simhashPairs(df: DataFrame, textCol: String, idCol: String,
+                   maxHamming: Int = 3, bands: Int = 4): DataFrame = {
+    val chunk = 64 / bands
+    val sketched = df.select(
+      col(idCol).as("__id"),
+      SimHash.simhash64(TextFunctions.tokens(lower(col(textCol)))).as("__sh"))
+
+    val banded = sketched.select(col("__id"), col("__sh"),
+      posexplode(array((0 until bands).map { b =>
+        shiftright(col("__sh"), b * chunk).bitwiseAND(lit((1L << chunk) - 1))
+      }: _*)).as(Seq("__band", "__bandkey")))
+
+    val a = banded.select(col("__band"), col("__bandkey"), col("__id").as("id_a"), col("__sh").as("__sh_a"))
+    val b = banded.select(col("__band"), col("__bandkey"), col("__id").as("id_b"), col("__sh").as("__sh_b"))
+
+    a.join(b, Seq("__band", "__bandkey"))
+      .filter(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("hamming", bit_count(col("__sh_a").bitwiseXOR(col("__sh_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+
+  /** Exact pairwise n-gram Jaccard within caller-provided blocks (e.g.
+    * per source, per language) — the verification primitive; blocks keep
+    * the quadratic stage bounded.
+    */
+  def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
+                        blockCol: String, n: Int = 3): DataFrame = {
+    val g = df.select(
+      col(blockCol).as("__blk"), col(idCol).as("__id"),
+      TextFunctions.charShingles(col(textCol), n).as("__sh"))
+    val a = g.select(col("__blk"), col("__id").as("id_a"), col("__sh").as("__sh_a"))
+    val b = g.select(col("__blk"), col("__id").as("id_b"), col("__sh").as("__sh_b"))
+    a.join(b, Seq("__blk"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(size(array_intersect(col("__sh_a"), col("__sh_b"))).cast("double") /
+          size(array_union(col("__sh_a"), col("__sh_b"))).cast("double"), 6).as("jaccard"))
+  }
+
+  /** Embedding near-duplicate pairs: cosine >= threshold, candidates from
+    * random-hyperplane LSH buckets (see
+    * [[graft.functions.VectorFunctions.cosineLshBucket]]).
+    */
+  def embeddingNearDup(df: DataFrame, vecCol: String, idCol: String,
+                       threshold: Double = 0.95, lshBits: Int = 8): DataFrame = {
+    val v = df.select(col(idCol).as("__id"),
+        VectorFunctions.l2Normalize(col(vecCol)).as("__v"))
+      .withColumn("__bkt", VectorFunctions.cosineLshBucket(col("__v"), lshBits))
+    val a = v.select(col("__bkt"), col("__id").as("id_a"), col("__v").as("__va"))
+    val b = v.select(col("__bkt"), col("__id").as("id_b"), col("__v").as("__vb"))
+    a.join(b, Seq("__bkt"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cosine", round(VectorFunctions.dot(col("__va"), col("__vb")), 6))
+      .filter(col("cosine") >= threshold)
+      .select("id_a", "id_b", "cosine")
+  }
+}

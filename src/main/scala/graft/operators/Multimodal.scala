@@ -1,0 +1,102 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing: image/audio/video travel as opaque
+  * `binary` columns with typed metadata; decode / feature-extract /
+  * resize / frame-sample run batched per partition.
+  *
+  * The actual codecs (JPEG/PNG/ffmpeg) are NOT in this environment, so the
+  * decode step is a clearly-marked deterministic STUB — but everything
+  * Spark-side is real and tested: schema, batching shape, partition-local
+  * execution, output contract. Swapping `Decoder.stub` for a JNI/ONNX
+  * decoder changes no plan shape.
+  *
+  * Scale notes: `mapPartitions` keeps the decoder amortized (one model /
+  * codec init per partition, not per row) and the blobs never shuffle —
+  * featurization is a narrow transformation; only the (tiny) feature
+  * output ever moves.
+  */
+object Multimodal {
+
+  /** Decoder contract: bytes -> fixed-dim float feature vector.
+    * Real implementations decode pixels/samples then embed; the stub
+    * derives a deterministic pseudo-feature from the byte content so
+    * tests and plumbing are exercisable without codecs.
+    */
+  type Decoder = (Array[Byte], Int) => Array[Float]
+
+  /** STUB decoder (stands in for image/audio decode + embed). */
+  val stub: Decoder = (bytes: Array[Byte], dim: Int) => {
+    val out = new Array[Float](dim)
+    var h = 1125899906842597L // deterministic FNV-ish rolling hash
+    var i = 0
+    while (i < bytes.length) { h = h * 31 + (bytes(i) & 0xff); i += 1 }
+    var d = 0
+    while (d < dim) {
+      val x = h ^ (0x9e3779b97f4a7c15L * (d + 1))
+      // map 64-bit hash to [-1, 1)
+      out(d) = ((x >> 11).toDouble / (1L << 52).toDouble * 2.0 - 1.0).toFloat
+      d += 1
+    }
+    out
+  }
+
+  private val featureSchema = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("n_bytes", LongType, nullable = false),
+    StructField("feature", ArrayType(FloatType, containsNull = false))))
+
+  /** Batched feature extraction over a binary column.
+    *
+    * @param batchSize rows decoded per batch (the shape a vectorized
+    *                  codec / GPU embedder would want)
+    */
+  def featurize(df: DataFrame, idCol: String, blobCol: String,
+                dim: Int = 8, batchSize: Int = 32,
+                decoder: Decoder = stub): DataFrame = {
+    val spark = df.sparkSession
+    val input = df.select(
+      col(idCol).cast("bigint").as("media_id"), col(blobCol).as("blob"))
+    val rdd = input.rdd.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.map { r =>
+          val id = r.getLong(0)
+          val blob = r.getAs[Array[Byte]](1)
+          val bytes = if (blob == null) Array.emptyByteArray else blob
+          Row(id, bytes.length.toLong, decoder(bytes, dim).toSeq)
+        }
+      }
+    }
+    spark.createDataFrame(rdd, featureSchema)
+  }
+
+  /** Frame sampling: split a (stub) video blob into fixed-size chunks and
+    * keep every `stride`-th chunk — the plumbing of frame extraction
+    * (real impl: container demux + keyframe select). One output row per
+    * sampled frame, exploded Spark-side so downstream per-frame ops
+    * parallelize.
+    */
+  def sampleFrames(df: DataFrame, idCol: String, blobCol: String,
+                   frameBytes: Int = 64, stride: Int = 4): DataFrame = {
+    require(frameBytes > 0 && stride > 0)
+    val spark = df.sparkSession
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("frame_no", IntegerType, nullable = false),
+      StructField("frame", BinaryType)))
+    val input = df.select(
+      col(idCol).cast("bigint").as("media_id"), col(blobCol).as("blob"))
+    val rdd = input.rdd.flatMap { r =>
+      val id = r.getLong(0)
+      val blob = r.getAs[Array[Byte]](1)
+      if (blob == null) Iterator.empty
+      else blob.grouped(frameBytes).zipWithIndex.collect {
+        case (chunk, i) if i % stride == 0 => Row(id, i, chunk)
+      }
+    }
+    spark.createDataFrame(rdd, schema)
+  }
+}

@@ -1,0 +1,114 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DataType
+
+/** Relational operator helpers mirroring the reference's step library
+  * (SURVEY.md §2): projection/rename/retype, two-way filter routing,
+  * join with Kettle-style `_N` duplicate-name suffixing, sort-based
+  * group-bys, window rank, deterministic contiguous sequence ids, union
+  * append, keep-first dedup. All are thin, composable
+  * `DataFrame => DataFrame` transforms over stock Catalyst operators —
+  * the optimizer (pushdown, pruning, join strategy, AQE) does the rest.
+  */
+object Ops {
+
+  /** SelectValues: keep columns in order, with optional rename + retype.
+    * (reference: 24 live `SelectValues` steps, motogp.ktr:5256-6239)
+    */
+  def selectValues(df: DataFrame, cols: Seq[(String, String, Option[DataType])]): DataFrame =
+    df.select(cols.map { case (from, to, t) =>
+      val c = col(from)
+      t.fold(c)(c.cast).as(to)
+    }: _*)
+
+  def renameAll(df: DataFrame, renames: (String, String)*): DataFrame =
+    df.withColumnsRenamed(renames.toMap)
+
+  /** FilterRows true/false routing (reference motogp.ktr:2695-3020):
+    * a 2-way router, not just a WHERE. Both branches share one scan via
+    * Catalyst plan reuse; call-site decides whether to cache.
+    */
+  def filterRouter(df: DataFrame, cond: Column): (DataFrame, DataFrame) =
+    (df.filter(cond), df.filter(!coalesce(cond, lit(false))))
+
+  /** Join that emulates Kettle's duplicate-column `_N` suffix convention
+    * (SURVEY.md §1 "name-collision semantics"): columns of the right side
+    * that collide with left (and are not join keys) come out as `name_1`.
+    */
+  def suffixJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+                 joinType: String = "inner"): DataFrame = {
+    val collisions = right.columns.filter(c => left.columns.contains(c) && !keys.contains(c))
+    val renamedRight = collisions.foldLeft(right) { (df, c) =>
+      // find first free _N suffix against both sides
+      var n = 1
+      def cand = s"${c}_$n"
+      while (left.columns.contains(cand) || right.columns.contains(cand)) n += 1
+      df.withColumnRenamed(c, cand)
+    }
+    left.join(renamedRight, keys, joinType)
+  }
+
+  /** GroupBy with no aggregates = DISTINCT on listed keys
+    * (reference `Group by 3`, motogp.ktr:3482).
+    */
+  def distinctRows(df: DataFrame, keys: Seq[String]): DataFrame =
+    df.select(keys.map(col): _*).distinct()
+
+  /** Sequential rank resetting per group, ties broken by arrival order —
+    * the reference's hand-rolled JavaScript ranking (motogp.ktr:4046-4066)
+    * over a pre-sorted stream. `row_number` (not `rank`): the JS
+    * increments unconditionally on ties.
+    */
+  def rankInGroup(df: DataFrame, partitionBy: Seq[String],
+                  orderBy: Seq[Column], as: String = "rank"): DataFrame =
+    df.withColumn(as,
+      row_number().over(Window.partitionBy(partitionBy.map(col): _*).orderBy(orderBy: _*)))
+
+  /** Deterministic contiguous 1-based sequence id (reference `Add
+    * sequence` steps, motogp.ktr:1204-1344: single-threaded arrival-order
+    * counters). Spark has no arrival order, so the contract here is ids
+    * in the order given by `orderBy` — contiguous, deterministic,
+    * documented. NOT `monotonically_increasing_id` (non-contiguous).
+    *
+    * Scale note: a global row_number forces all rows through one window
+    * partition. Fine for dimension tables (the only place the reference
+    * uses sequences); for fact-scale id assignment use
+    * `zipWithIndexOrdered` below.
+    */
+  def sequenceId(df: DataFrame, orderBy: Seq[Column], as: String): DataFrame =
+    df.withColumn(as, row_number().over(Window.orderBy(orderBy: _*)).cast("bigint"))
+
+  /** Contiguous ids at fact scale without a single-partition window:
+    * sort, then offset per-partition indexes by the cumulative count of
+    * prior partitions (classic zipWithIndex on a sorted Dataset). One
+    * extra narrow pass instead of collapsing to one partition.
+    */
+  def zipWithIndexOrdered(df: DataFrame, orderBy: Seq[Column], as: String): DataFrame = {
+    val sorted = df.repartitionByRange(orderBy: _*).sortWithinPartitions(orderBy: _*)
+    val schema = sorted.schema
+    val rdd = sorted.rdd.zipWithIndex.map { case (row, idx) =>
+      org.apache.spark.sql.Row.fromSeq(row.toSeq :+ (idx + 1L))
+    }
+    sorted.sparkSession.createDataFrame(rdd,
+      schema.add(as, org.apache.spark.sql.types.LongType, nullable = false))
+  }
+
+  /** Append streams = UNION ALL by name (reference motogp.ktr:1379). */
+  def unionAppend(head: DataFrame, tail: DataFrame): DataFrame =
+    head.unionByName(tail)
+
+  /** Keep-first dedup by key with an explicit deterministic order
+    * (reference `Unique rows` motogp.ktr:8722 keeps the first row of a
+    * sorted stream; `dropDuplicates` alone is nondeterministic, so the
+    * port requires the caller to name the tie-break order).
+    */
+  def dedupKeepFirst(df: DataFrame, keys: Seq[String], order: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+}
