@@ -36,9 +36,13 @@ object Multimodal {
     while (i < bytes.length) { h = h * 31 + (bytes(i) & 0xff); i += 1 }
     var d = 0
     while (d < dim) {
-      val x = h ^ (0x9e3779b97f4a7c15L * (d + 1))
-      // map 64-bit hash to [-1, 1)
-      out(d) = ((x >> 11).toDouble / (1L << 52).toDouble * 2.0 - 1.0).toFloat
+      // murmur3 finalizer so low-bit payload differences avalanche
+      var x = h ^ (0x9e3779b97f4a7c15L * (d + 1))
+      x ^= x >>> 33; x *= 0xff51afd7ed558ccdL
+      x ^= x >>> 33; x *= 0xc4ceb9fe1a85ec53L
+      x ^= x >>> 33
+      // top 52 bits -> [0, 1) -> [-1, 1)
+      out(d) = ((x >>> 12).toDouble / (1L << 52).toDouble * 2.0 - 1.0).toFloat
       d += 1
     }
     out

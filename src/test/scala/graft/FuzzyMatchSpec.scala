@@ -1,0 +1,43 @@
+package graft
+
+import graft.operators.FuzzyMatch
+import org.apache.spark.sql.functions._
+
+class FuzzyMatchSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bestMatch finds the closest lookup row, case-insensitive") {
+    val main = Seq((1L, "jerez de la frontera"), (2L, "MUGELLO CIRCUIT"))
+      .toDF("id", "name")
+    val lookup = Seq((10L, "Circuito de Jerez"), (20L, "Mugello"), (30L, "Assen"))
+      .toDF("cid", "cname")
+    val byId = FuzzyMatch.bestMatchById(main, "id", "name",
+        lookup, "cname", Seq("cid"))
+      .select("id", "cid").as[(Long, Long)].collect().toMap
+    assert(byId == Map(1L -> 10L, 2L -> 20L))
+  }
+
+  test("unfiltered best-match: even a poor match is returned (minimal=0)") {
+    val main = Seq((1L, "zzzzz")).toDF("id", "name")
+    val lookup = Seq((10L, "alpha"), (20L, "beta")).toDF("cid", "cname")
+    val out = FuzzyMatch.bestMatchById(main, "id", "name", lookup, "cname", Seq("cid"))
+    assert(out.count() == 1) // always exactly one match per main row
+  }
+
+  test("ties resolve to the first lookup row in load order") {
+    val main = Seq((1L, "ab")).toDF("id", "name")
+    // two equally-distant candidates; first in load order must win
+    val lookup = Seq((10L, "ax"), (20L, "xb")).toDF("cid", "cname")
+    val out = FuzzyMatch.bestMatchById(main, "id", "name", lookup, "cname", Seq("cid"))
+      .select("cid").as[Long].collect()
+    assert(out.toSeq == Seq(10L))
+  }
+
+  test("appended score equals the scalar jaro_winkler") {
+    val main = Seq((1L, "MARTHA")).toDF("id", "name")
+    val lookup = Seq((10L, "MARHTA")).toDF("cid", "cname")
+    val score = FuzzyMatch.bestMatchById(main, "id", "name", lookup, "cname", Seq("cid"))
+      .select("match_score").as[Double].collect().head
+    assert(math.abs(score - graft.functions.JaroWinkler.sim("martha", "marhta")) < 1e-12)
+  }
+}

@@ -1,0 +1,74 @@
+package graft
+
+import graft.operators.Ops
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+class OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("selectValues keeps order, renames, retypes") {
+    val df = Seq((1, "a", "2001-02-03")).toDF("id", "s", "d")
+    val out = Ops.selectValues(df, Seq(
+      ("s", "name", None),
+      ("id", "key", Some(LongType))))
+    assert(out.columns.toSeq == Seq("name", "key"))
+    assert(out.schema("key").dataType == LongType)
+    assert(out.collect().head.toSeq == Seq("a", 1L))
+  }
+
+  test("filterRouter routes every row exactly once, including null conditions") {
+    val df = Seq(Some(1), Some(30), None).toDF("v")
+    val (t, f) = Ops.filterRouter(df, col("v") > 10)
+    assert(t.as[Option[Int]].collect().toSet == Set(Some(30)))
+    // Kettle routes condition-null rows to the false branch
+    assert(f.as[Option[Int]].collect().toSet == Set(Some(1), None))
+  }
+
+  test("suffixJoin emulates Kettle _N collision names") {
+    val l = Seq((1, "x", "ln")).toDF("k", "v", "name")
+    val r = Seq((1, "y", "rn")).toDF("k", "v", "name")
+    val out = Ops.suffixJoin(l, r, Seq("k"))
+    assert(out.columns.toSeq == Seq("k", "v", "name", "v_1", "name_1"))
+    assert(out.collect().head.toSeq == Seq(1, "x", "ln", "y", "rn"))
+  }
+
+  test("distinctRows = group-by-with-no-aggregates") {
+    val df = Seq(("a", 1), ("a", 1), ("b", 2)).toDF("k", "v")
+    assert(Ops.distinctRows(df, Seq("k", "v")).count() == 2)
+  }
+
+  test("rankInGroup is row_number (ties increment) per group") {
+    val df = Seq(("g1", 10), ("g1", 10), ("g1", 5), ("g2", 1))
+      .toDF("g", "points")
+    val out = Ops.rankInGroup(df, Seq("g"), Seq(col("points").desc), "rank")
+      .select("g", "points", "rank").as[(String, Int, Int)].collect().toSeq
+    // the two tied 10s get ranks 1 and 2 (unconditional increment, W1)
+    assert(out.map(_._3).sorted == Seq(1, 1, 2, 3))
+    assert(out.contains(("g1", 5, 3)) && out.contains(("g2", 1, 1)))
+  }
+
+  test("sequenceId is contiguous, 1-based, deterministic in given order") {
+    val df = Seq("c", "a", "b").toDF("s")
+    val out = Ops.sequenceId(df, Seq(col("s").asc), "id")
+      .as[(String, Long)].collect().toMap
+    assert(out == Map("a" -> 1L, "b" -> 2L, "c" -> 3L))
+  }
+
+  test("zipWithIndexOrdered matches sequenceId without a global window") {
+    val df = (1 to 100).map(i => (100 - i, s"row$i")).toDF("k", "v")
+    val seq = Ops.sequenceId(df, Seq(col("k").asc), "id")
+      .select("k", "id").as[(Int, Long)].collect().toMap
+    val zip = Ops.zipWithIndexOrdered(df, Seq(col("k").asc), "id")
+      .select("k", "id").as[(Int, Long)].collect().toMap
+    assert(zip == seq)
+  }
+
+  test("unionAppend + dedupKeepFirst keeps first by declared order") {
+    val a = Seq(("k1", 2, "second"), ("k1", 1, "first")).toDF("k", "ord", "tag")
+    val b = Seq(("k2", 1, "only")).toDF("k", "ord", "tag")
+    val out = Ops.dedupKeepFirst(Ops.unionAppend(a, b), Seq("k"), Seq(col("ord").asc))
+      .select("k", "tag").as[(String, String)].collect().toMap
+    assert(out == Map("k1" -> "first", "k2" -> "only"))
+  }
+}

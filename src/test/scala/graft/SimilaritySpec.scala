@@ -1,0 +1,52 @@
+package graft
+
+import graft.operators.Similarity
+import graft.functions.VectorFunctions
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val corpus = Seq(
+    (1L, Array(1.0f, 0.0f)),
+    (2L, Array(0.9f, 0.1f)),
+    (3L, Array(0.0f, 1.0f)),
+    (4L, Array(-1.0f, 0.0f))
+  ).toDF("vec_id", "embedding")
+
+  test("bruteForceTopK ranks by exact cosine, excludes self") {
+    val out = Similarity.bruteForceTopK(corpus,
+        corpus.filter(col("vec_id") === 1L), "embedding", "vec_id", k = 3)
+      .select("query_id", "corpus_id", "rank").as[(Long, Long, Int)].collect()
+      .sortBy(_._3)
+    assert(out.map(_._2).toSeq == Seq(2L, 3L, 4L)) // by descending cosine
+    assert(!out.exists(_._2 == 1L))
+  }
+
+  test("lshTopK puts identical vectors in the same bucket (recall on exact dups)") {
+    val q = Seq((10L, Array(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val out = Similarity.lshTopK(corpus, q, "embedding", "vec_id", k = 2, nBits = 2)
+      .select("corpus_id").as[Long].collect().toSet
+    assert(out.contains(1L)) // identical direction always shares the bucket
+  }
+
+  test("vector functions: dot / norm / cosine / normalize") {
+    val df = Seq((Array(3.0f, 4.0f), Array(3.0f, 4.0f))).toDF("a", "b")
+    val row = df.select(
+      VectorFunctions.dot(col("a"), col("b")).as("d"),
+      VectorFunctions.l2Norm(col("a")).as("n"),
+      VectorFunctions.cosineSimilarity(col("a"), col("b")).as("c"),
+      element_at(VectorFunctions.l2Normalize(col("a")), 1).as("u0"))
+      .as[(Double, Double, Double, Double)].collect().head
+    assert(row._1 == 25.0 && row._2 == 5.0)
+    assert(math.abs(row._3 - 1.0) < 1e-12)
+    assert(math.abs(row._4 - 0.6) < 1e-12)
+  }
+
+  test("zero vectors: cosine defined as 0, normalize passes through") {
+    val df = Seq((Array(0.0f, 0.0f), Array(1.0f, 0.0f))).toDF("a", "b")
+    val c = df.select(VectorFunctions.cosineSimilarity(col("a"), col("b")))
+      .as[Double].collect().head
+    assert(c == 0.0)
+  }
+}

@@ -1,0 +1,68 @@
+package graft
+
+import graft.functions.{SimHash, TextFunctions => TF}
+import org.apache.spark.sql.functions._
+
+class TextFunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("tokens and counts") {
+    val df = Seq("the quick  brown fox", "", "   ", "one").toDF("t")
+    val out = df.select(TF.tokenCount(col("t"))).as[Long].collect().toSeq
+    assert(out == Seq(4L, 0L, 0L, 1L))
+  }
+
+  test("regex token count splits letters/digits/punct runs") {
+    val df = Seq("abc123!x", "hello, world").toDF("t")
+    // abc|123|!|x = 4 ; hello|,|world = 3
+    assert(df.select(TF.regexTokenCount(col("t"))).as[Long].collect().toSeq == Seq(4L, 3L))
+  }
+
+  test("punctuation ratio") {
+    val df = Seq("a,b", "abcd", "").toDF("t")
+    val out = df.select(round(TF.punctRatio(col("t")), 6)).as[Double].collect().toSeq
+    assert(out == Seq(0.333333, 0.0, 0.0))
+  }
+
+  test("stopword ratio and language id") {
+    val en = "the cat is in the house and it is warm"
+    val fr = "le chat est dans la maison et il est chaud"
+    val df = Seq(en, fr, "zzz qqq").toDF("t")
+    val langs = df.select(TF.langIdHeuristic(col("t"))).as[String].collect().toSeq
+    assert(langs == Seq("en", "fr", "und"))
+    val ratio = df.select(TF.stopwordRatio(col("t"))).as[Double].collect().head
+    assert(ratio > 0.3 && ratio <= 1.0)
+  }
+
+  test("quality score is in [0,1] and favors natural text") {
+    val natural = "the quick brown fox jumps over the lazy dog and runs to the river"
+    val junk = "!!! ??? *** ### @@@ %%% ^^^ &&&"
+    val df = Seq(natural, junk).toDF("t")
+    val Seq(qn, qj) = df.select(TF.qualityScore(col("t"))).as[Double].collect().toSeq
+    assert(qn > qj)
+    assert(qn >= 0 && qn <= 1 && qj >= 0 && qj <= 1)
+  }
+
+  test("content fingerprint ignores case and whitespace runs") {
+    val df = Seq(("A  b\tC", "a b c"), ("abc", "abd")).toDF("x", "y")
+    val out = df.select(
+      (TF.contentFingerprint(col("x")) === TF.contentFingerprint(col("y"))).as("eq"))
+      .as[Boolean].collect().toSeq
+    assert(out == Seq(true, false))
+  }
+
+  test("charShingles: distinct n-grams, short text collapses to itself") {
+    val df = Seq("abab", "ab").toDF("t")
+    val out = df.select(TF.charShingles(col("t"), 3)).as[Seq[String]].collect()
+    assert(out(0).toSet == Set("aba", "bab"))
+    assert(out(1) == Seq("ab"))
+  }
+
+  test("simhash: identical tokens → identical hash; deterministic") {
+    val df = Seq("spark engines at scale", "spark engines at scale",
+      "entirely unrelated words here").toDF("t")
+    val hs = df.select(SimHash.simhash64(TF.tokens(col("t")))).as[Long].collect()
+    assert(hs(0) == hs(1))
+    assert(hs(0) != hs(2))
+  }
+}
