@@ -43,6 +43,19 @@ object TextFunctions {
         transform(sequence(lit(1), len - (n - 1)), i => t.substr(i, lit(n)))))
   }
 
+  /** 64-bit hashes of the distinct character n-gram shingles of the
+    * lowercased, trimmed text — the MinHash/Jaccard working set. One
+    * codegen'd O(bytes) kernel per document (see
+    * [[org.apache.spark.sql.ShingleHashes64]]); hash-set Jaccard equals
+    * string-set Jaccard up to 64-bit collisions (~1e-13 per pair at 1e3
+    * shingles).
+    */
+  def shingleHashes(text: Column, n: Int): Column = {
+    import org.apache.spark.sql.{GraftBridge, ShingleHashes64}
+    GraftBridge.column(
+      ShingleHashes64(GraftBridge.expression(lower(trim(text))), n))
+  }
+
   /** Ratio of punctuation characters to total characters (0 for empty). */
   def punctRatio(text: Column): Column = {
     val len = length(text)

@@ -29,16 +29,18 @@ object Dedup {
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
       .drop("__fp")
 
-  /** MinHash signature as K independent min-hashes of the shingle set.
-    * Each hash family member is xxhash64(seed_k, shingle) — deterministic,
-    * codegen'd, no UDF.
+  /** MinHash signature as K independent min-hashes of a 64-bit shingle
+    * hash set — deterministic, one codegen'd kernel pass, no UDF (see
+    * [[org.apache.spark.sql.MinHashes]]).
     */
-  def minhashSignature(shingles: Column, k: Int): Column =
-    array((0 until k).map { i =>
-      array_min(transform(shingles, s => xxhash64(lit(i), s)))
-    }: _*)
+  def minhashSignature(shingleHashes: Column, k: Int): Column = {
+    import org.apache.spark.sql.{GraftBridge, MinHashes}
+    GraftBridge.column(MinHashes(GraftBridge.expression(shingleHashes), k))
+  }
 
-  /** MinHash + LSH candidate pairs with exact-Jaccard verification.
+  /** MinHash + LSH candidate pairs with exact-Jaccard verification (over
+    * 64-bit shingle hashes — equal to string-set Jaccard up to hash
+    * collisions).
     *
     * @param numHashes total minhashes (bands * rowsPerBand)
     * @param bands     LSH bands; a pair collides if any band matches.
@@ -46,10 +48,14 @@ object Dedup {
     * @param threshold exact Jaccard cutoff applied to candidates
     * @return (id_a, id_b, jaccard) with id_a < id_b
     *
-    * Scale: the only shuffles are the groupBy on (band, bandHash) —
-    * uniform because bandHash is a hash — and the candidate-pair dedup.
-    * No O(N^2) stage exists unless a bucket is hot, which AQE skew
-    * handling splits.
+    * Scale shape: shingle strings are hashed ONCE ([[TextFunctions
+    * .shingleHashes]]); the K-member hash family re-mixes the longs.
+    * The LSH shuffle carries only (id, band, bandHash) — the shingle
+    * arrays stay out of the self-join and are joined back solely for the
+    * surviving candidate pairs, so shuffle volume is O(docs·bands) ids,
+    * not O(docs·bands·shingles). Band-hash buckets are uniform by
+    * construction; a genuinely hot bucket (mass-duplicated content) is
+    * split by AQE skew handling.
     */
   def minhashLsh(df: DataFrame, textCol: String, idCol: String,
                  shingleSize: Int = 5, numHashes: Int = 16, bands: Int = 4,
@@ -57,30 +63,32 @@ object Dedup {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
 
-    val withSig = df
-      .select(col(idCol).as("__id"), col(textCol).as("__text"))
-      .withColumn("__sh", TextFunctions.charShingles(col("__text"), shingleSize))
-      .withColumn("__sig", minhashSignature(col("__sh"), numHashes))
+    val base = df
+      .select(col(idCol).as("__id"),
+        TextFunctions.shingleHashes(col(textCol), shingleSize).as("__hs"))
 
-    // explode into (band, bandHash) buckets
+    // signature: per family member k, min over re-mixed shingle hashes
+    val withSig = base.withColumn("__sig", minhashSignature(col("__hs"), numHashes))
+
+    // (id, band, bandHash) only — no arrays in the wide stage
     val banded = withSig.select(
-      col("__id"), col("__sh"),
+      col("__id"),
       posexplode(array((0 until bands).map { b =>
-        xxhash64(slice(col("__sig"), b * r + 1, r).cast("array<string>").cast("string"))
+        xxhash64((0 until r).map(i => element_at(col("__sig"), b * r + i + 1)): _*)
       }: _*)).as(Seq("__band", "__bandhash")))
 
-    val a = banded.select(col("__band"), col("__bandhash"),
-      col("__id").as("id_a"), col("__sh").as("__sh_a"))
-    val b = banded.select(col("__band"), col("__bandhash"),
-      col("__id").as("id_b"), col("__sh").as("__sh_b"))
-
-    a.join(b, Seq("__band", "__bandhash"))
+    val candidates = banded.as("a")
+      .join(banded.as("b"), Seq("__band", "__bandhash"))
+      .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("__sh_a"), col("__sh_b"))
       .dropDuplicates("id_a", "id_b") // same pair can collide in several bands
+
+    candidates
+      .join(base.select(col("__id").as("id_a"), col("__hs").as("__hs_a")), "id_a")
+      .join(base.select(col("__id").as("id_b"), col("__hs").as("__hs_b")), "id_b")
       .withColumn("jaccard", round(
-        size(array_intersect(col("__sh_a"), col("__sh_b"))).cast("double") /
-          size(array_union(col("__sh_a"), col("__sh_b"))).cast("double"), 6))
+        size(array_intersect(col("__hs_a"), col("__hs_b"))).cast("double") /
+          size(array_union(col("__hs_a"), col("__hs_b"))).cast("double"), 6))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }

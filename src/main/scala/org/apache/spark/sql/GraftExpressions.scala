@@ -32,6 +32,53 @@ case class JaroWinklerSimilarity(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Distinct 64-bit hashes of the character n-gram shingles of a string.
+  * One O(bytes) pass computing byte-window hashes at char boundaries —
+  * versus the naive `transform(sequence(...), i => xxhash64(substr(t,i,n)))`
+  * formulation, whose per-position `substr` re-seeks from the string start
+  * (O(len²) per document) and whose higher-order transform runs
+  * interpreted per element.
+  */
+case class ShingleHashes64(child: Expression, n: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "shingle_hashes64"
+
+  override protected def nullSafeEval(v: Any): Any =
+    graft.functions.MinHashKernels.shingleHashes(v.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.MinHashKernels.shingleHashes($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashes64 =
+    copy(child = newChild)
+}
+
+/** K-member MinHash signature over an array of 64-bit shingle hashes:
+  * member k = min over elements of xxh64(element, seed = k). Tight
+  * two-level loop, no boxing, no per-member array pass.
+  */
+case class MinHashes(child: Expression, k: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(LongType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhashes"
+
+  override protected def nullSafeEval(v: Any): Any =
+    graft.functions.MinHashKernels.minHashes(
+      v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.MinHashKernels.minHashes($c, $k)")
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashes =
+    copy(child = newChild)
+}
+
 case class SimHash64(child: Expression)
     extends UnaryExpression with ExpectsInputTypes {
 
