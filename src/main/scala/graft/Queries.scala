@@ -474,14 +474,36 @@ object Queries {
   // Text analysis (documents)
   // ---------------------------------------------------------------------
   private val qTextStats = Q("q_text_stats",
-    (s, dir) => t(s, dir, "documents").select(
-      col("doc_id").cast("bigint").as("doc_id"),
-      TF.tokenCount(col("text")).as("n_tokens"),
-      TF.regexTokenCount(col("text")).as("n_subtokens"),
-      round(TF.punctRatio(col("text")), 6).as("punct_ratio"),
-      round(TF.stopwordRatio(col("text")), 6).as("stop_ratio"),
-      TF.langIdHeuristic(col("text")).as("lang_guess"),
-      TF.qualityScore(col("text")).as("quality")),
+    (s, dir) => {
+      // one TextStats kernel pass per document; ratios/argmax composed in
+      // column space with the same arithmetic as the oracle SQL
+      val withStats = t(s, dir, "documents")
+        .withColumn("__st", TF.textStats(col("text")))
+      val st = col("__st")
+      val nChars = st.getField("n_chars")
+      val nTokens = st.getField("n_tokens")
+      val punctRaw = when(nChars === 0, lit(0.0))
+        .otherwise(st.getField("n_punct").cast("double") / nChars.cast("double"))
+      val stopRaw = when(nTokens === 0, lit(0.0))
+        .otherwise(st.getField("hits_en").cast("double") / nTokens.cast("double"))
+      val Seq(en, fr, es, de) = Seq("hits_en", "hits_fr", "hits_es", "hits_de")
+        .map(st.getField)
+      val best = greatest(en, fr, es, de)
+      withStats.select(
+        col("doc_id").cast("bigint").as("doc_id"),
+        nTokens.as("n_tokens"),
+        st.getField("n_subtokens").as("n_subtokens"),
+        round(punctRaw, 6).as("punct_ratio"),
+        round(stopRaw, 6).as("stop_ratio"),
+        when(best === 0, lit("und"))
+          .when(en === best, lit("en"))
+          .when(fr === best, lit("fr"))
+          .when(es === best, lit("es"))
+          .otherwise(lit("de")).as("lang_guess"),
+        round(least(nTokens.cast("double"), lit(200.0)) / 200.0 * 0.5
+          + (lit(1.0) - least(punctRaw * 4.0, lit(1.0))) * 0.3
+          + least(stopRaw * 5.0, lit(1.0)) * 0.2, 6).as("quality"))
+    },
     Some("""WITH b AS (
            |  SELECT doc_id, text, trim(text) AS tt,
            |         CASE WHEN len(trim(text)) = 0 THEN CAST([] AS VARCHAR[])

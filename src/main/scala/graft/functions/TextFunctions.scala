@@ -124,4 +124,16 @@ object TextFunctions {
     */
   def contentFingerprint(text: Column): Column =
     xxhash64(lower(regexp_replace(trim(text), "\\s+", " ")))
+
+  /** All per-document counts in ONE pass (struct of n_chars, n_tokens,
+    * n_subtokens, n_punct, hits_en/fr/es/de) — the bulk-scoring path.
+    * Semantics identical to the individual functions above; see
+    * [[TextKernels]] for the exact reproduction notes. Ratio/argmax
+    * composition over the struct stays in column space so oracle SQL
+    * arithmetic is unchanged.
+    */
+  def textStats(text: Column): Column = {
+    import org.apache.spark.sql.{GraftBridge, TextStats}
+    GraftBridge.column(TextStats(GraftBridge.expression(text)))
+  }
 }

@@ -1,0 +1,117 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Single-pass text statistics kernel behind
+  * [[org.apache.spark.sql.TextStats]]. Replaces ~8 separate regex /
+  * higher-order-function passes per document with one walk over the
+  * string, while reproducing the exact counting semantics of the
+  * column-composed originals in [[TextFunctions]] (which are what the
+  * DuckDB oracle SQL mirrors):
+  *
+  *  - tokens = `split(trim(text), "\\s+", -1)` semantics: trim strips
+  *    SPACES only; a leading/trailing non-space whitespace run yields an
+  *    empty token (Java split keeps them with limit -1); token count =
+  *    whitespace-runs + 1; empty trimmed text = 0 tokens.
+  *  - n_subtokens = matches of `[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]` (ASCII
+  *    letter/digit runs; any other non-ws char counts singly).
+  *  - n_punct = chars not matching `[\p{L}\p{N}\s]` (Unicode letter,
+  *    Unicode number category, ASCII whitespace) over the RAW text.
+  *  - stopword hits per language over the (lowercased) tokens.
+  */
+object TextKernels {
+
+  // \s in Java and RE2 regexes (no UNICODE flag): the 6 ASCII ws chars
+  private def isWs(cp: Int): Boolean =
+    cp == ' ' || cp == '\t' || cp == '\n' || cp == 0x0b || cp == '\f' || cp == '\r'
+
+  private def isUnicodeNumber(cp: Int): Boolean = {
+    val t = Character.getType(cp)
+    t == Character.DECIMAL_DIGIT_NUMBER || t == Character.LETTER_NUMBER ||
+      t == Character.OTHER_NUMBER
+  }
+
+  // stopword lists (must stay in sync with TextFunctions.Stopwords*)
+  private val En = TextFunctions.StopwordsEn.toSet
+  private val Fr = TextFunctions.StopwordsFr.toSet
+  private val Es = TextFunctions.StopwordsEs.toSet
+  private val De = TextFunctions.StopwordsDe.toSet
+  private val MaxStopLen = (En ++ Fr ++ Es ++ De).map(_.length).max
+
+  /** Returns struct(n_chars, n_tokens, n_subtokens, n_punct,
+    * hits_en, hits_fr, hits_es, hits_de) — all longs.
+    */
+  def stats(s: UTF8String): InternalRow = {
+    val str = s.toString
+    val len = str.codePointCount(0, str.length)
+
+    var nPunct = 0L
+    var nSub = 0L
+    // raw-text pass: punctuation + subtoken runs
+    var i = 0
+    var inLetters = false
+    var inDigits = false
+    while (i < str.length) {
+      val cp = str.codePointAt(i)
+      val ws = isWs(cp)
+      if (!ws && !Character.isLetter(cp) && !isUnicodeNumber(cp)) nPunct += 1
+      val asciiLetter = (cp >= 'a' && cp <= 'z') || (cp >= 'A' && cp <= 'Z')
+      val asciiDigit = cp >= '0' && cp <= '9'
+      if (asciiLetter) { if (!inLetters) nSub += 1; inLetters = true; inDigits = false }
+      else if (asciiDigit) { if (!inDigits) nSub += 1; inDigits = true; inLetters = false }
+      else {
+        inLetters = false; inDigits = false
+        if (!ws) nSub += 1
+      }
+      i += Character.charCount(cp)
+    }
+
+    // token pass over the space-trimmed text
+    var start = 0
+    var end = str.length
+    while (start < end && str.charAt(start) == ' ') start += 1
+    while (end > start && str.charAt(end - 1) == ' ') end -= 1
+
+    var nTokens = 0L
+    var hitsEn = 0L; var hitsFr = 0L; var hitsEs = 0L; var hitsDe = 0L
+    if (end > start) {
+      nTokens = 1L
+      var tokStart = start
+      var inWsRun = false
+      val sb = new java.lang.StringBuilder(8)
+      def countToken(from: Int, until: Int): Unit = {
+        val n = until - from
+        if (n > 0 && n <= MaxStopLen * 2) { // cp count <= char count
+          sb.setLength(0)
+          var j = from
+          while (j < until) {
+            val cp = str.codePointAt(j)
+            sb.appendCodePoint(Character.toLowerCase(cp))
+            j += Character.charCount(cp)
+          }
+          val t = sb.toString
+          if (t.length <= MaxStopLen) {
+            if (En.contains(t)) hitsEn += 1
+            if (Fr.contains(t)) hitsFr += 1
+            if (Es.contains(t)) hitsEs += 1
+            if (De.contains(t)) hitsDe += 1
+          }
+        }
+      }
+      var j = start
+      while (j < end) {
+        val cp = str.codePointAt(j)
+        if (isWs(cp)) {
+          if (!inWsRun) { nTokens += 1; countToken(tokStart, j); inWsRun = true }
+        } else if (inWsRun) { tokStart = j; inWsRun = false }
+        j += Character.charCount(cp)
+      }
+      if (!inWsRun) countToken(tokStart, end)
+    }
+
+    new GenericInternalRow(Array[Any](
+      len.toLong, nTokens, nSub, nPunct, hitsEn, hitsFr, hitsEs, hitsDe))
+  }
+}

@@ -1,0 +1,75 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.XXH64
+import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+import org.apache.spark.sql.catalyst.util.ArrayData
+
+/** Static vector-math kernels behind the Catalyst expressions in
+  * `org.apache.spark.sql.GraftExpressions`. All operate on
+  * `array<double>` (callers cast `array<float>` up — exact). Loops sum
+  * sequentially left-to-right, matching both the previous
+  * `aggregate`/`zip_with` column formulation and DuckDB's list kernels,
+  * so oracle comparisons at round(·, 6) are stable.
+  */
+object VectorKernels {
+
+  def dot(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) { acc += a.getDouble(i) * b.getDouble(i); i += 1 }
+    acc
+  }
+
+  /** cosine = dot/(||a||·||b||); defined as 0 when either norm is 0. */
+  def cosine(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var d = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getDouble(i); val y = b.getDouble(i)
+      d += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    val denom = math.sqrt(na) * math.sqrt(nb)
+    if (denom == 0.0) 0.0 else d / denom
+  }
+
+  /** Unit-length copy; the zero vector passes through unchanged. */
+  def l2Normalize(a: ArrayData): ArrayData = {
+    val n = a.numElements()
+    val out = new Array[Double](n)
+    var s = 0.0
+    var i = 0
+    while (i < n) { val v = a.getDouble(i); out(i) = v; s += v * v; i += 1 }
+    val norm = math.sqrt(s)
+    if (norm != 0.0) { i = 0; while (i < n) { out(i) /= norm; i += 1 } }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  /** Random-hyperplane LSH bucket: sign bits of `nBits` projections.
+    * Hyperplane component h(b, i) is derived from chained xxh64 exactly
+    * like the previous column formulation
+    * (`xxhash64(lit(seed), lit(b), i)` = hashLong(i, hashLong(b,
+    * hashLong(seed, 42)))) mapped to [-1, 1].
+    */
+  def lshBucket(vec: ArrayData, nBits: Int, seed: Long): Long = {
+    val n = vec.numElements()
+    val hSeed = XXH64.hashLong(seed, 42L)
+    var bucket = 0L
+    var b = 0
+    while (b < nBits) {
+      val hb = XXH64.hashLong(b.toLong, hSeed)
+      var proj = 0.0
+      var i = 0
+      while (i < n) {
+        val h = XXH64.hashLong(i.toLong, hb)
+        proj += vec.getDouble(i) * (h.toDouble / Long.MaxValue.toDouble)
+        i += 1
+      }
+      if (proj >= 0) bucket |= (1L << b)
+      b += 1
+    }
+    bucket
+  }
+}

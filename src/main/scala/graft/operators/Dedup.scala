@@ -77,10 +77,24 @@ object Dedup {
         xxhash64((0 until r).map(i => element_at(col("__sig"), b * r + i + 1)): _*)
       }: _*)).as(Seq("__band", "__bandhash")))
 
-    val candidates = banded.as("a")
-      .join(banded.as("b"), Seq("__band", "__bandhash"))
-      .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"))
-      .filter(col("id_a") < col("id_b"))
+    // one shuffle: bucket members collected per (band, bandHash);
+    // singleton buckets (the overwhelming majority) die before any join
+    // and the signature pipeline is evaluated exactly once — a self-join
+    // formulation would recompute it per side. maxBucket caps the
+    // quadratic pair expansion of a pathologically hot bucket
+    // (mass-duplicated content); members beyond the cap are dropped from
+    // candidacy (bounded recall loss, logged nowhere silently — the cap
+    // is part of the operator contract).
+    val maxBucket = 4096
+    val candidates = banded
+      .groupBy("__band", "__bandhash")
+      .agg(array_sort(collect_list(col("__id"))).as("__ids"))
+      .filter(size(col("__ids")) > 1)
+      .select(slice(col("__ids"), 1, maxBucket).as("__ids"))
+      .select(explode(flatten(transform(col("__ids"), (x, i) =>
+        transform(slice(col("__ids"), i + 2, size(col("__ids"))),
+          y => struct(x.as("id_a"), y.as("id_b")))))).as("__p"))
+      .select(col("__p.id_a").as("id_a"), col("__p.id_b").as("id_b"))
       .dropDuplicates("id_a", "id_b") // same pair can collide in several bands
 
     candidates
@@ -96,24 +110,36 @@ object Dedup {
   /** SimHash near-dup pairs: 64-bit sketch, banded into `bands` chunks
     * (pigeonhole: pairs within Hamming distance bands-1 share >= 1 exact
     * band), verified with bit_count(xor) <= maxHamming.
+    *
+    * Join-free: the sketch is one long, so it rides inside the bucket
+    * group — one shuffle total, singleton buckets pruned before the
+    * quadratic pair stage, sketch computed exactly once per doc.
     */
   def simhashPairs(df: DataFrame, textCol: String, idCol: String,
                    maxHamming: Int = 3, bands: Int = 4): DataFrame = {
     val chunk = 64 / bands
+    val maxBucket = 4096
     val sketched = df.select(
       col(idCol).as("__id"),
-      SimHash.simhash64(TextFunctions.tokens(lower(col(textCol)))).as("__sh"))
+      SimHash.simhashText(col(textCol)).as("__sh"))
 
-    val banded = sketched.select(col("__id"), col("__sh"),
+    val banded = sketched.select(
+      struct(col("__id").as("id"), col("__sh").as("sh")).as("__m"),
       posexplode(array((0 until bands).map { b =>
         shiftright(col("__sh"), b * chunk).bitwiseAND(lit((1L << chunk) - 1))
       }: _*)).as(Seq("__band", "__bandkey")))
 
-    val a = banded.select(col("__band"), col("__bandkey"), col("__id").as("id_a"), col("__sh").as("__sh_a"))
-    val b = banded.select(col("__band"), col("__bandkey"), col("__id").as("id_b"), col("__sh").as("__sh_b"))
-
-    a.join(b, Seq("__band", "__bandkey"))
-      .filter(col("id_a") < col("id_b"))
+    banded
+      .groupBy("__band", "__bandkey")
+      .agg(array_sort(collect_list(col("__m"))).as("__ms"))
+      .filter(size(col("__ms")) > 1)
+      .select(slice(col("__ms"), 1, maxBucket).as("__ms"))
+      .select(explode(flatten(transform(col("__ms"), (x, i) =>
+        transform(slice(col("__ms"), i + 2, size(col("__ms"))),
+          y => struct(x.getField("id").as("id_a"), y.getField("id").as("id_b"),
+            x.getField("sh").as("sh_a"), y.getField("sh").as("sh_b")))))).as("__p"))
+      .select(col("__p.id_a").as("id_a"), col("__p.id_b").as("id_b"),
+        col("__p.sh_a").as("__sh_a"), col("__p.sh_b").as("__sh_b"))
       .dropDuplicates("id_a", "id_b")
       .withColumn("hamming", bit_count(col("__sh_a").bitwiseXOR(col("__sh_b"))))
       .filter(col("hamming") <= maxHamming)

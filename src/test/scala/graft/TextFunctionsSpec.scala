@@ -58,6 +58,46 @@ class TextFunctionsSpec extends SparkSpec {
     assert(out(1) == Seq("ab"))
   }
 
+  test("textStats kernel agrees with the column-composed functions") {
+    val nasty = Seq(
+      "", "   ", "\ta b\n", "one", "the quick brown fox and the dog",
+      "le chat est dans la maison", "héllo wörld 123 !!!",
+      "a  b\t\tc", "tab\tsep\tvals", "ALL CAPS THE AND OF",
+      "mixed123abc!@# end", "\n\nleading ws", "trailing ws  \t")
+    val df = nasty.toDF("t")
+    val viaKernel = df.select(
+      TF.textStats(col("t")).as("st")).select(
+      col("st.n_tokens"), col("st.n_subtokens"),
+      col("st.n_punct"), col("st.n_chars"),
+      col("st.hits_en"), col("st.hits_fr"))
+      .collect().map(_.toSeq).toSeq
+    val viaColumns = df.select(
+      TF.tokenCount(col("t")),
+      TF.regexTokenCount(col("t")),
+      (round(TF.punctRatio(col("t")) * length(col("t")))).cast("long"),
+      length(col("t")).cast("long"),
+      (round(TF.stopwordRatio(col("t")) * TF.tokenCount(col("t")))).cast("long"),
+      lit(null))
+      .collect().map(_.toSeq).toSeq
+    viaKernel.zip(viaColumns).zip(nasty).foreach { case ((k, c), input) =>
+      assert(k(0) == c(0), s"n_tokens for '$input'")
+      assert(k(1) == c(1), s"n_subtokens for '$input'")
+      assert(k(2) == c(2), s"n_punct for '$input'")
+      assert(k(3) == c(3), s"n_chars for '$input'")
+      assert(k(4) == c(4), s"hits_en for '$input'")
+    }
+  }
+
+  test("simhashText kernel equals a direct sketch of the same tokens") {
+    val df = Seq("Spark Engines AT scale", "  ", "one", "a\tb c").toDF("t")
+    val viaText = df.select(graft.functions.SimHash.simhashText(col("t")))
+      .as[Long].collect().toSeq
+    val viaTokens = df.select(graft.functions.SimHash.simhash64(
+        filter(TF.tokens(lower(col("t"))), x => length(x) > 0)))
+      .as[Long].collect().toSeq
+    assert(viaText == viaTokens)
+  }
+
   test("simhash: identical tokens → identical hash; deterministic") {
     val df = Seq("spark engines at scale", "spark engines at scale",
       "entirely unrelated words here").toDF("t")
