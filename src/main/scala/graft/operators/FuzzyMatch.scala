@@ -12,15 +12,44 @@ import org.apache.spark.sql.functions._
   * order) and append chosen lookup columns plus the match value + score.
   *
   * Spark plan: broadcast the (small, dimension-sized) lookup side,
-  * cross-join, score with the codegen'd [[graft.functions.JaroWinklerSimilarity]]
-  * expression, argmax per main row via `row_number` over
-  * (score desc, lookup load order asc). The cross-join is
-  * BroadcastNestedLoopJoin — embarrassingly parallel over the main side,
-  * so it scales linearly with main-side partitions; the lookup side must
-  * be broadcast-sized (dimension tables), which matches every use in the
-  * reference (68 circuits, 313 races).
+  * cross-join, score with the codegen'd
+  * [[org.apache.spark.sql.JaroWinklerSimilarity]] expression, argmax per
+  * main row via `row_number` over (score desc, lookup load order asc).
+  * The cross-join is BroadcastNestedLoopJoin — embarrassingly parallel
+  * over the main side, so it scales linearly with main-side partitions;
+  * the lookup side must be broadcast-sized (dimension tables), which
+  * matches every use in the reference (68 circuits, 313 races).
+  *
+  * Appended lookup columns whose names collide with main columns are
+  * dropped from the output — mirroring the reference, where such
+  * collisions become `_N` debris that the downstream SelectValues never
+  * keep.
   */
 object FuzzyMatch {
+
+  private def prepared(lookup: DataFrame, lookupField: String,
+                       appendCols: Seq[String]): DataFrame = {
+    val cols = (lookupField +: appendCols).distinct
+    // pin Kettle's "first lookup row wins ties" with an explicit load
+    // order; prefix everything so no lookup name can collide with main
+    lookup
+      .select(cols.map(col): _*)
+      .withColumn("__lk_order", monotonically_increasing_id())
+      .select(col(lookupField).as("__lk_key") +: col("__lk_order") +:
+        appendCols.distinct.map(c => col(c).as(s"__lk_$c")): _*)
+  }
+
+  private def finish(scored: DataFrame, w: org.apache.spark.sql.expressions.WindowSpec,
+                     mainCols: Seq[String], appendCols: Seq[String],
+                     matchCol: String, scoreCol: String): DataFrame = {
+    val keep = appendCols.distinct.filterNot(mainCols.contains)
+    scored
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(mainCols.map(col) ++
+        keep.map(c => col(s"__lk_$c").as(c)) ++
+        Seq(col("__lk_key").as(matchCol), col("__sim").as(scoreCol)): _*)
+  }
 
   /** @param main       large stream
     * @param mainField  column of `main` to match on
@@ -37,27 +66,13 @@ object FuzzyMatch {
                 matchCol: String = "match_value",
                 scoreCol: String = "match_score"): DataFrame = {
     val mainCols = main.columns.toSeq
-
-    // pin Kettle's "first lookup row wins ties" with an explicit load order
-    val lk = lookup
-      .select((lookupField +: appendCols).distinct.map(col): _*)
-      .withColumn("__lk_order", monotonically_increasing_id())
-      .withColumnRenamed(lookupField, "__lk_key")
-
     val scored = main
-      .crossJoin(broadcast(lk))
+      .crossJoin(broadcast(prepared(lookup, lookupField, appendCols)))
       .withColumn("__sim", jaro_winkler(lower(col(mainField)), lower(col("__lk_key"))))
-
     val w = Window
       .partitionBy(mainCols.map(col): _*)
       .orderBy(col("__sim").desc, col("__lk_order").asc)
-
-    scored
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .withColumn(matchCol, col("__lk_key"))
-      .withColumn(scoreCol, col("__sim"))
-      .select((mainCols ++ appendCols.filterNot(mainCols.contains) ++ Seq(matchCol, scoreCol)).map(col): _*)
+    finish(scored, w, mainCols, appendCols, matchCol, scoreCol)
   }
 
   /** Variant keyed by an explicit unique id on the main side — avoids
@@ -70,18 +85,11 @@ object FuzzyMatch {
                     matchCol: String = "match_value",
                     scoreCol: String = "match_score"): DataFrame = {
     val mainCols = main.columns.toSeq
-    val lk = lookup
-      .select((lookupField +: appendCols).distinct.map(col): _*)
-      .withColumn("__lk_order", monotonically_increasing_id())
-      .withColumnRenamed(lookupField, "__lk_key")
-
-    main.crossJoin(broadcast(lk))
+    val scored = main
+      .crossJoin(broadcast(prepared(lookup, lookupField, appendCols)))
       .withColumn("__sim", jaro_winkler(lower(col(mainField)), lower(col("__lk_key"))))
-      .withColumn("__rn", row_number().over(
-        Window.partitionBy(col(mainId)).orderBy(col("__sim").desc, col("__lk_order").asc)))
-      .filter(col("__rn") === 1)
-      .withColumn(matchCol, col("__lk_key"))
-      .withColumn(scoreCol, col("__sim"))
-      .select((mainCols ++ appendCols.filterNot(mainCols.contains) ++ Seq(matchCol, scoreCol)).map(col): _*)
+    val w = Window.partitionBy(col(mainId))
+      .orderBy(col("__sim").desc, col("__lk_order").asc)
+    finish(scored, w, mainCols, appendCols, matchCol, scoreCol)
   }
 }
