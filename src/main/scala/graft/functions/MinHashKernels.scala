@@ -58,6 +58,24 @@ object MinHashKernels {
       if (w == m) hashes else java.util.Arrays.copyOf(hashes, w))
   }
 
+  /** Exact Jaccard of two sorted-distinct long arrays (the
+    * [[shingleHashes]] representation): one linear merge, no per-row
+    * hash-set construction (which is what `array_intersect` +
+    * `array_union` cost per candidate pair).
+    */
+  def sortedJaccard(a: ArrayData, b: ArrayData): Double = {
+    val n = a.numElements(); val m = b.numElements()
+    var i = 0; var j = 0; var inter = 0
+    while (i < n && j < m) {
+      val va = a.getLong(i); val vb = b.getLong(j)
+      if (va == vb) { inter += 1; i += 1; j += 1 }
+      else if (va < vb) i += 1
+      else j += 1
+    }
+    val union = n + m - inter
+    if (union == 0) 0.0 else inter.toDouble / union
+  }
+
   /** K MinHash family members: member k = min_h xxh64(h, seed=k). */
   def minHashes(arr: ArrayData, k: Int): ArrayData = {
     val mins = new Array[Long](k)

@@ -100,11 +100,18 @@ object Dedup {
     candidates
       .join(base.select(col("__id").as("id_a"), col("__hs").as("__hs_a")), "id_a")
       .join(base.select(col("__id").as("id_b"), col("__hs").as("__hs_b")), "id_b")
-      .withColumn("jaccard", round(
-        size(array_intersect(col("__hs_a"), col("__hs_b"))).cast("double") /
-          size(array_union(col("__hs_a"), col("__hs_b"))).cast("double"), 6))
+      .withColumn("jaccard",
+        round(sortedJaccard(col("__hs_a"), col("__hs_b")), 6))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
+  }
+
+  /** Exact Jaccard over sorted shingle-hash arrays — linear merge kernel
+    * (see [[org.apache.spark.sql.SortedLongJaccard]]). */
+  def sortedJaccard(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.{GraftBridge, SortedLongJaccard}
+    GraftBridge.column(SortedLongJaccard(
+      GraftBridge.expression(a), GraftBridge.expression(b)))
   }
 
   /** SimHash near-dup pairs: 64-bit sketch, banded into `bands` chunks
@@ -148,20 +155,21 @@ object Dedup {
 
   /** Exact pairwise n-gram Jaccard within caller-provided blocks (e.g.
     * per source, per language) — the verification primitive; blocks keep
-    * the quadratic stage bounded.
+    * the quadratic stage bounded. Shingle sets travel as sorted 64-bit
+    * hash arrays and each pair is scored by one linear merge (equal to
+    * string-set Jaccard up to 64-bit collisions).
     */
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
                         blockCol: String, n: Int = 3): DataFrame = {
     val g = df.select(
       col(blockCol).as("__blk"), col(idCol).as("__id"),
-      TextFunctions.charShingles(col(textCol), n).as("__sh"))
+      TextFunctions.shingleHashes(col(textCol), n).as("__sh"))
     val a = g.select(col("__blk"), col("__id").as("id_a"), col("__sh").as("__sh_a"))
     val b = g.select(col("__blk"), col("__id").as("id_b"), col("__sh").as("__sh_b"))
     a.join(b, Seq("__blk"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        round(size(array_intersect(col("__sh_a"), col("__sh_b"))).cast("double") /
-          size(array_union(col("__sh_a"), col("__sh_b"))).cast("double"), 6).as("jaccard"))
+        round(sortedJaccard(col("__sh_a"), col("__sh_b")), 6).as("jaccard"))
   }
 
   /** Embedding near-duplicate pairs: cosine >= threshold, candidates from

@@ -1,0 +1,100 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming surface over the `events` stream table.
+  *
+  * The reference is purely batch (SURVEY.md §2.10), so this module is the
+  * engine's forward-looking streaming tier: the same transformations the
+  * batch queries run (hourly windowed aggregation) expressed over
+  * `readStream`, plus a stateful sessionizer — the two shapes a
+  * large-scale event pipeline needs. Batch/stream parity is pinned by
+  * test: the windowed aggregate over a bounded stream equals the batch
+  * `q_events_hourly` result.
+  *
+  * Scale notes: the windowed aggregate is a streaming hash aggregate with
+  * watermark-bounded state; sessionization keys state by user_id —
+  * state size is O(active users), and the event-time timeout evicts
+  * sessions `gap` past the watermark.
+  */
+object EventStreams {
+
+  /** events.parquet layout (ts is TIMESTAMP(NANOS), read as a ns long —
+    * the schema the sessions of this engine read it with). */
+  val eventsSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  /** File-stream source over an events directory; normalizes the ns long
+    * to a microsecond timestamp like the batch reader. */
+  def readEvents(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(eventsSchema).parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+
+  /** Tumbling 1-hour windowed aggregation with a watermark — the
+    * streaming twin of the batch `q_events_hourly` query. */
+  def hourlyCounts(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).cast("bigint").as("n"),
+        round(sum("value"), 4).as("sum_value"))
+      .select(col("window.start").as("hour"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  final case class SessionEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
+  final case class SessionState(start: Long, end: Long, n: Long, total: Double)
+  final case class Session(user_id: Long, session_start: java.sql.Timestamp,
+                           session_end: java.sql.Timestamp, n_events: Long,
+                           total_value: Double)
+
+  /** Gap-based sessionization via flatMapGroupsWithState (event-time
+    * timeout). A session closes when the watermark passes its end + gap;
+    * closed sessions are emitted in Append mode.
+    */
+  def sessionize(events: Dataset[SessionEvent], gapMs: Long,
+                 watermark: String = "10 minutes"): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, it: Iterator[SessionEvent], state: GroupState[SessionState]) =>
+          def toSession(s: SessionState): Session = Session(userId,
+            new java.sql.Timestamp(s.start), new java.sql.Timestamp(s.end),
+            s.n, s.total)
+          if (it.isEmpty && state.hasTimedOut) {
+            val out = state.getOption.map(toSession).iterator
+            state.remove()
+            out
+          } else {
+            val sorted = it.toSeq.sortBy(_.ts.getTime)
+            var closed = List.empty[Session]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.end <= gapMs =>
+                  cur = Some(SessionState(s.start, math.max(s.end, t),
+                    s.n + 1, s.total + e.value))
+                case Some(s) =>
+                  closed ::= toSession(s)
+                  cur = Some(SessionState(t, t, 1, e.value))
+                case None =>
+                  cur = Some(SessionState(t, t, 1, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.end + gapMs)
+            }
+            closed.reverseIterator
+          }
+      }
+  }
+}

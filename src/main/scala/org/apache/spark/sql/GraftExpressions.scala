@@ -57,6 +57,30 @@ case class ShingleHashes64(child: Expression, n: Int)
     copy(child = newChild)
 }
 
+/** Exact Jaccard similarity of two sorted-distinct long arrays (shingle
+  * hash sets) via a single linear merge.
+  */
+case class SortedLongJaccard(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(LongType), ArrayType(LongType))
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "sorted_jaccard"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    graft.functions.MinHashKernels.sortedJaccard(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.MinHashKernels.sortedJaccard($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SortedLongJaccard =
+    copy(left = newLeft, right = newRight)
+}
+
 /** K-member MinHash signature over an array of 64-bit shingle hashes:
   * member k = min over elements of xxh64(element, seed = k). Tight
   * two-level loop, no boxing, no per-member array pass.

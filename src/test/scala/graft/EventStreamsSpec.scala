@@ -1,0 +1,57 @@
+package graft
+
+import graft.streaming.EventStreams
+import graft.streaming.EventStreams.SessionEvent
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+class EventStreamsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("streaming hourly counts equal the batch aggregation (parity pin)") {
+    val dir = "/root/testdata/sf0.001"
+    val q = EventStreams.hourlyCounts(EventStreams.readEvents(spark, dir))
+      .writeStream.format("memory").queryName("hourly")
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("hourly")
+      .select("hour", "event_type", "n", "sum_value")
+      .collect().map(_.toSeq).toSet
+
+    val batch = Queries.all.find(_.name == "q_events_hourly").get
+      .run(spark, dir)
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch)
+  }
+
+  test("sessionize: gap splits sessions, event-time timeout emits them") {
+    val input = MemoryStream[SessionEvent](spark, numPartitions = 1)
+    val sessions = EventStreams.sessionize(input.toDS(), gapMs = 60000,
+      watermark = "0 seconds")
+    val q = sessions.writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+
+    def ts(min: Int): Timestamp = new Timestamp(3600000L + min * 60000L)
+    // user 1: two bursts 5 min apart (gap 1 min → two sessions)
+    input.addData(
+      SessionEvent(1L, ts(0), 1.0), SessionEvent(1L, ts(1), 2.0),
+      SessionEvent(1L, ts(6), 3.0),
+      SessionEvent(2L, ts(0), 5.0))
+    q.processAllAvailable()
+    // advance the watermark far past everything → all sessions time out
+    input.addData(SessionEvent(99L, ts(600), 0.0))
+    q.processAllAvailable()
+    input.addData(SessionEvent(98L, ts(1200), 0.0))
+    q.processAllAvailable()
+    q.stop()
+
+    val out = spark.table("sessions")
+      .filter(col("user_id").isin(1L, 2L))
+      .select("user_id", "n_events", "total_value")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(out == Set((1L, 2L, 3.0), (1L, 1L, 3.0), (2L, 1L, 5.0)))
+  }
+}
