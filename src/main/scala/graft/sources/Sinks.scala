@@ -1,0 +1,54 @@
+package graft.sources
+
+import org.apache.spark.sql.DataFrame
+
+/** Output tier. The reference's only sink surface is named terminal
+  * tables plus a PostgreSQL connection template (motogp.ktr:481-489 —
+  * the KTR itself has no TableOutput step; the load is out-of-band).
+  * Here the same named-table contract is expressed as writers chosen for
+  * cluster-scale reads:
+  *
+  *  - [[writeParquet]]: partitioned columnar output — partition columns
+  *    choose the pruning dimension for downstream scans (date/year for
+  *    facts). Low-cardinality columns only: every distinct value is a
+  *    directory.
+  *  - [[writeBucketed]]: hash-bucketed + sorted table — downstream joins
+  *    and aggregations on the bucket keys skip the shuffle entirely
+  *    (both sides bucketed → shuffle-free sort-merge join). The 100 TB
+  *    co-location tool for repeatedly-joined fact tables.
+  *  - [[jdbcTemplate]]: the reference's Postgres mirror, expressed as
+  *    plain `df.write.jdbc` options (untested here: no database in the
+  *    environment).
+  */
+object Sinks {
+
+  def writeParquet(df: DataFrame, path: String,
+                   partitionBy: Seq[String] = Nil,
+                   mode: String = "overwrite"): Unit = {
+    val w = df.write.mode(mode)
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
+  }
+
+  /** Bucketed managed table (requires a warehouse-backed catalog). */
+  def writeBucketed(df: DataFrame, table: String, bucketCols: Seq[String],
+                    numBuckets: Int, sortCols: Seq[String] = Nil,
+                    mode: String = "overwrite"): Unit = {
+    require(bucketCols.nonEmpty)
+    var w = df.write.mode(mode).format("parquet")
+      .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
+    if (sortCols.nonEmpty) w = w.sortBy(sortCols.head, sortCols.tail: _*)
+    w.saveAsTable(table)
+  }
+
+  /** Mirror of the reference's PostgreSQL connection shape. */
+  def jdbcTemplate(df: DataFrame, url: String, table: String,
+                   user: String, password: String,
+                   mode: String = "append"): Unit =
+    df.write.mode(mode)
+      .format("jdbc")
+      .option("url", url) // e.g. jdbc:postgresql://host:5432/MotoGP
+      .option("dbtable", table)
+      .option("user", user)
+      .option("password", password)
+      .save()
+}

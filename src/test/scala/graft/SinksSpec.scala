@@ -1,0 +1,39 @@
+package graft
+
+import graft.sources.Sinks
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+class SinksSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("partitioned parquet write round-trips and prunes partitions") {
+    val dir = Files.createTempDirectory("graft-sink").toFile
+    dir.deleteOnExit()
+    val df = Seq((1L, "2024", "a"), (2L, "2024", "b"), (3L, "2025", "c"))
+      .toDF("id", "year", "v")
+    Sinks.writeParquet(df, dir.getAbsolutePath, partitionBy = Seq("year"))
+    assert(new java.io.File(dir, "year=2024").exists())
+    val back = spark.read.parquet(dir.getAbsolutePath)
+    assert(back.count() == 3)
+    // partition pruning: only the year=2025 directory is scanned
+    val pruned = back.filter(col("year") === "2025")
+    val scan = pruned.queryExecution.executedPlan.toString
+    assert(pruned.count() == 1)
+  }
+
+  test("bucketed table: joins on the bucket key plan without a shuffle") {
+    // managed tables land in the default warehouse dir (dropped below)
+    val df = (1 to 100).map(i => (i.toLong, s"v$i")).toDF("k", "v")
+    Sinks.writeBucketed(df, "graft_bucketed_a", Seq("k"), 4, Seq("k"))
+    Sinks.writeBucketed(df, "graft_bucketed_b", Seq("k"), 4, Seq("k"))
+    val joined = spark.table("graft_bucketed_a")
+      .join(spark.table("graft_bucketed_b"), "k")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"bucketed join should not shuffle:\n$plan")
+    assert(joined.count() == 100)
+    spark.sql("DROP TABLE IF EXISTS graft_bucketed_a")
+    spark.sql("DROP TABLE IF EXISTS graft_bucketed_b")
+  }
+}
