@@ -563,6 +563,124 @@ object Queries {
     },
     None) // stub decoder output: rows-only check
 
+  // ---------------------------------------------------------------------
+  // Composite / scale-pattern queries
+  // ---------------------------------------------------------------------
+
+  /** TPC-H-Q5-shaped star join: facts joined through the full dimension
+    * chain with a region filter — the broadcast/reorder showcase. */
+  private val qStarJoin = Q("q_star_join",
+    (s, dir) => t(s, dir, "lineitem")
+      .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .join(t(s, dir, "nation"), col("s_nationkey") === col("n_nationkey"))
+      .join(t(s, dir, "region"), col("n_regionkey") === col("r_regionkey"))
+      .filter(col("r_name") === "ASIA")
+      .groupBy(col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+        .as("revenue"),
+        count(lit(1)).cast("bigint").as("n_lineitems")),
+    Some("""SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+           |       CAST(count(*) AS BIGINT) AS n_lineitems
+           |FROM lineitem
+           |JOIN orders   ON l_orderkey = o_orderkey
+           |JOIN customer ON o_custkey = c_custkey
+           |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+           |JOIN nation   ON s_nationkey = n_nationkey
+           |JOIN region   ON n_regionkey = r_regionkey
+           |WHERE r_name = 'ASIA'
+           |GROUP BY n_name""".stripMargin))
+
+  /** The fused single-pass form of the reference's podium-count complex
+    * (SURVEY §2.5 A1-A4 + J12): one hash aggregate with conditional
+    * counts instead of 4 filtered group-bys joined 5-way. */
+  private val qAggFused = Q("q_agg_fused",
+    (s, dir) => t(s, dir, "lineitem")
+      .groupBy(col("l_suppkey").cast("bigint").as("skey"))
+      .agg(count(when(col("l_linenumber") === 1, 1)).cast("bigint").as("n1"),
+        count(when(col("l_linenumber") === 2, 1)).cast("bigint").as("n2"),
+        count(when(col("l_linenumber") === 3, 1)).cast("bigint").as("n3"),
+        count(when(!col("l_linenumber").isin(1, 2, 3), 1)).cast("bigint").as("n_other")),
+    Some("""SELECT CAST(l_suppkey AS BIGINT) AS skey,
+           |       CAST(count(CASE WHEN l_linenumber = 1 THEN 1 END) AS BIGINT) AS n1,
+           |       CAST(count(CASE WHEN l_linenumber = 2 THEN 1 END) AS BIGINT) AS n2,
+           |       CAST(count(CASE WHEN l_linenumber = 3 THEN 1 END) AS BIGINT) AS n3,
+           |       CAST(count(CASE WHEN l_linenumber NOT IN (1,2,3) THEN 1 END) AS BIGINT) AS n_other
+           |FROM lineitem GROUP BY 1""".stripMargin))
+
+  /** Top-k per group (window + filter) — the LIMIT-per-partition pattern. */
+  private val qTopkPerGroup = Q("q_topk_per_group",
+    (s, dir) => t(s, dir, "orders")
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("o_orderpriority"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)))
+      .filter(col("rk") <= 3)
+      .select(col("o_orderpriority").as("priority"),
+        col("o_orderkey").cast("bigint").as("okey"),
+        col("o_totalprice").as("total"),
+        col("rk").cast("bigint").as("rk")),
+    Some("""SELECT o_orderpriority AS priority, CAST(o_orderkey AS BIGINT) AS okey,
+           |       o_totalprice AS total, CAST(rk AS BIGINT) AS rk
+           |FROM (SELECT *, row_number() OVER (PARTITION BY o_orderpriority
+           |        ORDER BY o_totalprice DESC, o_orderkey) AS rk FROM orders) x
+           |WHERE rk <= 3""".stripMargin))
+
+  private val qCountDistinct = Q("q_count_distinct",
+    (s, dir) => t(s, dir, "orders")
+      .groupBy(year(col("o_orderdate")).cast("bigint").as("oyear"))
+      .agg(countDistinct(col("o_custkey")).cast("bigint").as("n_customers"),
+        count(lit(1)).cast("bigint").as("n_orders")),
+    Some("""SELECT CAST(year(o_orderdate) AS BIGINT) AS oyear,
+           |       CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+           |       CAST(count(*) AS BIGINT) AS n_orders
+           |FROM orders GROUP BY 1""".stripMargin))
+
+  /** Batch sessionization (gap > 30 min splits): lag + running sum of
+    * session starts — the batch twin of graft.streaming's stateful
+    * sessionizer. */
+  private val qSessionizeBatch = Q("q_sessionize_batch",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+      val gapUs = 30L * 60 * 1000000
+      events(s, dir)
+        .withColumn("__prev", lag(col("ts"), 1).over(byUser))
+        .withColumn("__new_session",
+          when(col("__prev").isNull ||
+            unix_micros(col("ts")) - unix_micros(col("__prev")) > gapUs, 1)
+            .otherwise(0))
+        .withColumn("session_no",
+          sum(col("__new_session")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy(col("user_id").cast("bigint").as("user_id"),
+          col("session_no").cast("bigint").as("session_no"))
+        .agg(min(col("ts")).as("session_start"), max(col("ts")).as("session_end"),
+          count(lit(1)).cast("bigint").as("n_events"),
+          round(sum(col("value")), 4).as("sum_value"))
+    },
+    Some("""WITH w AS (
+           |  SELECT user_id, ts, event_id, value,
+           |         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+           |  FROM events),
+           |flags AS (
+           |  SELECT *, CASE WHEN prev IS NULL
+           |                   OR epoch_us(ts) - epoch_us(prev) > 1800000000
+           |                 THEN 1 ELSE 0 END AS new_session
+           |  FROM w),
+           |numbered AS (
+           |  SELECT *, sum(new_session) OVER (PARTITION BY user_id
+           |           ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_no
+           |  FROM flags)
+           |SELECT CAST(user_id AS BIGINT) AS user_id,
+           |       CAST(session_no AS BIGINT) AS session_no,
+           |       min(ts) AS session_start, max(ts) AS session_end,
+           |       CAST(count(*) AS BIGINT) AS n_events,
+           |       round(sum(value), 4) AS sum_value
+           |FROM numbered GROUP BY 1, 2""".stripMargin))
+
   /** Every query, in a stable order. */
   val all: Seq[Q] = Seq(
     qSelect, qFilter, qFilterRouter,
@@ -572,5 +690,6 @@ object Queries {
     qFuzzyMatch, qEventsHourly,
     qDedupExact, qDedupMinhash, qDedupSimhash, qNgramJaccard,
     qEmbeddingNearDup, qAnnBrute, qAnnLsh,
-    qTextStats, qFingerprint, qMultimodal)
+    qTextStats, qFingerprint, qMultimodal,
+    qStarJoin, qAggFused, qTopkPerGroup, qCountDistinct, qSessionizeBatch)
 }

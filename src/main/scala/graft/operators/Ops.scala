@@ -96,6 +96,25 @@ object Ops {
       schema.add(as, org.apache.spark.sql.types.LongType, nullable = false))
   }
 
+  /** Skew-resistant equi-join: left rows get a deterministic salt in
+    * [0, buckets), the (small-enough-to-replicate) right side is
+    * exploded across every salt value, and the join runs on
+    * keys :+ salt — a hot key's rows spread over `buckets` reducers
+    * instead of one. Use when AQE's skew split isn't available (e.g.
+    * pre-AQE clusters) or the skew is in a broadcast-ineligible dim.
+    * Result is identical to the plain join (salt is derived, not
+    * random — resilient to task retries).
+    */
+  def saltedJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+                 buckets: Int = 16, joinType: String = "inner"): DataFrame = {
+    require(buckets > 0)
+    val salted = left.withColumn("__salt",
+      pmod(xxhash64(struct(left.columns.map(col): _*)), lit(buckets)).cast("int"))
+    val exploded = right.withColumn("__salt",
+      explode(array((0 until buckets).map(lit): _*)))
+    salted.join(exploded, keys :+ "__salt", joinType).drop("__salt")
+  }
+
   /** Append streams = UNION ALL by name (reference motogp.ktr:1379). */
   def unionAppend(head: DataFrame, tail: DataFrame): DataFrame =
     head.unionByName(tail)

@@ -64,6 +64,18 @@ class OpsSpec extends SparkSpec {
     assert(zip == seq)
   }
 
+  test("saltedJoin equals the plain join (inner and left)") {
+    val left = (1 to 50).map(i => (i % 3, s"l$i")).toDF("k", "lv")
+    val right = Seq((0, "r0"), (1, "r1"), (5, "r5")).toDF("k", "rv")
+    for (jt <- Seq("inner", "left")) {
+      val plain = left.join(right, Seq("k"), jt)
+        .collect().map(_.toSeq).groupBy(identity).view.mapValues(_.length).toMap
+      val salted = Ops.saltedJoin(left, right, Seq("k"), buckets = 4, joinType = jt)
+        .collect().map(_.toSeq).groupBy(identity).view.mapValues(_.length).toMap
+      assert(salted == plain, s"joinType=$jt")
+    }
+  }
+
   test("unionAppend + dedupKeepFirst keeps first by declared order") {
     val a = Seq(("k1", 2, "second"), ("k1", 1, "first")).toDF("k", "ord", "tag")
     val b = Seq(("k2", 1, "only")).toDF("k", "ord", "tag")
