@@ -459,6 +459,17 @@ object Queries {
            |      FROM q, c WHERE qid <> cid) x
            |WHERE rn <= 5""".stripMargin))
 
+  private val qAnnIvf = Q("q_ann_ivf",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 16),
+          "embedding", "vec_id", k = 5, nCentroids = 16, nProbes = 2)
+        .select(col("query_id").cast("bigint").as("query_id"),
+          col("corpus_id").cast("bigint").as("corpus_id"),
+          col("cosine"), col("rank").cast("bigint").as("rank"))
+    },
+    None) // approximate by design: rows-only check
+
   private val qAnnLsh = Q("q_ann_lsh",
     (s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -689,7 +700,7 @@ object Queries {
     qStringFuncs, qSplitConcat, qDateParts, qSeqId,
     qFuzzyMatch, qEventsHourly,
     qDedupExact, qDedupMinhash, qDedupSimhash, qNgramJaccard,
-    qEmbeddingNearDup, qAnnBrute, qAnnLsh,
+    qEmbeddingNearDup, qAnnBrute, qAnnLsh, qAnnIvf,
     qTextStats, qFingerprint, qMultimodal,
     qStarJoin, qAggFused, qTopkPerGroup, qCountDistinct, qSessionizeBatch)
 }

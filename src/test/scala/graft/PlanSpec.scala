@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+/** Plan-shape regression tests: the properties that make these operators
+  * scale are asserted on the physical plan, not just implied. If a
+  * refactor reintroduces a full-scan, a lost pushdown, or an unexpected
+  * shuffle, these fail before any benchmark notices.
+  */
+class PlanSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+  private def plan(name: String): String =
+    Queries.all.find(_.name == name).get.run(spark, dir)
+      .queryExecution.executedPlan.toString
+
+  private def formatted(name: String): String =
+    Queries.all.find(_.name == name).get.run(spark, dir)
+      .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+
+  test("q_filter: predicates reach the parquet scan") {
+    val f = formatted("q_filter")
+    assert(f.contains("PushedFilters: [IsNotNull(l_quantity), IsNotNull(l_returnflag), " +
+      "GreaterThanOrEqual(l_quantity,25.0), Not(EqualTo(l_returnflag,A))]"), f)
+  }
+
+  test("q_select_rename_cast: scan reads only the projected columns") {
+    val f = formatted("q_select_rename_cast")
+    val read = f.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!read.contains("l_extendedprice") && !read.contains("l_suppkey"), read)
+  }
+
+  test("q_join_inner: dimension-sized side broadcasts") {
+    assert(plan("q_join_inner").contains("BroadcastHashJoin"))
+  }
+
+  test("q_agg: partial (map-side) aggregation before the exchange") {
+    val f = formatted("q_agg")
+    // two HashAggregates with one Exchange between them = partial+final
+    assert("HashAggregate".r.findAllIn(f).size >= 2, f)
+    assert(f.contains("Exchange"))
+  }
+
+  test("q_fuzzy_match: broadcast nested loop (main side never shuffles to score)") {
+    assert(plan("q_fuzzy_match").contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q_agg_fused: single aggregate pass, no join") {
+    val p = plan("q_agg_fused")
+    assert(!p.contains("Join"), p)
+  }
+
+  test("whole-stage codegen covers the custom expressions") {
+    // kernels are codegen'd: the projections evaluating them must carry
+    // the `*` (WholeStageCodegen) marker, not run as fallback
+    // interpreted projections
+    def codegenProject(p: String): Boolean =
+      p.linesIterator.exists(l => l.contains("*(") && l.contains("Project"))
+    assert(codegenProject(plan("q_text_stats")), plan("q_text_stats"))
+    // AQE prints codegen markers only on the final (executed) plan
+    val df2 = Queries.all.find(_.name == "q_ngram_jaccard").get.run(spark, dir)
+    df2.collect()
+    assert(codegenProject(df2.queryExecution.executedPlan.toString))
+  }
+
+  test("q_dedup_minhash: no cartesian products anywhere") {
+    val p = plan("q_dedup_minhash")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+}

@@ -30,6 +30,28 @@ class SimilaritySpec extends SparkSpec {
     assert(out.contains(1L)) // identical direction always shares the bucket
   }
 
+  test("multi-probe LSH recall is a superset of single-probe") {
+    val q = Seq((10L, Array(0.8f, 0.6f))).toDF("vec_id", "embedding")
+    def ids(multi: Boolean) =
+      Similarity.lshTopK(corpus, q, "embedding", "vec_id", k = 4,
+        nBits = 2, multiProbe = multi)
+        .select("corpus_id").as[Long].collect().toSet
+    assert(ids(multi = false).subsetOf(ids(multi = true)))
+  }
+
+  test("ivfTopK recalls true neighbors on a clustered corpus") {
+    // two tight clusters; IVF with 2 centroids must keep same-cluster
+    // neighbors together
+    val vecs = (0 until 20).map { i =>
+      if (i % 2 == 0) (i.toLong, Array(1.0f, 0.01f * i, 0.0f))
+      else (i.toLong, Array(0.0f, 0.01f * i, 1.0f))
+    }.toDF("vec_id", "embedding")
+    val out = Similarity.ivfTopK(vecs, vecs.filter(col("vec_id") === 0L),
+      "embedding", "vec_id", k = 3, nCentroids = 2, nProbes = 1)
+      .select("corpus_id").as[Long].collect().toSet
+    assert(out.nonEmpty && out.forall(_ % 2 == 0), s"crossed clusters: $out")
+  }
+
   test("vector functions: dot / norm / cosine / normalize") {
     val df = Seq((Array(3.0f, 4.0f), Array(3.0f, 4.0f))).toDF("a", "b")
     val row = df.select(
