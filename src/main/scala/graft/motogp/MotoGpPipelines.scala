@@ -387,6 +387,31 @@ class MotoGpPipelines(spark: SparkSession, paths: MotoGpPaths) {
       .orderBy(col("year").asc, lower(col("category")).asc, lower(col("team_name")).asc)
   }
 
+  /** The reference's DISABLED branch (hop `Unique rows → Sort rows 8`,
+    * motogp.ktr:697-700): podium-stats ∪ career-info rider names,
+    * deduplicated keep-first. Declared capability, reproduced here and
+    * kept off the live path exactly as in the reference, where the LEFT
+    * `Merge join 13` supersedes it (SURVEY.md §0).
+    */
+  lazy val riderNamesUnioned: DataFrame = {
+    val positions = ridersPositionsSrc.select(
+      upper(trim(col("Rider"))).as("rider_name"),
+      col("Victories").cast("double").as("victories"),
+      col("NumberofSecond").cast("double").as("2nd"),
+      col("NumberofThird").cast("double").as("3rd"))
+    val infoParts = split(upper(trim(col("Riders All Time in All Classes"))), " ")
+    val info = ridersInfoSrc.select(
+      concat_ws(" ", infoParts.getItem(1), infoParts.getItem(0)).as("rider_name"),
+      col("Victories").cast("double").as("victories"),
+      col("2nd places").as("2nd"), col("3rd places").as("3rd"))
+    Ops.dedupKeepFirst(
+      Ops.unionAppend(positions.withColumn("__src", lit(0)),
+        info.withColumn("__src", lit(1))),
+      Seq("rider_name"),
+      Seq(col("__src").asc)) // head-stream rows win, as ordered append + keep-first
+      .drop("__src")
+  }
+
   /** All seven integrated tables by their reference names. */
   def tables: Map[String, DataFrame] = Map(
     "circuit" -> circuitTable,

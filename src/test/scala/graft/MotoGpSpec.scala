@@ -105,6 +105,15 @@ class MotoGpSpec extends SparkSpec {
     assert(jerezIdRace.subsetOf(jerezRaces))
   }
 
+  test("disabled branch: unioned rider names dedup keep-first (head wins)") {
+    val u = pipelines.riderNamesUnioned
+    assert(u.columns.toSeq == Seq("rider_name", "victories", "2nd", "3rd"))
+    // every rider_name unique; "NELLO PAGANI" exists in both sources and
+    // twice in the head stream → exactly one survivor
+    assert(u.count() == u.select("rider_name").distinct().count())
+    assert(u.filter(col("rider_name") === "NELLO PAGANI").count() == 1)
+  }
+
   test("team standings: era-filtered, summed, ranked per (year, category)") {
     val ts = pipelines.teamStandings.collect()
     assert(ts.length == 2) // two teams, one (year, category)
