@@ -1,0 +1,68 @@
+package graft
+
+import graft.functions.{TextFunctions => TF}
+import graft.operators.{Dedup, FuzzyMatch, Multimodal}
+import org.apache.spark.sql.functions._
+
+/** Null / empty / degenerate inputs through every operator family —
+  * at 100 TB every pathological row shape exists somewhere; none may
+  * throw or silently drop siblings.
+  */
+class NullEdgeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, Some("normal document text here")),
+    (2L, Some("")), (3L, Some("   \t\n ")), (4L, None),
+    (5L, Some("x"))
+  ).toDF("doc_id", "text")
+
+  test("text stats survive null/empty/whitespace docs") {
+    val out = docs.select(col("doc_id"), TF.textStats(col("text")).as("st"))
+      .select(col("doc_id"), col("st.n_tokens"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1)))
+      .toMap
+    // doc 3: trim strips SPACES only, so "\t\n" remains and splits into
+    // two empty tokens — the same quirk the column formulation and the
+    // DuckDB oracle produce (split with limit -1 keeps boundary empties)
+    assert(out == Map(1L -> 4L, 2L -> 0L, 3L -> 2L, 4L -> -1L, 5L -> 1L))
+  }
+
+  test("exact dedup: null text forms its own cluster, nothing throws") {
+    val c = Dedup.exact(docs, "text", "doc_id")
+    assert(c.agg(sum("dup_count")).as[Long].collect().head == 5L)
+  }
+
+  test("minhash + simhash LSH tolerate null and degenerate docs") {
+    assert(Dedup.minhashLsh(docs, "text", "doc_id").count() >= 0)
+    assert(Dedup.simhashPairs(docs, "text", "doc_id").count() >= 0)
+  }
+
+  test("fuzzy match: null main field still emits exactly one row per main row") {
+    val main = Seq((1L, Some("alpha")), (2L, None)).toDF("id", "name")
+    val lookup = Seq((10L, "alpha"), (20L, "beta")).toDF("cid", "cname")
+    val out = FuzzyMatch.bestMatchById(main, "id", "name", lookup, "cname", Seq("cid"))
+    assert(out.count() == 2)
+    // the null-name row still picks a (first-by-order) lookup row
+    assert(out.filter(col("id") === 2L).count() == 1)
+  }
+
+  test("multimodal featurize: null blob becomes an empty-payload feature") {
+    val media = Seq((1L, Some("payload")), (2L, None)).toDF("id", "txt")
+      .withColumn("blob", when(col("txt").isNotNull, encode(col("txt"), "UTF-8")))
+    val out = Multimodal.featurize(media, "id", "blob", dim = 4)
+      .select("media_id", "n_bytes").as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 7L, 2L -> 0L))
+  }
+
+  test("vector ops: empty and zero vectors are defined") {
+    val df = Seq(
+      (1L, Array.empty[Float]),
+      (2L, Array(0.0f, 0.0f))
+    ).toDF("id", "v")
+    val out = df.select(col("id"),
+      graft.functions.VectorFunctions.cosineSimilarity(col("v"), col("v")).as("c"))
+      .as[(Long, Double)].collect().toMap
+    assert(out == Map(1L -> 0.0, 2L -> 0.0))
+  }
+}

@@ -1,0 +1,85 @@
+package graft
+
+import graft.functions.{JaroWinkler, MinHashKernels}
+import graft.operators.{Dedup, Ops}
+import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+import org.apache.spark.sql.functions._
+
+/** Property-style invariants (seeded sweeps — SURVEY §5.4): algebraic
+  * laws the operators must satisfy on arbitrary inputs, not just the
+  * fixtures.
+  */
+class PropertiesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val rnd = new scala.util.Random(2026)
+
+  test("sortedJaccard equals set-based Jaccard on random long sets") {
+    for (_ <- 1 to 200) {
+      val a = Seq.fill(rnd.nextInt(30))(rnd.nextInt(40).toLong).distinct.sorted
+      val b = Seq.fill(rnd.nextInt(30))(rnd.nextInt(40).toLong).distinct.sorted
+      val expected =
+        if (a.isEmpty && b.isEmpty) 0.0
+        else a.toSet.intersect(b.toSet).size.toDouble / a.toSet.union(b.toSet).size
+      val got = MinHashKernels.sortedJaccard(
+        UnsafeArrayData.fromPrimitiveArray(a.toArray),
+        UnsafeArrayData.fromPrimitiveArray(b.toArray))
+      assert(math.abs(got - expected) < 1e-12, s"a=$a b=$b")
+    }
+  }
+
+  test("minhash collision rate estimates Jaccard (statistical bound)") {
+    // two docs with known shingle overlap: signature agreement ≈ jaccard
+    val base = "the quick brown fox jumps over the lazy dog and keeps running"
+    val variant = base.replace("lazy", "calm").replace("quick", "swift")
+    val df = Seq((1L, base), (2L, variant)).toDF("id", "t")
+      .select(graft.functions.TextFunctions.shingleHashes(col("t"), 5).as("hs"))
+    val Array(h1, h2) = df.as[Seq[Long]].collect()
+    val trueJ = h1.toSet.intersect(h2.toSet).size.toDouble / h1.toSet.union(h2.toSet).size
+    val k = 256
+    val s1 = MinHashKernels.minHashes(UnsafeArrayData.fromPrimitiveArray(h1.toArray), k)
+    val s2 = MinHashKernels.minHashes(UnsafeArrayData.fromPrimitiveArray(h2.toArray), k)
+    val agree = (0 until k).count(i => s1.getLong(i) == s2.getLong(i)).toDouble / k
+    assert(math.abs(agree - trueJ) < 0.12, s"est=$agree true=$trueJ") // ±3σ-ish at k=256
+  }
+
+  test("rank-vs-sort consistency: rankInGroup follows the declared order") {
+    val data = Seq.fill(300)((s"g${rnd.nextInt(5)}", rnd.nextInt(50)))
+    val df = data.toDF("g", "v")
+    val ranked = Ops.rankInGroup(df, Seq("g"), Seq(col("v").desc, col("g").asc), "r")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getInt(2)))
+    ranked.groupBy(_._1).foreach { case (_, rows) =>
+      val byRank = rows.sortBy(_._3)
+      assert(byRank.map(_._3).toSeq == (1 to rows.length))
+      // values must be non-increasing in rank order
+      assert(byRank.map(_._2).sliding(2).forall(p => p.length < 2 || p(0) >= p(1)))
+    }
+  }
+
+  test("sequenceId contiguity on arbitrary input sizes") {
+    for (n <- Seq(1, 7, 100)) {
+      val df = (1 to n).map(i => rnd.nextInt(1000)).toDF("v")
+      val ids = Ops.sequenceId(df, Seq(col("v").asc, col("v")), "id")
+        .select("id").as[Long].collect().sorted
+      assert(ids.toSeq == (1L to n.toLong))
+    }
+  }
+
+  test("jaro-winkler triangle-ish sanity: more shared prefix never hurts") {
+    for (_ <- 1 to 100) {
+      val s = (0 until 5 + rnd.nextInt(8)).map(_ => ('a' + rnd.nextInt(4)).toChar).mkString
+      val full = JaroWinkler.sim(s, s)
+      assert(full == 1.0)
+      // appending noise strictly reduces similarity below identity
+      val noisy = s + "zzz"
+      assert(JaroWinkler.sim(s, noisy) < 1.0)
+    }
+  }
+
+  test("union + exact dedup: cluster sizes sum to input size") {
+    val docs = (1L to 100L).map(i => (i, s"doc ${i % 17} content")).toDF("doc_id", "text")
+    val clusters = Dedup.exact(docs, "text", "doc_id")
+    assert(clusters.agg(sum("dup_count")).as[Long].collect().head == 100L)
+    assert(clusters.count() == 17L)
+  }
+}
