@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.GraftSqlFunctions
+
+/** The custom expressions as seen by a SQL user. */
+class SqlFunctionsSpec extends SparkSpec {
+
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    GraftSqlFunctions.register(spark)
+  }
+
+  test("jaro_winkler callable from SQL") {
+    val v = spark.sql("SELECT jaro_winkler('MARTHA', 'MARHTA') AS s")
+      .collect().head.getDouble(0)
+    assert(math.abs(v - 0.9611) < 1e-4)
+  }
+
+  test("shingle/minhash/jaccard pipeline in pure SQL") {
+    val j = spark.sql(
+      """SELECT sorted_jaccard(shingle_hashes64('the quick brown fox', 3),
+        |                      shingle_hashes64('the quick brown cat', 3)) AS j
+        |""".stripMargin).collect().head.getDouble(0)
+    assert(j > 0.5 && j < 1.0)
+    val ident = spark.sql(
+      "SELECT sorted_jaccard(shingle_hashes64('same text', 3), shingle_hashes64('same text', 3))")
+      .collect().head.getDouble(0)
+    assert(ident == 1.0)
+    val sig = spark.sql("SELECT minhashes(shingle_hashes64('hello world', 4), 8) AS s")
+      .collect().head.getSeq[Long](0)
+    assert(sig.length == 8)
+  }
+
+  test("vector functions from SQL, incl. float arrays via implicit cast") {
+    val row = spark.sql(
+      """SELECT vector_cosine(array(3.0F, 4.0F), array(3.0F, 4.0F)) AS c,
+        |       vector_dot(array(1.0, 2.0), array(3.0, 4.0)) AS d,
+        |       vector_lsh_bucket(array(1.0, 0.0), 4) AS b
+        |""".stripMargin).collect().head
+    assert(math.abs(row.getDouble(0) - 1.0) < 1e-12)
+    assert(row.getDouble(1) == 11.0)
+    assert(row.getLong(2) >= 0L && row.getLong(2) < 16L)
+  }
+
+  test("text_stats struct from SQL") {
+    val r = spark.sql("SELECT text_stats('the quick brown fox').n_tokens AS n")
+      .collect().head.getLong(0)
+    assert(r == 4L)
+  }
+
+  test("simhash_text deterministic from SQL") {
+    val rows = spark.sql(
+      "SELECT simhash_text('Spark AT scale') = simhash_text('spark at SCALE') AS eq")
+      .collect().head.getBoolean(0)
+    assert(rows)
+  }
+
+  test("non-literal size argument is rejected with a clear error") {
+    val e = intercept[Exception] {
+      spark.sql("SELECT shingle_hashes64('abc', length('xy'))").collect()
+    }
+    assert(e.getMessage.contains("literal integer") ||
+      e.getCause != null && e.getCause.getMessage.contains("literal integer"))
+  }
+}
