@@ -383,11 +383,12 @@ object Queries {
       .select(col("keep_id").cast("bigint").as("keep_id"),
         col("dup_count").cast("bigint").as("dup_count")),
     // oracle groups by the same normalized content (the engine hashes it;
-    // equal unless xxhash64 collides)
+    // equal unless xxhash64 collides). Whitespace class is spelled out:
+    // Java \s (the engine) includes \x0B, RE2's \s (DuckDB) does not.
     Some("""SELECT CAST(min(doc_id) AS BIGINT) AS keep_id,
            |       CAST(count(*) AS BIGINT) AS dup_count
            |FROM documents
-           |GROUP BY lower(regexp_replace(trim(text), '\s+', ' ', 'g'))""".stripMargin))
+           |GROUP BY lower(regexp_replace(trim(text), '[ \t\n\x0B\f\r]+', ' ', 'g'))""".stripMargin))
 
   private val qDedupMinhash = Q("q_dedup_minhash",
     (s, dir) => Dedup.minhashLsh(t(s, dir, "documents"), "text", "doc_id",
@@ -515,30 +516,32 @@ object Queries {
           + (lit(1.0) - least(punctRaw * 4.0, lit(1.0))) * 0.3
           + least(stopRaw * 5.0, lit(1.0)) * 0.2, 6).as("quality"))
     },
+    // whitespace classes spelled out: Java \s (engine) includes \x0B,
+    // RE2's \s (DuckDB) does not
     Some("""WITH b AS (
            |  SELECT doc_id, text, trim(text) AS tt,
            |         CASE WHEN len(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
-           |              ELSE string_split_regex(trim(text), '\s+') END AS toks
+           |              ELSE string_split_regex(trim(text), '[ \t\n\x0B\f\r]+') END AS toks
            |  FROM documents),
            |m AS (
            |  SELECT doc_id, text, toks,
            |    CAST(len(toks) AS BIGINT) AS n_tokens,
-           |    CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS BIGINT) AS n_subtokens,
+           |    CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 \t\n\x0B\f\r]')) AS BIGINT) AS n_subtokens,
            |    CASE WHEN len(text) = 0 THEN 0.0
-           |         ELSE CAST(len(regexp_replace(text, '[\p{L}\p{N}\s]', '', 'g')) AS DOUBLE) / len(text)
+           |         ELSE CAST(len(regexp_replace(text, '[\p{L}\p{N} \t\n\x0B\f\r]', '', 'g')) AS DOUBLE) / len(text)
            |    END AS punct_raw,
            |    CASE WHEN len(toks) = 0 THEN 0.0
            |         ELSE CAST(len(list_filter(toks, x -> list_contains(
            |                ['the','a','an','and','of','to','in','is','it','that'], lower(x)))) AS DOUBLE)
            |              / len(toks)
            |    END AS stop_raw,
-           |    len(list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> list_contains(
+           |    len(list_filter(string_split_regex(lower(trim(text)), '[ \t\n\x0B\f\r]+'), x -> list_contains(
            |         ['the','a','an','and','of','to','in','is','it','that'], x))) AS hits_en,
-           |    len(list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> list_contains(
+           |    len(list_filter(string_split_regex(lower(trim(text)), '[ \t\n\x0B\f\r]+'), x -> list_contains(
            |         ['le','la','les','de','des','et','un','une','est','que'], x))) AS hits_fr,
-           |    len(list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> list_contains(
+           |    len(list_filter(string_split_regex(lower(trim(text)), '[ \t\n\x0B\f\r]+'), x -> list_contains(
            |         ['el','la','los','las','de','y','un','una','es','que'], x))) AS hits_es,
-           |    len(list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> list_contains(
+           |    len(list_filter(string_split_regex(lower(trim(text)), '[ \t\n\x0B\f\r]+'), x -> list_contains(
            |         ['der','die','das','und','ein','eine','ist','von','zu','mit'], x))) AS hits_de
            |  FROM b)
            |SELECT CAST(doc_id AS BIGINT) AS doc_id, n_tokens, n_subtokens,

@@ -65,6 +65,18 @@ object MinHashKernels {
     */
   def sortedJaccard(a: ArrayData, b: ArrayData): Double = {
     val n = a.numElements(); val m = b.numElements()
+    var c = 0
+    while (c < n) {
+      if (a.isNullAt(c)) throw new IllegalArgumentException(
+        s"sorted_jaccard: null element at index $c — shingle-hash arrays must be dense")
+      c += 1
+    }
+    c = 0
+    while (c < m) {
+      if (b.isNullAt(c)) throw new IllegalArgumentException(
+        s"sorted_jaccard: null element at index $c — shingle-hash arrays must be dense")
+      c += 1
+    }
     var i = 0; var j = 0; var inter = 0
     while (i < n && j < m) {
       val va = a.getLong(i); val vb = b.getLong(j)

@@ -23,7 +23,9 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object TextKernels {
 
-  // \s in Java and RE2 regexes (no UNICODE flag): the 6 ASCII ws chars
+  // Java \s (no UNICODE flag): the 6 ASCII ws chars incl. \x0B. NB: RE2's
+  // \s EXCLUDES \x0B, so oracle SQL must spell the class out explicitly
+  // ('[ \t\n\x0B\f\r]') rather than using \s — see Queries.qTextStats.
   private def isWs(cp: Int): Boolean =
     cp == ' ' || cp == '\t' || cp == '\n' || cp == 0x0b || cp == '\f' || cp == '\r'
 

@@ -13,7 +13,20 @@ import org.apache.spark.sql.catalyst.util.ArrayData
   */
 object VectorKernels {
 
+  /** Null elements are data corruption in an embedding column — fail
+    * loudly (a clear message beating a silent 0.0 contribution). */
+  private def checkNoNulls(a: ArrayData, op: String): Unit = {
+    var i = 0
+    val n = a.numElements()
+    while (i < n) {
+      if (a.isNullAt(i)) throw new IllegalArgumentException(
+        s"$op: null element at index $i of a vector — embeddings must be dense")
+      i += 1
+    }
+  }
+
   def dot(a: ArrayData, b: ArrayData): Double = {
+    checkNoNulls(a, "vector_dot"); checkNoNulls(b, "vector_dot")
     val n = math.min(a.numElements(), b.numElements())
     var acc = 0.0
     var i = 0
@@ -23,6 +36,7 @@ object VectorKernels {
 
   /** cosine = dot/(||a||·||b||); defined as 0 when either norm is 0. */
   def cosine(a: ArrayData, b: ArrayData): Double = {
+    checkNoNulls(a, "vector_cosine"); checkNoNulls(b, "vector_cosine")
     val n = math.min(a.numElements(), b.numElements())
     var d = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
@@ -37,6 +51,7 @@ object VectorKernels {
 
   /** Unit-length copy; the zero vector passes through unchanged. */
   def l2Normalize(a: ArrayData): ArrayData = {
+    checkNoNulls(a, "vector_l2_normalize")
     val n = a.numElements()
     val out = new Array[Double](n)
     var s = 0.0
@@ -54,6 +69,7 @@ object VectorKernels {
     * hashLong(seed, 42)))) mapped to [-1, 1].
     */
   def lshBucket(vec: ArrayData, nBits: Int, seed: Long): Long = {
+    checkNoNulls(vec, "vector_lsh_bucket")
     val n = vec.numElements()
     val hSeed = XXH64.hashLong(seed, 42L)
     var bucket = 0L

@@ -124,6 +124,8 @@ object Dedup {
     */
   def simhashPairs(df: DataFrame, textCol: String, idCol: String,
                    maxHamming: Int = 3, bands: Int = 4): DataFrame = {
+    require(bands >= 2 && bands <= 32 && 64 % bands == 0,
+      s"bands must divide 64 and be in [2, 32], got $bands")
     val chunk = 64 / bands
     val maxBucket = 4096
     val sketched = df.select(

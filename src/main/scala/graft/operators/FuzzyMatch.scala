@@ -65,12 +65,15 @@ object FuzzyMatch {
                 appendCols: Seq[String],
                 matchCol: String = "match_value",
                 scoreCol: String = "match_score"): DataFrame = {
+    // a synthetic per-row id keeps duplicate main rows distinct (Kettle
+    // emits one output per input row); partitioning the argmax by the
+    // main columns would collapse duplicates to a single output
     val mainCols = main.columns.toSeq
-    val scored = main
+    val withId = main.withColumn("__main_row", monotonically_increasing_id())
+    val scored = withId
       .crossJoin(broadcast(prepared(lookup, lookupField, appendCols)))
       .withColumn("__sim", jaro_winkler(lower(col(mainField)), lower(col("__lk_key"))))
-    val w = Window
-      .partitionBy(mainCols.map(col): _*)
+    val w = Window.partitionBy(col("__main_row"))
       .orderBy(col("__sim").desc, col("__lk_order").asc)
     finish(scored, w, mainCols, appendCols, matchCol, scoreCol)
   }

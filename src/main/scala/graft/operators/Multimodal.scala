@@ -21,15 +21,19 @@ import org.apache.spark.sql.types._
   */
 object Multimodal {
 
-  /** Decoder contract: bytes -> fixed-dim float feature vector.
-    * Real implementations decode pixels/samples then embed; the stub
-    * derives a deterministic pseudo-feature from the byte content so
-    * tests and plumbing are exercisable without codecs.
+  /** Decoder contract: one BATCH of blobs in, one feature vector per
+    * blob out — the shape a vectorized codec / GPU embedder actually
+    * wants (amortized model invocation per batch, not per row). The
+    * stub derives deterministic pseudo-features so tests and plumbing
+    * are exercisable without codecs.
     */
-  type Decoder = (Array[Byte], Int) => Array[Float]
+  type Decoder = (Seq[Array[Byte]], Int) => Seq[Array[Float]]
 
-  /** STUB decoder (stands in for image/audio decode + embed). */
-  val stub: Decoder = (bytes: Array[Byte], dim: Int) => {
+  /** STUB batch decoder (stands in for image/audio decode + embed). */
+  val stub: Decoder = (blobs: Seq[Array[Byte]], dim: Int) =>
+    blobs.map(stubOne(_, dim))
+
+  private def stubOne(bytes: Array[Byte], dim: Int): Array[Float] = {
     val out = new Array[Float](dim)
     var h = 1125899906842597L // deterministic FNV-ish rolling hash
     var i = 0
@@ -49,28 +53,34 @@ object Multimodal {
   }
 
   private val featureSchema = StructType(Seq(
-    StructField("media_id", LongType, nullable = false),
+    StructField("media_id", LongType, nullable = true),
     StructField("n_bytes", LongType, nullable = false),
     StructField("feature", ArrayType(FloatType, containsNull = false))))
 
-  /** Batched feature extraction over a binary column.
-    *
-    * @param batchSize rows decoded per batch (the shape a vectorized
-    *                  codec / GPU embedder would want)
+  /** Batched feature extraction over a binary column: the decoder is
+    * invoked once per `batchSize` blobs (vectorized-codec shape), rows
+    * with null ids pass through with a null `media_id` rather than
+    * crashing the task.
     */
   def featurize(df: DataFrame, idCol: String, blobCol: String,
                 dim: Int = 8, batchSize: Int = 32,
                 decoder: Decoder = stub): DataFrame = {
+    require(batchSize >= 1)
     val spark = df.sparkSession
     val input = df.select(
       col(idCol).cast("bigint").as("media_id"), col(blobCol).as("blob"))
     val rdd = input.rdd.mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>
-        batch.map { r =>
-          val id = r.getLong(0)
+        val blobs = batch.map { r =>
           val blob = r.getAs[Array[Byte]](1)
-          val bytes = if (blob == null) Array.emptyByteArray else blob
-          Row(id, bytes.length.toLong, decoder(bytes, dim).toSeq)
+          if (blob == null) Array.emptyByteArray else blob
+        }
+        val feats = decoder(blobs, dim)
+        require(feats.length == batch.length,
+          s"decoder returned ${feats.length} features for ${batch.length} blobs")
+        batch.lazyZip(blobs).lazyZip(feats).map { (r, blob, feat) =>
+          val id: Any = if (r.isNullAt(0)) null else r.getLong(0)
+          Row(id, blob.length.toLong, feat.toSeq)
         }
       }
     }

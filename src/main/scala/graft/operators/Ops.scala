@@ -108,6 +108,12 @@ object Ops {
   def saltedJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
                  buckets: Int = 16, joinType: String = "inner"): DataFrame = {
     require(buckets > 0)
+    // right/full outer would emit one null-padded (or duplicate) row per
+    // salt replica of an unmatched right key — only join types where the
+    // replicated side never survives unmatched are equivalent
+    require(Set("inner", "cross", "left", "leftouter", "leftsemi", "leftanti")
+        .contains(joinType.toLowerCase.replace("_", "")),
+      s"saltedJoin supports inner/left-side join types, not $joinType")
     val salted = left.withColumn("__salt",
       pmod(xxhash64(struct(left.columns.map(col): _*)), lit(buckets)).cast("int"))
     val exploded = right.withColumn("__salt",

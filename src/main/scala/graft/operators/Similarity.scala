@@ -103,8 +103,14 @@ object Similarity {
       // materialize the tiny centroid table through the driver: breaks
       // the per-iteration lineage (otherwise iteration N re-executes all
       // prior assignments) — only nCentroids * dim doubles move
-      val rows = means.collect().toSeq
-      centroids = spark.createDataFrame(rows.asJava, means.schema)
+      val updated = means.collect().map(r => r.getLong(0) -> r).toMap
+      // a centroid that captured zero points this pass keeps its previous
+      // position instead of vanishing (a shrinking centroid set would
+      // silently degrade the nProbes/nCentroids recall math)
+      val kept = centroids.collect().map { prev =>
+        updated.getOrElse(prev.getLong(0), prev)
+      }.toSeq
+      centroids = spark.createDataFrame(kept.asJava, means.schema)
     }
     centroids
   }

@@ -48,13 +48,18 @@ object EventStreams {
 
   final case class SessionEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
   final case class SessionState(start: Long, end: Long, n: Long, total: Double)
+  final case class SessionsState(open: List[SessionState])
   final case class Session(user_id: Long, session_start: java.sql.Timestamp,
                            session_end: java.sql.Timestamp, n_events: Long,
                            total_value: Double)
 
   /** Gap-based sessionization via flatMapGroupsWithState (event-time
-    * timeout). A session closes when the watermark passes its end + gap;
-    * closed sessions are emitted in Append mode.
+    * timeout). ALL sessions stay in state until the watermark passes
+    * their end + gap: an in-watermark out-of-order event arriving in a
+    * later batch still merges into (or bridges) earlier sessions —
+    * emitting on gap-close alone would lock in a session the stream can
+    * still legally extend. State per key is O(open sessions within the
+    * watermark horizon).
     */
   def sessionize(events: Dataset[SessionEvent], gapMs: Long,
                  watermark: String = "10 minutes"): Dataset[Session] = {
@@ -62,39 +67,36 @@ object EventStreams {
     events
       .withWatermark("ts", watermark)
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState[SessionState, Session](
+      .flatMapGroupsWithState[SessionsState, Session](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
-        (userId: Long, it: Iterator[SessionEvent], state: GroupState[SessionState]) =>
+        (userId: Long, it: Iterator[SessionEvent], state: GroupState[SessionsState]) =>
           def toSession(s: SessionState): Session = Session(userId,
             new java.sql.Timestamp(s.start), new java.sql.Timestamp(s.end),
             s.n, s.total)
-          if (it.isEmpty && state.hasTimedOut) {
-            val out = state.getOption.map(toSession).iterator
-            state.remove()
-            out
-          } else {
-            val sorted = it.toSeq.sortBy(_.ts.getTime)
-            var closed = List.empty[Session]
-            var cur = state.getOption
-            sorted.foreach { e =>
-              val t = e.ts.getTime
-              cur match {
-                case Some(s) if t - s.end <= gapMs =>
-                  cur = Some(SessionState(s.start, math.max(s.end, t),
-                    s.n + 1, s.total + e.value))
-                case Some(s) =>
-                  closed ::= toSession(s)
-                  cur = Some(SessionState(t, t, 1, e.value))
-                case None =>
-                  cur = Some(SessionState(t, t, 1, e.value))
-              }
+          // merge one event into the disjoint session list (may bridge
+          // two sessions the event falls between)
+          def add(sessions: List[SessionState], t: Long, v: Double): List[SessionState] = {
+            val (touching, rest) = sessions.partition(s =>
+              t >= s.start - gapMs && t <= s.end + gapMs)
+            val merged = touching.foldLeft(SessionState(t, t, 1, v)) { (acc, s) =>
+              SessionState(math.min(acc.start, s.start), math.max(acc.end, s.end),
+                acc.n + s.n, acc.total + s.total)
             }
-            cur.foreach { s =>
-              state.update(s)
-              state.setTimeoutTimestamp(s.end + gapMs)
-            }
-            closed.reverseIterator
+            merged :: rest
           }
+          val withNew = it.toSeq.sortBy(_.ts.getTime)
+            .foldLeft(state.getOption.map(_.open).getOrElse(Nil)) { (acc, e) =>
+              add(acc, e.ts.getTime, e.value)
+            }
+          val wm = state.getCurrentWatermarkMs()
+          // a session is final once no in-watermark event can extend it
+          val (done, stillOpen) = withNew.partition(_.end + gapMs <= wm)
+          if (stillOpen.isEmpty) state.remove()
+          else {
+            state.update(SessionsState(stillOpen))
+            state.setTimeoutTimestamp(stillOpen.map(_.end + gapMs).min)
+          }
+          done.sortBy(_.start).map(toSession).iterator
       }
   }
 }

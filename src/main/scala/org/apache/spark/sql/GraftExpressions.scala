@@ -41,6 +41,7 @@ case class JaroWinklerSimilarity(left: Expression, right: Expression)
   */
 case class ShingleHashes64(child: Expression, n: Int)
     extends UnaryExpression with ExpectsInputTypes {
+  require(n >= 1, s"shingle size must be >= 1, got $n")
 
   override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -87,6 +88,7 @@ case class SortedLongJaccard(left: Expression, right: Expression)
   */
 case class MinHashes(child: Expression, k: Int)
     extends UnaryExpression with ExpectsInputTypes {
+  require(k >= 1 && k <= 4096, s"signature size must be in [1, 4096], got $k")
 
   override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(LongType))
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -229,6 +231,7 @@ case class VectorL2Normalize(child: Expression)
 
 case class VectorLshBucket(child: Expression, nBits: Int, seed: Long)
     extends UnaryExpression with ExpectsInputTypes {
+  require(nBits >= 1 && nBits <= 63, s"nBits must be in [1, 63], got $nBits")
 
   override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(DoubleType))
   override def dataType: DataType = LongType

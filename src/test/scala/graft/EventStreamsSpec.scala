@@ -54,4 +54,34 @@ class EventStreamsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     assert(out == Set((1L, 2L, 3.0), (1L, 1L, 3.0), (2L, 1L, 5.0)))
   }
+
+  test("sessionize: in-watermark out-of-order event bridges two open sessions") {
+    val input = MemoryStream[SessionEvent](spark, numPartitions = 1)
+    val sessions = EventStreams.sessionize(input.toDS(), gapMs = 60000,
+      watermark = "1 hour")
+    val q = sessions.writeStream.format("memory").queryName("sessions_ooo")
+      .outputMode("append").start()
+
+    def ts(sec: Int): Timestamp = new Timestamp(7200000L + sec * 1000L)
+    // batch 1: two bursts 100 s apart (gap 60 s → provisionally split)
+    input.addData(SessionEvent(7L, ts(0), 1.0), SessionEvent(7L, ts(100), 2.0))
+    q.processAllAvailable()
+    // batch 2: the bridging event arrives out of order but in-watermark
+    input.addData(SessionEvent(7L, ts(50), 4.0))
+    q.processAllAvailable()
+    // advance the watermark far past everything
+    input.addData(SessionEvent(99L, ts(90000), 0.0))
+    q.processAllAvailable()
+    input.addData(SessionEvent(98L, ts(180000), 0.0))
+    q.processAllAvailable()
+    q.stop()
+
+    val out = spark.table("sessions_ooo")
+      .filter(col("user_id") === 7L)
+      .select("n_events", "total_value")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    // one merged session [0s..100s] with all three events — not a split
+    // pair with a corrupted start
+    assert(out == Set((3L, 7.0)))
+  }
 }

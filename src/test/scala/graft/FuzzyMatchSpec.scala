@@ -33,6 +33,14 @@ class FuzzyMatchSpec extends SparkSpec {
     assert(out.toSeq == Seq(10L))
   }
 
+  test("duplicate main rows each emit their own match (Kettle 1:1 contract)") {
+    val main = Seq("MUGELLO", "MUGELLO", "ASSEN").toDF("name")
+    val lookup = Seq((1L, "Mugello"), (2L, "Assen")).toDF("cid", "cname")
+    val out = FuzzyMatch.bestMatch(main, "name", lookup, "cname", Seq("cid"))
+    assert(out.count() == 3)
+    assert(out.filter(col("name") === "MUGELLO").count() == 2)
+  }
+
   test("appended score equals the scalar jaro_winkler") {
     val main = Seq((1L, "MARTHA")).toDF("id", "name")
     val lookup = Seq((10L, "MARHTA")).toDF("cid", "cname")
