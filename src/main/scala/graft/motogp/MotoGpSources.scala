@@ -97,7 +97,14 @@ object MotoGpSources {
       .csv(path)
 
   /** Top-level-array JSON (one row per element, missing leaves → null —
-    * the reference's `defaultPathLeafToNull=Y`). */
-  def json(spark: SparkSession, path: String, schema: StructType): DataFrame =
-    spark.read.schema(schema).option("multiLine", true).json(path)
+    * the reference's `defaultPathLeafToNull=Y`). A missing file yields an
+    * empty frame with the declared schema — the reference's
+    * `doNotFailIfNoFile=Y`. */
+  def json(spark: SparkSession, path: String, schema: StructType): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p))
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else spark.read.schema(schema).option("multiLine", true).json(path)
+  }
 }

@@ -37,15 +37,22 @@ object Ops {
   /** Join that emulates Kettle's duplicate-column `_N` suffix convention
     * (SURVEY.md §1 "name-collision semantics"): columns of the right side
     * that collide with left (and are not join keys) come out as `name_1`.
+    * Collision detection is CASE-INSENSITIVE, as in Kettle — the
+    * reference relies on this (`Position` vs `position` → `Position_1`,
+    * `Year` vs `year` → `Year_1` in the quali join, motogp.ktr:3654).
     */
   def suffixJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
                  joinType: String = "inner"): DataFrame = {
-    val collisions = right.columns.filter(c => left.columns.contains(c) && !keys.contains(c))
+    val leftLower = left.columns.map(_.toLowerCase).toSet
+    val rightLower = right.columns.map(_.toLowerCase).toSet
+    val keyLower = keys.map(_.toLowerCase).toSet
+    val collisions = right.columns.filter(c =>
+      leftLower.contains(c.toLowerCase) && !keyLower.contains(c.toLowerCase))
     val renamedRight = collisions.foldLeft(right) { (df, c) =>
-      // find first free _N suffix against both sides
+      // find first free _N suffix against both sides (case-insensitive)
       var n = 1
       def cand = s"${c}_$n"
-      while (left.columns.contains(cand) || right.columns.contains(cand)) n += 1
+      while (leftLower.contains(cand.toLowerCase) || rightLower.contains(cand.toLowerCase)) n += 1
       df.withColumnRenamed(c, cand)
     }
     left.join(renamedRight, keys, joinType)

@@ -90,8 +90,11 @@ object Similarity {
       .select(row_number().over(Window.orderBy(col("__id"))).cast("long").as("centroid_id"),
         col("__v").as("__cvec"))
     import scala.jdk.CollectionConverters._
+    var prevRows = centroids.collect().toSeq
+    var schema = centroids.schema
     for (_ <- 1 to iters) {
-      val assigned = assign(unit, centroids)
+      val current = spark.createDataFrame(prevRows.asJava, schema)
+      val assigned = assign(unit, current)
       val means = assigned
         .select(col("centroid_id"), posexplode(col("__v")).as(Seq("__dim", "__x")))
         .groupBy("centroid_id", "__dim").agg(avg("__x").as("__m"))
@@ -102,17 +105,15 @@ object Similarity {
             transform(col("__p"), p => p.getField("__m"))).as("__cvec"))
       // materialize the tiny centroid table through the driver: breaks
       // the per-iteration lineage (otherwise iteration N re-executes all
-      // prior assignments) — only nCentroids * dim doubles move
-      val updated = means.collect().map(r => r.getLong(0) -> r).toMap
-      // a centroid that captured zero points this pass keeps its previous
+      // prior assignments) — only nCentroids * dim doubles move. A
+      // centroid that captured zero points this pass keeps its previous
       // position instead of vanishing (a shrinking centroid set would
-      // silently degrade the nProbes/nCentroids recall math)
-      val kept = centroids.collect().map { prev =>
-        updated.getOrElse(prev.getLong(0), prev)
-      }.toSeq
-      centroids = spark.createDataFrame(kept.asJava, means.schema)
+      // silently degrade the nProbes/nCentroids recall math).
+      val updated = means.collect().map(r => r.getLong(0) -> r).toMap
+      schema = means.schema
+      prevRows = prevRows.map(prev => updated.getOrElse(prev.getLong(0), prev))
     }
-    centroids
+    spark.createDataFrame(prevRows.asJava, schema)
   }
 
   /** Nearest-centroid assignment (argmax dot) via broadcast + window. */

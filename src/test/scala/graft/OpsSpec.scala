@@ -33,6 +33,13 @@ class OpsSpec extends SparkSpec {
     assert(out.collect().head.toSeq == Seq(1, "x", "ln", "y", "rn"))
   }
 
+  test("suffixJoin collision detection is case-insensitive (Kettle rule)") {
+    val l = Seq((1, 10)).toDF("k", "position")
+    val r = Seq((1, 20)).toDF("k", "Position")
+    val out = Ops.suffixJoin(l, r, Seq("k"))
+    assert(out.columns.toSeq == Seq("k", "position", "Position_1"))
+  }
+
   test("distinctRows = group-by-with-no-aggregates") {
     val df = Seq(("a", 1), ("a", 1), ("b", 2)).toDF("k", "v")
     assert(Ops.distinctRows(df, Seq("k", "v")).count() == 2)
