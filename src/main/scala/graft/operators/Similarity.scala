@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.functions.VectorFunctions
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -75,56 +75,75 @@ object Similarity {
       .select(col("query_id"), col("corpus_id"), col("cosine"), col("__rn").as("rank"))
   }
 
+  /** Centroids as one literal array-of-structs column — assignment then
+    * happens inside a projection (`transform` + `array_max`), with no
+    * shuffle, no cross join, no window. Ties break to the smaller
+    * centroid id (negated-id trick: struct max compares fields in order).
+    */
+  private def centroidArrayCol(rows: Seq[org.apache.spark.sql.Row]): Column =
+    array(rows.map { r =>
+      struct(lit(r.getLong(0)).as("id"),
+        array(r.getSeq[Double](1).map(lit): _*).as("vec"))
+    }: _*)
+
+  private def scoredCentroids(v: Column, centroids: Column): Column =
+    transform(centroids, c =>
+      struct(VectorFunctions.dot(v, c.getField("vec")).as("d"),
+        (lit(0L) - c.getField("id")).as("negid")))
+
+  private def nearestCentroidId(v: Column, centroids: Column): Column =
+    lit(0L) - array_max(scoredCentroids(v, centroids)).getField("negid")
+
   /** Deterministic Lloyd k-means over unit vectors (cosine/spherical:
-    * assignment by max dot product). Returns (centroid_id, vec) — a tiny
-    * table; each iteration is one distributed assign + reduce, and only
-    * nCentroids * dim doubles are collected.
+    * assignment by max dot product). Returns the centroid rows
+    * (centroid_id, vec) — a tiny driver-side table; each iteration is
+    * one shuffle (the per-dimension mean), and only nCentroids * dim
+    * doubles are collected.
     */
   def kmeansCentroids(corpus: DataFrame, vecCol: String, idCol: String,
-                      nCentroids: Int, iters: Int = 5): DataFrame = {
-    val spark = corpus.sparkSession
+                      nCentroids: Int, iters: Int = 5): Seq[org.apache.spark.sql.Row] = {
     val unit = corpus.select(col(idCol).as("__id"),
       VectorFunctions.l2Normalize(col(vecCol)).as("__v"))
     // deterministic init: the nCentroids lowest-id vectors
-    var centroids = unit.orderBy(col("__id").asc).limit(nCentroids)
-      .select(row_number().over(Window.orderBy(col("__id"))).cast("long").as("centroid_id"),
-        col("__v").as("__cvec"))
-    import scala.jdk.CollectionConverters._
-    var prevRows = centroids.collect().toSeq
-    var schema = centroids.schema
+    var prevRows: Seq[org.apache.spark.sql.Row] =
+      unit.orderBy(col("__id").asc).limit(nCentroids)
+        .select(row_number().over(Window.orderBy(col("__id"))).cast("long").as("centroid_id"),
+          col("__v").as("__cvec"))
+        .collect().toSeq
     for (_ <- 1 to iters) {
-      val current = spark.createDataFrame(prevRows.asJava, schema)
-      val assigned = assign(unit, current)
-      val means = assigned
-        .select(col("centroid_id"), posexplode(col("__v")).as(Seq("__dim", "__x")))
-        .groupBy("centroid_id", "__dim").agg(avg("__x").as("__m"))
-        .groupBy("centroid_id")
-        .agg(array_sort(collect_list(struct(col("__dim"), col("__m")))).as("__p"))
-        .select(col("centroid_id"),
-          VectorFunctions.l2Normalize(
-            transform(col("__p"), p => p.getField("__m"))).as("__cvec"))
-      // materialize the tiny centroid table through the driver: breaks
-      // the per-iteration lineage (otherwise iteration N re-executes all
-      // prior assignments) — only nCentroids * dim doubles move. A
-      // centroid that captured zero points this pass keeps its previous
+      val assigned = unit.withColumn("centroid_id",
+        nearestCentroidId(col("__v"), centroidArrayCol(prevRows)))
+      // per-centroid mean as one map-side-combined reduceByKey of
+      // (sum-vector, count) partials: a single tiny shuffle per
+      // iteration, no per-iteration multi-stage SQL plan
+      val sums = assigned.select(col("centroid_id"), col("__v")).rdd
+        .map { r =>
+          val v = r.getSeq[Double](1).toArray
+          (r.getLong(0), (v, 1L))
+        }
+        .reduceByKey { (a, b) =>
+          val (va, na) = a; val (vb, nb) = b
+          var i = 0
+          while (i < va.length) { va(i) += vb(i); i += 1 }
+          (va, na + nb)
+        }
+        .collectAsMap()
+      // a centroid that captured zero points this pass keeps its previous
       // position instead of vanishing (a shrinking centroid set would
-      // silently degrade the nProbes/nCentroids recall math).
-      val updated = means.collect().map(r => r.getLong(0) -> r).toMap
-      schema = means.schema
-      prevRows = prevRows.map(prev => updated.getOrElse(prev.getLong(0), prev))
+      // silently degrade the nProbes/nCentroids recall math)
+      prevRows = prevRows.map { prev =>
+        sums.get(prev.getLong(0)) match {
+          case Some((sum, n)) =>
+            val mean = sum.map(_ / n)
+            val norm = math.sqrt(mean.map(x => x * x).sum)
+            val unitVec = if (norm == 0.0) mean else mean.map(_ / norm)
+            org.apache.spark.sql.Row(prev.getLong(0), unitVec.toSeq)
+          case None => prev
+        }
+      }
     }
-    spark.createDataFrame(prevRows.asJava, schema)
+    prevRows
   }
-
-  /** Nearest-centroid assignment (argmax dot) via broadcast + window. */
-  private def assign(unit: DataFrame, centroids: DataFrame): DataFrame =
-    unit.crossJoin(broadcast(centroids))
-      .withColumn("__dot", VectorFunctions.dot(col("__v"), col("__cvec")))
-      .withColumn("__rn", row_number().over(
-        Window.partitionBy(col("__id"))
-          .orderBy(col("__dot").desc, col("centroid_id").asc)))
-      .filter(col("__rn") === 1)
-      .select(col("__id"), col("__v"), col("centroid_id"))
 
   /** IVF-Flat ANN: corpus bucketed by nearest centroid, queries probe the
     * `nProbes` nearest inverted lists, exact cosine re-rank within.
@@ -133,27 +152,20 @@ object Similarity {
               vecCol: String, idCol: String, k: Int,
               nCentroids: Int = 16, nProbes: Int = 2,
               kmeansIters: Int = 3): DataFrame = {
-    val centroids = kmeansCentroids(corpus, vecCol, idCol, nCentroids, kmeansIters)
-    val corpusUnit = corpus.select(col(idCol).as("corpus_id"),
-      VectorFunctions.l2Normalize(col(vecCol)).as("__cv"))
-    val corpusAssigned = corpusUnit
-      .crossJoin(broadcast(centroids))
-      .withColumn("__dot", VectorFunctions.dot(col("__cv"), col("__cvec")))
-      .withColumn("__rn", row_number().over(
-        Window.partitionBy(col("corpus_id"))
-          .orderBy(col("__dot").desc, col("centroid_id").asc)))
-      .filter(col("__rn") === 1)
-      .select(col("corpus_id"), col("__cv"), col("centroid_id"))
+    val centroidRows = kmeansCentroids(corpus, vecCol, idCol, nCentroids, kmeansIters)
+    val centroids = centroidArrayCol(centroidRows)
+    val corpusAssigned = corpus
+      .select(col(idCol).as("corpus_id"),
+        VectorFunctions.l2Normalize(col(vecCol)).as("__cv"))
+      .withColumn("centroid_id", nearestCentroidId(col("__cv"), centroids))
+    // top-nProbes centroids per query: sort the scored array descending
+    // (reverse of ascending struct sort), take the head slice
     val queriesProbing = queries
       .select(col(idCol).as("query_id"),
         VectorFunctions.l2Normalize(col(vecCol)).as("__qv"))
-      .crossJoin(broadcast(centroids))
-      .withColumn("__dot", VectorFunctions.dot(col("__qv"), col("__cvec")))
-      .withColumn("__rn", row_number().over(
-        Window.partitionBy(col("query_id"))
-          .orderBy(col("__dot").desc, col("centroid_id").asc)))
-      .filter(col("__rn") <= nProbes)
-      .select(col("query_id"), col("__qv"), col("centroid_id"))
+      .withColumn("centroid_id", explode(
+        transform(slice(reverse(array_sort(scoredCentroids(col("__qv"), centroids))),
+          1, nProbes), s => lit(0L) - s.getField("negid"))))
     corpusAssigned.join(queriesProbing, Seq("centroid_id"))
       .filter(col("query_id") =!= col("corpus_id"))
       // unit vectors: cosine = dot
