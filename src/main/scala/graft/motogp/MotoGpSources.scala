@@ -103,7 +103,9 @@ object MotoGpSources {
   def json(spark: SparkSession, path: String, schema: StructType): DataFrame = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p))
+    // globStatus, not exists: paths may legally be globs
+    val matches = fs.globStatus(p)
+    if (matches == null || matches.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     else spark.read.schema(schema).option("multiLine", true).json(path)
   }

@@ -44,18 +44,25 @@ object Ops {
   def suffixJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
                  joinType: String = "inner"): DataFrame = {
     val leftLower = left.columns.map(_.toLowerCase).toSet
-    val rightLower = right.columns.map(_.toLowerCase).toSet
     val keyLower = keys.map(_.toLowerCase).toSet
-    val collisions = right.columns.filter(c =>
-      leftLower.contains(c.toLowerCase) && !keyLower.contains(c.toLowerCase))
-    val renamedRight = collisions.foldLeft(right) { (df, c) =>
-      // find first free _N suffix against both sides (case-insensitive)
-      var n = 1
-      def cand = s"${c}_$n"
-      while (leftLower.contains(cand.toLowerCase) || rightLower.contains(cand.toLowerCase)) n += 1
-      df.withColumnRenamed(c, cand)
+    // names already taken, updated as suffixes are allocated — two
+    // case-variant collisions (position / Position) must not both land
+    // on the same _1 suffix (ambiguous under case-insensitive resolution).
+    // Renames are positional (toDF): withColumnRenamed itself resolves
+    // case-insensitively and would rename both variants at once.
+    val used = scala.collection.mutable.Set.empty[String]
+    used ++= leftLower
+    used ++= right.columns.map(_.toLowerCase)
+    val newNames = right.columns.map { c =>
+      if (leftLower.contains(c.toLowerCase) && !keyLower.contains(c.toLowerCase)) {
+        var n = 1
+        while (used.contains(s"${c}_$n".toLowerCase)) n += 1
+        val renamed = s"${c}_$n"
+        used += renamed.toLowerCase
+        renamed
+      } else c
     }
-    left.join(renamedRight, keys, joinType)
+    left.join(right.toDF(newNames.toIndexedSeq: _*), keys, joinType)
   }
 
   /** GroupBy with no aggregates = DISTINCT on listed keys

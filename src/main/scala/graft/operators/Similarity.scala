@@ -102,14 +102,18 @@ object Similarity {
     */
   def kmeansCentroids(corpus: DataFrame, vecCol: String, idCol: String,
                       nCentroids: Int, iters: Int = 5): Seq[org.apache.spark.sql.Row] = {
-    val unit = corpus.select(col(idCol).as("__id"),
-      VectorFunctions.l2Normalize(col(vecCol)).as("__v"))
+    // null embeddings carry no position information — excluded up front
+    // (they would NPE in the partial-sum kernel)
+    val unit = corpus.filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("__id"),
+        VectorFunctions.l2Normalize(col(vecCol)).as("__v"))
     // deterministic init: the nCentroids lowest-id vectors
     var prevRows: Seq[org.apache.spark.sql.Row] =
       unit.orderBy(col("__id").asc).limit(nCentroids)
         .select(row_number().over(Window.orderBy(col("__id"))).cast("long").as("centroid_id"),
           col("__v").as("__cvec"))
         .collect().toSeq
+    if (prevRows.isEmpty) return prevRows
     for (_ <- 1 to iters) {
       val assigned = unit.withColumn("centroid_id",
         nearestCentroidId(col("__v"), centroidArrayCol(prevRows)))
@@ -153,14 +157,20 @@ object Similarity {
               nCentroids: Int = 16, nProbes: Int = 2,
               kmeansIters: Int = 3): DataFrame = {
     val centroidRows = kmeansCentroids(corpus, vecCol, idCol, nCentroids, kmeansIters)
+    // empty corpus → no centroids: brute force degrades gracefully to the
+    // (empty) exact answer with the same output schema
+    if (centroidRows.isEmpty)
+      return bruteForceTopK(corpus, queries, vecCol, idCol, k)
     val centroids = centroidArrayCol(centroidRows)
     val corpusAssigned = corpus
+      .filter(col(vecCol).isNotNull)
       .select(col(idCol).as("corpus_id"),
         VectorFunctions.l2Normalize(col(vecCol)).as("__cv"))
       .withColumn("centroid_id", nearestCentroidId(col("__cv"), centroids))
     // top-nProbes centroids per query: sort the scored array descending
     // (reverse of ascending struct sort), take the head slice
     val queriesProbing = queries
+      .filter(col(vecCol).isNotNull)
       .select(col(idCol).as("query_id"),
         VectorFunctions.l2Normalize(col(vecCol)).as("__qv"))
       .withColumn("centroid_id", explode(

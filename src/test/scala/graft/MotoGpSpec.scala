@@ -105,6 +105,18 @@ class MotoGpSpec extends SparkSpec {
     assert(jerezIdRace.subsetOf(jerezRaces))
   }
 
+  test("json source: missing file and glob paths behave sanely") {
+    import graft.motogp.{MotoGpSchemas, MotoGpSources}
+    // missing file → empty frame with declared schema (doNotFailIfNoFile=Y)
+    val missing = MotoGpSources.json(spark, "/tmp/does-not-exist-xyz.json",
+      MotoGpSchemas.weather)
+    assert(missing.count() == 0 && missing.schema == MotoGpSchemas.weather)
+    // glob that matches → actually read, not treated as missing
+    val glob = MotoGpSources.json(spark,
+      "/root/reference/scraping/race_weather_*.json", MotoGpSchemas.weather)
+    assert(glob.count() == 313)
+  }
+
   test("disabled branch: unioned rider names dedup keep-first (head wins)") {
     val u = pipelines.riderNamesUnioned
     assert(u.columns.toSeq == Seq("rider_name", "victories", "2nd", "3rd"))

@@ -40,6 +40,15 @@ class OpsSpec extends SparkSpec {
     assert(out.columns.toSeq == Seq("k", "position", "Position_1"))
   }
 
+  test("suffixJoin: two case-variant right columns get distinct suffixes") {
+    val l = Seq((1, 10)).toDF("k", "position")
+    val r = Seq((1, 20, 30)).toDF("k", "position", "Position")
+    val out = Ops.suffixJoin(l, r, Seq("k"))
+    // no pair of output names may collide case-insensitively
+    val lower = out.columns.map(_.toLowerCase)
+    assert(lower.distinct.length == lower.length, out.columns.mkString(","))
+  }
+
   test("distinctRows = group-by-with-no-aggregates") {
     val df = Seq(("a", 1), ("a", 1), ("b", 2)).toDF("k", "v")
     assert(Ops.distinctRows(df, Seq("k", "v")).count() == 2)

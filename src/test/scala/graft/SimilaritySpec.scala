@@ -52,6 +52,18 @@ class SimilaritySpec extends SparkSpec {
     assert(out.nonEmpty && out.forall(_ % 2 == 0), s"crossed clusters: $out")
   }
 
+  test("ivfTopK: empty corpus and null vectors degrade gracefully") {
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      corpus.schema)
+    assert(Similarity.ivfTopK(empty, corpus, "embedding", "vec_id", k = 2).count() == 0)
+    val withNull = corpus.unionByName(
+      Seq((99L, null.asInstanceOf[Array[Float]])).toDF("vec_id", "embedding"))
+    val out = Similarity.ivfTopK(withNull, withNull.filter(col("vec_id") === 1L),
+      "embedding", "vec_id", k = 2, nCentroids = 2, nProbes = 2)
+    assert(out.count() > 0) // null row excluded, no NPE
+  }
+
   test("vector functions: dot / norm / cosine / normalize") {
     val df = Seq((Array(3.0f, 4.0f), Array(3.0f, 4.0f))).toDF("a", "b")
     val row = df.select(
