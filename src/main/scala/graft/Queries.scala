@@ -695,6 +695,58 @@ object Queries {
            |       round(sum(value), 4) AS sum_value
            |FROM numbered GROUP BY 1, 2""".stripMargin))
 
+  /** ROLLUP subtotals (beyond the reference's flat group-bys): per
+    * (flag, status), per flag, and grand total in one pass. */
+  private val qRollup = Q("q_rollup",
+    (s, dir) => t(s, dir, "lineitem")
+      .rollup(col("l_returnflag").as("flag"), col("l_linestatus").as("status"))
+      .agg(count(lit(1)).cast("bigint").as("n"),
+        round(sum("l_quantity"), 4).as("sum_qty")),
+    Some("""SELECT l_returnflag AS flag, l_linestatus AS status,
+           |       CAST(count(*) AS BIGINT) AS n,
+           |       round(sum(l_quantity), 4) AS sum_qty
+           |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin))
+
+  /** Semi/anti joins: customers partitioned by order existence. */
+  private val qSemiAnti = Q("q_semi_anti",
+    (s, dir) => {
+      val c = t(s, dir, "customer").select(
+        col("c_custkey").cast("bigint").as("custkey"), col("c_name").as("cust_name"))
+      val o = t(s, dir, "orders")
+      val cond = col("custkey") === col("o_custkey")
+      Ops.unionAppend(
+        c.join(o, cond, "left_semi").withColumn("branch", lit("has_orders")),
+        c.join(o, cond, "left_anti").withColumn("branch", lit("no_orders")))
+    },
+    Some("""SELECT CAST(c_custkey AS BIGINT) AS custkey, c_name AS cust_name,
+           |       'has_orders' AS branch
+           |FROM customer WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+           |UNION ALL
+           |SELECT CAST(c_custkey AS BIGINT), c_name, 'no_orders'
+           |FROM customer WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin))
+
+  /** INTERSECT / EXCEPT (distinct set semantics, beyond the reference's
+    * single UNION ALL): customers active in both halves of the date
+    * range vs. only the early half. */
+  private val qSetOps = Q("q_set_ops",
+    (s, dir) => {
+      val o = t(s, dir, "orders")
+      val early = o.filter(year(col("o_orderdate")) < 1997)
+        .select(col("o_custkey").cast("bigint").as("custkey"))
+      val late = o.filter(year(col("o_orderdate")) >= 1997)
+        .select(col("o_custkey").cast("bigint").as("custkey"))
+      Ops.unionAppend(
+        early.intersect(late).withColumn("branch", lit("both")),
+        early.except(late).withColumn("branch", lit("early_only")))
+    },
+    Some("""WITH e AS (SELECT CAST(o_custkey AS BIGINT) AS custkey FROM orders
+           |           WHERE year(o_orderdate) < 1997),
+           |     l AS (SELECT CAST(o_custkey AS BIGINT) AS custkey FROM orders
+           |           WHERE year(o_orderdate) >= 1997)
+           |SELECT custkey, 'both' AS branch FROM (SELECT custkey FROM e INTERSECT SELECT custkey FROM l) x
+           |UNION ALL
+           |SELECT custkey, 'early_only' FROM (SELECT custkey FROM e EXCEPT SELECT custkey FROM l) y""".stripMargin))
+
   /** Every query, in a stable order. */
   val all: Seq[Q] = Seq(
     qSelect, qFilter, qFilterRouter,
@@ -705,5 +757,6 @@ object Queries {
     qDedupExact, qDedupMinhash, qDedupSimhash, qNgramJaccard,
     qEmbeddingNearDup, qAnnBrute, qAnnLsh, qAnnIvf,
     qTextStats, qFingerprint, qMultimodal,
-    qStarJoin, qAggFused, qTopkPerGroup, qCountDistinct, qSessionizeBatch)
+    qStarJoin, qAggFused, qTopkPerGroup, qCountDistinct, qSessionizeBatch,
+    qRollup, qSemiAnti, qSetOps)
 }
