@@ -400,18 +400,20 @@ object Queries {
       maxHamming = 3, bands = 4),
     None) // murmur3-based sketch: rows-only check
 
-  /** Exact n-gram Jaccard pairs, blocked by language, capped to a fixed
-    * doc subset so the quadratic stage stays bounded at every SF. */
+  /** Exact n-gram Jaccard pairs, blocked purely by language — the
+    * quadratic stage is bounded by the largest language block, which
+    * scales WITH the data (a fixed doc-id cap would make the bench
+    * number scale-insensitive). */
   private val qNgramJaccard = Q("q_ngram_jaccard",
     (s, dir) => Dedup.ngramJaccardPairs(
-      t(s, dir, "documents").filter(col("doc_id") < 300),
+      t(s, dir, "documents"),
       "text", "doc_id", "lang", n = 3)
       .filter(col("jaccard") >= 0.2)
       .select(col("id_a").cast("bigint").as("id_a"),
         col("id_b").cast("bigint").as("id_b"), col("jaccard")),
     Some("""WITH t AS (
            |  SELECT doc_id, lang, lower(trim(text)) AS s
-           |  FROM documents WHERE doc_id < 300
+           |  FROM documents
            |), sh AS (
            |  SELECT doc_id, lang,
            |         CASE WHEN len(s) <= 3 THEN [s]
@@ -426,9 +428,16 @@ object Queries {
            |WHERE round(CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
            |            / len(list_distinct(list_concat(a.g, b.g))), 6) >= 0.2""".stripMargin))
 
+  /** Threshold 0.4 is REACHABLE on this corpus (max pairwise cosine
+    * ≈ 0.5 on the synthetic embeddings — the old 0.9 cutoff returned 0
+    * rows at every SF, verifying nothing; 59 all-pair candidates clear
+    * 0.4 at sf0.01, of which 4-bit buckets catch a double-digit share).
+    * Near-dup SEMANTICS (planted duplicates, recall floor) are pinned in
+    * [[graft.DedupSpec]]; this query pins the bucketed plan shape on
+    * real data with a non-empty result. */
   private val qEmbeddingNearDup = Q("q_embedding_neardup",
     (s, dir) => Dedup.embeddingNearDup(t(s, dir, "embeddings"),
-      "embedding", "vec_id", threshold = 0.9, lshBits = 8)
+      "embedding", "vec_id", threshold = 0.4, lshBits = 4)
       .select(col("id_a").cast("bigint").as("id_a"),
         col("id_b").cast("bigint").as("id_b"), col("cosine")),
     None) // LSH-bucketed candidates: rows-only check (recall < 1 by design)

@@ -25,9 +25,18 @@ object VectorKernels {
     }
   }
 
+  /** Mismatched lengths are data corruption (mixed-dimension embeddings),
+    * not a truncation request — silently summing over min(len) would
+    * yield plausible wrong similarities. Fail loudly. */
+  private def checkSameDim(a: ArrayData, b: ArrayData, op: String): Unit =
+    if (a.numElements() != b.numElements()) throw new IllegalArgumentException(
+      s"$op: vector dimensions differ (${a.numElements()} vs ${b.numElements()}) — " +
+        "embeddings compared pairwise must share one dimension")
+
   def dot(a: ArrayData, b: ArrayData): Double = {
     checkNoNulls(a, "vector_dot"); checkNoNulls(b, "vector_dot")
-    val n = math.min(a.numElements(), b.numElements())
+    checkSameDim(a, b, "vector_dot")
+    val n = a.numElements()
     var acc = 0.0
     var i = 0
     while (i < n) { acc += a.getDouble(i) * b.getDouble(i); i += 1 }
@@ -37,7 +46,8 @@ object VectorKernels {
   /** cosine = dot/(||a||·||b||); defined as 0 when either norm is 0. */
   def cosine(a: ArrayData, b: ArrayData): Double = {
     checkNoNulls(a, "vector_cosine"); checkNoNulls(b, "vector_cosine")
-    val n = math.min(a.numElements(), b.numElements())
+    checkSameDim(a, b, "vector_cosine")
+    val n = a.numElements()
     var d = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {

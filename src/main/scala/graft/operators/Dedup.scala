@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.functions.{SimHash, TextFunctions, VectorFunctions}
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Observation}
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for training-data pipelines, each designed to
@@ -38,6 +38,19 @@ object Dedup {
     GraftBridge.column(MinHashes(GraftBridge.expression(shingleHashes), k))
   }
 
+  /** Bounded collect: the `limit` smallest values per group as a sorted
+    * array — `slice(array_sort(collect_list(x)), 1, limit)` semantics
+    * with the cap enforced inside the aggregation buffer (see
+    * [[org.apache.spark.sql.CollectSmallest]]); an unbounded
+    * `collect_list` on a mass-duplicated corpus can blow one executor's
+    * aggregation buffer before any post-hoc slice applies.
+    */
+  def collectSmallest(c: Column, limit: Int): Column = {
+    import org.apache.spark.sql.{CollectSmallest, GraftBridge}
+    GraftBridge.column(
+      CollectSmallest(GraftBridge.expression(c), limit).toAggregateExpression())
+  }
+
   /** MinHash + LSH candidate pairs with exact-Jaccard verification (over
     * 64-bit shingle hashes — equal to string-set Jaccard up to hash
     * collisions).
@@ -59,7 +72,8 @@ object Dedup {
     */
   def minhashLsh(df: DataFrame, textCol: String, idCol: String,
                  shingleSize: Int = 5, numHashes: Int = 16, bands: Int = 4,
-                 threshold: Double = 0.5): DataFrame = {
+                 threshold: Double = 0.5, maxBucket: Int = 4096,
+                 capObs: Option[Observation] = None): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
 
@@ -82,15 +96,20 @@ object Dedup {
     // and the signature pipeline is evaluated exactly once — a self-join
     // formulation would recompute it per side. maxBucket caps the
     // quadratic pair expansion of a pathologically hot bucket
-    // (mass-duplicated content); members beyond the cap are dropped from
-    // candidacy (bounded recall loss, logged nowhere silently — the cap
-    // is part of the operator contract).
-    val maxBucket = 4096
-    val candidates = banded
+    // (mass-duplicated content); the bound is enforced INSIDE the
+    // aggregation buffer (collectSmallest), so a hot bucket cannot OOM
+    // the executor either, and members dropped from candidacy are
+    // COUNTED — pass `capObs` to observe (dropped_members, capped
+    // buckets) instead of losing recall silently.
+    val buckets = banded
       .groupBy("__band", "__bandhash")
-      .agg(array_sort(collect_list(col("__id"))).as("__ids"))
-      .filter(size(col("__ids")) > 1)
-      .select(slice(col("__ids"), 1, maxBucket).as("__ids"))
+      .agg(collectSmallest(col("__id"), maxBucket).as("__ids"),
+        count(lit(1)).as("__n"))
+      .filter(col("__n") > 1)
+    val observed = capObs.fold(buckets)(o => buckets.observe(o,
+      sum(greatest(col("__n") - size(col("__ids")), lit(0L))).as("dropped_members"),
+      count(when(col("__n") > size(col("__ids")), 1)).as("capped_buckets")))
+    val candidates = observed
       .select(explode(flatten(transform(col("__ids"), (x, i) =>
         transform(slice(col("__ids"), i + 2, size(col("__ids"))),
           y => struct(x.as("id_a"), y.as("id_b")))))).as("__p"))
@@ -123,11 +142,11 @@ object Dedup {
     * quadratic pair stage, sketch computed exactly once per doc.
     */
   def simhashPairs(df: DataFrame, textCol: String, idCol: String,
-                   maxHamming: Int = 3, bands: Int = 4): DataFrame = {
+                   maxHamming: Int = 3, bands: Int = 4, maxBucket: Int = 4096,
+                   capObs: Option[Observation] = None): DataFrame = {
     require(bands >= 2 && bands <= 32 && 64 % bands == 0,
       s"bands must divide 64 and be in [2, 32], got $bands")
     val chunk = 64 / bands
-    val maxBucket = 4096
     val sketched = df.select(
       col(idCol).as("__id"),
       SimHash.simhashText(col(textCol)).as("__sh"))
@@ -138,11 +157,16 @@ object Dedup {
         shiftright(col("__sh"), b * chunk).bitwiseAND(lit((1L << chunk) - 1))
       }: _*)).as(Seq("__band", "__bandkey")))
 
-    banded
+    // same bounded-buffer cap + observable drop count as minhashLsh
+    val buckets = banded
       .groupBy("__band", "__bandkey")
-      .agg(array_sort(collect_list(col("__m"))).as("__ms"))
-      .filter(size(col("__ms")) > 1)
-      .select(slice(col("__ms"), 1, maxBucket).as("__ms"))
+      .agg(collectSmallest(col("__m"), maxBucket).as("__ms"),
+        count(lit(1)).as("__n"))
+      .filter(col("__n") > 1)
+    val observed = capObs.fold(buckets)(o => buckets.observe(o,
+      sum(greatest(col("__n") - size(col("__ms")), lit(0L))).as("dropped_members"),
+      count(when(col("__n") > size(col("__ms")), 1)).as("capped_buckets")))
+    observed
       .select(explode(flatten(transform(col("__ms"), (x, i) =>
         transform(slice(col("__ms"), i + 2, size(col("__ms"))),
           y => struct(x.getField("id").as("id_a"), y.getField("id").as("id_b"),

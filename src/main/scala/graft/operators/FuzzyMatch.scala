@@ -2,7 +2,6 @@ package graft.operators
 
 import graft.functions.JaroWinkler.jaro_winkler
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Similarity best-match join — the reference's `FuzzyMatch` step
@@ -13,8 +12,17 @@ import org.apache.spark.sql.functions._
   *
   * Spark plan: broadcast the (small, dimension-sized) lookup side,
   * cross-join, score with the codegen'd
-  * [[org.apache.spark.sql.JaroWinklerSimilarity]] expression, argmax per
-  * main row via `row_number` over (score desc, lookup load order asc).
+  * [[org.apache.spark.sql.JaroWinklerSimilarity]] expression, then pick
+  * the winner per main row with a `max_by` AGGREGATION keyed on
+  * `struct(score, -lookupOrder)` — max score wins, ties fall to the
+  * lowest load order, exactly Kettle's first-wins rule. The aggregation
+  * (not a `row_number` window) is the load-bearing choice at scale:
+  * partial (map-side) aggregation collapses each task's |lookup|
+  * candidates down to ONE row per main row before any exchange, so the
+  * shuffle moves |main| rows — a window formulation would exchange the
+  * whole |main| × |lookup| cross product to rank it (for the reference's
+  * FM2 join against 313 races, a 313× amplification of the stream).
+  *
   * The cross-join is BroadcastNestedLoopJoin — embarrassingly parallel
   * over the main side, so it scales linearly with main-side partitions;
   * the lookup side must be broadcast-sized (dimension tables), which
@@ -39,16 +47,36 @@ object FuzzyMatch {
         appendCols.distinct.map(c => col(c).as(s"__lk_$c")): _*)
   }
 
-  private def finish(scored: DataFrame, w: org.apache.spark.sql.expressions.WindowSpec,
-                     mainCols: Seq[String], appendCols: Seq[String],
-                     matchCol: String, scoreCol: String): DataFrame = {
+  /** Score the broadcast cross product, then collapse to one winner per
+    * `keyCol` group with max_by. The payload struct carries every output
+    * column through the aggregation; `keyCol` itself need not be in it.
+    * Tie-break ordering: (score asc-for-max, negated load order) — the
+    * struct comparison is field-by-field, so the max is (highest score,
+    * lowest load order). A null score (null main field) sorts below every
+    * real score, matching the previous window's DESC-nulls-last order.
+    */
+  private def bestByKey(withKey: DataFrame, keyCol: String, mainField: String,
+                        mainCols: Seq[String],
+                        lookup: DataFrame, lookupField: String,
+                        appendCols: Seq[String],
+                        matchCol: String, scoreCol: String): DataFrame = {
     val keep = appendCols.distinct.filterNot(mainCols.contains)
-    scored
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .select(mainCols.map(col) ++
-        keep.map(c => col(s"__lk_$c").as(c)) ++
-        Seq(col("__lk_key").as(matchCol), col("__sim").as(scoreCol)): _*)
+    val scored = withKey
+      .crossJoin(broadcast(prepared(lookup, lookupField, appendCols)))
+      .withColumn("__sim", jaro_winkler(lower(col(mainField)), lower(col("__lk_key"))))
+    val payload = struct(
+      mainCols.map(col) ++
+        keep.map(c => col(s"__lk_$c")) ++
+        Seq(col("__lk_key"), col("__sim")): _*)
+    val best = scored
+      .groupBy(col(keyCol))
+      .agg(max_by(payload,
+        struct(col("__sim").as("s"), (lit(0L) - col("__lk_order")).as("neg_order")))
+        .as("__best"))
+    best.select(mainCols.map(c => col("__best").getField(c).as(c)) ++
+      keep.map(c => col("__best").getField(s"__lk_$c").as(c)) ++
+      Seq(col("__best").getField("__lk_key").as(matchCol),
+        col("__best").getField("__sim").as(scoreCol)): _*)
   }
 
   /** @param main       large stream
@@ -66,33 +94,21 @@ object FuzzyMatch {
                 matchCol: String = "match_value",
                 scoreCol: String = "match_score"): DataFrame = {
     // a synthetic per-row id keeps duplicate main rows distinct (Kettle
-    // emits one output per input row); partitioning the argmax by the
-    // main columns would collapse duplicates to a single output
-    val mainCols = main.columns.toSeq
+    // emits one output per input row); grouping the argmax by the main
+    // columns would collapse duplicates to a single output
     val withId = main.withColumn("__main_row", monotonically_increasing_id())
-    val scored = withId
-      .crossJoin(broadcast(prepared(lookup, lookupField, appendCols)))
-      .withColumn("__sim", jaro_winkler(lower(col(mainField)), lower(col("__lk_key"))))
-    val w = Window.partitionBy(col("__main_row"))
-      .orderBy(col("__sim").desc, col("__lk_order").asc)
-    finish(scored, w, mainCols, appendCols, matchCol, scoreCol)
+    bestByKey(withId, "__main_row", mainField, main.columns.toSeq,
+      lookup, lookupField, appendCols, matchCol, scoreCol)
   }
 
-  /** Variant keyed by an explicit unique id on the main side — avoids
-    * partitioning the argmax window by every main column (cheaper and
-    * null-safe when main rows are not unique).
+  /** Variant keyed by an explicit unique id on the main side — no
+    * synthetic id column needed when main rows already carry one.
     */
   def bestMatchById(main: DataFrame, mainId: String, mainField: String,
                     lookup: DataFrame, lookupField: String,
                     appendCols: Seq[String],
                     matchCol: String = "match_value",
-                    scoreCol: String = "match_score"): DataFrame = {
-    val mainCols = main.columns.toSeq
-    val scored = main
-      .crossJoin(broadcast(prepared(lookup, lookupField, appendCols)))
-      .withColumn("__sim", jaro_winkler(lower(col(mainField)), lower(col("__lk_key"))))
-    val w = Window.partitionBy(col(mainId))
-      .orderBy(col("__sim").desc, col("__lk_order").asc)
-    finish(scored, w, mainCols, appendCols, matchCol, scoreCol)
-  }
+                    scoreCol: String = "match_score"): DataFrame =
+    bestByKey(main, mainId, mainField, main.columns.toSeq,
+      lookup, lookupField, appendCols, matchCol, scoreCol)
 }

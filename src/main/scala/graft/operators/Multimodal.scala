@@ -98,13 +98,15 @@ object Multimodal {
     require(frameBytes > 0 && stride > 0)
     val spark = df.sparkSession
     val schema = StructType(Seq(
-      StructField("media_id", LongType, nullable = false),
+      StructField("media_id", LongType, nullable = true),
       StructField("frame_no", IntegerType, nullable = false),
       StructField("frame", BinaryType)))
     val input = df.select(
       col(idCol).cast("bigint").as("media_id"), col(blobCol).as("blob"))
     val rdd = input.rdd.flatMap { r =>
-      val id = r.getLong(0)
+      // a null id must not kill the task (same contract as featurize):
+      // frames pass through with a null media_id
+      val id: Any = if (r.isNullAt(0)) null else r.getLong(0)
       val blob = r.getAs[Array[Byte]](1)
       if (blob == null) Iterator.empty
       else blob.grouped(frameBytes).zipWithIndex.collect {

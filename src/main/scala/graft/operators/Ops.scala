@@ -128,11 +128,16 @@ object Ops {
     require(Set("inner", "cross", "left", "leftouter", "leftsemi", "leftanti")
         .contains(joinType.toLowerCase.replace("_", "")),
       s"saltedJoin supports inner/left-side join types, not $joinType")
-    val salted = left.withColumn("__salt",
+    // the salt column must not clobber (or ambiguously resolve against) a
+    // pre-existing column on either side — resolution is case-insensitive
+    val taken = (left.columns ++ right.columns).map(_.toLowerCase).toSet
+    var saltCol = "__salt"
+    while (taken.contains(saltCol.toLowerCase)) saltCol += "_"
+    val salted = left.withColumn(saltCol,
       pmod(xxhash64(struct(left.columns.map(col): _*)), lit(buckets)).cast("int"))
-    val exploded = right.withColumn("__salt",
+    val exploded = right.withColumn(saltCol,
       explode(array((0 until buckets).map(lit): _*)))
-    salted.join(exploded, keys :+ "__salt", joinType).drop("__salt")
+    salted.join(exploded, keys :+ saltCol, joinType).drop(saltCol)
   }
 
   /** Append streams = UNION ALL by name (reference motogp.ktr:1379). */

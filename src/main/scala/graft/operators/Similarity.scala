@@ -25,23 +25,45 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Exact top-k by cosine. Queries are broadcast; the big corpus side
-    * never shuffles — the only wide op is the per-query top-k window over
-    * |queries| * k candidate rows.
+  /** Two-phase per-query top-k over scored candidate rows
+    * (`query_id`, `corpus_id`, `cosine`).
+    *
+    * Phase 1 prunes candidates to k per (query, INPUT partition): the
+    * exchange hashes on (query_id, partition id) — |queries| × |input
+    * partitions| reducer keys — and each group keeps ≤ k rows. Phase 2's
+    * global per-query window then ranks at most |partitions| × k rows
+    * per query. A single-phase window funnels EVERY candidate row into
+    * |queries| reducer partitions — a straggler/OOM shape when the
+    * corpus grows 100×. Pruning partition-local top-k can never change
+    * the answer: a global top-k row is by definition in the top-k of
+    * whichever partition scored it.
     */
-  def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
-                     vecCol: String, idCol: String, k: Int): DataFrame = {
-    val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("__cv"))
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
-    c.crossJoin(broadcast(q))
-      .filter(col("query_id") =!= col("corpus_id"))
-      .withColumn("cosine",
-        round(VectorFunctions.cosineSimilarity(col("__qv"), col("__cv")), 6))
+  private def topKPerQuery(scored: DataFrame, k: Int): DataFrame =
+    scored
+      .withColumn("__pid", spark_partition_id())
+      .withColumn("__lrn", row_number().over(
+        Window.partitionBy(col("query_id"), col("__pid"))
+          .orderBy(col("cosine").desc, col("corpus_id").asc)))
+      .filter(col("__lrn") <= k)
       .withColumn("__rn", row_number().over(
         Window.partitionBy(col("query_id"))
           .orderBy(col("cosine").desc, col("corpus_id").asc)))
       .filter(col("__rn") <= k)
       .select(col("query_id"), col("corpus_id"), col("cosine"), col("__rn").as("rank"))
+
+  /** Exact top-k by cosine. Queries are broadcast; the big corpus side
+    * never shuffles to score — only pruned top-k candidates reach the
+    * ranking exchanges (see [[topKPerQuery]]).
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
+                     vecCol: String, idCol: String, k: Int): DataFrame = {
+    val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("__cv"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("corpus_id"))
+      .withColumn("cosine",
+        round(VectorFunctions.cosineSimilarity(col("__qv"), col("__cv")), 6))
+    topKPerQuery(scored, k)
   }
 
   /** LSH-bucketed ANN: candidates = corpus vectors sharing the query's
@@ -64,15 +86,11 @@ object Similarity {
       else q0.withColumn("__bkt", explode(array(
         col("__qbkt") +: (0 until nBits).map(b =>
           col("__qbkt").bitwiseXOR(lit(1L << b))): _*)))
-    c.join(q.drop("__qbkt"), Seq("__bkt"))
+    val scored = c.join(q.drop("__qbkt"), Seq("__bkt"))
       .filter(col("query_id") =!= col("corpus_id"))
       .withColumn("cosine",
         round(VectorFunctions.cosineSimilarity(col("__qv"), col("__cv")), 6))
-      .withColumn("__rn", row_number().over(
-        Window.partitionBy(col("query_id"))
-          .orderBy(col("cosine").desc, col("corpus_id").asc)))
-      .filter(col("__rn") <= k)
-      .select(col("query_id"), col("corpus_id"), col("cosine"), col("__rn").as("rank"))
+    topKPerQuery(scored, k)
   }
 
   /** Centroids as one literal array-of-structs column — assignment then
@@ -107,6 +125,16 @@ object Similarity {
     val unit = corpus.filter(col(vecCol).isNotNull)
       .select(col(idCol).as("__id"),
         VectorFunctions.l2Normalize(col(vecCol)).as("__v"))
+    // the init collect plus every Lloyd iteration reads `unit`; without a
+    // persist that is iters+1 full corpus scans + normalizations
+    unit.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      kmeansLoop(unit, nCentroids, iters)
+    } finally unit.unpersist(blocking = false)
+  }
+
+  private def kmeansLoop(unit: DataFrame, nCentroids: Int,
+                         iters: Int): Seq[org.apache.spark.sql.Row] = {
     // deterministic init: the nCentroids lowest-id vectors
     var prevRows: Seq[org.apache.spark.sql.Row] =
       unit.orderBy(col("__id").asc).limit(nCentroids)
@@ -176,14 +204,10 @@ object Similarity {
       .withColumn("centroid_id", explode(
         transform(slice(reverse(array_sort(scoredCentroids(col("__qv"), centroids))),
           1, nProbes), s => lit(0L) - s.getField("negid"))))
-    corpusAssigned.join(queriesProbing, Seq("centroid_id"))
+    val scored = corpusAssigned.join(queriesProbing, Seq("centroid_id"))
       .filter(col("query_id") =!= col("corpus_id"))
       // unit vectors: cosine = dot
       .withColumn("cosine", round(VectorFunctions.dot(col("__qv"), col("__cv")), 6))
-      .withColumn("__rn", row_number().over(
-        Window.partitionBy(col("query_id"))
-          .orderBy(col("cosine").desc, col("corpus_id").asc)))
-      .filter(col("__rn") <= k)
-      .select(col("query_id"), col("corpus_id"), col("cosine"), col("__rn").as("rank"))
+    topKPerQuery(scored, k)
   }
 }

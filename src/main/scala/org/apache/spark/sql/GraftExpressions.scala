@@ -1,8 +1,11 @@
 package org.apache.spark.sql
 
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData, TypeUtils}
 import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType, LongType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -226,6 +229,83 @@ case class VectorL2Normalize(child: Expression)
     defineCodeGen(ctx, ev, c => s"graft.functions.VectorKernels.l2Normalize($c)")
 
   override protected def withNewChildInternal(newChild: Expression): VectorL2Normalize =
+    copy(child = newChild)
+}
+
+/** Bounded collect: the `limit` SMALLEST non-null child values per group
+  * (by the type's natural ordering), emitted as a sorted-ascending array —
+  * exactly `slice(array_sort(collect_list(x)), 1, limit)`, but with the
+  * bound enforced INSIDE the aggregation buffer. `collect_list` holds
+  * every member of a group in memory before any cap can apply, so one
+  * pathologically hot group (mass-duplicated content in an LSH bucket)
+  * can OOM an executor; this buffer never exceeds `limit` elements, in
+  * the partial (map-side) aggregation as well as the final one.
+  *
+  * The buffer is a size-capped max-heap: the largest kept value is O(1)
+  * to inspect, so each update is O(log limit) and merge is
+  * O(m log limit).
+  */
+case class CollectSmallest(
+    child: Expression,
+    limit: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[scala.collection.mutable.PriorityQueue[Any]]
+    with UnaryLike[Expression] {
+  require(limit >= 1, s"limit must be >= 1, got $limit")
+
+  // max-heap ordering over the child's type (struct members compare
+  // field-by-field — the same ordering array_sort uses)
+  private lazy val ord: Ordering[Any] = TypeUtils.getInterpretedOrdering(child.dataType)
+
+  override def createAggregationBuffer(): scala.collection.mutable.PriorityQueue[Any] =
+    scala.collection.mutable.PriorityQueue.empty[Any](ord)
+
+  private def offer(buf: scala.collection.mutable.PriorityQueue[Any], v: Any): Unit =
+    if (buf.size < limit) buf += v
+    else if (ord.lt(v, buf.head)) { buf.dequeue(); buf += v }
+
+  override def update(buf: scala.collection.mutable.PriorityQueue[Any],
+                      input: InternalRow): scala.collection.mutable.PriorityQueue[Any] = {
+    val v = child.eval(input)
+    // values are buffered across rows — copy out of the reused input row
+    if (v != null) offer(buf, InternalRow.copyValue(v))
+    buf
+  }
+
+  override def merge(buf: scala.collection.mutable.PriorityQueue[Any],
+                     other: scala.collection.mutable.PriorityQueue[Any])
+      : scala.collection.mutable.PriorityQueue[Any] = {
+    other.foreach(offer(buf, _))
+    buf
+  }
+
+  override def eval(buf: scala.collection.mutable.PriorityQueue[Any]): Any =
+    new GenericArrayData(buf.toArray.sorted(ord))
+
+  private lazy val serProjection = UnsafeProjection.create(
+    Array[DataType](ArrayType(child.dataType, containsNull = false)))
+
+  override def serialize(buf: scala.collection.mutable.PriorityQueue[Any]): Array[Byte] =
+    serProjection(InternalRow(new GenericArrayData(buf.toArray))).getBytes
+
+  override def deserialize(bytes: Array[Byte]): scala.collection.mutable.PriorityQueue[Any] = {
+    val buf = createAggregationBuffer()
+    val row = new UnsafeRow(1)
+    row.pointTo(bytes, bytes.length)
+    row.getArray(0).foreach(child.dataType, (_, v) => offer(buf, InternalRow.copyValue(v)))
+    buf
+  }
+
+  override def dataType: DataType = ArrayType(child.dataType, containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "collect_smallest"
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): CollectSmallest =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): CollectSmallest =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): CollectSmallest =
     copy(child = newChild)
 }
 

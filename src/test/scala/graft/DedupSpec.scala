@@ -57,4 +57,83 @@ class DedupSpec extends SparkSpec {
     assert(pairs.contains((1L, 2L)))
     assert(!pairs.exists { case (a, b) => b == 4L || a == 4L })
   }
+
+  test("bucket cap is enforced inside the aggregation buffer; drops are counted") {
+    import org.apache.spark.sql.Observation
+    // 10 byte-identical docs: every band has ONE bucket holding all 10
+    val dup = (1L to 10L).map((_, "same mass duplicated content everywhere"))
+      .toDF("doc_id", "text")
+    val obs = Observation()
+    val pairs = Dedup.minhashLsh(dup, "text", "doc_id",
+        shingleSize = 4, numHashes = 16, bands = 4, threshold = 0.5,
+        maxBucket = 4, capObs = Some(obs))
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // the cap keeps the 4 SMALLEST ids per bucket — pairs only among 1..4
+    val expected = (for { a <- 1L to 4L; b <- (a + 1) to 4L } yield (a, b)).toSet
+    assert(pairs == expected, s"got $pairs")
+    val m = obs.get
+    // 4 band-buckets of 10 members each, 6 dropped per bucket
+    assert(m("dropped_members") == 24L, m)
+    assert(m("capped_buckets") == 4L, m)
+  }
+
+  test("simhash bucket cap: bounded buffer, capped output, counted drops") {
+    import org.apache.spark.sql.Observation
+    val dup = (1L to 8L).map((_, "identical text for simhash capping test"))
+      .toDF("doc_id", "text")
+    val obs = Observation()
+    val pairs = Dedup.simhashPairs(dup, "text", "doc_id",
+        maxHamming = 3, bands = 4, maxBucket = 3, capObs = Some(obs))
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val expected = (for { a <- 1L to 3L; b <- (a + 1) to 3L } yield (a, b)).toSet
+    assert(pairs == expected, s"got $pairs")
+    val m = obs.get
+    assert(m("dropped_members") == 20L, m) // 4 buckets × (8 - 3)
+    assert(m("capped_buckets") == 4L, m)
+  }
+
+  test("embedding near-dup recovers planted near-duplicates (recall floor)") {
+    // 40 random base vectors, each with a planted noisy copy at
+    // cosine ≈ 0.999 — the exact near-dup set is the 40 planted pairs
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 40).flatMap { i =>
+      val base = Array.fill(16)(rnd.nextGaussian().toFloat)
+      val noisy = base.map(x => x + 0.01f * rnd.nextGaussian().toFloat)
+      Seq((i.toLong, base), (i + 1000L, noisy))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingNearDup(df, "embedding", "vec_id",
+        threshold = 0.98, lshBits = 8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val planted = (0 until 40).map(i => (i.toLong, i + 1000L)).toSet
+    val recall = planted.count(pairs.contains).toDouble / planted.size
+    assert(recall >= 0.9, s"recall $recall, found ${pairs.size}")
+    // precision 1.0: random 16-dim pairs never reach cosine 0.98
+    assert(pairs.subsetOf(planted), s"false positives: ${pairs diff planted}")
+  }
+
+  test("minhash LSH recall vs exact Jaccard ground truth (floor pinned)") {
+    // 12 base sentences, each with a lightly-edited twin — the exact
+    // pair set is computed by the exact blocked-Jaccard operator over
+    // the SAME shingle space, so lsh ⊆ exact must hold exactly and
+    // recall is measurable, not guessed
+    val bases = (0 until 12).map { i =>
+      s"document number $i talks about topic $i with several shared words " +
+        s"and some filler content to shingle over for test $i"
+    }
+    val docs = bases.zipWithIndex.flatMap { case (b, i) =>
+      Seq((i.toLong, b), (i + 100L, b.replace("several", "many")))
+    }.toDF("doc_id", "text")
+    val exact = Dedup.ngramJaccardPairs(
+        docs.withColumn("blk", lit(1)), "text", "doc_id", "blk", n = 5)
+      .filter(col("jaccard") >= 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val lsh = Dedup.minhashLsh(docs, "text", "doc_id",
+        shingleSize = 5, numHashes = 16, bands = 8, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(exact.size >= 12, s"ground truth too small: $exact")
+    assert(lsh.subsetOf(exact), s"verification must make lsh ⊆ exact: ${lsh diff exact}")
+    val recall = exact.count(lsh.contains).toDouble / exact.size
+    assert(recall >= 0.8, s"recall $recall (${lsh.size}/${exact.size})")
+  }
 }

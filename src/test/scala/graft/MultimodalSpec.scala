@@ -39,4 +39,12 @@ class MultimodalSpec extends SparkSpec {
     // 300 bytes -> chunks 0..4, strided -> 0, 2, 4
     assert(frames == Seq(0, 2, 4))
   }
+
+  test("sampleFrames: a null media id passes through instead of killing the task") {
+    val media = Seq((Some(1L), "abcdefgh"), (None, "ijklmnop")).toDF("id", "txt")
+      .withColumn("blob", encode(col("txt"), "UTF-8"))
+    val out = Multimodal.sampleFrames(media, "id", "blob", frameBytes = 4, stride = 1)
+    assert(out.count() == 4) // two 4-byte frames per blob
+    assert(out.filter(col("media_id").isNull).count() == 2)
+  }
 }

@@ -55,6 +55,21 @@ class NullEdgeSpec extends SparkSpec {
     assert(out == Map(1L -> 7L, 2L -> 0L))
   }
 
+  test("vector ops: mismatched dimensions fail loudly, never truncate") {
+    val df = Seq((Array(1.0f, 2.0f), Array(1.0f, 2.0f, 3.0f))).toDF("a", "b")
+    def chain(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(x => String.valueOf(x.getMessage)).toSeq
+    for (f <- Seq(
+        graft.functions.VectorFunctions.cosineSimilarity _,
+        graft.functions.VectorFunctions.dot _)) {
+      val e = intercept[Throwable] {
+        df.select(f(col("a"), col("b"))).collect()
+      }
+      assert(chain(e).exists(_.contains("dimensions differ")), chain(e).mkString(" | "))
+    }
+  }
+
   test("vector ops: empty and zero vectors are defined") {
     val df = Seq(
       (1L, Array.empty[Float]),

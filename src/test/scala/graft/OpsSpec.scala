@@ -92,6 +92,15 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("saltedJoin preserves a pre-existing __salt column instead of clobbering it") {
+    val left = Seq((1, 10), (2, 20)).toDF("k", "__salt")
+    val right = Seq((1, "x"), (2, "y")).toDF("k", "w")
+    val out = Ops.saltedJoin(left, right, Seq("k"), buckets = 4)
+    assert(out.columns.toSeq == Seq("k", "__salt", "w"))
+    assert(out.as[(Int, Int, String)].collect().toSet ==
+      Set((1, 10, "x"), (2, 20, "y")))
+  }
+
   test("unionAppend + dedupKeepFirst keeps first by declared order") {
     val a = Seq(("k1", 2, "second"), ("k1", 1, "first")).toDF("k", "ord", "tag")
     val b = Seq(("k2", 1, "only")).toDF("k", "ord", "tag")

@@ -45,6 +45,20 @@ class PlanSpec extends SparkSpec {
     assert(plan("q_fuzzy_match").contains("BroadcastNestedLoopJoin"))
   }
 
+  test("q_fuzzy_match: argmax is a partial aggregation, not a window on the cross product") {
+    val p = plan("q_fuzzy_match")
+    // a Window here would exchange the whole |main| × |lookup| product;
+    // max_by must collapse to |main| rows map-side before the shuffle
+    assert(!p.contains("Window"), p)
+    assert("Aggregate".r.findAllIn(p).size >= 2, p) // partial + final
+  }
+
+  test("q_ann_brute: two-phase top-k (partition-local prune before the global window)") {
+    val p = plan("q_ann_brute")
+    assert("Window \\[".r.findAllIn(p).size >= 2, p)
+    assert(p.toLowerCase.contains("spark_partition_id"), p)
+  }
+
   test("q_agg_fused: single aggregate pass, no join") {
     val p = plan("q_agg_fused")
     assert(!p.contains("Join"), p)
