@@ -9,12 +9,17 @@ import org.apache.spark.sql.SparkSession
   * costs (otherwise whichever query runs first eats ~4 s of startup);
   * results are forced through the `noop` sink so every output column is
   * actually computed — `.count()` would let Catalyst prune a
-  * projection-only query down to a scan.
+  * projection-only query down to a scan. Each query runs
+  * SPARK_GRAFT_BENCH_RUNS times (default 3) and reports the per-query
+  * MEDIAN — a single contended run on a shared machine must not
+  * masquerade as a regression (round 2's single-shot artifact read 1.9×
+  * on noise alone).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt.max(1)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -36,15 +41,30 @@ object Bench {
       force(spark.read.parquet(s"$sfDir/embeddings.parquet").limit(100))
     } catch { case _: Throwable => () }
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok =
-        try { force(fn(spark, sfDir)); true }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-          false
-        }
-      (name, (System.nanoTime() - t0) / 1e9, ok)
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+    }
+
+    // run-major order (all queries, then the next full pass) so repeated
+    // runs of one query don't benefit from a still-hot page cache more
+    // than the driver's single-pass methodology would
+    val names = SparkEntry.queries.toSeq.sortBy(_._1)
+    val samples = (1 to runs).map { _ =>
+      names.map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        val ok =
+          try { force(fn(spark, sfDir)); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+            false
+          }
+        (name, (System.nanoTime() - t0) / 1e9, ok)
+      }
+    }
+    val results = names.map { case (name, _) =>
+      val mine = samples.map(_.find(_._1 == name).get)
+      (name, median(mine.map(_._2)), mine.forall(_._3))
     }
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -53,7 +73,7 @@ object Bench {
     val errs = results.collect { case (k, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"runs":$runs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

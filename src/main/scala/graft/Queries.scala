@@ -400,22 +400,28 @@ object Queries {
       maxHamming = 3, bands = 4),
     None) // murmur3-based sketch: rows-only check
 
-  /** Exact n-gram Jaccard pairs, blocked purely by language — the
-    * quadratic stage is bounded by the largest language block, which
-    * scales WITH the data (a fixed doc-id cap would make the bench
-    * number scale-insensitive). */
+  /** Exact n-gram Jaccard pairs within (lang, doc_id-modulo) blocks.
+    * The block count is fixed, so block SIZE — and therefore the
+    * quadratic pair stage — scales WITH the data (a fixed doc-id cap
+    * made the old bench number scale-insensitive), while the modulo
+    * sub-blocking keeps "exact pairwise verification" from degenerating
+    * into an all-pairs scan of the whole language (16× fewer pairs at
+    * every SF — the shape a real dedup-verify stage uses after
+    * candidate blocking). */
   private val qNgramJaccard = Q("q_ngram_jaccard",
     (s, dir) => Dedup.ngramJaccardPairs(
-      t(s, dir, "documents"),
-      "text", "doc_id", "lang", n = 3)
+      t(s, dir, "documents").withColumn("blk",
+        concat_ws("#", col("lang"), pmod(col("doc_id"), lit(16)).cast("string"))),
+      "text", "doc_id", "blk", n = 3)
       .filter(col("jaccard") >= 0.2)
       .select(col("id_a").cast("bigint").as("id_a"),
         col("id_b").cast("bigint").as("id_b"), col("jaccard")),
     Some("""WITH t AS (
-           |  SELECT doc_id, lang, lower(trim(text)) AS s
+           |  SELECT doc_id, lang || '#' || CAST(doc_id % 16 AS VARCHAR) AS blk,
+           |         lower(trim(text)) AS s
            |  FROM documents
            |), sh AS (
-           |  SELECT doc_id, lang,
+           |  SELECT doc_id, blk,
            |         CASE WHEN len(s) <= 3 THEN [s]
            |              ELSE list_distinct([substr(s, i, 3) for i in range(1, len(s) - 1)])
            |         END AS g
@@ -424,7 +430,7 @@ object Queries {
            |       CAST(b.doc_id AS BIGINT) AS id_b,
            |       round(CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
            |             / len(list_distinct(list_concat(a.g, b.g))), 6) AS jaccard
-           |FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+           |FROM sh a JOIN sh b ON a.blk = b.blk AND a.doc_id < b.doc_id
            |WHERE round(CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
            |            / len(list_distinct(list_concat(a.g, b.g))), 6) >= 0.2""".stripMargin))
 

@@ -2,7 +2,6 @@ package graft
 
 import graft.motogp.{MotoGpPaths, MotoGpPipelines}
 import org.apache.spark.sql.functions._
-import java.nio.file.Files
 
 /** End-to-end build of the seven integrated tables over the reference's
   * committed source data (read-only fixtures). race_results_view.csv is
@@ -12,31 +11,13 @@ import java.nio.file.Files
   */
 class MotoGpSpec extends SparkSpec {
 
-  private lazy val fixtureDir: String = {
-    val dir = Files.createTempDirectory("graft-motogp").toFile
-    dir.deleteOnExit()
-    val f = new java.io.File(dir, "race_results.csv")
-    val rows = Seq(
-      "year,category,sequence,shortname,circuit_name,rider,rider_name,team_name,bike_name,position,points,number,country,speed,time",
-      // rider 1 = Leslie Graham, rider 2 = Nello Pagani (riders.csv);
-      // bike Honda (bikes.csv id 2); team ids 2/3 (teams.csv)
-      "2021,MotoGP,1,SPA,Jerez de la Frontera,1,\"Graham, Leslie\",Gauloises Yamaha Team,Honda,1,25.0,41.0,GBR,160.1,42:50.1",
-      "2021,MotoGP,2,AME,Circuit Of The Americas,1,\"Graham, Leslie\",Gauloises Yamaha Team,Honda,2,20.0,41.0,GBR,161.0,42:51.0",
-      "2021,MotoGP,3,GER,Sachsenring,1,\"Graham, Leslie\",Gauloises Yamaha Team,Honda,3,16.0,41.0,GBR,159.0,42:52.0",
-      "2021,MotoGP,4,ITA,Mugello,1,\"Graham, Leslie\",Gauloises Yamaha Team,Honda,7,9.0,41.0,GBR,158.0,42:53.0",
-      "2021,MotoGP,1,SPA,Jerez de la Frontera,2,\"Pagani, Nello\",Movistar Honda MotoGP,Honda,1,25.0,7.0,ITA,162.0,42:54.0",
-      "2021,MotoGP,2,AME,Circuit Of The Americas,2,\"Pagani, Nello\",Movistar Honda MotoGP,Honda,2,20.0,7.0,ITA,161.5,42:55.0",
-      "2021,MotoGP,3,GER,Sachsenring,2,\"Pagani, Nello\",Movistar Honda MotoGP,Honda,3,16.0,7.0,ITA,160.5,42:56.0",
-      "2021,MotoGP,4,ITA,Mugello,2,\"Pagani, Nello\",Movistar Honda MotoGP,Honda,5,11.0,7.0,ITA,159.5,42:57.0",
-      // pre-2005 row: must be filtered out everywhere
-      "2003,MotoGP,1,SPA,Jerez de la Frontera,1,\"Graham, Leslie\",Gauloises Yamaha Team,Honda,1,25.0,41.0,GBR,150.0,43:00.0")
-    Files.write(f.toPath, rows.mkString("\n").getBytes("UTF-8"))
-    dir.getAbsolutePath
-  }
-
+  // the committed fixture (also used by graft.motogp.MotoGpRun, whose
+  // frozen goldens depend on it): rider 1 = Leslie Graham, rider 2 =
+  // Nello Pagani (riders.csv); bike Honda (bikes.csv id 2); team ids 2/3
+  // (teams.csv); one pre-2005 row that must be filtered out everywhere
   private lazy val pipelines = new MotoGpPipelines(spark,
     MotoGpPaths(base = "/root/reference",
-      raceResults = s"$fixtureDir/race_results.csv"))
+      raceResults = "fixtures/motogp/race_results.csv"))
 
   test("race table: one row per scraped race, contiguous id_race, fuzzy circuit_id") {
     val rt = pipelines.raceTable
