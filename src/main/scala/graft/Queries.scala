@@ -443,7 +443,7 @@ object Queries {
     * real data with a non-empty result. */
   private val qEmbeddingNearDup = Q("q_embedding_neardup",
     (s, dir) => Dedup.embeddingNearDup(t(s, dir, "embeddings"),
-      "embedding", "vec_id", threshold = 0.4, lshBits = 4)
+      "embedding", "vec_id", threshold = 0.4, lshBits = 4, bands = 2)
       .select(col("id_a").cast("bigint").as("id_a"),
         col("id_b").cast("bigint").as("id_b"), col("cosine")),
     None) // LSH-bucketed candidates: rows-only check (recall < 1 by design)

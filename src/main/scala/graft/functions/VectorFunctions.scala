@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.{Column, GraftBridge, VectorCosine, VectorDot, VectorL2Normalize, VectorLshBucket}
+import org.apache.spark.sql.{Column, GraftBridge, TopCentroids, VectorCosine, VectorDot, VectorL2Normalize, VectorLshBucket}
 import org.apache.spark.sql.functions._
 
 /** Vector math over `array<float>` / `array<double>` embedding columns.
@@ -42,4 +42,12 @@ object VectorFunctions {
     */
   def cosineLshBucket(vec: Column, nBits: Int, seed: Long = 42L): Column =
     GraftBridge.column(VectorLshBucket(expr(d(vec)), nBits, seed))
+
+  /** 1-based ids of the `n` centroids nearest to `vec` by dot product
+    * (descending; ties to the smaller id). Centroids travel as a codegen
+    * reference object — one primitive loop per row, no interpreted
+    * higher-order functions in the IVF hot path.
+    */
+  def topCentroids(vec: Column, centroids: Array[Array[Double]], n: Int): Column =
+    GraftBridge.column(TopCentroids(expr(d(vec)), centroids, n))
 }

@@ -72,6 +72,47 @@ object VectorKernels {
     UnsafeArrayData.fromPrimitiveArray(out)
   }
 
+  /** Ids (1-based positions in `centroids`) of the `n` centroids with
+    * the highest dot product against `vec`, in descending-dot order,
+    * ties to the smaller centroid id. One tight primitive pass — the
+    * higher-order-function formulation (`transform` + `array_sort` over
+    * an array-of-structs literal) runs interpreted per element, which
+    * dominates the IVF hot path (every corpus row evaluates this).
+    * Selection is O(n·C) — C (centroid count) is small by design.
+    */
+  def topCentroids(vec: ArrayData, centroids: Array[Array[Double]], n: Int): ArrayData = {
+    checkNoNulls(vec, "top_centroids")
+    val c = centroids.length
+    val dots = new Array[Double](c)
+    var i = 0
+    while (i < c) {
+      val cv = centroids(i)
+      if (vec.numElements() != cv.length) throw new IllegalArgumentException(
+        s"top_centroids: vector dimensions differ (${vec.numElements()} vs ${cv.length})")
+      var s = 0.0
+      var j = 0
+      while (j < cv.length) { s += vec.getDouble(j) * cv(j); j += 1 }
+      dots(i) = s
+      i += 1
+    }
+    val k = math.min(n, c)
+    val out = new Array[Long](k)
+    val used = new Array[Boolean](c)
+    var r = 0
+    while (r < k) {
+      var best = -1
+      var m = 0
+      while (m < c) {
+        if (!used(m) && (best < 0 || dots(m) > dots(best))) best = m
+        m += 1
+      }
+      used(best) = true
+      out(r) = best + 1L
+      r += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
   /** Random-hyperplane LSH bucket: sign bits of `nBits` projections.
     * Hyperplane component h(b, i) is derived from chained xxh64 exactly
     * like the previous column formulation

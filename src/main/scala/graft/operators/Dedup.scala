@@ -201,16 +201,36 @@ object Dedup {
   /** Embedding near-duplicate pairs: cosine >= threshold, candidates from
     * random-hyperplane LSH buckets (see
     * [[graft.functions.VectorFunctions.cosineLshBucket]]).
+    *
+    * `bands` independent hash tables OR-amplify recall: a pair is a
+    * candidate if it collides in ANY band (recall = 1-(1-p^nBits)^bands
+    * for per-hyperplane agreement probability p = 1 - angle/pi), at
+    * `bands`× the bucketing and join cost. bands=1 keeps the
+    * single-table plan with no cross-band dedup shuffle.
     */
   def embeddingNearDup(df: DataFrame, vecCol: String, idCol: String,
-                       threshold: Double = 0.95, lshBits: Int = 8): DataFrame = {
-    val v = df.select(col(idCol).as("__id"),
-        VectorFunctions.l2Normalize(col(vecCol)).as("__v"))
-      .withColumn("__bkt", VectorFunctions.cosineLshBucket(col("__v"), lshBits))
-    val a = v.select(col("__bkt"), col("__id").as("id_a"), col("__v").as("__va"))
-    val b = v.select(col("__bkt"), col("__id").as("id_b"), col("__v").as("__vb"))
-    a.join(b, Seq("__bkt"))
+                       threshold: Double = 0.95, lshBits: Int = 8,
+                       bands: Int = 1): DataFrame = {
+    require(bands >= 1, s"bands must be >= 1, got $bands")
+    val unit = df.select(col(idCol).as("__id"),
+      VectorFunctions.l2Normalize(col(vecCol)).as("__v"))
+    val v =
+      if (bands == 1)
+        unit.withColumn("__band", lit(0))
+          .withColumn("__bkt", VectorFunctions.cosineLshBucket(col("__v"), lshBits))
+      else
+        unit.select(col("__id"), col("__v"),
+          posexplode(array((0 until bands).map(b =>
+            VectorFunctions.cosineLshBucket(col("__v"), lshBits, seed = 42L + b)): _*))
+            .as(Seq("__band", "__bkt")))
+    val a = v.select(col("__band"), col("__bkt"), col("__id").as("id_a"), col("__v").as("__va"))
+    val b = v.select(col("__band"), col("__bkt"), col("__id").as("id_b"), col("__v").as("__vb"))
+    val joined = a.join(b, Seq("__band", "__bkt"))
       .filter(col("id_a") < col("id_b"))
+    // the same pair can collide in several bands — dedup before scoring
+    val candidates =
+      if (bands == 1) joined else joined.dropDuplicates("id_a", "id_b")
+    candidates
       .withColumn("cosine", round(VectorFunctions.dot(col("__va"), col("__vb")), 6))
       .filter(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")

@@ -93,33 +93,17 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
-  /** Centroids as one literal array-of-structs column — assignment then
-    * happens inside a projection (`transform` + `array_max`), with no
-    * shuffle, no cross join, no window. Ties break to the smaller
-    * centroid id (negated-id trick: struct max compares fields in order).
-    */
-  private def centroidArrayCol(rows: Seq[org.apache.spark.sql.Row]): Column =
-    array(rows.map { r =>
-      struct(lit(r.getLong(0)).as("id"),
-        array(r.getSeq[Double](1).map(lit): _*).as("vec"))
-    }: _*)
-
-  private def scoredCentroids(v: Column, centroids: Column): Column =
-    transform(centroids, c =>
-      struct(VectorFunctions.dot(v, c.getField("vec")).as("d"),
-        (lit(0L) - c.getField("id")).as("negid")))
-
-  private def nearestCentroidId(v: Column, centroids: Column): Column =
-    lit(0L) - array_max(scoredCentroids(v, centroids)).getField("negid")
-
   /** Deterministic Lloyd k-means over unit vectors (cosine/spherical:
-    * assignment by max dot product). Returns the centroid rows
-    * (centroid_id, vec) — a tiny driver-side table; each iteration is
-    * one shuffle (the per-dimension mean), and only nCentroids * dim
-    * doubles are collected.
+    * assignment by max dot product). Returns the centroid matrix indexed
+    * by id-1 (ids are 1-based and stable across iterations) — a tiny
+    * driver-side object; each iteration is one shuffle (the per-centroid
+    * partial-sum reduce), and only nCentroids * dim doubles are
+    * collected. Assignment runs through the codegen'd
+    * [[graft.functions.VectorFunctions.topCentroids]] kernel — no
+    * interpreted higher-order functions in the per-row path.
     */
   def kmeansCentroids(corpus: DataFrame, vecCol: String, idCol: String,
-                      nCentroids: Int, iters: Int = 5): Seq[org.apache.spark.sql.Row] = {
+                      nCentroids: Int, iters: Int = 5): Array[Array[Double]] = {
     // null embeddings carry no position information — excluded up front
     // (they would NPE in the partial-sum kernel)
     val unit = corpus.filter(col(vecCol).isNotNull)
@@ -134,17 +118,16 @@ object Similarity {
   }
 
   private def kmeansLoop(unit: DataFrame, nCentroids: Int,
-                         iters: Int): Seq[org.apache.spark.sql.Row] = {
-    // deterministic init: the nCentroids lowest-id vectors
-    var prevRows: Seq[org.apache.spark.sql.Row] =
+                         iters: Int): Array[Array[Double]] = {
+    // deterministic init: the nCentroids lowest-id vectors, centroid id =
+    // 1-based rank in that order
+    var centroids: Array[Array[Double]] =
       unit.orderBy(col("__id").asc).limit(nCentroids)
-        .select(row_number().over(Window.orderBy(col("__id"))).cast("long").as("centroid_id"),
-          col("__v").as("__cvec"))
-        .collect().toSeq
-    if (prevRows.isEmpty) return prevRows
+        .select(col("__v")).collect().map(_.getSeq[Double](0).toArray)
+    if (centroids.isEmpty) return centroids
     for (_ <- 1 to iters) {
       val assigned = unit.withColumn("centroid_id",
-        nearestCentroidId(col("__v"), centroidArrayCol(prevRows)))
+        element_at(VectorFunctions.topCentroids(col("__v"), centroids, 1), 1))
       // per-centroid mean as one map-side-combined reduceByKey of
       // (sum-vector, count) partials: a single tiny shuffle per
       // iteration, no per-iteration multi-stage SQL plan
@@ -163,18 +146,17 @@ object Similarity {
       // a centroid that captured zero points this pass keeps its previous
       // position instead of vanishing (a shrinking centroid set would
       // silently degrade the nProbes/nCentroids recall math)
-      prevRows = prevRows.map { prev =>
-        sums.get(prev.getLong(0)) match {
+      centroids = centroids.zipWithIndex.map { case (prev, idx) =>
+        sums.get(idx + 1L) match {
           case Some((sum, n)) =>
             val mean = sum.map(_ / n)
             val norm = math.sqrt(mean.map(x => x * x).sum)
-            val unitVec = if (norm == 0.0) mean else mean.map(_ / norm)
-            org.apache.spark.sql.Row(prev.getLong(0), unitVec.toSeq)
+            if (norm == 0.0) mean else mean.map(_ / norm)
           case None => prev
         }
       }
     }
-    prevRows
+    centroids
   }
 
   /** IVF-Flat ANN: corpus bucketed by nearest centroid, queries probe the
@@ -184,26 +166,23 @@ object Similarity {
               vecCol: String, idCol: String, k: Int,
               nCentroids: Int = 16, nProbes: Int = 2,
               kmeansIters: Int = 3): DataFrame = {
-    val centroidRows = kmeansCentroids(corpus, vecCol, idCol, nCentroids, kmeansIters)
+    val centroids = kmeansCentroids(corpus, vecCol, idCol, nCentroids, kmeansIters)
     // empty corpus → no centroids: brute force degrades gracefully to the
     // (empty) exact answer with the same output schema
-    if (centroidRows.isEmpty)
+    if (centroids.isEmpty)
       return bruteForceTopK(corpus, queries, vecCol, idCol, k)
-    val centroids = centroidArrayCol(centroidRows)
     val corpusAssigned = corpus
       .filter(col(vecCol).isNotNull)
       .select(col(idCol).as("corpus_id"),
         VectorFunctions.l2Normalize(col(vecCol)).as("__cv"))
-      .withColumn("centroid_id", nearestCentroidId(col("__cv"), centroids))
-    // top-nProbes centroids per query: sort the scored array descending
-    // (reverse of ascending struct sort), take the head slice
+      .withColumn("centroid_id",
+        element_at(VectorFunctions.topCentroids(col("__cv"), centroids, 1), 1))
     val queriesProbing = queries
       .filter(col(vecCol).isNotNull)
       .select(col(idCol).as("query_id"),
         VectorFunctions.l2Normalize(col(vecCol)).as("__qv"))
-      .withColumn("centroid_id", explode(
-        transform(slice(reverse(array_sort(scoredCentroids(col("__qv"), centroids))),
-          1, nProbes), s => lit(0L) - s.getField("negid"))))
+      .withColumn("centroid_id",
+        explode(VectorFunctions.topCentroids(col("__qv"), centroids, nProbes)))
     val scored = corpusAssigned.join(queriesProbing, Seq("centroid_id"))
       .filter(col("query_id") =!= col("corpus_id"))
       // unit vectors: cosine = dot

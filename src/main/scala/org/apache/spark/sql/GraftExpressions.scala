@@ -309,6 +309,35 @@ case class CollectSmallest(
     copy(child = newChild)
 }
 
+/** Top-n nearest centroids by dot product (descending, ties to the
+  * smaller 1-based centroid id) — the IVF assignment/probing kernel.
+  * The centroid matrix rides along as a codegen reference object, so the
+  * per-row work is one tight primitive loop inside whole-stage codegen
+  * instead of an interpreted `transform` over an array-of-structs
+  * literal.
+  */
+case class TopCentroids(child: Expression, centroids: Array[Array[Double]], n: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(n >= 1, s"n must be >= 1, got $n")
+  require(centroids.nonEmpty, "centroids must be non-empty")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(DoubleType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "top_centroids"
+
+  override protected def nullSafeEval(v: Any): Any =
+    graft.functions.VectorKernels.topCentroids(v.asInstanceOf[ArrayData], centroids, n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("centroids", centroids, "double[][]")
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.VectorKernels.topCentroids($c, $ref, $n)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): TopCentroids =
+    copy(child = newChild)
+}
+
 case class VectorLshBucket(child: Expression, nBits: Int, seed: Long)
     extends UnaryExpression with ExpectsInputTypes {
   require(nBits >= 1 && nBits <= 63, s"nBits must be in [1, 63], got $nBits")

@@ -112,6 +112,28 @@ class DedupSpec extends SparkSpec {
     assert(pairs.subsetOf(planted), s"false positives: ${pairs diff planted}")
   }
 
+  test("embedding near-dup: multi-band OR-amplification recovers pairs one band misses") {
+    // moderate-similarity planted pairs (~20-30° apart): a single
+    // 10-bit band misses most of them (p^10 with p ≈ 0.85), four
+    // independent bands recover a strict superset
+    val rnd = new scala.util.Random(13)
+    val rows = (0 until 60).flatMap { i =>
+      val base = Array.fill(16)(rnd.nextGaussian().toFloat)
+      val noisy = base.map(x => x + 0.25f * rnd.nextGaussian().toFloat)
+      Seq((i.toLong, base), (i + 1000L, noisy))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    def found(bands: Int): Set[(Long, Long)] =
+      Dedup.embeddingNearDup(df, "embedding", "vec_id",
+          threshold = 0.8, lshBits = 10, bands = bands)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val single = found(1)
+    val multi = found(4)
+    assert(single.subsetOf(multi), s"band 0 pairs lost: ${single diff multi}")
+    assert(multi.size > single.size,
+      s"OR-amplification added nothing (${single.size} -> ${multi.size})")
+  }
+
   test("minhash LSH recall vs exact Jaccard ground truth (floor pinned)") {
     // 12 base sentences, each with a lightly-edited twin — the exact
     // pair set is computed by the exact blocked-Jaccard operator over
