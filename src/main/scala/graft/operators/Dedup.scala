@@ -225,14 +225,16 @@ object Dedup {
             .as(Seq("__band", "__bkt")))
     val a = v.select(col("__band"), col("__bkt"), col("__id").as("id_a"), col("__v").as("__va"))
     val b = v.select(col("__band"), col("__bkt"), col("__id").as("id_b"), col("__v").as("__vb"))
-    val joined = a.join(b, Seq("__band", "__bkt"))
+    val scored = a.join(b, Seq("__band", "__bkt"))
       .filter(col("id_a") < col("id_b"))
-    // the same pair can collide in several bands — dedup before scoring
-    val candidates =
-      if (bands == 1) joined else joined.dropDuplicates("id_a", "id_b")
-    candidates
       .withColumn("cosine", round(VectorFunctions.dot(col("__va"), col("__vb")), 6))
       .filter(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")
+    // the same pair can collide in several bands — dedup AFTER the
+    // threshold filter, so the extra shuffle carries only surviving
+    // near-dup pairs (3 narrow columns), not every candidate with two
+    // embedding vectors attached; the duplicate dot products this
+    // recomputes are codegen-cheap
+    if (bands == 1) scored else scored.dropDuplicates("id_a", "id_b")
   }
 }
