@@ -58,7 +58,12 @@ object GraftSqlFunctions {
     (FunctionIdentifier("vector_lsh_bucket"),
       info("vector_lsh_bucket", "vector_lsh_bucket(a, nBits) - hyperplane-sign LSH bucket"),
       (c: Seq[Expression]) => VectorLshBucket(asDoubleArray(c(0)),
-        intArg(c(1), "vector_lsh_bucket"), 42L)))
+        intArg(c(1), "vector_lsh_bucket"), 42L)),
+    (FunctionIdentifier("collect_smallest"),
+      info("collect_smallest",
+        "collect_smallest(x, limit) - the limit smallest values per group, sorted; " +
+          "bounded aggregation buffer (safe on pathologically hot groups)"),
+      (c: Seq[Expression]) => CollectSmallest(c(0), intArg(c(1), "collect_smallest"))))
 
   /** Register on an already-built session. */
   def register(spark: SparkSession): Unit = {

@@ -55,6 +55,16 @@ class SqlFunctionsSpec extends SparkSpec {
     assert(rows)
   }
 
+  test("collect_smallest aggregate from SQL: bounded, sorted, per group") {
+    val out = spark.sql(
+      """SELECT k, collect_smallest(v, 3) AS small
+        |FROM VALUES ('a', 5), ('a', 1), ('a', 4), ('a', 2), ('a', 3), ('b', 9)
+        |  AS t(k, v)
+        |GROUP BY k ORDER BY k""".stripMargin).collect()
+    assert(out(0).getSeq[Int](1) == Seq(1, 2, 3))
+    assert(out(1).getSeq[Int](1) == Seq(9))
+  }
+
   test("non-literal size argument is rejected with a clear error") {
     val e = intercept[Exception] {
       spark.sql("SELECT shingle_hashes64('abc', length('xy'))").collect()
