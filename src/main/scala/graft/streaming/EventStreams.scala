@@ -46,6 +46,25 @@ object EventStreams {
       .select(col("window.start").as("hour"), col("event_type"),
         col("n"), col("sum_value"))
 
+  /** Streaming exact dedup for training-data ingest: drop any document
+    * whose normalized-content fingerprint (same kernel as the batch
+    * `Dedup.exact`) was already seen within the watermark horizon —
+    * duplicates usually arrive close together (re-crawls, retry storms),
+    * so a bounded horizon catches them without unbounded state.
+    * `dropDuplicatesWithinWatermark` keys state by the 64-bit
+    * fingerprint, not the document text, and evicts entries older than
+    * the watermark: state is O(distinct docs per horizon) × 8 bytes —
+    * a plain streaming `dropDuplicates` would grow forever.
+    */
+  def dedupDocStream(docs: DataFrame, textCol: String, tsCol: String,
+                     watermark: String = "1 hour"): DataFrame =
+    docs
+      .withColumn("__fp",
+        graft.functions.TextFunctions.contentFingerprint(col(textCol)))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("__fp")
+      .drop("__fp")
+
   final case class SessionEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
   final case class SessionState(start: Long, end: Long, n: Long, total: Double)
   final case class SessionsState(open: List[SessionState])

@@ -6,6 +6,10 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import java.sql.Timestamp
 
+object EventStreamsSpec {
+  final case class Doc(doc_id: Long, ts: Timestamp, text: String)
+}
+
 class EventStreamsSpec extends SparkSpec {
   import spark.implicits._
 
@@ -53,6 +57,32 @@ class EventStreamsSpec extends SparkSpec {
       .select("user_id", "n_events", "total_value")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     assert(out == Set((1L, 2L, 3.0), (1L, 1L, 3.0), (2L, 1L, 5.0)))
+  }
+
+  test("streaming dedup drops same-content docs across batches, keeps distinct") {
+    import EventStreamsSpec.Doc
+    val input = MemoryStream[Doc](spark, numPartitions = 1)
+    val deduped = EventStreams.dedupDocStream(input.toDF(), "text", "ts",
+      watermark = "1 hour")
+    val q = deduped.writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").start()
+
+    def ts(min: Int): Timestamp = new Timestamp(3600000L + min * 60000L)
+    input.addData(
+      Doc(1L, ts(0), "the quick brown fox"),
+      Doc(2L, ts(1), "The  quick brown FOX"), // same normalized content
+      Doc(3L, ts(2), "something else entirely"))
+    q.processAllAvailable()
+    // a later batch re-delivers the same content within the horizon
+    input.addData(Doc(4L, ts(10), "the quick brown fox"))
+    q.processAllAvailable()
+    q.stop()
+
+    val kept = spark.table("dedup_stream").select("doc_id")
+      .as[Long].collect().toSet
+    // exactly one survivor per distinct normalized content; the engine
+    // keeps the first arrival (doc 1 beats 2 in-batch and 4 cross-batch)
+    assert(kept == Set(1L, 3L), s"kept $kept")
   }
 
   test("sessionize: in-watermark out-of-order event bridges two open sessions") {
