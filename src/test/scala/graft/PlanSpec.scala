@@ -81,4 +81,25 @@ class PlanSpec extends SparkSpec {
     val p = plan("q_dedup_minhash")
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("bucketed pair stages never degrade to cartesian products") {
+    for (q <- Seq("q_embedding_neardup", "q_ann_lsh", "q_ngram_jaccard")) {
+      assert(!plan(q).contains("CartesianProduct"), q)
+    }
+  }
+
+  test("q_star_join: every dimension side broadcasts") {
+    val p = plan("q_star_join")
+    // orders/customer/supplier/nation/region joined to lineitem — the
+    // dimension chain must resolve to broadcast hash joins, not
+    // shuffle-everything sort-merge joins
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 4, p)
+  }
+
+  test("q_dedup_minhash: bucket aggregation is partial (bounded buffer both sides)") {
+    val p = plan("q_dedup_minhash")
+    assert(p.contains("collect_smallest"), p)
+    // ObjectHashAggregate partial + final for the bucket stage
+    assert("ObjectHashAggregate".r.findAllIn(p).size >= 2, p)
+  }
 }

@@ -43,6 +43,22 @@ class PropertiesSpec extends SparkSpec {
     assert(math.abs(agree - trueJ) < 0.12, s"est=$agree true=$trueJ") // ±3σ-ish at k=256
   }
 
+  test("collectSmallest equals slice(array_sort(collect_list)) on random groups") {
+    // the bounded aggregate must be a drop-in for the unbounded
+    // formulation it replaces — same values, same order, every limit
+    for (limit <- Seq(1, 3, 8, 50)) {
+      val data = Seq.fill(400)((rnd.nextInt(6), rnd.nextInt(1000).toLong))
+      val df = data.toDF("g", "v").repartition(7) // force partial + merge paths
+      val got = df.groupBy("g")
+        .agg(Dedup.collectSmallest(col("v"), limit).as("s"))
+        .collect().map(r => r.getInt(0) -> r.getSeq[Long](1)).toMap
+      val want = data.groupBy(_._1).map { case (g, vs) =>
+        g -> vs.map(_._2).sorted.take(limit)
+      }
+      assert(got == want, s"limit=$limit")
+    }
+  }
+
   test("rank-vs-sort consistency: rankInGroup follows the declared order") {
     val data = Seq.fill(300)((s"g${rnd.nextInt(5)}", rnd.nextInt(50)))
     val df = data.toDF("g", "v")
