@@ -572,6 +572,29 @@ object Queries {
            |             + 0.2 * least(stop_raw * 5.0, 1.0), 6) AS quality
            |FROM m""".stripMargin))
 
+  /** Token-window chunking (50-token windows, 5-token overlap) — the
+    * canonical context-window prep step of an LLM training pipeline.
+    * One codegen kernel pass + posexplode; oracle reproduces the exact
+    * window arithmetic with a DuckDB list comprehension. */
+  private val qChunkText = Q("q_chunk_text",
+    (s, dir) => t(s, dir, "documents")
+      .select(col("doc_id").cast("bigint").as("doc_id"),
+        posexplode(TF.chunkText(col("text"), maxTokens = 50, overlap = 5)))
+      .select(col("doc_id"), col("pos").cast("bigint").as("chunk_no"),
+        col("col").as("chunk")),
+    Some("""WITH t AS (
+           |  SELECT doc_id,
+           |         CASE WHEN len(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+           |              ELSE string_split_regex(trim(text), '[ \t\n\x0B\f\r]+') END AS toks
+           |  FROM documents)
+           |SELECT CAST(u.doc_id AS BIGINT) AS doc_id,
+           |       CAST(u.x.chunk_no AS BIGINT) AS chunk_no, u.x.chunk AS chunk
+           |FROM (SELECT doc_id,
+           |             unnest([{'chunk_no': s // 45,
+           |                      'chunk': array_to_string(list_slice(toks, s + 1, least(s + 50, len(toks))), ' ')}
+           |                     for s in range(0, len(toks), 45)]) AS x
+           |      FROM t) u""".stripMargin))
+
   private val qFingerprint = Q("q_fingerprint",
     (s, dir) => t(s, dir, "documents").select(
       col("doc_id").cast("bigint").as("doc_id"),
@@ -771,7 +794,7 @@ object Queries {
     qFuzzyMatch, qEventsHourly,
     qDedupExact, qDedupMinhash, qDedupSimhash, qNgramJaccard,
     qEmbeddingNearDup, qAnnBrute, qAnnLsh, qAnnIvf,
-    qTextStats, qFingerprint, qMultimodal,
+    qTextStats, qChunkText, qFingerprint, qMultimodal,
     qStarJoin, qAggFused, qTopkPerGroup, qCountDistinct, qSessionizeBatch,
     qRollup, qSemiAnti, qSetOps)
 }

@@ -136,4 +136,15 @@ object TextFunctions {
     import org.apache.spark.sql.{GraftBridge, TextStats}
     GraftBridge.column(TextStats(GraftBridge.expression(text)))
   }
+
+  /** Token-window chunks for training pipelines: sliding windows of
+    * `maxTokens` whitespace tokens advancing by `maxTokens - overlap`,
+    * each re-joined with single spaces; empty trimmed text yields zero
+    * chunks. Codegen'd single pass — `posexplode` the result for one
+    * row per chunk.
+    */
+  def chunkText(text: Column, maxTokens: Int, overlap: Int = 0): Column = {
+    import org.apache.spark.sql.{ChunkText, GraftBridge}
+    GraftBridge.column(ChunkText(GraftBridge.expression(text), maxTokens, overlap))
+  }
 }

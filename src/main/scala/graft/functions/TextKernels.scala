@@ -116,4 +116,50 @@ object TextKernels {
     new GenericInternalRow(Array[Any](
       len.toLong, nTokens, nSub, nPunct, hitsEn, hitsFr, hitsEs, hitsDe))
   }
+
+  /** Token-window chunking for training pipelines: sliding windows of
+    * `maxTokens` whitespace tokens advancing by `maxTokens - overlap`,
+    * each chunk re-joined with single spaces. Tokenization matches the
+    * rest of this kernel family (space-trim, then split on runs of the
+    * 6 ASCII whitespace chars, keeping boundary empties — the exact
+    * `string_split_regex` semantics the DuckDB oracle uses); empty
+    * trimmed text yields ZERO chunks. One pass, no regex.
+    */
+  def chunkTokens(s: UTF8String, maxTokens: Int, overlap: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val str = s.toString
+    val step = maxTokens - overlap
+
+    // space-trim (same rule as stats: SPACES only)
+    var start = 0
+    var end = str.length
+    while (start < end && str.charAt(start) == ' ') start += 1
+    while (end > start && str.charAt(end - 1) == ' ') end -= 1
+
+    if (end <= start)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
+
+    // split keeping boundary empties from non-space whitespace
+    val tokens = scala.collection.mutable.ArrayBuffer.empty[String]
+    var tokStart = start
+    var inWsRun = false
+    var j = start
+    while (j < end) {
+      val cp = str.codePointAt(j)
+      if (isWs(cp)) {
+        if (!inWsRun) { tokens += str.substring(tokStart, j); inWsRun = true }
+      } else if (inWsRun) { tokStart = j; inWsRun = false }
+      j += Character.charCount(cp)
+    }
+    tokens += (if (inWsRun) "" else str.substring(tokStart, end))
+
+    val n = tokens.length
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    var cs = 0
+    while (cs < n) {
+      val until = math.min(cs + maxTokens, n)
+      out += UTF8String.fromString(tokens.slice(cs, until).mkString(" "))
+      cs += step
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+  }
 }

@@ -163,6 +163,33 @@ case class TextStats(child: Expression)
     copy(child = newChild)
 }
 
+/** Token-window chunking (sliding windows of `maxTokens` whitespace
+  * tokens advancing by `maxTokens - overlap`, re-joined with single
+  * spaces; empty trimmed text -> zero chunks). See
+  * [[graft.functions.TextKernels.chunkTokens]] for the exact
+  * tokenization contract.
+  */
+case class ChunkText(child: Expression, maxTokens: Int, overlap: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(maxTokens >= 1, s"maxTokens must be >= 1, got $maxTokens")
+  require(overlap >= 0 && overlap < maxTokens,
+    s"overlap must be in [0, maxTokens), got $overlap")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "chunk_text"
+
+  override protected def nullSafeEval(v: Any): Any =
+    graft.functions.TextKernels.chunkTokens(v.asInstanceOf[UTF8String], maxTokens, overlap)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.TextKernels.chunkTokens($c, $maxTokens, $overlap)")
+
+  override protected def withNewChildInternal(newChild: Expression): ChunkText =
+    copy(child = newChild)
+}
+
 object TextStats {
   val schema: StructType = StructType(Seq(
     StructField("n_chars", LongType, nullable = false),

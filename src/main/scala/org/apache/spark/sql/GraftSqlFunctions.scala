@@ -59,6 +59,11 @@ object GraftSqlFunctions {
       info("vector_lsh_bucket", "vector_lsh_bucket(a, nBits) - hyperplane-sign LSH bucket"),
       (c: Seq[Expression]) => VectorLshBucket(asDoubleArray(c(0)),
         intArg(c(1), "vector_lsh_bucket"), 42L)),
+    (FunctionIdentifier("chunk_text"),
+      info("chunk_text",
+        "chunk_text(text, maxTokens, overlap) - sliding token-window chunks"),
+      (c: Seq[Expression]) => ChunkText(c(0), intArg(c(1), "chunk_text"),
+        intArg(c(2), "chunk_text"))),
     (FunctionIdentifier("collect_smallest"),
       info("collect_smallest",
         "collect_smallest(x, limit) - the limit smallest values per group, sorted; " +

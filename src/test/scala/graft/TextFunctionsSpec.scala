@@ -12,6 +12,28 @@ class TextFunctionsSpec extends SparkSpec {
     assert(out == Seq(4L, 0L, 0L, 1L))
   }
 
+  test("chunkText: sliding token windows with overlap, empty text = no chunks") {
+    val df = Seq(
+      (1L, "a b c d e f g h i j k"), // 11 tokens, max 5, overlap 1 → starts 0,4,8
+      (2L, ""), (3L, "   "),
+      (4L, "one two")
+    ).toDF("id", "t")
+    val out = df.select(col("id"), TF.chunkText(col("t"), maxTokens = 5, overlap = 1))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(out(1L) == Seq("a b c d e", "e f g h i", "i j k"))
+    assert(out(2L).isEmpty && out(3L).isEmpty)
+    assert(out(4L) == Seq("one two"))
+  }
+
+  test("chunkText: zero overlap partitions tokens exactly; whitespace normalized") {
+    val chunks = Seq("w1  w2\tw3   w4 w5").toDF("t")
+      .select(TF.chunkText(col("t"), maxTokens = 2))
+      .as[Seq[String]].collect().head
+    assert(chunks == Seq("w1 w2", "w3 w4", "w5"))
+    // every token appears exactly once across chunks at overlap 0
+    assert(chunks.flatMap(_.split(" ")).toSeq == Seq("w1", "w2", "w3", "w4", "w5"))
+  }
+
   test("regex token count splits letters/digits/punct runs") {
     val df = Seq("abc123!x", "hello, world").toDF("t")
     // abc|123|!|x = 4 ; hello|,|world = 3
