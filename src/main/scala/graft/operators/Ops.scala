@@ -140,6 +140,32 @@ object Ops {
     salted.join(exploded, keys :+ saltCol, joinType).drop(saltCol)
   }
 
+  /** Deterministic "take n per group" for dataset balancing: rows are
+    * pseudo-randomly ordered by a seeded hash of the whole row and the
+    * n hash-smallest per group survive. Runs as ONE bounded aggregation
+    * — the per-group buffer never exceeds n rows map-side or final-side
+    * (see [[graft.operators.Dedup.collectSmallest]]), so a billion-row
+    * hot class costs the same memory as a tiny one; the shuffle carries
+    * at most n rows per group per map task. A `row_number` over a
+    * random order would shuffle EVERY row to rank it. Deterministic
+    * under retries (hash of content, not `rand()`), ties broken by full
+    * row comparison.
+    */
+  def samplePerGroup(df: DataFrame, groupCols: Seq[String], n: Int,
+                     seed: Long = 42L): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    val cols = df.columns.toSeq
+    val rowStruct = struct(cols.map(col): _*)
+    val packed = df.select(
+      struct(xxhash64(rowStruct, lit(seed)).as("__h"), rowStruct.as("__row")).as("__m")
+        +: groupCols.map(col): _*)
+    packed
+      .groupBy(groupCols.map(col): _*)
+      .agg(Dedup.collectSmallest(col("__m"), n).as("__sample"))
+      .select(explode(col("__sample")).as("__m"))
+      .select(cols.map(c => col("__m").getField("__row").getField(c).as(c)): _*)
+  }
+
   /** Append streams = UNION ALL by name (reference motogp.ktr:1379). */
   def unionAppend(head: DataFrame, tail: DataFrame): DataFrame =
     head.unionByName(tail)

@@ -101,6 +101,26 @@ class OpsSpec extends SparkSpec {
       Set((1, 10, "x"), (2, 20, "y")))
   }
 
+  test("samplePerGroup: exact n per group, deterministic, rows from the input") {
+    val data = (1 to 500).map(i => (s"c${i % 4}", i.toLong, s"payload$i"))
+    val df = data.toDF("cls", "id", "payload").repartition(9)
+    val s1 = Ops.samplePerGroup(df, Seq("cls"), n = 10)
+      .as[(String, Long, String)].collect().toSet
+    val s2 = Ops.samplePerGroup(df, Seq("cls"), n = 10)
+      .as[(String, Long, String)].collect().toSet
+    assert(s1 == s2) // deterministic across runs/partitionings
+    val perClass = s1.groupBy(_._1).view.mapValues(_.size).toMap
+    assert(perClass == Map("c0" -> 10, "c1" -> 10, "c2" -> 10, "c3" -> 10))
+    assert(s1.subsetOf(data.toSet)) // real rows, untouched
+    // a different seed draws a different sample
+    val s3 = Ops.samplePerGroup(df, Seq("cls"), n = 10, seed = 7L)
+      .as[(String, Long, String)].collect().toSet
+    assert(s3 != s1)
+    // small groups pass through whole
+    val tiny = Ops.samplePerGroup(df.filter(col("id") <= 3), Seq("cls"), n = 10)
+    assert(tiny.count() == 3)
+  }
+
   test("unionAppend + dedupKeepFirst keeps first by declared order") {
     val a = Seq(("k1", 2, "second"), ("k1", 1, "first")).toDF("k", "ord", "tag")
     val b = Seq(("k2", 1, "only")).toDF("k", "ord", "tag")
