@@ -733,6 +733,33 @@ object Queries {
            |       round(sum(value), 4) AS sum_value
            |FROM numbered GROUP BY 1, 2""".stripMargin))
 
+  /** As-of join (beyond the reference — the canonical point-in-time
+    * operator Spark lacks natively): every event picks up the value of
+    * the user's most recent purchase at-or-before it. Oracle = DuckDB's
+    * NATIVE `ASOF LEFT JOIN`, so the union-sentinel construction is
+    * checked against an independent reference implementation. */
+  private val qAsofJoin = Q("q_asof_join",
+    (s, dir) => {
+      val ev = events(s, dir).select(
+        col("user_id").cast("bigint").as("user_id"),
+        col("event_id").cast("bigint").as("event_id"),
+        col("ts"), col("event_type"))
+      val purchases = events(s, dir)
+        .filter(col("event_type") === "purchase")
+        .groupBy(col("user_id").cast("bigint").as("user_id"), col("ts"))
+        .agg(round(max(col("value")), 4).as("last_purchase"))
+      Ops.asofJoin(ev, purchases, Seq("user_id"), "ts", Seq("last_purchase"))
+    },
+    Some("""WITH r AS (
+           |  SELECT CAST(user_id AS BIGINT) AS user_id, ts,
+           |         round(max(value), 4) AS last_purchase
+           |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+           |SELECT CAST(l.user_id AS BIGINT) AS user_id,
+           |       CAST(l.event_id AS BIGINT) AS event_id,
+           |       l.ts, l.event_type, r.last_purchase
+           |FROM events l ASOF LEFT JOIN r
+           |  ON CAST(l.user_id AS BIGINT) = r.user_id AND l.ts >= r.ts""".stripMargin))
+
   /** ROLLUP subtotals (beyond the reference's flat group-bys): per
     * (flag, status), per flag, and grand total in one pass. */
   private val qRollup = Q("q_rollup",
@@ -796,5 +823,5 @@ object Queries {
     qEmbeddingNearDup, qAnnBrute, qAnnLsh, qAnnIvf,
     qTextStats, qChunkText, qFingerprint, qMultimodal,
     qStarJoin, qAggFused, qTopkPerGroup, qCountDistinct, qSessionizeBatch,
-    qRollup, qSemiAnti, qSetOps)
+    qRollup, qSemiAnti, qSetOps, qAsofJoin)
 }

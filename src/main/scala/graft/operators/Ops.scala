@@ -140,6 +140,49 @@ object Ops {
     salted.join(exploded, keys :+ saltCol, joinType).drop(saltCol)
   }
 
+  /** As-of (point-in-time) join — for every left row, the single most
+    * recent right row with `right.ts <= left.ts` on the same key(s);
+    * left rows with no prior right row get nulls (LEFT semantics).
+    * Matches DuckDB's native `ASOF LEFT JOIN` (the oracle for
+    * `q_asof_join`), inclusive at equal timestamps.
+    *
+    * Plan: the union-sentinel construction — tag both sides, ONE
+    * shuffle on the keys, one ordered window pass carrying the latest
+    * right payload forward (`last(..., ignoreNulls)` over a running
+    * frame), filter back to left rows. No range-condition join: a
+    * naive `l.ts >= r.ts` theta-join explodes to O(|L|·|R|) pairs per
+    * key before picking the max, and Spark plans it as BNLJ.
+    *
+    * Contract: right rows should be unique per (keys, ts) — equal-ts
+    * duplicates make "the" as-of row ill-defined (pre-aggregate them);
+    * a NULL in a right value column is treated as absent (the previous
+    * non-null value carries forward).
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+               tsCol: String, valueCols: Seq[String]): DataFrame = {
+    require(valueCols.nonEmpty, "asofJoin needs at least one right value column")
+    val lCols = left.columns.toSeq
+    val lSide = left.select(
+      (keys.map(col) :+ col(tsCol).as("__ts") :+ lit(1).as("__tag")
+        :+ struct(lCols.map(col): _*).as("__l"))
+        ++ valueCols.map(c => lit(null).cast(right.schema(c).dataType).as(s"__v_$c")): _*)
+    val rSide = right.select(
+      (keys.map(col) :+ col(tsCol).as("__ts") :+ lit(0).as("__tag")
+        :+ lit(null).cast(lSide.schema("__l").dataType).as("__l"))
+        ++ valueCols.map(c => col(c).as(s"__v_$c")): _*)
+    // right rows order BEFORE left rows at equal ts (tag 0 < 1), making
+    // the join inclusive: a right row at exactly left.ts is visible
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__ts").asc, col("__tag").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    lSide.unionByName(rSide)
+      .select(col("__tag") +: col("__l") +: valueCols.map(c =>
+        last(col(s"__v_$c"), ignoreNulls = true).over(w).as(s"__cv_$c")): _*)
+      .filter(col("__tag") === 1)
+      .select(lCols.map(c => col("__l").getField(c).as(c)) ++
+        valueCols.map(c => col(s"__cv_$c").as(c)): _*)
+  }
+
   /** Deterministic "take n per group" for dataset balancing: rows are
     * pseudo-randomly ordered by a seeded hash of the whole row and the
     * n hash-smallest per group survive. Runs as ONE bounded aggregation

@@ -101,6 +101,23 @@ class OpsSpec extends SparkSpec {
       Set((1, 10, "x"), (2, 20, "y")))
   }
 
+  test("asofJoin: most recent right row at-or-before, per key, left semantics") {
+    val left = Seq((1L, 10L, "a"), (1L, 15L, "b"), (1L, 20L, "c"),
+        (2L, 5L, "d"), (3L, 99L, "e"))
+      .toDF("k", "ts", "tag")
+    val right = Seq((1L, 10L, 100.0), (1L, 18L, 200.0), (2L, 6L, 50.0))
+      .toDF("k", "ts", "v")
+    val out = Ops.asofJoin(left, right, Seq("k"), "ts", Seq("v"))
+      .collect().map(r => (r.getLong(0), r.getString(2),
+        if (r.isNullAt(3)) -1.0 else r.getDouble(3))).toSet
+    assert(out == Set(
+      (1L, "a", 100.0), // equal ts is inclusive
+      (1L, "b", 100.0), // 18 is after 15 → still the 10 o'clock value
+      (1L, "c", 200.0),
+      (2L, "d", -1.0),  // right row is later → null
+      (3L, "e", -1.0))) // key with no right rows at all
+  }
+
   test("samplePerGroup: exact n per group, deterministic, rows from the input") {
     val data = (1 to 500).map(i => (s"c${i % 4}", i.toLong, s"payload$i"))
     val df = data.toDF("cls", "id", "payload").repartition(9)
