@@ -572,6 +572,32 @@ object Queries {
            |             + 0.2 * least(stop_raw * 5.0, 1.0), 6) AS quality
            |FROM m""".stripMargin))
 
+  /** Corpus accounting per language — doc counts, token budget, and
+    * EXACT token-count percentiles (Spark `percentile` and DuckDB
+    * `quantile_cont` share the linear-interpolation definition, so this
+    * is hash-checkable, unlike approx sketches). The shape every
+    * training run reports before and after filtering. */
+  private val qCorpusStats = Q("q_corpus_stats",
+    (s, dir) => t(s, dir, "documents")
+      .withColumn("__nt", TF.textStats(col("text")).getField("n_tokens"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).cast("bigint").as("n_docs"),
+        round(avg(col("__nt")), 4).as("avg_tokens"),
+        round(expr("percentile(__nt, 0.5)"), 4).as("p50_tokens"),
+        round(expr("percentile(__nt, 0.9)"), 4).as("p90_tokens"),
+        sum(col("__nt")).cast("bigint").as("total_tokens")),
+    Some("""WITH b AS (
+           |  SELECT lang,
+           |         CASE WHEN len(trim(text)) = 0 THEN 0
+           |              ELSE len(string_split_regex(trim(text), '[ \t\n\x0B\f\r]+')) END AS n_tokens
+           |  FROM documents)
+           |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           |       round(avg(n_tokens), 4) AS avg_tokens,
+           |       round(quantile_cont(n_tokens, 0.5), 4) AS p50_tokens,
+           |       round(quantile_cont(n_tokens, 0.9), 4) AS p90_tokens,
+           |       CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+           |FROM b GROUP BY 1""".stripMargin))
+
   /** Token-window chunking (50-token windows, 5-token overlap) — the
     * canonical context-window prep step of an LLM training pipeline.
     * One codegen kernel pass + posexplode; oracle reproduces the exact
@@ -821,7 +847,7 @@ object Queries {
     qFuzzyMatch, qEventsHourly,
     qDedupExact, qDedupMinhash, qDedupSimhash, qNgramJaccard,
     qEmbeddingNearDup, qAnnBrute, qAnnLsh, qAnnIvf,
-    qTextStats, qChunkText, qFingerprint, qMultimodal,
+    qTextStats, qCorpusStats, qChunkText, qFingerprint, qMultimodal,
     qStarJoin, qAggFused, qTopkPerGroup, qCountDistinct, qSessionizeBatch,
     qRollup, qSemiAnti, qSetOps, qAsofJoin)
 }

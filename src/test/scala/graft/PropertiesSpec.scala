@@ -43,6 +43,26 @@ class PropertiesSpec extends SparkSpec {
     assert(math.abs(agree - trueJ) < 0.12, s"est=$agree true=$trueJ") // ±3σ-ish at k=256
   }
 
+  test("chunkText: chunks at overlap 0 partition the tokens exactly, any text") {
+    val alphabet = "ab 1\t?\n"
+    for (_ <- 1 to 150) {
+      val text = Seq.fill(rnd.nextInt(60))(alphabet(rnd.nextInt(alphabet.length))).mkString
+      val maxTokens = 1 + rnd.nextInt(6)
+      val chunks = Seq(text).toDF("t")
+        .select(graft.functions.TextFunctions.chunkText(col("t"), maxTokens))
+        .as[Seq[String]].collect().head
+      // reference tokenization: space-trim then Java split keeping
+      // boundary empties — the kernel's documented contract
+      val trimmed = text.dropWhile(_ == ' ').reverse.dropWhile(_ == ' ').reverse
+      val tokens: Seq[String] =
+        if (trimmed.isEmpty) Nil
+        else trimmed.split("[ \t\n\u000B\f\r]+", -1).toSeq
+      assert(chunks.flatMap(c => if (c.isEmpty) Seq("") else c.split(" ", -1).toSeq)
+        == tokens, s"text=${text.replace("\n", "\\n").replace("\t", "\\t")}")
+      assert(chunks.forall(c => c.split(" ", -1).length <= maxTokens))
+    }
+  }
+
   test("collectSmallest equals slice(array_sort(collect_list)) on random groups") {
     // the bounded aggregate must be a drop-in for the unbounded
     // formulation it replaces — same values, same order, every limit
