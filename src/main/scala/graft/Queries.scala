@@ -441,6 +441,48 @@ object Queries {
     * Near-dup SEMANTICS (planted duplicates, recall floor) are pinned in
     * [[graft.DedupSpec]]; this query pins the bucketed plan shape on
     * real data with a non-empty result. */
+  /** Near-dup pair graph → connected components (the step that turns
+    * pairwise candidates into dedup groups). Oracle = a DuckDB
+    * RECURSIVE transitive closure over the identical pair query, so the
+    * distributed label propagation is checked against an independent
+    * exact algorithm. */
+  private val qDupClusters = Q("q_dup_clusters",
+    (s, dir) => Dedup.dupClusters(
+      Dedup.ngramJaccardPairs(
+        t(s, dir, "documents").withColumn("blk",
+          concat_ws("#", col("lang"), pmod(col("doc_id"), lit(16)).cast("string"))),
+        "text", "doc_id", "blk", n = 3)
+        .filter(col("jaccard") >= 0.5))
+      .select(col("id").cast("bigint").as("id"),
+        col("cluster").cast("bigint").as("cluster")),
+    Some("""WITH RECURSIVE t AS (
+           |  SELECT doc_id, lang || '#' || CAST(doc_id % 16 AS VARCHAR) AS blk,
+           |         lower(trim(text)) AS s
+           |  FROM documents
+           |), sh AS (
+           |  SELECT doc_id, blk,
+           |         CASE WHEN len(s) <= 3 THEN [s]
+           |              ELSE list_distinct([substr(s, i, 3) for i in range(1, len(s) - 1)])
+           |         END AS g
+           |  FROM t
+           |), pairs AS (
+           |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+           |  FROM sh a JOIN sh b ON a.blk = b.blk AND a.doc_id < b.doc_id
+           |  WHERE round(CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+           |              / len(list_distinct(list_concat(a.g, b.g))), 6) >= 0.5
+           |), edges AS (
+           |  SELECT id_a AS a, id_b AS b FROM pairs
+           |  UNION SELECT id_b, id_a FROM pairs
+           |), reach(a, b) AS (
+           |  SELECT a, b FROM edges
+           |  UNION
+           |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+           |), nodes AS (SELECT DISTINCT a AS id FROM edges)
+           |SELECT CAST(n.id AS BIGINT) AS id,
+           |       CAST(least(n.id, min(r.b)) AS BIGINT) AS cluster
+           |FROM nodes n LEFT JOIN reach r ON n.id = r.a
+           |GROUP BY n.id""".stripMargin))
+
   private val qEmbeddingNearDup = Q("q_embedding_neardup",
     (s, dir) => Dedup.embeddingNearDup(t(s, dir, "embeddings"),
       "embedding", "vec_id", threshold = 0.4, lshBits = 4, bands = 2)
@@ -845,7 +887,7 @@ object Queries {
     qAgg, qDistinct, qWindowRank, qSort, qUnionDedup,
     qStringFuncs, qSplitConcat, qDateParts, qSeqId,
     qFuzzyMatch, qEventsHourly,
-    qDedupExact, qDedupMinhash, qDedupSimhash, qNgramJaccard,
+    qDedupExact, qDedupMinhash, qDedupSimhash, qNgramJaccard, qDupClusters,
     qEmbeddingNearDup, qAnnBrute, qAnnLsh, qAnnIvf,
     qTextStats, qCorpusStats, qChunkText, qFingerprint, qMultimodal,
     qStarJoin, qAggFused, qTopkPerGroup, qCountDistinct, qSessionizeBatch,

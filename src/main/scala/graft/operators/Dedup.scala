@@ -198,6 +198,77 @@ object Dedup {
         round(sortedJaccard(col("__sh_a"), col("__sh_b")), 6).as("jaccard"))
   }
 
+  /** Connected components over a near-dup pair graph: every node gets
+    * the minimum id reachable from it as its `cluster` label — the step
+    * that turns pairwise candidates into dedup groups. Only ids that
+    * appear in `pairs` are returned (unpaired docs are their own
+    * implicit cluster — see [[dedupByPairs]] for the apply side).
+    *
+    * Algorithm: iterative min-label propagation with pointer jumping —
+    * each round every node takes the smallest label among itself and
+    * its neighbors (one join + partial-min aggregate), then follows its
+    * label's label (path halving). The jump makes long chains converge
+    * in O(log diameter) rounds instead of O(diameter); near-dup
+    * clusters are near-cliques, so real corpora converge in 2-3 rounds.
+    * Each round is a fixed number of key-partitioned joins — no driver
+    * materialization of the graph. Refuses (throws) rather than return
+    * a partially-converged labeling if `maxIters` is exhausted.
+    */
+  def dupClusters(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
+                  maxIters: Int = 25): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val sym = pairs.select(col(idA).as("a"), col(idB).as("b"))
+      .unionByName(pairs.select(col(idB).as("a"), col(idA).as("b")))
+      .distinct()
+    sym.persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      var labels = sym.select(col("a").as("id")).distinct()
+        .withColumn("label", col("id"))
+      labels.persist(StorageLevel.MEMORY_AND_DISK)
+      var iter = 0
+      var done = false
+      while (!done) {
+        if (iter >= maxIters) throw new IllegalStateException(
+          s"dupClusters did not converge in $maxIters rounds — " +
+            "pathological graph diameter; raise maxIters")
+        // 1) neighbor-min: smallest label among self + neighbors
+        val viaNbr = sym
+          .join(labels.select(col("id").as("b"), col("label").as("__nl")), Seq("b"))
+          .groupBy(col("a").as("id")).agg(min(col("__nl")).as("__nbr"))
+        val pulled = labels.join(viaNbr, Seq("id"), "left")
+          .select(col("id"),
+            least(col("label"), coalesce(col("__nbr"), col("label"))).as("label"))
+        // 2) pointer jump (path halving): label := label's label — labels
+        // only ever decrease, so the inner join target always exists
+        val jumped = pulled
+          .join(pulled.select(col("id").as("__jid"), col("label").as("__jl")),
+            col("label") === col("__jid"))
+          .select(col("id"), col("__jl").as("label"))
+        jumped.persist(StorageLevel.MEMORY_AND_DISK)
+        val changed = labels
+          .join(jumped.withColumnRenamed("label", "__new"), Seq("id"))
+          .filter(col("label") =!= col("__new")).count()
+        labels.unpersist(blocking = false)
+        labels = jumped
+        done = changed == 0
+        iter += 1
+      }
+      labels.select(col("id"), col("label").as("cluster"))
+    } finally sym.unpersist(blocking = false)
+  }
+
+  /** Apply a pair graph as a dedup: keep the minimum-id representative
+    * of every near-dup cluster plus all unpaired rows. The anti-join
+    * side is only the NON-representatives — ids never in `pairs` pass
+    * through untouched.
+    */
+  def dedupByPairs(df: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
+    val losers = dupClusters(pairs)
+      .filter(col("id") =!= col("cluster"))
+      .select(col("id").as(idCol))
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** Embedding near-duplicate pairs: cosine >= threshold, candidates from
     * random-hyperplane LSH buckets (see
     * [[graft.functions.VectorFunctions.cosineLshBucket]]).

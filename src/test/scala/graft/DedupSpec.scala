@@ -58,6 +58,33 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists { case (a, b) => b == 4L || a == 4L })
   }
 
+  test("dupClusters: transitive chains collapse to min-id components") {
+    // chain 1-2-3-4 (diameter 3 — exercises the pointer jump), pair 5-6,
+    // isolated pair graph members only
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L), (3L, 4L), (8L, 9L))
+      .toDF("id_a", "id_b")
+    val out = Dedup.dupClusters(pairs).as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      5L -> 5L, 6L -> 5L, 8L -> 8L, 9L -> 8L))
+  }
+
+  test("dedupByPairs keeps one representative per cluster plus unpaired rows") {
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val kept = Dedup.dedupByPairs(docs, "doc_id", pairs)
+      .select("doc_id").as[Long].collect().toSet
+    // cluster {1,2,3} -> keep 1; docs 4 and 5 never paired -> pass through
+    assert(kept == Set(1L, 4L, 5L))
+  }
+
+  test("dupClusters: empty pair graph converges immediately") {
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id_a", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("id_b", org.apache.spark.sql.types.LongType))))
+    assert(Dedup.dupClusters(empty).count() == 0)
+  }
+
   test("bucket cap is enforced inside the aggregation buffer; drops are counted") {
     import org.apache.spark.sql.Observation
     // 10 byte-identical docs: every band has ONE bucket holding all 10
