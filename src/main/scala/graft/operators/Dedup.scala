@@ -222,12 +222,21 @@ object Dedup {
       .distinct()
     sym.persist(StorageLevel.MEMORY_AND_DISK)
     try {
+      // localCheckpoint (eager) after every round: the pointer-jump
+      // self-join puts TWO copies of the previous round's plan under the
+      // new one, so without lineage truncation the logical plan — and
+      // Catalyst's re-analysis of it — grows EXPONENTIALLY with rounds
+      // (measured: round 4 spent 27 s planning a 4-round lineage at
+      // sf0.1). Checkpointing caps every round at a constant-size plan.
+      // On a real cluster prefer reliable `checkpoint()` (localCheckpoint
+      // state dies with an executor).
       var labels = sym.select(col("a").as("id")).distinct()
         .withColumn("label", col("id"))
-      labels.persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(true)
       var iter = 0
       var done = false
       while (!done) {
+        val roundT0 = System.nanoTime()
         if (iter >= maxIters) throw new IllegalStateException(
           s"dupClusters did not converge in $maxIters rounds — " +
             "pathological graph diameter; raise maxIters")
@@ -244,11 +253,13 @@ object Dedup {
           .join(pulled.select(col("id").as("__jid"), col("label").as("__jl")),
             col("label") === col("__jid"))
           .select(col("id"), col("__jl").as("label"))
-        jumped.persist(StorageLevel.MEMORY_AND_DISK)
+          .localCheckpoint(true)
         val changed = labels
           .join(jumped.withColumnRenamed("label", "__new"), Seq("id"))
           .filter(col("label") =!= col("__new")).count()
-        labels.unpersist(blocking = false)
+        if (sys.env.contains("GRAFT_DEBUG_CC"))
+          System.err.println(s"[dupClusters] round ${iter + 1}: $changed labels changed " +
+            s"(${(System.nanoTime() - roundT0) / 1e9}s)")
         labels = jumped
         done = changed == 0
         iter += 1
