@@ -88,6 +88,12 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q_asof_join: union-sentinel plan — no nested-loop range join") {
+    val p = plan("q_asof_join")
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"), p)
+    assert(p.contains("Window"), p) // the carry-forward pass
+  }
+
   test("q_star_join: every dimension side broadcasts") {
     val p = plan("q_star_join")
     // orders/customer/supplier/nation/region joined to lineitem — the
