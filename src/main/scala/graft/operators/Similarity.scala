@@ -159,6 +159,72 @@ object Similarity {
     centroids
   }
 
+  /** Build a PERSISTENT IVF index: the inverted lists land as parquet
+    * partitioned by `centroid_id` (plus a tiny centroids table), so a
+    * later probe physically reads only the probed lists' files —
+    * `nProbes / nCentroids` of the corpus bytes, enforced by partition
+    * pruning rather than a post-scan filter. This is the offline-build /
+    * online-probe split a billion-vector deployment actually uses;
+    * [[ivfTopK]] is the build-and-probe-in-one convenience.
+    */
+  def buildIvfIndex(corpus: DataFrame, vecCol: String, idCol: String,
+                    dir: String, nCentroids: Int = 16,
+                    kmeansIters: Int = 3): Unit = {
+    val spark = corpus.sparkSession
+    val centroids = kmeansCentroids(corpus, vecCol, idCol, nCentroids, kmeansIters)
+    require(centroids.nonEmpty, "cannot build an IVF index over an empty corpus")
+    val centroidRows = centroids.zipWithIndex.map { case (v, i) =>
+      org.apache.spark.sql.Row(i + 1L, v.toSeq)
+    }
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(centroidRows, 1),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("centroid_id",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("vec",
+            org.apache.spark.sql.types.ArrayType(
+              org.apache.spark.sql.types.DoubleType, containsNull = false),
+            nullable = false))))
+      .write.mode("overwrite").parquet(s"$dir/centroids")
+    corpus
+      .filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("corpus_id"),
+        VectorFunctions.l2Normalize(col(vecCol)).as("unit_vec"))
+      .withColumn("centroid_id",
+        element_at(VectorFunctions.topCentroids(col("unit_vec"), centroids, 1), 1))
+      .write.mode("overwrite").partitionBy("centroid_id").parquet(s"$dir/lists")
+  }
+
+  /** Probe a [[buildIvfIndex]] index. The probed centroid ids (≤
+    * nCentroids values — driver-safe by construction) become a static
+    * partition filter, so the scan touches only the probed lists' files.
+    */
+  def ivfTopKIndexed(spark: org.apache.spark.sql.SparkSession, dir: String,
+                     queries: DataFrame, vecCol: String, idCol: String,
+                     k: Int, nProbes: Int = 2): DataFrame = {
+    val centroids = spark.read.parquet(s"$dir/centroids")
+      .orderBy(col("centroid_id").asc).select(col("vec"))
+      .collect().map(_.getSeq[Double](0).toArray)
+    require(centroids.nonEmpty, s"no centroids found under $dir")
+    val probing = queries
+      .filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("query_id"),
+        VectorFunctions.l2Normalize(col(vecCol)).as("__qv"))
+      .withColumn("centroid_id",
+        explode(VectorFunctions.topCentroids(col("__qv"), centroids, nProbes)))
+    val probedIds = probing.select("centroid_id").distinct()
+      .collect().map(_.getLong(0))
+    // filter BEFORE any cast on the partition column — the pruning
+    // rewrite must see the raw attribute to skip list directories
+    val lists = spark.read.parquet(s"$dir/lists")
+      .filter(col("centroid_id").isin(probedIds: _*))
+      .withColumn("centroid_id", col("centroid_id").cast("long"))
+    val scored = lists.join(probing, Seq("centroid_id"))
+      .filter(col("query_id") =!= col("corpus_id"))
+      .withColumn("cosine", round(VectorFunctions.dot(col("__qv"), col("unit_vec")), 6))
+    topKPerQuery(scored, k)
+  }
+
   /** IVF-Flat ANN: corpus bucketed by nearest centroid, queries probe the
     * `nProbes` nearest inverted lists, exact cosine re-rank within.
     */

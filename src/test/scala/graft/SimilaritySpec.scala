@@ -112,6 +112,31 @@ class SimilaritySpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("persistent IVF index: probe equals build-and-probe; scan prunes partitions") {
+    val rnd = new scala.util.Random(31)
+    val corpus = (0 until 200)
+      .map(i => (i.toLong, Array.fill(8)(rnd.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    val queries = corpus.filter(col("vec_id") < 6)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf").toString
+    Similarity.buildIvfIndex(corpus, "embedding", "vec_id", dir,
+      nCentroids = 8, kmeansIters = 3)
+    val indexed = Similarity.ivfTopKIndexed(spark, dir, queries,
+      "embedding", "vec_id", k = 4, nProbes = 2)
+    val direct = Similarity.ivfTopK(corpus, queries, "embedding", "vec_id",
+      k = 4, nCentroids = 8, nProbes = 2, kmeansIters = 3)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "corpus_id", "rank").as[(Long, Long, Int)].collect().toSet
+    // deterministic k-means → the index holds the same inverted lists
+    assert(rows(indexed) == rows(direct))
+    // the probe must reach the scan as a PARTITION filter (skips files),
+    // not a post-scan row filter
+    val f = indexed.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    val scanLine = f.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(scanLine.contains("centroid_id"), f)
+  }
+
   test("vector functions: dot / norm / cosine / normalize") {
     val df = Seq((Array(3.0f, 4.0f), Array(3.0f, 4.0f))).toDF("a", "b")
     val row = df.select(
