@@ -483,6 +483,60 @@ object Queries {
            |FROM nodes n LEFT JOIN reach r ON n.id = r.a
            |GROUP BY n.id""".stripMargin))
 
+  /** The dedup path END-TO-END under one oracle: exact pair detection →
+    * connected components → drop non-representatives → chunk-budget
+    * accounting on the survivors. Every stage is oracle-expressible, so
+    * the COMPOSITION is hash-checked, not just each operator alone. */
+  private val qDedupPipeline = Q("q_dedup_pipeline",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.ngramJaccardPairs(
+        docs.withColumn("blk",
+          concat_ws("#", col("lang"), pmod(col("doc_id"), lit(16)).cast("string"))),
+        "text", "doc_id", "blk", n = 3)
+        .filter(col("jaccard") >= 0.5)
+      Dedup.dedupByPairs(docs, "doc_id", pairs)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).cast("bigint").as("n_docs"),
+          sum(size(TF.chunkText(col("text"), maxTokens = 50, overlap = 5)))
+            .cast("bigint").as("n_chunks"))
+    },
+    Some("""WITH RECURSIVE t AS (
+           |  SELECT doc_id, lang || '#' || CAST(doc_id % 16 AS VARCHAR) AS blk,
+           |         lower(trim(text)) AS s
+           |  FROM documents
+           |), sh AS (
+           |  SELECT doc_id, blk,
+           |         CASE WHEN len(s) <= 3 THEN [s]
+           |              ELSE list_distinct([substr(s, i, 3) for i in range(1, len(s) - 1)])
+           |         END AS g
+           |  FROM t
+           |), pairs AS (
+           |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+           |  FROM sh a JOIN sh b ON a.blk = b.blk AND a.doc_id < b.doc_id
+           |  WHERE round(CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+           |              / len(list_distinct(list_concat(a.g, b.g))), 6) >= 0.5
+           |), edges AS (
+           |  SELECT id_a AS a, id_b AS b FROM pairs
+           |  UNION SELECT id_b, id_a FROM pairs
+           |), reach(a, b) AS (
+           |  SELECT a, b FROM edges
+           |  UNION
+           |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+           |), losers AS (
+           |  SELECT a AS id FROM reach GROUP BY a HAVING min(b) < a
+           |), kept AS (
+           |  SELECT * FROM documents WHERE doc_id NOT IN (SELECT id FROM losers)
+           |), ch AS (
+           |  SELECT lang,
+           |         CASE WHEN len(trim(text)) = 0 THEN 0
+           |              ELSE len(range(0, len(string_split_regex(trim(text), '[ \t\n\x0B\f\r]+')), 45))
+           |         END AS n_chunks
+           |  FROM kept)
+           |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           |       CAST(sum(n_chunks) AS BIGINT) AS n_chunks
+           |FROM ch GROUP BY 1""".stripMargin))
+
   private val qEmbeddingNearDup = Q("q_embedding_neardup",
     (s, dir) => Dedup.embeddingNearDup(t(s, dir, "embeddings"),
       "embedding", "vec_id", threshold = 0.4, lshBits = 4, bands = 2)
@@ -888,6 +942,7 @@ object Queries {
     qStringFuncs, qSplitConcat, qDateParts, qSeqId,
     qFuzzyMatch, qEventsHourly,
     qDedupExact, qDedupMinhash, qDedupSimhash, qNgramJaccard, qDupClusters,
+    qDedupPipeline,
     qEmbeddingNearDup, qAnnBrute, qAnnLsh, qAnnIvf,
     qTextStats, qCorpusStats, qChunkText, qFingerprint, qMultimodal,
     qStarJoin, qAggFused, qTopkPerGroup, qCountDistinct, qSessionizeBatch,
