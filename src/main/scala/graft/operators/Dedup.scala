@@ -228,8 +228,10 @@ object Dedup {
       // Catalyst's re-analysis of it — grows EXPONENTIALLY with rounds
       // (measured: round 4 spent 27 s planning a 4-round lineage at
       // sf0.1). Checkpointing caps every round at a constant-size plan.
-      // On a real cluster prefer reliable `checkpoint()` (localCheckpoint
-      // state dies with an executor).
+      // Superseded rounds' blocks are reclaimed by the ContextCleaner
+      // once unreferenced (no public API unpersists a localCheckpoint);
+      // on a real cluster prefer reliable `checkpoint()` — localCheckpoint
+      // state also dies with an executor.
       var labels = sym.select(col("a").as("id")).distinct()
         .withColumn("label", col("id"))
         .localCheckpoint(true)

@@ -154,33 +154,42 @@ object Ops {
     * key before picking the max, and Spark plans it as BNLJ.
     *
     * Contract: right rows should be unique per (keys, ts) — equal-ts
-    * duplicates make "the" as-of row ill-defined (pre-aggregate them);
-    * a NULL in a right value column is treated as absent (the previous
-    * non-null value carries forward).
+    * duplicates make "the" as-of row ill-defined (pre-aggregate them).
+    * SQL-equality semantics on nulls, matching the oracle exactly:
+    * right rows with a NULL key or NULL ts can never match and are
+    * dropped; the matched right row travels as ONE struct, so a
+    * matched row whose value column is NULL yields NULL (never an
+    * older row's value) and value columns can't mix across rows.
     */
   def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
                tsCol: String, valueCols: Seq[String]): DataFrame = {
     require(valueCols.nonEmpty, "asofJoin needs at least one right value column")
     val lCols = left.columns.toSeq
+    val vType = org.apache.spark.sql.types.StructType(
+      valueCols.map(c => right.schema(c)))
     val lSide = left.select(
-      (keys.map(col) :+ col(tsCol).as("__ts") :+ lit(1).as("__tag")
-        :+ struct(lCols.map(col): _*).as("__l"))
-        ++ valueCols.map(c => lit(null).cast(right.schema(c).dataType).as(s"__v_$c")): _*)
-    val rSide = right.select(
-      (keys.map(col) :+ col(tsCol).as("__ts") :+ lit(0).as("__tag")
-        :+ lit(null).cast(lSide.schema("__l").dataType).as("__l"))
-        ++ valueCols.map(c => col(c).as(s"__v_$c")): _*)
+      keys.map(col) :+ col(tsCol).as("__ts") :+ lit(1).as("__tag")
+        :+ struct(lCols.map(col): _*).as("__l")
+        :+ lit(null).cast(vType).as("__vrow"): _*)
+    val rSide = right
+      .filter(keys.map(col(_).isNotNull).reduce(_ && _) && col(tsCol).isNotNull)
+      .select(
+        keys.map(col) :+ col(tsCol).as("__ts") :+ lit(0).as("__tag")
+          :+ lit(null).cast(lSide.schema("__l").dataType).as("__l")
+          :+ struct(valueCols.map(col): _*).as("__vrow"): _*)
     // right rows order BEFORE left rows at equal ts (tag 0 < 1), making
-    // the join inclusive: a right row at exactly left.ts is visible
+    // the join inclusive: a right row at exactly left.ts is visible.
+    // A left row with a NULL ts sorts before every (non-null-ts) right
+    // row and so matches nothing — same as SQL's `l.ts >= r.ts`.
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("__ts").asc, col("__tag").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     lSide.unionByName(rSide)
-      .select(col("__tag") +: col("__l") +: valueCols.map(c =>
-        last(col(s"__v_$c"), ignoreNulls = true).over(w).as(s"__cv_$c")): _*)
+      .select(col("__tag"), col("__l"),
+        last(col("__vrow"), ignoreNulls = true).over(w).as("__cv"))
       .filter(col("__tag") === 1)
       .select(lCols.map(c => col("__l").getField(c).as(c)) ++
-        valueCols.map(c => col(s"__cv_$c").as(c)): _*)
+        valueCols.map(c => col("__cv").getField(c).as(c)): _*)
   }
 
   /** Deterministic "take n per group" for dataset balancing: rows are

@@ -25,31 +25,30 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Two-phase per-query top-k over scored candidate rows
-    * (`query_id`, `corpus_id`, `cosine`).
-    *
-    * Phase 1 prunes candidates to k per (query, INPUT partition): the
-    * exchange hashes on (query_id, partition id) — |queries| × |input
-    * partitions| reducer keys — and each group keeps ≤ k rows. Phase 2's
-    * global per-query window then ranks at most |partitions| × k rows
-    * per query. A single-phase window funnels EVERY candidate row into
-    * |queries| reducer partitions — a straggler/OOM shape when the
-    * corpus grows 100×. Pruning partition-local top-k can never change
-    * the answer: a global top-k row is by definition in the top-k of
-    * whichever partition scored it.
+  /** Per-query top-k over scored candidate rows (`query_id`,
+    * `corpus_id`, `cosine`) as a BOUNDED AGGREGATION, not a window: the
+    * `collect_smallest` buffer keyed on `(-cosine, corpus_id)` keeps at
+    * most k candidates per query in the partial (map-side) aggregation,
+    * so the only exchange carries ≤ k rows per query per map task — no
+    * full shuffle of the candidate set ever happens. A per-query window
+    * would exchange EVERY candidate row (and funnel each query's rows
+    * into one reducer: a straggler/OOM shape when the corpus grows
+    * 100×). Ordering matches the window formulation: cosine descending,
+    * ties to the smaller corpus id; map-side pruning cannot change the
+    * answer (a global top-k row is in the top-k of every subset that
+    * contains it). Scores are assumed non-null (upstream filters null
+    * vectors).
     */
   private def topKPerQuery(scored: DataFrame, k: Int): DataFrame =
     scored
-      .withColumn("__pid", spark_partition_id())
-      .withColumn("__lrn", row_number().over(
-        Window.partitionBy(col("query_id"), col("__pid"))
-          .orderBy(col("cosine").desc, col("corpus_id").asc)))
-      .filter(col("__lrn") <= k)
-      .withColumn("__rn", row_number().over(
-        Window.partitionBy(col("query_id"))
-          .orderBy(col("cosine").desc, col("corpus_id").asc)))
-      .filter(col("__rn") <= k)
-      .select(col("query_id"), col("corpus_id"), col("cosine"), col("__rn").as("rank"))
+      .groupBy(col("query_id"))
+      .agg(Dedup.collectSmallest(
+        struct((lit(0d) - col("cosine")).as("negc"),
+          col("corpus_id").as("cid"), col("cosine").as("c")), k).as("__top"))
+      .select(col("query_id"), posexplode(col("__top")).as(Seq("__r", "__m")))
+      .select(col("query_id"), col("__m").getField("cid").as("corpus_id"),
+        col("__m").getField("c").as("cosine"),
+        (col("__r") + 1).cast("int").as("rank"))
 
   /** Exact top-k by cosine. Queries are broadcast; the big corpus side
     * never shuffles to score — only pruned top-k candidates reach the
@@ -212,6 +211,10 @@ object Similarity {
         VectorFunctions.l2Normalize(col(vecCol)).as("__qv"))
       .withColumn("centroid_id",
         explode(VectorFunctions.topCentroids(col("__qv"), centroids, nProbes)))
+      // the probed-ids collect below and the list join both consume this
+      // subplan — cache it so queries are normalized and scored once
+      // (tiny: |queries| × nProbes rows; reclaimed by the ContextCleaner)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val probedIds = probing.select("centroid_id").distinct()
       .collect().map(_.getLong(0))
     // filter BEFORE any cast on the partition column — the pruning

@@ -285,6 +285,12 @@ case class CollectSmallest(
   // field-by-field — the same ordering array_sort uses)
   private lazy val ord: Ordering[Any] = TypeUtils.getInterpretedOrdering(child.dataType)
 
+  // unorderable child types (maps) must fail analysis with a clear
+  // message, not die mid-task in the lazily-built ordering — this
+  // aggregate is SQL-reachable via the registered collect_smallest
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    TypeUtils.checkForOrderingExpr(child.dataType, prettyName)
+
   override def createAggregationBuffer(): scala.collection.mutable.PriorityQueue[Any] =
     scala.collection.mutable.PriorityQueue.empty[Any](ord)
 

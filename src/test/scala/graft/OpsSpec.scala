@@ -118,6 +118,25 @@ class OpsSpec extends SparkSpec {
       (3L, "e", -1.0))) // key with no right rows at all
   }
 
+  test("asofJoin null semantics match SQL equality (the DuckDB ASOF oracle)") {
+    val left = Seq(
+      (Some(1L), Some(10L), "a"),
+      (None, Some(10L), "nullkey"),   // NULL key never equals NULL key
+      (Some(1L), None, "nullts"))     // NULL ts satisfies no ts >= comparison
+      .toDF("k", "ts", "tag")
+    val right = Seq(
+      (Some(1L), Some(5L), Some(1.0)),
+      (Some(1L), Some(8L), None),     // matched-but-NULL must stay NULL,
+                                      // not fall back to the 5 o'clock 1.0
+      (None, Some(1L), Some(99.0)),   // unmatchable: NULL key
+      (Some(1L), None, Some(77.0)))   // unmatchable: NULL ts
+      .toDF("k", "ts", "v")
+    val out = Ops.asofJoin(left, right, Seq("k"), "ts", Seq("v"))
+      .collect().map(r => (r.getString(2),
+        if (r.isNullAt(3)) -1.0 else r.getDouble(3))).toMap
+    assert(out == Map("a" -> -1.0, "nullkey" -> -1.0, "nullts" -> -1.0))
+  }
+
   test("samplePerGroup: exact n per group, deterministic, rows from the input") {
     val data = (1 to 500).map(i => (s"c${i % 4}", i.toLong, s"payload$i"))
     val df = data.toDF("cls", "id", "payload").repartition(9)

@@ -53,10 +53,13 @@ class PlanSpec extends SparkSpec {
     assert("Aggregate".r.findAllIn(p).size >= 2, p) // partial + final
   }
 
-  test("q_ann_brute: two-phase top-k (partition-local prune before the global window)") {
+  test("q_ann_brute: top-k is a bounded aggregation, not a per-query window") {
     val p = plan("q_ann_brute")
-    assert("Window \\[".r.findAllIn(p).size >= 2, p)
-    assert(p.toLowerCase.contains("spark_partition_id"), p)
+    // collect_smallest partial+final: map-side prune to k per query per
+    // task; a Window here would exchange every scored candidate row
+    assert(!p.contains("Window"), p)
+    assert(p.contains("collect_smallest"), p)
+    assert("ObjectHashAggregate".r.findAllIn(p).size >= 2, p)
   }
 
   test("q_agg_fused: single aggregate pass, no join") {
