@@ -255,7 +255,9 @@ object Dedup {
           .join(pulled.select(col("id").as("__jid"), col("label").as("__jl")),
             col("label") === col("__jid"))
           .select(col("id"), col("__jl").as("label"))
-          .localCheckpoint(true)
+          // lazy: the changed-count below materializes the checkpoint in
+          // the same job instead of spending a separate eager action
+          .localCheckpoint(false)
         val changed = labels
           .join(jumped.withColumnRenamed("label", "__new"), Seq("id"))
           .filter(col("label") =!= col("__new")).count()
