@@ -43,6 +43,25 @@ class PropertiesSpec extends SparkSpec {
     assert(math.abs(agree - trueJ) < 0.12, s"est=$agree true=$trueJ") // ±3σ-ish at k=256
   }
 
+  test("asofJoin matches a per-row reference on random keys and timestamps") {
+    val left = Seq.fill(300)((rnd.nextInt(8).toLong, rnd.nextInt(100).toLong))
+      .zipWithIndex.map { case ((k, ts), i) => (k, ts, i.toLong) }
+    val right = Seq.fill(60)((rnd.nextInt(8).toLong, rnd.nextInt(100).toLong))
+      .distinct // unique per (k, ts) — the operator's contract
+      .map { case (k, ts) => (k, ts, rnd.nextDouble()) }
+    val out = Ops.asofJoin(left.toDF("k", "ts", "rowid"),
+        right.toDF("k", "ts", "v"), Seq("k"), "ts", Seq("v"))
+      .collect()
+      .map(r => r.getLong(2) -> (if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+      .toMap
+    val rightByKey = right.groupBy(_._1)
+    left.foreach { case (k, ts, id) =>
+      val want = rightByKey.getOrElse(k, Nil)
+        .filter(_._2 <= ts).sortBy(_._2).lastOption.map(_._3)
+      assert(out(id) == want, s"k=$k ts=$ts")
+    }
+  }
+
   test("chunkText: chunks at overlap 0 partition the tokens exactly, any text") {
     val alphabet = "ab 1\t?\n"
     for (_ <- 1 to 150) {
