@@ -51,6 +51,15 @@ object Dedup {
       CollectSmallest(GraftBridge.expression(c), limit).toAggregateExpression())
   }
 
+  /** [[collectSmallest]] with set semantics: duplicate values occupy one
+    * slot (the `limit` smallest DISTINCT values). Small limits only —
+    * the dedup check is linear in the buffer. */
+  def collectSmallestDistinct(c: Column, limit: Int): Column = {
+    import org.apache.spark.sql.{CollectSmallest, GraftBridge}
+    GraftBridge.column(CollectSmallest(GraftBridge.expression(c), limit,
+      distinct = true).toAggregateExpression())
+  }
+
   /** MinHash + LSH candidate pairs with exact-Jaccard verification (over
     * 64-bit shingle hashes — equal to string-set Jaccard up to hash
     * collisions).

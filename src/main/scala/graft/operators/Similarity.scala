@@ -39,16 +39,21 @@ object Similarity {
     * contains it). Scores are assumed non-null (upstream filters null
     * vectors).
     */
-  private def topKPerQuery(scored: DataFrame, k: Int): DataFrame =
+  private def topKPerQuery(scored: DataFrame, k: Int,
+                           distinct: Boolean = false): DataFrame = {
+    val item = struct((lit(0d) - col("cosine")).as("negc"),
+      col("corpus_id").as("cid"), col("cosine").as("c"))
+    val top =
+      if (distinct) Dedup.collectSmallestDistinct(item, k)
+      else Dedup.collectSmallest(item, k)
     scored
       .groupBy(col("query_id"))
-      .agg(Dedup.collectSmallest(
-        struct((lit(0d) - col("cosine")).as("negc"),
-          col("corpus_id").as("cid"), col("cosine").as("c")), k).as("__top"))
+      .agg(top.as("__top"))
       .select(col("query_id"), posexplode(col("__top")).as(Seq("__r", "__m")))
       .select(col("query_id"), col("__m").getField("cid").as("corpus_id"),
         col("__m").getField("c").as("cosine"),
         (col("__r") + 1).cast("int").as("rank"))
+  }
 
   /** Exact top-k by cosine. Queries are broadcast; the big corpus side
     * never shuffles to score — only pruned top-k candidates reach the
@@ -67,29 +72,40 @@ object Similarity {
 
   /** LSH-bucketed ANN: candidates = corpus vectors sharing the query's
     * hyperplane-sign bucket; exact cosine re-rank inside the bucket.
-    * Recall is tunable via `nBits` (fewer bits = bigger buckets = higher
-    * recall, more compute) and `multiProbe` (also probe the nBits
-    * buckets one sign-flip away).
+    * Three independent recall levers:
+    *  - `nBits`: fewer bits = bigger buckets = higher recall, more compute
+    *  - `multiProbe`: also probe the nBits buckets one sign-flip away
+    *  - `nTables`: independent hash tables (E2LSH OR-amplification) — a
+    *    candidate surfaces if it collides in ANY table, at nTables× the
+    *    bucketing/join cost. A pair can then arrive once per table, so
+    *    the top-k aggregation switches to distinct mode (one slot per
+    *    candidate).
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame,
               vecCol: String, idCol: String, k: Int,
-              nBits: Int = 8, multiProbe: Boolean = false): DataFrame = {
+              nBits: Int = 8, multiProbe: Boolean = false,
+              nTables: Int = 1): DataFrame = {
+    require(nTables >= 1, s"nTables must be >= 1, got $nTables")
+    def tableBuckets(v: Column): Column = array((0 until nTables).map(t =>
+      VectorFunctions.cosineLshBucket(v, nBits, seed = 42L + t)): _*)
     val c = corpus
       .select(col(idCol).as("corpus_id"), col(vecCol).as("__cv"))
-      .withColumn("__bkt", VectorFunctions.cosineLshBucket(col("__cv"), nBits))
+      .select(col("corpus_id"), col("__cv"),
+        posexplode(tableBuckets(col("__cv"))).as(Seq("__tbl", "__bkt")))
     val q0 = queries
       .select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
-      .withColumn("__qbkt", VectorFunctions.cosineLshBucket(col("__qv"), nBits))
+      .select(col("query_id"), col("__qv"),
+        posexplode(tableBuckets(col("__qv"))).as(Seq("__tbl", "__qbkt")))
     val q =
       if (!multiProbe) q0.withColumn("__bkt", col("__qbkt"))
       else q0.withColumn("__bkt", explode(array(
         col("__qbkt") +: (0 until nBits).map(b =>
           col("__qbkt").bitwiseXOR(lit(1L << b))): _*)))
-    val scored = c.join(q.drop("__qbkt"), Seq("__bkt"))
+    val scored = c.join(q.drop("__qbkt"), Seq("__tbl", "__bkt"))
       .filter(col("query_id") =!= col("corpus_id"))
       .withColumn("cosine",
         round(VectorFunctions.cosineSimilarity(col("__qv"), col("__cv")), 6))
-    topKPerQuery(scored, k)
+    topKPerQuery(scored, k, distinct = nTables > 1)
   }
 
   /** Deterministic Lloyd k-means over unit vectors (cosine/spherical:

@@ -88,6 +88,27 @@ class SimilaritySpec extends SparkSpec {
     assert(ivfRecall >= 0.3, s"IVF recall $ivfRecall")
   }
 
+  test("multi-table LSH: recall never drops, output has no duplicate pairs") {
+    val rnd = new scala.util.Random(17)
+    val corpus = (0 until 300)
+      .map(i => (i.toLong, Array.fill(16)(rnd.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    val queries = corpus.filter(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(corpus, queries, "embedding", "vec_id", 5)
+      .select("query_id", "corpus_id").as[(Long, Long)].collect().toSet
+    def run(tables: Int) = Similarity.lshTopK(corpus, queries,
+      "embedding", "vec_id", 5, nBits = 6, nTables = tables)
+    val one = run(1).select("query_id", "corpus_id").as[(Long, Long)].collect().toSet
+    val fourRows = run(4).select("query_id", "corpus_id").as[(Long, Long)].collect()
+    val four = fourRows.toSet
+    // a pair colliding in several tables must occupy ONE top-k slot
+    assert(fourRows.length == four.size, "duplicate (query, corpus) pairs in output")
+    val r1 = exact.count(one.contains).toDouble / exact.size
+    val r4 = exact.count(four.contains).toDouble / exact.size
+    assert(r4 >= r1, s"recall dropped with more tables: $r1 -> $r4")
+    assert(r4 > 0.0)
+  }
+
   test("two-phase top-k equals the single-window answer on a multi-partition corpus") {
     val rnd = new scala.util.Random(23)
     val corpus = (0 until 500)
