@@ -802,6 +802,26 @@ object Queries {
            |        ORDER BY o_totalprice DESC, o_orderkey) AS rk FROM orders) x
            |WHERE rk <= 3""".stripMargin))
 
+  /** PIVOT / crosstab (beyond the reference's flat group-bys): revenue
+    * per order year × priority as columns. Spark's `pivot` with pinned
+    * values = conditional aggregation, which is exactly how the oracle
+    * spells it — so column names and null cells match hash-for-hash. */
+  private val qPivot = Q("q_pivot",
+    (s, dir) => {
+      val priorities = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+      t(s, dir, "orders")
+        .groupBy(year(col("o_orderdate")).cast("bigint").as("oyear"))
+        .pivot("o_orderpriority", priorities)
+        .agg(round(sum("o_totalprice"), 4))
+    },
+    Some("""SELECT CAST(year(o_orderdate) AS BIGINT) AS oyear,
+           |       round(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN o_totalprice END), 4) AS "1-URGENT",
+           |       round(sum(CASE WHEN o_orderpriority = '2-HIGH' THEN o_totalprice END), 4) AS "2-HIGH",
+           |       round(sum(CASE WHEN o_orderpriority = '3-MEDIUM' THEN o_totalprice END), 4) AS "3-MEDIUM",
+           |       round(sum(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN o_totalprice END), 4) AS "4-NOT SPECIFIED",
+           |       round(sum(CASE WHEN o_orderpriority = '5-LOW' THEN o_totalprice END), 4) AS "5-LOW"
+           |FROM orders GROUP BY 1""".stripMargin))
+
   private val qCountDistinct = Q("q_count_distinct",
     (s, dir) => t(s, dir, "orders")
       .groupBy(year(col("o_orderdate")).cast("bigint").as("oyear"))
@@ -946,5 +966,5 @@ object Queries {
     qEmbeddingNearDup, qAnnBrute, qAnnLsh, qAnnIvf,
     qTextStats, qCorpusStats, qChunkText, qFingerprint, qMultimodal,
     qStarJoin, qAggFused, qTopkPerGroup, qCountDistinct, qSessionizeBatch,
-    qRollup, qSemiAnti, qSetOps, qAsofJoin)
+    qRollup, qSemiAnti, qSetOps, qAsofJoin, qPivot)
 }

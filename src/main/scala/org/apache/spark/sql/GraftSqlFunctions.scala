@@ -21,6 +21,12 @@ object GraftSqlFunctions {
       s"$fn expects a literal integer argument, got $other")
   }
 
+  private def boolArg(e: Expression, fn: String): Boolean = e match {
+    case Literal(v: Boolean, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$fn expects a literal boolean argument, got $other")
+  }
+
   private def asDoubleArray(e: Expression): Expression =
     Cast(e, ArrayType(DoubleType))
 
@@ -66,9 +72,10 @@ object GraftSqlFunctions {
         intArg(c(2), "chunk_text"))),
     (FunctionIdentifier("collect_smallest"),
       info("collect_smallest",
-        "collect_smallest(x, limit) - the limit smallest values per group, sorted; " +
-          "bounded aggregation buffer (safe on pathologically hot groups)"),
-      (c: Seq[Expression]) => CollectSmallest(c(0), intArg(c(1), "collect_smallest"))))
+        "collect_smallest(x, limit[, distinct]) - the limit smallest values per group, " +
+          "sorted; bounded aggregation buffer (safe on pathologically hot groups)"),
+      (c: Seq[Expression]) => CollectSmallest(c(0), intArg(c(1), "collect_smallest"),
+        if (c.length >= 3) boolArg(c(2), "collect_smallest") else false)))
 
   /** Register on an already-built session. */
   def register(spark: SparkSession): Unit = {

@@ -85,6 +85,26 @@ class EventStreamsSpec extends SparkSpec {
     assert(kept == Set(1L, 3L), s"kept $kept")
   }
 
+  test("collect_smallest works inside a streaming aggregation (state-store round trip)") {
+    // the bounded aggregate must survive the streaming state store's
+    // serialize/merge cycle across triggers — a running "k best scores
+    // per key" is the streaming shape it exists for
+    val input = MemoryStream[(String, Long)](spark, numPartitions = 1)
+    val agg = input.toDF().toDF("k", "v")
+      .groupBy("k")
+      .agg(graft.operators.Dedup.collectSmallest(col("v"), 3).as("best"))
+    val q = agg.writeStream.format("memory").queryName("stream_topk")
+      .outputMode("complete").start()
+    input.addData(("a", 5L), ("a", 9L), ("b", 2L))
+    q.processAllAvailable()
+    input.addData(("a", 1L), ("a", 7L), ("a", 3L)) // second trigger merges state
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("stream_topk")
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    assert(out == Map("a" -> Seq(1L, 3L, 5L), "b" -> Seq(2L)))
+  }
+
   test("sessionize: in-watermark out-of-order event bridges two open sessions") {
     val input = MemoryStream[SessionEvent](spark, numPartitions = 1)
     val sessions = EventStreams.sessionize(input.toDS(), gapMs = 60000,
