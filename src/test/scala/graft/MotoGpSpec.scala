@@ -86,6 +86,20 @@ class MotoGpSpec extends SparkSpec {
     assert(jerezIdRace.subsetOf(jerezRaces))
   }
 
+  test("golden signatures are column-order and row-order independent, value-sensitive") {
+    import graft.motogp.MotoGpRun.tableSignature
+    val df = spark.range(0, 100).selectExpr("id", "id * 2 AS v", "CAST(id AS STRING) AS s")
+    val base = tableSignature(df)
+    // column order must not matter (signature sorts by name)
+    assert(tableSignature(df.select("s", "id", "v")) == base)
+    // row order must not matter (orderless hash sum)
+    assert(tableSignature(df.orderBy(col("v").desc)) == base)
+    // any value drift must
+    assert(tableSignature(df.withColumn("v", col("v") + 1)) != base)
+    // schema drift must (renamed column changes the schema component)
+    assert(tableSignature(df.withColumnRenamed("v", "w")) != base)
+  }
+
   test("json source: missing file and glob paths behave sanely") {
     import graft.motogp.{MotoGpSchemas, MotoGpSources}
     // missing file → empty frame with declared schema (doNotFailIfNoFile=Y)
