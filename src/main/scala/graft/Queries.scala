@@ -360,6 +360,65 @@ object Queries {
            |  FROM nation n CROSS JOIN region r) x
            |WHERE rn = 1""".stripMargin))
 
+  /** Semi-structured JSON column handling: schema-on-read extraction
+    * from the `props` JSON string (both the path-extraction and the
+    * typed `from_json` forms must agree), then an aggregate over the
+    * extracted field. */
+  private val qJsonExtract = Q("q_json_extract",
+    (s, dir) => {
+      val ev = events(s, dir).select(
+        col("event_type"),
+        get_json_object(col("props"), "$.k").cast("bigint").as("k"),
+        from_json(col("props"), StructType(Seq(StructField("k", LongType))))
+          .getField("k").as("k2"))
+      ev.filter(col("k") === col("k2")) // the two parse paths must agree
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).cast("bigint").as("n"),
+          min(col("k")).as("min_k"), max(col("k")).as("max_k"),
+          round(avg(col("k")), 4).as("avg_k"))
+    },
+    Some("""SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+           |       CAST(min(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS min_k,
+           |       CAST(max(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS max_k,
+           |       round(avg(CAST(props->>'$.k' AS BIGINT)), 4) AS avg_k
+           |FROM events
+           |WHERE CAST(props->>'$.k' AS BIGINT) IS NOT NULL
+           |GROUP BY 1""".stripMargin))
+
+  /** The full analytic-window surface beyond row_number: lag/lead,
+    * ntile, percent_rank, cume_dist, and a running sum — one query, all
+    * oracle-checked (the ORDER BY is total-ordered via the okey
+    * tie-break, so peer-sensitive functions are deterministic). */
+  private val qWindowSuite = Q("q_window_suite",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("priority"))
+        .orderBy(col("total").asc, col("okey").asc)
+      t(s, dir, "orders")
+        .select(col("o_orderkey").cast("bigint").as("okey"),
+          col("o_orderpriority").as("priority"),
+          col("o_totalprice").as("total"))
+        .withColumn("prev_total", lag(col("total"), 1).over(w))
+        .withColumn("next_total", lead(col("total"), 1).over(w))
+        .withColumn("quartile", ntile(4).over(w).cast("bigint"))
+        .withColumn("pct_rank", round(percent_rank().over(w), 6))
+        .withColumn("cume", round(cume_dist().over(w), 6))
+        .withColumn("running", round(sum(col("total"))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 4))
+    },
+    Some("""SELECT CAST(o_orderkey AS BIGINT) AS okey,
+           |       o_orderpriority AS priority, o_totalprice AS total,
+           |       lag(o_totalprice) OVER w AS prev_total,
+           |       lead(o_totalprice) OVER w AS next_total,
+           |       CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+           |       round(percent_rank() OVER w, 6) AS pct_rank,
+           |       round(cume_dist() OVER w, 6) AS cume,
+           |       round(sum(o_totalprice) OVER (PARTITION BY o_orderpriority
+           |             ORDER BY o_totalprice, o_orderkey
+           |             ROWS UNBOUNDED PRECEDING), 4) AS running
+           |FROM orders
+           |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)""".stripMargin))
+
   // ---------------------------------------------------------------------
   // time-window aggregation over the events stream table (batch mirror of
   // the streaming path in graft.streaming)
@@ -960,7 +1019,7 @@ object Queries {
     qJoinInner, qJoinLeft3key, qJoinRight, qJoinMultiway,
     qAgg, qDistinct, qWindowRank, qSort, qUnionDedup,
     qStringFuncs, qSplitConcat, qDateParts, qSeqId,
-    qFuzzyMatch, qEventsHourly,
+    qFuzzyMatch, qEventsHourly, qJsonExtract, qWindowSuite,
     qDedupExact, qDedupMinhash, qDedupSimhash, qNgramJaccard, qDupClusters,
     qDedupPipeline,
     qEmbeddingNearDup, qAnnBrute, qAnnLsh, qAnnIvf,
