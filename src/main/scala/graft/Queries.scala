@@ -603,6 +603,32 @@ object Queries {
         col("id_b").cast("bigint").as("id_b"), col("cosine")),
     None) // LSH-bucketed candidates: rows-only check (recall < 1 by design)
 
+  /** Array / higher-order-function surface over the embedding column
+    * (the hot ANN paths use codegen kernels instead — see
+    * VectorFunctions — but general array manipulation is part of the
+    * user-facing engine). Outputs are comparison-exact (min/max/counts/
+    * element access), so no float-summation-order hazards. */
+  private val qArrayFuncs = Q("q_array_funcs",
+    (s, dir) => {
+      val d = col("embedding").cast("array<double>")
+      t(s, dir, "embeddings").select(
+        col("vec_id").cast("bigint").as("vec_id"),
+        size(d).cast("bigint").as("dim"),
+        round(array_min(d), 6).as("min_e"),
+        round(array_max(d), 6).as("max_e"),
+        size(filter(d, x => x > 0)).cast("bigint").as("n_pos"),
+        round(element_at(d, 1), 6).as("e0"),
+        round(element_at(reverse(array_sort(d)), 2), 6).as("second_largest"))
+    },
+    Some("""SELECT CAST(vec_id AS BIGINT) AS vec_id,
+           |       CAST(len(embedding) AS BIGINT) AS dim,
+           |       round(list_min(list_transform(embedding, x -> CAST(x AS DOUBLE))), 6) AS min_e,
+           |       round(list_max(list_transform(embedding, x -> CAST(x AS DOUBLE))), 6) AS max_e,
+           |       CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT) AS n_pos,
+           |       round(CAST(embedding[1] AS DOUBLE), 6) AS e0,
+           |       round(list_reverse_sort(list_transform(embedding, x -> CAST(x AS DOUBLE)))[2], 6) AS second_largest
+           |FROM embeddings""".stripMargin))
+
   // ---------------------------------------------------------------------
   // Similarity search (ANN)
   // ---------------------------------------------------------------------
@@ -1022,7 +1048,7 @@ object Queries {
     qFuzzyMatch, qEventsHourly, qJsonExtract, qWindowSuite,
     qDedupExact, qDedupMinhash, qDedupSimhash, qNgramJaccard, qDupClusters,
     qDedupPipeline,
-    qEmbeddingNearDup, qAnnBrute, qAnnLsh, qAnnIvf,
+    qEmbeddingNearDup, qArrayFuncs, qAnnBrute, qAnnLsh, qAnnIvf,
     qTextStats, qCorpusStats, qChunkText, qFingerprint, qMultimodal,
     qStarJoin, qAggFused, qTopkPerGroup, qCountDistinct, qSessionizeBatch,
     qRollup, qSemiAnti, qSetOps, qAsofJoin, qPivot)
