@@ -218,9 +218,31 @@ object Ops {
       .select(cols.map(c => col("__m").getField("__row").getField(c).as(c)): _*)
   }
 
-  /** Append streams = UNION ALL by name (reference motogp.ktr:1379). */
-  def unionAppend(head: DataFrame, tail: DataFrame): DataFrame =
-    head.unionByName(tail)
+  /** Content-hash Bernoulli sample: keep a row iff a seeded hash of the
+    * whole row falls under `fraction`. Unlike `df.sample`, the draw is a
+    * pure function of row CONTENT — stable under repartitioning, task
+    * retries, and AQE re-planning (`sample`'s per-partition RNG changes
+    * membership whenever partitioning does), and reproducible across
+    * runs for lineage/debugging. Duplicate rows are kept or dropped
+    * together (same hash) — the sensible semantics for corpus sampling.
+    */
+  def deterministicSample(df: DataFrame, fraction: Double,
+                          seed: Long = 42L): DataFrame = {
+    require(fraction >= 0.0 && fraction <= 1.0,
+      s"fraction must be in [0, 1], got $fraction")
+    val bound = (fraction * (1L << 32).toDouble).toLong
+    df.filter(pmod(xxhash64(struct(df.columns.map(col): _*), lit(seed)),
+      lit(1L << 32)) < bound)
+  }
+
+  /** Append streams = UNION ALL by name (reference motogp.ktr:1379).
+    * `evolved = true` tolerates schema drift: columns present on only
+    * one side come through as nulls on the other (the ingestion shape
+    * when upstream adds a field mid-corpus).
+    */
+  def unionAppend(head: DataFrame, tail: DataFrame,
+                  evolved: Boolean = false): DataFrame =
+    head.unionByName(tail, allowMissingColumns = evolved)
 
   /** Keep-first dedup by key with an explicit deterministic order
     * (reference `Unique rows` motogp.ktr:8722 keeps the first row of a

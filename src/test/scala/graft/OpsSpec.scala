@@ -157,6 +157,30 @@ class OpsSpec extends SparkSpec {
     assert(tiny.count() == 3)
   }
 
+  test("deterministicSample: partition-invariant, seed-sensitive, fraction-accurate") {
+    val df = (1 to 5000).map(i => (i.toLong, s"row$i")).toDF("id", "payload")
+    val a = Ops.deterministicSample(df, 0.2).select("id").as[Long].collect().toSet
+    // repartitioning must not change membership (df.sample would)
+    val b = Ops.deterministicSample(df.repartition(17), 0.2)
+      .select("id").as[Long].collect().toSet
+    assert(a == b)
+    assert(math.abs(a.size / 5000.0 - 0.2) < 0.03, s"got ${a.size}")
+    val c = Ops.deterministicSample(df, 0.2, seed = 7L).select("id").as[Long].collect().toSet
+    assert(c != a)
+    assert(Ops.deterministicSample(df, 0.0).count() == 0)
+    assert(Ops.deterministicSample(df, 1.0).count() == 5000)
+  }
+
+  test("unionAppend evolved mode tolerates schema drift with null fill") {
+    val v1 = Seq((1L, "a")).toDF("id", "text")
+    val v2 = Seq((2L, "b", "en")).toDF("id", "text", "lang")
+    val out = Ops.unionAppend(v1, v2, evolved = true)
+    assert(out.columns.toSeq == Seq("id", "text", "lang"))
+    val rows = out.collect().map(r => (r.getLong(0),
+      if (r.isNullAt(2)) null else r.getString(2))).toMap
+    assert(rows == Map(1L -> null, 2L -> "en"))
+  }
+
   test("unionAppend + dedupKeepFirst keeps first by declared order") {
     val a = Seq(("k1", 2, "second"), ("k1", 1, "first")).toDF("k", "ord", "tag")
     val b = Seq(("k2", 1, "only")).toDF("k", "ord", "tag")
