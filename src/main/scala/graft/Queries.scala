@@ -611,7 +611,10 @@ object Queries {
   private val qArrayFuncs = Q("q_array_funcs",
     (s, dir) => {
       val d = col("embedding").cast("array<double>")
-      t(s, dir, "embeddings").select(
+      // null guard on BOTH sides: Spark's size(NULL) is -1 (legacy
+      // sizeOfNull) while DuckDB's len(NULL) is NULL — a null row would
+      // break parity asymmetrically
+      t(s, dir, "embeddings").filter(col("embedding").isNotNull).select(
         col("vec_id").cast("bigint").as("vec_id"),
         size(d).cast("bigint").as("dim"),
         round(array_min(d), 6).as("min_e"),
@@ -627,7 +630,7 @@ object Queries {
            |       CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT) AS n_pos,
            |       round(CAST(embedding[1] AS DOUBLE), 6) AS e0,
            |       round(list_reverse_sort(list_transform(embedding, x -> CAST(x AS DOUBLE)))[2], 6) AS second_largest
-           |FROM embeddings""".stripMargin))
+           |FROM embeddings WHERE embedding IS NOT NULL""".stripMargin))
 
   // ---------------------------------------------------------------------
   // Similarity search (ANN)

@@ -86,16 +86,23 @@ object Similarity {
               nBits: Int = 8, multiProbe: Boolean = false,
               nTables: Int = 1): DataFrame = {
     require(nTables >= 1, s"nTables must be >= 1, got $nTables")
-    def tableBuckets(v: Column): Column = array((0 until nTables).map(t =>
-      VectorFunctions.cosineLshBucket(v, nBits, seed = 42L + t)): _*)
-    val c = corpus
-      .select(col(idCol).as("corpus_id"), col(vecCol).as("__cv"))
-      .select(col("corpus_id"), col("__cv"),
-        posexplode(tableBuckets(col("__cv"))).as(Seq("__tbl", "__bkt")))
-    val q0 = queries
-      .select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
-      .select(col("query_id"), col("__qv"),
-        posexplode(tableBuckets(col("__qv"))).as(Seq("__tbl", "__qbkt")))
+    // single-table keeps the plain projection path — no Generate node
+    // over a 1-element array, no always-zero __tbl join key overhead
+    def bucketed(df: DataFrame, vc: String, bktCol: String): DataFrame =
+      if (nTables == 1)
+        df.withColumn("__tbl", lit(0))
+          .withColumn(bktCol, VectorFunctions.cosineLshBucket(col(vc), nBits))
+      else
+        df.select(df.columns.map(col) :+
+          posexplode(array((0 until nTables).map(t =>
+            VectorFunctions.cosineLshBucket(col(vc), nBits, seed = 42L + t)): _*))
+            .as(Seq("__tbl", bktCol)): _*)
+    val c = bucketed(
+      corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("__cv")),
+      "__cv", "__bkt")
+    val q0 = bucketed(
+      queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv")),
+      "__qv", "__qbkt")
     val q =
       if (!multiProbe) q0.withColumn("__bkt", col("__qbkt"))
       else q0.withColumn("__bkt", explode(array(

@@ -271,10 +271,11 @@ case class VectorL2Normalize(child: Expression)
   *
   * The buffer is a size-capped max-heap: the largest kept value is O(1)
   * to inspect, so each update is O(log limit) and merge is
-  * O(m log limit). `distinct` adds a hash-set shadow of the heap (still
-  * bounded at limit) so duplicate values occupy one slot — the mode the
-  * multi-table LSH top-k needs, where the same candidate can arrive
-  * once per hash table.
+  * O(m log limit). `distinct` makes duplicate values occupy one slot —
+  * the mode the multi-table LSH top-k needs, where the same candidate
+  * can arrive once per hash table. The dedup check is a LINEAR scan of
+  * the kept buffer (O(limit) per insert), so use distinct only with
+  * top-k-sized limits, not the 4096-member bucket caps.
   */
 case class CollectSmallest(
     child: Expression,
