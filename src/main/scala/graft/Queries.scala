@@ -335,6 +335,33 @@ object Queries {
            |       CAST(row_number() OVER (ORDER BY n_name, n_nationkey) AS BIGINT) AS seq
            |FROM nation""".stripMargin))
 
+  /** Edit-distance surface beside Jaro-Winkler (both engines implement
+    * textbook Levenshtein): all nation × region name pairs scored. */
+  private val qEditDistance = Q("q_edit_distance",
+    (s, dir) => t(s, dir, "nation").crossJoin(t(s, dir, "region"))
+      .select(col("n_name"), col("r_name"),
+        levenshtein(col("n_name"), col("r_name")).cast("bigint").as("lev"),
+        levenshtein(lower(col("n_name")), lower(col("r_name")))
+          .cast("bigint").as("lev_ci")),
+    Some("""SELECT n_name, r_name,
+           |       CAST(levenshtein(n_name, r_name) AS BIGINT) AS lev,
+           |       CAST(levenshtein(lower(n_name), lower(r_name)) AS BIGINT) AS lev_ci
+           |FROM nation CROSS JOIN region""".stripMargin))
+
+  /** Regex group extraction (Java and RE2 agree on these anchored
+    * letter-class patterns). */
+  private val qRegexExtract = Q("q_regex_extract",
+    (s, dir) => t(s, dir, "part").select(
+      col("p_partkey").cast("bigint").as("pkey"),
+      regexp_extract(col("p_type"), "([A-Z]+)$", 1).as("last_type_word"),
+      regexp_extract(col("p_name"), "^([a-z]+)", 1).as("first_name_word"),
+      regexp_extract(col("p_brand"), "([0-9]+)", 1).as("brand_num")),
+    Some("""SELECT CAST(p_partkey AS BIGINT) AS pkey,
+           |       regexp_extract(p_type, '([A-Z]+)$', 1) AS last_type_word,
+           |       regexp_extract(p_name, '^([a-z]+)', 1) AS first_name_word,
+           |       regexp_extract(p_brand, '([0-9]+)', 1) AS brand_num
+           |FROM part""".stripMargin))
+
   // ---------------------------------------------------------------------
   // §2.9 fuzzy best-match join (Jaro-Winkler, Kettle FuzzyMatch)
   // ---------------------------------------------------------------------
@@ -1048,6 +1075,7 @@ object Queries {
     qJoinInner, qJoinLeft3key, qJoinRight, qJoinMultiway,
     qAgg, qDistinct, qWindowRank, qSort, qUnionDedup,
     qStringFuncs, qSplitConcat, qDateParts, qSeqId,
+    qEditDistance, qRegexExtract,
     qFuzzyMatch, qEventsHourly, qJsonExtract, qWindowSuite,
     qDedupExact, qDedupMinhash, qDedupSimhash, qNgramJaccard, qDupClusters,
     qDedupPipeline,
