@@ -495,9 +495,12 @@ object Queries {
     * every SF — the shape a real dedup-verify stage uses after
     * candidate blocking). */
   private val qNgramJaccard = Q("q_ngram_jaccard",
+    // concat, NOT concat_ws (here and in the two cluster queries below):
+    // a NULL lang must produce a NULL block key that never equi-joins,
+    // matching the oracle's null-propagating `lang || '#' || …`
     (s, dir) => Dedup.ngramJaccardPairs(
       t(s, dir, "documents").withColumn("blk",
-        concat_ws("#", col("lang"), pmod(col("doc_id"), lit(16)).cast("string"))),
+        concat(col("lang"), lit("#"), pmod(col("doc_id"), lit(16)).cast("string"))),
       "text", "doc_id", "blk", n = 3)
       .filter(col("jaccard") >= 0.2)
       .select(col("id_a").cast("bigint").as("id_a"),
@@ -536,7 +539,7 @@ object Queries {
     (s, dir) => Dedup.dupClusters(
       Dedup.ngramJaccardPairs(
         t(s, dir, "documents").withColumn("blk",
-          concat_ws("#", col("lang"), pmod(col("doc_id"), lit(16)).cast("string"))),
+          concat(col("lang"), lit("#"), pmod(col("doc_id"), lit(16)).cast("string"))),
         "text", "doc_id", "blk", n = 3)
         .filter(col("jaccard") >= 0.5))
       .select(col("id").cast("bigint").as("id"),
@@ -578,7 +581,7 @@ object Queries {
       val docs = t(s, dir, "documents")
       val pairs = Dedup.ngramJaccardPairs(
         docs.withColumn("blk",
-          concat_ws("#", col("lang"), pmod(col("doc_id"), lit(16)).cast("string"))),
+          concat(col("lang"), lit("#"), pmod(col("doc_id"), lit(16)).cast("string"))),
         "text", "doc_id", "blk", n = 3)
         .filter(col("jaccard") >= 0.5)
       Dedup.dedupByPairs(docs, "doc_id", pairs)

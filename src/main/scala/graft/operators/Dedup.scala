@@ -251,25 +251,27 @@ object Dedup {
         if (iter >= maxIters) throw new IllegalStateException(
           s"dupClusters did not converge in $maxIters rounds — " +
             "pathological graph diameter; raise maxIters")
-        // 1) neighbor-min: smallest label among self + neighbors
+        // 1) neighbor-min: smallest label among self + neighbors. The
+        // round's ORIGINAL label rides along as __prev so convergence is
+        // a column compare at the end — not another labels⋈jumped join
+        // (which would shuffle both sides on id again)
         val viaNbr = sym
           .join(labels.select(col("id").as("b"), col("label").as("__nl")), Seq("b"))
           .groupBy(col("a").as("id")).agg(min(col("__nl")).as("__nbr"))
         val pulled = labels.join(viaNbr, Seq("id"), "left")
           .select(col("id"),
-            least(col("label"), coalesce(col("__nbr"), col("label"))).as("label"))
+            least(col("label"), coalesce(col("__nbr"), col("label"))).as("label"),
+            col("label").as("__prev"))
         // 2) pointer jump (path halving): label := label's label — labels
         // only ever decrease, so the inner join target always exists
         val jumped = pulled
           .join(pulled.select(col("id").as("__jid"), col("label").as("__jl")),
             col("label") === col("__jid"))
-          .select(col("id"), col("__jl").as("label"))
+          .select(col("id"), col("__jl").as("label"), col("__prev"))
           // lazy: the changed-count below materializes the checkpoint in
           // the same job instead of spending a separate eager action
           .localCheckpoint(false)
-        val changed = labels
-          .join(jumped.withColumnRenamed("label", "__new"), Seq("id"))
-          .filter(col("label") =!= col("__new")).count()
+        val changed = jumped.filter(col("label") =!= col("__prev")).count()
         if (sys.env.contains("GRAFT_DEBUG_CC"))
           System.err.println(s"[dupClusters] round ${iter + 1}: $changed labels changed " +
             s"(${(System.nanoTime() - roundT0) / 1e9}s)")

@@ -36,8 +36,10 @@ object Similarity {
     * 100×). Ordering matches the window formulation: cosine descending,
     * ties to the smaller corpus id; map-side pruning cannot change the
     * answer (a global top-k row is in the top-k of every subset that
-    * contains it). Scores are assumed non-null (upstream filters null
-    * vectors).
+    * contains it). Null scores (a null embedding on either side) are
+    * dropped here — a null `negc` would otherwise sort FIRST in the
+    * struct ordering and fill every top-k — so every caller is null-safe
+    * regardless of its own filtering.
     */
   private def topKPerQuery(scored: DataFrame, k: Int,
                            distinct: Boolean = false): DataFrame = {
@@ -47,6 +49,7 @@ object Similarity {
       if (distinct) Dedup.collectSmallestDistinct(item, k)
       else Dedup.collectSmallest(item, k)
     scored
+      .filter(col("cosine").isNotNull)
       .groupBy(col("query_id"))
       .agg(top.as("__top"))
       .select(col("query_id"), posexplode(col("__top")).as(Seq("__r", "__m")))
@@ -61,8 +64,13 @@ object Similarity {
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
                      vecCol: String, idCol: String, k: Int): DataFrame = {
-    val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("__cv"))
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+    // null embeddings carry no position — excluded before scoring, like
+    // the IVF paths (topKPerQuery would drop their null cosines anyway;
+    // filtering here avoids broadcasting/scoring them at all)
+    val c = corpus.filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("corpus_id"), col(vecCol).as("__cv"))
+    val q = queries.filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
     val scored = c.crossJoin(broadcast(q))
       .filter(col("query_id") =!= col("corpus_id"))
       .withColumn("cosine",
@@ -234,10 +242,12 @@ object Similarity {
         VectorFunctions.l2Normalize(col(vecCol)).as("__qv"))
       .withColumn("centroid_id",
         explode(VectorFunctions.topCentroids(col("__qv"), centroids, nProbes)))
-      // the probed-ids collect below and the list join both consume this
-      // subplan — cache it so queries are normalized and scored once
-      // (tiny: |queries| × nProbes rows; reclaimed by the ContextCleaner)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // the probed-ids collect below and the list join each evaluate this
+    // subplan once. Recomputing it is the right trade: the repeated work
+    // is |queries| × nCentroids × dim flops (trivial next to scoring the
+    // probed lists), while a persist here would leak a cached block per
+    // probe until the nondeterministic ContextCleaner runs — there is no
+    // sound place to unpersist a lazily-consumed DataFrame
     val probedIds = probing.select("centroid_id").distinct()
       .collect().map(_.getLong(0))
     // filter BEFORE any cast on the partition column — the pruning

@@ -367,6 +367,21 @@ case class TopCentroids(child: Expression, centroids: Array[Array[Double]], n: I
   require(n >= 1, s"n must be >= 1, got $n")
   require(centroids.nonEmpty, "centroids must be non-empty")
 
+  // the case-class equals/hashCode on Array fields would be reference
+  // identity, making two semantically identical kernels never compare
+  // equal — defeating Catalyst canonicalization / semanticEquals /
+  // common-subexpression elimination. Compare the matrix by value.
+  override def equals(other: Any): Boolean = other match {
+    case t: TopCentroids =>
+      child == t.child && n == t.n &&
+        java.util.Arrays.deepEquals(
+          centroids.asInstanceOf[Array[AnyRef]], t.centroids.asInstanceOf[Array[AnyRef]])
+    case _ => false
+  }
+  override def hashCode(): Int =
+    java.util.Objects.hash(child, Int.box(n),
+      Int.box(java.util.Arrays.deepHashCode(centroids.asInstanceOf[Array[AnyRef]])))
+
   override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(DoubleType))
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "top_centroids"

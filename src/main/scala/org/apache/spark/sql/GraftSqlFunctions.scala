@@ -30,52 +30,77 @@ object GraftSqlFunctions {
   private def asDoubleArray(e: Expression): Expression =
     Cast(e, ArrayType(DoubleType))
 
+  /** Reject wrong argument counts at analysis time: without this a call
+    * like `collect_smallest(x, 5, true, 99)` would silently ignore the
+    * extras (the builders index into `c` positionally), and a too-short
+    * call would fail with an opaque IndexOutOfBounds.
+    */
+  private def arity(fn: String, usage: String, min: Int, max: Int)(
+      build: Seq[Expression] => Expression): Seq[Expression] => Expression =
+    (c: Seq[Expression]) => {
+      if (c.length < min || c.length > max)
+        throw new IllegalArgumentException(
+          s"$fn expects ${if (min == max) s"$min" else s"$min to $max"} " +
+            s"arguments, got ${c.length}; usage: $usage")
+      build(c)
+    }
+
   val all: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("jaro_winkler"),
       info("jaro_winkler", "jaro_winkler(a, b) - Jaro-Winkler similarity in [0,1]"),
-      (c: Seq[Expression]) => JaroWinklerSimilarity(c(0), c(1))),
+      arity("jaro_winkler", "jaro_winkler(a, b)", 2, 2)(
+        c => JaroWinklerSimilarity(c(0), c(1)))),
     (FunctionIdentifier("simhash64"),
       info("simhash64", "simhash64(tokens) - 64-bit SimHash of a string array"),
-      (c: Seq[Expression]) => SimHash64(c(0))),
+      arity("simhash64", "simhash64(tokens)", 1, 1)(c => SimHash64(c(0)))),
     (FunctionIdentifier("simhash_text"),
       info("simhash_text", "simhash_text(text) - one-pass lowercase+tokenize+SimHash"),
-      (c: Seq[Expression]) => SimHashText(c(0))),
+      arity("simhash_text", "simhash_text(text)", 1, 1)(c => SimHashText(c(0)))),
     (FunctionIdentifier("shingle_hashes64"),
       info("shingle_hashes64", "shingle_hashes64(text, n) - sorted distinct n-gram shingle hashes"),
-      (c: Seq[Expression]) => ShingleHashes64(c(0), intArg(c(1), "shingle_hashes64"))),
+      arity("shingle_hashes64", "shingle_hashes64(text, n)", 2, 2)(
+        c => ShingleHashes64(c(0), intArg(c(1), "shingle_hashes64")))),
     (FunctionIdentifier("minhashes"),
       info("minhashes", "minhashes(hashes, k) - K-member MinHash signature"),
-      (c: Seq[Expression]) => MinHashes(c(0), intArg(c(1), "minhashes"))),
+      arity("minhashes", "minhashes(hashes, k)", 2, 2)(
+        c => MinHashes(c(0), intArg(c(1), "minhashes")))),
     (FunctionIdentifier("sorted_jaccard"),
       info("sorted_jaccard", "sorted_jaccard(a, b) - Jaccard of sorted long arrays"),
-      (c: Seq[Expression]) => SortedLongJaccard(c(0), c(1))),
+      arity("sorted_jaccard", "sorted_jaccard(a, b)", 2, 2)(
+        c => SortedLongJaccard(c(0), c(1)))),
     (FunctionIdentifier("text_stats"),
       info("text_stats", "text_stats(text) - struct of per-document counts"),
-      (c: Seq[Expression]) => TextStats(c(0))),
+      arity("text_stats", "text_stats(text)", 1, 1)(c => TextStats(c(0)))),
     (FunctionIdentifier("vector_dot"),
       info("vector_dot", "vector_dot(a, b) - dot product of numeric arrays"),
-      (c: Seq[Expression]) => VectorDot(asDoubleArray(c(0)), asDoubleArray(c(1)))),
+      arity("vector_dot", "vector_dot(a, b)", 2, 2)(
+        c => VectorDot(asDoubleArray(c(0)), asDoubleArray(c(1))))),
     (FunctionIdentifier("vector_cosine"),
       info("vector_cosine", "vector_cosine(a, b) - cosine similarity (0 on zero norm)"),
-      (c: Seq[Expression]) => VectorCosine(asDoubleArray(c(0)), asDoubleArray(c(1)))),
+      arity("vector_cosine", "vector_cosine(a, b)", 2, 2)(
+        c => VectorCosine(asDoubleArray(c(0)), asDoubleArray(c(1))))),
     (FunctionIdentifier("vector_l2_normalize"),
       info("vector_l2_normalize", "vector_l2_normalize(a) - unit-length copy"),
-      (c: Seq[Expression]) => VectorL2Normalize(asDoubleArray(c(0)))),
+      arity("vector_l2_normalize", "vector_l2_normalize(a)", 1, 1)(
+        c => VectorL2Normalize(asDoubleArray(c(0))))),
     (FunctionIdentifier("vector_lsh_bucket"),
       info("vector_lsh_bucket", "vector_lsh_bucket(a, nBits) - hyperplane-sign LSH bucket"),
-      (c: Seq[Expression]) => VectorLshBucket(asDoubleArray(c(0)),
-        intArg(c(1), "vector_lsh_bucket"), 42L)),
+      arity("vector_lsh_bucket", "vector_lsh_bucket(a, nBits)", 2, 2)(
+        c => VectorLshBucket(asDoubleArray(c(0)),
+          intArg(c(1), "vector_lsh_bucket"), 42L))),
     (FunctionIdentifier("chunk_text"),
       info("chunk_text",
         "chunk_text(text, maxTokens, overlap) - sliding token-window chunks"),
-      (c: Seq[Expression]) => ChunkText(c(0), intArg(c(1), "chunk_text"),
-        intArg(c(2), "chunk_text"))),
+      arity("chunk_text", "chunk_text(text, maxTokens, overlap)", 3, 3)(
+        c => ChunkText(c(0), intArg(c(1), "chunk_text"),
+          intArg(c(2), "chunk_text")))),
     (FunctionIdentifier("collect_smallest"),
       info("collect_smallest",
         "collect_smallest(x, limit[, distinct]) - the limit smallest values per group, " +
           "sorted; bounded aggregation buffer (safe on pathologically hot groups)"),
-      (c: Seq[Expression]) => CollectSmallest(c(0), intArg(c(1), "collect_smallest"),
-        if (c.length >= 3) boolArg(c(2), "collect_smallest") else false)))
+      arity("collect_smallest", "collect_smallest(x, limit[, distinct])", 2, 3)(
+        c => CollectSmallest(c(0), intArg(c(1), "collect_smallest"),
+          if (c.length >= 3) boolArg(c(2), "collect_smallest") else false))))
 
   /** Register on an already-built session. */
   def register(spark: SparkSession): Unit = {

@@ -55,6 +55,24 @@ class NullEdgeSpec extends SparkSpec {
     assert(out == Map(1L -> 7L, 2L -> 0L))
   }
 
+  test("null-lang documents never pair: block key null-propagates like SQL ||") {
+    // doc ids 16 apart land in the same modulo sub-block; identical text
+    // would pair if the block key were non-null. concat (unlike
+    // concat_ws) yields a NULL key for NULL lang, which never
+    // equi-joins — exactly the oracle's `lang || '#' || …` semantics.
+    val docs = Seq(
+      (1L, Some("en"), "the same text exactly"),
+      (17L, Some("en"), "the same text exactly"),
+      (3L, None, "the same text exactly"),
+      (19L, None, "the same text exactly")
+    ).toDF("doc_id", "lang", "text")
+      .withColumn("blk",
+        concat(col("lang"), lit("#"), pmod(col("doc_id"), lit(16)).cast("string")))
+    val pairs = Dedup.ngramJaccardPairs(docs, "text", "doc_id", "blk", n = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 17L)), s"null-lang docs paired: $pairs")
+  }
+
   test("vector ops: mismatched dimensions fail loudly, never truncate") {
     val df = Seq((Array(1.0f, 2.0f), Array(1.0f, 2.0f, 3.0f))).toDF("a", "b")
     def chain(t: Throwable): Seq[String] =

@@ -158,6 +158,39 @@ class SimilaritySpec extends SparkSpec {
     assert(scanLine.contains("centroid_id"), f)
   }
 
+  test("null embeddings never occupy top-k slots (brute force)") {
+    // a null vector yields a null cosine; the collect_smallest struct
+    // ordering would rank a null negc FIRST — both the upstream filter
+    // and the topKPerQuery guard must keep such rows out
+    val withNulls = corpus.unionByName(
+      Seq((99L, null.asInstanceOf[Array[Float]])).toDF("vec_id", "embedding"))
+    val out = Similarity.bruteForceTopK(withNulls,
+      withNulls.filter(col("vec_id").isin(1L, 99L)), "embedding", "vec_id", k = 3)
+    val rows = out.select("query_id", "corpus_id").as[(Long, Long)].collect()
+    assert(rows.nonEmpty)
+    assert(!rows.exists(_._2 == 99L), "null-embedding corpus row ranked")
+    assert(!rows.exists(_._1 == 99L), "null-embedding query emitted")
+    val clean = Similarity.bruteForceTopK(corpus,
+      corpus.filter(col("vec_id") === 1L), "embedding", "vec_id", k = 3)
+      .select("query_id", "corpus_id", "rank").as[(Long, Long, Int)].collect().toSet
+    val got = out.select("query_id", "corpus_id", "rank")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got == clean, "null rows changed the non-null query's answer")
+  }
+
+  test("top_centroids kernels with equal centroid matrices compare equal") {
+    // Array fields default to reference equality, which would defeat
+    // Catalyst canonicalization / subexpression elimination — the
+    // expression must compare the matrix by value
+    def kernel(m: Array[Array[Double]]): Object =
+      org.apache.spark.sql.TopCentroids(
+        org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute("embedding"), m, 1)
+    val e1 = kernel(Array(Array(1.0, 0.0), Array(0.0, 1.0)))
+    val e2 = kernel(Array(Array(1.0, 0.0), Array(0.0, 1.0)))
+    assert(e1 == e2 && e1.hashCode == e2.hashCode)
+    assert(e1 != kernel(Array(Array(2.0, 0.0), Array(0.0, 1.0))))
+  }
+
   test("vector functions: dot / norm / cosine / normalize") {
     val df = Seq((Array(3.0f, 4.0f), Array(3.0f, 4.0f))).toDF("a", "b")
     val row = df.select(

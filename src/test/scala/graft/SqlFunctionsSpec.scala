@@ -65,6 +65,21 @@ class SqlFunctionsSpec extends SparkSpec {
     assert(out(1).getSeq[Int](1) == Seq(9))
   }
 
+  test("wrong argument counts are rejected, not silently ignored") {
+    for (bad <- Seq(
+        // extra 4th arg used to be dropped without error
+        "SELECT collect_smallest(v, 3, true, 99) FROM VALUES (1) AS t(v)",
+        "SELECT jaro_winkler('a')",
+        "SELECT vector_dot(array(1.0))",
+        "SELECT text_stats('a', 'b')")) {
+      val e = intercept[Exception] { spark.sql(bad).collect() }
+      def chain(t: Throwable): Seq[String] =
+        Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+          .map(x => String.valueOf(x.getMessage)).toSeq
+      assert(chain(e).exists(_.contains("expects")), s"$bad -> ${chain(e)}")
+    }
+  }
+
   test("non-literal size argument is rejected with a clear error") {
     val e = intercept[Exception] {
       spark.sql("SELECT shingle_hashes64('abc', length('xy'))").collect()
