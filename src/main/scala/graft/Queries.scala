@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.{TextFunctions => TF, VectorFunctions => VF}
-import graft.operators.{Dedup, FuzzyMatch, Multimodal, Ops, Similarity}
+import graft.operators.{Decontaminate, Dedup, FuzzyMatch, Multimodal, Ops, Packing, Ranking, Similarity}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -1072,6 +1072,244 @@ object Queries {
            |UNION ALL
            |SELECT custkey, 'early_only' FROM (SELECT custkey FROM e EXCEPT SELECT custkey FROM l) y""".stripMargin))
 
+  // ---------------------------------------------------------------------
+  // Corpus ranking / decontamination / packing / splits (training tier)
+  // ---------------------------------------------------------------------
+
+  /** Okapi BM25 against a literal query — corpus statistics (N, avgdl,
+    * per-term df) collapse to ONE single-row aggregate broadcast back to
+    * the scoring scan; term frequencies are computed array-side, so the
+    * tokenized corpus is never exploded or shuffled. */
+  private val qBm25 = Q("q_bm25",
+    (s, dir) => Ranking.bm25(t(s, dir, "documents"), "text", "doc_id",
+      Seq("spark", "join", "window"))
+      .select(col("doc_id").cast("bigint").as("doc_id"),
+        col("dl"), col("tf_spark"), col("tf_join"), col("tf_window"),
+        col("bm25")),
+    Some("""WITH tk AS (
+           |  SELECT doc_id,
+           |         CASE WHEN len(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+           |              ELSE string_split_regex(trim(text), '[ \t\n\x0B\f\r]+') END AS t
+           |  FROM documents),
+           |base AS (
+           |  SELECT doc_id, len(t) AS dl,
+           |         len(list_filter(t, x -> x = 'spark'))  AS tf_spark,
+           |         len(list_filter(t, x -> x = 'join'))   AS tf_join,
+           |         len(list_filter(t, x -> x = 'window')) AS tf_window
+           |  FROM tk),
+           |st AS (
+           |  SELECT count(*) AS n, avg(dl) AS avgdl,
+           |         sum(CASE WHEN tf_spark  > 0 THEN 1 ELSE 0 END) AS df_spark,
+           |         sum(CASE WHEN tf_join   > 0 THEN 1 ELSE 0 END) AS df_join,
+           |         sum(CASE WHEN tf_window > 0 THEN 1 ELSE 0 END) AS df_window
+           |  FROM base)
+           |SELECT CAST(b.doc_id AS BIGINT) AS doc_id, CAST(b.dl AS BIGINT) AS dl,
+           |       CAST(tf_spark AS BIGINT) AS tf_spark,
+           |       CAST(tf_join AS BIGINT) AS tf_join,
+           |       CAST(tf_window AS BIGINT) AS tf_window,
+           |       round(ln((n - df_spark + 0.5) / (df_spark + 0.5) + 1.0)
+           |               * (tf_spark * 2.2) / (tf_spark + 1.2 * (0.25 + 0.75 * b.dl / avgdl))
+           |           + ln((n - df_join + 0.5) / (df_join + 0.5) + 1.0)
+           |               * (tf_join * 2.2) / (tf_join + 1.2 * (0.25 + 0.75 * b.dl / avgdl))
+           |           + ln((n - df_window + 0.5) / (df_window + 0.5) + 1.0)
+           |               * (tf_window * 2.2) / (tf_window + 1.2 * (0.25 + 0.75 * b.dl / avgdl)),
+           |         6) AS bm25
+           |FROM base b, st
+           |WHERE tf_spark + tf_join + tf_window > 0""".stripMargin))
+
+  /** Benchmark decontamination: training docs (doc_id % 97 != 0) sharing
+    * >= 2 distinct word trigrams with the benchmark slice (doc_id % 97 =
+    * 0). The benchmark n-gram set broadcasts; the training side never
+    * shuffles its text. (Real corpora use longer n-grams; with this
+    * synthetic ~40-word vocabulary, trigrams are the collision-bearing
+    * analog — n = 5 matches nothing at any SF, a vacuous gate.) */
+  private val qDecontaminate = Q("q_decontaminate",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      Decontaminate.overlap(
+        docs.filter(pmod(col("doc_id"), lit(97)) =!= 0),
+        docs.filter(pmod(col("doc_id"), lit(97)) === 0),
+        "text", "doc_id", n = 3, minShared = 2)
+        .select(col("doc_id").cast("bigint").as("doc_id"), col("n_shared"))
+    },
+    Some("""WITH tk AS (
+           |  SELECT doc_id,
+           |         CASE WHEN len(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+           |              ELSE string_split_regex(trim(text), '[ \t\n\x0B\f\r]+') END AS t
+           |  FROM documents),
+           |g AS (
+           |  SELECT doc_id,
+           |         unnest(list_distinct([array_to_string(t[i:i+2], ' ')
+           |                               for i in range(1, len(t) - 1)])) AS gram
+           |  FROM tk WHERE len(t) >= 3),
+           |bg AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0)
+           |SELECT CAST(g.doc_id AS BIGINT) AS doc_id,
+           |       CAST(count(*) AS BIGINT) AS n_shared
+           |FROM g JOIN bg USING (gram)
+           |WHERE g.doc_id % 97 <> 0
+           |GROUP BY g.doc_id
+           |HAVING count(*) >= 2""".stripMargin))
+
+  /** Per-language top-5 word trigrams by document frequency — corpus
+    * n-gram statistics (boilerplate/repetition mining) through the same
+    * bounded `collect_smallest` top-k the ANN tier uses: the per-language
+    * exchange carries at most 5 rows per map task, never the full
+    * (lang, gram) count table. */
+  private val qTopNgrams = Q("q_top_ngrams",
+    (s, dir) => {
+      val counts = t(s, dir, "documents")
+        .select(col("lang"), explode(TF.wordNgrams(col("text"), 3)).as("gram"))
+        .groupBy(col("lang"), col("gram"))
+        .agg(count(lit(1)).cast("long").as("n_docs"))
+      val item = struct((lit(0L) - col("n_docs")).as("negn"),
+        col("gram").as("g"), col("n_docs").as("n"))
+      counts.groupBy(col("lang"))
+        .agg(Dedup.collectSmallest(item, 5).as("__top"))
+        .select(col("lang"), posexplode(col("__top")).as(Seq("__r", "__m")))
+        .select(col("lang"), (col("__r") + 1).cast("bigint").as("rank"),
+          col("__m").getField("g").as("gram"),
+          col("__m").getField("n").as("n_docs"))
+    },
+    Some("""WITH tk AS (
+           |  SELECT doc_id, lang,
+           |         CASE WHEN len(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+           |              ELSE string_split_regex(trim(text), '[ \t\n\x0B\f\r]+') END AS t
+           |  FROM documents),
+           |g AS (
+           |  SELECT doc_id, lang,
+           |         unnest(list_distinct([array_to_string(t[i:i+2], ' ')
+           |                               for i in range(1, len(t) - 1)])) AS gram
+           |  FROM tk WHERE len(t) >= 3),
+           |c AS (SELECT lang, gram, count(*) AS n_docs FROM g GROUP BY 1, 2),
+           |r AS (SELECT lang, gram, n_docs,
+           |             row_number() OVER (PARTITION BY lang
+           |                                ORDER BY n_docs DESC, gram ASC) AS rank
+           |      FROM c)
+           |SELECT lang, CAST(rank AS BIGINT) AS rank, gram,
+           |       CAST(n_docs AS BIGINT) AS n_docs
+           |FROM r WHERE rank <= 5""".stripMargin))
+
+  /** Gopher-style repetition diagnostics — pure array-side higher-order
+    * functions, zero shuffle, one codegen pass over the corpus. */
+  private val qRepetition = Q("q_repetition",
+    (s, dir) => t(s, dir, "documents")
+      .select(col("doc_id").cast("bigint").as("doc_id"),
+        TF.repetitionStats(col("text")).as("__st"))
+      .select(col("doc_id"),
+        col("__st").getField("n_tokens").as("n_tokens"),
+        col("__st").getField("distinct_ratio").as("distinct_ratio"),
+        col("__st").getField("top_token_frac").as("top_token_frac"))
+      .filter(col("n_tokens") > 0),
+    Some("""WITH tk AS (
+           |  SELECT doc_id,
+           |         CASE WHEN len(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+           |              ELSE string_split_regex(trim(text), '[ \t\n\x0B\f\r]+') END AS t
+           |  FROM documents),
+           |b AS (SELECT doc_id, t, list_distinct(t) AS u, len(t) AS n FROM tk)
+           |SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(n AS BIGINT) AS n_tokens,
+           |       round(CAST(len(u) AS DOUBLE) / n, 6) AS distinct_ratio,
+           |       round(CAST(list_max(list_transform(u,
+           |                 x -> len(list_filter(t, y -> y = x)))) AS DOUBLE) / n,
+           |             6) AS top_token_frac
+           |FROM b WHERE n > 0""".stripMargin))
+
+  /** Interval join via fixed-width binning ([[Ops.binnedRangeJoin]]):
+    * lineitem prices against overlapping price bands — the equi-join-on-
+    * bin formulation of a BETWEEN join (a naive theta-join plans as a
+    * broadcast nested loop probing every range per row). min/max (not
+    * sum/avg) keep the double aggregates order-independent for the
+    * hash compare. */
+  private val qRangeJoin = Q("q_range_join",
+    (s, dir) => {
+      val bands = s.range(0, 44).select(col("id").as("band_id"),
+        (col("id") * 2500.0 - 500.0).as("lo"),
+        (col("id") * 2500.0 + 2000.0).as("hi"))
+      Ops.binnedRangeJoin(
+        t(s, dir, "lineitem").select(col("l_extendedprice").as("price")),
+        bands, "price", "lo", "hi", binWidth = 2500.0)
+        .groupBy(col("band_id"))
+        .agg(count(lit(1)).cast("long").as("n"),
+          round(min(col("price")), 2).as("min_price"),
+          round(max(col("price")), 2).as("max_price"))
+    },
+    Some("""WITH bands AS (
+           |  SELECT i AS band_id, i * 2500.0 - 500.0 AS lo, i * 2500.0 + 2000.0 AS hi
+           |  FROM range(0, 44) r(i))
+           |SELECT CAST(band_id AS BIGINT) AS band_id,
+           |       CAST(count(*) AS BIGINT) AS n,
+           |       round(min(l_extendedprice), 2) AS min_price,
+           |       round(max(l_extendedprice), 2) AS max_price
+           |FROM lineitem JOIN bands ON l_extendedprice BETWEEN lo AND hi
+           |GROUP BY band_id""".stripMargin))
+
+  /** Sequence packing: token chunks greedily packed into 512-token bins
+    * per language ([[graft.operators.Packing]]), rolled up per bin. The
+    * oracle rebuilds the identical chunk stream (the q_chunk_text CTE)
+    * and packs it with a window cumsum. */
+  private val qPackChunks = Q("q_pack_chunks",
+    (s, dir) => {
+      val chunks = t(s, dir, "documents")
+        .select(col("lang"), col("doc_id"),
+          posexplode(TF.chunkText(col("text"), maxTokens = 50, overlap = 5))
+            .as(Seq("chunk_no", "chunk")))
+        .withColumn("n_tok", TF.tokenCount(col("chunk")))
+      val packed = Packing.packChunks(chunks, Seq("lang"),
+        Seq(col("doc_id"), col("chunk_no")), "n_tok", budget = 512)
+      Packing.binStats(packed, Seq("lang"), "n_tok")
+        .select(col("lang"), col("bin").cast("bigint").as("bin"),
+          col("n_chunks"), col("n_tokens"))
+    },
+    Some("""WITH t AS (
+           |  SELECT doc_id, lang,
+           |         CASE WHEN len(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+           |              ELSE string_split_regex(trim(text), '[ \t\n\x0B\f\r]+') END AS toks
+           |  FROM documents),
+           |ch AS (
+           |  SELECT doc_id, lang, u.x.chunk_no AS chunk_no,
+           |         len(string_split_regex(u.x.chunk, '[ \t\n\x0B\f\r]+')) AS n_tok
+           |  FROM (SELECT doc_id, lang,
+           |               unnest([{'chunk_no': s // 45,
+           |                        'chunk': array_to_string(list_slice(toks, s + 1, least(s + 50, len(toks))), ' ')}
+           |                       for s in range(0, len(toks), 45)]) AS x
+           |        FROM t) u),
+           |p AS (
+           |  SELECT lang,
+           |         floor((sum(n_tok) OVER (PARTITION BY lang
+           |                                 ORDER BY doc_id, chunk_no
+           |                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           |                - n_tok) / 512) AS bin,
+           |         n_tok
+           |  FROM ch)
+           |SELECT lang, CAST(bin AS BIGINT) AS bin,
+           |       CAST(count(*) AS BIGINT) AS n_chunks,
+           |       CAST(sum(n_tok) AS BIGINT) AS n_tokens
+           |FROM p GROUP BY 1, 2""".stripMargin))
+
+  /** Deterministic stratified train/val/test assignment (8/1/1 round-
+    * robin per language in doc_id order — exact proportions per stratum),
+    * rolled up per (lang, split). */
+  private val qSplitAssign = Q("q_split_assign",
+    (s, dir) => Ops.stratifiedSplit(t(s, dir, "documents"), Seq("lang"),
+      Seq(col("doc_id")), Seq(("train", 8), ("val", 1), ("test", 1)))
+      .groupBy(col("lang"), col("split"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        min(col("doc_id")).cast("long").as("min_id"),
+        max(col("doc_id")).cast("long").as("max_id")),
+    Some("""WITH r AS (
+           |  SELECT lang, doc_id,
+           |         row_number() OVER (PARTITION BY lang ORDER BY doc_id) - 1 AS rn
+           |  FROM documents),
+           |a AS (
+           |  SELECT lang, doc_id,
+           |         CASE WHEN rn % 10 < 8 THEN 'train'
+           |              WHEN rn % 10 = 8 THEN 'val'
+           |              ELSE 'test' END AS split
+           |  FROM r)
+           |SELECT lang, split, CAST(count(*) AS BIGINT) AS n,
+           |       CAST(min(doc_id) AS BIGINT) AS min_id,
+           |       CAST(max(doc_id) AS BIGINT) AS max_id
+           |FROM a GROUP BY 1, 2""".stripMargin))
+
   /** Every query, in a stable order. */
   val all: Seq[Q] = Seq(
     qSelect, qFilter, qFilterRouter,
@@ -1085,5 +1323,7 @@ object Queries {
     qEmbeddingNearDup, qArrayFuncs, qAnnBrute, qAnnLsh, qAnnIvf,
     qTextStats, qCorpusStats, qChunkText, qFingerprint, qMultimodal,
     qStarJoin, qAggFused, qTopkPerGroup, qCountDistinct, qSessionizeBatch,
-    qRollup, qSemiAnti, qSetOps, qAsofJoin, qPivot)
+    qRollup, qSemiAnti, qSetOps, qAsofJoin, qPivot,
+    qBm25, qDecontaminate, qTopNgrams, qRepetition, qRangeJoin,
+    qPackChunks, qSplitAssign)
 }

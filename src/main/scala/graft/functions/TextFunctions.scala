@@ -147,4 +147,39 @@ object TextFunctions {
     import org.apache.spark.sql.{ChunkText, GraftBridge}
     GraftBridge.column(ChunkText(GraftBridge.expression(text), maxTokens, overlap))
   }
+
+  /** Distinct word n-grams as space-joined strings — the decontamination
+    * / overlap-detection working set (string form so an ANSI-SQL oracle
+    * can reproduce it, unlike the hashed shingles). Documents with fewer
+    * than n tokens yield an empty array; null text yields null (callers
+    * explode, which drops both).
+    */
+  def wordNgrams(text: Column, n: Int): Column = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    val t = tokens(text)
+    // sequence(0, size-n) DESCENDS when size < n (sequence(0,-1) =
+    // [0,-1]) — guard it out rather than generate garbage windows
+    when(size(t) < n, array().cast("array<string>")).otherwise(
+      array_distinct(transform(sequence(lit(0), size(t) - n),
+        i => array_join(slice(t, i + 1, lit(n)), " "))))
+  }
+
+  /** Per-document repetition diagnostics (the Gopher-style quality
+    * signals): token count, distinct-token ratio, and the frequency
+    * share of the single most repeated token. Pure array-side
+    * higher-order functions — zero shuffle, whole-stage codegen; the
+    * per-document cost is O(distinct · tokens), fine for natural
+    * documents (distinct grows with tokens only until vocabulary
+    * saturates). Empty/null text yields null ratios.
+    */
+  def repetitionStats(text: Column): Column = {
+    val t = tokens(text)
+    val u = array_distinct(t)
+    val n = size(t)
+    val topCount = array_max(transform(u, x => size(filter(t, y => y === x))))
+    struct(
+      n.cast("long").as("n_tokens"),
+      when(n > 0, round(size(u).cast("double") / n, 6)).as("distinct_ratio"),
+      when(n > 0, round(topCount.cast("double") / n, 6)).as("top_token_frac"))
+  }
 }

@@ -244,6 +244,87 @@ object Ops {
                   evolved: Boolean = false): DataFrame =
     head.unionByName(tail, allowMissingColumns = evolved)
 
+  /** Range (interval) join without the cartesian trap: every left row
+    * whose `pointCol` falls in `[loCol, hiCol]` (BETWEEN semantics,
+    * inclusive both ends) of a right row. Spark plans a naive
+    * `p >= lo AND p <= hi` theta-join as broadcast-nested-loop — every
+    * left row probes EVERY range. Here both sides are bucketed into
+    * fixed-width bins (points to their one bin, ranges exploded over
+    * every bin they touch), so the match runs as a hash equi-join on
+    * the bin id + a residual filter; a (point, range) pair meets in
+    * exactly one bin (the point's), so no dedup pass is needed.
+    *
+    * `binWidth` trades replication for selectivity: ranges are
+    * replicated `width/binWidth + 1` times, and each bin's candidates
+    * are ranges genuinely near the point. Pick it near the typical
+    * range width. Extra equality keys (`keys`) ride along in the join.
+    * NULL points or bounds never match, exactly like SQL BETWEEN.
+    */
+  def binnedRangeJoin(points: DataFrame, ranges: DataFrame,
+                      pointCol: String, loCol: String, hiCol: String,
+                      binWidth: Double, keys: Seq[String] = Nil,
+                      joinType: String = "inner"): DataFrame = {
+    require(binWidth > 0, s"binWidth must be > 0, got $binWidth")
+    require(Set("inner", "leftsemi").contains(joinType.toLowerCase.replace("_", "")),
+      s"binnedRangeJoin supports inner/left_semi, not $joinType " +
+        "(outer variants would need an unmatched-row pass)")
+    val taken = (points.columns ++ ranges.columns).map(_.toLowerCase).toSet
+    var bin = "__bin"
+    while (taken.contains(bin.toLowerCase)) bin += "_"
+    val p = points.withColumn(bin,
+      floor(col(pointCol) / binWidth).cast("long"))
+    val r = ranges.withColumn(bin,
+      explode(sequence(floor(col(loCol) / binWidth).cast("long"),
+        floor(col(hiCol) / binWidth).cast("long"))))
+    p.join(r, keys :+ bin, joinType)
+      .filter(col(pointCol) >= col(loCol) && col(pointCol) <= col(hiCol))
+      .drop(bin)
+  }
+
+  /** Deterministic stratified split assignment (train/val/test): rows
+    * are round-robined over the split weights in `orderBy` order WITHIN
+    * each stratum, so every stratum gets exact `weight/total`
+    * proportions (up to remainder) — the balanced-split shape for
+    * building eval sets per language/source. Adds a `split` column.
+    *
+    * Scale note: exact proportions need a per-stratum total order (one
+    * window; a huge stratum funnels through one reducer). At corpus
+    * scale prefer [[hashSplit]] — fully parallel, proportions exact
+    * only in expectation.
+    */
+  def stratifiedSplit(df: DataFrame, strataCols: Seq[String],
+                      orderBy: Seq[Column], splits: Seq[(String, Int)],
+                      as: String = "split"): DataFrame = {
+    require(splits.nonEmpty && splits.forall(_._2 > 0), s"bad weights: $splits")
+    val total = splits.map(_._2).sum
+    val rn = row_number().over(
+      Window.partitionBy(strataCols.map(col): _*).orderBy(orderBy: _*)) - 1
+    val slot = pmod(rn, lit(total))
+    val (assign, _) = splits.foldLeft((lit(null).cast("string"), 0)) {
+      case ((acc, offset), (name, w)) =>
+        (when(slot >= offset && slot < offset + w, lit(name)).otherwise(acc),
+          offset + w)
+    }
+    df.withColumn(as, assign)
+  }
+
+  /** Content-hash split: like [[deterministicSample]] but partitioning
+    * the whole corpus into named splits — no shuffle, no window, stable
+    * under retries/repartitioning; proportions hold in expectation.
+    */
+  def hashSplit(df: DataFrame, splits: Seq[(String, Int)],
+                seed: Long = 42L, as: String = "split"): DataFrame = {
+    require(splits.nonEmpty && splits.forall(_._2 > 0), s"bad weights: $splits")
+    val total = splits.map(_._2).sum
+    val slot = pmod(xxhash64(struct(df.columns.map(col): _*), lit(seed)), lit(total))
+    val (assign, _) = splits.foldLeft((lit(null).cast("string"), 0)) {
+      case ((acc, offset), (name, w)) =>
+        (when(slot >= offset && slot < offset + w, lit(name)).otherwise(acc),
+          offset + w)
+    }
+    df.withColumn(as, assign)
+  }
+
   /** Keep-first dedup by key with an explicit deterministic order
     * (reference `Unique rows` motogp.ktr:8722 keeps the first row of a
     * sorted stream; `dropDuplicates` alone is nondeterministic, so the

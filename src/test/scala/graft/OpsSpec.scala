@@ -188,4 +188,60 @@ class OpsSpec extends SparkSpec {
       .select("k", "tag").as[(String, String)].collect().toMap
     assert(out == Map("k1" -> "first", "k2" -> "only"))
   }
+
+  test("binnedRangeJoin equals the naive BETWEEN theta-join, pairs unique") {
+    val rnd = new scala.util.Random(41)
+    val points = (0 until 400).map(i => (i.toLong, rnd.nextDouble() * 1000))
+      .toDF("pid", "p")
+    val ranges = (0 until 60).map { i =>
+      val lo = rnd.nextDouble() * 950
+      (i.toLong, lo, lo + rnd.nextDouble() * 120) // widths 0..120, bins of 50
+    }.toDF("rid", "lo", "hi")
+    val got = Ops.binnedRangeJoin(points, ranges, "p", "lo", "hi", binWidth = 50.0)
+      .select("pid", "rid").as[(Long, Long)].collect()
+    val want = points.join(ranges, col("p") >= col("lo") && col("p") <= col("hi"))
+      .select("pid", "rid").as[(Long, Long)].collect().toSet
+    assert(got.length == got.toSet.size, "duplicate (point, range) pairs")
+    assert(got.toSet == want)
+  }
+
+  test("binnedRangeJoin: nulls never match; boundary points match inclusively") {
+    val points = Seq((1L, Some(10.0)), (2L, None), (3L, Some(20.0)))
+      .toDF("pid", "p")
+    val ranges = Seq((1L, Some(10.0), Some(20.0)), (2L, None, Some(99.0)))
+      .toDF("rid", "lo", "hi")
+    val out = Ops.binnedRangeJoin(points, ranges, "p", "lo", "hi", binWidth = 7.0)
+      .select("pid", "rid").as[(Long, Long)].collect().toSet
+    assert(out == Set((1L, 1L), (3L, 1L))) // inclusive ends, null rows drop
+  }
+
+  test("stratifiedSplit: exact per-stratum proportions, deterministic") {
+    val df = (0 until 300).map(i => (i.toLong, "l" + (i % 3))).toDF("id", "lang")
+    val out = Ops.stratifiedSplit(df, Seq("lang"), Seq(col("id")),
+      Seq(("train", 8), ("val", 1), ("test", 1)))
+    val counts = out.groupBy("lang", "split").count()
+      .as[(String, String, Long)].collect()
+      .map { case (l, s, n) => (l, s) -> n }.toMap
+    for (l <- Seq("l0", "l1", "l2")) {
+      assert(counts((l, "train")) == 80L, counts.toString)
+      assert(counts((l, "val")) == 10L)
+      assert(counts((l, "test")) == 10L)
+    }
+    // deterministic under repartitioning
+    val again = Ops.stratifiedSplit(df.repartition(11), Seq("lang"),
+      Seq(col("id")), Seq(("train", 8), ("val", 1), ("test", 1)))
+      .select("id", "split").as[(Long, String)].collect().toSet
+    assert(again == out.select("id", "split").as[(Long, String)].collect().toSet)
+  }
+
+  test("hashSplit: every row assigned, proportions near weights, retry-stable") {
+    val df = (0 until 5000).map(i => (i.toLong, s"row$i")).toDF("id", "v")
+    val out = Ops.hashSplit(df, Seq(("train", 9), ("holdout", 1)))
+    assert(out.filter(col("split").isNull).count() == 0)
+    val n = out.filter(col("split") === "holdout").count()
+    assert(math.abs(n / 5000.0 - 0.1) < 0.02, s"holdout $n")
+    val again = Ops.hashSplit(df.repartition(23), Seq(("train", 9), ("holdout", 1)))
+      .select("id", "split").as[(Long, String)].collect().toSet
+    assert(again == out.select("id", "split").as[(Long, String)].collect().toSet)
+  }
 }
