@@ -269,16 +269,32 @@ object Ops {
       s"binnedRangeJoin supports inner/left_semi, not $joinType " +
         "(outer variants would need an unmatched-row pass)")
     val taken = (points.columns ++ ranges.columns).map(_.toLowerCase).toSet
-    var bin = "__bin"
-    while (taken.contains(bin.toLowerCase)) bin += "_"
-    val p = points.withColumn(bin,
-      floor(col(pointCol) / binWidth).cast("long"))
-    val r = ranges.withColumn(bin,
-      explode(sequence(floor(col(loCol) / binWidth).cast("long"),
-        floor(col(hiCol) / binWidth).cast("long"))))
-    p.join(r, keys :+ bin, joinType)
-      .filter(col(pointCol) >= col(loCol) && col(pointCol) <= col(hiCol))
-      .drop(bin)
+    def fresh(base: String): String = {
+      var c = base
+      while (taken.contains(c.toLowerCase)) c += "_"
+      c
+    }
+    val bin = fresh("__bin")
+    if (joinType.toLowerCase.replace("_", "") == "leftsemi") {
+      // A bare left-semi join can't carry the BETWEEN residual (the
+      // range columns aren't visible above a semi join), so run the
+      // inner binned join, reduce to distinct matched point ids, and
+      // semi-join back — duplicates in `points` survive per-row.
+      val rid = fresh("__rid")
+      val withId = points.withColumn(rid, monotonically_increasing_id())
+      val matched = binnedRangeJoin(withId, ranges, pointCol, loCol, hiCol,
+        binWidth, keys, "inner").select(rid).distinct()
+      withId.join(matched, Seq(rid), "leftsemi").drop(rid)
+    } else {
+      val p = points.withColumn(bin,
+        floor(col(pointCol) / binWidth).cast("long"))
+      val r = ranges.withColumn(bin,
+        explode(sequence(floor(col(loCol) / binWidth).cast("long"),
+          floor(col(hiCol) / binWidth).cast("long"))))
+      p.join(r, keys :+ bin, joinType)
+        .filter(col(pointCol) >= col(loCol) && col(pointCol) <= col(hiCol))
+        .drop(bin)
+    }
   }
 
   /** Deterministic stratified split assignment (train/val/test): rows

@@ -40,8 +40,13 @@ object Ranking {
       s"duplicate query terms: $queryTerms")
     def tfCol(term: String) = s"tf_${term}"
     val base = docs.select(
-      col(idCol).as("doc_id"), tokens(col(textCol)).as("__t"))
-      .select(Seq(col("doc_id"), size(col("__t")).cast("long").as("dl")) ++
+      col(idCol).as("doc_id"), col(textCol).isNull.as("__null"),
+      tokens(col(textCol)).as("__t"))
+      // NULL-text docs keep dl NULL (not 0) so avgdl skips them exactly
+      // like SQL AVG does — their tf is 0 so they never score anyway
+      .select(Seq(col("doc_id"),
+        when(col("__null"), lit(null).cast("long"))
+          .otherwise(size(col("__t")).cast("long")).as("dl")) ++
         queryTerms.map(term =>
           size(filter(col("__t"), x => x === lit(term))).cast("long").as(tfCol(term))): _*)
     // ONE row: corpus size, mean length, per-term document frequencies

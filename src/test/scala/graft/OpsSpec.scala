@@ -215,6 +215,19 @@ class OpsSpec extends SparkSpec {
     assert(out == Set((1L, 1L), (3L, 1L))) // inclusive ends, null rows drop
   }
 
+  test("binnedRangeJoin leftsemi: point-side schema, duplicates kept, bin-only matches dropped") {
+    // point 15 shares bin 1 with range [17,20] but misses [lo,hi] — a
+    // semi join must NOT keep it on bin equality alone
+    val points = Seq((1L, 5.0), (2L, 15.0), (3L, 18.0), (3L, 18.0), (4L, 95.0))
+      .toDF("pid", "p")
+    val ranges = Seq((10L, 17.0, 20.0), (11L, 90.0, 99.0)).toDF("rid", "lo", "hi")
+    val out = Ops.binnedRangeJoin(points, ranges, "p", "lo", "hi",
+      binWidth = 10.0, joinType = "left_semi")
+    assert(out.columns.toSeq == Seq("pid", "p"))
+    val got = out.select("pid").as[Long].collect().sorted.toSeq
+    assert(got == Seq(3L, 3L, 4L)) // 15 excluded despite bin match; dup row of 3 survives
+  }
+
   test("stratifiedSplit: exact per-stratum proportions, deterministic") {
     val df = (0 until 300).map(i => (i.toLong, "l" + (i % 3))).toDF("id", "lang")
     val out = Ops.stratifiedSplit(df, Seq("lang"), Seq(col("id")),

@@ -15,9 +15,10 @@ class RankingSpec extends SparkSpec {
   ).toDF("doc_id", "text")
 
   test("bm25 matches a hand-computed score") {
-    // corpus: N=5 (empty/null docs count toward N and avgdl=8/5),
-    // df(spark)=2. doc 2: tf=1, dl=4.
-    val n = 5.0; val df = 2.0; val avgdl = (4 + 4 + 4 + 0 + 0) / 5.0
+    // corpus: N=5 (empty AND null docs count toward N), but avgdl skips
+    // the NULL-text doc exactly like SQL AVG over a NULL dl — so
+    // avgdl = (4+4+4+0)/4. df(spark)=2. doc 2: tf=1, dl=4.
+    val n = 5.0; val df = 2.0; val avgdl = (4 + 4 + 4 + 0) / 4.0
     val idf = math.log((n - df + 0.5) / (df + 0.5) + 1.0)
     def term(tf: Double, dl: Double) =
       idf * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))

@@ -80,6 +80,17 @@ class TextFunctionsSpec extends SparkSpec {
     assert(out(1) == Seq("ab"))
   }
 
+  test("wordNgrams: null text yields null, short text empty array — not legacy size(null)") {
+    val df = Seq((1L, null.asInstanceOf[String]), (2L, "one two"), (3L, "a b c"))
+      .toDF("id", "t")
+    val out = df.select(col("id"), TF.wordNgrams(col("t"), 3).as("g"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else r.getSeq[String](1))).toMap
+    assert(out(1L) == null)          // null propagates, regardless of sizeOfNull conf
+    assert(out(2L) == Seq.empty)     // fewer than n tokens
+    assert(out(3L) == Seq("a b c"))
+  }
+
   test("textStats kernel agrees with the column-composed functions") {
     val nasty = Seq(
       "", "   ", "\ta b\n", "one", "the quick brown fox and the dog",
