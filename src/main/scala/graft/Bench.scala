@@ -49,7 +49,12 @@ object Bench {
     // run-major order (all queries, then the next full pass) so repeated
     // runs of one query don't benefit from a still-hot page cache more
     // than the driver's single-pass methodology would
+    // SPARK_GRAFT_BENCH_ONLY=q_a,q_b narrows the surface for local
+    // iteration on one query's plan; the driver never sets it
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
     val samples = (1 to runs).map { _ =>
       names.map { case (name, fn) =>
         val t0 = System.nanoTime()

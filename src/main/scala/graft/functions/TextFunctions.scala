@@ -156,16 +156,8 @@ object TextFunctions {
     */
   def wordNgrams(text: Column, n: Int): Column = {
     require(n >= 1, s"n must be >= 1, got $n")
-    val t = tokens(text)
-    // sequence(0, size-n) DESCENDS when size < n (sequence(0,-1) =
-    // [0,-1]) — guard it out rather than generate garbage windows.
-    // NULL handled explicitly: size(NULL) is -1 only under the legacy
-    // sizeOfNull conf, so the guard must not be the null path.
-    when(text.isNull, lit(null).cast("array<string>"))
-      .when(size(t) < n, array().cast("array<string>"))
-      .otherwise(
-        array_distinct(transform(sequence(lit(0), size(t) - n),
-          i => array_join(slice(t, i + 1, lit(n)), " "))))
+    import org.apache.spark.sql.{GraftBridge, WordNgrams => WN}
+    GraftBridge.column(WN(GraftBridge.expression(text), n))
   }
 
   /** Per-document repetition diagnostics (the Gopher-style quality

@@ -138,7 +138,25 @@ object TextKernels {
     if (end <= start)
       return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
 
-    // split keeping boundary empties from non-space whitespace
+    val tokens = splitKeepingEmpties(str, start, end)
+    val n = tokens.length
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    var cs = 0
+    while (cs < n) {
+      val until = math.min(cs + maxTokens, n)
+      out += UTF8String.fromString(tokens.slice(cs, until).mkString(" "))
+      cs += step
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+  }
+
+  /** Split `str[start, end)` on runs of the 6 ASCII whitespace chars,
+    * keeping boundary empties — the exact semantics of Spark
+    * `split(trim(text), "\\s+")` and DuckDB `string_split_regex` that
+    * the whole kernel family (and every oracle) is pinned to.
+    */
+  private def splitKeepingEmpties(str: String, start: Int, end: Int)
+      : scala.collection.mutable.ArrayBuffer[String] = {
     val tokens = scala.collection.mutable.ArrayBuffer.empty[String]
     var tokStart = start
     var inWsRun = false
@@ -151,15 +169,51 @@ object TextKernels {
       j += Character.charCount(cp)
     }
     tokens += (if (inWsRun) "" else str.substring(tokStart, end))
+    tokens
+  }
 
-    val n = tokens.length
-    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
-    var cs = 0
-    while (cs < n) {
-      val until = math.min(cs + maxTokens, n)
-      out += UTF8String.fromString(tokens.slice(cs, until).mkString(" "))
-      cs += step
+  /** Distinct word n-grams, space-joined, first-occurrence order — the
+    * single-pass kernel behind [[graft.functions.TextFunctions.wordNgrams]].
+    * The higher-order-function formulation (transform + slice +
+    * array_join + array_distinct) walks every token n times and builds
+    * a temp array per gram; this walks the tokens once with one
+    * StringBuilder and one hash set, which is what the decontamination
+    * and top-n-gram corpus passes spend their time in. Empty trimmed
+    * text or fewer than n tokens yield an EMPTY array (null handling is
+    * the expression's, not the kernel's).
+    */
+  def wordNgrams(s: UTF8String, n: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val str = s.toString
+    var start = 0
+    var end = str.length
+    while (start < end && str.charAt(start) == ' ') start += 1
+    while (end > start && str.charAt(end - 1) == ' ') end -= 1
+    if (end <= start)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
+
+    val tokens = splitKeepingEmpties(str, start, end)
+    val m = tokens.length
+    if (m < n)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
+
+    val seen = new java.util.LinkedHashSet[String](math.min(m, 1024))
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i + n <= m) {
+      sb.setLength(0)
+      var k = 0
+      while (k < n) {
+        if (k > 0) sb.append(' ')
+        sb.append(tokens(i + k))
+        k += 1
+      }
+      seen.add(sb.toString)
+      i += 1
     }
-    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var idx = 0
+    while (it.hasNext) { out(idx) = UTF8String.fromString(it.next()); idx += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 }

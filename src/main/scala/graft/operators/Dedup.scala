@@ -222,15 +222,31 @@ object Dedup {
     * Each round is a fixed number of key-partitioned joins — no driver
     * materialization of the graph. Refuses (throws) rather than return
     * a partially-converged labeling if `maxIters` is exhausted.
+    *
+    * Small-graph fast path: the distinct pair graph is usually TINY
+    * relative to the corpus (it is the post-threshold near-dup edge
+    * set, not the documents), but every distributed round still costs
+    * several scheduled shuffles. When the edge count is at most
+    * `localEdgeLimit` and the ids are integral, the components are
+    * solved in one driver-side union-find over the collected edges —
+    * the same bounded-materialization bet a broadcast join makes
+    * (default 4M edges ≈ 64 MB), with identical min-label output.
+    * `localEdgeLimit = 0` forces the distributed loop.
     */
   def dupClusters(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
-                  maxIters: Int = 25): DataFrame = {
+                  maxIters: Int = 25, localEdgeLimit: Long = 4_000_000L): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     val sym = pairs.select(col(idA).as("a"), col(idB).as("b"))
       .unionByName(pairs.select(col(idB).as("a"), col(idA).as("b")))
       .distinct()
     sym.persist(StorageLevel.MEMORY_AND_DISK)
-    try {
+    val integralIds = Set[org.apache.spark.sql.types.DataType](
+      org.apache.spark.sql.types.ByteType, org.apache.spark.sql.types.ShortType,
+      org.apache.spark.sql.types.IntegerType, org.apache.spark.sql.types.LongType)
+      .contains(sym.schema("a").dataType)
+    if (integralIds && localEdgeLimit > 0 && sym.count() <= localEdgeLimit)
+      try localComponents(sym) finally sym.unpersist(blocking = false)
+    else try {
       // localCheckpoint (eager) after every round: the pointer-jump
       // self-join puts TWO copies of the previous round's plan under the
       // new one, so without lineage truncation the logical plan — and
@@ -281,6 +297,49 @@ object Dedup {
       }
       labels.select(col("id"), col("label").as("cluster"))
     } finally sym.unpersist(blocking = false)
+  }
+
+  /** Driver-side union-find over a bounded, collected edge set — the
+    * [[dupClusters]] fast path. Semantics mirror the distributed loop
+    * exactly: cluster = min id in the component; ids only ever paired
+    * with NULL still appear (as their own cluster); NULL ids themselves
+    * are dropped (equi-joins never match them). Union-by-min keeps each
+    * tree's root at the component minimum, so the final `find` IS the
+    * label.
+    */
+  private def localComponents(sym: DataFrame): DataFrame = {
+    val idType = sym.schema("a").dataType
+    val spark = sym.sparkSession
+    import spark.implicits._
+    // sym carries both orders of every pair; keep each undirected edge
+    // once, plus (x, NULL) rows so x still registers as a node
+    val rows = sym.filter(col("a").isNotNull &&
+        (col("b").isNull || col("a") <= col("b")))
+      .select(col("a").cast("long").as("a"), col("b").cast("long").as("b"))
+      .collect()
+    val parent = scala.collection.mutable.LongMap.empty[Long]
+    def add(x: Long): Unit = if (!parent.contains(x)) parent(x) = x
+    def find(x: Long): Long = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != r) { val next = parent(c); parent(c) = r; c = next }
+      r
+    }
+    rows.foreach { row =>
+      val a = row.getLong(0)
+      add(a)
+      if (!row.isNullAt(1)) {
+        val b = row.getLong(1)
+        add(b)
+        val ra = find(a); val rb = find(b)
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+    }
+    val out = parent.keys.toArray.map(id => (id, find(id)))
+    spark.createDataset(out.toSeq).toDF("id", "cluster")
+      .select(col("id").cast(idType).as("id"),
+        col("cluster").cast(idType).as("cluster"))
   }
 
   /** Apply a pair graph as a dedup: keep the minimum-id representative

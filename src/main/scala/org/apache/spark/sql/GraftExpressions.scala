@@ -169,6 +169,31 @@ case class TextStats(child: Expression)
   * [[graft.functions.TextKernels.chunkTokens]] for the exact
   * tokenization contract.
   */
+/** Distinct word n-grams (space-joined, first-occurrence order) as a
+  * single-pass codegen kernel — the corpus-scan primitive behind
+  * decontamination and n-gram statistics. NULL text → NULL; fewer than
+  * `n` tokens → empty array. Tokenization is the family-standard
+  * `split(trim(text), "\\s+")` with boundary empties kept.
+  */
+case class WordNgrams(child: Expression, n: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(n >= 1, s"n must be >= 1, got $n")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "word_ngrams"
+
+  override protected def nullSafeEval(v: Any): Any =
+    graft.functions.TextKernels.wordNgrams(v.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.TextKernels.wordNgrams($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): WordNgrams =
+    copy(child = newChild)
+}
+
 case class ChunkText(child: Expression, maxTokens: Int, overlap: Int)
     extends UnaryExpression with ExpectsInputTypes {
   require(maxTokens >= 1, s"maxTokens must be >= 1, got $maxTokens")

@@ -88,6 +88,11 @@ object GraftSqlFunctions {
       arity("vector_lsh_bucket", "vector_lsh_bucket(a, nBits)", 2, 2)(
         c => VectorLshBucket(asDoubleArray(c(0)),
           intArg(c(1), "vector_lsh_bucket"), 42L))),
+    (FunctionIdentifier("word_ngrams"),
+      info("word_ngrams",
+        "word_ngrams(text, n) - distinct space-joined word n-grams, first-occurrence order"),
+      arity("word_ngrams", "word_ngrams(text, n)", 2, 2)(
+        c => WordNgrams(c(0), intArg(c(1), "word_ngrams")))),
     (FunctionIdentifier("chunk_text"),
       info("chunk_text",
         "chunk_text(text, maxTokens, overlap) - sliding token-window chunks"),

@@ -68,6 +68,23 @@ class DedupSpec extends SparkSpec {
       5L -> 5L, 6L -> 5L, 8L -> 8L, 9L -> 8L))
   }
 
+  test("dupClusters: local union-find and distributed loop agree on a random graph") {
+    val rnd = new scala.util.Random(7)
+    val pairs = (0 until 300)
+      .map(_ => (rnd.nextInt(80).toLong, rnd.nextInt(80).toLong)) // self-pairs included
+      .toDF("id_a", "id_b")
+    val local = Dedup.dupClusters(pairs).as[(Long, Long)].collect().toMap
+    val dist = Dedup.dupClusters(pairs, localEdgeLimit = 0)
+      .as[(Long, Long)].collect().toMap
+    assert(local == dist)
+  }
+
+  test("dupClusters: non-integral ids take the distributed loop; min is lexicographic") {
+    val pairs = Seq(("b", "c"), ("a", "b")).toDF("id_a", "id_b")
+    val out = Dedup.dupClusters(pairs).as[(String, String)].collect().toMap
+    assert(out == Map("a" -> "a", "b" -> "a", "c" -> "a"))
+  }
+
   test("dedupByPairs keeps one representative per cluster plus unpaired rows") {
     val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
     val kept = Dedup.dedupByPairs(docs, "doc_id", pairs)
