@@ -1310,6 +1310,138 @@ object Queries {
            |       CAST(max(doc_id) AS BIGINT) AS max_id
            |FROM a GROUP BY 1, 2""".stripMargin))
 
+  /** Corpus-level line dedup ([[Dedup.lineDedup]]) — the synthetic docs
+    * are single-line, so lines are derived deterministically as 4-token
+    * chunk rows (430 genuinely duplicated lines at sf0.01, scaling with
+    * SF). The winner-per-line is a partial-aggregating `min(struct)` by
+    * line — no window over the corpus — and the rebuilt text is
+    * hash-compared, so drop AND reassembly order are both pinned.
+    */
+  private val qLineDedup = Q("q_line_dedup",
+    (s, dir) => Dedup.lineDedup(
+      t(s, dir, "documents")
+        .filter(length(trim(col("text"))) > 0)
+        .select(col("doc_id"),
+          concat_ws("\n", TF.chunkText(col("text"), maxTokens = 4)).as("text")),
+      "text", "doc_id")
+      .select(col("doc_id").cast("bigint").as("doc_id"),
+        col("text"), col("n_kept"), col("n_dropped")),
+    Some("""WITH tk AS (
+           |  SELECT doc_id, string_split_regex(trim(text), '[ \t\n\x0B\f\r]+') AS t
+           |  FROM documents WHERE len(trim(text)) > 0),
+           |ch AS (
+           |  SELECT doc_id,
+           |         [{'pos': i, 'line': array_to_string(t[(i*4+1):(i*4+4)], ' ')}
+           |          for i in range(0, CAST(ceil(len(t)/4.0) AS INT))] AS cl
+           |  FROM tk),
+           |ln AS (SELECT doc_id, unnest(cl, recursive := true) FROM ch),
+           |win AS (SELECT doc_id, pos, line,
+           |               row_number() OVER (PARTITION BY line ORDER BY doc_id, pos) AS rn
+           |        FROM ln),
+           |kept AS (SELECT doc_id, pos, line FROM win WHERE rn = 1),
+           |tot AS (SELECT doc_id, count(*) AS n_lines FROM ln GROUP BY 1)
+           |SELECT CAST(k.doc_id AS BIGINT) AS doc_id,
+           |       string_agg(k.line, chr(10) ORDER BY k.pos) AS text,
+           |       CAST(count(*) AS BIGINT) AS n_kept,
+           |       CAST(max(t.n_lines) - count(*) AS BIGINT) AS n_dropped
+           |FROM kept k JOIN tot t ON k.doc_id = t.doc_id
+           |GROUP BY k.doc_id""".stripMargin))
+
+  /** PII redaction ([[TF.redact]]): the synthetic corpus carries no PII,
+    * so contact strings are derived deterministically per doc_id (both
+    * sides derive identically — `||` propagates NULL like Spark concat)
+    * and the REDACTED TEXT ITSELF is hash-compared, not just counts.
+    * The phone rule is deliberately literal-anchored so Java and RE2
+    * regex semantics cannot diverge on greedy-class boundaries.
+    */
+  private val qPiiRedact = Q("q_pii_redact",
+    (s, dir) => {
+      val noisy = t(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"),
+          when(pmod(col("doc_id"), lit(3)) === 0,
+            concat(lit(" reach user"), col("doc_id").cast("string"),
+              lit("@example.com"))).otherwise(lit("")),
+          when(pmod(col("doc_id"), lit(4)) === 0,
+            concat(lit(" call +1 555-"),
+              lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0")))
+            .otherwise(lit(""))).as("text"))
+      val phonePattern = "\\+1 555-[0-9]{4}"
+      noisy.select(col("doc_id").cast("bigint").as("doc_id"),
+        TF.redact(col("text"), Seq(
+          TF.EmailPattern -> "<EMAIL>", phonePattern -> "<PHONE>")).as("clean"),
+        TF.matchCount(col("text"), TF.EmailPattern).as("n_emails"),
+        TF.matchCount(col("text"), phonePattern).as("n_phones"))
+    },
+    Some("""WITH noisy AS (
+           |  SELECT doc_id,
+           |         text
+           |         || CASE WHEN doc_id % 3 = 0
+           |                 THEN ' reach user' || CAST(doc_id AS VARCHAR) || '@example.com'
+           |                 ELSE '' END
+           |         || CASE WHEN doc_id % 4 = 0
+           |                 THEN ' call +1 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+           |                 ELSE '' END AS text
+           |  FROM documents)
+           |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           |       regexp_replace(
+           |         regexp_replace(text,
+           |           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+           |         '\+1 555-[0-9]{4}', '<PHONE>', 'g') AS clean,
+           |       CAST(len(regexp_extract_all(text,
+           |         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+           |       CAST(len(regexp_extract_all(text,
+           |         '\+1 555-[0-9]{4}')) AS BIGINT) AS n_phones
+           |FROM noisy""".stripMargin))
+
+  /** CUBE with grouping markers — all four grouping-set combinations in
+    * one pass (Spark expands to a single Expand + hash aggregate, no
+    * repeated scans), the remaining member of the rollup/pivot family.
+    */
+  private val qCube = Q("q_cube",
+    (s, dir) => t(s, dir, "lineitem")
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      // grouping() only resolves INSIDE the cube aggregate
+      .agg(grouping(col("l_returnflag")).cast("bigint").as("g_flag"),
+        grouping(col("l_linestatus")).cast("bigint").as("g_status"),
+        count(lit(1)).cast("bigint").as("n"),
+        round(sum("l_quantity"), 4).as("sum_qty"))
+      .select(col("l_returnflag").as("flag"), col("l_linestatus").as("status"),
+        col("g_flag"), col("g_status"), col("n"), col("sum_qty")),
+    Some("""SELECT l_returnflag AS flag, l_linestatus AS status,
+           |       CAST(GROUPING(l_returnflag) AS BIGINT) AS g_flag,
+           |       CAST(GROUPING(l_linestatus) AS BIGINT) AS g_status,
+           |       CAST(count(*) AS BIGINT) AS n,
+           |       round(sum(l_quantity), 4) AS sum_qty
+           |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin))
+
+  /** Textbook TF-IDF with the same no-explode/broadcast-stats shape as
+    * [[qBm25]] — raw tf × ln(N / (df + 1)). */
+  private val qTfidf = Q("q_tfidf",
+    (s, dir) => Ranking.tfIdf(t(s, dir, "documents"), "text", "doc_id",
+      Seq("spark", "window"))
+      .select(col("doc_id").cast("bigint").as("doc_id"), col("tfidf")),
+    Some("""WITH tk AS (
+           |  SELECT doc_id,
+           |         CASE WHEN len(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+           |              ELSE string_split_regex(trim(text), '[ \t\n\x0B\f\r]+') END AS t
+           |  FROM documents),
+           |base AS (
+           |  SELECT doc_id,
+           |         len(list_filter(t, x -> x = 'spark'))  AS tf_spark,
+           |         len(list_filter(t, x -> x = 'window')) AS tf_window
+           |  FROM tk),
+           |st AS (
+           |  SELECT count(*) AS n,
+           |         sum(CASE WHEN tf_spark  > 0 THEN 1 ELSE 0 END) AS df_spark,
+           |         sum(CASE WHEN tf_window > 0 THEN 1 ELSE 0 END) AS df_window
+           |  FROM base)
+           |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           |       round(tf_spark * ln(CAST(n AS DOUBLE) / (df_spark + 1.0))
+           |           + tf_window * ln(CAST(n AS DOUBLE) / (df_window + 1.0)),
+           |         6) AS tfidf
+           |FROM base, st
+           |WHERE tf_spark + tf_window > 0""".stripMargin))
+
   /** Every query, in a stable order. */
   val all: Seq[Q] = Seq(
     qSelect, qFilter, qFilterRouter,
@@ -1325,5 +1457,6 @@ object Queries {
     qStarJoin, qAggFused, qTopkPerGroup, qCountDistinct, qSessionizeBatch,
     qRollup, qSemiAnti, qSetOps, qAsofJoin, qPivot,
     qBm25, qDecontaminate, qTopNgrams, qRepetition, qRangeJoin,
-    qPackChunks, qSplitAssign)
+    qPackChunks, qSplitAssign,
+    qLineDedup, qPiiRedact, qCube, qTfidf)
 }

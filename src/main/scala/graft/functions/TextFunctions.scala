@@ -125,6 +125,32 @@ object TextFunctions {
   def contentFingerprint(text: Column): Column =
     xxhash64(lower(regexp_replace(trim(text), "\\s+", " ")))
 
+  /** Email address shape — RE2/Java-compatible, the conventional
+    * practical pattern (not RFC 5322): local part of word chars and
+    * `._%+-`, a domain with at least one dot, a 2+-letter TLD.
+    */
+  val EmailPattern: String = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+
+  /** Count of non-overlapping matches of `pattern`; NULL text → NULL
+    * (explicit — `size(NULL)` would be -1 under the legacy conf).
+    */
+  def matchCount(text: Column, pattern: String): Column =
+    when(text.isNull, lit(null).cast("long"))
+      .otherwise(size(regexp_extract_all(text, lit(pattern), lit(0))).cast("long"))
+
+  /** PII scrubbing: apply `(pattern, replacement)` rules in order, each
+    * replacing ALL matches — later rules see earlier rules' output, so
+    * order the specific before the general. Pure `regexp_replace`
+    * composition: codegen'd, zero shuffle, and oracle-expressible
+    * (DuckDB `regexp_replace(..., 'g')`). NULL text stays NULL.
+    */
+  def redact(text: Column, rules: Seq[(String, String)]): Column = {
+    require(rules.nonEmpty, "redact needs at least one (pattern, replacement) rule")
+    rules.foldLeft(text) { case (t, (pattern, replacement)) =>
+      regexp_replace(t, lit(pattern), lit(replacement))
+    }
+  }
+
   /** All per-document counts in ONE pass (struct of n_chars, n_tokens,
     * n_subtokens, n_punct, hits_en/fr/es/de) — the bulk-scoring path.
     * Semantics identical to the individual functions above; see

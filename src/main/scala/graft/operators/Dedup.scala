@@ -342,6 +342,51 @@ object Dedup {
         col("cluster").cast(idType).as("cluster"))
   }
 
+  /** Corpus-level line deduplication (the CCNet-style boilerplate
+    * remover): every distinct line is kept only at its FIRST corpus
+    * occurrence — ordered by (doc id, line position) — and removed
+    * everywhere else. Lines shorter than `minChars` are exempt (always
+    * kept), so empty/separator lines don't all collapse into whichever
+    * document sorts first. Documents are rebuilt from their surviving
+    * lines in original order; a document whose every line was removed
+    * disappears (NULL text never splits, so those rows disappear too).
+    * Returns (doc_id, text, n_kept, n_dropped).
+    *
+    * Scale shape: the first-occurrence winner per line is
+    * `min(struct(doc, pos))` in a hash aggregate KEYED BY THE LINE —
+    * partial aggregation collapses duplicate lines map-side, so the
+    * shuffle carries one row per distinct line and a mega-duplicated
+    * boilerplate line costs one combiner cell per map task, not a
+    * skewed window reducer. The rebuild groupBy holds one document's
+    * lines at a time.
+    */
+  def lineDedup(docs: DataFrame, textCol: String, idCol: String,
+                delim: String = "\n", minChars: Int = 1): DataFrame = {
+    require(minChars >= 0, s"minChars must be >= 0, got $minChars")
+    val exploded = docs
+      .select(col(idCol).as("doc_id"),
+        split(col(textCol), java.util.regex.Pattern.quote(delim)).as("__ls"))
+      .select(col("doc_id"), size(col("__ls")).as("__n_lines"),
+        posexplode(col("__ls")).as(Seq("__pos", "__line")))
+    val subject = exploded.filter(length(col("__line")) >= minChars)
+    // (doc_id, __pos) is unique, so __n_lines never participates in the
+    // struct ordering — it just rides along to the winner row
+    val winners = subject.groupBy(col("__line"))
+      .agg(min(struct(col("doc_id"), col("__pos"), col("__n_lines"))).as("__w"))
+      .select(col("__w.doc_id").as("doc_id"), col("__w.__pos").as("__pos"),
+        col("__w.__n_lines").as("__n_lines"), col("__line"))
+    val exempt = exploded.filter(length(col("__line")) < minChars)
+      .select("doc_id", "__pos", "__n_lines", "__line")
+    winners.unionByName(exempt)
+      .groupBy(col("doc_id"))
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(struct(col("__pos"), col("__line")))),
+          x => x.getField("__line")), delim).as("text"),
+        count(lit(1)).cast("long").as("n_kept"),
+        (max(col("__n_lines")) - count(lit(1))).cast("long").as("n_dropped"))
+  }
+
   /** Apply a pair graph as a dedup: keep the minimum-id representative
     * of every near-dup cluster plus all unpaired rows. The anti-join
     * side is only the NON-representatives — ids never in `pairs` pass

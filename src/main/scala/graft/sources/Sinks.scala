@@ -40,6 +40,30 @@ object Sinks {
     w.saveAsTable(table)
   }
 
+  /** JSON-Lines shards — the interchange format training pipelines
+    * export corpora in (one JSON object per line, gzip per file).
+    * `maxRecordsPerFile` bounds shard size so downstream loaders
+    * parallelize over files regardless of upstream partitioning;
+    * `sortWithinPartitionsBy` makes shard contents deterministic for a
+    * fixed partitioning (useful with content-hash repartitioning for
+    * reproducible exports).
+    */
+  def writeJsonl(df: DataFrame, path: String,
+                 maxRecordsPerFile: Int = 100000,
+                 compression: String = "gzip",
+                 sortWithinPartitionsBy: Seq[String] = Nil,
+                 mode: String = "overwrite"): Unit = {
+    require(maxRecordsPerFile > 0)
+    val sorted =
+      if (sortWithinPartitionsBy.nonEmpty)
+        df.sortWithinPartitions(sortWithinPartitionsBy.map(df.col): _*)
+      else df
+    sorted.write.mode(mode)
+      .option("maxRecordsPerFile", maxRecordsPerFile.toLong)
+      .option("compression", compression)
+      .json(path)
+  }
+
   /** Mirror of the reference's PostgreSQL connection shape. */
   def jdbcTemplate(df: DataFrame, url: String, table: String,
                    user: String, password: String,

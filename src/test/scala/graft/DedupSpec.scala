@@ -68,6 +68,28 @@ class DedupSpec extends SparkSpec {
       5L -> 5L, 6L -> 5L, 8L -> 8L, 9L -> 8L))
   }
 
+  test("lineDedup: first corpus occurrence survives, short lines exempt, text rebuilt in order") {
+    val docs = Seq(
+      (1L, "alpha beta\nshared line\n--\ntail one"),
+      (2L, "shared line\ngamma delta\n--"),       // loses "shared line" to doc 1
+      (3L, "shared line"),                        // its only long line is a dup -> doc vanishes
+      (4L, null.asInstanceOf[String])             // null text never splits
+    ).toDF("doc_id", "text")
+    val out = Dedup.lineDedup(docs, "text", "doc_id", minChars = 5)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out.keySet == Set(1L, 2L))
+    assert(out(1L) == (("alpha beta\nshared line\n--\ntail one", 4L, 0L)))
+    // "--" is under minChars: kept even though doc 1 used it first
+    assert(out(2L) == (("gamma delta\n--", 2L, 1L)))
+  }
+
+  test("lineDedup: tie within one document keeps the earliest position") {
+    val docs = Seq((7L, "same line\nsame line\nother text")).toDF("doc_id", "text")
+    val out = Dedup.lineDedup(docs, "text", "doc_id").collect().head
+    assert(out.getString(1) == "same line\nother text")
+    assert(out.getLong(2) == 2L && out.getLong(3) == 1L)
+  }
+
   test("dupClusters: local union-find and distributed loop agree on a random graph") {
     val rnd = new scala.util.Random(7)
     val pairs = (0 until 300)

@@ -22,6 +22,21 @@ class SinksSpec extends SparkSpec {
     assert(pruned.count() == 1)
   }
 
+  test("jsonl sink: gzip shards bounded by maxRecordsPerFile, lossless round-trip") {
+    val dir = Files.createTempDirectory("graft-jsonl").toFile
+    dir.deleteOnExit()
+    val df = (0 until 100).map(i => (i.toLong, s"doc $i", if (i % 7 == 0) null else "en"))
+      .toDF("doc_id", "text", "lang").coalesce(1)
+    Sinks.writeJsonl(df, dir.getAbsolutePath, maxRecordsPerFile = 30,
+      sortWithinPartitionsBy = Seq("doc_id"))
+    val shards = dir.listFiles().filter(_.getName.endsWith(".json.gz"))
+    assert(shards.length == 4, shards.map(_.getName).mkString(",")) // ceil(100/30)
+    val back = spark.read.json(dir.getAbsolutePath)
+    assert(back.count() == 100)
+    assert(back.filter(col("lang").isNull).count() == 15) // JSON null round-trips
+    assert(back.select(sum("doc_id")).as[Long].collect().head == 4950L)
+  }
+
   test("bucketed table: joins on the bucket key plan without a shuffle") {
     // managed tables land in the default warehouse dir (dropped below)
     val df = (1 to 100).map(i => (i.toLong, s"v$i")).toDF("k", "v")

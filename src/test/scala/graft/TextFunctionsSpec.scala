@@ -91,6 +91,23 @@ class TextFunctionsSpec extends SparkSpec {
     assert(out(3L) == Seq("a b c"))
   }
 
+  test("redact + matchCount: planted PII scrubbed, counts exact, null stays null") {
+    val df = Seq(
+      (1L, "mail a.b+c@sub.example.org or x@y.io, call +1 555-0134"),
+      (2L, "no pii here"),
+      (3L, null.asInstanceOf[String])
+    ).toDF("id", "t")
+    val rules = Seq(TF.EmailPattern -> "<EMAIL>", "\\+1 555-[0-9]{4}" -> "<PHONE>")
+    val out = df.select(col("id"), TF.redact(col("t"), rules).as("c"),
+        TF.matchCount(col("t"), TF.EmailPattern).as("ne"))
+      .collect().map(r => r.getLong(0) ->
+        ((if (r.isNullAt(1)) null else r.getString(1)),
+          (if (r.isNullAt(2)) -1L else r.getLong(2)))).toMap
+    assert(out(1L) == (("mail <EMAIL> or <EMAIL>, call <PHONE>", 2L)))
+    assert(out(2L) == (("no pii here", 0L)))
+    assert(out(3L) == ((null, -1L)))
+  }
+
   test("textStats kernel agrees with the column-composed functions") {
     val nasty = Seq(
       "", "   ", "\ta b\n", "one", "the quick brown fox and the dog",
