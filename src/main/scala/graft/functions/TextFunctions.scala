@@ -188,20 +188,22 @@ object TextFunctions {
 
   /** Per-document repetition diagnostics (the Gopher-style quality
     * signals): token count, distinct-token ratio, and the frequency
-    * share of the single most repeated token. Pure array-side
-    * higher-order functions — zero shuffle, whole-stage codegen; the
-    * per-document cost is O(distinct · tokens), fine for natural
-    * documents (distinct grows with tokens only until vocabulary
-    * saturates). Empty/null text yields null ratios.
+    * share of the single most repeated token. One codegen kernel pass
+    * per document (hash-map counting — the earlier higher-order-
+    * function form re-scanned the token array per distinct token);
+    * ratio arithmetic stays in column space so oracle SQL is unchanged.
+    * Zero shuffle. Empty text yields null ratios; NULL text yields a
+    * NULL struct.
     */
   def repetitionStats(text: Column): Column = {
-    val t = tokens(text)
-    val u = array_distinct(t)
-    val n = size(t)
-    val topCount = array_max(transform(u, x => size(filter(t, y => y === x))))
+    import org.apache.spark.sql.{GraftBridge, RepetitionCounts => RC}
+    val k = GraftBridge.column(RC(GraftBridge.expression(text)))
+    val n = k.getField("n_tokens")
     struct(
-      n.cast("long").as("n_tokens"),
-      when(n > 0, round(size(u).cast("double") / n, 6)).as("distinct_ratio"),
-      when(n > 0, round(topCount.cast("double") / n, 6)).as("top_token_frac"))
+      n.as("n_tokens"),
+      when(n > 0, round(k.getField("n_distinct").cast("double") / n, 6))
+        .as("distinct_ratio"),
+      when(n > 0, round(k.getField("top_count").cast("double") / n, 6))
+        .as("top_token_frac"))
   }
 }

@@ -172,6 +172,35 @@ object TextKernels {
     tokens
   }
 
+  /** Repetition counts in one pass: (n_tokens, n_distinct, top_count)
+    * — the inputs of the Gopher-style repetition ratios. The
+    * higher-order-function formulation is O(distinct · tokens) per
+    * document (a filter scan per distinct token); this is one hash-map
+    * pass. Tokenization matches the family contract exactly (space-trim
+    * then whitespace-run split keeping boundary empties). Empty trimmed
+    * text → (0, 0, 0); callers gate the ratios on n_tokens > 0.
+    */
+  def repetitionCounts(s: UTF8String): InternalRow = {
+    val str = s.toString
+    var start = 0
+    var end = str.length
+    while (start < end && str.charAt(start) == ' ') start += 1
+    while (end > start && str.charAt(end - 1) == ' ') end -= 1
+    if (end <= start) return new GenericInternalRow(Array[Any](0L, 0L, 0L))
+
+    val tokens = splitKeepingEmpties(str, start, end)
+    val counts = new java.util.HashMap[String, Int](math.min(tokens.length * 2, 1 << 16))
+    var top = 0
+    var i = 0
+    while (i < tokens.length) {
+      val c = counts.merge(tokens(i), 1, (a, b) => a + b)
+      if (c > top) top = c
+      i += 1
+    }
+    new GenericInternalRow(Array[Any](
+      tokens.length.toLong, counts.size.toLong, top.toLong))
+  }
+
   /** Distinct word n-grams, space-joined, first-occurrence order — the
     * single-pass kernel behind [[graft.functions.TextFunctions.wordNgrams]].
     * The higher-order-function formulation (transform + slice +

@@ -163,12 +163,35 @@ case class TextStats(child: Expression)
     copy(child = newChild)
 }
 
-/** Token-window chunking (sliding windows of `maxTokens` whitespace
-  * tokens advancing by `maxTokens - overlap`, re-joined with single
-  * spaces; empty trimmed text -> zero chunks). See
-  * [[graft.functions.TextKernels.chunkTokens]] for the exact
-  * tokenization contract.
+object RepetitionCounts {
+  val schema: StructType = StructType(Seq(
+    StructField("n_tokens", LongType, nullable = false),
+    StructField("n_distinct", LongType, nullable = false),
+    StructField("top_count", LongType, nullable = false)))
+}
+
+/** One-pass repetition counts (token total, distinct tokens, most
+  * repeated token's count) — see
+  * [[graft.functions.TextKernels.repetitionCounts]]. Ratio composition
+  * stays in column space so the oracle arithmetic is unchanged.
   */
+case class RepetitionCounts(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = RepetitionCounts.schema
+  override def prettyName: String = "repetition_counts"
+
+  override protected def nullSafeEval(v: Any): Any =
+    graft.functions.TextKernels.repetitionCounts(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.repetitionCounts($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): RepetitionCounts =
+    copy(child = newChild)
+}
+
 /** Distinct word n-grams (space-joined, first-occurrence order) as a
   * single-pass codegen kernel — the corpus-scan primitive behind
   * decontamination and n-gram statistics. NULL text → NULL; fewer than
@@ -194,6 +217,12 @@ case class WordNgrams(child: Expression, n: Int)
     copy(child = newChild)
 }
 
+/** Token-window chunking (sliding windows of `maxTokens` whitespace
+  * tokens advancing by `maxTokens - overlap`, re-joined with single
+  * spaces; empty trimmed text -> zero chunks). See
+  * [[graft.functions.TextKernels.chunkTokens]] for the exact
+  * tokenization contract.
+  */
 case class ChunkText(child: Expression, maxTokens: Int, overlap: Int)
     extends UnaryExpression with ExpectsInputTypes {
   require(maxTokens >= 1, s"maxTokens must be >= 1, got $maxTokens")

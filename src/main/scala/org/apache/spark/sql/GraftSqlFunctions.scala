@@ -88,6 +88,11 @@ object GraftSqlFunctions {
       arity("vector_lsh_bucket", "vector_lsh_bucket(a, nBits)", 2, 2)(
         c => VectorLshBucket(asDoubleArray(c(0)),
           intArg(c(1), "vector_lsh_bucket"), 42L))),
+    (FunctionIdentifier("repetition_counts"),
+      info("repetition_counts",
+        "repetition_counts(text) - struct(n_tokens, n_distinct, top_count)"),
+      arity("repetition_counts", "repetition_counts(text)", 1, 1)(
+        c => RepetitionCounts(c(0)))),
     (FunctionIdentifier("word_ngrams"),
       info("word_ngrams",
         "word_ngrams(text, n) - distinct space-joined word n-grams, first-occurrence order"),

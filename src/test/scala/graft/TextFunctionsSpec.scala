@@ -91,6 +91,37 @@ class TextFunctionsSpec extends SparkSpec {
     assert(out(3L) == Seq("a b c"))
   }
 
+  test("repetitionStats kernel equals the higher-order-function formulation") {
+    val df = Seq("a b a a c", "x", "", "  \t ", "one two three two",
+      null.asInstanceOf[String]).toDF("t")
+    // the pre-kernel formulation, kept here as the executable reference
+    val tk = TF.tokens(col("t"))
+    val u = array_distinct(tk)
+    val n = size(tk)
+    val hof = struct(
+      n.cast("long").as("n_tokens"),
+      when(n > 0, round(size(u).cast("double") / n, 6)).as("distinct_ratio"),
+      when(n > 0, round(array_max(transform(u,
+        x => size(filter(tk, y => y === x)))).cast("double") / n, 6))
+        .as("top_token_frac"))
+    val rows = df.select(TF.repetitionStats(col("t")).as("k"), hof.as("h"))
+      .select(col("k.n_tokens"), col("h.n_tokens"),
+        col("k.distinct_ratio"), col("h.distinct_ratio"),
+        col("k.top_token_frac"), col("h.top_token_frac"))
+      .collect()
+    // null text: kernel yields a NULL struct (getField -> null); the HOF
+    // form yields n_tokens = -1 via legacy size(null) — the query-level
+    // n_tokens > 0 gate treats both identically, so compare gated rows
+    rows.filter(r => !r.isNullAt(0) && r.getLong(0) > 0).foreach { r =>
+      assert(r.getLong(0) == r.getLong(1))
+      assert(r.getDouble(2) == r.getDouble(3))
+      assert(r.getDouble(4) == r.getDouble(5))
+    }
+    // gated out: "" (0 tokens) and NULL; the whitespace-only doc splits
+    // into two boundary-empty tokens, so it IS compared above
+    assert(rows.count(r => r.isNullAt(0) || r.getLong(0) <= 0) == 2)
+  }
+
   test("redact + matchCount: planted PII scrubbed, counts exact, null stays null") {
     val df = Seq(
       (1L, "mail a.b+c@sub.example.org or x@y.io, call +1 555-0134"),
