@@ -1442,6 +1442,40 @@ object Queries {
            |FROM base, st
            |WHERE tf_spark + tf_window > 0""".stripMargin))
 
+  /** Mixture shaping ([[Ops.sampleToTokenBudget]]): take documents per
+    * language in doc_id order until each language hits a 2000-token
+    * budget. NULL-text docs weigh 0 on both sides; NULL-lang docs drop
+    * out of the budget join on both sides (equi-join vs explicit
+    * filter). The kept SET is hash-compared, pinning the exact boundary
+    * document per group.
+    */
+  private val qTokenBudget = Q("q_token_budget",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+        .withColumn("n_tok",
+          when(col("text").isNull, 0L).otherwise(TF.tokenCount(col("text"))))
+      val budgets = docs.select(col("lang")).where(col("lang").isNotNull)
+        .distinct().withColumn("token_budget", lit(2000L))
+      Ops.sampleToTokenBudget(docs, Seq("lang"), "n_tok", budgets,
+        Seq(col("doc_id")))
+        .select(col("doc_id").cast("bigint").as("doc_id"), col("lang"),
+          col("n_tok").cast("bigint").as("n_tok"))
+    },
+    Some("""WITH tk AS (
+           |  SELECT doc_id, lang,
+           |         CASE WHEN text IS NULL THEN 0
+           |              WHEN len(trim(text)) = 0 THEN 0
+           |              ELSE len(string_split_regex(trim(text), '[ \t\n\x0B\f\r]+'))
+           |         END AS n_tok
+           |  FROM documents WHERE lang IS NOT NULL),
+           |c AS (
+           |  SELECT doc_id, lang, n_tok,
+           |         sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id) AS cum
+           |  FROM tk)
+           |SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
+           |       CAST(n_tok AS BIGINT) AS n_tok
+           |FROM c WHERE cum <= 2000""".stripMargin))
+
   /** Every query, in a stable order. */
   val all: Seq[Q] = Seq(
     qSelect, qFilter, qFilterRouter,
@@ -1458,5 +1492,5 @@ object Queries {
     qRollup, qSemiAnti, qSetOps, qAsofJoin, qPivot,
     qBm25, qDecontaminate, qTopNgrams, qRepetition, qRangeJoin,
     qPackChunks, qSplitAssign,
-    qLineDedup, qPiiRedact, qCube, qTfidf)
+    qLineDedup, qPiiRedact, qCube, qTfidf, qTokenBudget)
 }

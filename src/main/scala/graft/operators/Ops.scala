@@ -328,6 +328,40 @@ object Ops {
     * the whole corpus into named splits — no shuffle, no window, stable
     * under retries/repartitioning; proportions hold in expectation.
     */
+  /** Deterministic per-group token-budget sampling — the mixture-shaping
+    * step that takes documents per domain/language until each group's
+    * token budget is met (e.g. "30B tokens web, 5B code"). Rows are
+    * taken in `orderBy` order within each group; a row is kept iff the
+    * running token total INCLUDING it stays within the group's budget,
+    * so the output never exceeds a budget (it may undershoot by less
+    * than one document). `budgets` carries `groupCols` + a
+    * `token_budget` column and is broadcast (mixture specs are tiny);
+    * groups absent from `budgets` are dropped — a budget join, not an
+    * outer passthrough.
+    *
+    * Scale note: the running total needs a per-group total order (one
+    * window), so a single huge group funnels through one reducer's
+    * sort. For budget >> document size, prefer the two-phase shape:
+    * [[deterministicSample]] at fraction ≈ budget/total(group) to get
+    * within a few percent without any window, then this operator on the
+    * (much smaller) sample to land exactly.
+    */
+  def sampleToTokenBudget(df: DataFrame, groupCols: Seq[String],
+                          tokenCol: String, budgets: DataFrame,
+                          orderBy: Seq[Column]): DataFrame = {
+    require(groupCols.nonEmpty, "sampleToTokenBudget needs group columns")
+    require(budgets.columns.contains("token_budget"),
+      s"budgets must carry token_budget, has ${budgets.columns.mkString(",")}")
+    val taken = df.columns.map(_.toLowerCase).toSet
+    var cum = "__cum"
+    while (taken.contains(cum.toLowerCase)) cum += "_"
+    df.join(broadcast(budgets), groupCols)
+      .withColumn(cum, sum(col(tokenCol)).over(
+        Window.partitionBy(groupCols.map(col): _*).orderBy(orderBy: _*)))
+      .filter(col(cum) <= col("token_budget"))
+      .drop(cum, "token_budget")
+  }
+
   def hashSplit(df: DataFrame, splits: Seq[(String, Int)],
                 seed: Long = 42L, as: String = "split"): DataFrame = {
     require(splits.nonEmpty && splits.forall(_._2 > 0), s"bad weights: $splits")

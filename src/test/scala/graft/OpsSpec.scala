@@ -228,6 +228,20 @@ class OpsSpec extends SparkSpec {
     assert(got == Seq(3L, 3L, 4L)) // 15 excluded despite bin match; dup row of 3 survives
   }
 
+  test("sampleToTokenBudget: exact boundary per group, budgetless groups drop") {
+    val docs = Seq(
+      (1L, "web", 400L), (2L, "web", 500L), (3L, "web", 200L), (4L, "web", 50L),
+      (5L, "code", 900L), (6L, "code", 200L),
+      (7L, "junk", 10L) // no budget row -> dropped entirely
+    ).toDF("doc_id", "domain", "n_tok")
+    val budgets = Seq(("web", 1000L), ("code", 900L)).toDF("domain", "token_budget")
+    val kept = Ops.sampleToTokenBudget(docs, Seq("domain"), "n_tok", budgets,
+      Seq(col("doc_id"))).select("doc_id").as[Long].collect().toSet
+    // web: 400+500=900 <= 1000, +200 would cross -> doc 3 dropped; doc 4
+    // is NOT taken either (cumulative order, not best-fit packing)
+    assert(kept == Set(1L, 2L, 5L))
+  }
+
   test("stratifiedSplit: exact per-stratum proportions, deterministic") {
     val df = (0 until 300).map(i => (i.toLong, "l" + (i % 3))).toDF("id", "lang")
     val out = Ops.stratifiedSplit(df, Seq("lang"), Seq(col("id")),

@@ -111,4 +111,25 @@ class PlanSpec extends SparkSpec {
     // ObjectHashAggregate partial + final for the bucket stage
     assert("ObjectHashAggregate".r.findAllIn(p).size >= 2, p)
   }
+
+  test("q_line_dedup: winner-per-line is a partial aggregation, not a corpus window") {
+    val p = plan("q_line_dedup")
+    // a Window partitioned by line would funnel every occurrence of a
+    // hot boilerplate line into one reducer; min(struct) must collapse
+    // duplicates map-side (partial + final HashAggregate on __line)
+    assert(!p.contains("Window"), p)
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
+  test("q_pii_redact: pure codegen projection — no exchange at all") {
+    val p = plan("q_pii_redact")
+    assert(!p.contains("Exchange"), p)
+    assert(p.contains("*(1)"), p) // the whole query is one codegen stage
+  }
+
+  test("q_cube: one Expand feeding one aggregate — no repeated scans") {
+    val p = plan("q_cube")
+    assert("Expand".r.findAllIn(p).size >= 1, p)
+    assert("Scan parquet".r.findAllIn(p).size == 1, p)
+  }
 }
