@@ -145,6 +145,40 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("lineDedup invariants on a random corpus: uniqueness, provenance, conservation") {
+    val vocab = Vector("alpha", "beta", "gamma", "x", "")
+    val docs = (1L to 40L).map { id =>
+      val lines = Seq.fill(1 + rnd.nextInt(6))(
+        Seq.fill(1 + rnd.nextInt(3))(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      (id, lines.mkString("\n"))
+    }
+    val df = docs.toDF("doc_id", "text")
+    val minChars = 2
+    val out = Dedup.lineDedup(df, "text", "doc_id", minChars = minChars)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val inputLines = docs.flatMap { case (id, t) =>
+      t.split("\n", -1).zipWithIndex.map { case (l, p) => (id, p, l) }
+    }
+    val outLines = out.flatMap { case (id, t, _, _) =>
+      t.split("\n", -1).map(l => (id, l))
+    }
+    // 1) every surviving LONG line appears exactly once corpus-wide,
+    //    and at its minimal (doc_id, pos)
+    val firstOcc = inputLines.filter(_._3.length >= minChars)
+      .groupBy(_._3).map { case (l, occ) => l -> occ.map(o => (o._1, o._2)).min }
+    val longOut = outLines.filter(_._2.length >= minChars)
+    assert(longOut.size == longOut.distinct.size && longOut.size == firstOcc.size)
+    longOut.foreach { case (id, l) => assert(firstOcc(l)._1 == id, s"line '$l' not at first doc") }
+    // 2) short lines all survive: per-doc exempt counts are conserved
+    val shortIn = inputLines.filter(_._3.length < minChars).groupBy(_._1).view.mapValues(_.size)
+    out.foreach { case (id, t, nKept, nDropped) =>
+      val doc = docs.find(_._1 == id).get._2.split("\n", -1)
+      assert(nKept + nDropped == doc.length, s"doc $id conservation")
+      val shortKept = t.split("\n", -1).count(_.length < minChars)
+      assert(shortKept == shortIn.getOrElse(id, 0), s"doc $id exempt lines")
+    }
+  }
+
   test("union + exact dedup: cluster sizes sum to input size") {
     val docs = (1L to 100L).map(i => (i, s"doc ${i % 17} content")).toDF("doc_id", "text")
     val clusters = Dedup.exact(docs, "text", "doc_id")
