@@ -53,6 +53,12 @@ object Bench {
     // iteration on one query's plan; the driver never sets it
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    only.foreach { o =>
+      val unknown = o -- SparkEntry.queries.keySet
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_BENCH_ONLY names not in the query surface: " +
+          s"${unknown.toSeq.sorted.mkString(",")} — a typo would silently bench nothing")
+    }
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
     val samples = (1 to runs).map { _ =>

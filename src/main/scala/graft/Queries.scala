@@ -1323,7 +1323,11 @@ object Queries {
         .filter(length(trim(col("text"))) > 0)
         .select(col("doc_id"),
           concat_ws("\n", TF.chunkText(col("text"), maxTokens = 4)).as("text")),
-      "text", "doc_id")
+      // minChars = 0: NOTHING is exempt, matching the oracle's
+      // unconditional row_number dedup — with the default (1), an empty
+      // derived line (token count ≡ 1 mod 4 ending in a tab) would be
+      // exempt on the Spark side only
+      "text", "doc_id", minChars = 0)
       .select(col("doc_id").cast("bigint").as("doc_id"),
         col("text"), col("n_kept"), col("n_dropped")),
     Some("""WITH tk AS (

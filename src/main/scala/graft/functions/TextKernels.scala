@@ -129,16 +129,9 @@ object TextKernels {
     val str = s.toString
     val step = maxTokens - overlap
 
-    // space-trim (same rule as stats: SPACES only)
-    var start = 0
-    var end = str.length
-    while (start < end && str.charAt(start) == ' ') start += 1
-    while (end > start && str.charAt(end - 1) == ' ') end -= 1
-
-    if (end <= start)
+    val tokens = trimmedTokens(str)
+    if (tokens == null)
       return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
-
-    val tokens = splitKeepingEmpties(str, start, end)
     val n = tokens.length
     val out = scala.collection.mutable.ArrayBuffer.empty[Any]
     var cs = 0
@@ -155,6 +148,20 @@ object TextKernels {
     * `split(trim(text), "\\s+")` and DuckDB `string_split_regex` that
     * the whole kernel family (and every oracle) is pinned to.
     */
+  /** The family tokenization in one call: space-trim (SPACES only, like
+    * SQL `trim`), then [[splitKeepingEmpties]]. Returns null when the
+    * trimmed text is empty — the kernels' zero-token case — so the trim
+    * contract lives in exactly one place.
+    */
+  private def trimmedTokens(str: String)
+      : scala.collection.mutable.ArrayBuffer[String] = {
+    var start = 0
+    var end = str.length
+    while (start < end && str.charAt(start) == ' ') start += 1
+    while (end > start && str.charAt(end - 1) == ' ') end -= 1
+    if (end <= start) null else splitKeepingEmpties(str, start, end)
+  }
+
   private def splitKeepingEmpties(str: String, start: Int, end: Int)
       : scala.collection.mutable.ArrayBuffer[String] = {
     val tokens = scala.collection.mutable.ArrayBuffer.empty[String]
@@ -181,14 +188,9 @@ object TextKernels {
     * text → (0, 0, 0); callers gate the ratios on n_tokens > 0.
     */
   def repetitionCounts(s: UTF8String): InternalRow = {
-    val str = s.toString
-    var start = 0
-    var end = str.length
-    while (start < end && str.charAt(start) == ' ') start += 1
-    while (end > start && str.charAt(end - 1) == ' ') end -= 1
-    if (end <= start) return new GenericInternalRow(Array[Any](0L, 0L, 0L))
+    val tokens = trimmedTokens(s.toString)
+    if (tokens == null) return new GenericInternalRow(Array[Any](0L, 0L, 0L))
 
-    val tokens = splitKeepingEmpties(str, start, end)
     val counts = new java.util.HashMap[String, Int](math.min(tokens.length * 2, 1 << 16))
     var top = 0
     var i = 0
@@ -212,15 +214,9 @@ object TextKernels {
     * the expression's, not the kernel's).
     */
   def wordNgrams(s: UTF8String, n: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
-    val str = s.toString
-    var start = 0
-    var end = str.length
-    while (start < end && str.charAt(start) == ' ') start += 1
-    while (end > start && str.charAt(end - 1) == ' ') end -= 1
-    if (end <= start)
+    val tokens = trimmedTokens(s.toString)
+    if (tokens == null)
       return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
-
-    val tokens = splitKeepingEmpties(str, start, end)
     val m = tokens.length
     if (m < n)
       return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])

@@ -244,7 +244,9 @@ object Dedup {
       org.apache.spark.sql.types.ByteType, org.apache.spark.sql.types.ShortType,
       org.apache.spark.sql.types.IntegerType, org.apache.spark.sql.types.LongType)
       .contains(sym.schema("a").dataType)
-    if (integralIds && localEdgeLimit > 0 && sym.count() <= localEdgeLimit)
+    // sym carries BOTH orientations of every undirected edge (self-loops
+    // once), so the budget comparison is against 2× the documented limit
+    if (integralIds && localEdgeLimit > 0 && sym.count() <= 2 * localEdgeLimit)
       try localComponents(sym) finally sym.unpersist(blocking = false)
     else try {
       // localCheckpoint (eager) after every round: the pointer-jump

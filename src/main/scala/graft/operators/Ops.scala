@@ -278,13 +278,25 @@ object Ops {
     if (joinType.toLowerCase.replace("_", "") == "leftsemi") {
       // A bare left-semi join can't carry the BETWEEN residual (the
       // range columns aren't visible above a semi join), so run the
-      // inner binned join, reduce to distinct matched point ids, and
-      // semi-join back — duplicates in `points` survive per-row.
-      val rid = fresh("__rid")
-      val withId = points.withColumn(rid, monotonically_increasing_id())
-      val matched = binnedRangeJoin(withId, ranges, pointCol, loCol, hiCol,
-        binWidth, keys, "inner").select(rid).distinct()
-      withId.join(matched, Seq(rid), "leftsemi").drop(rid)
+      // inner binned join, reduce to the distinct matched point ROWS,
+      // and null-safe semi-join back on every point column — value
+      // duplicates in `points` survive per-row, and no synthetic row id
+      // is needed (monotonically_increasing_id would be re-evaluated
+      // independently on the two sides of the self-join, which is
+      // unsound when the input's partition order isn't deterministic).
+      val pb = points.withColumn(bin, floor(col(pointCol) / binWidth).cast("long"))
+      val rb = ranges.withColumn(bin,
+        explode(sequence(floor(col(loCol) / binWidth).cast("long"),
+          floor(col(hiCol) / binWidth).cast("long"))))
+      val matched = pb.join(rb, keys :+ bin, "inner")
+        .filter(col(pointCol) >= col(loCol) && col(pointCol) <= col(hiCol))
+        .select(points.columns.map(n => pb(n)): _*)
+        .distinct().alias("__m")
+      val lhs = points.alias("__pts")
+      lhs.join(matched,
+        points.columns.map(n => col(s"__pts.`$n`") <=> col(s"__m.`$n`"))
+          .reduce(_ && _),
+        "leftsemi")
     } else {
       val p = points.withColumn(bin,
         floor(col(pointCol) / binWidth).cast("long"))
@@ -356,8 +368,15 @@ object Ops {
     var cum = "__cum"
     while (taken.contains(cum.toLowerCase)) cum += "_"
     df.join(broadcast(budgets), groupCols)
+      // ROWS frame, not the default RANGE one: orderBy ties must not
+      // share one peer-inclusive total (two tied 600-token docs under a
+      // 1000 budget would BOTH see cum = 1200 and both drop). With a
+      // non-unique orderBy the winner among ties is still plan-order-
+      // dependent — pass a unique key (append the doc id) for exact
+      // reproducibility.
       .withColumn(cum, sum(col(tokenCol)).over(
-        Window.partitionBy(groupCols.map(col): _*).orderBy(orderBy: _*)))
+        Window.partitionBy(groupCols.map(col): _*).orderBy(orderBy: _*)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .filter(col(cum) <= col("token_budget"))
       .drop(cum, "token_budget")
   }

@@ -228,6 +228,28 @@ class OpsSpec extends SparkSpec {
     assert(got == Seq(3L, 3L, 4L)) // 15 excluded despite bin match; dup row of 3 survives
   }
 
+  test("binnedRangeJoin leftsemi: NULL payload columns don't drop matching points") {
+    // the semi-join-back condition must be null-SAFE equality on every
+    // point column — plain equality would silently drop any matching
+    // point row that carries a NULL anywhere
+    val points = Seq((Some(18.0), None: Option[String]), (Some(18.0), Some("x")))
+      .toDF("p", "tag")
+    val ranges = Seq((17.0, 20.0)).toDF("lo", "hi")
+    val out = Ops.binnedRangeJoin(points, ranges, "p", "lo", "hi",
+      binWidth = 10.0, joinType = "leftsemi")
+    assert(out.count() == 2)
+  }
+
+  test("sampleToTokenBudget: orderBy ties are charged row-at-a-time, not as one peer group") {
+    val docs = Seq((1L, "web", 10L, 600L), (2L, "web", 10L, 600L))
+      .toDF("doc_id", "domain", "ts", "n_tok") // both tied on ts
+    val budgets = Seq(("web", 1000L)).toDF("domain", "token_budget")
+    val kept = Ops.sampleToTokenBudget(docs, Seq("domain"), "n_tok", budgets,
+      Seq(col("ts"))).count()
+    // a RANGE frame would give both rows cum = 1200 and keep neither
+    assert(kept == 1L)
+  }
+
   test("sampleToTokenBudget: exact boundary per group, budgetless groups drop") {
     val docs = Seq(
       (1L, "web", 400L), (2L, "web", 500L), (3L, "web", 200L), (4L, "web", 50L),
