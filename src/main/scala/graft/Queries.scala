@@ -1310,6 +1310,34 @@ object Queries {
            |       CAST(max(doc_id) AS BIGINT) AS max_id
            |FROM a GROUP BY 1, 2""".stripMargin))
 
+  /** The SEMI side of the interval join — orders whose total falls in at
+    * least one (overlapping) band, exactly once each regardless of how
+    * many bands match. Exercises [[Ops.binnedRangeJoin]]'s left_semi
+    * path (inner binned join → distinct point rows → null-safe
+    * semi-join back) under the oracle gate; DuckDB expresses the same
+    * thing as EXISTS.
+    */
+  private val qRangeJoinSemi = Q("q_range_join_semi",
+    (s, dir) => {
+      val bands = s.range(0, 30).select(col("id").as("band_id"),
+        (col("id") * 9000.0).as("lo"),
+        (col("id") * 9000.0 + 14000.0).as("hi"))
+      Ops.binnedRangeJoin(
+        t(s, dir, "orders").select(col("o_orderkey").as("okey"),
+          col("o_totalprice").as("total")),
+        bands, "total", "lo", "hi", binWidth = 9000.0, joinType = "left_semi")
+        .select(col("okey").cast("bigint").as("okey"),
+          round(col("total"), 2).as("total"))
+    },
+    Some("""WITH bands AS (
+           |  SELECT i * 9000.0 AS lo, i * 9000.0 + 14000.0 AS hi
+           |  FROM range(0, 30) r(i))
+           |SELECT CAST(o_orderkey AS BIGINT) AS okey,
+           |       round(o_totalprice, 2) AS total
+           |FROM orders
+           |WHERE EXISTS (SELECT 1 FROM bands
+           |              WHERE o_totalprice BETWEEN lo AND hi)""".stripMargin))
+
   /** Corpus-level line dedup ([[Dedup.lineDedup]]) — the synthetic docs
     * are single-line, so lines are derived deterministically as 4-token
     * chunk rows (430 genuinely duplicated lines at sf0.01, scaling with
@@ -1496,5 +1524,5 @@ object Queries {
     qRollup, qSemiAnti, qSetOps, qAsofJoin, qPivot,
     qBm25, qDecontaminate, qTopNgrams, qRepetition, qRangeJoin,
     qPackChunks, qSplitAssign,
-    qLineDedup, qPiiRedact, qCube, qTfidf, qTokenBudget)
+    qRangeJoinSemi, qLineDedup, qPiiRedact, qCube, qTfidf, qTokenBudget)
 }
