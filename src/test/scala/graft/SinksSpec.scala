@@ -37,6 +37,28 @@ class SinksSpec extends SparkSpec {
     assert(back.select(sum("doc_id")).as[Long].collect().head == 4950L)
   }
 
+  test("jsonl ingest: corrupt lines quarantined, never dropped, never fatal") {
+    val dir = Files.createTempDirectory("graft-ingest").toFile
+    dir.deleteOnExit()
+    val f = new java.io.File(dir, "part-0.json")
+    java.nio.file.Files.writeString(f.toPath,
+      """{"doc_id": 1, "text": "good row"}
+        |{"doc_id": 2 "text": "missing comma"}
+        |{"doc_id": 3, "text": "another good row"}
+        |not json at all
+        |""".stripMargin)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType)))
+    val (good, bad) = graft.sources.Ingest.readJsonl(spark, dir.getAbsolutePath, schema)
+    assert(good.columns.toSeq == Seq("doc_id", "text"))
+    assert(good.select("doc_id").as[Long].collect().sorted.toSeq == Seq(1L, 3L))
+    val quarantined = bad.select("_corrupt_record").as[String].collect()
+    assert(quarantined.length == 2)
+    assert(quarantined.exists(_.contains("missing comma")))
+    assert(quarantined.exists(_.contains("not json")))
+  }
+
   test("bucketed table: joins on the bucket key plan without a shuffle") {
     // managed tables land in the default warehouse dir (dropped below)
     val df = (1 to 100).map(i => (i.toLong, s"v$i")).toDF("k", "v")
