@@ -29,12 +29,27 @@ object Ingest {
     */
   def readJsonl(spark: SparkSession, path: String, schema: StructType,
                 corruptCol: String = "_corrupt_record")
-      : (DataFrame, DataFrame) = {
+      : (DataFrame, DataFrame) =
+    parseLines(spark.read.text(path), schema, corruptCol)
+
+  /** Streaming twin of [[readJsonl]] for continuous corpus ingest: new
+    * shards landing under `path` are parsed incrementally with the same
+    * good/quarantine split (each side is its own `writeStream`; the
+    * text source tracks processed files, so the two sinks each see
+    * every line exactly once per their own checkpoints).
+    */
+  def readJsonlStream(spark: SparkSession, path: String, schema: StructType,
+                      corruptCol: String = "_corrupt_record")
+      : (DataFrame, DataFrame) =
+    parseLines(spark.readStream.text(path), schema, corruptCol)
+
+  private def parseLines(lines: DataFrame, schema: StructType,
+                         corruptCol: String): (DataFrame, DataFrame) = {
     require(!schema.fieldNames.contains(corruptCol),
       s"schema must not already define $corruptCol")
     val withCorrupt = StructType(schema.fields :+
       StructField(corruptCol, StringType, nullable = true))
-    val parsed = spark.read.text(path)
+    val parsed = lines
       .filter(length(trim(col("value"))) > 0)
       .select(col("value"), from_json(col("value"), withCorrupt,
         Map("mode" -> "PERMISSIVE",

@@ -59,6 +59,26 @@ class SinksSpec extends SparkSpec {
     assert(quarantined.exists(_.contains("not json")))
   }
 
+  test("jsonl STREAM ingest: incremental shards split good/quarantine identically") {
+    val dir = Files.createTempDirectory("graft-ingest-stream").toFile
+    dir.deleteOnExit()
+    java.nio.file.Files.writeString(new java.io.File(dir, "s0.json").toPath,
+      "{\"doc_id\": 1, \"text\": \"ok\"}\nbroken line\n")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType)))
+    val (good, bad) = graft.sources.Ingest.readJsonlStream(spark, dir.getAbsolutePath, schema)
+    assert(good.isStreaming && bad.isStreaming)
+    val qg = good.writeStream.format("memory").queryName("ing_good")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    val qb = bad.writeStream.format("memory").queryName("ing_bad")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    qg.awaitTermination(60000); qb.awaitTermination(60000)
+    assert(spark.sql("SELECT doc_id FROM ing_good").as[Long].collect().toSeq == Seq(1L))
+    assert(spark.sql("SELECT * FROM ing_bad").collect().map(_.getString(0)).toSeq
+      == Seq("broken line"))
+  }
+
   test("bucketed table: joins on the bucket key plan without a shuffle") {
     // managed tables land in the default warehouse dir (dropped below)
     val df = (1 to 100).map(i => (i.toLong, s"v$i")).toDF("k", "v")
