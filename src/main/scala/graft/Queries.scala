@@ -1508,6 +1508,54 @@ object Queries {
            |       CAST(n_tok AS BIGINT) AS n_tok
            |FROM c WHERE cum <= 2000""".stripMargin))
 
+  /** The Gopher-style quality GATE composed end-to-end under one oracle:
+    * per-document repetition diagnostics feed a keep/drop predicate
+    * (token range, distinct-token floor, top-token-share ceiling), and
+    * per-language survival statistics come out — count in, count kept,
+    * mean kept length. One kernel pass + one partial-aggregating
+    * group-by; thresholds chosen so both branches are populated at
+    * every SF (token p10-p90 spans the gate). NULL text: NULL ratios →
+    * keep is NULL → counted in n_docs, never in n_kept, on both sides.
+    */
+  private val qQualityGate = Q("q_quality_gate",
+    (s, dir) => {
+      val rep = TF.repetitionStats(col("text"))
+      val base = t(s, dir, "documents").select(col("lang"),
+        rep.getField("n_tokens").as("n_tok"),
+        rep.getField("distinct_ratio").as("dr"),
+        rep.getField("top_token_frac").as("tf"))
+      val keep = col("n_tok").between(20, 80) &&
+        col("dr") >= 0.4 && col("tf") <= 0.12
+      base.groupBy(col("lang")).agg(
+        count(lit(1)).cast("bigint").as("n_docs"),
+        sum(when(keep, 1L).otherwise(0L)).cast("bigint").as("n_kept"),
+        round(avg(when(keep, col("n_tok"))), 4).as("avg_kept_tokens"))
+    },
+    Some("""WITH tk AS (
+           |  SELECT doc_id, lang,
+           |         CASE WHEN text IS NULL THEN NULL
+           |              WHEN len(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+           |              ELSE string_split_regex(trim(text), '[ \t\n\x0B\f\r]+')
+           |         END AS t
+           |  FROM documents),
+           |m AS (
+           |  SELECT lang, len(t) AS n_tok,
+           |         CASE WHEN len(t) > 0 THEN
+           |           round(CAST(len(list_distinct(t)) AS DOUBLE) / len(t), 6) END AS dr,
+           |         CASE WHEN len(t) > 0 THEN
+           |           round(CAST(list_max(list_transform(list_distinct(t),
+           |                   x -> len(list_filter(t, y -> y = x)))) AS DOUBLE)
+           |                 / len(t), 6) END AS tf
+           |  FROM tk),
+           |g AS (
+           |  SELECT lang, n_tok,
+           |         (n_tok BETWEEN 20 AND 80) AND dr >= 0.4 AND tf <= 0.12 AS keep
+           |  FROM m)
+           |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           |       CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           |       round(avg(CASE WHEN keep THEN n_tok END), 4) AS avg_kept_tokens
+           |FROM g GROUP BY 1""".stripMargin))
+
   /** Every query, in a stable order. */
   val all: Seq[Q] = Seq(
     qSelect, qFilter, qFilterRouter,
@@ -1524,5 +1572,6 @@ object Queries {
     qRollup, qSemiAnti, qSetOps, qAsofJoin, qPivot,
     qBm25, qDecontaminate, qTopNgrams, qRepetition, qRangeJoin,
     qPackChunks, qSplitAssign,
-    qRangeJoinSemi, qLineDedup, qPiiRedact, qCube, qTfidf, qTokenBudget)
+    qRangeJoinSemi, qLineDedup, qPiiRedact, qCube, qTfidf, qTokenBudget,
+    qQualityGate)
 }
