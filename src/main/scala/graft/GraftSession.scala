@@ -24,6 +24,9 @@ object GraftSession {
   def getOrCreate(): SparkSession = {
     val spark = builder().getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // SQL callers get every graft expression without remembering the
+    // spark.sql.extensions conf (idempotent re-registration)
+    org.apache.spark.sql.GraftSqlFunctions.register(spark)
     spark
   }
 }
