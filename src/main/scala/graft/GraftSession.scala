@@ -20,13 +20,14 @@ object GraftSession {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // every session built through here gets the graft SQL functions —
+      // at the BUILDER level, so builder(...)-customizing callers (the
+      // common path) are covered, not just the no-arg wrapper
+      .config("spark.sql.extensions", classOf[GraftExtensions].getName)
 
   def getOrCreate(): SparkSession = {
     val spark = builder().getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // SQL callers get every graft expression without remembering the
-    // spark.sql.extensions conf (idempotent re-registration)
-    org.apache.spark.sql.GraftSqlFunctions.register(spark)
     spark
   }
 }

@@ -12,52 +12,73 @@ import org.apache.spark.sql.types.{StringType, StructField, StructType}
   */
 object Ingest {
 
-  /** Read JSON-Lines shards with an EXPLICIT schema (never inferred —
-    * schema inference is a full extra pass over 100 TB and makes the
-    * pipeline's types depend on the data). Lines are read as text and
-    * parsed with `from_json`, NOT `spark.read.json`: the raw-JSON
-    * source forbids plans that reference only its internal corrupt
-    * column (its documented workaround is caching the parsed frame —
-    * a non-starter at corpus scale), while the text+from_json form
-    * streams through one scan with no such restriction and keeps the
-    * verbatim line available for the quarantine channel. Gzip shards
-    * decompress transparently; blank lines are ignored.
+  /** One-scan form: every non-blank input line becomes a row carrying
+    * the schema columns (null when the line didn't parse) plus
+    * `corruptCol` holding the VERBATIM line for malformed input (null
+    * for good rows). This is the 100 TB shape — write it once,
+    * splitting at the sink (e.g. `partitionBy` on `corruptCol IS NULL`,
+    * or two filtered writes over a persisted frame), so the input is
+    * read and parsed exactly once.
     *
-    * Returns (good, bad): `good` carries the schema columns for rows
-    * that parsed; `bad` carries the verbatim malformed line per row in
-    * `corruptCol`. Both derive from the same scan definition.
+    * Lines are read as text and parsed with `from_json`, NOT
+    * `spark.read.json`: the raw-JSON source forbids plans referencing
+    * only its internal corrupt column (its documented workaround is
+    * caching the parsed frame), while text+from_json has no such
+    * restriction and keeps the verbatim line for the quarantine
+    * channel. The schema is EXPLICIT, never inferred — inference is a
+    * full extra pass and makes pipeline types depend on the data. Gzip
+    * shards decompress transparently; whitespace-only lines (including
+    * the `\r` remnants of CRLF corpora) are ignored, not quarantined.
+    */
+  def readJsonlTagged(spark: SparkSession, path: String, schema: StructType,
+                      corruptCol: String = "_corrupt_record"): DataFrame =
+    tagLines(spark.read.text(path), schema, corruptCol)
+
+  /** Convenience two-frame form: (good, bad) where `good` carries the
+    * schema columns of rows that parsed and `bad` one `corruptCol`
+    * string per malformed line. NOTE these are two independent plans
+    * over the same files — forcing both scans the input twice. For one
+    * pass, use [[readJsonlTagged]] and split at the sink, or persist
+    * the tagged frame first.
     */
   def readJsonl(spark: SparkSession, path: String, schema: StructType,
                 corruptCol: String = "_corrupt_record")
       : (DataFrame, DataFrame) =
-    parseLines(spark.read.text(path), schema, corruptCol)
+    split(readJsonlTagged(spark, path, schema, corruptCol), schema, corruptCol)
 
-  /** Streaming twin of [[readJsonl]] for continuous corpus ingest: new
-    * shards landing under `path` are parsed incrementally with the same
+  /** Streaming twin for continuous corpus ingest: new shards landing
+    * under `path` are parsed incrementally with the same
     * good/quarantine split (each side is its own `writeStream`; the
-    * text source tracks processed files, so the two sinks each see
-    * every line exactly once per their own checkpoints).
+    * text source tracks processed files per that sink's checkpoint).
     */
   def readJsonlStream(spark: SparkSession, path: String, schema: StructType,
                       corruptCol: String = "_corrupt_record")
       : (DataFrame, DataFrame) =
-    parseLines(spark.readStream.text(path), schema, corruptCol)
+    split(tagLines(spark.readStream.text(path), schema, corruptCol),
+      schema, corruptCol)
 
-  private def parseLines(lines: DataFrame, schema: StructType,
-                         corruptCol: String): (DataFrame, DataFrame) = {
+  private def tagLines(lines: DataFrame, schema: StructType,
+                       corruptCol: String): DataFrame = {
     require(!schema.fieldNames.contains(corruptCol),
       s"schema must not already define $corruptCol")
     val withCorrupt = StructType(schema.fields :+
       StructField(corruptCol, StringType, nullable = true))
-    val parsed = lines
-      .filter(length(trim(col("value"))) > 0)
+    lines
+      .filter(col("value").rlike("\\S")) // blank = ANY whitespace-only line
       .select(col("value"), from_json(col("value"), withCorrupt,
         Map("mode" -> "PERMISSIVE",
           "columnNameOfCorruptRecord" -> corruptCol)).as("__j"))
-    val corrupt = col("__j").isNull || col(s"__j.`$corruptCol`").isNotNull
-    val good = parsed.filter(!corrupt)
-      .select(schema.fieldNames.map(n => col(s"__j.`$n`").as(n)): _*)
-    val bad = parsed.filter(corrupt).select(col("value").as(corruptCol))
+      .select(
+        (schema.fieldNames.map(n => col(s"__j.`$n`").as(n)) :+
+          when(col("__j").isNull || col(s"__j.`$corruptCol`").isNotNull,
+            col("value")).as(corruptCol)): _*)
+  }
+
+  private def split(tagged: DataFrame, schema: StructType,
+                    corruptCol: String): (DataFrame, DataFrame) = {
+    val good = tagged.filter(col(corruptCol).isNull)
+      .select(schema.fieldNames.map(col): _*)
+    val bad = tagged.filter(col(corruptCol).isNotNull).select(col(corruptCol))
     (good, bad)
   }
 }

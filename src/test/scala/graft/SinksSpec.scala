@@ -57,6 +57,25 @@ class SinksSpec extends SparkSpec {
     assert(quarantined.length == 2)
     assert(quarantined.exists(_.contains("missing comma")))
     assert(quarantined.exists(_.contains("not json")))
+    // the one-scan tagged form: every line is a row, corrupt ones keep
+    // the verbatim line in the tag column and null data columns
+    val tagged = graft.sources.Ingest.readJsonlTagged(spark, dir.getAbsolutePath, schema)
+    assert(tagged.columns.toSeq == Seq("doc_id", "text", "_corrupt_record"))
+    assert(tagged.count() == 4)
+    assert(tagged.filter(col("_corrupt_record").isNotNull)
+      .filter(col("doc_id").isNull).count() == 2)
+  }
+
+  test("jsonl ingest: whitespace-only lines (incl. CRLF remnants) are ignored, not quarantined") {
+    val dir = Files.createTempDirectory("graft-ingest-blank").toFile
+    dir.deleteOnExit()
+    java.nio.file.Files.writeString(new java.io.File(dir, "s.json").toPath,
+      "{\"doc_id\": 1}\n\r\n\t\n   \n{\"doc_id\": 2}\n")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType)))
+    val (good, bad) = graft.sources.Ingest.readJsonl(spark, dir.getAbsolutePath, schema)
+    assert(good.count() == 2)
+    assert(bad.count() == 0) // "\r", "\t", "   " are blanks, not errors
   }
 
   test("jsonl STREAM ingest: incremental shards split good/quarantine identically") {
