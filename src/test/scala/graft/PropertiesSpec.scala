@@ -179,6 +179,40 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("sampleToTokenBudget is the greedy prefix: never exceeds, takes the maximal prefix") {
+    val rows = (1L to 200L).map(i => (i, "g" + (i % 5), 1L + rnd.nextInt(500)))
+    val df = rows.toDF("id", "grp", "tok")
+    val budgets = (0 until 5).map(g => ("g" + g, 2000L)).toDF("grp", "token_budget")
+    val kept = graft.operators.Ops.sampleToTokenBudget(df, Seq("grp"), "tok",
+      budgets, Seq(col("id")))
+      .select("id").as[Long].collect().toSet
+    rows.groupBy(_._2).foreach { case (_, members) =>
+      var cum = 0L
+      members.sortBy(_._1).foreach { case (id, _, tok) =>
+        cum += tok
+        assert(kept.contains(id) == (cum <= 2000L), s"row $id (cum $cum)")
+      }
+    }
+  }
+
+  test("jsonl write -> read roundtrip is lossless for nulls and unicode") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-rt").toFile
+    dir.deleteOnExit()
+    val rows = (1L to 50L).map { i =>
+      (i,
+        if (i % 9 == 0) null
+        else s"""line $i with "quotes", Grüße, 日本語, tab\there""",
+        if (i % 7 == 0) null else "en")
+    }
+    val df = rows.toDF("doc_id", "text", "lang")
+    graft.sources.Sinks.writeJsonl(df, dir.getAbsolutePath, maxRecordsPerFile = 20)
+    val schema = df.schema
+    val (good, bad) = graft.sources.Ingest.readJsonl(spark, dir.getAbsolutePath, schema)
+    assert(bad.count() == 0)
+    val back = good.as[(Long, String, String)].collect().toSet
+    assert(back == rows.toSet)
+  }
+
   test("union + exact dedup: cluster sizes sum to input size") {
     val docs = (1L to 100L).map(i => (i, s"doc ${i % 17} content")).toDF("doc_id", "text")
     val clusters = Dedup.exact(docs, "text", "doc_id")
