@@ -1,0 +1,71 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Container-header parsing for binary media columns — REAL (not
+  * stubbed) metadata extraction that needs no codec: image dimensions
+  * live in fixed header fields (PNG IHDR, GIF logical screen
+  * descriptor, BMP info header) or in the first SOF marker (JPEG), all
+  * readable in a few dozen bytes. This is the triage pass a multimodal
+  * pipeline runs over every blob BEFORE spending decode budget:
+  * filter by dimensions/format, route by type, drop truncated files.
+  * Pixel decoding stays behind [[graft.operators.Multimodal.Decoder]].
+  */
+object MediaKernels {
+
+  private def beU16(b: Array[Byte], i: Int): Int =
+    ((b(i) & 0xff) << 8) | (b(i + 1) & 0xff)
+  private def leU16(b: Array[Byte], i: Int): Int =
+    ((b(i + 1) & 0xff) << 8) | (b(i) & 0xff)
+  private def beI32(b: Array[Byte], i: Int): Int =
+    ((b(i) & 0xff) << 24) | ((b(i + 1) & 0xff) << 16) |
+      ((b(i + 2) & 0xff) << 8) | (b(i + 3) & 0xff)
+  private def leI32(b: Array[Byte], i: Int): Int =
+    ((b(i + 3) & 0xff) << 24) | ((b(i + 2) & 0xff) << 16) |
+      ((b(i + 1) & 0xff) << 8) | (b(i) & 0xff)
+
+  private def row(fmt: String, w: Int, h: Int): InternalRow =
+    new GenericInternalRow(Array[Any](UTF8String.fromString(fmt), w, h))
+
+  /** (format, width, height) from the blob's container header, or NULL
+    * when the blob matches no known magic / is truncated before its
+    * dimension fields. Formats: png, gif, bmp, jpeg.
+    */
+  def imageMeta(b: Array[Byte]): InternalRow = {
+    if (b == null) return null
+    // PNG: 8-byte magic, then IHDR chunk — width/height BE at 16/20
+    if (b.length >= 24 &&
+        (b(0) & 0xff) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G' &&
+        b(4) == 0x0d && b(5) == 0x0a && b(6) == 0x1a && b(7) == 0x0a)
+      return row("png", beI32(b, 16), beI32(b, 20))
+    // GIF87a / GIF89a: logical screen w/h LE at 6/8
+    if (b.length >= 10 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F' &&
+        b(3) == '8' && (b(4) == '7' || b(4) == '9') && b(5) == 'a')
+      return row("gif", leU16(b, 6), leU16(b, 8))
+    // BMP: "BM", BITMAPINFOHEADER w at 18, h at 22 (h may be negative
+    // for top-down rows — report magnitude)
+    if (b.length >= 26 && b(0) == 'B' && b(1) == 'M')
+      return row("bmp", leI32(b, 18), math.abs(leI32(b, 22)))
+    // JPEG: SOI then marker segments; dimensions in the first SOFn
+    // (C0-CF except C4 DHT / C8 JPG / CC DAC): height BE at +5, width +7
+    if (b.length >= 4 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8) {
+      var i = 2
+      while (i + 3 < b.length && (b(i) & 0xff) == 0xff) {
+        val m = b(i + 1) & 0xff
+        if (m == 0xff) { i += 1 } // fill byte
+        else if (m == 0x01 || (m >= 0xd0 && m <= 0xd9)) { i += 2 } // standalone
+        else if (m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc) {
+          if (i + 8 < b.length) return row("jpeg", beU16(b, i + 7), beU16(b, i + 5))
+          else return null // truncated before the SOF dimension fields
+        } else {
+          if (i + 3 >= b.length) return null
+          i += 2 + beU16(b, i + 2) // skip the segment (length includes itself)
+        }
+      }
+      return null
+    }
+    null
+  }
+}

@@ -21,6 +21,17 @@ import org.apache.spark.sql.types._
   */
 object Multimodal {
 
+  /** REAL (non-stub) container-header metadata: struct(format, width,
+    * height) for png/gif/bmp/jpeg blobs, NULL for unrecognized or
+    * truncated ones — the codec-free triage pass that filters/routes
+    * blobs BEFORE any decode budget is spent. Codegen expression; the
+    * blob never shuffles.
+    */
+  def imageMeta(blob: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.{GraftBridge, ImageMeta => IM}
+    GraftBridge.column(IM(GraftBridge.expression(blob)))
+  }
+
   /** Decoder contract: one BATCH of blobs in, one feature vector per
     * blob out — the shape a vectorized codec / GPU embedder actually
     * wants (amortized model invocation per batch, not per row). The

@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggreg
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.trees.UnaryLike
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData, TypeUtils}
-import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType, LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, BinaryType, DataType, DoubleType, IntegerType, LongType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst expressions backing graft's custom functions. They live
@@ -160,6 +160,41 @@ case class TextStats(child: Expression)
     defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.stats($c)")
 
   override protected def withNewChildInternal(newChild: Expression): TextStats =
+    copy(child = newChild)
+}
+
+object ImageMeta {
+  val schema: StructType = StructType(Seq(
+    StructField("format", StringType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false)))
+}
+
+/** Container-header image metadata — (format, width, height) parsed
+  * from the blob's fixed header fields, NULL for unrecognized or
+  * truncated blobs. See [[graft.functions.MediaKernels.imageMeta]].
+  */
+case class ImageMeta(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
+  override def dataType: DataType = ImageMeta.schema
+  override def nullable: Boolean = true
+  override def prettyName: String = "image_meta"
+
+  override protected def nullSafeEval(v: Any): Any =
+    graft.functions.MediaKernels.imageMeta(v.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // the kernel can return null for a NON-null input (unknown magic),
+    // so defineCodeGen (which assumes non-null results) doesn't apply
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.MediaKernels.imageMeta($c);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ImageMeta =
     copy(child = newChild)
 }
 

@@ -88,6 +88,10 @@ object GraftSqlFunctions {
       arity("vector_lsh_bucket", "vector_lsh_bucket(a, nBits)", 2, 2)(
         c => VectorLshBucket(asDoubleArray(c(0)),
           intArg(c(1), "vector_lsh_bucket"), 42L))),
+    (FunctionIdentifier("image_meta"),
+      info("image_meta",
+        "image_meta(blob) - struct(format, width, height) from the container header"),
+      arity("image_meta", "image_meta(blob)", 1, 1)(c => ImageMeta(c(0)))),
     (FunctionIdentifier("repetition_counts"),
       info("repetition_counts",
         "repetition_counts(text) - struct(n_tokens, n_distinct, top_count)"),

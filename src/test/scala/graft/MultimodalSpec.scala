@@ -40,6 +40,51 @@ class MultimodalSpec extends SparkSpec {
     assert(frames == Seq(0, 2, 4))
   }
 
+  test("imageMeta parses real PNG/GIF/BMP/JPEG headers, rejects junk and truncation") {
+    def png(w: Int, h: Int): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(24)
+      b.put(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
+      b.putInt(13).put("IHDR".getBytes).putInt(w).putInt(h)
+      b.array()
+    }
+    def gif(w: Int, h: Int): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(10).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put("GIF89a".getBytes).putShort(w.toShort).putShort(h.toShort)
+      b.array()
+    }
+    def bmp(w: Int, h: Int): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(26).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put("BM".getBytes).position(18)
+      b.putInt(w).putInt(h)
+      b.array()
+    }
+    def jpeg(w: Int, h: Int): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(30)
+      b.put(Array(0xff, 0xd8).map(_.toByte))                 // SOI
+      b.put(Array(0xff, 0xe0).map(_.toByte)).putShort(16)    // APP0, 16-byte segment
+      b.position(2 + 2 + 16)
+      b.put(Array(0xff, 0xc0).map(_.toByte)).putShort(8)     // SOF0
+      b.put(8.toByte).putShort(h.toShort).putShort(w.toShort)
+      b.array()
+    }
+    val rows = Seq(
+      (1L, png(640, 480)), (2L, gif(320, 200)), (3L, bmp(800, 600)),
+      (4L, jpeg(1024, 768)), (5L, "not an image at all".getBytes),
+      (6L, png(9, 9).take(12)), (7L, null.asInstanceOf[Array[Byte]]))
+    val out = rows.toDF("id", "blob")
+      .select(col("id"), Multimodal.imageMeta(col("blob")).as("m"))
+      .select(col("id"), col("m.format"), col("m.width"), col("m.height"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else (r.getString(1), r.getInt(2), r.getInt(3)))).toMap
+    assert(out(1L) == (("png", 640, 480)))
+    assert(out(2L) == (("gif", 320, 200)))
+    assert(out(3L) == (("bmp", 800, 600)))
+    assert(out(4L) == (("jpeg", 1024, 768)))
+    assert(out(5L) == null) // unknown magic
+    assert(out(6L) == null) // truncated before IHDR dims
+    assert(out(7L) == null) // null blob
+  }
+
   test("sampleFrames: a null media id passes through instead of killing the task") {
     val media = Seq((Some(1L), "abcdefgh"), (None, "ijklmnop")).toDF("id", "txt")
       .withColumn("blob", encode(col("txt"), "UTF-8"))
