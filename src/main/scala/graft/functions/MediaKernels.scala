@@ -29,6 +29,40 @@ object MediaKernels {
   private def row(fmt: String, w: Int, h: Int): InternalRow =
     new GenericInternalRow(Array[Any](UTF8String.fromString(fmt), w, h))
 
+  /** (format, channels, sample_rate, bits_per_sample, n_frames) from a
+    * WAV/RIFF header, or NULL for non-WAV / truncated blobs. Walks the
+    * chunk list for `fmt ` and `data` (they need not be adjacent —
+    * LIST/INFO chunks commonly sit between), so duration is derivable
+    * as n_frames / sample_rate without decoding anything.
+    */
+  def audioMeta(b: Array[Byte]): InternalRow = {
+    if (b == null || b.length < 36) return null
+    if (!(b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+          b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E')) return null
+    var channels = -1
+    var rate = -1
+    var bits = -1
+    var dataLen = -1L
+    var i = 12
+    while (i + 8 <= b.length && (channels < 0 || dataLen < 0)) {
+      val isFmt = b(i) == 'f' && b(i + 1) == 'm' && b(i + 2) == 't' && b(i + 3) == ' '
+      val isData = b(i) == 'd' && b(i + 1) == 'a' && b(i + 2) == 't' && b(i + 3) == 'a'
+      val size = leI32(b, i + 4).toLong & 0xffffffffL
+      if (isFmt) {
+        if (i + 8 + 16 > b.length) return null // truncated fmt chunk
+        channels = leU16(b, i + 10)
+        rate = leI32(b, i + 12)
+        bits = leU16(b, i + 22)
+      } else if (isData) dataLen = size
+      i += 8 + size.toInt + (size.toInt & 1) // chunks are word-aligned
+      if (i < 0) return null // corrupt size overflowed
+    }
+    if (channels <= 0 || rate <= 0 || bits <= 0 || dataLen < 0) return null
+    val bytesPerFrame = channels.toLong * (bits / 8).max(1)
+    new GenericInternalRow(Array[Any](
+      UTF8String.fromString("wav"), channels, rate, bits, dataLen / bytesPerFrame))
+  }
+
   /** (format, width, height) from the blob's container header, or NULL
     * when the blob matches no known magic / is truncated before its
     * dimension fields. Formats: png, gif, bmp, jpeg.

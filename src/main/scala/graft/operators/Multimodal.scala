@@ -32,6 +32,15 @@ object Multimodal {
     GraftBridge.column(IM(GraftBridge.expression(blob)))
   }
 
+  /** REAL WAV/RIFF metadata: struct(format, channels, sample_rate,
+    * bits_per_sample, n_frames) — duration = n_frames / sample_rate
+    * without decoding a sample. NULL for non-WAV/truncated blobs.
+    */
+  def audioMeta(blob: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.{AudioMeta => AM, GraftBridge}
+    GraftBridge.column(AM(GraftBridge.expression(blob)))
+  }
+
   /** Decoder contract: one BATCH of blobs in, one feature vector per
     * blob out — the shape a vectorized codec / GPU embedder actually
     * wants (amortized model invocation per batch, not per row). The

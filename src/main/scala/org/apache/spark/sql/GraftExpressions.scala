@@ -198,6 +198,39 @@ case class ImageMeta(child: Expression)
     copy(child = newChild)
 }
 
+object AudioMeta {
+  val schema: StructType = StructType(Seq(
+    StructField("format", StringType, nullable = false),
+    StructField("channels", IntegerType, nullable = false),
+    StructField("sample_rate", IntegerType, nullable = false),
+    StructField("bits_per_sample", IntegerType, nullable = false),
+    StructField("n_frames", LongType, nullable = false)))
+}
+
+/** WAV/RIFF audio metadata — NULL for non-WAV or truncated blobs. See
+  * [[graft.functions.MediaKernels.audioMeta]].
+  */
+case class AudioMeta(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
+  override def dataType: DataType = AudioMeta.schema
+  override def nullable: Boolean = true
+  override def prettyName: String = "audio_meta"
+
+  override protected def nullSafeEval(v: Any): Any =
+    graft.functions.MediaKernels.audioMeta(v.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.MediaKernels.audioMeta($c);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
+
+  override protected def withNewChildInternal(newChild: Expression): AudioMeta =
+    copy(child = newChild)
+}
+
 object RepetitionCounts {
   val schema: StructType = StructType(Seq(
     StructField("n_tokens", LongType, nullable = false),

@@ -88,6 +88,10 @@ object GraftSqlFunctions {
       arity("vector_lsh_bucket", "vector_lsh_bucket(a, nBits)", 2, 2)(
         c => VectorLshBucket(asDoubleArray(c(0)),
           intArg(c(1), "vector_lsh_bucket"), 42L))),
+    (FunctionIdentifier("audio_meta"),
+      info("audio_meta",
+        "audio_meta(blob) - struct(format, channels, sample_rate, bits_per_sample, n_frames) from a WAV header"),
+      arity("audio_meta", "audio_meta(blob)", 1, 1)(c => AudioMeta(c(0)))),
     (FunctionIdentifier("image_meta"),
       info("image_meta",
         "image_meta(blob) - struct(format, width, height) from the container header"),

@@ -85,6 +85,32 @@ class MultimodalSpec extends SparkSpec {
     assert(out(7L) == null) // null blob
   }
 
+  test("audioMeta parses a real WAV header with a LIST chunk between fmt and data") {
+    def wav(channels: Int, rate: Int, bits: Int, dataBytes: Int): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(12 + 24 + 12 + 8 + dataBytes)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put("RIFF".getBytes).putInt(0).put("WAVE".getBytes)
+      b.put("fmt ".getBytes).putInt(16).putShort(1).putShort(channels.toShort)
+        .putInt(rate).putInt(rate * channels * bits / 8)
+        .putShort((channels * bits / 8).toShort).putShort(bits.toShort)
+      b.put("LIST".getBytes).putInt(4).put("INFO".getBytes) // non-adjacent chunks
+      b.put("data".getBytes).putInt(dataBytes)
+      b.array()
+    }
+    val rows = Seq(
+      (1L, wav(2, 44100, 16, 44100 * 4)),      // 1 second stereo 16-bit
+      (2L, "RIFFjunk".getBytes),               // RIFF but not WAVE
+      (3L, null.asInstanceOf[Array[Byte]]))
+    val out = rows.toDF("id", "blob")
+      .select(col("id"), Multimodal.audioMeta(col("blob")).as("m"))
+      .select(col("id"), col("m.channels"), col("m.sample_rate"), col("m.n_frames"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else (r.getInt(1), r.getInt(2), r.getLong(3)))).toMap
+    assert(out(1L) == ((2, 44100, 44100L))) // n_frames / rate = exactly 1 s
+    assert(out(2L) == null)
+    assert(out(3L) == null)
+  }
+
   test("sampleFrames: a null media id passes through instead of killing the task") {
     val media = Seq((Some(1L), "abcdefgh"), (None, "ijklmnop")).toDF("id", "txt")
       .withColumn("blob", encode(col("txt"), "UTF-8"))
