@@ -48,6 +48,9 @@ object MediaKernels {
       val isFmt = b(i) == 'f' && b(i + 1) == 'm' && b(i + 2) == 't' && b(i + 3) == ' '
       val isData = b(i) == 'd' && b(i + 1) == 'a' && b(i + 2) == 't' && b(i + 3) == 'a'
       val size = leI32(b, i + 4).toLong & 0xffffffffL
+      // a corrupt/crafted size must neither overflow Int nor walk
+      // backwards (a cycling cursor would hang the executor thread)
+      if (size > Int.MaxValue - 16) return null
       if (isFmt) {
         if (i + 8 + 16 > b.length) return null // truncated fmt chunk
         channels = leU16(b, i + 10)
@@ -55,7 +58,6 @@ object MediaKernels {
         bits = leU16(b, i + 22)
       } else if (isData) dataLen = size
       i += 8 + size.toInt + (size.toInt & 1) // chunks are word-aligned
-      if (i < 0) return null // corrupt size overflowed
     }
     if (channels <= 0 || rate <= 0 || bits <= 0 || dataLen < 0) return null
     val bytesPerFrame = channels.toLong * (bits / 8).max(1)
