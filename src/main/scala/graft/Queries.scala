@@ -501,8 +501,7 @@ object Queries {
     (s, dir) => Dedup.ngramJaccardPairs(
       t(s, dir, "documents").withColumn("blk",
         concat(col("lang"), lit("#"), pmod(col("doc_id"), lit(16)).cast("string"))),
-      "text", "doc_id", "blk", n = 3)
-      .filter(col("jaccard") >= 0.2)
+      "text", "doc_id", "blk", n = 3, minJaccard = 0.2)
       .select(col("id_a").cast("bigint").as("id_a"),
         col("id_b").cast("bigint").as("id_b"), col("jaccard")),
     Some("""WITH t AS (
@@ -540,8 +539,7 @@ object Queries {
       Dedup.ngramJaccardPairs(
         t(s, dir, "documents").withColumn("blk",
           concat(col("lang"), lit("#"), pmod(col("doc_id"), lit(16)).cast("string"))),
-        "text", "doc_id", "blk", n = 3)
-        .filter(col("jaccard") >= 0.5))
+        "text", "doc_id", "blk", n = 3, minJaccard = 0.5))
       .select(col("id").cast("bigint").as("id"),
         col("cluster").cast("bigint").as("cluster")),
     Some("""WITH RECURSIVE t AS (
@@ -582,8 +580,7 @@ object Queries {
       val pairs = Dedup.ngramJaccardPairs(
         docs.withColumn("blk",
           concat(col("lang"), lit("#"), pmod(col("doc_id"), lit(16)).cast("string"))),
-        "text", "doc_id", "blk", n = 3)
-        .filter(col("jaccard") >= 0.5)
+        "text", "doc_id", "blk", n = 3, minJaccard = 0.5)
       Dedup.dedupByPairs(docs, "doc_id", pairs)
         .groupBy(col("lang"))
         .agg(count(lit(1)).cast("bigint").as("n_docs"),

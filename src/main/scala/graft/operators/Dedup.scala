@@ -193,18 +193,37 @@ object Dedup {
     * the quadratic stage bounded. Shingle sets travel as sorted 64-bit
     * hash arrays and each pair is scored by one linear merge (equal to
     * string-set Jaccard up to 64-bit collisions).
+    *
+    * `minJaccard` enables the set-similarity LENGTH FILTER (the PPJoin
+    * family's cheapest bound): J(A,B) ≤ min(|A|,|B|) / max(|A|,|B|),
+    * so a pair whose set sizes differ by more than the threshold ratio
+    * is discarded by two int compares BEFORE the O(|A|+|B|) merge, and
+    * only surviving pairs are scored and post-filtered. The returned
+    * pair set is exactly the ≥ minJaccard pairs — the bound is implied,
+    * never lossy.
     */
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
-                        blockCol: String, n: Int = 3): DataFrame = {
+                        blockCol: String, n: Int = 3,
+                        minJaccard: Double = 0.0): DataFrame = {
+    require(minJaccard >= 0.0 && minJaccard <= 1.0, s"bad minJaccard $minJaccard")
     val g = df.select(
       col(blockCol).as("__blk"), col(idCol).as("__id"),
       TextFunctions.shingleHashes(col(textCol), n).as("__sh"))
     val a = g.select(col("__blk"), col("__id").as("id_a"), col("__sh").as("__sh_a"))
     val b = g.select(col("__blk"), col("__id").as("id_b"), col("__sh").as("__sh_b"))
-    a.join(b, Seq("__blk"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        round(sortedJaccard(col("__sh_a"), col("__sh_b")), 6).as("jaccard"))
+    val joined = a.join(b, Seq("__blk")).filter(col("id_a") < col("id_b"))
+    // 1e-6 slack: the post-filter compares the ROUNDED (6-decimal)
+    // score, so a pair rounding up across the threshold must not be
+    // length-filtered on its unrounded bound
+    val bound = math.max(0.0, minJaccard - 1e-6)
+    val prefiltered =
+      if (minJaccard <= 0.0) joined
+      else joined.filter(
+        size(col("__sh_a")).cast("double") >= lit(bound) * size(col("__sh_b")) &&
+          size(col("__sh_b")).cast("double") >= lit(bound) * size(col("__sh_a")))
+    val scored = prefiltered.select(col("id_a"), col("id_b"),
+      round(sortedJaccard(col("__sh_a"), col("__sh_b")), 6).as("jaccard"))
+    if (minJaccard <= 0.0) scored else scored.filter(col("jaccard") >= minJaccard)
   }
 
   /** Connected components over a near-dup pair graph: every node gets

@@ -68,6 +68,23 @@ class DedupSpec extends SparkSpec {
       5L -> 5L, 6L -> 5L, 8L -> 8L, 9L -> 8L))
   }
 
+  test("ngramJaccardPairs length filter is lossless: minJaccard ≡ post-hoc threshold") {
+    val rnd = new scala.util.Random(11)
+    val vocab = "abcdefgh"
+    val corpus = (1L to 60L).map { i =>
+      val len = 4 + rnd.nextInt(40) // widely varying lengths → the bound prunes
+      (i, Seq.fill(len)(vocab(rnd.nextInt(vocab.length))).mkString, "b" + (i % 2))
+    }.toDF("id", "t", "blk")
+    for (t <- Seq(0.1, 0.3, 0.6)) {
+      val direct = Dedup.ngramJaccardPairs(corpus, "t", "id", "blk", n = 2,
+        minJaccard = t).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val posthoc = Dedup.ngramJaccardPairs(corpus, "t", "id", "blk", n = 2)
+        .filter(col("jaccard") >= t)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(direct == posthoc, s"threshold $t")
+    }
+  }
+
   test("lineDedup: first corpus occurrence survives, short lines exempt, text rebuilt in order") {
     val docs = Seq(
       (1L, "alpha beta\nshared line\n--\ntail one"),
