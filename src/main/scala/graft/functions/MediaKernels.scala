@@ -65,6 +65,68 @@ object MediaKernels {
       UTF8String.fromString("wav"), channels, rate, bits, dataLen / bytesPerFrame))
   }
 
+  private def beI64(b: Array[Byte], i: Int): Long =
+    ((beI32(b, i).toLong & 0xffffffffL) << 32) | (beI32(b, i + 4).toLong & 0xffffffffL)
+
+  /** (format = major brand, timescale, duration, n_tracks) from an
+    * ISO-BMFF (MP4/MOV) container, or NULL for non-BMFF / truncated /
+    * corrupt blobs. Walks the top-level box list for `ftyp` and `moov`,
+    * then `moov`'s children for `mvhd` (version 0 and 1 layouts) and
+    * `trak` count — seconds = duration / timescale, no codec touched.
+    * Cursor strictly advances (64-bit and to-end box sizes handled), so
+    * a crafted size can't hang the executor.
+    */
+  def videoMeta(b: Array[Byte]): InternalRow = {
+    if (b == null || b.length < 16) return null
+
+    // visit every box in [from, to): onEach(type, contentStart, contentEnd)
+    def walk(from: Int, to: Int)(onEach: (String, Int, Int) => Unit): Unit = {
+      var i = from
+      while (i + 8 <= to) {
+        val size32 = beI32(b, i).toLong & 0xffffffffL
+        val typ = new String(b, i + 4, 4, java.nio.charset.StandardCharsets.ISO_8859_1)
+        var hdr = 8L
+        var size = size32
+        if (size32 == 1) {
+          if (i + 16 > to) return
+          size = beI64(b, i + 8); hdr = 16
+        } else if (size32 == 0) size = (to - i).toLong
+        if (size < hdr || i + size > Int.MaxValue) return // corrupt: stop walking
+        onEach(typ, i + hdr.toInt, math.min(to.toLong, i + size).toInt)
+        i = (i + size).toInt
+      }
+    }
+    var brand: String = null
+    var moovStart = -1
+    var moovEnd = -1
+    walk(0, b.length) { (typ, start, end) =>
+      if (typ == "ftyp" && start + 4 <= b.length && brand == null)
+        brand = new String(b, start, 4, java.nio.charset.StandardCharsets.ISO_8859_1).trim
+      if (typ == "moov" && moovStart < 0) { moovStart = start; moovEnd = end }
+    }
+    if (brand == null || moovStart < 0) return null
+
+    var timescale = -1L
+    var duration = -1L
+    var tracks = 0
+    walk(moovStart, moovEnd) { (typ, start, end) =>
+      if (typ == "mvhd" && timescale < 0) {
+        val version = if (start < b.length) b(start) & 0xff else -1
+        if (version == 0 && start + 20 <= end) {
+          timescale = beI32(b, start + 12).toLong & 0xffffffffL
+          duration = beI32(b, start + 16).toLong & 0xffffffffL
+        } else if (version == 1 && start + 32 <= end) {
+          timescale = beI32(b, start + 20).toLong & 0xffffffffL
+          duration = beI64(b, start + 24)
+        }
+      }
+      if (typ == "trak") tracks += 1
+    }
+    if (timescale <= 0 || duration < 0) return null
+    new GenericInternalRow(Array[Any](
+      UTF8String.fromString(brand), timescale, duration, tracks))
+  }
+
   /** (format, width, height) from the blob's container header, or NULL
     * when the blob matches no known magic / is truncated before its
     * dimension fields. Formats: png, gif, bmp, jpeg.

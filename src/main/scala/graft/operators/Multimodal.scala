@@ -41,6 +41,15 @@ object Multimodal {
     GraftBridge.column(AM(GraftBridge.expression(blob)))
   }
 
+  /** REAL ISO-BMFF (MP4/MOV) metadata: struct(format = major brand,
+    * timescale, duration, n_tracks) — seconds = duration / timescale,
+    * codec untouched. NULL for non-BMFF/corrupt blobs.
+    */
+  def videoMeta(blob: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.{GraftBridge, VideoMeta => VM}
+    GraftBridge.column(VM(GraftBridge.expression(blob)))
+  }
+
   /** Decoder contract: one BATCH of blobs in, one feature vector per
     * blob out — the shape a vectorized codec / GPU embedder actually
     * wants (amortized model invocation per batch, not per row). The

@@ -231,6 +231,38 @@ case class AudioMeta(child: Expression)
     copy(child = newChild)
 }
 
+object VideoMeta {
+  val schema: StructType = StructType(Seq(
+    StructField("format", StringType, nullable = false),
+    StructField("timescale", LongType, nullable = false),
+    StructField("duration", LongType, nullable = false),
+    StructField("n_tracks", IntegerType, nullable = false)))
+}
+
+/** ISO-BMFF (MP4/MOV) container metadata — NULL for non-BMFF or corrupt
+  * blobs. See [[graft.functions.MediaKernels.videoMeta]].
+  */
+case class VideoMeta(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
+  override def dataType: DataType = VideoMeta.schema
+  override def nullable: Boolean = true
+  override def prettyName: String = "video_meta"
+
+  override protected def nullSafeEval(v: Any): Any =
+    graft.functions.MediaKernels.videoMeta(v.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.MediaKernels.videoMeta($c);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
+
+  override protected def withNewChildInternal(newChild: Expression): VideoMeta =
+    copy(child = newChild)
+}
+
 object RepetitionCounts {
   val schema: StructType = StructType(Seq(
     StructField("n_tokens", LongType, nullable = false),

@@ -92,6 +92,10 @@ object GraftSqlFunctions {
       info("audio_meta",
         "audio_meta(blob) - struct(format, channels, sample_rate, bits_per_sample, n_frames) from a WAV header"),
       arity("audio_meta", "audio_meta(blob)", 1, 1)(c => AudioMeta(c(0)))),
+    (FunctionIdentifier("video_meta"),
+      info("video_meta",
+        "video_meta(blob) - struct(format, timescale, duration, n_tracks) from an MP4/MOV container"),
+      arity("video_meta", "video_meta(blob)", 1, 1)(c => VideoMeta(c(0)))),
     (FunctionIdentifier("image_meta"),
       info("image_meta",
         "image_meta(blob) - struct(format, width, height) from the container header"),

@@ -111,6 +111,39 @@ class MultimodalSpec extends SparkSpec {
     assert(out(3L) == null)
   }
 
+  test("videoMeta parses a real MP4 box tree: brand, mvhd v0, track count") {
+    def box(typ: String, content: Array[Byte]): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(8 + content.length)
+      b.putInt(8 + content.length).put(typ.getBytes("ISO-8859-1")).put(content)
+      b.array()
+    }
+    val ftyp = box("ftyp", {
+      val c = java.nio.ByteBuffer.allocate(8)
+      c.put("isom".getBytes).putInt(0); c.array()
+    })
+    val mvhd = box("mvhd", {
+      // version 0: ver+flags, creation, modification, timescale, duration
+      val c = java.nio.ByteBuffer.allocate(100)
+      c.putInt(0).putInt(0).putInt(0).putInt(600).putInt(1200) // 2 seconds
+      c.array()
+    })
+    val moov = box("moov", mvhd ++ box("trak", Array.emptyByteArray)
+      ++ box("trak", Array.emptyByteArray))
+    val mp4 = ftyp ++ box("free", Array.emptyByteArray) ++ moov
+    val rows = Seq((1L, mp4), (2L, "GIF89a definitely not mp4".getBytes),
+      (3L, null.asInstanceOf[Array[Byte]]))
+    val out = rows.toDF("id", "blob")
+      .select(col("id"), Multimodal.videoMeta(col("blob")).as("m"))
+      .select(col("id"), col("m.format"), col("m.timescale"), col("m.duration"),
+        col("m.n_tracks"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null
+         else (r.getString(1), r.getLong(2), r.getLong(3), r.getInt(4)))).toMap
+    assert(out(1L) == (("isom", 600L, 1200L, 2)))
+    assert(out(2L) == null)
+    assert(out(3L) == null)
+  }
+
   test("sampleFrames: a null media id passes through instead of killing the task") {
     val media = Seq((Some(1L), "abcdefgh"), (None, "ijklmnop")).toDF("id", "txt")
       .withColumn("blob", encode(col("txt"), "UTF-8"))
