@@ -1553,6 +1553,37 @@ object Queries {
            |       round(avg(CASE WHEN keep THEN n_tok END), 4) AS avg_kept_tokens
            |FROM g GROUP BY 1""".stripMargin))
 
+  /** Media triage under the oracle gate: PNG blobs are CONSTRUCTED
+    * in-plan (magic + IHDR with dimensions derived from doc_id), parsed
+    * back by the [[Multimodal.imageMeta]] kernel, and the oracle
+    * recomputes the planted dimensions arithmetically — so the binary
+    * round-trip (build → parse) is hash-verified, not just spec'd.
+    * Every 7th blob is truncated mid-header and must come back NULL.
+    */
+  private val qImageMeta = Q("q_image_meta",
+    (s, dir) => {
+      def be32(c: Column): Column = unhex(lpad(hex(c), 8, "0"))
+      val w = (lit(100) + pmod(col("doc_id"), lit(900))).cast("int")
+      val h = (lit(50) + pmod(col("doc_id"), lit(500))).cast("int")
+      val blobFull = concat(
+        lit(Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)),
+        be32(lit(13)), lit("IHDR".getBytes), be32(w), be32(h))
+      val blob = when(pmod(col("doc_id"), lit(7)) === 0,
+        substring(blobFull, 1, 12)).otherwise(blobFull)
+      val m = Multimodal.imageMeta(blob)
+      t(s, dir, "documents").select(col("doc_id").cast("bigint").as("doc_id"),
+        m.getField("format").as("format"),
+        m.getField("width").cast("bigint").as("width"),
+        m.getField("height").cast("bigint").as("height"))
+    },
+    Some("""SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           |       CASE WHEN doc_id % 7 = 0 THEN NULL ELSE 'png' END AS format,
+           |       CASE WHEN doc_id % 7 = 0 THEN NULL
+           |            ELSE CAST(100 + doc_id % 900 AS BIGINT) END AS width,
+           |       CASE WHEN doc_id % 7 = 0 THEN NULL
+           |            ELSE CAST(50 + doc_id % 500 AS BIGINT) END AS height
+           |FROM documents""".stripMargin))
+
   /** Every query, in a stable order. */
   val all: Seq[Q] = Seq(
     qSelect, qFilter, qFilterRouter,
@@ -1570,5 +1601,5 @@ object Queries {
     qBm25, qDecontaminate, qTopNgrams, qRepetition, qRangeJoin,
     qPackChunks, qSplitAssign,
     qRangeJoinSemi, qLineDedup, qPiiRedact, qCube, qTfidf, qTokenBudget,
-    qQualityGate)
+    qQualityGate, qImageMeta)
 }
