@@ -43,21 +43,23 @@ object MediaKernels {
     var rate = -1
     var bits = -1
     var dataLen = -1L
-    var i = 12
+    // cursor arithmetic in Long: RIFF sizes are unsigned 32-bit (2-4 GiB
+    // data chunks are in-spec), and an Int advance would overflow on a
+    // crafted size and crash or cycle the walk. size >= 0 always, so
+    // the cursor strictly advances by >= 8 — no hang is possible.
+    var i = 12L
     while (i + 8 <= b.length && (channels < 0 || dataLen < 0)) {
-      val isFmt = b(i) == 'f' && b(i + 1) == 'm' && b(i + 2) == 't' && b(i + 3) == ' '
-      val isData = b(i) == 'd' && b(i + 1) == 'a' && b(i + 2) == 't' && b(i + 3) == 'a'
-      val size = leI32(b, i + 4).toLong & 0xffffffffL
-      // a corrupt/crafted size must neither overflow Int nor walk
-      // backwards (a cycling cursor would hang the executor thread)
-      if (size > Int.MaxValue - 16) return null
+      val j = i.toInt // safe: i + 8 <= b.length <= Int.MaxValue
+      val isFmt = b(j) == 'f' && b(j + 1) == 'm' && b(j + 2) == 't' && b(j + 3) == ' '
+      val isData = b(j) == 'd' && b(j + 1) == 'a' && b(j + 2) == 't' && b(j + 3) == 'a'
+      val size = leI32(b, j + 4).toLong & 0xffffffffL
       if (isFmt) {
-        if (i + 8 + 16 > b.length) return null // truncated fmt chunk
-        channels = leU16(b, i + 10)
-        rate = leI32(b, i + 12)
-        bits = leU16(b, i + 22)
+        if (j + 8 + 16 > b.length) return null // truncated fmt chunk
+        channels = leU16(b, j + 10)
+        rate = leI32(b, j + 12)
+        bits = leU16(b, j + 22)
       } else if (isData) dataLen = size
-      i += 8 + size.toInt + (size.toInt & 1) // chunks are word-aligned
+      i += 8L + size + (size & 1L) // chunks are word-aligned
     }
     if (channels <= 0 || rate <= 0 || bits <= 0 || dataLen < 0) return null
     val bytesPerFrame = channels.toLong * (bits / 8).max(1)
@@ -100,7 +102,7 @@ object MediaKernels {
     var moovStart = -1
     var moovEnd = -1
     walk(0, b.length) { (typ, start, end) =>
-      if (typ == "ftyp" && start + 4 <= b.length && brand == null)
+      if (typ == "ftyp" && start + 4 <= end && brand == null)
         brand = new String(b, start, 4, java.nio.charset.StandardCharsets.ISO_8859_1).trim
       if (typ == "moov" && moovStart < 0) { moovStart = start; moovEnd = end }
     }
@@ -115,6 +117,9 @@ object MediaKernels {
         if (version == 0 && start + 20 <= end) {
           timescale = beI32(b, start + 12).toLong & 0xffffffffL
           duration = beI32(b, start + 16).toLong & 0xffffffffL
+          // all-ones is ISO-BMFF's "unknown duration" sentinel
+          // (fragmented files) — report NULL like the v1 layout does
+          if (duration == 0xffffffffL) duration = -1L
         } else if (version == 1 && start + 32 <= end) {
           timescale = beI32(b, start + 20).toLong & 0xffffffffL
           duration = beI64(b, start + 24)

@@ -144,6 +144,45 @@ class MultimodalSpec extends SparkSpec {
     assert(out(3L) == null)
   }
 
+  test("media walkers survive crafted and degenerate headers (no crash, no garbage)") {
+    // WAV with a junk chunk whose size is Int.MaxValue-16: an Int cursor
+    // would wrap negative and throw ArrayIndexOutOfBounds
+    val craftedWav = {
+      val b = java.nio.ByteBuffer.allocate(24).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put("RIFF".getBytes).putInt(0).put("WAVE".getBytes)
+      b.put("junk".getBytes).putInt(Int.MaxValue - 16)
+      b.array()
+    }
+    // content-less ftyp followed by a valid moov: the brand must NOT be
+    // read from the next box's bytes
+    val emptyFtyp = {
+      val b = java.nio.ByteBuffer.allocate(8 + 8 + 8 + 28)
+      b.putInt(8).put("ftyp".getBytes)       // zero-content ftyp
+      b.putInt(8 + 8 + 28).put("moov".getBytes)
+      b.putInt(8 + 28).put("mvhd".getBytes)
+      b.putInt(0).putInt(0).putInt(0).putInt(600).putInt(1200)
+      b.array()
+    }
+    // mvhd v0 with the all-ones "unknown duration" sentinel
+    val unknownDur = {
+      val b = java.nio.ByteBuffer.allocate(16 + 8 + 8 + 28)
+      b.putInt(16).put("ftyp".getBytes).put("isom".getBytes).putInt(0)
+      b.putInt(8 + 8 + 28).put("moov".getBytes)
+      b.putInt(8 + 28).put("mvhd".getBytes)
+      b.putInt(0).putInt(0).putInt(0).putInt(600).putInt(0xffffffff)
+      b.array()
+    }
+    val out = Seq((1L, craftedWav), (2L, emptyFtyp), (3L, unknownDur))
+      .toDF("id", "blob")
+      .select(col("id"),
+        Multimodal.audioMeta(col("blob")).as("a"),
+        Multimodal.videoMeta(col("blob")).as("v"))
+      .collect().map(r => r.getLong(0) -> ((r.isNullAt(1), r.isNullAt(2)))).toMap
+    assert(out(1L) == ((true, true)))  // crafted size: NULL, not a crash
+    assert(out(2L) == ((true, true)))  // empty ftyp: no garbage brand
+    assert(out(3L) == ((true, true)))  // unknown-duration sentinel: NULL
+  }
+
   test("sampleFrames: a null media id passes through instead of killing the task") {
     val media = Seq((Some(1L), "abcdefgh"), (None, "ijklmnop")).toDF("id", "txt")
       .withColumn("blob", encode(col("txt"), "UTF-8"))
