@@ -98,6 +98,32 @@ class SinksSpec extends SparkSpec {
       == Seq("broken line"))
   }
 
+  test("custom kernels compose inside a streaming plan: ingest -> redact -> quality gate") {
+    val dir = Files.createTempDirectory("graft-stream-pipe").toFile
+    dir.deleteOnExit()
+    java.nio.file.Files.writeString(new java.io.File(dir, "s0.json").toPath,
+      """{"doc_id": 1, "text": "good natural text mail me at a@b.io for more details here"}
+        |{"doc_id": 2, "text": "spam spam spam spam spam spam spam spam spam spam"}
+        |""".stripMargin)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType)))
+    val (good, _) = graft.sources.Ingest.readJsonlStream(spark, dir.getAbsolutePath, schema)
+    val gated = good
+      .withColumn("text", graft.functions.TextFunctions.redact(col("text"),
+        Seq(graft.functions.TextFunctions.EmailPattern -> "<EMAIL>")))
+      .withColumn("rep", graft.functions.TextFunctions.repetitionStats(col("text")))
+      .filter(col("rep.distinct_ratio") >= 0.5)
+      .select("doc_id", "text")
+    val q = gated.writeStream.format("memory").queryName("pipe_out")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val out = spark.sql("SELECT doc_id, text FROM pipe_out")
+      .as[(Long, String)].collect().toMap
+    assert(out.keySet == Set(1L)) // the repetitive doc is gated out
+    assert(out(1L).contains("<EMAIL>") && !out(1L).contains("a@b.io"))
+  }
+
   test("bucketed table: joins on the bucket key plan without a shuffle") {
     // managed tables land in the default warehouse dir (dropped below)
     val df = (1 to 100).map(i => (i.toLong, s"v$i")).toDF("k", "v")
