@@ -64,6 +64,17 @@ object Sinks {
       .json(path)
   }
 
+  /** Columnar ORC output — same role as [[writeParquet]] for stacks
+    * standardized on ORC; predicate pushdown and column pruning reach
+    * the ORC reader exactly like parquet (asserted in SinksSpec).
+    */
+  def writeOrc(df: DataFrame, path: String,
+               partitionBy: Seq[String] = Nil,
+               mode: String = "overwrite"): Unit = {
+    val w = df.write.mode(mode)
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).orc(path)
+  }
+
   /** Mirror of the reference's PostgreSQL connection shape. */
   def jdbcTemplate(df: DataFrame, url: String, table: String,
                    user: String, password: String,

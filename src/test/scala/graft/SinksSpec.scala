@@ -124,6 +124,19 @@ class SinksSpec extends SparkSpec {
     assert(out(1L).contains("<EMAIL>") && !out(1L).contains("a@b.io"))
   }
 
+  test("orc sink round-trips; filters and pruning reach the ORC scan") {
+    val dir = Files.createTempDirectory("graft-orc").toFile
+    dir.deleteOnExit()
+    val df = (0 until 1000).map(i => (i.toLong, s"v$i", i % 10)).toDF("id", "v", "bucket")
+    graft.sources.Sinks.writeOrc(df, dir.getAbsolutePath)
+    val back = spark.read.orc(dir.getAbsolutePath)
+    assert(back.count() == 1000)
+    val plan = back.filter(col("id") > 990).select("id")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(id), GreaterThan(id,990)"), plan)
+    assert(plan.contains("ReadSchema: struct<id:bigint>"), plan)
+  }
+
   test("bucketed table: joins on the bucket key plan without a shuffle") {
     // managed tables land in the default warehouse dir (dropped below)
     val df = (1 to 100).map(i => (i.toLong, s"v$i")).toDF("k", "v")
