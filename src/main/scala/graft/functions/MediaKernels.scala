@@ -39,9 +39,11 @@ object MediaKernels {
     if (b == null || b.length < 36) return null
     if (!(b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
           b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E')) return null
+    var formatTag = -1
     var channels = -1
     var rate = -1
     var bits = -1
+    var blockAlign = -1
     var dataLen = -1L
     // cursor arithmetic in Long: RIFF sizes are unsigned 32-bit (2-4 GiB
     // data chunks are in-spec), and an Int advance would overflow on a
@@ -54,15 +56,28 @@ object MediaKernels {
       val isData = b(j) == 'd' && b(j + 1) == 'a' && b(j + 2) == 't' && b(j + 3) == 'a'
       val size = leI32(b, j + 4).toLong & 0xffffffffL
       if (isFmt) {
-        if (j + 8 + 16 > b.length) return null // truncated fmt chunk
+        // trust the field offsets only if the chunk DECLARES the 16
+        // PCM-header bytes (a shorter declared size would read the next
+        // chunk's bytes as rate/bits) and the buffer holds them
+        if (size < 16 || j + 8 + 16 > b.length) return null
+        formatTag = leU16(b, j + 8)
         channels = leU16(b, j + 10)
         rate = leI32(b, j + 12)
+        blockAlign = leU16(b, j + 20)
         bits = leU16(b, j + 22)
       } else if (isData) dataLen = size
       i += 8L + size + (size & 1L) // chunks are word-aligned
     }
+    // PCM family only (1 = PCM, 3 = IEEE float, 0xFFFE = extensible):
+    // compressed payloads (ADPCM, GSM, MP3-in-WAV) pack multiple samples
+    // per byte, so a bits-derived frame count would be silently wrong
+    if (formatTag != 1 && formatTag != 3 && formatTag != 0xfffe) return null
     if (channels <= 0 || rate <= 0 || bits <= 0 || dataLen < 0) return null
-    val bytesPerFrame = channels.toLong * (bits / 8).max(1)
+    // nBlockAlign is the authoritative bytes-per-frame the header itself
+    // declares; fall back to channels * bytes-per-sample if it's zeroed
+    val bytesPerFrame =
+      if (blockAlign > 0) blockAlign.toLong
+      else channels.toLong * (bits / 8).max(1)
     new GenericInternalRow(Array[Any](
       UTF8String.fromString("wav"), channels, rate, bits, dataLen / bytesPerFrame))
   }
@@ -138,19 +153,29 @@ object MediaKernels {
     */
   def imageMeta(b: Array[Byte]): InternalRow = {
     if (b == null) return null
-    // PNG: 8-byte magic, then IHDR chunk — width/height BE at 16/20
+    // PNG: 8-byte magic, then the IHDR chunk (tag verified — a corrupt
+    // blob keeping only the signature must not yield garbage dims);
+    // width/height BE at 16/20, spec-valid only when positive
     if (b.length >= 24 &&
         (b(0) & 0xff) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G' &&
-        b(4) == 0x0d && b(5) == 0x0a && b(6) == 0x1a && b(7) == 0x0a)
-      return row("png", beI32(b, 16), beI32(b, 20))
+        b(4) == 0x0d && b(5) == 0x0a && b(6) == 0x1a && b(7) == 0x0a) {
+      if (b(12) != 'I' || b(13) != 'H' || b(14) != 'D' || b(15) != 'R') return null
+      val w = beI32(b, 16); val h = beI32(b, 20)
+      return if (w > 0 && h > 0) row("png", w, h) else null
+    }
     // GIF87a / GIF89a: logical screen w/h LE at 6/8
     if (b.length >= 10 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F' &&
         b(3) == '8' && (b(4) == '7' || b(4) == '9') && b(5) == 'a')
       return row("gif", leU16(b, 6), leU16(b, 8))
-    // BMP: "BM", BITMAPINFOHEADER w at 18, h at 22 (h may be negative
-    // for top-down rows — report magnitude)
-    if (b.length >= 26 && b(0) == 'B' && b(1) == 'M')
-      return row("bmp", leI32(b, 18), math.abs(leI32(b, 22)))
+    // BMP: "BM" + a BITMAPINFOHEADER-family DIB (size >= 40 at 14) —
+    // the OS/2 BITMAPCOREHEADER packs 16-bit dims at other offsets and
+    // must not be misread; w at 18, h at 22 (negative = top-down rows,
+    // report magnitude)
+    if (b.length >= 26 && b(0) == 'B' && b(1) == 'M') {
+      if (leI32(b, 14) < 40) return null
+      val w = leI32(b, 18); val h = math.abs(leI32(b, 22))
+      return if (w > 0 && h > 0) row("bmp", w, h) else null
+    }
     // JPEG: SOI then marker segments; dimensions in the first SOFn
     // (C0-CF except C4 DHT / C8 JPG / CC DAC): height BE at +5, width +7
     if (b.length >= 4 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8) {
@@ -163,7 +188,6 @@ object MediaKernels {
           if (i + 8 < b.length) return row("jpeg", beU16(b, i + 7), beU16(b, i + 5))
           else return null // truncated before the SOF dimension fields
         } else {
-          if (i + 3 >= b.length) return null
           i += 2 + beU16(b, i + 2) // skip the segment (length includes itself)
         }
       }

@@ -54,8 +54,8 @@ class MultimodalSpec extends SparkSpec {
     }
     def bmp(w: Int, h: Int): Array[Byte] = {
       val b = java.nio.ByteBuffer.allocate(26).order(java.nio.ByteOrder.LITTLE_ENDIAN)
-      b.put("BM".getBytes).position(18)
-      b.putInt(w).putInt(h)
+      b.put("BM".getBytes).position(14)
+      b.putInt(40).putInt(w).putInt(h) // BITMAPINFOHEADER (DIB size 40)
       b.array()
     }
     def jpeg(w: Int, h: Int): Array[Byte] = {
@@ -67,10 +67,20 @@ class MultimodalSpec extends SparkSpec {
       b.put(8.toByte).putShort(h.toShort).putShort(w.toShort)
       b.array()
     }
+    val pngBadChunk = { // valid signature, first chunk is not IHDR
+      val c = png(10, 10); c(12) = 'J'; c(13) = 'U'; c(14) = 'N'; c(15) = 'K'; c
+    }
+    val bmpCoreHeader = { // OS/2 BITMAPCOREHEADER (DIB size 12): dims
+      val b = java.nio.ByteBuffer.allocate(26).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put("BM".getBytes).position(14) // live at other offsets — reject
+      b.putInt(12).putShort(100).putShort(50)
+      b.array()
+    }
     val rows = Seq(
       (1L, png(640, 480)), (2L, gif(320, 200)), (3L, bmp(800, 600)),
       (4L, jpeg(1024, 768)), (5L, "not an image at all".getBytes),
-      (6L, png(9, 9).take(12)), (7L, null.asInstanceOf[Array[Byte]]))
+      (6L, png(9, 9).take(12)), (7L, null.asInstanceOf[Array[Byte]]),
+      (8L, pngBadChunk), (9L, bmpCoreHeader))
     val out = rows.toDF("id", "blob")
       .select(col("id"), Multimodal.imageMeta(col("blob")).as("m"))
       .select(col("id"), col("m.format"), col("m.width"), col("m.height"))
@@ -83,6 +93,8 @@ class MultimodalSpec extends SparkSpec {
     assert(out(5L) == null) // unknown magic
     assert(out(6L) == null) // truncated before IHDR dims
     assert(out(7L) == null) // null blob
+    assert(out(8L) == null) // PNG signature but non-IHDR first chunk
+    assert(out(9L) == null) // OS/2 core-header BMP: offsets differ, reject
   }
 
   test("audioMeta parses a real WAV header with a LIST chunk between fmt and data") {
@@ -97,10 +109,20 @@ class MultimodalSpec extends SparkSpec {
       b.put("data".getBytes).putInt(dataBytes)
       b.array()
     }
+    val adpcm = { // wFormatTag 0x11 (IMA ADPCM): frames aren't bits-derivable
+      val c = wav(2, 44100, 4, 1000)
+      c(20) = 0x11.toByte; c(21) = 0x00
+      c
+    }
+    val shortFmt = { // fmt chunk declaring only 8 content bytes
+      val c = wav(2, 44100, 16, 16)
+      c(16) = 8; c
+    }
     val rows = Seq(
       (1L, wav(2, 44100, 16, 44100 * 4)),      // 1 second stereo 16-bit
       (2L, "RIFFjunk".getBytes),               // RIFF but not WAVE
-      (3L, null.asInstanceOf[Array[Byte]]))
+      (3L, null.asInstanceOf[Array[Byte]]),
+      (4L, adpcm), (5L, shortFmt))
     val out = rows.toDF("id", "blob")
       .select(col("id"), Multimodal.audioMeta(col("blob")).as("m"))
       .select(col("id"), col("m.channels"), col("m.sample_rate"), col("m.n_frames"))
@@ -109,6 +131,8 @@ class MultimodalSpec extends SparkSpec {
     assert(out(1L) == ((2, 44100, 44100L))) // n_frames / rate = exactly 1 s
     assert(out(2L) == null)
     assert(out(3L) == null)
+    assert(out(4L) == null) // compressed payload: a bits-derived count would lie
+    assert(out(5L) == null) // fmt chunk too short to carry the PCM fields
   }
 
   test("videoMeta parses a real MP4 box tree: brand, mvhd v0, track count") {
