@@ -125,6 +125,15 @@ object TextFunctions {
   def contentFingerprint(text: Column): Column =
     xxhash64(lower(regexp_replace(trim(text), "\\s+", " ")))
 
+  /** Hex MD5 over the SAME normalization as [[contentFingerprint]] —
+    * interoperable with engines that lack xxhash64 (an ANSI-SQL oracle
+    * can recompute it), and the cross-check that pins the normalization
+    * step itself: two texts collide under the 64-bit key iff they
+    * collide under this one.
+    */
+  def contentFingerprintMd5(text: Column): Column =
+    md5(encode(lower(regexp_replace(trim(text), "\\s+", " ")), "UTF-8"))
+
   /** Email address shape — RE2/Java-compatible, the conventional
     * practical pattern (not RFC 5322): local part of word chars and
     * `._%+-`, a domain with at least one dot, a 2+-letter TLD.

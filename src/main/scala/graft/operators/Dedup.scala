@@ -188,6 +188,45 @@ object Dedup {
       .select("id_a", "id_b", "hamming")
   }
 
+  /** EXACT all-pairs SimHash reference: every (id_a < id_b) pair within
+    * `maxHamming` bits, found by brute force — the ground truth
+    * [[simhashPairs]] is gated against. Pigeonhole makes the banded
+    * output provably complete for `maxHamming <= bands - 1`, so the two
+    * must agree EXACTLY there (recall 1.0, asserted by the query gate).
+    * O(n²) sketch compares (one long each, no payloads): the validation
+    * -scale reference — at corpus scale gate on a sampled subset.
+    */
+  def simhashPairsExact(df: DataFrame, textCol: String, idCol: String,
+                        maxHamming: Int = 3): DataFrame = {
+    val sk = df.select(col(idCol).as("__id"),
+      SimHash.simhashText(col(textCol)).as("__sh"))
+    val a = sk.select(col("__id").as("id_a"), col("__sh").as("__sha"))
+    val b = sk.select(col("__id").as("id_b"), col("__sh").as("__shb"))
+    // hamming bound INSIDE the nested-loop condition: candidate pairs
+    // are filtered as they stream, never materialized
+    a.join(broadcast(b), col("id_a") < col("id_b") &&
+        bit_count(col("__sha").bitwiseXOR(col("__shb"))) <= maxHamming)
+      .withColumn("hamming", bit_count(col("__sha").bitwiseXOR(col("__shb"))))
+      .select("id_a", "id_b", "hamming")
+  }
+
+  /** EXACT all-pairs embedding near-dup reference: every (id_a < id_b)
+    * pair with cosine >= threshold by brute force — the ground truth
+    * [[embeddingNearDup]]'s LSH-bucketed output is gated against.
+    * O(n²) dot products: validation-scale (or sampled-subset) use only.
+    */
+  def embeddingNearDupExact(df: DataFrame, vecCol: String, idCol: String,
+                            threshold: Double = 0.95): DataFrame = {
+    val unit = df.filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("__id"), VectorFunctions.l2Normalize(col(vecCol)).as("__v"))
+    val a = unit.select(col("__id").as("id_a"), col("__v").as("__va"))
+    val b = unit.select(col("__id").as("id_b"), col("__v").as("__vb"))
+    a.join(broadcast(b), col("id_a") < col("id_b"))
+      .withColumn("cosine", round(VectorFunctions.dot(col("__va"), col("__vb")), 6))
+      .filter(col("cosine") >= threshold)
+      .select("id_a", "id_b", "cosine")
+  }
+
   /** Exact pairwise n-gram Jaccard within caller-provided blocks (e.g.
     * per source, per language) — the verification primitive; blocks keep
     * the quadratic stage bounded. Shingle sets travel as sorted 64-bit

@@ -405,4 +405,36 @@ object Ops {
       .filter(col("__rn") === 1)
       .drop("__rn")
   }
+
+  /** Recall gate for APPROXIMATE operators (LSH/IVF/minhash/simhash):
+    * measures what fraction of `truth`'s key-tuples appear in `out` and
+    * returns `out` (plus a constant `recall` column) when the measured
+    * recall clears `floor` — and ZERO ROWS otherwise. This turns a
+    * "returned something" check into a load-bearing one: if the hash
+    * family silently degrades, the output vanishes instead of quietly
+    * shrinking. Empty truth is a vacuous pass (recall 1.0).
+    *
+    * Plan shape: the recall is ONE scalar — a left join of the
+    * (typically small, post-threshold) truth set against `out`'s keys,
+    * aggregated to a single row, broadcast back over `out`. No
+    * all-pairs work happens here; the caller chooses how `truth` is
+    * produced (exact-at-validation-scale reference, exhaustive banding,
+    * or a SAMPLED subset at 100 TB — recall on a deterministic sample
+    * gates just as hard at a fraction of the cost).
+    */
+  def recallGate(out: DataFrame, truth: DataFrame, keys: Seq[String],
+                 floor: Double): DataFrame = {
+    require(keys.nonEmpty, "recallGate needs at least one key column")
+    require(floor >= 0.0 && floor <= 1.0, s"floor must be in [0, 1], got $floor")
+    val hits = truth.select(keys.map(col): _*)
+      .join(out.select(keys.map(col): _*).dropDuplicates(keys)
+          .withColumn("__hit", lit(1L)),
+        keys, "left")
+    // empty truth: sum -> NULL, count -> 0 -> NULL ratio -> vacuous 1.0
+    val recall = hits.agg(coalesce(
+      round(sum(coalesce(col("__hit"), lit(0L))).cast("double") /
+        count(lit(1L)).cast("double"), 6),
+      lit(1.0)).as("recall"))
+    out.crossJoin(broadcast(recall)).filter(col("recall") >= floor)
+  }
 }

@@ -65,6 +65,23 @@ class SqlFunctionsSpec extends SparkSpec {
     assert(out(1).getSeq[Int](1) == Seq(9))
   }
 
+  test("get_json_object and from_json agree on extraction (q_json_extract contract)") {
+    // The benched query parses each props blob ONCE with from_json; this
+    // spec carries the parser-agreement cross-check it used to do inline.
+    val out = spark.sql(
+      """SELECT CAST(get_json_object(j, '$.k') AS BIGINT) AS a,
+        |       from_json(j, 'k BIGINT').k AS b
+        |FROM VALUES ('{"k": 42}'), ('{"k": -7, "x": "y"}'), ('{"x": 1}'),
+        |            ('{"k": null}'), ('not json'), (''), (CAST(NULL AS STRING))
+        |  AS t(j)""".stripMargin).collect()
+    out.foreach { r =>
+      val a = if (r.isNullAt(0)) null else r.getLong(0)
+      val b = if (r.isNullAt(1)) null else r.getLong(1)
+      assert(a == b, s"path-extract $a != typed-parse $b")
+    }
+    assert(out.count(!_.isNullAt(0)) == 2) // only the two real k values survive
+  }
+
   test("wrong argument counts are rejected, not silently ignored") {
     for (bad <- Seq(
         // extra 4th arg used to be dropped without error

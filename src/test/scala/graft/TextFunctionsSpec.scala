@@ -73,6 +73,23 @@ class TextFunctionsSpec extends SparkSpec {
     assert(out == Seq(true, false))
   }
 
+  test("md5 fingerprint: same normalization as the 64-bit key, null stays null") {
+    val texts = Seq("A  b\tC", "a b c", "abc", "abd", "  trim me  ", "trim me",
+      "Mixed\nLINES here", "mixed lines here", null)
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "t")
+      .select(col("id"), TF.contentFingerprint(col("t")).as("fp64"),
+        TF.contentFingerprintMd5(col("t")).as("fpmd5"))
+      .collect()
+      .map(r => (if (r.isNullAt(1)) null else r.getLong(1),
+                 if (r.isNullAt(2)) null else r.getString(2)))
+    // the two keys must induce the same equality classes over the inputs
+    for (a <- df; b <- df)
+      assert((a._1 == b._1) == (a._2 == b._2), s"$a vs $b")
+    assert(df.last._1 == null && df.last._2 == null) // null text → null keys
+    // hex-md5 shape: 32 lowercase hex chars
+    assert(df.init.forall(p => p._2.length == 32 && p._2.matches("[0-9a-f]{32}")))
+  }
+
   test("charShingles: distinct n-grams, short text collapses to itself") {
     val df = Seq("abab", "ab").toDF("t")
     val out = df.select(TF.charShingles(col("t"), 3)).as[Seq[String]].collect()
