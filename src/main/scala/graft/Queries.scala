@@ -477,15 +477,60 @@ object Queries {
            |FROM documents
            |GROUP BY lower(regexp_replace(trim(text), '[ \t\n\x0B\f\r]+', ' ', 'g'))""".stripMargin))
 
+  /** MinHash+LSH with a SELF-VERIFYING recall gate: the plan joins the
+    * LSH output against the EXACT blocked-Jaccard operator (the same
+    * one q_ngram_jaccard hash-checks against DuckDB) over (lang,
+    * doc_id%16) blocks in the SAME 5-gram shingle space, and returns
+    * ZERO ROWS if fewer than 90% of the blocks' true >=0.5-Jaccard
+    * pairs were recovered — the driver's rows>0 check is load-bearing,
+    * not "returned something". Blocked truth keeps the quadratic
+    * reference stage at 1/16th of the all-pairs cost (the shape a real
+    * recall audit uses at corpus scale) while staying well-populated at
+    * every SF. Measured recall at sf0.01/sf0.1: 1.0 — this corpus's
+    * near-dups are high-Jaccard, where 16-hash/4-band collision
+    * probability is ~0.99; floor 0.9 leaves noise headroom while any
+    * broken hash family still trips it.
+    */
   private val qDedupMinhash = Q("q_dedup_minhash",
-    (s, dir) => Dedup.minhashLsh(t(s, dir, "documents"), "text", "doc_id",
-      shingleSize = 5, numHashes = 16, bands = 4, threshold = 0.5),
-    None) // xxhash64-based signature: not oracle-expressible; rows-only check
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val out = Dedup.minhashLsh(docs, "text", "doc_id",
+        shingleSize = 5, numHashes = 16, bands = 4, threshold = 0.5)
+      val truth = Dedup.ngramJaccardPairs(
+        docs.withColumn("blk",
+          concat(col("lang"), lit("#"), pmod(col("doc_id"), lit(16)).cast("string"))),
+        "text", "doc_id", "blk", n = 5, minJaccard = 0.5)
+      Ops.recallGate(out, truth, Seq("id_a", "id_b"), floor = 0.9)
+        .select(col("id_a").cast("bigint").as("id_a"),
+          col("id_b").cast("bigint").as("id_b"), col("jaccard"), col("recall"))
+    },
+    None) // xxhash64-based signature: not oracle-expressible; recall-gated
 
+  /** SimHash with a recall gate at floor 1.0: banding is provably
+    * complete for maxHamming <= bands-1 (pigeonhole), so the banded
+    * output must match the exact all-pairs reference EXACTLY — any
+    * deviation (a broken band split, a cap silently dropping members)
+    * empties the result. Precision is 1.0 by construction (candidates
+    * are re-verified with bit_count(xor)), so gated recall 1.0 means
+    * the approximate plan IS the exact answer.
+    */
   private val qDedupSimhash = Q("q_dedup_simhash",
-    (s, dir) => Dedup.simhashPairs(t(s, dir, "documents"), "text", "doc_id",
-      maxHamming = 3, bands = 4),
-    None) // murmur3-based sketch: rows-only check
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val out = Dedup.simhashPairs(docs, "text", "doc_id",
+        maxHamming = 3, bands = 4)
+      // doc_id%2==0 subset halves each side of the quadratic reference
+      // (¼ of the sketch compares); completeness must still be EXACT on
+      // every surviving truth pair, so floor 1.0 loses nothing
+      val truth = Dedup.simhashPairsExact(
+        docs.filter(pmod(col("doc_id"), lit(2)) === 0),
+        "text", "doc_id", maxHamming = 3)
+      Ops.recallGate(out, truth, Seq("id_a", "id_b"), floor = 1.0)
+        .select(col("id_a").cast("bigint").as("id_a"),
+          col("id_b").cast("bigint").as("id_b"),
+          col("hamming").cast("bigint").as("hamming"), col("recall"))
+    },
+    None) // murmur3-based sketch: not oracle-expressible; recall-gated at 1.0
 
   /** Exact n-gram Jaccard pairs within (lang, doc_id-modulo) blocks.
     * The block count is fixed, so block SIZE — and therefore the
@@ -624,12 +669,31 @@ object Queries {
            |       CAST(sum(n_chunks) AS BIGINT) AS n_chunks
            |FROM ch GROUP BY 1""".stripMargin))
 
+  /** LSH-bucketed embedding near-dup, recall-gated against the exact
+    * all-pairs reference: zero rows if the buckets recover < 40% of the
+    * true >=0.4-cosine pairs. 3 bits × 4 bands measured 0.51 (sf0.01) /
+    * 0.70 (sf0.1) — these synthetic embeddings are near-uniform, so
+    * 0.4-cosine pairs sit close to the hyperplane boundary where
+    * random-hyperplane LSH is weakest; real near-dup corpora (planted
+    * ~0.999-cosine copies, see DedupSpec) recall >= 0.9 with fewer
+    * resources. The exact truth side is O(n²) sketch-free dot products —
+    * fine at validation scale, sampled at corpus scale.
+    */
   private val qEmbeddingNearDup = Q("q_embedding_neardup",
-    (s, dir) => Dedup.embeddingNearDup(t(s, dir, "embeddings"),
-      "embedding", "vec_id", threshold = 0.4, lshBits = 4, bands = 2)
-      .select(col("id_a").cast("bigint").as("id_a"),
-        col("id_b").cast("bigint").as("id_b"), col("cosine")),
-    None) // LSH-bucketed candidates: rows-only check (recall < 1 by design)
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val out = Dedup.embeddingNearDup(emb,
+        "embedding", "vec_id", threshold = 0.4, lshBits = 3, bands = 4)
+      // vec_id%2==0 subset: ¼ of the quadratic truth compares; recall
+      // over a deterministic pair subfamily gates just as hard
+      val truth = Dedup.embeddingNearDupExact(
+        emb.filter(pmod(col("vec_id"), lit(2)) === 0), "embedding", "vec_id",
+        threshold = 0.4)
+      Ops.recallGate(out, truth, Seq("id_a", "id_b"), floor = 0.4)
+        .select(col("id_a").cast("bigint").as("id_a"),
+          col("id_b").cast("bigint").as("id_b"), col("cosine"), col("recall"))
+    },
+    None) // recall-gated rows-only check (recall < 1 by design)
 
   /** Array / higher-order-function surface over the embedding column
     * (the hot ANN paths use codegen kernels instead — see
@@ -687,27 +751,49 @@ object Queries {
            |      FROM q, c WHERE qid <> cid) x
            |WHERE rn <= 5""".stripMargin))
 
+  /** IVF probe recall-gated against the exact brute-force top-k: zero
+    * rows if the probed inverted lists recover < 70% of the true top-5
+    * neighbor pairs. Measured 0.83 (sf0.01) / 0.96 (sf0.1) with 16
+    * centroids × 2 probes. The truth side is exactly [[qAnnBrute]]'s
+    * plan (queries broadcast, corpus streams) — the offline recall-audit
+    * job a production IVF deployment runs on a sampled query set.
+    */
   private val qAnnIvf = Q("q_ann_ivf",
     (s, dir) => {
       val emb = t(s, dir, "embeddings")
-      Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 16),
-          "embedding", "vec_id", k = 5, nCentroids = 16, nProbes = 2)
+      val q = emb.filter(col("vec_id") < 16)
+      val out = Similarity.ivfTopK(emb, q,
+        "embedding", "vec_id", k = 5, nCentroids = 16, nProbes = 2)
+      val truth = Similarity.bruteForceTopK(emb, q, "embedding", "vec_id", k = 5)
+      Ops.recallGate(out, truth, Seq("query_id", "corpus_id"), floor = 0.7)
         .select(col("query_id").cast("bigint").as("query_id"),
           col("corpus_id").cast("bigint").as("corpus_id"),
-          col("cosine"), col("rank").cast("bigint").as("rank"))
+          col("cosine"), col("rank").cast("bigint").as("rank"), col("recall"))
     },
-    None) // approximate by design: rows-only check
+    None) // approximate by design: recall-gated rows-only check
 
+  /** Multi-probe LSH recall-gated against exact brute force: 4 bits ×
+    * (1 + 4 sign-flip probes) measured 0.54 (sf0.01) / 0.56 (sf0.1) —
+    * near-uniform synthetic vectors are LSH's adversarial case (no
+    * cluster structure for buckets to exploit; cf. 0.04 recall at the
+    * old 6-bit single-probe setting, which verified nothing). Floor 0.4
+    * trips on any degradation of the hash family while documenting the
+    * honest ceiling here; SimilaritySpec pins >= 0.9 recall on
+    * clustered data where LSH actually earns its keep.
+    */
   private val qAnnLsh = Q("q_ann_lsh",
     (s, dir) => {
       val emb = t(s, dir, "embeddings")
-      Similarity.lshTopK(emb, emb.filter(col("vec_id") < 16),
-          "embedding", "vec_id", k = 5, nBits = 6)
+      val q = emb.filter(col("vec_id") < 16)
+      val out = Similarity.lshTopK(emb, q,
+        "embedding", "vec_id", k = 5, nBits = 4, multiProbe = true)
+      val truth = Similarity.bruteForceTopK(emb, q, "embedding", "vec_id", k = 5)
+      Ops.recallGate(out, truth, Seq("query_id", "corpus_id"), floor = 0.4)
         .select(col("query_id").cast("bigint").as("query_id"),
           col("corpus_id").cast("bigint").as("corpus_id"),
-          col("cosine"), col("rank").cast("bigint").as("rank"))
+          col("cosine"), col("rank").cast("bigint").as("rank"), col("recall"))
     },
-    None) // approximate by design: rows-only check
+    None) // approximate by design: recall-gated rows-only check
 
   // ---------------------------------------------------------------------
   // Text analysis (documents)

@@ -123,7 +123,11 @@ object TextFunctions {
     * trivial formatting differences.
     */
   def contentFingerprint(text: Column): Column =
-    xxhash64(lower(regexp_replace(trim(text), "\\s+", " ")))
+    // explicit null guard: xxhash64 SKIPS null inputs and returns the
+    // seed (42) for them — a silent "all null texts share key 42"
+    // footgun; null text must mean null key, like the md5 twin below
+    when(text.isNull, lit(null).cast("bigint"))
+      .otherwise(xxhash64(lower(regexp_replace(trim(text), "\\s+", " "))))
 
   /** Hex MD5 over the SAME normalization as [[contentFingerprint]] —
     * interoperable with engines that lack xxhash64 (an ANSI-SQL oracle

@@ -142,6 +142,31 @@ object Dedup {
       GraftBridge.expression(a), GraftBridge.expression(b)))
   }
 
+  /** EXACT all-pairs shingle-Jaccard reference: every (id_a < id_b) pair
+    * with Jaccard >= threshold by brute force over the SAME 64-bit
+    * shingle-hash sets [[minhashLsh]] sketches — the ground truth its
+    * LSH output is gated against. The PPJoin length bound (J ≤
+    * min(|A|,|B|)/max(|A|,|B|)) prunes pairs with two int compares
+    * before any O(|A|+|B|) merge; the bound is implied by the
+    * threshold, never lossy. O(n²) pair enumeration: validation-scale
+    * or sampled-subset use only (recall on a deterministic subset gates
+    * just as hard — see [[graft.operators.Ops.recallGate]]).
+    */
+  def jaccardPairsExact(df: DataFrame, textCol: String, idCol: String,
+                        shingleSize: Int = 5, threshold: Double = 0.5): DataFrame = {
+    val g = df.select(col(idCol).as("__id"),
+      TextFunctions.shingleHashes(col(textCol), shingleSize).as("__sh"))
+    val a = g.select(col("__id").as("id_a"), col("__sh").as("__sh_a"))
+    val b = g.select(col("__id").as("id_b"), col("__sh").as("__sh_b"))
+    val bound = math.max(0.0, threshold - 1e-6) // 6-decimal rounding slack
+    a.join(broadcast(b), col("id_a") < col("id_b") &&
+        size(col("__sh_a")).cast("double") >= lit(bound) * size(col("__sh_b")) &&
+        size(col("__sh_b")).cast("double") >= lit(bound) * size(col("__sh_a")))
+      .withColumn("jaccard", round(sortedJaccard(col("__sh_a"), col("__sh_b")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
   /** SimHash near-dup pairs: 64-bit sketch, banded into `bands` chunks
     * (pigeonhole: pairs within Hamming distance bands-1 share >= 1 exact
     * band), verified with bit_count(xor) <= maxHamming.

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.Dedup
+import graft.operators.{Dedup, Ops}
 import org.apache.spark.sql.functions._
 
 class DedupSpec extends SparkSpec {
@@ -240,5 +240,34 @@ class DedupSpec extends SparkSpec {
     assert(lsh.subsetOf(exact), s"verification must make lsh ⊆ exact: ${lsh diff exact}")
     val recall = exact.count(lsh.contains).toDouble / exact.size
     assert(recall >= 0.8, s"recall $recall (${lsh.size}/${exact.size})")
+  }
+
+  test("recallGate empties a BROKEN hash family's output (the q_* gate contract)") {
+    // moderate-similarity planted pairs (cosine ≈ 0.9, ~26° apart,
+    // per-hyperplane agreement p ≈ 0.86): a sane family (4 bits × 4
+    // bands, expected recall ≈ 0.95) clears the floor; a broken one
+    // (one 24-bit band: p^24 ≈ 0.03) finds almost nothing. The gate
+    // must pass the former untouched and EMPTY the latter — exactly
+    // the wiring q_embedding_neardup/q_ann_* ship with.
+    val rnd = new scala.util.Random(13)
+    val rows = (0 until 60).flatMap { i =>
+      val base = Array.fill(16)(rnd.nextGaussian().toFloat)
+      val noisy = base.map(x => x + 0.25f * rnd.nextGaussian().toFloat)
+      Seq((i.toLong, base), (i + 1000L, noisy))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val truth = Dedup.embeddingNearDupExact(df, "embedding", "vec_id",
+      threshold = 0.8)
+    assert(truth.count() >= 30, "fixture must plant a measurable truth set")
+    val sane = Dedup.embeddingNearDup(df, "embedding", "vec_id",
+      threshold = 0.8, lshBits = 4, bands = 4)
+    val broken = Dedup.embeddingNearDup(df, "embedding", "vec_id",
+      threshold = 0.8, lshBits = 24)
+    val gatedSane = Ops.recallGate(sane, truth, Seq("id_a", "id_b"), floor = 0.5)
+    val gatedBroken = Ops.recallGate(broken, truth, Seq("id_a", "id_b"), floor = 0.5)
+    assert(gatedSane.count() >= truth.count() / 2,
+      "sane family should survive its gate")
+    assert(gatedBroken.count() == 0,
+      s"broken family must be emptied (raw had ${broken.count()} rows)")
   }
 }

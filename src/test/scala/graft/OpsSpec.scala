@@ -293,4 +293,36 @@ class OpsSpec extends SparkSpec {
       .select("id", "split").as[(Long, String)].collect().toSet
     assert(again == out.select("id", "split").as[(Long, String)].collect().toSet)
   }
+
+  test("recallGate passes output through when recall clears the floor") {
+    val truth = Seq((1L, 2L), (3L, 4L), (5L, 6L)).toDF("id_a", "id_b")
+    val out = Seq((1L, 2L, 0.9), (3L, 4L, 0.8), (9L, 9L, 0.7)).toDF("id_a", "id_b", "s")
+    // 2 of 3 truth pairs recovered -> recall 0.666667
+    val gated = Ops.recallGate(out, truth, Seq("id_a", "id_b"), floor = 0.6)
+    assert(gated.count() == 3) // full output survives, extra rows included
+    assert(gated.select("recall").distinct().as[Double].collect().toSeq ==
+      Seq(0.666667))
+  }
+
+  test("recallGate trips to ZERO rows when the family degrades below the floor") {
+    val truth = Seq((1L, 2L), (3L, 4L), (5L, 6L), (7L, 8L)).toDF("id_a", "id_b")
+    val out = Seq((1L, 2L, 0.9)).toDF("id_a", "id_b", "s") // recall 0.25
+    assert(Ops.recallGate(out, truth, Seq("id_a", "id_b"), floor = 0.9).count() == 0)
+    // empty output against non-empty truth: recall 0, always trips
+    assert(Ops.recallGate(out.limit(0), truth, Seq("id_a", "id_b"),
+      floor = 0.01).count() == 0)
+  }
+
+  test("recallGate: empty truth is a vacuous pass; duplicate out keys count once") {
+    val truth = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    val out = Seq((1L, 2L, 0.9)).toDF("id_a", "id_b", "s")
+    val gated = Ops.recallGate(out, truth, Seq("id_a", "id_b"), floor = 1.0)
+    assert(gated.count() == 1)
+    assert(gated.select("recall").as[Double].head() == 1.0)
+    // the same truth tuple appearing twice in out must not inflate recall
+    val dupOut = Seq((1L, 2L, 0.9), (1L, 2L, 0.8)).toDF("id_a", "id_b", "s")
+    val truth2 = Seq((1L, 2L), (3L, 4L)).toDF("id_a", "id_b")
+    assert(Ops.recallGate(dupOut, truth2, Seq("id_a", "id_b"), floor = 0.6)
+      .count() == 0) // recall is 0.5, not 1.0
+  }
 }
