@@ -580,12 +580,15 @@ object Queries {
     * RECURSIVE transitive closure over the identical pair query, so the
     * distributed label propagation is checked against an independent
     * exact algorithm. */
+  /** The near-dup pair graph both cluster queries run over. */
+  private def dupPairGraph(s: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccardPairs(
+      t(s, dir, "documents").withColumn("blk",
+        concat(col("lang"), lit("#"), pmod(col("doc_id"), lit(16)).cast("string"))),
+      "text", "doc_id", "blk", n = 3, minJaccard = 0.5)
+
   private val qDupClusters = Q("q_dup_clusters",
-    (s, dir) => Dedup.dupClusters(
-      Dedup.ngramJaccardPairs(
-        t(s, dir, "documents").withColumn("blk",
-          concat(col("lang"), lit("#"), pmod(col("doc_id"), lit(16)).cast("string"))),
-        "text", "doc_id", "blk", n = 3, minJaccard = 0.5))
+    (s, dir) => Dedup.dupClusters(dupPairGraph(s, dir))
       .select(col("id").cast("bigint").as("id"),
         col("cluster").cast("bigint").as("cluster")),
     Some("""WITH RECURSIVE t AS (
@@ -615,6 +618,21 @@ object Queries {
            |       CAST(least(n.id, min(r.b)) AS BIGINT) AS cluster
            |FROM nodes n LEFT JOIN reach r ON n.id = r.a
            |GROUP BY n.id""".stripMargin))
+
+  /** Same pair graph, same recursive-closure oracle — but
+    * `localEdgeLimit = 0` FORCES the distributed pointer-jump loop, so
+    * the code path a 100 TB corpus would take (per-round key-partitioned
+    * joins + path halving, never a driver materialization) is itself
+    * hash-checked against DuckDB's exact transitive closure every round.
+    * Without this entry the driver gates only ever exercised the
+    * bounded driver-side union-find fast path (the sf0.1 edge graph
+    * fits it), leaving the scale path as dead code under the gates.
+    */
+  private val qDupClustersDist = Q("q_dup_clusters_dist",
+    (s, dir) => Dedup.dupClusters(dupPairGraph(s, dir), localEdgeLimit = 0L)
+      .select(col("id").cast("bigint").as("id"),
+        col("cluster").cast("bigint").as("cluster")),
+    qDupClusters.oracle)
 
   /** The dedup path END-TO-END under one oracle: exact pair detection →
     * connected components → drop non-representatives → chunk-budget
@@ -1688,7 +1706,7 @@ object Queries {
     qEditDistance, qRegexExtract,
     qFuzzyMatch, qEventsHourly, qJsonExtract, qWindowSuite,
     qDedupExact, qDedupMinhash, qDedupSimhash, qNgramJaccard, qDupClusters,
-    qDedupPipeline,
+    qDupClustersDist, qDedupPipeline,
     qEmbeddingNearDup, qArrayFuncs, qAnnBrute, qAnnLsh, qAnnIvf,
     qTextStats, qCorpusStats, qChunkText, qFingerprint, qMultimodal,
     qStarJoin, qAggFused, qTopkPerGroup, qCountDistinct, qSessionizeBatch,
