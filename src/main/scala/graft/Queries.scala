@@ -371,9 +371,10 @@ object Queries {
         col("n_nationkey").cast("bigint").as("nkey"), col("n_name"))
       val regions = t(s, dir, "region")
         .select(col("r_regionkey").cast("bigint").as("rkey"), col("r_name"))
-        .orderBy(col("rkey")) // lookup "load order" = rkey asc, pinned for the oracle
+      // lookup "load order" = rkey asc, declared for the oracle's
+      // row_number tie-break
       FuzzyMatch.bestMatchById(nations, "nkey", "n_name",
-          regions, "r_name", Seq("rkey"))
+          regions, "r_name", Seq("rkey"), lookupOrder = Seq(col("rkey")))
         .withColumn("match_score", round(col("match_score"), 6))
     },
     Some("""SELECT nkey, n_name, rkey, match_value, match_score FROM (

@@ -114,14 +114,14 @@ class MotoGpPipelines(spark: SparkSession, paths: MotoGpPaths) {
       col("country"), col("pole_position"), col("length"), col("width"),
       col("right_corners"), col("left_corners"), col("longest_straight"),
       col("constructed"), col("modifies"), col("circuit_id"))
-      .orderBy(col("circuit_id")) // lookup load order = file order
     val main = weatherRaces.withColumn("__row", monotonically_increasing_id())
     FuzzyMatch.bestMatchById(main, "__row", "circuit_name3",
         lookup, "name_circuit",
         Seq("name_circuit", "lat", "long", "country", "pole_position",
           "length", "width", "right_corners", "left_corners",
           "longest_straight", "constructed", "modifies", "circuit_id"),
-        matchCol = "corrispondenza", scoreCol = "valore di misura")
+        matchCol = "corrispondenza", scoreCol = "valore di misura",
+        lookupOrder = Seq(col("circuit_id"))) // Kettle load order = file order
       .drop("__row")
   }
 
@@ -334,9 +334,10 @@ class MotoGpPipelines(spark: SparkSession, paths: MotoGpPaths) {
         col("team_id"), col("quali_id"))
       .withColumn("__row", monotonically_increasing_id())
     FuzzyMatch.bestMatchById(joined, "__row", "circuit_name",
-        raceTable.select(col("circuit_name"), col("id_race")).orderBy(col("id_race")),
+        raceTable.select(col("circuit_name"), col("id_race")),
         "circuit_name", Seq("id_race"),
-        matchCol = "corrispondenza", scoreCol = "valore di misura")
+        matchCol = "corrispondenza", scoreCol = "valore di misura",
+        lookupOrder = Seq(col("id_race"))) // Kettle load order = file order
       .select(col("year"), col("category"), col("race_name"), col("circuit_name"),
         col("id_rider_seq"), col("position"), col("points"), col("number"),
         col("country"), col("speed"), col("time"), col("race_id"),

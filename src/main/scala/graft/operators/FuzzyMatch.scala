@@ -28,6 +28,17 @@ import org.apache.spark.sql.functions._
   * the lookup side must be broadcast-sized (dimension tables), which
   * matches every use in the reference (68 circuits, 313 races).
   *
+  * "Load order" is DECLARED, not observed: Kettle reads its lookup from
+  * a file, so "first row wins" has a physical meaning there — but a
+  * Spark DataFrame's row order shifts under repartitioning, AQE
+  * replanning and task retry, so an observed order
+  * (`monotonically_increasing_id` on whatever partitions arrive) is not
+  * a stable tie-break. Callers pass `lookupOrder` (e.g. the dimension's
+  * id — the file order every reference lookup was written in) or get a
+  * deterministic default sort on (lookupField, appendCols). Either way
+  * the winner is a pure function of the DATA, invariant to physical
+  * layout.
+  *
   * Appended lookup columns whose names collide with main columns are
   * dropped from the output — mirroring the reference, where such
   * collisions become `_N` debris that the downstream SelectValues never
@@ -36,12 +47,18 @@ import org.apache.spark.sql.functions._
 object FuzzyMatch {
 
   private def prepared(lookup: DataFrame, lookupField: String,
-                       appendCols: Seq[String]): DataFrame = {
+                       appendCols: Seq[String],
+                       lookupOrder: Seq[Column]): DataFrame = {
     val cols = (lookupField +: appendCols).distinct
-    // pin Kettle's "first lookup row wins ties" with an explicit load
-    // order; prefix everything so no lookup name can collide with main
+    val order = if (lookupOrder.nonEmpty) lookupOrder else cols.map(col)
+    // single partition (broadcast-sized by contract) + explicit sort:
+    // __lk_order is then 0..n-1 in DECLARED order — deterministic under
+    // any upstream partitioning and across task retries; also avoids a
+    // partitionless-window warning a row_number formulation would emit
     lookup
       .select(cols.map(col): _*)
+      .coalesce(1)
+      .sortWithinPartitions(order: _*)
       .withColumn("__lk_order", monotonically_increasing_id())
       .select(col(lookupField).as("__lk_key") +: col("__lk_order") +:
         appendCols.distinct.map(c => col(c).as(s"__lk_$c")): _*)
@@ -59,10 +76,11 @@ object FuzzyMatch {
                         mainCols: Seq[String],
                         lookup: DataFrame, lookupField: String,
                         appendCols: Seq[String],
-                        matchCol: String, scoreCol: String): DataFrame = {
+                        matchCol: String, scoreCol: String,
+                        lookupOrder: Seq[Column]): DataFrame = {
     val keep = appendCols.distinct.filterNot(mainCols.contains)
     val scored = withKey
-      .crossJoin(broadcast(prepared(lookup, lookupField, appendCols)))
+      .crossJoin(broadcast(prepared(lookup, lookupField, appendCols, lookupOrder)))
       .withColumn("__sim", jaro_winkler(lower(col(mainField)), lower(col("__lk_key"))))
     val payload = struct(
       mainCols.map(col) ++
@@ -87,28 +105,47 @@ object FuzzyMatch {
     * @param matchCol   output name for the matched lookup value
     *                   (reference calls it `corrispondenza`)
     * @param scoreCol   output name for the similarity score
+    * @param lookupOrder Kettle "load order" for tie-breaks, as an
+    *                   explicit sort; empty = deterministic default
+    *                   (lookupField, appendCols)
+    *
+    * Main-row identity is the row CONTENT, not a synthetic id: duplicate
+    * rows are collapsed to (distinct row, multiplicity) before scoring
+    * and re-expanded after the argmax, so a task retry or AQE replan can
+    * never re-key rows mid-job (a `monotonically_increasing_id` here
+    * could assign different ids on re-execution, splitting or merging
+    * argmax groups). The content groupBy shuffles |main| rows — the same
+    * volume the argmax aggregation already exchanges — and scoring then
+    * touches only DISTINCT rows, which on dirty real-world streams
+    * (repeated header lines, replayed events) shrinks the cross product.
     */
   def bestMatch(main: DataFrame, mainField: String,
                 lookup: DataFrame, lookupField: String,
                 appendCols: Seq[String],
                 matchCol: String = "match_value",
-                scoreCol: String = "match_score"): DataFrame = {
-    // a synthetic per-row id keeps duplicate main rows distinct (Kettle
-    // emits one output per input row); grouping the argmax by the main
-    // columns would collapse duplicates to a single output
-    val withId = main.withColumn("__main_row", monotonically_increasing_id())
-    bestByKey(withId, "__main_row", mainField, main.columns.toSeq,
-      lookup, lookupField, appendCols, matchCol, scoreCol)
+                scoreCol: String = "match_score",
+                lookupOrder: Seq[Column] = Seq.empty): DataFrame = {
+    val cols = main.columns.toSeq
+    val grouped = main.groupBy(cols.map(col): _*)
+      .agg(count(lit(1)).as("__mult"))
+      .withColumn("__main_key", struct(cols.map(col): _*))
+    val best = bestByKey(grouped, "__main_key", mainField, cols :+ "__mult",
+      lookup, lookupField, appendCols, matchCol, scoreCol, lookupOrder)
+    // one output row per input OCCURRENCE (Kettle emits per input row)
+    best
+      .withColumn("__rep", explode(sequence(lit(1L), col("__mult"))))
+      .drop("__rep", "__mult")
   }
 
-  /** Variant keyed by an explicit unique id on the main side — no
-    * synthetic id column needed when main rows already carry one.
+  /** Variant keyed by an explicit unique id on the main side — the
+    * zero-extra-shuffle path when main rows already carry one.
     */
   def bestMatchById(main: DataFrame, mainId: String, mainField: String,
                     lookup: DataFrame, lookupField: String,
                     appendCols: Seq[String],
                     matchCol: String = "match_value",
-                    scoreCol: String = "match_score"): DataFrame =
+                    scoreCol: String = "match_score",
+                    lookupOrder: Seq[Column] = Seq.empty): DataFrame =
     bestByKey(main, mainId, mainField, main.columns.toSeq,
-      lookup, lookupField, appendCols, matchCol, scoreCol)
+      lookup, lookupField, appendCols, matchCol, scoreCol, lookupOrder)
 }

@@ -41,6 +41,42 @@ class FuzzyMatchSpec extends SparkSpec {
     assert(out.filter(col("name") === "MUGELLO").count() == 2)
   }
 
+  test("tie winners are invariant to lookup partitioning (declared order, not physical)") {
+    val main = Seq((1L, "ab")).toDF("id", "name")
+    val lookup = Seq((20L, "xb"), (10L, "ax")).toDF("cid", "cname")
+    def winner(lk: org.apache.spark.sql.DataFrame): Long =
+      FuzzyMatch.bestMatchById(main, "id", "name", lk, "cname", Seq("cid"),
+          lookupOrder = Seq(col("cid")))
+        .select("cid").as[Long].collect().head
+    val base = winner(lookup)
+    assert(base == 10L) // declared order: lowest cid wins the tie
+    // physical layout must not matter: repartitioned, reverse-sorted,
+    // single-partition variants all pick the same winner
+    assert(winner(lookup.repartition(7)) == base)
+    assert(winner(lookup.orderBy(col("cid").desc)) == base)
+    assert(winner(lookup.coalesce(1)) == base)
+  }
+
+  test("lookupOrder is honored: reversing it flips the tie winner") {
+    val main = Seq((1L, "ab")).toDF("id", "name")
+    val lookup = Seq((10L, "ax"), (20L, "xb")).toDF("cid", "cname")
+    val w = FuzzyMatch.bestMatchById(main, "id", "name", lookup, "cname", Seq("cid"),
+        lookupOrder = Seq(col("cid").desc))
+      .select("cid").as[Long].collect().head
+    assert(w == 20L)
+  }
+
+  test("bestMatch duplicate rows: multiplicity preserved under main repartitioning") {
+    val main = Seq("MUGELLO", "MUGELLO", "MUGELLO", "ASSEN").toDF("name")
+      .repartition(5)
+    val lookup = Seq((1L, "Mugello"), (2L, "Assen")).toDF("cid", "cname")
+    val out = FuzzyMatch.bestMatch(main, "name", lookup, "cname", Seq("cid"))
+    assert(out.count() == 4)
+    assert(out.filter(col("name") === "MUGELLO").count() == 3)
+    assert(out.filter(col("name") === "MUGELLO").select("cid")
+      .as[Long].collect().toSet == Set(1L))
+  }
+
   test("appended score equals the scalar jaro_winkler") {
     val main = Seq((1L, "MARTHA")).toDF("id", "name")
     val lookup = Seq((10L, "MARHTA")).toDF("cid", "cname")
