@@ -326,7 +326,11 @@ object Queries {
   // §2.11 deterministic contiguous sequence ids
   // ---------------------------------------------------------------------
   private val qSeqId = Q("q_seq_id",
-    (s, dir) => Ops.sequenceId(
+    // the FACT-SCALE id assigner (range-partitioned two-pass, no global
+    // window) under the same oracle as the dimension-scale sequenceId —
+    // equal output by construction, and the benched path is the one a
+    // 100 TB table would use (also: no partitionless-window warning)
+    (s, dir) => Ops.zipWithIndexOrdered(
       t(s, dir, "nation").select(
         col("n_nationkey").cast("bigint").as("nkey"), col("n_name")),
       Seq(col("n_name").asc, col("nkey").asc), "seq")

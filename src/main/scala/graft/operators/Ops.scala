@@ -96,18 +96,43 @@ object Ops {
     df.withColumn(as, row_number().over(Window.orderBy(orderBy: _*)).cast("bigint"))
 
   /** Contiguous ids at fact scale without a single-partition window:
-    * sort, then offset per-partition indexes by the cumulative count of
-    * prior partitions (classic zipWithIndex on a sorted Dataset). One
-    * extra narrow pass instead of collapsing to one partition.
+    * range-partition on the order keys (partition boundaries then align
+    * with the global order), collect the per-partition row counts (a
+    * #partitions-row aggregate — the only driver materialization), and
+    * assign id = prior-partitions' cumulative count + row_number within
+    * the partition. Pure DataFrame plan — no RDD round-trip, so
+    * whole-stage codegen, columnar scans and AQE survive around it
+    * (the previous rdd.zipWithIndex formulation cut the plan in half
+    * with an ExistingRDD barrier).
+    *
+    * The window partitions by the materialized partition id, so each
+    * window group is one range partition — #partitions-way parallel,
+    * never a single reducer, and row_number over a running frame
+    * buffers one row at a time. Cost shape: the counts pass re-executes
+    * the range exchange's lineage (same second pass rdd.zipWithIndex
+    * ran), plus one hash exchange on the partition id. Both passes see
+    * identical partition ids because the range partitioner's boundary
+    * sampling is seeded deterministically from the partition index —
+    * the same determinism contract zipWithIndex itself relied on.
     */
   def zipWithIndexOrdered(df: DataFrame, orderBy: Seq[Column], as: String): DataFrame = {
-    val sorted = df.repartitionByRange(orderBy: _*).sortWithinPartitions(orderBy: _*)
-    val schema = sorted.schema
-    val rdd = sorted.rdd.zipWithIndex.map { case (row, idx) =>
-      org.apache.spark.sql.Row.fromSeq(row.toSeq :+ (idx + 1L))
-    }
-    sorted.sparkSession.createDataFrame(rdd,
-      schema.add(as, org.apache.spark.sql.types.LongType, nullable = false))
+    val ranged = df.repartitionByRange(orderBy: _*)
+      .withColumn("__zwi_pid", spark_partition_id())
+    val counts = ranged.groupBy("__zwi_pid").count()
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
+    val nPart = if (counts.isEmpty) 0 else counts.keys.max + 1
+    val offsets = (0 until nPart).scanLeft(0L)((acc, p) => acc + counts.getOrElse(p, 0L))
+    val offsetOf =
+      if (nPart == 0) lit(0L)
+      else element_at(
+        map_from_arrays(
+          array((0 until nPart).map(lit): _*),
+          array(offsets.take(nPart).map(lit): _*)),
+        col("__zwi_pid"))
+    val w = Window.partitionBy(col("__zwi_pid")).orderBy(orderBy: _*)
+    ranged
+      .withColumn(as, (row_number().over(w).cast("bigint") + offsetOf))
+      .drop("__zwi_pid")
   }
 
   /** Skew-resistant equi-join: left rows get a deterministic salt in

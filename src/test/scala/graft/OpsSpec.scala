@@ -80,6 +80,15 @@ class OpsSpec extends SparkSpec {
     assert(zip == seq)
   }
 
+  test("zipWithIndexOrdered stays a DataFrame plan — no RDD scan barrier") {
+    val df = (1 to 100).map(i => (100 - i, s"row$i")).toDF("k", "v")
+    val out = Ops.zipWithIndexOrdered(df.repartition(7), Seq(col("k").asc), "id")
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("ExistingRDD"), s"RDD barrier in plan:\n$plan")
+    // ids stay contiguous 1..n regardless of input partitioning
+    assert(out.select("id").as[Long].collect().sorted.toSeq == (1L to 100L))
+  }
+
   test("saltedJoin equals the plain join (inner and left)") {
     val left = (1 to 50).map(i => (i % 3, s"l$i")).toDF("k", "lv")
     val right = Seq((0, "r0"), (1, "r1"), (5, "r5")).toDF("k", "rv")
