@@ -65,7 +65,12 @@ object MediaKernels {
         rate = leI32(b, j + 12)
         blockAlign = leU16(b, j + 20)
         bits = leU16(b, j + 22)
-      } else if (isData) dataLen = size
+      } else if (isData) {
+        // clamp to the bytes actually present past the data header: a
+        // truncated blob must report its REAL frame count, not the
+        // pre-truncation duration its stale declared size implies
+        dataLen = math.min(size, (b.length - (j + 8)).toLong)
+      }
       i += 8L + size + (size & 1L) // chunks are word-aligned
     }
     // PCM family only (1 = PCM, 3 = IEEE float, 0xFFFE = extensible):
@@ -163,10 +168,13 @@ object MediaKernels {
       val w = beI32(b, 16); val h = beI32(b, 20)
       return if (w > 0 && h > 0) row("png", w, h) else null
     }
-    // GIF87a / GIF89a: logical screen w/h LE at 6/8
+    // GIF87a / GIF89a: logical screen w/h LE at 6/8; zero dims are
+    // corrupt (same truthfulness contract as the PNG/BMP branches)
     if (b.length >= 10 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F' &&
-        b(3) == '8' && (b(4) == '7' || b(4) == '9') && b(5) == 'a')
-      return row("gif", leU16(b, 6), leU16(b, 8))
+        b(3) == '8' && (b(4) == '7' || b(4) == '9') && b(5) == 'a') {
+      val w = leU16(b, 6); val h = leU16(b, 8)
+      return if (w > 0 && h > 0) row("gif", w, h) else null
+    }
     // BMP: "BM" + a BITMAPINFOHEADER-family DIB (size >= 40 at 14) —
     // the OS/2 BITMAPCOREHEADER packs 16-bit dims at other offsets and
     // must not be misread; w at 18, h at 22 (negative = top-down rows,

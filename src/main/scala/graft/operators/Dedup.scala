@@ -313,7 +313,8 @@ object Dedup {
     * `localEdgeLimit` and the ids are integral, the components are
     * solved in one driver-side union-find over the collected edges —
     * the same bounded-materialization bet a broadcast join makes
-    * (default 4M edges ≈ 64 MB), with identical min-label output.
+    * (default 4M edges ≈ 128 MB of specialized long-pair tuples on the
+    * driver, transiently), with identical min-label output.
     * `localEdgeLimit = 0` forces the distributed loop.
     */
   def dupClusters(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
@@ -397,10 +398,17 @@ object Dedup {
     val spark = sym.sparkSession
     import spark.implicits._
     // sym carries both orders of every pair; keep each undirected edge
-    // once, plus (x, NULL) rows so x still registers as a node
+    // once, plus (x, NULL) rows so x still registers as a node. NULL b
+    // rides as a Long.MinValue sentinel so the collect stays a
+    // SPECIALIZED (Long, Long) dataset — ~32 bytes per edge instead of
+    // 100+ for boxed GenericRows, so the 4M-edge default transiently
+    // holds ~128 MB of driver heap, not several hundred
+    val NoNeighbor = Long.MinValue
     val rows = sym.filter(col("a").isNotNull &&
         (col("b").isNull || col("a") <= col("b")))
-      .select(col("a").cast("long").as("a"), col("b").cast("long").as("b"))
+      .select(col("a").cast("long").as("a"),
+        coalesce(col("b").cast("long"), lit(NoNeighbor)).as("b"))
+      .as[(Long, Long)]
       .collect()
     val parent = scala.collection.mutable.LongMap.empty[Long]
     def add(x: Long): Unit = if (!parent.contains(x)) parent(x) = x
@@ -411,11 +419,9 @@ object Dedup {
       while (parent(c) != r) { val next = parent(c); parent(c) = r; c = next }
       r
     }
-    rows.foreach { row =>
-      val a = row.getLong(0)
+    rows.foreach { case (a, b) =>
       add(a)
-      if (!row.isNullAt(1)) {
-        val b = row.getLong(1)
+      if (b != NoNeighbor) {
         add(b)
         val ra = find(a); val rb = find(b)
         if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)

@@ -389,10 +389,17 @@ object Ops {
     require(groupCols.nonEmpty, "sampleToTokenBudget needs group columns")
     require(budgets.columns.contains("token_budget"),
       s"budgets must carry token_budget, has ${budgets.columns.mkString(",")}")
+    // df carrying its own token_budget would make the post-join column
+    // ambiguous (analysis error at best, silently-wrong budget at worst)
+    require(!df.columns.map(_.toLowerCase).contains("token_budget"),
+      "df already has a token_budget column — rename it before budgeting")
     val taken = df.columns.map(_.toLowerCase).toSet
     var cum = "__cum"
     while (taken.contains(cum.toLowerCase)) cum += "_"
-    df.join(broadcast(budgets), groupCols)
+    // only the join key + budget from the spec table: any extra columns
+    // on budgets must not silently leak into the output
+    val spec = budgets.select((groupCols :+ "token_budget").map(col): _*)
+    df.join(broadcast(spec), groupCols)
       // ROWS frame, not the default RANGE one: orderBy ties must not
       // share one peer-inclusive total (two tied 600-token docs under a
       // 1000 budget would BOTH see cum = 1200 and both drop). With a

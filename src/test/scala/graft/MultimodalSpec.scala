@@ -80,7 +80,7 @@ class MultimodalSpec extends SparkSpec {
       (1L, png(640, 480)), (2L, gif(320, 200)), (3L, bmp(800, 600)),
       (4L, jpeg(1024, 768)), (5L, "not an image at all".getBytes),
       (6L, png(9, 9).take(12)), (7L, null.asInstanceOf[Array[Byte]]),
-      (8L, pngBadChunk), (9L, bmpCoreHeader))
+      (8L, pngBadChunk), (9L, bmpCoreHeader), (10L, gif(0, 200)))
     val out = rows.toDF("id", "blob")
       .select(col("id"), Multimodal.imageMeta(col("blob")).as("m"))
       .select(col("id"), col("m.format"), col("m.width"), col("m.height"))
@@ -95,6 +95,7 @@ class MultimodalSpec extends SparkSpec {
     assert(out(7L) == null) // null blob
     assert(out(8L) == null) // PNG signature but non-IHDR first chunk
     assert(out(9L) == null) // OS/2 core-header BMP: offsets differ, reject
+    assert(out(10L) == null) // GIF with a zero logical-screen dimension
   }
 
   test("audioMeta parses a real WAV header with a LIST chunk between fmt and data") {
@@ -118,11 +119,15 @@ class MultimodalSpec extends SparkSpec {
       val c = wav(2, 44100, 16, 16)
       c(16) = 8; c
     }
+    val truncated = { // declared 1 s of data (176400 B), 3/4 cut off
+      val full = wav(2, 44100, 16, 44100 * 4)
+      full.take(full.length - 132300)
+    }
     val rows = Seq(
       (1L, wav(2, 44100, 16, 44100 * 4)),      // 1 second stereo 16-bit
       (2L, "RIFFjunk".getBytes),               // RIFF but not WAVE
       (3L, null.asInstanceOf[Array[Byte]]),
-      (4L, adpcm), (5L, shortFmt))
+      (4L, adpcm), (5L, shortFmt), (6L, truncated))
     val out = rows.toDF("id", "blob")
       .select(col("id"), Multimodal.audioMeta(col("blob")).as("m"))
       .select(col("id"), col("m.channels"), col("m.sample_rate"), col("m.n_frames"))
@@ -133,6 +138,9 @@ class MultimodalSpec extends SparkSpec {
     assert(out(3L) == null)
     assert(out(4L) == null) // compressed payload: a bits-derived count would lie
     assert(out(5L) == null) // fmt chunk too short to carry the PCM fields
+    // truncated blob: frame count reflects the bytes actually present
+    // (declared size claimed 1 s; only a quarter of the data survived)
+    assert(out(6L) == ((2, 44100, 11025L)))
   }
 
   test("videoMeta parses a real MP4 box tree: brand, mvhd v0, track count") {
