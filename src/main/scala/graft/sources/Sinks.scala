@@ -75,15 +75,23 @@ object Sinks {
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).orc(path)
   }
 
-  /** Mirror of the reference's PostgreSQL connection shape. */
+  /** Mirror of the reference's PostgreSQL connection shape
+    * (motogp.ktr:481-489, db `MotoGP`). `extraOptions` passes any other
+    * Spark JDBC option through — e.g. an explicit `driver` class for
+    * drivers without a ServiceLoader registration, `batchsize` for bulk
+    * loads, `isolationLevel`. Round-tripped against embedded Derby in
+    * SinksSpec (the environment ships no server database).
+    */
   def jdbcTemplate(df: DataFrame, url: String, table: String,
                    user: String, password: String,
-                   mode: String = "append"): Unit =
+                   mode: String = "append",
+                   extraOptions: Map[String, String] = Map.empty): Unit =
     df.write.mode(mode)
       .format("jdbc")
       .option("url", url) // e.g. jdbc:postgresql://host:5432/MotoGP
       .option("dbtable", table)
       .option("user", user)
       .option("password", password)
+      .options(extraOptions)
       .save()
 }
