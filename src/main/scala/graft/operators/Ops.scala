@@ -453,6 +453,12 @@ object Ops {
     * produced (exact-at-validation-scale reference, exhaustive banding,
     * or a SAMPLED subset at 100 TB — recall on a deterministic sample
     * gates just as hard at a fraction of the cost).
+    *
+    * Cost note: `out`'s plan appears twice in the gated query (keys for
+    * the recall scalar, full rows for the output). AQE's exchange reuse
+    * often collapses the duplicate at runtime, but when the approximate
+    * operator's compute dominates, persist or checkpoint `out` before
+    * gating rather than relying on it.
     */
   def recallGate(out: DataFrame, truth: DataFrame, keys: Seq[String],
                  floor: Double): DataFrame = {
