@@ -132,4 +132,33 @@ class PlanSpec extends SparkSpec {
     assert("Expand".r.findAllIn(p).size >= 1, p)
     assert("Scan parquet".r.findAllIn(p).size == 1, p)
   }
+
+  test("recall-gated queries: the gate scalar broadcasts, never shuffles the output") {
+    // the recall gate's final step is out ⨯ broadcast(1-row recall) +
+    // filter: a hash/sort-merge join here would shuffle the whole gated
+    // output against a single row
+    for (q <- Seq("q_ann_lsh", "q_ann_ivf", "q_embedding_neardup")) {
+      val p = plan(q)
+      assert(p.contains("BroadcastNestedLoopJoin"), s"$q missing broadcast gate:\n$p")
+    }
+  }
+
+  test("q_dedup_simhash truth side: hamming bound evaluated inside the join, not after") {
+    // the exact reference must filter candidate pairs as they stream out
+    // of the nested loop — a post-join Filter on the full n² cross
+    // product would materialize every pair
+    val p = plan("q_dedup_simhash")
+    val bnljLines = p.linesIterator.filter(_.contains("BroadcastNestedLoopJoin")).toSeq
+    assert(bnljLines.exists(_.contains("bit_count")),
+      s"hamming bound not in the BNLJ condition:\n${bnljLines.mkString("\n")}")
+  }
+
+  test("q_seq_id: fact-scale id path — no RDD barrier, no global window") {
+    val p = plan("q_seq_id")
+    assert(!p.contains("ExistingRDD"), p)
+    // the only Window must be partitioned (by the materialized partition
+    // id), never a partitionless global window
+    val winLines = p.linesIterator.filter(_.contains("Window")).toSeq
+    assert(winLines.nonEmpty && winLines.forall(_.contains("__zwi_pid")), p)
+  }
 }
