@@ -946,7 +946,7 @@ object Queries {
     * exact normalization pipeline with the xxhash64 dedup key, so a
     * hash-green row here pins the normalization (trim → collapse
     * whitespace → lowercase → UTF-8) that every dedup query keys on.
-    * FingerprintSpec separately proves the two keys induce identical
+    * TextFunctionsSpec separately proves the two keys induce identical
     * duplicate groups. */
   private val qFingerprint = Q("q_fingerprint",
     (s, dir) => t(s, dir, "documents").select(

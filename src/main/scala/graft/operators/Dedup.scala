@@ -142,31 +142,6 @@ object Dedup {
       GraftBridge.expression(a), GraftBridge.expression(b)))
   }
 
-  /** EXACT all-pairs shingle-Jaccard reference: every (id_a < id_b) pair
-    * with Jaccard >= threshold by brute force over the SAME 64-bit
-    * shingle-hash sets [[minhashLsh]] sketches — the ground truth its
-    * LSH output is gated against. The PPJoin length bound (J ≤
-    * min(|A|,|B|)/max(|A|,|B|)) prunes pairs with two int compares
-    * before any O(|A|+|B|) merge; the bound is implied by the
-    * threshold, never lossy. O(n²) pair enumeration: validation-scale
-    * or sampled-subset use only (recall on a deterministic subset gates
-    * just as hard — see [[graft.operators.Ops.recallGate]]).
-    */
-  def jaccardPairsExact(df: DataFrame, textCol: String, idCol: String,
-                        shingleSize: Int = 5, threshold: Double = 0.5): DataFrame = {
-    val g = df.select(col(idCol).as("__id"),
-      TextFunctions.shingleHashes(col(textCol), shingleSize).as("__sh"))
-    val a = g.select(col("__id").as("id_a"), col("__sh").as("__sh_a"))
-    val b = g.select(col("__id").as("id_b"), col("__sh").as("__sh_b"))
-    val bound = math.max(0.0, threshold - 1e-6) // 6-decimal rounding slack
-    a.join(broadcast(b), col("id_a") < col("id_b") &&
-        size(col("__sh_a")).cast("double") >= lit(bound) * size(col("__sh_b")) &&
-        size(col("__sh_b")).cast("double") >= lit(bound) * size(col("__sh_a")))
-      .withColumn("jaccard", round(sortedJaccard(col("__sh_a"), col("__sh_b")), 6))
-      .filter(col("jaccard") >= threshold)
-      .select("id_a", "id_b", "jaccard")
-  }
-
   /** SimHash near-dup pairs: 64-bit sketch, banded into `bands` chunks
     * (pigeonhole: pairs within Hamming distance bands-1 share >= 1 exact
     * band), verified with bit_count(xor) <= maxHamming.
@@ -398,17 +373,21 @@ object Dedup {
     val spark = sym.sparkSession
     import spark.implicits._
     // sym carries both orders of every pair; keep each undirected edge
-    // once, plus (x, NULL) rows so x still registers as a node. NULL b
-    // rides as a Long.MinValue sentinel so the collect stays a
-    // SPECIALIZED (Long, Long) dataset — ~32 bytes per edge instead of
-    // 100+ for boxed GenericRows, so the 4M-edge default transiently
-    // holds ~128 MB of driver heap, not several hundred
-    val NoNeighbor = Long.MinValue
-    val rows = sym.filter(col("a").isNotNull &&
-        (col("b").isNull || col("a") <= col("b")))
-      .select(col("a").cast("long").as("a"),
-        coalesce(col("b").cast("long"), lit(NoNeighbor)).as("b"))
+    // once. Both collects are SPECIALIZED primitive datasets — ~32
+    // bytes per edge instead of 100+ for boxed GenericRows, so the
+    // 4M-edge default transiently holds ~128 MB of driver heap, not
+    // several hundred. Null-neighbor rows ((x, NULL): x must still
+    // register as a node) are a SEPARATE Long collect rather than an
+    // in-band sentinel — any sentinel value is a legitimate id to some
+    // caller (this codebase derives ids from 64-bit hashes).
+    val edges = sym.filter(col("a").isNotNull && col("b").isNotNull &&
+        col("a") <= col("b"))
+      .select(col("a").cast("long"), col("b").cast("long"))
       .as[(Long, Long)]
+      .collect()
+    val lonely = sym.filter(col("a").isNotNull && col("b").isNull)
+      .select(col("a").cast("long"))
+      .as[Long]
       .collect()
     val parent = scala.collection.mutable.LongMap.empty[Long]
     def add(x: Long): Unit = if (!parent.contains(x)) parent(x) = x
@@ -419,13 +398,11 @@ object Dedup {
       while (parent(c) != r) { val next = parent(c); parent(c) = r; c = next }
       r
     }
-    rows.foreach { case (a, b) =>
-      add(a)
-      if (b != NoNeighbor) {
-        add(b)
-        val ra = find(a); val rb = find(b)
-        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
-      }
+    lonely.foreach(add)
+    edges.foreach { case (a, b) =>
+      add(a); add(b)
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
     }
     val out = parent.keys.toArray.map(id => (id, find(id)))
     spark.createDataset(out.toSeq).toDF("id", "cluster")

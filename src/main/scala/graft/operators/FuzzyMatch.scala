@@ -54,11 +54,14 @@ object FuzzyMatch {
     // single partition (broadcast-sized by contract) + explicit sort:
     // __lk_order is then 0..n-1 in DECLARED order — deterministic under
     // any upstream partitioning and across task retries; also avoids a
-    // partitionless-window warning a row_number formulation would emit
+    // partitionless-window warning a row_number formulation would emit.
+    // Sort BEFORE projecting so lookupOrder may name columns that are
+    // neither matched on nor appended (a pure load-order column); the
+    // single-partition projection preserves the sorted order.
     lookup
-      .select(cols.map(col): _*)
       .coalesce(1)
       .sortWithinPartitions(order: _*)
+      .select(cols.map(col): _*)
       .withColumn("__lk_order", monotonically_increasing_id())
       .select(col(lookupField).as("__lk_key") +: col("__lk_order") +:
         appendCols.distinct.map(c => col(c).as(s"__lk_$c")): _*)
@@ -118,6 +121,16 @@ object FuzzyMatch {
     * volume the argmax aggregation already exchanges — and scoring then
     * touches only DISTINCT rows, which on dirty real-world streams
     * (repeated header lines, replayed events) shrinks the cross product.
+    *
+    * Re-expansion is CHUNKED (nested explodes over `expandChunk`-sized
+    * blocks): a single `sequence(1, mult)` would materialize one
+    * in-memory array of `mult` elements per distinct row — a ~1.6 GB
+    * allocation for a row replayed 200M times, on exactly the
+    * high-duplication streams this path exists for.
+    *
+    * Rows containing non-orderable columns (maps) cannot be content-
+    * grouped; they fall back to the synthetic-id formulation, whose
+    * only weakness is duplicate-row identity under a mid-job retry.
     */
   def bestMatch(main: DataFrame, mainField: String,
                 lookup: DataFrame, lookupField: String,
@@ -126,15 +139,36 @@ object FuzzyMatch {
                 scoreCol: String = "match_score",
                 lookupOrder: Seq[Column] = Seq.empty): DataFrame = {
     val cols = main.columns.toSeq
+    val groupable = !main.schema.exists(f => hasMap(f.dataType))
+    if (!groupable) {
+      val withId = main.withColumn("__main_row", monotonically_increasing_id())
+      return bestByKey(withId, "__main_row", mainField, cols,
+        lookup, lookupField, appendCols, matchCol, scoreCol, lookupOrder)
+    }
     val grouped = main.groupBy(cols.map(col): _*)
       .agg(count(lit(1)).as("__mult"))
       .withColumn("__main_key", struct(cols.map(col): _*))
     val best = bestByKey(grouped, "__main_key", mainField, cols :+ "__mult",
       lookup, lookupField, appendCols, matchCol, scoreCol, lookupOrder)
-    // one output row per input OCCURRENCE (Kettle emits per input row)
+    // one output row per input OCCURRENCE (Kettle emits per input row):
+    // outer explode walks whole chunks, inner explode fills each chunk —
+    // peak allocation is one expandChunk-long array, independent of mult
+    val chunk = lit(expandChunk.toLong)
     best
-      .withColumn("__rep", explode(sequence(lit(1L), col("__mult"))))
-      .drop("__rep", "__mult")
+      .withColumn("__chunk_i", explode(sequence(lit(0L),
+        floor((col("__mult") - 1) / chunk).cast("long"))))
+      .withColumn("__rep", explode(sequence(lit(1L),
+        least(chunk, col("__mult") - col("__chunk_i") * chunk))))
+      .drop("__chunk_i", "__rep", "__mult")
+  }
+
+  private val expandChunk = 4096
+
+  private def hasMap(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+    case _: org.apache.spark.sql.types.MapType => true
+    case s: org.apache.spark.sql.types.StructType => s.exists(f => hasMap(f.dataType))
+    case a: org.apache.spark.sql.types.ArrayType => hasMap(a.elementType)
+    case _ => false
   }
 
   /** Variant keyed by an explicit unique id on the main side — the

@@ -468,11 +468,18 @@ object Ops {
       .join(out.select(keys.map(col): _*).dropDuplicates(keys)
           .withColumn("__hit", lit(1L)),
         keys, "left")
+    // gate on the UNROUNDED ratio — rounding first would let a floor of
+    // 1.0 pass with one truth pair missing out of >2.3M (0.99999967
+    // rounds to 1.0), defeating the exactness contract; the reported
+    // column is rounded for stable display/hashing only.
     // empty truth: sum -> NULL, count -> 0 -> NULL ratio -> vacuous 1.0
     val recall = hits.agg(coalesce(
-      round(sum(coalesce(col("__hit"), lit(0L))).cast("double") /
-        count(lit(1L)).cast("double"), 6),
-      lit(1.0)).as("recall"))
-    out.crossJoin(broadcast(recall)).filter(col("recall") >= floor)
+      sum(coalesce(col("__hit"), lit(0L))).cast("double") /
+        count(lit(1L)).cast("double"),
+      lit(1.0)).as("__recall_raw"))
+    out.crossJoin(broadcast(recall))
+      .filter(col("__recall_raw") >= floor)
+      .withColumn("recall", round(col("__recall_raw"), 6))
+      .drop("__recall_raw")
   }
 }

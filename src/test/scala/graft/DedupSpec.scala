@@ -124,6 +124,25 @@ class DedupSpec extends SparkSpec {
     assert(out == Map("a" -> "a", "b" -> "a", "c" -> "a"))
   }
 
+  test("dupClusters: extreme ids (Long.MinValue) survive the local fast path") {
+    // the fast path must not reserve any long value as an in-band
+    // sentinel — hash-derived ids can take ANY value, including the
+    // extremes; null partners register the non-null side as a node
+    val pairs = Seq(
+      (java.lang.Long.valueOf(Long.MinValue), java.lang.Long.valueOf(5L)),
+      (java.lang.Long.valueOf(5L), java.lang.Long.valueOf(7L)),
+      (java.lang.Long.valueOf(9L), null.asInstanceOf[java.lang.Long]))
+      .toDF("id_a", "id_b")
+    val local = Dedup.dupClusters(pairs).as[(Long, Long)].collect().toMap
+    assert(local == Map(
+      Long.MinValue -> Long.MinValue, 5L -> Long.MinValue, 7L -> Long.MinValue,
+      9L -> 9L))
+    // and the two code paths still agree on it
+    val dist = Dedup.dupClusters(pairs, localEdgeLimit = 0)
+      .as[(Long, Long)].collect().toMap
+    assert(dist == local)
+  }
+
   test("dedupByPairs keeps one representative per cluster plus unpaired rows") {
     val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
     val kept = Dedup.dedupByPairs(docs, "doc_id", pairs)

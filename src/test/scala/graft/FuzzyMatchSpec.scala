@@ -77,6 +77,36 @@ class FuzzyMatchSpec extends SparkSpec {
       .as[Long].collect().toSet == Set(1L))
   }
 
+  test("bestMatch multiplicity above the expansion chunk re-expands exactly") {
+    // 5000 > the 4096-row expansion chunk: the nested-explode rebuild
+    // must emit exactly one row per input occurrence, never chunk-sized
+    // over- or under-counts
+    val main = (Seq.fill(5000)("MUGELLO") ++ Seq("ASSEN")).toDF("name")
+    val lookup = Seq((1L, "Mugello"), (2L, "Assen")).toDF("cid", "cname")
+    val out = FuzzyMatch.bestMatch(main, "name", lookup, "cname", Seq("cid"))
+    assert(out.count() == 5001)
+    assert(out.filter(col("name") === "MUGELLO").count() == 5000)
+  }
+
+  test("bestMatch tolerates map-typed main columns (synthetic-id fallback)") {
+    val main = Seq(("MUGELLO", Map("k" -> "v")), ("ASSEN", Map.empty[String, String]))
+      .toDF("name", "props")
+    val lookup = Seq((1L, "Mugello"), (2L, "Assen")).toDF("cid", "cname")
+    val out = FuzzyMatch.bestMatch(main, "name", lookup, "cname", Seq("cid"))
+    assert(out.count() == 2)
+    assert(out.filter(col("name") === "MUGELLO").select("cid").as[Long].head() == 1L)
+    assert(out.columns.contains("props")) // the map column rides through
+  }
+
+  test("lookupOrder may name a column that is neither matched nor appended") {
+    val main = Seq((1L, "ab")).toDF("id", "name")
+    val lookup = Seq((10L, "ax", 2L), (20L, "xb", 1L)).toDF("cid", "cname", "load_ts")
+    val w = FuzzyMatch.bestMatchById(main, "id", "name", lookup, "cname", Seq("cid"),
+        lookupOrder = Seq(col("load_ts")))
+      .select("cid").as[Long].head()
+    assert(w == 20L) // load_ts order: the later-keyed row loaded first
+  }
+
   test("appended score equals the scalar jaro_winkler") {
     val main = Seq((1L, "MARTHA")).toDF("id", "name")
     val lookup = Seq((10L, "MARHTA")).toDF("cid", "cname")
