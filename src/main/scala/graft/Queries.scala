@@ -1702,6 +1702,73 @@ object Queries {
            |            ELSE CAST(50 + doc_id % 500 AS BIGINT) END AS height
            |FROM documents""".stripMargin))
 
+  /** Mixture reweighting over the `source` column: per-source corpus
+    * shares (by characters) and the downsampling rates that hit a
+    * declared target mixture — src0 capped at 1% and src1 at 2% of the
+    * corpus (both below their ~5% actual share, so the rates bite);
+    * unlisted sources pass through at rate 1.0. The rate table is what
+    * [[graft.operators.Ops.deterministicSample]] consumes per group —
+    * the mixture-shaping step run before any token-budget sampling.
+    */
+  private val qMixtureWeights = Q("q_mixture_weights",
+    (s, dir) => Ops.mixtureWeights(t(s, dir, "documents"), "source",
+        col("n_chars"), Map("src0" -> 0.01, "src1" -> 0.02))
+      .select(col("source"), col("n_rows").cast("bigint").as("n_rows"),
+        col("units"), col("share"), col("rate")),
+    Some("""WITH s AS (
+           |  SELECT source, CAST(count(*) AS BIGINT) AS n_rows,
+           |         CAST(sum(n_chars) AS DOUBLE) AS units
+           |  FROM documents GROUP BY 1
+           |), t AS (SELECT sum(units) AS total FROM s)
+           |SELECT source, n_rows, units,
+           |       round(units / total, 6) AS share,
+           |       CASE WHEN source = 'src0'
+           |              THEN round(least(1.0, 0.01 * total / units), 6)
+           |            WHEN source = 'src1'
+           |              THEN round(least(1.0, 0.02 * total / units), 6)
+           |            ELSE 1.0 END AS rate
+           |FROM s, t""".stripMargin))
+
+  /** Nearest-centroid classification over the labeled embeddings — the
+    * embedding-quality eval (label separability / cluster purity) as a
+    * confusion matrix, hash-checked against DuckDB recomputing the
+    * same per-label mean vectors and rounded-cosine argmax.
+    */
+  private val qLabelConfusion = Q("q_label_confusion",
+    (s, dir) => Similarity.nearestCentroidConfusion(
+        t(s, dir, "embeddings"), "embedding", "label", "vec_id")
+      .select(col("label").cast("bigint").as("label"),
+        col("predicted").cast("bigint").as("predicted"),
+        col("n").cast("bigint").as("n")),
+    Some("""WITH u AS (
+           |  SELECT vec_id, label,
+           |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           |  FROM embeddings WHERE embedding IS NOT NULL
+           |), n AS (
+           |  SELECT vec_id, label,
+           |         list_transform(v, x -> x / sqrt(list_sum(list_transform(v, y -> y*y)))) AS v
+           |  FROM u
+           |), e AS (
+           |  SELECT label,
+           |         unnest(list_transform(v, (x, i) -> struct_pack(pos := i, x := x))) AS t
+           |  FROM n
+           |), c AS (
+           |  SELECT label AS clbl, t.pos AS pos, avg(t.x) AS a FROM e GROUP BY 1, 2
+           |), cl AS (
+           |  SELECT clbl, list(a ORDER BY pos) AS cv FROM c GROUP BY 1
+           |), sc AS (
+           |  SELECT n.vec_id, n.label, cl.clbl,
+           |         round(list_cosine_similarity(n.v, cl.cv), 6) AS s
+           |  FROM n CROSS JOIN cl
+           |), b AS (
+           |  SELECT vec_id, label, clbl,
+           |         row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, clbl) AS rn
+           |  FROM sc
+           |)
+           |SELECT CAST(label AS BIGINT) AS label, CAST(clbl AS BIGINT) AS predicted,
+           |       CAST(count(*) AS BIGINT) AS n
+           |FROM b WHERE rn = 1 GROUP BY 1, 2""".stripMargin))
+
   /** Every query, in a stable order. */
   val all: Seq[Q] = Seq(
     qSelect, qFilter, qFilterRouter,
@@ -1719,5 +1786,5 @@ object Queries {
     qBm25, qDecontaminate, qTopNgrams, qRepetition, qRangeJoin,
     qPackChunks, qSplitAssign,
     qRangeJoinSemi, qLineDedup, qPiiRedact, qCube, qTfidf, qTokenBudget,
-    qQualityGate, qImageMeta)
+    qQualityGate, qImageMeta, qMixtureWeights, qLabelConfusion)
 }

@@ -413,6 +413,40 @@ object Ops {
       .drop(cum, "token_budget")
   }
 
+  /** Mixture reweighting — the step that turns "the corpus is 48% web,
+    * 3% code" into per-source sampling rates hitting a TARGET mixture
+    * (e.g. equal shares, or "30% code"): for each group,
+    * `rate = min(1, target_share * total / group_units)`, where units
+    * is any additive weight column (docs, chars, tokens). Downsampling
+    * only — a group below its target keeps rate 1.0 (upsampling is a
+    * repetition-count decision the caller makes explicitly). Feed the
+    * rates into [[deterministicSample]] per group to apply them
+    * retry-stably. One aggregate + one broadcast of the (tiny) per-group
+    * stats row set — no second pass over the data to compute rates.
+    *
+    * @param targets group value (of the single `groupCol`) -> target
+    *                share; groups absent from the map get rate 1.0
+    *                (pass-through). Shares needn't sum to 1 — they are
+    *                interpreted against the whole corpus' unit total.
+    */
+  def mixtureWeights(df: DataFrame, groupCol: String, unitCol: Column,
+                     targets: Map[String, Double]): DataFrame = {
+    require(targets.values.forall(s => s >= 0.0 && s <= 1.0),
+      s"target shares must be in [0, 1]: $targets")
+    val stats = df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_rows"), sum(unitCol).cast("double").as("units"))
+    val total = stats.agg(sum(col("units")).as("__total"))
+    val share = targets.foldLeft(lit(null).cast("double")) {
+      case (acc, (g, s)) => when(col(groupCol) === g, lit(s)).otherwise(acc)
+    }
+    stats.crossJoin(broadcast(total))
+      .withColumn("share", round(col("units") / col("__total"), 6))
+      .withColumn("rate",
+        when(share.isNull, lit(1.0)).otherwise(
+          round(least(lit(1.0), share * col("__total") / col("units")), 6)))
+      .drop("__total")
+  }
+
   def hashSplit(df: DataFrame, splits: Seq[(String, Int)],
                 seed: Long = 42L, as: String = "split"): DataFrame = {
     require(splits.nonEmpty && splits.forall(_._2 > 0), s"bad weights: $splits")

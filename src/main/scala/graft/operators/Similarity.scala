@@ -261,6 +261,49 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
+  /** Nearest-centroid classification over a LABELED embedding corpus —
+    * the embedding-quality eval loop (cluster purity / label
+    * separability): per-label mean vectors, every vector classified to
+    * its nearest centroid by cosine, confusion counts out. Returns
+    * (label, predicted, n).
+    *
+    * Plan shape: centroids are one posexplode + (label, dim) hash
+    * aggregate — partial aggregation collapses map-side, the shuffle
+    * carries |labels| × dim cells, never vectors; the (tiny) centroid
+    * table broadcasts back for scoring, and the argmax is the same
+    * max_by partial aggregation the fuzzy-match argmax uses (shuffle =
+    * one row per vector, not per candidate). Ranking compares the
+    * ROUNDED cosine with label as tie-break, so scores equal to 6
+    * decimals resolve identically on any engine computing the same
+    * centroids (float summation order never flips a winner).
+    */
+  def nearestCentroidConfusion(df: DataFrame, vecCol: String,
+                               labelCol: String, idCol: String): DataFrame = {
+    val labelType = df.schema(labelCol).dataType
+    require(labelType.isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"labels must be numeric for the deterministic tie-break, got $labelType")
+    val unit = df.filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("__id"), col(labelCol).as("__lbl"),
+        VectorFunctions.l2Normalize(col(vecCol)).as("__v"))
+    val centroids = unit
+      .select(col("__lbl"), posexplode(col("__v")).as(Seq("__pos", "__x")))
+      .groupBy(col("__lbl"), col("__pos"))
+      .agg(avg(col("__x")).as("__a"))
+      .groupBy(col("__lbl").as("__clbl"))
+      .agg(array_sort(collect_list(struct(col("__pos"), col("__a")))).as("__ps"))
+      .select(col("__clbl"),
+        transform(col("__ps"), p => p.getField("__a")).as("__cv"))
+    val scored = unit.crossJoin(broadcast(centroids))
+      .withColumn("__s",
+        round(VectorFunctions.cosineSimilarity(col("__v"), col("__cv")), 6))
+    scored
+      .groupBy(col("__id"), col("__lbl"))
+      .agg(max_by(col("__clbl"),
+        struct(col("__s").as("s"), (lit(0d) - col("__clbl")).as("neg"))).as("__pred"))
+      .groupBy(col("__lbl").as("label"), col("__pred").as("predicted"))
+      .agg(count(lit(1)).as("n"))
+  }
+
   /** IVF-Flat ANN: corpus bucketed by nearest centroid, queries probe the
     * `nProbes` nearest inverted lists, exact cosine re-rank within.
     */

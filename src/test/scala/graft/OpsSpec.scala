@@ -303,6 +303,21 @@ class OpsSpec extends SparkSpec {
     assert(again == out.select("id", "split").as[(Long, String)].collect().toSet)
   }
 
+  test("mixtureWeights: rates bite only below-target groups; unlisted pass at 1.0") {
+    // a: 100 units (50%), b: 60, c: 40. Targets: a -> 10% (bites),
+    // b -> 90% (above actual -> no upsampling, rate 1.0), c unlisted.
+    val df = (Seq.fill(10)(("a", 10L)) ++ Seq.fill(6)(("b", 10L)) ++
+      Seq.fill(4)(("c", 10L))).toDF("src", "units")
+    val out = Ops.mixtureWeights(df, "src", col("units"),
+        Map("a" -> 0.1, "b" -> 0.9))
+      .select("src", "n_rows", "share", "rate")
+      .as[(String, Long, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out("a") == ((10L, 0.5, 0.2)))  // 0.1 * 200 / 100
+    assert(out("b") == ((6L, 0.3, 1.0)))   // target above actual: keep all
+    assert(out("c") == ((4L, 0.2, 1.0)))   // unlisted: pass through
+  }
+
   test("recallGate passes output through when recall clears the floor") {
     val truth = Seq((1L, 2L), (3L, 4L), (5L, 6L)).toDF("id_a", "id_b")
     val out = Seq((1L, 2L, 0.9), (3L, 4L, 0.8), (9L, 9L, 0.7)).toDF("id_a", "id_b", "s")

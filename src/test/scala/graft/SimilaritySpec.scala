@@ -210,4 +210,28 @@ class SimilaritySpec extends SparkSpec {
       .as[Double].collect().head
     assert(c == 0.0)
   }
+
+  test("nearestCentroidConfusion: separable clusters classify diagonally, dups count") {
+    // 3 well-separated clusters (orthogonal axes + small noise): the
+    // confusion matrix must be purely diagonal with exact counts —
+    // including two IDENTICAL vectors, which must each be counted
+    val rnd = new scala.util.Random(11)
+    val base = Array(Array(1f, 0f, 0f), Array(0f, 1f, 0f), Array(0f, 0f, 1f))
+    val rows = (0 until 30).map { i =>
+      val l = i % 3
+      val v = base(l).map(x => x + 0.05f * rnd.nextGaussian().toFloat)
+      (i.toLong, l, v)
+    } :+ ((100L, 0, base(0))) :+ ((101L, 0, base(0))) // exact duplicates
+    val out = Similarity.nearestCentroidConfusion(
+        rows.toDF("vec_id", "label", "embedding"), "embedding", "label", "vec_id")
+      .as[(Int, Int, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(out == Map((0, 0) -> 12L, (1, 1) -> 10L, (2, 2) -> 10L), out)
+    // string labels are rejected up front (tie-break needs numeric order)
+    intercept[IllegalArgumentException] {
+      Similarity.nearestCentroidConfusion(
+        rows.map { case (id, l, v) => (id, s"L$l", v) }.toDF("vec_id", "label", "embedding"),
+        "embedding", "label", "vec_id")
+    }
+  }
 }
