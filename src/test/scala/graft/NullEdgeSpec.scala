@@ -98,4 +98,41 @@ class NullEdgeSpec extends SparkSpec {
       .as[(Long, Double)].collect().toMap
     assert(out == Map(1L -> 0.0, 2L -> 0.0))
   }
+
+  test("mixtureWeights: null group and null units don't throw or poison rates") {
+    val df = Seq(
+      (Some("a"), Some(10L)), (Some("a"), Some(30L)),
+      (None, Some(40L)),                  // null group: its own row, rate 1.0
+      (Some("b"), None), (Some("b"), Some(20L))) // null units: sum skips it
+      .toDF("src", "units")
+    val out = graft.operators.Ops.mixtureWeights(df, "src", col("units"),
+        Map("a" -> 0.1))
+      .select("src", "rate").collect()
+      .map(r => Option(r.getString(0)) -> r.getDouble(1)).toMap
+    // null-group units still count toward the corpus total (they are
+    // real volume): total = 100, so rate(a) = 0.1 * 100 / 40
+    assert(out(Some("a")) == 0.25)
+    assert(out(Some("b")) == 1.0 && out(None) == 1.0)
+  }
+
+  test("nearestCentroidConfusion: null embeddings and null labels don't crash") {
+    val rows = Seq(
+      (1L, java.lang.Integer.valueOf(0), Array(1f, 0f)),
+      (2L, java.lang.Integer.valueOf(0), Array(0.9f, 0.1f)),
+      (3L, java.lang.Integer.valueOf(1), Array(0f, 1f)),
+      (4L, java.lang.Integer.valueOf(1), null.asInstanceOf[Array[Float]]), // dropped
+      (5L, null.asInstanceOf[java.lang.Integer], Array(0f, 0.8f))) // its own class
+      .toDF("vec_id", "label", "embedding")
+    val out = graft.operators.Similarity.nearestCentroidConfusion(
+        rows, "embedding", "label", "vec_id")
+      .collect()
+      .map(r => (Option(r.get(0)), Option(r.get(1))) -> r.getLong(2)).toMap
+    // null-embedding row 4 contributes nothing; rows 1-3 classify to their
+    // own labels; the null-label vector forms a null centroid class and
+    // row 5 lands on it (nearest by construction)
+    assert(out((Some(0), Some(0))) == 2L)
+    assert(out((Some(1), Some(1))) == 1L)
+    assert(out.keys.exists(_._1.isEmpty)) // null-label row still reported
+    assert(out.values.sum == 4L)
+  }
 }
