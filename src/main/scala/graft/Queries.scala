@@ -1769,6 +1769,33 @@ object Queries {
            |       CAST(count(*) AS BIGINT) AS n
            |FROM b WHERE rn = 1 GROUP BY 1, 2""".stripMargin))
 
+  /** Semantic decontamination: every corpus vector scored by max cosine
+    * against a broadcast benchmark embedding set (vec_id < 32 stands in
+    * for the eval set), flagged at 0.4 — the threshold reachable on
+    * these near-uniform synthetic embeddings (cf. q_embedding_neardup).
+    * Exact, not approximate, so fully oracle-checked.
+    */
+  private val qDecontaminateEmbed = Q("q_decontaminate_embed",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Decontaminate.byEmbedding(
+          emb.filter(col("vec_id") >= 32), emb.filter(col("vec_id") < 32),
+          "embedding", "vec_id", threshold = 0.4)
+        .select(col("id").cast("bigint").as("id"),
+          col("max_cosine"), col("contaminated"))
+    },
+    Some("""WITH n AS (
+           |  SELECT vec_id,
+           |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           |  FROM embeddings WHERE embedding IS NOT NULL
+           |), c AS (SELECT vec_id, v FROM n WHERE vec_id >= 32),
+           |   b AS (SELECT v FROM n WHERE vec_id < 32)
+           |SELECT CAST(c.vec_id AS BIGINT) AS id,
+           |       max(round(list_cosine_similarity(c.v, b.v), 6)) AS max_cosine,
+           |       max(round(list_cosine_similarity(c.v, b.v), 6)) >= 0.4 AS contaminated
+           |FROM c CROSS JOIN b
+           |GROUP BY 1""".stripMargin))
+
   /** Every query, in a stable order. */
   val all: Seq[Q] = Seq(
     qSelect, qFilter, qFilterRouter,
@@ -1786,5 +1813,6 @@ object Queries {
     qBm25, qDecontaminate, qTopNgrams, qRepetition, qRangeJoin,
     qPackChunks, qSplitAssign,
     qRangeJoinSemi, qLineDedup, qPiiRedact, qCube, qTfidf, qTokenBudget,
-    qQualityGate, qImageMeta, qMixtureWeights, qLabelConfusion)
+    qQualityGate, qImageMeta, qMixtureWeights, qLabelConfusion,
+    qDecontaminateEmbed)
 }

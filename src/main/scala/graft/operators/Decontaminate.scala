@@ -52,4 +52,50 @@ object Decontaminate {
       .select(col("doc_id").as("__bad_id"))
     train.join(bad, train(idCol) === col("__bad_id"), "left_anti")
   }
+
+  /** SEMANTIC decontamination (the SemDeDup-style complement to n-gram
+    * [[overlap]]): a paraphrased benchmark item shares no 5-grams with
+    * its source but sits right next to it in embedding space, so the
+    * guard here is max cosine against ANY benchmark vector. Returns
+    * (id, max_cosine, contaminated) for every corpus row with an
+    * embedding.
+    *
+    * Scale shape mirrors [[overlap]]: benchmark embedding sets are
+    * thousands of rows — normalized once and broadcast — so the corpus
+    * side streams through a nested-loop scoring pass with no shuffle
+    * except the per-id max, which partial-aggregates map-side (each
+    * corpus row's candidates stay in its own task, so the exchange
+    * carries one row per corpus row). Scores are rounded to 6 decimals
+    * BEFORE the max so the flag is reproducible across engines.
+    */
+  def byEmbedding(corpus: DataFrame, bench: DataFrame,
+                  vecCol: String, idCol: String,
+                  threshold: Double = 0.95): DataFrame = {
+    require(threshold >= -1.0 && threshold <= 1.0,
+      s"cosine threshold must be in [-1, 1], got $threshold")
+    import graft.functions.VectorFunctions
+    val c = corpus.filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("id"), VectorFunctions.l2Normalize(col(vecCol)).as("__cv"))
+    val b = bench.filter(col(vecCol).isNotNull)
+      .select(VectorFunctions.l2Normalize(col(vecCol)).as("__bv"))
+    c.crossJoin(broadcast(b))
+      .withColumn("__s", round(VectorFunctions.dot(col("__cv"), col("__bv")), 6))
+      .groupBy(col("id"))
+      .agg(max(col("__s")).as("max_cosine"))
+      .withColumn("contaminated", col("max_cosine") >= threshold)
+  }
+
+  /** The apply side of [[byEmbedding]]: corpus rows semantically too
+    * close to the benchmark removed; rows with NULL embeddings pass
+    * through (no evidence of contamination — flag them upstream if the
+    * pipeline wants them quarantined instead).
+    */
+  def cleanByEmbedding(corpus: DataFrame, bench: DataFrame,
+                       vecCol: String, idCol: String,
+                       threshold: Double = 0.95): DataFrame = {
+    val bad = byEmbedding(corpus, bench, vecCol, idCol, threshold)
+      .filter(col("contaminated"))
+      .select(col("id").as("__bad_id"))
+    corpus.join(bad, corpus(idCol) === col("__bad_id"), "left_anti")
+  }
 }

@@ -54,4 +54,34 @@ class DecontaminateSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("Broadcast"), plan)
   }
+
+  test("byEmbedding flags a planted paraphrase the n-gram guard cannot see") {
+    // corpus vector 10 is a near-copy of benchmark vector 1 (the
+    // paraphrase case: no shared n-grams, ~identical embedding); vector
+    // 11 is orthogonal to the whole benchmark
+    val bench = Seq(
+      (1L, Array(1f, 0f, 0f)), (2L, Array(0f, 1f, 0f)))
+      .toDF("vec_id", "embedding")
+    val corpus = Seq(
+      (10L, Array(0.99f, 0.01f, 0f)),                        // contaminated
+      (11L, Array(0f, 0f, 1f)),                              // clean
+      (12L, null.asInstanceOf[Array[Float]]))                // no evidence
+      .toDF("vec_id", "embedding")
+    val out = Decontaminate.byEmbedding(corpus, bench, "embedding", "vec_id",
+        threshold = 0.95)
+      .as[(Long, Double, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(10L)._2 && out(10L)._1 > 0.99)
+    assert(!out(11L)._2 && out(11L)._1 == 0.0)
+    assert(!out.contains(12L)) // null embedding: scored nowhere
+    // apply side: contaminated row dropped, null-embedding row KEPT
+    val kept = Decontaminate.cleanByEmbedding(corpus, bench, "embedding",
+        "vec_id", threshold = 0.95)
+      .select("vec_id").as[Long].collect().toSet
+    assert(kept == Set(11L, 12L))
+    // benchmark side broadcasts (the corpus must stream, never shuffle)
+    val plan = Decontaminate.byEmbedding(corpus, bench, "embedding", "vec_id")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
 }
