@@ -1796,6 +1796,168 @@ object Queries {
            |FROM c CROSS JOIN b
            |GROUP BY 1""".stripMargin))
 
+  // ---------------------------------------------------------------------
+  // Span-level dedup, hybrid retrieval, sketch calibration (round 6)
+  // ---------------------------------------------------------------------
+
+  /** Cross-document duplicated-SPAN coverage — the span-level dedup
+    * signal (see [[Dedup.spanDuplication]]): per document, its distinct
+    * word 4-gram count, how many of those grams occur in >= 2 documents,
+    * and the coverage fraction. n = 4 measured 11.6% duplicated grams
+    * at sf0.01 (n = 3 saturates at 64% on this ~40-word synthetic
+    * vocabulary, n = 5 decays to 9%) — non-vacuous, non-saturated.
+    */
+  private val qDupSpans = Q("q_dup_spans",
+    (s, dir) => Dedup.spanDuplication(t(s, dir, "documents"),
+        "text", "doc_id", n = 4, minDocs = 2)
+      .select(col("doc_id").cast("bigint").as("doc_id"),
+        col("n_grams"), col("n_dup_grams"), col("dup_frac")),
+    Some("""WITH tk AS (
+           |  SELECT doc_id,
+           |         CASE WHEN len(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+           |              ELSE string_split_regex(trim(text), '[ \t\n\x0B\f\r]+') END AS t
+           |  FROM documents),
+           |g AS (
+           |  SELECT doc_id,
+           |         unnest(list_distinct([array_to_string(t[i:i+3], ' ')
+           |                               for i in range(1, len(t) - 2)])) AS gram
+           |  FROM tk WHERE len(t) >= 4),
+           |d AS (SELECT gram, count(*) AS dfreq FROM g GROUP BY 1)
+           |SELECT CAST(g.doc_id AS BIGINT) AS doc_id,
+           |       CAST(count(*) AS BIGINT) AS n_grams,
+           |       CAST(count(CASE WHEN d.dfreq >= 2 THEN 1 END) AS BIGINT) AS n_dup_grams,
+           |       round(CAST(count(CASE WHEN d.dfreq >= 2 THEN 1 END) AS DOUBLE)
+           |             / count(*), 6) AS dup_frac
+           |FROM g JOIN d USING (gram)
+           |GROUP BY g.doc_id""".stripMargin))
+
+  /** Hybrid retrieval: BM25 lexical ranking fused with embedding-cosine
+    * semantic ranking by reciprocal-rank fusion (see
+    * [[Ranking.rrfFuse]]). The lexical query is the same term bag as
+    * [[qBm25]]; the semantic query is embedding 0 against the rest of
+    * the corpus; doc_id = vec_id links the two sides where both exist
+    * (the full-outer fusion keeps single-list documents). Fully exact,
+    * so fully oracle-checked — DuckDB recomputes both rankings and the
+    * fusion.
+    */
+  private val qHybridRrf = Q("q_hybrid_rrf",
+    (s, dir) => {
+      val lex = Ranking.bm25(t(s, dir, "documents"), "text", "doc_id",
+        Seq("spark", "join", "window")).select(col("doc_id"), col("bm25"))
+      val emb = t(s, dir, "embeddings").filter(col("embedding").isNotNull)
+      val qv = emb.filter(col("vec_id") === 0).select(col("embedding").as("__qv"))
+      val sem = emb.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(qv))
+        .select(col("vec_id").as("doc_id"),
+          round(VF.cosineSimilarity(col("__qv"), col("embedding")), 6).as("cos"))
+      Ranking.rrfFuse(lex, sem, "doc_id", "bm25", "cos",
+          k = 50, kRrf = 60, topN = 20)
+        .select(col("doc_id").cast("bigint").as("doc_id"),
+          col("rank_lex").cast("bigint").as("rank_lex"),
+          col("rank_sem").cast("bigint").as("rank_sem"),
+          col("rrf"))
+    },
+    Some("""WITH tk AS (
+           |  SELECT doc_id,
+           |         CASE WHEN len(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+           |              ELSE string_split_regex(trim(text), '[ \t\n\x0B\f\r]+') END AS t
+           |  FROM documents),
+           |base AS (
+           |  SELECT doc_id, len(t) AS dl,
+           |         len(list_filter(t, x -> x = 'spark'))  AS tf_spark,
+           |         len(list_filter(t, x -> x = 'join'))   AS tf_join,
+           |         len(list_filter(t, x -> x = 'window')) AS tf_window
+           |  FROM tk),
+           |st AS (
+           |  SELECT count(*) AS n, avg(dl) AS avgdl,
+           |         sum(CASE WHEN tf_spark  > 0 THEN 1 ELSE 0 END) AS df_spark,
+           |         sum(CASE WHEN tf_join   > 0 THEN 1 ELSE 0 END) AS df_join,
+           |         sum(CASE WHEN tf_window > 0 THEN 1 ELSE 0 END) AS df_window
+           |  FROM base),
+           |lexs AS (
+           |  SELECT doc_id,
+           |         round(ln((n - df_spark + 0.5) / (df_spark + 0.5) + 1.0)
+           |                 * (tf_spark * 2.2) / (tf_spark + 1.2 * (0.25 + 0.75 * b.dl / avgdl))
+           |             + ln((n - df_join + 0.5) / (df_join + 0.5) + 1.0)
+           |                 * (tf_join * 2.2) / (tf_join + 1.2 * (0.25 + 0.75 * b.dl / avgdl))
+           |             + ln((n - df_window + 0.5) / (df_window + 0.5) + 1.0)
+           |                 * (tf_window * 2.2) / (tf_window + 1.2 * (0.25 + 0.75 * b.dl / avgdl)),
+           |           6) AS s
+           |  FROM base b, st
+           |  WHERE tf_spark + tf_join + tf_window > 0),
+           |lex AS (
+           |  SELECT doc_id, row_number() OVER (ORDER BY s DESC, doc_id) AS rank_lex
+           |  FROM lexs QUALIFY rank_lex <= 50),
+           |env AS (
+           |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           |  FROM embeddings WHERE embedding IS NOT NULL),
+           |qv AS (SELECT v AS q FROM env WHERE vec_id = 0),
+           |sems AS (
+           |  SELECT vec_id AS doc_id, round(list_cosine_similarity(v, q), 6) AS s
+           |  FROM env, qv WHERE vec_id <> 0),
+           |sem AS (
+           |  SELECT doc_id, row_number() OVER (ORDER BY s DESC, doc_id) AS rank_sem
+           |  FROM sems QUALIFY rank_sem <= 50),
+           |f AS (
+           |  SELECT coalesce(lex.doc_id, sem.doc_id) AS doc_id, rank_lex, rank_sem,
+           |         round(coalesce(1.0 / (60 + rank_lex), 0) +
+           |               coalesce(1.0 / (60 + rank_sem), 0), 6) AS rrf
+           |  FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id)
+           |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           |       CAST(rank_lex AS BIGINT) AS rank_lex,
+           |       CAST(rank_sem AS BIGINT) AS rank_sem, rrf
+           |FROM f ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin))
+
+  /** Sketch calibration, distinct counts: per-language EXACT distinct
+    * fingerprints, gated per row on the HLL++ sketch
+    * (`approx_count_distinct`, rsd 2%) agreeing within 5% (see
+    * [[Ops.withinTolerance]]). At 100 TB only the sketch runs (one
+    * dense HLL register set per group vs a full distinct shuffle); this
+    * query is the calibration audit that makes trusting it evidence,
+    * not hope — any drifted group's row vanishes and the driver's
+    * rows/hash match fails. HLL is deterministic for fixed input, so
+    * the gate cannot flake.
+    */
+  private val qApproxDistinct = Q("q_approx_distinct",
+    (s, dir) => {
+      val fp = TF.contentFingerprint(col("text"))
+      t(s, dir, "documents")
+        .groupBy(col("lang"))
+        .agg(countDistinct(fp).as("n_exact"),
+          approx_count_distinct(fp, 0.02).as("__approx"))
+        .filter(Ops.withinTolerance(col("__approx"), col("n_exact"), 0.05))
+        .select(col("lang"), col("n_exact").cast("bigint").as("n_exact"))
+    },
+    Some("""SELECT lang,
+           |       CAST(count(DISTINCT md5(lower(regexp_replace(trim(text),
+           |            '[ \t\n\x0B\f\r]+', ' ', 'g')))) AS BIGINT) AS n_exact
+           |FROM documents GROUP BY 1""".stripMargin))
+
+  /** Sketch calibration, quantiles: per-returnflag EXACT interpolated
+    * percentiles of extended price, each row gated on the
+    * `percentile_approx` digest (accuracy 10⁴ ⇒ rank error ≤ 10⁻⁴·n)
+    * landing within 1% of the exact value. Same audit contract as
+    * [[qApproxDistinct]]: the sketch is what a 100 TB profile job runs;
+    * the exact twin + gate is the per-round proof it stays honest.
+    * Spark's `percentile` and DuckDB's `quantile_cont` share the
+    * p·(n−1) linear-interpolation definition.
+    */
+  private val qApproxQuantiles = Q("q_approx_quantiles",
+    (s, dir) => t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(percentile(col("l_extendedprice"), lit(0.5)).as("__p50"),
+        percentile(col("l_extendedprice"), lit(0.9)).as("__p90"),
+        percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("__a50"),
+        percentile_approx(col("l_extendedprice"), lit(0.9), lit(10000)).as("__a90"))
+      .filter(Ops.withinTolerance(col("__a50"), col("__p50"), 0.01) &&
+        Ops.withinTolerance(col("__a90"), col("__p90"), 0.01))
+      .select(col("l_returnflag"),
+        round(col("__p50"), 4).as("p50"), round(col("__p90"), 4).as("p90")),
+    Some("""SELECT l_returnflag,
+           |       round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+           |       round(quantile_cont(l_extendedprice, 0.9), 4) AS p90
+           |FROM lineitem GROUP BY 1""".stripMargin))
+
   /** Every query, in a stable order. */
   val all: Seq[Q] = Seq(
     qSelect, qFilter, qFilterRouter,
@@ -1814,5 +1976,6 @@ object Queries {
     qPackChunks, qSplitAssign,
     qRangeJoinSemi, qLineDedup, qPiiRedact, qCube, qTfidf, qTokenBudget,
     qQualityGate, qImageMeta, qMixtureWeights, qLabelConfusion,
-    qDecontaminateEmbed)
+    qDecontaminateEmbed,
+    qDupSpans, qHybridRrf, qApproxDistinct, qApproxQuantiles)
 }

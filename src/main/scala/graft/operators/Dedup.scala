@@ -455,6 +455,53 @@ object Dedup {
         (max(col("__n_lines")) - count(lit(1))).cast("long").as("n_dropped"))
   }
 
+  /** Cross-document duplicated-SPAN coverage — the third dedup
+    * granularity next to document-level [[exact]] and line-level
+    * [[lineDedup]]: for every document, how many of its distinct word
+    * n-grams also occur in at least `minDocs - 1` OTHER documents, and
+    * the fraction of the document that coverage represents. This is the
+    * per-document signal span-level training-data dedup (Lee et al.
+    * 2022, "Deduplicating Training Data Makes Language Models Better")
+    * computes from a suffix array, re-expressed in the gram-hash form
+    * that IS a two-shuffle Spark plan (a distributed suffix array buys
+    * longer maximal matches, not a different per-doc coverage signal,
+    * and has no shuffle-lean formulation).
+    *
+    * Scale shape: grams explode map-side and collapse to a 64-bit
+    * xxhash immediately, so both exchanges — the per-gram
+    * document-frequency aggregate and the duplicate-flag join back onto
+    * (doc, gramHash) — carry ~16-byte rows, never gram text. The
+    * distinct-per-doc gram kernel ([[TextFunctions.wordNgrams]]) bounds
+    * any one gram's rows by the corpus doc count, and a genuinely hot
+    * boilerplate gram is an AQE-splittable skew key of narrow rows.
+    * Hash collisions conflate grams at the usual 2^-64 pair rate — the
+    * same contract every fingerprint-keyed dedup here accepts.
+    *
+    * Documents with fewer than n tokens carry no grams and are absent
+    * from the output (callers wanting them back left-join on the id).
+    *
+    * @return (doc_id, n_grams, n_dup_grams, dup_frac) per document
+    */
+  def spanDuplication(docs: DataFrame, textCol: String, idCol: String,
+                      n: Int, minDocs: Int = 2): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    val grams = docs.select(col(idCol).as("doc_id"),
+        explode(TextFunctions.wordNgrams(col(textCol), n)).as("__g"))
+      .select(col("doc_id"), xxhash64(col("__g")).as("__gh"))
+    // wordNgrams is distinct-per-doc, so count(*) IS document frequency
+    val dupGrams = grams.groupBy(col("__gh"))
+      .agg(count(lit(1)).as("__df"))
+      .filter(col("__df") >= minDocs)
+      .select(col("__gh"), lit(1).as("__dup"))
+    grams.join(dupGrams, Seq("__gh"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_grams"),
+        count(col("__dup")).cast("long").as("n_dup_grams"))
+      .withColumn("dup_frac",
+        round(col("n_dup_grams").cast("double") / col("n_grams"), 6))
+  }
+
   /** Apply a pair graph as a dedup: keep the minimum-id representative
     * of every near-dup cluster plus all unpaired rows. The anti-join
     * side is only the NON-representatives — ids never in `pairs` pass

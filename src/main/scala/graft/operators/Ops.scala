@@ -516,4 +516,18 @@ object Ops {
       .withColumn("recall", round(col("__recall_raw"), 6))
       .drop("__recall_raw")
   }
+
+  /** Self-verifying predicate for sketch queries: the approximate value
+    * sits within `relTol` of its exact twin. Rows that drift vanish, so
+    * a query emitting the EXACT column filtered by this gate is both
+    * hash-checkable against an exact oracle AND a live assertion on the
+    * sketch — the same evidence pattern as [[recallGate]], per-row.
+    * NULL exact/approx fails the gate (no silent pass on missing data).
+    */
+  def withinTolerance(approx: Column, exact: Column,
+                      relTol: Double): Column = {
+    require(relTol >= 0.0, s"relTol must be >= 0, got $relTol")
+    abs(approx.cast("double") - exact.cast("double")) <=
+      abs(exact.cast("double")) * lit(relTol)
+  }
 }

@@ -71,6 +71,57 @@ object Ranking {
         (if (round6) round(score, 6) else score).as("bm25"): _*)
   }
 
+  /** Bounded top-k of a (id, score) list as explicit 1-based ranks —
+    * score descending, ties to the smaller id. The k-item
+    * `collect_smallest` buffer caps every map task's contribution at k
+    * rows, so ranking a corpus-sized score list exchanges O(k · tasks)
+    * rows and never globally sorts (a `row_number` window over an
+    * unpartitioned list funnels the WHOLE list through one reducer).
+    * Null scores rank nowhere and are dropped.
+    */
+  def topRanks(list: DataFrame, idCol: String, scoreCol: String,
+               k: Int, rankName: String = "rank"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val item = struct((lit(0d) - col(scoreCol).cast("double")).as("negs"),
+      col(idCol).as("id"))
+    list.filter(col(scoreCol).isNotNull)
+      .agg(graft.operators.Dedup.collectSmallest(item, k).as("__top"))
+      .select(posexplode(col("__top")).as(Seq("__r", "__m")))
+      .select(col("__m").getField("id").as(idCol),
+        (col("__r") + 1).cast("long").as(rankName))
+  }
+
+  /** Reciprocal-rank fusion (Cormack, Clarke & Büttner, SIGIR 2009) of
+    * a lexical and a semantic retrieval list — the standard hybrid-
+    * search combiner: each list contributes 1/(kRrf + rank) for the
+    * documents it retrieved in its top `k`, documents missing from one
+    * list contribute nothing for it, and the fused top `topN` wins.
+    * Rank-based fusion needs no score calibration between BM25 and
+    * cosine — that is the point of RRF over weighted score sums.
+    *
+    * Scale shape: both input lists may be full-corpus scorings — each
+    * collapses through the bounded [[topRanks]] aggregation, so the
+    * fusion join sees at most 2k rows regardless of corpus size, and
+    * the final top-N is a driver-free in-plan sort of ≤ 2k rows.
+    *
+    * @return (id, rank_lex, rank_sem, rrf) — ranks NULL where a list
+    *         did not retrieve the document, rrf rounded to 6
+    */
+  def rrfFuse(lex: DataFrame, sem: DataFrame, idCol: String,
+              lexScoreCol: String, semScoreCol: String,
+              k: Int = 50, kRrf: Int = 60, topN: Int = 20): DataFrame = {
+    require(topN >= 1, s"topN must be >= 1, got $topN")
+    val a = topRanks(lex, idCol, lexScoreCol, k, "rank_lex")
+    val b = topRanks(sem, idCol, semScoreCol, k, "rank_sem")
+    val fused = a.join(b, Seq(idCol), "full_outer")
+      .withColumn("rrf", round(
+        coalesce(lit(1.0) / (lit(kRrf) + col("rank_lex")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(kRrf) + col("rank_sem")), lit(0.0)), 6))
+    // ≤ 2k fused rows: a plain sort-limit is already driver-free and
+    // broadcast-sized; ties break to the smaller id for determinism
+    fused.orderBy(col("rrf").desc, col(idCol).asc).limit(topN)
+  }
+
   /** Plain TF-IDF (ln-idf, raw tf) with the same no-explode shape —
     * kept for callers that want the textbook score rather than BM25's
     * saturation.

@@ -29,6 +29,35 @@ class DedupSpec extends SparkSpec {
     assert(pairs.forall { case (a, b) => a < b })
   }
 
+  test("spanDuplication: planted shared span is counted, unique spans are not") {
+    // doc 1's every 4-gram recurs in doc 2 or 3 ("The" in doc 2 only
+    // breaks doc 2's FIRST gram — grams are case-sensitive like the
+    // top-ngram contract); doc 3's last gram "over the lazy cat" is
+    // unique; docs 4/5 are verbatim twins (6 tokens → 3 mutual grams).
+    val out = Dedup.spanDuplication(docs, "text", "doc_id", n = 4)
+      .select("doc_id", "n_grams", "n_dup_grams")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(1L) == ((6L, 6L)))
+    assert(out(2L) == ((6L, 5L)))   // "The quick brown fox" is unique
+    assert(out(3L) == ((6L, 5L)))   // "over the lazy cat" is unique
+    assert(out(4L) == ((3L, 3L)) && out(5L) == ((3L, 3L)))
+    val frac = Dedup.spanDuplication(docs, "text", "doc_id", n = 4)
+      .filter(col("doc_id") === 3L).select("dup_frac").as[Double].head()
+    assert(math.abs(frac - 5.0 / 6.0) < 1e-5)
+  }
+
+  test("spanDuplication: docs below n tokens drop out; minDocs raises the bar") {
+    val tiny = Seq((1L, "a b c"), (2L, "a b c")).toDF("doc_id", "text")
+    assert(Dedup.spanDuplication(tiny, "text", "doc_id", n = 4).count() == 0)
+    // with minDocs = 3 the doc-4/5 pairwise dup disappears entirely
+    val out = Dedup.spanDuplication(docs, "text", "doc_id", n = 4, minDocs = 3)
+      .select("doc_id", "n_dup_grams").as[(Long, Long)].collect().toMap
+    assert(out(4L) == 0L && out(5L) == 0L)
+    // the mid-sentence grams 2..5 live in all of docs 1, 2, 3 and
+    // survive; each end gram is in at most two docs and does not
+    assert(out(1L) == 4L && out(2L) == 4L && out(3L) == 4L)
+  }
+
   test("simhash pairs identical and near-identical docs within hamming bound") {
     val pairs = Dedup.simhashPairs(docs, "text", "doc_id", maxHamming = 6, bands = 4)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet

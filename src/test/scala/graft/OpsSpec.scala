@@ -349,4 +349,20 @@ class OpsSpec extends SparkSpec {
     assert(Ops.recallGate(dupOut, truth2, Seq("id_a", "id_b"), floor = 0.6)
       .count() == 0) // recall is 0.5, not 1.0
   }
+
+  test("withinTolerance: drifted, null, and zero-exact rows fail the gate") {
+    val df = Seq(
+      (1L, 100.0, 104.0),  // within 5%
+      (2L, 100.0, 106.0),  // drifted
+      (3L, -100.0, -97.0), // negatives compare on magnitude
+      (4L, 0.0, 0.0),      // zero exact: only an exact-zero approx passes
+      (5L, 0.0, 0.1)
+    ).toDF("id", "exact", "approx")
+      .union(Seq((6L, null.asInstanceOf[java.lang.Double],
+        java.lang.Double.valueOf(1.0))).toDF("id", "exact", "approx")
+        .selectExpr("id", "cast(exact as double) exact", "approx"))
+    val kept = df.filter(Ops.withinTolerance(col("approx"), col("exact"), 0.05))
+      .select("id").as[Long].collect().toSet
+    assert(kept == Set(1L, 3L, 4L))
+  }
 }

@@ -62,4 +62,42 @@ class RankingSpec extends SparkSpec {
     val out = Ranking.bm25(docs, "text", "doc_id", Seq("nosuchterm"))
     assert(out.count() == 0)
   }
+
+  test("topRanks: score-desc rank, id tiebreak, k cap, null scores dropped") {
+    val list = Seq((1L, 0.9), (2L, 0.5), (3L, 0.9), (4L, 0.1))
+      .toDF("id", "s")
+      .union(Seq((5L, null.asInstanceOf[java.lang.Double]))
+        .toDF("id", "s").select(col("id"), col("s").cast("double")))
+    val out = Ranking.topRanks(list, "id", "s", k = 3)
+      .as[(Long, Long)].collect().toMap
+    // 0.9 tie → smaller id first; k=3 drops the 0.1 row; null never ranks
+    assert(out == Map(1L -> 1L, 3L -> 2L, 2L -> 3L))
+  }
+
+  test("rrfFuse: hand-computed fusion, single-list docs keep partial score") {
+    val lex = Seq((10L, 5.0), (20L, 4.0), (30L, 3.0)).toDF("id", "s1")
+    val sem = Seq((20L, 0.9), (40L, 0.8)).toDF("id", "s2")
+    val out = Ranking.rrfFuse(lex, sem, "id", "s1", "s2",
+        k = 10, kRrf = 60, topN = 10)
+      .select("id", "rank_lex", "rank_sem", "rrf")
+      .collect().map(r => (r.getLong(0),
+        Option(r.get(1)).map(_.asInstanceOf[Long]),
+        Option(r.get(2)).map(_.asInstanceOf[Long]), r.getDouble(3))).toSeq
+    def rrf(a: Option[Int], b: Option[Int]) = BigDecimal(
+      a.fold(0.0)(r => 1.0 / (60 + r)) + b.fold(0.0)(r => 1.0 / (60 + r)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // 20 is in both lists (lex rank 2, sem rank 1) and must win
+    assert(out.head == ((20L, Some(2L), Some(1L), rrf(Some(2), Some(1)))))
+    assert(out.map(_._1) == Seq(20L, 10L, 40L, 30L))
+    // single-list docs carry a NULL rank on the missing side
+    assert(out.find(_._1 == 40L).get._2.isEmpty)
+    assert(out.find(_._1 == 10L).get._3.isEmpty)
+  }
+
+  test("rrfFuse topN truncates by fused score") {
+    val lex = Seq((1L, 3.0), (2L, 2.0), (3L, 1.0)).toDF("id", "s1")
+    val sem = Seq((1L, 3.0), (2L, 2.0), (3L, 1.0)).toDF("id", "s2")
+    val out = Ranking.rrfFuse(lex, sem, "id", "s1", "s2", topN = 2)
+    assert(out.select("id").as[Long].collect().toSeq == Seq(1L, 2L))
+  }
 }
