@@ -1945,10 +1945,17 @@ object Queries {
   private val qApproxQuantiles = Q("q_approx_quantiles",
     (s, dir) => t(s, dir, "lineitem")
       .groupBy(col("l_returnflag"))
-      .agg(percentile(col("l_extendedprice"), lit(0.5)).as("__p50"),
-        percentile(col("l_extendedprice"), lit(0.9)).as("__p90"),
-        percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("__a50"),
-        percentile_approx(col("l_extendedprice"), lit(0.9), lit(10000)).as("__a90"))
+      // ONE exact buffer and ONE digest for both percentiles (array
+      // form) — four scalar aggs would build four per-group buffers
+      .agg(percentile(col("l_extendedprice"),
+          array(lit(0.5), lit(0.9))).as("__p"),
+        percentile_approx(col("l_extendedprice"),
+          array(lit(0.5), lit(0.9)), lit(10000)).as("__a"))
+      .select(col("l_returnflag"),
+        element_at(col("__p"), 1).as("__p50"),
+        element_at(col("__p"), 2).as("__p90"),
+        element_at(col("__a"), 1).as("__a50"),
+        element_at(col("__a"), 2).as("__a90"))
       .filter(Ops.withinTolerance(col("__a50"), col("__p50"), 0.01) &&
         Ops.withinTolerance(col("__a90"), col("__p90"), 0.01))
       .select(col("l_returnflag"),
@@ -1957,6 +1964,25 @@ object Queries {
            |       round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
            |       round(quantile_cont(l_extendedprice, 0.9), 4) AS p90
            |FROM lineitem GROUP BY 1""".stripMargin))
+
+  /** [[qDecontaminate]]'s exact semantics through the Bloom-pruned
+    * plan ([[Decontaminate.overlapBloom]], shuffle verification) — the
+    * runtime-filter path a benchmark gram set too big to broadcast
+    * takes, hash-checked against the SAME DuckDB closure because Bloom
+    * false positives die in the exact verification join by
+    * construction.
+    */
+  private val qDecontaminateBloom = Q("q_decontaminate_bloom",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      Decontaminate.overlapBloom(
+        docs.filter(pmod(col("doc_id"), lit(97)) =!= 0),
+        docs.filter(pmod(col("doc_id"), lit(97)) === 0),
+        "text", "doc_id", n = 3, minShared = 2,
+        expectedGrams = 1L << 16, fpp = 0.01, broadcastVerify = false)
+        .select(col("doc_id").cast("bigint").as("doc_id"), col("n_shared"))
+    },
+    qDecontaminate.oracle)
 
   /** Every query, in a stable order. */
   val all: Seq[Q] = Seq(
@@ -1977,5 +2003,6 @@ object Queries {
     qRangeJoinSemi, qLineDedup, qPiiRedact, qCube, qTfidf, qTokenBudget,
     qQualityGate, qImageMeta, qMixtureWeights, qLabelConfusion,
     qDecontaminateEmbed,
-    qDupSpans, qHybridRrf, qApproxDistinct, qApproxQuantiles)
+    qDupSpans, qHybridRrf, qApproxDistinct, qApproxQuantiles,
+    qDecontaminateBloom)
 }

@@ -44,6 +44,61 @@ object Decontaminate {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** [[overlap]] with a BLOOM-FILTER pre-prune of the training gram
+    * stream — the runtime-filter shape for when the benchmark gram set
+    * outgrows a comfortable exact broadcast (a 10⁹-gram eval suite is
+    * ~30 GB of strings exact but ~1.2 GB of Bloom bits at 1% fpp): the
+    * filter is built distributed over the benchmark grams' 64-bit
+    * hashes, ships to every task as one binary literal inside a
+    * codegen'd `might_contain` ([[org.apache.spark.sql.catalyst
+    * .expressions.BloomFilterMightContain]] — the same machinery
+    * Spark's own runtime join filters inject), and discards the
+    * overwhelmingly-clean majority of training grams BEFORE the
+    * verification join. False positives cannot leak: survivors still
+    * pass through the exact gram join, so the result is equal to
+    * [[overlap]]'s for ANY fpp — only the exchange volume changes.
+    */
+  def overlapBloom(train: DataFrame, bench: DataFrame,
+                   textCol: String, idCol: String,
+                   n: Int = 5, minShared: Int = 1,
+                   expectedGrams: Long = 1L << 20,
+                   fpp: Double = 0.01,
+                   broadcastVerify: Boolean = true): DataFrame = {
+    require(minShared >= 1, s"minShared must be >= 1, got $minShared")
+    require(fpp > 0.0 && fpp < 1.0, s"fpp must be in (0, 1), got $fpp")
+    import org.apache.spark.sql.GraftBridge
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.types.BinaryType
+    val benchGrams = bench
+      .select(explode(TF.wordNgrams(col(textCol), n)).as("__gram"))
+      .distinct()
+    // distributed build (treeAggregate under stat.bloomFilter); only the
+    // finished bit array ever reaches the driver
+    val bf = benchGrams.select(xxhash64(col("__gram")).as("__gh"))
+      .stat.bloomFilter("__gh", expectedGrams, fpp)
+    val bytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bf.writeTo(bos)
+      bos.toByteArray
+    }
+    val mightContain = GraftBridge.column(BloomFilterMightContain(
+      Literal(bytes, BinaryType),
+      GraftBridge.expression(xxhash64(col("__gram")))))
+    // at the scale that MOTIVATES the Bloom prune the gram set cannot
+    // broadcast for verification either — broadcastVerify = false keeps
+    // it a shuffle join, where only the Bloom SURVIVORS (true hits +
+    // fpp of the stream) ever exchange
+    val verifySide = if (broadcastVerify) broadcast(benchGrams) else benchGrams
+    train
+      .select(col(idCol).as("doc_id"),
+        explode(TF.wordNgrams(col(textCol), n)).as("__gram"))
+      .filter(mightContain)
+      .join(verifySide, Seq("__gram"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** The apply side: training docs with contaminated rows removed. */
   def clean(train: DataFrame, bench: DataFrame,
             textCol: String, idCol: String,

@@ -30,6 +30,28 @@ class DecontaminateSpec extends SparkSpec {
     assert(!out.contains(3L) && !out.contains(4L) && !out.contains(5L))
   }
 
+  test("overlapBloom ≡ overlap at any fpp (false positives die in verification)") {
+    val exact = Decontaminate.overlap(train, bench, "text", "doc_id", n = 5)
+      .as[(Long, Long)].collect().toMap
+    for (fpp <- Seq(0.5, 0.01)) { // 0.5: the filter passes FPs constantly
+      val bloomed = Decontaminate.overlapBloom(train, bench, "text", "doc_id",
+          n = 5, expectedGrams = 64, fpp = fpp)
+        .as[(Long, Long)].collect().toMap
+      assert(bloomed == exact, s"fpp=$fpp")
+    }
+    // shuffle-verify variant is the same answer too
+    val shuffled = Decontaminate.overlapBloom(train, bench, "text", "doc_id",
+        n = 5, broadcastVerify = false)
+      .as[(Long, Long)].collect().toMap
+    assert(shuffled == exact)
+  }
+
+  test("overlapBloom plan probes a bloom filter before the verification join") {
+    val plan = Decontaminate.overlapBloom(train, bench, "text", "doc_id", n = 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"), plan)
+  }
+
   test("minShared thresholds; clean() drops exactly the flagged docs") {
     val flagged = Decontaminate.overlap(train, bench, "text", "doc_id",
       n = 5, minShared = 2).as[(Long, Long)].collect().toMap
