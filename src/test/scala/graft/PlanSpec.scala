@@ -161,4 +161,33 @@ class PlanSpec extends SparkSpec {
     val winLines = p.linesIterator.filter(_.contains("Window")).toSeq
     assert(winLines.nonEmpty && winLines.forall(_.contains("__zwi_pid")), p)
   }
+
+  test("q_dup_spans: gram text never reaches an exchange — hashes only") {
+    // the scale contract of spanDuplication: both shuffles carry
+    // (id, 64-bit hash) rows; a plan where an Exchange partitions or
+    // carries __gram strings has lost it
+    val p = plan("q_dup_spans")
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchanges.nonEmpty)
+    assert(!exchanges.exists(_.contains("__gram")), exchanges.mkString("\n"))
+  }
+
+  test("q_hybrid_rrf: ranking is bounded aggregation, not a global window") {
+    // a row_number() over an unpartitioned ORDER BY would funnel every
+    // scored row through one reducer; both retrieval lists must rank
+    // through the k-bounded collect_smallest aggregate instead
+    val p = plan("q_hybrid_rrf")
+    assert(!p.contains("Window"), p)
+    assert(p.contains("collect_smallest"), p)
+  }
+
+  test("q_decontaminate_bloom: bloom probe precedes the verification join") {
+    val p = plan("q_decontaminate_bloom")
+    assert(p.contains("might_contain"), p)
+    // shuffle-verify variant: the verification join must NOT broadcast
+    // (the premise is a gram set too large for that)
+    val joinLines = p.linesIterator.filter(_.contains("Join")).toSeq
+    assert(joinLines.exists(l => l.contains("SortMergeJoin") ||
+      l.contains("ShuffledHashJoin")), joinLines.mkString("\n"))
+  }
 }
