@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.{TextFunctions => TF, VectorFunctions => VF}
-import graft.operators.{Decontaminate, Dedup, FuzzyMatch, Multimodal, Ops, Packing, Ranking, Similarity}
+import graft.operators.{Decontaminate, Dedup, FuzzyMatch, LmQuality, Multimodal, Ops, Packing, Ranking, Similarity}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -1984,6 +1984,43 @@ object Queries {
     },
     qDecontaminate.oracle)
 
+  /** CCNet-style LM quality scoring: corpus-self-trained add-α bigram
+    * model (count-pruned at 2), every document scored by mean bigram
+    * log-probability ([[LmQuality]]). Fully exact — DuckDB retrains the
+    * same model and rescoring inside the oracle, so the whole
+    * train-then-score loop is hash-checked.
+    */
+  private val qLmScore = Q("q_lm_score",
+    (s, dir) => LmQuality.selfScore(t(s, dir, "documents"), "text", "doc_id",
+        alpha = 0.5, minCount = 2)
+      .select(col("id").cast("bigint").as("doc_id"),
+        col("n_bigrams"), col("avg_logprob")),
+    Some("""WITH tk AS (
+           |  SELECT doc_id,
+           |         CASE WHEN len(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+           |              ELSE string_split_regex(trim(text), '[ \t\n\x0B\f\r]+') END AS t
+           |  FROM documents),
+           |bg AS (
+           |  SELECT doc_id, unnest([t[i] || ' ' || t[i+1]
+           |                         for i in range(1, len(t))]) AS b
+           |  FROM tk WHERE len(t) >= 2),
+           |c2 AS (SELECT b, count(*) AS n2 FROM bg GROUP BY 1 HAVING count(*) >= 2),
+           |c1 AS (SELECT split_part(b, ' ', 1) AS w1, count(*) AS n1 FROM bg GROUP BY 1),
+           |v  AS (SELECT CAST(count(DISTINCT w) AS DOUBLE) AS vs
+           |       FROM (SELECT unnest(t) AS w FROM tk)),
+           |sc AS (
+           |  SELECT g.doc_id,
+           |         ln((coalesce(c2.n2, 0) + 0.5) /
+           |            (coalesce(c1.n1, 0) + 0.5 * v.vs)) AS lp
+           |  FROM bg g
+           |  LEFT JOIN c2 USING (b)
+           |  LEFT JOIN c1 ON split_part(g.b, ' ', 1) = c1.w1
+           |  CROSS JOIN v)
+           |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           |       CAST(count(*) AS BIGINT) AS n_bigrams,
+           |       round(avg(lp), 6) AS avg_logprob
+           |FROM sc GROUP BY 1""".stripMargin))
+
   /** Every query, in a stable order. */
   val all: Seq[Q] = Seq(
     qSelect, qFilter, qFilterRouter,
@@ -2004,5 +2041,5 @@ object Queries {
     qQualityGate, qImageMeta, qMixtureWeights, qLabelConfusion,
     qDecontaminateEmbed,
     qDupSpans, qHybridRrf, qApproxDistinct, qApproxQuantiles,
-    qDecontaminateBloom)
+    qDecontaminateBloom, qLmScore)
 }

@@ -199,6 +199,15 @@ object TextFunctions {
     GraftBridge.column(WN(GraftBridge.expression(text), n))
   }
 
+  /** ALL word n-grams in order, duplicates kept — the counting variant
+    * of [[wordNgrams]] for frequency estimation (LM training/scoring).
+    */
+  def allWordNgrams(text: Column, n: Int): Column = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    import org.apache.spark.sql.{GraftBridge, WordNgramsAll => WNA}
+    GraftBridge.column(WNA(GraftBridge.expression(text), n))
+  }
+
   /** Per-document repetition diagnostics (the Gopher-style quality
     * signals): token count, distinct-token ratio, and the frequency
     * share of the single most repeated token. One codegen kernel pass

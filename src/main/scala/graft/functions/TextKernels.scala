@@ -241,4 +241,33 @@ object TextKernels {
     while (it.hasNext) { out(idx) = UTF8String.fromString(it.next()); idx += 1 }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
+
+  /** ALL word n-grams in document order, duplicates kept — the COUNTING
+    * variant of [[wordNgrams]] (language-model training and scoring need
+    * occurrence frequencies; the distinct variant would undercount
+    * repeated grams). Same tokenization, same empty/short-text contract.
+    */
+  def allWordNgrams(s: UTF8String, n: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val tokens = trimmedTokens(s.toString)
+    if (tokens == null)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
+    val m = tokens.length
+    if (m < n)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](m - n + 1)
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i + n <= m) {
+      sb.setLength(0)
+      var k = 0
+      while (k < n) {
+        if (k > 0) sb.append(' ')
+        sb.append(tokens(i + k))
+        k += 1
+      }
+      out(i) = UTF8String.fromString(sb.toString)
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
 }

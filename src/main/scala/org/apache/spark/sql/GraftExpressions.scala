@@ -317,6 +317,29 @@ case class WordNgrams(child: Expression, n: Int)
     copy(child = newChild)
 }
 
+/** ALL word n-grams in document order, duplicates kept — the counting
+  * variant of [[WordNgrams]] for language-model frequency estimation.
+  * Same tokenization and empty/short-text contract.
+  */
+case class WordNgramsAll(child: Expression, n: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(n >= 1, s"n must be >= 1, got $n")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "word_ngrams_all"
+
+  override protected def nullSafeEval(v: Any): Any =
+    graft.functions.TextKernels.allWordNgrams(v.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.TextKernels.allWordNgrams($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): WordNgramsAll =
+    copy(child = newChild)
+}
+
 /** Token-window chunking (sliding windows of `maxTokens` whitespace
   * tokens advancing by `maxTokens - overlap`, re-joined with single
   * spaces; empty trimmed text -> zero chunks). See

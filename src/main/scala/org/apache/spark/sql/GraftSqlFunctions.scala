@@ -110,6 +110,11 @@ object GraftSqlFunctions {
         "word_ngrams(text, n) - distinct space-joined word n-grams, first-occurrence order"),
       arity("word_ngrams", "word_ngrams(text, n)", 2, 2)(
         c => WordNgrams(c(0), intArg(c(1), "word_ngrams")))),
+    (FunctionIdentifier("word_ngrams_all"),
+      info("word_ngrams_all",
+        "word_ngrams_all(text, n) - ALL word n-grams in order, duplicates kept"),
+      arity("word_ngrams_all", "word_ngrams_all(text, n)", 2, 2)(
+        c => WordNgramsAll(c(0), intArg(c(1), "word_ngrams_all")))),
     (FunctionIdentifier("chunk_text"),
       info("chunk_text",
         "chunk_text(text, maxTokens, overlap) - sliding token-window chunks"),

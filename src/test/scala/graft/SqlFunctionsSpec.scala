@@ -82,6 +82,15 @@ class SqlFunctionsSpec extends SparkSpec {
     assert(out.count(!_.isNullAt(0)) == 2) // only the two real k values survive
   }
 
+  test("word_ngrams_all keeps duplicates in order; word_ngrams dedups") {
+    val all = spark.sql("SELECT word_ngrams_all('a b a b', 2) AS g")
+      .collect().head.getSeq[String](0)
+    assert(all == Seq("a b", "b a", "a b"))
+    val distinct = spark.sql("SELECT word_ngrams('a b a b', 2) AS g")
+      .collect().head.getSeq[String](0)
+    assert(distinct == Seq("a b", "b a"))
+  }
+
   test("wrong argument counts are rejected, not silently ignored") {
     for (bad <- Seq(
         // extra 4th arg used to be dropped without error
