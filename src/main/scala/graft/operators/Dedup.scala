@@ -373,21 +373,19 @@ object Dedup {
     val spark = sym.sparkSession
     import spark.implicits._
     // sym carries both orders of every pair; keep each undirected edge
-    // once. Both collects are SPECIALIZED primitive datasets — ~32
-    // bytes per edge instead of 100+ for boxed GenericRows, so the
-    // 4M-edge default transiently holds ~128 MB of driver heap, not
-    // several hundred. Null-neighbor rows ((x, NULL): x must still
-    // register as a node) are a SEPARATE Long collect rather than an
-    // in-band sentinel — any sentinel value is a legitimate id to some
-    // caller (this codebase derives ids from 64-bit hashes).
-    val edges = sym.filter(col("a").isNotNull && col("b").isNotNull &&
-        col("a") <= col("b"))
-      .select(col("a").cast("long"), col("b").cast("long"))
+    // once. ONE collect, as a SPECIALIZED primitive dataset — ~32 bytes
+    // per edge instead of 100+ for boxed GenericRows, so the 4M-edge
+    // default transiently holds ~128 MB of driver heap, not several
+    // hundred. Null-neighbor rows ((x, NULL): x must still register as
+    // a node) become SELF-edges via coalesce — a self-edge registers x
+    // and unions nothing, so no in-band sentinel is needed (any
+    // sentinel value is a legitimate id to some caller; this codebase
+    // derives ids from 64-bit hashes) and no second collect job runs.
+    val edges = sym.filter(col("a").isNotNull &&
+        (col("b").isNull || col("a") <= col("b")))
+      .select(col("a").cast("long"),
+        coalesce(col("b"), col("a")).cast("long"))
       .as[(Long, Long)]
-      .collect()
-    val lonely = sym.filter(col("a").isNotNull && col("b").isNull)
-      .select(col("a").cast("long"))
-      .as[Long]
       .collect()
     val parent = scala.collection.mutable.LongMap.empty[Long]
     def add(x: Long): Unit = if (!parent.contains(x)) parent(x) = x
@@ -398,7 +396,6 @@ object Dedup {
       while (parent(c) != r) { val next = parent(c); parent(c) = r; c = next }
       r
     }
-    lonely.foreach(add)
     edges.foreach { case (a, b) =>
       add(a); add(b)
       val ra = find(a); val rb = find(b)

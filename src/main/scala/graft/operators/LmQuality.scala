@@ -45,14 +45,18 @@ object LmQuality {
     require(alpha > 0.0, s"alpha must be > 0, got $alpha")
     require(minCount >= 1, s"minCount must be >= 1, got $minCount")
     val bg = corpus.select(explode(TF.allWordNgrams(col(textCol), 2)).as("__b"))
-    val bigrams = bg.groupBy(col("__b"))
-      .agg(count(lit(1)).as("__n2"))
-      .filter(col("__n2") >= minCount)
+    // one corpus-stream aggregate; heads derive from the DISTINCT-bigram
+    // count table (tiny next to the stream), not a second corpus scan —
+    // and Spark's exchange reuse shares the aggregate between the two
+    // model branches inside one scoring action
+    val c2all = bg.groupBy(col("__b")).agg(count(lit(1)).as("__n2all"))
+    val bigrams = c2all.filter(col("__n2all") >= minCount)
+      .select(col("__b"), col("__n2all").as("__n2"))
     // head counts stay UNPRUNED: pruning removes rare continuations
     // from the numerator, not mass from the denominator
-    val heads = bg
+    val heads = c2all
       .groupBy(substring_index(col("__b"), " ", 1).as("__w1"))
-      .agg(count(lit(1)).as("__n1"))
+      .agg(sum(col("__n2all")).as("__n1"))
     val v = corpus.select(explode(TF.tokens(col(textCol))).as("__w"))
       .agg(countDistinct(col("__w"))).head().getLong(0)
     LmModel(bigrams, heads, math.max(v, 1L), alpha)
