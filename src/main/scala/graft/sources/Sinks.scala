@@ -75,6 +75,28 @@ object Sinks {
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).orc(path)
   }
 
+  /** Z-ORDERED parquet layout: rows range-partitioned and sorted along
+    * the 2-D Morton curve of (c1, c2), so every output file covers a
+    * tight rectangle in BOTH dimensions and parquet min/max footer
+    * stats prune point/range scans on either column — the
+    * multi-dimensional clustering a single-column sort cannot give
+    * (sorting by c1 leaves every file spanning the full c2 range). At
+    * 100 TB this is THE difference between a selective two-column
+    * predicate reading one file and reading the table; the same key
+    * works as a bucketing/partition expression.
+    */
+  def writeZOrdered(df: DataFrame, c1: String, c2: String, path: String,
+                    numFiles: Int, mode: String = "overwrite"): Unit = {
+    require(numFiles >= 1, s"numFiles must be >= 1, got $numFiles")
+    import graft.functions.LayoutFunctions
+    import org.apache.spark.sql.functions.col
+    df.withColumn("__z", LayoutFunctions.zOrder2(col(c1), col(c2)))
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode(mode).parquet(path)
+  }
+
   /** Mirror of the reference's PostgreSQL connection shape
     * (motogp.ktr:481-489, db `MotoGP`). `extraOptions` passes any other
     * Spark JDBC option through — e.g. an explicit `driver` class for

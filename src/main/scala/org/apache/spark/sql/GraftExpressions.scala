@@ -379,6 +379,32 @@ object TextStats {
     StructField("hits_de", LongType, nullable = false)))
 }
 
+/** 2-D Z-order (Morton) key — the data-layout primitive behind
+  * multi-dimensional file skipping: rows sorted by this key cluster
+  * close (x, y) pairs into the same parquet files, so min/max footer
+  * stats prune point/range queries on EITHER column. Signed-order
+  * preserving (see [[graft.functions.LayoutKernels.morton2]]).
+  */
+case class ZOrder2(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(IntegerType, IntegerType)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "zorder2"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    graft.functions.LayoutKernels.morton2(
+      a.asInstanceOf[Int], b.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.LayoutKernels.morton2($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ZOrder2 =
+    copy(left = newLeft, right = newRight)
+}
+
 case class VectorDot(left: Expression, right: Expression)
     extends BinaryExpression with ExpectsInputTypes {
 

@@ -110,6 +110,10 @@ object GraftSqlFunctions {
         "word_ngrams(text, n) - distinct space-joined word n-grams, first-occurrence order"),
       arity("word_ngrams", "word_ngrams(text, n)", 2, 2)(
         c => WordNgrams(c(0), intArg(c(1), "word_ngrams")))),
+    (FunctionIdentifier("zorder2"),
+      info("zorder2",
+        "zorder2(a, b) - 2-D Z-order (Morton) key, signed-order preserving"),
+      arity("zorder2", "zorder2(a, b)", 2, 2)(c => ZOrder2(c(0), c(1)))),
     (FunctionIdentifier("word_ngrams_all"),
       info("word_ngrams_all",
         "word_ngrams_all(text, n) - ALL word n-grams in order, duplicates kept"),

@@ -1,0 +1,81 @@
+package graft
+
+import graft.functions.LayoutKernels
+import graft.sources.Sinks
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+
+/** Z-order layout: kernel order properties and the measured
+  * file-skipping win over a single-column sort.
+  */
+class LayoutSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("morton2: monotone per coordinate, signed order preserved") {
+    val rnd = new scala.util.Random(42)
+    (1 to 200).foreach { _ =>
+      val a = rnd.nextInt(Int.MaxValue - 1) - Int.MaxValue / 2
+      val b = rnd.nextInt(Int.MaxValue - 1) - Int.MaxValue / 2
+      assert(LayoutKernels.morton2(a + 1, b) > LayoutKernels.morton2(a, b))
+      assert(LayoutKernels.morton2(a, b + 1) > LayoutKernels.morton2(a, b))
+    }
+    assert(LayoutKernels.morton2(-1, 0) < LayoutKernels.morton2(0, 0))
+    assert(LayoutKernels.morton2(0, 0) < LayoutKernels.morton2(1, 0))
+    assert(LayoutKernels.morton2(Int.MinValue, Int.MinValue) <
+      LayoutKernels.morton2(Int.MaxValue, Int.MaxValue))
+  }
+
+  test("zorder2 from SQL matches the kernel") {
+    org.apache.spark.sql.GraftSqlFunctions.register(spark)
+    val v = spark.sql("SELECT zorder2(3, 5) AS z").as[Long].head()
+    assert(v == LayoutKernels.morton2(3, 5))
+  }
+
+  test("z-ordered files bound BOTH dimensions; x-sorted files do not") {
+    // 100x100 grid, shuffled arrival order
+    val rnd = new scala.util.Random(7)
+    val grid = rnd.shuffle((for (x <- 0 until 100; y <- 0 until 100)
+      yield (x, y)).toVector).toDF("x", "y")
+    val zDir = Files.createTempDirectory("zorder").toString + "/t"
+    val xDir = Files.createTempDirectory("xsort").toString + "/t"
+    Sinks.writeZOrdered(grid, "x", "y", zDir, numFiles = 64)
+    grid.repartitionByRange(64, col("x")).sortWithinPartitions("x")
+      .write.mode("overwrite").parquet(xDir)
+
+    // per-FILE min/max spans — what parquet footer pruning actually sees
+    def spans(dir: String): Seq[(Long, Long)] =
+      new java.io.File(dir).listFiles().filter(_.getName.endsWith(".parquet"))
+        .toSeq.map { f =>
+          val r = spark.read.parquet(f.toString)
+            .agg(max("x") - min("x"), max("y") - min("y")).head()
+          (r.getInt(0).toLong, r.getInt(1).toLong)
+        }
+    val z = spans(zDir)
+    val xs = spans(xDir)
+    assert(z.size >= 32 && xs.size >= 32)
+    // x-sorted layout: y is unclustered — every file spans ~the full y
+    // range; z-order bounds BOTH spans (≈√cells per side) for all but
+    // the few files whose z-range straddles a quad seam of the
+    // non-power-of-2 grid
+    assert(xs.forall(_._2 >= 90), xs.toString)
+    assert(z.count { case (dx, dy) => dx <= 32 && dy <= 32 } >= z.size * 3 / 4,
+      z.toString)
+    // point-predicate pruning: files whose [min,max] range could
+    // contain the probe value in the given column
+    def filesMatching(dir: String, c: String, v: Int): Int =
+      new java.io.File(dir).listFiles().filter(_.getName.endsWith(".parquet"))
+        .count { f =>
+          val r = spark.read.parquet(f.toString).agg(min(c), max(c)).head()
+          r.getInt(0) <= v && v <= r.getInt(1)
+        }
+    // the z layout's contract is the WORST probe column: a few-fold
+    // fewer files than the table (an x-sort wins x-probes but reads the
+    // WHOLE table for a y-probe). Quantile-based range boundaries are
+    // not quad-aligned, so the hit count runs ~2× the aligned-quad √N
+    // ideal — measured 21 of 64 here; the naive layout reads all 64.
+    val zWorst = math.max(filesMatching(zDir, "x", 42), filesMatching(zDir, "y", 42))
+    val xWorst = math.max(filesMatching(xDir, "x", 42), filesMatching(xDir, "y", 42))
+    assert(xWorst >= xs.size - 1, s"x-sorted layout should fail y-probes: $xWorst")
+    assert(zWorst * 2 <= xWorst, s"z worst-column probe hit $zWorst of ${z.size}")
+  }
+}
