@@ -2021,6 +2021,39 @@ object Queries {
            |       round(avg(lp), 6) AS avg_logprob
            |FROM sc GROUP BY 1""".stripMargin))
 
+  /** Attribution interval join, batch twin: every click joined to the
+    * same user's views in the preceding 24 h
+    * ([[graft.streaming.EventStreams.attribution]] — the identical
+    * code runs as a watermarked stream-stream join whose event-time
+    * bound is what evicts join state; EventStreamsSpec pins the
+    * streaming side). Timestamps compare at Spark's microsecond
+    * truncation on both sides (`epoch_us` in the oracle).
+    */
+  private val qEventAttribution = Q("q_event_attribution",
+    (s, dir) => {
+      val ev = events(s, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("click_ts"),
+          col("event_id").as("click_id"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts").as("view_ts"),
+          col("event_id").as("view_id"))
+      graft.streaming.EventStreams.attribution(
+          clicks, views, "user_id", "click_ts", "view_ts", "24 hours")
+        .select(col("click_id").cast("bigint").as("click_id"),
+          col("view_id").cast("bigint").as("view_id"),
+          (unix_micros(col("click_ts")) - unix_micros(col("view_ts")))
+            .as("gap_us"))
+    },
+    Some("""SELECT CAST(c.event_id AS BIGINT) AS click_id,
+           |       CAST(v.event_id AS BIGINT) AS view_id,
+           |       epoch_us(c.ts) - epoch_us(v.ts) AS gap_us
+           |FROM events c JOIN events v
+           |  ON c.user_id = v.user_id
+           | AND c.event_type = 'click' AND v.event_type = 'view'
+           | AND epoch_us(v.ts) <= epoch_us(c.ts)
+           | AND epoch_us(v.ts) >= epoch_us(c.ts) - 86400000000""".stripMargin))
+
   /** Every query, in a stable order. */
   val all: Seq[Q] = Seq(
     qSelect, qFilter, qFilterRouter,
@@ -2041,5 +2074,5 @@ object Queries {
     qQualityGate, qImageMeta, qMixtureWeights, qLabelConfusion,
     qDecontaminateEmbed,
     qDupSpans, qHybridRrf, qApproxDistinct, qApproxQuantiles,
-    qDecontaminateBloom, qLmScore)
+    qDecontaminateBloom, qLmScore, qEventAttribution)
 }

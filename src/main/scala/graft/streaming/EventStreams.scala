@@ -46,6 +46,27 @@ object EventStreams {
       .select(col("window.start").as("hour"), col("event_type"),
         col("n"), col("sum_value"))
 
+  /** Attribution (interval) join: every action event paired with the
+    * same user's cause events inside the lookback window,
+    * `action_ts - lookback <= cause_ts <= action_ts` — the
+    * click-to-view attribution shape. Works identically on batch
+    * frames and on WATERMARKED streams: for a stream-stream join the
+    * event-time range condition is precisely what lets Structured
+    * Streaming bound both sides' join state (causes older than
+    * `action watermark - lookback` can never match again and are
+    * evicted; an unconstrained stream-stream join would hold every
+    * event forever). Callers add `withWatermark` on both inputs for
+    * the streaming case — see EventStreamsSpec.
+    */
+  def attribution(actions: DataFrame, causes: DataFrame,
+                  userCol: String, actionTsCol: String, causeTsCol: String,
+                  lookback: String): DataFrame =
+    actions.join(causes,
+      actions(userCol) === causes(userCol) &&
+        causes(causeTsCol) <= actions(actionTsCol) &&
+        causes(causeTsCol) >= actions(actionTsCol) - expr(s"INTERVAL $lookback"))
+      .drop(causes(userCol))
+
   /** Streaming exact dedup for training-data ingest: drop any document
     * whose normalized-content fingerprint (same kernel as the batch
     * `Dedup.exact`) was already seen within the watermark horizon —

@@ -8,6 +8,8 @@ import java.sql.Timestamp
 
 object EventStreamsSpec {
   final case class Doc(doc_id: Long, ts: Timestamp, text: String)
+  final case class Click(user_id: Long, click_ts: Timestamp, click_id: Long)
+  final case class View(user_id: Long, view_ts: Timestamp, view_id: Long)
 }
 
 class EventStreamsSpec extends SparkSpec {
@@ -57,6 +59,60 @@ class EventStreamsSpec extends SparkSpec {
       .select("user_id", "n_events", "total_value")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     assert(out == Set((1L, 2L, 3.0), (1L, 1L, 3.0), (2L, 1L, 5.0)))
+  }
+
+  test("attribution: stream-stream interval join matches across batches, bounds the window") {
+    import EventStreamsSpec.Click
+    import EventStreamsSpec.View
+    val clicks = MemoryStream[Click](spark, numPartitions = 1)
+    val views = MemoryStream[View](spark, numPartitions = 1)
+    val joined = EventStreams.attribution(
+      clicks.toDF().withWatermark("click_ts", "1 hour"),
+      views.toDF().withWatermark("view_ts", "1 hour"),
+      "user_id", "click_ts", "view_ts", "10 minutes")
+    val q = joined.writeStream.format("memory").queryName("attrib")
+      .outputMode("append").start()
+
+    def ts(min: Int): Timestamp = new Timestamp(3600000L + min * 60000L)
+    // views arrive in an EARLIER batch than the clicks they attribute
+    views.addData(View(1L, ts(0), 100L), View(1L, ts(30), 101L),
+      View(2L, ts(0), 102L))
+    q.processAllAvailable()
+    clicks.addData(Click(1L, ts(5), 200L),  // 5 min after view 100 → match
+      Click(1L, ts(45), 201L),              // 15 min after view 101 → NO match
+      Click(2L, ts(9), 202L))               // 9 min after view 102 → match
+    q.processAllAvailable()
+    q.stop()
+
+    val out = spark.table("attrib").select("click_id", "view_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out == Set((200L, 100L), (202L, 102L)))
+  }
+
+  test("attribution parity: the same operator code, batch vs replayed stream") {
+    val dir = "/root/testdata/sf0.001"
+    val ev = EventStreams.readEvents(spark, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("click_ts"), col("event_id").as("click_id"))
+      .withWatermark("click_ts", "48 hours")
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts").as("view_ts"), col("event_id").as("view_id"))
+      .withWatermark("view_ts", "48 hours")
+    val q = EventStreams.attribution(clicks, views,
+        "user_id", "click_ts", "view_ts", "24 hours")
+      .select("click_id", "view_id")
+      .writeStream.format("memory").queryName("attrib_parity")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("attrib_parity")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batch = Queries.all.find(_.name == "q_event_attribution").get
+      .run(spark, dir)
+      .select("click_id", "view_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed == batch && batch.nonEmpty)
   }
 
   test("streaming dedup drops same-content docs across batches, keeps distinct") {
