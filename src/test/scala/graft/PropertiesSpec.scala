@@ -14,6 +14,24 @@ class PropertiesSpec extends SparkSpec {
 
   private val rnd = new scala.util.Random(2026)
 
+  test("morton2/unmorton2 round-trip and curve-order laws on random ints") {
+    import graft.functions.LayoutKernels.{morton2, unmorton2}
+    for (_ <- 1 to 500) {
+      val a = rnd.nextInt(); val b = rnd.nextInt()
+      assert(unmorton2(morton2(a, b)) == ((a, b)), s"a=$a b=$b")
+      // monotone per coordinate (guard against overflow at the edges)
+      if (a != Int.MaxValue) assert(morton2(a + 1, b) > morton2(a, b))
+      if (b != Int.MaxValue) assert(morton2(a, b + 1) > morton2(a, b))
+      // the quadrant invariant skipping relies on: keys of a power-of-2
+      // aligned quad are CONTIGUOUS — the quad's corners bound its keys
+      val qa = a & ~0xFF; val qb = b & ~0xFF // 256-aligned quad around (a,b)
+      assert(morton2(qa, qb) <= morton2(a, b) &&
+        morton2(a, b) <= morton2(qa | 0xFF, qb | 0xFF), s"quad a=$a b=$b")
+    }
+    assert(unmorton2(morton2(Int.MinValue, Int.MaxValue)) ==
+      ((Int.MinValue, Int.MaxValue)))
+  }
+
   test("sortedJaccard equals set-based Jaccard on random long sets") {
     for (_ <- 1 to 200) {
       val a = Seq.fill(rnd.nextInt(30))(rnd.nextInt(40).toLong).distinct.sorted
