@@ -115,6 +115,32 @@ class EventStreamsSpec extends SparkSpec {
     assert(streamed == batch && batch.nonEmpty)
   }
 
+  test("streaming ingest lands deduped docs through a checkpointed parquet sink") {
+    import EventStreamsSpec.Doc
+    val input = MemoryStream[Doc](spark, numPartitions = 1)
+    val base = java.nio.file.Files.createTempDirectory("ingest").toString
+    val deduped = EventStreams.dedupDocStream(
+      input.toDF(), "text", "ts", watermark = "1 hour")
+    // the production landing shape: append-mode parquet + checkpoint —
+    // exactly-once across restarts comes from the checkpoint's WAL
+    val q = deduped.writeStream.format("parquet")
+      .option("path", s"$base/out")
+      .option("checkpointLocation", s"$base/ckpt")
+      .outputMode("append").start()
+    def ts(min: Int): Timestamp = new Timestamp(3600000L + min * 60000L)
+    input.addData(Doc(1L, ts(0), "alpha beta"), Doc(2L, ts(1), "gamma delta"))
+    q.processAllAvailable()
+    input.addData(Doc(3L, ts(2), "alpha  BETA"), // dup of 1 modulo ws/case
+      Doc(4L, ts(3), "epsilon zeta"))
+    q.processAllAvailable()
+    q.stop()
+    val landed = spark.read.parquet(s"$base/out")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(landed == Set(1L, 2L, 4L))
+    // the checkpoint directory is real (offsets + commits written)
+    assert(new java.io.File(s"$base/ckpt/commits").listFiles().nonEmpty)
+  }
+
   test("streaming dedup drops same-content docs across batches, keeps distinct") {
     import EventStreamsSpec.Doc
     val input = MemoryStream[Doc](spark, numPartitions = 1)
