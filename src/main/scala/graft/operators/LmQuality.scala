@@ -45,10 +45,12 @@ object LmQuality {
     require(alpha > 0.0, s"alpha must be > 0, got $alpha")
     require(minCount >= 1, s"minCount must be >= 1, got $minCount")
     val bg = corpus.select(explode(TF.allWordNgrams(col(textCol), 2)).as("__b"))
-    // one corpus-stream aggregate; heads derive from the DISTINCT-bigram
-    // count table (tiny next to the stream), not a second corpus scan —
-    // and Spark's exchange reuse shares the aggregate between the two
-    // model branches inside one scoring action
+    // heads derive from the DISTINCT-bigram count table (tiny next to
+    // the raw stream) — the head aggregation's input shrinks from every
+    // bigram occurrence to every distinct bigram. The c2all subplan
+    // still evaluates once per consuming branch (no exchange reuse
+    // across the two — verified empirically); callers scoring many
+    // corpora against one model should persist/write the model frames.
     val c2all = bg.groupBy(col("__b")).agg(count(lit(1)).as("__n2all"))
     val bigrams = c2all.filter(col("__n2all") >= minCount)
       .select(col("__b"), col("__n2all").as("__n2"))
