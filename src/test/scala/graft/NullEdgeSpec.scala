@@ -135,4 +135,48 @@ class NullEdgeSpec extends SparkSpec {
     assert(out.keys.exists(_._1.isEmpty)) // null-label row still reported
     assert(out.values.sum == 4L)
   }
+
+  test("spanDuplication: null/empty/short docs drop out, siblings unaffected") {
+    val twins = docs.union(Seq((6L, Some("normal document text here")))
+      .toDF("doc_id", "text")) // give doc 1 a duplicate so spans exist
+    val out = Dedup.spanDuplication(twins, "text", "doc_id", n = 4)
+      .select("doc_id", "n_dup_grams").as[(Long, Long)].collect().toMap
+    assert(out.keySet == Set(1L, 6L)) // 2..5 carry no 4-grams
+    assert(out(1L) == 1L && out(6L) == 1L)
+  }
+
+  test("LM scoring: degenerate corpus rows never poison the model") {
+    // train on a corpus that is MOSTLY degenerate rows
+    val out = graft.operators.LmQuality.selfScore(docs, "text", "doc_id")
+      .select("id").as[Long].collect().toSet
+    // doc 1 (4 tokens) scores; so does whitespace-quirk doc 3 — trim
+    // strips spaces only, "\t\n" splits into two empty tokens and forms
+    // ONE bigram, the exact contract the tokenization family and the
+    // DuckDB oracle share (see the text-stats test above)
+    assert(out == Set(1L, 3L))
+  }
+
+  test("rrfFuse: one or both retrieval lists empty yields empty, not error") {
+    import graft.operators.Ranking
+    val some = Seq((1L, 2.0), (2L, 1.0)).toDF("id", "s")
+    val none = some.limit(0)
+    assert(Ranking.rrfFuse(none, none, "id", "s", "s").count() == 0)
+    val half = Ranking.rrfFuse(some, none, "id", "s", "s")
+      .select("id", "rank_lex").as[(Long, Long)].collect().toMap
+    assert(half == Map(1L -> 1L, 2L -> 2L)) // lex-only fusion survives
+  }
+
+  test("attribution: null user ids never match, timestamps stay exact") {
+    import java.sql.Timestamp
+    val acts = Seq((Some(1L), new Timestamp(1000000L), 10L),
+      (None, new Timestamp(1000000L), 11L))
+      .toDF("user_id", "a_ts", "a_id")
+    val causes = Seq((Some(1L), new Timestamp(900000L), 20L),
+      (None, new Timestamp(900000L), 21L))
+      .toDF("user_id", "c_ts", "c_id")
+    val out = graft.streaming.EventStreams.attribution(
+        acts, causes, "user_id", "a_ts", "c_ts", "10 minutes")
+      .select("a_id", "c_id").as[(Long, Long)].collect().toSet
+    assert(out == Set((10L, 20L))) // null-keyed rows join nothing
+  }
 }
