@@ -16,4 +16,19 @@ object LayoutFunctions {
       GraftBridge.expression(a.cast("int")),
       GraftBridge.expression(b.cast("int"))))
   }
+
+  /** N-column Z-order key over BUCKET coordinates — each column gets
+    * 64/k interleaved bits, so reduce each to [0, 2^(64/k)) first
+    * (rank, hash-bucket, epoch-day); out-of-range saturates. Two
+    * full-width int columns want [[zOrder2]].
+    */
+  def zOrderN(cols: Column*): Column = {
+    require(cols.size >= 2 && cols.size <= 32,
+      s"zOrderN takes 2..32 columns, got ${cols.size}")
+    import org.apache.spark.sql.{GraftBridge, ZOrderN}
+    import org.apache.spark.sql.functions.array
+    GraftBridge.column(ZOrderN(
+      GraftBridge.expression(array(cols.map(_.cast("int")): _*)),
+      cols.size))
+  }
 }

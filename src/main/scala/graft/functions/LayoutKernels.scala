@@ -51,4 +51,33 @@ object LayoutKernels {
     val b = compact(u >>> 1).toInt ^ Int.MinValue
     (a, b)
   }
+
+  /** N-dimensional Morton key over BUCKET coordinates: each of the k
+    * values occupies 64/k interleaved bits (bit j of dim i lands at
+    * position j·k + i). Inputs are expected in [0, 2^(64/k)) — column
+    * values are rank/bucket/epoch-day-reduced by the caller first, the
+    * way production Z-ordering does — and out-of-range values SATURATE
+    * to the edge buckets (order-preserving, never wrapping). The result
+    * is non-negative, so signed `ORDER BY` walks the curve. k = 2 with
+    * full-width inputs wants [[morton2]] instead.
+    */
+  def mortonN(vals: org.apache.spark.sql.catalyst.util.ArrayData,
+              k: Int): Long = {
+    val bits = 64 / k
+    val max = (1L << bits) - 1
+    var out = 0L
+    var i = 0
+    while (i < k) {
+      // NULL coordinates sort first (bucket 0) — the nulls-first layout
+      val raw = if (vals.isNullAt(i)) 0L else vals.getInt(i).toLong
+      val v = if (raw < 0) 0L else if (raw > max) max else raw
+      var j = 0
+      while (j < bits) {
+        out |= ((v >>> j) & 1L) << (j * k + i)
+        j += 1
+      }
+      i += 1
+    }
+    out
+  }
 }

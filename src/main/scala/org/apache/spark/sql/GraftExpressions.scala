@@ -405,6 +405,31 @@ case class ZOrder2(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** N-dimensional Morton key over an array of bucket coordinates — the
+  * multi-column `ZORDER BY` primitive (each dim gets 64/k interleaved
+  * bits; inputs saturate to their bucket range — see
+  * [[graft.functions.LayoutKernels.mortonN]]). `k` is fixed at plan
+  * time by the column builder, so every row interleaves identically.
+  */
+case class ZOrderN(child: Expression, k: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(k >= 2 && k <= 32, s"k must be in [2, 32], got $k")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(IntegerType))
+  override def dataType: DataType = LongType
+  override def prettyName: String = "zorder_n"
+
+  override protected def nullSafeEval(v: Any): Any =
+    graft.functions.LayoutKernels.mortonN(v.asInstanceOf[ArrayData], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.LayoutKernels.mortonN($c, $k)")
+
+  override protected def withNewChildInternal(newChild: Expression): ZOrderN =
+    copy(child = newChild)
+}
+
 case class VectorDot(left: Expression, right: Expression)
     extends BinaryExpression with ExpectsInputTypes {
 

@@ -114,6 +114,11 @@ object GraftSqlFunctions {
       info("zorder2",
         "zorder2(a, b) - 2-D Z-order (Morton) key, signed-order preserving"),
       arity("zorder2", "zorder2(a, b)", 2, 2)(c => ZOrder2(c(0), c(1)))),
+    (FunctionIdentifier("zorder_n"),
+      info("zorder_n",
+        "zorder_n(array(b1, ..., bk), k) - N-dim Morton key over bucket coords, 64/k bits each"),
+      arity("zorder_n", "zorder_n(arr, k)", 2, 2)(
+        c => ZOrderN(c(0), intArg(c(1), "zorder_n")))),
     (FunctionIdentifier("word_ngrams_all"),
       info("word_ngrams_all",
         "word_ngrams_all(text, n) - ALL word n-grams in order, duplicates kept"),

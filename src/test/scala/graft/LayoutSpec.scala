@@ -31,6 +31,34 @@ class LayoutSpec extends SparkSpec {
     assert(v == LayoutKernels.morton2(3, 5))
   }
 
+  test("mortonN: per-dim monotone in range, saturates out of range, nulls first") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    def m(vs: Int*): Long = LayoutKernels.mortonN(
+      new GenericArrayData(vs.toArray.map(v => v: Any)), vs.size)
+    val rnd = new scala.util.Random(11)
+    for (_ <- 1 to 200) {
+      val k = 2 + rnd.nextInt(4) // 2..5 dims
+      val bits = 64 / k
+      val vs = Array.fill(k)(rnd.nextInt((1 << math.min(bits, 30)) - 1))
+      val base = m(vs.toSeq: _*)
+      for (d <- 0 until k) {
+        val up = vs.clone(); up(d) += 1
+        assert(m(up.toSeq: _*) > base, s"k=$k d=$d vs=${vs.toSeq}")
+      }
+    }
+    // saturation: below range clamps to bucket 0; above the 21-bit
+    // 3-dim bucket range clamps to the top bucket (order-safe)
+    assert(m(-5, 7) == m(0, 7))
+    assert(m(5000000, 7, 7) == m((1 << 21) - 1, 7, 7))
+    // 3-dim key from SQL, null coordinate sorts first
+    org.apache.spark.sql.GraftSqlFunctions.register(spark)
+    val sql = spark.sql(
+      "SELECT zorder_n(array(1, 2, 3), 3) AS a, zorder_n(array(CAST(NULL AS INT), 2, 3), 3) AS b")
+      .head()
+    assert(sql.getLong(0) == m(1, 2, 3))
+    assert(sql.getLong(1) < sql.getLong(0)) // null dim = bucket 0
+  }
+
   test("z-ordered files bound BOTH dimensions; x-sorted files do not") {
     // 100x100 grid, shuffled arrival order
     val rnd = new scala.util.Random(7)
