@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.{TextFunctions => TF, VectorFunctions => VF}
-import graft.operators.{Decontaminate, Dedup, FuzzyMatch, LmQuality, Multimodal, Ops, Packing, Ranking, Similarity}
+import graft.operators.{Decontaminate, Dedup, Dimensions, FuzzyMatch, LmQuality, Multimodal, Ops, Packing, Ranking, Similarity}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -2054,6 +2054,111 @@ object Queries {
            | AND epoch_us(v.ts) <= epoch_us(c.ts)
            | AND epoch_us(v.ts) >= epoch_us(c.ts) - 86400000000""".stripMargin))
 
+  /** Keyed upsert (the Kettle `Insert / Update` shape): a modified
+    * slice and a batch of new keys folded into the customer dimension —
+    * updates win on collision, untouched rows pass through, new keys
+    * append ([[Dimensions.upsert]]).
+    */
+  private val qUpsert = Q("q_upsert",
+    (s, dir) => {
+      val cust = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"),
+          col("c_nationkey"))
+      val updates = cust.filter(pmod(col("c_custkey"), lit(10)) === 0)
+        .withColumn("c_acctbal", col("c_acctbal") + 1000)
+        .unionByName(cust.filter(col("c_custkey") < 5)
+          .withColumn("c_custkey", col("c_custkey") + 10000000))
+      Dimensions.upsert(cust, updates, Seq("c_custkey"))
+        .select(col("c_custkey").cast("bigint").as("c_custkey"),
+          col("c_name"), round(col("c_acctbal"), 2).as("c_acctbal"),
+          col("c_nationkey").cast("bigint").as("c_nationkey"))
+    },
+    Some("""WITH upd AS (
+           |  SELECT c_custkey, c_name, c_acctbal + 1000 AS c_acctbal, c_nationkey
+           |  FROM customer WHERE c_custkey % 10 = 0
+           |  UNION ALL
+           |  SELECT c_custkey + 10000000, c_name, c_acctbal, c_nationkey
+           |  FROM customer WHERE c_custkey < 5)
+           |SELECT CAST(c_custkey AS BIGINT) AS c_custkey, c_name,
+           |       round(c_acctbal, 2) AS c_acctbal,
+           |       CAST(c_nationkey AS BIGINT) AS c_nationkey
+           |FROM upd
+           |UNION ALL
+           |SELECT CAST(c_custkey AS BIGINT), c_name, round(c_acctbal, 2),
+           |       CAST(c_nationkey AS BIGINT)
+           |FROM customer
+           |WHERE c_custkey NOT IN (SELECT c_custkey FROM upd)""".stripMargin))
+
+  /** Type-2 SCD apply (the Kettle `Dimension lookup/update` shape):
+    * one change batch folded into a validity-interval dimension built
+    * over customer — closed history passes through, genuinely changed
+    * segments close-and-reopen, no-op changes leave no spurious
+    * version, unseen keys open their first row
+    * ([[Dimensions.scd2Apply]]). Every branch is exercised at every SF
+    * (keys %3 change, %15 of those are no-ops, %7 carry closed
+    * history, keys <3 arrive new).
+    */
+  private val qScd2 = Q("q_scd2",
+    (s, dir) => {
+      val cust = t(s, dir, "customer")
+      val open = cust.select(col("c_custkey"),
+        col("c_mktsegment").as("segment"),
+        to_date(lit("1990-01-01")).as("valid_from"),
+        lit(null).cast("date").as("valid_to"))
+      val closedHist = cust.filter(pmod(col("c_custkey"), lit(7)) === 0)
+        .select(col("c_custkey"),
+          concat(lit("OLD_"), col("c_mktsegment")).as("segment"),
+          to_date(lit("1985-01-01")).as("valid_from"),
+          to_date(lit("1990-01-01")).as("valid_to"))
+      val changes = cust.filter(pmod(col("c_custkey"), lit(3)) === 0)
+        .select(col("c_custkey"),
+          when(pmod(col("c_custkey"), lit(15)) === 0, col("c_mktsegment"))
+            .otherwise(concat(lit("SEG_"),
+              pmod(col("c_custkey"), lit(5)).cast("string"))).as("segment"),
+          to_date(lit("2020-06-01")).as("eff"))
+        .unionByName(cust.filter(col("c_custkey") < 3)
+          .select((col("c_custkey") + 9000000).as("c_custkey"),
+            lit("NEW").as("segment"), to_date(lit("2020-06-01")).as("eff")))
+      // open rows emit the conventional 9999-12-31 sentinel instead of
+      // NULL: a NULL DATE column normalizes differently between a
+      // Spark parquet dump (None) and a DuckDB result frame (NaT), so
+      // a nullable date can never hash-compare — and the sentinel is
+      // the standard warehouse convention for open SCD2 rows anyway
+      Dimensions.scd2Apply(closedHist.unionByName(open), changes,
+          Seq("c_custkey"), Seq("segment"), "valid_from", "valid_to", "eff")
+        .select(col("c_custkey").cast("bigint").as("c_custkey"),
+          col("segment"), col("valid_from"),
+          coalesce(col("valid_to"), to_date(lit("9999-12-31"))).as("valid_to"))
+    },
+    Some("""WITH dim_open AS (
+           |  SELECT c_custkey, c_mktsegment AS segment,
+           |         DATE '1990-01-01' AS valid_from, CAST(NULL AS DATE) AS valid_to
+           |  FROM customer),
+           |ch AS (
+           |  SELECT c_custkey,
+           |         CASE WHEN c_custkey % 15 = 0 THEN c_mktsegment
+           |              ELSE 'SEG_' || CAST(c_custkey % 5 AS VARCHAR) END AS nseg,
+           |         DATE '2020-06-01' AS eff
+           |  FROM customer WHERE c_custkey % 3 = 0
+           |  UNION ALL
+           |  SELECT c_custkey + 9000000, 'NEW', DATE '2020-06-01'
+           |  FROM customer WHERE c_custkey < 3)
+           |SELECT CAST(c_custkey AS BIGINT) AS c_custkey,
+           |       'OLD_' || c_mktsegment AS segment,
+           |       DATE '1985-01-01' AS valid_from, DATE '1990-01-01' AS valid_to
+           |FROM customer WHERE c_custkey % 7 = 0
+           |UNION ALL
+           |SELECT CAST(d.c_custkey AS BIGINT), d.segment, d.valid_from,
+           |       CASE WHEN ch.eff IS NOT NULL
+           |                  AND d.segment IS DISTINCT FROM ch.nseg
+           |            THEN ch.eff ELSE DATE '9999-12-31' END
+           |FROM dim_open d LEFT JOIN ch USING (c_custkey)
+           |UNION ALL
+           |SELECT CAST(ch.c_custkey AS BIGINT), ch.nseg, ch.eff,
+           |       DATE '9999-12-31'
+           |FROM ch LEFT JOIN dim_open d USING (c_custkey)
+           |WHERE d.c_custkey IS NULL OR d.segment IS DISTINCT FROM ch.nseg""".stripMargin))
+
   /** Every query, in a stable order. */
   val all: Seq[Q] = Seq(
     qSelect, qFilter, qFilterRouter,
@@ -2074,5 +2179,5 @@ object Queries {
     qQualityGate, qImageMeta, qMixtureWeights, qLabelConfusion,
     qDecontaminateEmbed,
     qDupSpans, qHybridRrf, qApproxDistinct, qApproxQuantiles,
-    qDecontaminateBloom, qLmScore, qEventAttribution)
+    qDecontaminateBloom, qLmScore, qEventAttribution, qUpsert, qScd2)
 }
