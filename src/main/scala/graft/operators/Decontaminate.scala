@@ -69,9 +69,17 @@ object Decontaminate {
     import org.apache.spark.sql.GraftBridge
     import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
     import org.apache.spark.sql.types.BinaryType
+    // localCheckpoint (eager): the gram set is consumed TWICE — once by
+    // the Bloom-build action, once by the lazy verification join — and
+    // without materialization the explode+distinct shuffle would run
+    // again from source for the join (at the 10⁹-gram scale that
+    // motivates this function, a second full pass). Same lineage-
+    // truncation pattern as Dedup.dupClusters; blocks are reclaimed by
+    // the ContextCleaner once the result frame is unreachable.
     val benchGrams = bench
       .select(explode(TF.wordNgrams(col(textCol), n)).as("__gram"))
       .distinct()
+      .localCheckpoint(true)
     // distributed build (treeAggregate under stat.bloomFilter); only the
     // finished bit array ever reaches the driver
     val bf = benchGrams.select(xxhash64(col("__gram")).as("__gh"))

@@ -22,6 +22,14 @@ object Dimensions {
   def upsert(existing: DataFrame, updates: DataFrame,
              keys: Seq[String]): DataFrame = {
     require(keys.nonEmpty, "upsert needs at least one key column")
+    // duplicate update keys would BOTH survive the union, breaking the
+    // keyed-dimension invariant this operator exists to maintain —
+    // enforced like scd2Apply's change batch (dedupe the CDC feed first)
+    val dupKeys = updates.groupBy(keys.map(col): _*).count()
+      .filter(col("count") > 1)
+    require(dupKeys.isEmpty,
+      s"upsert: multiple update rows for one key: " +
+        dupKeys.select(keys.map(col): _*).limit(5).collect().mkString(", "))
     val keyset = updates.select(keys.map(col): _*).distinct()
     updates.unionByName(existing.join(keyset, keys, "left_anti"))
   }
@@ -53,36 +61,50 @@ object Dimensions {
     require(attrCols.nonEmpty, "scd2Apply needs at least one tracked attribute")
 
     val closed = dim.filter(col(toCol).isNotNull)
+    // explicit presence markers on BOTH join sides: testing presence
+    // via a data column's NULL-ness would silently delete an open row
+    // whose fromCol happens to be NULL (or drop a change whose
+    // effective date is NULL) — markers are never NULL except where
+    // the full-outer join itself produced the absence
     val open = dim.filter(col(toCol).isNull)
+      .withColumn("__has_open", lit(true))
 
     val ch = changes.select(
       (keys.map(col) ++ attrCols.map(c => col(c).as(s"__new_$c")) :+
         col(effectiveCol).as("__eff")): _*)
+      .withColumn("__has_change", lit(true))
     // one change per key per batch, or "which version wins" is undefined
     val dupKeys = ch.groupBy(keys.map(col): _*).count().filter(col("count") > 1)
     require(dupKeys.isEmpty,
       s"scd2Apply: multiple changes for one key in a single batch: " +
         dupKeys.select(keys.map(col): _*).limit(5).collect().mkString(", "))
+    // a NULL effective date has no defined close/open point — reject it
+    // loudly rather than silently treating the change as a no-op
+    require(ch.filter(col("__eff").isNull).isEmpty,
+      "scd2Apply: changes with a NULL effective value: " +
+        ch.filter(col("__eff").isNull).select(keys.map(col): _*)
+          .limit(5).collect().mkString(", "))
 
     val joined = open.join(ch, keys, "full_outer")
     val changed = attrCols
       .map(c => !(col(c) <=> col(s"__new_$c")))
       .reduce(_ || _)
-    val hasChange = col("__eff").isNotNull
-    val hasOpen = col(fromCol).isNotNull
+    val hasChange = coalesce(col("__has_change"), lit(false))
+    val hasOpen = coalesce(col("__has_open"), lit(false))
+    val toType = dim.schema(toCol).dataType
 
     // surviving open/closed versions of pre-existing open rows
     val existingRows = joined.filter(hasOpen)
       .select((keys.map(col) ++ attrCols.map(col) :+ col(fromCol) :+
-        when(hasChange && changed, col("__eff"))
-          .otherwise(lit(null).cast(dim.schema(toCol).dataType))
+        when(hasChange && changed, col("__eff").cast(toType))
+          .otherwise(lit(null).cast(toType))
           .as(toCol)): _*)
     // freshly opened versions: changed attrs or brand-new keys
     val openedRows = joined.filter(hasChange && (!hasOpen || changed))
       .select((keys.map(col) ++
         attrCols.map(c => col(s"__new_$c").as(c)) :+
         col("__eff").cast(dim.schema(fromCol).dataType).as(fromCol) :+
-        lit(null).cast(dim.schema(toCol).dataType).as(toCol)): _*)
+        lit(null).cast(toType).as(toCol)): _*)
 
     closed.select((keys ++ attrCols :+ fromCol :+ toCol).map(col): _*)
       .unionByName(existingRows)

@@ -94,7 +94,11 @@ object Acquire {
           if (attempt > retries)
             done = Some(PageResult(page, None, status, attempt))
           else
-            Thread.sleep(backoffMs << (attempt - 1))
+            // doubling backoff, CAPPED: an uncapped shift overflows past
+            // attempt ~57 (Thread.sleep would throw and kill the run,
+            // losing already-landed pages) and even attempt 20 would
+            // sleep for hours
+            Thread.sleep(math.min(backoffMs << math.min(attempt - 1, 6), 30000L))
         }
       }
       // the stopping 404 is the end MARKER, not a failed page

@@ -74,4 +74,48 @@ class DimensionsSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("multiple changes"))
   }
+
+  test("scd2Apply: open row with NULL valid_from survives (presence is a marker, not a data column)") {
+    val nullFrom = Seq((8L, "grey", None: Option[Date], None: Option[Date]))
+      .toDF("k", "color", "valid_from", "valid_to")
+    val changes = Seq((8L, "silver", d("2020-06-01"))).toDF("k", "color", "eff")
+    val out = Dimensions.scd2Apply(nullFrom, changes, Seq("k"), Seq("color"),
+        "valid_from", "valid_to", "eff")
+      .collect().map(r => (Option(r.getString(1)),
+        Option(r.getDate(2)).map(_.toString),
+        Option(r.getDate(3)).map(_.toString))).toSet
+    // the NULL-from open row CLOSES (not vanishes); the change opens
+    assert(out == Set(
+      (Some("grey"), None, Some("2020-06-01")),
+      (Some("silver"), Some("2020-06-01"), None)))
+  }
+
+  test("scd2Apply rejects a NULL effective value instead of no-op'ing it") {
+    val changes = Seq((1L, "x", null.asInstanceOf[Date])).toDF("k", "color", "eff")
+    val e = intercept[IllegalArgumentException] {
+      Dimensions.scd2Apply(dim, changes, Seq("k"), Seq("color"),
+        "valid_from", "valid_to", "eff")
+    }
+    assert(e.getMessage.contains("NULL effective"))
+  }
+
+  test("scd2Apply keeps the dimension's date types when eff is a timestamp") {
+    import java.sql.Timestamp
+    val changes = Seq((1L, "crimson", Timestamp.valueOf("2020-06-01 00:00:00")))
+      .toDF("k", "color", "eff")
+    val out = Dimensions.scd2Apply(dim, changes, Seq("k"), Seq("color"),
+      "valid_from", "valid_to", "eff")
+    // output schema matches the input dimension (DATE, not widened)
+    assert(out.schema("valid_from").dataType == dim.schema("valid_from").dataType)
+    assert(out.schema("valid_to").dataType == dim.schema("valid_to").dataType)
+  }
+
+  test("upsert rejects duplicate keys within the update batch") {
+    val existing = Seq((1L, "a", 10.0)).toDF("k", "name", "bal")
+    val updates = Seq((1L, "x", 1.0), (1L, "y", 2.0)).toDF("k", "name", "bal")
+    val e = intercept[IllegalArgumentException] {
+      Dimensions.upsert(existing, updates, Seq("k"))
+    }
+    assert(e.getMessage.contains("multiple update rows"))
+  }
 }
