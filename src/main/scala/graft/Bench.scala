@@ -14,8 +14,38 @@ import org.apache.spark.sql.SparkSession
   * MEDIAN — a single contended run on a shared machine must not
   * masquerade as a regression (round 2's single-shot artifact read 1.9×
   * on noise alone).
+  *
+  * Contention canary (round 7): round 6's driver bench ran on a machine
+  * so contended the artifact was unusable (sbt 1192 s vs 191 s idle;
+  * per-query inflation NON-uniform — single-stage controls ~1.5–2× but
+  * multi-stage queries 10–80×, because the per-stage scheduling floor
+  * multiplies). Medians can't save a run where EVERY pass is contended,
+  * so the bench now measures the machine itself with two fixed-cost,
+  * data-independent probes and emits the ratio against pinned idle
+  * values:
+  *   - compute canary: one 10M-row in-memory shuffle+agg (one exchange,
+  *     codegen arithmetic) — tracks raw CPU/memory-bandwidth contention;
+  *   - scheduling canary: 8 consecutive tiny shuffled actions — tracks
+  *     the per-stage scheduling floor that inflates multi-stage queries
+  *     far more than single-stage ones.
+  * A canary sample runs before each query pass and once after the last,
+  * and the JSON line carries the medians plus
+  * `contention_factor` (compute) and `sched_factor` (scheduling).
+  * Reading rule (also in BASELINE.md): factors ≤1.5 → times are
+  * evidence; either factor >2 → adjudicate any apparent regression with
+  * an idle `SPARK_GRAFT_BENCH_ONLY` re-run before believing it, and
+  * expect multi-stage queries to inflate ~sched_factor while
+  * single-stage ones inflate ~contention_factor.
   */
 object Bench {
+  /** Idle-machine pinned canary medians (this sandbox, local[32],
+    * measured round 7: two independent 4-sample medians gave
+    * compute 0.62/0.60 s and sched 2.38/1.86 s). If the harness
+    * hardware changes, re-pin by running the bench idle and copying the
+    * canary medians from the JSON line.
+    */
+  val PinnedComputeSec = 0.60
+  val PinnedSchedSec = 2.10
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -46,6 +76,32 @@ object Bench {
       if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
     }
 
+    // Fixed-cost machine probes — in-memory `range` sources, so the cost
+    // is pure compute + scheduling and never parquet/page-cache state.
+    def canarySample(): (Double, Double) = {
+      import org.apache.spark.sql.functions._
+      val par = cpus.toInt
+      val t0 = System.nanoTime()
+      // xxhash64 gives real per-row compute; % 1e6 keeps the 10M-row sum
+      // far from Long overflow under ANSI mode
+      force(spark.range(0L, 10000000L, 1L, par)
+        .select((col("id") % 1024).as("k"),
+          (xxhash64(col("id")) % 1000000L).as("v"))
+        .groupBy("k").agg(sum("v").as("s"), avg("v").as("a"),
+          max("v").as("m")))
+      val compute = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      (1 to 8).foreach { _ =>
+        force(spark.range(0L, 1000L, 1L, par)
+          .select((col("id") % 7).as("k"))
+          .groupBy("k").agg(count(lit(1)).as("c")))
+      }
+      val sched = (System.nanoTime() - t1) / 1e9
+      (compute, sched)
+    }
+    // one throwaway canary absorbs its own codegen compilation
+    canarySample()
+
     // run-major order (all queries, then the next full pass) so repeated
     // runs of one query don't benefit from a still-hot page cache more
     // than the driver's single-pass methodology would
@@ -61,7 +117,9 @@ object Bench {
     }
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
+    val canaries = scala.collection.mutable.ArrayBuffer.empty[(Double, Double)]
     val samples = (1 to runs).map { _ =>
+      canaries += canarySample()
       names.map { case (name, fn) =>
         val t0 = System.nanoTime()
         val ok =
@@ -73,6 +131,7 @@ object Bench {
         (name, (System.nanoTime() - t0) / 1e9, ok)
       }
     }
+    canaries += canarySample()
     val results = names.map { case (name, _) =>
       val mine = samples.map(_.find(_._1 == name).get)
       (name, median(mine.map(_._2)), mine.forall(_._3))
@@ -84,7 +143,15 @@ object Bench {
     val errs = results.collect { case (k, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"runs":$runs,"sf":"$sfDir"}""")
+    def r3(x: Double): Double = math.rint(x * 1000) / 1000
+    val canaryCompute = r3(median(canaries.map(_._1).toSeq))
+    val canarySched = r3(median(canaries.map(_._2).toSeq))
+    val contentionFactor = r3(canaryCompute / PinnedComputeSec)
+    val schedFactor = r3(canarySched / PinnedSchedSec)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"runs":$runs,""" +
+      s""""canary_compute_sec":$canaryCompute,"canary_sched_sec":$canarySched,""" +
+      s""""pinned_compute_sec":$PinnedComputeSec,"pinned_sched_sec":$PinnedSchedSec,""" +
+      s""""contention_factor":$contentionFactor,"sched_factor":$schedFactor,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
