@@ -699,19 +699,21 @@ object Queries {
     * 0.4-cosine pairs sit close to the hyperplane boundary where
     * random-hyperplane LSH is weakest; real near-dup corpora (planted
     * ~0.999-cosine copies, see DedupSpec) recall >= 0.9 with fewer
-    * resources. The exact truth side is O(n²) sketch-free dot products —
-    * fine at validation scale, sampled at corpus scale.
+    * resources. The exact truth side is O(n²) sketch-free dot products;
+    * its cost is DECLARED via `truthSampleOneIn` (here one-in-2 → ¼ of
+    * the compares) rather than hand-edited — a corpus-scale run raises
+    * the divisor and the compare count falls with its square.
     */
   private val qEmbeddingNearDup = Q("q_embedding_neardup",
     (s, dir) => {
       val emb = t(s, dir, "embeddings")
       val out = Dedup.embeddingNearDup(emb,
         "embedding", "vec_id", threshold = 0.4, lshBits = 3, bands = 4)
-      // vec_id%2==0 subset: ¼ of the quadratic truth compares; recall
-      // over a deterministic pair subfamily gates just as hard
-      val truth = Dedup.embeddingNearDupExact(
-        emb.filter(pmod(col("vec_id"), lit(2)) === 0), "embedding", "vec_id",
-        threshold = 0.4)
+      // declared audit budget: one-in-2 id sample = ¼ of the quadratic
+      // truth compares; recall over the deterministic pair subfamily
+      // gates just as hard (at corpus scale raise truthSampleOneIn)
+      val truth = Dedup.embeddingNearDupExact(emb, "embedding", "vec_id",
+        threshold = 0.4, truthSampleOneIn = 2)
       Ops.recallGate(out, truth, Seq("id_a", "id_b"), floor = 0.4)
         .select(col("id_a").cast("bigint").as("id_a"),
           col("id_b").cast("bigint").as("id_b"), col("cosine"), col("recall"))
@@ -1992,7 +1994,7 @@ object Queries {
     */
   private val qLmScore = Q("q_lm_score",
     (s, dir) => LmQuality.selfScore(t(s, dir, "documents"), "text", "doc_id",
-        alpha = 0.5, minCount = 2)
+        alpha = 0.5, minCount = 2, persistModel = true)
       .select(col("id").cast("bigint").as("doc_id"),
         col("n_bigrams"), col("avg_logprob")),
     Some("""WITH tk AS (
@@ -2159,6 +2161,172 @@ object Queries {
            |FROM ch LEFT JOIN dim_open d USING (c_custkey)
            |WHERE d.c_custkey IS NULL OR d.segment IS DISTINCT FROM ch.nseg""".stripMargin))
 
+  /** Ordered multi-change SCD2 — the Kettle `Dimension lookup/update`
+    * stream contract [[graft.operators.Dimensions.scd2ApplyOrdered]]:
+    * one batch replays SEVERAL changes per key (a CDC day), folded per
+    * key in (eff, ord) order. The change design exercises every branch:
+    * chained versions, a change that repeats the open row (collapse),
+    * a change that repeats the PREVIOUS change (collapse mid-stream),
+    * same-day ties broken by `ord` (zero-width version for the loser),
+    * brand-new keys with two changes, and untouched closed history.
+    * The oracle re-derives the same fold with plain SQL windows
+    * (lag-collapse, lead-close). Open rows emit the 9999-12-31
+    * sentinel — the NULL-DATE hash hazard, as in q_scd2.
+    */
+  private val qScd2Multi = Q("q_scd2_multi",
+    (s, dir) => {
+      val cust = t(s, dir, "customer")
+      val open = cust.select(col("c_custkey"),
+        col("c_mktsegment").as("segment"),
+        to_date(lit("1990-01-01")).as("valid_from"),
+        lit(null).cast("date").as("valid_to"))
+      val closedHist = cust.filter(pmod(col("c_custkey"), lit(7)) === 0)
+        .select(col("c_custkey"),
+          concat(lit("OLD_"), col("c_mktsegment")).as("segment"),
+          to_date(lit("1985-01-01")).as("valid_from"),
+          to_date(lit("1990-01-01")).as("valid_to"))
+      val chA = cust.filter(pmod(col("c_custkey"), lit(3)) === 0)
+        .select(col("c_custkey"),
+          when(pmod(col("c_custkey"), lit(21)) === 0, col("c_mktsegment"))
+            .otherwise(concat(lit("SEG_"),
+              pmod(col("c_custkey"), lit(5)).cast("string"))).as("segment"),
+          to_date(lit("2020-01-10")).as("eff"), lit(1L).as("ord"))
+      val chB = cust.filter(pmod(col("c_custkey"), lit(3)) === 0)
+        .select(col("c_custkey"),
+          when(pmod(col("c_custkey"), lit(15)) === 0, col("c_mktsegment"))
+            .otherwise(concat(lit("SEG_"),
+              pmod(col("c_custkey"), lit(4)).cast("string"))).as("segment"),
+          to_date(lit("2020-06-01")).as("eff"), lit(2L).as("ord"))
+      val chC = cust.filter(pmod(col("c_custkey"), lit(6)) === 0)
+        .select(col("c_custkey"),
+          concat(lit("TIE_"),
+            pmod(col("c_custkey"), lit(9)).cast("string")).as("segment"),
+          to_date(lit("2020-06-01")).as("eff"), lit(3L).as("ord"))
+      val chNew = cust.filter(col("c_custkey") < 3)
+        .select((col("c_custkey") + 9000000).as("c_custkey"),
+          lit("NEW_A").as("segment"),
+          to_date(lit("2020-01-10")).as("eff"), lit(1L).as("ord"))
+        .unionByName(cust.filter(col("c_custkey") < 3)
+          .select((col("c_custkey") + 9000000).as("c_custkey"),
+            lit("NEW_B").as("segment"),
+            to_date(lit("2020-03-01")).as("eff"), lit(2L).as("ord")))
+      val changes = chA.unionByName(chB).unionByName(chC).unionByName(chNew)
+      Dimensions.scd2ApplyOrdered(closedHist.unionByName(open), changes,
+          Seq("c_custkey"), Seq("segment"), "valid_from", "valid_to",
+          "eff", orderCol = Some("ord"))
+        .select(col("c_custkey").cast("bigint").as("c_custkey"),
+          col("segment"), col("valid_from"),
+          coalesce(col("valid_to"), to_date(lit("9999-12-31"))).as("valid_to"))
+    },
+    Some("""WITH dim_open AS (
+           |  SELECT c_custkey, c_mktsegment AS segment,
+           |         DATE '1990-01-01' AS vfrom
+           |  FROM customer),
+           |ch AS (
+           |  SELECT c_custkey,
+           |         CASE WHEN c_custkey % 21 = 0 THEN c_mktsegment
+           |              ELSE 'SEG_' || CAST(c_custkey % 5 AS VARCHAR) END AS segment,
+           |         DATE '2020-01-10' AS eff, 1 AS ord
+           |  FROM customer WHERE c_custkey % 3 = 0
+           |  UNION ALL
+           |  SELECT c_custkey,
+           |         CASE WHEN c_custkey % 15 = 0 THEN c_mktsegment
+           |              ELSE 'SEG_' || CAST(c_custkey % 4 AS VARCHAR) END,
+           |         DATE '2020-06-01', 2
+           |  FROM customer WHERE c_custkey % 3 = 0
+           |  UNION ALL
+           |  SELECT c_custkey, 'TIE_' || CAST(c_custkey % 9 AS VARCHAR),
+           |         DATE '2020-06-01', 3
+           |  FROM customer WHERE c_custkey % 6 = 0
+           |  UNION ALL
+           |  SELECT c_custkey + 9000000, 'NEW_A', DATE '2020-01-10', 1
+           |  FROM customer WHERE c_custkey < 3
+           |  UNION ALL
+           |  SELECT c_custkey + 9000000, 'NEW_B', DATE '2020-03-01', 2
+           |  FROM customer WHERE c_custkey < 3),
+           |stream AS (
+           |  SELECT c_custkey, segment, vfrom, CAST(NULL AS DATE) AS eff,
+           |         0 AS is_change, 0 AS ord
+           |  FROM dim_open
+           |  UNION ALL
+           |  SELECT c_custkey, segment, eff, eff, 1, ord FROM ch),
+           |lagged AS (
+           |  SELECT *, lag(segment) OVER w AS prev_seg,
+           |         lag(1) OVER w AS has_prev
+           |  FROM stream
+           |  WINDOW w AS (PARTITION BY c_custkey ORDER BY is_change, eff, ord)),
+           |surv AS (
+           |  SELECT * FROM lagged
+           |  WHERE has_prev IS NULL OR segment IS DISTINCT FROM prev_seg),
+           |vers AS (
+           |  SELECT c_custkey, segment, vfrom AS valid_from,
+           |         lead(eff) OVER (PARTITION BY c_custkey
+           |                         ORDER BY is_change, eff, ord) AS valid_to
+           |  FROM surv)
+           |SELECT CAST(c_custkey AS BIGINT) AS c_custkey,
+           |       'OLD_' || c_mktsegment AS segment,
+           |       DATE '1985-01-01' AS valid_from, DATE '1990-01-01' AS valid_to
+           |FROM customer WHERE c_custkey % 7 = 0
+           |UNION ALL
+           |SELECT CAST(c_custkey AS BIGINT), segment, valid_from,
+           |       COALESCE(valid_to, DATE '9999-12-31')
+           |FROM vers""".stripMargin))
+
+  /** The Z-order layout kernels under the driver's oracle: emit the 2-D
+    * signed-order-preserving Morton key ([[graft.functions.LayoutKernels
+    * .morton2]], the sort key behind `Sinks.writeZOrdered` file
+    * skipping) and the 4-D bucket-coordinate key (`mortonN`) for
+    * deterministic (int, int) pairs derived from `part`; DuckDB
+    * recomputes both interleaves with plain bit ops. `a`/`b` straddle
+    * zero so the signed-flip path (sign bit → unsigned order → flip the
+    * interleaved top bit back) is exercised, not just the easy
+    * non-negative quadrant. LayoutSpec pins the file-skipping behavior;
+    * this puts the curve itself in the CORRECTNESS ledger.
+    */
+  private val qZorder = Q("q_zorder",
+    (s, dir) => {
+      import graft.functions.LayoutFunctions
+      t(s, dir, "part").select(
+          col("p_partkey").cast("bigint").as("id"),
+          (pmod(col("p_partkey"), lit(1024)) - 512).cast("int").as("a"),
+          (pmod(col("p_size") * 37, lit(1024)) - 512).cast("int").as("b"),
+          pmod(col("p_partkey"), lit(4096)).cast("int").as("x1"),
+          pmod(col("p_partkey") * 7, lit(4096)).cast("int").as("x2"),
+          pmod(col("p_size") * 11, lit(4096)).cast("int").as("x3"),
+          pmod(col("p_partkey") + col("p_size"), lit(4096)).cast("int").as("x4"))
+        .select(col("id"), col("a"), col("b"),
+          LayoutFunctions.zOrder2(col("a"), col("b")).as("zkey"),
+          LayoutFunctions.zOrderN(
+            col("x1"), col("x2"), col("x3"), col("x4")).as("zkey4"))
+    },
+    // zkey: ua/ub = signed int + 2^31 (the sign-bit flip as arithmetic);
+    // even positions take all 32 ua bits (0..62), odd positions take ub
+    // bits 0..30 (1..61); ub bit 31 would land at position 63, which the
+    // final flip inverts — as signed arithmetic that is
+    // `+ (1 - ub31) * Long.MinValue`. zkey4: bit j of dim i lands at
+    // j*4 + i; coords are bucketed to [0, 4096) so 12 bits each suffice.
+    Some("""WITH src AS (
+           |  SELECT CAST(p_partkey AS BIGINT) AS id,
+           |         CAST(p_partkey % 1024 - 512 AS BIGINT) AS a,
+           |         CAST((p_size * 37) % 1024 - 512 AS BIGINT) AS b,
+           |         CAST(p_partkey % 4096 AS BIGINT) AS x1,
+           |         CAST((p_partkey * 7) % 4096 AS BIGINT) AS x2,
+           |         CAST((p_size * 11) % 4096 AS BIGINT) AS x3,
+           |         CAST((p_partkey + p_size) % 4096 AS BIGINT) AS x4
+           |  FROM part),
+           |u AS (SELECT *, a + 2147483648 AS ua, b + 2147483648 AS ub FROM src)
+           |SELECT id, CAST(a AS INTEGER) AS a, CAST(b AS INTEGER) AS b,
+           |       CAST(list_sum([((ua >> i) & 1) << (2*i) for i in range(32)])
+           |          + list_sum([((ub >> i) & 1) << (2*i+1) for i in range(31)])
+           |          + (1 - ((ub >> 31) & 1)) * (-9223372036854775807 - 1)
+           |          AS BIGINT) AS zkey,
+           |       CAST(list_sum([((x1 >> j) & 1) << (j*4)     for j in range(12)])
+           |          + list_sum([((x2 >> j) & 1) << (j*4 + 1) for j in range(12)])
+           |          + list_sum([((x3 >> j) & 1) << (j*4 + 2) for j in range(12)])
+           |          + list_sum([((x4 >> j) & 1) << (j*4 + 3) for j in range(12)])
+           |          AS BIGINT) AS zkey4
+           |FROM u""".stripMargin))
+
   /** Every query, in a stable order. */
   val all: Seq[Q] = Seq(
     qSelect, qFilter, qFilterRouter,
@@ -2179,5 +2347,6 @@ object Queries {
     qQualityGate, qImageMeta, qMixtureWeights, qLabelConfusion,
     qDecontaminateEmbed,
     qDupSpans, qHybridRrf, qApproxDistinct, qApproxQuantiles,
-    qDecontaminateBloom, qLmScore, qEventAttribution, qUpsert, qScd2)
+    qDecontaminateBloom, qLmScore, qEventAttribution, qUpsert, qScd2,
+    qZorder, qScd2Multi)
 }

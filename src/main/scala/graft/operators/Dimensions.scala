@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Dimension-maintenance operators — the Kettle signature steps the
@@ -10,8 +11,28 @@ import org.apache.spark.sql.functions._
   * joins + unions over immutable frames (Spark has no in-place MERGE
   * without a table format; the caller rewrites the dimension path —
   * at dimension scale that rewrite is the cheap part of the job).
+  *
+  * Validation: every operator checks its input invariants eagerly by
+  * default (each check is a real Spark job over the small input —
+  * the right default for a dimension tool, where a silently broken
+  * invariant corrupts history forever). Pre-validated CDC pipelines
+  * opt out with `validate = false`, which makes plan construction
+  * job-free (DimensionsSpec asserts this with a job-count listener).
   */
 object Dimensions {
+
+  /** Eager duplicate check on `cols`. The count alias uses a reserved
+    * prefix — `groupBy(...).count()` would break if a key column were
+    * itself named `count` (the filter reference turns ambiguous).
+    */
+  private def requireUnique(df: DataFrame, cols: Seq[String],
+                            what: String): Unit = {
+    val dups = df.groupBy(cols.map(col): _*)
+      .agg(count(lit(1)).as("__cnt")).filter(col("__cnt") > 1)
+    require(dups.isEmpty,
+      s"$what: " + dups.select(cols.map(col): _*).limit(5)
+        .collect().mkString(", "))
+  }
 
   /** Keyed upsert: `updates` rows win on key collision, `existing`
     * rows pass through otherwise, new keys append. One anti-join (the
@@ -20,16 +41,13 @@ object Dimensions {
     * Schemas must agree by name ([[DataFrame.unionByName]] enforces).
     */
   def upsert(existing: DataFrame, updates: DataFrame,
-             keys: Seq[String]): DataFrame = {
+             keys: Seq[String], validate: Boolean = true): DataFrame = {
     require(keys.nonEmpty, "upsert needs at least one key column")
     // duplicate update keys would BOTH survive the union, breaking the
     // keyed-dimension invariant this operator exists to maintain —
     // enforced like scd2Apply's change batch (dedupe the CDC feed first)
-    val dupKeys = updates.groupBy(keys.map(col): _*).count()
-      .filter(col("count") > 1)
-    require(dupKeys.isEmpty,
-      s"upsert: multiple update rows for one key: " +
-        dupKeys.select(keys.map(col): _*).limit(5).collect().mkString(", "))
+    if (validate)
+      requireUnique(updates, keys, "upsert: multiple update rows for one key")
     val keyset = updates.select(keys.map(col): _*).distinct()
     updates.unionByName(existing.join(keyset, keys, "left_anti"))
   }
@@ -49,6 +67,10 @@ object Dimensions {
     * has the dimension's (keys ++ attrCols ++ fromCol ++ toCol) shape.
     * Attribute comparison is null-safe (a NULL attr equals NULL).
     *
+    * For a batch with SEVERAL changes per key (a replayed CDC day),
+    * use [[scd2ApplyOrdered]] — this one rejects such batches because
+    * "which version wins" is undefined without an order.
+    *
     * Scale shape: one equi-join of the OPEN slice against the change
     * batch (change batches are small next to history — broadcast), a
     * column-level close/open rewrite, and a union with the untouched
@@ -56,7 +78,7 @@ object Dimensions {
     */
   def scd2Apply(dim: DataFrame, changes: DataFrame, keys: Seq[String],
                 attrCols: Seq[String], fromCol: String, toCol: String,
-                effectiveCol: String): DataFrame = {
+                effectiveCol: String, validate: Boolean = true): DataFrame = {
     require(keys.nonEmpty, "scd2Apply needs at least one key column")
     require(attrCols.nonEmpty, "scd2Apply needs at least one tracked attribute")
 
@@ -73,17 +95,21 @@ object Dimensions {
       (keys.map(col) ++ attrCols.map(c => col(c).as(s"__new_$c")) :+
         col(effectiveCol).as("__eff")): _*)
       .withColumn("__has_change", lit(true))
-    // one change per key per batch, or "which version wins" is undefined
-    val dupKeys = ch.groupBy(keys.map(col): _*).count().filter(col("count") > 1)
-    require(dupKeys.isEmpty,
-      s"scd2Apply: multiple changes for one key in a single batch: " +
-        dupKeys.select(keys.map(col): _*).limit(5).collect().mkString(", "))
-    // a NULL effective date has no defined close/open point — reject it
-    // loudly rather than silently treating the change as a no-op
-    require(ch.filter(col("__eff").isNull).isEmpty,
-      "scd2Apply: changes with a NULL effective value: " +
-        ch.filter(col("__eff").isNull).select(keys.map(col): _*)
-          .limit(5).collect().mkString(", "))
+    if (validate) {
+      // one change per key per batch, or "which version wins" is undefined
+      requireUnique(ch, keys,
+        "scd2Apply: multiple changes for one key in a single batch " +
+          "(use scd2ApplyOrdered for ordered multi-change batches)")
+      // a NULL effective date has no defined close/open point — reject it
+      // loudly rather than silently treating the change as a no-op
+      require(ch.filter(col("__eff").isNull).isEmpty,
+        "scd2Apply: changes with a NULL effective value: " +
+          ch.filter(col("__eff").isNull).select(keys.map(col): _*)
+            .limit(5).collect().mkString(", "))
+      // two OPEN rows for one key is a corrupt dimension — the full-outer
+      // join would silently fan the change out into duplicate versions
+      requireUnique(open, keys, "scd2Apply: dimension has multiple OPEN rows for one key")
+    }
 
     val joined = open.join(ch, keys, "full_outer")
     val changed = attrCols
@@ -109,5 +135,97 @@ object Dimensions {
     closed.select((keys ++ attrCols :+ fromCol :+ toCol).map(col): _*)
       .unionByName(existingRows)
       .unionByName(openedRows)
+  }
+
+  /** Type-2 SCD apply for a batch with an arbitrary number of changes
+    * per key — the Kettle `Dimension lookup/update` stream contract: a
+    * replayed CDC day is folded per key in `effectiveCol` order,
+    * versioning sequentially, in ONE plan (no per-change loop).
+    *
+    * Semantics per key: the version stream is the key's OPEN dim row
+    * (if any) followed by its changes ordered by (`effectiveCol`,
+    * `orderCol` if given). Consecutive stream entries with null-safely
+    * equal tracked attributes collapse (a change that repeats the
+    * current version is a no-op); each surviving entry becomes a
+    * version valid from its effective value until the next surviving
+    * entry's, the last staying open (NULL `toCol`). Two changes with
+    * the same effective value produce a zero-width `[eff, eff)` version
+    * for the earlier one — the standard intra-batch-correction shape —
+    * and REQUIRE `orderCol` to adjudicate which is earlier (without
+    * one, validation rejects same-key-same-eff ties as ambiguous).
+    * CLOSED history passes through verbatim, exactly as [[scd2Apply]].
+    *
+    * Scale shape: the change stream unions with the open slice and
+    * shuffles ONCE on the key; both window passes (collapse via `lag`,
+    * interval close via `lead`) reuse that partitioning. Per-key state
+    * is a window frame, never a collected buffer, so a key with a
+    * million replayed changes streams through sort-based windowing.
+    */
+  def scd2ApplyOrdered(dim: DataFrame, changes: DataFrame, keys: Seq[String],
+                       attrCols: Seq[String], fromCol: String, toCol: String,
+                       effectiveCol: String, orderCol: Option[String] = None,
+                       validate: Boolean = true): DataFrame = {
+    require(keys.nonEmpty, "scd2ApplyOrdered needs at least one key column")
+    require(attrCols.nonEmpty, "scd2ApplyOrdered needs at least one tracked attribute")
+
+    val closed = dim.filter(col(toCol).isNotNull)
+    val open = dim.filter(col(toCol).isNull)
+
+    val ordCol = orderCol.map(col).getOrElse(lit(0L)).cast("long")
+    val ch = changes.select(
+      (keys.map(col) ++ attrCols.map(col) :+
+        col(effectiveCol).as("__eff") :+ ordCol.as("__ord")): _*)
+      .withColumn("__is_change", lit(1))
+    if (validate) {
+      require(ch.filter(col("__eff").isNull).isEmpty,
+        "scd2ApplyOrdered: changes with a NULL effective value: " +
+          ch.filter(col("__eff").isNull).select(keys.map(col): _*)
+            .limit(5).collect().mkString(", "))
+      // exact order ties are unresolvable — "which change is current"
+      // would depend on partition layout
+      requireUnique(ch, keys :+ "__eff" :+ "__ord",
+        "scd2ApplyOrdered: tied changes (same key, effective value" +
+          orderCol.fold(" — pass orderCol to break same-day ties")(o =>
+            s", $o") + ")")
+      requireUnique(open, keys,
+        "scd2ApplyOrdered: dimension has multiple OPEN rows for one key")
+    }
+
+    // seed entry 0 = the key's open row; __is_change=0 sorts it before
+    // every change regardless of effective values, and __from carries
+    // its original validity start (a change's __from is its __eff)
+    val seed = open.select(
+      (keys.map(col) ++ attrCols.map(col) :+
+        col(fromCol).cast(dim.schema(fromCol).dataType).as("__from") :+
+        lit(null).cast(changes.schema(effectiveCol).dataType).as("__eff") :+
+        lit(0L).as("__ord")): _*)
+      .withColumn("__is_change", lit(0))
+    val stream = seed.unionByName(
+      ch.withColumn("__from",
+        col("__eff").cast(dim.schema(fromCol).dataType)))
+
+    val byKey = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__is_change"), col("__eff"), col("__ord"))
+    // collapse consecutive no-op entries: a dropped entry's attrs equal
+    // its predecessor's, so by induction comparing against the IMMEDIATE
+    // predecessor is comparing against the last surviving version
+    val attrsStruct = struct(attrCols.map(col): _*)
+    val survivors = stream
+      .withColumn("__prev_attrs", lag(attrsStruct, 1).over(byKey))
+      .withColumn("__has_prev", lag(lit(1), 1).over(byKey))
+      .filter(col("__has_prev").isNull ||
+        !(attrsStruct <=> col("__prev_attrs")))
+
+    val toType = dim.schema(toCol).dataType
+    val byKeySurv = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__is_change"), col("__eff"), col("__ord"))
+    val versions = survivors
+      .withColumn("__close", lead(col("__eff"), 1).over(byKeySurv))
+      .select((keys.map(col) ++ attrCols.map(col) :+
+        col("__from").as(fromCol) :+
+        col("__close").cast(toType).as(toCol)): _*)
+
+    closed.select((keys ++ attrCols :+ fromCol :+ toCol).map(col): _*)
+      .unionByName(versions)
   }
 }

@@ -118,4 +118,132 @@ class DimensionsSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("multiple update rows"))
   }
+
+  test("scd2Apply rejects a dimension with two OPEN rows for one key") {
+    val corrupt = dim.unionByName(
+      Seq((2L, "navy", Some(d("1995-01-01")), None: Option[Date]))
+        .toDF("k", "color", "valid_from", "valid_to"))
+    val changes = Seq((2L, "teal", d("2020-06-01"))).toDF("k", "color", "eff")
+    val e = intercept[IllegalArgumentException] {
+      Dimensions.scd2Apply(corrupt, changes, Seq("k"), Seq("color"),
+        "valid_from", "valid_to", "eff")
+    }
+    assert(e.getMessage.contains("multiple OPEN rows"))
+  }
+
+  // ---- scd2ApplyOrdered: multi-change batches ----
+
+  test("scd2ApplyOrdered folds several changes per key in eff order") {
+    val changes = Seq(
+      (1L, "crimson", d("2020-01-10")),
+      (1L, "maroon", d("2020-06-01")),
+      (1L, "scarlet", d("2021-01-01")),
+      (4L, "black", d("2020-06-01")),   // unseen key, single change
+      (4L, "grey", d("2021-01-01"))
+    ).toDF("k", "color", "eff")
+    val out = Dimensions.scd2ApplyOrdered(dim, changes, Seq("k"), Seq("color"),
+        "valid_from", "valid_to", "eff")
+      .filter(col("k").isin(1L, 4L))
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        Option(r.getDate(2)).map(_.toString),
+        Option(r.getDate(3)).map(_.toString))).toSet
+    assert(out == Set(
+      (1L, "old-red", Some("1980-01-01"), Some("1990-01-01")), // closed verbatim
+      (1L, "red", Some("1990-01-01"), Some("2020-01-10")),
+      (1L, "crimson", Some("2020-01-10"), Some("2020-06-01")),
+      (1L, "maroon", Some("2020-06-01"), Some("2021-01-01")),
+      (1L, "scarlet", Some("2021-01-01"), None),
+      (4L, "black", Some("2020-06-01"), Some("2021-01-01")),
+      (4L, "grey", Some("2021-01-01"), None)))
+  }
+
+  test("scd2ApplyOrdered collapses no-op entries against the last surviving version") {
+    val changes = Seq(
+      (2L, "blue", d("2020-01-10")),   // equals open row -> no-op
+      (2L, "navy", d("2020-06-01")),   // change
+      (2L, "navy", d("2020-09-01")),   // equals previous version -> no-op
+      (2L, "blue", d("2021-01-01"))    // back to blue: a REAL new version
+    ).toDF("k", "color", "eff")
+    val out = Dimensions.scd2ApplyOrdered(dim, changes, Seq("k"), Seq("color"),
+        "valid_from", "valid_to", "eff")
+      .filter(col("k") === 2L)
+      .collect().map(r => (r.getString(1),
+        Option(r.getDate(2)).map(_.toString),
+        Option(r.getDate(3)).map(_.toString))).toSet
+    assert(out == Set(
+      ("blue", Some("1990-01-01"), Some("2020-06-01")),
+      ("navy", Some("2020-06-01"), Some("2021-01-01")),
+      ("blue", Some("2021-01-01"), None)))
+  }
+
+  test("scd2ApplyOrdered: same-day ties break on orderCol, earlier gets a zero-width version") {
+    val changes = Seq(
+      (3L, "lime", d("2020-06-01"), 1L),
+      (3L, "olive", d("2020-06-01"), 2L)
+    ).toDF("k", "color", "eff", "seq")
+    val out = Dimensions.scd2ApplyOrdered(dim, changes, Seq("k"), Seq("color"),
+        "valid_from", "valid_to", "eff", orderCol = Some("seq"))
+      .filter(col("k") === 3L)
+      .collect().map(r => (r.getString(1),
+        Option(r.getDate(2)).map(_.toString),
+        Option(r.getDate(3)).map(_.toString))).toSet
+    assert(out == Set(
+      ("green", Some("1990-01-01"), Some("2020-06-01")),
+      ("lime", Some("2020-06-01"), Some("2020-06-01")), // zero-width
+      ("olive", Some("2020-06-01"), None)))             // tie-winner stays open
+  }
+
+  test("scd2ApplyOrdered rejects same-day ties without an orderCol") {
+    val changes = Seq(
+      (3L, "lime", d("2020-06-01")),
+      (3L, "olive", d("2020-06-01"))
+    ).toDF("k", "color", "eff")
+    val e = intercept[IllegalArgumentException] {
+      Dimensions.scd2ApplyOrdered(dim, changes, Seq("k"), Seq("color"),
+        "valid_from", "valid_to", "eff")
+    }
+    assert(e.getMessage.contains("tied changes"))
+  }
+
+  test("scd2ApplyOrdered with a one-change-per-key batch matches scd2Apply") {
+    val changes = Seq(
+      (1L, "crimson", d("2020-06-01")),
+      (2L, "blue", d("2020-06-01")),
+      (4L, "black", d("2020-06-01"))
+    ).toDF("k", "color", "eff")
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), Option(r.getString(1)),
+        Option(r.getDate(2)).map(_.toString),
+        Option(r.getDate(3)).map(_.toString))).toSet
+    val a = norm(Dimensions.scd2Apply(dim, changes, Seq("k"), Seq("color"),
+      "valid_from", "valid_to", "eff"))
+    val b = norm(Dimensions.scd2ApplyOrdered(dim, changes, Seq("k"), Seq("color"),
+      "valid_from", "valid_to", "eff"))
+    assert(a == b)
+  }
+
+  test("validate=false builds the plan without running any Spark job") {
+    val existing = Seq((1L, "a", 10.0)).toDF("k", "name", "bal")
+    val updates = Seq((2L, "x", 1.0)).toDF("k", "name", "bal")
+    val changes = Seq((1L, "crimson", d("2020-06-01"))).toDF("k", "color", "eff")
+    @volatile var jobs = 0
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs += 1
+    }
+    // drain in-flight events from earlier tests so they don't land on
+    // the new listener, then count jobs during plan construction only
+    org.apache.spark.GraftTestBridge.drainListenerBus(spark.sparkContext)
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      Dimensions.upsert(existing, updates, Seq("k"), validate = false)
+      Dimensions.scd2Apply(dim, changes, Seq("k"), Seq("color"),
+        "valid_from", "valid_to", "eff", validate = false)
+      Dimensions.scd2ApplyOrdered(dim, changes, Seq("k"), Seq("color"),
+        "valid_from", "valid_to", "eff", validate = false)
+      // listener events are async — drain the bus before asserting
+      org.apache.spark.GraftTestBridge.drainListenerBus(spark.sparkContext)
+      assert(jobs == 0, s"plan construction ran $jobs eager validation jobs")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
 }
