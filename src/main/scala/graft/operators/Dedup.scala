@@ -213,11 +213,24 @@ object Dedup {
   /** EXACT all-pairs embedding near-dup reference: every (id_a < id_b)
     * pair with cosine >= threshold by brute force — the ground truth
     * [[embeddingNearDup]]'s LSH-bucketed output is gated against.
-    * O(n²) dot products: validation-scale (or sampled-subset) use only.
+    * O(n²) dot products, so the audit cost at corpus scale is governed
+    * by `truthSampleOneIn`: only rows with `idCol % truthSampleOneIn
+    * == 0` enter the truth side, cutting pair compares by its SQUARE
+    * (one-in-10 → 1% of the compares) while the recall measured on the
+    * surviving deterministic pair subfamily still estimates overall
+    * recall — the sample is an id-modulus, independent of the
+    * operator-under-test's bucketing. The default 1 is the full
+    * validation-scale truth; a 100 TB run DECLARES its audit budget
+    * here instead of hand-editing a filter.
     */
   def embeddingNearDupExact(df: DataFrame, vecCol: String, idCol: String,
-                            threshold: Double = 0.95): DataFrame = {
-    val unit = df.filter(col(vecCol).isNotNull)
+                            threshold: Double = 0.95,
+                            truthSampleOneIn: Int = 1): DataFrame = {
+    require(truthSampleOneIn >= 1, s"bad truthSampleOneIn $truthSampleOneIn")
+    val sampled =
+      if (truthSampleOneIn == 1) df
+      else df.filter(pmod(col(idCol), lit(truthSampleOneIn)) === 0)
+    val unit = sampled.filter(col(vecCol).isNotNull)
       .select(col(idCol).as("__id"), VectorFunctions.l2Normalize(col(vecCol)).as("__v"))
     val a = unit.select(col("__id").as("id_a"), col("__v").as("__va"))
     val b = unit.select(col("__id").as("id_b"), col("__v").as("__vb"))

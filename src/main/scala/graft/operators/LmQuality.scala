@@ -39,19 +39,30 @@ object LmQuality {
 
   /** Train on `corpus`. One pass to count bigrams and heads, one tiny
     * distinct-count for V (the only driver-side scalar).
+    *
+    * `persistModel = true` eagerly localCheckpoints the distinct-bigram
+    * count table (the pattern `Decontaminate.overlapBloom` uses): the
+    * corpus-scale bigram aggregate then runs ONCE, and both the pruned
+    * bigram frame and the head derivation read the materialized counts
+    * — without it the c2all subplan re-evaluates once per consuming
+    * branch (no exchange reuse across the two — verified empirically),
+    * i.e. one extra corpus pass for a one-shot train-and-score. Leave
+    * it false when the model frames will be persisted/written anyway.
+    * (localCheckpoint is executor-local — on a real cluster a reliable
+    * `checkpoint()`/write is the durable variant, as in Dedup's CC
+    * loop note.)
     */
   def train(corpus: DataFrame, textCol: String,
-            alpha: Double = 0.5, minCount: Int = 1): LmModel = {
+            alpha: Double = 0.5, minCount: Int = 1,
+            persistModel: Boolean = false): LmModel = {
     require(alpha > 0.0, s"alpha must be > 0, got $alpha")
     require(minCount >= 1, s"minCount must be >= 1, got $minCount")
     val bg = corpus.select(explode(TF.allWordNgrams(col(textCol), 2)).as("__b"))
     // heads derive from the DISTINCT-bigram count table (tiny next to
     // the raw stream) — the head aggregation's input shrinks from every
-    // bigram occurrence to every distinct bigram. The c2all subplan
-    // still evaluates once per consuming branch (no exchange reuse
-    // across the two — verified empirically); callers scoring many
-    // corpora against one model should persist/write the model frames.
-    val c2all = bg.groupBy(col("__b")).agg(count(lit(1)).as("__n2all"))
+    // bigram occurrence to every distinct bigram
+    val c2allPlan = bg.groupBy(col("__b")).agg(count(lit(1)).as("__n2all"))
+    val c2all = if (persistModel) c2allPlan.localCheckpoint(true) else c2allPlan
     val bigrams = c2all.filter(col("__n2all") >= minCount)
       .select(col("__b"), col("__n2all").as("__n2"))
     // head counts stay UNPRUNED: pruning removes rare continuations
@@ -95,7 +106,8 @@ object LmQuality {
     */
   def selfScore(docs: DataFrame, textCol: String, idCol: String,
                 alpha: Double = 0.5, minCount: Int = 1,
-                broadcastModel: Boolean = true): DataFrame =
+                broadcastModel: Boolean = true,
+                persistModel: Boolean = false): DataFrame =
     score(docs, textCol, idCol,
-      train(docs, textCol, alpha, minCount), broadcastModel)
+      train(docs, textCol, alpha, minCount, persistModel), broadcastModel)
 }

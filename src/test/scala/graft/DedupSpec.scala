@@ -318,4 +318,22 @@ class DedupSpec extends SparkSpec {
     assert(gatedBroken.count() == 0,
       s"broken family must be emptied (raw had ${broken.count()} rows)")
   }
+
+  test("embeddingNearDupExact truthSampleOneIn: declared id-modulus sample of the truth set") {
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 40).flatMap { i =>
+      val base = Array.fill(16)(rnd.nextGaussian().toFloat)
+      val noisy = base.map(x => x + 0.1f * rnd.nextGaussian().toFloat)
+      Seq((i.toLong, base), (i + 1000L, noisy))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val full = Dedup.embeddingNearDupExact(df, "embedding", "vec_id",
+      threshold = 0.8).select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val sampled = Dedup.embeddingNearDupExact(df, "embedding", "vec_id",
+      threshold = 0.8, truthSampleOneIn = 2)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // the sample IS the even-id pair subfamily of the full truth
+    assert(sampled == full.filter(p => p._1 % 2 == 0 && p._2 % 2 == 0))
+    assert(sampled.nonEmpty, "fixture must keep a measurable subfamily")
+  }
 }
