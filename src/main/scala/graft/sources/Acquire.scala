@@ -27,7 +27,9 @@ import java.time.Duration
 object Acquire {
 
   /** One page's outcome: landed file (None if permanently failed),
-    * HTTP status of the last attempt, attempts made. */
+    * HTTP status of the last attempt — or the sentinel -1 when the last
+    * attempt never produced a status (connection-level failure) — and
+    * attempts made. */
   final case class PageResult(page: Int, file: Option[String],
                               status: Int, attempts: Int)
 
@@ -44,6 +46,12 @@ object Acquire {
     * connection failure with doubling backoff starting at `backoffMs`;
     * 4xx (other than the stopping 404) fails the page immediately
     * (client errors do not heal by retrying).
+    *
+    * Re-run semantics: any `page-*.jsonl` already in `outDir` is
+    * DELETED first — a shorter re-run after a longer one would
+    * otherwise leave stale high-numbered pages that a subsequent
+    * `spark.read.json(outDir)` glob silently ingests. Readers that
+    * must be glob-free can use `Report.landedFiles` instead.
     */
   def fetchJsonPages(urlFor: Int => String, outDir: String,
                      maxPages: Int, retries: Int = 3,
@@ -53,6 +61,9 @@ object Acquire {
     require(maxPages >= 1, s"maxPages must be >= 1, got $maxPages")
     require(retries >= 0, s"retries must be >= 0, got $retries")
     Files.createDirectories(Paths.get(outDir))
+    // clear OUR naming pattern only — never other files in a shared dir
+    val stale = Files.newDirectoryStream(Paths.get(outDir), "page-*.jsonl")
+    try stale.forEach(Files.delete(_)) finally stale.close()
     val client = HttpClient.newBuilder()
       .followRedirects(HttpClient.Redirect.NORMAL)
       .connectTimeout(requestTimeout)

@@ -60,12 +60,21 @@ object EventStreams {
     */
   def attribution(actions: DataFrame, causes: DataFrame,
                   userCol: String, actionTsCol: String, causeTsCol: String,
-                  lookback: String): DataFrame =
+                  lookback: String): DataFrame = {
+    // `lookback` is spliced into an INTERVAL literal — validate the
+    // shape first so a malformed value fails with a named error here
+    // (not an opaque parse error downstream) and an arbitrary SQL
+    // fragment can never ride in through the parameter
+    val term = """\d+\s+(?:microsecond|millisecond|second|minute|hour|day|week)s?"""
+    require(lookback.trim.matches(s"(?i)$term(?:\\s+$term)*"),
+      s"""attribution: malformed lookback "$lookback" — expected """ +
+        """'<n> <unit>' terms like "30 minutes" or "1 day 12 hours"""")
     actions.join(causes,
       actions(userCol) === causes(userCol) &&
         causes(causeTsCol) <= actions(actionTsCol) &&
-        causes(causeTsCol) >= actions(actionTsCol) - expr(s"INTERVAL $lookback"))
+        causes(causeTsCol) >= actions(actionTsCol) - expr(s"INTERVAL ${lookback.trim}"))
       .drop(causes(userCol))
+  }
 
   /** Streaming exact dedup for training-data ingest: drop any document
     * whose normalized-content fingerprint (same kernel as the batch

@@ -80,6 +80,24 @@ class AcquireSpec extends SparkSpec {
     }
   }
 
+  test("a shorter re-run clears stale pages from a prior longer run") {
+    val out = Files.createTempDirectory("acquire").toString
+    val limit = new AtomicInteger(5)
+    withServer("/api" -> { ex =>
+      val page = ex.getRequestURI.getQuery.stripPrefix("page=").toInt
+      if (page < limit.get) respond(ex, 200, s"""{"doc_id": $page}""")
+      else respond(ex, 404)
+    }) { port =>
+      def run() = Acquire.fetchJsonPages(
+        p => s"http://127.0.0.1:$port/api?page=$p", out, maxPages = 10)
+      assert(run().landedFiles.size == 5)
+      limit.set(2) // the source shrank; a glob reader must not see pages 2-4
+      assert(run().landedFiles.size == 2)
+      val df = spark.read.schema("doc_id LONG").json(s"$out/*.jsonl")
+      assert(df.count() == 2)
+    }
+  }
+
   test("non-404 client errors fail immediately without retries") {
     val out = Files.createTempDirectory("acquire").toString
     val hits = new AtomicInteger(0)

@@ -115,6 +115,22 @@ class EventStreamsSpec extends SparkSpec {
     assert(streamed == batch && batch.nonEmpty)
   }
 
+  test("attribution rejects a malformed lookback instead of splicing it into SQL") {
+    val a = Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00")))
+      .toDF("user_id", "ats")
+    val c = Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 09:00:00")))
+      .toDF("user_id", "cts")
+    for (bad <- Seq("7 fortnights", "1; DROP TABLE x", "'1 hour'", "")) {
+      val e = intercept[IllegalArgumentException] {
+        EventStreams.attribution(a, c, "user_id", "ats", "cts", bad)
+      }
+      assert(e.getMessage.contains("malformed lookback"), s"for: $bad")
+    }
+    // multi-term and case-insensitive forms still pass
+    assert(EventStreams.attribution(a, c, "user_id", "ats", "cts",
+      "1 Day 12 hours").count() == 1)
+  }
+
   test("streaming ingest lands deduped docs through a checkpointed parquet sink") {
     import EventStreamsSpec.Doc
     val input = MemoryStream[Doc](spark, numPartitions = 1)
