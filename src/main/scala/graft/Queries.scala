@@ -959,18 +959,104 @@ object Queries {
            |FROM documents""".stripMargin))
 
   // ---------------------------------------------------------------------
-  // Multimodal plumbing (binary column -> batched stub decode -> features)
+  // Multimodal plumbing (binary column -> batched REAL raster decode)
   // ---------------------------------------------------------------------
+
+  /** Real pixel decode under the oracle gate: BMP (even doc_id) and PPM
+    * (odd doc_id) blobs are CONSTRUCTED in-plan — a two-color raster
+    * whose first pixel is color A and remaining w·h−1 pixels color B,
+    * dimensions and colors derived from doc_id — then batch-decoded by
+    * [[Multimodal.raster]] (real pixel iteration, no codec), and DuckDB
+    * recomputes dimensions, byte counts, and mean-RGB arithmetically.
+    * Every 7th blob is truncated (mid-header for BMP, mid-pixel-data
+    * for PPM) and must come back with NULL features. Dimensions are
+    * powers of two, so every channel mean is a dyadic rational — exact
+    * in float32 AND float64, which is what makes the hash compare
+    * byte-stable. The codec-bound formats (JPEG/MP4) remain the honest
+    * [[Multimodal.stub]], exercised in MultimodalSpec.
+    */
   private val qMultimodal = Q("q_multimodal_features",
     (s, dir) => {
+      def h2(c: Column): Column = lpad(hex(c), 2, "0")
+      def le32h(c: Column): Column = concat(
+        h2(c.bitwiseAND(lit(255))),
+        h2(shiftright(c, 8).bitwiseAND(lit(255))),
+        h2(shiftright(c, 16).bitwiseAND(lit(255))),
+        h2(shiftright(c, 24).bitwiseAND(lit(255))))
+      val id = col("doc_id")
+      val w = when(pmod(id, lit(3)) === 0, 4)
+        .when(pmod(id, lit(3)) === 1, 8).otherwise(16).cast("int")
+      val hh = when(pmod(id, lit(4)) === 0, 1)
+        .when(pmod(id, lit(4)) === 1, 2)
+        .when(pmod(id, lit(4)) === 2, 4).otherwise(8).cast("int")
+      val wh = (w * hh).cast("int")
+      def rep(px: Column, n: Column): Column =
+        array_join(array_repeat(px, n), "")
+      val aR = pmod(id, lit(256)).cast("int")
+      val aG = pmod(id * 7, lit(256)).cast("int")
+      val aB = pmod(id * 13, lit(256)).cast("int")
+      val bR = pmod(id * 3, lit(256)).cast("int")
+      val bG = pmod(id * 5, lit(256)).cast("int")
+      val bB = pmod(id * 11, lit(256)).cast("int")
+      // widths 4/8/16 make 3·w a multiple of 4: no BMP row padding, so
+      // pixel data is exactly 3·w·h bytes (the decoder handles padded
+      // strides; MultimodalSpec covers that case)
+      val bmpHex = concat(
+        lit("424D"), le32h(lit(54) + wh * 3), lit("00000000"), le32h(lit(54)),
+        le32h(lit(40)), le32h(w), le32h(hh), lit("0100"), lit("1800"),
+        le32h(lit(0)), le32h(wh * 3), le32h(lit(0)), le32h(lit(0)),
+        le32h(lit(0)), le32h(lit(0)),
+        h2(aB), h2(aG), h2(aR), rep(concat(h2(bB), h2(bG), h2(bR)), wh - 1))
+      val ppmHex = concat(
+        hex(encode(concat(lit("P6\n"), w.cast("string"), lit(" "),
+          hh.cast("string"), lit("\n255\n")), "UTF-8")),
+        h2(aR), h2(aG), h2(aB), rep(concat(h2(bR), h2(bG), h2(bB)), wh - 1))
+      val fullHex = when(pmod(id, lit(2)) === 0, bmpHex).otherwise(ppmHex)
+      // 40 hex chars = 20 bytes: inside the BMP info header, inside the
+      // PPM pixel data — both must decode to nothing
+      val blobHex = when(pmod(id, lit(7)) === 0,
+        substring(fullHex, 1, 40)).otherwise(fullHex)
       val media = t(s, dir, "documents")
-        .select(col("doc_id"), encode(col("text"), "UTF-8").as("blob"))
-      Multimodal.featurize(media, "doc_id", "blob", dim = 8)
+        .select(col("doc_id"), unhex(blobHex).as("blob"))
+      Multimodal.featurize(media, "doc_id", "blob", dim = 5,
+          decoder = Multimodal.raster)
         .select(col("media_id").cast("bigint").as("media_id"),
           col("n_bytes").cast("bigint").as("n_bytes"),
-          round(element_at(col("feature"), 1).cast("double"), 6).as("feat0"))
+          get(col("feature"), lit(0)).cast("bigint").as("width"),
+          get(col("feature"), lit(1)).cast("bigint").as("height"),
+          round(get(col("feature"), lit(2)).cast("double"), 6).as("mean_r"),
+          round(get(col("feature"), lit(3)).cast("double"), 6).as("mean_g"),
+          round(get(col("feature"), lit(4)).cast("double"), 6).as("mean_b"))
     },
-    None) // stub decoder output: rows-only check
+    Some("""WITH p AS (
+           |  SELECT doc_id,
+           |         CASE doc_id % 3 WHEN 0 THEN 4 WHEN 1 THEN 8 ELSE 16 END AS w,
+           |         CASE doc_id % 4 WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 4 ELSE 8 END AS h,
+           |         doc_id % 256 AS ar, (doc_id * 7) % 256 AS ag, (doc_id * 13) % 256 AS ab,
+           |         (doc_id * 3) % 256 AS br, (doc_id * 5) % 256 AS bg, (doc_id * 11) % 256 AS bb
+           |  FROM documents),
+           |m AS (
+           |  SELECT doc_id, w, h, w * h AS wh,
+           |         doc_id % 7 = 0 AS trunc, doc_id % 2 = 0 AS is_bmp,
+           |         ar, ag, ab, br, bg, bb
+           |  FROM p)
+           |SELECT CAST(doc_id AS BIGINT) AS media_id,
+           |       CAST(CASE WHEN trunc THEN 20
+           |                 WHEN is_bmp THEN 54 + 3 * wh
+           |                 ELSE 10 + len(CAST(w AS VARCHAR)) + 3 * wh
+           |            END AS BIGINT) AS n_bytes,
+           |       CASE WHEN trunc THEN NULL ELSE CAST(w AS BIGINT) END AS width,
+           |       CASE WHEN trunc THEN NULL ELSE CAST(h AS BIGINT) END AS height,
+           |       CASE WHEN trunc THEN NULL
+           |            ELSE round((ar + (wh - 1) * br) / CAST(wh AS DOUBLE), 6)
+           |       END AS mean_r,
+           |       CASE WHEN trunc THEN NULL
+           |            ELSE round((ag + (wh - 1) * bg) / CAST(wh AS DOUBLE), 6)
+           |       END AS mean_g,
+           |       CASE WHEN trunc THEN NULL
+           |            ELSE round((ab + (wh - 1) * bb) / CAST(wh AS DOUBLE), 6)
+           |       END AS mean_b
+           |FROM m""".stripMargin))
 
   // ---------------------------------------------------------------------
   // Composite / scale-pattern queries

@@ -1,0 +1,128 @@
+package graft.functions
+
+/** Pixel decode for the raster formats that need NO codec — uncompressed
+  * 24-bit BI_RGB BMP and binary PPM (P6). This is the REAL decode path
+  * of [[graft.operators.Multimodal]]: mean-RGB + dimensions come from
+  * actual pixel iteration, shrinking the honest decode stub to the
+  * genuinely codec-bound formats (JPEG/MP4), which this sandbox cannot
+  * decode. Replaces nothing in the reference (its scrapers never touch
+  * pixels); this is the LLM-pipeline image-featurization primitive.
+  *
+  * Every parse failure — wrong magic, unsupported bpp/compression,
+  * truncated header or pixel data — returns None rather than throwing:
+  * a corrupt blob must cost a NULL feature row, never a task.
+  */
+object RasterKernels {
+
+  /** Decoded summary: dimensions + per-channel pixel means (exact
+    * IEEE-double sums over every pixel / pixel count). */
+  final case class Raster(width: Int, height: Int,
+                          meanR: Double, meanG: Double, meanB: Double)
+
+  def decode(bytes: Array[Byte]): Option[Raster] =
+    if (bytes == null || bytes.length < 2) None
+    else if (bytes(0) == 'B' && bytes(1) == 'M') decodeBmp(bytes)
+    else if (bytes(0) == 'P' && bytes(1) == '6') decodePpm(bytes)
+    else None
+
+  private def leU16(b: Array[Byte], i: Int): Int =
+    (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+  private def leI32(b: Array[Byte], i: Int): Int =
+    (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8) |
+      ((b(i + 2) & 0xff) << 16) | ((b(i + 3) & 0xff) << 24)
+
+  /** BMP: 14-byte file header + BITMAPINFOHEADER(>=40), 24 bpp, BI_RGB
+    * (no compression) only. Rows are 4-byte padded, bottom-up when the
+    * stored height is positive, top-down when negative — means are
+    * row-order-invariant but the loop honors the padded row stride.
+    */
+  private def decodeBmp(b: Array[Byte]): Option[Raster] = {
+    if (b.length < 54) return None
+    val dataOffset = leI32(b, 10)
+    val dibSize = leI32(b, 14)
+    val width = leI32(b, 18)
+    val heightRaw = leI32(b, 22)
+    val bpp = leU16(b, 28)
+    val compression = leI32(b, 30)
+    val height = math.abs(heightRaw)
+    if (dibSize < 40 || width <= 0 || height == 0 || bpp != 24 ||
+        compression != 0 || dataOffset < 14 + dibSize) return None
+    val rowSize = ((3 * width + 3) / 4) * 4
+    // overflow-safe bound: width/height are attacker-controlled i32s
+    val need = dataOffset.toLong + rowSize.toLong * height
+    if (need > b.length) return None
+    var sr = 0L; var sg = 0L; var sb = 0L
+    var r = 0
+    while (r < height) {
+      var base = dataOffset + r * rowSize
+      var x = 0
+      while (x < width) {
+        sb += b(base) & 0xff
+        sg += b(base + 1) & 0xff
+        sr += b(base + 2) & 0xff
+        base += 3
+        x += 1
+      }
+      r += 1
+    }
+    val n = width.toLong * height
+    Some(Raster(width, height, sr.toDouble / n, sg.toDouble / n, sb.toDouble / n))
+  }
+
+  /** PPM P6: ASCII header (`P6`, width, height, maxval, each separated
+    * by whitespace, `#` comments allowed) followed by ONE whitespace
+    * byte and then width*height RGB triplets. Only maxval 255 (1 byte
+    * per sample) is supported.
+    */
+  private def decodePpm(b: Array[Byte]): Option[Raster] = {
+    var pos = 2
+    def skipSpaceAndComments(): Boolean = {
+      var progressed = false
+      var go = true
+      while (go && pos < b.length) {
+        val c = b(pos)
+        if (c == ' ' || c == '\t' || c == '\n' || c == '\r' || c == '\f' ||
+            c == 0x0b) { pos += 1; progressed = true }
+        else if (c == '#') {
+          while (pos < b.length && b(pos) != '\n') pos += 1
+          progressed = true
+        } else go = false
+      }
+      progressed
+    }
+    def readInt(): Int = {
+      if (!skipSpaceAndComments()) return -1
+      var v = 0L
+      var digits = 0
+      while (pos < b.length && b(pos) >= '0' && b(pos) <= '9') {
+        v = v * 10 + (b(pos) - '0')
+        if (v > Int.MaxValue) return -1
+        digits += 1
+        pos += 1
+      }
+      if (digits == 0) -1 else v.toInt
+    }
+    val width = readInt()
+    val height = readInt()
+    val maxval = readInt()
+    if (width <= 0 || height <= 0 || maxval != 255) return None
+    // exactly one whitespace byte separates the header from pixel data
+    if (pos >= b.length) return None
+    val sep = b(pos)
+    if (!(sep == ' ' || sep == '\t' || sep == '\n' || sep == '\r')) return None
+    pos += 1
+    val n = width.toLong * height
+    if (pos + 3L * n > b.length) return None
+    var sr = 0L; var sg = 0L; var sb = 0L
+    var i = 0L
+    var p = pos
+    while (i < n) {
+      sr += b(p) & 0xff
+      sg += b(p + 1) & 0xff
+      sb += b(p + 2) & 0xff
+      p += 3
+      i += 1
+    }
+    Some(Raster(width, height, sr.toDouble / n, sg.toDouble / n, sb.toDouble / n))
+  }
+}

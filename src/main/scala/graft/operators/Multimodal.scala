@@ -8,11 +8,15 @@ import org.apache.spark.sql.types._
   * `binary` columns with typed metadata; decode / feature-extract /
   * resize / frame-sample run batched per partition.
   *
-  * The actual codecs (JPEG/PNG/ffmpeg) are NOT in this environment, so the
-  * decode step is a clearly-marked deterministic STUB — but everything
-  * Spark-side is real and tested: schema, batching shape, partition-local
-  * execution, output contract. Swapping `Decoder.stub` for a JNI/ONNX
-  * decoder changes no plan shape.
+  * Decode is REAL for the codec-free raster formats — uncompressed
+  * 24-bit BMP and binary PPM decode to dimensions + mean-RGB via
+  * [[graft.functions.RasterKernels]] ([[raster]]/[[rasterOrStub]]),
+  * and q_multimodal_features hash-checks that path against the DuckDB
+  * oracle. The compressed codecs (JPEG/ffmpeg) are NOT in this
+  * environment, so THAT decode remains a clearly-marked deterministic
+  * STUB — with everything Spark-side real and tested: schema, batching
+  * shape, partition-local execution, output contract. Swapping
+  * [[stub]] for a JNI/ONNX decoder changes no plan shape.
   *
   * Scale notes: `mapPartitions` keeps the decoder amortized (one model /
   * codec init per partition, not per row) and the blobs never shuffle —
@@ -58,9 +62,40 @@ object Multimodal {
     */
   type Decoder = (Seq[Array[Byte]], Int) => Seq[Array[Float]]
 
-  /** STUB batch decoder (stands in for image/audio decode + embed). */
+  /** STUB batch decoder (stands in for CODEC-BOUND decode + embed —
+    * JPEG/MP4; the codec-free rasters have the real [[raster]] path). */
   val stub: Decoder = (blobs: Seq[Array[Byte]], dim: Int) =>
     blobs.map(stubOne(_, dim))
+
+  private def rasterFeatures(r: graft.functions.RasterKernels.Raster,
+                             dim: Int): Array[Float] =
+    Array(r.width.toFloat, r.height.toFloat, r.meanR.toFloat,
+      r.meanG.toFloat, r.meanB.toFloat).padTo(dim, 0f).take(dim)
+
+  /** REAL raster decoder (BMP 24-bit BI_RGB, binary PPM): features =
+    * [width, height, meanR, meanG, meanB] from actual pixel iteration,
+    * padded/truncated to `dim`. Undecodable or truncated blobs yield an
+    * EMPTY feature vector — the strict contract a hash-gated pipeline
+    * wants (`get(feature, i)` reads NULL, never a pseudo-feature).
+    */
+  val raster: Decoder = (blobs: Seq[Array[Byte]], dim: Int) =>
+    blobs.map { b =>
+      graft.functions.RasterKernels.decode(b) match {
+        case Some(r) => rasterFeatures(r, dim)
+        case None => Array.empty[Float]
+      }
+    }
+
+  /** Raster decode where the format allows it, [[stub]] pseudo-features
+    * for the codec-bound rest — the mixed-corpus default.
+    */
+  val rasterOrStub: Decoder = (blobs: Seq[Array[Byte]], dim: Int) =>
+    blobs.map { b =>
+      graft.functions.RasterKernels.decode(b) match {
+        case Some(r) => rasterFeatures(r, dim)
+        case None => stubOne(b, dim)
+      }
+    }
 
   private def stubOne(bytes: Array[Byte], dim: Int): Array[Float] = {
     val out = new Array[Float](dim)

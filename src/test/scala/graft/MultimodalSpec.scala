@@ -222,4 +222,85 @@ class MultimodalSpec extends SparkSpec {
     assert(out.count() == 4) // two 4-byte frames per blob
     assert(out.filter(col("media_id").isNull).count() == 2)
   }
+
+  // ---- real raster decode (RasterKernels via Multimodal.raster) ----
+
+  import graft.functions.RasterKernels
+
+  /** Hand-assembled 24-bpp BI_RGB BMP; `topDown` stores a negative
+    * height; rows are 4-byte padded (w=2 -> 2 pad bytes per row). */
+  private def bmp(w: Int, h: Int, px: Seq[(Int, Int, Int)],
+                  topDown: Boolean = false): Array[Byte] = {
+    val rowSize = ((3 * w + 3) / 4) * 4
+    val size = 54 + rowSize * h
+    val b = java.nio.ByteBuffer.allocate(size)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put('B'.toByte).put('M'.toByte).putInt(size).putInt(0).putInt(54)
+    b.putInt(40).putInt(w).putInt(if (topDown) -h else h)
+      .putShort(1).putShort(24).putInt(0).putInt(rowSize * h)
+      .putInt(0).putInt(0).putInt(0).putInt(0)
+    for (r <- 0 until h) {
+      for (x <- 0 until w) {
+        val (pr, pg, pb) = px(r * w + x)
+        b.put(pb.toByte).put(pg.toByte).put(pr.toByte)
+      }
+      for (_ <- 3 * w until rowSize) b.put(0xEE.toByte) // padding ignored
+    }
+    b.array()
+  }
+
+  test("BMP decode: padded rows, bottom-up and top-down, exact means") {
+    val px = Seq((10, 20, 30), (50, 60, 70), (90, 100, 110), (130, 140, 150))
+    for (topDown <- Seq(false, true)) {
+      val r = RasterKernels.decode(bmp(2, 2, px, topDown)).get
+      assert(r.width == 2 && r.height == 2)
+      assert(r.meanR == 70.0 && r.meanG == 80.0 && r.meanB == 90.0)
+    }
+    // padding bytes (0xEE) must not leak into the means: w=3 pads 3/row
+    val px3 = Seq.fill(3)((8, 16, 24))
+    val r3 = RasterKernels.decode(bmp(3, 1, px3)).get
+    assert(r3.meanR == 8.0 && r3.meanG == 16.0 && r3.meanB == 24.0)
+  }
+
+  test("PPM decode: comments in header, exact means; maxval != 255 rejected") {
+    val hdr = "P6\n# a comment\n2 1\n255\n".getBytes("US-ASCII")
+    val pix = Array(10, 20, 30, 50, 60, 70).map(_.toByte)
+    val r = RasterKernels.decode(hdr ++ pix).get
+    assert(r.width == 2 && r.height == 1)
+    assert(r.meanR == 30.0 && r.meanG == 40.0 && r.meanB == 50.0)
+    val wide = "P6\n2 1\n65535\n".getBytes("US-ASCII") ++ pix
+    assert(RasterKernels.decode(wide).isEmpty)
+  }
+
+  test("truncated/unsupported rasters decode to None, never throw") {
+    val good = bmp(2, 2, Seq.fill(4)((1, 2, 3)))
+    assert(RasterKernels.decode(good.take(20)).isEmpty)        // header cut
+    assert(RasterKernels.decode(good.dropRight(1)).isEmpty)    // pixels cut
+    val ppm = "P6\n2 1\n255\n".getBytes("US-ASCII") ++ Array[Byte](1, 2, 3)
+    assert(RasterKernels.decode(ppm).isEmpty)                  // 1 of 2 pixels
+    val bpp8 = good.clone(); bpp8(28) = 8                      // not 24-bpp
+    assert(RasterKernels.decode(bpp8).isEmpty)
+    assert(RasterKernels.decode(Array[Byte]()).isEmpty)
+    assert(RasterKernels.decode(null).isEmpty)
+  }
+
+  test("raster decoder in featurize: real features for rasters, empty for the rest") {
+    val blobs = Seq(
+      (1L, bmp(2, 1, Seq((10, 20, 30), (30, 40, 50)))),
+      (2L, "P6\n1 1\n255\n".getBytes("US-ASCII") ++ Array[Byte](5, 6, 7)),
+      (3L, "not an image".getBytes("US-ASCII")))
+    val df = blobs.toDF("id", "blob")
+    val out = Multimodal.featurize(df, "id", "blob", dim = 5,
+        decoder = Multimodal.raster)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](2)).toMap
+    assert(out(1L) == Seq(2f, 1f, 20f, 30f, 40f))
+    assert(out(2L) == Seq(1f, 1f, 5f, 6f, 7f))
+    assert(out(3L).isEmpty)
+    // rasterOrStub: same rasters, stub pseudo-features for the rest
+    val mixed = Multimodal.featurize(df, "id", "blob", dim = 5,
+        decoder = Multimodal.rasterOrStub)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](2)).toMap
+    assert(mixed(1L) == out(1L) && mixed(2L) == out(2L))
+    assert(mixed(3L).length == 5 && mixed(3L) != out(3L))
+  }
 }
