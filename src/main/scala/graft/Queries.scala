@@ -1919,6 +1919,20 @@ object Queries {
            |FROM g JOIN d USING (gram)
            |GROUP BY g.doc_id""".stripMargin))
 
+  /** The salted-join variant of [[qDupSpans]] under the same oracle —
+    * `saltBuckets = 8` is the explicit skew mitigation for boilerplate
+    * grams (AQE's skew split structurally can't fire on this plan
+    * shape; see [[Dedup.spanDuplication]] and SCALING.md). Salting is
+    * result-invariant, so the driver hash-checks that invariance every
+    * round.
+    */
+  private val qDupSpansSalted = Q("q_dup_spans_salted",
+    (s, dir) => Dedup.spanDuplication(t(s, dir, "documents"),
+        "text", "doc_id", n = 4, minDocs = 2, saltBuckets = 8)
+      .select(col("doc_id").cast("bigint").as("doc_id"),
+        col("n_grams"), col("n_dup_grams"), col("dup_frac")),
+    qDupSpans.oracle)
+
   /** Hybrid retrieval: BM25 lexical ranking fused with embedding-cosine
     * semantic ranking by reciprocal-rank fusion (see
     * [[Ranking.rrfFuse]]). The lexical query is the same term bag as
@@ -2432,7 +2446,7 @@ object Queries {
     qRangeJoinSemi, qLineDedup, qPiiRedact, qCube, qTfidf, qTokenBudget,
     qQualityGate, qImageMeta, qMixtureWeights, qLabelConfusion,
     qDecontaminateEmbed,
-    qDupSpans, qHybridRrf, qApproxDistinct, qApproxQuantiles,
+    qDupSpans, qDupSpansSalted, qHybridRrf, qApproxDistinct, qApproxQuantiles,
     qDecontaminateBloom, qLmScore, qEventAttribution, qUpsert, qScd2,
     qZorder, qScd2Multi)
 }

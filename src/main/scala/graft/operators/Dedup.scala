@@ -482,8 +482,24 @@ object Dedup {
     * document-frequency aggregate and the duplicate-flag join back onto
     * (doc, gramHash) — carry ~16-byte rows, never gram text. The
     * distinct-per-doc gram kernel ([[TextFunctions.wordNgrams]]) bounds
-    * any one gram's rows by the corpus doc count, and a genuinely hot
-    * boilerplate gram is an AQE-splittable skew key of narrow rows.
+    * any one gram's rows by the corpus doc count. A genuinely hot
+    * boilerplate gram is a skew key of narrow rows in the dup-flag
+    * join's probe side, and — measured, SCALING.md "Span dedup under
+    * boilerplate skew" — AQE's skew-join split can NEVER rescue it
+    * here: the dup-gram aggregate is already partitioned on `__gh`, so
+    * EnsureRequirements elides its exchange, the final HashAggregate
+    * fuses into the join stage, and OptimizeSkewedJoin (which matches
+    * only ENSURE_REQUIREMENTS ShuffleQueryStage children on BOTH
+    * sides) never fires; re-exchanging the dup side by hand doesn't
+    * help either, because a user repartition carries the
+    * REPARTITION_BY_COL origin the matcher also rejects. Skew
+    * mitigation must therefore be explicit: `saltBuckets > 1` routes
+    * the dup-flag join through [[Ops.saltedJoin]], spreading each hot
+    * gram's probe rows over `saltBuckets` reducers at the cost of
+    * replicating the (already df-filtered) dup-gram table that many
+    * times — the right trade exactly in the forced sort-merge regime
+    * where the dup-gram set is too big to broadcast, which is the same
+    * regime where the skew exists at all.
     * Hash collisions conflate grams at the usual 2^-64 pair rate — the
     * same contract every fingerprint-keyed dedup here accepts.
     *
@@ -493,9 +509,11 @@ object Dedup {
     * @return (doc_id, n_grams, n_dup_grams, dup_frac) per document
     */
   def spanDuplication(docs: DataFrame, textCol: String, idCol: String,
-                      n: Int, minDocs: Int = 2): DataFrame = {
+                      n: Int, minDocs: Int = 2,
+                      saltBuckets: Int = 1): DataFrame = {
     require(n >= 1, s"n must be >= 1, got $n")
     require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    require(saltBuckets >= 1, s"saltBuckets must be >= 1, got $saltBuckets")
     val grams = docs.select(col(idCol).as("doc_id"),
         explode(TextFunctions.wordNgrams(col(textCol), n)).as("__g"))
       .select(col("doc_id"), xxhash64(col("__g")).as("__gh"))
@@ -504,7 +522,11 @@ object Dedup {
       .agg(count(lit(1)).as("__df"))
       .filter(col("__df") >= minDocs)
       .select(col("__gh"), lit(1).as("__dup"))
-    grams.join(dupGrams, Seq("__gh"), "left")
+    val flagged =
+      if (saltBuckets > 1)
+        Ops.saltedJoin(grams, dupGrams, Seq("__gh"), saltBuckets, "left")
+      else grams.join(dupGrams, Seq("__gh"), "left")
+    flagged
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).cast("long").as("n_grams"),
         count(col("__dup")).cast("long").as("n_dup_grams"))

@@ -46,6 +46,19 @@ class DedupSpec extends SparkSpec {
     assert(math.abs(frac - 5.0 / 6.0) < 1e-5)
   }
 
+  test("spanDuplication: saltBuckets > 1 is result-identical to the plain join") {
+    // boilerplate-skewed corpus in miniature: every even doc shares one
+    // hot gram (the shape SkewStress measures at 8M docs)
+    val skewed = (1L to 40L).map(i =>
+      (i, if (i % 2 == 0) s"u${i}a u${i}b u${i}c hot bp gram"
+          else s"u${i}a u${i}b u${i}c u${i}d u${i}e u${i}f")).toDF("doc_id", "text")
+    val plain = Dedup.spanDuplication(skewed, "text", "doc_id", n = 3)
+    val salted = Dedup.spanDuplication(skewed, "text", "doc_id", n = 3,
+      saltBuckets = 7)
+    assert(salted.except(plain).isEmpty && plain.except(salted).isEmpty)
+    assert(salted.count() == 40L)
+  }
+
   test("spanDuplication: docs below n tokens drop out; minDocs raises the bar") {
     val tiny = Seq((1L, "a b c"), (2L, "a b c")).toDF("doc_id", "text")
     assert(Dedup.spanDuplication(tiny, "text", "doc_id", n = 4).count() == 0)
