@@ -35,9 +35,11 @@ import org.apache.spark.sql.functions._
   * (`monotonically_increasing_id` on whatever partitions arrive) is not
   * a stable tie-break. Callers pass `lookupOrder` (e.g. the dimension's
   * id — the file order every reference lookup was written in) or get a
-  * deterministic default sort on (lookupField, appendCols). Either way
-  * the winner is a pure function of the DATA, invariant to physical
-  * layout.
+  * deterministic default sort on (lookupField, appendCols). The sort is
+  * totalized either way — every projected column trails the caller's
+  * order as a tie-break — so even a non-total `lookupOrder` cannot make
+  * the winner depend on upstream partitioning. The winner is a pure
+  * function of the DATA, invariant to physical layout.
   *
   * Appended lookup columns whose names collide with main columns are
   * dropped from the output — mirroring the reference, where such
@@ -50,7 +52,16 @@ object FuzzyMatch {
                        appendCols: Seq[String],
                        lookupOrder: Seq[Column]): DataFrame = {
     val cols = (lookupField +: appendCols).distinct
-    val order = if (lookupOrder.nonEmpty) lookupOrder else cols.map(col)
+    // The caller's lookupOrder is totalized by appending every projected
+    // column as a trailing tie-break: a no-op when lookupOrder is already
+    // total (the documented contract), and when it is NOT — two lookup
+    // rows tied on every order column — the winner is still a pure
+    // function of the data instead of of whatever row order the upstream
+    // partitioning happened to deliver. Rows identical in the order AND
+    // all projected columns are interchangeable, so any residual tie is
+    // unobservable in the output.
+    val order = (if (lookupOrder.nonEmpty) lookupOrder else Seq.empty) ++
+      cols.map(col)
     // single partition (broadcast-sized by contract) + explicit sort:
     // __lk_order is then 0..n-1 in DECLARED order — deterministic under
     // any upstream partitioning and across task retries; also avoids a

@@ -57,6 +57,22 @@ class FuzzyMatchSpec extends SparkSpec {
     assert(winner(lookup.coalesce(1)) == base)
   }
 
+  test("non-total lookupOrder: winner is still data-determined, not layout-determined") {
+    val main = Seq((1L, "ab")).toDF("id", "name")
+    // both tie candidates share grp=1, so the caller's order is NOT a
+    // total order — the totalized sort (projected columns trail it as
+    // tie-breaks) must settle the winner from the data: cname "ax" < "xb"
+    val lookup = Seq((20L, "xb", 1), (10L, "ax", 1)).toDF("cid", "cname", "grp")
+    def winner(lk: org.apache.spark.sql.DataFrame): Long =
+      FuzzyMatch.bestMatchById(main, "id", "name", lk, "cname", Seq("cid"),
+          lookupOrder = Seq(col("grp")))
+        .select("cid").as[Long].collect().head
+    val base = winner(lookup)
+    assert(base == 10L)
+    assert(winner(lookup.repartition(5)) == base)
+    assert(winner(lookup.orderBy(col("cid").desc)) == base)
+  }
+
   test("lookupOrder is honored: reversing it flips the tie winner") {
     val main = Seq((1L, "ab")).toDF("id", "name")
     val lookup = Seq((10L, "ax"), (20L, "xb")).toDF("cid", "cname")
