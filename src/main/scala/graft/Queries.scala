@@ -482,6 +482,34 @@ object Queries {
            |FROM documents
            |GROUP BY lower(regexp_replace(trim(text), '[ \t\n\x0B\f\r]+', ' ', 'g'))""".stripMargin))
 
+  /** Ingestion-time dedup: docs with `doc_id % 4 = 0` stand in for the
+    * already-indexed corpus ([[Dedup.fingerprints]]), the rest arrive as
+    * the new batch — [[Dedup.incrementalExact]] admits first-in-batch
+    * rows whose content the index has never seen. The oracle replays
+    * admission with NOT EXISTS on the same normalized content (equal to
+    * the fingerprint anti-join up to xxhash64 collisions, the contract
+    * every fingerprint dedup here accepts) and keep-first with GROUP BY.
+    */
+  private val qIncrementalDedup = Q("q_incremental_dedup",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val history = Dedup.fingerprints(docs.filter(col("doc_id") % 4 === 0), "text")
+      Dedup.incrementalExact(docs.filter(col("doc_id") % 4 =!= 0), history,
+          "text", "doc_id")
+        .select(col("doc_id").cast("bigint").as("doc_id"))
+    },
+    Some("""WITH hist AS (
+           |  SELECT lower(regexp_replace(trim(text), '[ \t\n\x0B\f\r]+', ' ', 'g')) AS k
+           |  FROM documents WHERE doc_id % 4 = 0),
+           |newb AS (
+           |  SELECT doc_id,
+           |         lower(regexp_replace(trim(text), '[ \t\n\x0B\f\r]+', ' ', 'g')) AS k
+           |  FROM documents WHERE doc_id % 4 <> 0)
+           |SELECT CAST(min(doc_id) AS BIGINT) AS doc_id
+           |FROM newb n
+           |WHERE NOT EXISTS (SELECT 1 FROM hist h WHERE h.k = n.k)
+           |GROUP BY k""".stripMargin))
+
   /** MinHash+LSH with a SELF-VERIFYING recall gate: the plan joins the
     * LSH output against the EXACT blocked-Jaccard operator (the same
     * one q_ngram_jaccard hash-checks against DuckDB) over (lang,
@@ -2446,7 +2474,8 @@ object Queries {
     qRangeJoinSemi, qLineDedup, qPiiRedact, qCube, qTfidf, qTokenBudget,
     qQualityGate, qImageMeta, qMixtureWeights, qLabelConfusion,
     qDecontaminateEmbed,
-    qDupSpans, qDupSpansSalted, qHybridRrf, qApproxDistinct, qApproxQuantiles,
+    qDupSpans, qDupSpansSalted, qIncrementalDedup, qHybridRrf,
+    qApproxDistinct, qApproxQuantiles,
     qDecontaminateBloom, qLmScore, qEventAttribution, qUpsert, qScd2,
     qZorder, qScd2Multi)
 }

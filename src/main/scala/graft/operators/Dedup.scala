@@ -585,4 +585,62 @@ object Dedup {
     // recomputes are codegen-cheap
     if (bands == 1) scored else scored.dropDuplicates("id_a", "id_b")
   }
+
+  /** Fingerprint-index rows for [[incrementalExact]]: the distinct
+    * normalized-content fingerprints of a corpus (or of an admitted
+    * batch, when appending) — ONE long per distinct content, so a
+    * trillion-document corpus indexes in single-digit terabytes of
+    * parquet however many petabytes the text occupies. Persist with
+    * [[graft.sources.Sinks.writeBucketed]] on `fp` so every subsequent
+    * ingest reads it exchange-free.
+    */
+  def fingerprints(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(TextFunctions.contentFingerprint(col(textCol)).as("fp"))
+      .distinct()
+
+  /** Incremental exact dedup — the ingestion-time form of [[exact]]: a
+    * NEW batch row is admitted iff its normalized-content fingerprint
+    * (a) has no row in the historical corpus index and (b) is the first
+    * occurrence (lowest `idCol`) within the batch.
+    *
+    * [[exact]] re-scans the whole corpus per run; a continuously-fed
+    * corpus instead carries its history as the [[fingerprints]] index
+    * and pays per ingest only one hash-aggregate over the batch plus an
+    * anti-join against the index. With the index bucketed on `fp` at
+    * the session's shuffle parallelism, the batch's keep-first
+    * aggregate and the anti-join share one exchange and the index side
+    * never shuffles at all (DedupSpec asserts the single-exchange
+    * plan) — the 100 TB contract: per-ingest shuffle volume is O(batch),
+    * independent of corpus size.
+    *
+    * Admission is anti-join semantics, NOT `NOT IN`: a null fingerprint
+    * (null text) never matches the index — even an index row with a
+    * null `fp` — so null-text rows are always admitted (one per batch:
+    * within the batch they form a single group, mirroring [[exact]]'s
+    * GROUP BY contract; the DuckDB oracle mirrors this with
+    * NOT EXISTS).
+    *
+    * @param historyFps index frame bearing an `fp` column
+    *                   ([[fingerprints]] output, usually a bucketed
+    *                   table read)
+    * @return admitted rows (all `newDocs` columns) plus `fp`; feed
+    *         `.select("fp")` back to the index append for the next run
+    */
+  def incrementalExact(newDocs: DataFrame, historyFps: DataFrame,
+                       textCol: String, idCol: String): DataFrame = {
+    require(historyFps.columns.contains("fp"),
+      s"historyFps must carry an 'fp' column, has ${historyFps.columns.mkString(",")}")
+    val cols = newDocs.columns.toSeq
+    require(!cols.exists(_.equalsIgnoreCase("fp")),
+      "newDocs must not already carry an 'fp' column")
+    val firsts = newDocs
+      .withColumn("__fp", TextFunctions.contentFingerprint(col(textCol)))
+      .groupBy(col("__fp"))
+      // min_by carries the whole winning row through the aggregate, so
+      // keep-first costs the same one partial+final hash-agg as exact()
+      .agg(min_by(struct(cols.map(col): _*), col(idCol)).as("__row"))
+    firsts.join(historyFps.select(col("fp")),
+        firsts("__fp") === col("fp"), "left_anti")
+      .select(cols.map(c => col(s"__row.$c")) :+ col("__fp").as("fp"): _*)
+  }
 }

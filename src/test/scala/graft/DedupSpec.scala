@@ -59,6 +59,53 @@ class DedupSpec extends SparkSpec {
     assert(salted.count() == 40L)
   }
 
+  test("incrementalExact: history blocks, keep-first within batch, nulls admitted") {
+    val history = Dedup.fingerprints(
+      Seq((100L, "seen before"), (101L, null.asInstanceOf[String]))
+        .toDF("doc_id", "text"), "text")
+    val batch = Seq(
+      (1L, "Seen   before"),   // normalizes to an indexed fingerprint -> blocked
+      (2L, "fresh content"),   // admitted
+      (3L, "fresh  CONTENT"),  // same normalized content as 2 -> in-batch dup
+      (4L, null.asInstanceOf[String]), // null fp never matches history (even its null row)
+      (5L, null.asInstanceOf[String])) // second null-text row: one group, first wins
+      .toDF("doc_id", "text")
+    val out = Dedup.incrementalExact(batch, history, "text", "doc_id")
+    assert(out.columns.toSeq == Seq("doc_id", "text", "fp"))
+    assert(out.select("doc_id").as[Long].collect().sorted.toSeq == Seq(2L, 4L))
+  }
+
+  test("incrementalExact vs empty history reproduces exact()'s keep set") {
+    val docs = Seq((1L, "a  b"), (2L, "A B"), (3L, "c"), (4L, "d"), (5L, "c "))
+      .toDF("doc_id", "text")
+    val empty = Dedup.fingerprints(docs.limit(0), "text")
+    val admitted = Dedup.incrementalExact(docs, empty, "text", "doc_id")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    val keeps = Dedup.exact(docs, "text", "doc_id")
+      .select("keep_id").as[Long].collect().sorted.toSeq
+    assert(admitted == keeps && admitted == Seq(1L, 3L, 4L))
+  }
+
+  test("incrementalExact: bucketed index joins with ONE exchange (batch side only)") {
+    // the 100 TB contract: per-ingest shuffle volume is O(batch) — the
+    // corpus-scale index, bucketed on fp at the session parallelism,
+    // must plan with no exchange of its own, and the batch's keep-first
+    // aggregate exchange must be REUSED by the anti-join
+    val nBuckets = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val corpus = (1L to 200L).map(i => (i, s"corpus doc $i")).toDF("doc_id", "text")
+    graft.sources.Sinks.writeBucketed(
+      Dedup.fingerprints(corpus, "text"), "graft_fp_index", Seq("fp"), nBuckets)
+    try {
+      val batch = (150L to 250L).map(i => (i, s"corpus doc $i")).toDF("doc_id", "text")
+      val out = Dedup.incrementalExact(batch, spark.table("graft_fp_index"),
+        "text", "doc_id")
+      val p = out.queryExecution.executedPlan.toString
+      assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+      assert(out.select("doc_id").as[Long].collect().sorted.toSeq ==
+        (201L to 250L).toSeq)
+    } finally spark.sql("DROP TABLE IF EXISTS graft_fp_index")
+  }
+
   test("spanDuplication: docs below n tokens drop out; minDocs raises the bar") {
     val tiny = Seq((1L, "a b c"), (2L, "a b c")).toDF("doc_id", "text")
     assert(Dedup.spanDuplication(tiny, "text", "doc_id", n = 4).count() == 0)
