@@ -510,6 +510,38 @@ object Queries {
            |WHERE NOT EXISTS (SELECT 1 FROM hist h WHERE h.k = n.k)
            |GROUP BY k""".stripMargin))
 
+  /** Ingestion-time NEAR-dup: the same history/batch split as
+    * [[qIncrementalDedup]], with the corpus carried as its
+    * [[Dedup.minhashIndex]] (band keys + signatures — never text) and
+    * pairs scored by signature agreement. Self-verifying: ≥90% of the
+    * TRUE cross-set ≥0.5-Jaccard pairs (exact blocked 5-gram Jaccard —
+    * the operator q_ngram_jaccard hash-checks) must be recovered or the
+    * query answers ZERO rows; the floor prices banding loss plus
+    * estimator noise, same contract as q_dedup_minhash.
+    */
+  private val qIncrementalMinhash = Q("q_incremental_minhash",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val hist = docs.filter(col("doc_id") % 4 === 0)
+      val batch = docs.filter(col("doc_id") % 4 =!= 0)
+      val (idxBands, idxSigs) = Dedup.minhashIndex(hist, "text", "doc_id")
+      val out = Dedup.incrementalMinhash(batch, idxBands, idxSigs,
+        "text", "doc_id")
+      val truth = Dedup.ngramJaccardPairs(
+        docs.withColumn("blk",
+          concat(col("lang"), lit("#"), pmod(col("doc_id"), lit(16)).cast("string"))),
+        "text", "doc_id", "blk", n = 5, minJaccard = 0.5)
+        .filter((col("id_a") % 4 === 0) =!= (col("id_b") % 4 === 0))
+        .select(
+          when(col("id_a") % 4 =!= 0, col("id_a")).otherwise(col("id_b")).as("new_id"),
+          when(col("id_a") % 4 === 0, col("id_a")).otherwise(col("id_b")).as("hist_id"))
+      Ops.recallGate(out, truth, Seq("new_id", "hist_id"), floor = 0.9)
+        .select(col("new_id").cast("bigint").as("new_id"),
+          col("hist_id").cast("bigint").as("hist_id"),
+          col("est_jaccard"), col("recall"))
+    },
+    None) // hash-family signature estimate: not oracle-expressible; recall-gated
+
   /** MinHash+LSH with a SELF-VERIFYING recall gate: the plan joins the
     * LSH output against the EXACT blocked-Jaccard operator (the same
     * one q_ngram_jaccard hash-checks against DuckDB) over (lang,
@@ -2474,8 +2506,8 @@ object Queries {
     qRangeJoinSemi, qLineDedup, qPiiRedact, qCube, qTfidf, qTokenBudget,
     qQualityGate, qImageMeta, qMixtureWeights, qLabelConfusion,
     qDecontaminateEmbed,
-    qDupSpans, qDupSpansSalted, qIncrementalDedup, qHybridRrf,
-    qApproxDistinct, qApproxQuantiles,
+    qDupSpans, qDupSpansSalted, qIncrementalDedup, qIncrementalMinhash,
+    qHybridRrf, qApproxDistinct, qApproxQuantiles,
     qDecontaminateBloom, qLmScore, qEventAttribution, qUpsert, qScd2,
     qZorder, qScd2Multi)
 }

@@ -38,6 +38,17 @@ object Dedup {
     GraftBridge.column(MinHashes(GraftBridge.expression(shingleHashes), k))
   }
 
+  /** Per-band LSH keys of a minhash signature: element `b` is xxhash64
+    * over the band's `r` consecutive signature members — the banding
+    * construction shared by [[minhashLsh]] and [[minhashIndex]] (the
+    * two MUST agree, or an index built today never collides with a
+    * batch banded tomorrow).
+    */
+  private def bandHashes(sig: Column, bands: Int, r: Int): Column =
+    array((0 until bands).map { b =>
+      xxhash64((0 until r).map(i => element_at(sig, b * r + i + 1)): _*)
+    }: _*)
+
   /** Bounded collect: the `limit` smallest values per group as a sorted
     * array — `slice(array_sort(collect_list(x)), 1, limit)` semantics
     * with the cap enforced inside the aggregation buffer (see
@@ -96,9 +107,7 @@ object Dedup {
     // (id, band, bandHash) only — no arrays in the wide stage
     val banded = withSig.select(
       col("__id"),
-      posexplode(array((0 until bands).map { b =>
-        xxhash64((0 until r).map(i => element_at(col("__sig"), b * r + i + 1)): _*)
-      }: _*)).as(Seq("__band", "__bandhash")))
+      posexplode(bandHashes(col("__sig"), bands, r)).as(Seq("__band", "__bandhash")))
 
     // one shuffle: bucket members collected per (band, bandHash);
     // singleton buckets (the overwhelming majority) die before any join
@@ -642,5 +651,112 @@ object Dedup {
     firsts.join(historyFps.select(col("fp")),
         firsts("__fp") === col("fp"), "left_anti")
       .select(cols.map(c => col(s"__row.$c")) :+ col("__fp").as("fp"): _*)
+  }
+
+  /** MinHash index of a corpus — the near-dup twin of [[fingerprints]],
+    * consumed by [[incrementalMinhash]]. Two frames, because they serve
+    * two different joins:
+    *
+    *  - `bands` (doc_id, band, bandhash): ~24 B × bands per doc; the
+    *    candidate join's build side. Persist bucketed on
+    *    (band, bandhash).
+    *  - `sigs` (doc_id, sig): numHashes longs per doc; the
+    *    verification join's build side. Persist bucketed on doc_id.
+    *
+    * Folding the signature into every band row would multiply its
+    * storage by `bands` and drag K longs through the candidate
+    * shuffle — the split keeps each join's payload minimal. Total index
+    * size is ~(24·bands + 8·numHashes) bytes/doc: a 100 TB corpus of
+    * ~25 B docs indexes in ~6 TB at the defaults, and ingests never
+    * touch corpus TEXT again.
+    *
+    * Docs with no shingle (shorter than the window, null text) are
+    * excluded: an all-sentinel signature would declare every pair of
+    * empty docs a perfect near-dup, where the exact kernel scores
+    * empty∩empty as 0 ([[sortedJaccard]] union=0 → 0.0).
+    *
+    * The banding construction is [[bandHashes]], shared with
+    * [[minhashLsh]] — an index built by one collides correctly with
+    * batches banded by the other.
+    */
+  def minhashIndex(docs: DataFrame, textCol: String, idCol: String,
+                   shingleSize: Int = 5, numHashes: Int = 16,
+                   bands: Int = 4): (DataFrame, DataFrame) = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    val sigs = docs
+      .select(col(idCol).as("doc_id"),
+        TextFunctions.shingleHashes(col(textCol), shingleSize).as("__hs"))
+      .filter(size(col("__hs")) > 0)
+      .select(col("doc_id"), minhashSignature(col("__hs"), numHashes).as("sig"))
+    val banded = sigs.select(col("doc_id"),
+      posexplode(bandHashes(col("sig"), bands, r)).as(Seq("band", "bandhash")))
+    (banded, sigs)
+  }
+
+  /** Incremental near-dup detection — the ingestion-time form of
+    * [[minhashLsh]]: new-batch documents are checked against the
+    * historical corpus through its [[minhashIndex]], never through its
+    * text. Candidates collide in any LSH band; each candidate pair is
+    * scored by SIGNATURE AGREEMENT (fraction of equal minhash members —
+    * an unbiased estimator of Jaccard with sd ≈ √(j(1-j)/K)), because
+    * exact re-verification would require corpus shingles the index
+    * deliberately does not store. At the default K=16 the estimate is
+    * coarse (granularity 1/16) — callers screening at a tight threshold
+    * should raise `numHashes` at index-build time; near-identical
+    * duplicates (the overwhelming near-dup population in web corpora)
+    * sit at agreement ≈ 1 regardless.
+    *
+    * Scale shape mirrors [[incrementalExact]]: per ingest the batch is
+    * shingled/signed once; the candidate join shuffles (id, band, hash)
+    * rows; with the index frames persisted bucketed (bands on
+    * (band, bandhash), sigs on doc_id) neither corpus-scale side
+    * re-exchanges. The batch side is capped at `maxBucket` members per
+    * bucket inside the aggregation buffer (same bounded-buffer contract
+    * as [[minhashLsh]], same reason: AQE cannot split a skewed bucketed
+    * scan, so a mass-duplicated batch must be bounded explicitly);
+    * candidate volume per bucket is then ≤ maxBucket × the bucket's
+    * index rows.
+    *
+    * @return (new_id, hist_id, est_jaccard) with est_jaccard ≥
+    *         `threshold`, rounded to 6 places
+    */
+  def incrementalMinhash(newDocs: DataFrame, indexBands: DataFrame,
+                         indexSigs: DataFrame, textCol: String,
+                         idCol: String, shingleSize: Int = 5,
+                         numHashes: Int = 16, bands: Int = 4,
+                         threshold: Double = 0.5,
+                         maxBucket: Int = 4096,
+                         capObs: Option[Observation] = None): DataFrame = {
+    val (batchBands, batchSigs) =
+      minhashIndex(newDocs, textCol, idCol, shingleSize, numHashes, bands)
+    val grouped = batchBands
+      .groupBy(col("band"), col("bandhash"))
+      .agg(collectSmallest(col("doc_id"), maxBucket).as("__ids"),
+        count(lit(1)).as("__n"))
+    // cap drops are observable, same contract as minhashLsh: recall lost
+    // to a mass-duplicated ingest is a counted trade, not a silent one
+    val observed = capObs.fold(grouped)(o => grouped.observe(o,
+      sum(greatest(col("__n") - size(col("__ids")), lit(0L))).as("dropped_members"),
+      count(when(col("__n") > size(col("__ids")), 1)).as("capped_buckets")))
+    val cappedBatch = observed
+      .select(col("band"), col("bandhash"), explode(col("__ids")).as("new_id"))
+    val candidates = cappedBatch
+      .join(indexBands.select(col("band"), col("bandhash"),
+          col("doc_id").as("hist_id")),
+        Seq("band", "bandhash"))
+      .select("new_id", "hist_id")
+      .dropDuplicates("new_id", "hist_id")
+    candidates
+      .join(batchSigs.select(col("doc_id").as("new_id"), col("sig").as("__sa")),
+        Seq("new_id"))
+      .join(indexSigs.select(col("doc_id").as("hist_id"), col("sig").as("__sb")),
+        Seq("hist_id"))
+      .withColumn("est_jaccard", round(
+        aggregate(zip_with(col("__sa"), col("__sb"),
+            (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0), (acc, v) => acc + v).cast("double") / lit(numHashes), 6))
+      .filter(col("est_jaccard") >= threshold)
+      .select("new_id", "hist_id", "est_jaccard")
   }
 }

@@ -106,6 +106,69 @@ class DedupSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS graft_fp_index")
   }
 
+  test("incrementalMinhash: planted near-copies of indexed docs are found, fresh docs are not") {
+    // shingles are CHARACTER 5-grams: each doc draws on its own letter so
+    // distinct seeds share no grams at all (seed letters must be distinct
+    // mod 26 — history 1..10 = b..k, fresh 18/20/24 = s/u/y)
+    def doc(seed: Int) = {
+      val c = ('a' + seed % 26).toChar
+      (0 until 40).map(i =>
+        s"$c$c${('a' + i % 26).toChar}${('a' + i / 26).toChar}$c$c").mkString(" ")
+    }
+    def mutate(d: String, at: Int) = {
+      val w = d.split(" "); w(at) = "qmutantq"; w.mkString(" ")
+    }
+    val history = (1 to 10).map(i => (i.toLong, doc(i))).toDF("doc_id", "text")
+    val (idxBands, idxSigs) = Dedup.minhashIndex(history, "text", "doc_id")
+    val batch = Seq(
+      (101L, mutate(doc(3), 20)), // near-copy of history doc 3
+      (102L, mutate(doc(7), 5)),  // near-copy of history doc 7
+      (103L, doc(18)), (104L, doc(20)), (105L, doc(24))) // fresh
+      .toDF("doc_id", "text")
+    val out = Dedup.incrementalMinhash(batch, idxBands, idxSigs, "text", "doc_id")
+      .select("new_id", "hist_id").as[(Long, Long)].collect().toSet
+    assert(out.contains((101L, 3L)) && out.contains((102L, 7L)))
+    assert(out.forall { case (n, _) => n == 101L || n == 102L })
+  }
+
+  test("incrementalMinhash: signature agreement is exact 1.0 for identical content") {
+    val history = Seq((1L, (0 until 30).map(i => s"t$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val (idxBands, idxSigs) = Dedup.minhashIndex(history, "text", "doc_id")
+    val batch = Seq((9L, (0 until 30).map(i => s"t$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val est = Dedup.incrementalMinhash(batch, idxBands, idxSigs, "text", "doc_id")
+      .select("est_jaccard").as[Double].collect()
+    assert(est.toSeq == Seq(1.0))
+  }
+
+  test("incrementalMinhash: batch bucket cap drops are observed, not silent") {
+    import org.apache.spark.sql.Observation
+    val text = (0 until 30).map(i => s"t$i").mkString(" ")
+    val history = Seq((1L, text)).toDF("doc_id", "text")
+    val (idxBands, idxSigs) = Dedup.minhashIndex(history, "text", "doc_id")
+    // 5 identical batch docs land in the same buckets; cap at 2 members
+    val batch = (11L to 15L).map(i => (i, text)).toDF("doc_id", "text")
+    val obs = Observation("inc_cap")
+    val out = Dedup.incrementalMinhash(batch, idxBands, idxSigs,
+      "text", "doc_id", maxBucket = 2, capObs = Some(obs))
+    // capped to the 2 smallest ids per bucket; both still match history
+    assert(out.select("new_id").as[Long].collect().toSet == Set(11L, 12L))
+    assert(obs.get("dropped_members").asInstanceOf[Long] > 0L)
+    assert(obs.get("capped_buckets").asInstanceOf[Long] > 0L)
+  }
+
+  test("incrementalMinhash: null and sub-shingle docs emit no pairs and don't crash") {
+    val history = Seq((1L, "too short"), (2L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val (idxBands, idxSigs) = Dedup.minhashIndex(history, "text", "doc_id")
+    // two empty-signature docs must NOT pair as a perfect near-dup
+    val batch = Seq((11L, "also short"), (12L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    assert(Dedup.incrementalMinhash(batch, idxBands, idxSigs,
+      "text", "doc_id").count() == 0)
+  }
+
   test("spanDuplication: docs below n tokens drop out; minDocs raises the bar") {
     val tiny = Seq((1L, "a b c"), (2L, "a b c")).toDF("doc_id", "text")
     assert(Dedup.spanDuplication(tiny, "text", "doc_id", n = 4).count() == 0)

@@ -137,7 +137,8 @@ class PlanSpec extends SparkSpec {
     // the recall gate's final step is out ⨯ broadcast(1-row recall) +
     // filter: a hash/sort-merge join here would shuffle the whole gated
     // output against a single row
-    for (q <- Seq("q_ann_lsh", "q_ann_ivf", "q_embedding_neardup")) {
+    for (q <- Seq("q_ann_lsh", "q_ann_ivf", "q_embedding_neardup",
+                  "q_incremental_minhash")) {
       val p = plan(q)
       assert(p.contains("BroadcastNestedLoopJoin"), s"$q missing broadcast gate:\n$p")
     }
