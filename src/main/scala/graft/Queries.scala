@@ -2221,6 +2221,47 @@ object Queries {
     * updates win on collision, untouched rows pass through, new keys
     * append ([[Dimensions.upsert]]).
     */
+  /** Crawl-to-crawl snapshot diff ([[Dimensions.snapshotDiff]] — the
+    * CDC-extract producing the change feeds q_upsert/q_scd2 apply): a
+    * derived "recrawl" of documents drops every 7th doc, edits every
+    * 5th's text, and re-ids every 11th as an addition; the diff must
+    * flag exactly the delta, with identical rows (the corpus bulk)
+    * dropped in-plan. Text is surfaced as md5 so the dump stays narrow
+    * while still pinning the VALUE each side contributes (deleted rows
+    * carry the old text, new/changed the new).
+    */
+  private val qSnapshotDiff = Q("q_snapshot_diff",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val recrawl = docs.filter(col("doc_id") % 7 =!= 0)
+        .withColumn("text", when(col("doc_id") % 5 === 0,
+          concat(col("text"), lit(" [v2]"))).otherwise(col("text")))
+        .unionByName(docs.filter(col("doc_id") % 11 === 0)
+          .withColumn("doc_id", col("doc_id") + 10000000L))
+      Dimensions.snapshotDiff(docs, recrawl, Seq("doc_id"),
+          Seq("text", "lang"))
+        .select(col("doc_id").cast("bigint").as("doc_id"), col("lang"),
+          md5(encode(col("text"), "UTF-8")).as("text_md5"), col("change"))
+    },
+    Some("""WITH recrawl AS (
+           |  SELECT doc_id,
+           |         CASE WHEN doc_id % 5 = 0 THEN text || ' [v2]' ELSE text END AS text,
+           |         lang
+           |  FROM documents WHERE doc_id % 7 <> 0
+           |  UNION ALL
+           |  SELECT doc_id + 10000000, text, lang
+           |  FROM documents WHERE doc_id % 11 = 0)
+           |SELECT CAST(coalesce(n.doc_id, o.doc_id) AS BIGINT) AS doc_id,
+           |       CASE WHEN n.doc_id IS NULL THEN o.lang ELSE n.lang END AS lang,
+           |       md5(CASE WHEN n.doc_id IS NULL THEN o.text ELSE n.text END) AS text_md5,
+           |       CASE WHEN o.doc_id IS NULL THEN 'new'
+           |            WHEN n.doc_id IS NULL THEN 'deleted'
+           |            ELSE 'changed' END AS change
+           |FROM recrawl n FULL OUTER JOIN documents o ON n.doc_id = o.doc_id
+           |WHERE o.doc_id IS NULL OR n.doc_id IS NULL
+           |   OR (n.text IS DISTINCT FROM o.text)
+           |   OR (n.lang IS DISTINCT FROM o.lang)""".stripMargin))
+
   private val qUpsert = Q("q_upsert",
     (s, dir) => {
       val cust = t(s, dir, "customer")
@@ -2509,5 +2550,5 @@ object Queries {
     qDupSpans, qDupSpansSalted, qIncrementalDedup, qIncrementalMinhash,
     qHybridRrf, qApproxDistinct, qApproxQuantiles,
     qDecontaminateBloom, qLmScore, qEventAttribution, qUpsert, qScd2,
-    qZorder, qScd2Multi)
+    qZorder, qScd2Multi, qSnapshotDiff)
 }

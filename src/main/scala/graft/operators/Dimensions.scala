@@ -34,6 +34,58 @@ object Dimensions {
         .collect().mkString(", "))
   }
 
+  /** Snapshot diff — the CDC-EXTRACT side of this family: compare two
+    * keyed snapshots (yesterday's crawl vs today's, the mirror of a
+    * source table before/after) and emit the delta that [[upsert]] /
+    * [[scd2Apply]] consume. Kettle ships this as `Merge rows (diff)`;
+    * at corpus scale it is how a 100 TB recrawl becomes an O(changes)
+    * downstream job instead of a full reload.
+    *
+    * One full-outer join on the keys — with both snapshots bucketed on
+    * them, zero exchanges. `identical` rows (the overwhelming bulk of
+    * any recrawl) are DROPPED by default: emitting them would
+    * materialize the whole corpus to say "nothing happened";
+    * `includeIdentical = true` restores Kettle's full flagged output
+    * for callers that feed a flag-dispatching router.
+    *
+    * Comparison is null-safe per column (`<=>`): a value appearing or
+    * disappearing is a change, two NULLs are not. Rows flagged `new` /
+    * `changed` carry the NEW side's values, `deleted` the old side's —
+    * exactly the payload the downstream apply needs.
+    *
+    * @param compareCols columns whose difference makes a row `changed`
+    *                    (defaults to every non-key column of `newDf`)
+    * @return keys ++ compareCols ++ `change` ∈ new|deleted|changed
+    *         (|identical)
+    */
+  def snapshotDiff(oldDf: DataFrame, newDf: DataFrame, keys: Seq[String],
+                   compareCols: Seq[String] = Nil,
+                   includeIdentical: Boolean = false): DataFrame = {
+    require(keys.nonEmpty, "snapshotDiff needs at least one key column")
+    val cmp = if (compareCols.nonEmpty) compareCols
+              else newDf.columns.toSeq.diff(keys)
+    require(cmp.nonEmpty, "snapshotDiff needs at least one compare column")
+    val o = oldDf.select((keys ++ cmp).map(col): _*)
+      .withColumn("__in_old", lit(1))
+      .withColumnsRenamed(cmp.map(c => c -> s"__old_$c").toMap)
+    val n = newDf.select((keys ++ cmp).map(col): _*)
+      .withColumn("__in_new", lit(1))
+    val differs = cmp.map(c => !(col(c) <=> col(s"__old_$c")))
+      .reduce(_ || _)
+    val flagged = n.join(o, keys, "full_outer")
+      .withColumn("change",
+        when(col("__in_old").isNull, lit("new"))
+          .when(col("__in_new").isNull, lit("deleted"))
+          .when(differs, lit("changed"))
+          .otherwise(lit("identical")))
+    val filtered =
+      if (includeIdentical) flagged
+      else flagged.filter(col("change") =!= "identical")
+    filtered.select(keys.map(col) ++
+      cmp.map(c => when(col("change") === "deleted", col(s"__old_$c"))
+        .otherwise(col(c)).as(c)) :+ col("change"): _*)
+  }
+
   /** Keyed upsert: `updates` rows win on key collision, `existing`
     * rows pass through otherwise, new keys append. One anti-join (the
     * update keyset broadcasts at dimension scale) + one union — the

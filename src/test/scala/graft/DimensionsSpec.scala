@@ -222,6 +222,48 @@ class DimensionsSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("snapshotDiff: four change classes, identical dropped by default") {
+    val old = Seq((1L, "a", 10), (2L, "b", 20), (3L, "c", 30), (4L, "d", 40))
+      .toDF("k", "v", "w")
+    val neu = Seq((1L, "a", 10),          // identical
+                  (2L, "B2", 20),         // changed (v)
+                  (4L, "d", 41),          // changed (w)
+                  (5L, "e", 50))          // new; 3 deleted
+      .toDF("k", "v", "w")
+    val out = Dimensions.snapshotDiff(old, neu, Seq("k"))
+      .as[(Long, String, Int, String)].collect().toSet
+    assert(out == Set((2L, "B2", 20, "changed"), (4L, "d", 41, "changed"),
+      (3L, "c", 30, "deleted"), (5L, "e", 50, "new")))
+    val full = Dimensions.snapshotDiff(old, neu, Seq("k"),
+      includeIdentical = true)
+    assert(full.filter(col("change") === "identical")
+      .as[(Long, String, Int, String)].collect().toSeq == Seq((1L, "a", 10, "identical")))
+  }
+
+  test("snapshotDiff: null-safe compare — null↔value changes, null↔null doesn't") {
+    val old = Seq((1L, null.asInstanceOf[String]), (2L, "x"),
+      (3L, null.asInstanceOf[String])).toDF("k", "v")
+    val neu = Seq((1L, "now set"), (2L, null.asInstanceOf[String]),
+      (3L, null.asInstanceOf[String])).toDF("k", "v")
+    val changes = Dimensions.snapshotDiff(old, neu, Seq("k"))
+      .select("k", "change").as[(Long, String)].collect().toMap
+    assert(changes == Map(1L -> "changed", 2L -> "changed"))
+  }
+
+  test("snapshotDiff feeds upsert: applying the delta reproduces the new snapshot") {
+    val old = (1L to 50L).map(i => (i, s"v$i")).toDF("k", "v")
+    val neu = (1L to 50L).filter(_ % 7 != 0)
+      .map(i => (i, if (i % 5 == 0) s"v$i+" else s"v$i"))
+      .toDF("k", "v")
+      .unionByName(Seq((99L, "v99")).toDF("k", "v"))
+    val diff = Dimensions.snapshotDiff(old, neu, Seq("k"))
+    val updates = diff.filter(col("change").isin("new", "changed")).drop("change")
+    val deletedKeys = diff.filter(col("change") === "deleted").select("k")
+    val applied = Dimensions.upsert(old, updates, Seq("k"))
+      .join(deletedKeys, Seq("k"), "left_anti")
+    assert(applied.except(neu).isEmpty && neu.except(applied).isEmpty)
+  }
+
   test("validate=false builds the plan without running any Spark job") {
     val existing = Seq((1L, "a", 10.0)).toDF("k", "name", "bal")
     val updates = Seq((2L, "x", 1.0)).toDF("k", "name", "bal")
