@@ -46,6 +46,11 @@ object Bench {
     */
   val PinnedComputeSec = 0.60
   val PinnedSchedSec = 2.10
+  /** The pins above are only valid at this parallelism (the driver's
+    * `cpus: 32` in every BENCH artifact). The canary cost scales with
+    * `local[N]` — at other cpus the factors are emitted as -1 rather
+    * than as a false contention signal. */
+  val PinnedCpus = 32
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -146,11 +151,15 @@ object Bench {
     def r3(x: Double): Double = math.rint(x * 1000) / 1000
     val canaryCompute = r3(median(canaries.map(_._1).toSeq))
     val canarySched = r3(median(canaries.map(_._2).toSeq))
-    val contentionFactor = r3(canaryCompute / PinnedComputeSec)
-    val schedFactor = r3(canarySched / PinnedSchedSec)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"runs":$runs,""" +
+    // factors against pins measured at a DIFFERENT parallelism would be
+    // systematically wrong in both directions (local[4] idle reads >2×
+    // the local[32] compute pin) — emit the sentinel instead
+    val pinsValid = cpus.toInt == PinnedCpus
+    val contentionFactor = if (pinsValid) r3(canaryCompute / PinnedComputeSec) else -1.0
+    val schedFactor = if (pinsValid) r3(canarySched / PinnedSchedSec) else -1.0
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"runs":$runs,"cpus":$cpus,""" +
       s""""canary_compute_sec":$canaryCompute,"canary_sched_sec":$canarySched,""" +
-      s""""pinned_compute_sec":$PinnedComputeSec,"pinned_sched_sec":$PinnedSchedSec,""" +
+      s""""pinned_compute_sec":$PinnedComputeSec,"pinned_sched_sec":$PinnedSchedSec,"pinned_cpus":$PinnedCpus,""" +
       s""""contention_factor":$contentionFactor,"sched_factor":$schedFactor,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -38,23 +38,30 @@ object RasterKernels {
     */
   private def decodeBmp(b: Array[Byte]): Option[Raster] = {
     if (b.length < 54) return None
-    val dataOffset = leI32(b, 10)
-    val dibSize = leI32(b, 14)
-    val width = leI32(b, 18)
-    val heightRaw = leI32(b, 22)
+    // every header field is attacker-controlled i32 — all derived
+    // arithmetic stays in Long so no sum/product/abs can wrap back into
+    // a passing bounds check (e.g. 14+dibSize overflowing negative, or
+    // heightRaw=Int.MinValue surviving a 32-bit abs as negative)
+    val dataOffset = leI32(b, 10).toLong
+    val dibSize = leI32(b, 14).toLong
+    val width = leI32(b, 18).toLong
+    val heightRaw = leI32(b, 22).toLong
     val bpp = leU16(b, 28)
     val compression = leI32(b, 30)
     val height = math.abs(heightRaw)
-    if (dibSize < 40 || width <= 0 || height == 0 || bpp != 24 ||
-        compression != 0 || dataOffset < 14 + dibSize) return None
-    val rowSize = ((3 * width + 3) / 4) * 4
-    // overflow-safe bound: width/height are attacker-controlled i32s
-    val need = dataOffset.toLong + rowSize.toLong * height
+    if (dibSize < 40L || width <= 0L || height == 0L || bpp != 24 ||
+        compression != 0 || dataOffset < 14L + dibSize) return None
+    // anything wider/taller than the blob itself can't fit — rejecting
+    // here also keeps rowSize*height below 2^62 (no Long overflow)
+    if (width > b.length || height > b.length) return None
+    val rowSize = ((3L * width + 3L) / 4L) * 4L
+    val need = dataOffset + rowSize * height
     if (need > b.length) return None
     var sr = 0L; var sg = 0L; var sb = 0L
     var r = 0
     while (r < height) {
-      var base = dataOffset + r * rowSize
+      // need <= b.length < 2^31, so every index below fits an Int
+      var base = (dataOffset + r * rowSize).toInt
       var x = 0
       while (x < width) {
         sb += b(base) & 0xff
@@ -65,8 +72,9 @@ object RasterKernels {
       }
       r += 1
     }
-    val n = width.toLong * height
-    Some(Raster(width, height, sr.toDouble / n, sg.toDouble / n, sb.toDouble / n))
+    val n = width * height
+    Some(Raster(width.toInt, height.toInt,
+      sr.toDouble / n, sg.toDouble / n, sb.toDouble / n))
   }
 
   /** PPM P6: ASCII header (`P6`, width, height, maxval, each separated

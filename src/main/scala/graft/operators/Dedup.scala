@@ -3,6 +3,7 @@ package graft.operators
 import graft.functions.{SimHash, TextFunctions, VectorFunctions}
 import org.apache.spark.sql.{Column, DataFrame, Observation}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.MetadataBuilder
 
 /** Deduplication operators for training-data pipelines, each designed to
   * stay shuffle-lean at 100 TB:
@@ -684,15 +685,55 @@ object Dedup {
                    bands: Int = 4): (DataFrame, DataFrame) = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
+    // the index is only meaningful under the exact (shingleSize,
+    // numHashes, bands) it was built with — stamp them as column
+    // metadata (survives a parquet round-trip in the Spark schema
+    // footer) so a later ingest with different parameters fails loudly
+    // in incrementalMinhash instead of silently never colliding
+    val meta = new MetadataBuilder()
+      .putLong(MetaShingleSize, shingleSize.toLong)
+      .putLong(MetaNumHashes, numHashes.toLong)
+      .putLong(MetaBands, bands.toLong)
+      .build()
     val sigs = docs
       .select(col(idCol).as("doc_id"),
         TextFunctions.shingleHashes(col(textCol), shingleSize).as("__hs"))
       .filter(size(col("__hs")) > 0)
-      .select(col("doc_id"), minhashSignature(col("__hs"), numHashes).as("sig"))
+      .select(col("doc_id"),
+        minhashSignature(col("__hs"), numHashes).as("sig", meta))
     val banded = sigs.select(col("doc_id"),
       posexplode(bandHashes(col("sig"), bands, r)).as(Seq("band", "bandhash")))
+      .select(col("doc_id"), col("band"), col("bandhash").as("bandhash", meta))
     (banded, sigs)
   }
+
+  private val MetaShingleSize = "graft.minhash.shingleSize"
+  private val MetaNumHashes = "graft.minhash.numHashes"
+  private val MetaBands = "graft.minhash.bands"
+
+  /** Fail fast when an index frame carries [[minhashIndex]] build
+    * metadata that disagrees with the parameters of the current call —
+    * a mismatch would otherwise yield silently empty (different band
+    * arity) or silently deflated (different signature length) results.
+    * Frames without the metadata (hand-built indexes, lossy rewrites)
+    * are let through; the in-plan signature-length guard still backstops
+    * the numHashes case at execution time.
+    */
+  private def requireIndexParams(df: DataFrame, colName: String,
+                                 shingleSize: Int, numHashes: Int,
+                                 bands: Int): Unit =
+    df.schema.fields.find(_.name == colName).foreach { f =>
+      val m = f.metadata
+      if (m.contains(MetaNumHashes)) {
+        val got = (m.getLong(MetaShingleSize), m.getLong(MetaNumHashes),
+          m.getLong(MetaBands))
+        require(got == ((shingleSize.toLong, numHashes.toLong, bands.toLong)),
+          s"incrementalMinhash: index column '$colName' was built with " +
+            s"(shingleSize, numHashes, bands) = $got but this call uses " +
+            s"(${shingleSize}, ${numHashes}, ${bands}) — rebuild the index " +
+            "or match its parameters")
+      }
+    }
 
   /** Incremental near-dup detection — the ingestion-time form of
     * [[minhashLsh]]: new-batch documents are checked against the
@@ -728,6 +769,8 @@ object Dedup {
                          threshold: Double = 0.5,
                          maxBucket: Int = 4096,
                          capObs: Option[Observation] = None): DataFrame = {
+    requireIndexParams(indexBands, "bandhash", shingleSize, numHashes, bands)
+    requireIndexParams(indexSigs, "sig", shingleSize, numHashes, bands)
     val (batchBands, batchSigs) =
       minhashIndex(newDocs, textCol, idCol, shingleSize, numHashes, bands)
     val grouped = batchBands
@@ -752,10 +795,21 @@ object Dedup {
         Seq("new_id"))
       .join(indexSigs.select(col("doc_id").as("hist_id"), col("sig").as("__sb")),
         Seq("hist_id"))
-      .withColumn("est_jaccard", round(
-        aggregate(zip_with(col("__sa"), col("__sb"),
-            (x, y) => when(x === y, 1).otherwise(0)),
-          lit(0), (acc, v) => acc + v).cast("double") / lit(numHashes), 6))
+      // execution-time backstop for indexes without build metadata: a
+      // signature of the wrong length means the index was built with a
+      // different numHashes — zip_with would null-pad and silently
+      // deflate the estimate, so raise instead
+      .withColumn("est_jaccard",
+        when(size(col("__sb")) =!= numHashes,
+          raise_error(concat(
+            lit("incrementalMinhash: index signature length "),
+            size(col("__sb")).cast("string"),
+            lit(s" != numHashes=$numHashes — index built with different " +
+              "parameters"))).cast("double"))
+        .otherwise(round(
+          aggregate(zip_with(col("__sa"), col("__sb"),
+              (x, y) => when(x === y, 1).otherwise(0)),
+            lit(0), (acc, v) => acc + v).cast("double") / lit(numHashes), 6)))
       .filter(col("est_jaccard") >= threshold)
       .select("new_id", "hist_id", "est_jaccard")
   }

@@ -60,11 +60,19 @@ object Dimensions {
     */
   def snapshotDiff(oldDf: DataFrame, newDf: DataFrame, keys: Seq[String],
                    compareCols: Seq[String] = Nil,
-                   includeIdentical: Boolean = false): DataFrame = {
+                   includeIdentical: Boolean = false,
+                   validate: Boolean = true): DataFrame = {
     require(keys.nonEmpty, "snapshotDiff needs at least one key column")
     val cmp = if (compareCols.nonEmpty) compareCols
               else newDf.columns.toSeq.diff(keys)
     require(cmp.nonEmpty, "snapshotDiff needs at least one compare column")
+    // a duplicated key on either side fans out through the full-outer
+    // join and emits phantom change rows — same eager default (and same
+    // opt-out for pre-validated feeds) as upsert/scd2Apply
+    if (validate) {
+      requireUnique(oldDf, keys, "snapshotDiff: duplicate key in old snapshot")
+      requireUnique(newDf, keys, "snapshotDiff: duplicate key in new snapshot")
+    }
     val o = oldDf.select((keys ++ cmp).map(col): _*)
       .withColumn("__in_old", lit(1))
       .withColumnsRenamed(cmp.map(c => c -> s"__old_$c").toMap)

@@ -47,11 +47,13 @@ object Acquire {
     * 4xx (other than the stopping 404) fails the page immediately
     * (client errors do not heal by retrying).
     *
-    * Re-run semantics: any `page-*.jsonl` already in `outDir` is
-    * DELETED first — a shorter re-run after a longer one would
-    * otherwise leave stale high-numbered pages that a subsequent
-    * `spark.read.json(outDir)` glob silently ingests. Readers that
-    * must be glob-free can use `Report.landedFiles` instead.
+    * Re-run semantics: after a run that landed at least one page, any
+    * `page-*.jsonl` in `outDir` NOT landed by that run is deleted — a
+    * shorter re-run after a longer one would otherwise leave stale
+    * high-numbered pages that a subsequent `spark.read.json(outDir)`
+    * glob silently ingests. A run that lands nothing deletes nothing,
+    * so a dead source never destroys the previous good snapshot.
+    * Readers that must be glob-free can use `Report.landedFiles`.
     */
   def fetchJsonPages(urlFor: Int => String, outDir: String,
                      maxPages: Int, retries: Int = 3,
@@ -61,9 +63,6 @@ object Acquire {
     require(maxPages >= 1, s"maxPages must be >= 1, got $maxPages")
     require(retries >= 0, s"retries must be >= 0, got $retries")
     Files.createDirectories(Paths.get(outDir))
-    // clear OUR naming pattern only — never other files in a shared dir
-    val stale = Files.newDirectoryStream(Paths.get(outDir), "page-*.jsonl")
-    try stale.forEach(Files.delete(_)) finally stale.close()
     val client = HttpClient.newBuilder()
       .followRedirects(HttpClient.Redirect.NORMAL)
       .connectTimeout(requestTimeout)
@@ -116,6 +115,22 @@ object Acquire {
       if (!(pastEnd && done.get.status == 404)) results += done.get
       page += 1
     }
-    Report(results.result())
+    val report = Report(results.result())
+    // Stale cleanup runs AFTER the fetch, and only once this run has
+    // landed something: a shorter re-run after a longer one must not
+    // leave stale high-numbered pages for a glob read to ingest, but a
+    // re-run that fails outright must not destroy the previous run's
+    // good snapshot either (cleanup-first had exactly that data-loss
+    // window). Only OUR naming pattern is touched — never other files
+    // in a shared dir. A partially failed run still removes pages it
+    // did not land; `failedPages` is the caller's incompleteness signal.
+    if (report.landedFiles.nonEmpty) {
+      val landed = report.landedFiles.map(f => Paths.get(f).getFileName.toString).toSet
+      val stale = Files.newDirectoryStream(Paths.get(outDir), "page-*.jsonl")
+      try stale.forEach { p =>
+        if (!landed.contains(p.getFileName.toString)) Files.delete(p)
+      } finally stale.close()
+    }
+    report
   }
 }

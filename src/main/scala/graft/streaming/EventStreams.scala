@@ -61,18 +61,31 @@ object EventStreams {
   def attribution(actions: DataFrame, causes: DataFrame,
                   userCol: String, actionTsCol: String, causeTsCol: String,
                   lookback: String): DataFrame = {
-    // `lookback` is spliced into an INTERVAL literal — validate the
-    // shape first so a malformed value fails with a named error here
-    // (not an opaque parse error downstream) and an arbitrary SQL
-    // fragment can never ride in through the parameter
-    val term = """\d+\s+(?:microsecond|millisecond|second|minute|hour|day|week)s?"""
-    require(lookback.trim.matches(s"(?i)$term(?:\\s+$term)*"),
-      s"""attribution: malformed lookback "$lookback" — expected """ +
-        """'<n> <unit>' terms like "30 minutes" or "1 day 12 hours"""")
+    // `lookback` is parsed by Spark's own INTERVAL-literal grammar at
+    // plan-construction time and must come back as a single LITERAL —
+    // so a malformed value fails here with a named error, every form
+    // the SQL literal accepts ("30 minutes", "1 day 12 hours",
+    // "3 months", "1.5 seconds", "'1 hour'") stays accepted (a shape
+    // whitelist would silently narrow the API), and any successfully-
+    // parsed NON-literal smuggled through the parameter is rejected,
+    // making injection structurally impossible
+    val parsed =
+      try org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+        .parseExpression(s"INTERVAL ${lookback.trim}")
+      catch { case e: Exception =>
+        throw new IllegalArgumentException(
+          s"""attribution: malformed lookback "$lookback" — """ +
+            s"expected an interval like \"30 minutes\" or " +
+            s"\"1 day 12 hours\" (${e.getMessage})")
+      }
+    require(parsed.isInstanceOf[org.apache.spark.sql.catalyst.expressions.Literal],
+      s"""attribution: malformed lookback "$lookback" — """ +
+        "parsed to a non-literal expression")
+    val interval = org.apache.spark.sql.GraftBridge.column(parsed)
     actions.join(causes,
       actions(userCol) === causes(userCol) &&
         causes(causeTsCol) <= actions(actionTsCol) &&
-        causes(causeTsCol) >= actions(actionTsCol) - expr(s"INTERVAL ${lookback.trim}"))
+        causes(causeTsCol) >= actions(actionTsCol) - interval)
       .drop(causes(userCol))
   }
 

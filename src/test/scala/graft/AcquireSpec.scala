@@ -98,6 +98,30 @@ class AcquireSpec extends SparkSpec {
     }
   }
 
+  test("a re-run that lands nothing preserves the prior run's snapshot") {
+    val out = Files.createTempDirectory("acquire").toString
+    val dead = new AtomicInteger(0)
+    withServer("/api" -> { ex =>
+      val page = ex.getRequestURI.getQuery.stripPrefix("page=").toInt
+      if (dead.get() == 1) respond(ex, 500)
+      else if (page < 3) respond(ex, 200, s"""{"doc_id": $page}""")
+      else respond(ex, 404)
+    }) { port =>
+      def run() = Acquire.fetchJsonPages(
+        p => s"http://127.0.0.1:$port/api?page=$p", out, maxPages = 10,
+        retries = 1, backoffMs = 1)
+      assert(run().landedFiles.size == 3)
+      dead.set(1) // the source goes down entirely
+      val failed = run()
+      // cleanup-first had a data-loss window here: the good snapshot
+      // was deleted before the first (failing) fetch. Now the failed
+      // run lands nothing AND deletes nothing.
+      assert(failed.landedFiles.isEmpty && failed.failedPages.nonEmpty)
+      val df = spark.read.schema("doc_id LONG").json(s"$out/*.jsonl")
+      assert(df.count() == 3)
+    }
+  }
+
   test("non-404 client errors fail immediately without retries") {
     val out = Files.createTempDirectory("acquire").toString
     val hits = new AtomicInteger(0)

@@ -169,6 +169,43 @@ class DedupSpec extends SparkSpec {
       "text", "doc_id").count() == 0)
   }
 
+  test("incrementalMinhash: parameter mismatch with the index fails loudly") {
+    val text = (0 until 30).map(i => s"t$i").mkString(" ")
+    val history = Seq((1L, text)).toDF("doc_id", "text")
+    val batch = Seq((9L, text)).toDF("doc_id", "text")
+    // index built at numHashes=32: the build metadata rides the columns,
+    // survives a parquet round-trip, and a default-parameter (16) ingest
+    // must be rejected instead of silently never colliding
+    // bands=8 keeps r=4, the batch default: band hashes still collide
+    // for identical text (sig element i depends only on i), so ONLY the
+    // signature length differs — the exact silent-deflation hazard
+    val (idxBands, idxSigs) =
+      Dedup.minhashIndex(history, "text", "doc_id", numHashes = 32, bands = 8)
+    val dir = java.nio.file.Files.createTempDirectory("mhidx").toString
+    idxSigs.write.parquet(s"$dir/sigs")
+    idxBands.write.parquet(s"$dir/bands")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.incrementalMinhash(batch, spark.read.parquet(s"$dir/bands"),
+        spark.read.parquet(s"$dir/sigs"), "text", "doc_id")
+    }
+    assert(e.getMessage.contains("built with"))
+    // a hand-built index WITHOUT metadata: the execution-time signature-
+    // length guard backstops the numHashes case (zip_with would
+    // otherwise null-pad and silently deflate every estimate)
+    import org.apache.spark.sql.types.Metadata
+    val bare = idxSigs.select(col("doc_id"), col("sig").as("sig", Metadata.empty))
+    val bareBands = idxBands.select(col("doc_id"), col("band"),
+      col("bandhash").as("bandhash", Metadata.empty))
+    val ex = intercept[Exception] {
+      Dedup.incrementalMinhash(batch, bareBands, bare, "text", "doc_id",
+        numHashes = 16, bands = 4).collect()
+    }
+    def chain(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(8)
+        .map(c => Option(c.getMessage).getOrElse("")).toSeq
+    assert(chain(ex).exists(_.contains("index signature length")), ex.toString)
+  }
+
   test("spanDuplication: docs below n tokens drop out; minDocs raises the bar") {
     val tiny = Seq((1L, "a b c"), (2L, "a b c")).toDF("doc_id", "text")
     assert(Dedup.spanDuplication(tiny, "text", "doc_id", n = 4).count() == 0)

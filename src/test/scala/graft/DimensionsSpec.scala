@@ -240,6 +240,44 @@ class DimensionsSpec extends SparkSpec {
       .as[(Long, String, Int, String)].collect().toSeq == Seq((1L, "a", 10, "identical")))
   }
 
+  test("snapshotDiff: duplicate key on either side is rejected eagerly") {
+    val dup = Seq((1L, "A"), (1L, "B")).toDF("k", "v")
+    val clean = Seq((1L, "A")).toDF("k", "v")
+    // dup old: the new row would match BOTH old rows through the
+    // full-outer join and emit a phantom "changed" row for an
+    // unchanged key — the exact hazard upsert/scd2Apply already reject
+    for ((o, n) <- Seq((dup, clean), (clean, dup))) {
+      val e = intercept[IllegalArgumentException] {
+        Dimensions.snapshotDiff(o, n, Seq("k"))
+      }
+      assert(e.getMessage.contains("duplicate key"))
+    }
+    // pre-validated feeds can opt out; the phantom row documents why
+    // the default is on
+    val out = Dimensions.snapshotDiff(dup, clean, Seq("k"), validate = false)
+    assert(out.filter(col("change") === "changed").count() == 1)
+  }
+
+  test("snapshotDiff: bucketed snapshots diff with ZERO exchanges") {
+    // the scaladoc's 100 TB claim is that a recrawl diff over snapshots
+    // bucketed on the keys is exchange-free — pin it to the plan
+    try {
+      (1L to 100L).map(i => (i, s"v$i")).toDF("k", "v")
+        .write.bucketBy(4, "k").saveAsTable("graft_snap_old")
+      (1L to 100L).map(i => (i, if (i % 10 == 0) s"v$i+" else s"v$i"))
+        .toDF("k", "v")
+        .write.bucketBy(4, "k").saveAsTable("graft_snap_new")
+      val out = Dimensions.snapshotDiff(spark.table("graft_snap_old"),
+        spark.table("graft_snap_new"), Seq("k"), validate = false)
+      assert(!out.queryExecution.executedPlan.toString.contains("Exchange"),
+        out.queryExecution.executedPlan.toString)
+      assert(out.count() == 10)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_snap_old")
+      spark.sql("DROP TABLE IF EXISTS graft_snap_new")
+    }
+  }
+
   test("snapshotDiff: null-safe compare — null↔value changes, null↔null doesn't") {
     val old = Seq((1L, null.asInstanceOf[String]), (2L, "x"),
       (3L, null.asInstanceOf[String])).toDF("k", "v")

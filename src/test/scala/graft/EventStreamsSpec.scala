@@ -120,7 +120,10 @@ class EventStreamsSpec extends SparkSpec {
       .toDF("user_id", "ats")
     val c = Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 09:00:00")))
       .toDF("user_id", "cts")
-    for (bad <- Seq("7 fortnights", "1; DROP TABLE x", "'1 hour'", "")) {
+    // "1.5 hours" sits here deliberately: Spark's own interval grammar
+    // allows fractions only in seconds, so it was never valid input
+    for (bad <- Seq("7 fortnights", "1; DROP TABLE x", "1 hour) OR (true", "",
+        "1 hour + current_timestamp()", "1.5 hours")) {
       val e = intercept[IllegalArgumentException] {
         EventStreams.attribution(a, c, "user_id", "ats", "cts", bad)
       }
@@ -129,6 +132,13 @@ class EventStreamsSpec extends SparkSpec {
     // multi-term and case-insensitive forms still pass
     assert(EventStreams.attribution(a, c, "user_id", "ats", "cts",
       "1 Day 12 hours").count() == 1)
+    // every form Spark's own interval parser accepts must stay valid —
+    // the round-7 shape whitelist silently rejected month/year units,
+    // fractional seconds, and the quoted form; the parser-backed build
+    // must not
+    for (ok <- Seq("3 months", "1 year", "3600.5 seconds", "90 minutes", "'1 hour'"))
+      assert(EventStreams.attribution(a, c, "user_id", "ats", "cts", ok)
+        .count() == 1, s"for: $ok")
   }
 
   test("streaming ingest lands deduped docs through a checkpointed parquet sink") {

@@ -284,6 +284,29 @@ class MultimodalSpec extends SparkSpec {
     assert(RasterKernels.decode(null).isEmpty)
   }
 
+  test("crafted BMP headers with overflowing fields decode to None, never throw") {
+    def leInt(b: Array[Byte], off: Int, v: Int): Unit = {
+      b(off) = v.toByte; b(off + 1) = (v >> 8).toByte
+      b(off + 2) = (v >> 16).toByte; b(off + 3) = (v >> 24).toByte
+    }
+    val good = bmp(1, 1, Seq((1, 2, 3)))
+    // 14 + dibSize overflows Int: dataOffset=-64 would pass a 32-bit
+    // `dataOffset < 14 + dibSize` check and index b(-64)
+    val negOffset = good.clone()
+    leInt(negOffset, 10, -64); leInt(negOffset, 14, 0x7FFFFFFF)
+    assert(RasterKernels.decode(negOffset).isEmpty)
+    // 3 * width overflows Int to a negative rowSize: the bounds check
+    // would pass and the pixel loop run off the array
+    val hugeWidth = good.clone()
+    leInt(hugeWidth, 18, 0x2AAAAAAB)
+    assert(RasterKernels.decode(hugeWidth).isEmpty)
+    // Int.MinValue survives a 32-bit math.abs as negative: the pixel
+    // loop would be skipped and a bogus Some(h = -2147483648) returned
+    val minHeight = good.clone()
+    leInt(minHeight, 22, Int.MinValue)
+    assert(RasterKernels.decode(minHeight).isEmpty)
+  }
+
   test("raster decoder in featurize: real features for rasters, empty for the rest") {
     val blobs = Seq(
       (1L, bmp(2, 1, Seq((10, 20, 30), (30, 40, 50)))),
