@@ -1573,6 +1573,25 @@ object Queries {
            |       CAST(max(doc_id) AS BIGINT) AS max_id
            |FROM a GROUP BY 1, 2""".stripMargin))
 
+  /** Seeded epoch reshuffle: the whole documents table permuted by
+    * md5(doc_id ":" seed), contiguous 1-based position, round-robin
+    * 8-shard deal. md5 is bit-identical in Spark and DuckDB, so the
+    * full permutation — not just its shape — sits under the oracle. */
+  private val qTrainingOrder = Q("q_training_order",
+    (s, dir) => Ops.trainingOrder(
+      t(s, dir, "documents").select(col("doc_id").cast("bigint").as("doc_id")),
+      "doc_id", "epoch-0", shards = 8)
+      .select(col("doc_id"), col("pos"), col("shard")),
+    Some("""WITH o AS (
+           |  SELECT doc_id,
+           |         CAST(row_number() OVER (
+           |           ORDER BY md5(CAST(doc_id AS VARCHAR) || ':epoch-0'),
+           |                    doc_id) AS BIGINT) AS pos
+           |  FROM documents)
+           |SELECT CAST(doc_id AS BIGINT) AS doc_id, pos,
+           |       CAST((pos - 1) % 8 AS BIGINT) AS shard
+           |FROM o""".stripMargin))
+
   /** The SEMI side of the interval join — orders whose total falls in at
     * least one (overlapping) band, exactly once each regardless of how
     * many bands match. Exercises [[Ops.binnedRangeJoin]]'s left_semi
@@ -2550,5 +2569,5 @@ object Queries {
     qDupSpans, qDupSpansSalted, qIncrementalDedup, qIncrementalMinhash,
     qHybridRrf, qApproxDistinct, qApproxQuantiles,
     qDecontaminateBloom, qLmScore, qEventAttribution, qUpsert, qScd2,
-    qZorder, qScd2Multi, qSnapshotDiff)
+    qZorder, qScd2Multi, qSnapshotDiff, qTrainingOrder)
 }

@@ -135,6 +135,37 @@ object Ops {
       .drop("__zwi_pid")
   }
 
+  /** Deterministic seeded global shuffle — the epoch-reshuffle primitive
+    * of a training pipeline: order the corpus by a seeded cryptographic
+    * hash of the id (a different `seed` gives an independent permutation
+    * of the SAME corpus, reproducible on any cluster size), assign the
+    * contiguous 1-based position along that order, and deal rows
+    * round-robin into `shards` equal-size output shards.
+    *
+    * Scale shape: the hash is a codegen projection; the global order
+    * costs one range exchange + in-partition sorts (what any total order
+    * costs on a cluster); positions come from [[zipWithIndexOrdered]] —
+    * no global window, no RDD barrier, no driver materialization beyond
+    * the per-partition count map. Round-robin dealing (pos % shards)
+    * gives every shard an interleaved sample of the permutation, so
+    * shard sizes differ by at most one row and any prefix of shards is
+    * itself an unbiased sample — the property curriculum schedulers and
+    * partial-epoch restarts rely on.
+    *
+    * The id (not the content) is hashed: two epochs of the same corpus
+    * permute independently, but re-running one epoch is bit-identical —
+    * ties are impossible because `idCol` joins the sort key.
+    */
+  def trainingOrder(df: DataFrame, idCol: String, seed: String,
+                    shards: Int): DataFrame = {
+    require(shards >= 1, s"shards must be >= 1, got $shards")
+    val keyed = df.withColumn("__to_key",
+      md5(concat(col(idCol).cast("string"), lit(":"), lit(seed))))
+    zipWithIndexOrdered(keyed, Seq(col("__to_key").asc, col(idCol).asc), "pos")
+      .withColumn("shard", pmod(col("pos") - 1, lit(shards.toLong)))
+      .drop("__to_key")
+  }
+
   /** Skew-resistant equi-join: left rows get a deterministic salt in
     * [0, buckets), the (small-enough-to-replicate) right side is
     * exploded across every salt value, and the join runs on

@@ -169,6 +169,49 @@ class DedupSpec extends SparkSpec {
       "text", "doc_id").count() == 0)
   }
 
+  test("incrementalMinhash: bucketed index frames plan no exchanges of their own") {
+    // the 100 TB contract: per-ingest shuffle volume is O(batch). With
+    // the index persisted bucketed (bands on (band, bandhash), sigs on
+    // doc_id) both corpus-scale joins consume the bucketed layout
+    // directly — exactly TWO hash exchanges (one per index side)
+    // disappear relative to the same plan over unbucketed frames, and
+    // the results are identical. Broadcast is disabled so the
+    // comparison counts sort-merge exchanges deterministically.
+    def doc(seed: Int) = {
+      val c = ('a' + seed % 26).toChar
+      (0 until 40).map(i =>
+        s"$c$c${('a' + i % 26).toChar}${('a' + i / 26).toChar}$c$c").mkString(" ")
+    }
+    val nBuckets = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val corpus = (1 to 10).map(i => (i.toLong, doc(i))).toDF("doc_id", "text")
+    val (bands, sigs) = Dedup.minhashIndex(corpus, "text", "doc_id")
+    graft.sources.Sinks.writeBucketed(
+      bands, "graft_mh_bands", Seq("band", "bandhash"), nBuckets)
+    graft.sources.Sinks.writeBucketed(sigs, "graft_mh_sigs", Seq("doc_id"), nBuckets)
+    val prevBroadcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val batch = Seq((101L, doc(3)), (102L, doc(20))).toDF("doc_id", "text")
+      def run(b: org.apache.spark.sql.DataFrame, s: org.apache.spark.sql.DataFrame) =
+        Dedup.incrementalMinhash(batch, b, s, "text", "doc_id")
+      def exchanges(df: org.apache.spark.sql.DataFrame): Int =
+        "Exchange hashpartitioning".r
+          .findAllIn(df.queryExecution.executedPlan.toString).size
+      val bucketed = run(spark.table("graft_mh_bands"), spark.table("graft_mh_sigs"))
+      val plain = run(bands, sigs)
+      assert(exchanges(plain) - exchanges(bucketed) == 2,
+        s"plain=${exchanges(plain)} bucketed=${exchanges(bucketed)}\n" +
+          bucketed.queryExecution.executedPlan.toString)
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.as[(Long, Long, Double)].collect().toSet
+      assert(rows(bucketed) == rows(plain) && rows(bucketed).nonEmpty)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
+      spark.sql("DROP TABLE IF EXISTS graft_mh_bands")
+      spark.sql("DROP TABLE IF EXISTS graft_mh_sigs")
+    }
+  }
+
   test("incrementalMinhash: parameter mismatch with the index fails loudly") {
     val text = (0 until 30).map(i => s"t$i").mkString(" ")
     val history = Seq((1L, text)).toDF("doc_id", "text")

@@ -365,4 +365,25 @@ class OpsSpec extends SparkSpec {
       .select("id").as[Long].collect().toSet
     assert(kept == Set(1L, 3L, 4L))
   }
+
+  test("trainingOrder: seeded permutation with contiguous positions and balanced shards") {
+    val df = (1L to 103L).toDF("id")
+    def run(seed: String) = Ops.trainingOrder(df, "id", seed, shards = 4)
+      .select("id", "pos", "shard").as[(Long, Long, Long)].collect()
+    val rows = run("epoch-0")
+    // a permutation: every position 1..N exactly once
+    assert(rows.map(_._2).sorted.toSeq == (1L to 103L))
+    // round-robin deal: shard sizes differ by at most one, all shards hit
+    val sizes = rows.groupBy(_._3).values.map(_.size)
+    assert(sizes.size == 4 && sizes.max - sizes.min <= 1)
+    // shard follows the position deal exactly
+    assert(rows.forall { case (_, pos, shard) => shard == (pos - 1) % 4 })
+    // bit-identical on re-run; an id's hash ignores row order upstream
+    assert(run("epoch-0").sortBy(_._1).toSeq == rows.sortBy(_._1).toSeq)
+    // a different seed is a genuinely different permutation
+    val other = run("epoch-1")
+    assert(rows.sortBy(_._1).map(_._2).toSeq != other.sortBy(_._1).map(_._2).toSeq)
+    // the permutation is hash-order, not id-order
+    assert(rows.sortBy(_._2).map(_._1).toSeq != (1L to 103L))
+  }
 }
