@@ -1592,6 +1592,34 @@ object Queries {
            |       CAST((pos - 1) % 8 AS BIGINT) AS shard
            |FROM o""".stripMargin))
 
+  /** Blocklist screen: one Aho–Corasick pass flags every document
+    * containing any of the listed terms. The list deliberately nests
+    * patterns inside each other and inside vocabulary words ("art" in
+    * "part", "park" in "spark", "at"/"ch" mid-"batch") — the oracle's
+    * per-term `contains` recomputation only agrees if the DFA's
+    * dictionary-suffix outputs are right. */
+  private val qBlocklist = Q("q_blocklist",
+    (s, dir) => {
+      val terms = Seq("batch", "at", "ch", "able", "can",
+        "part", "art", "spark", "park")
+      t(s, dir, "documents").select(
+        col("doc_id").cast("bigint").as("doc_id"),
+        TF.multiMatch(lower(col("text")), terms).as("__hits"))
+        .select(col("doc_id"),
+          array_join(col("__hits"), ",").as("hits"),
+          size(col("__hits")).cast("int").as("n_hits"))
+        .filter(col("n_hits") > 0)
+    },
+    Some("""WITH m AS (
+           |  SELECT doc_id,
+           |         [t for t in ['batch','at','ch','able','can','part','art','spark','park']
+           |            if contains(lower(text), t)] AS hits
+           |  FROM documents)
+           |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           |       array_to_string(hits, ',') AS hits,
+           |       CAST(len(hits) AS INTEGER) AS n_hits
+           |FROM m WHERE len(hits) > 0""".stripMargin))
+
   /** The SEMI side of the interval join — orders whose total falls in at
     * least one (overlapping) band, exactly once each regardless of how
     * many bands match. Exercises [[Ops.binnedRangeJoin]]'s left_semi
@@ -2569,5 +2597,5 @@ object Queries {
     qDupSpans, qDupSpansSalted, qIncrementalDedup, qIncrementalMinhash,
     qHybridRrf, qApproxDistinct, qApproxQuantiles,
     qDecontaminateBloom, qLmScore, qEventAttribution, qUpsert, qScd2,
-    qZorder, qScd2Multi, qSnapshotDiff, qTrainingOrder)
+    qZorder, qScd2Multi, qSnapshotDiff, qTrainingOrder, qBlocklist)
 }

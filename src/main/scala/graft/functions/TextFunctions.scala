@@ -187,6 +187,18 @@ object TextFunctions {
     GraftBridge.column(ChunkText(GraftBridge.expression(text), maxTokens, overlap))
   }
 
+  /** Distinct `patterns` occurring anywhere in `text` (substring
+    * containment, case-sensitive — lowercase both sides for
+    * case-insensitive screening), in declaration order. One
+    * Aho–Corasick DFA pass per row regardless of pattern count — the
+    * blocklist/termlist screen of a corpus pipeline ([[AhoCorasick]]
+    * has the scale notes).
+    */
+  def multiMatch(text: Column, patterns: Seq[String]): Column = {
+    import org.apache.spark.sql.{GraftBridge, MultiMatch}
+    GraftBridge.column(MultiMatch(GraftBridge.expression(text), patterns))
+  }
+
   /** Distinct word n-grams as space-joined strings — the decontamination
     * / overlap-detection working set (string form so an ANSI-SQL oracle
     * can reproduce it, unlike the hashed shingles). Documents with fewer

@@ -367,6 +367,38 @@ case class ChunkText(child: Expression, maxTokens: Int, overlap: Int)
     copy(child = newChild)
 }
 
+/** Single-pass multi-pattern containment over a fixed term list: the
+  * distinct patterns occurring anywhere in the text, in declaration
+  * order. The [[graft.functions.AhoCorasick]] DFA is built once at
+  * plan-construction time (driver side) and referenced from generated
+  * code — per-row cost is one table lookup per byte regardless of how
+  * many patterns the list holds, where a `contains` conjunction or a
+  * giant regex alternation re-scans or backtracks.
+  */
+case class MultiMatch(child: Expression, patterns: Seq[String])
+    extends UnaryExpression with ExpectsInputTypes {
+  @transient private lazy val ac =
+    new graft.functions.AhoCorasick(patterns.toArray)
+  // fail fast on bad pattern lists at construction, not first execution
+  ac.patterns.length
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "multi_match"
+
+  override protected def nullSafeEval(v: Any): Any =
+    ac.matchedTerms(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("graftAhoCorasick", ac,
+      classOf[graft.functions.AhoCorasick].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.matchedTerms($c)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MultiMatch =
+    copy(child = newChild)
+}
+
 object TextStats {
   val schema: StructType = StructType(Seq(
     StructField("n_chars", LongType, nullable = false),

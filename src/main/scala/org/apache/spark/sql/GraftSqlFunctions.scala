@@ -30,6 +30,19 @@ object GraftSqlFunctions {
   private def asDoubleArray(e: Expression): Expression =
     Cast(e, ArrayType(DoubleType))
 
+  private def stringArrayArg(e: Expression, fn: String): Seq[String] = e match {
+    case a if a.foldable && a.dataType == ArrayType(
+        org.apache.spark.sql.types.StringType, false) ||
+        a.foldable && a.dataType == ArrayType(
+          org.apache.spark.sql.types.StringType, true) =>
+      a.eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        .toArray[org.apache.spark.unsafe.types.UTF8String](
+          org.apache.spark.sql.types.StringType)
+        .map(u => if (u == null) null else u.toString).toSeq
+    case other => throw new IllegalArgumentException(
+      s"$fn expects a literal string array argument like array('a','b'), got $other")
+  }
+
   /** Reject wrong argument counts at analysis time: without this a call
     * like `collect_smallest(x, 5, true, 99)` would silently ignore the
     * extras (the builders index into `c` positionally), and a too-short
@@ -130,6 +143,12 @@ object GraftSqlFunctions {
       arity("chunk_text", "chunk_text(text, maxTokens, overlap)", 3, 3)(
         c => ChunkText(c(0), intArg(c(1), "chunk_text"),
           intArg(c(2), "chunk_text")))),
+    (FunctionIdentifier("multi_match"),
+      info("multi_match",
+        "multi_match(text, array('t1','t2',...)) - distinct listed terms " +
+          "contained in text, in declaration order (one Aho-Corasick pass)"),
+      arity("multi_match", "multi_match(text, array('t1','t2',...))", 2, 2)(
+        c => MultiMatch(c(0), stringArrayArg(c(1), "multi_match")))),
     (FunctionIdentifier("collect_smallest"),
       info("collect_smallest",
         "collect_smallest(x, limit[, distinct]) - the limit smallest values per group, " +

@@ -78,6 +78,9 @@ class PlanSpec extends SparkSpec {
     val df2 = Queries.all.find(_.name == "q_ngram_jaccard").get.run(spark, dir)
     df2.collect()
     assert(codegenProject(df2.queryExecution.executedPlan.toString))
+    // the Aho-Corasick blocklist scan is a plan-time-built automaton
+    // referenced FROM generated code — it must not break the span
+    assert(codegenProject(plan("q_blocklist")), plan("q_blocklist"))
   }
 
   test("q_dedup_minhash: no cartesian products anywhere") {

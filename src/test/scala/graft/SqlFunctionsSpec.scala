@@ -106,6 +106,22 @@ class SqlFunctionsSpec extends SparkSpec {
     }
   }
 
+  test("multi_match callable from SQL; non-literal pattern list rejected") {
+    val rows = spark.sql(
+      "SELECT multi_match(t, array('at', 'batch', 'zz')) FROM " +
+        "VALUES ('a batch'), ('none') AS v(t)")
+      .collect().map(_.getSeq[String](0).toList)
+    assert(rows.toList == List(List("at", "batch"), Nil))
+    val e = intercept[Exception] {
+      spark.sql("SELECT multi_match(t, array(t)) FROM VALUES ('x') AS v(t)")
+        .collect()
+    }
+    def chain(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(x => String.valueOf(x.getMessage)).toSeq
+    assert(chain(e).exists(_.contains("literal string array")), chain(e))
+  }
+
   test("non-literal size argument is rejected with a clear error") {
     val e = intercept[Exception] {
       spark.sql("SELECT shingle_hashes64('abc', length('xy'))").collect()

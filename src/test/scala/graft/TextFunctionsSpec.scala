@@ -25,6 +25,34 @@ class TextFunctionsSpec extends SparkSpec {
     assert(out(4L) == Seq("one two"))
   }
 
+  test("multiMatch: dictionary-suffix matches, declaration order, brute-force parity") {
+    val terms = Seq("batch", "at", "ch", "he", "she", "hers")
+    val df = Seq(
+      (1L, "one batch here"),  // "at","ch" INSIDE "batch"; "he" in "here"
+      (2L, "ushers"),          // "she","he","hers" all nested in one word
+      (3L, "nothing matches"), // "at","ch","he" all hide inside "matches"
+      (4L, ""),
+      (5L, null.asInstanceOf[String])
+    ).toDF("id", "t")
+    val got = df.select(col("id"), TF.multiMatch(col("t"), terms).as("m"))
+      .as[(Long, Seq[String])].collect().toMap
+    // brute-force truth: a term matches iff text.contains(term),
+    // reported once, in declaration order
+    def truth(s: String) = terms.filter(s.contains)
+    assert(got(1L) == truth("one batch here"))
+    assert(got(1L).toSet == Set("batch", "at", "ch", "he"))
+    assert(got(2L) == truth("ushers") && got(2L) == Seq("he", "she", "hers"))
+    assert(got(3L) == truth("nothing matches"))
+    assert(got(4L).isEmpty)
+    assert(df.filter(col("id") === 5L)
+      .select(TF.multiMatch(col("t"), terms)).head().isNullAt(0))
+    // multi-byte UTF-8 patterns match bytewise-exactly, never partially
+    val uni = Seq("naïve café").toDF("t")
+      .select(TF.multiMatch(col("t"), Seq("ïve", "café", "fé", "xyz")))
+      .as[Seq[String]].head()
+    assert(uni == Seq("ïve", "café", "fé"))
+  }
+
   test("chunkText: zero overlap partitions tokens exactly; whitespace normalized") {
     val chunks = Seq("w1  w2\tw3   w4 w5").toDF("t")
       .select(TF.chunkText(col("t"), maxTokens = 2))
