@@ -2127,6 +2127,41 @@ object Queries {
     * rows/hash match fails. HLL is deterministic for fixed input, so
     * the gate cannot flake.
     */
+  /** Count-min-sketch heavy hitters, calibrated: exact top-10 tokens by
+    * frequency (the oracle side), each row gated on its CMS estimate
+    * honoring the sketch's two-sided guarantee
+    * `exact <= est <= exact + eps*N` — a broken sketch (or a probe
+    * hashing differently from the aggregate's update path) drops rows
+    * and fails the driver's rows_match. At corpus scale only the
+    * sketch pass runs (one aggregate, mergeable partials); the exact
+    * twin is this query's audit equipment. Completes the
+    * sketch-calibration family beside HLL distinct and the quantile
+    * digest. */
+  private val qApproxTopk = Q("q_approx_topk",
+    (s, dir) => {
+      val eps = 0.001
+      val toks = t(s, dir, "documents")
+        .select(explode(split(lower(col("text")), "\\s+")).as("token"))
+        .filter(length(col("token")) > 0)
+      val sketch = toks.agg(
+        expr(s"count_min_sketch(token, ${eps}d, 0.99d, 42)").as("__sk"),
+        count(lit(1)).as("__n"))
+      toks.groupBy("token").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("token").asc).limit(10)
+        .crossJoin(broadcast(sketch))
+        .withColumn("__est", Ops.cmsEstimate(col("__sk"), col("token")))
+        .filter(col("__est") >= col("cnt") &&
+          col("__est") <= col("cnt") + ceil(lit(eps) * col("__n")))
+        .select(col("token"), col("cnt").cast("bigint").as("cnt"))
+    },
+    Some("""SELECT token, CAST(count(*) AS BIGINT) AS cnt
+           |FROM (SELECT unnest(string_split_regex(lower(text), '\s+')) AS token
+           |      FROM documents)
+           |WHERE len(token) > 0
+           |GROUP BY token
+           |ORDER BY cnt DESC, token ASC
+           |LIMIT 10""".stripMargin))
+
   private val qApproxDistinct = Q("q_approx_distinct",
     (s, dir) => {
       val fp = TF.contentFingerprint(col("text"))
@@ -2597,5 +2632,6 @@ object Queries {
     qDupSpans, qDupSpansSalted, qIncrementalDedup, qIncrementalMinhash,
     qHybridRrf, qApproxDistinct, qApproxQuantiles,
     qDecontaminateBloom, qLmScore, qEventAttribution, qUpsert, qScd2,
-    qZorder, qScd2Multi, qSnapshotDiff, qTrainingOrder, qBlocklist)
+    qZorder, qScd2Multi, qSnapshotDiff, qTrainingOrder, qBlocklist,
+    qApproxTopk)
 }

@@ -561,4 +561,16 @@ object Ops {
     abs(approx.cast("double") - exact.cast("double")) <=
       abs(exact.cast("double")) * lit(relTol)
   }
+
+  /** Point estimate from a `count_min_sketch(...)` binary column for a
+    * string item — pairs with Spark's own sketch aggregate to form the
+    * CMS side of the sketch-calibration family. CMS only over-counts:
+    * `exact <= estimate <= exact + eps*N` at the sketch's confidence,
+    * which is exactly the two-sided gate the calibration query asserts.
+    */
+  def cmsEstimate(sketch: Column, item: Column): Column = {
+    import org.apache.spark.sql.{CmsEstimate, GraftBridge}
+    GraftBridge.column(CmsEstimate(
+      GraftBridge.expression(sketch), GraftBridge.expression(item)))
+  }
 }

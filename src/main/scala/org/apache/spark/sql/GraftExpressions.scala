@@ -367,6 +367,31 @@ case class ChunkText(child: Expression, maxTokens: Int, overlap: Int)
     copy(child = newChild)
 }
 
+/** Point estimate from a `count_min_sketch` aggregate's binary payload
+  * for a string item — the probe half of the CMS heavy-hitter
+  * calibration ([[graft.functions.SketchKernels.cmsEstimate]] caches
+  * the deserialized sketch per thread, so probing k candidates costs k
+  * hashes + one deserialization).
+  */
+case class CmsEstimate(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType, StringType)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "cms_estimate"
+
+  override protected def nullSafeEval(sk: Any, item: Any): Any =
+    graft.functions.SketchKernels.cmsEstimate(
+      sk.asInstanceOf[Array[Byte]], item.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (s, i) => s"graft.functions.SketchKernels.cmsEstimate($s, $i)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CmsEstimate =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Single-pass multi-pattern containment over a fixed term list: the
   * distinct patterns occurring anywhere in the text, in declaration
   * order. The [[graft.functions.AhoCorasick]] DFA is built once at

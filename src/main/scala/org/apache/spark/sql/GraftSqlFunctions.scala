@@ -143,6 +143,12 @@ object GraftSqlFunctions {
       arity("chunk_text", "chunk_text(text, maxTokens, overlap)", 3, 3)(
         c => ChunkText(c(0), intArg(c(1), "chunk_text"),
           intArg(c(2), "chunk_text")))),
+    (FunctionIdentifier("cms_estimate"),
+      info("cms_estimate",
+        "cms_estimate(sketch, item) - point estimate from a " +
+          "count_min_sketch binary for a string item"),
+      arity("cms_estimate", "cms_estimate(sketch, item)", 2, 2)(
+        c => CmsEstimate(c(0), c(1)))),
     (FunctionIdentifier("multi_match"),
       info("multi_match",
         "multi_match(text, array('t1','t2',...)) - distinct listed terms " +

@@ -366,6 +366,30 @@ class OpsSpec extends SparkSpec {
     assert(kept == Set(1L, 3L, 4L))
   }
 
+  test("cmsEstimate: never under-counts, matches exact on a wide sketch, gate is load-bearing") {
+    val words = Seq("alpha", "beta", "gamma", "delta")
+    val toks = (1 to 400).map(i => words(i % words.length)).toDF("token")
+    val sk = toks.agg(expr("count_min_sketch(token, 0.0001d, 0.99d, 7)").as("sk"))
+    val exact = toks.groupBy("token").agg(count(lit(1)).as("cnt"))
+    val rows = exact.crossJoin(sk)
+      .withColumn("est", Ops.cmsEstimate(col("sk"), col("token")))
+      .select("token", "cnt", "est").as[(String, Long, Long)].collect()
+    assert(rows.length == 4)
+    // a wide sketch (eps 1e-4 over 4 distinct tokens) has no collisions:
+    // the estimate IS the exact count — which also proves the probe
+    // hashes items exactly as the aggregate's update path did
+    assert(rows.forall { case (_, cnt, est) => est == cnt })
+    // trip-test: probing a sketch built over DIFFERENT content must fail
+    // the calibration gate (est >= cnt) — the q_approx_topk evidence
+    // pattern relies on this
+    val otherSk = (1 to 400).map(i => s"other${i % 4}").toDF("token")
+      .agg(expr("count_min_sketch(token, 0.0001d, 0.99d, 7)").as("sk"))
+    val surviving = exact.crossJoin(otherSk)
+      .withColumn("est", Ops.cmsEstimate(col("sk"), col("token")))
+      .filter(col("est") >= col("cnt"))
+    assert(surviving.count() == 0)
+  }
+
   test("trainingOrder: seeded permutation with contiguous positions and balanced shards") {
     val df = (1L to 103L).toDF("id")
     def run(seed: String) = Ops.trainingOrder(df, "id", seed, shards = 4)
