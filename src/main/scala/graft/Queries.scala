@@ -1118,6 +1118,74 @@ object Queries {
            |       END AS mean_b
            |FROM m""".stripMargin))
 
+  /** REAL audio decode under the oracle, the PCM twin of
+    * [[qMultimodal]]: per-doc 16-bit mono WAV blobs assembled in-plan
+    * (first frame +a·256, the rest −b·256 — two's-complement LE hex),
+    * decoded by [[graft.functions.AudioKernels]], features checked
+    * against DuckDB's closed-form expectations. Frame counts are powers
+    * of two and amplitudes multiples of 256, so mean_abs and peak are
+    * dyadic rationals — exact in float32 AND double, no rounding-parity
+    * risk. doc_id%7 rows are truncated mid-header and must feature as
+    * NULL (the decoder refuses partial data). */
+  private val qAudioFeatures = Q("q_audio_features",
+    (s, dir) => {
+      def h2(c: Column): Column = lpad(hex(c), 2, "0")
+      def le16h(c: Column): Column =
+        concat(h2(c.bitwiseAND(lit(255))), h2(shiftright(c, 8).bitwiseAND(lit(255))))
+      def le32h(c: Column): Column = concat(
+        h2(c.bitwiseAND(lit(255))),
+        h2(shiftright(c, 8).bitwiseAND(lit(255))),
+        h2(shiftright(c, 16).bitwiseAND(lit(255))),
+        h2(shiftright(c, 24).bitwiseAND(lit(255))))
+      val id = col("doc_id")
+      val n = when(pmod(id, lit(4)) === 0, 8).when(pmod(id, lit(4)) === 1, 16)
+        .when(pmod(id, lit(4)) === 2, 32).otherwise(64).cast("int")
+      val a = (pmod(id, lit(127)) + 1).cast("int")
+      val b = (pmod(id * 3, lit(127)) + 1).cast("int")
+      val rate = (lit(8000) + pmod(id, lit(3)) * 4000).cast("int")
+      val dataLen = (n * 2).cast("int")
+      val wavHex = concat(
+        lit("52494646"), le32h(lit(36) + dataLen), lit("57415645"),
+        lit("666D7420"), le32h(lit(16)), le16h(lit(1)), le16h(lit(1)),
+        le32h(rate), le32h(rate * 2), le16h(lit(2)), le16h(lit(16)),
+        lit("64617461"), le32h(dataLen),
+        le16h(a * 256),
+        array_join(array_repeat(le16h(lit(65536) - b * 256), n - 1), ""))
+      val blobHex = when(pmod(id, lit(7)) === 0,
+        substring(wavHex, 1, 50)).otherwise(wavHex)
+      val media = t(s, dir, "documents")
+        .select(col("doc_id"), unhex(blobHex).as("blob"))
+      Multimodal.featurize(media, "doc_id", "blob", dim = 5,
+          decoder = Multimodal.pcm)
+        .select(col("media_id").cast("bigint").as("media_id"),
+          col("n_bytes").cast("bigint").as("n_bytes"),
+          get(col("feature"), lit(0)).cast("bigint").as("channels"),
+          get(col("feature"), lit(1)).cast("bigint").as("sample_rate"),
+          get(col("feature"), lit(2)).cast("bigint").as("n_frames"),
+          round(get(col("feature"), lit(3)).cast("double"), 6).as("mean_abs"),
+          round(get(col("feature"), lit(4)).cast("double"), 6).as("peak"))
+    },
+    Some("""WITH p AS (
+           |  SELECT doc_id,
+           |         CASE doc_id % 4 WHEN 0 THEN 8 WHEN 1 THEN 16
+           |              WHEN 2 THEN 32 ELSE 64 END AS n,
+           |         doc_id % 127 + 1 AS a, (doc_id * 3) % 127 + 1 AS b,
+           |         8000 + (doc_id % 3) * 4000 AS rate,
+           |         doc_id % 7 = 0 AS trunc
+           |  FROM documents)
+           |SELECT CAST(doc_id AS BIGINT) AS media_id,
+           |       CAST(CASE WHEN trunc THEN 25 ELSE 44 + 2 * n END AS BIGINT) AS n_bytes,
+           |       CASE WHEN trunc THEN NULL ELSE CAST(1 AS BIGINT) END AS channels,
+           |       CASE WHEN trunc THEN NULL ELSE CAST(rate AS BIGINT) END AS sample_rate,
+           |       CASE WHEN trunc THEN NULL ELSE CAST(n AS BIGINT) END AS n_frames,
+           |       CASE WHEN trunc THEN NULL
+           |            ELSE round((a + (n - 1) * b) / (n * 128.0), 6)
+           |       END AS mean_abs,
+           |       CASE WHEN trunc THEN NULL
+           |            ELSE round(greatest(a, b) / 128.0, 6)
+           |       END AS peak
+           |FROM p""".stripMargin))
+
   // ---------------------------------------------------------------------
   // Composite / scale-pattern queries
   // ---------------------------------------------------------------------
@@ -2633,5 +2701,5 @@ object Queries {
     qHybridRrf, qApproxDistinct, qApproxQuantiles,
     qDecontaminateBloom, qLmScore, qEventAttribution, qUpsert, qScd2,
     qZorder, qScd2Multi, qSnapshotDiff, qTrainingOrder, qBlocklist,
-    qApproxTopk)
+    qApproxTopk, qAudioFeatures)
 }

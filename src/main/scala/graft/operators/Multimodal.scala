@@ -8,11 +8,13 @@ import org.apache.spark.sql.types._
   * `binary` columns with typed metadata; decode / feature-extract /
   * resize / frame-sample run batched per partition.
   *
-  * Decode is REAL for the codec-free raster formats — uncompressed
-  * 24-bit BMP and binary PPM decode to dimensions + mean-RGB via
-  * [[graft.functions.RasterKernels]] ([[raster]]/[[rasterOrStub]]),
-  * and q_multimodal_features hash-checks that path against the DuckDB
-  * oracle. The compressed codecs (JPEG/ffmpeg) are NOT in this
+  * Decode is REAL for the codec-free formats — uncompressed 24-bit BMP
+  * and binary PPM decode to dimensions + mean-RGB via
+  * [[graft.functions.RasterKernels]] ([[raster]]), and integer-PCM WAV
+  * decodes to frame/amplitude statistics via
+  * [[graft.functions.AudioKernels]] ([[pcm]]); q_multimodal_features
+  * and q_audio_features hash-check both paths against the DuckDB
+  * oracle. The compressed codecs (JPEG/MP3/ffmpeg) are NOT in this
   * environment, so THAT decode remains a clearly-marked deterministic
   * STUB — with everything Spark-side real and tested: schema, batching
   * shape, partition-local execution, output contract. Swapping
@@ -86,14 +88,36 @@ object Multimodal {
       }
     }
 
-  /** Raster decode where the format allows it, [[stub]] pseudo-features
-    * for the codec-bound rest — the mixed-corpus default.
+  private def pcmFeatures(p: graft.functions.AudioKernels.Pcm,
+                          dim: Int): Array[Float] =
+    Array(p.channels.toFloat, p.sampleRate.toFloat, p.nFrames.toFloat,
+      p.meanAbs.toFloat, p.peak.toFloat).padTo(dim, 0f).take(dim)
+
+  /** REAL integer-PCM WAV decoder: features = [channels, sample_rate,
+    * n_frames, mean_abs, peak] from actual sample iteration (amplitudes
+    * normalized to [-1, 1]). Same strict contract as [[raster]]:
+    * undecodable, compressed, or truncated blobs yield an EMPTY vector.
+    */
+  val pcm: Decoder = (blobs: Seq[Array[Byte]], dim: Int) =>
+    blobs.map { b =>
+      graft.functions.AudioKernels.decode(b) match {
+        case Some(p) => pcmFeatures(p, dim)
+        case None => Array.empty[Float]
+      }
+    }
+
+  /** Raster/PCM decode where the format allows it, [[stub]]
+    * pseudo-features for the codec-bound rest — the mixed-corpus
+    * default.
     */
   val rasterOrStub: Decoder = (blobs: Seq[Array[Byte]], dim: Int) =>
     blobs.map { b =>
       graft.functions.RasterKernels.decode(b) match {
         case Some(r) => rasterFeatures(r, dim)
-        case None => stubOne(b, dim)
+        case None => graft.functions.AudioKernels.decode(b) match {
+          case Some(p) => pcmFeatures(p, dim)
+          case None => stubOne(b, dim)
+        }
       }
     }
 

@@ -284,6 +284,55 @@ class MultimodalSpec extends SparkSpec {
     assert(RasterKernels.decode(null).isEmpty)
   }
 
+  test("WAV PCM decode: exact stats, stereo interleave, chunk walk, strict truncation") {
+    import graft.functions.AudioKernels
+    def wav(bits: Int, channels: Int, rate: Int, samples: Seq[Int],
+            extraChunk: Boolean = false): Array[Byte] = {
+      val bps = bits / 8
+      val dataLen = samples.length * bps
+      val extra = if (extraChunk) 12 else 0
+      val buf = java.nio.ByteBuffer.allocate(44 + extra + dataLen)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      buf.put("RIFF".getBytes).putInt(36 + extra + dataLen).put("WAVE".getBytes)
+      buf.put("fmt ".getBytes).putInt(16).putShort(1).putShort(channels.toShort)
+        .putInt(rate).putInt(rate * channels * bps)
+        .putShort((channels * bps).toShort).putShort(bits.toShort)
+      if (extraChunk) buf.put("LIST".getBytes).putInt(4).put("INFO".getBytes)
+      buf.put("data".getBytes).putInt(dataLen)
+      samples.foreach { s =>
+        if (bits == 16) buf.putShort(s.toShort) else buf.put(s.toByte)
+      }
+      buf.array()
+    }
+    // 16-bit mono: [16384, -8192, 8192, -16384] -> |v| in {0.5, 0.25}
+    val m = AudioKernels.decode(
+      wav(16, 1, 8000, Seq(16384, -8192, 8192, -16384))).get
+    assert(m.channels == 1 && m.sampleRate == 8000 && m.bits == 16 &&
+      m.nFrames == 4)
+    assert(m.meanAbs == 0.375 && m.peak == 0.5 &&
+      m.meanSq == (0.25 + 0.0625 + 0.0625 + 0.25) / 4)
+    // stereo 8-bit with a LIST chunk between fmt and data: 2 frames of
+    // (128+64, 128-64) -> every |v| = 0.5
+    val s = AudioKernels.decode(
+      wav(8, 2, 44100, Seq(192, 64, 192, 64), extraChunk = true)).get
+    assert(s.channels == 2 && s.nFrames == 2 && s.meanAbs == 0.5 &&
+      s.peak == 0.5 && s.meanSq == 0.25)
+    // strict truncation: audioMeta would report surviving frames, but
+    // decode must refuse rather than compute stats over half the data
+    val full = wav(16, 1, 8000, Seq(100, 200, 300, 400))
+    assert(AudioKernels.decode(full.dropRight(2)).isEmpty)
+    // unsupported payloads: IEEE float (tag 3), 24-bit, and a crafted
+    // chunk size that would overflow an Int cursor
+    val floatTag = full.clone(); floatTag(20) = 3
+    assert(AudioKernels.decode(floatTag).isEmpty)
+    val deep = full.clone(); deep(34) = 24
+    assert(AudioKernels.decode(deep).isEmpty)
+    val hugeChunk = full.clone()
+    hugeChunk(40) = -1; hugeChunk(41) = -1; hugeChunk(42) = -1; hugeChunk(43) = -1
+    assert(AudioKernels.decode(hugeChunk).isEmpty) // declared 4 GiB data
+    assert(AudioKernels.decode(null).isEmpty)
+  }
+
   test("crafted BMP headers with overflowing fields decode to None, never throw") {
     def leInt(b: Array[Byte], off: Int, v: Int): Unit = {
       b(off) = v.toByte; b(off + 1) = (v >> 8).toByte
