@@ -1,7 +1,8 @@
 package graft.functions
 
 /** Pixel decode for the raster formats that need NO codec — uncompressed
-  * 24-bit BI_RGB BMP and binary PPM (P6). This is the REAL decode path
+  * 24-bit BI_RGB BMP, binary PPM (P6), and binary PGM (P5 grayscale,
+  * reported as equal R=G=B). This is the REAL decode path
   * of [[graft.operators.Multimodal]]: mean-RGB + dimensions come from
   * actual pixel iteration, shrinking the honest decode stub to the
   * genuinely codec-bound formats (JPEG/MP4), which this sandbox cannot
@@ -22,7 +23,8 @@ object RasterKernels {
   def decode(bytes: Array[Byte]): Option[Raster] =
     if (bytes == null || bytes.length < 2) None
     else if (bytes(0) == 'B' && bytes(1) == 'M') decodeBmp(bytes)
-    else if (bytes(0) == 'P' && bytes(1) == '6') decodePpm(bytes)
+    else if (bytes(0) == 'P' && bytes(1) == '6') decodePnm(bytes, rgb = true)
+    else if (bytes(0) == 'P' && bytes(1) == '5') decodePnm(bytes, rgb = false)
     else None
 
   private def leU16(b: Array[Byte], i: Int): Int =
@@ -77,12 +79,13 @@ object RasterKernels {
       sr.toDouble / n, sg.toDouble / n, sb.toDouble / n))
   }
 
-  /** PPM P6: ASCII header (`P6`, width, height, maxval, each separated
-    * by whitespace, `#` comments allowed) followed by ONE whitespace
-    * byte and then width*height RGB triplets. Only maxval 255 (1 byte
+  /** PPM P6 / PGM P5: ASCII header (magic, width, height, maxval, each
+    * separated by whitespace, `#` comments allowed) followed by ONE
+    * whitespace byte and then width*height RGB triplets (P6) or gray
+    * bytes (P5, reported as equal R=G=B means). Only maxval 255 (1 byte
     * per sample) is supported.
     */
-  private def decodePpm(b: Array[Byte]): Option[Raster] = {
+  private def decodePnm(b: Array[Byte], rgb: Boolean): Option[Raster] = {
     var pos = 2
     def skipSpaceAndComments(): Boolean = {
       var progressed = false
@@ -120,15 +123,22 @@ object RasterKernels {
     if (!(sep == ' ' || sep == '\t' || sep == '\n' || sep == '\r')) return None
     pos += 1
     val n = width.toLong * height
-    if (pos + 3L * n > b.length) return None
+    val perPx = if (rgb) 3L else 1L
+    if (pos + perPx * n > b.length) return None
     var sr = 0L; var sg = 0L; var sb = 0L
     var i = 0L
     var p = pos
     while (i < n) {
-      sr += b(p) & 0xff
-      sg += b(p + 1) & 0xff
-      sb += b(p + 2) & 0xff
-      p += 3
+      if (rgb) {
+        sr += b(p) & 0xff
+        sg += b(p + 1) & 0xff
+        sb += b(p + 2) & 0xff
+        p += 3
+      } else {
+        val g = b(p) & 0xff
+        sr += g; sg += g; sb += g
+        p += 1
+      }
       i += 1
     }
     Some(Raster(width, height, sr.toDouble / n, sg.toDouble / n, sb.toDouble / n))

@@ -272,6 +272,18 @@ class MultimodalSpec extends SparkSpec {
     assert(RasterKernels.decode(wide).isEmpty)
   }
 
+  test("PGM P5 decode: grayscale means reported on all three channels") {
+    val hdr = "P5\n# gray\n4 1\n255\n".getBytes("US-ASCII")
+    val pix = Array(10, 20, 30, 40).map(_.toByte)
+    val r = RasterKernels.decode(hdr ++ pix).get
+    assert(r.width == 4 && r.height == 1)
+    assert(r.meanR == 25.0 && r.meanG == 25.0 && r.meanB == 25.0)
+    // 1 byte/px, not 3: a P6-sized payload check would wrongly refuse
+    assert(RasterKernels.decode(hdr ++ pix.take(3)).isEmpty) // short 1 px
+    val wide = "P5\n4 1\n65535\n".getBytes("US-ASCII") ++ pix
+    assert(RasterKernels.decode(wide).isEmpty)
+  }
+
   test("truncated/unsupported rasters decode to None, never throw") {
     val good = bmp(2, 2, Seq.fill(4)((1, 2, 3)))
     assert(RasterKernels.decode(good.take(20)).isEmpty)        // header cut
