@@ -542,6 +542,39 @@ object Queries {
     },
     None) // hash-family signature estimate: not oracle-expressible; recall-gated
 
+  /** Incremental embedding near-dup through a PERSISTED IVF index,
+    * probed exhaustively (nProbes = nCentroids) so the result is the
+    * exact cross-split threshold join and sits fully under the DuckDB
+    * oracle — index build, partitioned write, centroid probe, unit
+    * normalization, and threshold scoring all hash-checked end to end.
+    * The pruned-probe recall/IO tradeoff of the same machinery is
+    * gated by q_ann_ivf and measured in SimilaritySpec; kmeans
+    * nondeterminism can't leak into the output because an exhaustive
+    * probe scores every (batch, history) pair regardless of which list
+    * each vector landed in. */
+  private val qIncrementalEmbedding = Q("q_incremental_embedding",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings").filter(col("embedding").isNotNull)
+      val hist = emb.filter(pmod(col("vec_id"), lit(4)) =!= 0)
+      val batch = emb.filter(pmod(col("vec_id"), lit(4)) === 0)
+      val idxDir = java.nio.file.Files.createTempDirectory("graft_ivf_inc").toString
+      Similarity.buildIvfIndex(hist, "embedding", "vec_id", idxDir,
+        nCentroids = 8)
+      Dedup.incrementalEmbedding(batch, idxDir, "embedding", "vec_id",
+          threshold = 0.4, nProbes = 8)
+        .select(col("new_id").cast("bigint").as("new_id"),
+          col("hist_id").cast("bigint").as("hist_id"), col("cosine"))
+    },
+    Some("""WITH e AS (SELECT vec_id,
+           |                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           |           FROM embeddings WHERE embedding IS NOT NULL)
+           |SELECT CAST(a.vec_id AS BIGINT) AS new_id,
+           |       CAST(b.vec_id AS BIGINT) AS hist_id,
+           |       round(list_cosine_similarity(a.v, b.v), 6) AS cosine
+           |FROM e a JOIN e b
+           |  ON a.vec_id % 4 = 0 AND b.vec_id % 4 <> 0
+           |WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.4""".stripMargin))
+
   /** MinHash+LSH with a SELF-VERIFYING recall gate: the plan joins the
     * LSH output against the EXACT blocked-Jaccard operator (the same
     * one q_ngram_jaccard hash-checks against DuckDB) over (lang,
@@ -2701,5 +2734,5 @@ object Queries {
     qHybridRrf, qApproxDistinct, qApproxQuantiles,
     qDecontaminateBloom, qLmScore, qEventAttribution, qUpsert, qScd2,
     qZorder, qScd2Multi, qSnapshotDiff, qTrainingOrder, qBlocklist,
-    qApproxTopk, qAudioFeatures)
+    qApproxTopk, qAudioFeatures, qIncrementalEmbedding)
 }

@@ -813,4 +813,29 @@ object Dedup {
       .filter(col("est_jaccard") >= threshold)
       .select("new_id", "hist_id", "est_jaccard")
   }
+
+  /** Incremental embedding near-dup — the ingestion-time form of
+    * [[embeddingNearDup]], completing the incremental family beside
+    * [[incrementalExact]] and [[incrementalMinhash]]: new-batch vectors
+    * are screened against the historical corpus through its persisted
+    * [[Similarity.buildIvfIndex]] ("$indexDir/lists" partitioned by
+    * centroid, "$indexDir/centroids"), never through the raw corpus.
+    * Per ingest the batch is normalized and centroid-assigned once; the
+    * scan reads only the probed lists' files (partition pruning,
+    * asserted in SimilaritySpec) — per-ingest IO is
+    * ~nProbes/nCentroids of the index, independent of corpus text.
+    * Recall follows the probe budget exactly; nProbes = nCentroids is
+    * the exhaustive audit configuration.
+    *
+    * @return (new_id, hist_id, cosine) with cosine ≥ `threshold`,
+    *         rounded to 6 places
+    */
+  def incrementalEmbedding(newDocs: DataFrame, indexDir: String,
+                           vecCol: String, idCol: String,
+                           threshold: Double = 0.9,
+                           nProbes: Int = 2): DataFrame =
+    Similarity.ivfRangeIndexed(newDocs.sparkSession, indexDir, newDocs,
+        vecCol, idCol, threshold, nProbes)
+      .select(col("query_id").as("new_id"),
+        col("corpus_id").as("hist_id"), col("cosine"))
 }

@@ -231,7 +231,28 @@ object Similarity {
     */
   def ivfTopKIndexed(spark: org.apache.spark.sql.SparkSession, dir: String,
                      queries: DataFrame, vecCol: String, idCol: String,
-                     k: Int, nProbes: Int = 2): DataFrame = {
+                     k: Int, nProbes: Int = 2): DataFrame =
+    topKPerQuery(probeIndexed(spark, dir, queries, vecCol, idCol, nProbes), k)
+
+  /** Range probe of a [[buildIvfIndex]] index: every (query, corpus)
+    * pair in the probed lists with cosine ≥ `threshold` — the
+    * admission-control form an ingestion-time near-dup screen wants
+    * (consumed as [[Dedup.incrementalEmbedding]]), where top-k ranking
+    * is the retrieval form. Same partition-pruned scan; approximate
+    * exactly as the probe budget is (nProbes = nCentroids makes it
+    * exhaustive — the audit configuration q_incremental_embedding runs
+    * under its oracle).
+    */
+  def ivfRangeIndexed(spark: org.apache.spark.sql.SparkSession, dir: String,
+                      queries: DataFrame, vecCol: String, idCol: String,
+                      threshold: Double, nProbes: Int = 2): DataFrame =
+    probeIndexed(spark, dir, queries, vecCol, idCol, nProbes)
+      .filter(col("cosine") >= threshold)
+      .select(col("query_id"), col("corpus_id"), col("cosine"))
+
+  private def probeIndexed(spark: org.apache.spark.sql.SparkSession, dir: String,
+                           queries: DataFrame, vecCol: String, idCol: String,
+                           nProbes: Int): DataFrame = {
     val centroids = spark.read.parquet(s"$dir/centroids")
       .orderBy(col("centroid_id").asc).select(col("vec"))
       .collect().map(_.getSeq[Double](0).toArray)
@@ -255,10 +276,9 @@ object Similarity {
     val lists = spark.read.parquet(s"$dir/lists")
       .filter(col("centroid_id").isin(probedIds: _*))
       .withColumn("centroid_id", col("centroid_id").cast("long"))
-    val scored = lists.join(probing, Seq("centroid_id"))
+    lists.join(probing, Seq("centroid_id"))
       .filter(col("query_id") =!= col("corpus_id"))
       .withColumn("cosine", round(VectorFunctions.dot(col("__qv"), col("unit_vec")), 6))
-    topKPerQuery(scored, k)
   }
 
   /** Nearest-centroid classification over a LABELED embedding corpus —

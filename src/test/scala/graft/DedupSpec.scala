@@ -249,6 +249,43 @@ class DedupSpec extends SparkSpec {
     assert(chain(ex).exists(_.contains("index signature length")), ex.toString)
   }
 
+  test("incrementalEmbedding: pruned probe finds planted near-dups; exhaustive probe is exact") {
+    import graft.operators.Similarity
+    // two tight clusters far apart: history holds both anchors, the
+    // batch holds one near-copy per cluster plus an orthogonal outlier
+    def v(base: Array[Double], eps: Double) =
+      base.zipWithIndex.map { case (x, i) => x + (if (i == 0) eps else 0.0) }.toSeq
+    val c1 = Array(10.0, 0.0, 0.0, 0.0)
+    val c2 = Array(0.0, 10.0, 0.0, 0.0)
+    val hist = (1 to 10).map(i =>
+      (i.toLong, v(if (i % 2 == 0) c1 else c2, i * 0.01))).toDF("vec_id", "vec")
+    val batch = Seq(
+      (101L, v(c1, 0.005)), (102L, v(c2, 0.005)),
+      (103L, Seq(0.0, 0.0, 7.0, 0.0))).toDF("vec_id", "vec")
+    val dir = java.nio.file.Files.createTempDirectory("ivf_inc").toString
+    // nCentroids matches the true cluster count — with more, kmeans
+    // splits a cluster across lists and a single probe legitimately
+    // loses the far half (that recall/probe tradeoff is q_ann_ivf's
+    // gated territory, not this test's)
+    Similarity.buildIvfIndex(hist, "vec", "vec_id", dir, nCentroids = 2)
+    val pruned = Dedup.incrementalEmbedding(batch, dir, "vec", "vec_id",
+        threshold = 0.9, nProbes = 1)
+      .select("new_id", "hist_id").as[(Long, Long)].collect().toSet
+    // each batch vector probes only ITS cluster's list, yet every
+    // planted near-dup is found (5 history anchors per cluster)
+    assert(pruned == ((1 to 10).map(i =>
+      (if (i % 2 == 0) 101L else 102L, i.toLong))).toSet)
+    // exhaustive probe == brute-force threshold join, bit-for-bit
+    val exhaustive = Dedup.incrementalEmbedding(batch, dir, "vec", "vec_id",
+      threshold = 0.9, nProbes = 2)
+    val brute = Dedup.embeddingNearDupExact(
+        batch.unionByName(hist), "vec", "vec_id", threshold = 0.9)
+      .filter((col("id_a") >= 101L) =!= (col("id_b") >= 101L))
+    assert(exhaustive.count() == brute.count() &&
+      exhaustive.select("new_id", "hist_id").as[(Long, Long)].collect().toSet ==
+        pruned)
+  }
+
   test("spanDuplication: docs below n tokens drop out; minDocs raises the bar") {
     val tiny = Seq((1L, "a b c"), (2L, "a b c")).toDF("doc_id", "text")
     assert(Dedup.spanDuplication(tiny, "text", "doc_id", n = 4).count() == 0)
