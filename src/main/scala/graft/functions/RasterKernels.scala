@@ -53,12 +53,14 @@ object RasterKernels {
     val height = math.abs(heightRaw)
     if (dibSize < 40L || width <= 0L || height == 0L || bpp != 24 ||
         compression != 0 || dataOffset < 14L + dibSize) return None
-    // anything wider/taller than the blob itself can't fit — rejecting
-    // here also keeps rowSize*height below 2^62 (no Long overflow)
-    if (width > b.length || height > b.length) return None
+    // anything wider than the blob itself can't fit
+    if (width > b.length) return None
     val rowSize = ((3L * width + 3L) / 4L) * 4L
-    val need = dataOffset + rowSize * height
-    if (need > b.length) return None
+    // division-form bound: `dataOffset + rowSize*height <= length`
+    // without the multiply — rowSize*height can overflow even Long for
+    // ~2 GB blobs with crafted square dimensions
+    if (dataOffset > b.length || height > (b.length - dataOffset) / rowSize)
+      return None
     var sr = 0L; var sg = 0L; var sb = 0L
     var r = 0
     while (r < height) {
@@ -124,7 +126,11 @@ object RasterKernels {
     pos += 1
     val n = width.toLong * height
     val perPx = if (rgb) 3L else 1L
-    if (pos + perPx * n > b.length) return None
+    // division-form bound: `pos + perPx*n <= length` without the
+    // multiply — 3*n overflows Long for crafted i32-max dimensions
+    // (readInt admits up to Int.MaxValue for each), which would wrap
+    // the check negative and run the pixel loop off the array
+    if (n > (b.length - pos) / perPx) return None
     var sr = 0L; var sg = 0L; var sb = 0L
     var i = 0L
     var p = pos

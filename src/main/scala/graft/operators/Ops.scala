@@ -157,12 +157,19 @@ object Ops {
     * ties are impossible because `idCol` joins the sort key.
     */
   def trainingOrder(df: DataFrame, idCol: String, seed: String,
-                    shards: Int): DataFrame = {
+                    shards: Int, posCol: String = "pos",
+                    shardCol: String = "shard"): DataFrame = {
     require(shards >= 1, s"shards must be >= 1, got $shards")
+    // refuse to silently overwrite caller data — "pos"/"shard" are
+    // plausible user column names, unlike the reserved __ prefix
+    for (c <- Seq(posCol, shardCol))
+      require(!df.columns.contains(c),
+        s"trainingOrder: input already has a '$c' column — pass " +
+          "posCol/shardCol to rename the outputs")
     val keyed = df.withColumn("__to_key",
       md5(concat(col(idCol).cast("string"), lit(":"), lit(seed))))
-    zipWithIndexOrdered(keyed, Seq(col("__to_key").asc, col(idCol).asc), "pos")
-      .withColumn("shard", pmod(col("pos") - 1, lit(shards.toLong)))
+    zipWithIndexOrdered(keyed, Seq(col("__to_key").asc, col(idCol).asc), posCol)
+      .withColumn(shardCol, pmod(col(posCol) - 1, lit(shards.toLong)))
       .drop("__to_key")
   }
 

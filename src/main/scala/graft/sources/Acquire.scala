@@ -63,6 +63,14 @@ object Acquire {
     require(maxPages >= 1, s"maxPages must be >= 1, got $maxPages")
     require(retries >= 0, s"retries must be >= 0, got $retries")
     Files.createDirectories(Paths.get(outDir))
+    // pages land in a HIDDEN staging dir and are committed into outDir
+    // only after the whole run: a crash mid-run (urlFor throwing,
+    // interrupt, OOM) leaves the previous snapshot byte-identical —
+    // neither destroyed (the old cleanup-first hazard) nor mixed with a
+    // half-landed new generation (the old write-in-place hazard). The
+    // dot prefix keeps Spark's file index from ever globbing the
+    // staging files.
+    val staging = Files.createTempDirectory(Paths.get(outDir), ".incoming-")
     val client = HttpClient.newBuilder()
       .followRedirects(HttpClient.Redirect.NORMAL)
       .connectTimeout(requestTimeout)
@@ -83,7 +91,7 @@ object Acquire {
             val res = client.send(req, HttpResponse.BodyHandlers.ofString())
             res.statusCode() match {
               case 200 =>
-                val f = Paths.get(outDir, f"page-$page%05d.jsonl")
+                val f = staging.resolve(f"page-$page%05d.jsonl")
                 Files.write(f, res.body().getBytes(StandardCharsets.UTF_8),
                   StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
                 done = Some(PageResult(page, Some(f.toString), 200, attempt))
@@ -115,22 +123,39 @@ object Acquire {
       if (!(pastEnd && done.get.status == 404)) results += done.get
       page += 1
     }
-    val report = Report(results.result())
-    // Stale cleanup runs AFTER the fetch, and only once this run has
-    // landed something: a shorter re-run after a longer one must not
-    // leave stale high-numbered pages for a glob read to ingest, but a
-    // re-run that fails outright must not destroy the previous run's
-    // good snapshot either (cleanup-first had exactly that data-loss
-    // window). Only OUR naming pattern is touched — never other files
-    // in a shared dir. A partially failed run still removes pages it
-    // did not land; `failedPages` is the caller's incompleteness signal.
-    if (report.landedFiles.nonEmpty) {
-      val landed = report.landedFiles.map(f => Paths.get(f).getFileName.toString).toSet
-      val stale = Files.newDirectoryStream(Paths.get(outDir), "page-*.jsonl")
-      try stale.forEach { p =>
-        if (!landed.contains(p.getFileName.toString)) Files.delete(p)
-      } finally stale.close()
-    }
+    val staged = Report(results.result())
+    // COMMIT: only a run that landed at least one page touches outDir —
+    // move the staged pages in (replacing same-named predecessors) and
+    // delete stale page files the new generation didn't produce, so a
+    // shorter re-run can't leave high-numbered pages for a glob read to
+    // silently ingest. A run that landed nothing commits nothing: a
+    // dead source never destroys the previous good snapshot
+    // (`failedPages` is the caller's signal). Only OUR naming pattern
+    // is touched — never other files in a shared dir.
+    val report =
+      if (staged.landedFiles.isEmpty) staged
+      else {
+        val landedNames = Seq.newBuilder[String]
+        val committed = staged.pages.map { pr =>
+          pr.file match {
+            case Some(f) =>
+              val name = Paths.get(f).getFileName.toString
+              val dst = Paths.get(outDir, name)
+              Files.move(Paths.get(f), dst,
+                java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+              landedNames += name
+              pr.copy(file = Some(dst.toString))
+            case None => pr
+          }
+        }
+        val landed = landedNames.result().toSet
+        val stale = Files.newDirectoryStream(Paths.get(outDir), "page-*.jsonl")
+        try stale.forEach { p =>
+          if (!landed.contains(p.getFileName.toString)) Files.delete(p)
+        } finally stale.close()
+        Report(committed)
+      }
+    Files.deleteIfExists(staging) // empty after commit (or an empty run)
     report
   }
 }

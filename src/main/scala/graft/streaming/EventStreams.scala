@@ -81,6 +81,23 @@ object EventStreams {
     require(parsed.isInstanceOf[org.apache.spark.sql.catalyst.expressions.Literal],
       s"""attribution: malformed lookback "$lookback" — """ +
         "parsed to a non-literal expression")
+    // a NEGATIVE net lookback makes the join window [ts+|d|, ts] —
+    // permanently empty, attributing 0 rows forever without an error.
+    // The pre-parser regex rejected the sign; the parser must too.
+    // (Zero stays admitted: the regex allowed "0 minutes", and a
+    // point-in-time window is well-defined.)
+    val nonNegative =
+      parsed.asInstanceOf[org.apache.spark.sql.catalyst.expressions.Literal]
+        .value match {
+          case l: Long => l >= 0L // DayTimeIntervalType micros
+          case i: Int => i >= 0   // YearMonthIntervalType months
+          case c: org.apache.spark.unsafe.types.CalendarInterval =>
+            c.months >= 0 && c.days >= 0 && c.microseconds >= 0
+          case _ => false
+        }
+    require(nonNegative,
+      s"""attribution: negative lookback "$lookback" — the window would """ +
+        "be empty on every row")
     val interval = org.apache.spark.sql.GraftBridge.column(parsed)
     actions.join(causes,
       actions(userCol) === causes(userCol) &&

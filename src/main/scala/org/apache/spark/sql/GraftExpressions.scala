@@ -402,10 +402,18 @@ case class CmsEstimate(left: Expression, right: Expression)
   */
 case class MultiMatch(child: Expression, patterns: Seq[String])
     extends UnaryExpression with ExpectsInputTypes {
+  // fail fast on bad pattern lists at construction — but with the CHEAP
+  // checks only, never by forcing `ac`: Catalyst copies this node on
+  // every tree transform, and an eager DFA build (O(patternBytes*256))
+  // would re-run per copy. The automaton builds lazily, once per plan
+  // reference (driver side for codegen via addReferenceObj below).
+  require(patterns.nonEmpty, "multi_match needs at least one pattern")
+  require(patterns.forall(p => p != null && p.nonEmpty),
+    "multi_match patterns must be non-null and non-empty")
+  require(patterns.distinct.length == patterns.length,
+    "multi_match patterns must be distinct")
   @transient private lazy val ac =
     new graft.functions.AhoCorasick(patterns.toArray)
-  // fail fast on bad pattern lists at construction, not first execution
-  ac.patterns.length
 
   override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
   override def dataType: DataType = ArrayType(StringType, containsNull = false)

@@ -119,6 +119,10 @@ class AcquireSpec extends SparkSpec {
       assert(failed.landedFiles.isEmpty && failed.failedPages.nonEmpty)
       val df = spark.read.schema("doc_id LONG").json(s"$out/*.jsonl")
       assert(df.count() == 3)
+      // staging dirs never survive a completed run
+      val leftover = Files.newDirectoryStream(
+        java.nio.file.Paths.get(out), ".incoming-*")
+      try assert(!leftover.iterator().hasNext) finally leftover.close()
     }
   }
 

@@ -139,6 +139,17 @@ class EventStreamsSpec extends SparkSpec {
     for (ok <- Seq("3 months", "1 year", "3600.5 seconds", "90 minutes", "'1 hour'"))
       assert(EventStreams.attribution(a, c, "user_id", "ats", "cts", ok)
         .count() == 1, s"for: $ok")
+    // a net-NEGATIVE lookback parses fine but would make the window
+    // empty on every row forever — reject it loudly; a mixed form with
+    // net-positive duration stays valid
+    for (neg <- Seq("-30 minutes", "-1 year")) {
+      val e = intercept[IllegalArgumentException] {
+        EventStreams.attribution(a, c, "user_id", "ats", "cts", neg)
+      }
+      assert(e.getMessage.contains("negative lookback"), s"for: $neg")
+    }
+    assert(EventStreams.attribution(a, c, "user_id", "ats", "cts",
+      "2 days -12 hours").count() == 1)
   }
 
   test("streaming ingest lands deduped docs through a checkpointed parquet sink") {

@@ -366,6 +366,11 @@ class MultimodalSpec extends SparkSpec {
     val minHeight = good.clone()
     leInt(minHeight, 22, Int.MinValue)
     assert(RasterKernels.decode(minHeight).isEmpty)
+    // PNM with i32-max dimensions: 3*w*h overflows Long past the bounds
+    // check — must refuse, not run the pixel loop off the array
+    val hugePnm = "P6 2147483647 2147483647 255\n".getBytes("US-ASCII") ++
+      Array[Byte](1, 2, 3)
+    assert(RasterKernels.decode(hugePnm).isEmpty)
   }
 
   test("raster decoder in featurize: real features for rasters, empty for the rest") {

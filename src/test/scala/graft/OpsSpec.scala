@@ -409,5 +409,14 @@ class OpsSpec extends SparkSpec {
     assert(rows.sortBy(_._1).map(_._2).toSeq != other.sortBy(_._1).map(_._2).toSeq)
     // the permutation is hash-order, not id-order
     assert(rows.sortBy(_._2).map(_._1).toSeq != (1L to 103L))
+    // output names are configurable and never silently overwrite input
+    val clash = df.withColumn("pos", col("id"))
+    val e = intercept[IllegalArgumentException] {
+      Ops.trainingOrder(clash, "id", "s", shards = 2)
+    }
+    assert(e.getMessage.contains("already has"))
+    assert(Ops.trainingOrder(clash, "id", "s", shards = 2,
+      posCol = "epoch_pos", shardCol = "epoch_shard")
+      .columns.toSet == Set("id", "pos", "epoch_pos", "epoch_shard"))
   }
 }
