@@ -732,6 +732,56 @@ object Queries {
         col("cluster").cast("bigint").as("cluster")),
     qDupClusters.oracle)
 
+  /** Leakage-safe train/val/test assignment: the near-dup clusters the
+    * queries above discover become split UNITS, so a held-out document
+    * can never have a near-duplicate in train. The oracle recomputes
+    * the whole chain independently — pair graph, exact transitive
+    * closure, md5-bucket assignment — so the hash check covers both the
+    * cluster→unit coalescing and the unit-hash arithmetic. Per-doc
+    * output: the FULL (doc_id, split) mapping is pinned, not just its
+    * per-split counts. */
+  private val qSplitClusterSafe = Q("q_split_cluster_safe",
+    (s, dir) => Ops.clusterSafeSplit(
+      t(s, dir, "documents").select(col("doc_id").cast("bigint").as("doc_id")),
+      "doc_id", Dedup.dupClusters(dupPairGraph(s, dir)), "leak-0",
+      Seq(("train", 8), ("val", 1), ("test", 1)))
+      .select(col("doc_id"), col("split")),
+    Some("""WITH RECURSIVE t AS (
+           |  SELECT doc_id, lang || '#' || CAST(doc_id % 16 AS VARCHAR) AS blk,
+           |         lower(trim(text)) AS s
+           |  FROM documents
+           |), sh AS (
+           |  SELECT doc_id, blk,
+           |         CASE WHEN len(s) <= 3 THEN [s]
+           |              ELSE list_distinct([substr(s, i, 3) for i in range(1, len(s) - 1)])
+           |         END AS g
+           |  FROM t
+           |), pairs AS (
+           |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+           |  FROM sh a JOIN sh b ON a.blk = b.blk AND a.doc_id < b.doc_id
+           |  WHERE round(CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+           |              / len(list_distinct(list_concat(a.g, b.g))), 6) >= 0.5
+           |), edges AS (
+           |  SELECT id_a AS a, id_b AS b FROM pairs
+           |  UNION SELECT id_b, id_a FROM pairs
+           |), reach(a, b) AS (
+           |  SELECT a, b FROM edges
+           |  UNION
+           |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+           |), cl AS (
+           |  SELECT a AS id, least(a, min(b)) AS cluster
+           |  FROM reach GROUP BY a
+           |), u AS (
+           |  SELECT d.doc_id,
+           |         ('0x' || substr(md5(CAST(COALESCE(c.cluster, d.doc_id) AS VARCHAR)
+           |            || ':leak-0'), 1, 8))::BIGINT % 10 AS slot
+           |  FROM documents d LEFT JOIN cl c ON d.doc_id = c.id)
+           |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           |       CASE WHEN slot < 8 THEN 'train'
+           |            WHEN slot = 8 THEN 'val'
+           |            ELSE 'test' END AS split
+           |FROM u""".stripMargin))
+
   /** The dedup path END-TO-END under one oracle: exact pair detection →
     * connected components → drop non-representatives → chunk-budget
     * accounting on the survivors. Every stage is oracle-expressible, so
@@ -2734,5 +2784,5 @@ object Queries {
     qHybridRrf, qApproxDistinct, qApproxQuantiles,
     qDecontaminateBloom, qLmScore, qEventAttribution, qUpsert, qScd2,
     qZorder, qScd2Multi, qSnapshotDiff, qTrainingOrder, qBlocklist,
-    qApproxTopk, qAudioFeatures, qIncrementalEmbedding)
+    qApproxTopk, qAudioFeatures, qIncrementalEmbedding, qSplitClusterSafe)
 }

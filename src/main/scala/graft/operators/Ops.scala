@@ -390,14 +390,18 @@ object Ops {
     val total = splits.map(_._2).sum
     val rn = row_number().over(
       Window.partitionBy(strataCols.map(col): _*).orderBy(orderBy: _*)) - 1
-    val slot = pmod(rn, lit(total))
-    val (assign, _) = splits.foldLeft((lit(null).cast("string"), 0)) {
+    df.withColumn(as, assignByWeights(pmod(rn, lit(total)), splits))
+  }
+
+  /** Maps a slot in [0, sum(weights)) to its split name by cumulative
+    * weight — the shared tail of every split-assignment operator. */
+  private def assignByWeights(slot: Column,
+                              splits: Seq[(String, Int)]): Column =
+    splits.foldLeft((lit(null).cast("string"), 0)) {
       case ((acc, offset), (name, w)) =>
         (when(slot >= offset && slot < offset + w, lit(name)).otherwise(acc),
           offset + w)
-    }
-    df.withColumn(as, assign)
-  }
+    }._1
 
   /** Content-hash split: like [[deterministicSample]] but partitioning
     * the whole corpus into named splits — no shuffle, no window, stable
@@ -490,12 +494,48 @@ object Ops {
     require(splits.nonEmpty && splits.forall(_._2 > 0), s"bad weights: $splits")
     val total = splits.map(_._2).sum
     val slot = pmod(xxhash64(struct(df.columns.map(col): _*), lit(seed)), lit(total))
-    val (assign, _) = splits.foldLeft((lit(null).cast("string"), 0)) {
-      case ((acc, offset), (name, w)) =>
-        (when(slot >= offset && slot < offset + w, lit(name)).otherwise(acc),
-          offset + w)
-    }
-    df.withColumn(as, assign)
+    df.withColumn(as, assignByWeights(slot, splits))
+  }
+
+  /** Leakage-safe split: near-dup CLUSTERS land in one split as a unit,
+    * so no held-out document has a near-duplicate in train — the
+    * train/test contamination that per-document splitting silently
+    * produces (a benchmark answer's paraphrase in the training set).
+    *
+    * `clusters` is a (id, cluster) frame as produced by
+    * [[graft.operators.Dedup.dupClusters]]; documents absent from it
+    * (the non-duplicated bulk of any corpus) form singleton units keyed
+    * by their own id. The split unit is `coalesce(cluster, id)`, and
+    * assignment hashes the UNIT — `md5(unit ":" seed)` first 8 hex
+    * digits mod total weight — so every member of a cluster computes
+    * the identical slot with no second shuffle, and the whole
+    * assignment is a pure function of (data, seed): stable under
+    * repartitioning, retries, and incremental re-runs (md5, not
+    * xxhash64, so an ANSI oracle can recompute the full mapping).
+    *
+    * Plan shape at 100 TB: ONE left equi-join corpus⋈clusters on the id
+    * (the cluster map covers only documents that appear in a near-dup
+    * pair — typically a small fraction, broadcast when it fits) plus
+    * per-row hash arithmetic. No window, no global order.
+    */
+  def clusterSafeSplit(df: DataFrame, idCol: String, clusters: DataFrame,
+                       seed: String, splits: Seq[(String, Int)],
+                       as: String = "split"): DataFrame = {
+    require(splits.nonEmpty && splits.forall(_._2 > 0), s"bad weights: $splits")
+    require(df.columns.contains(idCol), s"no $idCol column on df")
+    val total = splits.map(_._2).sum
+    val cl = clusters.select(col("id").as("__css_id"),
+      col("cluster").as("__css_cluster"))
+    val unit = coalesce(col("__css_cluster"), col(idCol))
+    // first 8 md5 hex digits -> [0, 2^32): unbiased enough for split
+    // weights and exactly reproducible outside the JVM
+    val slot = pmod(
+      conv(substring(md5(concat(unit.cast("string"), lit(":"), lit(seed))),
+        1, 8), 16, 10).cast("bigint"),
+      lit(total.toLong))
+    df.join(cl, df(idCol) === col("__css_id"), "left")
+      .withColumn(as, assignByWeights(slot, splits))
+      .drop("__css_id", "__css_cluster")
   }
 
   /** Keep-first dedup by key with an explicit deterministic order

@@ -303,6 +303,36 @@ class OpsSpec extends SparkSpec {
     assert(again == out.select("id", "split").as[(Long, String)].collect().toSet)
   }
 
+  test("clusterSafeSplit: cluster members land together, singletons spread, retry-stable") {
+    val df = (0 until 600).map(i => (i.toLong, s"doc$i")).toDF("doc_id", "v")
+    // clusters: {0..9} -> 0, {100..104} -> 100; everything else singleton
+    val clusters = ((0L until 10L).map(i => (i, 0L)) ++
+      (100L until 105L).map(i => (i, 100L))).toDF("id", "cluster")
+    val out = Ops.clusterSafeSplit(df, "doc_id", clusters, "s0",
+      Seq(("train", 8), ("val", 1), ("test", 1)))
+    assert(out.count() == 600 && out.filter(col("split").isNull).count() == 0)
+    // every cluster resolves to ONE split — the leakage guarantee
+    val bySplit = out.filter(col("doc_id") < 10)
+      .select("split").distinct().as[String].collect()
+    assert(bySplit.length == 1, bySplit.toSeq.toString)
+    val bySplit2 = out.filter(col("doc_id") >= 100 && col("doc_id") < 105)
+      .select("split").distinct().as[String].collect()
+    assert(bySplit2.length == 1)
+    // singletons spread roughly by weight (8/1/1 over ~585 units)
+    val train = out.filter(col("split") === "train").count()
+    assert(math.abs(train / 600.0 - 0.8) < 0.06, s"train $train")
+    // pure function of (data, seed): repartitioning changes nothing,
+    // a different seed produces a different assignment
+    val again = Ops.clusterSafeSplit(df.repartition(13), "doc_id",
+      clusters.repartition(3), "s0", Seq(("train", 8), ("val", 1), ("test", 1)))
+      .select("doc_id", "split").as[(Long, String)].collect().toSet
+    assert(again == out.select("doc_id", "split").as[(Long, String)].collect().toSet)
+    val reseeded = Ops.clusterSafeSplit(df, "doc_id", clusters, "s1",
+      Seq(("train", 8), ("val", 1), ("test", 1)))
+      .select("doc_id", "split").as[(Long, String)].collect().toSet
+    assert(reseeded != again)
+  }
+
   test("mixtureWeights: rates bite only below-target groups; unlisted pass at 1.0") {
     // a: 100 units (50%), b: 60, c: 40. Targets: a -> 10% (bites),
     // b -> 90% (above actual -> no upsampling, rate 1.0), c unlisted.
