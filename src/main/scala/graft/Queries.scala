@@ -782,6 +782,53 @@ object Queries {
            |            ELSE 'test' END AS split
            |FROM u""".stripMargin))
 
+  /** Corrupt-record-routed ingestion under the oracle, build→read
+    * round-trip like q_image_meta: the documents table is serialized to
+    * JSONL with every 7th line deliberately truncated mid-object, then
+    * read back through [[graft.sources.Ingest.readJsonlTagged]]
+    * (text + from_json, one scan, verbatim quarantine channel). The
+    * oracle recomputes the expected routing from the corruption rule
+    * alone, so the hash check pins both directions: no good line is
+    * quarantined, no corrupt line slips through, and good payloads
+    * survive the round-trip byte-exactly.
+    *
+    * Quarantined rows deliberately surface ONLY doc_id (recovered from
+    * the verbatim line) — PERMISSIVE partial fills on a torn record are
+    * parser-version-dependent and must never be mistaken for data. */
+  private val qIngestRouted = Q("q_ingest_routed",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id").cast("bigint").as("doc_id"), col("lang"),
+          col("n_chars").cast("bigint").as("n_chars"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft_ingest").toString
+      docs.select(
+        when(pmod(col("doc_id"), lit(7)) === 0,
+          concat(lit("{\"doc_id\": "), col("doc_id"), lit(", \"lang\": ")))
+          .otherwise(to_json(struct(col("doc_id"), col("lang"),
+            col("n_chars")))).as("value"))
+        .write.mode("overwrite").text(tmp)
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("lang", StringType),
+        StructField("n_chars", LongType)))
+      val tagged = graft.sources.Ingest.readJsonlTagged(s, tmp, schema)
+      val corrupt = col("_corrupt_record").isNotNull
+      tagged.select(
+        coalesce(col("doc_id"),
+          regexp_extract(col("_corrupt_record"), "\"doc_id\": ([0-9]+)", 1)
+            .cast("bigint")).as("doc_id"),
+        when(corrupt, lit(null)).otherwise(col("lang")).as("lang"),
+        when(corrupt, lit(null)).otherwise(col("n_chars"))
+          .cast("bigint").as("n_chars"),
+        when(corrupt, lit("corrupt")).otherwise(lit("good")).as("status"))
+    },
+    Some("""SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           |       CASE WHEN doc_id % 7 = 0 THEN NULL ELSE lang END AS lang,
+           |       CASE WHEN doc_id % 7 = 0 THEN NULL
+           |            ELSE CAST(n_chars AS BIGINT) END AS n_chars,
+           |       CASE WHEN doc_id % 7 = 0 THEN 'corrupt'
+           |            ELSE 'good' END AS status
+           |FROM documents""".stripMargin))
+
   /** The dedup path END-TO-END under one oracle: exact pair detection →
     * connected components → drop non-representatives → chunk-budget
     * accounting on the survivors. Every stage is oracle-expressible, so
@@ -2784,5 +2831,6 @@ object Queries {
     qHybridRrf, qApproxDistinct, qApproxQuantiles,
     qDecontaminateBloom, qLmScore, qEventAttribution, qUpsert, qScd2,
     qZorder, qScd2Multi, qSnapshotDiff, qTrainingOrder, qBlocklist,
-    qApproxTopk, qAudioFeatures, qIncrementalEmbedding, qSplitClusterSafe)
+    qApproxTopk, qAudioFeatures, qIncrementalEmbedding, qSplitClusterSafe,
+    qIngestRouted)
 }
