@@ -1165,58 +1165,69 @@ object Queries {
     * byte-stable. The codec-bound formats (JPEG/MP4) remain the honest
     * [[Multimodal.stub]], exercised in MultimodalSpec.
     */
+  /** Constructed two-color raster blob for `id` (BMP for even ids, PPM
+    * for odd; every 7th truncated to 20 bytes) — the fixture generator
+    * shared by q_multimodal_features and q_binary_ingest, whose oracles
+    * recompute the expected features from this arithmetic. */
+  private def constructedRasterBlob(id: Column): Column = {
+    def h2(c: Column): Column = lpad(hex(c), 2, "0")
+    def le32h(c: Column): Column = concat(
+      h2(c.bitwiseAND(lit(255))),
+      h2(shiftright(c, 8).bitwiseAND(lit(255))),
+      h2(shiftright(c, 16).bitwiseAND(lit(255))),
+      h2(shiftright(c, 24).bitwiseAND(lit(255))))
+    val w = when(pmod(id, lit(3)) === 0, 4)
+      .when(pmod(id, lit(3)) === 1, 8).otherwise(16).cast("int")
+    val hh = when(pmod(id, lit(4)) === 0, 1)
+      .when(pmod(id, lit(4)) === 1, 2)
+      .when(pmod(id, lit(4)) === 2, 4).otherwise(8).cast("int")
+    val wh = (w * hh).cast("int")
+    def rep(px: Column, n: Column): Column =
+      array_join(array_repeat(px, n), "")
+    val aR = pmod(id, lit(256)).cast("int")
+    val aG = pmod(id * 7, lit(256)).cast("int")
+    val aB = pmod(id * 13, lit(256)).cast("int")
+    val bR = pmod(id * 3, lit(256)).cast("int")
+    val bG = pmod(id * 5, lit(256)).cast("int")
+    val bB = pmod(id * 11, lit(256)).cast("int")
+    // widths 4/8/16 make 3·w a multiple of 4: no BMP row padding, so
+    // pixel data is exactly 3·w·h bytes (the decoder handles padded
+    // strides; MultimodalSpec covers that case)
+    val bmpHex = concat(
+      lit("424D"), le32h(lit(54) + wh * 3), lit("00000000"), le32h(lit(54)),
+      le32h(lit(40)), le32h(w), le32h(hh), lit("0100"), lit("1800"),
+      le32h(lit(0)), le32h(wh * 3), le32h(lit(0)), le32h(lit(0)),
+      le32h(lit(0)), le32h(lit(0)),
+      h2(aB), h2(aG), h2(aR), rep(concat(h2(bB), h2(bG), h2(bR)), wh - 1))
+    val ppmHex = concat(
+      hex(encode(concat(lit("P6\n"), w.cast("string"), lit(" "),
+        hh.cast("string"), lit("\n255\n")), "UTF-8")),
+      h2(aR), h2(aG), h2(aB), rep(concat(h2(bR), h2(bG), h2(bB)), wh - 1))
+    val fullHex = when(pmod(id, lit(2)) === 0, bmpHex).otherwise(ppmHex)
+    // 40 hex chars = 20 bytes: inside the BMP info header, inside the
+    // PPM pixel data — both must decode to nothing
+    unhex(when(pmod(id, lit(7)) === 0,
+      substring(fullHex, 1, 40)).otherwise(fullHex))
+  }
+
+  /** Projection of a [[Multimodal.featurize]] raster result to the
+    * oracle-compared shape — shared by q_multimodal_features and
+    * q_binary_ingest. */
+  private def rasterFeatures(featurized: DataFrame): DataFrame =
+    featurized.select(col("media_id").cast("bigint").as("media_id"),
+      col("n_bytes").cast("bigint").as("n_bytes"),
+      get(col("feature"), lit(0)).cast("bigint").as("width"),
+      get(col("feature"), lit(1)).cast("bigint").as("height"),
+      round(get(col("feature"), lit(2)).cast("double"), 6).as("mean_r"),
+      round(get(col("feature"), lit(3)).cast("double"), 6).as("mean_g"),
+      round(get(col("feature"), lit(4)).cast("double"), 6).as("mean_b"))
+
   private val qMultimodal = Q("q_multimodal_features",
     (s, dir) => {
-      def h2(c: Column): Column = lpad(hex(c), 2, "0")
-      def le32h(c: Column): Column = concat(
-        h2(c.bitwiseAND(lit(255))),
-        h2(shiftright(c, 8).bitwiseAND(lit(255))),
-        h2(shiftright(c, 16).bitwiseAND(lit(255))),
-        h2(shiftright(c, 24).bitwiseAND(lit(255))))
-      val id = col("doc_id")
-      val w = when(pmod(id, lit(3)) === 0, 4)
-        .when(pmod(id, lit(3)) === 1, 8).otherwise(16).cast("int")
-      val hh = when(pmod(id, lit(4)) === 0, 1)
-        .when(pmod(id, lit(4)) === 1, 2)
-        .when(pmod(id, lit(4)) === 2, 4).otherwise(8).cast("int")
-      val wh = (w * hh).cast("int")
-      def rep(px: Column, n: Column): Column =
-        array_join(array_repeat(px, n), "")
-      val aR = pmod(id, lit(256)).cast("int")
-      val aG = pmod(id * 7, lit(256)).cast("int")
-      val aB = pmod(id * 13, lit(256)).cast("int")
-      val bR = pmod(id * 3, lit(256)).cast("int")
-      val bG = pmod(id * 5, lit(256)).cast("int")
-      val bB = pmod(id * 11, lit(256)).cast("int")
-      // widths 4/8/16 make 3·w a multiple of 4: no BMP row padding, so
-      // pixel data is exactly 3·w·h bytes (the decoder handles padded
-      // strides; MultimodalSpec covers that case)
-      val bmpHex = concat(
-        lit("424D"), le32h(lit(54) + wh * 3), lit("00000000"), le32h(lit(54)),
-        le32h(lit(40)), le32h(w), le32h(hh), lit("0100"), lit("1800"),
-        le32h(lit(0)), le32h(wh * 3), le32h(lit(0)), le32h(lit(0)),
-        le32h(lit(0)), le32h(lit(0)),
-        h2(aB), h2(aG), h2(aR), rep(concat(h2(bB), h2(bG), h2(bR)), wh - 1))
-      val ppmHex = concat(
-        hex(encode(concat(lit("P6\n"), w.cast("string"), lit(" "),
-          hh.cast("string"), lit("\n255\n")), "UTF-8")),
-        h2(aR), h2(aG), h2(aB), rep(concat(h2(bR), h2(bG), h2(bB)), wh - 1))
-      val fullHex = when(pmod(id, lit(2)) === 0, bmpHex).otherwise(ppmHex)
-      // 40 hex chars = 20 bytes: inside the BMP info header, inside the
-      // PPM pixel data — both must decode to nothing
-      val blobHex = when(pmod(id, lit(7)) === 0,
-        substring(fullHex, 1, 40)).otherwise(fullHex)
       val media = t(s, dir, "documents")
-        .select(col("doc_id"), unhex(blobHex).as("blob"))
-      Multimodal.featurize(media, "doc_id", "blob", dim = 5,
-          decoder = Multimodal.raster)
-        .select(col("media_id").cast("bigint").as("media_id"),
-          col("n_bytes").cast("bigint").as("n_bytes"),
-          get(col("feature"), lit(0)).cast("bigint").as("width"),
-          get(col("feature"), lit(1)).cast("bigint").as("height"),
-          round(get(col("feature"), lit(2)).cast("double"), 6).as("mean_r"),
-          round(get(col("feature"), lit(3)).cast("double"), 6).as("mean_g"),
-          round(get(col("feature"), lit(4)).cast("double"), 6).as("mean_b"))
+        .select(col("doc_id"), constructedRasterBlob(col("doc_id")).as("blob"))
+      rasterFeatures(Multimodal.featurize(media, "doc_id", "blob", dim = 5,
+        decoder = Multimodal.raster))
     },
     Some("""WITH p AS (
            |  SELECT doc_id,
@@ -1247,6 +1258,30 @@ object Queries {
            |            ELSE round((ab + (wh - 1) * bb) / CAST(wh AS DOUBLE), 6)
            |       END AS mean_b
            |FROM m""".stripMargin))
+
+  /** The media EXCHANGE round-trip under the same oracle as
+    * [[qMultimodal]]: the identical constructed blobs are exported one
+    * object per blob ([[graft.sources.Sinks.writeBlobs]], executor-side
+    * writes), read back through Spark's `binaryFile` source
+    * ([[graft.sources.Ingest.readBlobs]] — id parsed from the object
+    * name, content opaque), and only then decoded. A hash-green row
+    * proves the file-per-object interchange layer is byte-transparent:
+    * any truncation, name-mangling, or id-parse defect would shift the
+    * features or lose rows. Truncated fixtures ride along as 20-byte
+    * objects that must still land, read, and decode to NULL features.
+    */
+  private val qBinaryIngest = Q("q_binary_ingest",
+    (s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_blobs").toString
+      val media = t(s, dir, "documents")
+        .select(col("doc_id"), constructedRasterBlob(col("doc_id")).as("blob"))
+      graft.sources.Sinks.writeBlobs(media, "doc_id", "blob", tmp, "bin")
+      rasterFeatures(Multimodal.featurize(
+        graft.sources.Ingest.readBlobs(s, tmp, "*.bin")
+          .select(col("media_id"), col("blob")),
+        "media_id", "blob", dim = 5, decoder = Multimodal.raster))
+    },
+    qMultimodal.oracle)
 
   /** REAL audio decode under the oracle, the PCM twin of
     * [[qMultimodal]]: per-doc 16-bit mono WAV blobs assembled in-plan
@@ -2832,5 +2867,5 @@ object Queries {
     qDecontaminateBloom, qLmScore, qEventAttribution, qUpsert, qScd2,
     qZorder, qScd2Multi, qSnapshotDiff, qTrainingOrder, qBlocklist,
     qApproxTopk, qAudioFeatures, qIncrementalEmbedding, qSplitClusterSafe,
-    qIngestRouted)
+    qIngestRouted, qBinaryIngest)
 }

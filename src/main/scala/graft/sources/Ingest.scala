@@ -57,6 +57,34 @@ object Ingest {
     split(tagLines(spark.readStream.text(path), schema, corruptCol),
       schema, corruptCol)
 
+  /** Media ingestion through Spark's `binaryFile` source — the read
+    * half of [[Sinks.writeBlobs]]: every object matching `glob` under
+    * `dir` becomes a row of (`idCol` parsed from the file name,
+    * `n_bytes` from source METADATA — no content read needed to get
+    * it, `blobCol` with the raw bytes). The source never decodes —
+    * blobs stay opaque binary for a downstream
+    * [[graft.operators.Multimodal.featurize]], and files larger than
+    * `spark.sql.sources.binaryFile.maxLength` fail loudly rather than
+    * truncate. Listing parallelizes over files; a 100 TB media corpus
+    * reads as one partition per ~128 MB of objects with no driver-side
+    * enumeration of contents.
+    *
+    * The id is the file's base name without its extension; files whose
+    * base name isn't a decimal integer get a NULL id rather than being
+    * dropped — the caller's quarantine decision, not the reader's.
+    */
+  def readBlobs(spark: SparkSession, dir: String, glob: String,
+                idCol: String = "media_id",
+                blobCol: String = "blob"): DataFrame =
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", glob)
+      .load(dir)
+      .select(
+        nullif(regexp_extract(col("path"), "/([0-9]+)\\.[^/.]+$", 1), lit(""))
+          .cast("bigint").as(idCol),
+        col("length").as("n_bytes"),
+        col("content").as(blobCol))
+
   private def tagLines(lines: DataFrame, schema: StructType,
                        corruptCol: String): DataFrame = {
     require(!schema.fieldNames.contains(corruptCol),

@@ -1,6 +1,7 @@
 package graft.sources
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions.col
 
 /** Output tier. The reference's only sink surface is named terminal
   * tables plus a PostgreSQL connection template (motogp.ktr:481-489 —
@@ -95,6 +96,34 @@ object Sinks {
       .sortWithinPartitions("__z")
       .drop("__z")
       .write.mode(mode).parquet(path)
+  }
+
+  /** Media-export sink: one object per blob, named `<id>.<ext>` — the
+    * write half of the multimodal interchange contract whose read half
+    * is `spark.read.format("binaryFile")` ([[Ingest.readBlobs]]).
+    * Rows are written from the EXECUTORS (foreachPartition), so the
+    * export parallelizes with the upstream partitioning; `dir` must
+    * therefore be storage every executor can reach — an object store or
+    * shared filesystem on a real cluster (the 100 TB deployment writes
+    * `s3://…/` style URIs through a Hadoop FileSystem; this local
+    * implementation uses java.nio for the sandbox's local paths).
+    * NULL blobs and NULL ids are skipped — an all-null row carries
+    * nothing worth a zero-byte object. Ids must be distinct (two rows
+    * sharing an id would silently last-write-win).
+    */
+  def writeBlobs(df: DataFrame, idCol: String, blobCol: String,
+                 dir: String, ext: String): Unit = {
+    import java.nio.file.{Files, Paths}
+    require(ext.nonEmpty && ext.forall(_.isLetterOrDigit), s"bad ext: $ext")
+    Files.createDirectories(Paths.get(dir))
+    df.select(col(idCol).cast("string"), col(blobCol))
+      .foreachPartition { it: Iterator[Row] =>
+        it.foreach { r =>
+          if (!r.isNullAt(0) && !r.isNullAt(1))
+            Files.write(Paths.get(dir, s"${r.getString(0)}.$ext"),
+              r.getAs[Array[Byte]](1))
+        }
+      }
   }
 
   /** Mirror of the reference's PostgreSQL connection shape

@@ -78,6 +78,34 @@ class SinksSpec extends SparkSpec {
     assert(bad.count() == 0) // "\r", "\t", "   " are blanks, not errors
   }
 
+  test("blob export + binaryFile ingest: byte-exact round trip, nulls skipped, bad names get null ids") {
+    val dir = Files.createTempDirectory("graft-blobs").toFile
+    dir.deleteOnExit()
+    val rows = Seq(
+      (1L, Array[Byte](1, 2, 3)),
+      (2L, Array[Byte](-128, 0, 127)),
+      (7L, Array.tabulate(300)(_.toByte)))
+    val df = rows.toDF("id", "blob")
+      .unionByName(Seq((9L, null.asInstanceOf[Array[Byte]]))
+        .toDF("id", "blob")) // null blob: skipped, never a 0-byte object
+    graft.sources.Sinks.writeBlobs(df, "id", "blob", dir.getAbsolutePath, "bin")
+    // a foreign file matching the glob but with a non-numeric base name
+    java.nio.file.Files.write(new java.io.File(dir, "readme.bin").toPath,
+      Array[Byte](42))
+    val back = graft.sources.Ingest.readBlobs(spark, dir.getAbsolutePath, "*.bin")
+    assert(back.columns.toSeq == Seq("media_id", "n_bytes", "blob"))
+    val byId = back.filter(col("media_id").isNotNull)
+      .collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]](2)).toMap
+    assert(byId.keySet == Set(1L, 2L, 7L))
+    for ((id, blob) <- rows)
+      assert(byId(id).toSeq == blob.toSeq, s"blob $id")
+    // metadata length agrees with content without reading it
+    assert(back.filter(col("media_id") === 7L)
+      .select("n_bytes").as[Long].head() == 300L)
+    // the non-numeric name surfaces as a null id for the caller to route
+    assert(back.filter(col("media_id").isNull).count() == 1)
+  }
+
   test("jsonl STREAM ingest: incremental shards split good/quarantine identically") {
     val dir = Files.createTempDirectory("graft-ingest-stream").toFile
     dir.deleteOnExit()
