@@ -98,6 +98,64 @@ object Sinks {
       .write.mode(mode).parquet(path)
   }
 
+  /** Small-file compaction for a FLAT parquet directory — the
+    * maintenance pass every long-lived 100 TB table needs: streaming
+    * micro-batches and over-parallel writers leave thousands of tiny
+    * part files, and each one costs a task, a footer read, and an
+    * object-store request on every downstream scan.
+    *
+    * File sizes come from the directory LISTING (metadata only — no
+    * data read to decide), the rewrite uses `coalesce`, not
+    * `repartition`: merging existing files needs no shuffle, each
+    * output task just reads several inputs back to back. Skew between
+    * merged outputs is bounded by `targetFileBytes` and irrelevant for
+    * a sink. A no-op (already at-or-under the target count) touches
+    * nothing and reports the unchanged count.
+    *
+    * The swap (write staging → move originals to a backup dir → move
+    * compacted files in → drop backup) is NOT atomic — a reader racing
+    * the swap can see a partial listing, and a crash mid-swap leaves
+    * the backup dir to recover from manually. That is the honest limit
+    * of directory-as-table; atomic compaction is what table formats
+    * (Delta/Iceberg snapshot commits) exist for, and this operator is
+    * the offline-maintenance-window version.
+    *
+    * Partitioned layouts (subdirectories) are rejected: compact each
+    * leaf partition directory individually.
+    *
+    * @return (file count before, file count after)
+    */
+  def compactParquet(spark: org.apache.spark.sql.SparkSession, path: String,
+                     targetFileBytes: Long = 128L << 20): (Int, Int) = {
+    import org.apache.hadoop.fs.Path
+    require(targetFileBytes > 0, s"bad targetFileBytes $targetFileBytes")
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    val entries = fs.listStatus(dir)
+    require(!entries.exists(e => e.isDirectory && !e.getPath.getName.startsWith(".")),
+      s"$path has partition subdirectories — compact each leaf directory")
+    val parts = entries.filter(e => e.isFile && e.getPath.getName.endsWith(".parquet"))
+    val before = parts.length
+    val total = parts.map(_.getLen).sum
+    val nOut = math.max(1L, (total + targetFileBytes - 1) / targetFileBytes).toInt
+    if (nOut >= before) return (before, before)
+    val staging = new Path(dir.getParent, s".${dir.getName}.compacting")
+    val backup = new Path(dir.getParent, s".${dir.getName}.precompact")
+    fs.delete(staging, true); fs.delete(backup, true) // stale crash debris
+    spark.read.parquet(path).coalesce(nOut)
+      .write.mode("overwrite").parquet(staging.toString)
+    fs.mkdirs(backup)
+    parts.foreach(p => fs.rename(p.getPath, new Path(backup, p.getPath.getName)))
+    fs.listStatus(staging)
+      .filter(e => e.isFile && e.getPath.getName.endsWith(".parquet"))
+      .foreach(p => fs.rename(p.getPath, new Path(dir, p.getPath.getName)))
+    fs.delete(staging, true)
+    fs.delete(backup, true)
+    val after = fs.listStatus(dir)
+      .count(e => e.isFile && e.getPath.getName.endsWith(".parquet"))
+    (before, after)
+  }
+
   /** Media-export sink: one object per blob, named `<id>.<ext>` — the
     * write half of the multimodal interchange contract whose read half
     * is `spark.read.format("binaryFile")` ([[Ingest.readBlobs]]).

@@ -78,6 +78,35 @@ class SinksSpec extends SparkSpec {
     assert(bad.count() == 0) // "\r", "\t", "   " are blanks, not errors
   }
 
+  test("compactParquet: merges small files losslessly, idempotent, rejects partitioned dirs") {
+    val root = Files.createTempDirectory("graft-compact").toFile
+    root.deleteOnExit()
+    val dir = new java.io.File(root, "tbl").getAbsolutePath
+    val df = (1 to 5000).map(i => (i.toLong, s"row-$i" * 10)).toDF("id", "v")
+    df.repartition(32).write.parquet(dir)
+    def partCount = new java.io.File(dir).listFiles()
+      .count(f => f.isFile && f.getName.endsWith(".parquet"))
+    val nBefore = partCount
+    assert(nBefore == 32)
+    // ~hundreds of KB total: a 1 MB target forces a single output file
+    val (b, a) = graft.sources.Sinks.compactParquet(spark, dir, 1L << 20)
+    assert(b == 32 && a < 32 && a == partCount, s"($b, $a)")
+    // lossless: same rows, no swap debris left behind
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 5000)
+    assert(back.agg(sum(col("id"))).as[Long].head() == 5000L * 5001 / 2)
+    assert(!root.listFiles().exists(_.getName.contains("compact")))
+    // already compact: a second pass is a no-op
+    assert(graft.sources.Sinks.compactParquet(spark, dir, 1L << 20) == ((a, a)))
+    // partitioned layout refused
+    val pdir = new java.io.File(root, "ptbl").getAbsolutePath
+    df.withColumn("p", col("id") % 2).write.partitionBy("p").parquet(pdir)
+    val e = intercept[IllegalArgumentException] {
+      graft.sources.Sinks.compactParquet(spark, pdir, 1L << 20)
+    }
+    assert(e.getMessage.contains("partition subdirectories"))
+  }
+
   test("blob export + binaryFile ingest: byte-exact round trip, nulls skipped, bad names get null ids") {
     val dir = Files.createTempDirectory("graft-blobs").toFile
     dir.deleteOnExit()
