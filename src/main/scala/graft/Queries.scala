@@ -1259,6 +1259,42 @@ object Queries {
            |       END AS mean_b
            |FROM m""".stripMargin))
 
+  /** Within-document line dedup under the oracle: multi-line fixtures
+    * are constructed in-plan (the corpus text carries no newlines) with
+    * planted repeats — the full text twice, a 40-char prefix twice, two
+    * blank lines — and [[TF.dedupLinesWithin]] must keep exactly the
+    * first occurrence of each non-blank line while blanks pass through.
+    * The full cleaned STRING is hash-compared, not just the counts, so
+    * order preservation and the join separator are pinned too. */
+  private val qLineDedupWithin = Q("q_line_dedup_within",
+    (s, dir) => {
+      val built = concat_ws("\n", col("text"),
+        substring(col("text"), 1, 40), col("text"), lit(""), lit(""),
+        substring(col("text"), 1, 40))
+      t(s, dir, "documents")
+        .select(col("doc_id").cast("bigint").as("doc_id"),
+          built.as("__t"))
+        .select(col("doc_id"), TF.dedupLinesWithin(col("__t")).as("clean"),
+          size(split(col("__t"), "\n")).cast("bigint").as("n_before"),
+          size(split(TF.dedupLinesWithin(col("__t")), "\n"))
+            .cast("bigint").as("n_after"))
+    },
+    Some("""WITH c AS (
+           |  SELECT doc_id,
+           |         text || chr(10) || substr(text, 1, 40) || chr(10) || text
+           |           || chr(10) || chr(10) || chr(10) || substr(text, 1, 40) AS t
+           |  FROM documents),
+           |s AS (SELECT doc_id, t, string_split(t, chr(10)) AS l FROM c),
+           |k AS (SELECT doc_id, l,
+           |             list_filter(l, (x, i) -> trim(x) = ''
+           |                                      OR list_position(l, x) = i) AS kept
+           |      FROM s)
+           |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           |       array_to_string(kept, chr(10)) AS clean,
+           |       CAST(len(l) AS BIGINT) AS n_before,
+           |       CAST(len(kept) AS BIGINT) AS n_after
+           |FROM k""".stripMargin))
+
   /** The media EXCHANGE round-trip under the same oracle as
     * [[qMultimodal]]: the identical constructed blobs are exported one
     * object per blob ([[graft.sources.Sinks.writeBlobs]], executor-side
@@ -2867,5 +2903,5 @@ object Queries {
     qDecontaminateBloom, qLmScore, qEventAttribution, qUpsert, qScd2,
     qZorder, qScd2Multi, qSnapshotDiff, qTrainingOrder, qBlocklist,
     qApproxTopk, qAudioFeatures, qIncrementalEmbedding, qSplitClusterSafe,
-    qIngestRouted, qBinaryIngest)
+    qIngestRouted, qBinaryIngest, qLineDedupWithin)
 }

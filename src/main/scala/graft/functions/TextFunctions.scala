@@ -105,6 +105,26 @@ object TextFunctions {
       .otherwise(lit("de"))
   }
 
+  /** WITHIN-document line dedup — the CCNet-style cleanup that strips
+    * boilerplate repeated inside one document (nav menus, cookie
+    * banners, repeated headers) before any cross-corpus pass: every
+    * line keeps only its FIRST occurrence. Blank lines (whitespace-only
+    * after trim) always pass — dropping them would merge unrelated
+    * paragraphs. Comparison is exact (no normalization): "foo" and
+    * "foo " are different lines; callers wanting normalized matching
+    * normalize the text first. Null text stays null.
+    *
+    * Distinct from [[graft.operators.Dedup.lineDedup]], which dedups
+    * lines ACROSS the corpus (one shuffle on the line hash); this is a
+    * pure per-row column function — no shuffle, no state, runs inside
+    * the scan stage at any scale.
+    */
+  def dedupLinesWithin(text: Column): Column = {
+    val lines = split(text, "\n")
+    array_join(filter(lines, (x, i) =>
+      trim(x) === "" || array_position(lines, x) === i + 1), "\n")
+  }
+
   /** Composite quality score in [0,1]:
     * 0.5 * min(tokens,200)/200  (length signal)
     * + 0.3 * (1 - min(punctRatio*4, 1))  (not mostly punctuation)

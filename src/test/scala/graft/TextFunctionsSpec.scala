@@ -167,6 +167,24 @@ class TextFunctionsSpec extends SparkSpec {
     assert(rows.count(r => r.isNullAt(0) || r.getLong(0) <= 0) == 2)
   }
 
+  test("dedupLinesWithin: first occurrence kept, blanks pass, exact comparison, null stays null") {
+    val df = Seq(
+      (1L, "nav menu\nbody text\nnav menu\nmore body\nnav menu"),
+      (2L, "a\n\n\na\nb"),         // blanks survive even repeated
+      (3L, "foo\nfoo \nfoo"),      // trailing space = a different line
+      (4L, "only line"),
+      (5L, null.asInstanceOf[String])
+    ).toDF("id", "t")
+    val out = df.select(col("id"), TF.dedupLinesWithin(col("t")).as("c"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else r.getString(1))).toMap
+    assert(out(1L) == "nav menu\nbody text\nmore body")
+    assert(out(2L) == "a\n\n\nb")
+    assert(out(3L) == "foo\nfoo ")
+    assert(out(4L) == "only line")
+    assert(out(5L) == null)
+  }
+
   test("redact + matchCount: planted PII scrubbed, counts exact, null stays null") {
     val df = Seq(
       (1L, "mail a.b+c@sub.example.org or x@y.io, call +1 555-0134"),
