@@ -1295,6 +1295,40 @@ object Queries {
            |       CAST(len(kept) AS BIGINT) AS n_after
            |FROM k""".stripMargin))
 
+  /** Column profiling under the oracle — ONE fused aggregation pass
+    * over documents (null/distinct/min/max per column), unpivoted from
+    * the single aggregated row. The `lang` column carries real NULLs at
+    * every SF, so the null accounting is load-bearing, and exact
+    * distinct counts keep it hash-checkable (the 100 TB variant flips
+    * `exactDistinct = false` — see the operator doc). */
+  private val qProfile = Q("q_profile",
+    (s, dir) => Ops.profileColumns(t(s, dir, "documents"),
+      Seq("doc_id", "lang", "source", "n_chars")),
+    Some("""SELECT 'doc_id' AS col_name,
+           |       CAST(count(*) - count(doc_id) AS BIGINT) AS n_nulls,
+           |       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_distinct,
+           |       round(CAST(min(doc_id) AS DOUBLE), 6) AS min_num,
+           |       round(CAST(max(doc_id) AS DOUBLE), 6) AS max_num,
+           |       CAST(NULL AS VARCHAR) AS min_str,
+           |       CAST(NULL AS VARCHAR) AS max_str
+           |FROM documents
+           |UNION ALL
+           |SELECT 'lang', CAST(count(*) - count(lang) AS BIGINT),
+           |       CAST(count(DISTINCT lang) AS BIGINT),
+           |       NULL, NULL, CAST(min(lang) AS VARCHAR), CAST(max(lang) AS VARCHAR)
+           |FROM documents
+           |UNION ALL
+           |SELECT 'source', CAST(count(*) - count(source) AS BIGINT),
+           |       CAST(count(DISTINCT source) AS BIGINT),
+           |       NULL, NULL, CAST(min(source) AS VARCHAR), CAST(max(source) AS VARCHAR)
+           |FROM documents
+           |UNION ALL
+           |SELECT 'n_chars', CAST(count(*) - count(n_chars) AS BIGINT),
+           |       CAST(count(DISTINCT n_chars) AS BIGINT),
+           |       round(CAST(min(n_chars) AS DOUBLE), 6),
+           |       round(CAST(max(n_chars) AS DOUBLE), 6), NULL, NULL
+           |FROM documents""".stripMargin))
+
   /** The media EXCHANGE round-trip under the same oracle as
     * [[qMultimodal]]: the identical constructed blobs are exported one
     * object per blob ([[graft.sources.Sinks.writeBlobs]], executor-side
@@ -2903,5 +2937,5 @@ object Queries {
     qDecontaminateBloom, qLmScore, qEventAttribution, qUpsert, qScd2,
     qZorder, qScd2Multi, qSnapshotDiff, qTrainingOrder, qBlocklist,
     qApproxTopk, qAudioFeatures, qIncrementalEmbedding, qSplitClusterSafe,
-    qIngestRouted, qBinaryIngest, qLineDedupWithin)
+    qIngestRouted, qBinaryIngest, qLineDedupWithin, qProfile)
 }

@@ -538,6 +538,58 @@ object Ops {
       .drop("__css_id", "__css_cluster")
   }
 
+  /** One-pass column profiling — the ANALYZE step run on every new
+    * corpus drop before anything else touches it: per column, null
+    * count, distinct count, and min/max, computed in ONE aggregation
+    * over the data (all aggregates fuse into a single scan with
+    * map-side partials; the unpivot to one-row-per-column happens on
+    * the single aggregated row, not the data).
+    *
+    * Numeric columns report `min_num`/`max_num` (rounded to 6 places);
+    * everything else reports `min_str`/`max_str` via string cast — keep
+    * timestamps out (cast to date first): their string form is
+    * engine-dependent, dates and integers are not.
+    *
+    * `exactDistinct = true` uses exact per-column distinct counts —
+    * Spark plans multiple distinct aggregates with an Expand that
+    * replicates every row once per profiled column, fine at audit scale
+    * and for the oracle. At 100 TB pass `false`:
+    * `approx_count_distinct` (HLL, ~2% rsd) keeps the plan a plain
+    * single-pass aggregate with no Expand.
+    */
+  def profileColumns(df: DataFrame, cols: Seq[String],
+                     exactDistinct: Boolean = true): DataFrame = {
+    require(cols.nonEmpty, "profileColumns needs at least one column")
+    val missing = cols.filterNot(df.columns.contains)
+    require(missing.isEmpty, s"no such columns: ${missing.mkString(", ")}")
+    import org.apache.spark.sql.types.NumericType
+    val aggs = count(lit(1)).as("__n") +: cols.zipWithIndex.flatMap {
+      case (c, i) => Seq(
+        count(col(c)).as(s"__p${i}_cnt"),
+        (if (exactDistinct) count_distinct(col(c))
+         else approx_count_distinct(col(c))).as(s"__p${i}_nd"),
+        min(col(c)).as(s"__p${i}_min"),
+        max(col(c)).as(s"__p${i}_max"))
+    }
+    val rows = cols.zipWithIndex.map { case (c, i) =>
+      val isNum = df.schema(c).dataType.isInstanceOf[NumericType]
+      def num(side: String) =
+        if (isNum) round(col(s"__p${i}_$side").cast("double"), 6)
+        else lit(null).cast("double")
+      def str(side: String) =
+        if (isNum) lit(null).cast("string")
+        else col(s"__p${i}_$side").cast("string")
+      struct(lit(c).as("col_name"),
+        (col("__n") - col(s"__p${i}_cnt")).cast("bigint").as("n_nulls"),
+        col(s"__p${i}_nd").cast("bigint").as("n_distinct"),
+        num("min").as("min_num"), num("max").as("max_num"),
+        str("min").as("min_str"), str("max").as("max_str"))
+    }
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(rows: _*)).as("__p"))
+      .select(col("__p.*"))
+  }
+
   /** Keep-first dedup by key with an explicit deterministic order
     * (reference `Unique rows` motogp.ktr:8722 keeps the first row of a
     * sorted stream; `dropDuplicates` alone is nondeterministic, so the

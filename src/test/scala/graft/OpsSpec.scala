@@ -303,6 +303,35 @@ class OpsSpec extends SparkSpec {
     assert(again == out.select("id", "split").as[(Long, String)].collect().toSet)
   }
 
+  test("profileColumns: one-pass nulls/distinct/min-max, dates in the string lane, approx mode plans no Expand") {
+    val df = Seq(
+      (1L, Some("en"), java.sql.Date.valueOf("2024-01-05"), 2.5),
+      (2L, None, java.sql.Date.valueOf("2024-03-01"), -1.25),
+      (3L, Some("fr"), java.sql.Date.valueOf("2024-01-05"), 2.5),
+      (4L, Some("en"), java.sql.Date.valueOf("2023-12-31"), 9.0)
+    ).toDF("id", "lang", "d", "score")
+    val p = Ops.profileColumns(df, Seq("id", "lang", "d", "score"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(p("id").getLong(1) == 0 && p("id").getLong(2) == 4)
+    assert(p("id").getDouble(3) == 1.0 && p("id").getDouble(4) == 4.0)
+    assert(p("lang").getLong(1) == 1 && p("lang").getLong(2) == 2)
+    assert(p("lang").getString(5) == "en" && p("lang").getString(6) == "fr")
+    // DateType rides the string lane as ISO — engine-stable, unlike timestamps
+    assert(p("d").getString(5) == "2023-12-31" && p("d").getString(6) == "2024-03-01")
+    assert(p("score").getDouble(3) == -1.25 && p("score").getDouble(4) == 9.0)
+    assert(p("score").getLong(2) == 3)
+    // numeric rows leave the string lane null and vice versa
+    assert(p("id").isNullAt(5) && p("lang").isNullAt(3))
+    // the 100 TB mode: approximate distinct, and the plan has no Expand
+    val approx = Ops.profileColumns(df, Seq("id", "lang"), exactDistinct = false)
+    assert(approx.queryExecution.executedPlan.toString.contains("Expand") == false)
+    val exact = Ops.profileColumns(df, Seq("id", "lang"))
+    assert(exact.queryExecution.executedPlan.toString.contains("Expand"))
+    intercept[IllegalArgumentException] {
+      Ops.profileColumns(df, Seq("id", "nope"))
+    }
+  }
+
   test("clusterSafeSplit: cluster members land together, singletons spread, retry-stable") {
     val df = (0 until 600).map(i => (i.toLong, s"doc$i")).toDF("doc_id", "v")
     // clusters: {0..9} -> 0, {100..104} -> 100; everything else singleton
