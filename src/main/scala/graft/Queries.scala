@@ -1295,6 +1295,38 @@ object Queries {
            |       CAST(len(kept) AS BIGINT) AS n_after
            |FROM k""".stripMargin))
 
+  /** Deterministic mixture upsampling under the oracle: per-source
+    * rates (src0 ×2.3 up, src1 ×0.4 down, rest pass) drive
+    * [[Ops.repeatByRate]], and the FULL (doc_id, copy_no) expansion is
+    * hash-compared — DuckDB recomputes the md5 fraction and the range
+    * explode. Rates are forced to DOUBLE on both sides so the
+    * fractional-part comparison is the same IEEE arithmetic (a DECIMAL
+    * 2.3 would make DuckDB's threshold exact where Spark's is not). */
+  private val qRepeatMixture = Q("q_repeat_mixture",
+    (s, dir) => {
+      val rate = when(col("source") === "src0", 2.3)
+        .when(col("source") === "src1", 0.4).otherwise(1.0)
+      Ops.repeatByRate(t(s, dir, "documents"), "doc_id", rate, "rep-0")
+        .select(col("doc_id").cast("bigint").as("doc_id"),
+          col("copy_no").cast("bigint").as("copy_no"))
+    },
+    Some("""WITH r AS (
+           |  SELECT doc_id,
+           |         CASE WHEN source = 'src0' THEN CAST(2.3 AS DOUBLE)
+           |              WHEN source = 'src1' THEN CAST(0.4 AS DOUBLE)
+           |              ELSE CAST(1.0 AS DOUBLE) END AS rate,
+           |         ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':rep-0'),
+           |            1, 8))::BIGINT / 4294967296.0 AS frac
+           |  FROM documents),
+           |c AS (
+           |  SELECT doc_id,
+           |         CAST(floor(rate) + CASE WHEN frac < rate - floor(rate)
+           |                                 THEN 1 ELSE 0 END AS INT) AS n
+           |  FROM r)
+           |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           |       CAST(unnest(range(1, n + 1)) AS BIGINT) AS copy_no
+           |FROM c WHERE n >= 1""".stripMargin))
+
   /** Column profiling under the oracle — ONE fused aggregation pass
     * over documents (null/distinct/min/max per column), unpivoted from
     * the single aggregated row. The `lang` column carries real NULLs at
@@ -2937,5 +2969,6 @@ object Queries {
     qDecontaminateBloom, qLmScore, qEventAttribution, qUpsert, qScd2,
     qZorder, qScd2Multi, qSnapshotDiff, qTrainingOrder, qBlocklist,
     qApproxTopk, qAudioFeatures, qIncrementalEmbedding, qSplitClusterSafe,
-    qIngestRouted, qBinaryIngest, qLineDedupWithin, qProfile)
+    qIngestRouted, qBinaryIngest, qLineDedupWithin, qProfile,
+    qRepeatMixture)
 }

@@ -538,6 +538,38 @@ object Ops {
       .drop("__css_id", "__css_cluster")
   }
 
+  /** Deterministic repetition by a (possibly fractional) rate — the
+    * UPSAMPLING half of mixture shaping, the decision [[mixtureWeights]]
+    * deliberately leaves to the caller: a row with rate 2.3 appears
+    * twice always, three times iff its seeded md5 fraction falls under
+    * 0.3. Every copy is numbered (`copy_no`, 1-based) so downstream
+    * epoch shuffling can interleave repeats instead of emitting them
+    * adjacent. rate <= 0 drops the row (a rate table can therefore also
+    * filter); rate < 1 behaves as a deterministic Bernoulli sample —
+    * [[deterministicSample]]'s per-row form.
+    *
+    * The draw hashes `idCol` + seed (md5, like [[clusterSafeSplit]]):
+    * reproducible across runs/partitionings, recomputable by an ANSI
+    * oracle, and independent draws per row. The explode multiplies rows
+    * map-side — no shuffle; at 100 TB the output is written straight to
+    * shards or fed to [[trainingOrder]].
+    */
+  def repeatByRate(df: DataFrame, idCol: String, rate: Column,
+                   seed: String, copyCol: String = "copy_no"): DataFrame = {
+    require(df.columns.contains(idCol), s"no $idCol column on df")
+    require(!df.columns.contains(copyCol),
+      s"repeatByRate: input already has a '$copyCol' column — pass copyCol")
+    // first 8 md5 hex digits / 2^32: uniform fraction in [0, 1)
+    val frac = conv(substring(md5(concat(col(idCol).cast("string"),
+      lit(":"), lit(seed))), 1, 8), 16, 10).cast("double") / 4294967296.0
+    val copies = (floor(rate) + when(frac < rate - floor(rate), 1)
+      .otherwise(0)).cast("int")
+    // bare sequence(1, 0) would count DOWN to [1, 0] — guard to an empty
+    // array so copies <= 0 (and a NULL rate) drops the row via explode
+    df.withColumn(copyCol, explode(when(copies >= 1,
+      sequence(lit(1), copies)).otherwise(array().cast("array<int>"))))
+  }
+
   /** One-pass column profiling — the ANALYZE step run on every new
     * corpus drop before anything else touches it: per column, null
     * count, distinct count, and min/max, computed in ONE aggregation

@@ -303,6 +303,37 @@ class OpsSpec extends SparkSpec {
     assert(again == out.select("id", "split").as[(Long, String)].collect().toSet)
   }
 
+  test("repeatByRate: integer part always, fraction by seeded draw, zero drops, copies numbered") {
+    val df = (1L to 2000L).map(i => (i, if (i % 2 == 0) "a" else "b")).toDF("id", "src")
+    val rate = when(col("src") === "a", 2.5).otherwise(0.0)
+    val out = Ops.repeatByRate(df, "id", rate, "s0")
+    // src=b (rate 0) vanishes entirely
+    assert(out.filter(col("src") === "b").count() == 0)
+    val perId = out.filter(col("src") === "a").groupBy("id").count()
+      .as[(Long, Long)].collect().toMap
+    assert(perId.size == 1000)
+    // every kept row appears 2 or 3 times, ~half get the fractional copy
+    assert(perId.values.forall(n => n == 2 || n == 3))
+    val three = perId.values.count(_ == 3)
+    assert(math.abs(three / 1000.0 - 0.5) < 0.06, s"3-copy share $three")
+    // copies numbered 1..n
+    val copies = out.filter(col("id") === perId.find(_._2 == 3).get._1)
+      .select("copy_no").as[Int].collect().sorted.toSeq
+    assert(copies == Seq(1, 2, 3))
+    // deterministic under repartitioning; different seed, different draws
+    val again = Ops.repeatByRate(df.repartition(17), "id", rate, "s0")
+      .select("id", "copy_no").as[(Long, Int)].collect().toSet
+    assert(again == out.select("id", "copy_no").as[(Long, Int)].collect().toSet)
+    val reseeded = Ops.repeatByRate(df, "id", rate, "s1")
+      .select("id", "copy_no").as[(Long, Int)].collect().toSet
+    assert(reseeded != again)
+    // rate < 1 = deterministic Bernoulli; NULL rate drops
+    val frac = Ops.repeatByRate(df, "id", lit(0.3), "s0")
+    val kept = frac.count()
+    assert(math.abs(kept / 2000.0 - 0.3) < 0.05, s"kept $kept")
+    assert(Ops.repeatByRate(df, "id", lit(null).cast("double"), "s0").count() == 0)
+  }
+
   test("profileColumns: one-pass nulls/distinct/min-max, dates in the string lane, approx mode plans no Expand") {
     val df = Seq(
       (1L, Some("en"), java.sql.Date.valueOf("2024-01-05"), 2.5),
