@@ -2718,8 +2718,9 @@ object Queries {
     * (keys %3 change, %15 of those are no-ops, %7 carry closed
     * history, keys <3 arrive new).
     */
-  private val qScd2 = Q("q_scd2",
-    (s, dir) => {
+  /** The SCD2 fixture dimension (closed history + open rows + one
+    * change batch, applied) shared by q_scd2 and q_scd2_lookup. */
+  private def scd2Dim(s: SparkSession, dir: String): DataFrame = {
       val cust = t(s, dir, "customer")
       val open = cust.select(col("c_custkey"),
         col("c_mktsegment").as("segment"),
@@ -2749,7 +2750,10 @@ object Queries {
         .select(col("c_custkey").cast("bigint").as("c_custkey"),
           col("segment"), col("valid_from"),
           coalesce(col("valid_to"), to_date(lit("9999-12-31"))).as("valid_to"))
-    },
+  }
+
+  private val qScd2 = Q("q_scd2",
+    (s, dir) => scd2Dim(s, dir),
     Some("""WITH dim_open AS (
            |  SELECT c_custkey, c_mktsegment AS segment,
            |         DATE '1990-01-01' AS valid_from, CAST(NULL AS DATE) AS valid_to
@@ -2778,6 +2782,69 @@ object Queries {
            |       DATE '9999-12-31'
            |FROM ch LEFT JOIN dim_open d USING (c_custkey)
            |WHERE d.c_custkey IS NULL OR d.segment IS DISTINCT FROM ch.nseg""".stripMargin))
+
+  /** Point-in-time enrichment THROUGH the applied dimension: order
+    * facts are given timestamps spanning all three version eras (−90
+    * months → the closed OLD_ window, as-is → the 1990 open rows, +360
+    * months → post-change versions), then [[Dimensions.asOfLookup]]
+    * picks each fact's covering version from the very dimension
+    * [[scd2Dim]] built with scd2Apply — so a hash-green row checks the
+    * write path and the read path COMPOSED. Facts before their key's
+    * first version (pre-1990 for never-closed keys) come back with a
+    * NULL segment, which the oracle's interval join reproduces. */
+  private val qScd2Lookup = Q("q_scd2_lookup",
+    (s, dir) => {
+      val od = col("o_orderdate").cast("date")
+      val facts = t(s, dir, "orders").select(
+        col("o_orderkey").cast("bigint").as("o_orderkey"),
+        col("o_custkey").cast("bigint").as("o_custkey"),
+        when(pmod(col("o_orderkey"), lit(3)) === 0, add_months(od, -90))
+          .when(pmod(col("o_orderkey"), lit(3)) === 1, od)
+          .otherwise(add_months(od, 360)).as("ts"))
+      Dimensions.asOfLookup(facts, scd2Dim(s, dir),
+          Seq("o_custkey"), Seq("c_custkey"), "ts", "valid_from", "valid_to")
+        .select(col("o_orderkey"), col("o_custkey"), col("ts"), col("segment"))
+    },
+    Some("""WITH dim_open AS (
+           |  SELECT c_custkey, c_mktsegment AS segment,
+           |         DATE '1990-01-01' AS valid_from, CAST(NULL AS DATE) AS valid_to
+           |  FROM customer),
+           |ch AS (
+           |  SELECT c_custkey,
+           |         CASE WHEN c_custkey % 15 = 0 THEN c_mktsegment
+           |              ELSE 'SEG_' || CAST(c_custkey % 5 AS VARCHAR) END AS nseg,
+           |         DATE '2020-06-01' AS eff
+           |  FROM customer WHERE c_custkey % 3 = 0
+           |  UNION ALL
+           |  SELECT c_custkey + 9000000, 'NEW', DATE '2020-06-01'
+           |  FROM customer WHERE c_custkey < 3),
+           |dim AS (
+           |  SELECT c_custkey, 'OLD_' || c_mktsegment AS segment,
+           |         DATE '1985-01-01' AS valid_from, DATE '1990-01-01' AS valid_to
+           |  FROM customer WHERE c_custkey % 7 = 0
+           |  UNION ALL
+           |  SELECT d.c_custkey, d.segment, d.valid_from,
+           |         CASE WHEN ch.eff IS NOT NULL
+           |                    AND d.segment IS DISTINCT FROM ch.nseg
+           |              THEN ch.eff ELSE DATE '9999-12-31' END
+           |  FROM dim_open d LEFT JOIN ch USING (c_custkey)
+           |  UNION ALL
+           |  SELECT ch.c_custkey, ch.nseg, ch.eff, DATE '9999-12-31'
+           |  FROM ch LEFT JOIN dim_open d USING (c_custkey)
+           |  WHERE d.c_custkey IS NULL OR d.segment IS DISTINCT FROM ch.nseg),
+           |f AS (
+           |  SELECT o_orderkey, o_custkey,
+           |         CAST(CASE CAST(o_orderkey % 3 AS INT)
+           |                WHEN 0 THEN CAST(o_orderdate AS DATE) - INTERVAL 90 MONTH
+           |                WHEN 1 THEN CAST(o_orderdate AS DATE)
+           |                ELSE CAST(o_orderdate AS DATE) + INTERVAL 360 MONTH
+           |              END AS DATE) AS ts
+           |  FROM orders)
+           |SELECT CAST(f.o_orderkey AS BIGINT) AS o_orderkey,
+           |       CAST(f.o_custkey AS BIGINT) AS o_custkey, f.ts, d.segment
+           |FROM f LEFT JOIN dim d
+           |  ON f.o_custkey = d.c_custkey
+           | AND f.ts >= d.valid_from AND f.ts < d.valid_to""".stripMargin))
 
   /** Ordered multi-change SCD2 — the Kettle `Dimension lookup/update`
     * stream contract [[graft.operators.Dimensions.scd2ApplyOrdered]]:
@@ -2970,5 +3037,5 @@ object Queries {
     qZorder, qScd2Multi, qSnapshotDiff, qTrainingOrder, qBlocklist,
     qApproxTopk, qAudioFeatures, qIncrementalEmbedding, qSplitClusterSafe,
     qIngestRouted, qBinaryIngest, qLineDedupWithin, qProfile,
-    qRepeatMixture)
+    qRepeatMixture, qScd2Lookup)
 }

@@ -288,4 +288,41 @@ object Dimensions {
     closed.select((keys ++ attrCols :+ fromCol :+ toCol).map(col): _*)
       .unionByName(versions)
   }
+
+  /** Point-in-time dimension lookup — the READ side of SCD2: each fact
+    * row is enriched with the dimension version whose validity interval
+    * `[fromCol, toCol)` covers the fact's `tsCol` (half-open, matching
+    * what [[scd2Apply]]/[[scd2ApplyOrdered]] write: a change effective
+    * on day D closes the old version AT D and opens the new one AT D,
+    * so a fact ON day D sees the new version). A NULL or sentinel
+    * `toCol` means open-ended. Facts no version covers keep NULL
+    * dimension columns (LEFT join) — an out-of-range timestamp is a
+    * data question for the caller, not a dropped row.
+    *
+    * Because versions of one key are disjoint by construction, each
+    * fact matches AT MOST one dim row — the plan is a plain equi-join
+    * on the keys with the interval test as a residual filter (no
+    * window, no dedup, dim side broadcasts at dimension scale). That
+    * disjointness is the dimension invariant `validate = true` enforces
+    * on the write path; a corrupt dim with overlapping versions would
+    * fan facts out here.
+    *
+    * `factKeys`/`dimKeys` pair positionally (fact `o_custkey` ⋈ dim
+    * `c_custkey`). The dim's key and validity columns are dropped from
+    * the output; its attribute columns must not collide with fact
+    * column names (rename before the call).
+    */
+  def asOfLookup(facts: DataFrame, dim: DataFrame,
+                 factKeys: Seq[String], dimKeys: Seq[String],
+                 tsCol: String, fromCol: String, toCol: String): DataFrame = {
+    require(factKeys.nonEmpty && factKeys.length == dimKeys.length,
+      s"key lists must pair up: $factKeys vs $dimKeys")
+    val cond = factKeys.zip(dimKeys)
+      .map { case (f, d) => facts(f) === dim(d) }.reduce(_ && _) &&
+      facts(tsCol) >= dim(fromCol) &&
+      (dim(toCol).isNull || facts(tsCol) < dim(toCol))
+    val joined = facts.join(dim, cond, "left")
+      .drop(dim(fromCol)).drop(dim(toCol))
+    dimKeys.foldLeft(joined)((df, k) => df.drop(dim(k)))
+  }
 }

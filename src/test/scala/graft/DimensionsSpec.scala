@@ -302,6 +302,38 @@ class DimensionsSpec extends SparkSpec {
     assert(applied.except(neu).isEmpty && neu.except(applied).isEmpty)
   }
 
+  test("asOfLookup: half-open boundaries, open-ended NULL, uncovered facts keep NULLs") {
+    val dim = Seq(
+      (1L, "v1", "2020-01-01", "2021-01-01"),
+      (1L, "v2", "2021-01-01", null),
+      (2L, "w1", "2020-06-01", "2020-07-01")
+    ).toDF("k", "attr", "f", "t")
+      .select(col("k"), col("attr"), col("f").cast("date").as("valid_from"),
+        col("t").cast("date").as("valid_to"))
+    val facts = Seq(
+      (10L, 1L, "2020-05-05"), // inside v1
+      (11L, 1L, "2021-01-01"), // ON the boundary -> the NEW version (half-open)
+      (12L, 1L, "2030-01-01"), // open-ended v2
+      (13L, 1L, "2019-12-31"), // before any version
+      (14L, 2L, "2020-07-01"), // ON w1's exclusive end -> no match
+      (15L, 3L, "2020-06-15")  // unknown key
+    ).toDF("fid", "fk", "ts0")
+      .select(col("fid"), col("fk"), col("ts0").cast("date").as("ts"))
+    val out = Dimensions.asOfLookup(facts, dim, Seq("fk"), Seq("k"),
+        "ts", "valid_from", "valid_to")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(3)) null else r.getString(3))).toMap
+    assert(out == Map(10L -> "v1", 11L -> "v2", 12L -> "v2",
+      13L -> null, 14L -> null, 15L -> null))
+    // exactly one row per fact: a healthy dim never fans out
+    assert(Dimensions.asOfLookup(facts, dim, Seq("fk"), Seq("k"),
+      "ts", "valid_from", "valid_to").count() == 6)
+    // dim bookkeeping columns are gone; fact columns plus attrs remain
+    assert(Dimensions.asOfLookup(facts, dim, Seq("fk"), Seq("k"),
+      "ts", "valid_from", "valid_to").columns.toSeq ==
+      Seq("fid", "fk", "ts", "attr"))
+  }
+
   test("validate=false builds the plan without running any Spark job") {
     val existing = Seq((1L, "a", 10.0)).toDF("k", "name", "bal")
     val updates = Seq((2L, "x", 1.0)).toDF("k", "name", "bal")
