@@ -198,4 +198,31 @@ class PlanSpec extends SparkSpec {
     // deeper = earlier in dataflow)
     assert(joinIdx >= 0 && probeIdx > joinIdx, p)
   }
+
+  test("q_scd2_lookup: interval lookup is one broadcast equi-join — no nested loop, no window") {
+    val p = plan("q_scd2_lookup")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    assert(!p.contains("Window"), p)
+  }
+
+  test("q_repeat_mixture: the explode runs map-side — no exchange at all") {
+    val p = plan("q_repeat_mixture")
+    assert(p.contains("Generate explode"), p)
+    assert(!p.contains("Exchange"), p)
+  }
+
+  test("q_profile: one scan, fused aggregates (Expand is the documented exact-distinct cost)") {
+    val p = plan("q_profile")
+    // a single pass over the parquet: exactly one scan node
+    assert("Scan parquet".r.findAllIn(p).size == 1, p)
+    // exact mode pays one Expand; nothing else multiplies the scan
+    assert("Expand".r.findAllIn(p).size == 1, p)
+  }
+
+  test("q_split_cluster_safe: corpus side joins the cluster map once, hash arithmetic is residual-free") {
+    val p = plan("q_split_cluster_safe")
+    // the final assignment join on the id — no cartesian anywhere
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
 }
