@@ -64,6 +64,14 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // testdata-drift tripwire (round 7: a silent regeneration broke six
+    // queries) — loud stderr diff, and the drift count rides the JSON line
+    val schemaDrift = SchemaGuard.report(spark, sfDir)
+    if (schemaDrift.nonEmpty) {
+      System.err.println(s"[schema-guard] TESTDATA SCHEMA DRIFT at $sfDir:")
+      schemaDrift.foreach(d => System.err.println(s"[schema-guard]   $d"))
+    }
+
     def force(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
 
@@ -157,10 +165,21 @@ object Bench {
     val pinsValid = cpus.toInt == PinnedCpus
     val contentionFactor = if (pinsValid) r3(canaryCompute / PinnedComputeSec) else -1.0
     val schedFactor = if (pinsValid) r3(canarySched / PinnedSchedSec) else -1.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"runs":$runs,"cpus":$cpus,""" +
-      s""""canary_compute_sec":$canaryCompute,"canary_sched_sec":$canarySched,""" +
-      s""""pinned_compute_sec":$PinnedComputeSec,"pinned_sched_sec":$PinnedSchedSec,"pinned_cpus":$PinnedCpus,""" +
-      s""""contention_factor":$contentionFactor,"sched_factor":$schedFactor,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"runs":$runs,"cpus":$cpus,""" +
+        s""""canary_compute_sec":$canaryCompute,"canary_sched_sec":$canarySched,""" +
+        s""""pinned_compute_sec":$PinnedComputeSec,"pinned_sched_sec":$PinnedSchedSec,"pinned_cpus":$PinnedCpus,""" +
+        s""""contention_factor":$contentionFactor,"sched_factor":$schedFactor,""" +
+        s""""schema_drift":${schemaDrift.size},"sf":"$sfDir"}"""
+    println(line)
+    // the driver's stdout capture has truncated the tail of this line in
+    // past rounds (BENCH_r07 showed 56/88 queries) — persist the full
+    // line in-repo so the artifact never depends on a capture window
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("bench_last.json"), line + "\n")
+    catch { case e: Exception =>
+      System.err.println(s"[bench] could not write bench_last.json: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

@@ -27,15 +27,11 @@ object Queries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
-  /** `events.ts` is TIMESTAMP(NANOS) parquet, which Spark only reads as a
-    * nanosecond long (`spark.sql.legacy.parquet.nanosAsLong`, set by
-    * [[GraftSession]]/[[Verify]]/[[Bench]]). Normalize to a microsecond
-    * timestamp — the same truncation DuckDB applies on read, so oracle
-    * values agree. Integer `div` keeps full precision (ns since epoch
-    * exceeds a double's 53-bit mantissa).
-    */
+  /** `events.ts` normalized to a session-UTC microsecond timestamp
+    * whatever encoding the driver's current parquet uses — see
+    * [[EventTime.normalizeTs]] for the type-branching contract. */
   private def events(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "events").withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    EventTime.normalizeTs(t(s, dir, "events"))
 
   // ---------------------------------------------------------------------
   // §2.2 projection / rename / retype  (SelectValues, Edit Name)

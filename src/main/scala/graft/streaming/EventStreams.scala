@@ -22,18 +22,34 @@ import org.apache.spark.sql.types._
   */
 object EventStreams {
 
-  /** events.parquet layout (ts is TIMESTAMP(NANOS), read as a ns long —
-    * the schema the sessions of this engine read it with). */
-  val eventsSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", LongType),
+  /** events.parquet layout with `tsType` left open: the driver has
+    * regenerated the table with different `ts` encodings across rounds
+    * (TIMESTAMP(NANOS)-as-ns-long, then timestamp[us]/TIMESTAMP_NTZ), so
+    * the stream schema is parameterized by the type actually on disk. */
+  def eventsSchema(tsType: DataType): StructType = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", tsType),
     StructField("user_id", LongType), StructField("event_type", StringType),
     StructField("value", DoubleType), StructField("props", StringType)))
 
-  /** File-stream source over an events directory; normalizes the ns long
-    * to a microsecond timestamp like the batch reader. */
-  def readEvents(spark: SparkSession, dir: String): DataFrame =
-    spark.readStream.schema(eventsSchema).parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  /** File-stream source over an events directory. `readStream` needs a
+    * declared schema, so learn the on-disk `ts` type with a footer-only
+    * batch peek (driver-side, no data scan), then normalize exactly like
+    * the batch reader ([[graft.EventTime.normalizeTs]]).
+    *
+    * Peek target: `dir` may be the whole sf directory (the harness
+    * convention — the other tables' files null-fill the declared columns
+    * and their null `ts` rows fall out of every event-time operator), so
+    * prefer the `events.parquet` entry when it exists locally; otherwise
+    * merge-peek the directory, which unions footers and still recovers
+    * `ts`'s type as long as no other table claims the name. */
+  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+    val eventsFile = new java.io.File(dir, "events.parquet")
+    val peekPath = if (eventsFile.exists()) eventsFile.toString else dir
+    val tsType = spark.read.option("mergeSchema", "true")
+      .parquet(peekPath).schema("ts").dataType
+    graft.EventTime.normalizeTs(
+      spark.readStream.schema(eventsSchema(tsType)).parquet(dir))
+  }
 
   /** Tumbling 1-hour windowed aggregation with a watermark — the
     * streaming twin of the batch `q_events_hourly` query. */
