@@ -536,7 +536,8 @@ object Queries {
           col("hist_id").cast("bigint").as("hist_id"),
           col("est_jaccard"), col("recall"))
     },
-    None) // hash-family signature estimate: not oracle-expressible; recall-gated
+    // round 8: exact DuckDB recomputation (see OracleSqlGen)
+    Some(OracleSqlGen.incrementalMinhash))
 
   /** Incremental embedding near-dup through a PERSISTED IVF index,
     * probed exhaustively (nProbes = nCentroids) so the result is the
@@ -598,7 +599,9 @@ object Queries {
         .select(col("id_a").cast("bigint").as("id_a"),
           col("id_b").cast("bigint").as("id_b"), col("jaccard"), col("recall"))
     },
-    None) // xxhash64-based signature: not oracle-expressible; recall-gated
+    // round 8: the xxhash64 pipeline IS oracle-expressible — DuckDB
+    // recomputes it bit-for-bit via generated modular arithmetic
+    Some(OracleSqlGen.dedupMinhash))
 
   /** SimHash with a recall gate at floor 1.0: banding is provably
     * complete for maxHamming <= bands-1 (pigeonhole), so the banded
