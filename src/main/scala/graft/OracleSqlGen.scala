@@ -73,13 +73,24 @@ object OracleSqlGen {
   private def signedKey(v: String): String =
     s"CASE WHEN $v >= $S63 THEN $v - $S63 ELSE $v + $S63 END"
 
-  /** Chain of nested SELECTs — each level adds ONE named column over the
-    * previous level, so every intermediate is shared by reference and
-    * the generated text stays linear in the step count. */
-  private final class Chain(var sql: String) {
+  /** Chain of SELECT levels — each level adds ONE named column over the
+    * previous, so every intermediate is shared by reference and the
+    * generated text stays linear in the step count. Emitted as a FLAT
+    * CTE list, not nested subqueries: a ~200-level nest trips DuckDB's
+    * parser recursion limit ("memory exhausted"), a 200-entry WITH list
+    * does not. Level CTE names live in the subquery's own WITH scope,
+    * so two chains embedded in one outer query cannot collide. */
+  private final class Chain(baseSql: String) {
+    private val ctes =
+      scala.collection.mutable.ArrayBuffer("chain_base" -> s"($baseSql)")
     def lvl(name: String, expr: String): String = {
-      sql = s"SELECT *, $expr AS $name FROM ($sql)"
+      val prev = ctes.last._1
+      ctes += (s"l_$name" -> s"(SELECT *, $expr AS $name FROM $prev)")
       name
+    }
+    def sql: String = {
+      val w = ctes.map { case (n, s) => s"$n AS $s" }.mkString(",\n")
+      s"WITH $w SELECT * FROM ${ctes.last._1}"
     }
   }
 
@@ -276,5 +287,114 @@ object OracleSqlGen {
        |SELECT CAST(new_id AS BIGINT) AS new_id, CAST(hist_id AS BIGINT) AS hist_id,
        |       est_jaccard, round(r, 6) AS recall
        |FROM out, recall WHERE r >= 0.9""".stripMargin
+  }
+
+  // -------------------------------------------------------------------
+  // SimHash: Spark Murmur3_x86_32 (seeds 0x9747b28c / 0x85ebca6b) over
+  // lowercased whitespace tokens, bit votes, sign sketch. All 32-bit
+  // modular arithmetic — products of two 32-bit values fit HUGEINT
+  // directly, no limb split needed.
+  // -------------------------------------------------------------------
+
+  private val M32 = "4294967296" // 2^32
+  private val MC1 = "3432918353" // 0xcc9e2d51
+  private val MC2 = "461845907"  // 0x1b873593
+
+  private def m32(a: String, b: String): String = s"((($a) * ($b)) % $M32)"
+
+  private def rot32(x: String, r: Int): String = {
+    val lo = 1L << (32 - r)
+    s"((($x) % $lo) * ${1L << r} + ($x) // $lo)"
+  }
+
+  /** One murmur3 round: h = mixH1(h, mixK1(w)), guarded (pass-through
+    * when the token has no byte/word at this position). */
+  private def murmurRound(ch: Chain, h: String, w: String, guard: String,
+                          p: String): String = {
+    val k1 = ch.lvl(s"${p}k1", m32(w, MC1))
+    val k2 = ch.lvl(s"${p}k2", rot32(k1, 15))
+    val k3 = ch.lvl(s"${p}k3", m32(k2, MC2))
+    val h1 = ch.lvl(s"${p}h1", xor64(h, k3))
+    val h2 = ch.lvl(s"${p}h2", rot32(h1, 13))
+    val h3 = ch.lvl(s"${p}h3", s"((${m32(h2, "5")} + 3864292196) % $M32)")
+    ch.lvl(s"${p}h", s"CASE WHEN $guard THEN $h3 ELSE $h END")
+  }
+
+  /** Spark Murmur3_x86_32.hashUnsafeBytes over the token bytes (hex in
+    * `hxp`, byte count in `nn`): LE 4-byte words, then each tail byte
+    * SIGN-EXTENDED and fed through a full mix round (Spark's deviation
+    * from reference murmur3), then fmix. Sized for `maxBlocks` words —
+    * the corpus' longest whitespace token is 8 bytes; 32 bytes of
+    * headroom keeps the oracle honest if the generator's vocabulary
+    * grows. */
+  private def murmurChain(ch: Chain, seed: Long, maxBlocks: Int,
+                          p: String): String = {
+    var h = ch.lvl(s"${p}s", java.lang.Integer.toUnsignedLong(seed.toInt).toString)
+    for (blk <- 0 until maxBlocks) {
+      val w = ch.lvl(s"${p}w$blk", (0 until 4).map { j =>
+        s"${byteAt("hxp", s"${4 * blk + j + 1}")} * ${1L << (8 * j)}"
+      }.mkString(" + "))
+      h = murmurRound(ch, h, w, s"nn >= ${4 * (blk + 1)}", s"${p}b$blk")
+    }
+    for (j <- 0 until 3) {
+      val raw = ch.lvl(s"${p}tr$j", byteAt("hxp", s"4 * (nn // 4) + ${j + 1}"))
+      val sb = ch.lvl(s"${p}ts$j",
+        s"CASE WHEN $raw >= 128 THEN $raw + 4294967040 ELSE $raw END")
+      h = murmurRound(ch, h, sb, s"nn % 4 > $j", s"${p}t$j")
+    }
+    val f0 = ch.lvl(s"${p}f0", xor64(h, "nn"))
+    val f1 = ch.lvl(s"${p}f1", xor64(f0, s"(($f0) // 65536)"))
+    val f2 = ch.lvl(s"${p}f2", m32(f1, "2246822507")) // 0x85ebca6b
+    val f3 = ch.lvl(s"${p}f3", xor64(f2, s"(($f2) // 8192)"))
+    val f4 = ch.lvl(s"${p}f4", m32(f3, "3266489909")) // 0xc2b2ae35
+    ch.lvl(s"${p}f5", xor64(f4, s"(($f4) // 65536)"))
+  }
+
+  /** (doc_id, sk) — the exact 64-bit SimHash sketch per document,
+    * mirroring SimHash.simhashText64 (lowercase, ASCII-whitespace
+    * tokenize, empty tokens skipped, every occurrence votes). */
+  private def simhashSketchSql(maxBlocks: Int): String = {
+    val base =
+      s"""SELECT doc_id, hex(encode(t)) AS hx FROM (
+         |  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[ \\t\\n\\x0B\\f\\r]+')) AS t
+         |  FROM documents WHERE text IS NOT NULL)
+         |WHERE length(t) > 0""".stripMargin
+    val ch = new Chain(
+      s"SELECT doc_id, rpad(hx, ${8 * maxBlocks}, '0') AS hxp, " +
+        s"CAST(length(hx) // 2 AS HUGEINT) AS nn FROM ($base)")
+    val lo = murmurChain(ch, 0x9747b28cL, maxBlocks, "lo")
+    val hi = murmurChain(ch, 0x85ebca6bL, maxBlocks, "hi")
+    val h64 = ch.lvl("h64", s"($hi * $M32 + $lo)")
+    // bit votes: +1/-1 per token occurrence per bit; sign -> sketch bit
+    s"""SELECT doc_id,
+       |       CAST(sum(CASE WHEN v > 0 THEN power(2, b)::HUGEINT ELSE 0 END)
+       |            AS HUGEINT) AS sk
+       |FROM (
+       |  SELECT doc_id, b,
+       |         sum(CASE WHEN ($h64 // power(2, b)::HUGEINT) % 2 = 1 THEN 1 ELSE -1 END) AS v
+       |  FROM (${ch.sql}), (SELECT unnest(range(64)) AS b)
+       |  GROUP BY doc_id, b)
+       |GROUP BY doc_id""".stripMargin
+  }
+
+  /** Oracle for q_dedup_simhash. The engine's banding is provably
+    * COMPLETE for maxHamming <= bands-1 and the candidates are
+    * re-verified with bit_count, so its output equals the all-pairs
+    * Hamming <= 3 join over exact sketches — which is what this
+    * recomputes (no bucket machinery to model; a bucket-cap drop or a
+    * broken band split on the Spark side surfaces as a row mismatch).
+    * The recall constant is 1.0: the in-plan gate either passes at
+    * exactly 1.0 or empties the Spark side, which the compare flags. */
+  lazy val dedupSimhash: String = {
+    val sk = simhashSketchSql(8)
+    s"""WITH sk AS MATERIALIZED (
+       |  SELECT doc_id,
+       |         CAST(CASE WHEN sk >= $S63 THEN sk - $M64 ELSE sk END AS BIGINT) AS s
+       |  FROM ($sk))
+       |SELECT CAST(a.doc_id AS BIGINT) AS id_a, CAST(b.doc_id AS BIGINT) AS id_b,
+       |       CAST(bit_count(xor(a.s, b.s)) AS BIGINT) AS hamming,
+       |       round(1.0, 6) AS recall
+       |FROM sk a JOIN sk b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.s, b.s)) <= 3""".stripMargin
   }
 }

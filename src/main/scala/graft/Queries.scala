@@ -627,7 +627,9 @@ object Queries {
           col("id_b").cast("bigint").as("id_b"),
           col("hamming").cast("bigint").as("hamming"), col("recall"))
     },
-    None) // murmur3-based sketch: not oracle-expressible; recall-gated at 1.0
+    // round 8: exact DuckDB recomputation of the murmur3 sketches; the
+    // complete-banding proof reduces the oracle to all-pairs Hamming<=3
+    Some(OracleSqlGen.dedupSimhash))
 
   /** Exact n-gram Jaccard pairs within (lang, doc_id-modulo) blocks.
     * The block count is fixed, so block SIZE — and therefore the
