@@ -27,6 +27,32 @@ object Queries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** Per-process scratch space for queries exercising a filesystem
+    * round-trip (blob export, JSONL ingest, persisted index). One stable
+    * directory per query name: repeated invocations in one process —
+    * the bench runs every query several times — REUSE and overwrite it
+    * instead of accumulating orphaned trees in /tmp (every writer below
+    * overwrites by construction: `mode("overwrite")` writes,
+    * `Files.write` blob-per-object with deterministic names). The whole
+    * root is removed recursively on JVM exit. */
+  private lazy val scratchRoot: java.nio.file.Path = {
+    val p = java.nio.file.Files.createTempDirectory("graft_scratch_")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        val cs = f.listFiles(); if (cs != null) cs.foreach(rm)
+        f.delete(): Unit
+      }
+      rm(p.toFile)
+    }))
+    p
+  }
+
+  private def scratch(name: String): String = {
+    val d = scratchRoot.resolve(name)
+    java.nio.file.Files.createDirectories(d)
+    d.toString
+  }
+
   /** `events.ts` normalized to a session-UTC microsecond timestamp
     * whatever encoding the driver's current parquet uses — see
     * [[EventTime.normalizeTs]] for the type-branching contract. */
@@ -554,7 +580,7 @@ object Queries {
       val emb = t(s, dir, "embeddings").filter(col("embedding").isNotNull)
       val hist = emb.filter(pmod(col("vec_id"), lit(4)) =!= 0)
       val batch = emb.filter(pmod(col("vec_id"), lit(4)) === 0)
-      val idxDir = java.nio.file.Files.createTempDirectory("graft_ivf_inc").toString
+      val idxDir = scratch("ivf_inc")
       Similarity.buildIvfIndex(hist, "embedding", "vec_id", idxDir,
         nCentroids = 8)
       Dedup.incrementalEmbedding(batch, idxDir, "embedding", "vec_id",
@@ -801,7 +827,7 @@ object Queries {
       val docs = t(s, dir, "documents")
         .select(col("doc_id").cast("bigint").as("doc_id"), col("lang"),
           col("n_chars").cast("bigint").as("n_chars"))
-      val tmp = java.nio.file.Files.createTempDirectory("graft_ingest").toString
+      val tmp = scratch("ingest")
       docs.select(
         when(pmod(col("doc_id"), lit(7)) === 0,
           concat(lit("{\"doc_id\": "), col("doc_id"), lit(", \"lang\": ")))
@@ -1375,7 +1401,7 @@ object Queries {
     */
   private val qBinaryIngest = Q("q_binary_ingest",
     (s, dir) => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft_blobs").toString
+      val tmp = scratch("blobs")
       val media = t(s, dir, "documents")
         .select(col("doc_id"), constructedRasterBlob(col("doc_id")).as("blob"))
       graft.sources.Sinks.writeBlobs(media, "doc_id", "blob", tmp, "bin")
