@@ -1480,6 +1480,107 @@ object Queries {
            |       END AS peak
            |FROM p""".stripMargin))
 
+  /** Fixed JPEG segments for the [[qJpegFeatures]] fixtures: one 8x8
+    * single-MCU baseline JPEG per doc — grayscale (1 component) for
+    * even ids, 4:4:4 YCbCr (3 components) for odd — with the standard
+    * Annex K luminance Huffman tables and a flat quant table of 8.
+    * Flat-DC blocks make the decode CLOSED-FORM: dequantized DC is
+    * v*8, the IDCT of a DC-only block is DC/8, so every pixel is
+    * exactly 128+v and chroma sits at 128 (zero chroma -> R=G=B=Y),
+    * which is what lets DuckDB predict the means arithmetically. The
+    * entropy segment is 2 bytes (gray) / 4 bytes (color) whose layout
+    * is affine in v because a category-6 DC code is fixed-length:
+    * [1110|v5..v0|EOB|pad]. v in [32, 63] keeps every byte below the
+    * 0xFF stuffing threshold and every pixel in [160, 191] (no clamp).
+    */
+  private lazy val jpegFixture: (String, String, Int, Int) = {
+    def seg(marker: Int, payload: Array[Int]): Array[Int] =
+      Array(0xff, marker, (payload.length + 2) >> 8, (payload.length + 2) & 0xff) ++
+        payload
+    val dcBits = Array(0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0)
+    val dcVals = (0 to 11).toArray
+    val acBits = Array(0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7d)
+    val acVals = Array(
+      0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41, 0x06,
+      0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xa1, 0x08,
+      0x23, 0x42, 0xb1, 0xc1, 0x15, 0x52, 0xd1, 0xf0, 0x24, 0x33, 0x62, 0x72,
+      0x82, 0x09, 0x0a, 0x16, 0x17, 0x18, 0x19, 0x1a, 0x25, 0x26, 0x27, 0x28,
+      0x29, 0x2a, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3a, 0x43, 0x44, 0x45,
+      0x46, 0x47, 0x48, 0x49, 0x4a, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+      0x5a, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6a, 0x73, 0x74, 0x75,
+      0x76, 0x77, 0x78, 0x79, 0x7a, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+      0x8a, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9a, 0xa2, 0xa3,
+      0xa4, 0xa5, 0xa6, 0xa7, 0xa8, 0xa9, 0xaa, 0xb2, 0xb3, 0xb4, 0xb5, 0xb6,
+      0xb7, 0xb8, 0xb9, 0xba, 0xc2, 0xc3, 0xc4, 0xc5, 0xc6, 0xc7, 0xc8, 0xc9,
+      0xca, 0xd2, 0xd3, 0xd4, 0xd5, 0xd6, 0xd7, 0xd8, 0xd9, 0xda, 0xe1, 0xe2,
+      0xe3, 0xe4, 0xe5, 0xe6, 0xe7, 0xe8, 0xe9, 0xea, 0xf1, 0xf2, 0xf3, 0xf4,
+      0xf5, 0xf6, 0xf7, 0xf8, 0xf9, 0xfa)
+    def sof(nf: Int) = seg(0xc0,
+      Array(8, 0, 8, 0, 8, nf) ++
+        (1 to nf).flatMap(i => Array(i, 0x11, 0)))
+    def sos(nf: Int) = seg(0xda,
+      Array(nf) ++ (1 to nf).flatMap(i => Array(i, 0x00)) ++ Array(0, 63, 0))
+    val common = Array(0xff, 0xd8) ++
+      seg(0xdb, Array(0x00) ++ Array.fill(64)(8)) ++
+      seg(0xc4, Array(0x00) ++ dcBits ++ dcVals) ++
+      seg(0xc4, Array(0x10) ++ acBits ++ acVals)
+    def hexOf(a: Array[Int]): String = a.map(b => f"$b%02X").mkString
+    val grayHead = common ++ sof(1) ++ sos(1)
+    val colorHead = common ++ sof(3) ++ sos(3)
+    (hexOf(grayHead), hexOf(colorHead),
+      grayHead.length + 2 + 2, colorHead.length + 4 + 2) // + entropy + EOI
+  }
+
+  /** Constructed single-MCU JPEG blob for `id` (grayscale for even ids,
+    * 4:4:4 color for odd; every 7th truncated to 20 bytes — mid-DQT). */
+  private def constructedJpegBlob(id: Column): Column = {
+    def h2(c: Column): Column = lpad(hex(c), 2, "0")
+    val (grayHead, colorHead, _, _) = jpegFixture
+    val v = (pmod(id, lit(32)) + 32).cast("int")
+    val b0 = h2(shiftright(v, 2) + lit(224)) // 1110|v5..v2
+    val grayHex = concat(lit(grayHead), b0,
+      h2(v.bitwiseAND(lit(3)) * 64 + lit(43)), lit("FFD9"))
+    val colorHex = concat(lit(colorHead), b0,
+      h2(v.bitwiseAND(lit(3)) * 64 + lit(40)), lit("A2BF"), lit("FFD9"))
+    val fullHex = when(pmod(id, lit(2)) === 0, grayHex).otherwise(colorHex)
+    unhex(when(pmod(id, lit(7)) === 0, substring(fullHex, 1, 40))
+      .otherwise(fullHex))
+  }
+
+  /** REAL JPEG decode under the oracle gate ([[graft.functions
+    * .JpegKernels]] — the round-8 baseline decoder that retires the
+    * codec stub for stills): constructed single-MCU JPEGs are decoded
+    * through the same [[Multimodal.raster]] dispatch as BMP/PPM/PGM,
+    * and DuckDB predicts dimensions, byte counts, and the exact flat
+    * means (128 + v, integers — no rounding-parity risk). The general
+    * decode paths (AC coefficients, subsampling, restarts, DC chains)
+    * are pinned against an independent reference IDCT in JpegSpec;
+    * this query pins the Spark-side plumbing end to end. */
+  private val qJpegFeatures = Q("q_jpeg_features",
+    (s, dir) => {
+      val media = t(s, dir, "documents")
+        .select(col("doc_id"), constructedJpegBlob(col("doc_id")).as("blob"))
+      rasterFeatures(Multimodal.featurize(media, "doc_id", "blob", dim = 5,
+        decoder = Multimodal.raster))
+    },
+    Some(s"""WITH p AS (
+            |  SELECT doc_id, 32 + doc_id % 32 AS v,
+            |         doc_id % 7 = 0 AS trunc, doc_id % 2 = 0 AS gray
+            |  FROM documents)
+            |SELECT CAST(doc_id AS BIGINT) AS media_id,
+            |       CAST(CASE WHEN trunc THEN 20
+            |                 WHEN gray THEN ${jpegFixture._3}
+            |                 ELSE ${jpegFixture._4} END AS BIGINT) AS n_bytes,
+            |       CASE WHEN trunc THEN NULL ELSE CAST(8 AS BIGINT) END AS width,
+            |       CASE WHEN trunc THEN NULL ELSE CAST(8 AS BIGINT) END AS height,
+            |       CASE WHEN trunc THEN NULL
+            |            ELSE round(CAST(128 + v AS DOUBLE), 6) END AS mean_r,
+            |       CASE WHEN trunc THEN NULL
+            |            ELSE round(CAST(128 + v AS DOUBLE), 6) END AS mean_g,
+            |       CASE WHEN trunc THEN NULL
+            |            ELSE round(CAST(128 + v AS DOUBLE), 6) END AS mean_b
+            |FROM p""".stripMargin))
+
   // ---------------------------------------------------------------------
   // Composite / scale-pattern queries
   // ---------------------------------------------------------------------
@@ -3063,6 +3164,6 @@ object Queries {
     qDecontaminateBloom, qLmScore, qEventAttribution, qUpsert, qScd2,
     qZorder, qScd2Multi, qSnapshotDiff, qTrainingOrder, qBlocklist,
     qApproxTopk, qAudioFeatures, qIncrementalEmbedding, qSplitClusterSafe,
-    qIngestRouted, qBinaryIngest, qLineDedupWithin, qProfile,
+    qIngestRouted, qBinaryIngest, qLineDedupWithin, qProfile, qJpegFeatures,
     qRepeatMixture, qScd2Lookup)
 }

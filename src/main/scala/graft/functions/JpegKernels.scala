@@ -1,0 +1,416 @@
+package graft.functions
+
+/** Baseline-sequential JPEG decode, pure JVM — no codec library. This
+  * retires the last decode stub: with it, every raster family the
+  * engine featurizes (BMP, PPM, PGM, and now JPEG) decodes for real,
+  * and only video (MP4 pixel data) remains stubbed.
+  *
+  * Scope (honestly bounded): SOF0 baseline DCT, 8-bit samples, 1 or 3
+  * components, sampling factors 1 or 2 per axis, 8-bit DQT tables,
+  * restart markers, APPn/COM skipped. Progressive (SOF2), arithmetic
+  * coding, 12-bit, and hierarchical modes return None — a corrupt or
+  * out-of-scope blob must cost a NULL feature row, never a task (same
+  * contract as [[RasterKernels]]).
+  *
+  * Decode pipeline per ITU-T T.81: canonical Huffman decode (MINCODE/
+  * MAXCODE/VALPTR, F.2.2.3) -> DC prediction + EXTEND (F.2.2.1) ->
+  * run-length AC with EOB/ZRL (F.2.2.2) -> zigzag -> dequant -> 2-D
+  * separable double-precision IDCT (A.3.3) -> level shift, round,
+  * clamp -> JFIF YCbCr-to-RGB. Chroma upsampling is nearest-neighbor
+  * (pixel (x,y) reads the subsampled block at (x*h/Hmax, y*v/Vmax)) —
+  * the policy the mean-RGB features and the spec pin.
+  *
+  * The output is the same [[RasterKernels.Raster]] summary the other
+  * raster decoders produce: dimensions + exact per-channel means over
+  * the REAL image area (MCU padding columns/rows are decoded but never
+  * counted).
+  */
+object JpegKernels {
+
+  import RasterKernels.Raster
+
+  /** Zigzag index -> natural (row*8+col) position, T.81 figure A.6. */
+  private val Zigzag: Array[Int] = Array(
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63)
+
+  /** IDCT basis: cos((2x+1)·u·π/16) · C(u)/2, so a 1-D transform is a
+    * plain matrix product and the 2-D one is two passes. Built once. */
+  private val Cos: Array[Double] = {
+    val t = new Array[Double](64)
+    var u = 0
+    while (u < 8) {
+      val cu = if (u == 0) math.sqrt(0.5) else 1.0
+      var x = 0
+      while (x < 8) {
+        t(u * 8 + x) = cu / 2.0 * math.cos((2 * x + 1) * u * math.Pi / 16.0)
+        x += 1
+      }
+      u += 1
+    }
+    t
+  }
+
+  /** Canonical Huffman table in the T.81 F.2.2.3 decode form. */
+  private final class Huff(bits: Array[Int], vals: Array[Byte]) {
+    val minCode = new Array[Int](17)
+    val maxCode = new Array[Int](17) // -1 = no codes of this length
+    val valPtr = new Array[Int](17)
+    var code = 0
+    var k = 0
+    for (l <- 1 to 16) {
+      valPtr(l) = k
+      minCode(l) = code
+      code += bits(l - 1)
+      k += bits(l - 1)
+      maxCode(l) = if (bits(l - 1) > 0) code - 1 else -1
+      code <<= 1
+    }
+    def value(i: Int): Int = vals(i) & 0xff
+  }
+
+  /** Entropy-coded-segment bit reader: 0xFF00 unstuffing, stops at any
+    * real marker (the caller handles RST); returns -1 on exhaustion so
+    * truncation surfaces as a decode failure, not an exception. */
+  private final class BitReader(b: Array[Byte], var pos: Int) {
+    private var cur = 0
+    private var nbits = 0
+    var atMarker = false
+
+    def readBit(): Int = {
+      if (nbits == 0) {
+        if (pos >= b.length) return -1
+        var byte = b(pos) & 0xff
+        pos += 1
+        if (byte == 0xff) {
+          if (pos >= b.length) return -1
+          val next = b(pos) & 0xff
+          if (next == 0x00) pos += 1 // stuffed 0xFF data byte
+          else { atMarker = true; pos -= 1; return -1 }
+          byte = 0xff
+        }
+        cur = byte
+        nbits = 8
+      }
+      nbits -= 1
+      (cur >> nbits) & 1
+    }
+
+    def readBits(n: Int): Int = {
+      var v = 0
+      var i = 0
+      while (i < n) {
+        val bit = readBit()
+        if (bit < 0) return -1
+        v = (v << 1) | bit
+        i += 1
+      }
+      v
+    }
+
+    /** Skip to the next byte boundary and consume an expected RSTn. */
+    def resync(): Boolean = {
+      nbits = 0
+      atMarker = false
+      if (pos + 1 >= b.length || (b(pos) & 0xff) != 0xff) return false
+      val m = b(pos + 1) & 0xff
+      if (m < 0xd0 || m > 0xd7) return false
+      pos += 2
+      true
+    }
+
+    def decodeHuff(h: Huff): Int = {
+      var code = readBit()
+      if (code < 0) return -1
+      var l = 1
+      while (l <= 16) {
+        if (h.maxCode(l) >= 0 && code <= h.maxCode(l))
+          return h.value(h.valPtr(l) + code - h.minCode(l))
+        val bit = readBit()
+        if (bit < 0) return -1
+        code = (code << 1) | bit
+        l += 1
+      }
+      -1 // code longer than 16 bits: corrupt table/stream
+    }
+  }
+
+  /** EXTEND (T.81 F.2.2.1): map magnitude bits to a signed value. */
+  private def extend(v: Int, t: Int): Int =
+    if (t == 0) 0 else if (v < (1 << (t - 1))) v - (1 << t) + 1 else v
+
+  private final case class Component(id: Int, h: Int, v: Int, tq: Int) {
+    var dcTable: Int = 0
+    var acTable: Int = 0
+    var pred: Int = 0
+  }
+
+  def decode(b: Array[Byte]): Option[Raster] = {
+    if (b == null || b.length < 4 ||
+        (b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8) return None
+    try decodeInner(b) catch {
+      // defensive: any slip in the bounds discipline below must degrade
+      // to a NULL feature, never kill the executor task
+      case _: ArrayIndexOutOfBoundsException | _: NegativeArraySizeException |
+           _: ArithmeticException => None
+    }
+  }
+
+  // scalastyle:off method.length cyclomatic.complexity
+  private def decodeInner(b: Array[Byte]): Option[Raster] = {
+    val quant = new Array[Array[Int]](4)
+    val dcTables = new Array[Huff](4)
+    val acTables = new Array[Huff](4)
+    var comps: Array[Component] = null
+    var width = 0
+    var height = 0
+    var restartInterval = 0
+
+    def u16(i: Int): Int = ((b(i) & 0xff) << 8) | (b(i + 1) & 0xff)
+
+    var p = 2
+    while (p + 4 <= b.length) {
+      if ((b(p) & 0xff) != 0xff) return None
+      val marker = b(p + 1) & 0xff
+      if (marker == 0xd9) return None // EOI before SOS: no image
+      val len = u16(p + 2)
+      if (len < 2 || p + 2 + len > b.length) return None
+      val seg = p + 4
+      val segEnd = p + 2 + len
+      marker match {
+        case 0xdb => // DQT: one or more tables
+          var q = seg
+          while (q < segEnd) {
+            val pq = (b(q) & 0xff) >> 4
+            val tq = b(q) & 0x0f
+            if (pq != 0 || tq > 3) return None // 8-bit tables only
+            if (q + 65 > segEnd) return None
+            val t = new Array[Int](64)
+            var i = 0
+            while (i < 64) { t(i) = b(q + 1 + i) & 0xff; i += 1 }
+            quant(tq) = t
+            q += 65
+          }
+        case 0xc4 => // DHT: one or more tables
+          var q = seg
+          while (q < segEnd) {
+            val tc = (b(q) & 0xff) >> 4
+            val th = b(q) & 0x0f
+            if (tc > 1 || th > 3) return None
+            if (q + 17 > segEnd) return None
+            val bits = new Array[Int](16)
+            var total = 0
+            var i = 0
+            while (i < 16) { bits(i) = b(q + 1 + i) & 0xff; total += bits(i); i += 1 }
+            if (total > 256 || q + 17 + total > segEnd) return None
+            val vals = java.util.Arrays.copyOfRange(b, q + 17, q + 17 + total)
+            val h = new Huff(bits, vals)
+            if (tc == 0) dcTables(th) = h else acTables(th) = h
+            q += 17 + total
+          }
+        case 0xc0 => // SOF0 baseline
+          if (b(seg) != 8) return None // 8-bit precision only
+          height = u16(seg + 1)
+          width = u16(seg + 3)
+          val nf = b(seg + 5) & 0xff
+          if (width <= 0 || height <= 0 || (nf != 1 && nf != 3)) return None
+          if (seg + 6 + 3 * nf > segEnd) return None
+          comps = Array.tabulate(nf) { i =>
+            val o = seg + 6 + 3 * i
+            val hv = b(o + 1) & 0xff
+            val c = Component(b(o) & 0xff, hv >> 4, hv & 0x0f, b(o + 2) & 0x0f)
+            if (c.h < 1 || c.h > 2 || c.v < 1 || c.v > 2 || c.tq > 3) return None
+            c
+          }
+        case 0xc1 | 0xc2 | 0xc3 | 0xc5 | 0xc6 | 0xc7 |
+             0xc9 | 0xca | 0xcb | 0xcd | 0xce | 0xcf =>
+          return None // non-baseline SOF: out of scope, refuse loudly
+        case 0xdd => // DRI
+          restartInterval = u16(seg)
+        case 0xda => // SOS: entropy-coded data follows
+          if (comps == null) return None
+          val ns = b(seg) & 0xff
+          if (ns != comps.length || seg + 1 + 2 * ns + 3 > segEnd) return None
+          var i = 0
+          while (i < ns) {
+            val cid = b(seg + 1 + 2 * i) & 0xff
+            val c = comps.find(_.id == cid).getOrElse(return None)
+            c.dcTable = (b(seg + 2 + 2 * i) & 0xff) >> 4
+            c.acTable = b(seg + 2 + 2 * i) & 0x0f
+            i += 1
+          }
+          return decodeScan(b, segEnd, comps, quant, dcTables, acTables,
+            width, height, restartInterval)
+        case _ => () // APPn, COM, others: skip
+      }
+      p = segEnd
+    }
+    None // no SOS reached
+  }
+
+  private def decodeScan(b: Array[Byte], scanStart: Int,
+                         comps: Array[Component], quant: Array[Array[Int]],
+                         dcTables: Array[Huff], acTables: Array[Huff],
+                         width: Int, height: Int,
+                         restartInterval: Int): Option[Raster] = {
+    val hMax = comps.map(_.h).max
+    val vMax = comps.map(_.v).max
+    val mcuW = 8 * hMax
+    val mcuH = 8 * vMax
+    val mcusX = (width + mcuW - 1) / mcuW
+    val mcusY = (height + mcuH - 1) / mcuH
+    // refuse absurd dimension/blob ratios before allocating: a forged
+    // SOF claiming 65535x65535 over a 100-byte blob must die here. Any
+    // block costs >= 2 entropy bits (shortest DC code + shortest EOB),
+    // so blocks can never exceed 4x the remaining byte count; plane
+    // allocations are additionally hard-capped so a large-but-plausible
+    // forgery degrades to None instead of an executor OOM.
+    val totalBlocks = mcusX.toLong * mcusY.toLong *
+      comps.map(c => c.h * c.v).sum.toLong
+    if (totalBlocks > (b.length.toLong - scanStart + 1L) * 4L) return None
+    val planeSamples = comps.map(c =>
+      mcusX.toLong * c.h * 8L * mcusY.toLong * c.v * 8L)
+    if (planeSamples.exists(_ > (1L << 28))) return None
+
+    for (c <- comps) {
+      if (quant(c.tq) == null || dcTables(c.dcTable) == null ||
+          acTables(c.acTable) == null) return None
+    }
+
+    // component sample planes at their own resolution; means only need
+    // per-plane sums, but the RGB conversion needs the actual samples
+    val planes = comps.map { c =>
+      new Array[Byte](mcusX * c.h * 8 * mcusY * c.v * 8)
+    }
+    val planeW = comps.map(c => mcusX * c.h * 8)
+
+    val reader = new BitReader(b, scanStart)
+    val coef = new Array[Int](64)
+    val tmp = new Array[Double](64)
+    val pix = new Array[Double](64)
+    var mcu = 0
+    val nMcus = mcusX * mcusY
+    while (mcu < nMcus) {
+      if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+        if (!reader.resync()) return None
+        comps.foreach(_.pred = 0)
+      }
+      val mx = mcu % mcusX
+      val my = mcu / mcusX
+      var ci = 0
+      while (ci < comps.length) {
+        val c = comps(ci)
+        val qt = quant(c.tq)
+        var by = 0
+        while (by < c.v) {
+          var bx = 0
+          while (bx < c.h) {
+            // --- one 8x8 block: huffman -> coef (natural order) ---
+            java.util.Arrays.fill(coef, 0)
+            val t = reader.decodeHuff(dcTables(c.dcTable))
+            if (t < 0 || t > 15) return None
+            val diffBits = if (t == 0) 0 else reader.readBits(t)
+            if (diffBits < 0) return None
+            c.pred += extend(diffBits, t)
+            coef(0) = c.pred * qt(0)
+            var k = 1
+            var eob = false
+            while (k < 64 && !eob) {
+              val rs = reader.decodeHuff(acTables(c.acTable))
+              if (rs < 0) return None
+              val r = rs >> 4
+              val s = rs & 0x0f
+              if (s == 0) {
+                if (r == 15) k += 16 // ZRL
+                else eob = true
+              } else {
+                k += r
+                if (k > 63) return None
+                val bits = reader.readBits(s)
+                if (bits < 0) return None
+                coef(Zigzag(k)) = extend(bits, s) * qt(Zigzag(k))
+                k += 1
+              }
+            }
+            // --- separable IDCT: rows then columns ---
+            var y = 0
+            while (y < 8) {
+              var x = 0
+              while (x < 8) {
+                var s = 0.0
+                var u = 0
+                while (u < 8) { s += Cos(u * 8 + x) * coef(y * 8 + u); u += 1 }
+                tmp(y * 8 + x) = s
+                x += 1
+              }
+              y += 1
+            }
+            var x = 0
+            while (x < 8) {
+              var yy = 0
+              while (yy < 8) {
+                var s = 0.0
+                var v = 0
+                while (v < 8) { s += Cos(v * 8 + yy) * tmp(v * 8 + x); v += 1 }
+                pix(yy * 8 + x) = s
+                yy += 1
+              }
+              x += 1
+            }
+            // --- level shift, round, clamp, store ---
+            val ox = (mx * c.h + bx) * 8
+            val oy = (my * c.v + by) * 8
+            val pw = planeW(ci)
+            var py = 0
+            while (py < 8) {
+              var px = 0
+              while (px < 8) {
+                val v0 = math.round(pix(py * 8 + px) + 128.0).toInt
+                val v1 = if (v0 < 0) 0 else if (v0 > 255) 255 else v0
+                planes(ci)((oy + py) * pw + ox + px) = v1.toByte
+                px += 1
+              }
+              py += 1
+            }
+            bx += 1
+          }
+          by += 1
+        }
+        ci += 1
+      }
+      mcu += 1
+    }
+
+    // --- means over the REAL image area, JFIF YCbCr -> RGB ---
+    var sumR = 0.0; var sumG = 0.0; var sumB = 0.0
+    val gray = comps.length == 1
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        val yy = planes(0)((y * comps(0).v / vMax) * planeW(0) +
+          x * comps(0).h / hMax) & 0xff
+        if (gray) { sumR += yy; sumG += yy; sumB += yy }
+        else {
+          val cb = (planes(1)((y * comps(1).v / vMax) * planeW(1) +
+            x * comps(1).h / hMax) & 0xff) - 128
+          val cr = (planes(2)((y * comps(2).v / vMax) * planeW(2) +
+            x * comps(2).h / hMax) & 0xff) - 128
+          sumR += clamp255(math.round(yy + 1.402 * cr))
+          sumG += clamp255(math.round(yy - 0.344136 * cb - 0.714136 * cr))
+          sumB += clamp255(math.round(yy + 1.772 * cb))
+        }
+        x += 1
+      }
+      y += 1
+    }
+    val n = width.toDouble * height.toDouble
+    Some(Raster(width, height, sumR / n, sumG / n, sumB / n))
+  }
+  // scalastyle:on method.length cyclomatic.complexity
+
+  private def clamp255(v: Long): Double =
+    if (v < 0) 0.0 else if (v > 255) 255.0 else v.toDouble
+}

@@ -1,13 +1,14 @@
 package graft.functions
 
-/** Pixel decode for the raster formats that need NO codec — uncompressed
-  * 24-bit BI_RGB BMP, binary PPM (P6), and binary PGM (P5 grayscale,
-  * reported as equal R=G=B). This is the REAL decode path
-  * of [[graft.operators.Multimodal]]: mean-RGB + dimensions come from
-  * actual pixel iteration, shrinking the honest decode stub to the
-  * genuinely codec-bound formats (JPEG/MP4), which this sandbox cannot
-  * decode. Replaces nothing in the reference (its scrapers never touch
-  * pixels); this is the LLM-pipeline image-featurization primitive.
+/** Pixel decode for still rasters — uncompressed 24-bit BI_RGB BMP,
+  * binary PPM (P6), binary PGM (P5 grayscale, reported as equal
+  * R=G=B), and baseline-sequential JPEG (dispatched to
+  * [[JpegKernels]], round 8 — no codec library, pure T.81 math). This
+  * is the REAL decode path of [[graft.operators.Multimodal]]:
+  * mean-RGB + dimensions come from actual pixel iteration, shrinking
+  * the honest decode stub to VIDEO pixel data only. Replaces nothing
+  * in the reference (its scrapers never touch pixels); this is the
+  * LLM-pipeline image-featurization primitive.
   *
   * Every parse failure — wrong magic, unsupported bpp/compression,
   * truncated header or pixel data — returns None rather than throwing:
@@ -25,6 +26,8 @@ object RasterKernels {
     else if (bytes(0) == 'B' && bytes(1) == 'M') decodeBmp(bytes)
     else if (bytes(0) == 'P' && bytes(1) == '6') decodePnm(bytes, rgb = true)
     else if (bytes(0) == 'P' && bytes(1) == '5') decodePnm(bytes, rgb = false)
+    else if (bytes(0) == 0xff.toByte && bytes(1) == 0xd8.toByte)
+      JpegKernels.decode(bytes) // baseline sequential JPEG (round 8)
     else None
 
   private def leU16(b: Array[Byte], i: Int): Int =

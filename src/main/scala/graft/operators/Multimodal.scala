@@ -8,17 +8,19 @@ import org.apache.spark.sql.types._
   * `binary` columns with typed metadata; decode / feature-extract /
   * resize / frame-sample run batched per partition.
   *
-  * Decode is REAL for the codec-free formats — uncompressed 24-bit BMP
-  * and binary PPM decode to dimensions + mean-RGB via
-  * [[graft.functions.RasterKernels]] ([[raster]]), and integer-PCM WAV
-  * decodes to frame/amplitude statistics via
-  * [[graft.functions.AudioKernels]] ([[pcm]]); q_multimodal_features
-  * and q_audio_features hash-check both paths against the DuckDB
-  * oracle. The compressed codecs (JPEG/MP3/ffmpeg) are NOT in this
-  * environment, so THAT decode remains a clearly-marked deterministic
-  * STUB — with everything Spark-side real and tested: schema, batching
-  * shape, partition-local execution, output contract. Swapping
-  * [[stub]] for a JNI/ONNX decoder changes no plan shape.
+  * Decode is REAL for every still-image and audio family the engine
+  * featurizes — uncompressed 24-bit BMP, binary PPM/PGM, and (since
+  * round 8) baseline-sequential JPEG decode to dimensions + mean-RGB
+  * via [[graft.functions.RasterKernels]]/[[graft.functions
+  * .JpegKernels]] ([[raster]]), and integer-PCM WAV decodes to
+  * frame/amplitude statistics via [[graft.functions.AudioKernels]]
+  * ([[pcm]]); q_multimodal_features, q_jpeg_features, and
+  * q_audio_features hash-check these paths against the DuckDB oracle.
+  * Only VIDEO pixel data (MP4/ffmpeg codecs, not in this environment)
+  * remains a clearly-marked deterministic STUB — with everything
+  * Spark-side real and tested: schema, batching shape, partition-local
+  * execution, output contract. Swapping [[stub]] for a JNI/ONNX
+  * decoder changes no plan shape.
   *
   * Scale notes: `mapPartitions` keeps the decoder amortized (one model /
   * codec init per partition, not per row) and the blobs never shuffle —
@@ -65,7 +67,8 @@ object Multimodal {
   type Decoder = (Seq[Array[Byte]], Int) => Seq[Array[Float]]
 
   /** STUB batch decoder (stands in for CODEC-BOUND decode + embed —
-    * JPEG/MP4; the codec-free rasters have the real [[raster]] path). */
+    * now only VIDEO/MP4 pixel data; stills and PCM audio have the real
+    * [[raster]]/[[pcm]] paths). */
   val stub: Decoder = (blobs: Seq[Array[Byte]], dim: Int) =>
     blobs.map(stubOne(_, dim))
 
