@@ -212,6 +212,15 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Exchange"), p)
   }
 
+  test("q_jpeg_features: decode is a narrow map — blobs never shuffle") {
+    val p = plan("q_jpeg_features")
+    // the decode runs inside featurize's mapPartitions, so the final
+    // plan is projection over the decoded RDD; any Exchange here would
+    // move the binary column across the cluster
+    assert(!p.contains("Exchange"), p)
+    assert(p.contains("ExistingRDD"), p)
+  }
+
   test("q_profile: one scan, fused aggregates (Expand is the documented exact-distinct cost)") {
     val p = plan("q_profile")
     // a single pass over the parquet: exactly one scan node
