@@ -289,6 +289,43 @@ object OracleSqlGen {
        |FROM out, recall WHERE r >= 0.9""".stripMargin
   }
 
+  /** Oracle for q_hilbert: DuckDB replays the scale-by-scale Hilbert
+    * walk (accumulate Gray-coded quadrant offset, rotate/reflect the
+    * frame) as one chained-CTE state machine per row — plain BIGINT,
+    * because curve math is integer-exact, which is exactly what makes
+    * layout keys oracle-able where the float32-bound ANN families are
+    * not. Inputs are saturating-clamped to the bucket range like the
+    * kernel; the decoded (dx, dy) columns are the clamped coordinates
+    * (the round trip is the identity on in-range cells). */
+  lazy val hilbertLayout: String = {
+    val bits = 16
+    val n = 1L << bits
+    val ch = new Chain(
+      """SELECT CAST(p_partkey AS BIGINT) AS id,
+        |       CAST(p_partkey % 65536 AS BIGINT) AS x0,
+        |       CAST((p_partkey * 31 + p_size * 7) % 65536 - 64 AS BIGINT) AS yraw
+        |FROM part""".stripMargin)
+    var x = ch.lvl("xc", s"greatest(0, least(${n - 1}, x0))")
+    var y = ch.lvl("yc", s"greatest(0, least(${n - 1}, yraw))")
+    var d = ch.lvl("dz", "CAST(0 AS BIGINT)")
+    for (i <- 0 until bits) {
+      val s = 1L << (bits - 1 - i)
+      val rx = ch.lvl(s"h${i}rx", s"CASE WHEN ($x & $s) != 0 THEN 1 ELSE 0 END")
+      val ry = ch.lvl(s"h${i}ry", s"CASE WHEN ($y & $s) != 0 THEN 1 ELSE 0 END")
+      d = ch.lvl(s"h${i}d", s"$d + $s * $s * xor(3 * $rx, $ry)")
+      val xf = ch.lvl(s"h${i}xf",
+        s"CASE WHEN $ry = 0 AND $rx = 1 THEN ${n - 1} - $x ELSE $x END")
+      val yf = ch.lvl(s"h${i}yf",
+        s"CASE WHEN $ry = 0 AND $rx = 1 THEN ${n - 1} - $y ELSE $y END")
+      x = ch.lvl(s"h${i}x", s"CASE WHEN $ry = 0 THEN $yf ELSE $xf END")
+      y = ch.lvl(s"h${i}y", s"CASE WHEN $ry = 0 THEN $xf ELSE $yf END")
+    }
+    s"""SELECT id, CAST(x0 AS INTEGER) AS x, CAST(yraw AS INTEGER) AS y,
+       |       CAST($d AS BIGINT) AS hkey,
+       |       CAST(xc AS INTEGER) AS dx, CAST(yc AS INTEGER) AS dy
+       |FROM (${ch.sql})""".stripMargin
+  }
+
   // -------------------------------------------------------------------
   // SimHash: Spark Murmur3_x86_32 (seeds 0x9747b28c / 0x85ebca6b) over
   // lowercased whitespace tokens, bit votes, sign sketch. All 32-bit

@@ -3140,6 +3140,28 @@ object Queries {
            |          AS BIGINT) AS zkey4
            |FROM u""".stripMargin))
 
+  /** Hilbert layout key + inverse decode under the oracle (see
+    * [[graft.functions.LayoutKernels.hilbert2]] — the better-locality
+    * sibling of [[qZorder]]'s Morton curve; the measured file-span
+    * payoff is pinned in LayoutSpec). `y` dips below the bucket range
+    * so the saturating clamp is exercised; `dx`/`dy` round-trip the
+    * key through [[graft.functions.LayoutKernels.unhilbert2]], so the
+    * inverse is hash-checked as the identity on the clamped cell. */
+  private val qHilbert = Q("q_hilbert",
+    (s, dir) => {
+      import graft.functions.LayoutFunctions
+      t(s, dir, "part").select(
+          col("p_partkey").cast("bigint").as("id"),
+          pmod(col("p_partkey"), lit(65536)).cast("int").as("x"),
+          (pmod(col("p_partkey") * 31 + col("p_size") * 7, lit(65536)) - 64)
+            .cast("int").as("y"))
+        .withColumn("hkey", LayoutFunctions.hilbert2(col("x"), col("y")))
+        .withColumn("dec", LayoutFunctions.hilbertDecode2(col("hkey")))
+        .select(col("id"), col("x"), col("y"), col("hkey"),
+          get(col("dec"), lit(0)).as("dx"), get(col("dec"), lit(1)).as("dy"))
+    },
+    Some(OracleSqlGen.hilbertLayout))
+
   /** Every query, in a stable order. */
   val all: Seq[Q] = Seq(
     qSelect, qFilter, qFilterRouter,
@@ -3162,7 +3184,7 @@ object Queries {
     qDupSpans, qDupSpansSalted, qIncrementalDedup, qIncrementalMinhash,
     qHybridRrf, qApproxDistinct, qApproxQuantiles,
     qDecontaminateBloom, qLmScore, qEventAttribution, qUpsert, qScd2,
-    qZorder, qScd2Multi, qSnapshotDiff, qTrainingOrder, qBlocklist,
+    qZorder, qHilbert, qScd2Multi, qSnapshotDiff, qTrainingOrder, qBlocklist,
     qApproxTopk, qAudioFeatures, qIncrementalEmbedding, qSplitClusterSafe,
     qIngestRouted, qBinaryIngest, qLineDedupWithin, qProfile, qJpegFeatures,
     qRepeatMixture, qScd2Lookup)

@@ -17,6 +17,25 @@ object LayoutFunctions {
       GraftBridge.expression(b.cast("int"))))
   }
 
+  /** 2-D Hilbert key over bucket coordinates in [0, 2^bits) —
+    * [[zOrder2]]'s better-locality sibling (no Z-jumps: consecutive
+    * keys are adjacent cells, so key ranges cover compact regions).
+    * Reduce columns to the bucket range first; out-of-range saturates.
+    */
+  def hilbert2(a: Column, b: Column, bits: Int = 16): Column = {
+    import org.apache.spark.sql.{GraftBridge, Hilbert2}
+    GraftBridge.column(Hilbert2(
+      GraftBridge.expression(a.cast("int")),
+      GraftBridge.expression(b.cast("int")), bits))
+  }
+
+  /** Inverse of [[hilbert2]]: key -> array(x, y) bucket cell. */
+  def hilbertDecode2(key: Column, bits: Int = 16): Column = {
+    import org.apache.spark.sql.{GraftBridge, HilbertDecode2}
+    GraftBridge.column(HilbertDecode2(
+      GraftBridge.expression(key.cast("bigint")), bits))
+  }
+
   /** N-column Z-order key over BUCKET coordinates — each column gets
     * 64/k interleaved bits, so reduce each to [0, 2^(64/k)) first
     * (rank, hash-bucket, epoch-day); out-of-range saturates. Two

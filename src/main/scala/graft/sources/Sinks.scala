@@ -98,6 +98,28 @@ object Sinks {
       .write.mode(mode).parquet(path)
   }
 
+  /** HILBERT-ordered parquet layout — [[writeZOrdered]] with the
+    * better-locality curve: rows range-partitioned and sorted along the
+    * 2-D Hilbert index of BUCKET coordinates (caller reduces c1/c2 to
+    * [0, 2^bits) first — rank, hash-bucket, epoch-day). Consecutive
+    * curve positions are adjacent cells, so each file's min/max
+    * rectangle is tighter than the Morton equivalent at the same file
+    * count — fewer files survive pruning for the same predicate, which
+    * is the whole game at 100 TB.
+    */
+  def writeHilbertOrdered(df: DataFrame, c1: String, c2: String, path: String,
+                          numFiles: Int, bits: Int = 16,
+                          mode: String = "overwrite"): Unit = {
+    require(numFiles >= 1, s"numFiles must be >= 1, got $numFiles")
+    import graft.functions.LayoutFunctions
+    import org.apache.spark.sql.functions.col
+    df.withColumn("__h", LayoutFunctions.hilbert2(col(c1), col(c2), bits))
+      .repartitionByRange(numFiles, col("__h"))
+      .sortWithinPartitions("__h")
+      .drop("__h")
+      .write.mode(mode).parquet(path)
+  }
+
   /** Small-file compaction for a FLAT parquet directory — the
     * maintenance pass every long-lived 100 TB table needs: streaming
     * micro-batches and over-parallel writers leave thousands of tiny

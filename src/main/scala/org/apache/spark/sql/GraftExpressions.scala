@@ -495,6 +495,53 @@ case class ZOrderN(child: Expression, k: Int)
     copy(child = newChild)
 }
 
+/** 2-D Hilbert curve key of two bucket coordinates — see
+  * [[graft.functions.LayoutKernels.hilbert2]] for the locality
+  * contract. `bits` is fixed at plan time by the column builder.
+  */
+case class Hilbert2(left: Expression, right: Expression, bits: Int)
+    extends BinaryExpression with ExpectsInputTypes {
+  require(bits >= 1 && bits <= 31, s"bits must be in [1, 31], got $bits")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(IntegerType, IntegerType)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "hilbert2"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    graft.functions.LayoutKernels.hilbert2(
+      a.asInstanceOf[Int], b.asInstanceOf[Int], bits)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.LayoutKernels.hilbert2($a, $b, $bits)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Hilbert2 =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Inverse Hilbert decode: curve position -> array(x, y) bucket cell
+  * (see [[graft.functions.LayoutKernels.unhilbert2]]).
+  */
+case class HilbertDecode2(child: Expression, bits: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(bits >= 1 && bits <= 31, s"bits must be in [1, 31], got $bits")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(LongType)
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "unhilbert2"
+
+  override protected def nullSafeEval(v: Any): Any =
+    graft.functions.LayoutKernels.unhilbert2Array(v.asInstanceOf[Long], bits)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.LayoutKernels.unhilbert2Array($c, $bits)")
+
+  override protected def withNewChildInternal(newChild: Expression): HilbertDecode2 =
+    copy(child = newChild)
+}
+
 case class VectorDot(left: Expression, right: Expression)
     extends BinaryExpression with ExpectsInputTypes {
 

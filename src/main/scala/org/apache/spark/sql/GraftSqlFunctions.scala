@@ -132,6 +132,16 @@ object GraftSqlFunctions {
         "zorder_n(array(b1, ..., bk), k) - N-dim Morton key over bucket coords, 64/k bits each"),
       arity("zorder_n", "zorder_n(arr, k)", 2, 2)(
         c => ZOrderN(c(0), intArg(c(1), "zorder_n")))),
+    (FunctionIdentifier("hilbert2"),
+      info("hilbert2",
+        "hilbert2(x, y, bits) - 2-D Hilbert curve key over [0, 2^bits) bucket coords"),
+      arity("hilbert2", "hilbert2(x, y, bits)", 3, 3)(
+        c => Hilbert2(c(0), c(1), intArg(c(2), "hilbert2")))),
+    (FunctionIdentifier("unhilbert2"),
+      info("unhilbert2",
+        "unhilbert2(key, bits) - inverse Hilbert decode to array(x, y)"),
+      arity("unhilbert2", "unhilbert2(key, bits)", 2, 2)(
+        c => HilbertDecode2(c(0), intArg(c(1), "unhilbert2")))),
     (FunctionIdentifier("word_ngrams_all"),
       info("word_ngrams_all",
         "word_ngrams_all(text, n) - ALL word n-grams in order, duplicates kept"),

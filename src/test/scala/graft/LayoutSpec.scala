@@ -59,6 +59,75 @@ class LayoutSpec extends SparkSpec {
     assert(sql.getLong(1) < sql.getLong(0)) // null dim = bucket 0
   }
 
+  test("hilbert2: bijection with UNIT-step adjacency — the locality Morton lacks") {
+    val bits = 3 // full 8x8 grid, exhaustive
+    val cells = (0L until 64L).map(d => LayoutKernels.unhilbert2(d, bits))
+    assert(cells.distinct.size == 64) // bijection onto the grid
+    // every consecutive curve step moves to an ADJACENT cell
+    cells.sliding(2).foreach { case Seq((x1, y1), (x2, y2)) =>
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) == 1,
+        s"non-unit step ($x1,$y1)->($x2,$y2)")
+    }
+    // Morton's diagnostic defect: it has non-adjacent jumps (Z seams)
+    val mortonCells = (0 until 64).map { d =>
+      var x = 0; var y = 0
+      for (j <- 0 until 3) {
+        x |= ((d >> (2 * j)) & 1) << j
+        y |= ((d >> (2 * j + 1)) & 1) << j
+      }
+      (x, y)
+    }
+    assert(mortonCells.sliding(2).exists { case Seq((x1, y1), (x2, y2)) =>
+      math.abs(x1 - x2) + math.abs(y1 - y2) > 1
+    })
+  }
+
+  test("hilbert2: encode/decode round-trip and saturating clamp at bits=16") {
+    val rnd = new scala.util.Random(19)
+    for (_ <- 1 to 500) {
+      val x = rnd.nextInt(1 << 16)
+      val y = rnd.nextInt(1 << 16)
+      val d = LayoutKernels.hilbert2(x, y, 16)
+      assert(d >= 0 && d < (1L << 32))
+      assert(LayoutKernels.unhilbert2(d, 16) == ((x, y)))
+    }
+    // out-of-range saturates to the edge cells, never wraps
+    assert(LayoutKernels.hilbert2(-5, 7, 16) == LayoutKernels.hilbert2(0, 7, 16))
+    assert(LayoutKernels.hilbert2(1 << 20, 7, 16) ==
+      LayoutKernels.hilbert2((1 << 16) - 1, 7, 16))
+  }
+
+  test("hilbert2/unhilbert2 from SQL match the kernel") {
+    org.apache.spark.sql.GraftSqlFunctions.register(spark)
+    val r = spark.sql(
+      "SELECT hilbert2(300, 77, 16) AS h, unhilbert2(hilbert2(300, 77, 16), 16) AS d")
+      .head()
+    assert(r.getLong(0) == LayoutKernels.hilbert2(300, 77, 16))
+    assert(r.getSeq[Int](1) == Seq(300, 77))
+  }
+
+  test("hilbert-ordered files bound both dimensions at least as tightly as z-order") {
+    val rnd = new scala.util.Random(23)
+    val grid = rnd.shuffle((for (x <- 0 until 100; y <- 0 until 100)
+      yield (x, y)).toVector).toDF("x", "y")
+    val hDir = Files.createTempDirectory("hilbert").toString + "/t"
+    val zDir = Files.createTempDirectory("zorder_cmp").toString + "/t"
+    Sinks.writeHilbertOrdered(grid, "x", "y", hDir, numFiles = 64, bits = 7)
+    Sinks.writeZOrdered(grid, "x", "y", zDir, numFiles = 64)
+    def spanSum(dir: String): Long =
+      new java.io.File(dir).listFiles().filter(_.getName.endsWith(".parquet"))
+        .toSeq.map { f =>
+          val r = spark.read.parquet(f.toString)
+            .agg(max("x") - min("x"), max("y") - min("y")).head()
+          r.getInt(0).toLong + r.getInt(1).toLong
+        }.sum
+    // total min/max span across files — smaller = tighter pruning
+    // rectangles; Hilbert's unit-step curve must not lose to Morton
+    val h = spanSum(hDir)
+    val z = spanSum(zDir)
+    assert(h <= z, s"hilbert total span $h vs morton $z")
+  }
+
   test("z-ordered files bound BOTH dimensions; x-sorted files do not") {
     // 100x100 grid, shuffled arrival order
     val rnd = new scala.util.Random(7)
