@@ -327,6 +327,69 @@ object OracleSqlGen {
   }
 
   // -------------------------------------------------------------------
+  // BPE tokenizer: the training loop is string/integer-exact (word
+  // counts, argmax with byte-order tie-break, greedy merge passes), so
+  // DuckDB replays it generation by generation: w0..wk are dictionary
+  // states, m1..mk the per-generation argmax merges. The merge-apply
+  // step is the SAME doubled-separator replace() the Spark trainer
+  // runs — one shared trick, two engines, bit-identical results.
+  // -------------------------------------------------------------------
+
+  private def bpeChain(k: Int): String = {
+    val sep = "chr(10)"
+    val sep2 = "chr(10)||chr(10)"
+    val w0 =
+      s"""w0 AS MATERIALIZED (
+         |  SELECT w, count(*) AS cnt,
+         |         $sep2 || array_to_string([substr(w, i, 1) for i in range(1, length(w) + 1)], $sep2) || $sep2 AS r
+         |  FROM (SELECT unnest(regexp_split_to_array(lower(trim(text)), '[ \\t\\n\\x0B\\f\\r]+')) AS w
+         |        FROM documents WHERE text IS NOT NULL)
+         |  WHERE length(w) > 0 GROUP BY w)""".stripMargin
+    val gens = (1 to k).map { g =>
+      s"""p$g AS (
+         |  SELECT p[1] AS a, p[2] AS b, sum(cnt) AS c FROM (
+         |    SELECT cnt, unnest([[s[i], s[i+1]] for i in range(1, len(s))]) AS p
+         |    FROM (SELECT cnt, list_filter(string_split(r, $sep2), x -> x <> '') AS s
+         |          FROM w${g - 1}))
+         |  GROUP BY a, b),
+         |m$g AS (SELECT a, b FROM p$g ORDER BY c DESC, a, b LIMIT 1),
+         |w$g AS MATERIALIZED (
+         |  SELECT w, cnt,
+         |         CASE WHEN m.a IS NULL THEN r
+         |              ELSE replace(r, $sep || m.a || $sep2 || m.b || $sep,
+         |                           $sep || m.a || m.b || $sep) END AS r
+         |  FROM w${g - 1} LEFT JOIN m$g m ON TRUE)""".stripMargin
+    }
+    (w0 +: gens).mkString(",\n")
+  }
+
+  /** Oracle for q_bpe_train: the ranked merge table. */
+  def bpeTrain(k: Int): String = {
+    val parts = (1 to k).map(g =>
+      s"SELECT CAST($g AS BIGINT) AS rank, a, b FROM m$g")
+    s"WITH ${bpeChain(k)}\n${parts.mkString("\nUNION ALL\n")}"
+  }
+
+  /** Oracle for q_bpe_encode: per-document word and token counts under
+    * the trained merges — encode replayed as a dictionary join (every
+    * corpus word is in the dict by construction; zero-word documents
+    * keep a 0/0 row via the LEFT JOIN). */
+  def bpeEncode(k: Int): String =
+    s"""WITH ${bpeChain(k)},
+       |tok AS (
+       |  SELECT doc_id,
+       |         unnest(list_filter(regexp_split_to_array(lower(trim(text)), '[ \\t\\n\\x0B\\f\\r]+'), x -> x <> '')) AS w
+       |  FROM documents WHERE text IS NOT NULL),
+       |agg AS (
+       |  SELECT t.doc_id, count(*) AS nw,
+       |         sum(len(list_filter(string_split(d.r, chr(10)||chr(10)), x -> x <> ''))) AS nt
+       |  FROM tok t JOIN w$k d USING (w) GROUP BY t.doc_id)
+       |SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+       |       CAST(coalesce(a.nw, 0) AS BIGINT) AS n_words,
+       |       CAST(coalesce(a.nt, 0) AS BIGINT) AS n_tokens
+       |FROM documents d LEFT JOIN agg a USING (doc_id)""".stripMargin
+
+  // -------------------------------------------------------------------
   // SimHash: Spark Murmur3_x86_32 (seeds 0x9747b28c / 0x85ebca6b) over
   // lowercased whitespace tokens, bit votes, sign sketch. All 32-bit
   // modular arithmetic — products of two 32-bit values fit HUGEINT

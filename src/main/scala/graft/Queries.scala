@@ -3162,6 +3162,38 @@ object Queries {
     },
     Some(OracleSqlGen.hilbertLayout))
 
+  /** BPE tokenizer TRAINING under the oracle: 8 merges learned from
+    * the documents corpus by [[graft.operators.Bpe.train]] (one
+    * tokenize+count shuffle, then dictionary-sized iterations), and
+    * DuckDB replays the whole loop generation by generation — word
+    * counts, overlap-counting pair stats, byte-order tie-break, and
+    * the SAME doubled-separator replace() merge pass — so the learned
+    * merge table is hash-checked, not trusted. */
+  private val qBpeTrain = Q("q_bpe_train",
+    (s, dir) => {
+      import s.implicits._
+      val merges = graft.operators.Bpe.train(t(s, dir, "documents"), "text", 8)
+      merges.zipWithIndex
+        .map { case ((a, b), i) => (i + 1L, a, b) }
+        .toDF("rank", "a", "b")
+    },
+    Some(OracleSqlGen.bpeTrain(8)))
+
+  /** BPE ENCODE at corpus scale: the same 8 trained merges applied per
+    * document by the codegen `BpeTokens` expression (one narrow pass,
+    * merges ride the expression — no join, no shuffle); the oracle
+    * recomputes token counts via a dictionary join over the replayed
+    * training chain. Word and token counts both pinned. */
+  private val qBpeEncode = Q("q_bpe_encode",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val merges = graft.operators.Bpe.train(docs, "text", 8)
+      docs.select(col("doc_id").cast("bigint").as("doc_id"),
+        size(graft.operators.Bpe.wordsCol(col("text"))).cast("bigint").as("n_words"),
+        size(graft.operators.Bpe.tokens(col("text"), merges)).cast("bigint").as("n_tokens"))
+    },
+    Some(OracleSqlGen.bpeEncode(8)))
+
   /** Every query, in a stable order. */
   val all: Seq[Q] = Seq(
     qSelect, qFilter, qFilterRouter,
@@ -3184,7 +3216,7 @@ object Queries {
     qDupSpans, qDupSpansSalted, qIncrementalDedup, qIncrementalMinhash,
     qHybridRrf, qApproxDistinct, qApproxQuantiles,
     qDecontaminateBloom, qLmScore, qEventAttribution, qUpsert, qScd2,
-    qZorder, qHilbert, qScd2Multi, qSnapshotDiff, qTrainingOrder, qBlocklist,
+    qZorder, qHilbert, qBpeTrain, qBpeEncode, qScd2Multi, qSnapshotDiff, qTrainingOrder, qBlocklist,
     qApproxTopk, qAudioFeatures, qIncrementalEmbedding, qSplitClusterSafe,
     qIngestRouted, qBinaryIngest, qLineDedupWithin, qProfile, qJpegFeatures,
     qRepeatMixture, qScd2Lookup)

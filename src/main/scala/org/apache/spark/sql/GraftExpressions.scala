@@ -542,6 +542,63 @@ case class HilbertDecode2(child: Expression, bits: Int)
     copy(child = newChild)
 }
 
+/** Initial BPE symbol string of a word: code points joined in the
+  * doubled-separator form `\n\n s1 \n\n s2 \n\n` the trainer's
+  * replace-based merge pass operates on (see [[graft.operators.Bpe]]).
+  */
+case class BpeInitRepr(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = StringType
+  override def prettyName: String = "bpe_init_repr"
+
+  override protected def nullSafeEval(v: Any): Any = {
+    val syms = graft.functions.BpeKernels.codepointSymbols(
+      v.asInstanceOf[UTF8String].toString)
+    UTF8String.fromString(syms.mkString("\n\n", "\n\n", "\n\n"))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"org.apache.spark.unsafe.types.UTF8String.fromString(" +
+        s"""scala.Predef.wrapRefArray(graft.functions.BpeKernels.codepointSymbols($c.toString())).mkString("\\n\\n", "\\n\\n", "\\n\\n"))""")
+
+  override protected def withNewChildInternal(newChild: Expression): BpeInitRepr =
+    copy(child = newChild)
+}
+
+/** Corpus-scale BPE encode: tokenize + apply the ranked merges, one
+  * codegen pass per document ([[graft.functions.BpeKernels.tokens]]).
+  * The merge arrays are driver-built and ride to executors as
+  * expression references.
+  */
+case class BpeTokens(child: Expression, mergesA: Seq[String], mergesB: Seq[String])
+    extends UnaryExpression with ExpectsInputTypes {
+  require(mergesA.length == mergesB.length,
+    s"merge sides differ: ${mergesA.length} vs ${mergesB.length}")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "bpe_tokens"
+
+  @transient private lazy val arrA = mergesA.toArray
+  @transient private lazy val arrB = mergesB.toArray
+
+  override protected def nullSafeEval(v: Any): Any =
+    graft.functions.BpeKernels.tokens(v.asInstanceOf[UTF8String], arrA, arrB)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ra = ctx.addReferenceObj("bpeMergesA", arrA, "java.lang.String[]")
+    val rb = ctx.addReferenceObj("bpeMergesB", arrB, "java.lang.String[]")
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.BpeKernels.tokens($c, $ra, $rb)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BpeTokens =
+    copy(child = newChild)
+}
+
 case class VectorDot(left: Expression, right: Expression)
     extends BinaryExpression with ExpectsInputTypes {
 

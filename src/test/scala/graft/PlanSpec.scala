@@ -221,6 +221,17 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("ExistingRDD"), p)
   }
 
+  test("q_bpe_encode: the apply is one narrow pass — merges ride the expression, no join") {
+    val p = plan("q_bpe_encode")
+    // training happened driver-side before this plan was built; the
+    // corpus-scale ENCODE must be a single scan + projection with the
+    // bpe_tokens codegen expression — no Exchange, no Join
+    assert(!p.contains("Exchange"), p)
+    assert(!p.contains("Join"), p)
+    assert(p.contains("bpe_tokens"), p)
+    assert("Scan parquet".r.findAllIn(p).size == 1, p)
+  }
+
   test("q_profile: one scan, fused aggregates (Expand is the documented exact-distinct cost)") {
     val p = plan("q_profile")
     // a single pass over the parquet: exactly one scan node
