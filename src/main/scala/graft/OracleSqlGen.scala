@@ -326,6 +326,67 @@ object OracleSqlGen {
        |FROM (${ch.sql})""".stripMargin
   }
 
+  /** Oracle for q_importance (DSIR-style importance weighting): the
+    * feature buckets are `xxhash64(word) pmod 256` — replayed exactly
+    * by the [[hashBytesChain]] machinery over the distinct-word
+    * dictionary (corpus words are <= 8 UTF-8 bytes, well inside the
+    * chain's <32-byte domain; a longer future vocabulary would surface
+    * as a hash mismatch, not silent corruption). 256 is a power of
+    * two, so the signed `pmod` equals the unsigned `% 256` and no
+    * sign conversion is needed. λ ratios are ln of integer-derived
+    * IEEE quotients; the per-document mean is rounded to 6 digits —
+    * the same double-parity contract q_lm_score has held for rounds.
+    * Selection ranks on the ROUNDED score with a doc-id tie-break. */
+  lazy val importance: String = {
+    // DISTINCT must wrap the unnested ROWS — `SELECT DISTINCT unnest(l)`
+    // dedupes the lists before unnesting, which both leaks duplicate
+    // words and drops none (observed: 41 dict rows over a 31-word
+    // vocabulary)
+    // plain (non-interpolated) triple quote: backslashes are literal,
+    // so the regex is written single-backslashed here, unlike the
+    // s-interpolated blocks below where \\t collapses to \t
+    val base =
+      """SELECT w, hex(encode(w)) AS hx FROM (
+        |  SELECT DISTINCT w FROM (
+        |    SELECT unnest(list_filter(
+        |      regexp_split_to_array(lower(trim(text)), '[ \t\n\x0B\f\r]+'),
+        |      x -> x <> '')) AS w
+        |    FROM documents WHERE text IS NOT NULL))""".stripMargin
+    val (ch, hcol) = hashBytesChain(base, "hx")
+    s"""WITH dictw AS MATERIALIZED (
+       |  SELECT w, CAST($hcol % 256 AS BIGINT) AS b FROM (${ch.sql})),
+       |tokd AS (
+       |  SELECT doc_id, lang,
+       |         unnest(list_filter(regexp_split_to_array(lower(trim(text)), '[ \\t\\n\\x0B\\f\\r]+'), x -> x <> '')) AS w
+       |  FROM documents WHERE text IS NOT NULL),
+       |tb AS (SELECT t.doc_id, t.lang, d.b FROM tokd t JOIN dictw d USING (w)),
+       |tc AS (SELECT b, count(*) AS ct FROM tb WHERE lang = 'en' GROUP BY b),
+       |sc AS (SELECT b, count(*) AS cs FROM tb
+       |       WHERE lang <> 'en' OR lang IS NULL GROUP BY b),
+       |tot AS (SELECT (SELECT coalesce(sum(ct), 0) FROM tc) AS tt,
+       |               (SELECT coalesce(sum(cs), 0) FROM sc) AS ts),
+       |lam AS (
+       |  SELECT r.range AS b,
+       |         ln((coalesce(tc.ct, 0) + 1.0) / (tot.tt + 256.0))
+       |           - ln((coalesce(sc.cs, 0) + 1.0) / (tot.ts + 256.0)) AS lambda
+       |  FROM range(256) r
+       |  LEFT JOIN tc ON tc.b = r.range LEFT JOIN sc ON sc.b = r.range
+       |  CROSS JOIN tot),
+       |ag AS (
+       |  SELECT doc_id, count(*) AS nw, round(avg(lambda), 6) AS score
+       |  FROM tb JOIN lam USING (b) GROUP BY doc_id),
+       |scored AS (
+       |  SELECT d.doc_id, coalesce(a.nw, 0) AS n_words, a.score
+       |  FROM documents d LEFT JOIN ag a USING (doc_id)),
+       |top AS (
+       |  SELECT doc_id FROM scored
+       |  ORDER BY score DESC NULLS LAST, doc_id LIMIT 100)
+       |SELECT CAST(s.doc_id AS BIGINT) AS doc_id,
+       |       CAST(s.n_words AS BIGINT) AS n_words, s.score,
+       |       CAST(CASE WHEN t.doc_id IS NULL THEN 0 ELSE 1 END AS BIGINT) AS selected
+       |FROM scored s LEFT JOIN top t USING (doc_id)""".stripMargin
+  }
+
   // -------------------------------------------------------------------
   // BPE tokenizer: the training loop is string/integer-exact (word
   // counts, argmax with byte-order tie-break, greedy merge passes), so

@@ -3194,6 +3194,28 @@ object Queries {
     },
     Some(OracleSqlGen.bpeEncode(8)))
 
+  /** DSIR-style importance weighting under the oracle: hashed-unigram
+    * bucket distributions fit on target (lang='en') vs source (the
+    * rest), per-doc mean log-ratio scores, deterministic top-100
+    * selection ([[graft.operators.Importance]]). Buckets are
+    * xxhash64-derived, so DuckDB replays them exactly; scores share
+    * q_lm_score's ln/round(6) double-parity contract. */
+  private val qImportance = Q("q_importance",
+    (s, dir) => {
+      import graft.operators.Importance
+      val docs = t(s, dir, "documents")
+      val ratios = Importance.fitLogRatios(
+        docs.filter(col("lang") === "en"),
+        docs.filter(col("lang") =!= "en" || col("lang").isNull),
+        "text", buckets = 256)
+      Importance.selectTopK(
+        Importance.score(docs, "text", "doc_id", ratios, buckets = 256)
+          .select(col("doc_id").cast("bigint").as("doc_id"),
+            col("n_words").cast("bigint").as("n_words"), col("score")),
+        "doc_id", k = 100)
+    },
+    Some(OracleSqlGen.importance))
+
   /** Every query, in a stable order. */
   val all: Seq[Q] = Seq(
     qSelect, qFilter, qFilterRouter,
@@ -3216,7 +3238,7 @@ object Queries {
     qDupSpans, qDupSpansSalted, qIncrementalDedup, qIncrementalMinhash,
     qHybridRrf, qApproxDistinct, qApproxQuantiles,
     qDecontaminateBloom, qLmScore, qEventAttribution, qUpsert, qScd2,
-    qZorder, qHilbert, qBpeTrain, qBpeEncode, qScd2Multi, qSnapshotDiff, qTrainingOrder, qBlocklist,
+    qZorder, qHilbert, qBpeTrain, qBpeEncode, qImportance, qScd2Multi, qSnapshotDiff, qTrainingOrder, qBlocklist,
     qApproxTopk, qAudioFeatures, qIncrementalEmbedding, qSplitClusterSafe,
     qIngestRouted, qBinaryIngest, qLineDedupWithin, qProfile, qJpegFeatures,
     qRepeatMixture, qScd2Lookup)
