@@ -164,27 +164,39 @@ object OracleSqlGen {
 
   /** (doc_id, h) — the distinct 5-char-shingle XXH64 set per document,
     * mirroring TextFunctions.shingleHashes (lower+trim, whole-string
-    * fallback for <= n chars, hash-level dedup). */
+    * fallback for <= n chars, hash-level dedup). The byte-hash chain
+    * runs over DISTINCT shingle strings and joins back: the corpus
+    * repeats shingles heavily (measured 102k (doc, gram) pairs over
+    * 2k distinct grams at sf0.01), so hashing per pair cost ~50x more
+    * for identical results. */
   private def shingleHashSql(n: Int): String = {
+    val gd =
+      s"""SELECT doc_id, unnest(CASE WHEN length(s) <= $n THEN [s]
+         |    ELSE list_distinct([substr(s, i, $n) for i in range(1, length(s) - ${n - 2})])
+         |  END) AS g
+         |FROM (SELECT doc_id, lower(trim(text)) AS s FROM documents
+         |      WHERE text IS NOT NULL)""".stripMargin
     val base =
-      s"""SELECT doc_id, hex(encode(g)) AS hx FROM (
-         |  SELECT doc_id, unnest(CASE WHEN length(s) <= $n THEN [s]
-         |      ELSE list_distinct([substr(s, i, $n) for i in range(1, length(s) - ${n - 2})])
-         |    END) AS g
-         |  FROM (SELECT doc_id, lower(trim(text)) AS s FROM documents
-         |        WHERE text IS NOT NULL))""".stripMargin
+      s"""SELECT g, hex(encode(g)) AS hx FROM (
+         |  SELECT DISTINCT g FROM ($gd))""".stripMargin
     val (ch, hcol) = hashBytesChain(base, "hx")
-    s"SELECT doc_id, $hcol AS h FROM (${ch.sql}) GROUP BY doc_id, $hcol"
+    s"""SELECT doc_id, h FROM ($gd) gd
+       |JOIN (SELECT g, $hcol AS h FROM (${ch.sql})) gh USING (g)
+       |GROUP BY doc_id, h""".stripMargin
   }
 
   /** (doc_id, kk, v) — MinHash member kk = signed-min over
-    * hashLong(h, kk), unsigned representation restored after the MIN. */
+    * hashLong(h, kk), unsigned representation restored after the MIN.
+    * The k-member remix runs per DISTINCT hash value and joins back
+    * (same dedup-then-join shape as [[shingleHashSql]]). */
   private def sigSql(hsSql: String, k: Int): String = {
     val ch = new Chain(
-      s"SELECT doc_id, h, unnest(range($k)) AS kk FROM ($hsSql)")
+      s"SELECT h, unnest(range($k)) AS kk FROM (SELECT DISTINCT h FROM ($hsSql))")
     val v = hashLong(ch, "h", "kk", "mh")
     ch.lvl("skey", signedKey(v))
-    s"SELECT doc_id, kk, ${signedKey("min(skey)")} AS v FROM (${ch.sql}) GROUP BY doc_id, kk"
+    s"""SELECT hs.doc_id, mh.kk, ${signedKey("min(mh.skey)")} AS v
+       |FROM ($hsSql) hs JOIN (${ch.sql}) mh USING (h)
+       |GROUP BY hs.doc_id, mh.kk""".stripMargin
   }
 
   /** (doc_id, band, bh) — band hash = Spark xxhash64 fold (seed 42)
