@@ -129,37 +129,46 @@ object OracleSqlGen {
   private def byteAt(hxp: String, i: String): String =
     s"CAST(CAST('0x' || substr($hxp, CAST(2 * ($i) - 1 AS BIGINT), 2) AS BIGINT) AS HUGEINT)"
 
-  /** XXH64.hashUnsafeBytes(bytes(hxCol), 42) for < 32-byte inputs:
-    * 0-2 LE words, optional LE 4-byte chunk, 0-3 tail bytes, fmix. */
-  private def hashBytesChain(baseSql: String, hxCol: String): (Chain, String) = {
-    val ch = new Chain(baseSql)
-    val hxp = ch.lvl("hxp", s"rpad($hxCol, 64, '0')")
-    val nn = ch.lvl("nn", s"CAST(length($hxCol) // 2 AS HUGEINT)")
-    val wc = ch.lvl("wcnt", s"($nn // 8)")
-    val rem = ch.lvl("rem", s"($nn - 8 * $wc)")
-    val tl = ch.lvl("tl", s"CASE WHEN $rem >= 4 THEN $rem - 4 ELSE $rem END")
+  /** XXH64.hashUnsafeBytes(bytes(hxCol), seed) levels for < 32-byte
+    * inputs appended to an existing chain: 0-2 LE words, optional LE
+    * 4-byte chunk, 0-3 tail bytes, fmix. `seed` is any prior column or
+    * literal (the struct-fold callers thread a running hash through). */
+  private def hashBytesLevels(ch: Chain, hxCol: String, seed: String,
+                              p: String): String = {
+    val hxp = ch.lvl(s"${p}hxp", s"rpad($hxCol, 64, '0')")
+    val nn = ch.lvl(s"${p}nn", s"CAST(length($hxCol) // 2 AS HUGEINT)")
+    val wc = ch.lvl(s"${p}wcnt", s"($nn // 8)")
+    val rem = ch.lvl(s"${p}rem", s"($nn - 8 * $wc)")
+    val tl = ch.lvl(s"${p}tl", s"CASE WHEN $rem >= 4 THEN $rem - 4 ELSE $rem END")
     def leSum(idx: Int => String, n: Int): String =
       (0 until n).map { i =>
         s"${byteAt(hxp, idx(i))} * ${java.math.BigInteger.ONE.shiftLeft(8 * i)}"
       }.mkString(" + ")
-    val wA = ch.lvl("wA", leSum(i => s"${i + 1}", 8))
-    val wB = ch.lvl("wB", leSum(i => s"${i + 9}", 8))
-    val k4 = ch.lvl("k4", leSum(j => s"8 * $wc + ${j + 1}", 4))
-    val tb = (1 to 3).map(j => ch.lvl(s"tb$j", byteAt(hxp, s"$nn - $tl + $j")))
-    var h = ch.lvl("c0", add64(nn, Seed42P5))
-    h = wordRound(ch, h, wA, s"$nn >= 8", "wa")
-    h = wordRound(ch, h, wB, s"$nn >= 16", "wb")
-    val c1 = ch.lvl("c1", xor64(h, m64(k4, P1)))
-    val c2 = ch.lvl("c2", rot(c1, 23))
-    val c3 = ch.lvl("c3", add64(m64(c2, P2), P3))
-    h = ch.lvl("chk", s"CASE WHEN $rem >= 4 THEN $c3 ELSE $h END")
+    val wA = ch.lvl(s"${p}wA", leSum(i => s"${i + 1}", 8))
+    val wB = ch.lvl(s"${p}wB", leSum(i => s"${i + 9}", 8))
+    val k4 = ch.lvl(s"${p}k4", leSum(j => s"8 * $wc + ${j + 1}", 4))
+    val tb = (1 to 3).map(j => ch.lvl(s"${p}tb$j", byteAt(hxp, s"$nn - $tl + $j")))
+    var h = ch.lvl(s"${p}c0", add64(add64(seed, P5), nn))
+    h = wordRound(ch, h, wA, s"$nn >= 8", s"${p}wa")
+    h = wordRound(ch, h, wB, s"$nn >= 16", s"${p}wb")
+    val c1 = ch.lvl(s"${p}c1", xor64(h, m64(k4, P1)))
+    val c2 = ch.lvl(s"${p}c2", rot(c1, 23))
+    val c3 = ch.lvl(s"${p}c3", add64(m64(c2, P2), P3))
+    h = ch.lvl(s"${p}chk", s"CASE WHEN $rem >= 4 THEN $c3 ELSE $h END")
     for (j <- 1 to 3) {
-      val b1 = ch.lvl(s"b${j}1", xor64(h, m64(tb(j - 1), P5)))
-      val b2 = ch.lvl(s"b${j}2", rot(b1, 11))
-      val b3 = ch.lvl(s"b${j}3", m64(b2, P1))
-      h = ch.lvl(s"bh$j", s"CASE WHEN $tl >= $j THEN $b3 ELSE $h END")
+      val b1 = ch.lvl(s"${p}b${j}1", xor64(h, m64(tb(j - 1), P5)))
+      val b2 = ch.lvl(s"${p}b${j}2", rot(b1, 11))
+      val b3 = ch.lvl(s"${p}b${j}3", m64(b2, P1))
+      h = ch.lvl(s"${p}bh$j", s"CASE WHEN $tl >= $j THEN $b3 ELSE $h END")
     }
-    (ch, fmix(ch, h, "sb"))
+    fmix(ch, h, s"${p}sb")
+  }
+
+  /** Seed-42 byte hash over a fresh chain — the original single-string
+    * entry point ([[shingleHashSql]], [[importance]]). */
+  private def hashBytesChain(baseSql: String, hxCol: String): (Chain, String) = {
+    val ch = new Chain(baseSql)
+    (ch, hashBytesLevels(ch, hxCol, "42", ""))
   }
 
   /** (doc_id, h) — the distinct 5-char-shingle XXH64 set per document,
@@ -398,6 +407,58 @@ object OracleSqlGen {
        |       CAST(CASE WHEN t.doc_id IS NULL THEN 0 ELSE 1 END AS BIGINT) AS selected
        |FROM scored s LEFT JOIN top t USING (doc_id)""".stripMargin
   }
+
+  // -------------------------------------------------------------------
+  // Deterministic sampling: both operators draw from
+  // xxhash64(struct(row), seed) — Spark folds the struct FIELDS in
+  // order through the running hash (long -> hashLong, string ->
+  // hashBytes), then the seed literal as one more long. The chain
+  // below replays that fold for the (doc_id, lang, n_chars)
+  // projection the queries sample. lang values are short ASCII and
+  // never NULL in this corpus (a NULL field would be SKIPPED by
+  // Spark's fold — not modeled; the schema tripwire owns that drift).
+  // -------------------------------------------------------------------
+
+  /** Chain computing the signed row hash `sh` for the sampling
+    * projection; returns the full SELECT. */
+  private def sampleHashSql(seed: Long): String = {
+    val ch = new Chain(
+      """SELECT doc_id, lang, n_chars, hex(encode(lang)) AS hx
+        |FROM documents""".stripMargin)
+    var h = hashLong(ch, "doc_id", "42", "f1")
+    h = hashBytesLevels(ch, "hx", h, "f2")
+    h = hashLong(ch, "n_chars", h, "f3")
+    h = hashLong(ch, seed.toString, h, "f4")
+    val sh = ch.lvl("sh",
+      s"CAST(CASE WHEN $h >= $S63 THEN $h - $M64 ELSE $h END AS BIGINT)")
+    s"SELECT doc_id, lang, n_chars, $sh AS sh FROM (${ch.sql})"
+  }
+
+  /** Oracle for q_sample_group: Ops.samplePerGroup = the n
+    * hash-smallest rows per group, SIGNED long order, row-content
+    * tie-break. */
+  def sampleGroup(n: Int, seed: Long): String =
+    s"""WITH h AS MATERIALIZED (${sampleHashSql(seed)})
+       |SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
+       |       CAST(n_chars AS BIGINT) AS n_chars
+       |FROM (SELECT *, row_number() OVER (
+       |        PARTITION BY lang
+       |        ORDER BY sh, doc_id, n_chars) AS rn FROM h)
+       |WHERE rn <= $n""".stripMargin
+
+  /** Oracle for q_sample_bernoulli: Ops.deterministicSample = keep a
+    * row iff hash mod 2^32 < fraction * 2^32 (2^32 divides 2^64, so
+    * the signed/unsigned distinction vanishes). `h` MUST be
+    * MATERIALIZED: an inlined CTE lets DuckDB push the WHERE down
+    * through the ~80 chained projections, substituting the hash
+    * expression at every level — planning explodes (observed: 22 GB,
+    * no termination). Materialization fences the filter. */
+  def sampleBernoulli(bound: Long, seed: Long): String =
+    s"""WITH h AS MATERIALIZED (${sampleHashSql(seed)})
+       |SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
+       |       CAST(n_chars AS BIGINT) AS n_chars
+       |FROM h
+       |WHERE ((sh % 4294967296) + 4294967296) % 4294967296 < $bound""".stripMargin
 
   // -------------------------------------------------------------------
   // BPE tokenizer: the training loop is string/integer-exact (word

@@ -3216,6 +3216,34 @@ object Queries {
     },
     Some(OracleSqlGen.importance))
 
+  /** The (doc_id, lang, n_chars) projection both sampling queries draw
+    * from — short, null-free fields keep the oracle's struct-hash fold
+    * inside the <32-byte string path. */
+  private def sampleProjection(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(
+      col("doc_id").cast("bigint").as("doc_id"), col("lang"),
+      col("n_chars").cast("bigint").as("n_chars"))
+
+  /** Deterministic per-group sampling under the oracle:
+    * [[Ops.samplePerGroup]] keeps the 30 hash-smallest rows per lang —
+    * ONE bounded aggregation (buffer never exceeds n, a global
+    * random-order row_number would shuffle every row). DuckDB replays
+    * the seeded whole-row struct hash and the signed order exactly. */
+  private val qSampleGroup = Q("q_sample_group",
+    (s, dir) => Ops.samplePerGroup(sampleProjection(s, dir), Seq("lang"),
+      n = 30, seed = 7L),
+    Some(OracleSqlGen.sampleGroup(30, 7L)))
+
+  /** Content-hash Bernoulli sampling under the oracle:
+    * [[Ops.deterministicSample]] keeps a row iff its seeded struct
+    * hash mod 2^32 clears the fraction bound — membership is a pure
+    * function of content (stable under repartitioning, retries, AQE),
+    * unlike `df.sample`'s partition-RNG draw. */
+  private val qSampleBernoulli = Q("q_sample_bernoulli",
+    (s, dir) => Ops.deterministicSample(sampleProjection(s, dir),
+      fraction = 0.35, seed = 7L),
+    Some(OracleSqlGen.sampleBernoulli((0.35 * (1L << 32).toDouble).toLong, 7L)))
+
   /** Every query, in a stable order. */
   val all: Seq[Q] = Seq(
     qSelect, qFilter, qFilterRouter,
@@ -3238,7 +3266,7 @@ object Queries {
     qDupSpans, qDupSpansSalted, qIncrementalDedup, qIncrementalMinhash,
     qHybridRrf, qApproxDistinct, qApproxQuantiles,
     qDecontaminateBloom, qLmScore, qEventAttribution, qUpsert, qScd2,
-    qZorder, qHilbert, qBpeTrain, qBpeEncode, qImportance, qScd2Multi, qSnapshotDiff, qTrainingOrder, qBlocklist,
+    qZorder, qHilbert, qBpeTrain, qBpeEncode, qImportance, qSampleGroup, qSampleBernoulli, qScd2Multi, qSnapshotDiff, qTrainingOrder, qBlocklist,
     qApproxTopk, qAudioFeatures, qIncrementalEmbedding, qSplitClusterSafe,
     qIngestRouted, qBinaryIngest, qLineDedupWithin, qProfile, qJpegFeatures,
     qRepeatMixture, qScd2Lookup)
