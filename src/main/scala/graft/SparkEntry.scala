@@ -20,9 +20,13 @@ object SparkEntry {
     Queries.all.map(q => q.name -> q.run).toMap
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omitted for non-SQL-expressible ops
-    * (hash-based sketches, LSH candidates, stub decoders) → the driver
-    * records a weaker rows-only check there.
+    * the same parquet tables. Since round 8 the hash-based families
+    * (MinHash/SimHash LSH, BPE, feature hashing, sampling) are covered
+    * too — [[OracleSqlGen]] replays the engine's xxhash64/murmur3
+    * bit-for-bit in SQL. The only omissions left are the float32-bound
+    * approximate queries (ANN LSH/IVF, embedding cosine), declared in
+    * COVERAGE.md → the driver records a rows-only check there, each
+    * backed by an in-plan recall gate.
     */
   def oracleSql: Map[String, String] =
     Queries.all.flatMap(q => q.oracle.map(q.name -> _)).toMap
