@@ -48,11 +48,23 @@ object Bpe {
   }
 
   /** Train `numMerges` merges; returns them in rank order. Stops early
-    * if the dictionary runs out of adjacent pairs. */
-  def train(docs: DataFrame, textCol: String, numMerges: Int): Seq[(String, String)] = {
+    * if the dictionary runs out of adjacent pairs.
+    *
+    * `maxDictWords` caps the dictionary to the top-K words by count
+    * (ties broken by word, so the cap is deterministic) — the standard
+    * 100 TB move: the Zipf tail contributes negligible pair mass, and
+    * the cap bounds every iteration's cost regardless of corpus size.
+    * The default keeps every word (exact classic BPE).
+    */
+  def train(docs: DataFrame, textCol: String, numMerges: Int,
+            maxDictWords: Int = Int.MaxValue): Seq[(String, String)] = {
     require(numMerges >= 1 && numMerges <= 65536,
       s"numMerges must be in [1, 65536], got $numMerges")
-    var dict = wordDict(docs, textCol).localCheckpoint()
+    require(maxDictWords >= 1, s"maxDictWords must be >= 1, got $maxDictWords")
+    val full = wordDict(docs, textCol)
+    var dict = (if (maxDictWords == Int.MaxValue) full
+      else full.orderBy(desc("cnt"), asc("w")).limit(maxDictWords))
+      .localCheckpoint()
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     var exhausted = false
     while (merges.size < numMerges && !exhausted) {

@@ -110,6 +110,19 @@ class BpeSpec extends SparkSpec {
     assert(toks == encodeOne("aaab") ++ encodeOne("zzab") ++ encodeOne("aaab"))
   }
 
+  test("maxDictWords caps training to the top-K words, deterministically") {
+    // "xy" (count 8) dominates "aaab" (count 3); capped to 1 word the
+    // trainer sees only "xy" — it learns (x,y), then early-stops,
+    // never reaching the tail's (a,a) merge the full corpus would add
+    val texts = Seq("aaab aaab aaab", "xy xy xy xy xy xy xy xy")
+    val capped = Bpe.train(texts.toDF("text"), "text", 2, maxDictWords = 1)
+    assert(capped == Seq(("x", "y")))
+    val full = Bpe.train(texts.toDF("text"), "text", 2)
+    assert(full == BpeRef.train(texts, 2) && full.size == 2 && full != capped)
+    // cap larger than the dict = exact training
+    assert(Bpe.train(texts.toDF("text"), "text", 2, maxDictWords = 1000) == full)
+  }
+
   test("tie-break is lexicographic on UTF-8 bytes, not arrival order") {
     // two pairs with equal counts: ("b","b") vs ("a","c") — (a,c) wins
     val texts = Seq("bb ac", "bb ac")
