@@ -332,6 +332,21 @@ class JpegSpec extends AnyFunSuite {
     assert(JpegKernels.decode(forged).isEmpty)
   }
 
+  test("imageMeta triage and the full decoder agree on dimensions") {
+    // the metadata pass (SOF scan only) must see the same dims the
+    // pixel decoder produces — the filter-then-decode pipeline depends
+    // on that agreement
+    val bytes = encode(24, 16, Seq((2, 2), (1, 1), (1, 1)), flatQt,
+      ci => (_, _) => dcOnly(Seq(12, 0, 0)(ci)))
+    val r = JpegKernels.decode(bytes).get
+    assert(r.width == 24 && r.height == 16)
+    val meta = graft.functions.MediaKernels.imageMeta(bytes)
+    assert(meta != null)
+    // MediaKernels.imageMeta returns (format, width, height)
+    assert(meta.getUTF8String(0).toString == "jpeg")
+    assert(meta.getInt(1) == r.width && meta.getInt(2) == r.height)
+  }
+
   test("RasterKernels dispatch routes FFD8 to the JPEG decoder") {
     val bytes = encode(8, 8, Seq((1, 1)), flatQt, _ => (_, _) => dcOnly(30))
     val viaDispatch = RasterKernels.decode(bytes)
