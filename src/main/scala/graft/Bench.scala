@@ -66,11 +66,7 @@ object Bench {
 
     // testdata-drift tripwire (round 7: a silent regeneration broke six
     // queries) — loud stderr diff, and the drift count rides the JSON line
-    val schemaDrift = SchemaGuard.report(spark, sfDir)
-    if (schemaDrift.nonEmpty) {
-      System.err.println(s"[schema-guard] TESTDATA SCHEMA DRIFT at $sfDir:")
-      schemaDrift.foreach(d => System.err.println(s"[schema-guard]   $d"))
-    }
+    val schemaDrift = SchemaGuard.warn(spark, sfDir)
 
     def force(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()

@@ -412,11 +412,9 @@ object OracleSqlGen {
   // Deterministic sampling: both operators draw from
   // xxhash64(struct(row), seed) — Spark folds the struct FIELDS in
   // order through the running hash (long -> hashLong, string ->
-  // hashBytes), then the seed literal as one more long. The chain
-  // below replays that fold for the (doc_id, lang, n_chars)
-  // projection the queries sample. lang values are short ASCII and
-  // never NULL in this corpus (a NULL field would be SKIPPED by
-  // Spark's fold — not modeled; the schema tripwire owns that drift).
+  // hashBytes), then the seed literal as one more long; a NULL field
+  // is SKIPPED (hash unchanged), which the guard levels below model
+  // so a regenerated corpus with NULL lang/n_chars still compares.
   // -------------------------------------------------------------------
 
   /** Chain computing the signed row hash `sh` for the sampling
@@ -425,10 +423,14 @@ object OracleSqlGen {
     val ch = new Chain(
       """SELECT doc_id, lang, n_chars, hex(encode(lang)) AS hx
         |FROM documents""".stripMargin)
-    var h = hashLong(ch, "doc_id", "42", "f1")
-    h = hashBytesLevels(ch, "hx", h, "f2")
-    h = hashLong(ch, "n_chars", h, "f3")
-    h = hashLong(ch, seed.toString, h, "f4")
+    val h1 = hashLong(ch, "doc_id", "42", "f1")
+    val hLang = hashBytesLevels(ch, "hx", h1, "f2")
+    // NULL lang: the whole byte chain is NULL; fall back to the running
+    // hash, exactly Spark's null-field skip
+    val h2 = ch.lvl("f2g", s"CASE WHEN lang IS NULL THEN $h1 ELSE $hLang END")
+    val hChars = hashLong(ch, "n_chars", h2, "f3")
+    val h3 = ch.lvl("f3g", s"CASE WHEN n_chars IS NULL THEN $h2 ELSE $hChars END")
+    val h = hashLong(ch, seed.toString, h3, "f4")
     val sh = ch.lvl("sh",
       s"CAST(CASE WHEN $h >= $S63 THEN $h - $M64 ELSE $h END AS BIGINT)")
     s"SELECT doc_id, lang, n_chars, $sh AS sh FROM (${ch.sql})"
@@ -599,16 +601,25 @@ object OracleSqlGen {
     val lo = murmurChain(ch, 0x9747b28cL, maxBlocks, "lo")
     val hi = murmurChain(ch, 0x85ebca6bL, maxBlocks, "hi")
     val h64 = ch.lvl("h64", s"($hi * $M32 + $lo)")
-    // bit votes: +1/-1 per token occurrence per bit; sign -> sketch bit
-    s"""SELECT doc_id,
-       |       CAST(sum(CASE WHEN v > 0 THEN power(2, b)::HUGEINT ELSE 0 END)
-       |            AS HUGEINT) AS sk
-       |FROM (
-       |  SELECT doc_id, b,
-       |         sum(CASE WHEN ($h64 // power(2, b)::HUGEINT) % 2 = 1 THEN 1 ELSE -1 END) AS v
-       |  FROM (${ch.sql}), (SELECT unnest(range(64)) AS b)
-       |  GROUP BY doc_id, b)
-       |GROUP BY doc_id""".stripMargin
+    // bit votes: +1/-1 per token occurrence per bit; sign -> sketch bit.
+    // Token-less documents (non-null whitespace-only text) sketch to 0
+    // in the kernel and DO pair with each other at Hamming 0, so the
+    // LEFT JOIN keeps them with coalesce(0) — dropping them would turn
+    // a future corpus regeneration containing empty texts into a false
+    // red (NULL-text docs stay excluded: their null sketch survives no
+    // bit_count verification on the Spark side either)
+    s"""SELECT d.doc_id, coalesce(k.sk, CAST(0 AS HUGEINT)) AS sk
+       |FROM (SELECT doc_id FROM documents WHERE text IS NOT NULL) d
+       |LEFT JOIN (
+       |  SELECT doc_id,
+       |         CAST(sum(CASE WHEN v > 0 THEN power(2, b)::HUGEINT ELSE 0 END)
+       |              AS HUGEINT) AS sk
+       |  FROM (
+       |    SELECT doc_id, b,
+       |           sum(CASE WHEN ($h64 // power(2, b)::HUGEINT) % 2 = 1 THEN 1 ELSE -1 END) AS v
+       |    FROM (${ch.sql}), (SELECT unnest(range(64)) AS b)
+       |    GROUP BY doc_id, b)
+       |  GROUP BY doc_id) k USING (doc_id)""".stripMargin
   }
 
   /** Oracle for q_dedup_simhash. The engine's banding is provably

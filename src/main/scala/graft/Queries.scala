@@ -3188,9 +3188,14 @@ object Queries {
     (s, dir) => {
       val docs = t(s, dir, "documents")
       val merges = graft.operators.Bpe.train(docs, "text", 8)
+      // NULL text must count as 0/0 like the oracle's LEFT JOIN — a
+      // bare size(NULL) would emit NULL (ANSI) and break the compare
+      // on a regenerated corpus with null rows
       docs.select(col("doc_id").cast("bigint").as("doc_id"),
-        size(graft.operators.Bpe.wordsCol(col("text"))).cast("bigint").as("n_words"),
-        size(graft.operators.Bpe.tokens(col("text"), merges)).cast("bigint").as("n_tokens"))
+        coalesce(size(graft.operators.Bpe.wordsCol(col("text"))), lit(0))
+          .cast("bigint").as("n_words"),
+        coalesce(size(graft.operators.Bpe.tokens(col("text"), merges)), lit(0))
+          .cast("bigint").as("n_tokens"))
     },
     Some(OracleSqlGen.bpeEncode(8)))
 

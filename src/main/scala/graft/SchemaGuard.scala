@@ -83,8 +83,9 @@ object SchemaGuard {
       }
     }
 
-  /** Print the report loudly to stderr; returns true when clean. */
-  def warn(spark: SparkSession, sfDir: String): Boolean = {
+  /** Print the report loudly to stderr; returns the deviations so
+    * callers (Bench's JSON line) reuse one scan and one report shape. */
+  def warn(spark: SparkSession, sfDir: String): Seq[String] = {
     val diffs = report(spark, sfDir)
     if (diffs.nonEmpty) {
       System.err.println(
@@ -92,6 +93,6 @@ object SchemaGuard {
           "readers may or may not tolerate this (see SchemaGuard.expected):")
       diffs.foreach(d => System.err.println(s"[schema-guard]   $d"))
     }
-    diffs.isEmpty
+    diffs
   }
 }
