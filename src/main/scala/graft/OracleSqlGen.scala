@@ -130,9 +130,17 @@ object OracleSqlGen {
     s"CAST(CAST('0x' || substr($hxp, CAST(2 * ($i) - 1 AS BIGINT), 2) AS BIGINT) AS HUGEINT)"
 
   /** XXH64.hashUnsafeBytes(bytes(hxCol), seed) levels for < 32-byte
-    * inputs appended to an existing chain: 0-2 LE words, optional LE
+    * inputs appended to an existing chain: 0-3 LE words, optional LE
     * 4-byte chunk, 0-3 tail bytes, fmix. `seed` is any prior column or
-    * literal (the struct-fold callers thread a running hash through). */
+    * literal (the struct-fold callers thread a running hash through).
+    *
+    * The three guarded word rounds cover the ENTIRE short-input domain
+    * (nn <= 31: up to 3×8-byte words + 4-byte chunk + 3 tail bytes);
+    * XXH64 switches to the 4-accumulator stripe algorithm at 32 bytes,
+    * which this replay deliberately does not model — a >= 32-byte input
+    * (e.g. an over-long word after a corpus regeneration) raises a
+    * NAMED DuckDB error via the final guard level instead of silently
+    * hashing wrong and surfacing as a bare oracle hash mismatch. */
   private def hashBytesLevels(ch: Chain, hxCol: String, seed: String,
                               p: String): String = {
     val hxp = ch.lvl(s"${p}hxp", s"rpad($hxCol, 64, '0')")
@@ -146,11 +154,14 @@ object OracleSqlGen {
       }.mkString(" + ")
     val wA = ch.lvl(s"${p}wA", leSum(i => s"${i + 1}", 8))
     val wB = ch.lvl(s"${p}wB", leSum(i => s"${i + 9}", 8))
+    val wC = ch.lvl(s"${p}wC", leSum(i => s"${i + 17}", 8))
     val k4 = ch.lvl(s"${p}k4", leSum(j => s"8 * $wc + ${j + 1}", 4))
     val tb = (1 to 3).map(j => ch.lvl(s"${p}tb$j", byteAt(hxp, s"$nn - $tl + $j")))
-    var h = ch.lvl(s"${p}c0", add64(add64(seed, P5), nn))
+    var h = ch.lvl(s"${p}c0",
+      s"CASE WHEN $nn >= 32 THEN CAST(error('graft oracle: xxh64 short-input replay got ' || $nn || ' bytes (>= 32) — out of domain, see OracleSqlGen.hashBytesLevels') AS HUGEINT) ELSE ${add64(add64(seed, P5), nn)} END")
     h = wordRound(ch, h, wA, s"$nn >= 8", s"${p}wa")
     h = wordRound(ch, h, wB, s"$nn >= 16", s"${p}wb")
+    h = wordRound(ch, h, wC, s"$nn >= 24", s"${p}wc")
     val c1 = ch.lvl(s"${p}c1", xor64(h, m64(k4, P1)))
     val c2 = ch.lvl(s"${p}c2", rot(c1, 23))
     val c3 = ch.lvl(s"${p}c3", add64(m64(c2, P2), P3))
@@ -471,16 +482,20 @@ object OracleSqlGen {
   // runs — one shared trick, two engines, bit-identical results.
   // -------------------------------------------------------------------
 
-  private def bpeChain(k: Int): String = {
+  private def bpeChain(k: Int, cap: Option[Int] = None): String = {
     val sep = "chr(10)"
     val sep2 = "chr(10)||chr(10)"
+    // the top-K dictionary cap replays Spark's deterministic
+    // orderBy(cnt DESC, w ASC).limit(cap) — w is unique per row, so
+    // the order is total and the capped set is exact, not sampled
+    val capClause = cap.map(n => s" ORDER BY cnt DESC, w LIMIT $n").getOrElse("")
     val w0 =
       s"""w0 AS MATERIALIZED (
          |  SELECT w, count(*) AS cnt,
          |         $sep2 || array_to_string([substr(w, i, 1) for i in range(1, length(w) + 1)], $sep2) || $sep2 AS r
          |  FROM (SELECT unnest(regexp_split_to_array(lower(trim(text)), '[ \\t\\n\\x0B\\f\\r]+')) AS w
          |        FROM documents WHERE text IS NOT NULL)
-         |  WHERE length(w) > 0 GROUP BY w)""".stripMargin
+         |  WHERE length(w) > 0 GROUP BY w$capClause)""".stripMargin
     val gens = (1 to k).map { g =>
       s"""p$g AS (
          |  SELECT p[1] AS a, p[2] AS b, sum(cnt) AS c FROM (
@@ -504,6 +519,16 @@ object OracleSqlGen {
     val parts = (1 to k).map(g =>
       s"SELECT CAST($g AS BIGINT) AS rank, a, b FROM m$g")
     s"WITH ${bpeChain(k)}\n${parts.mkString("\nUNION ALL\n")}"
+  }
+
+  /** Oracle for q_bpe_train_capped: the same generation-by-generation
+    * replay, but over the top-`cap` dictionary — the 100 TB trainer
+    * configuration (Zipf-tail cap) is itself hash-checked, not just the
+    * exact-classic loop. */
+  def bpeTrainCapped(k: Int, cap: Int): String = {
+    val parts = (1 to k).map(g =>
+      s"SELECT CAST($g AS BIGINT) AS rank, a, b FROM m$g")
+    s"WITH ${bpeChain(k, Some(cap))}\n${parts.mkString("\nUNION ALL\n")}"
   }
 
   /** Oracle for q_bpe_encode: per-document word and token counts under
@@ -595,8 +620,16 @@ object OracleSqlGen {
          |  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[ \\t\\n\\x0B\\f\\r]+')) AS t
          |  FROM documents WHERE text IS NOT NULL)
          |WHERE length(t) > 0""".stripMargin
+    // DuckDB rpad TRUNCATES longer strings, so a token over 4*maxBlocks
+    // bytes would silently hash wrong (and its tail-byte reads would
+    // index past the padded window): raise a NAMED error instead, so an
+    // out-of-domain token after a corpus regeneration fails attributably
+    // rather than as a bare hash mismatch. The invariant is documented
+    // at the q_dedup_simhash call site: whitespace tokens <= 32 bytes.
     val ch = new Chain(
-      s"SELECT doc_id, rpad(hx, ${8 * maxBlocks}, '0') AS hxp, " +
+      s"SELECT doc_id, CASE WHEN length(hx) > ${8 * maxBlocks} " +
+        s"THEN error('graft oracle: simhash murmur replay got a ' || (length(hx) // 2) || '-byte token (> ${4 * maxBlocks}) — out of domain, see OracleSqlGen.simhashSketchSql') " +
+        s"ELSE rpad(hx, ${8 * maxBlocks}, '0') END AS hxp, " +
         s"CAST(length(hx) // 2 AS HUGEINT) AS nn FROM ($base)")
     val lo = murmurChain(ch, 0x9747b28cL, maxBlocks, "lo")
     val hi = murmurChain(ch, 0x85ebca6bL, maxBlocks, "hi")
@@ -629,7 +662,13 @@ object OracleSqlGen {
     * recomputes (no bucket machinery to model; a bucket-cap drop or a
     * broken band split on the Spark side surfaces as a row mismatch).
     * The recall constant is 1.0: the in-plan gate either passes at
-    * exactly 1.0 or empties the Spark side, which the compare flags. */
+    * exactly 1.0 or empties the Spark side, which the compare flags.
+    *
+    * Domain invariant: whitespace tokens <= 32 bytes (maxBlocks = 8
+    * murmur words of 4 bytes). The Spark kernel has no such limit; the
+    * replay errors LOUDLY (named DuckDB error, not a hash mismatch) if
+    * a regenerated corpus ever exceeds it — at which point bump
+    * maxBlocks here, which generalizes to any width. */
   lazy val dedupSimhash: String = {
     val sk = simhashSketchSql(8)
     s"""WITH sk AS MATERIALIZED (

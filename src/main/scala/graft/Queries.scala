@@ -3179,6 +3179,23 @@ object Queries {
     },
     Some(OracleSqlGen.bpeTrain(8)))
 
+  /** BPE training under the 100 TB configuration: the dictionary capped
+    * to the top-16 words by (count DESC, word ASC) — deterministic, and
+    * small enough to bite at sf0.01 (31 distinct words). The oracle
+    * replays the SAME capped loop, so the production cap path —
+    * Zipf-tail truncation plus the incremental pair-count maintenance —
+    * is hash-checked end to end, not just the exact-classic trainer. */
+  private val qBpeTrainCapped = Q("q_bpe_train_capped",
+    (s, dir) => {
+      import s.implicits._
+      val merges = graft.operators.Bpe.train(
+        t(s, dir, "documents"), "text", 8, maxDictWords = 16)
+      merges.zipWithIndex
+        .map { case ((a, b), i) => (i + 1L, a, b) }
+        .toDF("rank", "a", "b")
+    },
+    Some(OracleSqlGen.bpeTrainCapped(8, 16)))
+
   /** BPE ENCODE at corpus scale: the same 8 trained merges applied per
     * document by the codegen `BpeTokens` expression (one narrow pass,
     * merges ride the expression — no join, no shuffle); the oracle
@@ -3271,7 +3288,8 @@ object Queries {
     qDupSpans, qDupSpansSalted, qIncrementalDedup, qIncrementalMinhash,
     qHybridRrf, qApproxDistinct, qApproxQuantiles,
     qDecontaminateBloom, qLmScore, qEventAttribution, qUpsert, qScd2,
-    qZorder, qHilbert, qBpeTrain, qBpeEncode, qImportance, qSampleGroup, qSampleBernoulli, qScd2Multi, qSnapshotDiff, qTrainingOrder, qBlocklist,
+    qZorder, qHilbert, qBpeTrain, qBpeTrainCapped, qBpeEncode, qImportance,
+    qSampleGroup, qSampleBernoulli, qScd2Multi, qSnapshotDiff, qTrainingOrder, qBlocklist,
     qApproxTopk, qAudioFeatures, qIncrementalEmbedding, qSplitClusterSafe,
     qIngestRouted, qBinaryIngest, qLineDedupWithin, qProfile, qJpegFeatures,
     qRepeatMixture, qScd2Lookup)

@@ -34,6 +34,13 @@ object Bpe {
   private val Sep = "\n"
   private val WsClass = "[ \\t\\n\\x0B\\f\\r]+"
 
+  /** Re-checkpoint cadence for the trainer's dict and pair-count
+    * frames: between boundaries the lineage grows by one narrow
+    * projection (dict) / one broadcast join + union (pairs) per merge,
+    * so analysis stays cheap, and a larger cadence amortizes the full
+    * materialization cost of a checkpoint over more merges. */
+  private val CkptEvery = 8
+
   /** The word dictionary of `textCol`: one row per distinct
     * lowercased whitespace token, with its corpus count and initial
     * symbol string (code points, doubled-separator form). */
@@ -47,6 +54,20 @@ object Bpe {
         GraftBridge.column(BpeInitRepr(GraftBridge.expression(col("w")))))
   }
 
+  /** Adjacent symbol pairs of `r`, exploded one row per occurrence
+    * (overlaps included) and weighted `wt` — the shared building block
+    * of the initial pair census and the per-merge deltas. */
+  private def pairsWeighted(dict: DataFrame, wt: Column): DataFrame =
+    dict
+      .select(wt.as("wt"),
+        filter(split(col("r"), Sep + Sep), x => x =!= "").as("s"))
+      .select(col("wt"), explode(when(size(col("s")) > 1,
+        transform(sequence(lit(1), size(col("s")) - 1), i =>
+          struct(element_at(col("s"), i).as("a"),
+            element_at(col("s"), i + 1).as("b"))))
+        .otherwise(array().cast("array<struct<a:string,b:string>>"))).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"), col("wt"))
+
   /** Train `numMerges` merges; returns them in rank order. Stops early
     * if the dictionary runs out of adjacent pairs.
     *
@@ -55,44 +76,98 @@ object Bpe {
     * 100 TB move: the Zipf tail contributes negligible pair mass, and
     * the cap bounds every iteration's cost regardless of corpus size.
     * The default keeps every word (exact classic BPE).
+    *
+    * Pair counts are maintained INCREMENTALLY: the full explode+count
+    * census runs once, and each merge then updates only the words that
+    * contain the just-merged pair — subtract every old pair of an
+    * affected word, add back every new one (a word-level recount, so
+    * exactness needs no occurrence-level adjacency bookkeeping; ties,
+    * overlaps, and `aaa`-style self-runs come out right by
+    * construction). The maintained frame is updated by a broadcast
+    * LEFT join (never reshuffled): a pair's count can only INCREASE if
+    * the pair involves the fresh symbol `a+b`, so net-new pairs are
+    * exactly the positive-delta `a+b` pairs absent from the frame —
+    * and `a+b` may already exist as a symbol via a different merge
+    * path (`x·yz` and `xy·z` both yield `xyz`), which is why the fresh
+    * branch anti-joins against the frame's `a+b` rows instead of
+    * assuming novelty. Deltas and fresh rows are eagerly checkpointed
+    * (they are dictionary-delta-sized, bounded by `maxDictWords` at
+    * 100 TB) so the maintained frame's lineage stays a LINEAR chain of
+    * broadcast joins over cached leaves; dict and frame re-checkpoint
+    * every [[CkptEvery]] merges and superseded checkpoints are
+    * unpersisted (`GraftBridge.unpersistCheckpoint`) so storage holds
+    * O(1) generations, not O(numMerges). Per-merge cost is one narrow
+    * dict scan + explode over AFFECTED words only — production-trainer
+    * shape — vs the previous full-dictionary recount per merge.
     */
   def train(docs: DataFrame, textCol: String, numMerges: Int,
             maxDictWords: Int = Int.MaxValue): Seq[(String, String)] = {
     require(numMerges >= 1 && numMerges <= 65536,
       s"numMerges must be in [1, 65536], got $numMerges")
     require(maxDictWords >= 1, s"maxDictWords must be >= 1, got $maxDictWords")
+    import org.apache.spark.sql.GraftBridge.unpersistCheckpoint
     val full = wordDict(docs, textCol)
     var dict = (if (maxDictWords == Int.MaxValue) full
       else full.orderBy(desc("cnt"), asc("w")).limit(maxDictWords))
       .localCheckpoint()
+    // the maintained (a, b, c) pair-count frame: full census once
+    var pc = pairsWeighted(dict, col("cnt"))
+      .groupBy("a", "b").agg(sum("wt").as("c"))
+      .localCheckpoint()
+    // checkpoints superseded at the NEXT cadence boundary (they are
+    // still referenced by the un-checkpointed lineage until then)
+    var retired = List(dict, pc)
+    var pending = List.empty[DataFrame]
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     var exhausted = false
+    var sinceCkpt = 0
     while (merges.size < numMerges && !exhausted) {
-      val best = dict
-        .select(col("cnt"),
-          filter(split(col("r"), Sep + Sep), x => x =!= "").as("s"))
-        .select(col("cnt"), explode(when(size(col("s")) > 1,
-          transform(sequence(lit(1), size(col("s")) - 1), i =>
-            struct(element_at(col("s"), i).as("a"),
-              element_at(col("s"), i + 1).as("b"))))
-          .otherwise(array().cast("array<struct<a:string,b:string>>"))).as("p"))
-        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
-        .agg(sum("cnt").as("c"))
-        .orderBy(desc("c"), asc("a"), asc("b"))
-        .limit(1).collect()
+      val best = pc.orderBy(desc("c"), asc("a"), asc("b")).limit(1).collect()
       if (best.isEmpty) exhausted = true
       else {
         val (a, b) = (best(0).getString(0), best(0).getString(1))
         merges += ((a, b))
-        // localCheckpoint per iteration keeps the lineage flat — the
-        // alternative is a k-deep stack of replace() projections that
-        // Catalyst re-analyzes every round
-        dict = dict.withColumn("r",
-          replace(col("r"), lit(Sep + a + Sep + Sep + b + Sep),
-            lit(Sep + a + b + Sep)))
+        val ab = a + b
+        val pat = Sep + a + Sep + Sep + b + Sep
+        val rep = Sep + ab + Sep
+        val affected = dict.filter(col("r").contains(pat))
+        val after = affected.withColumn("r", replace(col("r"), lit(pat), lit(rep)))
+        // word-level recount of the affected words only; eager so the
+        // two affected scans run exactly once
+        val delta = pairsWeighted(affected, -col("cnt"))
+          .unionAll(pairsWeighted(after, col("cnt")))
+          .groupBy("a", "b").agg(sum("wt").as("dc"))
+          .filter(col("dc") =!= 0)
           .localCheckpoint()
+        // net-new pairs must involve the fresh symbol and miss the
+        // frame; eager so the frame's lineage references pc once, not
+        // exponentially through the anti-join's pc scan
+        val fresh = delta
+          .filter((col("a") === ab || col("b") === ab) && col("dc") > 0)
+          .join(broadcast(
+              pc.filter(col("a") === ab || col("b") === ab).select("a", "b")),
+            Seq("a", "b"), "left_anti")
+          .select(col("a"), col("b"), col("dc").as("c"))
+          .localCheckpoint()
+        pending = delta :: fresh :: pending
+        pc = pc.join(broadcast(delta), Seq("a", "b"), "left")
+          .select(col("a"), col("b"),
+            (col("c") + coalesce(col("dc"), lit(0L))).as("c"))
+          .filter(col("c") > 0)
+          .unionAll(fresh)
+        dict = dict.withColumn("r", replace(col("r"), lit(pat), lit(rep)))
+        sinceCkpt += 1
+        if (sinceCkpt >= CkptEvery && merges.size < numMerges) {
+          dict = dict.localCheckpoint()
+          pc = pc.localCheckpoint()
+          (retired ++ pending).foreach(unpersistCheckpoint)
+          retired = List(dict, pc)
+          pending = Nil
+          sinceCkpt = 0
+        }
       }
     }
+    (retired ++ pending).foreach(unpersistCheckpoint)
     merges.toSeq
   }
 

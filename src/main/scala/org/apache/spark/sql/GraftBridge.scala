@@ -16,4 +16,19 @@ object GraftBridge {
 
   /** Extract the Catalyst expression backing a (classic) Column. */
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** Unpersist the cached RDD behind a `localCheckpoint()`'d Dataset.
+    *
+    * `Dataset.localCheckpoint` persists an internal RDD and wraps it in
+    * a [[execution.LogicalRDD]]; Spark exposes no public API to release
+    * that storage, so iterative algorithms that checkpoint per round
+    * (BPE training, pointer-jump connected components) would otherwise
+    * accumulate every superseded generation in executor memory for the
+    * life of the JVM. No-op on Datasets that are not checkpoints.
+    */
+  def unpersistCheckpoint(df: Dataset[_]): Unit =
+    df.queryExecution.analyzed match {
+      case l: execution.LogicalRDD => l.rdd.unpersist(blocking = false)
+      case _                       => ()
+    }
 }
