@@ -681,4 +681,252 @@ object OracleSqlGen {
        |FROM sk a JOIN sk b ON a.doc_id < b.doc_id
        |WHERE bit_count(xor(a.s, b.s)) <= 3""".stripMargin
   }
+
+  // -------------------------------------------------------------------
+  // ANN family (q_ann_lsh / q_ann_ivf / q_embedding_neardup) — oracled
+  // since round 9 on the strength of tools/ann_margin_audit.py: every
+  // float decision the three queries make was measured at sf0.01 and
+  // sits 8-10 ORDERS OF MAGNITUDE above any summation-order noise
+  // (min hyperplane |projection| 5.0e-5 / 4.1e-5 vs any-order error
+  // bound 1e-13; min Lloyd assignment gap 2.3e-4 and probe-cut gap
+  // 2.6e-3 vs mean-order error 3e-14; min |round(cos,6) - 0.4|
+  // threshold margin 1.3e-4; float32-vs-float64 sign flips: ZERO).
+  // So the candidate SETS are engine-independent on this data, and
+  // cosine VALUES agree at round(·,6) exactly as q_ann_brute's green
+  // oracle already demonstrates. The hyperplane coefficients are
+  // xxh64-derived CONSTANTS (independent of the data), computed here
+  // in the JVM with the same XXH64.hashLong the kernel uses and
+  // spliced as shortest-round-trip double literals (exact by IEEE
+  // round-tripping). Dimension guard: coefficient vectors are sized
+  // MaxDim wide and sliced to len(v); a wider embedding after a corpus
+  // regeneration raises a NAMED DuckDB error, not a silent mismatch.
+  // -------------------------------------------------------------------
+
+  /** Widest embedding the spliced hyperplanes support (testdata is 64). */
+  private val MaxDim = 128
+
+  /** (bit, coefs) rows of the random-hyperplane family `seed` — exact
+    * doubles of VectorKernels.lshBucket's h(b, i) ∈ [-1, 1]. A non-empty
+    * `rowPrefix` (e.g. `"2, "`) prepends extra leading columns (the
+    * band id for the multi-band caller). */
+  private def hyperplaneRows(nBits: Int, seed: Long,
+                             rowPrefix: String = ""): String = {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    val hSeed = XXH64.hashLong(seed, 42L)
+    (0 until nBits).map { b =>
+      val hb = XXH64.hashLong(b.toLong, hSeed)
+      val coefs = (0 until MaxDim).map { i =>
+        java.lang.Double.toString(
+          XXH64.hashLong(i.toLong, hb).toDouble / Long.MaxValue.toDouble)
+      }
+      s"($rowPrefix$b, [${coefs.mkString(", ")}]::DOUBLE[])"
+    }.mkString(",\n    ")
+  }
+
+  /** Cast-to-double embedding base with the dimension guard. */
+  private def embBase: String =
+    s"""SELECT vec_id,
+       |       CASE WHEN len(embedding) > $MaxDim
+       |            THEN CAST(error('graft oracle: embedding dim ' || len(embedding) || ' exceeds the spliced hyperplane width $MaxDim — regenerate OracleSqlGen.MaxDim') AS DOUBLE[])
+       |            ELSE list_transform(embedding, x -> CAST(x AS DOUBLE)) END AS v
+       |FROM embeddings WHERE embedding IS NOT NULL""".stripMargin
+
+  /** l2-normalized vectors — VectorKernels.l2Normalize's float path
+    * (norm over the double-widened floats; zero vector passes through). */
+  private def unitCte: String =
+    s"""unit AS MATERIALIZED (
+       |  SELECT vec_id, CASE WHEN nrm = 0 THEN v
+       |                      ELSE list_transform(v, x -> x / nrm) END AS u
+       |  FROM (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm
+       |        FROM ($embBase)))""".stripMargin
+
+  /** recall-gate tail shared by the three ANN oracles: `outCte` rows ×
+    * the measured recall vs `truthCte` (query-key pair sets), emitted
+    * only when the UNROUNDED recall clears `floor` — exactly
+    * Ops.recallGate (vacuous 1.0 on empty truth; reported column
+    * rounded to 6). */
+  private def recallTail(outCte: String, truthCte: String,
+                         keyA: String, keyB: String, floor: Double,
+                         selectCols: String): String =
+    s"""rc AS (
+       |  SELECT coalesce(CAST(sum(hit) AS DOUBLE) / nullif(CAST(count(*) AS DOUBLE), 0), 1.0) AS r
+       |  FROM (SELECT CASE WHEN o.$keyA IS NOT NULL THEN 1 ELSE 0 END AS hit
+       |        FROM $truthCte t
+       |        LEFT JOIN (SELECT DISTINCT $keyA, $keyB FROM $outCte) o
+       |        ON o.$keyA = t.$keyA AND o.$keyB = t.$keyB))
+       |SELECT $selectCols, round(rc.r, 6) AS recall
+       |FROM $outCte, rc WHERE rc.r >= $floor""".stripMargin
+
+  /** Oracle for q_ann_lsh: 4-bit random-hyperplane buckets over the RAW
+    * embeddings (sign(proj) is scale-invariant; the kernel buckets the
+    * un-normalized column), multi-probe = the exact bucket plus every
+    * 1-bit flip, exact rounded cosine re-rank (list_cosine_similarity,
+    * the float path q_ann_brute's green oracle established), top-5 per
+    * query with ties to the smaller corpus id, recall-gated at 0.4
+    * against the brute-force truth. */
+  lazy val annLsh: String = {
+    val nBits = 4
+    val probes = (0 until nBits).map(b => s"xor(qb, ${1L << b})")
+      .mkString("qb, ", ", ", "")
+    s"""WITH emb AS MATERIALIZED ($embBase),
+       |hp(bit, coefs) AS (VALUES
+       |    ${hyperplaneRows(nBits, 42L)}),
+       |bkt AS MATERIALIZED (
+       |  SELECT vec_id,
+       |         CAST(sum(CASE WHEN list_dot_product(v, coefs[1:len(v)]) >= 0
+       |                       THEN 1 << bit ELSE 0 END) AS BIGINT) AS b
+       |  FROM emb, hp GROUP BY vec_id),
+       |qbase AS (SELECT vec_id AS qid, b AS qb FROM bkt WHERE vec_id < 16),
+       |cand AS (
+       |  SELECT q.qid AS query_id, c.vec_id AS corpus_id,
+       |         round(list_cosine_similarity(qe.v, ce.v), 6) AS cosine
+       |  FROM (SELECT qid, unnest([$probes]) AS b
+       |        FROM qbase) q
+       |  JOIN bkt c USING (b)
+       |  JOIN emb qe ON qe.vec_id = q.qid
+       |  JOIN emb ce ON ce.vec_id = c.vec_id
+       |  WHERE q.qid <> c.vec_id),
+       |top5 AS MATERIALIZED (
+       |  SELECT CAST(query_id AS BIGINT) AS query_id,
+       |         CAST(corpus_id AS BIGINT) AS corpus_id, cosine,
+       |         CAST(rn AS BIGINT) AS rank
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+       |          ORDER BY cosine DESC, corpus_id) AS rn FROM cand)
+       |  WHERE rn <= 5),
+       |truth AS MATERIALIZED (
+       |  SELECT query_id, corpus_id FROM (
+       |    SELECT qe.vec_id AS query_id, ce.vec_id AS corpus_id,
+       |           row_number() OVER (PARTITION BY qe.vec_id
+       |             ORDER BY round(list_cosine_similarity(qe.v, ce.v), 6) DESC,
+       |                      ce.vec_id) AS rn
+       |    FROM emb qe, emb ce
+       |    WHERE qe.vec_id < 16 AND qe.vec_id <> ce.vec_id)
+       |  WHERE rn <= 5),
+       |${recallTail("top5", "truth", "query_id", "corpus_id", 0.4,
+          "top5.query_id, top5.corpus_id, top5.cosine, top5.rank")}""".stripMargin
+  }
+
+  /** The deterministic Lloyd chain c0..c`iters` over `unit` —
+    * Similarity.kmeansCentroids replayed: init = the `nCent` lowest-id
+    * unit vectors (cid = 1-based rank), assignment by max dot with
+    * ties to the smaller cid, per-dim mean + renormalize, an empty
+    * centroid keeps its previous position. Spark computes the means
+    * via reduceByKey (combine order scheduling-dependent, ±1e-14);
+    * the audited assignment margins (≥ 2.3e-4 every iteration) make
+    * every engine's assignment SETS identical, so any summation order
+    * yields the same chain of assignments and centroids within 1e-13
+    * — far inside the 6-decimal rounding tolerance of the scores. */
+  private def lloydChain(nCent: Int, iters: Int): String = {
+    val c0 =
+      s"""c0 AS MATERIALIZED (
+         |  SELECT row_number() OVER (ORDER BY vec_id) AS cid, u
+         |  FROM (SELECT vec_id, u FROM unit ORDER BY vec_id LIMIT $nCent))""".stripMargin
+    val gens = (1 to iters).map { g =>
+      s"""a$g AS (
+         |  SELECT vec_id, u, cid FROM (
+         |    SELECT t.vec_id, t.u, c.cid,
+         |           row_number() OVER (PARTITION BY t.vec_id
+         |             ORDER BY list_dot_product(t.u, c.u) DESC, c.cid) AS rn
+         |    FROM unit t, c${g - 1} c) WHERE rn = 1),
+         |m$g AS (
+         |  SELECT cid, list(s / n ORDER BY i) AS mean
+         |  FROM (SELECT cid, i, sum(u[i]) AS s, count(*) AS n
+         |        FROM a$g, (SELECT unnest(range(1, (SELECT max(len(u)) FROM unit) + 1)) AS i)
+         |        GROUP BY cid, i)
+         |  GROUP BY cid),
+         |c$g AS MATERIALIZED (
+         |  SELECT p.cid,
+         |         CASE WHEN m.mean IS NULL THEN p.u
+         |              WHEN m.mnrm = 0 THEN m.mean
+         |              ELSE list_transform(m.mean, x -> x / m.mnrm) END AS u
+         |  FROM c${g - 1} p
+         |  LEFT JOIN (SELECT cid, mean, sqrt(list_dot_product(mean, mean)) AS mnrm
+         |             FROM m$g) m USING (cid))""".stripMargin
+    }
+    (c0 +: gens).mkString(",\n")
+  }
+
+  /** Oracle for q_ann_ivf: the full IVF-Flat path — 16-centroid Lloyd
+    * chain (3 iterations), corpus assigned to its top-1 centroid,
+    * queries probing their top-2 lists, exact rounded unit-dot re-rank
+    * (the kernel scores dot of l2-normalized vectors), top-5, recall
+    * ≥ 0.7 vs the brute-force truth. */
+  lazy val annIvf: String = {
+    val (nCent, iters, nProbes) = (16, 3, 2)
+    s"""WITH emb AS MATERIALIZED ($embBase),
+       |$unitCte,
+       |${lloydChain(nCent, iters)},
+       |ca AS (
+       |  SELECT vec_id, u, cid FROM (
+       |    SELECT t.vec_id, t.u, c.cid,
+       |           row_number() OVER (PARTITION BY t.vec_id
+       |             ORDER BY list_dot_product(t.u, c.u) DESC, c.cid) AS rn
+       |    FROM unit t, c$iters c) WHERE rn = 1),
+       |qprobe AS (
+       |  SELECT vec_id, u, cid FROM (
+       |    SELECT t.vec_id, t.u, c.cid,
+       |           row_number() OVER (PARTITION BY t.vec_id
+       |             ORDER BY list_dot_product(t.u, c.u) DESC, c.cid) AS rn
+       |    FROM unit t, c$iters c WHERE t.vec_id < 16) WHERE rn <= $nProbes),
+       |cand AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+       |         round(list_dot_product(q.u, c.u), 6) AS cosine
+       |  FROM qprobe q JOIN ca c USING (cid)
+       |  WHERE q.vec_id <> c.vec_id),
+       |top5 AS MATERIALIZED (
+       |  SELECT CAST(query_id AS BIGINT) AS query_id,
+       |         CAST(corpus_id AS BIGINT) AS corpus_id, cosine,
+       |         CAST(rn AS BIGINT) AS rank
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+       |          ORDER BY cosine DESC, corpus_id) AS rn FROM cand)
+       |  WHERE rn <= 5),
+       |truth AS MATERIALIZED (
+       |  SELECT query_id, corpus_id FROM (
+       |    SELECT qe.vec_id AS query_id, ce.vec_id AS corpus_id,
+       |           row_number() OVER (PARTITION BY qe.vec_id
+       |             ORDER BY round(list_cosine_similarity(qe.v, ce.v), 6) DESC,
+       |                      ce.vec_id) AS rn
+       |    FROM emb qe, emb ce
+       |    WHERE qe.vec_id < 16 AND qe.vec_id <> ce.vec_id)
+       |  WHERE rn <= 5),
+       |${recallTail("top5", "truth", "query_id", "corpus_id", 0.7,
+          "top5.query_id, top5.corpus_id, top5.cosine, top5.rank")}""".stripMargin
+  }
+
+  /** Oracle for q_embedding_neardup: 4 bands of 3-bit hyperplane
+    * buckets (seeds 42-45) over UNIT vectors, same-bucket pairs with
+    * rounded unit-dot cosine ≥ 0.4, band-deduped, recall-gated at 0.4
+    * against the exact pairwise truth over the one-in-2 id sample. */
+  lazy val embeddingNearDup: String = {
+    val (nBits, bands, thr, floor) = (3, 4, 0.4, 0.4)
+    val bandRows = (0 until bands)
+      .map(b => hyperplaneRows(nBits, 42L + b, rowPrefix = s"$b, "))
+      .mkString(",\n    ")
+    s"""WITH $unitCte,
+       |hp(band, bit, coefs) AS (VALUES
+       |    $bandRows),
+       |bkt AS MATERIALIZED (
+       |  SELECT vec_id, band,
+       |         CAST(sum(CASE WHEN list_dot_product(u, coefs[1:len(u)]) >= 0
+       |                       THEN 1 << bit ELSE 0 END) AS BIGINT) AS b
+       |  FROM unit, hp GROUP BY vec_id, band),
+       |pairs AS MATERIALIZED (
+       |  SELECT DISTINCT CAST(a.vec_id AS BIGINT) AS id_a,
+       |         CAST(bb.vec_id AS BIGINT) AS id_b,
+       |         round(list_dot_product(ua.u, ub.u), 6) AS cosine
+       |  FROM bkt a JOIN bkt bb USING (band, b)
+       |  JOIN unit ua ON ua.vec_id = a.vec_id
+       |  JOIN unit ub ON ub.vec_id = bb.vec_id
+       |  WHERE a.vec_id < bb.vec_id
+       |    AND round(list_dot_product(ua.u, ub.u), 6) >= $thr),
+       |truth AS MATERIALIZED (
+       |  SELECT CAST(a.vec_id AS BIGINT) AS id_a,
+       |         CAST(b.vec_id AS BIGINT) AS id_b
+       |  FROM unit a, unit b
+       |  WHERE a.vec_id % 2 = 0 AND b.vec_id % 2 = 0
+       |    AND a.vec_id < b.vec_id
+       |    AND round(list_dot_product(a.u, b.u), 6) >= $thr),
+       |${recallTail("pairs", "truth", "id_a", "id_b", floor,
+          "pairs.id_a, pairs.id_b, pairs.cosine")}""".stripMargin
+  }
 }

@@ -935,7 +935,10 @@ object Queries {
         .select(col("id_a").cast("bigint").as("id_a"),
           col("id_b").cast("bigint").as("id_b"), col("cosine"), col("recall"))
     },
-    None) // recall-gated rows-only check (recall < 1 by design)
+    // oracled since r9: tools/ann_margin_audit.py measured every float
+    // decision (hyperplane signs, 0.4 threshold) orders of magnitude
+    // clear of engine noise — see OracleSqlGen ANN section
+    Some(OracleSqlGen.embeddingNearDup))
 
   /** Array / higher-order-function surface over the embedding column
     * (the hot ANN paths use codegen kernels instead — see
@@ -1012,7 +1015,10 @@ object Queries {
           col("corpus_id").cast("bigint").as("corpus_id"),
           col("cosine"), col("rank").cast("bigint").as("rank"), col("recall"))
     },
-    None) // approximate by design: recall-gated rows-only check
+    // oracled since r9: the Lloyd chain replays in DuckDB; assignment
+    // margins (>= 2.3e-4, audited) dwarf the reduceByKey mean-order
+    // nondeterminism (~1e-14) — see OracleSqlGen ANN section
+    Some(OracleSqlGen.annIvf))
 
   /** Multi-probe LSH recall-gated against exact brute force: 4 bits ×
     * (1 + 4 sign-flip probes) measured 0.54 (sf0.01) / 0.56 (sf0.1) —
@@ -1035,7 +1041,9 @@ object Queries {
           col("corpus_id").cast("bigint").as("corpus_id"),
           col("cosine"), col("rank").cast("bigint").as("rank"), col("recall"))
     },
-    None) // approximate by design: recall-gated rows-only check
+    // oracled since r9: hyperplane sign margins >= 5.0e-5 (audited,
+    // zero f32/f64 flips) — see OracleSqlGen ANN section
+    Some(OracleSqlGen.annLsh))
 
   // ---------------------------------------------------------------------
   // Text analysis (documents)

@@ -101,7 +101,8 @@ object Bpe {
     * shape — vs the previous full-dictionary recount per merge.
     */
   def train(docs: DataFrame, textCol: String, numMerges: Int,
-            maxDictWords: Int = Int.MaxValue): Seq[(String, String)] = {
+            maxDictWords: Int = Int.MaxValue,
+            onMerge: (Int, Long) => Unit = (_, _) => ()): Seq[(String, String)] = {
     require(numMerges >= 1 && numMerges <= 65536,
       s"numMerges must be in [1, 65536], got $numMerges")
     require(maxDictWords >= 1, s"maxDictWords must be >= 1, got $maxDictWords")
@@ -122,6 +123,7 @@ object Bpe {
     var exhausted = false
     var sinceCkpt = 0
     while (merges.size < numMerges && !exhausted) {
+      val iterT0 = System.nanoTime()
       val best = pc.orderBy(desc("c"), asc("a"), asc("b")).limit(1).collect()
       if (best.isEmpty) exhausted = true
       else {
@@ -165,6 +167,9 @@ object Bpe {
           pending = Nil
           sinceCkpt = 0
         }
+        // instrumentation hook (BpeScale / SCALING.md): rank + wall ms
+        // of this merge, checkpoint cadence included
+        onMerge(merges.size, (System.nanoTime() - iterT0) / 1000000L)
       }
     }
     (retired ++ pending).foreach(unpersistCheckpoint)
