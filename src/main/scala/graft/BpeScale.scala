@@ -61,7 +61,11 @@ object BpeScale {
 
     val times = scala.collection.mutable.ArrayBuffer.empty[(Int, Long)]
     val t0 = System.nanoTime()
+    // localDictLimit = 0: this main measures the DISTRIBUTED incremental
+    // path (the 100 TB configuration); the driver-local budgeted path
+    // would otherwise absorb every dictionary this machine can hold
     val merges = graft.operators.Bpe.train(corpus, "text", numMerges,
+      localDictLimit = 0,
       onMerge = (rank, ms) => {
         times += ((rank, ms))
         println(f"[bpe-scale] merge=$rank%4d  ${ms}%6d ms")

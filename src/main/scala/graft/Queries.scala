@@ -49,6 +49,17 @@ object Queries {
 
   private def scratch(name: String): String = {
     val d = scratchRoot.resolve(name)
+    // clear any previous contents: writers overwrite per-FILE, so if one
+    // JVM ever ran the same query against two sfDirs (different doc_id
+    // sets), directory-listing consumers (q_binary_ingest's read-back)
+    // would otherwise see stale blobs from the earlier corpus
+    if (java.nio.file.Files.exists(d)) {
+      def rm(f: java.io.File): Unit = {
+        val cs = f.listFiles(); if (cs != null) cs.foreach(rm)
+        f.delete(): Unit
+      }
+      rm(d.toFile)
+    }
     java.nio.file.Files.createDirectories(d)
     d.toString
   }
@@ -3189,15 +3200,19 @@ object Queries {
 
   /** BPE training under the 100 TB configuration: the dictionary capped
     * to the top-16 words by (count DESC, word ASC) — deterministic, and
-    * small enough to bite at sf0.01 (31 distinct words). The oracle
-    * replays the SAME capped loop, so the production cap path —
-    * Zipf-tail truncation plus the incremental pair-count maintenance —
-    * is hash-checked end to end, not just the exact-classic trainer. */
+    * small enough to bite at sf0.01 (31 distinct words) — AND the
+    * DISTRIBUTED incremental trainer forced (localDictLimit = 0, the
+    * q_dup_clusters_dist pattern): the oracle replays the same capped
+    * loop, so the production-scale path — Zipf-tail truncation plus
+    * incremental pair-count maintenance over DataFrames — is
+    * hash-checked end to end, while q_bpe_train exercises the
+    * driver-local budgeted path on the same corpus. */
   private val qBpeTrainCapped = Q("q_bpe_train_capped",
     (s, dir) => {
       import s.implicits._
       val merges = graft.operators.Bpe.train(
-        t(s, dir, "documents"), "text", 8, maxDictWords = 16)
+        t(s, dir, "documents"), "text", 8, maxDictWords = 16,
+        localDictLimit = 0)
       merges.zipWithIndex
         .map { case ((a, b), i) => (i + 1L, a, b) }
         .toDF("rank", "a", "b")

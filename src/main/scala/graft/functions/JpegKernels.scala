@@ -7,10 +7,13 @@ package graft.functions
   *
   * Scope (honestly bounded): SOF0 baseline DCT, 8-bit samples, 1 or 3
   * components, sampling factors 1 or 2 per axis, 8-bit DQT tables,
-  * restart markers, APPn/COM skipped. Progressive (SOF2), arithmetic
-  * coding, 12-bit, and hierarchical modes return None — a corrupt or
-  * out-of-scope blob must cost a NULL feature row, never a task (same
-  * contract as [[RasterKernels]]).
+  * restart markers, APPn/COM skipped, 0xFF fill bytes before markers
+  * tolerated (T.81 B.1.1.2). INTERLEAVED scans only: a single scan
+  * must cover every frame component (Ns = Nf) — the rare baseline
+  * variant with one scan per component (Ns < Nf) returns None, like
+  * progressive (SOF2), arithmetic coding, 12-bit, and hierarchical
+  * modes. A corrupt or out-of-scope blob must cost a NULL feature
+  * row, never a task (same contract as [[RasterKernels]]).
   *
   * Decode pipeline per ITU-T T.81: canonical Huffman decode (MINCODE/
   * MAXCODE/VALPTR, F.2.2.3) -> DC prediction + EXTEND (F.2.2.1) ->
@@ -85,6 +88,13 @@ object JpegKernels {
         var byte = b(pos) & 0xff
         pos += 1
         if (byte == 0xff) {
+          // T.81 B.1.1.2 allows any number of 0xFF FILL bytes before a
+          // marker — skip repeats before classifying the byte after
+          // (treating them as end-of-stream made legal streams decode
+          // to NULL); a terminal 0x00 still reads as one stuffed 0xFF
+          // data byte (lenient: fill-then-stuffing is technically
+          // malformed but unambiguous)
+          while (pos < b.length && (b(pos) & 0xff) == 0xff) pos += 1
           if (pos >= b.length) return -1
           val next = b(pos) & 0xff
           if (next == 0x00) pos += 1 // stuffed 0xFF data byte

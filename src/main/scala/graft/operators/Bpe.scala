@@ -77,6 +77,16 @@ object Bpe {
     * the cap bounds every iteration's cost regardless of corpus size.
     * The default keeps every word (exact classic BPE).
     *
+    * `localDictLimit` is the driver-memory BUDGET for the in-memory
+    * fast path: when the (capped) dictionary has at most this many
+    * words, it is collected and merge iteration runs in plain
+    * collections ([[trainLocal]]) — the declared-budget pattern
+    * `Dedup.dupClusters` established. 0 forces the distributed
+    * incremental path (what `q_bpe_train_capped` and `BpeScale` do,
+    * keeping it oracle-checked and measured). Both paths select
+    * identical merge sequences; BpeSpec pins each against the same
+    * independent reference.
+    *
     * Pair counts are maintained INCREMENTALLY: the full explode+count
     * census runs once, and each merge then updates only the words that
     * contain the just-merged pair — subtract every old pair of an
@@ -102,15 +112,33 @@ object Bpe {
     */
   def train(docs: DataFrame, textCol: String, numMerges: Int,
             maxDictWords: Int = Int.MaxValue,
-            onMerge: (Int, Long) => Unit = (_, _) => ()): Seq[(String, String)] = {
+            onMerge: (Int, Long) => Unit = (_, _) => (),
+            localDictLimit: Int = 1 << 16): Seq[(String, String)] = {
     require(numMerges >= 1 && numMerges <= 65536,
       s"numMerges must be in [1, 65536], got $numMerges")
     require(maxDictWords >= 1, s"maxDictWords must be >= 1, got $maxDictWords")
+    require(localDictLimit >= 0, s"localDictLimit must be >= 0, got $localDictLimit")
     import org.apache.spark.sql.GraftBridge.unpersistCheckpoint
     val full = wordDict(docs, textCol)
-    var dict = (if (maxDictWords == Int.MaxValue) full
-      else full.orderBy(desc("cnt"), asc("w")).limit(maxDictWords))
-      .localCheckpoint()
+    val capped = if (maxDictWords == Int.MaxValue) full
+      else full.orderBy(desc("cnt"), asc("w")).limit(maxDictWords)
+    // Driver-local fast path — the same DECLARED BUDGET pattern as
+    // dupClusters' union-find (Dedup.scala): once the corpus collapses
+    // to its distinct-word dictionary and that dictionary fits the
+    // budget, merge iteration in memory is what every production
+    // trainer does, and the distributed loop's per-merge job overhead
+    // (argmax + delta jobs) would dominate a small dictionary by 5×.
+    // The distributed incremental path below remains the 100 TB
+    // configuration (uncapped giant dictionaries), stays hash-checked
+    // by q_bpe_train_capped forcing localDictLimit = 0, and BpeSpec
+    // pins both paths against the same in-memory reference.
+    if (localDictLimit > 0 &&
+        capped.select(col("w")).limit(localDictLimit + 1).count() <= localDictLimit) {
+      val d = capped.select(col("w"), col("cnt")).collect()
+        .map(r => (r.getString(0), r.getLong(1)))
+      return trainLocal(d, numMerges, onMerge)
+    }
+    var dict = capped.localCheckpoint()
     // the maintained (a, b, c) pair-count frame: full census once
     var pc = pairsWeighted(dict, col("cnt"))
       .groupBy("a", "b").agg(sum("wt").as("c"))
@@ -120,6 +148,12 @@ object Bpe {
     var retired = List(dict, pc)
     var pending = List.empty[DataFrame]
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    // symbols created by merges so far: a fresh symbol `a+b` has >= 2
+    // code points, so it can collide with an EXISTING symbol only if a
+    // previous merge built the same string via a different split
+    // (initial symbols are single code points) — when it provably
+    // cannot, the fresh branch skips its anti-join and checkpoint job
+    val created = scala.collection.mutable.Set.empty[String]
     var exhausted = false
     var sinceCkpt = 0
     while (merges.size < numMerges && !exhausted) {
@@ -141,16 +175,24 @@ object Bpe {
           .groupBy("a", "b").agg(sum("wt").as("dc"))
           .filter(col("dc") =!= 0)
           .localCheckpoint()
-        // net-new pairs must involve the fresh symbol and miss the
-        // frame; eager so the frame's lineage references pc once, not
-        // exponentially through the anti-join's pc scan
-        val fresh = delta
+        // net-new pairs must involve the fresh symbol; when `ab` might
+        // collide with a same-string symbol from a different merge
+        // path, anti-join the frame's ab-rows (eager, so the frame's
+        // lineage references pc once, not exponentially through the
+        // anti-join's pc scan) — otherwise every candidate is provably
+        // novel and the filter alone suffices (single cached-delta
+        // reference: no extra job, no checkpoint)
+        val freshCand = delta
           .filter((col("a") === ab || col("b") === ab) && col("dc") > 0)
-          .join(broadcast(
-              pc.filter(col("a") === ab || col("b") === ab).select("a", "b")),
-            Seq("a", "b"), "left_anti")
           .select(col("a"), col("b"), col("dc").as("c"))
-          .localCheckpoint()
+        val fresh =
+          if (created.contains(ab))
+            freshCand.join(broadcast(
+                pc.filter(col("a") === ab || col("b") === ab).select("a", "b")),
+              Seq("a", "b"), "left_anti")
+              .localCheckpoint()
+          else freshCand
+        created += ab
         pending = delta :: fresh :: pending
         pc = pc.join(broadcast(delta), Seq("a", "b"), "left")
           .select(col("a"), col("b"),
@@ -173,6 +215,67 @@ object Bpe {
       }
     }
     (retired ++ pending).foreach(unpersistCheckpoint)
+    merges.toSeq
+  }
+
+  /** In-memory trainer over a collected (word, count) dictionary — the
+    * driver-local path of [[train]]. Same spec, plain collections:
+    * code-point initial symbols, overlap-counting pair census
+    * maintained INCREMENTALLY (subtract an affected word's pairs,
+    * greedy-merge it via the shared [[graft.functions.BpeKernels
+    * .mergePass]] kernel, add the new pairs back), argmax on
+    * (count DESC, a ASC, b ASC) with the tie-break on UTF8String
+    * binary order — definitionally Spark's string ordering, so both
+    * paths select identical merge sequences (BpeSpec pins both
+    * against the independent reference). */
+  private def trainLocal(dict: Array[(String, Long)], numMerges: Int,
+                         onMerge: (Int, Long) => Unit): Seq[(String, String)] = {
+    import graft.functions.BpeKernels
+    import org.apache.spark.unsafe.types.UTF8String
+    def u8lt(a: String, b: String): Boolean =
+      UTF8String.fromString(a).compareTo(UTF8String.fromString(b)) < 0
+    val syms = dict.map { case (w, _) => BpeKernels.codepointSymbols(w) }
+    val cnts = dict.map(_._2)
+    val pc = scala.collection.mutable.HashMap.empty[(String, String), Long]
+    def addPairs(s: Array[String], c: Long): Unit = {
+      var i = 0
+      while (i < s.length - 1) {
+        val k = (s(i), s(i + 1))
+        val v = pc.getOrElse(k, 0L) + c
+        if (v == 0L) pc.remove(k) else pc(k) = v
+        i += 1
+      }
+    }
+    syms.indices.foreach(i => addPairs(syms(i), cnts(i)))
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    while (merges.size < numMerges && pc.nonEmpty) {
+      val t0 = System.nanoTime()
+      var bk: (String, String) = null
+      var bc = 0L
+      pc.foreach { case (k, c) =>
+        if (bk == null || c > bc ||
+            (c == bc && (u8lt(k._1, bk._1) ||
+              (k._1 == bk._1 && u8lt(k._2, bk._2))))) { bk = k; bc = c }
+      }
+      val (a, b) = bk
+      merges += bk
+      var i = 0
+      while (i < syms.length) {
+        val s = syms(i)
+        var j = 0
+        var hit = false
+        while (!hit && j < s.length - 1) {
+          hit = s(j) == a && s(j + 1) == b; j += 1
+        }
+        if (hit) {
+          addPairs(s, -cnts(i))
+          syms(i) = BpeKernels.mergePass(s, a, b)
+          addPairs(syms(i), cnts(i))
+        }
+        i += 1
+      }
+      onMerge(merges.size, (System.nanoTime() - t0) / 1000000L)
+    }
     merges.toSeq
   }
 

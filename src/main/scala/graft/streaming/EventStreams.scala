@@ -39,12 +39,20 @@ object EventStreams {
     * Peek target: `dir` may be the whole sf directory (the harness
     * convention — the other tables' files null-fill the declared columns
     * and their null `ts` rows fall out of every event-time operator), so
-    * prefer the `events.parquet` entry when it exists locally; otherwise
+    * prefer the `events.parquet` entry when it exists; otherwise
     * merge-peek the directory, which unions footers and still recovers
-    * `ts`'s type as long as no other table claims the name. */
+    * `ts`'s type as long as no other table claims the name. Existence is
+    * resolved through Hadoop's FileSystem (not java.io.File), so the
+    * precise peek also fires on remote storage (hdfs://, s3a://) — a
+    * local-only check silently degraded those to the directory peek. */
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
-    val eventsFile = new java.io.File(dir, "events.parquet")
-    val peekPath = if (eventsFile.exists()) eventsFile.toString else dir
+    val eventsPath = new org.apache.hadoop.fs.Path(dir, "events.parquet")
+    val exists =
+      try eventsPath
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .exists(eventsPath)
+      catch { case _: java.io.IOException => false }
+    val peekPath = if (exists) eventsPath.toString else dir
     val tsType = spark.read.option("mergeSchema", "true")
       .parquet(peekPath).schema("ts").dataType
     graft.EventTime.normalizeTs(

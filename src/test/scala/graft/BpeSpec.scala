@@ -75,7 +75,7 @@ class BpeSpec extends SparkSpec {
     }
   }
 
-  test("distributed trainer matches the in-memory reference on random corpora") {
+  test("both trainer paths match the in-memory reference on random corpora") {
     val rnd = new scala.util.Random(47)
     val vocab = Seq("low", "lower", "lowest", "new", "newer", "newest",
       "wide", "wider", "widest", "ab", "aab", "aaab")
@@ -83,9 +83,13 @@ class BpeSpec extends SparkSpec {
       val texts = Seq.fill(30)(
         Seq.fill(1 + rnd.nextInt(8))(vocab(rnd.nextInt(vocab.size))).mkString(" "))
       val df = texts.toDF("text")
-      val got = Bpe.train(df, "text", numMerges = 8)
       val want = BpeRef.train(texts, numMerges = 8)
-      assert(got == want, s"trial $trial: $got vs $want")
+      // driver-local budgeted path (the default at this dictionary size)
+      val local = Bpe.train(df, "text", numMerges = 8)
+      assert(local == want, s"trial $trial local: $local vs $want")
+      // forced-distributed incremental path (the 100 TB configuration)
+      val dist = Bpe.train(df, "text", numMerges = 8, localDictLimit = 0)
+      assert(dist == want, s"trial $trial distributed: $dist vs $want")
     }
   }
 
@@ -93,6 +97,8 @@ class BpeSpec extends SparkSpec {
     // single-char words only: no adjacent pairs exist at all
     val merges = Bpe.train(Seq("a b c", "a c").toDF("text"), "text", 5)
     assert(merges.isEmpty)
+    assert(Bpe.train(Seq("a b c", "a c").toDF("text"), "text", 5,
+      localDictLimit = 0).isEmpty)
   }
 
   test("encode: learned merges apply in rank order, unseen words fall back") {
@@ -117,6 +123,9 @@ class BpeSpec extends SparkSpec {
     val texts = Seq("aaab aaab aaab", "xy xy xy xy xy xy xy xy")
     val capped = Bpe.train(texts.toDF("text"), "text", 2, maxDictWords = 1)
     assert(capped == Seq(("x", "y")))
+    // the cap composes with the forced-distributed path too
+    assert(Bpe.train(texts.toDF("text"), "text", 2, maxDictWords = 1,
+      localDictLimit = 0) == capped)
     val full = Bpe.train(texts.toDF("text"), "text", 2)
     assert(full == BpeRef.train(texts, 2) && full.size == 2 && full != capped)
     // cap larger than the dict = exact training

@@ -46,4 +46,45 @@ class StreamingKernelsSpec extends SparkSpec {
     assert(byId(2L)(1).asInstanceOf[scala.collection.Seq[String]].isEmpty)
     assert(byId(1L)(2).asInstanceOf[scala.collection.Seq[String]].nonEmpty)
   }
+
+  test("DSIR scoring end-to-end: stream-static ratio join equals batch score") {
+    val buckets = 64
+    // offline fit, exactly as a 24/7 ingest would: the ratio frame is
+    // built once from static target/source corpora and broadcast into
+    // the streaming query as the static side of a stream-static join
+    val target = Seq("good tokens flow here", "more good tokens").toDF("text")
+    val source = Seq("noise noise junk", "filler words everywhere").toDF("text")
+    val ratios = Importance.fitLogRatios(target, source, "text", buckets)
+      .localCheckpoint()
+
+    val docs = Seq(
+      (1L, "good tokens"),
+      (2L, "noise junk filler"),
+      (3L, "good noise"),
+      (4L, "unseen vocabulary entirely"))
+    val batch = Importance
+      .score(docs.toDF("doc_id", "text"), "text", "doc_id", ratios, buckets)
+      .filter(col("n_words") > 0) // a streaming APPEND of scored docs has
+      // no row for word-less documents (nothing to aggregate); the batch
+      // left-join keeps them — restrict parity to the scored family
+      .collect().map(_.toSeq).toSet
+
+    val input = MemoryStream[(Long, String)](spark, numPartitions = 1)
+    val scored = input.toDS().toDF("doc_id", "text")
+      .select(col("doc_id"), explode(Bpe.wordsCol(col("text"))).as("w"))
+      .select(col("doc_id"), Importance.bucket(col("w"), buckets).as("b"))
+      .join(broadcast(ratios), Seq("b")) // stream-static: model broadcast
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"), round(avg("lambda"), 6).as("score"))
+    val q = scored.writeStream.format("memory").queryName("dsir_stream")
+      .outputMode("complete").start()
+    input.addData(docs: _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("dsir_stream").collect().map(_.toSeq).toSet
+    assert(streamed == batch)
+    // the model did real work: the target-ish doc outranks the source-ish
+    val score = streamed.map(r => r.head -> r(2)).toMap
+    assert(score(1L).asInstanceOf[Double] > score(2L).asInstanceOf[Double])
+  }
 }
