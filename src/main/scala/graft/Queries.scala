@@ -1215,6 +1215,110 @@ object Queries {
     * for odd; every 7th truncated to 20 bytes) — the fixture generator
     * shared by q_multimodal_features and q_binary_ingest, whose oracles
     * recompute the expected features from this arithmetic. */
+  /** In-plan ISO-BMFF (MP4) blob: ftyp + moov(mvhd + video trak + audio
+    * trak) with constant box layout and doc-id-derived field values —
+    * the video track carries a VARIABLE-size stsz table (8 samples),
+    * the audio track the FIXED-sample-size layout, so both parser
+    * branches are exercised. Every 9th doc gets a non-BMFF garbage blob
+    * (NULL row contract). Sizes in bytes: ftyp 16, moov 382 = mvhd 108
+    * + trak_v 149 + trak_a 117. */
+  private def constructedMp4Blob(id: Column): Column = {
+    def h2(c: Column): Column = lpad(hex(c), 2, "0")
+    def be32h(c: Column): Column = concat(
+      h2(shiftright(c, 24).bitwiseAND(lit(255))),
+      h2(shiftright(c, 16).bitwiseAND(lit(255))),
+      h2(shiftright(c, 8).bitwiseAND(lit(255))),
+      h2(c.bitwiseAND(lit(255))))
+    def be32(n: Long): String = f"$n%08X"
+    val z = "00000000"
+    val vdur = (pmod(id, lit(10)) + 1) * 30000
+    val adur = (pmod(id, lit(5)) + 1) * 48000
+    val mvDur = (pmod(id, lit(10)) + 1) * 600
+    val asz = pmod(id, lit(6)) + 2
+    val acnt = pmod(id, lit(100)) + 1000
+    val sizes = (1 to 8).map(i =>
+      be32h(pmod(id * 31 + lit(i * 17), lit(900)) + 100))
+    val mvhd = concat(
+      lit(be32(108) + "6D766864" + z + z + z + be32(600)), be32h(mvDur),
+      lit(z * 20))
+    val mdhdV = concat(
+      lit(be32(32) + "6D646864" + z + z + z + be32(90000)), be32h(vdur), lit(z))
+    val hdlrV = lit(be32(33) + "68646C72" + z + z + "76696465" + z * 3 + "00")
+    val stszV = concat(
+      lit(be32(52) + "7374737A" + z + z + be32(8)), concat(sizes: _*))
+    val minfV = concat(lit(be32(68) + "6D696E66" + be32(60) + "7374626C"), stszV)
+    val mdiaV = concat(lit(be32(141) + "6D646961"), mdhdV, hdlrV, minfV)
+    val trakV = concat(lit(be32(149) + "7472616B"), mdiaV)
+    val mdhdA = concat(
+      lit(be32(32) + "6D646864" + z + z + z + be32(48000)), be32h(adur), lit(z))
+    val hdlrA = lit(be32(33) + "68646C72" + z + z + "736F756E" + z * 3 + "00")
+    val stszA = concat(lit(be32(20) + "7374737A" + z), be32h(asz), be32h(acnt))
+    val minfA = concat(lit(be32(36) + "6D696E66" + be32(28) + "7374626C"), stszA)
+    val mdiaA = concat(lit(be32(109) + "6D646961"), mdhdA, hdlrA, minfA)
+    val trakA = concat(lit(be32(117) + "7472616B"), mdiaA)
+    val moov = concat(lit(be32(382) + "6D6F6F76"), mvhd, trakV, trakA)
+    val good = concat(lit(be32(16) + "66747970" + "69736F6D" + z), moov)
+    unhex(when(pmod(id, lit(9)) === 0, lit("DEADBEEF00112233")).otherwise(good))
+  }
+
+  /** MP4 per-track container stats WITHOUT a codec (VERDICT r8 stretch):
+    * per-doc two-track MP4s assembled in-plan, walked by the codegen
+    * [[org.apache.spark.sql.VideoTrackStats]] expression (mdhd + hdlr +
+    * stsz), per-track seconds and average bitrate derived — the oracle
+    * recomputes everything from the construction arithmetic, so the
+    * build → parse → derive pipeline is hash-checked end to end.
+    * Corrupt blobs keep their NULL row (posexplode_outer). */
+  private val qVideoStats = Q("q_video_stats",
+    (s, dir) => {
+      val t0 = t(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.operators.Multimodal.videoTrackStats(
+            constructedMp4Blob(col("doc_id"))).as("tr"))
+        .select(col("doc_id"), posexplode_outer(col("tr")).as(Seq("ti", "t")))
+      val tb = col("t").getField("total_bytes")
+      val dur = col("t").getField("duration")
+      val ts = col("t").getField("timescale")
+      t0.select(col("doc_id").cast("bigint").as("doc_id"),
+        col("ti").cast("bigint").as("track_idx"),
+        col("t").getField("handler").as("handler"),
+        ts.cast("bigint").as("timescale"),
+        dur.cast("bigint").as("duration"),
+        col("t").getField("n_samples").cast("bigint").as("n_samples"),
+        tb.cast("bigint").as("total_bytes"),
+        round((tb * lit(8.0)) / (dur.cast("double") / ts), 6).as("avg_bps"),
+        round(dur.cast("double") / ts, 6).as("seconds"))
+    },
+    Some("""WITH p AS (
+           |  SELECT doc_id, doc_id % 9 = 0 AS corrupt,
+           |         (doc_id % 10 + 1) * 30000 AS vdur,
+           |         (doc_id % 5 + 1) * 48000 AS adur,
+           |         2 + doc_id % 6 AS asz, 1000 + doc_id % 100 AS acnt
+           |  FROM documents),
+           |vb AS (
+           |  SELECT doc_id, sum(100 + (doc_id * 31 + i * 17) % 900) AS vbytes
+           |  FROM p, (SELECT unnest(range(1, 9)) AS i) GROUP BY doc_id),
+           |tracks AS (
+           |  SELECT p.doc_id, 0 AS track_idx, 'vide' AS handler,
+           |         90000 AS timescale, vdur AS duration, 8 AS n_samples,
+           |         vbytes AS total_bytes
+           |  FROM p JOIN vb USING (doc_id) WHERE NOT corrupt
+           |  UNION ALL
+           |  SELECT doc_id, 1, 'soun', 48000, adur, acnt, asz * acnt
+           |  FROM p WHERE NOT corrupt
+           |  UNION ALL
+           |  SELECT doc_id, NULL, NULL, NULL, NULL, NULL, NULL
+           |  FROM p WHERE corrupt)
+           |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           |       CAST(track_idx AS BIGINT) AS track_idx, handler,
+           |       CAST(timescale AS BIGINT) AS timescale,
+           |       CAST(duration AS BIGINT) AS duration,
+           |       CAST(n_samples AS BIGINT) AS n_samples,
+           |       CAST(total_bytes AS BIGINT) AS total_bytes,
+           |       round(CAST(total_bytes AS DOUBLE) * 8 /
+           |             (CAST(duration AS DOUBLE) / timescale), 6) AS avg_bps,
+           |       round(CAST(duration AS DOUBLE) / timescale, 6) AS seconds
+           |FROM tracks""".stripMargin))
+
   private def constructedRasterBlob(id: Column): Column = {
     def h2(c: Column): Column = lpad(hex(c), 2, "0")
     def le32h(c: Column): Column = concat(
@@ -3315,5 +3419,5 @@ object Queries {
     qSampleGroup, qSampleBernoulli, qScd2Multi, qSnapshotDiff, qTrainingOrder, qBlocklist,
     qApproxTopk, qAudioFeatures, qIncrementalEmbedding, qSplitClusterSafe,
     qIngestRouted, qBinaryIngest, qLineDedupWithin, qProfile, qJpegFeatures,
-    qRepeatMixture, qScd2Lookup)
+    qRepeatMixture, qScd2Lookup, qVideoStats)
 }

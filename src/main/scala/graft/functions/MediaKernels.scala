@@ -98,26 +98,33 @@ object MediaKernels {
     * Cursor strictly advances (64-bit and to-end box sizes handled), so
     * a crafted size can't hang the executor.
     */
+  /** Visit every ISO-BMFF box in `[from, to)`:
+    * onEach(type, contentStart, contentEnd). Cursor strictly advances
+    * (64-bit and to-end box sizes handled), so a crafted size can't
+    * hang the executor. Shared by [[videoMeta]] and
+    * [[videoTrackStats]]. */
+  private def walkBoxes(b: Array[Byte], from: Int, to: Int)
+                       (onEach: (String, Int, Int) => Unit): Unit = {
+    var i = from
+    while (i + 8 <= to) {
+      val size32 = beI32(b, i).toLong & 0xffffffffL
+      val typ = new String(b, i + 4, 4, java.nio.charset.StandardCharsets.ISO_8859_1)
+      var hdr = 8L
+      var size = size32
+      if (size32 == 1) {
+        if (i + 16 > to) return
+        size = beI64(b, i + 8); hdr = 16
+      } else if (size32 == 0) size = (to - i).toLong
+      if (size < hdr || i + size > Int.MaxValue) return // corrupt: stop walking
+      onEach(typ, i + hdr.toInt, math.min(to.toLong, i + size).toInt)
+      i = (i + size).toInt
+    }
+  }
+
   def videoMeta(b: Array[Byte]): InternalRow = {
     if (b == null || b.length < 16) return null
-
-    // visit every box in [from, to): onEach(type, contentStart, contentEnd)
-    def walk(from: Int, to: Int)(onEach: (String, Int, Int) => Unit): Unit = {
-      var i = from
-      while (i + 8 <= to) {
-        val size32 = beI32(b, i).toLong & 0xffffffffL
-        val typ = new String(b, i + 4, 4, java.nio.charset.StandardCharsets.ISO_8859_1)
-        var hdr = 8L
-        var size = size32
-        if (size32 == 1) {
-          if (i + 16 > to) return
-          size = beI64(b, i + 8); hdr = 16
-        } else if (size32 == 0) size = (to - i).toLong
-        if (size < hdr || i + size > Int.MaxValue) return // corrupt: stop walking
-        onEach(typ, i + hdr.toInt, math.min(to.toLong, i + size).toInt)
-        i = (i + size).toInt
-      }
-    }
+    def walk(from: Int, to: Int)(onEach: (String, Int, Int) => Unit): Unit =
+      walkBoxes(b, from, to)(onEach)
     var brand: String = null
     var moovStart = -1
     var moovEnd = -1
@@ -150,6 +157,87 @@ object MediaKernels {
     if (timescale <= 0 || duration < 0) return null
     new GenericInternalRow(Array[Any](
       UTF8String.fromString(brand), timescale, duration, tracks))
+  }
+
+  /** Per-track ISO-BMFF container stats — the keyframe-free video
+    * features: one row per `trak` box with (handler, media timescale,
+    * media duration, sample count, total sample bytes), so per-track
+    * duration-seconds and average bitrate are one arithmetic step away
+    * WITHOUT touching a codec. NULL for non-BMFF blobs (no ftyp/moov);
+    * a track missing its `mdhd`/`hdlr`/`stsz` reports NULL for those
+    * fields — the row stays, so the absence is visible rather than the
+    * track silently vanishing.
+    *
+    * `stsz` covers both layouts: fixed sample_size (bytes =
+    * size × count, overflow-guarded) and the per-sample table (summed
+    * with the box bound enforced; a table truncated short of its
+    * declared count yields NULL bytes, not a partial sum that reads as
+    * a smaller file).
+    */
+  def videoTrackStats(b: Array[Byte]): org.apache.spark.sql.catalyst.util.ArrayData = {
+    if (b == null || b.length < 16) return null
+    var brand = false
+    var moovS = -1
+    var moovE = -1
+    walkBoxes(b, 0, b.length) { (t, s, e) =>
+      if (t == "ftyp" && s + 4 <= e) brand = true
+      if (t == "moov" && moovS < 0) { moovS = s; moovE = e }
+    }
+    if (!brand || moovS < 0) return null
+    val rows = scala.collection.mutable.ArrayBuffer.empty[Any]
+    walkBoxes(b, moovS, moovE) { (t, s, e) =>
+      if (t == "trak") {
+        var handler: UTF8String = null
+        var ts = -1L
+        var dur = -1L
+        var nSamples = -1L
+        var totBytes = -1L
+        walkBoxes(b, s, e) { (t2, s2, e2) =>
+          if (t2 == "mdia") walkBoxes(b, s2, e2) { (t3, s3, e3) =>
+            if (t3 == "mdhd" && ts < 0) {
+              val version = if (s3 < b.length) b(s3) & 0xff else -1
+              if (version == 0 && s3 + 20 <= e3) {
+                ts = beI32(b, s3 + 12).toLong & 0xffffffffL
+                dur = beI32(b, s3 + 16).toLong & 0xffffffffL
+                if (dur == 0xffffffffL) dur = -1L // unknown-duration sentinel
+              } else if (version == 1 && s3 + 32 <= e3) {
+                ts = beI32(b, s3 + 20).toLong & 0xffffffffL
+                dur = beI64(b, s3 + 24)
+              }
+            }
+            if (t3 == "hdlr" && handler == null && s3 + 12 <= e3)
+              handler = UTF8String.fromString(
+                new String(b, s3 + 8, 4, java.nio.charset.StandardCharsets.ISO_8859_1).trim)
+            if (t3 == "minf") walkBoxes(b, s3, e3) { (t4, s4, e4) =>
+              if (t4 == "stbl") walkBoxes(b, s4, e4) { (t5, s5, e5) =>
+                if (t5 == "stsz" && nSamples < 0 && s5 + 12 <= e5) {
+                  val fixed = beI32(b, s5 + 4).toLong & 0xffffffffL
+                  val cnt = beI32(b, s5 + 8).toLong & 0xffffffffL
+                  nSamples = cnt
+                  if (fixed != 0) {
+                    if (cnt == 0 || fixed <= Long.MaxValue / cnt)
+                      totBytes = fixed * cnt
+                  } else {
+                    var sum = 0L
+                    var i = 0
+                    while (i < cnt && s5 + 12 + 4 * i + 4 <= e5) {
+                      sum += beI32(b, s5 + 12 + 4 * i).toLong & 0xffffffffL
+                      i += 1
+                    }
+                    if (i == cnt) totBytes = sum // else: truncated table
+                  }
+                }
+              }
+            }
+          }
+        }
+        rows += new GenericInternalRow(Array[Any](handler,
+          if (ts > 0) ts else null, if (dur >= 0) dur else null,
+          if (nSamples >= 0) nSamples else null,
+          if (totBytes >= 0) totBytes else null))
+      }
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(rows.toArray)
   }
 
   /** (format, width, height) from the blob's container header, or NULL

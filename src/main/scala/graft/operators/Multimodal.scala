@@ -58,6 +58,16 @@ object Multimodal {
     GraftBridge.column(VM(GraftBridge.expression(blob)))
   }
 
+  /** REAL per-track ISO-BMFF stats: array of struct(handler, timescale,
+    * duration, n_samples, total_bytes) — per-track seconds and average
+    * bitrate without any codec (mdhd + hdlr + stsz walk). NULL for
+    * non-BMFF/corrupt blobs; NULL fields for tracks missing the boxes.
+    */
+  def videoTrackStats(blob: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.{GraftBridge, VideoTrackStats => VTS}
+    GraftBridge.column(VTS(GraftBridge.expression(blob)))
+  }
+
   /** Decoder contract: one BATCH of blobs in, one feature vector per
     * blob out — the shape a vectorized codec / GPU embedder actually
     * wants (amortized model invocation per batch, not per row). The

@@ -263,6 +263,41 @@ case class VideoMeta(child: Expression)
     copy(child = newChild)
 }
 
+object VideoTrackStats {
+  val elementSchema: StructType = StructType(Seq(
+    StructField("handler", StringType, nullable = true),
+    StructField("timescale", LongType, nullable = true),
+    StructField("duration", LongType, nullable = true),
+    StructField("n_samples", LongType, nullable = true),
+    StructField("total_bytes", LongType, nullable = true)))
+}
+
+/** Per-track ISO-BMFF container stats (keyframe-free video features) —
+  * NULL for non-BMFF blobs, one row per trak otherwise. See
+  * [[graft.functions.MediaKernels.videoTrackStats]].
+  */
+case class VideoTrackStats(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
+  override def dataType: DataType =
+    ArrayType(VideoTrackStats.elementSchema, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "video_track_stats"
+
+  override protected def nullSafeEval(v: Any): Any =
+    graft.functions.MediaKernels.videoTrackStats(v.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.MediaKernels.videoTrackStats($c);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
+
+  override protected def withNewChildInternal(newChild: Expression): VideoTrackStats =
+    copy(child = newChild)
+}
+
 object RepetitionCounts {
   val schema: StructType = StructType(Seq(
     StructField("n_tokens", LongType, nullable = false),

@@ -176,6 +176,54 @@ class MultimodalSpec extends SparkSpec {
     assert(out(3L) == null)
   }
 
+  test("videoTrackStats: per-track mdhd/hdlr/stsz walk, both stsz layouts") {
+    def box(typ: String, content: Array[Byte]): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(8 + content.length)
+      b.putInt(8 + content.length).put(typ.getBytes("ISO-8859-1")).put(content)
+      b.array()
+    }
+    def be(ints: Int*): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(4 * ints.length)
+      ints.foreach(b.putInt); b.array()
+    }
+    val ftyp = box("ftyp", be(0x69736f6d, 0)) // "isom"
+    // video trak: mdhd v0 (ts 90000, dur 180000) + hdlr "vide" + stsz
+    // VARIABLE table of 3 samples (100, 200, 50)
+    val hdlr = (h: String) =>
+      box("hdlr", be(0, 0) ++ h.getBytes("ISO-8859-1") ++ be(0, 0, 0) ++ Array(0.toByte))
+    val trakV = box("trak", box("mdia",
+      box("mdhd", be(0, 0, 0, 90000, 180000, 0)) ++ hdlr("vide") ++
+        box("minf", box("stbl", box("stsz", be(0, 0, 3, 100, 200, 50))))))
+    // audio trak: FIXED sample size 4 × 1000 samples
+    val trakA = box("trak", box("mdia",
+      box("mdhd", be(0, 0, 0, 48000, 96000, 0)) ++ hdlr("soun") ++
+        box("minf", box("stbl", box("stsz", be(0, 4, 1000))))))
+    // a trak with no mdia at all: row present, all fields NULL
+    val trakEmpty = box("trak", box("free", Array.emptyByteArray))
+    // stsz table DECLARING 5 samples but truncated after 2 entries:
+    // n_samples reads, total_bytes must be NULL, not a partial sum
+    val trakTrunc = box("trak", box("mdia",
+      box("mdhd", be(0, 0, 0, 90000, 90000, 0)) ++ hdlr("vide") ++
+        box("minf", box("stbl", box("stsz", be(0, 0, 5, 100, 200))))))
+    val mp4 = ftyp ++ box("moov", trakV ++ trakA ++ trakEmpty ++ trakTrunc)
+    val rows = Seq((1L, mp4), (2L, "not a container".getBytes),
+      (3L, null.asInstanceOf[Array[Byte]]))
+    val out = rows.toDF("id", "blob")
+      .select(col("id"),
+        posexplode_outer(Multimodal.videoTrackStats(col("blob")))
+          .as(Seq("ti", "t")))
+      .select(col("id"), col("ti"), col("t.handler"), col("t.timescale"),
+        col("t.duration"), col("t.n_samples"), col("t.total_bytes"))
+      .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) -1 else r.getInt(1)) ->
+        (1 to 6).map(i => if (r.isNullAt(i)) null else r.get(i)).tail).toMap
+    assert(out((1L, 0)) == Seq("vide", 90000L, 180000L, 3L, 350L))
+    assert(out((1L, 1)) == Seq("soun", 48000L, 96000L, 1000L, 4000L))
+    assert(out((1L, 2)) == Seq(null, null, null, null, null))
+    assert(out((1L, 3)) == Seq("vide", 90000L, 90000L, 5L, null))
+    assert(out((2L, -1)) == Seq(null, null, null, null, null)) // non-BMFF
+    assert(out((3L, -1)) == Seq(null, null, null, null, null)) // null blob
+  }
+
   test("media walkers survive crafted and degenerate headers (no crash, no garbage)") {
     // WAV with a junk chunk whose size is Int.MaxValue-16: an Int cursor
     // would wrap negative and throw ArrayIndexOutOfBounds
