@@ -337,9 +337,10 @@ object Dedup {
       // Catalyst's re-analysis of it — grows EXPONENTIALLY with rounds
       // (measured: round 4 spent 27 s planning a 4-round lineage at
       // sf0.1). Checkpointing caps every round at a constant-size plan.
-      // Superseded rounds' blocks are reclaimed by the ContextCleaner
-      // once unreferenced (no public API unpersists a localCheckpoint);
-      // on a real cluster prefer reliable `checkpoint()` — localCheckpoint
+      // Superseded rounds are released explicitly once the next round
+      // materializes (GraftBridge.unpersistCheckpoint — round 9; before
+      // that they waited on the nondeterministic ContextCleaner); on a
+      // real cluster prefer reliable `checkpoint()` — localCheckpoint
       // state also dies with an executor.
       var labels = sym.select(col("a").as("id")).distinct()
         .withColumn("label", col("id"))
@@ -375,6 +376,9 @@ object Dedup {
         if (sys.env.contains("GRAFT_DEBUG_CC"))
           System.err.println(s"[dupClusters] round ${iter + 1}: $changed labels changed " +
             s"(${(System.nanoTime() - roundT0) / 1e9}s)")
+        // jumped is materialized by the count above — the previous
+        // round's checkpoint is now unreferenced and safe to release
+        org.apache.spark.sql.GraftBridge.unpersistCheckpoint(labels)
         labels = jumped
         done = changed == 0
         iter += 1

@@ -212,6 +212,16 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Exchange"), p)
   }
 
+  test("q_video_stats: build + walk + explode is one narrow pass — blobs never shuffle") {
+    val p = plan("q_video_stats")
+    // blob construction, the video_track_stats walk, and the per-track
+    // posexplode all compose in a single scan-side pass; an Exchange
+    // here would move constructed binary blobs across the cluster
+    assert(!p.contains("Exchange"), p)
+    assert(!p.contains("Join"), p)
+    assert(p.contains("video_track_stats"), p)
+  }
+
   test("q_jpeg_features: decode is a narrow map — blobs never shuffle") {
     val p = plan("q_jpeg_features")
     // the decode runs inside featurize's mapPartitions, so the final
