@@ -473,6 +473,29 @@ object OracleSqlGen {
        |FROM h
        |WHERE ((sh % 4294967296) + 4294967296) % 4294967296 < $bound""".stripMargin
 
+  /** Oracle for q_sample_weighted: Ops.sampleWeighted = the k smallest
+    * exponential-race keys `-ln(u)/w`, w = n_chars. The hash chain and
+    * the `(h mod 2^32 + 1) / (2^32 + 1)` uniform are integer/IEEE-exact
+    * across engines; `ln` may differ by ~1 ulp, which flips the
+    * selection only if two DIFFERENT rows' keys collide within ~2^-52
+    * relative — OpsSpec measures the realized adjacent-key margins.
+    * Tie-break: doc_id is unique and non-null, so `ORDER BY key,
+    * doc_id` here equals the operator's full-row-struct tie-break
+    * (doc_id is the struct's first field). */
+  def sampleWeighted(k: Int, seed: Long): String =
+    s"""WITH h AS MATERIALIZED (${sampleHashSql(seed)})
+       |SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
+       |       CAST(n_chars AS BIGINT) AS n_chars
+       |FROM (
+       |  SELECT *,
+       |    (-ln((((sh % 4294967296) + 4294967296) % 4294967296 + 1)
+       |         / 4294967297.0)) / n_chars AS race_key
+       |  FROM h
+       |  WHERE n_chars IS NOT NULL AND n_chars > 0
+       |  ORDER BY race_key, doc_id
+       |  LIMIT $k
+       |)""".stripMargin
+
   // -------------------------------------------------------------------
   // BPE tokenizer: the training loop is string/integer-exact (word
   // counts, argmax with byte-order tie-break, greedy merge passes), so

@@ -3393,6 +3393,18 @@ object Queries {
       fraction = 0.35, seed = 7L),
     Some(OracleSqlGen.sampleBernoulli((0.35 * (1L << 32).toDouble).toLong, 7L)))
 
+  /** Weighted sampling without replacement under the oracle:
+    * [[Ops.sampleWeighted]] draws 200 documents with inclusion odds
+    * proportional to n_chars via the Efraimidis–Spirakis exponential
+    * race — one TakeOrdered pass (bounded per-partition top-k heap, no
+    * global sort; plan-pinned). DuckDB replays the seeded content hash
+    * and the race arithmetic; see OracleSqlGen.sampleWeighted for the
+    * ln-ulp analysis and OpsSpec for the measured selection margins. */
+  private val qSampleWeighted = Q("q_sample_weighted",
+    (s, dir) => Ops.sampleWeighted(sampleProjection(s, dir),
+      weightCol = "n_chars", k = 200, seed = 7L),
+    Some(OracleSqlGen.sampleWeighted(200, 7L)))
+
   /** Every query, in a stable order. */
   val all: Seq[Q] = Seq(
     qSelect, qFilter, qFilterRouter,
@@ -3416,7 +3428,7 @@ object Queries {
     qHybridRrf, qApproxDistinct, qApproxQuantiles,
     qDecontaminateBloom, qLmScore, qEventAttribution, qUpsert, qScd2,
     qZorder, qHilbert, qBpeTrain, qBpeTrainCapped, qBpeEncode, qImportance,
-    qSampleGroup, qSampleBernoulli, qScd2Multi, qSnapshotDiff, qTrainingOrder, qBlocklist,
+    qSampleGroup, qSampleBernoulli, qSampleWeighted, qScd2Multi, qSnapshotDiff, qTrainingOrder, qBlocklist,
     qApproxTopk, qAudioFeatures, qIncrementalEmbedding, qSplitClusterSafe,
     qIngestRouted, qBinaryIngest, qLineDedupWithin, qProfile, qJpegFeatures,
     qRepeatMixture, qScd2Lookup, qVideoStats)

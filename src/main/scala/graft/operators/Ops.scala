@@ -298,6 +298,49 @@ object Ops {
       lit(1L << 32)) < bound)
   }
 
+  /** Deterministic weighted sampling WITHOUT replacement
+    * (Efraimidis–Spirakis exponential race): each row draws
+    * `u ∈ (0, 1)` from a seeded hash of its content and competes with
+    * key `-ln(u) / w`; the k smallest keys win, which selects exactly k
+    * rows with inclusion odds proportional to `weightCol` — the
+    * standard way to draw a quality- or token-weighted corpus subset.
+    *
+    * Determinism: `u` is a pure function of row content + seed (like
+    * [[deterministicSample]]), so membership survives repartitioning,
+    * task retries, and AQE re-plans, and reruns are reproducible.
+    * `u = (h mod 2^32 + 1) / (2^32 + 1)` never hits 0 or 1, so the log
+    * is always finite. Rows with NULL or non-positive weight cannot win
+    * a race and are excluded (SQL-NULL semantics, documented over
+    * erroring: a quality score of 0 legitimately means "never sample").
+    *
+    * Scale shape: `ORDER BY key LIMIT k` plans as TakeOrderedAndProject
+    * — a bounded top-k heap per partition and a k-bounded merge, no
+    * global sort, no full-row shuffle (plan-pinned). Driver holds
+    * O(k) rows; for k beyond driver comfort, switch to the
+    * [[graft.operators.Dedup.collectSmallest]] aggregation the
+    * per-group sampler uses.
+    *
+    * Float caveat (same class as the ANN oracles): the race key divides
+    * a natural log by the weight; `ln` may differ by ~1 ulp across
+    * engines, so cross-engine selection agreement rests on adjacent
+    * keys not being within ~2^-52 relative of each other — OpsSpec
+    * measures the realized margin (orders of magnitude above that) and
+    * exact content ties break identically everywhere (equal content ⇒
+    * equal key ⇒ the full-row tie-break below).
+    */
+  def sampleWeighted(df: DataFrame, weightCol: String, k: Int,
+                     seed: Long = 42L): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val cols = df.columns.toSeq
+    val h = pmod(xxhash64(struct(cols.map(col): _*), lit(seed)), lit(1L << 32))
+    val u = (h.cast("double") + lit(1.0)) / lit((1L << 32).toDouble + 1.0)
+    val key = -log(u) / col(weightCol).cast("double")
+    df.filter(col(weightCol).isNotNull && col(weightCol) > 0)
+      .orderBy(key.asc, struct(cols.map(col): _*).asc)
+      .limit(k)
+      .select(cols.map(col): _*)
+  }
+
   /** Append streams = UNION ALL by name (reference motogp.ktr:1379).
     * `evolved = true` tolerates schema drift: columns present on only
     * one side come through as nulls on the other (the ingestion shape

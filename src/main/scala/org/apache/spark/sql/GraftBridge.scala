@@ -31,4 +31,16 @@ object GraftBridge {
       case l: execution.LogicalRDD => l.rdd.unpersist(blocking = false)
       case _                       => ()
     }
+
+  /** Block until every queued listener event has been delivered.
+    *
+    * `SparkContext.listenerBus` is `private[spark]`; the bench's
+    * metrics pass needs a drain point between queries so per-query
+    * task-metric deltas attribute exactly (listener delivery is async).
+    * Swallows the bus's 10 s TimeoutException — a late event can only
+    * blur one attribution, which must not fail the whole bench.
+    */
+  def drainListenerBus(spark: SparkSession): Unit =
+    try spark.sparkContext.listenerBus.waitUntilEmpty()
+    catch { case _: java.util.concurrent.TimeoutException => () }
 }

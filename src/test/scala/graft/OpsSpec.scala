@@ -180,6 +180,55 @@ class OpsSpec extends SparkSpec {
     assert(Ops.deterministicSample(df, 1.0).count() == 5000)
   }
 
+  test("sampleWeighted: matches an independent race replay, excludes nonpositive weights") {
+    val data = (1 to 400).map(i => (i.toLong, (i % 20 + 1).toLong, s"p$i"))
+    val df = data.toDF("id", "w", "payload").repartition(7)
+    val got = Ops.sampleWeighted(df, "w", k = 25, seed = 7L)
+      .as[(Long, Long, String)].collect().toSet
+    // independent replay of the exponential race: take only the hash
+    // from the engine (one pass), recompute u / key / top-k in plain
+    // Scala — any drift in the operator's arithmetic or ordering fails
+    val hashed = df.select(col("id"), col("w"), col("payload"),
+      pmod(xxhash64(struct(col("id"), col("w"), col("payload")), lit(7L)),
+        lit(1L << 32)).as("h")).as[(Long, Long, String, Long)].collect()
+    val expected = hashed.map { case (id, w, p, h) =>
+      val u = (h + 1).toDouble / ((1L << 32).toDouble + 1.0)
+      (-math.log(u) / w.toDouble, (id, w, p))
+    }.sortBy(_._1).take(25).map(_._2).toSet
+    assert(got == expected)
+    // partition-invariant: same winners from any physical layout
+    val got2 = Ops.sampleWeighted(df.repartition(31), "w", k = 25, seed = 7L)
+      .as[(Long, Long, String)].collect().toSet
+    assert(got2 == got)
+    // zero/negative/null weights never win
+    val withBad = df.union(Seq((9001L, 0L, "z"), (9002L, -5L, "n"))
+      .toDF("id", "w", "payload"))
+    val got3 = Ops.sampleWeighted(withBad, "w", k = 1000, seed = 7L)
+      .as[(Long, Long, String)].collect()
+    assert(got3.length == 400 && got3.forall(_._2 > 0))
+  }
+
+  test("sampleWeighted: adjacent race keys carry margins far above the ln ulp bound") {
+    // the cross-engine oracle argument (OracleSqlGen.sampleWeighted)
+    // rests on distinct rows' keys never colliding within ~2^-52
+    // relative — measure the realized margins on the real table
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id").cast("bigint").as("doc_id"), col("lang"),
+        col("n_chars").cast("bigint").as("n_chars"))
+      .filter(col("n_chars").isNotNull && col("n_chars") > 0)
+    val keys = docs.select(
+      (-log((pmod(xxhash64(struct(col("doc_id"), col("lang"), col("n_chars")),
+        lit(7L)), lit(1L << 32)).cast("double") + lit(1.0)) /
+        lit((1L << 32).toDouble + 1.0)) / col("n_chars").cast("double")).as("k"))
+      .as[Double].collect().sorted
+    assert(keys.length > 100)
+    val minRelGap = keys.sliding(2).collect {
+      case Array(a, b) if b > a => (b - a) / b
+    }.min
+    // 1e-9 is ~1e7 ulps of headroom over the ~2.2e-16 ln divergence
+    assert(minRelGap > 1e-9, s"min adjacent relative gap $minRelGap")
+  }
+
   test("unionAppend evolved mode tolerates schema drift with null fill") {
     val v1 = Seq((1L, "a")).toDF("id", "text")
     val v2 = Seq((2L, "b", "en")).toDF("id", "text", "lang")

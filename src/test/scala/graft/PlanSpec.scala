@@ -255,4 +255,15 @@ class PlanSpec extends SparkSpec {
     // the final assignment join on the id — no cartesian anywhere
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
+
+  test("q_sample_weighted: bounded per-partition top-k, no global sort, no exchange") {
+    val p = plan("q_sample_weighted")
+    // the race is ORDER BY key LIMIT k — it must plan as TakeOrdered
+    // (k-bounded heap per partition, k-bounded merge), never a global
+    // SortExec or a Window ranking every row
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Window"), p)
+    assert(!"\\bSort\\b".r.findFirstIn(p).isDefined, p)
+    assert(!p.contains("Exchange"), p)
+  }
 }
