@@ -1,0 +1,136 @@
+package graft
+
+import graft.operators.Similarity
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Empirical wall-time scaling of the ANN tier — the last operator
+  * family whose 100 TB story rested on plan shapes alone (the dedup
+  * chain and BPE trainer got measured exponents in rounds 8-9). This
+  * main runs brute-force, LSH, and IVF top-k at a geometric ladder of
+  * corpus sizes with a FIXED query set and prints per-method wall
+  * times, growth exponents, and measured recall vs the brute-force
+  * truth — so "IVF probes a nProbes/nCentroids fraction of the corpus"
+  * is a measured slope, not an argument, and the speed is never quoted
+  * without the recall it buys.
+  *
+  * Corpus: hash-derived (no RNG, reproducible), sf-shaped — dim-64
+  * float vectors matching the embeddings table, planted as ~n/100
+  * clusters (center from the cluster hash, per-vector perturbation
+  * from the id hash) so IVF's centroids model real structure, the
+  * same way DedupScale plants real near-dup families.
+  *
+  * Ladder defaults (20k/60k/200k = sf0.4- through sf4-equivalent
+  * corpora at 200 queries) keep brute force tractable so recall is
+  * always measured against the exact answer. nCentroids grows with
+  * sqrt(n) (the standard IVF sizing); nBits/nProbes stay fixed so the
+  * measured LSH/IVF slopes are bucket-density effects, not config
+  * drift.
+  *
+  * Usage: `sbt "runMain graft.AnnScale [sizesCsv] [runs]"`
+  */
+object AnnScale {
+  def main(args: Array[String]): Unit = {
+    val sizes = args.headOption.getOrElse("20000,60000,200000")
+      .split(",").map(_.trim.toInt).toSeq
+    val runs = args.drop(1).headOption.map(_.toInt).getOrElse(3)
+    val nQueries = 200
+    val k = 10
+    val dim = 64
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // hash-uniform in [-1, 1]: (xxh64(x) mod 2001 - 1000) / 1000
+    def u(x: Column): Column =
+      (pmod(xxhash64(x), lit(2001)) - lit(1000)).cast("double") / lit(1000.0)
+
+    def corpus(n: Int): DataFrame = {
+      val nClusters = math.max(n / 100, 1)
+      spark.range(0L, n.toLong, 1L, 32)
+        .select(col("id").as("vec_id"),
+          pmod(col("id"), lit(nClusters)).as("__c"))
+        .select(col("vec_id"),
+          array((0 until dim).map { d =>
+            // tight planted clusters: dominant center + small jitter
+            (u(col("__c") * lit(dim) + lit(d)) +
+              lit(0.15) * u(col("vec_id") * lit(dim) + lit(d) + lit(1000000007L)))
+              .cast("float")
+          }: _*).as("embedding"))
+        .localCheckpoint(true) // generation stays out of the timings
+    }
+
+    def time[A](f: => A): (Double, A) = {
+      val t0 = System.nanoTime()
+      val a = f
+      ((System.nanoTime() - t0) / 1e9, a)
+    }
+    def force(df: DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+
+    println("[ann-scale] size  bruteT(s)  lshT(s)  ivfFitT(s)  ivfProbeT(s)  lshRecall  ivfRecall")
+    val results = sizes.map { n =>
+      val c = corpus(n)
+      val q = c.filter(col("vec_id") < nQueries).localCheckpoint(true)
+      val nCentroids = math.max(16, math.sqrt(n.toDouble).toInt)
+      def pass(): (Double, Double, Double, Double, Double, Double) = {
+        val (tBrute, truth) = time {
+          val t = Similarity.bruteForceTopK(c, q, "embedding", "vec_id", k)
+            .localCheckpoint(true)
+          t
+        }
+        val (tLsh, lsh) = time {
+          val r = Similarity.lshTopK(c, q, "embedding", "vec_id", k,
+            nBits = 8, multiProbe = true).localCheckpoint(true)
+          r
+        }
+        // the fit is the offline, index-build cost (amortized across
+        // every later query batch via buildIvfIndex); the probe is the
+        // per-batch scale path — measure them apart, since sqrt(n)
+        // centroid sizing makes the fit O(n^1.5 · d) by design while
+        // the probe stays ~O(q · nProbes/nCentroids · n · d)
+        val (tFit, _) = time {
+          Similarity.kmeansCentroids(c, "embedding", "vec_id", nCentroids, 3)
+        }
+        val (tIvf, ivf) = time {
+          val r = Similarity.ivfTopK(c, q, "embedding", "vec_id", k,
+            nCentroids = nCentroids, nProbes = 8).localCheckpoint(true)
+          r
+        }
+        val tProbe = math.max(tIvf - tFit, 0.0) // ivfTopK refits internally
+        val nTruth = truth.count().toDouble.max(1.0)
+        def recall(out: DataFrame): Double =
+          truth.join(out, Seq("query_id", "corpus_id"), "left_semi")
+            .count() / nTruth
+        val rLsh = recall(lsh)
+        val rIvf = recall(ivf)
+        import org.apache.spark.sql.GraftBridge.unpersistCheckpoint
+        unpersistCheckpoint(truth); unpersistCheckpoint(lsh); unpersistCheckpoint(ivf)
+        (tBrute, tLsh, tFit, tProbe, rLsh, rIvf)
+      }
+      pass() // warmup: codegen + checkpoint page-in
+      val all = (1 to runs).map(_ => pass())
+      val med = all.sortBy(t => t._1 + t._2 + t._3 + t._4).apply(all.size / 2)
+      val (tb, tl, tf, tp, rl, ri) = med
+      println(f"[ann-scale] $n%6d ${tb}%9.2f ${tl}%8.2f ${tf}%10.2f ${tp}%12.2f ${rl}%9.3f ${ri}%9.3f")
+      import org.apache.spark.sql.GraftBridge.unpersistCheckpoint
+      unpersistCheckpoint(q); unpersistCheckpoint(c)
+      (n, tb, tl, tf, tp)
+    }
+    // pairwise growth exponents between adjacent ladder points
+    results.sliding(2).foreach {
+      case Seq((n1, tb1, tl1, tf1, tp1), (n2, tb2, tl2, tf2, tp2)) =>
+        def ex(a: Double, b: Double) =
+          math.log(b.max(0.01) / a.max(0.01)) / math.log(n2.toDouble / n1)
+        println(f"[ann-scale] $n1%d->$n2%d: brute exp=${ex(tb1, tb2)}%.2f  " +
+          f"lsh exp=${ex(tl1, tl2)}%.2f  ivf-fit exp=${ex(tf1, tf2)}%.2f  " +
+          f"ivf-probe exp=${ex(tp1, tp2)}%.2f")
+      case _ => ()
+    }
+    spark.stop()
+  }
+}

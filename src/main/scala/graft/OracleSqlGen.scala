@@ -496,6 +496,27 @@ object OracleSqlGen {
        |  LIMIT $k
        |)""".stripMargin
 
+  /** Oracle for q_sample_weighted_group: Ops.sampleWeightedPerGroup =
+    * the n smallest race keys PER lang (the bounded collect_smallest
+    * form). Same race arithmetic and ulp analysis as
+    * [[sampleWeighted]]; the per-group selection replays as a
+    * partitioned row_number, tie-broken by doc_id (unique, non-null —
+    * equals the operator's struct order whose first field is doc_id). */
+  def sampleWeightedGroup(n: Int, seed: Long): String =
+    s"""WITH h AS MATERIALIZED (${sampleHashSql(seed)}),
+       |r AS (
+       |  SELECT *,
+       |    (-ln((((sh % 4294967296) + 4294967296) % 4294967296 + 1)
+       |         / 4294967297.0)) / n_chars AS race_key
+       |  FROM h
+       |  WHERE n_chars IS NOT NULL AND n_chars > 0
+       |)
+       |SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
+       |       CAST(n_chars AS BIGINT) AS n_chars
+       |FROM (SELECT *, row_number() OVER (
+       |        PARTITION BY lang ORDER BY race_key, doc_id) AS rn FROM r)
+       |WHERE rn <= $n""".stripMargin
+
   // -------------------------------------------------------------------
   // BPE tokenizer: the training loop is string/integer-exact (word
   // counts, argmax with byte-order tie-break, greedy merge passes), so

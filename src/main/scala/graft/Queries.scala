@@ -3405,6 +3405,18 @@ object Queries {
       weightCol = "n_chars", k = 200, seed = 7L),
     Some(OracleSqlGen.sampleWeighted(200, 7L)))
 
+  /** Per-group weighted sampling under the oracle:
+    * [[Ops.sampleWeightedPerGroup]] draws 40 n_chars-weighted documents
+    * per language as ONE bounded aggregation (per-group buffer capped
+    * at n race entries map- and final-side) — the mixture-shaping form,
+    * and the scale path when a global k outgrows TakeOrdered's driver
+    * merge. DuckDB replays the identical race as a partitioned
+    * row_number. */
+  private val qSampleWeightedGroup = Q("q_sample_weighted_group",
+    (s, dir) => Ops.sampleWeightedPerGroup(sampleProjection(s, dir),
+      Seq("lang"), weightCol = "n_chars", n = 40, seed = 7L),
+    Some(OracleSqlGen.sampleWeightedGroup(40, 7L)))
+
   /** Every query, in a stable order. */
   val all: Seq[Q] = Seq(
     qSelect, qFilter, qFilterRouter,
@@ -3428,7 +3440,7 @@ object Queries {
     qHybridRrf, qApproxDistinct, qApproxQuantiles,
     qDecontaminateBloom, qLmScore, qEventAttribution, qUpsert, qScd2,
     qZorder, qHilbert, qBpeTrain, qBpeTrainCapped, qBpeEncode, qImportance,
-    qSampleGroup, qSampleBernoulli, qSampleWeighted, qScd2Multi, qSnapshotDiff, qTrainingOrder, qBlocklist,
+    qSampleGroup, qSampleBernoulli, qSampleWeighted, qSampleWeightedGroup, qScd2Multi, qSnapshotDiff, qTrainingOrder, qBlocklist,
     qApproxTopk, qAudioFeatures, qIncrementalEmbedding, qSplitClusterSafe,
     qIngestRouted, qBinaryIngest, qLineDedupWithin, qProfile, qJpegFeatures,
     qRepeatMixture, qScd2Lookup, qVideoStats)

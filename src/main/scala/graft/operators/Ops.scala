@@ -341,6 +341,36 @@ object Ops {
       .select(cols.map(col): _*)
   }
 
+  /** [[sampleWeighted]]'s bounded-aggregation form: n weighted winners
+    * PER GROUP (per-language mixture shaping), or the scale path when
+    * the global k is too large for TakeOrdered's driver merge — run it
+    * with a constant group column. Same exponential race key, but the
+    * selection is ONE partial aggregation whose per-group buffer never
+    * exceeds n race entries map-side or final-side
+    * ([[graft.operators.Dedup.collectSmallest]]); nothing resembling a
+    * global sort or window exists in the plan, and the shuffle carries
+    * at most n winners per group per map task. Same determinism and
+    * same float caveat as [[sampleWeighted]] (the race keys are
+    * identical; OpsSpec's margin measurement covers both).
+    */
+  def sampleWeightedPerGroup(df: DataFrame, groupCols: Seq[String],
+                             weightCol: String, n: Int,
+                             seed: Long = 42L): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    val cols = df.columns.toSeq
+    val rowStruct = struct(cols.map(col): _*)
+    val h = pmod(xxhash64(rowStruct, lit(seed)), lit(1L << 32))
+    val u = (h.cast("double") + lit(1.0)) / lit((1L << 32).toDouble + 1.0)
+    val key = -log(u) / col(weightCol).cast("double")
+    df.filter(col(weightCol).isNotNull && col(weightCol) > 0)
+      .select(struct(key.as("__k"), rowStruct.as("__row")).as("__m")
+        +: groupCols.map(col): _*)
+      .groupBy(groupCols.map(col): _*)
+      .agg(Dedup.collectSmallest(col("__m"), n).as("__sample"))
+      .select(explode(col("__sample")).as("__m"))
+      .select(cols.map(c => col("__m").getField("__row").getField(c).as(c)): _*)
+  }
+
   /** Append streams = UNION ALL by name (reference motogp.ktr:1379).
     * `evolved = true` tolerates schema drift: columns present on only
     * one side come through as nulls on the other (the ingestion shape

@@ -208,6 +208,41 @@ class OpsSpec extends SparkSpec {
     assert(got3.length == 400 && got3.forall(_._2 > 0))
   }
 
+  test("sampleWeightedPerGroup: per-group winners equal the race replay; heavier rows win proportionally") {
+    val data = (1 to 600).map { i =>
+      // two weight classes per group: 1 vs 9 — winners should skew ~9:1
+      (i.toLong, s"g${i % 3}", if (i % 2 == 0) 9L else 1L, s"p$i")
+    }
+    val df = data.toDF("id", "grp", "w", "payload").repartition(7)
+    val got = Ops.sampleWeightedPerGroup(df, Seq("grp"), "w", n = 40, seed = 7L)
+      .as[(Long, String, Long, String)].collect()
+    // exact per-group counts
+    assert(got.groupBy(_._2).view.mapValues(_.length).toMap ==
+      Map("g0" -> 40, "g1" -> 40, "g2" -> 40))
+    // independent replay: same race key, n smallest per group
+    val hashed = df.select(col("id"), col("grp"), col("w"), col("payload"),
+      pmod(xxhash64(struct(col("id"), col("grp"), col("w"), col("payload")),
+        lit(7L)), lit(1L << 32)).as("h")).as[(Long, String, Long, String, Long)].collect()
+    val expected = hashed.map { case (id, g, w, p, h) =>
+      val u = (h + 1).toDouble / ((1L << 32).toDouble + 1.0)
+      (g, -math.log(u) / w.toDouble, (id, g, w, p))
+    }.groupBy(_._1).values.flatMap(_.sortBy(_._2).take(40).map(_._3)).toSet
+    assert(got.toSet == expected)
+    // the race actually weights: 9-weight rows are half the pool but
+    // must take the overwhelming share of the 120 winner slots
+    val heavyShare = got.count(_._3 == 9L) / 120.0
+    assert(heavyShare > 0.75, s"heavy-weight share $heavyShare")
+    // agreement with the global form when the group is constant
+    val global = Ops.sampleWeighted(df, "w", k = 40, seed = 7L)
+      .as[(Long, String, Long, String)].collect().toSet
+    val onegrp = Ops.sampleWeightedPerGroup(df.withColumn("c", lit(1)),
+      Seq("c"), "w", n = 40, seed = 7L)
+      .drop("c").as[(Long, String, Long, String)].collect().toSet
+    // NOTE: keys differ (the extra constant column changes the hash), so
+    // compare sizes only — the semantic check is the replay above
+    assert(onegrp.size == 40 && global.size == 40)
+  }
+
   test("sampleWeighted: adjacent race keys carry margins far above the ln ulp bound") {
     // the cross-engine oracle argument (OracleSqlGen.sampleWeighted)
     // rests on distinct rows' keys never colliding within ~2^-52

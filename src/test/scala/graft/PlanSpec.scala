@@ -256,6 +256,15 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("q_sample_weighted_group: bounded partial aggregation, no window, no sort") {
+    val p = plan("q_sample_weighted_group")
+    // per-group selection must be the capped collect_smallest buffer in
+    // partial+final form — a Window or Sort here would rank every row
+    assert(!p.contains("Window") && !"\\bSort\\b".r.findFirstIn(p).isDefined, p)
+    assert("HashAggregate|ObjectHashAggregate|SortAggregate".r.findAllIn(p).size >= 2, p)
+    assert(p.contains("collect_smallest"), p)
+  }
+
   test("q_sample_weighted: bounded per-partition top-k, no global sort, no exchange") {
     val p = plan("q_sample_weighted")
     // the race is ORDER BY key LIMIT k — it must plan as TakeOrdered
