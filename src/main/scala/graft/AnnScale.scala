@@ -72,12 +72,28 @@ object AnnScale {
     def force(df: DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
 
-    println("[ann-scale] size  bruteT(s)  lshT(s)  ivfFitT(s)  ivfProbeT(s)  lshRecall  ivfRecall")
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+    }
+
+    println("[ann-scale] size  bruteT(s)  lshT(s)  ivfBuildT(s)  ivfProbeT(s)  lshRecall  ivfRecall")
+    println("[ann-scale] (brute/lsh/probe: per-column medians of the timed passes; build: ONE-shot offline buildIvfIndex = fit + assign + partitioned write, amortized in production; probe = ivfTopKIndexed partition-pruned scan)")
     val results = sizes.map { n =>
       val c = corpus(n)
       val q = c.filter(col("vec_id") < nQueries).localCheckpoint(true)
       val nCentroids = math.max(16, math.sqrt(n.toDouble).toInt)
-      def pass(): (Double, Double, Double, Double, Double, Double) = {
+      val idxDir = s"/tmp/graft-ann-scale-index/$n"
+      // the index is built ONCE per size (production builds are offline
+      // and amortized across every later query batch); its one-shot
+      // wall time is reported alongside the per-pass medians.
+      // buildIvfIndex persists fit + corpus assignment — O(n·sqrt(n)·d)
+      // by the sqrt centroid sizing.
+      val (tBuild, _) = time {
+        Similarity.buildIvfIndex(c, "embedding", "vec_id", idxDir,
+          nCentroids = nCentroids, kmeansIters = 3)
+      }
+      def pass(): (Double, Double, Double, Double, Double) = {
         val (tBrute, truth) = time {
           val t = Similarity.bruteForceTopK(c, q, "embedding", "vec_id", k)
             .localCheckpoint(true)
@@ -88,20 +104,13 @@ object AnnScale {
             nBits = 8, multiProbe = true).localCheckpoint(true)
           r
         }
-        // the fit is the offline, index-build cost (amortized across
-        // every later query batch via buildIvfIndex); the probe is the
-        // per-batch scale path — measure them apart, since sqrt(n)
-        // centroid sizing makes the fit O(n^1.5 · d) by design while
-        // the probe stays ~O(q · nProbes/nCentroids · n · d)
-        val (tFit, _) = time {
-          Similarity.kmeansCentroids(c, "embedding", "vec_id", nCentroids, 3)
-        }
-        val (tIvf, ivf) = time {
-          val r = Similarity.ivfTopK(c, q, "embedding", "vec_id", k,
-            nCentroids = nCentroids, nProbes = 8).localCheckpoint(true)
+        // the per-batch scale path: partition-pruned scan of the probed
+        // lists, ~q · nProbes/nCentroids · n · d
+        val (tProbe, ivf) = time {
+          val r = Similarity.ivfTopKIndexed(spark, idxDir, q,
+            "embedding", "vec_id", k, nProbes = 8).localCheckpoint(true)
           r
         }
-        val tProbe = math.max(tIvf - tFit, 0.0) // ivfTopK refits internally
         val nTruth = truth.count().toDouble.max(1.0)
         def recall(out: DataFrame): Double =
           truth.join(out, Seq("query_id", "corpus_id"), "left_semi")
@@ -110,24 +119,28 @@ object AnnScale {
         val rIvf = recall(ivf)
         import org.apache.spark.sql.GraftBridge.unpersistCheckpoint
         unpersistCheckpoint(truth); unpersistCheckpoint(lsh); unpersistCheckpoint(ivf)
-        (tBrute, tLsh, tFit, tProbe, rLsh, rIvf)
+        (tBrute, tLsh, tProbe, rLsh, rIvf)
       }
       pass() // warmup: codegen + checkpoint page-in
       val all = (1 to runs).map(_ => pass())
-      val med = all.sortBy(t => t._1 + t._2 + t._3 + t._4).apply(all.size / 2)
-      val (tb, tl, tf, tp, rl, ri) = med
-      println(f"[ann-scale] $n%6d ${tb}%9.2f ${tl}%8.2f ${tf}%10.2f ${tp}%12.2f ${rl}%9.3f ${ri}%9.3f")
+      // per-COLUMN medians: each method's median is its own — the
+      // median-total run would let one method's noise pick another's
+      // reading
+      val tb = median(all.map(_._1)); val tl = median(all.map(_._2))
+      val tp = median(all.map(_._3))
+      val rl = median(all.map(_._4)); val ri = median(all.map(_._5))
+      println(f"[ann-scale] $n%6d ${tb}%9.2f ${tl}%8.2f ${tBuild}%12.2f ${tp}%12.2f ${rl}%9.3f ${ri}%9.3f")
       import org.apache.spark.sql.GraftBridge.unpersistCheckpoint
       unpersistCheckpoint(q); unpersistCheckpoint(c)
-      (n, tb, tl, tf, tp)
+      (n, tb, tl, tBuild, tp)
     }
     // pairwise growth exponents between adjacent ladder points
     results.sliding(2).foreach {
       case Seq((n1, tb1, tl1, tf1, tp1), (n2, tb2, tl2, tf2, tp2)) =>
         def ex(a: Double, b: Double) =
-          math.log(b.max(0.01) / a.max(0.01)) / math.log(n2.toDouble / n1)
+          math.log(b / a) / math.log(n2.toDouble / n1)
         println(f"[ann-scale] $n1%d->$n2%d: brute exp=${ex(tb1, tb2)}%.2f  " +
-          f"lsh exp=${ex(tl1, tl2)}%.2f  ivf-fit exp=${ex(tf1, tf2)}%.2f  " +
+          f"lsh exp=${ex(tl1, tl2)}%.2f  ivf-build exp=${ex(tf1, tf2)}%.2f  " +
           f"ivf-probe exp=${ex(tp1, tp2)}%.2f")
       case _ => ()
     }

@@ -57,10 +57,9 @@ object Bench {
     * bench_metrics.json). Empty string when the metrics pass is off. */
   private def metricAggFields(rows: Seq[(String, BenchMetrics.Snap)]): String =
     if (rows.isEmpty) "" else {
-      def mb(b: Long): Double = math.rint(b / 1048576.0 * 1000) / 1000
       val w = rows.map(_._2.shuffleWriteB).sum
       val sp = rows.map(_._2.spillB).sum
-      s""","shuffle_write_mb_total":${mb(w)},"spill_mb_total":${mb(sp)}"""
+      s""","shuffle_write_mb_total":${BenchMetrics.mb(w)},"spill_mb_total":${BenchMetrics.mb(sp)}"""
     }
 
   def main(args: Array[String]): Unit = {
@@ -164,15 +163,29 @@ object Bench {
     // SCALING.md's "shuffles carry ids/sketches, not documents" and
     // "no spill at this SF" claims become measured numbers here.
     val metricsOn = sys.env.getOrElse("SPARK_GRAFT_BENCH_METRICS", "1") != "0"
+    val metricErrors = scala.collection.mutable.ArrayBuffer.empty[String]
     val metricRows: Seq[(String, BenchMetrics.Snap)] = if (!metricsOn) Nil else {
       val ml = BenchMetrics.attach(spark)
-      names.map { case (name, fn) =>
+      val rows = names.flatMap { case (name, fn) =>
         ml.resetPeak()
         val before = ml.snapshot()
-        try force(fn(spark, sfDir)) catch { case _: Throwable => () }
+        val ok =
+          try { force(fn(spark, sfDir)); true }
+          catch { case e: Throwable =>
+            // same contract as the timed pass: a failure is NAMED, and
+            // its truncated metrics never masquerade as a measurement
+            System.err.println(s"[bench] metrics pass: $name FAILED: ${e.getMessage}")
+            metricErrors += name
+            false
+          }
         org.apache.spark.sql.GraftBridge.drainListenerBus(spark)
-        (name, ml.snapshot() - before)
+        // drain again after a failure: cancelled tasks can still post
+        // TaskEnd events that would smear into the NEXT query's delta
+        if (!ok) org.apache.spark.sql.GraftBridge.drainListenerBus(spark)
+        if (ok) Some((name, ml.snapshot() - before)) else None
       }
+      BenchMetrics.detach(spark, ml)
+      rows
     }
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -204,7 +217,8 @@ object Bench {
     if (metricRows.nonEmpty) {
       val body = metricRows.map { case (n, s) => "\"" + n + "\":{" + s.jsonFields + "}" }
         .mkString("{", ",", "}")
-      val doc = s"""{"sf":"$sfDir","cpus":$cpus,"queries":$body}"""
+      val mErrs = metricErrors.map("\"" + _ + "\"").mkString("[", ",", "]")
+      val doc = s"""{"sf":"$sfDir","cpus":$cpus,"metrics_errors":$mErrs,"queries":$body}"""
       try java.nio.file.Files.writeString(
         java.nio.file.Paths.get("bench_metrics.json"), doc + "\n")
       catch { case e: Exception =>

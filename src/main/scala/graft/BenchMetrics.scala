@@ -74,13 +74,18 @@ object BenchMetrics {
       // per query via resetPeak(), so the newer mark is the query's own
       peakTaskMemB)
     def jsonFields: String = {
-      def mb(b: Long): Double = math.rint(b / 1048576.0 * 1000) / 1000
+      val mb = BenchMetrics.mb _
       s""""shuffle_read_mb":${mb(shuffleReadB)},"shuffle_write_mb":${mb(shuffleWriteB)},""" +
         s""""shuffle_write_records":$shuffleWriteRec,"input_mb":${mb(inputB)},""" +
         s""""spill_mb":${mb(spillB)},"stages":$stages,"tasks":$tasks,""" +
         s""""peak_task_mem_mb":${mb(peakTaskMemB)}"""
     }
   }
+
+  /** Bytes → MB with 3-decimal rounding — the ONE rounding used by both
+    * the per-query fields and the headline aggregates (a second copy
+    * could silently drift). */
+  def mb(b: Long): Double = math.rint(b / 1048576.0 * 1000) / 1000
 
   /** Attach a fresh listener and drain the bus so its counters start
     * from a clean point. */
@@ -90,4 +95,10 @@ object BenchMetrics {
     org.apache.spark.sql.GraftBridge.drainListenerBus(spark)
     l
   }
+
+  /** Remove the listener from the session's bus. Long-lived sessions
+    * (the shared test session; any embedding application) must not keep
+    * paying per-event accounting after the evidence pass is over. */
+  def detach(spark: SparkSession, l: BenchMetrics): Unit =
+    spark.sparkContext.removeSparkListener(l)
 }

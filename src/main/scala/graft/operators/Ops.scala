@@ -309,9 +309,14 @@ object Ops {
     * [[deterministicSample]]), so membership survives repartitioning,
     * task retries, and AQE re-plans, and reruns are reproducible.
     * `u = (h mod 2^32 + 1) / (2^32 + 1)` never hits 0 or 1, so the log
-    * is always finite. Rows with NULL or non-positive weight cannot win
-    * a race and are excluded (SQL-NULL semantics, documented over
-    * erroring: a quality score of 0 legitimately means "never sample").
+    * is always finite. Rows with NULL, NaN, or non-positive weight
+    * cannot win a race and are excluded (SQL-NULL semantics, documented
+    * over erroring: a quality score of 0 legitimately means "never
+    * sample"). The NaN exclusion is explicit because Spark orders NaN
+    * ABOVE every number — `NaN > 0` is true — so without the guard a
+    * 0/0-normalized quality score would survive the filter with a NaN
+    * race key that sorts last yet still wins once k exceeds the
+    * finite-weight row count.
     *
     * Scale shape: `ORDER BY key LIMIT k` plans as TakeOrderedAndProject
     * — a bounded top-k heap per partition and a k-bounded merge, no
@@ -335,7 +340,8 @@ object Ops {
     val h = pmod(xxhash64(struct(cols.map(col): _*), lit(seed)), lit(1L << 32))
     val u = (h.cast("double") + lit(1.0)) / lit((1L << 32).toDouble + 1.0)
     val key = -log(u) / col(weightCol).cast("double")
-    df.filter(col(weightCol).isNotNull && col(weightCol) > 0)
+    df.filter(col(weightCol).isNotNull && col(weightCol) > 0 &&
+        !isnan(col(weightCol).cast("double")))
       .orderBy(key.asc, struct(cols.map(col): _*).asc)
       .limit(k)
       .select(cols.map(col): _*)
@@ -362,7 +368,8 @@ object Ops {
     val h = pmod(xxhash64(rowStruct, lit(seed)), lit(1L << 32))
     val u = (h.cast("double") + lit(1.0)) / lit((1L << 32).toDouble + 1.0)
     val key = -log(u) / col(weightCol).cast("double")
-    df.filter(col(weightCol).isNotNull && col(weightCol) > 0)
+    df.filter(col(weightCol).isNotNull && col(weightCol) > 0 &&
+        !isnan(col(weightCol).cast("double")))
       .select(struct(key.as("__k"), rowStruct.as("__row")).as("__m")
         +: groupCols.map(col): _*)
       .groupBy(groupCols.map(col): _*)

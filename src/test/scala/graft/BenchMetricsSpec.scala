@@ -17,6 +17,7 @@ class BenchMetricsSpec extends SparkSpec {
 
   test("shuffle bytes attribute to the query that shuffled, narrow queries to ~zero") {
     val ml = BenchMetrics.attach(spark)
+    try {
 
     // shuffling query: groupBy over enough distinct long keys that the
     // exchange provably writes bytes
@@ -40,10 +41,12 @@ class BenchMetricsSpec extends SparkSpec {
     assert(narrow.shuffleWriteB == 0 && narrow.shuffleReadB == 0,
       s"narrow projection must attribute zero shuffle, got $narrow")
     assert(narrow.tasks >= 1, "the narrow query's own tasks still count")
+    } finally BenchMetrics.detach(spark, ml) // shared session: never leak
   }
 
   test("peak memory is a per-query mark after resetPeak, and spill stays zero here") {
     val ml = BenchMetrics.attach(spark)
+    try {
     ml.resetPeak()
     val s0 = ml.snapshot()
     force(spark.range(0L, 50000L, 1L, 4)
@@ -59,5 +62,6 @@ class BenchMetricsSpec extends SparkSpec {
     GraftBridge.drainListenerBus(spark)
     val tiny = ml.snapshot() - s1
     assert(tiny.peakTaskMemB <= d.peakTaskMemB)
+    } finally BenchMetrics.detach(spark, ml) // shared session: never leak
   }
 }

@@ -232,15 +232,27 @@ class OpsSpec extends SparkSpec {
     // must take the overwhelming share of the 120 winner slots
     val heavyShare = got.count(_._3 == 9L) / 120.0
     assert(heavyShare > 0.75, s"heavy-weight share $heavyShare")
-    // agreement with the global form when the group is constant
+    // with NO group columns the aggregation is global and the hash
+    // struct is identical to the TakeOrdered form's — the two paths
+    // must select the exact same winners
     val global = Ops.sampleWeighted(df, "w", k = 40, seed = 7L)
       .as[(Long, String, Long, String)].collect().toSet
-    val onegrp = Ops.sampleWeightedPerGroup(df.withColumn("c", lit(1)),
-      Seq("c"), "w", n = 40, seed = 7L)
-      .drop("c").as[(Long, String, Long, String)].collect().toSet
-    // NOTE: keys differ (the extra constant column changes the hash), so
-    // compare sizes only — the semantic check is the replay above
-    assert(onegrp.size == 40 && global.size == 40)
+    val viaAgg = Ops.sampleWeightedPerGroup(df, Seq.empty, "w", n = 40, seed = 7L)
+      .as[(Long, String, Long, String)].collect().toSet
+    assert(viaAgg == global)
+  }
+
+  test("sampleWeighted: NaN weights are excluded, not sorted-last winners") {
+    // Spark orders NaN above every number (NaN > 0 is TRUE), so without
+    // the explicit isnan guard a NaN-weight row would survive the
+    // filter and win once k exceeds the finite-weight row count
+    val df = Seq((1L, 2.0), (2L, Double.NaN), (3L, 0.5), (4L, Double.NaN))
+      .toDF("id", "w")
+    val got = Ops.sampleWeighted(df, "w", k = 10).as[(Long, Double)].collect()
+    assert(got.map(_._1).toSet == Set(1L, 3L), got.mkString(","))
+    val gotG = Ops.sampleWeightedPerGroup(df, Seq.empty, "w", n = 10)
+      .as[(Long, Double)].collect()
+    assert(gotG.map(_._1).toSet == Set(1L, 3L), gotG.mkString(","))
   }
 
   test("sampleWeighted: adjacent race keys carry margins far above the ln ulp bound") {
