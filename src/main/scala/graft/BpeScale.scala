@@ -71,11 +71,16 @@ object BpeScale {
         println(f"[bpe-scale] merge=$rank%4d  ${ms}%6d ms")
       })
     val totalS = (System.nanoTime() - t0) / 1e9
+    // a degenerate corpus (single-char vocab -> no adjacent pairs) can
+    // complete zero merges; the summary must not divide by an empty
+    // window
+    def avg(xs: collection.Seq[Long]): String =
+      if (xs.isEmpty) "n/a" else s"${xs.sum / xs.size} ms"
     val head = times.take(8).map(_._2)
     val tail = times.takeRight(8).map(_._2)
     println(f"[bpe-scale] nDocs=$nDocs vocab=$vocab dictWords=$nWords " +
       f"merges=${merges.size} total=$totalS%.1f s censusFloor=${censusMs} ms " +
-      f"first8avg=${head.sum / head.size} ms last8avg=${tail.sum / tail.size} ms")
+      f"first8avg=${avg(head)} last8avg=${avg(tail)}")
     spark.stop()
   }
 }

@@ -35,15 +35,21 @@ object Queries {
     * overwrites by construction: `mode("overwrite")` writes,
     * `Files.write` blob-per-object with deterministic names). The whole
     * root is removed recursively on JVM exit. */
+  /** Recursive delete, LOUD on failure when `warn`: a partially failed
+    * wipe (a file still held open by an executor) would silently
+    * reintroduce the stale-corpus hazard the wipe exists to prevent. */
+  private def deleteRecursively(f: java.io.File, warn: Boolean): Unit = {
+    val cs = f.listFiles(); if (cs != null) cs.foreach(deleteRecursively(_, warn))
+    if (!f.delete() && f.exists() && warn)
+      System.err.println(s"[graft] scratch wipe left $f behind — " +
+        "stale files may shadow the current corpus")
+  }
+
   private lazy val scratchRoot: java.nio.file.Path = {
     val p = java.nio.file.Files.createTempDirectory("graft_scratch_")
-    Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      def rm(f: java.io.File): Unit = {
-        val cs = f.listFiles(); if (cs != null) cs.foreach(rm)
-        f.delete(): Unit
-      }
-      rm(p.toFile)
-    }))
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      deleteRecursively(p.toFile, warn = false) // exiting anyway
+    ))
     p
   }
 
@@ -53,13 +59,7 @@ object Queries {
     // JVM ever ran the same query against two sfDirs (different doc_id
     // sets), directory-listing consumers (q_binary_ingest's read-back)
     // would otherwise see stale blobs from the earlier corpus
-    if (java.nio.file.Files.exists(d)) {
-      def rm(f: java.io.File): Unit = {
-        val cs = f.listFiles(); if (cs != null) cs.foreach(rm)
-        f.delete(): Unit
-      }
-      rm(d.toFile)
-    }
+    if (java.nio.file.Files.exists(d)) deleteRecursively(d.toFile, warn = true)
     java.nio.file.Files.createDirectories(d)
     d.toString
   }

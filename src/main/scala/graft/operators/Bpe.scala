@@ -132,11 +132,17 @@ object Bpe {
     // configuration (uncapped giant dictionaries), stays hash-checked
     // by q_bpe_train_capped forcing localDictLimit = 0, and BpeSpec
     // pins both paths against the same in-memory reference.
-    if (localDictLimit > 0 &&
-        capped.select(col("w")).limit(localDictLimit + 1).count() <= localDictLimit) {
-      val d = capped.select(col("w"), col("cnt")).collect()
-        .map(r => (r.getString(0), r.getLong(1)))
-      return trainLocal(d, numMerges, onMerge)
+    if (localDictLimit > 0) {
+      // ONE census job gates AND fetches: collect limit+1 rows — if the
+      // budget row arrives, the dictionary is over budget and the rows
+      // are discarded for the distributed path (a separate count()
+      // would run the corpus-wide census twice back-to-back)
+      val probe = capped.select(col("w"), col("cnt"))
+        .limit(localDictLimit + 1).collect()
+      if (probe.length <= localDictLimit) {
+        val d = probe.map(r => (r.getString(0), r.getLong(1)))
+        return trainLocal(d, numMerges, onMerge)
+      }
     }
     var dict = capped.localCheckpoint()
     // the maintained (a, b, c) pair-count frame: full census once

@@ -154,7 +154,6 @@ cent = unit[np.argsort(ids)][:N_CENT].copy()
 assign_margins = []
 for it in range(ITERS):
     dots = np.array([[seq_dot(v, c) for c in cent] for v in unit])
-    top = np.argsort(-dots + np.arange(N_CENT) * 1e-18, axis=1)
     best = dots.max(axis=1)
     second = np.partition(dots, -2, axis=1)[:, -2]
     assign_margins.append(float((best - second).min()))
