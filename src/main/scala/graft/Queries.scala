@@ -2748,6 +2748,45 @@ object Queries {
            |ORDER BY cnt DESC, token ASC
            |LIMIT 10""".stripMargin))
 
+  /** Persisted-sketch distinct counting — the "sketch once, merge
+    * forever" shape a 100 TB profile pipeline actually runs: stage 1
+    * (the per-ingest job) aggregates one DataSketches HLL sketch per
+    * (source, lang) cell and PERSISTS the sketches (a few KB each —
+    * the corpus is never re-read); stage 2 (any later rollup) unions
+    * the persisted sketches across sources per lang and estimates.
+    * Spark's `hll_sketch_agg` / `hll_union_agg` / `hll_sketch_estimate`
+    * (Apache DataSketches HllSketch) make the merge associative —
+    * tomorrow's ingest appends one sketch row, and every historical
+    * rollup stays valid without touching historical data.
+    *
+    * Audit contract = [[qApproxDistinct]]'s: each per-lang estimate is
+    * gated within 5% of the exact distinct computed in-plan, the gate
+    * filters to zero rows on drift, and the oracle-compared output is
+    * the exact column (sketch estimates are implementation-defined;
+    * the gate is what makes rows>0 evidence). */
+  private val qHllPersisted = Q("q_hll_persisted",
+    (s, dir) => {
+      val out = scratch("q_hll_persisted")
+      val fp = TF.contentFingerprint(col("text"))
+      val docs = t(s, dir, "documents")
+      docs.groupBy(col("source"), col("lang"))
+        .agg(hll_sketch_agg(TF.contentFingerprint(col("text")), 14).as("sketch"))
+        .write.mode("overwrite").parquet(s"$out/sketches")
+      val merged = s.read.parquet(s"$out/sketches")
+        .groupBy(col("lang"))
+        .agg(hll_sketch_estimate(hll_union_agg(col("sketch")))
+          .as("__approx"))
+      val exact = docs.groupBy(col("lang"))
+        .agg(countDistinct(fp).as("n_exact"))
+      merged.join(exact, Seq("lang"))
+        .filter(Ops.withinTolerance(col("__approx"), col("n_exact"), 0.05))
+        .select(col("lang"), col("n_exact").cast("bigint").as("n_exact"))
+    },
+    Some("""SELECT lang,
+           |       CAST(count(DISTINCT md5(lower(regexp_replace(trim(text),
+           |            '[ \t\n\x0B\f\r]+', ' ', 'g')))) AS BIGINT) AS n_exact
+           |FROM documents GROUP BY 1""".stripMargin))
+
   private val qApproxDistinct = Q("q_approx_distinct",
     (s, dir) => {
       val fp = TF.contentFingerprint(col("text"))
@@ -3437,7 +3476,7 @@ object Queries {
     qQualityGate, qImageMeta, qMixtureWeights, qLabelConfusion,
     qDecontaminateEmbed,
     qDupSpans, qDupSpansSalted, qIncrementalDedup, qIncrementalMinhash,
-    qHybridRrf, qApproxDistinct, qApproxQuantiles,
+    qHybridRrf, qApproxDistinct, qHllPersisted, qApproxQuantiles,
     qDecontaminateBloom, qLmScore, qEventAttribution, qUpsert, qScd2,
     qZorder, qHilbert, qBpeTrain, qBpeTrainCapped, qBpeEncode, qImportance,
     qSampleGroup, qSampleBernoulli, qSampleWeighted, qSampleWeightedGroup, qScd2Multi, qSnapshotDiff, qTrainingOrder, qBlocklist,
