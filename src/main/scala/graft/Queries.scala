@@ -1670,6 +1670,93 @@ object Queries {
       .otherwise(fullHex))
   }
 
+  /** MP4 container with a 4-frame MJPEG video track, assembled in-plan:
+    * ftyp + mdat (4 single-MCU grayscale JPEGs, frame f of doc id
+    * carrying flat value v = (id + 7f) mod 32 + 32) + moov whose stbl
+    * declares stsd('jpeg'), fixed-size stsz, one stsc run, and an stco
+    * pointing at byte 24 (mdat content — constant because every header
+    * before it is). Every 9th doc is garbage (the corrupt channel).
+    * All box sizes are closed-form from the gray JPEG fixture length. */
+  private def constructedMjpegMp4Blob(id: Column): Column = {
+    def h2(c: Column): Column = lpad(hex(c), 2, "0")
+    def be32(n: Long): String = f"$n%08X"
+    val z = "00000000"
+    val (grayHead, _, grayLen, _) = jpegFixture
+    val frames = (0 until 4).map { f =>
+      val v = (pmod(id + lit(7 * f), lit(32)) + 32).cast("int")
+      concat(lit(grayHead), h2(shiftright(v, 2) + lit(224)),
+        h2(v.bitwiseAND(lit(3)) * 64 + lit(43)), lit("FFD9"))
+    }
+    val mdat = concat(lit(be32(8 + 4L * grayLen) + "6D646174"), concat(frames: _*))
+    val stsd = be32(24) + "73747364" + z + be32(1) + be32(8) + "6A706567"
+    val stsz = be32(20) + "7374737A" + z + be32(grayLen.toLong) + be32(4)
+    val stsc = be32(28) + "73747363" + z + be32(1) + be32(1) + be32(4) + be32(1)
+    val stco = be32(20) + "7374636F" + z + be32(1) + be32(24)
+    val stbl = be32(100) + "7374626C" + stsd + stsz + stsc + stco
+    val minf = be32(108) + "6D696E66" + stbl
+    val hdlr = be32(33) + "68646C72" + z + z + "76696465" + z * 3 + "00"
+    val mdhd = be32(32) + "6D646864" + z + z + z + be32(90000) + be32(12000) + z
+    val mdia = be32(181) + "6D646961" + mdhd + hdlr + minf
+    val trak = be32(189) + "7472616B" + mdia
+    val mvhd = be32(108) + "6D766864" + z + z + z + be32(600) + be32(2400) + z * 20
+    val moov = be32(305) + "6D6F6F76" + mvhd + trak
+    val good = concat(lit(be32(16) + "66747970" + "69736F6D" + z), mdat, lit(moov))
+    unhex(when(pmod(id, lit(9)) === 0, lit("DEADBEEF00112233")).otherwise(good))
+  }
+
+  /** Video PIXEL decode for the MJPEG codec class — the capability that
+    * retires the last codec stub for self-contained-frame video:
+    * in-plan MP4s carry a 4-frame MJPEG track; the codegen
+    * [[org.apache.spark.sql.MjpegFrames]] expression slices the
+    * samples out via the stsd/stsz/stsc/stco walk; each frame then
+    * rides the EXISTING baseline-JPEG decode
+    * ([[Multimodal.raster]] → [[graft.functions.JpegKernels]]) to
+    * per-frame dimensions and channel means. DuckDB predicts every
+    * value from the construction arithmetic (flat gray frames decode
+    * to exact integer means, no rounding-parity risk), so
+    * build → demux → decode → features is hash-checked end to end.
+    * Corrupt containers keep one visible NULL row (posexplode_outer).
+    * Compressed codecs (avc1, …) remain a declared refusal — NULL from
+    * the extractor, never a fake decode. */
+  private val qVideoFrames = Q("q_video_frames",
+    (s, dir) => {
+      val fr = t(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.operators.Multimodal.mjpegFrames(
+            constructedMjpegMp4Blob(col("doc_id"))).as("frames"))
+        .select(col("doc_id"), posexplode_outer(col("frames")).as(Seq("fi", "frame")))
+      // featurize carries ONE id column — pack (doc, frame) into it
+      // (4 frames < 8); corrupt docs' null fi packs as frame 0
+      val packed = fr.select(
+        (col("doc_id") * 8 + coalesce(col("fi"), lit(0))).as("fid"),
+        col("frame"))
+      val feats = rasterFeatures(Multimodal.featurize(packed, "fid", "frame",
+        dim = 5, decoder = Multimodal.raster))
+      feats.select(
+        (col("media_id") / 8).cast("bigint").as("doc_id"),
+        pmod(col("media_id"), lit(8)).cast("bigint").as("frame_idx"),
+        col("n_bytes"), col("width"), col("height"),
+        col("mean_r"), col("mean_g"), col("mean_b"))
+    },
+    Some(s"""WITH p AS (SELECT doc_id, doc_id % 9 = 0 AS corrupt FROM documents),
+            |f AS (SELECT doc_id, unnest(range(0, 4)) AS fi FROM p WHERE NOT corrupt),
+            |good AS (
+            |  SELECT doc_id, fi AS frame_idx,
+            |         ${jpegFixture._3} AS n_bytes, 8 AS width, 8 AS height,
+            |         round(CAST(128 + (doc_id + 7 * fi) % 32 + 32 AS DOUBLE), 6) AS m
+            |  FROM f),
+            |corrupt AS (
+            |  SELECT doc_id, 0 AS frame_idx, 0 AS n_bytes,
+            |         NULL AS width, NULL AS height, NULL AS m
+            |  FROM p WHERE corrupt)
+            |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+            |       CAST(frame_idx AS BIGINT) AS frame_idx,
+            |       CAST(n_bytes AS BIGINT) AS n_bytes,
+            |       CAST(width AS BIGINT) AS width,
+            |       CAST(height AS BIGINT) AS height,
+            |       m AS mean_r, m AS mean_g, m AS mean_b
+            |FROM (SELECT * FROM good UNION ALL SELECT * FROM corrupt)""".stripMargin))
+
   /** REAL JPEG decode under the oracle gate ([[graft.functions
     * .JpegKernels]] — the round-8 baseline decoder that retires the
     * codec stub for stills): constructed single-MCU JPEGs are decoded
@@ -3482,5 +3569,5 @@ object Queries {
     qSampleGroup, qSampleBernoulli, qSampleWeighted, qSampleWeightedGroup, qScd2Multi, qSnapshotDiff, qTrainingOrder, qBlocklist,
     qApproxTopk, qAudioFeatures, qIncrementalEmbedding, qSplitClusterSafe,
     qIngestRouted, qBinaryIngest, qLineDedupWithin, qProfile, qJpegFeatures,
-    qRepeatMixture, qScd2Lookup, qVideoStats)
+    qRepeatMixture, qScd2Lookup, qVideoStats, qVideoFrames)
 }

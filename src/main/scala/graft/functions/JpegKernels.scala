@@ -2,8 +2,12 @@ package graft.functions
 
 /** Baseline-sequential JPEG decode, pure JVM — no codec library. This
   * retires the last decode stub: with it, every raster family the
-  * engine featurizes (BMP, PPM, PGM, and now JPEG) decodes for real,
-  * and only video (MP4 pixel data) remains stubbed.
+  * engine featurizes (BMP, PPM, PGM, and now JPEG) decodes for real.
+  * Video pixels decode for the MJPEG codec class too (round 9:
+  * [[MediaKernels.mjpegFrames]] demuxes ISO-BMFF samples and each
+  * frame rides THIS decoder); compressed codecs (H.264/H.265, …)
+  * remain a declared refusal — a pure-JVM implementation of those is
+  * out of scope, and the extractor returns NULL rather than faking it.
   *
   * Scope (honestly bounded): SOF0 baseline DCT, 8-bit samples, 1 or 3
   * components, sampling factors 1 or 2 per axis, 8-bit DQT tables,

@@ -240,6 +240,122 @@ object MediaKernels {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(rows.toArray)
   }
 
+  /** Video FRAME extraction for MJPEG tracks — sample bytes sliced out
+    * of the container so each frame is an independent baseline JPEG
+    * that [[JpegKernels]] decodes: the ISO-BMFF sample machinery
+    * (`stsd` codec gate, `stsz` sizes, `stsc` sample-to-chunk runs,
+    * `stco`/`co64` chunk offsets) with NO codec work of its own.
+    *
+    * Scope: tracks whose first `stsd` entry is `jpeg`/`mjpa`
+    * (QuickTime-style motion JPEG — every sample self-contained);
+    * compressed-codec tracks (avc1, hvc1, …) return NULL, the same
+    * honest refusal the JPEG decoder gives progressive scans. Any
+    * structural inconsistency — missing table, sample range outside
+    * the blob, `stsc` not starting at chunk 1, declared samples the
+    * chunks cannot hold — returns NULL for the whole blob rather than
+    * a partial frame list that would read as a shorter video.
+    * Declared-count caps (4096 samples/chunks/runs) bound the work a
+    * crafted header can demand; the copied bytes are bounded by the
+    * blob itself.
+    */
+  def mjpegFrames(b: Array[Byte]): org.apache.spark.sql.catalyst.util.ArrayData = {
+    if (b == null || b.length < 16) return null
+    val MaxEntries = 4096
+    var brand = false
+    var moovS = -1
+    var moovE = -1
+    walkBoxes(b, 0, b.length) { (t, s, e) =>
+      if (t == "ftyp" && s + 4 <= e) brand = true
+      if (t == "moov" && moovS < 0) { moovS = s; moovE = e }
+    }
+    if (!brand || moovS < 0) return null
+    // first MJPEG trak wins; others (sound, compressed video) skipped
+    var found = false
+    var fixedSize = -1L
+    var nSamples = -1L
+    var sizes: Array[Long] = null
+    var offsets: Array[Long] = null
+    var runs: Array[(Long, Long)] = null // (first_chunk 1-based, samples_per_chunk)
+    walkBoxes(b, moovS, moovE) { (t, s, e) =>
+      if (t == "trak" && !found) {
+        var mjpeg = false
+        var fx = -1L
+        var ns = -1L
+        var sz: Array[Long] = null
+        var off: Array[Long] = null
+        var rn: Array[(Long, Long)] = null
+        walkBoxes(b, s, e) { (t2, s2, e2) =>
+          if (t2 == "mdia") walkBoxes(b, s2, e2) { (t3, s3, e3) =>
+            if (t3 == "minf") walkBoxes(b, s3, e3) { (t4, s4, e4) =>
+              if (t4 == "stbl") walkBoxes(b, s4, e4) { (t5, s5, e5) =>
+                if (t5 == "stsd" && s5 + 16 <= e5) {
+                  val fourcc = new String(b, s5 + 12, 4,
+                    java.nio.charset.StandardCharsets.ISO_8859_1)
+                  mjpeg = fourcc == "jpeg" || fourcc == "mjpa"
+                }
+                if (t5 == "stsz" && ns < 0 && s5 + 12 <= e5) {
+                  fx = beI32(b, s5 + 4).toLong & 0xffffffffL
+                  ns = beI32(b, s5 + 8).toLong & 0xffffffffL
+                  if (fx == 0) {
+                    if (ns <= MaxEntries && s5 + 12 + 4 * ns <= e5) {
+                      sz = Array.tabulate(ns.toInt)(i =>
+                        beI32(b, s5 + 12 + 4 * i).toLong & 0xffffffffL)
+                    } else ns = -2 // truncated table / over cap: poison
+                  }
+                }
+                if (t5 == "stco" && off == null && s5 + 8 <= e5) {
+                  val n = beI32(b, s5 + 4).toLong & 0xffffffffL
+                  if (n <= MaxEntries && s5 + 8 + 4 * n <= e5)
+                    off = Array.tabulate(n.toInt)(i =>
+                      beI32(b, s5 + 8 + 4 * i).toLong & 0xffffffffL)
+                }
+                if (t5 == "co64" && off == null && s5 + 8 <= e5) {
+                  val n = beI32(b, s5 + 4).toLong & 0xffffffffL
+                  if (n <= MaxEntries && s5 + 8 + 8 * n <= e5)
+                    off = Array.tabulate(n.toInt)(i => beI64(b, s5 + 8 + 8 * i))
+                }
+                if (t5 == "stsc" && rn == null && s5 + 8 <= e5) {
+                  val n = beI32(b, s5 + 4).toLong & 0xffffffffL
+                  if (n <= MaxEntries && s5 + 8 + 12 * n <= e5)
+                    rn = Array.tabulate(n.toInt)(i => (
+                      beI32(b, s5 + 8 + 12 * i).toLong & 0xffffffffL,
+                      beI32(b, s5 + 12 + 12 * i).toLong & 0xffffffffL))
+                }
+              }
+            }
+          }
+        }
+        if (mjpeg) {
+          found = true
+          fixedSize = fx; nSamples = ns; sizes = sz; offsets = off; runs = rn
+        }
+      }
+    }
+    if (!found || nSamples < 0 || nSamples > MaxEntries) return null
+    if (fixedSize == 0 && sizes == null) return null
+    if (offsets == null || runs == null) return null
+    if (runs.isEmpty || runs(0)._1 != 1) return null // stsc must cover chunk 1
+    val frames = new scala.collection.mutable.ArrayBuffer[Any](nSamples.toInt)
+    var sample = 0
+    var run = 0
+    var chunk = 1L
+    while (chunk <= offsets.length && sample < nSamples) {
+      while (run + 1 < runs.length && runs(run + 1)._1 <= chunk) run += 1
+      val spc = runs(run)._2
+      var off = offsets(chunk.toInt - 1)
+      var i = 0L
+      while (i < spc && sample < nSamples) {
+        val len = if (fixedSize != 0) fixedSize else sizes(sample)
+        if (off < 0 || len <= 0 || off + len > b.length) return null
+        frames += java.util.Arrays.copyOfRange(b, off.toInt, (off + len).toInt)
+        off += len; i += 1; sample += 1
+      }
+      chunk += 1
+    }
+    if (sample < nSamples) return null // chunks can't hold the declared count
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(frames.toArray)
+  }
+
   /** (format, width, height) from the blob's container header, or NULL
     * when the blob matches no known magic / is truncated before its
     * dimension fields. Formats: png, gif, bmp, jpeg.

@@ -68,6 +68,19 @@ object Multimodal {
     GraftBridge.column(VTS(GraftBridge.expression(blob)))
   }
 
+  /** REAL video PIXEL path for the MJPEG codec class: array of
+    * per-sample byte slices cut by the stsd/stsz/stsc/stco walk — each
+    * an independent baseline JPEG, so explode + the existing
+    * [[raster]] decoder yields decoded FRAMES with no new codec code.
+    * NULL for non-BMFF blobs, compressed-codec tracks (avc1, …), or
+    * structurally inconsistent sample tables (honest refusal, same
+    * contract as the JPEG decoder's progressive-scan NULL).
+    */
+  def mjpegFrames(blob: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.{GraftBridge, MjpegFrames => MJF}
+    GraftBridge.column(MJF(GraftBridge.expression(blob)))
+  }
+
   /** Decoder contract: one BATCH of blobs in, one feature vector per
     * blob out — the shape a vectorized codec / GPU embedder actually
     * wants (amortized model invocation per batch, not per row). The

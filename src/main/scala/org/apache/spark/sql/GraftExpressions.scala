@@ -298,6 +298,33 @@ case class VideoTrackStats(child: Expression)
     copy(child = newChild)
 }
 
+/** MJPEG frame extraction: the ISO-BMFF sample tables (stsd gate, stsz,
+  * stsc, stco/co64) sliced into per-sample byte arrays — each one an
+  * independent baseline JPEG for the existing decode path. See
+  * [[graft.functions.MediaKernels.mjpegFrames]] for the scope contract
+  * (jpeg/mjpa tracks only; structural inconsistency ⇒ NULL blob-wide).
+  */
+case class MjpegFrames(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
+  override def dataType: DataType = ArrayType(BinaryType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "mjpeg_frames"
+
+  override protected def nullSafeEval(v: Any): Any =
+    graft.functions.MediaKernels.mjpegFrames(v.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.MediaKernels.mjpegFrames($c);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
+
+  override protected def withNewChildInternal(newChild: Expression): MjpegFrames =
+    copy(child = newChild)
+}
+
 object RepetitionCounts {
   val schema: StructType = StructType(Seq(
     StructField("n_tokens", LongType, nullable = false),

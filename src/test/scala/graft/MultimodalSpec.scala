@@ -224,6 +224,71 @@ class MultimodalSpec extends SparkSpec {
     assert(out((3L, -1)) == Seq(null, null, null, null, null)) // null blob
   }
 
+  test("mjpegFrames: multi-chunk stsc/stco demux, codec gate, structural refusals") {
+    def box(typ: String, content: Array[Byte]): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(8 + content.length)
+      b.putInt(8 + content.length).put(typ.getBytes("ISO-8859-1")).put(content)
+      b.array()
+    }
+    def be(ints: Int*): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(4 * ints.length)
+      ints.foreach(b.putInt); b.array()
+    }
+    val hdlr = box("hdlr",
+      be(0, 0) ++ "vide".getBytes("ISO-8859-1") ++ be(0, 0, 0) ++ Array(0.toByte))
+    def stsd(fourcc: String) =
+      box("stsd", be(0, 1) ++ be(8) ++ fourcc.getBytes("ISO-8859-1"))
+    // five planted "frames": distinct recognizable payloads of sizes
+    // 3, 4, 2, 5, 1 — chunk 1 holds frames 0-1, chunk 2 holds 2-3,
+    // chunk 3 holds frame 4 (two stsc runs: 2-per-chunk then 1)
+    val payloads = Seq("AAA", "BBBB", "CC", "DDDDD", "E").map(_.getBytes)
+    val ftyp = box("ftyp", be(0x69736f6d, 0))
+    val mdatContent = payloads.flatten.toArray
+    val mdat = box("mdat", mdatContent)
+    val base = ftyp.length + 8 // mdat content offset
+    val off1 = base                                   // AAA BBBB
+    val off2 = base + 7                               // CC DDDDD
+    val off3 = base + 14                              // E
+    def stbl(fourcc: String) = box("stbl",
+      stsd(fourcc) ++
+        box("stsz", be(0, 0, 5, 3, 4, 2, 5, 1)) ++
+        box("stsc", be(0, 2, /*run1*/ 1, 2, 1, /*run2*/ 3, 1, 1)) ++
+        box("stco", be(0, 3, off1, off2, off3)))
+    def mp4(fourcc: String) = ftyp ++ mdat ++
+      box("moov", box("trak", box("mdia",
+        box("mdhd", be(0, 0, 0, 90000, 450000, 0)) ++ hdlr ++
+          box("minf", stbl(fourcc)))))
+    val frames = graft.functions.MediaKernels.mjpegFrames(mp4("jpeg"))
+    assert(frames != null && frames.numElements() == 5)
+    (0 until 5).foreach { i =>
+      assert(java.util.Arrays.equals(
+        frames.getBinary(i), payloads(i)), s"frame $i")
+    }
+    // compressed-codec track: honest NULL, not garbage slices
+    assert(graft.functions.MediaKernels.mjpegFrames(mp4("avc1")) == null)
+    // structural refusals: declared samples the chunks can't hold, and
+    // a sample range outside the blob
+    def refusalMp4(stszInts: Seq[Int], stscInts: Seq[Int], stcoInts: Seq[Int]) = {
+      val tables = stsd("jpeg") ++ box("stsz", be(stszInts: _*)) ++
+        box("stsc", be(stscInts: _*)) ++ box("stco", be(stcoInts: _*))
+      ftyp ++ mdat ++ box("moov", box("trak", box("mdia",
+        box("mdhd", be(0, 0, 0, 90000, 1, 0)) ++ hdlr ++
+          box("minf", box("stbl", tables)))))
+    }
+    // declared samples the chunks can't hold
+    val tooMany = refusalMp4(
+      Seq(0, 0, 9, 3, 4, 2, 5, 1, 1, 1, 1, 1),
+      Seq(0, 1, 1, 2, 1), Seq(0, 3, off1, off2, off3))
+    assert(graft.functions.MediaKernels.mjpegFrames(tooMany) == null)
+    // sample range outside the blob
+    val outOfRange = refusalMp4(
+      Seq(0, 0, 1, 100000), Seq(0, 1, 1, 1, 1), Seq(0, 1, off1))
+    assert(graft.functions.MediaKernels.mjpegFrames(outOfRange) == null)
+    // non-BMFF and null
+    assert(graft.functions.MediaKernels.mjpegFrames("junk".getBytes) == null)
+    assert(graft.functions.MediaKernels.mjpegFrames(null) == null)
+  }
+
   test("media walkers survive crafted and degenerate headers (no crash, no garbage)") {
     // WAV with a junk chunk whose size is Int.MaxValue-16: an Int cursor
     // would wrap negative and throw ArrayIndexOutOfBounds

@@ -231,6 +231,23 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("ExistingRDD"), p)
   }
 
+  test("q_video_frames: demux + decode is narrow — neither containers nor frames shuffle") {
+    val p = plan("q_video_frames")
+    // the mjpeg_frames slice + explode live inside featurize's RDD
+    // lineage (like q_jpeg_features' decode), so the visible plan is
+    // projection over the decoded RDD — an Exchange anywhere here
+    // would move binary video data across the cluster
+    assert(!p.contains("Exchange"), p)
+    assert(p.contains("ExistingRDD"), p)
+    // the demux expression IS in the pre-featurize plan — pin it there
+    val dir = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val demux = docs.select(graft.operators.Multimodal.mjpegFrames(
+      org.apache.spark.sql.functions.col("text").cast("binary")))
+    val dp = demux.queryExecution.executedPlan.toString
+    assert(dp.contains("mjpeg_frames") && !dp.contains("Exchange"), dp)
+  }
+
   test("q_bpe_encode: the apply is one narrow pass — merges ride the expression, no join") {
     val p = plan("q_bpe_encode")
     // training happened driver-side before this plan was built; the
