@@ -1603,6 +1603,89 @@ object Queries {
            |       END AS peak
            |FROM p""".stripMargin))
 
+  /** G.711 telephony audio decode under the oracle — REAL µ-law
+    * (format 7, even docs) and A-law (format 6, odd docs) expansion via
+    * [[graft.functions.AudioKernels]]'s pure-arithmetic ITU-T G.711
+    * tables: constructed mono 8 kHz WAVs whose companded bytes follow a
+    * closed formula, so DuckDB replays the segment+mantissa+bias
+    * expansion bit-for-bit (amplitudes are /2^15-scaled integers —
+    * every division is a power of two except the sample-count mean,
+    * which rounds identically in both engines). Every 7th blob
+    * truncated mid-header → NULL stats, visible row. */
+  private val qAudioG711 = Q("q_audio_g711",
+    (s, dir) => {
+      def h2(c: Column): Column = lpad(hex(c), 2, "0")
+      def le16h(c: Column): Column =
+        concat(h2(c.bitwiseAND(lit(255))), h2(shiftright(c, 8).bitwiseAND(lit(255))))
+      def le32h(c: Column): Column = concat(
+        h2(c.bitwiseAND(lit(255))),
+        h2(shiftright(c, 8).bitwiseAND(lit(255))),
+        h2(shiftright(c, 16).bitwiseAND(lit(255))),
+        h2(shiftright(c, 24).bitwiseAND(lit(255))))
+      val id = col("doc_id")
+      val n = (lit(16) + pmod(id, lit(3)) * 8).cast("int") // 16/24/32 frames
+      val fmt = when(pmod(id, lit(2)) === 0, 7).otherwise(6).cast("int")
+      val dataHex = array_join(
+        transform(sequence(lit(0), n - 1),
+          i => h2(pmod(id * 13 + i * 29, lit(256)))), "")
+      val wavHex = concat(
+        lit("52494646"), le32h(lit(36) + n), lit("57415645"),
+        lit("666D7420"), le32h(lit(16)), le16h(fmt), le16h(lit(1)),
+        le32h(lit(8000)), le32h(lit(8000)), le16h(lit(1)), le16h(lit(8)),
+        lit("64617461"), le32h(n), dataHex)
+      val blobHex = when(pmod(id, lit(7)) === 0,
+        substring(wavHex, 1, 50)).otherwise(wavHex)
+      val media = t(s, dir, "documents")
+        .select(col("doc_id"), unhex(blobHex).as("blob"))
+      Multimodal.featurize(media, "doc_id", "blob", dim = 5,
+          decoder = Multimodal.pcm)
+        .select(col("media_id").cast("bigint").as("media_id"),
+          col("n_bytes").cast("bigint").as("n_bytes"),
+          get(col("feature"), lit(0)).cast("bigint").as("channels"),
+          get(col("feature"), lit(1)).cast("bigint").as("sample_rate"),
+          get(col("feature"), lit(2)).cast("bigint").as("n_frames"),
+          round(get(col("feature"), lit(3)).cast("double"), 6).as("mean_abs"),
+          round(get(col("feature"), lit(4)).cast("double"), 6).as("peak"))
+    },
+    Some("""WITH p AS (
+           |  SELECT doc_id, 16 + (doc_id % 3) * 8 AS n,
+           |         doc_id % 2 = 0 AS mu, doc_id % 7 = 0 AS trunc
+           |  FROM documents),
+           |s AS (
+           |  SELECT doc_id, n, mu, (doc_id * 13 + i * 29) % 256 AS bv
+           |  FROM p, (SELECT unnest(range(0, 32)) AS i) WHERE i < n AND NOT trunc),
+           |lin AS (
+           |  SELECT doc_id, n,
+           |    CASE WHEN mu THEN
+           |      CASE WHEN (255 - bv) >= 128
+           |           THEN 132 - ((((255 - bv) % 16) * 8 + 132) * (1 << (((255 - bv) // 16) % 8)))
+           |           ELSE ((((255 - bv) % 16) * 8 + 132) * (1 << (((255 - bv) // 16) % 8))) - 132 END
+           |    ELSE
+           |      CASE WHEN xor(bv, 85) >= 128 THEN 1 ELSE -1 END *
+           |      CASE WHEN ((xor(bv, 85) // 16) % 8) = 0 THEN (xor(bv, 85) % 16) * 16 + 8
+           |           WHEN ((xor(bv, 85) // 16) % 8) = 1 THEN (xor(bv, 85) % 16) * 16 + 264
+           |           ELSE ((xor(bv, 85) % 16) * 16 + 264) * (1 << (((xor(bv, 85) // 16) % 8) - 1)) END
+           |    END AS v
+           |  FROM s),
+           |agg AS (
+           |  -- the engine's feature vector is FLOAT32 (Multimodal
+           |  -- featureSchema), so the double mean is squeezed through a
+           |  -- float before the 6-digit round — mirror that cast here
+           |  -- (peak has <= 15 significand bits and is float-exact, but
+           |  -- gets the same treatment for uniformity)
+           |  SELECT doc_id,
+           |         round(CAST(CAST(avg(abs(v)) / 32768 AS REAL) AS DOUBLE), 6) AS mean_abs,
+           |         round(CAST(CAST(max(abs(v)) / 32768.0 AS REAL) AS DOUBLE), 6) AS peak
+           |  FROM lin GROUP BY doc_id)
+           |SELECT CAST(p.doc_id AS BIGINT) AS media_id,
+           |       CAST(CASE WHEN trunc THEN 25 ELSE 44 + n END AS BIGINT) AS n_bytes,
+           |       CASE WHEN trunc THEN NULL ELSE CAST(1 AS BIGINT) END AS channels,
+           |       CASE WHEN trunc THEN NULL ELSE CAST(8000 AS BIGINT) END AS sample_rate,
+           |       CASE WHEN trunc THEN NULL ELSE CAST(n AS BIGINT) END AS n_frames,
+           |       CASE WHEN trunc THEN NULL ELSE agg.mean_abs END AS mean_abs,
+           |       CASE WHEN trunc THEN NULL ELSE agg.peak END AS peak
+           |FROM p LEFT JOIN agg ON p.doc_id = agg.doc_id""".stripMargin))
+
   /** Fixed JPEG segments for the [[qJpegFeatures]] fixtures: one 8x8
     * single-MCU baseline JPEG per doc — grayscale (1 component) for
     * even ids, 4:4:4 YCbCr (3 components) for odd — with the standard
@@ -3567,7 +3650,7 @@ object Queries {
     qDecontaminateBloom, qLmScore, qEventAttribution, qUpsert, qScd2,
     qZorder, qHilbert, qBpeTrain, qBpeTrainCapped, qBpeEncode, qImportance,
     qSampleGroup, qSampleBernoulli, qSampleWeighted, qSampleWeightedGroup, qScd2Multi, qSnapshotDiff, qTrainingOrder, qBlocklist,
-    qApproxTopk, qAudioFeatures, qIncrementalEmbedding, qSplitClusterSafe,
+    qApproxTopk, qAudioFeatures, qAudioG711, qIncrementalEmbedding, qSplitClusterSafe,
     qIngestRouted, qBinaryIngest, qLineDedupWithin, qProfile, qJpegFeatures,
     qRepeatMixture, qScd2Lookup, qVideoStats, qVideoFrames)
 }

@@ -1,11 +1,14 @@
 package graft.functions
 
-/** Sample decode for the audio format that needs NO codec — integer PCM
-  * inside a WAV/RIFF container (8-bit unsigned, 16-bit signed LE). The
-  * audio analog of [[RasterKernels]]: amplitude statistics come from
-  * real sample iteration, shrinking the honest multimodal decode stub
-  * to the genuinely codec-bound formats (MP3/AAC/Opus), which this
-  * sandbox cannot decode.
+/** Sample decode for the audio formats that need NO codec library —
+  * integer PCM (8-bit unsigned, 16-bit signed LE) and ITU-T G.711
+  * companded telephony audio (µ-law, format 7; A-law, format 6) inside
+  * a WAV/RIFF container. G.711 expansion is pure table arithmetic from
+  * the public spec (segment + mantissa + bias), so telephony corpora
+  * decode for real; the honest stub shrinks to the genuinely
+  * codec-bound formats (MP3/AAC/Opus), which this sandbox cannot
+  * decode. The audio analog of [[RasterKernels]]: amplitude statistics
+  * come from real sample iteration.
   *
   * Every parse failure — wrong magic, compressed/float payloads,
   * unsupported bit depth, truncated data — returns None rather than
@@ -31,6 +34,28 @@ object AudioKernels {
   private def leI32(b: Array[Byte], i: Int): Int =
     (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8) |
       ((b(i + 2) & 0xff) << 16) | ((b(i + 3) & 0xff) << 24)
+
+  /** ITU-T G.711 µ-law byte → linear 16-bit sample (range ±32124).
+    * Complement, then mantissa·8 + bias 0x84 shifted by the segment;
+    * sign from the complemented top bit. */
+  def ulawToLinear(byte: Int): Int = {
+    val u = (~byte) & 0xff
+    var t = ((u & 0x0f) << 3) + 0x84
+    t <<= (u & 0x70) >> 4
+    if ((u & 0x80) != 0) 0x84 - t else t - 0x84
+  }
+
+  /** ITU-T G.711 A-law byte → linear 16-bit sample (range ±32256).
+    * XOR 0x55, mantissa·16 plus the per-segment offset (8 in segment 0,
+    * 0x108 then doubling); sign INVERTED relative to µ-law's layout. */
+  def alawToLinear(byte: Int): Int = {
+    val a = (byte ^ 0x55) & 0xff
+    var t = (a & 0x0f) << 4
+    val seg = (a & 0x70) >> 4
+    if (seg == 0) t += 8
+    else { t += 0x108; if (seg > 1) t <<= seg - 1 }
+    if ((a & 0x80) != 0) t else -t
+  }
 
   /** Decode integer-PCM WAV. Unlike [[MediaKernels.audioMeta]] (which
     * reports a truncated blob's surviving frames — triage wants the
@@ -66,9 +91,10 @@ object AudioKernels {
       }
       i += 8L + size + (size & 1L)
     }
-    if (formatTag != 1 || channels <= 0 || channels > 64 || rate <= 0 ||
+    val pcm = formatTag == 1 && (bits == 8 || bits == 16)
+    val g711 = (formatTag == 6 || formatTag == 7) && bits == 8
+    if (!(pcm || g711) || channels <= 0 || channels > 64 || rate <= 0 ||
         dataOff < 0 || dataLen < 0) return None
-    if (bits != 8 && bits != 16) return None
     if (dataOff + dataLen > b.length) return None // truncated: refuse
     val bytesPerSample = bits / 8
     val frameBytes = channels.toLong * bytesPerSample
@@ -82,7 +108,9 @@ object AudioKernels {
     val end = (dataOff + nSamples * bytesPerSample).toInt
     while (p < end) {
       val v =
-        if (bits == 16) {
+        if (formatTag == 7) ulawToLinear(b(p) & 0xff) / 32768.0
+        else if (formatTag == 6) alawToLinear(b(p) & 0xff) / 32768.0
+        else if (bits == 16) {
           val s = ((b(p) & 0xff) | (b(p + 1) << 8)).toShort
           s / 32768.0
         } else (( b(p) & 0xff) - 128) / 128.0

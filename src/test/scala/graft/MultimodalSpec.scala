@@ -224,6 +224,48 @@ class MultimodalSpec extends SparkSpec {
     assert(out((3L, -1)) == Seq(null, null, null, null, null)) // null blob
   }
 
+  test("G.711 expansion hits the published anchor values; WAV decode routes by format tag") {
+    import graft.functions.AudioKernels
+    // µ-law: 0xFF/0x7F are ±silence (0), 0x00/0x80 are the spec's
+    // extreme magnitudes ±32124
+    assert(AudioKernels.ulawToLinear(0xff) == 0)
+    assert(AudioKernels.ulawToLinear(0x7f) == 0)
+    assert(AudioKernels.ulawToLinear(0x00) == -32124)
+    assert(AudioKernels.ulawToLinear(0x80) == 32124)
+    // A-law: 0x55/0xD5 are ∓8 (the smallest magnitudes), 0x2A/0xAA the
+    // extremes ±32256
+    assert(AudioKernels.alawToLinear(0x55) == -8)
+    assert(AudioKernels.alawToLinear(0xd5) == 8)
+    assert(AudioKernels.alawToLinear(0x2a) == -32256)
+    assert(AudioKernels.alawToLinear(0xaa) == 32256)
+    // monotonicity within a positive µ-law segment: decreasing byte
+    // value (after complement) must not decrease magnitude
+    val mags = (0x80 to 0xff).map(b => AudioKernels.ulawToLinear(b))
+    assert(mags.zip(mags.tail).forall { case (a, b) => a >= b },
+      "positive µ-law magnitudes must be non-increasing in byte value")
+
+    // WAV routing: format 7 bytes expand via µ-law (NOT read as PCM)
+    def wav(fmt: Int, data: Array[Int]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(44 + data.length)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes).putInt(36 + data.length).put("WAVE".getBytes)
+      bb.put("fmt ".getBytes).putInt(16).putShort(fmt.toShort).putShort(1)
+      bb.putInt(8000).putInt(8000).putShort(1).putShort(8)
+      bb.put("data".getBytes).putInt(data.length)
+      data.foreach(d => bb.put(d.toByte))
+      bb.array()
+    }
+    val mu = AudioKernels.decode(wav(7, Array(0x00, 0xff))).get
+    assert(mu.nFrames == 2 && mu.peak == 32124 / 32768.0 &&
+      mu.meanAbs == (32124 / 32768.0) / 2)
+    val al = AudioKernels.decode(wav(6, Array(0x2a, 0x55))).get
+    assert(al.peak == 32256 / 32768.0 && al.meanAbs == (32256 + 8) / 32768.0 / 2)
+    // G.711 requires 8-bit samples — a 16-bit µ-law header is refused
+    val bad = wav(7, Array(0, 0))
+    bad(34) = 16 // bits-per-sample field
+    assert(AudioKernels.decode(bad).isEmpty)
+  }
+
   test("mjpegFrames: multi-chunk stsc/stco demux, codec gate, structural refusals") {
     def box(typ: String, content: Array[Byte]): Array[Byte] = {
       val b = java.nio.ByteBuffer.allocate(8 + content.length)
