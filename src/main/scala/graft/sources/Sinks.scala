@@ -30,6 +30,36 @@ object Sinks {
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
   }
 
+  /** Parquet with per-column BLOOM FILTERS — the point-lookup lever at
+    * 100 TB: min/max statistics prune row groups only when the file is
+    * sorted by the probe column; a bloom filter prunes on ARBITRARY
+    * high-cardinality columns (doc_id, content fingerprint, user_id),
+    * so an incremental-dedup probe or a targeted re-crawl lookup skips
+    * whole row groups of a layout ordered by something else (e.g. the
+    * Hilbert curve). Uses parquet-mr's standard write options
+    * (`parquet.bloom.filter.enabled#<col>`), so any parquet reader —
+    * Spark, Trino, DuckDB — can use the filters. `ndvPerColumn` sizes
+    * each filter (parquet-mr derives bits from expected distinct
+    * values; unset → the 1 MB default ceiling applies).
+    */
+  def writeParquetBloom(df: DataFrame, path: String, bloomCols: Seq[String],
+                        ndvPerColumn: Map[String, Long] = Map.empty,
+                        partitionBy: Seq[String] = Nil,
+                        mode: String = "overwrite"): Unit = {
+    require(bloomCols.nonEmpty, "writeParquetBloom without bloom columns " +
+      "is writeParquet — name the probe columns")
+    val missing = bloomCols.filterNot(df.columns.contains)
+    require(missing.isEmpty, s"bloom columns not in the frame: $missing")
+    var w = df.write.mode(mode)
+    bloomCols.foreach { c =>
+      w = w.option(s"parquet.bloom.filter.enabled#$c", "true")
+      ndvPerColumn.get(c).foreach { ndv =>
+        w = w.option(s"parquet.bloom.filter.expected.ndv#$c", ndv.toString)
+      }
+    }
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
+  }
+
   /** Bucketed managed table (requires a warehouse-backed catalog). */
   def writeBucketed(df: DataFrame, table: String, bucketCols: Seq[String],
                     numBuckets: Int, sortCols: Seq[String] = Nil,

@@ -236,4 +236,56 @@ class SinksSpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS graft_bucketed_a")
     spark.sql("DROP TABLE IF EXISTS graft_bucketed_b")
   }
+
+  test("writeParquetBloom: filters land in the footer, admit written keys, reject absent ones") {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import scala.jdk.CollectionConverters._
+    val dir = Files.createTempDirectory("graft-bloom").toFile
+    // ids deliberately NOT sorted: min/max row-group stats cannot prune
+    // a point lookup here — exactly the case the bloom filter exists for
+    val df = (1 to 5000).map(i => ((i.toLong * 2654435761L) % 1000000L, s"v$i"))
+      .toDF("doc_id", "v").repartition(2)
+    Sinks.writeParquetBloom(df, dir.toString, Seq("doc_id"),
+      ndvPerColumn = Map("doc_id" -> 5000L))
+    val written = df.select("doc_id").as[Long].collect().toSet
+    val files = dir.listFiles.filter(_.getName.endsWith(".parquet"))
+    assert(files.nonEmpty)
+    var admitted = 0
+    var absentRejected = 0
+    val absentProbes = (1L to 1000L).map(_ + 2000000L).filterNot(written)
+    files.foreach { f =>
+      val reader = ParquetFileReader.open(HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(f.getAbsolutePath),
+        spark.sparkContext.hadoopConfiguration))
+      try reader.getFooter.getBlocks.asScala.foreach { rg =>
+        val col = rg.getColumns.asScala
+          .find(_.getPath.toDotString == "doc_id").get
+        assert(col.getBloomFilterOffset >= 0,
+          s"no bloom filter written for doc_id in ${f.getName}")
+        val bf = reader.getBloomFilterDataReader(rg).readBloomFilter(col)
+        assert(bf != null)
+        // every value actually in this file must be admitted
+        val inFile = spark.read.parquet(f.getAbsolutePath)
+          .select("doc_id").as[Long].collect()
+        inFile.foreach { v =>
+          assert(bf.findHash(bf.hash(v)), s"written key $v rejected")
+        }
+        admitted += inFile.length
+        absentRejected += absentProbes.count(v => !bf.findHash(bf.hash(v)))
+      } finally reader.close()
+    }
+    assert(admitted > 0)
+    // default fpp is ~1%; even across both files' filters the absent
+    // probes must be overwhelmingly rejected — this is the skipping
+    assert(absentRejected > absentProbes.size * files.length * 0.9,
+      s"absent-key rejection too weak: $absentRejected")
+    // the data itself round-trips unchanged
+    assert(spark.read.parquet(dir.toString).count() == 5000)
+    // misuse guards
+    intercept[IllegalArgumentException](
+      Sinks.writeParquetBloom(df, dir.toString, Nil))
+    intercept[IllegalArgumentException](
+      Sinks.writeParquetBloom(df, dir.toString, Seq("nope")))
+  }
 }
