@@ -1522,6 +1522,35 @@ object Queries {
     * features or lose rows. Truncated fixtures ride along as 20-byte
     * objects that must still land, read, and decode to NULL features.
     */
+  /** The bloom-filter sink round-tripped under the oracle: documents
+    * written via [[graft.sources.Sinks.writeParquetBloom]] (filters on
+    * doc_id), read back with a pushed IN point lookup — the access
+    * pattern the filters exist for (row-group skipping on a column the
+    * layout is NOT sorted by; PlanSpec pins the pushed In filter). A
+    * hash-green row proves the bloom options change bytes-on-disk
+    * layout only, never results: any false-NEGATIVE in the filter
+    * would drop rows here and fail the hash. */
+  private val qBloomLookup = Q("q_bloom_lookup",
+    (s, dir) => {
+      val out = scratch("q_bloom_lookup")
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      graft.sources.Sinks.writeParquetBloom(docs, s"$out/bloomed",
+        Seq("doc_id"), ndvPerColumn = Map("doc_id" -> 1000000L))
+      // 25 probes present at every SF (ids 3..411) — bloom correctness
+      // is "no false NEGATIVES on present keys", so present probes are
+      // what the hash check must cover
+      val probes = (0 until 25).map(k => (k * 17L + 3L): java.lang.Long)
+      s.read.parquet(s"$out/bloomed")
+        .filter(col("doc_id").isin(probes: _*))
+        .select(col("doc_id").cast("bigint").as("doc_id"), col("lang"),
+          col("n_chars").cast("bigint").as("n_chars"))
+    },
+    Some(s"""SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
+            |       CAST(n_chars AS BIGINT) AS n_chars
+            |FROM documents
+            |WHERE doc_id IN (${(0 until 25).map(k => k * 17L + 3L).mkString(", ")})""".stripMargin))
+
   private val qBinaryIngest = Q("q_binary_ingest",
     (s, dir) => {
       val tmp = scratch("blobs")
@@ -3651,6 +3680,6 @@ object Queries {
     qZorder, qHilbert, qBpeTrain, qBpeTrainCapped, qBpeEncode, qImportance,
     qSampleGroup, qSampleBernoulli, qSampleWeighted, qSampleWeightedGroup, qScd2Multi, qSnapshotDiff, qTrainingOrder, qBlocklist,
     qApproxTopk, qAudioFeatures, qAudioG711, qIncrementalEmbedding, qSplitClusterSafe,
-    qIngestRouted, qBinaryIngest, qLineDedupWithin, qProfile, qJpegFeatures,
+    qIngestRouted, qBinaryIngest, qBloomLookup, qLineDedupWithin, qProfile, qJpegFeatures,
     qRepeatMixture, qScd2Lookup, qVideoStats, qVideoFrames)
 }

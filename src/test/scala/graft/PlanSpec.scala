@@ -282,6 +282,15 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("collect_smallest"), p)
   }
 
+  test("q_bloom_lookup: the point probe is PUSHED to the parquet scan") {
+    val f = formatted("q_bloom_lookup")
+    // the IN list must reach parquet as a pushed filter — that is what
+    // lets parquet-mr consult the bloom filter per row group; a
+    // post-scan Filter would read everything and defeat the sink
+    val pushed = f.linesIterator.find(_.contains("PushedFilters")).getOrElse("")
+    assert(pushed.contains("In(doc_id"), f)
+  }
+
   test("q_sample_weighted: bounded per-partition top-k, no global sort, no exchange") {
     val p = plan("q_sample_weighted")
     // the race is ORDER BY key LIMIT k — it must plan as TakeOrdered
