@@ -973,4 +973,95 @@ object OracleSqlGen {
        |${recallTail("pairs", "truth", "id_a", "id_b", floor,
           "pairs.id_a, pairs.id_b, pairs.cosine")}""".stripMargin
   }
+
+  // -------------------------------------------------------------------
+  // Content-defined chunking (CdcKernels / Dedup.cdcChunks)
+  // -------------------------------------------------------------------
+
+  /** The 256-entry gear table reduced to its low `maskBits` bits — the
+    * only part of the 64-bit gear values the boundary test can see
+    * (`CdcKernels` scaladoc derives why). Spliced as a literal list:
+    * like `annLsh`'s hyperplane constants, it is an ALGORITHM constant
+    * (splitmix64 of the index, content-independent), so embedding it
+    * replays the algorithm rather than leaking answers.
+    */
+  private def gearLowList(maskBits: Int): String = {
+    val mask = (1L << maskBits) - 1
+    graft.functions.CdcKernels.Gear
+      .map(g => (g & mask).toString).mkString("[", ", ", "]")
+  }
+
+  /** The candidate-position CTEs shared by [[cdcChunks]] and
+    * [[cdcShared]]: per non-empty document, the 1-based code-point
+    * offsets whose trailing-`maskBits`-point window hash has zero low
+    * bits. The window sum is UNROLLED (maskBits terms, coefficient 2^k
+    * at lookback k) so no nested list comprehension is needed, and the
+    * whole test runs mod 2^maskBits — exactly the bits the kernel's
+    * 64-bit rolling `h = (h << 1) + gear` exposes to `h & mask`.
+    */
+  private def cdcCandidates(maskBits: Int): String = {
+    val window = (0 until maskBits).map { k =>
+      val idx = if (k == 0) "i" else s"i - $k"
+      s"g.gl[(unicode(substr(text, $idx, 1)) % 256) + 1] * ${1L << k}"
+    }.mkString("\n        + ")
+    s"""d AS (
+       |  SELECT doc_id, text, length(text) AS n
+       |  FROM documents WHERE text IS NOT NULL),
+       |g AS (SELECT ${gearLowList(maskBits)} AS gl),
+       |pos AS (
+       |  SELECT doc_id, n,
+       |    list_filter(
+       |      [CASE WHEN i >= $maskBits AND (
+       |          $window
+       |        ) % ${1L << maskBits} = 0 THEN i END for i in range(1, n + 1)],
+       |      x -> x IS NOT NULL) AS cands
+       |  FROM d, g WHERE n > 0)""".stripMargin
+  }
+
+  /** Full replay of [[graft.operators.Dedup.cdcChunks]]: candidates as
+    * above, then the greedy min/max walk as a recursive CTE (one row
+    * per in-flight document per iteration; depth = max chunks per
+    * document), then md5 fingerprints over the same code-point slices.
+    */
+  def cdcChunks(maskBits: Int, minLen: Int, maxLen: Int): String = {
+    def nextEnd(start: String) =
+      s"""COALESCE(list_min(list_filter(cands,
+         |           c -> c >= $start + $minLen AND c <= LEAST($start + $maxLen, n))),
+         |         LEAST($start + $maxLen, n))""".stripMargin
+    s"""WITH RECURSIVE
+       |${cdcCandidates(maskBits)},
+       |walk AS (
+       |  SELECT doc_id, n, cands, 0 AS chunk_idx, 0 AS cstart,
+       |         ${nextEnd("0")} AS cend
+       |  FROM pos
+       |  UNION ALL
+       |  SELECT doc_id, n, cands, chunk_idx + 1, cend,
+       |         ${nextEnd("cend")}
+       |  FROM walk WHERE cend < n)
+       |SELECT w.doc_id,
+       |       CAST(w.chunk_idx AS INTEGER) AS chunk_idx,
+       |       CAST(w.cstart AS INTEGER) AS chunk_start,
+       |       CAST(w.cend - w.cstart AS INTEGER) AS chunk_len,
+       |       md5(substr(d.text, w.cstart + 1, w.cend - w.cstart)) AS chunk_fp
+       |FROM walk w JOIN d USING (doc_id)""".stripMargin
+  }
+
+  /** Replay of [[graft.operators.Dedup.cdcSharedStats]] over
+    * [[cdcChunks]]: fingerprint census, then the per-document shared
+    * profile. `SUM` over DuckDB integers widens to HUGEINT, so both
+    * sums are cast back to BIGINT to match Spark's long.
+    */
+  def cdcShared(maskBits: Int, minLen: Int, maxLen: Int): String =
+    s"""WITH chunks AS (
+       |${cdcChunks(maskBits, minLen, maxLen)}),
+       |census AS (
+       |  SELECT chunk_fp, COUNT(DISTINCT doc_id) AS nd
+       |  FROM chunks GROUP BY 1)
+       |SELECT c.doc_id,
+       |       COUNT(*) AS n_chunks,
+       |       CAST(SUM(CASE WHEN f.nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+       |       CAST(SUM(CASE WHEN f.nd > 1 THEN c.chunk_len ELSE 0 END) AS BIGINT)
+       |         AS shared_len
+       |FROM chunks c JOIN census f USING (chunk_fp)
+       |GROUP BY 1""".stripMargin
 }

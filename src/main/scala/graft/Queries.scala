@@ -1194,6 +1194,77 @@ object Queries {
            |       md5(lower(regexp_replace(trim(text), '[ \t\n\x0B\f\r]+', ' ', 'g'))) AS fp_md5
            |FROM documents""".stripMargin))
 
+  /** Content-defined chunking under the oracle: every document split at
+    * gear-hash anchors ([[graft.functions.CdcKernels]] — boundaries are
+    * a pure function of the trailing 5 code points, so chunk
+    * fingerprints survive insertions that shift absolute offsets),
+    * min/max-clamped, each chunk md5-fingerprinted. DuckDB replays the
+    * whole construction: the windowed gear test as unrolled mod-32
+    * arithmetic over the spliced gear-low table, the greedy walk as a
+    * recursive CTE, the fingerprints over the same code-point slices —
+    * so anchors, clamps, AND slicing are hash-checked, not trusted.
+    * The plan is ONE narrow pass (no exchange; pinned in PlanSpec):
+    * chunking 100 TB costs a scan, nothing else. */
+  private val qCdcChunks = Q("q_cdc_chunks",
+    (s, dir) => Dedup.cdcChunks(t(s, dir, "documents"), "text", "doc_id",
+      maskBits = 5, minLen = 16, maxLen = 128),
+    Some(OracleSqlGen.cdcChunks(5, 16, 128)))
+
+  /** Chunk-level partial-overlap triage over [[qCdcChunks]]: per
+    * document, how many of its CDC chunks (and how much of its length)
+    * also occur verbatim elsewhere in the corpus — the shift-resilient
+    * "shared content" report that fixed windows structurally miss.
+    * Three shuffles total, all carrying (fingerprint, id, len) triples:
+    * the fingerprint census (map-side partial agg), the census join
+    * back (fp-to-fp, reuses the census exchange on one side — NOT a
+    * broadcast; the census is corpus-sized at scale), and the per-doc
+    * rollup. Oracle: census + rollup SQL over the replayed chunk CTE. */
+  private val qCdcDedup = Q("q_cdc_dedup",
+    (s, dir) => Dedup.cdcSharedStats(
+      Dedup.cdcChunks(t(s, dir, "documents"), "text", "doc_id",
+        maskBits = 5, minLen = 16, maxLen = 128), "doc_id"),
+    Some(OracleSqlGen.cdcShared(5, 16, 128)))
+
+  /** Unicode NFC normalization under the oracle ([[TF.nfcNormalize]] —
+    * Spark has no built-in; the JDK normalizer vs DuckDB's utf8proc
+    * `nfc_normalize`, two independent UAX #15 implementations checked
+    * against each other). Corpus text is ASCII today, so each doc gets
+    * a constructed denormalized suffix — combining acute (e+U+0301),
+    * the U+212B angstrom singleton, a decomposed Hangul jamo pair, and
+    * an already-composed é control — exercising composition, singleton
+    * replacement, and the not-already-NFC detection that `changed`
+    * reports. Lengths are code-point counts (both engines agree);
+    * `nfc_fp` md5-pins the normalized BYTES end to end. */
+  private val qNormalizeText = Q("q_normalize_text",
+    (s, dir) => {
+      // decomposed ON PURPOSE, as escapes so no editor can silently
+      // recompose them: e+U+0301, the U+212B singleton, a Hangul jamo
+      // pair, then an already-NFC \u00e9 control normalization must
+      // keep byte-identical
+      val suffix = " cafe\u0301 \u212b \u1100\u1161 caf\u00e9"
+      t(s, dir, "documents").select(
+          col("doc_id").cast("bigint").as("doc_id"),
+          concat(col("text"), lit(suffix)).as("__raw"))
+        .withColumn("__nfc", TF.nfcNormalize(col("__raw")))
+        .select(
+          col("doc_id"),
+          length(col("__raw")).cast("bigint").as("raw_len"),
+          length(col("__nfc")).cast("bigint").as("nfc_len"),
+          (col("__nfc") =!= col("__raw")).as("changed"),
+          md5(encode(col("__nfc"), "UTF-8")).as("nfc_fp"))
+    },
+    Some("""WITH r AS (
+           |  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           |         text || ' cafe' || chr(769) || ' ' || chr(8491) || ' '
+           |              || chr(4352) || chr(4449) || ' caf' || chr(233) AS raw
+           |  FROM documents)
+           |SELECT doc_id,
+           |       CAST(length(raw) AS BIGINT) AS raw_len,
+           |       CAST(length(nfc_normalize(raw)) AS BIGINT) AS nfc_len,
+           |       nfc_normalize(raw) <> raw AS changed,
+           |       md5(nfc_normalize(raw)) AS nfc_fp
+           |FROM r""".stripMargin))
+
   // ---------------------------------------------------------------------
   // Multimodal plumbing (binary column -> batched REAL raster decode)
   // ---------------------------------------------------------------------
@@ -3681,5 +3752,6 @@ object Queries {
     qSampleGroup, qSampleBernoulli, qSampleWeighted, qSampleWeightedGroup, qScd2Multi, qSnapshotDiff, qTrainingOrder, qBlocklist,
     qApproxTopk, qAudioFeatures, qAudioG711, qIncrementalEmbedding, qSplitClusterSafe,
     qIngestRouted, qBinaryIngest, qBloomLookup, qLineDedupWithin, qProfile, qJpegFeatures,
-    qRepeatMixture, qScd2Lookup, qVideoStats, qVideoFrames)
+    qRepeatMixture, qScd2Lookup, qVideoStats, qVideoFrames,
+    qCdcChunks, qCdcDedup, qNormalizeText)
 }

@@ -249,6 +249,26 @@ object TextFunctions {
     * Zero shuffle. Empty text yields null ratios; NULL text yields a
     * NULL struct.
     */
+  /** Content-defined chunk boundaries (1-based code-point end offsets)
+    * — the shift-resilient chunking key for chunk-level dedup; see
+    * [[CdcKernels]] for the contract and [[graft.operators.Dedup.cdcChunks]]
+    * for the row-per-chunk operator built on it.
+    */
+  def cdcBoundaries(text: Column, maskBits: Int, minLen: Int, maxLen: Int): Column = {
+    import org.apache.spark.sql.{CdcBoundaries => CB, GraftBridge}
+    GraftBridge.column(CB(GraftBridge.expression(text), maskBits, minLen, maxLen))
+  }
+
+  /** Unicode NFC normalization (UAX #15). Normalize before
+    * fingerprinting so canonically equivalent texts (decomposed accents,
+    * singleton forms) dedup together; all-ASCII input is returned
+    * untouched via the `isNormalized` fast path. NULL stays NULL.
+    */
+  def nfcNormalize(text: Column): Column = {
+    import org.apache.spark.sql.{GraftBridge, NfcNormalize => NN}
+    GraftBridge.column(NN(GraftBridge.expression(text)))
+  }
+
   def repetitionStats(text: Column): Column = {
     import org.apache.spark.sql.{GraftBridge, RepetitionCounts => RC}
     val k = GraftBridge.column(RC(GraftBridge.expression(text)))

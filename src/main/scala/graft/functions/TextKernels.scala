@@ -179,6 +179,19 @@ object TextKernels {
     tokens
   }
 
+  /** Unicode NFC normalization (UAX #15) behind
+    * [[org.apache.spark.sql.NfcNormalize]]. `Normalizer.isNormalized`
+    * first: for already-NFC input (all ASCII in particular) the input
+    * UTF8String is returned as-is — no String round-trip, no
+    * allocation — so the common case costs one quick-check scan.
+    */
+  def nfcNormalize(s: UTF8String): UTF8String = {
+    val str = s.toString
+    if (java.text.Normalizer.isNormalized(str, java.text.Normalizer.Form.NFC)) s
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC))
+  }
+
   /** Repetition counts in one pass: (n_tokens, n_distinct, top_count)
     * — the inputs of the Gopher-style repetition ratios. The
     * higher-order-function formulation is O(distinct · tokens) per

@@ -842,4 +842,74 @@ object Dedup {
         vecCol, idCol, threshold, nProbes)
       .select(col("query_id").as("new_id"),
         col("corpus_id").as("hist_id"), col("cosine"))
+
+  /** Content-defined chunks, one row per chunk: (id, chunk_idx,
+    * chunk_start, chunk_len, chunk_fp) with `chunk_fp` = hex MD5 of the
+    * chunk text. The SHIFT-RESILIENT granularity of the dedup family:
+    * fixed windows misalign after any insertion, but CDC boundaries are
+    * a pure function of the trailing `maskBits` code points
+    * ([[graft.functions.CdcKernels]]), so two documents sharing a long
+    * run of text share its interior chunk fingerprints no matter where
+    * the run sits in either document — which is what lets a recrawl or
+    * an edited near-copy be detected by one hash-join on `chunk_fp`
+    * instead of a quadratic alignment.
+    *
+    * Scale shape: boundary detection + substring + md5 are one narrow
+    * codegen pass per document — NO shuffle in this operator at all;
+    * offsets ride along so consumers can slice the original text
+    * without re-chunking. Downstream dedup shuffles only the exploded
+    * (fp, id, len) triple, never content. MD5 (vs the 64-bit xxhash
+    * fingerprints elsewhere) keeps chunk equality collision-safe at
+    * 100 TB chunk counts (2^64 birthday bound is reachable there) and
+    * ANSI-SQL-recomputable.
+    */
+  def cdcChunks(df: DataFrame, textCol: String, idCol: String,
+                maskBits: Int = 5, minLen: Int = 16, maxLen: Int = 128): DataFrame = {
+    val ends = TextFunctions.cdcBoundaries(col(textCol), maskBits, minLen, maxLen)
+    df.select(col(idCol), col(textCol).as("__text"), ends.as("__ends"))
+      // empty text -> empty ends, but the prepended 0 in __starts would
+      // zip one spurious (0, null) row; null text drops in the explode
+      .filter(size(col("__ends")) > 0)
+      .withColumn("__starts",
+        concat(array(lit(0)), slice(col("__ends"), lit(1),
+          greatest(size(col("__ends")) - 1, lit(0)))))
+      .select(col(idCol), col("__text"),
+        posexplode(arrays_zip(col("__starts"), col("__ends"))))
+      .select(
+        col(idCol),
+        col("pos").as("chunk_idx"),
+        col("col.__starts").as("chunk_start"),
+        (col("col.__ends") - col("col.__starts")).as("chunk_len"),
+        md5(encode(col("__text").substr(col("col.__starts") + 1,
+          col("col.__ends") - col("col.__starts")), "UTF-8")).as("chunk_fp"))
+  }
+
+  /** Per-document chunk-sharing profile over [[cdcChunks]] output:
+    * (id, n_chunks, n_shared, shared_len) where a chunk is "shared"
+    * when its fingerprint occurs in at least one OTHER document — the
+    * triage report that ranks a corpus for partial-overlap dedup
+    * (recrawls, boilerplate, quoted passages) the pair-level operators
+    * then resolve.
+    *
+    * Scale shape: the fingerprint census is one hash aggregate on
+    * `chunk_fp` carrying (fp, distinct-id count) — partial-aggregated
+    * map-side; the join back is fp-to-fp, and the final per-doc rollup
+    * is the last shuffle. Content never moves: every shuffled row is a
+    * fingerprint + two numbers. The census join is left to Catalyst on
+    * purpose: below the broadcast threshold (small corpora, or a census
+    * pre-filtered to nd > 1 duplicates only) it broadcasts; at corpus
+    * scale it exceeds the threshold and plans as a co-partitioned
+    * shuffle join that reuses the census exchange on one side.
+    */
+  def cdcSharedStats(chunks: DataFrame, idCol: String): DataFrame = {
+    val census = chunks.groupBy(col("chunk_fp"))
+      .agg(countDistinct(col(idCol)).as("__nd"))
+    chunks.join(census, "chunk_fp")
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum(when(col("__nd") > 1, 1L).otherwise(0L)).as("n_shared"),
+        sum(when(col("__nd") > 1, col("chunk_len").cast("long"))
+          .otherwise(0L)).as("shared_len"))
+  }
 }

@@ -876,3 +876,61 @@ case class VectorLshBucket(child: Expression, nBits: Int, seed: Long)
   override protected def withNewChildInternal(newChild: Expression): VectorLshBucket =
     copy(child = newChild)
 }
+
+/** Content-defined chunk boundaries — 1-based code-point END offsets of
+  * the windowed-gear CDC walk. See [[graft.functions.CdcKernels]] for
+  * the algorithm contract (reset-free candidates, greedy min/max walk)
+  * and why `minLen >= maskBits` is load-bearing.
+  */
+case class CdcBoundaries(child: Expression, maskBits: Int, minLen: Int, maxLen: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(maskBits >= 1 && maskBits <= 16,
+    s"maskBits must be in [1, 16], got $maskBits")
+  require(minLen >= maskBits,
+    s"minLen ($minLen) must be >= maskBits ($maskBits): the hash window " +
+      "must fit inside the shortest admissible chunk for boundaries to be " +
+      "reset-free (CdcKernels scaladoc)")
+  require(maxLen > minLen, s"maxLen ($maxLen) must be > minLen ($minLen)")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "cdc_boundaries"
+
+  override protected def nullSafeEval(v: Any): Any =
+    graft.functions.CdcKernels.boundaries(
+      v.asInstanceOf[UTF8String], maskBits, minLen, maxLen)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.CdcKernels.boundaries($c, $maskBits, $minLen, $maxLen)")
+
+  override protected def withNewChildInternal(newChild: Expression): CdcBoundaries =
+    copy(child = newChild)
+}
+
+/** Unicode NFC normalization (UAX #15 canonical composition) via the
+  * JDK's `java.text.Normalizer` — no Spark built-in exists for this.
+  * Canonically equivalent texts (decomposed `e`+U+0301 vs composed
+  * U+00E9, singleton U+212B vs U+00C5) otherwise hash to DIFFERENT
+  * dedup fingerprints; normalizing first makes fingerprint equality
+  * mean textual equality as a reader sees it. The kernel fast-paths
+  * `Normalizer.isNormalized` (true for all-ASCII, i.e. most corpus
+  * text) to return the input UTF8String unchanged with no allocation.
+  */
+case class NfcNormalize(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = StringType
+  override def prettyName: String = "nfc_normalize"
+
+  override protected def nullSafeEval(v: Any): Any =
+    graft.functions.TextKernels.nfcNormalize(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.TextKernels.nfcNormalize($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): NfcNormalize =
+    copy(child = newChild)
+}

@@ -301,4 +301,31 @@ class PlanSpec extends SparkSpec {
     assert(!"\\bSort\\b".r.findFirstIn(p).isDefined, p)
     assert(!p.contains("Exchange"), p)
   }
+
+  test("q_cdc_chunks: chunking is ONE narrow pass — no exchange, no join") {
+    val p = plan("q_cdc_chunks")
+    assert(!p.contains("Exchange"), p)
+    assert(!p.contains("Join"), p)
+    // boundary detection + explode + md5 stay inside codegen stages
+    assert(p.contains("cdc_boundaries") && p.contains("Generate"), p)
+  }
+
+  test("q_cdc_dedup: partial-agg census and rollup; every shuffled row is fingerprint-sized") {
+    val p = plan("q_cdc_dedup")
+    // partial aggregation before each exchange (census and rollup); the
+    // census join itself is Catalyst's call — broadcast below the
+    // threshold (this SF), co-partitioned shuffle join above it
+    assert("HashAggregate".r.findAllIn(p).size >= 4, p)
+    assert(p.contains("chunk_fp"), p)
+    // text is consumed map-side (the md5 right after the explode); no
+    // aggregate — census or rollup — ever carries the __text column
+    val aggLines = p.linesIterator.filter(_.contains("HashAggregate")).toSeq
+    assert(aggLines.nonEmpty && aggLines.forall(!_.contains("__text")), p)
+  }
+
+  test("q_normalize_text: normalization is a pure narrow projection") {
+    val p = plan("q_normalize_text")
+    assert(!p.contains("Exchange"), p)
+    assert(p.contains("nfc_normalize"), p)
+  }
 }
