@@ -1051,6 +1051,28 @@ object OracleSqlGen {
     * profile. `SUM` over DuckDB integers widens to HUGEINT, so both
     * sums are cast back to BIGINT to match Spark's long.
     */
+  /** Replay of [[graft.operators.Dedup.incrementalCdc]] with the
+    * q_incremental_dedup corpus split (doc_id % 4 == 0 is history):
+    * chunking is per-document, so chunking everything once and
+    * filtering equals the engine's chunk-the-subsets — and the probe
+    * join + rollup are plain SQL over the same fingerprints.
+    */
+  def cdcIncremental(maskBits: Int, minLen: Int, maxLen: Int): String =
+    s"""WITH chunks AS (
+       |${cdcChunks(maskBits, minLen, maxLen)}),
+       |hist AS (
+       |  SELECT DISTINCT chunk_fp FROM chunks WHERE doc_id % 4 = 0),
+       |batch AS (
+       |  SELECT * FROM chunks WHERE doc_id % 4 <> 0)
+       |SELECT b.doc_id,
+       |       COUNT(*) AS n_chunks,
+       |       CAST(SUM(CASE WHEN h.chunk_fp IS NOT NULL THEN 1 ELSE 0 END)
+       |            AS BIGINT) AS n_known,
+       |       CAST(SUM(CASE WHEN h.chunk_fp IS NOT NULL THEN b.chunk_len ELSE 0 END)
+       |            AS BIGINT) AS known_len
+       |FROM batch b LEFT JOIN hist h USING (chunk_fp)
+       |GROUP BY 1""".stripMargin
+
   def cdcShared(maskBits: Int, minLen: Int, maxLen: Int): String =
     s"""WITH chunks AS (
        |${cdcChunks(maskBits, minLen, maxLen)}),

@@ -1225,6 +1225,53 @@ object Queries {
         maskBits = 5, minLen = 16, maxLen = 128), "doc_id"),
     Some(OracleSqlGen.cdcShared(5, 16, 128)))
 
+  /** Ingestion-time partial-overlap screen (the CDC member of the
+    * incremental family, same corpus split as [[qIncrementalDedup]]):
+    * docs with `doc_id % 4 = 0` are the indexed history
+    * ([[Dedup.cdcFpIndex]] — distinct chunk fingerprints, text never
+    * re-read), the rest arrive as the batch and report how many of
+    * their chunks the corpus already contains. The shift-resilient
+    * upgrade over whole-document incremental dedup: a recrawl with one
+    * inserted paragraph scores ~100% known here and 0% there. Oracle:
+    * chunk everything once (chunking is per-document), split, probe,
+    * roll up. */
+  private val qIncrementalCdc = Q("q_incremental_cdc",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val hist = Dedup.cdcFpIndex(docs.filter(col("doc_id") % 4 === 0),
+        "text", "doc_id", maskBits = 5, minLen = 16, maxLen = 128)
+      Dedup.incrementalCdc(docs.filter(col("doc_id") % 4 =!= 0), hist,
+        "text", "doc_id", maskBits = 5, minLen = 16, maxLen = 128)
+    },
+    Some(OracleSqlGen.cdcIncremental(5, 16, 128)))
+
+  /** ORC source/sink round-trip: the orders table written as ORC
+    * PARTITIONED BY order status (Spark's second native columnar
+    * format — an engine claiming the reference's source breadth must
+    * read and write it), read back with a partition-pruning status
+    * filter plus a price predicate that must reach the ORC reader as a
+    * pushed filter (both pinned in PlanSpec), then aggregated. The
+    * oracle computes the same aggregate from the original parquet, so
+    * a lossy round-trip (type drift, partition-column mangling,
+    * dropped rows) hash-fails. */
+  private val qOrcRoundtrip = Q("q_orc_roundtrip",
+    (s, dir) => {
+      val out = scratch("q_orc_roundtrip")
+      t(s, dir, "orders").write.mode("overwrite")
+        .partitionBy("o_orderstatus").orc(out)
+      s.read.orc(out)
+        .filter(col("o_orderstatus") === "F" && col("o_totalprice") > 50000.0)
+        .groupBy(col("o_orderpriority").as("priority"))
+        .agg(count(lit(1)).cast("bigint").as("n"),
+          round(sum("o_totalprice"), 4).as("total"))
+    },
+    Some("""SELECT o_orderpriority AS priority,
+           |       CAST(count(*) AS BIGINT) AS n,
+           |       round(sum(o_totalprice), 4) AS total
+           |FROM orders
+           |WHERE o_orderstatus = 'F' AND o_totalprice > 50000.0
+           |GROUP BY 1""".stripMargin))
+
   /** Unicode NFC normalization under the oracle ([[TF.nfcNormalize]] —
     * Spark has no built-in; the JDK normalizer vs DuckDB's utf8proc
     * `nfc_normalize`, two independent UAX #15 implementations checked
@@ -3753,5 +3800,5 @@ object Queries {
     qApproxTopk, qAudioFeatures, qAudioG711, qIncrementalEmbedding, qSplitClusterSafe,
     qIngestRouted, qBinaryIngest, qBloomLookup, qLineDedupWithin, qProfile, qJpegFeatures,
     qRepeatMixture, qScd2Lookup, qVideoStats, qVideoFrames,
-    qCdcChunks, qCdcDedup, qNormalizeText)
+    qCdcChunks, qCdcDedup, qNormalizeText, qIncrementalCdc, qOrcRoundtrip)
 }

@@ -901,6 +901,46 @@ object Dedup {
     * scale it exceeds the threshold and plans as a co-partitioned
     * shuffle join that reuses the census exchange on one side.
     */
+  /** Distinct chunk fingerprints of a corpus — the CDC member of the
+    * persisted-index family beside [[fingerprints]] (whole-document)
+    * and [[minhashIndex]] (near-dup): one narrow chunking pass plus one
+    * distinct aggregation, ~16 B + id per surviving fingerprint and the
+    * corpus text never needs re-reading afterwards.
+    */
+  def cdcFpIndex(docs: DataFrame, textCol: String, idCol: String,
+                 maskBits: Int = 5, minLen: Int = 16, maxLen: Int = 128): DataFrame =
+    cdcChunks(docs, textCol, idCol, maskBits, minLen, maxLen)
+      .select(col("chunk_fp")).distinct()
+
+  /** Ingestion-time partial-overlap screen — the incremental form of
+    * [[cdcSharedStats]]: each new document reports how many of its CDC
+    * chunks (and how much of its length) the historical corpus already
+    * contains, via a probe of the persisted [[cdcFpIndex]] rather than
+    * any re-read of history text. Shift-resilient by construction: a
+    * recrawled page with one inserted paragraph still matches all its
+    * unchanged chunks, which whole-document fingerprints
+    * ([[incrementalExact]]) score as 0% known.
+    *
+    * Scale shape: per ingest, the batch is chunked in one narrow pass
+    * and the probe join shuffles O(batch chunks) fingerprints; written
+    * bucketed on `chunk_fp` (the [[fingerprints]] pattern) the history
+    * side joins exchange-free. known_len / a length threshold is the
+    * admit/reject gate; 0 known chunks = genuinely new content.
+    */
+  def incrementalCdc(newDocs: DataFrame, historyFps: DataFrame,
+                     textCol: String, idCol: String,
+                     maskBits: Int = 5, minLen: Int = 16, maxLen: Int = 128): DataFrame = {
+    val hist = historyFps.select(col("chunk_fp")).withColumn("__hit", lit(1L))
+    cdcChunks(newDocs, textCol, idCol, maskBits, minLen, maxLen)
+      .join(hist, Seq("chunk_fp"), "left")
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum(when(col("__hit").isNotNull, 1L).otherwise(0L)).as("n_known"),
+        sum(when(col("__hit").isNotNull, col("chunk_len").cast("long"))
+          .otherwise(0L)).as("known_len"))
+  }
+
   def cdcSharedStats(chunks: DataFrame, idCol: String): DataFrame = {
     val census = chunks.groupBy(col("chunk_fp"))
       .agg(countDistinct(col(idCol)).as("__nd"))

@@ -171,7 +171,19 @@ object GraftSqlFunctions {
           "sorted; bounded aggregation buffer (safe on pathologically hot groups)"),
       arity("collect_smallest", "collect_smallest(x, limit[, distinct])", 2, 3)(
         c => CollectSmallest(c(0), intArg(c(1), "collect_smallest"),
-          if (c.length >= 3) boolArg(c(2), "collect_smallest") else false))))
+          if (c.length >= 3) boolArg(c(2), "collect_smallest") else false))),
+    (FunctionIdentifier("cdc_boundaries"),
+      info("cdc_boundaries",
+        "cdc_boundaries(text, maskBits, minLen, maxLen) - content-defined " +
+          "chunk end offsets (1-based code points; windowed-gear CDC)"),
+      arity("cdc_boundaries", "cdc_boundaries(text, maskBits, minLen, maxLen)", 4, 4)(
+        c => CdcBoundaries(c(0), intArg(c(1), "cdc_boundaries"),
+          intArg(c(2), "cdc_boundaries"), intArg(c(3), "cdc_boundaries")))),
+    (FunctionIdentifier("nfc_normalize"),
+      info("nfc_normalize",
+        "nfc_normalize(text) - Unicode NFC normalization (UAX #15)"),
+      arity("nfc_normalize", "nfc_normalize(text)", 1, 1)(
+        c => NfcNormalize(c(0)))))
 
   /** Register on an already-built session. */
   def register(spark: SparkSession): Unit = {

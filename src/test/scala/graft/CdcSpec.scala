@@ -134,6 +134,24 @@ class CdcSpec extends SparkSpec {
     assert(stats(2L)._3 >= 200L, s"doc2 shared_len = ${stats(2L)._3}")
   }
 
+  test("incrementalCdc: an edited recrawl scores mostly known, fresh content scores zero") {
+    val base = randomText(21, 600)
+    val hist = Seq((100L, base)).toDF("doc_id", "text")
+    val batch = Seq(
+      (1L, base.take(300) + " NEWLY INSERTED SENTENCE " + base.drop(300)),
+      (2L, randomText(22, 600))
+    ).toDF("doc_id", "text")
+    val idx = Dedup.cdcFpIndex(hist, "text", "doc_id", M, MIN, MAX)
+    val out = Dedup.incrementalCdc(batch, idx, "text", "doc_id", M, MIN, MAX)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // the insertion perturbs only the chunks it touches; the rest
+    // re-align against the history index — the property whole-document
+    // incremental dedup (0% known here) cannot provide
+    assert(out(1L)._2 > 0L && out(1L)._3 >= 300L,
+      s"recrawl known_len = ${out(1L)._3}")
+    assert(out(2L)._2 == 0L && out(2L)._3 == 0L)
+  }
+
   test("nfcNormalize: composition, singletons, fast path, null") {
     val rows = Seq(
       (1L, "cafe\u0301"),               // combining acute -> U+00E9

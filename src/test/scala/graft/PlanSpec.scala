@@ -328,4 +328,12 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Exchange"), p)
     assert(p.contains("nfc_normalize"), p)
   }
+
+  test("q_orc_roundtrip: status filter prunes partitions, price filter is pushed to the ORC reader") {
+    val f = formatted("q_orc_roundtrip")
+    val scan = f.linesIterator.filter(_.contains("PartitionFilters")).mkString("\n")
+    assert(scan.contains("o_orderstatus"), f)
+    val pushed = f.linesIterator.find(_.contains("PushedFilters")).getOrElse("")
+    assert(pushed.contains("GreaterThan(o_totalprice,50000.0)"), f)
+  }
 }

@@ -122,6 +122,23 @@ class SqlFunctionsSpec extends SparkSpec {
     assert(chain(e).exists(_.contains("literal string array")), chain(e))
   }
 
+  test("cdc_boundaries and nfc_normalize callable from SQL, SQL == Column API") {
+    val text = "the quick brown fox jumps over the lazy dog " * 8
+    val viaSql = spark.sql(
+      s"SELECT cdc_boundaries('$text', 5, 16, 128)")
+      .collect()(0).getSeq[Int](0).toList
+    val viaKernel = graft.functions.CdcKernels.boundaries(
+      org.apache.spark.unsafe.types.UTF8String.fromString(text), 5, 16, 128)
+      .toIntArray().toList
+    assert(viaSql == viaKernel && viaSql.nonEmpty)
+
+    // the combining acute goes in as a real code point: Spark's chr()
+    // is ASCII-mod-256 (unlike DuckDB's), so chr(769) would be \x01
+    val nfc = spark.sql("SELECT nfc_normalize('cafe\u0301')")
+      .collect()(0).getString(0)
+    assert(nfc == "caf\u00e9")
+  }
+
   test("non-literal size argument is rejected with a clear error") {
     val e = intercept[Exception] {
       spark.sql("SELECT shingle_hashes64('abc', length('xy'))").collect()
