@@ -3773,6 +3773,40 @@ object Queries {
       Seq("lang"), weightCol = "n_chars", n = 40, seed = 7L),
     Some(OracleSqlGen.sampleWeightedGroup(40, 7L)))
 
+  /** Link-graph centrality as a curation signal (the Common Crawl
+    * domain-ranking role): fixed-point PageRank
+    * ([[graft.operators.Graph.pageRank]]) over the customer↔supplier
+    * commerce graph (both directions of every customer-bought-from-
+    * supplier pair via orders⋈lineitem; customers even ids, suppliers
+    * odd, so the two key spaces never collide). Integer nano-rank
+    * arithmetic makes the result BIT-IDENTICAL across runs, task
+    * retries, and AQE re-plans — which is what lets a 6-iteration
+    * iterative graph algorithm sit under the driver's hash-equality
+    * oracle ([[OracleSqlGen.pageRank]] replays the exact recurrence as
+    * a generated per-iteration CTE chain). Full (node, rank) mapping
+    * pinned, not just a top-k. */
+  private val pageRankEdgesSql =
+    """  SELECT o.o_custkey * 2 AS src, l.l_suppkey * 2 + 1 AS dst
+      |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |  UNION ALL
+      |  SELECT l.l_suppkey * 2 + 1, o.o_custkey * 2
+      |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey""".stripMargin
+
+  private val qPageRank = Q("q_pagerank",
+    (s, dir) => {
+      val pairs = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+        .join(t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select((col("o_custkey") * 2).cast("long").as("src"),
+          (col("l_suppkey") * 2 + 1).cast("long").as("dst"))
+      val edges = pairs.unionByName(
+        pairs.select(col("dst").as("src"), col("src").as("dst")))
+      graft.operators.Graph.pageRank(edges, iters = 6)
+        .select(col("id").cast("bigint").as("id"),
+          col("rank").cast("bigint").as("rank"))
+    },
+    Some(OracleSqlGen.pageRank(pageRankEdgesSql, iters = 6)))
+
   /** Every query, in a stable order. */
   val all: Seq[Q] = Seq(
     qSelect, qFilter, qFilterRouter,
@@ -3800,5 +3834,6 @@ object Queries {
     qApproxTopk, qAudioFeatures, qAudioG711, qIncrementalEmbedding, qSplitClusterSafe,
     qIngestRouted, qBinaryIngest, qBloomLookup, qLineDedupWithin, qProfile, qJpegFeatures,
     qRepeatMixture, qScd2Lookup, qVideoStats, qVideoFrames,
-    qCdcChunks, qCdcDedup, qNormalizeText, qIncrementalCdc, qOrcRoundtrip)
+    qCdcChunks, qCdcDedup, qNormalizeText, qIncrementalCdc, qOrcRoundtrip,
+    qPageRank)
 }
