@@ -1,0 +1,168 @@
+package graft.functions
+
+import java.util.zip.{DataFormatException, Inflater}
+
+/** Baseline PNG (ISO/IEC 15948) pixel decode, pure JVM — no imaging
+  * library. DEFLATE is the JDK's own `java.util.zip.Inflater` (raw
+  * mode: the 2-byte zlib wrapper is parsed here, the Adler32 trailer is
+  * not re-verified — same stance as the chunk CRCs below); scanline
+  * reconstruction (the five PNG filters None/Sub/Up/Average/Paeth,
+  * §9 of the spec) is implemented directly. Extends the
+  * [[RasterKernels]] still-image family: PNG was previously
+  * header-metadata only ([[org.apache.spark.sql.ImageMeta]]).
+  *
+  * Scope (declared like JpegKernels' baseline-sequential scope): 8-bit
+  * samples, color types 0 (gray), 2 (RGB), 4 (gray+alpha), 6 (RGBA),
+  * non-interlaced. Palette (type 3), 1/2/4/16-bit depths, and Adam7
+  * interlacing return None — a NULL feature row, never a wrong one.
+  * Alpha weighs nothing: means are over the color channels exactly as
+  * the BMP/PPM/JPEG paths report them.
+  *
+  * Integrity: chunk CRC32s and the zlib Adler32 are NOT re-verified —
+  * bit-rot detection belongs to the storage layer (parquet page
+  * checksums); structural damage still fails closed through the
+  * Inflater and the exact-length contract below. Every parse failure
+  * returns None rather than throwing: a corrupt blob must cost a NULL
+  * row, never a task.
+  */
+object PngKernels {
+
+  private val Magic = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+    .map(_.toByte)
+
+  /** Decompressed image payload cap (256 MB) — the IHDR declares the
+    * raw size before any inflate happens, so a zip-bomb IDAT can never
+    * allocate more than this. */
+  private val MaxRawBytes = 1L << 28
+
+  private def beI32(b: Array[Byte], i: Int): Int =
+    ((b(i) & 0xff) << 24) | ((b(i + 1) & 0xff) << 16) |
+      ((b(i + 2) & 0xff) << 8) | (b(i + 3) & 0xff)
+
+  def decode(b: Array[Byte]): Option[RasterKernels.Raster] = {
+    // magic + IHDR (must be the first chunk, per spec) + room for IEND
+    if (b == null || b.length < 8 + 25 + 12) return None
+    var i = 0
+    while (i < 8) { if (b(i) != Magic(i)) return None; i += 1 }
+    if (beI32(b, 8) != 13 || b(12) != 'I' || b(13) != 'H' ||
+        b(14) != 'D' || b(15) != 'R') return None
+    val width = beI32(b, 16).toLong
+    val height = beI32(b, 20).toLong
+    val bitDepth = b(24) & 0xff
+    val colorType = b(25) & 0xff
+    val compression = b(26) & 0xff
+    val filterMethod = b(27) & 0xff
+    val interlace = b(28) & 0xff
+    val channels = colorType match {
+      case 0 => 1 case 2 => 3 case 4 => 2 case 6 => 4
+      case _ => return None // palette or invalid
+    }
+    if (width <= 0L || height <= 0L || bitDepth != 8 ||
+        compression != 0 || filterMethod != 0 || interlace != 0) return None
+    // raw size = height * (1 filter byte + width*channels), guarded in
+    // Long division form so crafted dimensions can't overflow the check
+    val rowBytes = width * channels
+    if (rowBytes > MaxRawBytes - 1 || height > MaxRawBytes / (rowBytes + 1))
+      return None
+    val rawLen = (height * (rowBytes + 1)).toInt
+
+    // chunk walk: concatenate every IDAT payload (ONE zlib stream,
+    // split arbitrarily across chunks), stop at IEND
+    var pos = 8 + 25
+    var idatLen = 0
+    val idatAt = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+    var sawEnd = false
+    while (!sawEnd) {
+      if (pos + 8 > b.length) return None
+      val len = beI32(b, pos)
+      if (len < 0 || pos + 12L + len > b.length) return None
+      val t0 = b(pos + 4); val t1 = b(pos + 5)
+      val t2 = b(pos + 6); val t3 = b(pos + 7)
+      if (t0 == 'I' && t1 == 'D' && t2 == 'A' && t3 == 'T') {
+        idatAt += ((pos + 8, len)); idatLen += len
+      } else if (t0 == 'I' && t1 == 'E' && t2 == 'N' && t3 == 'D')
+        sawEnd = true
+      pos += 12 + len // length + type + payload + CRC (not re-verified)
+    }
+    if (idatLen < 3) return None // zlib header + at least one block byte
+
+    // zlib wrapper: CM must be DEFLATE, a preset dictionary (FDICT)
+    // cannot be honored — then raw-inflate the concatenated payload
+    val zlib = new Array[Byte](idatLen)
+    var off = 0
+    idatAt.foreach { case (at, len) =>
+      System.arraycopy(b, at, zlib, off, len); off += len
+    }
+    if ((zlib(0) & 0x0f) != 8 || (zlib(1) & 0x20) != 0) return None
+    val raw = new Array[Byte](rawLen)
+    val inf = new Inflater(true)
+    try {
+      inf.setInput(zlib, 2, idatLen - 2)
+      var got = 0
+      var stalled = false
+      while (got < rawLen && !inf.finished() && !stalled) {
+        val n = try inf.inflate(raw, got, rawLen - got)
+        catch { case _: DataFormatException => return None }
+        if (n == 0 && (inf.needsInput() || inf.needsDictionary()))
+          stalled = true // truncated or dictionary-dependent stream
+        got += n
+      }
+      if (got < rawLen) return None // stream shorter than the IHDR promise
+    } finally inf.end()
+
+    // scanline reconstruction, in place: bpp = channels at 8-bit depth
+    val w = width.toInt; val h = height.toInt
+    val stride = rowBytes.toInt + 1
+    val bpp = channels
+    var r = 0
+    while (r < h) {
+      val rowStart = r * stride + 1
+      val ft = raw(rowStart - 1) & 0xff
+      if (ft > 4) return None
+      if (ft != 0) {
+        var x = 0
+        while (x < rowBytes) {
+          val idx = rowStart + x
+          val a = if (x >= bpp) raw(idx - bpp) & 0xff else 0
+          val up = if (r > 0) raw(idx - stride) & 0xff else 0
+          val c = if (r > 0 && x >= bpp) raw(idx - stride - bpp) & 0xff else 0
+          val pred = ft match {
+            case 1 => a
+            case 2 => up
+            case 3 => (a + up) / 2
+            case 4 => // Paeth §9.4: nearest of a/up/c to a+up-c, ties a>up>c
+              val p = a + up - c
+              val pa = math.abs(p - a); val pb = math.abs(p - up)
+              val pc = math.abs(p - c)
+              if (pa <= pb && pa <= pc) a else if (pb <= pc) up else c
+          }
+          raw(idx) = ((raw(idx) & 0xff) + pred).toByte
+          x += 1
+        }
+      }
+      r += 1
+    }
+
+    // channel means; alpha never contributes
+    var sr = 0L; var sg = 0L; var sb = 0L
+    r = 0
+    while (r < h) {
+      var p = r * stride + 1
+      var x = 0
+      while (x < w) {
+        colorType match {
+          case 0 | 4 =>
+            val g = raw(p) & 0xff; sr += g; sg += g; sb += g
+          case _ =>
+            sr += raw(p) & 0xff; sg += raw(p + 1) & 0xff; sb += raw(p + 2) & 0xff
+        }
+        p += bpp
+        x += 1
+      }
+      r += 1
+    }
+    val n = width * height
+    Some(RasterKernels.Raster(w, h,
+      sr.toDouble / n, sg.toDouble / n, sb.toDouble / n))
+  }
+}

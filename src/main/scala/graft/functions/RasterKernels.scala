@@ -2,8 +2,10 @@ package graft.functions
 
 /** Pixel decode for still rasters — uncompressed 24-bit BI_RGB BMP,
   * binary PPM (P6), binary PGM (P5 grayscale, reported as equal
-  * R=G=B), and baseline-sequential JPEG (dispatched to
-  * [[JpegKernels]], round 8 — no codec library, pure T.81 math). This
+  * R=G=B), baseline-sequential JPEG (dispatched to [[JpegKernels]],
+  * round 8 — no codec library, pure T.81 math), and 8-bit
+  * non-interlaced PNG (dispatched to [[PngKernels]], round 9 — JDK
+  * Inflater + the five scanline filters, no imaging library). This
   * is the REAL decode path of [[graft.operators.Multimodal]]:
   * mean-RGB + dimensions come from actual pixel iteration, shrinking
   * the honest decode stub to VIDEO pixel data only. Replaces nothing
@@ -28,6 +30,8 @@ object RasterKernels {
     else if (bytes(0) == 'P' && bytes(1) == '5') decodePnm(bytes, rgb = false)
     else if (bytes(0) == 0xff.toByte && bytes(1) == 0xd8.toByte)
       JpegKernels.decode(bytes) // baseline sequential JPEG (round 8)
+    else if (bytes(0) == 0x89.toByte && bytes(1) == 'P')
+      PngKernels.decode(bytes) // 8-bit non-interlaced PNG (round 9)
     else None
 
   private def leU16(b: Array[Byte], i: Int): Int =

@@ -9,12 +9,14 @@ import org.apache.spark.sql.types._
   * resize / frame-sample run batched per partition.
   *
   * Decode is REAL for every still-image and audio family the engine
-  * featurizes — uncompressed 24-bit BMP, binary PPM/PGM, and (since
-  * round 8) baseline-sequential JPEG decode to dimensions + mean-RGB
-  * via [[graft.functions.RasterKernels]]/[[graft.functions
-  * .JpegKernels]] ([[raster]]), and integer-PCM WAV decodes to
-  * frame/amplitude statistics via [[graft.functions.AudioKernels]]
-  * ([[pcm]]); q_multimodal_features, q_jpeg_features, and
+  * featurizes — uncompressed 24-bit BMP, binary PPM/PGM, (since round
+  * 8) baseline-sequential JPEG, and (round 9) 8-bit non-interlaced
+  * PNG decode to dimensions + mean-RGB via
+  * [[graft.functions.RasterKernels]]/[[graft.functions.JpegKernels]]/
+  * [[graft.functions.PngKernels]] ([[raster]]), and integer-PCM WAV
+  * decodes to frame/amplitude statistics via
+  * [[graft.functions.AudioKernels]] ([[pcm]]);
+  * q_multimodal_features, q_jpeg_features, q_png_features, and
   * q_audio_features hash-check these paths against the DuckDB oracle.
   * Only VIDEO pixel data (MP4/ffmpeg codecs, not in this environment)
   * remains a clearly-marked deterministic STUB — with everything
