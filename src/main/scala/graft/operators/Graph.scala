@@ -82,17 +82,7 @@ object Graph {
     require(dampNum >= 0 && dampNum <= dampDen && dampDen > 0,
       s"damping $dampNum/$dampDen outside [0, 1]")
     require(scale > 0, s"scale must be positive, got $scale")
-    // ONE setup shuffle on src: the distinct's Aggregate(src, dst)
-    // requires only co-location on a subset of its keys, so the
-    // explicit HashPartitioning(src) satisfies it with no second
-    // exchange — and every ITERATION's contribution join then reuses
-    // the same partitioning (the per-round shuffle carries the small
-    // state frame, never the edges)
-    val e = edges
-      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
-      .filter(col("src").isNotNull && col("dst").isNotNull)
-      .repartition(col("src"))
-      .distinct()
+    val e = prepareEdges(edges, srcCol, dstCol)
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
       val setupT0 = System.nanoTime()
@@ -101,13 +91,7 @@ object Graph {
         System.err.println(s"[pageRank] edge materialize: " +
           s"${(System.nanoTime() - setupT0) / 1e9}s, |E|=$ec")
       }
-      val outdeg = e.groupBy(col("src").as("id")).agg(count(lit(1)).as("outdeg"))
-      val nodes = e.select(col("src").as("id"))
-        .unionByName(e.select(col("dst").as("id"))).distinct()
-      var state = nodes.join(outdeg, Seq("id"), "left")
-        .select(col("id"), coalesce(col("outdeg"), lit(0L)).as("outdeg"),
-          lit(scale).as("rank"))
-        .localCheckpoint(true)
+      var state = initState(e, scale).localCheckpoint(true)
       // N is a property of the fixed edge set — one bounded collect up
       // front, spliced into every round's arithmetic as a literal
       val n = state.count()
@@ -118,27 +102,7 @@ object Graph {
       if (n == 0) return state.select(col("id"), col("rank")) // empty graph
       for (it <- 0 until iters) {
         val roundT0 = System.nanoTime()
-        // total rank mass sitting on sinks, as a 1-row aggregate
-        // BROADCAST into the round's plan — never a driver collect, so
-        // each round is exactly one job (the eager checkpoint)
-        val dang = state.filter(col("outdeg") === 0L)
-          .agg(coalesce(sum(col("rank")), lit(0L)).as("__dang"))
-        // (dst, rank div outdeg) summed per dst — partial-aggregated
-        // map-side, so the shuffle carries one row per (task, dst);
-        // the contribution is computed BEFORE the join so the edge-side
-        // probe carries one long, not (rank, outdeg)
-        val contribs = state.filter(col("outdeg") > 0L)
-          .select(col("id").as("src"), expr("rank div outdeg").as("__c"))
-        val inbound = e.join(contribs, Seq("src"))
-          .groupBy(col("dst").as("id"))
-          .agg(sum(col("__c")).as("__in"))
-        // `div` (not `/`): Column./ is DOUBLE division even on longs,
-        // which would silently forfeit the exact-integer contract
-        val next = state.join(inbound, Seq("id"), "left")
-          .crossJoin(broadcast(dang))
-          .select(col("id"), col("outdeg"),
-            expr(s"$base + ($dampNum * (coalesce(__in, CAST(0 AS BIGINT)) + __dang div $n)) " +
-              s"div $dampDen").cast("long").as("rank"))
+        val next = round(e, state, n, base, dampNum, dampDen)
           .localCheckpoint(true)
         GraftBridge.unpersistCheckpoint(state)
         state = next
@@ -148,5 +112,58 @@ object Graph {
       }
       state.select(col("id"), col("rank"))
     } finally e.unpersist(blocking = false)
+  }
+
+  /** ONE setup shuffle on src: the distinct's Aggregate(src, dst)
+    * requires only co-location on a subset of its keys, so the explicit
+    * HashPartitioning(src) satisfies it with no second exchange — and
+    * every ITERATION's contribution join then reuses the same
+    * partitioning (the per-round shuffle carries the small state frame,
+    * never the edges). */
+  private[graft] def prepareEdges(edges: DataFrame, srcCol: String,
+                                  dstCol: String): DataFrame =
+    edges
+      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+      .repartition(col("src"))
+      .distinct()
+
+  /** Initial (id, outdeg, rank = scale) state over the node set. */
+  private[graft] def initState(e: DataFrame, scale: Long): DataFrame = {
+    val outdeg = e.groupBy(col("src").as("id")).agg(count(lit(1)).as("outdeg"))
+    val nodes = e.select(col("src").as("id"))
+      .unionByName(e.select(col("dst").as("id"))).distinct()
+    nodes.join(outdeg, Seq("id"), "left")
+      .select(col("id"), coalesce(col("outdeg"), lit(0L)).as("outdeg"),
+        lit(scale).as("rank"))
+  }
+
+  /** One PageRank round over (id, outdeg, rank) `state` — extracted so
+    * the per-round physical plan itself sits under a PlanSpec pin (the
+    * final query plan is just the last checkpoint's LogicalRDD, which
+    * would hide a regression here). */
+  private[graft] def round(e: DataFrame, state: DataFrame, n: Long,
+                           base: Long, dampNum: Long, dampDen: Long): DataFrame = {
+    // total rank mass sitting on sinks, as a 1-row aggregate BROADCAST
+    // into the round's plan — never a driver collect, so each round is
+    // exactly one job (the eager checkpoint)
+    val dang = state.filter(col("outdeg") === 0L)
+      .agg(coalesce(sum(col("rank")), lit(0L)).as("__dang"))
+    // (dst, rank div outdeg) summed per dst — partial-aggregated
+    // map-side, so the shuffle carries one row per (task, dst); the
+    // contribution is computed BEFORE the join so the edge-side probe
+    // carries one long, not (rank, outdeg)
+    val contribs = state.filter(col("outdeg") > 0L)
+      .select(col("id").as("src"), expr("rank div outdeg").as("__c"))
+    val inbound = e.join(contribs, Seq("src"))
+      .groupBy(col("dst").as("id"))
+      .agg(sum(col("__c")).as("__in"))
+    // `div` (not `/`): Column./ is DOUBLE division even on longs,
+    // which would silently forfeit the exact-integer contract
+    state.join(inbound, Seq("id"), "left")
+      .crossJoin(broadcast(dang))
+      .select(col("id"), col("outdeg"),
+        expr(s"$base + ($dampNum * (coalesce(__in, CAST(0 AS BIGINT)) + __dang div $n)) " +
+          s"div $dampDen").cast("long").as("rank"))
   }
 }

@@ -336,4 +336,60 @@ class PlanSpec extends SparkSpec {
     val pushed = f.linesIterator.find(_.contains("PushedFilters")).getOrElse("")
     assert(pushed.contains("GreaterThan(o_totalprice,50000.0)"), f)
   }
+
+  test("q_png_features: decode is a narrow map — blobs never shuffle") {
+    val p = plan("q_png_features")
+    // same contract as the JPEG path: construction + Inflater + filter
+    // reconstruction all run inside featurize's mapPartitions
+    assert(!p.contains("Exchange"), p)
+    assert(p.contains("ExistingRDD"), p)
+  }
+
+  test("pageRank round at scale shape: the cached edge side never re-shuffles; " +
+    "per-round exchanges carry only state-sized frames") {
+    import org.apache.spark.sql.functions._
+    val g = graft.operators.Graph
+    // -1 forces the at-100TB shape: an edge frame that big never
+    // broadcasts, so the round's joins must survive on partitioning
+    // reuse (with stats-driven broadcasts on, the test-sized edges
+    // would broadcast and hide a broken reuse)
+    val prevBcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val e = g.prepareEdges(
+      spark.range(0, 2000).selectExpr("id % 97 AS src", "id % 41 + 1 AS dst"),
+      "src", "dst").persist()
+    try {
+      e.count()
+      val state = g.initState(e, 1000000000L).localCheckpoint(true)
+      val f = g.round(e, state, state.count(), 150000000L, 17L, 20L)
+        .queryExecution.executedPlan.toString
+      val lines = f.linesIterator.toVector
+      // the edge side reads the cache IN PLACE: its HashPartitioning(src)
+      // was established once at setup (REPARTITION_BY_COL, recorded
+      // inside the InMemoryRelation), so no Exchange may sit between the
+      // join and the cache scan — one here means every iteration
+      // re-shuffles the 100 TB-side frame
+      val i = lines.indexWhere(_.contains("InMemoryTableScan"))
+      assert(i > 0, f)
+      assert(!lines.slice(math.max(0, i - 3), i).exists(_.contains("Exchange")), f)
+      // the only inserted shuffles are state/contribution-sized: the
+      // contribution probe (state projected to (src, contrib)), the
+      // per-dst contribution sum (post partial-agg: one row per task ×
+      // dst), and the state side of the rank join — the checkpoint's
+      // partitioning is not preserved under AQE, and re-shuffling N
+      // nodes per round is the documented cost; a 4th hashpartitioning
+      // exchange means an edge-sized frame started moving per round
+      assert("ENSURE_REQUIREMENTS".r.findAllIn(
+        lines.filter(_.contains("Exchange hashpartitioning")).mkString("\n"))
+        .size <= 3, f)
+      // contribution sum is partial-aggregated before its shuffle
+      assert(f.contains("partial_sum"), f)
+      // the dangling total rides a 1-ROW broadcast, never a cartesian
+      assert(!f.contains("CartesianProduct"), f)
+      assert(f.contains("BroadcastNestedLoopJoin"), f)
+    } finally {
+      e.unpersist(blocking = false)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBcast)
+    }
+  }
 }
