@@ -1631,6 +1631,94 @@ object Queries {
            |       END AS mean_b
            |FROM m""".stripMargin))
 
+  /** In-plan GIF blob for [[qGifFeatures]]: real GIF89a byte stream via
+    * the classic "uncompressed GIF" construction — min LZW code size 7
+    * makes every code 8 bits as long as the dictionary stays under 256,
+    * which a CLEAR after 100 literals guarantees, so the encoded bytes
+    * ARE the palette indices and the stream is expressible as column
+    * arithmetic. 128-entry global palette: index 0 = color A (first
+    * pixel), index 1 = color B (the rest), remainder black. REAL
+    * variable-width LZW (dictionary growth, deep chains, KwKwK) is
+    * pinned against the JDK's ImageIO encoder in [[graft.GifSpec]].
+    * Every 7th doc truncated to 20 bytes (NULL row). */
+  private def constructedGifBlob(id: Column): Column = {
+    def h2(c: Column): Column = lpad(hex(c), 2, "0")
+    def le16h(c: Column): Column =
+      concat(h2(c.bitwiseAND(lit(255))), h2(shiftright(c, 8).bitwiseAND(lit(255))))
+    def rep(px: Column, n: Column): Column = array_join(array_repeat(px, n), "")
+    val w = when(pmod(id, lit(3)) === 0, 4)
+      .when(pmod(id, lit(3)) === 1, 8).otherwise(16).cast("int")
+    val hh = when(pmod(id, lit(4)) === 0, 1)
+      .when(pmod(id, lit(4)) === 1, 2)
+      .when(pmod(id, lit(4)) === 2, 4).otherwise(8).cast("int")
+    val wh = (w * hh).cast("int")
+    val aR = pmod(id, lit(256)).cast("int")
+    val aG = pmod(id * 7, lit(256)).cast("int")
+    val aB = pmod(id * 13, lit(256)).cast("int")
+    val bR = pmod(id * 3, lit(256)).cast("int")
+    val bG = pmod(id * 5, lit(256)).cast("int")
+    val bB = pmod(id * 11, lit(256)).cast("int")
+    val pal = concat(h2(aR), h2(aG), h2(aB), h2(bR), h2(bG), h2(bB),
+      rep(lit("000000"), lit(126)))
+    // codes: CLEAR, literal 0, then B-literals with a re-CLEAR after the
+    // first 100 codes keeping the dictionary under 256 (8-bit codes)
+    val tail = when(wh > 100,
+      concat(rep(lit("01"), lit(99)), lit("80"), rep(lit("01"), wh - 100)))
+      .otherwise(rep(lit("01"), wh - 1))
+    val nCodes = wh + 2 + when(wh > 100, 1).otherwise(0)
+    val lzw = concat(lit("07"), h2(nCodes), lit("80"), lit("00"), tail,
+      lit("81"), lit("00"))
+    val fullHex = concat(
+      lit("474946383961"), le16h(w), le16h(hh), lit("860000"), pal,
+      lit("2C"), lit("00000000"), le16h(w), le16h(hh), lit("00"),
+      lzw, lit("3B"))
+    unhex(when(pmod(id, lit(7)) === 0, substring(fullHex, 1, 40))
+      .otherwise(fullHex))
+  }
+
+  /** GIF pixel decode under the oracle (round 9 — with PNG and JPEG
+    * this completes the still-image matrix: every format imageMeta can
+    * triage now decodes to pixels): in-plan literal-coded GIFs flow
+    * through the same [[Multimodal.featurize]] narrow-pass raster path,
+    * dispatching [[graft.functions.GifKernels]] (direct variable-width
+    * LZW, first frame). n_bytes = 413 + wh (+1 when the re-CLEAR is
+    * present) pins the whole construction; means mirror the raster
+    * family arithmetic. */
+  private val qGifFeatures = Q("q_gif_features",
+    (s, dir) => {
+      val media = t(s, dir, "documents")
+        .select(col("doc_id"), constructedGifBlob(col("doc_id")).as("blob"))
+      rasterFeatures(Multimodal.featurize(media, "doc_id", "blob", dim = 5,
+        decoder = Multimodal.raster))
+    },
+    Some("""WITH p AS (
+           |  SELECT doc_id,
+           |         CASE doc_id % 3 WHEN 0 THEN 4 WHEN 1 THEN 8 ELSE 16 END AS w,
+           |         CASE doc_id % 4 WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 4 ELSE 8 END AS h,
+           |         doc_id % 7 = 0 AS trunc,
+           |         doc_id % 256 AS ar, (doc_id * 7) % 256 AS ag, (doc_id * 13) % 256 AS ab,
+           |         (doc_id * 3) % 256 AS br, (doc_id * 5) % 256 AS bg, (doc_id * 11) % 256 AS bb
+           |  FROM documents),
+           |m AS (
+           |  SELECT doc_id, w, h, w * h AS wh, trunc, ar, ag, ab, br, bg, bb
+           |  FROM p)
+           |SELECT CAST(doc_id AS BIGINT) AS media_id,
+           |       CAST(CASE WHEN trunc THEN 20
+           |                 ELSE 413 + wh + CASE WHEN wh > 100 THEN 1 ELSE 0 END
+           |            END AS BIGINT) AS n_bytes,
+           |       CASE WHEN trunc THEN NULL ELSE CAST(w AS BIGINT) END AS width,
+           |       CASE WHEN trunc THEN NULL ELSE CAST(h AS BIGINT) END AS height,
+           |       CASE WHEN trunc THEN NULL
+           |            ELSE round((ar + (wh - 1) * br) / CAST(wh AS DOUBLE), 6)
+           |       END AS mean_r,
+           |       CASE WHEN trunc THEN NULL
+           |            ELSE round((ag + (wh - 1) * bg) / CAST(wh AS DOUBLE), 6)
+           |       END AS mean_g,
+           |       CASE WHEN trunc THEN NULL
+           |            ELSE round((ab + (wh - 1) * bb) / CAST(wh AS DOUBLE), 6)
+           |       END AS mean_b
+           |FROM m""".stripMargin))
+
   /** Within-document line dedup under the oracle: multi-line fixtures
     * are constructed in-plan (the corpus text carries no newlines) with
     * planted repeats — the full text twice, a 40-char prefix twice, two
@@ -3911,6 +3999,34 @@ object Queries {
     },
     Some(OracleSqlGen.pageRank(pageRankEdgesSql, iters = 6)))
 
+  /** Order-independent corpus integrity checksum
+    * ([[Ops.integrityChecksum]]): per-source row count + content
+    * checksum (sum of per-row 60-bit md5 fingerprints mod 2^61−1) over
+    * the full documents payload. The checksum is invariant to row
+    * order, partitioning, task retries, and ENGINE — which is exactly
+    * what the oracle demonstrates: DuckDB recomputes the same number
+    * from its own md5 over its own scan order. This is the
+    * validate-a-100TB-copy primitive: two tiny frames compare, nothing
+    * sorts, nothing joins. */
+  private val qIntegrityChecksum = Q("q_integrity_checksum",
+    (s, dir) => Ops.integrityChecksum(t(s, dir, "documents"),
+        Seq("source"), Seq("doc_id", "text", "lang", "n_chars"))
+      .select(col("source"), col("n_rows").cast("bigint").as("n_rows"),
+        col("checksum").cast("bigint").as("checksum")),
+    Some("""WITH f AS (
+           |  SELECT source,
+           |         CAST(('0x' || substr(md5(
+           |           CASE WHEN doc_id IS NULL THEN chr(1)
+           |                ELSE 'v' || CAST(doc_id AS VARCHAR) END || chr(31) ||
+           |           CASE WHEN text IS NULL THEN chr(1) ELSE 'v' || text END || chr(31) ||
+           |           CASE WHEN lang IS NULL THEN chr(1) ELSE 'v' || lang END || chr(31) ||
+           |           CASE WHEN n_chars IS NULL THEN chr(1)
+           |                ELSE 'v' || CAST(n_chars AS VARCHAR) END), 1, 15)) AS BIGINT) AS fp
+           |  FROM documents)
+           |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           |       CAST(SUM(fp) % 2305843009213693951 AS BIGINT) AS checksum
+           |FROM f GROUP BY source""".stripMargin))
+
   /** Every query, in a stable order. */
   val all: Seq[Q] = Seq(
     qSelect, qFilter, qFilterRouter,
@@ -3939,5 +4055,5 @@ object Queries {
     qIngestRouted, qBinaryIngest, qBloomLookup, qLineDedupWithin, qProfile, qJpegFeatures,
     qRepeatMixture, qScd2Lookup, qVideoStats, qVideoFrames,
     qCdcChunks, qCdcDedup, qNormalizeText, qIncrementalCdc, qOrcRoundtrip,
-    qPageRank, qPngFeatures)
+    qPageRank, qPngFeatures, qGifFeatures, qIntegrityChecksum)
 }

@@ -3,9 +3,11 @@ package graft.functions
 /** Pixel decode for still rasters — uncompressed 24-bit BI_RGB BMP,
   * binary PPM (P6), binary PGM (P5 grayscale, reported as equal
   * R=G=B), baseline-sequential JPEG (dispatched to [[JpegKernels]],
-  * round 8 — no codec library, pure T.81 math), and 8-bit
-  * non-interlaced PNG (dispatched to [[PngKernels]], round 9 — JDK
-  * Inflater + the five scanline filters, no imaging library). This
+  * round 8 — no codec library, pure T.81 math), 8-bit non-interlaced
+  * PNG (dispatched to [[PngKernels]], round 9 — JDK Inflater + the
+  * five scanline filters, no imaging library), and GIF87a/89a
+  * (dispatched to [[GifKernels]], round 9 — variable-width LZW
+  * implemented directly). This
   * is the REAL decode path of [[graft.operators.Multimodal]]:
   * mean-RGB + dimensions come from actual pixel iteration, shrinking
   * the honest decode stub to VIDEO pixel data only. Replaces nothing
@@ -32,6 +34,8 @@ object RasterKernels {
       JpegKernels.decode(bytes) // baseline sequential JPEG (round 8)
     else if (bytes(0) == 0x89.toByte && bytes(1) == 'P')
       PngKernels.decode(bytes) // 8-bit non-interlaced PNG (round 9)
+    else if (bytes(0) == 'G' && bytes(1) == 'I')
+      GifKernels.decode(bytes) // GIF87a/89a LZW, first frame (round 9)
     else None
 
   private def leU16(b: Array[Byte], i: Int): Int =

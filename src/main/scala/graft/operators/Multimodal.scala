@@ -11,13 +11,15 @@ import org.apache.spark.sql.types._
   * Decode is REAL for every still-image and audio family the engine
   * featurizes — uncompressed 24-bit BMP, binary PPM/PGM, (since round
   * 8) baseline-sequential JPEG, and (round 9) 8-bit non-interlaced
-  * PNG decode to dimensions + mean-RGB via
+  * PNG and GIF87a/89a LZW decode to dimensions + mean-RGB via
   * [[graft.functions.RasterKernels]]/[[graft.functions.JpegKernels]]/
-  * [[graft.functions.PngKernels]] ([[raster]]), and integer-PCM WAV
-  * decodes to frame/amplitude statistics via
-  * [[graft.functions.AudioKernels]] ([[pcm]]);
-  * q_multimodal_features, q_jpeg_features, q_png_features, and
-  * q_audio_features hash-check these paths against the DuckDB oracle.
+  * [[graft.functions.PngKernels]]/[[graft.functions.GifKernels]]
+  * ([[raster]]) — every format [[imageMeta]] can triage now decodes
+  * to pixels — and integer-PCM WAV decodes to frame/amplitude
+  * statistics via [[graft.functions.AudioKernels]] ([[pcm]]);
+  * q_multimodal_features, q_jpeg_features, q_png_features,
+  * q_gif_features, and q_audio_features hash-check these paths
+  * against the DuckDB oracle.
   * Only VIDEO pixel data (MP4/ffmpeg codecs, not in this environment)
   * remains a clearly-marked deterministic STUB — with everything
   * Spark-side real and tested: schema, batching shape, partition-local

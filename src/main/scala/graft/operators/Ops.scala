@@ -784,4 +784,48 @@ object Ops {
     GraftBridge.column(CmsEstimate(
       GraftBridge.expression(sketch), GraftBridge.expression(item)))
   }
+
+  /** Modulus for [[integrityChecksum]]: 2^61 − 1 (Mersenne prime) — big
+    * enough that collisions across runs are ~2^-61 per row pair, small
+    * enough that the reduced checksum is a plain BIGINT everywhere. */
+  val ChecksumModulus: Long = 2305843009213693951L
+
+  /** Order-independent corpus content checksum — the migration /
+    * replication validation aggregate. Each row folds to a 60-bit
+    * fingerprint (15 hex digits of md5 over a null-safe, delimiter-safe
+    * encoding of `cols`); the per-group checksum is the SUM of
+    * fingerprints mod 2^61−1. Sum is commutative and associative, so
+    * the checksum is independent of row order, partitioning, task
+    * retries, AQE re-plans — and of which ENGINE computed it: a copy of
+    * a 100 TB corpus (cluster A → cluster B, parquet → ORC, Spark →
+    * anything with md5) verifies by comparing one tiny frame from each
+    * side, no sort, no join, no co-location. The fingerprint sum is
+    * carried as DECIMAL(38,0) (exact in Spark and, as HUGEINT, in
+    * DuckDB) and reduced to BIGINT only after the mod.
+    *
+    * Null-safety: `NULL` encodes as a 0x01 byte (not 0x00 — DuckDB
+    * refuses to build strings containing NUL) where a value encodes
+    * as `'v' + cast(value as string)`, and fields join on the 0x1f unit
+    * separator — so (NULL, "a") ≠ ("", "a") and ("a","b") ≠ ("ab").
+    * Cast-to-string is the cross-engine contract: keep `cols` to
+    * string/integral/date columns (float formatting differs between
+    * engines; hash a rounded/cast form instead).
+    *
+    * Scale shape: one narrow md5 pass + one partial-aggregated shuffle
+    * of (group, decimal) rows — nothing else moves.
+    */
+  def integrityChecksum(df: DataFrame, groupCols: Seq[String],
+                        cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "integrityChecksum needs at least one content column")
+    val encoded = cols.map { c =>
+      when(col(c).isNull, lit("\u0001"))
+        .otherwise(concat(lit("v"), col(c).cast("string")))
+    }
+    val rowStr = concat_ws("\u001f", encoded: _*)
+    val fp = conv(substring(md5(rowStr), 1, 15), 16, 10).cast("decimal(38,0)")
+    df.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n_rows"),
+        pmod(sum(fp), lit(ChecksumModulus).cast("decimal(38,0)"))
+          .cast("long").as("checksum"))
+  }
 }

@@ -605,4 +605,37 @@ class OpsSpec extends SparkSpec {
       posCol = "epoch_pos", shardCol = "epoch_shard")
       .columns.toSet == Set("id", "pos", "epoch_pos", "epoch_shard"))
   }
+
+  test("integrityChecksum: invariant to row order and partitioning") {
+    import spark.implicits._
+    val df = (1L to 500L).map(i => (i, s"text-$i", s"g${i % 3}")).toDF("id", "t", "g")
+    def sums(d: org.apache.spark.sql.DataFrame) =
+      Ops.integrityChecksum(d, Seq("g"), Seq("id", "t"))
+        .as[(String, Long, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+    val a = sums(df)
+    val b = sums(df.repartition(11).sortWithinPartitions(col("t").desc))
+    assert(a == b)
+    assert(a.values.map(_._1).sum == 500L)
+    // any single-row content change moves that group's checksum
+    val c = sums(df.withColumn("t",
+      when(col("id") === 250L, lit("text-250x")).otherwise(col("t"))))
+    assert(c("g1") != a("g1") && c("g0") == a("g0") && c("g2") == a("g2"))
+  }
+
+  test("integrityChecksum: NULL, empty, and separator boundaries all hash apart") {
+    import spark.implicits._
+    def one(v1: Option[String], v2: Option[String]) =
+      Ops.integrityChecksum(
+        Seq((1L, v1, v2)).toDF("id", "a", "b").withColumn("g", lit("x")),
+        Seq("g"), Seq("a", "b"))
+        .as[(String, Long, Long)].collect().head._3
+    // NULL ≠ empty string in either position
+    assert(one(None, Some("q")) != one(Some(""), Some("q")))
+    // field boundary is real: ("a","b") ≠ ("ab","") ≠ ("", "ab")
+    assert(Set(one(Some("a"), Some("b")), one(Some("ab"), Some("")),
+      one(Some(""), Some("ab"))).size == 3)
+    intercept[IllegalArgumentException](
+      Ops.integrityChecksum(Seq(1).toDF("id"), Seq("id"), Nil))
+  }
 }
