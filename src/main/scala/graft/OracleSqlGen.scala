@@ -419,6 +419,82 @@ object OracleSqlGen {
        |FROM scored s LEFT JOIN top t USING (doc_id)""".stripMargin
   }
 
+  /** Oracle for q_quality_classifier ([[graft.operators.Classifier]]):
+    * replays the ENTIRE training loop — hashed features, `iters`
+    * delta-rule iterations, final scoring — as generated CTEs. What
+    * makes an iterative float training loop replayable at all is the
+    * operator's determinism-by-construction: the link function uses
+    * only exactly-specified IEEE ops (no exp — libms differ), and every
+    * order-sensitive reduction (the per-doc dot product, the per-bucket
+    * gradient) is a sum of round(·×1e12) integers, exact under any
+    * association. So each CTE below computes the same BITS Spark does,
+    * and the final scores hash-compare. Buckets are xxhash64(word) %
+    * `buckets` via [[hashBytesChain]] (the importance-oracle contract:
+    * corpus words sit inside the <32-byte domain; longer words fail
+    * loudly). Every multi-referenced CTE is MATERIALIZED (the PageRank
+    * oracle lesson — DuckDB inlines by default, exponentially).
+    */
+  def classifier(buckets: Int, iters: Int, lr: String,
+                 labelSql: String): String = {
+    val S = "1000000000000.0"
+    val base =
+      """SELECT w, hex(encode(w)) AS hx FROM (
+        |  SELECT DISTINCT w FROM (
+        |    SELECT unnest(list_filter(
+        |      regexp_split_to_array(lower(trim(text)), '[ \t\n\x0B\f\r]+'),
+        |      x -> x <> '')) AS w
+        |    FROM documents WHERE text IS NOT NULL))""".stripMargin
+    val (ch, hcol) = hashBytesChain(base, "hx")
+    def zSel(wTab: String): String =
+      s"""SELECT f.doc_id,
+         |       CAST(SUM(CAST(round(w.w * f.x * $S, 0) AS BIGINT)) AS DOUBLE) / $S AS z
+         |    FROM feats f JOIN $wTab w ON f.b = w.j
+         |    GROUP BY f.doc_id""".stripMargin
+    def sig(z: String): String = s"(0.5 + ($z) / (2.0 * (1.0 + abs($z))))"
+    val iterCtes = (1 to iters).map { k =>
+      s"""e$k AS MATERIALIZED (
+         |  SELECT s.doc_id, ${sig("s.z")} - l.y AS err
+         |  FROM (${zSel(s"w${k - 1}")}) s JOIN lab l USING (doc_id)),
+         |w$k AS MATERIALIZED (
+         |  SELECT w.j,
+         |         w.w - $lr * (CAST(COALESCE(g.g, 0) AS DOUBLE) / $S)
+         |               / (SELECT n FROM nn) AS w
+         |  FROM w${k - 1} w LEFT JOIN (
+         |    SELECT f.b AS j,
+         |           SUM(CAST(round(e.err * f.x * $S, 0) AS BIGINT)) AS g
+         |    FROM feats f JOIN e$k e USING (doc_id)
+         |    GROUP BY f.b) g ON w.j = g.j)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH dictw AS MATERIALIZED (
+       |  SELECT w, CAST($hcol % $buckets AS BIGINT) AS b FROM (${ch.sql})),
+       |tokd AS MATERIALIZED (
+       |  SELECT doc_id,
+       |         CASE WHEN $labelSql THEN 1.0 ELSE 0.0 END AS y,
+       |         unnest(list_filter(regexp_split_to_array(lower(trim(text)), '[ \\t\\n\\x0B\\f\\r]+'), x -> x <> '')) AS w
+       |  FROM documents WHERE text IS NOT NULL),
+       |lab AS MATERIALIZED (
+       |  SELECT doc_id, ANY_VALUE(y) AS y, COUNT(*) AS nw
+       |  FROM tokd GROUP BY doc_id),
+       |feats AS MATERIALIZED (
+       |  SELECT DISTINCT t.doc_id, d.b, CAST(1.0 AS DOUBLE) AS x
+       |  FROM tokd t JOIN dictw d USING (w)),
+       |nn AS MATERIALIZED (SELECT COUNT(*) AS n FROM lab),
+       |w0 AS MATERIALIZED (
+       |  SELECT r.range AS j, CAST(0.0 AS DOUBLE) AS w FROM range($buckets) r),
+       |$iterCtes,
+       |sc AS MATERIALIZED (
+       |  SELECT s.doc_id, round(${sig("s.z")}, 6) AS score
+       |  FROM (${zSel(s"w$iters")}) s)
+       |SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+       |       CAST(COALESCE(l.nw, 0) AS BIGINT) AS n_words,
+       |       CAST(($labelSql) AS BIGINT) AS label,
+       |       s.score,
+       |       CASE WHEN s.score IS NULL THEN NULL
+       |            ELSE CAST(s.score > 0.5 AS BIGINT) END AS predicted
+       |FROM documents d LEFT JOIN lab l USING (doc_id)
+       |LEFT JOIN sc s USING (doc_id)""".stripMargin
+  }
+
   // -------------------------------------------------------------------
   // Deterministic sampling: both operators draw from
   // xxhash64(struct(row), seed) — Spark folds the struct FIELDS in

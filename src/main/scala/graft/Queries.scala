@@ -4027,6 +4027,42 @@ object Queries {
            |       CAST(SUM(fp) % 2305843009213693951 AS BIGINT) AS checksum
            |FROM f GROUP BY source""".stripMargin))
 
+  /** Distributed quality-classifier training under the hash oracle
+    * ([[graft.operators.Classifier]]): a fastText/CCNet-role linear
+    * model over hashed unigram features, trained with 4 full-batch
+    * delta-rule iterations and scored over every document. The oracle
+    * replays the WHOLE training loop CTE by CTE — possible only
+    * because the operator is deterministic by construction
+    * (exactly-specified IEEE link function, fixed-point gradient
+    * sums); per-doc scores and predictions hash-compare.
+    *
+    * Label: "document mentions 'spark'" — deliberately a target the
+    * hashed-unigram feature space can EXPRESS. This synthetic corpus
+    * gives every language the same ~31-word vocabulary (measured
+    * en-vs-rest unigram L1 distance 0.07 — chance-level), so a
+    * language label would demonstrate nothing; real separable-corpus
+    * learning dynamics are pinned in [[graft.ClassifierSpec]], and
+    * accuracy on THIS task (probe-measured 0.996 at sf0.01 / 0.998 at
+    * sf0.001, vs a 0.77 majority-class floor) is asserted at >= 0.9
+    * there too. Config is probe-measured, not guessed: 256 buckets
+    * because at 64 'spark' collides with the equally-frequent 'stream'
+    * (presence of the shared bucket fires on 462/500 docs — nearly
+    * uninformative — and accuracy stalls at ~0.82); at 256 every
+    * frequent word has its own bucket. lr=2.0 is the stable optimum
+    * (4.0 oscillates, 1.0 undertrained); 8 iterations reach 0.990 at
+    * sf0.01 and halve the loop's job count vs 16 (0.996). */
+  private val qQualityClassifier = Q("q_quality_classifier",
+    (s, dir) => graft.operators.Classifier.trainScore(
+        t(s, dir, "documents"), "text", "doc_id",
+        coalesce(col("text").contains("spark"), lit(false)),
+        buckets = 256, iters = 8, lr = 2.0)
+      .select(col("doc_id").cast("bigint").as("doc_id"),
+        col("n_words").cast("bigint").as("n_words"),
+        col("label").cast("bigint").as("label"),
+        col("score"), col("predicted").cast("bigint").as("predicted")),
+    Some(OracleSqlGen.classifier(256, 8, "2.0",
+      "COALESCE(contains(text, 'spark'), FALSE)")))
+
   /** Every query, in a stable order. */
   val all: Seq[Q] = Seq(
     qSelect, qFilter, qFilterRouter,
@@ -4055,5 +4091,6 @@ object Queries {
     qIngestRouted, qBinaryIngest, qBloomLookup, qLineDedupWithin, qProfile, qJpegFeatures,
     qRepeatMixture, qScd2Lookup, qVideoStats, qVideoFrames,
     qCdcChunks, qCdcDedup, qNormalizeText, qIncrementalCdc, qOrcRoundtrip,
-    qPageRank, qPngFeatures, qGifFeatures, qIntegrityChecksum)
+    qPageRank, qPngFeatures, qGifFeatures, qIntegrityChecksum,
+    qQualityClassifier)
 }
