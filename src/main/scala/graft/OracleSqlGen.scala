@@ -369,7 +369,12 @@ object OracleSqlGen {
     * IEEE quotients; the per-document mean is rounded to 6 digits —
     * the same double-parity contract q_lm_score has held for rounds.
     * Selection ranks on the ROUNDED score with a doc-id tie-break. */
-  lazy val importance: String = {
+  /** The shared CTE prefix for every query built on the DSIR
+    * importance scorer: dictionary hashing → bucket counts → λ ratios
+    * → per-doc `ag` (doc_id, nw, score). Factored out so the scorer-
+    * evaluation oracles ([[scoreAuc]], [[scoreCalibration]]) replay
+    * the exact same scorer the q_importance oracle does. */
+  private lazy val importanceScoredCtes: String = {
     // DISTINCT must wrap the unnested ROWS — `SELECT DISTINCT unnest(l)`
     // dedupes the lists before unnesting, which both leaks duplicate
     // words and drops none (observed: 41 dict rows over a 31-word
@@ -385,7 +390,7 @@ object OracleSqlGen {
         |      x -> x <> '')) AS w
         |    FROM documents WHERE text IS NOT NULL))""".stripMargin
     val (ch, hcol) = hashBytesChain(base, "hx")
-    s"""WITH dictw AS MATERIALIZED (
+    s"""dictw AS MATERIALIZED (
        |  SELECT w, CAST($hcol % 256 AS BIGINT) AS b FROM (${ch.sql})),
        |tokd AS (
        |  SELECT doc_id, lang,
@@ -404,9 +409,13 @@ object OracleSqlGen {
        |  FROM range(256) r
        |  LEFT JOIN tc ON tc.b = r.range LEFT JOIN sc ON sc.b = r.range
        |  CROSS JOIN tot),
-       |ag AS (
+       |ag AS MATERIALIZED (
        |  SELECT doc_id, count(*) AS nw, round(avg(lambda), 6) AS score
-       |  FROM tb JOIN lam USING (b) GROUP BY doc_id),
+       |  FROM tb JOIN lam USING (b) GROUP BY doc_id)""".stripMargin
+  }
+
+  lazy val importance: String = {
+    s"""WITH $importanceScoredCtes,
        |scored AS (
        |  SELECT d.doc_id, coalesce(a.nw, 0) AS n_words, a.score
        |  FROM documents d LEFT JOIN ag a USING (doc_id)),
@@ -418,6 +427,81 @@ object OracleSqlGen {
        |       CAST(CASE WHEN t.doc_id IS NULL THEN 0 ELSE 1 END AS BIGINT) AS selected
        |FROM scored s LEFT JOIN top t USING (doc_id)""".stripMargin
   }
+
+  /** The shared binning CTEs for the scorer-evaluation oracles:
+    * replay the DSIR scorer ([[importanceScoredCtes]]), label each
+    * scored doc y = (lang = 'en'), min-max normalize, and floor into
+    * `bins` buckets — mirroring [[graft.operators.Evaluation]]'s
+    * expression structure op for op (same IEEE subtract/divide/
+    * multiply/floor, same mx = mn collapse, same LEAST clamp). */
+  private def evalBinnedCtes(bins: Int): String =
+    s"""$importanceScoredCtes,
+       |flt AS (
+       |  SELECT a.score AS s,
+       |         CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y
+       |  FROM ag a JOIN documents d USING (doc_id)
+       |  WHERE a.score IS NOT NULL),
+       |mm AS (SELECT min(s) AS mn, max(s) AS mx FROM flt),
+       |bn AS MATERIALIZED (
+       |  SELECT CASE WHEN mm.mx = mm.mn THEN 0
+       |              ELSE LEAST(CAST(floor(((f.s - mm.mn) / (mm.mx - mm.mn))
+       |                                    * ${bins.toDouble}) AS BIGINT),
+       |                         ${bins - 1}) END AS bin,
+       |         f.y, f.s
+       |  FROM flt f CROSS JOIN mm)""".stripMargin
+
+  /** Oracle for q_score_auc ([[graft.operators.Evaluation
+    * .binnedRankingMetrics]]): per-bin counts, prefix sums over the
+    * bounded bin table, then the Mann-Whitney AUC (exact HUGEINT
+    * numerator — DuckDB's integer sums mirror Spark's decimal(38,0))
+    * and KS (per-bin double numerators, identical IEEE products)
+    * with one final division each. */
+  def scoreAuc(bins: Int): String =
+    s"""WITH ${evalBinnedCtes(bins)},
+       |pb AS MATERIALIZED (
+       |  SELECT bin, count(*) AS n, sum(y) AS np, count(*) - sum(y) AS nn
+       |  FROM bn GROUP BY bin),
+       |cm AS (
+       |  SELECT bin, n, np, nn,
+       |         COALESCE(SUM(nn) OVER (ORDER BY bin
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumneg,
+       |         COALESCE(SUM(np) OVER (ORDER BY bin
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumpos
+       |  FROM pb),
+       |tt AS (SELECT sum(np) AS p_tot, sum(nn) AS n_tot FROM pb)
+       |SELECT CAST(sum(c.n) AS BIGINT) AS n,
+       |       CAST(max(t.p_tot) AS BIGINT) AS n_pos,
+       |       CAST(max(t.n_tot) AS BIGINT) AS n_neg,
+       |       CASE WHEN max(t.p_tot) > 0 AND max(t.n_tot) > 0 THEN
+       |         round(CAST(sum(c.np * (2 * c.cumneg + c.nn)) AS DOUBLE)
+       |               / (2.0 * CAST(max(t.p_tot) AS DOUBLE)
+       |                      * CAST(max(t.n_tot) AS DOUBLE)), 6)
+       |       END AS auc,
+       |       CASE WHEN max(t.p_tot) > 0 AND max(t.n_tot) > 0 THEN
+       |         round(max(abs(CAST(c.cumpos + c.np AS DOUBLE)
+       |                         * CAST(t.n_tot AS DOUBLE)
+       |                       - CAST(c.cumneg + c.nn AS DOUBLE)
+       |                         * CAST(t.p_tot AS DOUBLE)))
+       |               / (CAST(max(t.p_tot) AS DOUBLE)
+       |                  * CAST(max(t.n_tot) AS DOUBLE)), 6)
+       |       END AS ks
+       |FROM cm c CROSS JOIN tt t""".stripMargin
+
+  /** Oracle for q_score_calibration ([[graft.operators.Evaluation
+    * .binnedCalibration]]): per-bin size, positive rate, and the
+    * micro-quantized mean score — integer sums, one division each. */
+  def scoreCalibration(bins: Int): String =
+    s"""WITH ${evalBinnedCtes(bins)}
+       |SELECT CAST(bin AS BIGINT) AS bin,
+       |       CAST(count(*) AS BIGINT) AS n,
+       |       CAST(sum(y) AS BIGINT) AS n_pos,
+       |       round(CAST(sum(y) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+       |         AS pos_rate,
+       |       round(CAST(sum(CAST(round(s * 1000000.0, 0) AS BIGINT))
+       |                  AS DOUBLE)
+       |             / (1000000.0 * CAST(count(*) AS DOUBLE)), 6)
+       |         AS mean_score
+       |FROM bn GROUP BY bin""".stripMargin
 
   /** Oracle for q_quality_classifier ([[graft.operators.Classifier]]):
     * replays the ENTIRE training loop — hashed features, `iters`

@@ -4063,6 +4063,44 @@ object Queries {
     Some(OracleSqlGen.classifier(256, 8, "2.0",
       "COALESCE(contains(text, 'spark'), FALSE)")))
 
+  /** The DSIR importance scorer labeled with its own target class
+    * (y = lang='en') — the input both scorer-evaluation queries share.
+    * Evaluating the scorer against the class it was fit FOR makes the
+    * metrics meaningful: AUC asks "does the en-importance score
+    * actually rank en documents above the rest?". */
+  private def importanceScoredEn(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Importance
+    val docs = t(s, dir, "documents")
+    val ratios = Importance.fitLogRatios(
+      docs.filter(col("lang") === "en"),
+      docs.filter(col("lang") =!= "en" || col("lang").isNull),
+      "text", buckets = 256)
+    Importance.score(docs, "text", "doc_id", ratios, buckets = 256)
+      .join(docs.select(col("doc_id"),
+        when(col("lang") === "en", 1L).otherwise(0L).as("y")), Seq("doc_id"))
+  }
+
+  /** Scorer evaluation under the oracle, ranking half
+    * ([[graft.operators.Evaluation.binnedRankingMetrics]]): binned
+    * Mann-Whitney AUC + KS of the DSIR importance score against its
+    * own target label. Exact integer numerators, one final division
+    * per metric — DuckDB replays scorer, binning, and metrics
+    * bit-for-bit. */
+  private val qScoreAuc = Q("q_score_auc",
+    (s, dir) => graft.operators.Evaluation.binnedRankingMetrics(
+      importanceScoredEn(s, dir), "score", "y", bins = 256),
+    Some(OracleSqlGen.scoreAuc(256)))
+
+  /** Scorer evaluation, calibration half
+    * ([[graft.operators.Evaluation.binnedCalibration]]): per-bin
+    * size, positive rate, and micro-quantized mean score — the table
+    * a threshold decision reads before gating terabytes on a score
+    * cut. 64 bins so sf-scale bins stay populated. */
+  private val qScoreCalibration = Q("q_score_calibration",
+    (s, dir) => graft.operators.Evaluation.binnedCalibration(
+      importanceScoredEn(s, dir), "score", "y", bins = 64),
+    Some(OracleSqlGen.scoreCalibration(64)))
+
   /** Every query, in a stable order. */
   val all: Seq[Q] = Seq(
     qSelect, qFilter, qFilterRouter,
@@ -4092,5 +4130,5 @@ object Queries {
     qRepeatMixture, qScd2Lookup, qVideoStats, qVideoFrames,
     qCdcChunks, qCdcDedup, qNormalizeText, qIncrementalCdc, qOrcRoundtrip,
     qPageRank, qPngFeatures, qGifFeatures, qIntegrityChecksum,
-    qQualityClassifier)
+    qQualityClassifier, qScoreAuc, qScoreCalibration)
 }

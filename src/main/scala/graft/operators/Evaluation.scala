@@ -1,0 +1,127 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Scorer evaluation for a training-data pipeline: once a corpus has
+  * quality / importance / classifier scores, the pipeline needs to
+  * know whether the scorer actually RANKS the target class above the
+  * rest (ROC-AUC, KS) and how its score distribution maps to empirical
+  * label rates (calibration table) before anyone gates terabytes of
+  * data on a threshold.
+  *
+  * Both metrics are computed over SCORE BINS, not individual rows —
+  * the standard sketch for ranking metrics at scale (a per-row exact
+  * AUC needs a global sort of the corpus; the binned estimator needs
+  * one aggregation to `bins` rows and treats same-bin rows as ties,
+  * under-resolving only scores closer than (max−min)/bins). The bin
+  * table is bounded by the `bins` PARAMETER, so the prefix-sum window
+  * that follows runs over ≤ `bins` rows — a model-sized table, never
+  * the corpus (same bounded-window contract as the classifier's
+  * weight frame).
+  *
+  * DETERMINISM: every accumulation is integer (counts, and score sums
+  * pre-quantized to 1e-6 — exact in doubles to 2^53), so no float sum
+  * order can drift; floats appear only in per-row bin assignment
+  * (min-max normalize, floor — exactly-specified IEEE ops) and in ONE
+  * final division per metric. That is what lets the DuckDB oracle
+  * replay both queries bit-for-bit ([[graft.OracleSqlGen]]).
+  */
+object Evaluation {
+
+  /** Quantization for exact score sums: scores enter rounded to 1e-6
+    * (the repo-wide score contract), so ·1e6 is integral. */
+  val MicroScale: Double = 1e6
+
+  private def checkBins(bins: Int): Unit =
+    require(bins >= 2 && bins <= (1 << 16), s"bins must be in [2, 2^16], got $bins")
+
+  /** (bin, y) rows: min-max normalize the score and floor into `bins`
+    * buckets; a constant score column collapses to bin 0 (metrics then
+    * read all-ties: AUC = 0.5, KS = 0). Null scores/labels are the
+    * caller's filter — this projects, it does not judge. */
+  private def binned(scored: DataFrame, scoreCol: String, labelCol: String,
+                     bins: Int): DataFrame = {
+    val flt = scored
+      .filter(col(scoreCol).isNotNull && col(labelCol).isNotNull)
+      .select(col(scoreCol).cast("double").as("s"),
+        col(labelCol).cast("long").as("y"))
+    val mm = flt.agg(min(col("s")).as("mn"), max(col("s")).as("mx"))
+    flt.crossJoin(broadcast(mm))
+      .select(
+        when(col("mx") === col("mn"), lit(0L))
+          .otherwise(least(
+            floor((col("s") - col("mn")) / (col("mx") - col("mn"))
+              * lit(bins.toDouble)).cast("long"),
+            lit(bins - 1L))).as("bin"),
+        col("y"), col("s"))
+  }
+
+  /** One summary row: n, n_pos, n_neg, auc, ks.
+    *
+    * AUC is the Mann-Whitney rank form over bins — positives in
+    * strictly higher bins count 1, same-bin ties count ½:
+    * auc = Σ_b np_b·(2·cumneg_b + nn_b) / (2·P·N), with the numerator
+    * an exact BIGINT. KS is max_b |F_pos(b) − F_neg(b)| with the
+    * per-bin numerator |cumpos_b·N − cumneg_b·P| formed in doubles
+    * (identical IEEE products on both engines). Degenerate inputs
+    * (no positives or no negatives) yield NULL metrics, never a
+    * divide-by-zero NaN. */
+  def binnedRankingMetrics(scored: DataFrame, scoreCol: String,
+                           labelCol: String, bins: Int = 256): DataFrame = {
+    checkBins(bins)
+    val perBin = binned(scored, scoreCol, labelCol, bins)
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("np"))
+      .withColumn("nn", col("n") - col("np"))
+    // prefix sums over the ≤`bins`-row bin table (see object scaladoc)
+    val below = Window.orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val tot = perBin.agg(sum(col("np")).as("p_tot"), sum(col("nn")).as("n_tot"))
+    val cum = perBin
+      .withColumn("cumneg", coalesce(sum(col("nn")).over(below), lit(0L)))
+      .withColumn("cumpos", coalesce(sum(col("np")).over(below), lit(0L)))
+      .crossJoin(broadcast(tot))
+    cum
+      .agg(sum(col("n")).as("n"), max(col("p_tot")).as("n_pos"),
+        max(col("n_tot")).as("n_neg"),
+        // decimal BEFORE the product: np·2·cumneg is corpus² — past
+        // long range once both classes exceed ~2·10⁹ rows
+        sum(col("np").cast("decimal(38,0)")
+          * (lit(2L) * col("cumneg") + col("nn")).cast("decimal(38,0)"))
+          .as("num2"),
+        max(abs((col("cumpos") + col("np")).cast("double")
+            * col("n_tot").cast("double")
+          - (col("cumneg") + col("nn")).cast("double")
+            * col("p_tot").cast("double"))).as("ksnum"))
+      .select(col("n"), col("n_pos"), col("n_neg"),
+        when(col("n_pos") > 0 && col("n_neg") > 0,
+          round(col("num2").cast("double")
+            / (lit(2.0) * col("n_pos").cast("double")
+              * col("n_neg").cast("double")), 6)).as("auc"),
+        when(col("n_pos") > 0 && col("n_neg") > 0,
+          round(col("ksnum")
+            / (col("n_pos").cast("double") * col("n_neg").cast("double")),
+            6)).as("ks"))
+  }
+
+  /** Calibration table: one row per non-empty bin with its size, the
+    * positive rate, and the mean score — both as exact-integer-derived
+    * quotients (score sums are pre-quantized micro-units, so the mean
+    * is sum/(1e6·n): one division, no float accumulation). */
+  def binnedCalibration(scored: DataFrame, scoreCol: String,
+                        labelCol: String, bins: Int = 256): DataFrame = {
+    checkBins(bins)
+    binned(scored, scoreCol, labelCol, bins)
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("n_pos"),
+        sum(round(col("s") * lit(MicroScale), 0).cast("decimal(38,0)"))
+          .as("micro"))
+      .select(col("bin"), col("n"), col("n_pos"),
+        round(col("n_pos").cast("double") / col("n").cast("double"), 6)
+          .as("pos_rate"),
+        round(col("micro").cast("double") / (lit(MicroScale) * col("n")
+          .cast("double")), 6).as("mean_score"))
+  }
+}
