@@ -437,7 +437,7 @@ object OracleSqlGen {
   private def evalBinnedCtes(bins: Int): String =
     s"""$importanceScoredCtes,
        |flt AS (
-       |  SELECT a.score AS s,
+       |  SELECT a.doc_id, a.score AS s,
        |         CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y
        |  FROM ag a JOIN documents d USING (doc_id)
        |  WHERE a.score IS NOT NULL),
@@ -447,7 +447,7 @@ object OracleSqlGen {
        |              ELSE LEAST(CAST(floor(((f.s - mm.mn) / (mm.mx - mm.mn))
        |                                    * ${bins.toDouble}) AS BIGINT),
        |                         ${bins - 1}) END AS bin,
-       |         f.y, f.s
+       |         f.doc_id, f.y, f.s
        |  FROM flt f CROSS JOIN mm)""".stripMargin
 
   /** Oracle for q_score_auc ([[graft.operators.Evaluation
@@ -502,6 +502,27 @@ object OracleSqlGen {
        |             / (1000000.0 * CAST(count(*) AS DOUBLE)), 6)
        |         AS mean_score
        |FROM bn GROUP BY bin""".stripMargin
+
+  /** Oracle for q_score_gate ([[graft.operators.Evaluation
+    * .gateTopRate]]): per-bin counts, a top-down suffix sum over the
+    * bounded bin table, the highest bin whose suffix reaches
+    * ceil(rate·n), and the per-row kept flag. Pure integer logic
+    * after the shared bin assignment. */
+  def scoreGate(keepRate: String, bins: Int): String =
+    s"""WITH ${evalBinnedCtes(bins)},
+       |pb AS MATERIALIZED (SELECT bin, count(*) AS n FROM bn GROUP BY bin),
+       |cm AS (
+       |  SELECT bin, SUM(n) OVER (ORDER BY bin DESC
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM pb),
+       |tt AS (SELECT sum(n) AS total FROM pb),
+       |th AS (
+       |  SELECT max(bin) AS t FROM cm CROSS JOIN tt
+       |  WHERE cum >= CAST(ceil($keepRate * CAST(total AS DOUBLE)) AS BIGINT))
+       |SELECT CAST(b.doc_id AS BIGINT) AS doc_id, b.s AS score,
+       |       CAST(b.y AS BIGINT) AS y,
+       |       CAST(b.bin >= th.t AS BIGINT) AS kept
+       |FROM bn b CROSS JOIN th""".stripMargin
 
   /** Oracle for q_quality_classifier ([[graft.operators.Classifier]]):
     * replays the ENTIRE training loop — hashed features, `iters`

@@ -4101,6 +4101,19 @@ object Queries {
       importanceScoredEn(s, dir), "score", "y", bins = 64),
     Some(OracleSqlGen.scoreCalibration(64)))
 
+  /** Scorer evaluation, gate half
+    * ([[graft.operators.Evaluation.gateTopRate]]): keep the top 25%
+    * of the corpus by DSIR score at bin granularity — the actual
+    * "gate terabytes on a threshold" step the AUC/calibration queries
+    * exist to justify. Bounded aggregation + broadcast threshold; no
+    * global sort. */
+  private val qScoreGate = Q("q_score_gate",
+    (s, dir) => graft.operators.Evaluation.gateTopRate(
+        importanceScoredEn(s, dir), "score", keepRate = 0.25, bins = 256)
+      .select(col("doc_id").cast("bigint").as("doc_id"), col("score"),
+        col("y").cast("bigint").as("y"), col("kept")),
+    Some(OracleSqlGen.scoreGate("0.25", 256)))
+
   /** Every query, in a stable order. */
   val all: Seq[Q] = Seq(
     qSelect, qFilter, qFilterRouter,
@@ -4130,5 +4143,5 @@ object Queries {
     qRepeatMixture, qScd2Lookup, qVideoStats, qVideoFrames,
     qCdcChunks, qCdcDedup, qNormalizeText, qIncrementalCdc, qOrcRoundtrip,
     qPageRank, qPngFeatures, qGifFeatures, qIntegrityChecksum,
-    qQualityClassifier, qScoreAuc, qScoreCalibration)
+    qQualityClassifier, qScoreAuc, qScoreCalibration, qScoreGate)
 }

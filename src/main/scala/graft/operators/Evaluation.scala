@@ -106,6 +106,46 @@ object Evaluation {
             6)).as("ks"))
   }
 
+  /** Gate the corpus at a target keep-rate: keep (kept = 1) every row
+    * whose score falls in the HIGHEST bins whose combined mass first
+    * reaches ceil(keepRate·n) — the binned version of "keep the top
+    * p% by score". The guarantee is bin-granular: at least keepRate·n
+    * rows are kept, overshooting by at most one bin's population
+    * (same-bin rows are indistinguishable — there is no row-level
+    * tiebreak, which is exactly what makes the gate a bounded
+    * aggregation instead of a global sort). Null-score rows are
+    * dropped: a gate must never pass a row it could not score.
+    * Output: the input columns plus `kept`. */
+  def gateTopRate(scored: DataFrame, scoreCol: String, keepRate: Double,
+                  bins: Int = 256): DataFrame = {
+    checkBins(bins)
+    require(keepRate > 0.0 && keepRate <= 1.0,
+      s"keepRate must be in (0, 1], got $keepRate")
+    val flt = scored.filter(col(scoreCol).isNotNull)
+    val mm = flt.agg(min(col(scoreCol).cast("double")).as("mn"),
+      max(col(scoreCol).cast("double")).as("mx"))
+    val withBin = flt.crossJoin(broadcast(mm))
+      .withColumn("__bin",
+        when(col("mx") === col("mn"), lit(0L))
+          .otherwise(least(
+            floor((col(scoreCol).cast("double") - col("mn"))
+              / (col("mx") - col("mn")) * lit(bins.toDouble)).cast("long"),
+            lit(bins - 1L))))
+      .drop("mn", "mx")
+    val perBin = withBin.groupBy(col("__bin")).agg(count(lit(1)).as("n"))
+    // suffix sums over the ≤`bins`-row bin table, highest bin first
+    val fromTop = Window.orderBy(col("__bin").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tDf = perBin
+      .withColumn("cum", sum(col("n")).over(fromTop))
+      .crossJoin(broadcast(perBin.agg(sum(col("n")).as("total"))))
+      .filter(col("cum") >= ceil(lit(keepRate) * col("total").cast("double")))
+      .agg(max(col("__bin")).as("__t"))
+    withBin.crossJoin(broadcast(tDf))
+      .withColumn("kept", (col("__bin") >= col("__t")).cast("bigint"))
+      .drop("__bin", "__t")
+  }
+
   /** Calibration table: one row per non-empty bin with its size, the
     * positive rate, and the mean score — both as exact-integer-derived
     * quotients (score sums are pre-quantized micro-units, so the mean

@@ -65,11 +65,41 @@ class EvaluationSpec extends SparkSpec {
     assert(r.getDouble(3) == 1.0)
   }
 
+  test("gate keeps exactly the top-rate rows when bins resolve scores") {
+    val df = (1 to 100).map(i => (i.toLong, i / 100.0)).toDF("id", "s")
+    val out = Evaluation.gateTopRate(df, "s", keepRate = 0.25, bins = 256)
+      .select("id", "kept").as[(Long, Long)].collect().toMap
+    assert(out.values.sum == 25)
+    assert((76 to 100).forall(i => out(i.toLong) == 1L))
+  }
+
+  test("gate overshoots only at bin granularity on ties") {
+    // 4 rows at the top score, need = ceil(0.1*10) = 1 -> all 4 kept
+    val df = ((1 to 6).map(i => (i.toLong, i / 10.0)) ++
+      (7 to 10).map(i => (i.toLong, 0.9))).toDF("id", "s")
+    val out = Evaluation.gateTopRate(df, "s", keepRate = 0.1, bins = 8)
+      .select("id", "kept").as[(Long, Long)].collect().toMap
+    assert((7 to 10).forall(i => out(i.toLong) == 1L))
+    assert(out.values.sum == 4)
+  }
+
+  test("gate at keepRate 1.0 keeps everything; null scores are dropped") {
+    val df = Seq((1L, Some(0.4)), (2L, Some(0.9)), (3L, None))
+      .toDF("id", "s")
+    val out = Evaluation.gateTopRate(df, "s", keepRate = 1.0)
+      .select("id", "kept").as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L))
+  }
+
   test("argument guards") {
     val df = Seq((0.5, 1)).toDF("s", "y")
     intercept[IllegalArgumentException](
       Evaluation.binnedRankingMetrics(df, "s", "y", bins = 1))
     intercept[IllegalArgumentException](
       Evaluation.binnedCalibration(df, "s", "y", bins = 1 << 17))
+    intercept[IllegalArgumentException](
+      Evaluation.gateTopRate(df, "s", keepRate = 0.0))
+    intercept[IllegalArgumentException](
+      Evaluation.gateTopRate(df, "s", keepRate = 1.5))
   }
 }
