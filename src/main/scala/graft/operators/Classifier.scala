@@ -152,6 +152,27 @@ object Classifier {
     w
   }
 
+  /** Score rows against an already-trained weight vector as a PURE
+    * PROJECTION — the per-row bucket set comes from a transform over
+    * the row's own words (no group-by), so this runs unchanged inside
+    * Structured Streaming: train offline with [[train]], embed `w`
+    * into the 24/7 ingest query. Scores match [[trainScore]]'s
+    * bit-for-bit — the fixed-point fold is order-independent, so the
+    * per-row array order vs the batch collect_set order cannot
+    * matter. Wordless/null docs score NULL, as in trainScore. */
+  def scoreRows(docs: DataFrame, textCol: String, idCol: String,
+                w: Array[Double], buckets: Int): DataFrame = {
+    val bs = array_distinct(transform(Bpe.wordsCol(col(textCol)),
+      wd => Importance.bucket(wd, buckets)))
+    docs.select(col(idCol),
+      when(size(bs) > 0,
+        round(fastSigmoid(zCol(typedlit(w.toIndexedSeq), bs)), 6))
+        .as("score"))
+      .withColumn("predicted",
+        when(col("score").isNull, lit(null).cast("bigint"))
+          .otherwise((col("score") > 0.5).cast("bigint")))
+  }
+
   /** End-to-end: featurize, train, score every document. Output: (id,
     * n_words, label, score [σ̃ rounded 6], predicted [score > 0.5]);
     * documents with no words keep NULL score/predicted — never a

@@ -87,4 +87,41 @@ class StreamingKernelsSpec extends SparkSpec {
     val score = streamed.map(r => r.head -> r(2)).toMap
     assert(score(1L).asInstanceOf[Double] > score(2L).asInstanceOf[Double])
   }
+
+  test("classifier scoring: stateless stream projection equals batch trainScore") {
+    import graft.operators.Classifier
+    val docs = (1 to 60).map { i =>
+      val pos = i % 2 == 0
+      val vocab = if (pos) Seq("alpha", "bravo", "charlie")
+      else Seq("zulu", "yankee", "xray")
+      (i.toLong, (0 until 5).map(k => vocab((i + k) % 3)).mkString(" "), pos)
+    }
+    val df = docs.toDF("doc_id", "text", "y")
+    // offline training (the batch job), then the weight vector rides
+    // into the streaming query as data — scoreRows is a pure
+    // projection, so APPEND mode needs no watermark or state
+    val w = Classifier.train(
+      Classifier.perDocFeatures(df, "text", "doc_id", col("y"), 64),
+      buckets = 64, iters = 4, lr = 2.0)
+    val batch = Classifier
+      .trainScore(df, "text", "doc_id", col("y"), buckets = 64,
+        iters = 4, lr = 2.0)
+      .select("doc_id", "score").as[(Long, Double)].collect().toMap
+
+    val input = MemoryStream[(Long, String)](spark, numPartitions = 1)
+    val q = Classifier
+      .scoreRows(input.toDS().toDF("doc_id", "text"), "text", "doc_id",
+        w, buckets = 64)
+      .writeStream.format("memory").queryName("cls_stream")
+      .outputMode("append").start()
+    input.addData(docs.map(d => (d._1, d._2)): _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("cls_stream")
+      .select("doc_id", "score").as[(Long, Double)].collect().toMap
+    // EXACT score equality — same fixed-point fold, different row order
+    assert(streamed == batch)
+    // and the model separates: every even doc above 0.5, odd below
+    assert(docs.forall { case (id, _, pos) => (streamed(id) > 0.5) == pos })
+  }
 }
