@@ -392,4 +392,41 @@ class PlanSpec extends SparkSpec {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBcast)
     }
   }
+
+  /** Every Window in `p` must sit directly on the bounded bin/model
+    * table (a HashAggregate within a few plan lines below it), never
+    * on a corpus-sized input. */
+  private def assertWindowsOverAggregates(p: String): Unit = {
+    val lines = p.linesIterator.toVector
+    lines.zipWithIndex.filter(_._1.contains("Window")).foreach { case (_, i) =>
+      assert(lines.slice(i, i + 7).exists(_.contains("HashAggregate")),
+        s"Window at plan line $i has no nearby aggregate:\n$p")
+    }
+  }
+
+  test("q_score_auc: windows run over the bins-bounded table, no corpus sort") {
+    val p = plan("q_score_auc")
+    assertWindowsOverAggregates(p)
+    // totals and min/max attach as 1-row broadcasts, not cartesians
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q_score_gate: no global ranking — bounded suffix sum + broadcast threshold") {
+    val p = plan("q_score_gate")
+    assertWindowsOverAggregates(p)
+    assert(!p.contains("TakeOrdered"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q_quality_classifier: scoring has no window/sort; weights ride a broadcast") {
+    // constructing this plan RUNS training (trainScore collects per
+    // iteration) — the assertion is on the returned scoring plan
+    val p = plan("q_quality_classifier")
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("TakeOrdered"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+  }
 }
