@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, GraftBridge, SumIndexedLongs}
 import org.apache.spark.sql.functions._
 
 /** Distributed linear quality classifier over hashed token features —
@@ -90,15 +90,33 @@ object Classifier {
     * update moves a weight by at most lr·mean|err·x| ≤ lr), so
     * |z·1e12| ≤ buckets·lr·iters·1e12 — checked against Long range by
     * the trainScore guard. (The CORPUS-sized gradient sum stays
-    * decimal: its term count grows with the data.) */
-  private def zCol(wArr: Column, bs: Column): Column =
-    aggregate(bs, lit(0L),
-      (acc, b) => acc + round(element_at(wArr, (b + 1).cast("int"))
-        * lit(Scale), 0).cast("long"))
+    * decimal: its term count grows with the data.)
+    *
+    * `qwArr` is the PRE-QUANTIZED weight array ([[quantize]] applied
+    * per slot, once per iteration, driver-side), and the per-row sum
+    * is the codegen [[org.apache.spark.sql.SumIndexedLongs]] kernel —
+    * an interpreted `aggregate` lambda here cost ~6× the bare job
+    * floor per training iteration (measured at sf0.1: round + multiply
+    * + element_at re-evaluated interpretively per word-bucket per row).
+    */
+  private def zCol(qwArr: Column, bs: Column): Column =
+    GraftBridge.column(SumIndexedLongs(
+      GraftBridge.expression(bs), GraftBridge.expression(qwArr)))
       .cast("double") / lit(Scale)
 
-  /** The model as a broadcast ONE-ROW frame (`__w`: array<double>),
-    * NOT a literal in the plan: wholestage codegen inlines primitive
+  /** round(w·1e12) exactly as Spark's `round(_, 0)` computes it for
+    * doubles (BigDecimal.valueOf → setScale HALF_UP → toDouble, then
+    * the long cast) — quantizing driver-side must not produce even
+    * one different bit, or the oracle's in-SQL replay diverges.
+    * Parity is pinned in ClassifierSpec across random and
+    * half-boundary inputs, and end-to-end by the q_quality_classifier
+    * hash. */
+  def quantize(w: Double): Long =
+    java.math.BigDecimal.valueOf(w * Scale)
+      .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue().toLong
+
+  /** The model as a broadcast ONE-ROW frame (`__qw`: the pre-quantized
+    * array<long>), NOT a literal in the plan: wholestage codegen inlines
     * literals into the generated source, so literal weights would make
     * every training iteration a brand-new compilation unit — measured
     * at sf0.1, the Janino recompiles cost more than the iteration's
@@ -116,7 +134,7 @@ object Classifier {
   private def wFrame(spark: org.apache.spark.sql.SparkSession,
                      w: Array[Double]): DataFrame = {
     import spark.implicits._
-    Seq(Tuple1(w.toSeq)).toDF("__w")
+    Seq(Tuple1(w.map(quantize).toSeq)).toDF("__qw")
   }
 
   /** Train `iters` delta-rule iterations from zero weights over the
@@ -137,7 +155,7 @@ object Classifier {
     for (_ <- 0 until iters) {
       val grads = perDoc
         .crossJoin(broadcast(wFrame(perDoc.sparkSession, w)))
-        .select((fastSigmoid(zCol(col("__w"), col("bs"))) - col("y")).as("__err"),
+        .select((fastSigmoid(zCol(col("__qw"), col("bs"))) - col("y")).as("__err"),
           explode(col("bs")).as("b"))
         .groupBy(col("b"))
         .agg(sum(round(col("__err") * lit(Scale), 0)
@@ -166,7 +184,7 @@ object Classifier {
       wd => Importance.bucket(wd, buckets)))
     docs.select(col(idCol),
       when(size(bs) > 0,
-        round(fastSigmoid(zCol(typedlit(w.toIndexedSeq), bs)), 6))
+        round(fastSigmoid(zCol(typedlit(w.map(quantize).toIndexedSeq), bs)), 6))
         .as("score"))
       .withColumn("predicted",
         when(col("score").isNull, lit(null).cast("bigint"))
@@ -204,7 +222,7 @@ object Classifier {
       val scores = perDoc
         .crossJoin(broadcast(wFrame(perDoc.sparkSession, w)))
         .select(col("__id"), col("n_words"),
-          round(fastSigmoid(zCol(col("__w"), col("bs"))), 6).as("score"))
+          round(fastSigmoid(zCol(col("__qw"), col("bs"))), 6).as("score"))
       docs.select(col(idCol).as("__id"), labelCol.cast("bigint").as("label"))
         .join(scores, Seq("__id"), "left")
         .select(col("__id").as(idCol),

@@ -681,6 +681,28 @@ case class VectorDot(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Σ vals(idx(i)) for long arrays — see
+  * [[graft.functions.VectorKernels.sumIndexed]]. */
+case class SumIndexedLongs(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(LongType), ArrayType(LongType))
+  override def dataType: DataType = LongType
+  override def prettyName: String = "sum_indexed"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    graft.functions.VectorKernels.sumIndexed(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VectorKernels.sumIndexed($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SumIndexedLongs =
+    copy(left = newLeft, right = newRight)
+}
+
 case class VectorCosine(left: Expression, right: Expression)
     extends BinaryExpression with ExpectsInputTypes {
 

@@ -72,6 +72,25 @@ class ClassifierSpec extends SparkSpec {
       s"accuracy $acc does not beat the majority-class floor ($posRate positive)")
   }
 
+  test("driver-side quantize is bit-identical to Spark's round") {
+    // the whole oracle contract hangs on this: weights are quantized
+    // once driver-side, and DuckDB replays round(w*1e12) in SQL — the
+    // three computations must agree to the last bit
+    val rnd = new scala.util.Random(42)
+    val adversarial = (-40 to 40).flatMap { k =>
+      Seq((k.toDouble + 0.5) / Classifier.Scale, // exact half boundaries
+        (k.toDouble - 0.5) / Classifier.Scale,
+        k / Classifier.Scale)
+    }
+    val ws = (adversarial ++ (1 to 20000).map(_ => (rnd.nextDouble() - 0.5) * 64)
+      ++ Seq(0.0, -0.0, 16.0, -16.0)).toArray
+    val sparkSide = ws.toSeq.toDF("w")
+      .select(round(col("w") * lit(Classifier.Scale), 0).cast("long"))
+      .as[Long].collect()
+    val driverSide = ws.map(Classifier.quantize)
+    assert(sparkSide.toSeq == driverSide.toSeq)
+  }
+
   test("wordless documents keep NULL score and predicted") {
     val docs = Seq((1L, "alpha bravo", 1), (2L, "   ", 0), (3L, null, 0))
       .toDF("doc_id", "text", "y")
