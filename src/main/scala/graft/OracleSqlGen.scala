@@ -524,6 +524,76 @@ object OracleSqlGen {
        |       CAST(b.bin >= th.t AS BIGINT) AS kept
        |FROM bn b CROSS JOIN th""".stripMargin
 
+  /** Oracle for q_kmeans ([[graft.operators.KMeans]]): replays the
+    * ENTIRE Lloyd loop — micro-quantization, farthest-first seeding,
+    * per-iteration exact-integer argmin assignment (ties to lowest cid
+    * via the [dist, cid] arg_min key) and floor(sum/count) centroid
+    * updates with empty-cluster carryover — as a MATERIALIZED CTE
+    * chain. Replayable for the same reason the classifier is: no
+    * order-sensitive float accumulation anywhere (distances are exact
+    * BIGINT sums; the single division per dimension happens on
+    * integer-valued doubles ≤ 2^53). */
+  def kmeans(k: Int, iters: Int, dim: Int): String = {
+    def dist(v: String, c: String): String =
+      s"CAST(list_sum(list_transform(range(1, ${dim + 1}), " +
+        s"i -> ($v.q[i] - $c.q[i]) * ($v.q[i] - $c.q[i]))) AS BIGINT)"
+    // arg_min key must be scalar in DuckDB: dist·16 + cid is order-
+    // equivalent to lexicographic (dist, cid) while cid < 16 and
+    // dist·16 ≤ 4·10¹⁵ stays far inside BIGINT
+    require(k <= 16, s"oracle arg_min key encoding assumes k <= 16, got $k")
+    def assignSql(cTab: String): String =
+      s"""SELECT v.vec_id,
+         |       arg_min(c.cid, ${dist("v", "c")} * 16 + c.cid) AS cid
+         |FROM qv v CROSS JOIN $cTab c GROUP BY v.vec_id""".stripMargin
+    // farthest-first seeding: f1 = lowest id; each further pick is the
+    // vector maximizing its min distance to the chosen set (ties to
+    // the lowest id) — mirrors KMeans.farthestFirst exactly
+    val seedCtes = (2 to k).map { j =>
+      s"""f$j AS MATERIALIZED (
+         |  SELECT * FROM f${j - 1}
+         |  UNION ALL
+         |  SELECT CAST(${j - 1} AS BIGINT) AS cid, v2.q
+         |  FROM (
+         |    SELECT v.vec_id
+         |    FROM qv v CROSS JOIN f${j - 1} c
+         |    GROUP BY v.vec_id
+         |    ORDER BY min(${dist("v", "c")}) DESC, v.vec_id LIMIT 1) p
+         |  JOIN qv v2 USING (vec_id))""".stripMargin
+    }.mkString(",\n")
+    val seedChain =
+      s"""f1 AS MATERIALIZED (
+         |  SELECT CAST(0 AS BIGINT) AS cid, q
+         |  FROM qv ORDER BY vec_id LIMIT 1)${if (k > 1) ",\n" + seedCtes else ""},
+         |c0 AS MATERIALIZED (SELECT cid, q FROM f$k)""".stripMargin
+    val iterCtes = (1 to iters).map { i =>
+      s"""a$i AS MATERIALIZED (
+         |  ${assignSql(s"c${i - 1}")}),
+         |c$i AS MATERIALIZED (
+         |  SELECT p.cid, COALESCE(nw.q, p.q) AS q
+         |  FROM c${i - 1} p LEFT JOIN (
+         |    SELECT cid,
+         |           list(CAST(floor(CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+         |                     AS BIGINT) ORDER BY pos) AS q
+         |    FROM (
+         |      SELECT a.cid, r.range AS pos, sum(v.q[r.range]) AS s,
+         |             count(*) AS n
+         |      FROM a$i a JOIN qv v USING (vec_id)
+         |      CROSS JOIN range(1, ${dim + 1}) r
+         |      GROUP BY a.cid, r.range) GROUP BY cid) nw
+         |  ON p.cid = nw.cid)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH qv AS MATERIALIZED (
+       |  SELECT vec_id,
+       |         list_transform(embedding,
+       |           x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0, 0) AS BIGINT)) AS q
+       |  FROM embeddings),
+       |$seedChain,
+       |$iterCtes
+       |SELECT CAST(f.vec_id AS BIGINT) AS vec_id,
+       |       CAST(f.cid AS BIGINT) AS cluster
+       |FROM (${assignSql(s"c$iters")}) f""".stripMargin
+  }
+
   /** Oracle for q_quality_classifier ([[graft.operators.Classifier]]):
     * replays the ENTIRE training loop — hashed features, `iters`
     * delta-rule iterations, final scoring — as generated CTEs. What

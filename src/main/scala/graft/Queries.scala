@@ -4063,6 +4063,20 @@ object Queries {
     Some(OracleSqlGen.classifier(256, 8, "2.0",
       "COALESCE(contains(text, 'spark'), FALSE)")))
 
+  /** Deterministic Lloyd's k-means over the embeddings table under the
+    * hash oracle ([[graft.operators.KMeans]]): micro-quantized
+    * components, exact-integer distances, lowest-id tie-breaks,
+    * floor-division centroid updates — the classifier's determinism-
+    * by-construction recipe applied to clustering, so DuckDB replays
+    * all 4 Lloyd iterations CTE by CTE and the per-vector assignments
+    * hash-compare. k=10 matches the table's planted label structure;
+    * cluster-vs-label purity is measured in KMeansSpec. */
+  private val qKmeans = Q("q_kmeans",
+    (s, dir) => graft.operators.KMeans.fitAssign(
+        t(s, dir, "embeddings"), "embedding", "vec_id", k = 10, iters = 4)
+      .select(col("vec_id").cast("bigint").as("vec_id"), col("cluster")),
+    Some(OracleSqlGen.kmeans(10, 4, 64)))
+
   /** The DSIR importance scorer labeled with its own target class
     * (y = lang='en') — the input both scorer-evaluation queries share.
     * Evaluating the scorer against the class it was fit FOR makes the
@@ -4143,5 +4157,5 @@ object Queries {
     qRepeatMixture, qScd2Lookup, qVideoStats, qVideoFrames,
     qCdcChunks, qCdcDedup, qNormalizeText, qIncrementalCdc, qOrcRoundtrip,
     qPageRank, qPngFeatures, qGifFeatures, qIntegrityChecksum,
-    qQualityClassifier, qScoreAuc, qScoreCalibration, qScoreGate)
+    qQualityClassifier, qScoreAuc, qScoreCalibration, qScoreGate, qKmeans)
 }
