@@ -115,29 +115,24 @@ object Classifier {
     java.math.BigDecimal.valueOf(w * Scale)
       .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue().toLong
 
-  /** The model as a broadcast ONE-ROW frame (`__qw`: the pre-quantized
-    * array<long>), NOT a literal in the plan: wholestage codegen inlines
-    * literals into the generated source, so literal weights would make
-    * every training iteration a brand-new compilation unit — measured
-    * at sf0.1, the Janino recompiles cost more than the iteration's
-    * actual work. With the weights as broadcast DATA all iteration
-    * plans share one compiled source (the PageRank re-broadcast
-    * pattern, applied to a model vector).
-    *
-    * (A fully-unrolled single-DAG loop — the oracle's CTE chain as
-    * one Catalyst plan — was tried and abandoned: each iteration
-    * references the previous weights TWICE (gradient pass + update),
-    * and Catalyst has no CTE materialization, so the logical plan and
-    * its analysis grow 2^iters. The DuckDB oracle survives the same
+  /** HOW THE MODEL REACHES EXECUTORS — the three designs measured:
+    * the weights enter each iteration's plan as an ARRAY LITERAL
+    * (typedlit of the pre-quantized longs). Complex-typed literals
+    * become codegen REFERENCE OBJECTS, not inlined source, so all
+    * iteration plans still share one compiled class, and the array is
+    * one shared object per task — zero per-row cost. A broadcast
+    * one-row frame (the PageRank pattern) was tried and rejected: its
+    * BroadcastNestedLoopJoin APPENDS the weight array to every output
+    * row, copying buckets·8 bytes per document per iteration —
+    * measured at 4096 buckets / 200 k docs, 7× the iteration's real
+    * work. (A fully-unrolled single-DAG loop — the oracle's CTE chain
+    * as one Catalyst plan — was also tried: each iteration references
+    * the previous weights TWICE, and with no CTE materialization in
+    * Catalyst the plan grows 2^iters. The DuckDB oracle survives that
     * shape only because of its MATERIALIZED barriers; the per-
-    * iteration collect below IS that barrier, driver-side.) */
-  private def wFrame(spark: org.apache.spark.sql.SparkSession,
-                     w: Array[Double]): DataFrame = {
-    import spark.implicits._
-    Seq(Tuple1(w.map(quantize).toSeq)).toDF("__qw")
-  }
-
-  /** Train `iters` delta-rule iterations from zero weights over the
+    * iteration collect below IS that barrier, driver-side.)
+    *
+    * Train `iters` delta-rule iterations from zero weights over the
     * cached per-doc frame (__id, y, n_words, bs); returns the weight
     * vector (index = bucket). All reductions fixed-point — see the
     * object scaladoc for why that makes this bit-reproducible. Each
@@ -153,9 +148,9 @@ object Classifier {
     val w = Array.fill(buckets)(0.0)
     if (n == 0) return w
     for (_ <- 0 until iters) {
+      val qw = typedlit(w.map(quantize).toIndexedSeq)
       val grads = perDoc
-        .crossJoin(broadcast(wFrame(perDoc.sparkSession, w)))
-        .select((fastSigmoid(zCol(col("__qw"), col("bs"))) - col("y")).as("__err"),
+        .select((fastSigmoid(zCol(qw, col("bs"))) - col("y")).as("__err"),
           explode(col("bs")).as("b"))
         .groupBy(col("b"))
         .agg(sum(round(col("__err") * lit(Scale), 0)
@@ -220,9 +215,9 @@ object Classifier {
       val w = train(perDoc, buckets, iters, lr)
       // scoring is one NARROW pass over the cached frame
       val scores = perDoc
-        .crossJoin(broadcast(wFrame(perDoc.sparkSession, w)))
         .select(col("__id"), col("n_words"),
-          round(fastSigmoid(zCol(col("__qw"), col("bs"))), 6).as("score"))
+          round(fastSigmoid(zCol(typedlit(w.map(quantize).toIndexedSeq),
+            col("bs"))), 6).as("score"))
       docs.select(col(idCol).as("__id"), labelCol.cast("bigint").as("label"))
         .join(scores, Seq("__id"), "left")
         .select(col("__id").as(idCol),

@@ -128,6 +128,34 @@ object KMeans {
     cents
   }
 
+  /** Quantize + fit over a raw embedding frame; returns the centroid
+    * matrix (micro-units) for export, [[assignRows]], or inspection. */
+  def fitCentroids(embs: DataFrame, vecCol: String, idCol: String, k: Int,
+                   iters: Int, loopPartitions: Int = 8): Array[Array[Long]] = {
+    import org.apache.spark.storage.StorageLevel
+    require(loopPartitions >= 1, s"loopPartitions must be >= 1, got $loopPartitions")
+    // long ids are the operator contract: the init ordering (and the
+    // oracle's row_number replay) needs a total order the driver can
+    // reproduce — cast upstream if the key is something else
+    val qdf = embs
+      .select(col(idCol).cast("long").as("__id"), qVec(col(vecCol)).as("__qv"))
+      .repartition(loopPartitions, col("__id"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try fit(qdf, k, iters)
+    finally qdf.unpersist(blocking = false)
+  }
+
+  /** Assign rows against already-fitted centroids as a PURE
+    * PROJECTION — no aggregation, no state, so it runs unchanged in
+    * append-mode Structured Streaming: fit offline, cluster the 24/7
+    * ingest. Assignments match [[fitAssign]]'s bit-for-bit (same
+    * kernel, same quantization). */
+  def assignRows(embs: DataFrame, vecCol: String, idCol: String,
+                 cents: Array[Array[Long]]): DataFrame =
+    embs.select(col(idCol).cast("long").as(idCol),
+      assignCol(qVec(col(vecCol)),
+        typedlit(cents.map(_.toSeq).toSeq)).as("cluster"))
+
   /** End-to-end: quantize, fit, assign every vector. Output: (id,
     * cluster) — assignment against the FINAL centroids, exactly the
     * oracle's last CTE. */
@@ -135,9 +163,6 @@ object KMeans {
                 iters: Int, loopPartitions: Int = 8): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     require(loopPartitions >= 1, s"loopPartitions must be >= 1, got $loopPartitions")
-    // long ids are the operator contract: the init ordering (and the
-    // oracle's row_number replay) needs a total order the driver can
-    // reproduce — cast upstream if the key is something else
     val qdf = embs
       .select(col(idCol).cast("long").as("__id"), qVec(col(vecCol)).as("__qv"))
       .repartition(loopPartitions, col("__id"))

@@ -420,13 +420,18 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin"), p)
   }
 
-  test("q_quality_classifier: scoring has no window/sort; weights ride a broadcast") {
+  test("q_quality_classifier: scoring is join-lean — no window/sort/cartesian, " +
+    "weights are a shared literal (no per-row broadcast append)") {
     // constructing this plan RUNS training (trainScore collects per
     // iteration) — the assertion is on the returned scoring plan
     val p = plan("q_quality_classifier")
     assert(!p.contains("Window"), p)
     assert(!p.contains("TakeOrdered"), p)
     assert(!p.contains("CartesianProduct"), p)
-    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    // the weight array rides as a codegen reference object, NOT a
+    // BroadcastNestedLoopJoin that would copy buckets·8 bytes onto
+    // every scored row (measured 7× the real work at 4096×200k)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("sum_indexed"), p)
   }
 }

@@ -124,4 +124,32 @@ class StreamingKernelsSpec extends SparkSpec {
     // and the model separates: every even doc above 0.5, odd below
     assert(docs.forall { case (id, _, pos) => (streamed(id) > 0.5) == pos })
   }
+
+  test("k-means assignment: stateless stream projection equals batch fitAssign") {
+    import graft.operators.KMeans
+    val vecs = (0 until 60).map { i =>
+      val c = i % 3
+      val base = Array.fill(4)(0.0f); base(c) = 1.0f
+      (i.toLong, base.map(v => v + (i % 7) * 0.001f).toSeq)
+    }
+    val df = vecs.toDF("vec_id", "vec")
+    // offline fit, then the centroid matrix rides into the streaming
+    // query as a literal — assignRows is a pure projection
+    val cents = KMeans.fitCentroids(df, "vec", "vec_id", k = 3, iters = 3)
+    val batch = KMeans.fitAssign(df, "vec", "vec_id", k = 3, iters = 3)
+      .as[(Long, Long)].collect().toMap
+
+    val input = MemoryStream[(Long, Seq[Float])](spark, numPartitions = 1)
+    val q = KMeans.assignRows(input.toDS().toDF("vec_id", "vec"),
+        "vec", "vec_id", cents)
+      .writeStream.format("memory").queryName("km_stream")
+      .outputMode("append").start()
+    input.addData(vecs: _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("km_stream").as[(Long, Long)].collect().toMap
+    assert(streamed == batch)
+    // the clustering did real work: 3 distinct clusters in play
+    assert(streamed.values.toSet.size == 3)
+  }
 }
