@@ -533,7 +533,7 @@ object OracleSqlGen {
     * order-sensitive float accumulation anywhere (distances are exact
     * BIGINT sums; the single division per dimension happens on
     * integer-valued doubles ≤ 2^53). */
-  def kmeans(k: Int, iters: Int, dim: Int): String = {
+  private def kmeansCtes(k: Int, iters: Int, dim: Int): (String, String) = {
     def dist(v: String, c: String): String =
       s"CAST(list_sum(list_transform(range(1, ${dim + 1}), " +
         s"i -> ($v.q[i] - $c.q[i]) * ($v.q[i] - $c.q[i]))) AS BIGINT)"
@@ -582,16 +582,54 @@ object OracleSqlGen {
          |      GROUP BY a.cid, r.range) GROUP BY cid) nw
          |  ON p.cid = nw.cid)""".stripMargin
     }.mkString(",\n")
-    s"""WITH qv AS MATERIALIZED (
-       |  SELECT vec_id,
-       |         list_transform(embedding,
-       |           x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0, 0) AS BIGINT)) AS q
-       |  FROM embeddings),
-       |$seedChain,
-       |$iterCtes
+    val ctes =
+      s"""qv AS MATERIALIZED (
+         |  SELECT vec_id,
+         |         list_transform(embedding,
+         |           x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0, 0) AS BIGINT)) AS q
+         |  FROM embeddings),
+         |$seedChain,
+         |$iterCtes""".stripMargin
+    (ctes, assignSql(s"c$iters"))
+  }
+
+  def kmeans(k: Int, iters: Int, dim: Int): String = {
+    val (ctes, finalAssign) = kmeansCtes(k, iters, dim)
+    s"""WITH $ctes
        |SELECT CAST(f.vec_id AS BIGINT) AS vec_id,
        |       CAST(f.cid AS BIGINT) AS cluster
-       |FROM (${assignSql(s"c$iters")}) f""".stripMargin
+       |FROM ($finalAssign) f""".stripMargin
+  }
+
+  /** Oracle for q_semantic_dedup ([[graft.operators.SemanticDedup]]):
+    * the kmeans chain, then the exact-integer cosine ε-ball screen —
+    * drop a vector iff a similar lower-id neighbor shares its cluster.
+    * cos ≥ num/den replayed as dot > 0 ∧ dot²·den² ≥ num²·‖a‖²‖b‖² in
+    * HUGEINT (mirrors Spark's decimal(38,0) exactly — both exact). */
+  def semanticDedup(k: Int, iters: Int, dim: Int,
+                    cosNum: Int, cosDen: Int): String = {
+    val (ctes, finalAssign) = kmeansCtes(k, iters, dim)
+    def dotAB =
+      s"CAST(list_sum(list_transform(range(1, ${dim + 1}), " +
+        "i -> a.q[i] * b.q[i])) AS BIGINT)"
+    s"""WITH $ctes,
+       |asg AS MATERIALIZED (
+       |  SELECT f.vec_id, f.cid AS cluster, v.q,
+       |         CAST(list_sum(list_transform(range(1, ${dim + 1}),
+       |           i -> v.q[i] * v.q[i])) AS BIGINT) AS n2
+       |  FROM ($finalAssign) f JOIN qv v USING (vec_id)),
+       |drp AS MATERIALIZED (
+       |  SELECT DISTINCT b.vec_id
+       |  FROM asg a JOIN asg b
+       |    ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+       |  WHERE a.n2 > 0 AND b.n2 > 0 AND $dotAB > 0
+       |    AND CAST($dotAB AS HUGEINT) * ($dotAB)
+       |        * ${cosDen.toLong * cosDen} >=
+       |        ${cosNum.toLong * cosNum} * CAST(a.n2 AS HUGEINT) * b.n2)
+       |SELECT CAST(s.vec_id AS BIGINT) AS vec_id,
+       |       CAST(s.cluster AS BIGINT) AS cluster,
+       |       CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS kept
+       |FROM asg s LEFT JOIN drp d USING (vec_id)""".stripMargin
   }
 
   /** Oracle for q_quality_classifier ([[graft.operators.Classifier]]):

@@ -4077,6 +4077,22 @@ object Queries {
       .select(col("vec_id").cast("bigint").as("vec_id"), col("cluster")),
     Some(OracleSqlGen.kmeans(10, 4, 64)))
 
+  /** SemDeDup-style semantic dedup under the hash oracle
+    * ([[graft.operators.SemanticDedup]]): deterministic k-means
+    * clusters the embedding space, then each cluster drops every
+    * vector with a cosine-similar lower-id neighbor — the O(n²) work
+    * bounded to cluster blocks, the similarity test exact integer
+    * arithmetic (dot²·den² vs num²·‖a‖²‖b‖², no float cosine).
+    * Threshold 2/5: measured, the corpus has ~60 pairs above it
+    * (max pairwise cosine 0.51), so the screen does real work. */
+  private val qSemanticDedup = Q("q_semantic_dedup",
+    (s, dir) => graft.operators.SemanticDedup.dedup(
+        t(s, dir, "embeddings"), "embedding", "vec_id", k = 10, iters = 4,
+        cosNum = 2, cosDen = 5)
+      .select(col("vec_id").cast("bigint").as("vec_id"), col("cluster"),
+        col("kept")),
+    Some(OracleSqlGen.semanticDedup(10, 4, 64, 2, 5)))
+
   /** The DSIR importance scorer labeled with its own target class
     * (y = lang='en') — the input both scorer-evaluation queries share.
     * Evaluating the scorer against the class it was fit FOR makes the
@@ -4157,5 +4173,6 @@ object Queries {
     qRepeatMixture, qScd2Lookup, qVideoStats, qVideoFrames,
     qCdcChunks, qCdcDedup, qNormalizeText, qIncrementalCdc, qOrcRoundtrip,
     qPageRank, qPngFeatures, qGifFeatures, qIntegrityChecksum,
-    qQualityClassifier, qScoreAuc, qScoreCalibration, qScoreGate, qKmeans)
+    qQualityClassifier, qScoreAuc, qScoreCalibration, qScoreGate, qKmeans,
+    qSemanticDedup)
 }

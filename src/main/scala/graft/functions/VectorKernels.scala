@@ -149,6 +149,21 @@ object VectorKernels {
     * the per-row hot loop stays inside whole-stage codegen: measured
     * at sf0.1, the HOF version made each training iteration ~6× the
     * bare job floor. */
+  /** Exact dot product of two quantized (long) vectors — at micro
+    * quantization each term is ≤ ~1.5·10¹², a 64-dim sum ≤ ~10¹⁴:
+    * exact in long with 4 decimal orders to spare. Cosine thresholds
+    * built on this stay integer-exact (compare dot²·den² ≥ num²·‖a‖²‖b‖²
+    * in decimals) — no float accumulation anywhere. */
+  def dotLongs(a: ArrayData, b: ArrayData): Long = {
+    checkNoNulls(a, "dot_longs"); checkNoNulls(b, "dot_longs")
+    checkSameDim(a, b, "dot_longs")
+    val n = a.numElements()
+    var acc = 0L
+    var i = 0
+    while (i < n) { acc += a.getLong(i) * b.getLong(i); i += 1 }
+    acc
+  }
+
   /** Minimum squared distance to any centroid in the list — the
     * farthest-first-init companion of [[argminSqDist]], same exact-long
     * arithmetic and bounds. */

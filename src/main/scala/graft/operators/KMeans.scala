@@ -40,11 +40,11 @@ object KMeans {
   /** Micro-unit quantization for embedding components. */
   val Micro: Double = 1e6
 
-  private def qVec(vecCol: Column): Column =
+  private[operators] def qVec(vecCol: Column): Column =
     transform(vecCol,
       x => round(x.cast("double") * lit(Micro), 0).cast("long"))
 
-  private def assignCol(qv: Column, qc: Column): Column =
+  private[operators] def assignCol(qv: Column, qc: Column): Column =
     GraftBridge.column(ArgminSqDist(
       GraftBridge.expression(qv), GraftBridge.expression(qc)))
 

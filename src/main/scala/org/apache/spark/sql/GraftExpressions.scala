@@ -703,6 +703,28 @@ case class SumIndexedLongs(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Exact dot product of quantized long vectors — see
+  * [[graft.functions.VectorKernels.dotLongs]]. */
+case class DotLongs(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(LongType), ArrayType(LongType))
+  override def dataType: DataType = LongType
+  override def prettyName: String = "dot_longs"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    graft.functions.VectorKernels.dotLongs(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VectorKernels.dotLongs($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotLongs =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Minimum squared distance to a centroid list — see
   * [[graft.functions.VectorKernels.minSqDist]]. */
 case class MinSqDist(left: Expression, right: Expression)

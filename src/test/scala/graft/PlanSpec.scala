@@ -434,4 +434,14 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
     assert(p.contains("sum_indexed"), p)
   }
+
+  test("q_semantic_dedup: pairwise screen is cluster-keyed, never a cartesian") {
+    // constructing this plan RUNS the k-means fit; the assertion is on
+    // the returned screen plan: the O(n²) cosine work must be blocked
+    // by the cluster join key, with no all-pairs product anywhere
+    val p = plan("q_semantic_dedup")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("Window"), p)
+    assert(p.contains("dot_longs"), p)
+  }
 }
