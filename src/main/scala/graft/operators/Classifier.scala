@@ -19,7 +19,7 @@ import org.apache.spark.sql.functions._
   * every operation (+, ·, /, |·|) is an exactly-specified IEEE-754 op
   * — unlike exp(), which varies between libm implementations. The
   * trained weights are therefore BIT-IDENTICAL on every run, cluster
-  * layout, and engine — which is what lets a 4-iteration training
+  * layout, and engine — which is what lets a multi-iteration training
   * loop sit under the DuckDB hash oracle
   * ([[graft.OracleSqlGen.classifier]] replays it CTE by CTE).
   *
