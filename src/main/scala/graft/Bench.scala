@@ -15,12 +15,32 @@ import org.apache.spark.sql.SparkSession
   * masquerade as a regression (round 2's single-shot artifact read 1.9×
   * on noise alone).
   *
+  * Crash/timeout survivability (round 10; round 9's driver run was
+  * killed by its timeout AFTER all timed passes but BEFORE the artifact
+  * write, leaving `rc:124, parsed:null` — a complete measurement with
+  * zero usable evidence). Three rules now make any truncation leave a
+  * parseable artifact:
+  *   - every completed query sample appends one JSON line to
+  *     `bench_ledger.jsonl` the moment it finishes — the ledger IS
+  *     evidence even if the process dies mid-pass;
+  *   - after pass 1 (and every later pass) the FULL summary line is
+  *     (re)written to `bench_last.json` with `"passes_completed"` —
+  *     a kill in pass 2+ or the metrics pass still leaves a
+  *     full-surface artifact on disk;
+  *   - a wall budget (SPARK_GRAFT_BENCH_BUDGET_SEC, default 1500)
+  *     degrades gracefully instead of dying: pass 1 always completes
+  *     (every query gets ≥1 sample), later passes stop mid-pass once
+  *     elapsed exceeds 70% of budget (heavy loop queries effectively
+  *     drop to 1 run under pressure, exactly the degradation round 9's
+  *     contended driver needed), and the untimed metrics pass is
+  *     skipped past 85% of budget (`metrics_skipped_budget` says so).
+  *
   * Contention canary (round 7): round 6's driver bench ran on a machine
   * so contended the artifact was unusable (sbt 1192 s vs 191 s idle;
   * per-query inflation NON-uniform — single-stage controls ~1.5–2× but
   * multi-stage queries 10–80×, because the per-stage scheduling floor
   * multiplies). Medians can't save a run where EVERY pass is contended,
-  * so the bench now measures the machine itself with two fixed-cost,
+  * so the bench measures the machine itself with two fixed-cost,
   * data-independent probes and emits the ratio against pinned idle
   * values:
   *   - compute canary: one 10M-row in-memory shuffle+agg (one exchange,
@@ -31,11 +51,22 @@ import org.apache.spark.sql.SparkSession
   * A canary sample runs before each query pass and once after the last,
   * and the JSON line carries the medians plus
   * `contention_factor` (compute) and `sched_factor` (scheduling).
-  * Reading rule (also in BASELINE.md): factors ≤1.5 → times are
-  * evidence; either factor >2 → adjudicate any apparent regression with
-  * an idle `SPARK_GRAFT_BENCH_ONLY` re-run before believing it, and
-  * expect multi-stage queries to inflate ~sched_factor while
-  * single-stage ones inflate ~contention_factor.
+  *
+  * Round 10 closes the canary's demonstrated false negative: round 9's
+  * 405 s driver run carried factors 1.402/0.821 — "evidence" by the old
+  * ≤1.5 rule — while its own q_agg control read 2.3× its idle band (the
+  * canaries sample BETWEEN passes and miss sustained load arriving
+  * mid-pass; the real queries don't). The benched control queries are
+  * therefore folded into the verdict itself: `controls_in_band` is true
+  * iff every benched control median is within 1.5× the top of its
+  * pinned idle band, and `evidence` = factors ≤ 1.5 AND
+  * controls_in_band. Reading rule (also in BASELINE.md): trust
+  * per-query medians as evidence iff `"evidence": true`; otherwise
+  * adjudicate any apparent regression with an idle
+  * `SPARK_GRAFT_BENCH_ONLY` re-run before believing it, expecting
+  * multi-stage queries to inflate ~sched_factor (or worse, when the
+  * controls are the only signal) and single-stage ones
+  * ~contention_factor.
   */
 object Bench {
   /** Idle-machine pinned canary medians (this sandbox, local[32],
@@ -52,6 +83,17 @@ object Bench {
     * than as a false contention signal. */
   val PinnedCpus = 32
 
+  /** Control-query idle bands at local[32]/sf0.1 (BASELINE.md: q_agg
+    * 0.28–0.32 across two independent r9 sessions, observed down to
+    * 0.17 in r8; q_filter 0.13–0.21 across r7–r9). `controls_in_band`
+    * allows 1.5× the band top — the same headroom the canary factors
+    * get — so ordinary scheduling variance can't flip the verdict,
+    * while round 9's 2.3× excursion (q_agg 0.71) reads false. */
+  val ControlBands: Map[String, Double] = Map(
+    "q_agg" -> 0.32,
+    "q_filter" -> 0.21)
+  val ControlHeadroom = 1.5
+
   /** Aggregate execution-metric fields for the main JSON line: totals
     * over all benched queries (the per-query detail is in
     * bench_metrics.json). Empty string when the metrics pass is off. */
@@ -66,6 +108,12 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt.max(1)
+    // wall budget: sized under the driver's observed kill window so a
+    // contended machine degrades (fewer samples) instead of truncating
+    val budgetSec =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "1500").toDouble
+    val wallStart = System.nanoTime()
+    def elapsedSec: Double = (System.nanoTime() - wallStart) / 1e9
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -137,25 +185,129 @@ object Bench {
     }
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
-    val canaries = scala.collection.mutable.ArrayBuffer.empty[(Double, Double)]
-    val samples = (1 to runs).map { _ =>
-      canaries += canarySample()
-      names.map { case (name, fn) =>
-        val t0 = System.nanoTime()
-        val ok =
-          try { force(fn(spark, sfDir)); true }
-          catch { case e: Throwable =>
-            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-            false
-          }
-        (name, (System.nanoTime() - t0) / 1e9, ok)
+
+    // BENCH_ONLY scratch reads get their own artifact files — round 9's
+    // final commit shipped a 6-query BENCH_ONLY read in place of the
+    // graded 109-query sweep, and this separation makes that clobber
+    // structurally impossible.
+    val scratch = only.isDefined
+    val summaryPath = if (scratch) "bench_only_last.json" else "bench_last.json"
+    val ledgerPath = if (scratch) "bench_only_ledger.jsonl" else "bench_ledger.jsonl"
+    val metricsPath = if (scratch) "bench_only_metrics.json" else "bench_metrics.json"
+    def writeFile(path: String, body: String): Unit =
+      try java.nio.file.Files.writeString(java.nio.file.Paths.get(path), body)
+      catch { case e: Exception =>
+        System.err.println(s"[bench] could not write $path: ${e.getMessage}")
       }
+    // fresh ledger per run; each completed sample appends immediately so
+    // ANY truncation point leaves line-parseable evidence
+    writeFile(ledgerPath, "")
+    def ledger(line: String): Unit =
+      try java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(ledgerPath), line + "\n",
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
+      catch { case _: Exception => () }
+
+    def r3(x: Double): Double = math.rint(x * 1000) / 1000
+
+    val canaries = scala.collection.mutable.ArrayBuffer.empty[(Double, Double)]
+    // per-query samples accumulate across passes; pass 2+ may stop early
+    // on budget, so sample counts can differ per query (≥1 always)
+    val acc = scala.collection.mutable.LinkedHashMap(
+      names.map { case (n, _) => n -> scala.collection.mutable.ArrayBuffer.empty[(Double, Boolean)] }: _*)
+    var passesCompleted = 0
+    var budgetStopped = false
+
+    // ---- summary assembly, callable after every pass so the artifact
+    // on disk is always the full current surface
+    val pinsValid = cpus.toInt == PinnedCpus
+    var metricRowsOut: Seq[(String, BenchMetrics.Snap)] = Nil
+    var metricsSkippedBudget = false
+    def summaryLine(): String = {
+      val results = names.map { case (name, _) =>
+        val mine = acc(name)
+        (name, median(mine.map(_._1).toSeq), mine.forall(_._2))
+      }
+      val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
+        .mkString("{", ",", "}")
+      // failed queries are named explicitly — a time-to-failure must
+      // never read as a fast success
+      val errs = results.collect { case (k, _, false) => "\"" + k + "\"" }
+        .mkString("[", ",", "]")
+      val total = results.map(_._2).sum
+      val canaryCompute = r3(median(canaries.map(_._1).toSeq))
+      val canarySched = r3(median(canaries.map(_._2).toSeq))
+      // factors against pins measured at a DIFFERENT parallelism would
+      // be systematically wrong in both directions (local[4] idle reads
+      // >2× the local[32] compute pin) — emit the sentinel instead
+      val contentionFactor = if (pinsValid) r3(canaryCompute / PinnedComputeSec) else -1.0
+      val schedFactor = if (pinsValid) r3(canarySched / PinnedSchedSec) else -1.0
+      // in-band iff every benched control median ≤ 1.5× its band top;
+      // emitted only when the pins apply and a control was benched
+      val controls = results.filter { case (n, _, _) => ControlBands.contains(n) }
+      val controlFields = controls.map { case (n, v, _) =>
+        s""""control_$n":${r3(v)},"band_$n":${ControlBands(n)}"""
+      }.mkString(",")
+      val controlsInBand: Option[Boolean] =
+        if (!pinsValid || controls.isEmpty) None
+        else Some(controls.forall { case (n, v, _) =>
+          v <= ControlBands(n) * ControlHeadroom })
+      val evidence: Option[Boolean] = controlsInBand.map { cb =>
+        cb && contentionFactor >= 0 && contentionFactor <= 1.5 &&
+          schedFactor >= 0 && schedFactor <= 1.5
+      }
+      def jb(o: Option[Boolean]): String = o.map(_.toString).getOrElse("null")
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"runs":$runs,"cpus":$cpus,""" +
+        s""""passes_completed":$passesCompleted,"budget_sec":$budgetSec,"budget_stopped":$budgetStopped,""" +
+        s""""canary_compute_sec":$canaryCompute,"canary_sched_sec":$canarySched,""" +
+        s""""pinned_compute_sec":$PinnedComputeSec,"pinned_sched_sec":$PinnedSchedSec,"pinned_cpus":$PinnedCpus,""" +
+        s""""contention_factor":$contentionFactor,"sched_factor":$schedFactor,""" +
+        (if (controlFields.nonEmpty) controlFields + "," else "") +
+        s""""controls_in_band":${jb(controlsInBand)},"evidence":${jb(evidence)},""" +
+        s""""metrics_skipped_budget":$metricsSkippedBudget,""" +
+        s""""schema_drift":${schemaDrift.size},"sf":"$sfDir"""" +
+        metricAggFields(metricRowsOut) + "}"
     }
+
+    // ---- timed passes. Pass 1 always completes (every query needs ≥1
+    // sample); later passes check the budget before EACH query and stop
+    // mid-pass — under pressure the heavy tail effectively drops to 1
+    // run while the artifact stays full-surface.
+    val timedBudget = budgetSec * 0.70
+    var pass = 0
+    while (pass < runs && !(pass > 0 && elapsedSec > timedBudget)) {
+      pass += 1
+      val (cc, cs) = canarySample()
+      canaries += ((cc, cs))
+      ledger(s"""{"event":"canary","pass":$pass,"compute_sec":${r3(cc)},"sched_sec":${r3(cs)}}""")
+      var stopped = false
+      names.foreach { case (name, fn) =>
+        if (!stopped && pass > 1 && elapsedSec > timedBudget) {
+          stopped = true; budgetStopped = true
+          ledger(s"""{"event":"budget_stop","pass":$pass,"elapsed_sec":${r3(elapsedSec)}}""")
+        }
+        if (!stopped) {
+          val t0 = System.nanoTime()
+          val ok =
+            try { force(fn(spark, sfDir)); true }
+            catch { case e: Throwable =>
+              System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+              false
+            }
+          val sec = (System.nanoTime() - t0) / 1e9
+          acc(name) += ((sec, ok))
+          ledger(s"""{"event":"query","pass":$pass,"q":"$name","sec":${r3(sec)},"ok":$ok}""")
+        }
+      }
+      if (!stopped) passesCompleted = pass else passesCompleted = pass - 1
+      // keep the on-disk artifact current: a kill in any later pass (or
+      // the metrics pass) still finds a full-surface summary here — every
+      // query has ≥1 sample from pass 1, so this is always full-surface
+      writeFile(summaryPath, summaryLine() + "\n")
+    }
+    if (passesCompleted == 0) passesCompleted = 1 // pass 1 always ran to completion
     canaries += canarySample()
-    val results = names.map { case (name, _) =>
-      val mine = samples.map(_.find(_._1 == name).get)
-      (name, median(mine.map(_._2)), mine.forall(_._3))
-    }
 
     // ---- evidence pass (untimed): per-query shuffle/input/spill
     // accounting via task metrics. Runs AFTER the timed passes so the
@@ -164,75 +316,62 @@ object Bench {
     // "no spill at this SF" claims become measured numbers here.
     val metricsOn = sys.env.getOrElse("SPARK_GRAFT_BENCH_METRICS", "1") != "0"
     val metricErrors = scala.collection.mutable.ArrayBuffer.empty[String]
-    val metricRows: Seq[(String, BenchMetrics.Snap)] = if (!metricsOn) Nil else {
-      val ml = BenchMetrics.attach(spark)
-      val rows = names.flatMap { case (name, fn) =>
-        ml.resetPeak()
-        val before = ml.snapshot()
-        val ok =
-          try { force(fn(spark, sfDir)); true }
-          catch { case e: Throwable =>
-            // same contract as the timed pass: a failure is NAMED, and
-            // its truncated metrics never masquerade as a measurement
-            System.err.println(s"[bench] metrics pass: $name FAILED: ${e.getMessage}")
-            metricErrors += name
-            false
+    if (metricsOn && elapsedSec > budgetSec * 0.85) {
+      metricsSkippedBudget = true
+      ledger(s"""{"event":"metrics_skipped_budget","elapsed_sec":${r3(elapsedSec)}}""")
+    }
+    val metricRows: Seq[(String, BenchMetrics.Snap)] =
+      if (!metricsOn || metricsSkippedBudget) Nil else {
+        val ml = BenchMetrics.attach(spark)
+        val rows = scala.collection.mutable.ArrayBuffer.empty[(String, BenchMetrics.Snap)]
+        val it = names.iterator
+        var stopped = false
+        while (it.hasNext && !stopped) {
+          val (name, fn) = it.next()
+          if (elapsedSec > budgetSec) {
+            stopped = true; metricsSkippedBudget = true
+            ledger(s"""{"event":"metrics_budget_stop","elapsed_sec":${r3(elapsedSec)}}""")
+          } else {
+            ml.resetPeak()
+            val before = ml.snapshot()
+            val ok =
+              try { force(fn(spark, sfDir)); true }
+              catch { case e: Throwable =>
+                // same contract as the timed pass: a failure is NAMED, and
+                // its truncated metrics never masquerade as a measurement
+                System.err.println(s"[bench] metrics pass: $name FAILED: ${e.getMessage}")
+                metricErrors += name
+                false
+              }
+            org.apache.spark.sql.GraftBridge.drainListenerBus(spark)
+            // drain again after a failure: cancelled tasks can still post
+            // TaskEnd events that would smear into the NEXT query's delta
+            if (!ok) org.apache.spark.sql.GraftBridge.drainListenerBus(spark)
+            if (ok) {
+              val snap = ml.snapshot() - before
+              rows += ((name, snap))
+              ledger(s"""{"event":"metrics","q":"$name",${snap.jsonFields}}""")
+              // metrics file stays current per-query for the same
+              // truncation-survival reason as the summary
+              val body = rows.map { case (n, s) => "\"" + n + "\":{" + s.jsonFields + "}" }
+                .mkString("{", ",", "}")
+              val mErrs = metricErrors.map("\"" + _ + "\"").mkString("[", ",", "]")
+              writeFile(metricsPath,
+                s"""{"sf":"$sfDir","cpus":$cpus,"metrics_errors":$mErrs,"queries":$body}""" + "\n")
+            }
           }
-        org.apache.spark.sql.GraftBridge.drainListenerBus(spark)
-        // drain again after a failure: cancelled tasks can still post
-        // TaskEnd events that would smear into the NEXT query's delta
-        if (!ok) org.apache.spark.sql.GraftBridge.drainListenerBus(spark)
-        if (ok) Some((name, ml.snapshot() - before)) else None
+        }
+        BenchMetrics.detach(spark, ml)
+        rows.toSeq
       }
-      BenchMetrics.detach(spark, ml)
-      rows
-    }
-    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    // failed queries are named explicitly — a time-to-failure must never
-    // read as a fast success
-    val errs = results.collect { case (k, _, false) => "\"" + k + "\"" }
-      .mkString("[", ",", "]")
-    val total = results.map(_._2).sum
-    def r3(x: Double): Double = math.rint(x * 1000) / 1000
-    val canaryCompute = r3(median(canaries.map(_._1).toSeq))
-    val canarySched = r3(median(canaries.map(_._2).toSeq))
-    // factors against pins measured at a DIFFERENT parallelism would be
-    // systematically wrong in both directions (local[4] idle reads >2×
-    // the local[32] compute pin) — emit the sentinel instead
-    val pinsValid = cpus.toInt == PinnedCpus
-    val contentionFactor = if (pinsValid) r3(canaryCompute / PinnedComputeSec) else -1.0
-    val schedFactor = if (pinsValid) r3(canarySched / PinnedSchedSec) else -1.0
-    val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"runs":$runs,"cpus":$cpus,""" +
-        s""""canary_compute_sec":$canaryCompute,"canary_sched_sec":$canarySched,""" +
-        s""""pinned_compute_sec":$PinnedComputeSec,"pinned_sched_sec":$PinnedSchedSec,"pinned_cpus":$PinnedCpus,""" +
-        s""""contention_factor":$contentionFactor,"sched_factor":$schedFactor,""" +
-        s""""schema_drift":${schemaDrift.size},"sf":"$sfDir"""" +
-        metricAggFields(metricRows) + "}"
+    metricRowsOut = metricRows
+
+    val line = summaryLine()
     println(line)
-    // per-query execution metrics land in their own artifact — the main
-    // line stays within the driver's capture window; the detail file is
-    // committed and interpreted in SCALING.md
-    if (metricRows.nonEmpty) {
-      val body = metricRows.map { case (n, s) => "\"" + n + "\":{" + s.jsonFields + "}" }
-        .mkString("{", ",", "}")
-      val mErrs = metricErrors.map("\"" + _ + "\"").mkString("[", ",", "]")
-      val doc = s"""{"sf":"$sfDir","cpus":$cpus,"metrics_errors":$mErrs,"queries":$body}"""
-      try java.nio.file.Files.writeString(
-        java.nio.file.Paths.get("bench_metrics.json"), doc + "\n")
-      catch { case e: Exception =>
-        System.err.println(s"[bench] could not write bench_metrics.json: ${e.getMessage}")
-      }
-    }
     // the driver's stdout capture has truncated the tail of this line in
     // past rounds (BENCH_r07 showed 56/88 queries) — persist the full
     // line in-repo so the artifact never depends on a capture window
-    try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("bench_last.json"), line + "\n")
-    catch { case e: Exception =>
-      System.err.println(s"[bench] could not write bench_last.json: ${e.getMessage}")
-    }
+    writeFile(summaryPath, line + "\n")
     spark.stop()
   }
 }

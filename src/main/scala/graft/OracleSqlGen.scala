@@ -955,15 +955,24 @@ object OracleSqlGen {
          |WHERE length(t) > 0""".stripMargin
     // DuckDB rpad TRUNCATES longer strings, so a token over 4*maxBlocks
     // bytes would silently hash wrong (and its tail-byte reads would
-    // index past the padded window): raise a NAMED error instead, so an
-    // out-of-domain token after a corpus regeneration fails attributably
-    // rather than as a bare hash mismatch. The invariant is documented
-    // at the q_dedup_simhash call site: whitespace tokens <= 32 bytes.
+    // index past the padded window). Round 9 guarded this with error(),
+    // which killed the WHOLE oracle query on one bad token; the guard is
+    // now row-scoped (round-10 directive): the token carries an `odd`
+    // (out-of-domain) flag, its document's sketch becomes NULL, and the
+    // correctness diff shows exactly the affected rows — NULL `sk` in
+    // this oracle always means "token > ${4 * maxBlocks} bytes after a
+    // corpus regeneration; widen maxBlocks at the q_dedup_simhash call
+    // site" rather than a computed value. Tail-byte reads stay in-window
+    // because nn is clamped for flagged rows (their hash is discarded)
+    // AND the pad carries 4 spare zero bytes: the tail-byte levels are
+    // computed unconditionally (the guards only SELECT between values),
+    // so a full-width token (nn = 4*maxBlocks) reads tail positions
+    // 4*maxBlocks+1..3 — off the end of an exact-width pad, where
+    // substr returns '' and '0x'||'' kills the query (r10 audit find).
     val ch = new Chain(
-      s"SELECT doc_id, CASE WHEN length(hx) > ${8 * maxBlocks} " +
-        s"THEN error('graft oracle: simhash murmur replay got a ' || (length(hx) // 2) || '-byte token (> ${4 * maxBlocks}) — out of domain, see OracleSqlGen.simhashSketchSql') " +
-        s"ELSE rpad(hx, ${8 * maxBlocks}, '0') END AS hxp, " +
-        s"CAST(length(hx) // 2 AS HUGEINT) AS nn FROM ($base)")
+      s"SELECT doc_id, length(hx) > ${8 * maxBlocks} AS odd, " +
+        s"rpad(hx, ${8 * maxBlocks + 8}, '0') AS hxp, " +
+        s"least(CAST(length(hx) // 2 AS HUGEINT), ${4 * maxBlocks}) AS nn FROM ($base)")
     val lo = murmurChain(ch, 0x9747b28cL, maxBlocks, "lo")
     val hi = murmurChain(ch, 0x85ebca6bL, maxBlocks, "hi")
     val h64 = ch.lvl("h64", s"($hi * $M32 + $lo)")
@@ -974,15 +983,19 @@ object OracleSqlGen {
     // a future corpus regeneration containing empty texts into a false
     // red (NULL-text docs stay excluded: their null sketch survives no
     // bit_count verification on the Spark side either)
-    s"""SELECT d.doc_id, coalesce(k.sk, CAST(0 AS HUGEINT)) AS sk
+    s"""SELECT d.doc_id,
+       |       CASE WHEN k.anyodd THEN NULL
+       |            ELSE coalesce(k.sk, CAST(0 AS HUGEINT)) END AS sk
        |FROM (SELECT doc_id FROM documents WHERE text IS NOT NULL) d
        |LEFT JOIN (
        |  SELECT doc_id,
        |         CAST(sum(CASE WHEN v > 0 THEN power(2, b)::HUGEINT ELSE 0 END)
-       |              AS HUGEINT) AS sk
+       |              AS HUGEINT) AS sk,
+       |         bool_or(anyodd) AS anyodd
        |  FROM (
        |    SELECT doc_id, b,
-       |           sum(CASE WHEN ($h64 // power(2, b)::HUGEINT) % 2 = 1 THEN 1 ELSE -1 END) AS v
+       |           sum(CASE WHEN ($h64 // power(2, b)::HUGEINT) % 2 = 1 THEN 1 ELSE -1 END) AS v,
+       |           bool_or(odd) AS anyodd
        |    FROM (${ch.sql}), (SELECT unnest(range(64)) AS b)
        |    GROUP BY doc_id, b)
        |  GROUP BY doc_id) k USING (doc_id)""".stripMargin
@@ -998,10 +1011,13 @@ object OracleSqlGen {
     * exactly 1.0 or empties the Spark side, which the compare flags.
     *
     * Domain invariant: whitespace tokens <= 32 bytes (maxBlocks = 8
-    * murmur words of 4 bytes). The Spark kernel has no such limit; the
-    * replay errors LOUDLY (named DuckDB error, not a hash mismatch) if
-    * a regenerated corpus ever exceeds it — at which point bump
-    * maxBlocks here, which generalizes to any width. */
+    * murmur words of 4 bytes). The Spark kernel has no such limit; a
+    * regenerated corpus exceeding it fails ROW-SCOPED (round 10 — the
+    * round-9 error() guard killed the whole oracle query on one bad
+    * token): the affected document's sketch is NULL, it drops out of
+    * the pair join, and the correctness diff shows exactly the pairs
+    * involving that document as Spark-side-only rows — at which point
+    * bump maxBlocks here, which generalizes to any width. */
   lazy val dedupSimhash: String = {
     val sk = simhashSketchSql(8)
     s"""WITH sk AS MATERIALIZED (
@@ -1434,5 +1450,43 @@ object OracleSqlGen {
        |  FROM nodes n LEFT JOIN deg d ON n.id = d.id)$chain
        |SELECT CAST(id AS BIGINT) AS id, CAST(rank AS BIGINT) AS rank
        |FROM r$iters""".stripMargin
+  }
+
+  // -------------------------------------------------------------------
+  // Domain probes (round 10): standalone SQL over a caller-registered
+  // `probe_tokens(hx)` view, exercising the byte-hash replay chains at
+  // every input length — the evidence behind the r9-flagged domain
+  // edges (24–31-byte xxh64 inputs; >32-byte murmur tokens). Consumed
+  // by tools/oracle_domain_audit.py, which compares the DuckDB results
+  // against the JVM kernels' own values (XXH64 / Murmur3_x86_32) and
+  // commits the ledger as oracle_domain_audit.json.
+  // -------------------------------------------------------------------
+
+  /** SQL computing the <32-byte XXH64 replay (`hashBytesLevels`) with
+    * the MinHash kernel's seed for every hex token in `probe_tokens`.
+    * Inputs >= 32 bytes raise the chain's named error — the audited
+    * contract for that domain edge. Result: (hx, h) with h the
+    * unsigned 64-bit hash. */
+  private[graft] def probeXxh64Sql(seed: Long): String = {
+    val ch = new Chain("SELECT hx FROM probe_tokens")
+    val h = hashBytesLevels(ch, "hx", java.lang.Long.toUnsignedString(seed), "p")
+    s"SELECT hx, $h AS h FROM (${ch.sql})"
+  }
+
+  /** SQL computing the SimHash per-token murmur3 64-bit hash replay for
+    * every hex token in `probe_tokens`, with the row-scoped `odd`
+    * out-of-domain flag (length > 4*maxBlocks bytes): flagged rows
+    * return NULL h64 instead of killing the query. Result:
+    * (hx, odd, h64). */
+  private[graft] def probeSimhashTokenSql(maxBlocks: Int): String = {
+    // same 4-spare-byte pad as simhashSketchSql: full-width tokens read
+    // tail positions past 4*maxBlocks unconditionally
+    val ch = new Chain(
+      s"SELECT hx, length(hx) > ${8 * maxBlocks} AS odd, " +
+        s"rpad(hx, ${8 * maxBlocks + 8}, '0') AS hxp, " +
+        s"least(CAST(length(hx) // 2 AS HUGEINT), ${4 * maxBlocks}) AS nn FROM probe_tokens")
+    val lo = murmurChain(ch, 0x9747b28cL, maxBlocks, "lo")
+    val hi = murmurChain(ch, 0x85ebca6bL, maxBlocks, "hi")
+    s"SELECT hx, odd, CASE WHEN odd THEN NULL ELSE ($hi * $M32 + $lo) END AS h64 FROM (${ch.sql})"
   }
 }

@@ -23,10 +23,13 @@ object SparkEntry {
     * the same parquet tables. Since round 8 the hash-based families
     * (MinHash/SimHash LSH, BPE, feature hashing, sampling) are covered
     * too — [[OracleSqlGen]] replays the engine's xxhash64/murmur3
-    * bit-for-bit in SQL. The only omissions left are the float32-bound
-    * approximate queries (ANN LSH/IVF, embedding cosine), declared in
-    * COVERAGE.md → the driver records a rows-only check there, each
-    * backed by an in-plan recall gate.
+    * bit-for-bit in SQL. Since round 9 there are NO omissions: the
+    * float32-bound approximate queries (ANN LSH/IVF, embedding cosine)
+    * carry real oracles on the strength of tools/ann_margin_audit.py
+    * (every float decision sits 8–10 orders of magnitude above
+    * summation-order noise at this SF, so the candidate sets are
+    * engine-independent), and CORRECTNESS_r09 shows the whole
+    * 124-query surface rows+schema+hash green.
     */
   def oracleSql: Map[String, String] =
     Queries.all.flatMap(q => q.oracle.map(q.name -> _)).toMap

@@ -12,11 +12,14 @@ import java.util.zip.{DataFormatException, Inflater}
   * header-metadata only ([[org.apache.spark.sql.ImageMeta]]).
   *
   * Scope (declared like JpegKernels' baseline-sequential scope): 8-bit
-  * samples, color types 0 (gray), 2 (RGB), 4 (gray+alpha), 6 (RGBA),
-  * non-interlaced. Palette (type 3), 1/2/4/16-bit depths, and Adam7
-  * interlacing return None — a NULL feature row, never a wrong one.
-  * Alpha weighs nothing: means are over the color channels exactly as
-  * the BMP/PPM/JPEG paths report them.
+  * samples, color types 0 (gray), 2 (RGB), 3 (palette, since round 10 —
+  * 8-bit indices through the PLTE lookup; the ubiquitous web-crawl
+  * shape), 4 (gray+alpha), 6 (RGBA), non-interlaced. 1/2/4/16-bit
+  * depths and Adam7 interlacing return None — a NULL feature row,
+  * never a wrong one; so does a type-3 stream with a missing/short
+  * PLTE or an index past the palette end. Alpha weighs nothing: means
+  * are over the color channels exactly as the BMP/PPM/JPEG paths
+  * report them.
   *
   * Integrity: chunk CRC32s and the zlib Adler32 are NOT re-verified —
   * bit-rot detection belongs to the storage layer (parquet page
@@ -54,8 +57,8 @@ object PngKernels {
     val filterMethod = b(27) & 0xff
     val interlace = b(28) & 0xff
     val channels = colorType match {
-      case 0 => 1 case 2 => 3 case 4 => 2 case 6 => 4
-      case _ => return None // palette or invalid
+      case 0 => 1 case 2 => 3 case 3 => 1 case 4 => 2 case 6 => 4
+      case _ => return None // invalid color type
     }
     if (width <= 0L || height <= 0L || bitDepth != 8 ||
         compression != 0 || filterMethod != 0 || interlace != 0) return None
@@ -71,6 +74,7 @@ object PngKernels {
     var pos = 8 + 25
     var idatLen = 0
     val idatAt = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+    var plteAt = -1; var plteLen = 0
     var sawEnd = false
     while (!sawEnd) {
       if (pos + 8 > b.length) return None
@@ -80,11 +84,18 @@ object PngKernels {
       val t2 = b(pos + 6); val t3 = b(pos + 7)
       if (t0 == 'I' && t1 == 'D' && t2 == 'A' && t3 == 'T') {
         idatAt += ((pos + 8, len)); idatLen += len
+      } else if (t0 == 'P' && t1 == 'L' && t2 == 'T' && t3 == 'E') {
+        if (plteAt >= 0) return None // at most one PLTE, per spec
+        plteAt = pos + 8; plteLen = len
       } else if (t0 == 'I' && t1 == 'E' && t2 == 'N' && t3 == 'D')
         sawEnd = true
       pos += 12 + len // length + type + payload + CRC (not re-verified)
     }
     if (idatLen < 3) return None // zlib header + at least one block byte
+    // type 3 needs a well-formed palette: 1..256 RGB triples
+    if (colorType == 3 &&
+        (plteAt < 0 || plteLen < 3 || plteLen > 768 || plteLen % 3 != 0))
+      return None
 
     // zlib wrapper: CM must be DEFLATE, a preset dictionary (FDICT)
     // cannot be honored — then raw-inflate the concatenated payload
@@ -153,6 +164,14 @@ object PngKernels {
         colorType match {
           case 0 | 4 =>
             val g = raw(p) & 0xff; sr += g; sg += g; sb += g
+          case 3 =>
+            val idx = (raw(p) & 0xff) * 3
+            // index past the palette end is a spec violation: NULL row,
+            // never a read of whatever chunk follows PLTE
+            if (idx + 2 >= plteLen) return None
+            sr += b(plteAt + idx) & 0xff
+            sg += b(plteAt + idx + 1) & 0xff
+            sb += b(plteAt + idx + 2) & 0xff
           case _ =>
             sr += raw(p) & 0xff; sg += raw(p + 1) & 0xff; sb += raw(p + 2) & 0xff
         }

@@ -99,6 +99,19 @@ object Classifier {
     * floor per training iteration (measured at sf0.1: round + multiply
     * + element_at re-evaluated interpretively per word-bucket per row).
     */
+  /** zCol's long accumulator sums round(w_j·1e12) over at most
+    * `buckets` terms; the caller must bound max|w|·buckets·1e12 « 2^63
+    * BEFORE building the plan. Shared by trainScore (where the delta
+    * rule bounds max|w| ≤ lr·iters a priori) and [[scoreRows]] (where
+    * `w` is externally supplied and must be measured — round 9 shipped
+    * scoreRows without this check, ADVICE item). /4 leaves headroom
+    * for the rounding half-ulp per term. */
+  private[operators] def requireFixedPointHeadroom(
+      maxAbsW: Double, buckets: Int, what: String): Unit =
+    require(buckets.toDouble * maxAbsW * Scale < Long.MaxValue / 4.0,
+      s"$what: buckets=$buckets, max|w|=$maxAbsW could overflow the " +
+        "fixed-point dot product (needs buckets*max|w|*1e12 << 2^63)")
+
   private def zCol(qwArr: Column, bs: Column): Column =
     GraftBridge.column(SumIndexedLongs(
       GraftBridge.expression(bs), GraftBridge.expression(qwArr)))
@@ -175,6 +188,9 @@ object Classifier {
     * matter. Wordless/null docs score NULL, as in trainScore. */
   def scoreRows(docs: DataFrame, textCol: String, idCol: String,
                 w: Array[Double], buckets: Int): DataFrame = {
+    requireFixedPointHeadroom(
+      w.foldLeft(0.0)((m, x) => math.max(m, math.abs(x))), buckets,
+      "scoreRows")
     val bs = array_distinct(transform(Bpe.wordsCol(col(textCol)),
       wd => Importance.bucket(wd, buckets)))
     docs.select(col(idCol),
@@ -202,9 +218,10 @@ object Classifier {
                  labelCol: Column, buckets: Int = 256, iters: Int = 8,
                  lr: Double = 2.0, loopPartitions: Int = 8): DataFrame = {
     require(loopPartitions >= 1, s"loopPartitions must be >= 1, got $loopPartitions")
-    // zCol's long accumulator needs buckets·(lr·iters)·1e12 « 2^63
-    require(buckets.toDouble * (lr * iters.max(1)) * Scale < Long.MaxValue / 4.0,
-      s"buckets=$buckets, iters=$iters, lr=$lr could overflow the fixed-point dot product")
+    // zCol's long accumulator needs buckets·(lr·iters)·1e12 « 2^63;
+    // lr·iters bounds max|w| a priori (delta-rule step ≤ lr per iter)
+    requireFixedPointHeadroom(lr * iters.max(1), buckets,
+      s"trainScore(iters=$iters, lr=$lr)")
     import org.apache.spark.storage.StorageLevel
     // ONE corpus pass builds the cached per-doc frame every iteration
     // and the scoring pass read back

@@ -109,7 +109,11 @@ object KMeans {
         .select(assignCol(col("__qv"), col("__qc")).as("__cid"),
           posexplode(col("__qv")).as(Seq("__pos", "__q")))
         .groupBy(col("__cid"), col("__pos"))
-        .agg(sum(col("__q")).cast("decimal(38,0)").as("s"),
+        // sum in decimal FROM THE START (r10, ADVICE): summing in long
+        // and casting after would let the accumulator wrap past 2^63
+        // before the 2^53 guard below ever saw the value — the guard
+        // must inspect an exact sum to fire with its diagnostic
+        .agg(sum(col("__q").cast("decimal(38,0)")).as("s"),
           count(lit(1)).as("n"))
         .collect()
       val next = cents.map(_.clone())

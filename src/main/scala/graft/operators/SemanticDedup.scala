@@ -26,6 +26,15 @@ import org.apache.spark.sql.functions._
   * clustering: one EXISTS semi-join, no iteration. That matches
   * SemDeDup's published policy and keeps the operator a single
   * bounded-block pass.
+  *
+  * Sizing `k` at scale: the within-cluster pair join is quadratic in
+  * block size, so k must GROW with the corpus — pick
+  * k ≈ n / targetBlockSize (SemDeDup used ~11k clusters for LAION
+  * at a few 10⁴ vectors per block; targetBlockSize ~10⁴–10⁵ keeps
+  * each block's pair count inside one executor's task budget). A
+  * constant k at 100× the data turns every block into an n²/k
+  * hotspot — the sf-pinned k=10 in q_semantic_dedup is correct for
+  * the test corpus ONLY because its n is ~10³.
   */
 object SemanticDedup {
 
@@ -43,6 +52,14 @@ object SemanticDedup {
             loopPartitions: Int = 8): DataFrame = {
     require(cosDen > 0 && cosNum > 0 && cosNum <= cosDen,
       s"cosine threshold must satisfy 0 < num/den <= 1, got $cosNum/$cosDen")
+    // dot²·den² is formed in decimal(38,0): dot ≤ ~10¹⁴ for 64-dim
+    // micro-quantized unit-ish vectors, so dot² ≤ ~10²⁸ and den ≤ 10⁴
+    // keeps the product inside 38 digits. A larger den would overflow
+    // to NULL under non-ANSI Spark and SILENTLY KEEP near-duplicates
+    // (the predicate reads false) — fail loudly instead (r10, ADVICE).
+    require(cosDen <= 10000,
+      s"cosDen must be <= 10^4 (decimal(38,0) headroom for dot²·den²), got $cosDen — " +
+        "express the threshold with a smaller denominator")
     import org.apache.spark.storage.StorageLevel
     val qdf = embs
       .select(col(idCol).cast("long").as("__id"),
