@@ -34,6 +34,14 @@ import org.apache.spark.sql.SparkSession
   *     drop to 1 run under pressure, exactly the degradation round 9's
   *     contended driver needed), and the untimed metrics pass is
   *     skipped past 85% of budget (`metrics_skipped_budget` says so).
+  *     `budget_stopped` is true whenever the budget curtailed ANY timed
+  *     pass — mid-pass or between passes; a run with
+  *     `passes_completed < runs` always says why.
+  *
+  * The whole pipeline lives in [[Bench.run]] with an explicit
+  * [[BenchConfig]] (round 11) so the degradation contract is PINNED by
+  * HarnessGuardSpec calling it with a tiny budget, not just demonstrated
+  * once by a contended driver run; `main` only parses the env.
   *
   * Contention canary (round 7): round 6's driver bench ran on a machine
   * so contended the artifact was unusable (sbt 1192 s vs 191 s idle;
@@ -58,15 +66,15 @@ import org.apache.spark.sql.SparkSession
   * canaries sample BETWEEN passes and miss sustained load arriving
   * mid-pass; the real queries don't). The benched control queries are
   * therefore folded into the verdict itself: `controls_in_band` is true
-  * iff every benched control median is within 1.5× the top of its
-  * pinned idle band, and `evidence` = factors ≤ 1.5 AND
-  * controls_in_band. Reading rule (also in BASELINE.md): trust
-  * per-query medians as evidence iff `"evidence": true`; otherwise
-  * adjudicate any apparent regression with an idle
-  * `SPARK_GRAFT_BENCH_ONLY` re-run before believing it, expecting
-  * multi-stage queries to inflate ~sched_factor (or worse, when the
-  * controls are the only signal) and single-stage ones
-  * ~contention_factor.
+  * iff every benched control RAN OK and its median is within 1.5× the
+  * top of its pinned idle band (a control that fails fast is not a fast
+  * control), and `evidence` = factors ≤ 1.5 AND controls_in_band.
+  * Reading rule (also in BASELINE.md): trust per-query medians as
+  * evidence iff `"evidence": true`; otherwise adjudicate any apparent
+  * regression with an idle `SPARK_GRAFT_BENCH_ONLY` re-run before
+  * believing it, expecting multi-stage queries to inflate
+  * ~sched_factor (or worse, when the controls are the only signal) and
+  * single-stage ones ~contention_factor.
   */
 object Bench {
   /** Idle-machine pinned canary medians (this sandbox, local[32],
@@ -94,14 +102,33 @@ object Bench {
     "q_filter" -> 0.21)
   val ControlHeadroom = 1.5
 
+  /** Everything the pipeline needs, env-free so specs can drive it. */
+  final case class BenchConfig(
+      sfDir: String,
+      cpus: Int,
+      runs: Int,
+      budgetSec: Double,
+      only: Option[Set[String]],
+      metricsOn: Boolean,
+      summaryPath: String,
+      ledgerPath: String,
+      metricsPath: String)
+
   /** Aggregate execution-metric fields for the main JSON line: totals
-    * over all benched queries (the per-query detail is in
-    * bench_metrics.json). Empty string when the metrics pass is off. */
-  private def metricAggFields(rows: Seq[(String, BenchMetrics.Snap)]): String =
+    * over the queries the metrics pass actually covered (the per-query
+    * detail is in bench_metrics.json). A budget-stopped metrics pass
+    * covers only a prefix of the surface, so the coverage count rides
+    * next to the totals — partial totals are structurally
+    * distinguishable from full-surface ones, not just hinted at by the
+    * `metrics_skipped_budget` boolean (ADVICE r10). Empty string when
+    * the metrics pass is off. */
+  private def metricAggFields(rows: Seq[(String, BenchMetrics.Snap)],
+                              surface: Int): String =
     if (rows.isEmpty) "" else {
       val w = rows.map(_._2.shuffleWriteB).sum
       val sp = rows.map(_._2.spillB).sum
-      s""","shuffle_write_mb_total":${BenchMetrics.mb(w)},"spill_mb_total":${BenchMetrics.mb(sp)}"""
+      s""","shuffle_write_mb_total":${BenchMetrics.mb(w)},"spill_mb_total":${BenchMetrics.mb(sp)},""" +
+        s""""metrics_queries_covered":${rows.size},"metrics_queries_total":$surface"""
     }
 
   def main(args: Array[String]): Unit = {
@@ -112,8 +139,6 @@ object Bench {
     // contended machine degrades (fewer samples) instead of truncating
     val budgetSec =
       sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "1500").toDouble
-    val wallStart = System.nanoTime()
-    def elapsedSec: Double = (System.nanoTime() - wallStart) / 1e9
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -122,6 +147,43 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+
+    // SPARK_GRAFT_BENCH_ONLY=q_a,q_b narrows the surface for local
+    // iteration on one query's plan; the driver never sets it
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+
+    // BENCH_ONLY scratch reads get their own artifact files — round 9's
+    // final commit shipped a 6-query BENCH_ONLY read in place of the
+    // graded 109-query sweep, and this separation makes that clobber
+    // structurally impossible.
+    val scratch = only.isDefined
+    val cfg = BenchConfig(
+      sfDir = sfDir,
+      cpus = cpus.toInt,
+      runs = runs,
+      budgetSec = budgetSec,
+      only = only,
+      metricsOn = sys.env.getOrElse("SPARK_GRAFT_BENCH_METRICS", "1") != "0",
+      summaryPath = if (scratch) "bench_only_last.json" else "bench_last.json",
+      ledgerPath = if (scratch) "bench_only_ledger.jsonl" else "bench_ledger.jsonl",
+      metricsPath = if (scratch) "bench_only_metrics.json" else "bench_metrics.json")
+    println(run(spark, cfg))
+    spark.stop()
+  }
+
+  /** The full bench pipeline against an existing session; returns the
+    * summary JSON line (also persisted to `cfg.summaryPath` — the
+    * driver's stdout capture has truncated the tail of this line in past
+    * rounds, BENCH_r07 showed 56/88 queries, so the artifact never
+    * depends on a capture window). */
+  def run(spark: SparkSession, cfg: BenchConfig): String = {
+    val cpus = cfg.cpus
+    val runs = cfg.runs.max(1)
+    val budgetSec = cfg.budgetSec
+    val sfDir = cfg.sfDir
+    val wallStart = System.nanoTime()
+    def elapsedSec: Double = (System.nanoTime() - wallStart) / 1e9
 
     // testdata-drift tripwire (round 7: a silent regeneration broke six
     // queries) — loud stderr diff, and the drift count rides the JSON line
@@ -148,7 +210,7 @@ object Bench {
     // is pure compute + scheduling and never parquet/page-cache state.
     def canarySample(): (Double, Double) = {
       import org.apache.spark.sql.functions._
-      val par = cpus.toInt
+      val par = cpus
       val t0 = System.nanoTime()
       // xxhash64 gives real per-row compute; % 1e6 keeps the 10M-row sum
       // far from Long overflow under ANSI mode
@@ -173,10 +235,7 @@ object Bench {
     // run-major order (all queries, then the next full pass) so repeated
     // runs of one query don't benefit from a still-hot page cache more
     // than the driver's single-pass methodology would
-    // SPARK_GRAFT_BENCH_ONLY=q_a,q_b narrows the surface for local
-    // iteration on one query's plan; the driver never sets it
-    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
-      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val only = cfg.only
     only.foreach { o =>
       val unknown = o -- SparkEntry.queries.keySet
       require(unknown.isEmpty,
@@ -186,14 +245,6 @@ object Bench {
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
 
-    // BENCH_ONLY scratch reads get their own artifact files — round 9's
-    // final commit shipped a 6-query BENCH_ONLY read in place of the
-    // graded 109-query sweep, and this separation makes that clobber
-    // structurally impossible.
-    val scratch = only.isDefined
-    val summaryPath = if (scratch) "bench_only_last.json" else "bench_last.json"
-    val ledgerPath = if (scratch) "bench_only_ledger.jsonl" else "bench_ledger.jsonl"
-    val metricsPath = if (scratch) "bench_only_metrics.json" else "bench_metrics.json"
     def writeFile(path: String, body: String): Unit =
       try java.nio.file.Files.writeString(java.nio.file.Paths.get(path), body)
       catch { case e: Exception =>
@@ -201,10 +252,10 @@ object Bench {
       }
     // fresh ledger per run; each completed sample appends immediately so
     // ANY truncation point leaves line-parseable evidence
-    writeFile(ledgerPath, "")
+    writeFile(cfg.ledgerPath, "")
     def ledger(line: String): Unit =
       try java.nio.file.Files.writeString(
-        java.nio.file.Paths.get(ledgerPath), line + "\n",
+        java.nio.file.Paths.get(cfg.ledgerPath), line + "\n",
         java.nio.file.StandardOpenOption.CREATE,
         java.nio.file.StandardOpenOption.APPEND)
       catch { case _: Exception => () }
@@ -221,7 +272,7 @@ object Bench {
 
     // ---- summary assembly, callable after every pass so the artifact
     // on disk is always the full current surface
-    val pinsValid = cpus.toInt == PinnedCpus
+    val pinsValid = cpus == PinnedCpus
     var metricRowsOut: Seq[(String, BenchMetrics.Snap)] = Nil
     var metricsSkippedBudget = false
     def summaryLine(): String = {
@@ -249,10 +300,13 @@ object Bench {
       val controlFields = controls.map { case (n, v, _) =>
         s""""control_$n":${r3(v)},"band_$n":${ControlBands(n)}"""
       }.mkString(",")
+      // a control that FAILED fast must not read as in-band: its
+      // time-to-failure is not a measurement, so ok rides the forall
+      // with the band check (ADVICE r10)
       val controlsInBand: Option[Boolean] =
         if (!pinsValid || controls.isEmpty) None
-        else Some(controls.forall { case (n, v, _) =>
-          v <= ControlBands(n) * ControlHeadroom })
+        else Some(controls.forall { case (n, v, ok) =>
+          ok && v <= ControlBands(n) * ControlHeadroom })
       val evidence: Option[Boolean] = controlsInBand.map { cb =>
         cb && contentionFactor >= 0 && contentionFactor <= 1.5 &&
           schedFactor >= 0 && schedFactor <= 1.5
@@ -267,7 +321,7 @@ object Bench {
         s""""controls_in_band":${jb(controlsInBand)},"evidence":${jb(evidence)},""" +
         s""""metrics_skipped_budget":$metricsSkippedBudget,""" +
         s""""schema_drift":${schemaDrift.size},"sf":"$sfDir"""" +
-        metricAggFields(metricRowsOut) + "}"
+        metricAggFields(metricRowsOut, names.size) + "}"
     }
 
     // ---- timed passes. Pass 1 always completes (every query needs ≥1
@@ -304,9 +358,17 @@ object Bench {
       // keep the on-disk artifact current: a kill in any later pass (or
       // the metrics pass) still finds a full-surface summary here — every
       // query has ≥1 sample from pass 1, so this is always full-surface
-      writeFile(summaryPath, summaryLine() + "\n")
+      writeFile(cfg.summaryPath, summaryLine() + "\n")
     }
     if (passesCompleted == 0) passesCompleted = 1 // pass 1 always ran to completion
+    // a between-pass exit is a budget stop too: samples degraded from
+    // `runs` to fewer, and `passes_completed < runs` must always carry
+    // its reason (also makes the degradation contract deterministic to
+    // pin in a spec — pass 1 over budget guarantees budget_stopped)
+    if (pass < runs && !budgetStopped) {
+      budgetStopped = true
+      ledger(s"""{"event":"budget_stop_between_passes","after_pass":$pass,"elapsed_sec":${r3(elapsedSec)}}""")
+    }
     canaries += canarySample()
 
     // ---- evidence pass (untimed): per-query shuffle/input/spill
@@ -314,7 +376,7 @@ object Bench {
     // listener-bus drain points can't perturb the timing methodology.
     // SCALING.md's "shuffles carry ids/sketches, not documents" and
     // "no spill at this SF" claims become measured numbers here.
-    val metricsOn = sys.env.getOrElse("SPARK_GRAFT_BENCH_METRICS", "1") != "0"
+    val metricsOn = cfg.metricsOn
     val metricErrors = scala.collection.mutable.ArrayBuffer.empty[String]
     if (metricsOn && elapsedSec > budgetSec * 0.85) {
       metricsSkippedBudget = true
@@ -356,7 +418,7 @@ object Bench {
               val body = rows.map { case (n, s) => "\"" + n + "\":{" + s.jsonFields + "}" }
                 .mkString("{", ",", "}")
               val mErrs = metricErrors.map("\"" + _ + "\"").mkString("[", ",", "]")
-              writeFile(metricsPath,
+              writeFile(cfg.metricsPath,
                 s"""{"sf":"$sfDir","cpus":$cpus,"metrics_errors":$mErrs,"queries":$body}""" + "\n")
             }
           }
@@ -367,11 +429,7 @@ object Bench {
     metricRowsOut = metricRows
 
     val line = summaryLine()
-    println(line)
-    // the driver's stdout capture has truncated the tail of this line in
-    // past rounds (BENCH_r07 showed 56/88 queries) — persist the full
-    // line in-repo so the artifact never depends on a capture window
-    writeFile(summaryPath, line + "\n")
-    spark.stop()
+    writeFile(cfg.summaryPath, line + "\n")
+    line
   }
 }
