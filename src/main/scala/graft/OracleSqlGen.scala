@@ -143,7 +143,14 @@ object OracleSqlGen {
     * hashing wrong and surfacing as a bare oracle hash mismatch. */
   private def hashBytesLevels(ch: Chain, hxCol: String, seed: String,
                               p: String): String = {
-    val hxp = ch.lvl(s"${p}hxp", s"rpad($hxCol, 64, '0')")
+    // 64+8 spare pad + clamped dynamic reads (same pattern as the
+    // murmur chain, ADVICE r10): every substr below is in-range for ANY
+    // input length, so an out-of-domain (>= 32-byte) input can only
+    // fail through the NAMED error() guard — never through a DuckDB
+    // version-dependent bare substr/CAST('0x'||'') failure. The clamps
+    // (8·wc at 28, tail index at 32) are no-ops across the whole
+    // in-domain range nn <= 31 (8·wc <= 24, tail index <= nn <= 31).
+    val hxp = ch.lvl(s"${p}hxp", s"rpad($hxCol, 72, '0')")
     val nn = ch.lvl(s"${p}nn", s"CAST(length($hxCol) // 2 AS HUGEINT)")
     val wc = ch.lvl(s"${p}wcnt", s"($nn // 8)")
     val rem = ch.lvl(s"${p}rem", s"($nn - 8 * $wc)")
@@ -155,8 +162,9 @@ object OracleSqlGen {
     val wA = ch.lvl(s"${p}wA", leSum(i => s"${i + 1}", 8))
     val wB = ch.lvl(s"${p}wB", leSum(i => s"${i + 9}", 8))
     val wC = ch.lvl(s"${p}wC", leSum(i => s"${i + 17}", 8))
-    val k4 = ch.lvl(s"${p}k4", leSum(j => s"8 * $wc + ${j + 1}", 4))
-    val tb = (1 to 3).map(j => ch.lvl(s"${p}tb$j", byteAt(hxp, s"$nn - $tl + $j")))
+    val k4 = ch.lvl(s"${p}k4", leSum(j => s"least(8 * $wc, 28) + ${j + 1}", 4))
+    val tb = (1 to 3).map(j =>
+      ch.lvl(s"${p}tb$j", byteAt(hxp, s"least($nn - $tl + $j, 32)")))
     var h = ch.lvl(s"${p}c0",
       s"CASE WHEN $nn >= 32 THEN CAST(error('graft oracle: xxh64 short-input replay got ' || $nn || ' bytes (>= 32) — out of domain, see OracleSqlGen.hashBytesLevels') AS HUGEINT) ELSE ${add64(add64(seed, P5), nn)} END")
     h = wordRound(ch, h, wA, s"$nn >= 8", s"${p}wa")

@@ -1534,11 +1534,16 @@ object Queries {
     * function exists in SQL) while the decoder still runs its full
     * zlib-wrapper + Inflater + defilter path; the COMPRESSED branches
     * (dynamic Huffman, filters 1-4) are pinned against the JDK's own
-    * ImageIO encoder in [[graft.PngSpec]]. Even ids are RGB (color
-    * type 2), odd ids grayscale (type 0) — both channel layouts under
-    * the oracle; every 7th doc is truncated to 20 bytes (NULL row).
-    * Chunk CRCs and the Adler32 are zeros (the decoder documents that
-    * storage-layer integrity owns bit-rot). */
+    * ImageIO encoder in [[graft.PngSpec]]. id%5 picks the color type —
+    * 0/1 RGB (type 2), 2/3 grayscale (type 0), 4 palette (type 3, a
+    * 2-entry PLTE whose triples carry the A/B colors, so the indexed
+    * pixels decode to the SAME channel means as the RGB family and the
+    * round-10 palette branch is hash-checked by DuckDB, not only
+    * spec-pinned) — %5 is coprime to the %3 width and %4 height masks,
+    * so every (type, w, h) combination occurs. Every 7th doc is
+    * truncated to 20 bytes (NULL row). Chunk CRCs and the Adler32 are
+    * zeros (the decoder documents that storage-layer integrity owns
+    * bit-rot). */
   private def constructedPngBlob(id: Column): Column = {
     def h2(c: Column): Column = lpad(hex(c), 2, "0")
     def be32h(c: Column): Column = concat(
@@ -1554,7 +1559,9 @@ object Queries {
     val hh = when(pmod(id, lit(4)) === 0, 1)
       .when(pmod(id, lit(4)) === 1, 2)
       .when(pmod(id, lit(4)) === 2, 4).otherwise(8).cast("int")
-    val isRgb = pmod(id, lit(2)) === 0
+    val sel = pmod(id, lit(5))
+    val isRgb = sel < 2
+    val isPal = sel === 4
     val aR = pmod(id, lit(256)).cast("int")
     val aG = pmod(id * 7, lit(256)).cast("int")
     val aB = pmod(id * 13, lit(256)).cast("int")
@@ -1562,26 +1569,35 @@ object Queries {
     val bG = pmod(id * 5, lit(256)).cast("int")
     val bB = pmod(id * 11, lit(256)).cast("int")
     // filtered scanlines, every row filter 0: first row leads with
-    // pixel A, every other pixel is B
+    // pixel A, every other pixel is B (palette: index 0 then 1s)
     val rgbRow0 = concat(lit("00"), h2(aR), h2(aG), h2(aB),
       rep(concat(h2(bR), h2(bG), h2(bB)), w - 1))
     val rgbRest = rep(concat(lit("00"), rep(concat(h2(bR), h2(bG), h2(bB)), w)),
       hh - 1)
     val grayRow0 = concat(lit("00"), h2(aR), rep(h2(bR), w - 1))
     val grayRest = rep(concat(lit("00"), rep(h2(bR), w)), hh - 1)
+    val palRow0 = concat(lit("0000"), rep(lit("01"), w - 1))
+    val palRest = rep(concat(lit("00"), rep(lit("01"), w)), hh - 1)
     val rawHex = when(isRgb, concat(rgbRow0, rgbRest))
+      .when(isPal, concat(palRow0, palRest))
       .otherwise(concat(grayRow0, grayRest))
+    // gray and palette are both 1 byte/pixel
     val rawLen = when(isRgb, (lit(1) + w * 3) * hh)
       .otherwise((lit(1) + w) * hh).cast("int")
     // zlib wrapper (78 01) + stored block (01, LEN, ~LEN) + zero Adler
     val zlibHex = concat(lit("780101"), le16h(rawLen),
       le16h(lit(65535) - rawLen), rawHex, lit("00000000"))
     val ihdrHex = concat(lit("0000000D49484452"), be32h(w), be32h(hh),
-      lit("08"), when(isRgb, lit("02")).otherwise(lit("00")), lit("000000"),
+      lit("08"), when(isRgb, lit("02")).when(isPal, lit("03"))
+        .otherwise(lit("00")), lit("000000"),
       lit("00000000"))
+    // 2-entry PLTE (18 bytes on the wire): index 0 = color A, 1 = B
+    val plteHex = when(isPal, concat(lit("00000006504C5445"),
+      h2(aR), h2(aG), h2(aB), h2(bR), h2(bG), h2(bB),
+      lit("00000000"))).otherwise(lit(""))
     val idatHex = concat(be32h(rawLen + 11), lit("49444154"), zlibHex,
       lit("00000000"))
-    val fullHex = concat(lit("89504E470D0A1A0A"), ihdrHex, idatHex,
+    val fullHex = concat(lit("89504E470D0A1A0A"), ihdrHex, plteHex, idatHex,
       lit("0000000049454E4400000000"))
     unhex(when(pmod(id, lit(7)) === 0, substring(fullHex, 1, 40))
       .otherwise(fullHex))
@@ -1593,7 +1609,9 @@ object Queries {
     * now dispatching [[graft.functions.PngKernels]] (JDK Inflater +
     * the five scanline filters, no imaging library). The oracle
     * recomputes n_bytes and the channel means from the construction
-    * arithmetic; grayscale rows must report R=G=B. */
+    * arithmetic; grayscale rows must report R=G=B, and palette rows
+    * (id%5=4) must report the PLTE triples' means — identical formulas
+    * to RGB, +18 bytes of PLTE on the wire. */
   private val qPngFeatures = Q("q_png_features",
     (s, dir) => {
       val media = t(s, dir, "documents")
@@ -1605,28 +1623,32 @@ object Queries {
            |  SELECT doc_id,
            |         CASE doc_id % 3 WHEN 0 THEN 4 WHEN 1 THEN 8 ELSE 16 END AS w,
            |         CASE doc_id % 4 WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 4 ELSE 8 END AS h,
-           |         doc_id % 2 = 0 AS is_rgb, doc_id % 7 = 0 AS trunc,
+           |         doc_id % 5 < 2 AS is_rgb, doc_id % 5 = 4 AS is_pal,
+           |         doc_id % 7 = 0 AS trunc,
            |         doc_id % 256 AS ar, (doc_id * 7) % 256 AS ag, (doc_id * 13) % 256 AS ab,
            |         (doc_id * 3) % 256 AS br, (doc_id * 5) % 256 AS bg, (doc_id * 11) % 256 AS bb
            |  FROM documents),
            |m AS (
-           |  SELECT doc_id, w, h, w * h AS wh, is_rgb, trunc, ar, ag, ab, br, bg, bb,
+           |  SELECT doc_id, w, h, w * h AS wh, is_rgb, is_pal, trunc,
+           |         ar, ag, ab, br, bg, bb,
            |         CASE WHEN is_rgb THEN (1 + 3 * w) * h ELSE (1 + w) * h END AS rawlen
            |  FROM p)
            |SELECT CAST(doc_id AS BIGINT) AS media_id,
-           |       CAST(CASE WHEN trunc THEN 20 ELSE 68 + rawlen END AS BIGINT) AS n_bytes,
+           |       CAST(CASE WHEN trunc THEN 20
+           |                 WHEN is_pal THEN 86 + rawlen
+           |                 ELSE 68 + rawlen END AS BIGINT) AS n_bytes,
            |       CASE WHEN trunc THEN NULL ELSE CAST(w AS BIGINT) END AS width,
            |       CASE WHEN trunc THEN NULL ELSE CAST(h AS BIGINT) END AS height,
            |       CASE WHEN trunc THEN NULL
-           |            WHEN is_rgb THEN round((ar + (wh - 1) * br) / CAST(wh AS DOUBLE), 6)
+           |            WHEN is_rgb OR is_pal THEN round((ar + (wh - 1) * br) / CAST(wh AS DOUBLE), 6)
            |            ELSE round((ar + (wh - 1) * br) / CAST(wh AS DOUBLE), 6)
            |       END AS mean_r,
            |       CASE WHEN trunc THEN NULL
-           |            WHEN is_rgb THEN round((ag + (wh - 1) * bg) / CAST(wh AS DOUBLE), 6)
+           |            WHEN is_rgb OR is_pal THEN round((ag + (wh - 1) * bg) / CAST(wh AS DOUBLE), 6)
            |            ELSE round((ar + (wh - 1) * br) / CAST(wh AS DOUBLE), 6)
            |       END AS mean_g,
            |       CASE WHEN trunc THEN NULL
-           |            WHEN is_rgb THEN round((ab + (wh - 1) * bb) / CAST(wh AS DOUBLE), 6)
+           |            WHEN is_rgb OR is_pal THEN round((ab + (wh - 1) * bb) / CAST(wh AS DOUBLE), 6)
            |            ELSE round((ar + (wh - 1) * br) / CAST(wh AS DOUBLE), 6)
            |       END AS mean_b
            |FROM m""".stripMargin))
