@@ -27,4 +27,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // the JDK default 240 MB JIT code cache fills with one-shot codegen
+  // classes over a 124-query bench sweep; once full, compilation stops
+  // and everything (even fixed cached plans) runs interpreted — the
+  // round-11 canary creep. Headroom makes timings stationary.
+  "-XX:ReservedCodeCacheSize=1g",
 )

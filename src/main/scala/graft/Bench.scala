@@ -145,6 +145,11 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // static conf, must be set on the FIRST session in the JVM: the
+      // 100-entry default re-Janino-compiles ~every plan on every pass
+      // of a 124-query sweep and churns the JIT code cache until even
+      // the fixed-plan canary degrades ~2x (measured r11, idle machine)
+      .config("spark.sql.codegen.cache.maxEntries", "4096")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

@@ -1534,16 +1534,19 @@ object Queries {
     * function exists in SQL) while the decoder still runs its full
     * zlib-wrapper + Inflater + defilter path; the COMPRESSED branches
     * (dynamic Huffman, filters 1-4) are pinned against the JDK's own
-    * ImageIO encoder in [[graft.PngSpec]]. id%5 picks the color type —
-    * 0/1 RGB (type 2), 2/3 grayscale (type 0), 4 palette (type 3, a
-    * 2-entry PLTE whose triples carry the A/B colors, so the indexed
-    * pixels decode to the SAME channel means as the RGB family and the
-    * round-10 palette branch is hash-checked by DuckDB, not only
-    * spec-pinned) — %5 is coprime to the %3 width and %4 height masks,
-    * so every (type, w, h) combination occurs. Every 7th doc is
-    * truncated to 20 bytes (NULL row). Chunk CRCs and the Adler32 are
-    * zeros (the decoder documents that storage-layer integrity owns
-    * bit-rot). */
+    * ImageIO encoder in [[graft.PngSpec]]. id%5 picks the family —
+    * 0/1 RGB (type 2), 2 grayscale (type 0), 3 SIXTEEN-BIT grayscale
+    * (type 0 depth 16, each sample the 8-bit value bit-replicated
+    * hi/lo = 257·a, so the /257 rescale reproduces the 8-bit means
+    * exactly and the round-11 16-bit branch is hash-checked by
+    * DuckDB), 4 palette (type 3, a 2-entry PLTE whose triples carry
+    * the A/B colors, so the indexed pixels decode to the SAME channel
+    * means as the RGB family and the round-10 palette branch is
+    * hash-checked, not only spec-pinned) — %5 is coprime to the %3
+    * width and %4 height masks, so every (family, w, h) combination
+    * occurs. Every 7th doc is truncated to 20 bytes (NULL row). Chunk
+    * CRCs and the Adler32 are zeros (the decoder documents that
+    * storage-layer integrity owns bit-rot). */
   private def constructedPngBlob(id: Column): Column = {
     def h2(c: Column): Column = lpad(hex(c), 2, "0")
     def be32h(c: Column): Column = concat(
@@ -1561,6 +1564,7 @@ object Queries {
       .when(pmod(id, lit(4)) === 2, 4).otherwise(8).cast("int")
     val sel = pmod(id, lit(5))
     val isRgb = sel < 2
+    val isG16 = sel === 3
     val isPal = sel === 4
     val aR = pmod(id, lit(256)).cast("int")
     val aG = pmod(id * 7, lit(256)).cast("int")
@@ -1576,19 +1580,27 @@ object Queries {
       hh - 1)
     val grayRow0 = concat(lit("00"), h2(aR), rep(h2(bR), w - 1))
     val grayRest = rep(concat(lit("00"), rep(h2(bR), w)), hh - 1)
+    // 16-bit gray: every sample is the 8-bit value twice (v = 257·a)
+    val g16Row0 = concat(lit("00"), h2(aR), h2(aR),
+      rep(concat(h2(bR), h2(bR)), w - 1))
+    val g16Rest = rep(concat(lit("00"), rep(concat(h2(bR), h2(bR)), w)),
+      hh - 1)
     val palRow0 = concat(lit("0000"), rep(lit("01"), w - 1))
     val palRest = rep(concat(lit("00"), rep(lit("01"), w)), hh - 1)
     val rawHex = when(isRgb, concat(rgbRow0, rgbRest))
+      .when(isG16, concat(g16Row0, g16Rest))
       .when(isPal, concat(palRow0, palRest))
       .otherwise(concat(grayRow0, grayRest))
-    // gray and palette are both 1 byte/pixel
+    // bytes/pixel: RGB8 3, gray16 2, gray8 and palette 1
     val rawLen = when(isRgb, (lit(1) + w * 3) * hh)
+      .when(isG16, (lit(1) + w * 2) * hh)
       .otherwise((lit(1) + w) * hh).cast("int")
     // zlib wrapper (78 01) + stored block (01, LEN, ~LEN) + zero Adler
     val zlibHex = concat(lit("780101"), le16h(rawLen),
       le16h(lit(65535) - rawLen), rawHex, lit("00000000"))
     val ihdrHex = concat(lit("0000000D49484452"), be32h(w), be32h(hh),
-      lit("08"), when(isRgb, lit("02")).when(isPal, lit("03"))
+      when(isG16, lit("10")).otherwise(lit("08")),
+      when(isRgb, lit("02")).when(isPal, lit("03"))
         .otherwise(lit("00")), lit("000000"),
       lit("00000000"))
     // 2-entry PLTE (18 bytes on the wire): index 0 = color A, 1 = B
@@ -1623,7 +1635,8 @@ object Queries {
            |  SELECT doc_id,
            |         CASE doc_id % 3 WHEN 0 THEN 4 WHEN 1 THEN 8 ELSE 16 END AS w,
            |         CASE doc_id % 4 WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 4 ELSE 8 END AS h,
-           |         doc_id % 5 < 2 AS is_rgb, doc_id % 5 = 4 AS is_pal,
+           |         doc_id % 5 < 2 AS is_rgb, doc_id % 5 = 3 AS is_g16,
+           |         doc_id % 5 = 4 AS is_pal,
            |         doc_id % 7 = 0 AS trunc,
            |         doc_id % 256 AS ar, (doc_id * 7) % 256 AS ag, (doc_id * 13) % 256 AS ab,
            |         (doc_id * 3) % 256 AS br, (doc_id * 5) % 256 AS bg, (doc_id * 11) % 256 AS bb
@@ -1631,7 +1644,9 @@ object Queries {
            |m AS (
            |  SELECT doc_id, w, h, w * h AS wh, is_rgb, is_pal, trunc,
            |         ar, ag, ab, br, bg, bb,
-           |         CASE WHEN is_rgb THEN (1 + 3 * w) * h ELSE (1 + w) * h END AS rawlen
+           |         CASE WHEN is_rgb THEN (1 + 3 * w) * h
+           |              WHEN is_g16 THEN (1 + 2 * w) * h
+           |              ELSE (1 + w) * h END AS rawlen
            |  FROM p)
            |SELECT CAST(doc_id AS BIGINT) AS media_id,
            |       CAST(CASE WHEN trunc THEN 20

@@ -12,14 +12,19 @@ import java.util.zip.{DataFormatException, Inflater}
   * header-metadata only ([[org.apache.spark.sql.ImageMeta]]).
   *
   * Scope (declared like JpegKernels' baseline-sequential scope): 8-bit
-  * samples, color types 0 (gray), 2 (RGB), 3 (palette, since round 10 —
-  * 8-bit indices through the PLTE lookup; the ubiquitous web-crawl
-  * shape), 4 (gray+alpha), 6 (RGBA), non-interlaced. 1/2/4/16-bit
+  * samples in color types 0 (gray), 2 (RGB), 3 (palette, since round
+  * 10 — 8-bit indices through the PLTE lookup; the ubiquitous
+  * web-crawl shape), 4 (gray+alpha), 6 (RGBA), plus 16-bit samples in
+  * types 0/2/4/6 (round 11 — big-endian sample pairs; 16-bit palette
+  * is illegal per §11.2.2 and refused), all non-interlaced. 1/2/4-bit
   * depths and Adam7 interlacing return None — a NULL feature row,
   * never a wrong one; so does a type-3 stream with a missing/short
   * PLTE or an index past the palette end. Alpha weighs nothing: means
   * are over the color channels exactly as the BMP/PPM/JPEG paths
-  * report them.
+  * report them; 16-bit channel sums are reported on the 8-bit scale by
+  * the exact rational Σv/257 (65535/255 = 257), so a 16-bit sample
+  * that replicates an 8-bit value in both bytes (v = 257·a, the
+  * standard bit-replication expansion) contributes exactly `a`.
   *
   * Integrity: chunk CRC32s and the zlib Adler32 are NOT re-verified —
   * bit-rot detection belongs to the storage layer (parquet page
@@ -60,11 +65,15 @@ object PngKernels {
       case 0 => 1 case 2 => 3 case 3 => 1 case 4 => 2 case 6 => 4
       case _ => return None // invalid color type
     }
-    if (width <= 0L || height <= 0L || bitDepth != 8 ||
+    // 16-bit palette is a spec violation (§11.2.2: type 3 allows 1/2/4/8)
+    if (bitDepth != 8 && !(bitDepth == 16 && colorType != 3)) return None
+    if (width <= 0L || height <= 0L ||
         compression != 0 || filterMethod != 0 || interlace != 0) return None
-    // raw size = height * (1 filter byte + width*channels), guarded in
-    // Long division form so crafted dimensions can't overflow the check
-    val rowBytes = width * channels
+    val sampleBytes = bitDepth / 8
+    // raw size = height * (1 filter byte + width*channels*sampleBytes),
+    // guarded in Long division form so crafted dimensions can't
+    // overflow the check
+    val rowBytes = width * channels * sampleBytes
     if (rowBytes > MaxRawBytes - 1 || height > MaxRawBytes / (rowBytes + 1))
       return None
     val rawLen = (height * (rowBytes + 1)).toInt
@@ -121,10 +130,12 @@ object PngKernels {
       if (got < rawLen) return None // stream shorter than the IHDR promise
     } finally inf.end()
 
-    // scanline reconstruction, in place: bpp = channels at 8-bit depth
+    // scanline reconstruction, in place: the filters operate on BYTES
+    // with bpp = channels · sampleBytes (§9.2 — at 16-bit depth the
+    // "corresponding byte of the prior pixel" is 2·channels back)
     val w = width.toInt; val h = height.toInt
     val stride = rowBytes.toInt + 1
-    val bpp = channels
+    val bpp = channels * sampleBytes
     var r = 0
     while (r < h) {
       val rowStart = r * stride + 1
@@ -154,8 +165,11 @@ object PngKernels {
       r += 1
     }
 
-    // channel means; alpha never contributes
+    // channel means; alpha never contributes. 16-bit sums stay exact in
+    // Long (≤ 2^27 pixels · 65535 < 2^43) and are scaled to the 8-bit
+    // range by /257 only at the final division.
     var sr = 0L; var sg = 0L; var sb = 0L
+    def s16(p: Int): Long = (((raw(p) & 0xff) << 8) | (raw(p + 1) & 0xff)).toLong
     r = 0
     while (r < h) {
       var p = r * stride + 1
@@ -163,7 +177,11 @@ object PngKernels {
       while (x < w) {
         colorType match {
           case 0 | 4 =>
-            val g = raw(p) & 0xff; sr += g; sg += g; sb += g
+            if (sampleBytes == 1) {
+              val g = raw(p) & 0xff; sr += g; sg += g; sb += g
+            } else {
+              val g = s16(p); sr += g; sg += g; sb += g
+            }
           case 3 =>
             val idx = (raw(p) & 0xff) * 3
             // index past the palette end is a spec violation: NULL row,
@@ -173,7 +191,11 @@ object PngKernels {
             sg += b(plteAt + idx + 1) & 0xff
             sb += b(plteAt + idx + 2) & 0xff
           case _ =>
-            sr += raw(p) & 0xff; sg += raw(p + 1) & 0xff; sb += raw(p + 2) & 0xff
+            if (sampleBytes == 1) {
+              sr += raw(p) & 0xff; sg += raw(p + 1) & 0xff; sb += raw(p + 2) & 0xff
+            } else {
+              sr += s16(p); sg += s16(p + 2); sb += s16(p + 4)
+            }
         }
         p += bpp
         x += 1
@@ -181,7 +203,9 @@ object PngKernels {
       r += 1
     }
     val n = width * height
+    val scale = if (sampleBytes == 1) 1.0 else 257.0
     Some(RasterKernels.Raster(w, h,
-      sr.toDouble / n, sg.toDouble / n, sb.toDouble / n))
+      sr.toDouble / (n * scale), sg.toDouble / (n * scale),
+      sb.toDouble / (n * scale)))
   }
 }

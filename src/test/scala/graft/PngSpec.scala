@@ -118,8 +118,12 @@ class PngSpec extends AnyFunSuite {
     assert(dec(good.take(20)).isEmpty)                       // truncated
     assert(dec(bytes(1, 2, 3)).isEmpty)                      // not PNG
     assert(dec(magic ++ ihdr(2, 1, 3) ++ good.drop(33)).isEmpty) // type 3, no PLTE
+    assert(dec(magic ++ ihdr(2, 1, 2, bitDepth = 4) ++
+      good.drop(33)).isEmpty)                                // sub-byte depth
+    assert(dec(magic ++ ihdr(2, 1, 3, bitDepth = 16) ++
+      good.drop(33)).isEmpty)                           // 16-bit palette: illegal
     assert(dec(magic ++ ihdr(2, 1, 2, bitDepth = 16) ++
-      good.drop(33)).isEmpty)                                // 16-bit
+      good.drop(33)).isEmpty)              // 16-bit with an 8-bit-sized stream
     assert(dec(magic ++ ihdr(2, 1, 2, interlace = 1) ++
       good.drop(33)).isEmpty)                                // Adam7
     // IDAT stream shorter than the IHDR promise (1 missing byte)
@@ -171,6 +175,60 @@ class PngSpec extends AnyFunSuite {
     // empty palette
     assert(dec(magic ++ ihdr(2, 1, 3) ++ chunk("PLTE", Array.empty[Byte]) ++
       idat ++ iend).isEmpty)
+  }
+
+  // ---- 16-bit depth (round 11): BE sample pairs, means on the 8-bit
+  // scale via the exact rational /257 ----
+
+  private def png16(w: Int, h: Int, colorType: Int,
+                    raw: Array[Byte]): Array[Byte] =
+    magic ++ ihdr(w, h, colorType, bitDepth = 16) ++
+      chunk("IDAT", zlibStored(raw)) ++ chunk("IEND", Array.empty)
+
+  test("16-bit gray: bit-replicated samples reproduce 8-bit means exactly") {
+    // samples 100·257 and 200·257 → pixel values 100, 200 after /257
+    val r = dec(png16(2, 1, 0, bytes(0, 100, 100, 200, 200))).get
+    assert((r.width, r.height) == ((2, 1)))
+    assert((r.meanR, r.meanG, r.meanB) == ((150.0, 150.0, 150.0)))
+    // a non-replicated sample: 0x8000 = 32768 → 32768/257
+    val s = dec(png16(1, 1, 0, bytes(0, 0x80, 0x00))).get
+    assert(s.meanR == 32768.0 / 257.0)
+  }
+
+  test("16-bit RGB and RGBA: channel order, alpha ignored") {
+    val rgb = dec(png16(1, 1, 2, bytes(0, 10, 10, 20, 20, 30, 30))).get
+    assert((rgb.meanR, rgb.meanG, rgb.meanB) == ((10.0, 20.0, 30.0)))
+    val rgba = dec(png16(1, 1, 6,
+      bytes(0, 10, 10, 20, 20, 30, 30, 0xff, 0xff))).get
+    assert((rgba.meanR, rgba.meanG, rgba.meanB) == ((10.0, 20.0, 30.0)))
+  }
+
+  test("16-bit filters operate on bytes with bpp = 2·channels") {
+    // Sub on gray16: row (0x6464, then deltas 5,5) → second sample
+    // 0x6969 = 105·257 → pixels 100, 105
+    val r = dec(png16(2, 1, 0, bytes(1, 0x64, 0x64, 5, 5))).get
+    assert(r.meanR == 102.5)
+    // Up on gray16 across rows: row1 = row0 + (1,1) per byte →
+    // 0x6565 = 101·257 → pixels 100, 101
+    val u = dec(png16(1, 2, 0,
+      bytes(0, 0x64, 0x64) ++ bytes(2, 1, 1))).get
+    assert(u.meanR == 100.5)
+  }
+
+  test("ImageIO-encoded 16-bit gray: real encoder, exact Σv/257 means") {
+    val (w, h) = (13, 7)
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_USHORT_GRAY)
+    var sv = 0L
+    for (y <- 0 until h; x <- 0 until w) {
+      val v = (x * 5039 + y * 12203) % 65536
+      sv += v
+      img.getRaster.setSample(x, y, 0, v)
+    }
+    val out = dec(imageIoPng(img)).get
+    assert((out.width, out.height) == ((w, h)))
+    val expected = sv.toDouble / ((w * h) * 257.0)
+    assert(out.meanR == expected && out.meanG == expected && out.meanB == expected)
   }
 
   // ---- the independent encoder: javax.imageio ----
