@@ -40,6 +40,9 @@ class BenchBudgetSpec extends SparkSpec {
     // the curtailment is SAID, both ways it can happen
     assert(root.get("budget_stopped").asBoolean(), "between-pass budget exit must set budget_stopped")
     assert(root.get("metrics_skipped_budget").asBoolean())
+    // an exhausted budget also means no warmup sweep completed — the
+    // artifact must not claim a steady-state window it never had
+    assert(root.get("warmup_passes").asInt() === 0)
     // skipped metrics ⇒ no aggregate totals that could masquerade as a
     // full-surface measurement
     assert(root.get("shuffle_write_mb_total") == null)
@@ -59,6 +62,9 @@ class BenchBudgetSpec extends SparkSpec {
     val line = Bench.run(spark, cfg(dir, budget = 3600.0))
     val root = mapper.readTree(line)
     assert(root.get("passes_completed").asInt() === 3)
+    // the default single warmup sweep ran to completion under an ample
+    // budget, so the timed window measured the steady state
+    assert(root.get("warmup_passes").asInt() === 1)
     assert(!root.get("budget_stopped").asBoolean())
     assert(!root.get("metrics_skipped_budget").asBoolean())
     // full coverage is structurally visible (ADVICE r10): covered==total
