@@ -1542,11 +1542,14 @@ object Queries {
     * DuckDB), 4 palette (type 3, a 2-entry PLTE whose triples carry
     * the A/B colors, so the indexed pixels decode to the SAME channel
     * means as the RGB family and the round-10 palette branch is
-    * hash-checked, not only spec-pinned) — %5 is coprime to the %3
-    * width and %4 height masks, so every (family, w, h) combination
-    * occurs. Every 7th doc is truncated to 20 bytes (NULL row). Chunk
-    * CRCs and the Adler32 are zeros (the decoder documents that
-    * storage-layer integrity owns bit-rot). */
+    * hash-checked, not only spec-pinned; the family further splits on
+    * the next base-5 digit, (id/5)%2 — odd digits emit the SAME image
+    * at ONE-BIT depth, MSB-first packed rows padded to the byte, so
+    * the round-11 sub-byte branch is under the oracle too) — %5 is
+    * coprime to the %3 width and %4 height masks, so every
+    * (family, w, h) combination occurs. Every 7th doc is truncated to
+    * 20 bytes (NULL row). Chunk CRCs and the Adler32 are zeros (the
+    * decoder documents that storage-layer integrity owns bit-rot). */
   private def constructedPngBlob(id: Column): Column = {
     def h2(c: Column): Column = lpad(hex(c), 2, "0")
     def be32h(c: Column): Column = concat(
@@ -1566,6 +1569,11 @@ object Queries {
     val isRgb = sel < 2
     val isG16 = sel === 3
     val isPal = sel === 4
+    // the palette family splits on the NEXT base-5 digit so the 1-bit
+    // variant still co-occurs with every (w, h) combination (a %6
+    // selector would lock family 5 to w=16 — 6 and 3 share a factor)
+    val palBit = pmod(((id - pmod(id, lit(5))) / 5).cast("long"), lit(2)) === 1
+    val isPal1 = isPal && palBit
     val aR = pmod(id, lit(256)).cast("int")
     val aG = pmod(id * 7, lit(256)).cast("int")
     val aB = pmod(id * 13, lit(256)).cast("int")
@@ -1587,19 +1595,29 @@ object Queries {
       hh - 1)
     val palRow0 = concat(lit("0000"), rep(lit("01"), w - 1))
     val palRest = rep(concat(lit("00"), rep(lit("01"), w)), hh - 1)
+    // 1-bit palette: index 0 (A) then 1s (B), packed MSB-first, rows
+    // padded to the byte — w∈{4,8,16} makes each row 1 or 2 bytes
+    val pal1Row0 = when(w === 4, lit("70")).when(w === 8, lit("7F"))
+      .otherwise(lit("7FFF"))
+    val pal1RowB = when(w === 4, lit("F0")).when(w === 8, lit("FF"))
+      .otherwise(lit("FFFF"))
     val rawHex = when(isRgb, concat(rgbRow0, rgbRest))
       .when(isG16, concat(g16Row0, g16Rest))
+      .when(isPal1, concat(lit("00"), pal1Row0,
+        rep(concat(lit("00"), pal1RowB), hh - 1)))
       .when(isPal, concat(palRow0, palRest))
       .otherwise(concat(grayRow0, grayRest))
-    // bytes/pixel: RGB8 3, gray16 2, gray8 and palette 1
+    // bytes/pixel: RGB8 3, gray16 2, gray8 and palette8 1; the 1-bit
+    // palette rows are ceil(w/8) bytes
     val rawLen = when(isRgb, (lit(1) + w * 3) * hh)
       .when(isG16, (lit(1) + w * 2) * hh)
+      .when(isPal1, (lit(1) + when(w === 16, lit(2)).otherwise(lit(1))) * hh)
       .otherwise((lit(1) + w) * hh).cast("int")
     // zlib wrapper (78 01) + stored block (01, LEN, ~LEN) + zero Adler
     val zlibHex = concat(lit("780101"), le16h(rawLen),
       le16h(lit(65535) - rawLen), rawHex, lit("00000000"))
     val ihdrHex = concat(lit("0000000D49484452"), be32h(w), be32h(hh),
-      when(isG16, lit("10")).otherwise(lit("08")),
+      when(isG16, lit("10")).when(isPal1, lit("01")).otherwise(lit("08")),
       when(isRgb, lit("02")).when(isPal, lit("03"))
         .otherwise(lit("00")), lit("000000"),
       lit("00000000"))
@@ -1637,6 +1655,7 @@ object Queries {
            |         CASE doc_id % 4 WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 4 ELSE 8 END AS h,
            |         doc_id % 5 < 2 AS is_rgb, doc_id % 5 = 3 AS is_g16,
            |         doc_id % 5 = 4 AS is_pal,
+           |         doc_id % 5 = 4 AND (doc_id // 5) % 2 = 1 AS is_pal1,
            |         doc_id % 7 = 0 AS trunc,
            |         doc_id % 256 AS ar, (doc_id * 7) % 256 AS ag, (doc_id * 13) % 256 AS ab,
            |         (doc_id * 3) % 256 AS br, (doc_id * 5) % 256 AS bg, (doc_id * 11) % 256 AS bb
@@ -1646,6 +1665,7 @@ object Queries {
            |         ar, ag, ab, br, bg, bb,
            |         CASE WHEN is_rgb THEN (1 + 3 * w) * h
            |              WHEN is_g16 THEN (1 + 2 * w) * h
+           |              WHEN is_pal1 THEN (1 + CASE WHEN w = 16 THEN 2 ELSE 1 END) * h
            |              ELSE (1 + w) * h END AS rawlen
            |  FROM p)
            |SELECT CAST(doc_id AS BIGINT) AS media_id,

@@ -11,20 +11,22 @@ import java.util.zip.{DataFormatException, Inflater}
   * [[RasterKernels]] still-image family: PNG was previously
   * header-metadata only ([[org.apache.spark.sql.ImageMeta]]).
   *
-  * Scope (declared like JpegKernels' baseline-sequential scope): 8-bit
-  * samples in color types 0 (gray), 2 (RGB), 3 (palette, since round
-  * 10 — 8-bit indices through the PLTE lookup; the ubiquitous
-  * web-crawl shape), 4 (gray+alpha), 6 (RGBA), plus 16-bit samples in
-  * types 0/2/4/6 (round 11 — big-endian sample pairs; 16-bit palette
-  * is illegal per §11.2.2 and refused), all non-interlaced. 1/2/4-bit
-  * depths and Adam7 interlacing return None — a NULL feature row,
-  * never a wrong one; so does a type-3 stream with a missing/short
-  * PLTE or an index past the palette end. Alpha weighs nothing: means
-  * are over the color channels exactly as the BMP/PPM/JPEG paths
-  * report them; 16-bit channel sums are reported on the 8-bit scale by
-  * the exact rational Σv/257 (65535/255 = 257), so a 16-bit sample
-  * that replicates an 8-bit value in both bytes (v = 257·a, the
-  * standard bit-replication expansion) contributes exactly `a`.
+  * Scope: EVERY legal (color type, bit depth) pair of §11.2.2 —
+  * gray (type 0) at 1/2/4/8/16 bits, RGB (2) and gray+alpha (4) and
+  * RGBA (6) at 8/16, palette (3) at 1/2/4/8 — in both non-interlaced
+  * and Adam7-interlaced (§8.2) layouts. Illegal pairs (16-bit palette,
+  * sub-byte truecolor/alpha) are refused as the spec violations they
+  * are; a type-3 stream with a missing/short PLTE or an index past the
+  * palette end returns None — a NULL feature row, never a wrong one.
+  * Alpha weighs nothing: means are over the color channels exactly as
+  * the BMP/PPM/JPEG paths report them. Sample scaling to the 8-bit
+  * range is EXACT at every depth: sub-byte gray multiplies by the
+  * integer 255/(2^d−1) (255, 85, 17); 16-bit channel sums divide by
+  * the exact rational 257 (65535/255) only at the final division, so
+  * a 16-bit sample that bit-replicates an 8-bit value (v = 257·a)
+  * contributes exactly `a`. Adam7 needs no deinterlaced raster here:
+  * each pass is defiltered independently and every pixel lives in
+  * exactly one pass, so the channel sums accumulate pass by pass.
   *
   * Integrity: chunk CRC32s and the zlib Adler32 are NOT re-verified —
   * bit-rot detection belongs to the storage layer (parquet page
@@ -65,18 +67,46 @@ object PngKernels {
       case 0 => 1 case 2 => 3 case 3 => 1 case 4 => 2 case 6 => 4
       case _ => return None // invalid color type
     }
-    // 16-bit palette is a spec violation (§11.2.2: type 3 allows 1/2/4/8)
-    if (bitDepth != 8 && !(bitDepth == 16 && colorType != 3)) return None
+    // §11.2.2 legal (type, depth) pairs — 16-bit palette and sub-byte
+    // truecolor/alpha are spec violations, refused outright
+    val depthOk = colorType match {
+      case 0 => bitDepth == 1 || bitDepth == 2 || bitDepth == 4 ||
+        bitDepth == 8 || bitDepth == 16
+      case 3 => bitDepth == 1 || bitDepth == 2 || bitDepth == 4 || bitDepth == 8
+      case _ => bitDepth == 8 || bitDepth == 16
+    }
+    if (!depthOk) return None
     if (width <= 0L || height <= 0L ||
-        compression != 0 || filterMethod != 0 || interlace != 0) return None
-    val sampleBytes = bitDepth / 8
-    // raw size = height * (1 filter byte + width*channels*sampleBytes),
-    // guarded in Long division form so crafted dimensions can't
-    // overflow the check
-    val rowBytes = width * channels * sampleBytes
-    if (rowBytes > MaxRawBytes - 1 || height > MaxRawBytes / (rowBytes + 1))
-      return None
-    val rawLen = (height * (rowBytes + 1)).toInt
+        compression != 0 || filterMethod != 0 || interlace > 1) return None
+    // bits per pixel; scanlines are ceil(w·bpb/8) bytes with trailing
+    // pad bits, and the filter byte distance is the BYTE-rounded pixel
+    // size (§9.2: "rounding up to one")
+    val bitsPerPx = channels * bitDepth
+    def rowBytesOf(w: Long): Long = (w * bitsPerPx + 7) / 8
+    // Adam7 (§8.2): 7 sub-images, each independently filtered; every
+    // pixel of the full image appears in EXACTLY ONE pass, so channel
+    // sums can accumulate per pass without materializing the
+    // deinterlaced raster. (xStart, yStart, xStep, yStep) per pass.
+    val passes: Array[(Long, Long)] =
+      if (interlace == 0) Array((width, height))
+      else {
+        val grid = Array((0L, 0L, 8L, 8L), (4L, 0L, 8L, 8L), (0L, 4L, 4L, 8L),
+          (2L, 0L, 4L, 4L), (0L, 2L, 2L, 4L), (1L, 0L, 2L, 2L), (0L, 1L, 1L, 2L))
+        grid.map { case (x0, y0, dx, dy) =>
+          (((width - x0 + dx - 1) / dx).max(0L), ((height - y0 + dy - 1) / dy).max(0L))
+        }.filter { case (pw, ph) => pw > 0 && ph > 0 }
+      }
+    // raw size is declared by the IHDR before any inflate happens, so a
+    // zip-bomb IDAT can never allocate more than MaxRawBytes; Long math
+    // so crafted dimensions can't overflow the check
+    var rawLenL = 0L
+    passes.foreach { case (pw, ph) =>
+      val rb = rowBytesOf(pw)
+      if (rb > MaxRawBytes - 1 || ph > MaxRawBytes / (rb + 1)) return None
+      rawLenL += ph * (rb + 1)
+      if (rawLenL > MaxRawBytes) return None
+    }
+    val rawLen = rawLenL.toInt
 
     // chunk walk: concatenate every IDAT payload (ONE zlib stream,
     // split arbitrarily across chunks), stop at IEND
@@ -130,81 +160,121 @@ object PngKernels {
       if (got < rawLen) return None // stream shorter than the IHDR promise
     } finally inf.end()
 
-    // scanline reconstruction, in place: the filters operate on BYTES
-    // with bpp = channels · sampleBytes (§9.2 — at 16-bit depth the
-    // "corresponding byte of the prior pixel" is 2·channels back)
-    val w = width.toInt; val h = height.toInt
-    val stride = rowBytes.toInt + 1
-    val bpp = channels * sampleBytes
-    var r = 0
-    while (r < h) {
-      val rowStart = r * stride + 1
-      val ft = raw(rowStart - 1) & 0xff
-      if (ft > 4) return None
-      if (ft != 0) {
-        var x = 0
-        while (x < rowBytes) {
-          val idx = rowStart + x
-          val a = if (x >= bpp) raw(idx - bpp) & 0xff else 0
-          val up = if (r > 0) raw(idx - stride) & 0xff else 0
-          val c = if (r > 0 && x >= bpp) raw(idx - stride - bpp) & 0xff else 0
-          val pred = ft match {
-            case 1 => a
-            case 2 => up
-            case 3 => (a + up) / 2
-            case 4 => // Paeth §9.4: nearest of a/up/c to a+up-c, ties a>up>c
-              val p = a + up - c
-              val pa = math.abs(p - a); val pb = math.abs(p - up)
-              val pc = math.abs(p - c)
-              if (pa <= pb && pa <= pc) a else if (pb <= pc) up else c
-          }
-          raw(idx) = ((raw(idx) & 0xff) + pred).toByte
-          x += 1
-        }
-      }
-      r += 1
-    }
-
-    // channel means; alpha never contributes. 16-bit sums stay exact in
+    // Per-pass scanline reconstruction + channel accumulation. The five
+    // filters operate on BYTES with bpp = the byte-rounded pixel size
+    // (§9.2 — at 16-bit depth the "corresponding byte of the prior
+    // pixel" is 2·channels back; at sub-byte depths it is the previous
+    // byte). Each Adam7 sub-image is filtered independently (§8.2), and
+    // since every pixel lives in exactly one pass the sums need no
+    // deinterlaced raster.
+    val bpp = (bitsPerPx + 7) / 8
+    val sampleBytes = bitDepth / 8 // 0 at sub-byte depths
+    // channel sums; alpha never contributes. 16-bit sums stay exact in
     // Long (≤ 2^27 pixels · 65535 < 2^43) and are scaled to the 8-bit
-    // range by /257 only at the final division.
+    // range by the exact rational /257 only at the final division.
     var sr = 0L; var sg = 0L; var sb = 0L
     def s16(p: Int): Long = (((raw(p) & 0xff) << 8) | (raw(p + 1) & 0xff)).toLong
-    r = 0
-    while (r < h) {
-      var p = r * stride + 1
-      var x = 0
-      while (x < w) {
-        colorType match {
-          case 0 | 4 =>
-            if (sampleBytes == 1) {
-              val g = raw(p) & 0xff; sr += g; sg += g; sb += g
-            } else {
-              val g = s16(p); sr += g; sg += g; sb += g
+    var passOff = 0
+    passes.foreach { case (pwL, phL) =>
+      val pw = pwL.toInt; val ph = phL.toInt
+      val rowBytes = rowBytesOf(pwL).toInt
+      val stride = rowBytes + 1
+      var r = 0
+      while (r < ph) {
+        val rowStart = passOff + r * stride + 1
+        val ft = raw(rowStart - 1) & 0xff
+        if (ft > 4) return None
+        if (ft != 0) {
+          var x = 0
+          while (x < rowBytes) {
+            val idx = rowStart + x
+            val a = if (x >= bpp) raw(idx - bpp) & 0xff else 0
+            val up = if (r > 0) raw(idx - stride) & 0xff else 0
+            val c = if (r > 0 && x >= bpp) raw(idx - stride - bpp) & 0xff else 0
+            val pred = ft match {
+              case 1 => a
+              case 2 => up
+              case 3 => (a + up) / 2
+              case 4 => // Paeth §9.4: nearest of a/up/c to a+up-c, ties a>up>c
+                val p = a + up - c
+                val pa = math.abs(p - a); val pb = math.abs(p - up)
+                val pc = math.abs(p - c)
+                if (pa <= pb && pa <= pc) a else if (pb <= pc) up else c
             }
-          case 3 =>
-            val idx = (raw(p) & 0xff) * 3
-            // index past the palette end is a spec violation: NULL row,
-            // never a read of whatever chunk follows PLTE
-            if (idx + 2 >= plteLen) return None
-            sr += b(plteAt + idx) & 0xff
-            sg += b(plteAt + idx + 1) & 0xff
-            sb += b(plteAt + idx + 2) & 0xff
-          case _ =>
-            if (sampleBytes == 1) {
-              sr += raw(p) & 0xff; sg += raw(p + 1) & 0xff; sb += raw(p + 2) & 0xff
-            } else {
-              sr += s16(p); sg += s16(p + 2); sb += s16(p + 4)
-            }
+            raw(idx) = ((raw(idx) & 0xff) + pred).toByte
+            x += 1
+          }
         }
-        p += bpp
-        x += 1
+        r += 1
       }
-      r += 1
+      if (bitDepth < 8) {
+        // packed samples, MSB-first within each byte; trailing row bits
+        // are padding. Gray scales to the 8-bit range EXACTLY —
+        // 255/(2^d−1) is an integer (255, 85, 17) — palette indexes are
+        // used as-is through the PLTE lookup.
+        val mask = (1 << bitDepth) - 1
+        val grayScale = 255 / mask
+        r = 0
+        while (r < ph) {
+          val rowStart = passOff + r * stride + 1
+          var x = 0
+          while (x < pw) {
+            val bitPos = x * bitDepth
+            val v = (raw(rowStart + (bitPos >> 3)) >> (8 - bitDepth - (bitPos & 7))) & mask
+            if (colorType == 0) {
+              val g = v * grayScale; sr += g; sg += g; sb += g
+            } else {
+              val idx = v * 3
+              // index past the palette end is a spec violation: NULL
+              // row, never a read of whatever chunk follows PLTE
+              if (idx + 2 >= plteLen) return None
+              sr += b(plteAt + idx) & 0xff
+              sg += b(plteAt + idx + 1) & 0xff
+              sb += b(plteAt + idx + 2) & 0xff
+            }
+            x += 1
+          }
+          r += 1
+        }
+      } else {
+        r = 0
+        while (r < ph) {
+          var p = passOff + r * stride + 1
+          var x = 0
+          while (x < pw) {
+            colorType match {
+              case 0 | 4 =>
+                if (sampleBytes == 1) {
+                  val g = raw(p) & 0xff; sr += g; sg += g; sb += g
+                } else {
+                  val g = s16(p); sr += g; sg += g; sb += g
+                }
+              case 3 =>
+                val idx = (raw(p) & 0xff) * 3
+                // index past the palette end is a spec violation: NULL
+                // row, never a read of whatever chunk follows PLTE
+                if (idx + 2 >= plteLen) return None
+                sr += b(plteAt + idx) & 0xff
+                sg += b(plteAt + idx + 1) & 0xff
+                sb += b(plteAt + idx + 2) & 0xff
+              case _ =>
+                if (sampleBytes == 1) {
+                  sr += raw(p) & 0xff; sg += raw(p + 1) & 0xff; sb += raw(p + 2) & 0xff
+                } else {
+                  sr += s16(p); sg += s16(p + 2); sb += s16(p + 4)
+                }
+            }
+            p += bpp
+            x += 1
+          }
+          r += 1
+        }
+      }
+      passOff += ph * stride
     }
     val n = width * height
-    val scale = if (sampleBytes == 1) 1.0 else 257.0
-    Some(RasterKernels.Raster(w, h,
+    val scale = if (bitDepth == 16) 257.0 else 1.0
+    Some(RasterKernels.Raster(width.toInt, height.toInt,
       sr.toDouble / (n * scale), sg.toDouble / (n * scale),
       sb.toDouble / (n * scale)))
   }

@@ -119,13 +119,15 @@ class PngSpec extends AnyFunSuite {
     assert(dec(bytes(1, 2, 3)).isEmpty)                      // not PNG
     assert(dec(magic ++ ihdr(2, 1, 3) ++ good.drop(33)).isEmpty) // type 3, no PLTE
     assert(dec(magic ++ ihdr(2, 1, 2, bitDepth = 4) ++
-      good.drop(33)).isEmpty)                                // sub-byte depth
+      good.drop(33)).isEmpty)            // sub-byte truecolor: illegal pair
     assert(dec(magic ++ ihdr(2, 1, 3, bitDepth = 16) ++
       good.drop(33)).isEmpty)                           // 16-bit palette: illegal
     assert(dec(magic ++ ihdr(2, 1, 2, bitDepth = 16) ++
       good.drop(33)).isEmpty)              // 16-bit with an 8-bit-sized stream
     assert(dec(magic ++ ihdr(2, 1, 2, interlace = 1) ++
-      good.drop(33)).isEmpty)                                // Adam7
+      good.drop(33)).isEmpty)   // stream shorter than the Adam7 layout promise
+    assert(dec(magic ++ ihdr(2, 1, 2, interlace = 2) ++
+      good.drop(33)).isEmpty)                     // undefined interlace method
     // IDAT stream shorter than the IHDR promise (1 missing byte)
     assert(dec(png(2, 1, 2, bytes(0, 10, 20, 30, 40, 50))).isEmpty)
     // filter byte out of range
@@ -231,6 +233,65 @@ class PngSpec extends AnyFunSuite {
     assert(out.meanR == expected && out.meanG == expected && out.meanB == expected)
   }
 
+  // ---- sub-byte depths (round 11): packed MSB-first samples, exact
+  // integer scaling (255/(2^d−1) = 255, 85, 17), pad bits ignored ----
+
+  test("1/2/4-bit gray: packed samples, exact scaling, garbage pad bits ignored") {
+    // 1-bit 2x1: bits 10 -> samples 1,0 -> px 255,0
+    val b1 = magic ++ ihdr(2, 1, 0, bitDepth = 1) ++
+      chunk("IDAT", zlibStored(bytes(0, 0x80))) ++ chunk("IEND", Array.empty)
+    assert(dec(b1).get.meanR == 127.5)
+    // 2-bit 3x1: 11 01 10 + GARBAGE pad 11 (0xDB) -> px 255,85,170
+    val b2 = magic ++ ihdr(3, 1, 0, bitDepth = 2) ++
+      chunk("IDAT", zlibStored(bytes(0, 0xDB))) ++ chunk("IEND", Array.empty)
+    assert(dec(b2).get.meanR == 170.0)
+    // 4-bit 3x1: 15,5,4 + GARBAGE pad F (0xF5, 0x4F) -> px 255,85,68
+    val b4 = magic ++ ihdr(3, 1, 0, bitDepth = 4) ++
+      chunk("IDAT", zlibStored(bytes(0, 0xF5, 0x4F))) ++ chunk("IEND", Array.empty)
+    assert(dec(b4).get.meanR == 136.0)
+  }
+
+  test("sub-byte rows still go through the byte-level filters (bpp = 1)") {
+    // 4-bit 2x2: row0 None 0xAB -> samples 10,11; row1 Up +0x11 ->
+    // 0xBC -> 11,12. px 170,187,187,204 -> mean 187
+    val b = magic ++ ihdr(2, 2, 0, bitDepth = 4) ++
+      chunk("IDAT", zlibStored(bytes(0, 0xAB) ++ bytes(2, 0x11))) ++
+      chunk("IEND", Array.empty)
+    assert(dec(b).get.meanR == 187.0)
+  }
+
+  test("sub-byte palette: indices through PLTE, range-checked") {
+    // 2-bit palette, 4 entries; 4x1 indices 0,1,2,3 packed as 0x1B
+    val plte = bytes(10, 20, 30, 40, 50, 60, 70, 80, 90, 100, 110, 120)
+    val img = magic ++ ihdr(4, 1, 3, bitDepth = 2) ++ chunk("PLTE", plte) ++
+      chunk("IDAT", zlibStored(bytes(0, 0x1B))) ++ chunk("IEND", Array.empty)
+    val r = dec(img).get
+    assert((r.meanR, r.meanG, r.meanB) == ((55.0, 65.0, 75.0)))
+    // index 3 against a 3-entry palette: past the end -> NULL row
+    val img2 = magic ++ ihdr(4, 1, 3, bitDepth = 2) ++
+      chunk("PLTE", plte.take(9)) ++
+      chunk("IDAT", zlibStored(bytes(0, 0x1B))) ++ chunk("IEND", Array.empty)
+    assert(dec(img2).isEmpty)
+  }
+
+  // ---- Adam7 interlace (round 11): per-pass filtering, means
+  // accumulated pass by pass — worked example, all 5 non-empty passes
+  // of a 4x4 gray image with value 16y+x (sum 408, mean 25.5) ----
+
+  test("Adam7 gray: per-pass independent filters reproduce exact means") {
+    // p1 (0,0): [0|0]  p4 (2,0): [0|2]  p5 (0,2),(2,2): [0|32,34]
+    // p6 rows {1,3}x{0,2}: [0|1,3] then Up [2|32,32]
+    // p7 rows y=1 (Sub) and y=3 (Up over y=1)
+    val raw = bytes(0, 0) ++ bytes(0, 2) ++ bytes(0, 32, 34) ++
+      bytes(0, 1, 3) ++ bytes(2, 32, 32) ++
+      bytes(1, 16, 1, 1, 1) ++ bytes(2, 32, 32, 32, 32)
+    val b = magic ++ ihdr(4, 4, 0, interlace = 1) ++
+      chunk("IDAT", zlibStored(raw)) ++ chunk("IEND", Array.empty)
+    val r = dec(b).get
+    assert((r.width, r.height) == ((4, 4)))
+    assert((r.meanR, r.meanG, r.meanB) == ((25.5, 25.5, 25.5)))
+  }
+
   // ---- the independent encoder: javax.imageio ----
 
   private def imageIoPng(img: java.awt.image.BufferedImage): Array[Byte] = {
@@ -287,8 +348,8 @@ class PngSpec extends AnyFunSuite {
 
   test("ImageIO-encoded indexed (palette) PNG: exact means through PLTE") {
     // a FULL 256-entry IndexColorModel forces the encoder to 8-bit
-    // type-3 output (smaller palettes may legally drop to 1/2/4-bit
-    // depths, which are out of the declared scope); indices are set
+    // type-3 output (smaller palettes legally drop to 1/2/4-bit depths,
+    // covered by their own ImageIO test below); indices are set
     // directly on the raster so no nearest-color remap can blur the
     // expected means
     val pal = (0 until 256).map { i =>
@@ -311,6 +372,87 @@ class PngSpec extends AnyFunSuite {
     val n = (w * h).toDouble
     assert((out.width, out.height) == ((w, h)))
     assert(out.meanR == sr / n && out.meanG == sg / n && out.meanB == sb / n)
+  }
+
+  test("ImageIO 1-bit binary and 4-bit indexed: real sub-byte encodings") {
+    // TYPE_BYTE_BINARY with no color model = 1-bit black/white
+    val (w, h) = (10, 6)
+    val bin = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_BYTE_BINARY)
+    var ones = 0
+    for (y <- 0 until h; x <- 0 until w) {
+      val v = (x + y) % 2
+      ones += v
+      bin.getRaster.setSample(x, y, 0, v)
+    }
+    val ob = dec(imageIoPng(bin)).get
+    val expB = ones * 255.0 / (w * h)
+    assert((ob.width, ob.height) == ((w, h)))
+    assert(ob.meanR == expB && ob.meanG == expB && ob.meanB == expB)
+
+    // a 16-entry IndexColorModel encodes as a 4-bit type-3 PNG
+    val pal = (0 until 16).map(i => (i * 17, (i * 5 + 7) % 256, (i * i) % 256))
+    val cm = new java.awt.image.IndexColorModel(4, 16,
+      pal.map(_._1.toByte).toArray, pal.map(_._2.toByte).toArray,
+      pal.map(_._3.toByte).toArray)
+    val idx4 = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_BYTE_BINARY, cm)
+    var sr = 0L; var sg = 0L; var sb = 0L
+    for (y <- 0 until h; x <- 0 until w) {
+      val i = (x * 3 + y * 7) % 16
+      val (r, g, b) = pal(i)
+      sr += r; sg += g; sb += b
+      idx4.getRaster.setSample(x, y, 0, i)
+    }
+    val oi = dec(imageIoPng(idx4)).get
+    val n = (w * h).toDouble
+    assert(oi.meanR == sr / n && oi.meanG == sg / n && oi.meanB == sb / n)
+  }
+
+  /** Same writer, but progressive mode on — the JDK PNG encoder emits
+    * a REAL Adam7 stream (asserted on the IHDR interlace byte). */
+  private def imageIoPngAdam7(img: java.awt.image.BufferedImage): Array[Byte] = {
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("png").next()
+    val p = writer.getDefaultWriteParam
+    p.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    writer.setOutput(ios)
+    writer.write(null, new javax.imageio.IIOImage(img, null, null), p)
+    writer.dispose(); ios.close()
+    val out = bos.toByteArray
+    assert(out(28) == 1, "encoder did not produce an Adam7 stream")
+    out
+  }
+
+  test("ImageIO Adam7 RGB and 16-bit gray: encoder-interlaced, exact means") {
+    val (w, h) = (23, 17) // odd sizes exercise ragged interlace passes
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var sr = 0L; var sg = 0L; var sb = 0L
+    for (y <- 0 until h; x <- 0 until w) {
+      val r = (x * 31 + y * 57) % 256
+      val g = (x * 7 + y * 3) % 256
+      val b = (x * x + y) % 256
+      sr += r; sg += g; sb += b
+      img.setRGB(x, y, (r << 16) | (g << 8) | b)
+    }
+    val out = dec(imageIoPngAdam7(img)).get
+    val n = (w * h).toDouble
+    assert((out.width, out.height) == ((w, h)))
+    assert(out.meanR == sr / n && out.meanG == sg / n && out.meanB == sb / n)
+
+    val g16 = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_USHORT_GRAY)
+    var sv = 0L
+    for (y <- 0 until h; x <- 0 until w) {
+      val v = (x * 5039 + y * 12203) % 65536
+      sv += v
+      g16.getRaster.setSample(x, y, 0, v)
+    }
+    val og = dec(imageIoPngAdam7(g16)).get
+    val exp = sv.toDouble / (n * 257.0)
+    assert(og.meanR == exp && og.meanG == exp && og.meanB == exp)
   }
 
   test("RasterKernels front door dispatches PNG by magic") {
