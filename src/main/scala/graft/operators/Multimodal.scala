@@ -96,12 +96,12 @@ object Multimodal {
   /** STUB batch decoder (stands in for CODEC-BOUND decode + embed —
     * now only COMPRESSED-codec video pixel data (H.264/avc1 etc.;
     * MJPEG tracks decode for real). Stills decode for real within
-    * declared scope — baseline-JPEG interleaved scans, PNG types
-    * 0/2/3 at 8-bit depth plus 16-bit types 0/2/4/6 (round 11), GIF
+    * declared scope — baseline-JPEG interleaved scans, PNG at EVERY
+    * legal (type, depth) pair incl. sub-byte and Adam7 (round 11), GIF
     * frame 1, BMP/PPM/PGM — everything outside it (progressive JPEG,
-    * interlaced/sub-byte-depth PNG, animated GIF tails) fails CLOSED
-    * to NULL features, see the per-kernel scope notes. PCM/G.711
-    * audio has the real [[pcm]] path. */
+    * animated GIF tails) fails CLOSED to NULL features, see the
+    * per-kernel scope notes. PCM/G.711 audio has the real [[pcm]]
+    * path. */
   val stub: Decoder = (blobs: Seq[Array[Byte]], dim: Int) =>
     blobs.map(stubOne(_, dim))
 
