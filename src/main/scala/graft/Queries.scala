@@ -1776,6 +1776,125 @@ object Queries {
            |       END AS mean_b
            |FROM m""".stripMargin))
 
+  /** In-plan TWO-FRAME animated GIF for [[qGifFrames]], the same
+    * uncompressed-LZW construction as [[constructedGifBlob]] with the
+    * 89a animation machinery on the wire: each frame is preceded by a
+    * real Graphic Control Extension (frame 1: disposal 1, delay id%100,
+    * no transparency; frame 2: disposal 2, delay 3·id%100, transparent
+    * index 0), frame 1 is the full screen with pixel pattern A-then-Bs,
+    * frame 2 is a (w−1)×h SUB-RECTANGLE at x=1 with the SWAPPED pattern
+    * B-then-As — so geometry, GCE fields, transparent-pixel counts and
+    * both frames' means are all closed-form for DuckDB. Every 9th doc
+    * is garbage (the corrupt channel → one NULL row). */
+  private def constructedAnimatedGifBlob(id: Column): Column = {
+    def h2(c: Column): Column = lpad(hex(c), 2, "0")
+    def le16h(c: Column): Column =
+      concat(h2(c.bitwiseAND(lit(255))), h2(shiftright(c, 8).bitwiseAND(lit(255))))
+    def rep(px: Column, n: Column): Column = array_join(array_repeat(px, n), "")
+    val w = when(pmod(id, lit(3)) === 0, 4)
+      .when(pmod(id, lit(3)) === 1, 8).otherwise(16).cast("int")
+    val hh = when(pmod(id, lit(4)) === 0, 1)
+      .when(pmod(id, lit(4)) === 1, 2)
+      .when(pmod(id, lit(4)) === 2, 4).otherwise(8).cast("int")
+    val aR = pmod(id, lit(256)).cast("int")
+    val aG = pmod(id * 7, lit(256)).cast("int")
+    val aB = pmod(id * 13, lit(256)).cast("int")
+    val bR = pmod(id * 3, lit(256)).cast("int")
+    val bG = pmod(id * 5, lit(256)).cast("int")
+    val bB = pmod(id * 11, lit(256)).cast("int")
+    val pal = concat(h2(aR), h2(aG), h2(aB), h2(bR), h2(bG), h2(bB),
+      rep(lit("000000"), lit(126)))
+    // one frame's data: min code 7 (8-bit codes), CLEAR, the first
+    // pixel's literal, n−1 rest-literals with a re-CLEAR after the
+    // first 100 codes, EOI, block terminator
+    def lzwHex(first: Column, rest: Column, n: Column): Column = {
+      val tail = when(n > 100,
+        concat(rep(rest, lit(99)), lit("80"), rep(rest, n - 100)))
+        .otherwise(rep(rest, n - 1))
+      val nCodes = n + 2 + when(n > 100, 1).otherwise(0)
+      concat(lit("07"), h2(nCodes), lit("80"), first, tail,
+        lit("81"), lit("00"))
+    }
+    val wh = (w * hh).cast("int")
+    val w2 = (w - 1).cast("int")
+    val wh2 = (w2 * hh).cast("int")
+    val gce1 = concat(lit("21F904"), lit("04"), le16h(pmod(id, lit(100)).cast("int")),
+      lit("00"), lit("00"))
+    val gce2 = concat(lit("21F904"), lit("09"), le16h(pmod(id * 3, lit(100)).cast("int")),
+      lit("00"), lit("00"))
+    val f1 = concat(lit("2C"), lit("00000000"), le16h(w), le16h(hh),
+      lit("00"), lzwHex(lit("00"), lit("01"), wh))
+    val f2 = concat(lit("2C"), le16h(lit(1)), le16h(lit(0)), le16h(w2),
+      le16h(hh), lit("00"), lzwHex(lit("01"), lit("00"), wh2))
+    val fullHex = concat(lit("474946383961"), le16h(w), le16h(hh),
+      lit("860000"), pal, gce1, f1, gce2, f2, lit("3B"))
+    unhex(when(pmod(id, lit(9)) === 0, lit("DEADBEEF00112233"))
+      .otherwise(fullHex))
+  }
+
+  /** Animated-GIF frame walk under the oracle (round 11 — retires the
+    * "frame 1 only" GIF scope edge the same way [[qVideoFrames]] retired
+    * the video-pixel stub for MJPEG): [[Multimodal.gifFrames]] decodes
+    * EVERY frame of the in-plan two-frame animations — per-frame
+    * geometry (frame 2 is a sub-rectangle at x=1), Graphic Control
+    * Extension delay/disposal, transparent-pixel counts, and
+    * palette-resolved means — and DuckDB predicts every value from the
+    * construction arithmetic. Corrupt blobs keep one visible NULL row
+    * (posexplode_outer). The decode is a codegen expression over the
+    * blob in place: frames never shuffle. */
+  private val qGifFrames = Q("q_gif_frames",
+    (s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), graft.operators.Multimodal.gifFrames(
+          constructedAnimatedGifBlob(col("doc_id"))).as("frames"))
+        .select(col("doc_id").cast("bigint").as("doc_id"),
+          posexplode_outer(col("frames")).as(Seq("fi", "f")))
+        .select(col("doc_id"),
+          coalesce(col("fi"), lit(0)).cast("bigint").as("frame_idx"),
+          col("f.x").as("x"), col("f.y").as("y"),
+          col("f.width").as("width"), col("f.height").as("height"),
+          col("f.delay_cs").as("delay_cs"),
+          col("f.disposal").as("disposal"),
+          col("f.transparent_px").as("transparent_px"),
+          round(col("f.mean_r"), 6).as("mean_r"),
+          round(col("f.mean_g"), 6).as("mean_g"),
+          round(col("f.mean_b"), 6).as("mean_b"))
+    },
+    Some("""WITH p AS (
+           |  SELECT doc_id,
+           |         CASE doc_id % 3 WHEN 0 THEN 4 WHEN 1 THEN 8 ELSE 16 END AS w,
+           |         CASE doc_id % 4 WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 4 ELSE 8 END AS h,
+           |         doc_id % 9 = 0 AS corrupt,
+           |         doc_id % 256 AS ar, (doc_id * 7) % 256 AS ag, (doc_id * 13) % 256 AS ab,
+           |         (doc_id * 3) % 256 AS br, (doc_id * 5) % 256 AS bg, (doc_id * 11) % 256 AS bb
+           |  FROM documents),
+           |good AS (
+           |  SELECT doc_id, 0 AS frame_idx, 0 AS x, 0 AS y, w AS fw, h AS fh,
+           |         doc_id % 100 AS delay_cs, 1 AS disposal, 0 AS tpx,
+           |         w * h AS n, ar AS c1r, ag AS c1g, ab AS c1b,
+           |         br AS c2r, bg AS c2g, bb AS c2b
+           |  FROM p WHERE NOT corrupt
+           |  UNION ALL
+           |  SELECT doc_id, 1, 1, 0, w - 1, h,
+           |         (doc_id * 3) % 100, 2, (w - 1) * h - 1,
+           |         (w - 1) * h, br, bg, bb, ar, ag, ab
+           |  FROM p WHERE NOT corrupt)
+           |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           |       CAST(frame_idx AS BIGINT) AS frame_idx,
+           |       CAST(x AS BIGINT) AS x, CAST(y AS BIGINT) AS y,
+           |       CAST(fw AS BIGINT) AS width, CAST(fh AS BIGINT) AS height,
+           |       CAST(delay_cs AS BIGINT) AS delay_cs,
+           |       CAST(disposal AS BIGINT) AS disposal,
+           |       CAST(tpx AS BIGINT) AS transparent_px,
+           |       round((c1r + (n - 1) * c2r) / CAST(n AS DOUBLE), 6) AS mean_r,
+           |       round((c1g + (n - 1) * c2g) / CAST(n AS DOUBLE), 6) AS mean_g,
+           |       round((c1b + (n - 1) * c2b) / CAST(n AS DOUBLE), 6) AS mean_b
+           |FROM good
+           |UNION ALL
+           |SELECT CAST(doc_id AS BIGINT), 0, NULL, NULL, NULL, NULL,
+           |       NULL, NULL, NULL, NULL, NULL, NULL
+           |FROM p WHERE corrupt""".stripMargin))
+
   /** Within-document line dedup under the oracle: multi-line fixtures
     * are constructed in-plan (the corpus text carries no newlines) with
     * planted repeats — the full text twice, a 40-char prefix twice, two
@@ -4229,7 +4348,7 @@ object Queries {
     qIngestRouted, qBinaryIngest, qBloomLookup, qLineDedupWithin, qProfile, qJpegFeatures,
     qRepeatMixture, qScd2Lookup, qVideoStats, qVideoFrames,
     qCdcChunks, qCdcDedup, qNormalizeText, qIncrementalCdc, qOrcRoundtrip,
-    qPageRank, qPngFeatures, qGifFeatures, qIntegrityChecksum,
+    qPageRank, qPngFeatures, qGifFeatures, qGifFrames, qIntegrityChecksum,
     qQualityClassifier, qScoreAuc, qScoreCalibration, qScoreGate, qKmeans,
     qSemanticDedup)
 }

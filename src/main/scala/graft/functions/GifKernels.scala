@@ -7,8 +7,11 @@ package graft.functions
   * last format where [[org.apache.spark.sql.ImageMeta]] could read
   * dimensions but [[RasterKernels]] could not produce pixels.
   *
-  * Scope: the FIRST image of the stream (animated GIFs report frame 1,
-  * the curation-feature contract — one summary per blob), global or
+  * Scope: [[decode]] reports the FIRST image of the stream (the
+  * one-summary-per-blob curation contract), and [[frames]] (round 11)
+  * walks EVERY image of an animated stream with its Graphic Control
+  * Extension state — per-frame geometry, delay, disposal, transparency
+  * count, palette-resolved means. Both paths: global or
   * local color table, interlaced or sequential row order (row order
   * does not move channel MEANS, but interlacing is still honored so a
   * future per-pixel feature inherits correct geometry — rows are
@@ -89,7 +92,20 @@ object GifKernels {
 
   private def decodeImage(b: Array[Byte], start: Int, w: Int, h: Int,
                           interlaced: Boolean, table: Int,
-                          tableSize: Int): Option[RasterKernels.Raster] = {
+                          tableSize: Int): Option[RasterKernels.Raster] =
+    decodeFrameCore(b, start, w, h, interlaced, table, tableSize, -1)
+      .map { case (mr, mg, mb, _, _) => RasterKernels.Raster(w, h, mr, mg, mb) }
+
+  /** One frame's LZW data from `start` (the min-code byte) through its
+    * block terminator: returns (meanR, meanG, meanB, transparentPx,
+    * position AFTER the terminator) so [[frames]] can walk on. The
+    * transparent index affects only the count — transparent pixels
+    * still contribute their palette color to the means, the declared
+    * single-frame stance. */
+  private def decodeFrameCore(b: Array[Byte], start: Int, w: Int, h: Int,
+                              interlaced: Boolean, table: Int,
+                              tableSize: Int, transparentIdx: Int)
+      : Option[(Double, Double, Double, Long, Int)] = {
     if (start >= b.length) return None
     val minCode = b(start) & 0xff
     if (minCode < 2 || minCode > 8) return None
@@ -203,17 +219,141 @@ object GifKernels {
     }
     if (nOut != nPixels) return None
 
+    // EOI can land mid-sub-block — skip any remaining sub-blocks to the
+    // 0 terminator so the caller can continue at the next block
+    var q = blockEnd
+    while (q < b.length && (b(q) & 0xff) != 0) q += 1 + (b(q) & 0xff)
+    if (q >= b.length) return None
+
     // palette lookup + channel sums
     var sr = 0L; var sg = 0L; var sb = 0L
+    var tpx = 0L
     var i = 0
     while (i < nPixels) {
       val idx = px(i) & 0xff
       if (idx >= tableSize) return None
+      if (idx == transparentIdx) tpx += 1
       val o = table + 3 * idx
       sr += b(o) & 0xff; sg += b(o + 1) & 0xff; sb += b(o + 2) & 0xff
       i += 1
     }
-    Some(RasterKernels.Raster(w, h, sr.toDouble / nPixels,
-      sg.toDouble / nPixels, sb.toDouble / nPixels))
+    Some((sr.toDouble / nPixels, sg.toDouble / nPixels,
+      sb.toDouble / nPixels, tpx, q + 1))
   }
+
+  /** One animation frame's curation stats: descriptor geometry, the
+    * preceding Graphic Control Extension's delay (centiseconds),
+    * disposal method and transparent-pixel count, and the frame's
+    * palette-resolved channel means. */
+  final case class Frame(x: Int, y: Int, w: Int, h: Int, delayCs: Int,
+                         disposal: Int, transparentPx: Long,
+                         meanR: Double, meanG: Double, meanB: Double)
+
+  /** Crafted streams can't demand unbounded frame decodes. */
+  private val MaxFrames = 4096
+
+  /** EVERY frame of an animated GIF (round 11 — [[decode]] keeps its
+    * frame-1 single-summary contract for the still-image path). Each
+    * frame's indexed pixels are decoded against its own (local or
+    * global) palette and reported AS STORED — per-frame means, not a
+    * composited playback: disposal methods and transparency describe
+    * how a player would blend frames, and both are REPORTED (disposal
+    * verbatim, transparency as a pixel count; transparent pixels still
+    * carry their palette color in the means, the [[decode]] stance) so
+    * a consumer can weigh frames without this kernel inventing
+    * rendering semantics. Any structural failure in ANY frame returns
+    * None blob-wide — a partial frame list would read as a shorter
+    * animation (the [[MediaKernels.mjpegFrames]] contract). */
+  def frames(b: Array[Byte]): Option[Vector[Frame]] = {
+    if (b == null || b.length < 14) return None
+    if (b(0) != 'G' || b(1) != 'I' || b(2) != 'F' || b(3) != '8' ||
+        (b(4) != '7' && b(4) != '9') || b(5) != 'a') return None
+    val packed = b(10) & 0xff
+    var pos = 13
+    var globalTable = -1
+    var globalSize = 0
+    if ((packed & 0x80) != 0) {
+      globalSize = 2 << (packed & 0x07)
+      globalTable = pos
+      pos += 3 * globalSize
+      if (pos > b.length) return None
+    }
+    val out = Vector.newBuilder[Frame]
+    var nFrames = 0
+    // pending Graphic Control Extension state — applies to the next
+    // rendering block only (§23: "no more than one per")
+    var delay = 0; var disposal = 0; var transparent = -1
+    while (true) {
+      if (pos >= b.length) return None
+      (b(pos) & 0xff) match {
+        case 0x3b => // trailer: a valid animation has at least one frame
+          val v = out.result()
+          return if (v.nonEmpty) Some(v) else None
+        case 0x21 =>
+          if (pos + 2 > b.length) return None
+          // GCE (label 0xF9, fixed 4-byte body): capture, then fall
+          // through to the generic sub-block skip for ANY extension
+          if ((b(pos + 1) & 0xff) == 0xf9 && pos + 7 < b.length &&
+              (b(pos + 2) & 0xff) == 4) {
+            val gp = b(pos + 3) & 0xff
+            disposal = (gp >> 2) & 0x7
+            delay = leU16(b, pos + 4)
+            transparent = if ((gp & 1) != 0) b(pos + 6) & 0xff else -1
+          }
+          pos += 2
+          var len = if (pos < b.length) b(pos) & 0xff else return None
+          while (len != 0) {
+            pos += 1 + len
+            if (pos >= b.length) return None
+            len = b(pos) & 0xff
+          }
+          pos += 1
+        case 0x2c =>
+          if (pos + 10 > b.length) return None
+          val x0 = leU16(b, pos + 1)
+          val y0 = leU16(b, pos + 3)
+          val w = leU16(b, pos + 5)
+          val h = leU16(b, pos + 7)
+          val ipacked = b(pos + 9) & 0xff
+          val interlaced = (ipacked & 0x40) != 0
+          pos += 10
+          var table = globalTable
+          var tableSize = globalSize
+          if ((ipacked & 0x80) != 0) {
+            tableSize = 2 << (ipacked & 0x07)
+            table = pos
+            pos += 3 * tableSize
+          }
+          if (w <= 0 || h <= 0 || table < 0 || pos > b.length) return None
+          if (w.toLong * h > MaxPixels) return None
+          decodeFrameCore(b, pos, w, h, interlaced, table, tableSize,
+              transparent) match {
+            case None => return None
+            case Some((mr, mg, mb, tpx, after)) =>
+              out += Frame(x0, y0, w, h, delay, disposal, tpx, mr, mg, mb)
+              pos = after
+          }
+          delay = 0; disposal = 0; transparent = -1
+          nFrames += 1
+          if (nFrames > MaxFrames) return None
+        case _ => return None
+      }
+    }
+    None // unreachable
+  }
+
+  /** [[frames]] as the Catalyst array-of-struct value for the
+    * [[org.apache.spark.sql.GifFrames]] expression (the
+    * [[MediaKernels.videoTrackStats]] pattern); null = NULL blob-wide. */
+  def frameStats(b: Array[Byte]): org.apache.spark.sql.catalyst.util.ArrayData =
+    frames(b) match {
+      case None => null
+      case Some(fs) =>
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(fs.map { f =>
+          new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+            Array[Any](f.x.toLong, f.y.toLong, f.w.toLong, f.h.toLong,
+              f.delayCs.toLong, f.disposal.toLong, f.transparentPx,
+              f.meanR, f.meanG, f.meanB))
+        }.toArray[Any])
+    }
 }

@@ -85,6 +85,19 @@ object Multimodal {
     GraftBridge.column(MJF(GraftBridge.expression(blob)))
   }
 
+  /** REAL animated-GIF per-frame stats: array of struct(x, y, width,
+    * height, delay_cs, disposal, transparent_px, mean_r, mean_g,
+    * mean_b) — every frame decoded against its own palette with the
+    * Graphic Control Extension state attached. NULL blob-wide on any
+    * structural failure (the [[mjpegFrames]] contract: a partial frame
+    * list would read as a shorter animation). Codegen expression over
+    * the blob in place — frames never shuffle.
+    */
+  def gifFrames(blob: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.{GifFrames => GF, GraftBridge}
+    GraftBridge.column(GF(GraftBridge.expression(blob)))
+  }
+
   /** Decoder contract: one BATCH of blobs in, one feature vector per
     * blob out — the shape a vectorized codec / GPU embedder actually
     * wants (amortized model invocation per batch, not per row). The

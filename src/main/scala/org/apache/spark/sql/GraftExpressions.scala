@@ -325,6 +325,47 @@ case class MjpegFrames(child: Expression)
     copy(child = newChild)
 }
 
+object GifFrames {
+  val elementSchema: StructType = StructType(Seq(
+    StructField("x", LongType, nullable = false),
+    StructField("y", LongType, nullable = false),
+    StructField("width", LongType, nullable = false),
+    StructField("height", LongType, nullable = false),
+    StructField("delay_cs", LongType, nullable = false),
+    StructField("disposal", LongType, nullable = false),
+    StructField("transparent_px", LongType, nullable = false),
+    StructField("mean_r", DoubleType, nullable = false),
+    StructField("mean_g", DoubleType, nullable = false),
+    StructField("mean_b", DoubleType, nullable = false)))
+}
+
+/** Animated-GIF per-frame stats: geometry, Graphic Control Extension
+  * delay/disposal/transparency, palette-resolved channel means — one
+  * struct per frame, NULL blob-wide on any structural failure. See
+  * [[graft.functions.GifKernels.frames]] for the scope contract.
+  */
+case class GifFrames(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
+  override def dataType: DataType =
+    ArrayType(GifFrames.elementSchema, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "gif_frames"
+
+  override protected def nullSafeEval(v: Any): Any =
+    graft.functions.GifKernels.frameStats(v.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.GifKernels.frameStats($c);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
+
+  override protected def withNewChildInternal(newChild: Expression): GifFrames =
+    copy(child = newChild)
+}
+
 object RepetitionCounts {
   val schema: StructType = StructType(Seq(
     StructField("n_tokens", LongType, nullable = false),

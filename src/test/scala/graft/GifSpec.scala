@@ -114,6 +114,101 @@ class GifSpec extends AnyFunSuite {
     assert((r.meanR, r.meanG, r.meanB) == ((11.0, 22.0, 33.0)))
   }
 
+  private def imageDescAt(x: Int, y: Int, w: Int, h: Int): Array[Byte] =
+    Array(0x2c.toByte) ++ le16(x) ++ le16(y) ++ le16(w) ++ le16(h) ++
+      Array(0.toByte)
+
+  // ---- frames() (round 11): the full animation walk ----
+
+  test("frames(): two-frame animation with GCE state, per-frame means") {
+    // frame 1: 4x2 at (0,0), A then Bs; GCE disposal 1, delay 123
+    // frame 2: 3x2 at (1,0), B then As; GCE disposal 2, delay 7,
+    //          transparent index 0 (the 5 A-pixels count as transparent)
+    val gce1 = Array(0x21, 0xf9, 4, 0x04, 123, 0, 0, 0).map(_.toByte)
+    val gce2 = Array(0x21, 0xf9, 4, 0x09, 7, 0, 0, 0).map(_.toByte)
+    val g = screen(4, 2, Some(palette((200, 100, 50), (10, 20, 30)))) ++
+      gce1 ++ imageDesc(4, 2) ++ lzwLiteral(0 +: Seq.fill(7)(1)) ++
+      gce2 ++ imageDescAt(1, 0, 3, 2) ++ lzwLiteral(1 +: Seq.fill(5)(0)) ++
+      trailer
+    val fs = GifKernels.frames(g).get
+    assert(fs.size == 2)
+    val f1 = fs(0)
+    assert((f1.x, f1.y, f1.w, f1.h) == ((0, 0, 4, 2)))
+    assert((f1.delayCs, f1.disposal, f1.transparentPx) == ((123, 1, 0L)))
+    assert(f1.meanR == (200 + 7 * 10) / 8.0)
+    val f2 = fs(1)
+    assert((f2.x, f2.y, f2.w, f2.h) == ((1, 0, 3, 2)))
+    assert((f2.delayCs, f2.disposal, f2.transparentPx) == ((7, 2, 5L)))
+    assert(f2.meanR == (10 + 5 * 200) / 6.0)
+    assert(f2.meanG == (20 + 5 * 100) / 6.0)
+    assert(f2.meanB == (30 + 5 * 50) / 6.0)
+    // decode() keeps its frame-1 contract on the same blob
+    assert(GifKernels.decode(g).get.meanR == f1.meanR)
+  }
+
+  test("frames(): EOI mid-sub-block — trailing bytes skipped to the terminator") {
+    // frame 1 data: one sub-block [CLEAR, literal 0, EOI, junk, junk]
+    val f1data = Array(7, 5, 0x80, 0x00, 0x81, 0x55, 0x66, 0).map(_.toByte)
+    val g = screen(1, 1, Some(palette((40, 50, 60), (0, 0, 0)))) ++
+      imageDesc(1, 1) ++ f1data ++
+      imageDesc(1, 1) ++ lzwLiteral(Seq(1)) ++ trailer
+    val fs = GifKernels.frames(g).get
+    assert(fs.size == 2)
+    assert(fs(0).meanR == 40.0 && fs(1).meanR == 0.0)
+  }
+
+  test("frames() fails closed blob-wide") {
+    val pal = palette((1, 2, 3), (4, 5, 6))
+    val one = screen(1, 1, Some(pal)) ++ imageDesc(1, 1) ++ lzwLiteral(Seq(0))
+    assert(GifKernels.frames(one ++ trailer).exists(_.size == 1))
+    // a later frame truncated mid-data poisons the WHOLE blob
+    val two = one ++ imageDesc(1, 1) ++ lzwLiteral(Seq(1))
+    assert(GifKernels.frames(two.dropRight(3)).isEmpty)
+    // zero frames before the trailer is not an animation
+    assert(GifKernels.frames(screen(1, 1, Some(pal)) ++ trailer).isEmpty)
+    // an invalid block introducer after a good frame
+    assert(GifKernels.frames(one ++ Array(0x99.toByte) ++ trailer).isEmpty)
+  }
+
+  test("ImageIO-encoded animated GIF: every frame decoded, exact means") {
+    val pal = (0 until 256).map { i =>
+      ((i * 31) % 256, (i * 7 + 3) % 256, (i * i + 11) % 256)
+    }
+    val cm = new java.awt.image.IndexColorModel(8, 256,
+      pal.map(_._1.toByte).toArray, pal.map(_._2.toByte).toArray,
+      pal.map(_._3.toByte).toArray)
+    val (w, h) = (9, 7)
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    val sums = ArrayBuffer.empty[(Long, Long, Long)]
+    for (f <- 0 until 3) {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, cm)
+      var sr = 0L; var sg = 0L; var sb = 0L
+      for (y <- 0 until h; x <- 0 until w) {
+        val i = (x * 13 + y * 41 + f * 29) % 256
+        val (r, g, b) = pal(i)
+        sr += r; sg += g; sb += b
+        img.getRaster.setSample(x, y, 0, i)
+      }
+      sums += ((sr, sg, sb))
+      writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+    }
+    writer.endWriteSequence(); writer.dispose(); ios.close()
+    val fs = GifKernels.frames(bos.toByteArray).get
+    assert(fs.size == 3)
+    val n = (w * h).toDouble
+    for (f <- 0 until 3) {
+      assert((fs(f).w, fs(f).h) == ((w, h)))
+      assert(fs(f).meanR == sums(f)._1 / n)
+      assert(fs(f).meanG == sums(f)._2 / n)
+      assert(fs(f).meanB == sums(f)._3 / n)
+    }
+  }
+
   test("corrupt and out-of-scope shapes fail closed to None") {
     val pal = palette((1, 2, 3), (4, 5, 6))
     val good = screen(4, 2, Some(pal)) ++ imageDesc(4, 2) ++

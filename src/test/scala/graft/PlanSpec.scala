@@ -345,6 +345,13 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("ExistingRDD"), p)
   }
 
+  test("q_gif_frames: the animation walk is a codegen expression in " +
+    "place — blobs never shuffle, explode happens after decode") {
+    val p = plan("q_gif_frames")
+    assert(!p.contains("Exchange"), p)
+    assert(p.contains("gif_frames"), p)
+  }
+
   test("pageRank round at scale shape: the cached edge side never re-shuffles; " +
     "per-round exchanges carry only state-sized frames") {
     import org.apache.spark.sql.functions._
