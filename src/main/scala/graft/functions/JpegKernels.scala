@@ -201,9 +201,17 @@ object JpegKernels {
             val tq = b(q) & 0x0f
             if (pq != 0 || tq > 3) return None // 8-bit tables only
             if (q + 65 > segEnd) return None
+            // DQT elements arrive in ZIGZAG order (T.81 B.2.4.1: "where
+            // k is the index in the zigzag ordering"); store the table
+            // unzigzagged so every later lookup indexes by NATURAL
+            // position. Round 11: the table was previously stored
+            // verbatim while lookups indexed naturally — invisible with
+            // the flat tables every fixture used, wrong by a shuffled
+            // multiplier for any real encoder's table (pinned by the
+            // non-flat clamped-block case in JpegSpec).
             val t = new Array[Int](64)
             var i = 0
-            while (i < 64) { t(i) = b(q + 1 + i) & 0xff; i += 1 }
+            while (i < 64) { t(Zigzag(i)) = b(q + 1 + i) & 0xff; i += 1 }
             quant(tq) = t
             q += 65
           }

@@ -179,7 +179,19 @@ object JpegEnc {
 
   // ---- independent reference reconstruction (direct IDCT sum) ----
 
-  def refBlockPixels(coefQuantized: Array[Int], qt: Array[Int]): Array[Int] = {
+  /** The DQT payload is ZIGZAG-ordered (T.81 B.2.4.1) — the natural-
+    * order multiplier for position n is payload(invZigzag(n)), i.e.
+    * qtNat(Zigzag(k)) = payload(k). The reference applies the spec
+    * rule so the decoder is checked against T.81, not against a
+    * convention the encoder and decoder could share by accident. */
+  def unzigzag(payload: Array[Int]): Array[Int] = {
+    val nat = new Array[Int](64)
+    for (k <- 0 until 64) nat(Zigzag(k)) = payload(k)
+    nat
+  }
+
+  def refBlockPixels(coefQuantized: Array[Int], qtPayload: Array[Int]): Array[Int] = {
+    val qt = unzigzag(qtPayload)
     val out = new Array[Int](64)
     for (y <- 0 until 8; x <- 0 until 8) {
       var s = 0.0
@@ -305,6 +317,40 @@ class JpegSpec extends AnyFunSuite {
     val r = JpegKernels.decode(bytes).get
     val (er, _, _) = refMeans(32, 8, Seq((1, 1)), flatQt, _ => blk)
     assert(r.meanR == er)
+  }
+
+  test("DQT is zigzag-ordered (T.81 B.2.4.1): non-flat table, clamped block") {
+    // payload (zigzag order): element 2 -> natural position 8 (coef 1,0).
+    // Round 11: the kernel stored the payload verbatim and indexed it
+    // naturally — invisible under flat tables, a shuffled multiplier for
+    // any real encoder's table. The clamp makes the mean sensitive: the
+    // spec dequant (100) clips at 255, the misread (16) never clamps.
+    val payload = Array.fill(64)(16); payload(2) = 100
+    val coef = new Array[Int](64)
+    coef(0) = 61 // base ~250 after level shift: AC swings must clamp
+    coef(8) = 1  // dequant 100 per spec, 16 under a natural-order misread
+    val bytes = encode(8, 8, Seq((1, 1)), payload, _ => (_, _) => coef)
+    val want = refBlockPixels(coef, payload).sum / 64.0
+    assert(JpegKernels.decode(bytes).get.meanR == want)
+  }
+
+  test("ImageIO-encoded gray JPEG (real non-flat tables): kernel tracks the JDK reader") {
+    val (w, h) = (32, 24)
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until h; x <- 0 until w)
+      img.getRaster.setSample(x, y, 0, if (x % 2 == 0) 0 else 255)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    val bytes = bos.toByteArray
+    val ours = JpegKernels.decode(bytes).get
+    val ref = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    var s = 0.0
+    for (y <- 0 until h; x <- 0 until w) s += ref.getRaster.getSample(x, y, 0)
+    // the JDK reader's integer IDCT differs from our double-precision
+    // one by design; a shuffled quant table moves the mean by far more
+    // than this tolerance on 1-px stripes
+    assert(math.abs(ours.meanR - s / (w * h)) < 2.0)
   }
 
   test("refusals: truncation, progressive SOF, garbage, forged dims") {
