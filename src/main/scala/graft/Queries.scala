@@ -2252,18 +2252,70 @@ object Queries {
       grayHead.length + 2 + 2, colorHead.length + 4 + 2) // + entropy + EOI
   }
 
+  /** PROGRESSIVE (SOF2) single-MCU gray fixture for the q_jpeg_features
+    * family (round 11): the same headers as [[jpegFixture]]'s gray
+    * stream but SOF2 and TWO scans — a full-precision DC-first scan
+    * (whose 2 entropy bytes are the in-plan part: category-6 code 1110
+    * + 6 magnitude bits + pad 1s, exactly the baseline DC bit shape
+    * with EOB replaced by padding) and a constant AC scan [1,63] that
+    * is one EOB0 code (0xAF) — so the progressive stream encodes the
+    * SAME flat block as the baseline family and must decode to the
+    * SAME means, with only n_bytes distinguishing the modes.
+    * Returns (headHex, constant tailHex after the 2 entropy bytes,
+    * total byte length). */
+  private lazy val jpegProgFixture: (String, String, Int) = {
+    def seg(marker: Int, payload: Array[Int]): Array[Int] =
+      Array(0xff, marker, (payload.length + 2) >> 8, (payload.length + 2) & 0xff) ++
+        payload
+    val dcBits = Array(0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0)
+    val dcVals = (0 to 11).toArray
+    val acBits = Array(0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7d)
+    val acVals = Array(
+      0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41, 0x06,
+      0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xa1, 0x08,
+      0x23, 0x42, 0xb1, 0xc1, 0x15, 0x52, 0xd1, 0xf0, 0x24, 0x33, 0x62, 0x72,
+      0x82, 0x09, 0x0a, 0x16, 0x17, 0x18, 0x19, 0x1a, 0x25, 0x26, 0x27, 0x28,
+      0x29, 0x2a, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3a, 0x43, 0x44, 0x45,
+      0x46, 0x47, 0x48, 0x49, 0x4a, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+      0x5a, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6a, 0x73, 0x74, 0x75,
+      0x76, 0x77, 0x78, 0x79, 0x7a, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+      0x8a, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9a, 0xa2, 0xa3,
+      0xa4, 0xa5, 0xa6, 0xa7, 0xa8, 0xa9, 0xaa, 0xb2, 0xb3, 0xb4, 0xb5, 0xb6,
+      0xb7, 0xb8, 0xb9, 0xba, 0xc2, 0xc3, 0xc4, 0xc5, 0xc6, 0xc7, 0xc8, 0xc9,
+      0xca, 0xd2, 0xd3, 0xd4, 0xd5, 0xd6, 0xd7, 0xd8, 0xd9, 0xda, 0xe1, 0xe2,
+      0xe3, 0xe4, 0xe5, 0xe6, 0xe7, 0xe8, 0xe9, 0xea, 0xf1, 0xf2, 0xf3, 0xf4,
+      0xf5, 0xf6, 0xf7, 0xf8, 0xf9, 0xfa)
+    val head = Array(0xff, 0xd8) ++
+      seg(0xdb, Array(0x00) ++ Array.fill(64)(8)) ++
+      seg(0xc4, Array(0x00) ++ dcBits ++ dcVals) ++
+      seg(0xc4, Array(0x10) ++ acBits ++ acVals) ++
+      seg(0xc2, Array(8, 0, 8, 0, 8, 1, 1, 0x11, 0)) ++
+      seg(0xda, Array(1, 1, 0x00, 0, 0, 0)) // DC first, Ah=Al=0
+    val tail = seg(0xda, Array(1, 1, 0x00, 1, 63, 0)) ++ // AC [1,63] first
+      Array(0xaf) ++ // one EOB0 (1010) + pad 1s
+      Array(0xff, 0xd9)
+    def hexOf(a: Array[Int]): String = a.map(b => f"$b%02X").mkString
+    (hexOf(head), hexOf(tail), head.length + 2 + tail.length)
+  }
+
   /** Constructed single-MCU JPEG blob for `id` (grayscale for even ids,
-    * 4:4:4 color for odd; every 7th truncated to 20 bytes — mid-DQT). */
+    * 4:4:4 color for odd; gray ids divisible by 3 are PROGRESSIVE
+    * streams of the same flat block — identical means, different
+    * n_bytes; every 7th truncated to 20 bytes — mid-DQT). */
   private def constructedJpegBlob(id: Column): Column = {
     def h2(c: Column): Column = lpad(hex(c), 2, "0")
     val (grayHead, colorHead, _, _) = jpegFixture
+    val (progHead, progTail, _) = jpegProgFixture
     val v = (pmod(id, lit(32)) + 32).cast("int")
     val b0 = h2(shiftright(v, 2) + lit(224)) // 1110|v5..v2
     val grayHex = concat(lit(grayHead), b0,
       h2(v.bitwiseAND(lit(3)) * 64 + lit(43)), lit("FFD9"))
+    val progHex = concat(lit(progHead), b0,
+      h2(v.bitwiseAND(lit(3)) * 64 + lit(63)), lit(progTail))
     val colorHex = concat(lit(colorHead), b0,
       h2(v.bitwiseAND(lit(3)) * 64 + lit(40)), lit("A2BF"), lit("FFD9"))
-    val fullHex = when(pmod(id, lit(2)) === 0, grayHex).otherwise(colorHex)
+    val fullHex = when(pmod(id, lit(6)) === 0, progHex)
+      .when(pmod(id, lit(2)) === 0, grayHex).otherwise(colorHex)
     unhex(when(pmod(id, lit(7)) === 0, substring(fullHex, 1, 40))
       .otherwise(fullHex))
   }
@@ -2373,10 +2425,12 @@ object Queries {
     },
     Some(s"""WITH p AS (
             |  SELECT doc_id, 32 + doc_id % 32 AS v,
-            |         doc_id % 7 = 0 AS trunc, doc_id % 2 = 0 AS gray
+            |         doc_id % 7 = 0 AS trunc, doc_id % 2 = 0 AS gray,
+            |         doc_id % 6 = 0 AS prog
             |  FROM documents)
             |SELECT CAST(doc_id AS BIGINT) AS media_id,
             |       CAST(CASE WHEN trunc THEN 20
+            |                 WHEN prog THEN ${jpegProgFixture._3}
             |                 WHEN gray THEN ${jpegFixture._3}
             |                 ELSE ${jpegFixture._4} END AS BIGINT) AS n_bytes,
             |       CASE WHEN trunc THEN NULL ELSE CAST(8 AS BIGINT) END AS width,

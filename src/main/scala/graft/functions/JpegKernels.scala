@@ -1,23 +1,27 @@
 package graft.functions
 
-/** Baseline-sequential JPEG decode, pure JVM — no codec library. This
-  * retires the last decode stub: with it, every raster family the
-  * engine featurizes (BMP, PPM, PGM, and now JPEG) decodes for real.
-  * Video pixels decode for the MJPEG codec class too (round 9:
-  * [[MediaKernels.mjpegFrames]] demuxes ISO-BMFF samples and each
-  * frame rides THIS decoder); compressed codecs (H.264/H.265, …)
-  * remain a declared refusal — a pure-JVM implementation of those is
-  * out of scope, and the extractor returns NULL rather than faking it.
+/** Baseline-sequential AND progressive JPEG decode, pure JVM — no
+  * codec library. This retires the last decode stub: with it, every
+  * raster family the engine featurizes (BMP, PPM, PGM, and now JPEG)
+  * decodes for real. Video pixels decode for the MJPEG codec class
+  * too (round 9: [[MediaKernels.mjpegFrames]] demuxes ISO-BMFF samples
+  * and each frame rides THIS decoder); compressed codecs
+  * (H.264/H.265, …) remain a declared refusal — a pure-JVM
+  * implementation of those is out of scope, and the extractor returns
+  * NULL rather than faking it.
   *
-  * Scope (honestly bounded): SOF0 baseline DCT, 8-bit samples, 1 or 3
-  * components, sampling factors 1 or 2 per axis, 8-bit DQT tables,
-  * restart markers, APPn/COM skipped, 0xFF fill bytes before markers
-  * tolerated (T.81 B.1.1.2). INTERLEAVED scans only: a single scan
-  * must cover every frame component (Ns = Nf) — the rare baseline
-  * variant with one scan per component (Ns < Nf) returns None, like
-  * progressive (SOF2), arithmetic coding, 12-bit, and hierarchical
-  * modes. A corrupt or out-of-scope blob must cost a NULL feature
-  * row, never a task (same contract as [[RasterKernels]]).
+  * Scope (honestly bounded): SOF0 baseline DCT and (round 11) SOF2
+  * progressive DCT — spectral selection, successive approximation
+  * with DC/AC refinement scans, EOB runs (T.81 G.2) — 8-bit samples,
+  * 1 or 3 components, sampling factors 1 or 2 per axis, 8-bit DQT
+  * tables, restart markers, APPn/COM skipped, 0xFF fill bytes before
+  * markers tolerated (T.81 B.1.1.2). Baseline keeps its INTERLEAVED-
+  * only scan scope (Ns = Nf; the rare one-scan-per-component baseline
+  * variant returns None); progressive scans follow the G.1.1.1.1
+  * shapes (DC scans may interleave, AC scans are single-component).
+  * Arithmetic coding, 12-bit, and hierarchical modes return None. A
+  * corrupt or out-of-scope blob must cost a NULL feature row, never a
+  * task (same contract as [[RasterKernels]]).
   *
   * Decode pipeline per ITU-T T.81: canonical Huffman decode (MINCODE/
   * MAXCODE/VALPTR, F.2.2.3) -> DC prediction + EXTEND (F.2.2.1) ->
@@ -161,6 +165,84 @@ object JpegKernels {
     var pred: Int = 0
   }
 
+  /** Separable 2-D IDCT of one DEQUANTIZED natural-order block into
+    * `pix` (level shift NOT applied — [[storeBlock]] does that). */
+  private def idctBlock(coef: Array[Int], tmp: Array[Double],
+                        pix: Array[Double]): Unit = {
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        var s = 0.0
+        var u = 0
+        while (u < 8) { s += Cos(u * 8 + x) * coef(y * 8 + u); u += 1 }
+        tmp(y * 8 + x) = s
+        x += 1
+      }
+      y += 1
+    }
+    var x = 0
+    while (x < 8) {
+      var yy = 0
+      while (yy < 8) {
+        var s = 0.0
+        var v = 0
+        while (v < 8) { s += Cos(v * 8 + yy) * tmp(v * 8 + x); v += 1 }
+        pix(yy * 8 + x) = s
+        yy += 1
+      }
+      x += 1
+    }
+  }
+
+  /** Level shift, round, clamp, store one block at (ox, oy). */
+  private def storeBlock(pix: Array[Double], plane: Array[Byte], pw: Int,
+                         ox: Int, oy: Int): Unit = {
+    var py = 0
+    while (py < 8) {
+      var px = 0
+      while (px < 8) {
+        val v0 = math.round(pix(py * 8 + px) + 128.0).toInt
+        val v1 = if (v0 < 0) 0 else if (v0 > 255) 255 else v0
+        plane((oy + py) * pw + ox + px) = v1.toByte
+        px += 1
+      }
+      py += 1
+    }
+  }
+
+  /** Means over the REAL image area with nearest chroma upsampling and
+    * the JFIF YCbCr conversion — shared by the baseline and progressive
+    * render paths. */
+  private def meansFromPlanes(planes: Array[Array[Byte]], planeW: Array[Int],
+                              comps: Array[Component], width: Int, height: Int,
+                              hMax: Int, vMax: Int): Raster = {
+    var sumR = 0.0; var sumG = 0.0; var sumB = 0.0
+    val gray = comps.length == 1
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        val yy = planes(0)((y * comps(0).v / vMax) * planeW(0) +
+          x * comps(0).h / hMax) & 0xff
+        if (gray) { sumR += yy; sumG += yy; sumB += yy }
+        else {
+          val cb = (planes(1)((y * comps(1).v / vMax) * planeW(1) +
+            x * comps(1).h / hMax) & 0xff) - 128
+          val cr = (planes(2)((y * comps(2).v / vMax) * planeW(2) +
+            x * comps(2).h / hMax) & 0xff) - 128
+          sumR += clamp255(math.round(yy + 1.402 * cr))
+          sumG += clamp255(math.round(yy - 0.344136 * cb - 0.714136 * cr))
+          sumB += clamp255(math.round(yy + 1.772 * cb))
+        }
+        x += 1
+      }
+      y += 1
+    }
+    val n = width.toDouble * height.toDouble
+    Raster(width, height, sumR / n, sumG / n, sumB / n)
+  }
+
   def decode(b: Array[Byte]): Option[Raster] = {
     if (b == null || b.length < 4 ||
         (b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8) return None
@@ -181,18 +263,40 @@ object JpegKernels {
     var width = 0
     var height = 0
     var restartInterval = 0
+    // progressive (SOF2) state: per-component UNQUANTIZED coefficient
+    // grids on the padded MCU geometry, accumulated scan by scan and
+    // rendered once at EOI
+    var progressive = false
+    var coefs: Array[Array[Int]] = null
+    var blocksW: Array[Int] = null
+    var blocksH: Array[Int] = null
+    var compBx: Array[Int] = null
+    var compBy: Array[Int] = null
+    var mcusX = 0
+    var mcusY = 0
+    var sawScan = false
 
     def u16(i: Int): Int = ((b(i) & 0xff) << 8) | (b(i + 1) & 0xff)
 
     var p = 2
-    while (p + 4 <= b.length) {
+    while (p + 2 <= b.length) {
       if ((b(p) & 0xff) != 0xff) return None
       val marker = b(p + 1) & 0xff
-      if (marker == 0xd9) return None // EOI before SOS: no image
+      if (marker == 0xd9) {
+        // EOI: a progressive stream with at least one scan renders now;
+        // for baseline (which returns from its single scan) or an empty
+        // stream this is still "no image"
+        return if (progressive && sawScan)
+          finishProgressive(comps, quant, coefs, blocksW, blocksH,
+            width, height)
+        else None
+      }
+      if (p + 4 > b.length) return None
       val len = u16(p + 2)
       if (len < 2 || p + 2 + len > b.length) return None
       val seg = p + 4
       val segEnd = p + 2 + len
+      var pNext = segEnd
       marker match {
         case 0xdb => // DQT: one or more tables
           var q = seg
@@ -232,7 +336,9 @@ object JpegKernels {
             if (tc == 0) dcTables(th) = h else acTables(th) = h
             q += 17 + total
           }
-        case 0xc0 => // SOF0 baseline
+        case 0xc0 | 0xc2 => // SOF0 baseline / SOF2 progressive (round 11)
+          if (comps != null) return None // one frame per stream
+          progressive = marker == 0xc2
           if (b(seg) != 8) return None // 8-bit precision only
           height = u16(seg + 1)
           width = u16(seg + 3)
@@ -246,30 +352,339 @@ object JpegKernels {
             if (c.h < 1 || c.h > 2 || c.v < 1 || c.v > 2 || c.tq > 3) return None
             c
           }
-        case 0xc1 | 0xc2 | 0xc3 | 0xc5 | 0xc6 | 0xc7 |
+        case 0xc1 | 0xc3 | 0xc5 | 0xc6 | 0xc7 |
              0xc9 | 0xca | 0xcb | 0xcd | 0xce | 0xcf =>
-          return None // non-baseline SOF: out of scope, refuse loudly
+          return None // non-baseline/-progressive SOF: out of scope
         case 0xdd => // DRI
           restartInterval = u16(seg)
         case 0xda => // SOS: entropy-coded data follows
           if (comps == null) return None
           val ns = b(seg) & 0xff
-          if (ns != comps.length || seg + 1 + 2 * ns + 3 > segEnd) return None
+          if (ns < 1 || ns > comps.length ||
+              seg + 1 + 2 * ns + 3 > segEnd) return None
+          val scanComps = new Array[Component](ns)
+          val scanIdx = new Array[Int](ns)
           var i = 0
           while (i < ns) {
             val cid = b(seg + 1 + 2 * i) & 0xff
-            val c = comps.find(_.id == cid).getOrElse(return None)
+            val ci = comps.indexWhere(_.id == cid)
+            if (ci < 0) return None
+            val c = comps(ci)
             c.dcTable = (b(seg + 2 + 2 * i) & 0xff) >> 4
             c.acTable = b(seg + 2 + 2 * i) & 0x0f
+            scanComps(i) = c
+            scanIdx(i) = ci
             i += 1
           }
-          return decodeScan(b, segEnd, comps, quant, dcTables, acTables,
-            width, height, restartInterval)
+          if (!progressive) {
+            // baseline keeps its interleaved-only scope: one scan, all
+            // frame components
+            if (ns != comps.length) return None
+            return decodeScan(b, segEnd, comps, quant, dcTables, acTables,
+              width, height, restartInterval)
+          }
+          val ss = b(seg + 1 + 2 * ns) & 0xff
+          val se = b(seg + 2 + 2 * ns) & 0xff
+          val aa = b(seg + 3 + 2 * ns) & 0xff
+          if (coefs == null) {
+            val hMax = comps.map(_.h).max
+            val vMax = comps.map(_.v).max
+            mcusX = (width + 8 * hMax - 1) / (8 * hMax)
+            mcusY = (height + 8 * vMax - 1) / (8 * vMax)
+            blocksW = comps.map(c => mcusX * c.h)
+            blocksH = comps.map(c => mcusY * c.v)
+            // the coefficient grids are Int (4 bytes/sample) and live
+            // until EOI — cap tighter than the baseline byte planes so
+            // a forged SOF degrades to None, never an executor OOM
+            var ci2 = 0
+            while (ci2 < comps.length) {
+              if (blocksW(ci2).toLong * blocksH(ci2) * 64L > (1L << 26))
+                return None
+              ci2 += 1
+            }
+            // non-interleaved scans walk the component's OWN block grid
+            // (T.81 A.2.2), not the MCU-padded one
+            compBx = comps.map(c =>
+              ((width * c.h + hMax - 1) / hMax + 7) / 8)
+            compBy = comps.map(c =>
+              ((height * c.v + vMax - 1) / vMax + 7) / 8)
+            coefs = comps.indices.map(ci3 =>
+              new Array[Int](blocksW(ci3) * blocksH(ci3) * 64)).toArray
+          }
+          // DC predictors reset at every scan start (F.2.1.3.1)
+          comps.foreach(_.pred = 0)
+          progressiveScan(b, segEnd, scanComps, scanIdx, coefs, blocksW,
+            compBx, compBy, dcTables, acTables,
+            ss, se, aa >> 4, aa & 0x0f, restartInterval,
+            mcusX, mcusY) match {
+            case None => return None
+            case Some(after) => sawScan = true; pNext = after
+          }
         case _ => () // APPn, COM, others: skip
       }
-      p = segEnd
+      p = pNext
     }
-    None // no SOS reached
+    None // no image: ran off the stream before EOI (progressive) or SOS
+  }
+
+  /** One progressive scan (T.81 G.2): spectral band [ss, se] at
+    * successive-approximation bit `al` (`ah` = 0 on a band's first pass,
+    * `al` + 1 on a refinement pass), accumulated into the per-component
+    * UNQUANTIZED coefficient grids — dequantization happens once at the
+    * final IDCT. DC scans may interleave; AC scans are single-component
+    * and walk that component's own block grid. Returns the position of
+    * the marker after this scan's entropy data. */
+  private def progressiveScan(b: Array[Byte], start: Int,
+      scan: Array[Component], scanIdx: Array[Int],
+      coefs: Array[Array[Int]], blocksW: Array[Int],
+      compBx: Array[Int], compBy: Array[Int],
+      dcTables: Array[Huff], acTables: Array[Huff],
+      ss: Int, se: Int, ah: Int, al: Int,
+      restartInterval: Int, mcusX: Int, mcusY: Int): Option[Int] = {
+    // scan-shape gates (G.1.1.1.1): DC scans carry exactly the band
+    // [0, 0]; AC scans are single-component with 0 < ss <= se <= 63;
+    // refinement lowers the approximation bit by exactly one
+    if (ss == 0) { if (se != 0) return None }
+    else if (scan.length != 1 || se < ss || se > 63) return None
+    if (al > 13 || (ah != 0 && ah != al + 1)) return None
+    val dc = ss == 0
+    if (dc && ah == 0 && scan.exists(c => dcTables(c.dcTable) == null))
+      return None
+    if (!dc && acTables(scan(0).acTable) == null) return None
+
+    val reader = new BitReader(b, start)
+    var eobrun = 0
+    val p1 = 1 << al
+    val m1 = -p1
+
+    def dcBlock(ci: Int, c: Component, at: Int): Boolean = {
+      if (ah == 0) {
+        val t = reader.decodeHuff(dcTables(c.dcTable))
+        if (t < 0 || t > 15) return false
+        var diff = 0
+        if (t > 0) {
+          val bits = reader.readBits(t)
+          if (bits < 0) return false
+          diff = extend(bits, t)
+        }
+        c.pred += diff
+        coefs(ci)(at) = c.pred << al
+      } else {
+        // refinement: one correction bit per block, no Huffman code
+        val bit = reader.readBit()
+        if (bit < 0) return false
+        if (bit == 1) coefs(ci)(at) = coefs(ci)(at) | p1
+      }
+      true
+    }
+
+    def acFirst(ci: Int, acT: Huff, at: Int): Boolean = {
+      if (eobrun > 0) { eobrun -= 1; return true }
+      var k = ss
+      while (k <= se) {
+        val rs = reader.decodeHuff(acT)
+        if (rs < 0) return false
+        val r = rs >> 4
+        val s = rs & 0x0f
+        if (s == 0) {
+          if (r == 15) k += 16 // ZRL
+          else { // EOBn: 2^r - 1 + extension MORE all-zero bands
+            eobrun = (1 << r) - 1
+            if (r > 0) {
+              val m = reader.readBits(r)
+              if (m < 0) return false
+              eobrun += m
+            }
+            return true
+          }
+        } else {
+          k += r
+          if (k > se) return false // run past the band end: corrupt
+          val bits = reader.readBits(s)
+          if (bits < 0) return false
+          coefs(ci)(at + Zigzag(k)) = extend(bits, s) << al
+          k += 1
+        }
+      }
+      true
+    }
+
+    // G.1.2.3: refinement emits a correction bit for every coefficient
+    // with NONZERO history it passes; zero-history runs (`r`) and the
+    // EOB run count only zero-history positions, and blocks inside an
+    // EOB run still carry correction bits for their nonzero history.
+    def acRefine(ci: Int, acT: Huff, at: Int): Boolean = {
+      var k = ss
+      if (eobrun == 0) {
+        var broke = false
+        while (k <= se && !broke) {
+          val rs = reader.decodeHuff(acT)
+          if (rs < 0) return false
+          var r = rs >> 4
+          val s = rs & 0x0f
+          var newVal = 0
+          if (s == 0) {
+            if (r != 15) { // EOBn: this block's tail joins the run below
+              eobrun = 1 << r
+              if (r > 0) {
+                val m = reader.readBits(r)
+                if (m < 0) return false
+                eobrun += m
+              }
+              broke = true
+            } // r == 15: pass 16 zero-history coefficients
+          } else {
+            if (s != 1) return false // only ±1 can appear in a refinement
+            val sb = reader.readBit()
+            if (sb < 0) return false
+            newVal = if (sb == 1) p1 else m1
+          }
+          if (!broke) {
+            var advancing = true
+            while (k <= se && advancing) {
+              val z = at + Zigzag(k)
+              val cv = coefs(ci)(z)
+              if (cv != 0) {
+                val cb = reader.readBit()
+                if (cb < 0) return false
+                if (cb == 1 && (cv & p1) == 0)
+                  coefs(ci)(z) = cv + (if (cv >= 0) p1 else m1)
+                k += 1
+              } else if (r == 0) advancing = false
+              else { r -= 1; k += 1 }
+            }
+            if (newVal != 0) {
+              if (k > se) return false // newly-nonzero past the band end
+              coefs(ci)(at + Zigzag(k)) = newVal
+            }
+            k += 1
+          }
+        }
+      }
+      if (eobrun > 0) {
+        while (k <= se) {
+          val z = at + Zigzag(k)
+          val cv = coefs(ci)(z)
+          if (cv != 0) {
+            val cb = reader.readBit()
+            if (cb < 0) return false
+            if (cb == 1 && (cv & p1) == 0)
+              coefs(ci)(z) = cv + (if (cv >= 0) p1 else m1)
+          }
+          k += 1
+        }
+        eobrun -= 1
+      }
+      true
+    }
+
+    // restart interval counts MCUs; in a non-interleaved scan an MCU is
+    // one block (T.81 A.2.2). Restarts reset predictors AND the EOB run.
+    def maybeRestart(unit: Int): Boolean = {
+      if (restartInterval > 0 && unit > 0 && unit % restartInterval == 0) {
+        if (!reader.resync()) return false
+        scan.foreach(_.pred = 0)
+        eobrun = 0
+      }
+      true
+    }
+
+    if (scan.length > 1) { // interleaved DC scan: MCU walk, padded grid
+      var mcu = 0
+      val nMcus = mcusX * mcusY
+      while (mcu < nMcus) {
+        if (!maybeRestart(mcu)) return None
+        val mx = mcu % mcusX
+        val my = mcu / mcusX
+        var i = 0
+        while (i < scan.length) {
+          val c = scan(i)
+          val ci = scanIdx(i)
+          var by = 0
+          while (by < c.v) {
+            var bx = 0
+            while (bx < c.h) {
+              val at = ((my * c.v + by) * blocksW(ci) + mx * c.h + bx) * 64
+              if (!dcBlock(ci, c, at)) return None
+              bx += 1
+            }
+            by += 1
+          }
+          i += 1
+        }
+        mcu += 1
+      }
+    } else { // single-component scan: the component's own block grid
+      val c = scan(0)
+      val ci = scanIdx(0)
+      val bw = compBx(ci)
+      val acT = if (dc) null else acTables(c.acTable)
+      var blk = 0
+      val nBlk = bw * compBy(ci)
+      while (blk < nBlk) {
+        if (!maybeRestart(blk)) return None
+        val at = ((blk / bw) * blocksW(ci) + blk % bw) * 64
+        val ok =
+          if (dc) dcBlock(ci, c, at)
+          else if (ah == 0) acFirst(ci, acT, at)
+          else acRefine(ci, acT, at)
+        if (!ok) return None
+        blk += 1
+      }
+    }
+
+    // the scan's entropy data ends at the next true marker (flush bits
+    // and fill 0xFFs in between are legal)
+    var q = if (reader.pos > start) reader.pos else start
+    while (q + 1 < b.length) {
+      if ((b(q) & 0xff) == 0xff) {
+        val m = b(q + 1) & 0xff
+        if (m != 0x00 && m != 0xff && (m < 0xd0 || m > 0xd7)) return Some(q)
+      }
+      q += 1
+    }
+    None // no marker after the scan: truncated stream
+  }
+
+  /** Render a completed progressive stream: dequantize + IDCT every
+    * block of every component grid, then the shared means path. */
+  private def finishProgressive(comps: Array[Component],
+      quant: Array[Array[Int]], coefs: Array[Array[Int]],
+      blocksW: Array[Int], blocksH: Array[Int],
+      width: Int, height: Int): Option[Raster] = {
+    if (comps == null || coefs == null) return None
+    var ci = 0
+    while (ci < comps.length) {
+      if (quant(comps(ci).tq) == null) return None
+      ci += 1
+    }
+    val hMax = comps.map(_.h).max
+    val vMax = comps.map(_.v).max
+    val planes = comps.indices.map(i =>
+      new Array[Byte](blocksW(i) * 8 * blocksH(i) * 8)).toArray
+    val planeW = comps.indices.map(i => blocksW(i) * 8).toArray
+    val dq = new Array[Int](64)
+    val tmp = new Array[Double](64)
+    val pix = new Array[Double](64)
+    ci = 0
+    while (ci < comps.length) {
+      val qt = quant(comps(ci).tq)
+      var by = 0
+      while (by < blocksH(ci)) {
+        var bx = 0
+        while (bx < blocksW(ci)) {
+          val at = (by * blocksW(ci) + bx) * 64
+          var j = 0
+          while (j < 64) { dq(j) = coefs(ci)(at + j) * qt(j); j += 1 }
+          idctBlock(dq, tmp, pix)
+          storeBlock(pix, planes(ci), planeW(ci), bx * 8, by * 8)
+          bx += 1
+        }
+        by += 1
+      }
+      ci += 1
+    }
+    Some(meansFromPlanes(planes, planeW, comps, width, height, hMax, vMax))
   }
 
   private def decodeScan(b: Array[Byte], scanStart: Int,
@@ -356,46 +771,10 @@ object JpegKernels {
                 k += 1
               }
             }
-            // --- separable IDCT: rows then columns ---
-            var y = 0
-            while (y < 8) {
-              var x = 0
-              while (x < 8) {
-                var s = 0.0
-                var u = 0
-                while (u < 8) { s += Cos(u * 8 + x) * coef(y * 8 + u); u += 1 }
-                tmp(y * 8 + x) = s
-                x += 1
-              }
-              y += 1
-            }
-            var x = 0
-            while (x < 8) {
-              var yy = 0
-              while (yy < 8) {
-                var s = 0.0
-                var v = 0
-                while (v < 8) { s += Cos(v * 8 + yy) * tmp(v * 8 + x); v += 1 }
-                pix(yy * 8 + x) = s
-                yy += 1
-              }
-              x += 1
-            }
-            // --- level shift, round, clamp, store ---
-            val ox = (mx * c.h + bx) * 8
-            val oy = (my * c.v + by) * 8
-            val pw = planeW(ci)
-            var py = 0
-            while (py < 8) {
-              var px = 0
-              while (px < 8) {
-                val v0 = math.round(pix(py * 8 + px) + 128.0).toInt
-                val v1 = if (v0 < 0) 0 else if (v0 > 255) 255 else v0
-                planes(ci)((oy + py) * pw + ox + px) = v1.toByte
-                px += 1
-              }
-              py += 1
-            }
+            // --- IDCT + level shift + store ---
+            idctBlock(coef, tmp, pix)
+            storeBlock(pix, planes(ci), planeW(ci),
+              (mx * c.h + bx) * 8, (my * c.v + by) * 8)
             bx += 1
           }
           by += 1
@@ -405,31 +784,7 @@ object JpegKernels {
       mcu += 1
     }
 
-    // --- means over the REAL image area, JFIF YCbCr -> RGB ---
-    var sumR = 0.0; var sumG = 0.0; var sumB = 0.0
-    val gray = comps.length == 1
-    var y = 0
-    while (y < height) {
-      var x = 0
-      while (x < width) {
-        val yy = planes(0)((y * comps(0).v / vMax) * planeW(0) +
-          x * comps(0).h / hMax) & 0xff
-        if (gray) { sumR += yy; sumG += yy; sumB += yy }
-        else {
-          val cb = (planes(1)((y * comps(1).v / vMax) * planeW(1) +
-            x * comps(1).h / hMax) & 0xff) - 128
-          val cr = (planes(2)((y * comps(2).v / vMax) * planeW(2) +
-            x * comps(2).h / hMax) & 0xff) - 128
-          sumR += clamp255(math.round(yy + 1.402 * cr))
-          sumG += clamp255(math.round(yy - 0.344136 * cb - 0.714136 * cr))
-          sumB += clamp255(math.round(yy + 1.772 * cb))
-        }
-        x += 1
-      }
-      y += 1
-    }
-    val n = width.toDouble * height.toDouble
-    Some(Raster(width, height, sumR / n, sumG / n, sumB / n))
+    Some(meansFromPlanes(planes, planeW, comps, width, height, hMax, vMax))
   }
   // scalastyle:on method.length cyclomatic.complexity
 

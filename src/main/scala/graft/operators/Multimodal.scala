@@ -109,12 +109,12 @@ object Multimodal {
   /** STUB batch decoder (stands in for CODEC-BOUND decode + embed —
     * now only COMPRESSED-codec video pixel data (H.264/avc1 etc.;
     * MJPEG tracks decode for real). Stills decode for real within
-    * declared scope — baseline-JPEG interleaved scans, PNG at EVERY
-    * legal (type, depth) pair incl. sub-byte and Adam7 (round 11), GIF
-    * frame 1, BMP/PPM/PGM — everything outside it (progressive JPEG,
-    * animated GIF tails) fails CLOSED to NULL features, see the
-    * per-kernel scope notes. PCM/G.711 audio has the real [[pcm]]
-    * path. */
+    * declared scope — baseline AND progressive JPEG (round 11), PNG at
+    * EVERY legal (type, depth) pair incl. sub-byte and Adam7 (round
+    * 11), GIF with the full animation walk via [[gifFrames]] (round
+    * 11; [[raster]] keeps the frame-1 summary), BMP/PPM/PGM —
+    * everything outside the per-kernel scope notes fails CLOSED to
+    * NULL features. PCM/G.711 audio has the real [[pcm]] path. */
   val stub: Decoder = (blobs: Seq[Array[Byte]], dim: Int) =>
     blobs.map(stubOne(_, dim))
 
