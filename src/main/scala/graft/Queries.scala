@@ -1895,6 +1895,113 @@ object Queries {
            |       NULL, NULL, NULL, NULL, NULL, NULL
            |FROM p WHERE corrupt""".stripMargin))
 
+  /** In-plan little-endian TIFF for [[qTiffFeatures]]: header + one
+    * uncompressed strip + a 10-entry IFD, all offsets closed-form.
+    * Even ids are 8-bit grayscale (BitsPerSample inline), odd ids are
+    * chunky RGB (BitsPerSample via a 3-SHORT tail after the IFD) —
+    * first pixel color A, the rest color B, the raster-family pattern.
+    * PackBits/LZW/predictor/WhiteIsZero/palette/big-endian are pinned
+    * against hand vectors and the JDK's own TIFF plugin in
+    * [[graft.TiffSpec]]. Every 7th doc truncated to 20 bytes (NULL). */
+  private def constructedTiffBlob(id: Column): Column = {
+    def h2(c: Column): Column = lpad(hex(c), 2, "0")
+    def le16h(c: Column): Column =
+      concat(h2(c.bitwiseAND(lit(255))), h2(shiftright(c, 8).bitwiseAND(lit(255))))
+    def le32h(c: Column): Column = concat(le16h(c.bitwiseAND(lit(65535))),
+      le16h(shiftright(c, 16).bitwiseAND(lit(65535))))
+    def rep(px: Column, n: Column): Column = array_join(array_repeat(px, n), "")
+    def entry(tag: Int, typ: Int, cnt: Int, v: Column): Column =
+      concat(lit(f"${tag & 0xff}%02X${tag >> 8}%02X${typ}%02X00"),
+        le32h(lit(cnt)), le32h(v))
+    val w = when(pmod(id, lit(3)) === 0, 4)
+      .when(pmod(id, lit(3)) === 1, 8).otherwise(16).cast("int")
+    val hh = when(pmod(id, lit(4)) === 0, 1)
+      .when(pmod(id, lit(4)) === 1, 2)
+      .when(pmod(id, lit(4)) === 2, 4).otherwise(8).cast("int")
+    val wh = (w * hh).cast("int")
+    val isRgb = pmod(id, lit(2)) === 1
+    val spp = when(isRgb, 3).otherwise(1).cast("int")
+    val aR = pmod(id, lit(256)).cast("int")
+    val aG = pmod(id * 7, lit(256)).cast("int")
+    val aB = pmod(id * 13, lit(256)).cast("int")
+    val bR = pmod(id * 3, lit(256)).cast("int")
+    val bG = pmod(id * 5, lit(256)).cast("int")
+    val bB = pmod(id * 11, lit(256)).cast("int")
+    val data = when(isRgb,
+      concat(h2(aR), h2(aG), h2(aB), rep(concat(h2(bR), h2(bG), h2(bB)), wh - 1)))
+      .otherwise(concat(h2(aR), rep(h2(bR), wh - 1)))
+    val dataLen = (wh * spp).cast("int")
+    val ifdAt = (lit(8) + dataLen).cast("int")
+    // 10 entries, 12 bytes each; the RGB variant's 3 SHORT bits values
+    // live right after the IFD's 4-byte next-IFD terminator
+    val bitsAt = (ifdAt + lit(2) + lit(120) + lit(4)).cast("int")
+    val ifd = concat(lit("0A00"),
+      entry(256, 3, 1, w),
+      entry(257, 3, 1, hh),
+      when(isRgb, entry(258, 3, 3, bitsAt))
+        .otherwise(entry(258, 3, 1, lit(8))),
+      entry(259, 3, 1, lit(1)),
+      entry(262, 3, 1, when(isRgb, lit(2)).otherwise(lit(1))),
+      entry(273, 4, 1, lit(8)),
+      entry(277, 3, 1, spp),
+      entry(278, 3, 1, hh),
+      entry(279, 4, 1, dataLen),
+      entry(284, 3, 1, lit(1)),
+      lit("00000000"),
+      when(isRgb, lit("080008000800")).otherwise(lit("")))
+    val fullHex = concat(lit("49492A00"), le32h(ifdAt), data, ifd)
+    unhex(when(pmod(id, lit(7)) === 0, substring(fullHex, 1, 40))
+      .otherwise(fullHex))
+  }
+
+  /** Baseline TIFF decode under the oracle (round 11 — the document-
+    * scan container joins the still-image matrix): in-plan uncompressed
+    * strip TIFFs ride the same [[Multimodal.featurize]] narrow raster
+    * pass, dispatching [[graft.functions.TiffKernels]]; DuckDB predicts
+    * n_bytes (8 + data + 126-byte IFD, +6 for the RGB bits tail) and
+    * the channel means from the construction arithmetic. The compressed
+    * and exotic branches (PackBits, LZW + predictor, WhiteIsZero,
+    * palette, big-endian) are spec-pinned against the JDK's own TIFF
+    * plugin. */
+  private val qTiffFeatures = Q("q_tiff_features",
+    (s, dir) => {
+      val media = t(s, dir, "documents")
+        .select(col("doc_id"), constructedTiffBlob(col("doc_id")).as("blob"))
+      rasterFeatures(Multimodal.featurize(media, "doc_id", "blob", dim = 5,
+        decoder = Multimodal.raster))
+    },
+    Some("""WITH p AS (
+           |  SELECT doc_id,
+           |         CASE doc_id % 3 WHEN 0 THEN 4 WHEN 1 THEN 8 ELSE 16 END AS w,
+           |         CASE doc_id % 4 WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 4 ELSE 8 END AS h,
+           |         doc_id % 2 = 1 AS is_rgb,
+           |         doc_id % 7 = 0 AS trunc,
+           |         doc_id % 256 AS ar, (doc_id * 7) % 256 AS ag, (doc_id * 13) % 256 AS ab,
+           |         (doc_id * 3) % 256 AS br, (doc_id * 5) % 256 AS bg, (doc_id * 11) % 256 AS bb
+           |  FROM documents),
+           |m AS (
+           |  SELECT doc_id, w, h, w * h AS wh, is_rgb, trunc,
+           |         ar, ag, ab, br, bg, bb,
+           |         8 + w * h * CASE WHEN is_rgb THEN 3 ELSE 1 END + 126 +
+           |           CASE WHEN is_rgb THEN 6 ELSE 0 END AS blen
+           |  FROM p)
+           |SELECT CAST(doc_id AS BIGINT) AS media_id,
+           |       CAST(CASE WHEN trunc THEN 20 ELSE blen END AS BIGINT) AS n_bytes,
+           |       CASE WHEN trunc THEN NULL ELSE CAST(w AS BIGINT) END AS width,
+           |       CASE WHEN trunc THEN NULL ELSE CAST(h AS BIGINT) END AS height,
+           |       CASE WHEN trunc THEN NULL
+           |            ELSE round((ar + (wh - 1) * br) / CAST(wh AS DOUBLE), 6)
+           |       END AS mean_r,
+           |       CASE WHEN trunc THEN NULL
+           |            WHEN is_rgb THEN round((ag + (wh - 1) * bg) / CAST(wh AS DOUBLE), 6)
+           |            ELSE round((ar + (wh - 1) * br) / CAST(wh AS DOUBLE), 6)
+           |       END AS mean_g,
+           |       CASE WHEN trunc THEN NULL
+           |            WHEN is_rgb THEN round((ab + (wh - 1) * bb) / CAST(wh AS DOUBLE), 6)
+           |            ELSE round((ar + (wh - 1) * br) / CAST(wh AS DOUBLE), 6)
+           |       END AS mean_b
+           |FROM m""".stripMargin))
+
   /** Within-document line dedup under the oracle: multi-line fixtures
     * are constructed in-plan (the corpus text carries no newlines) with
     * planted repeats — the full text twice, a 40-char prefix twice, two
@@ -4402,7 +4509,8 @@ object Queries {
     qIngestRouted, qBinaryIngest, qBloomLookup, qLineDedupWithin, qProfile, qJpegFeatures,
     qRepeatMixture, qScd2Lookup, qVideoStats, qVideoFrames,
     qCdcChunks, qCdcDedup, qNormalizeText, qIncrementalCdc, qOrcRoundtrip,
-    qPageRank, qPngFeatures, qGifFeatures, qGifFrames, qIntegrityChecksum,
+    qPageRank, qPngFeatures, qGifFeatures, qGifFrames, qTiffFeatures,
+    qIntegrityChecksum,
     qQualityClassifier, qScoreAuc, qScoreCalibration, qScoreGate, qKmeans,
     qSemanticDedup)
 }

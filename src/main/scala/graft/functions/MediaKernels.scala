@@ -358,10 +358,51 @@ object MediaKernels {
 
   /** (format, width, height) from the blob's container header, or NULL
     * when the blob matches no known magic / is truncated before its
-    * dimension fields. Formats: png, gif, bmp, jpeg.
+    * dimension fields. Formats: png, gif, bmp, jpeg, tiff.
     */
   def imageMeta(b: Array[Byte]): InternalRow = {
     if (b == null) return null
+    // TIFF: II*/MM* then the first IFD's ImageWidth(256)/ImageLength(257)
+    // entries (SHORT or LONG, count 1 — inline in the value field)
+    if (b.length >= 8 && ((b(0) == 'I' && b(1) == 'I') ||
+        (b(0) == 'M' && b(1) == 'M'))) {
+      val little = b(0) == 'I'
+      def tu16(i: Int): Int =
+        if (i < 0 || i + 2 > b.length) -1
+        else if (little) (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+        else ((b(i) & 0xff) << 8) | (b(i + 1) & 0xff)
+      def tu32(i: Int): Long =
+        if (i < 0 || i + 4 > b.length) -1L
+        else if (little)
+          (b(i) & 0xffL) | ((b(i + 1) & 0xffL) << 8) |
+            ((b(i + 2) & 0xffL) << 16) | ((b(i + 3) & 0xffL) << 24)
+        else
+          ((b(i) & 0xffL) << 24) | ((b(i + 1) & 0xffL) << 16) |
+            ((b(i + 2) & 0xffL) << 8) | (b(i + 3) & 0xffL)
+      if (tu16(2) != 42) return null
+      val ifd = tu32(4)
+      if (ifd < 8 || ifd + 2 > b.length) return null
+      val n = tu16(ifd.toInt)
+      if (n <= 0 || ifd + 2 + 12L * n > b.length) return null
+      var w = -1L; var h = -1L
+      var e = 0
+      while (e < n) {
+        val at = ifd.toInt + 2 + 12 * e
+        val tag = tu16(at)
+        if (tag == 256 || tag == 257) {
+          val typ = tu16(at + 2)
+          val v =
+            if (typ == 3) tu16(at + 8).toLong
+            else if (typ == 4) tu32(at + 8)
+            else -1L
+          if (tag == 256) w = v else h = v
+        }
+        e += 1
+      }
+      return if (w > 0 && h > 0 && w <= Int.MaxValue && h <= Int.MaxValue)
+        row("tiff", w.toInt, h.toInt)
+      else null
+    }
     // PNG: 8-byte magic, then the IHDR chunk (tag verified — a corrupt
     // blob keeping only the signature must not yield garbage dims);
     // width/height BE at 16/20, spec-valid only when positive

@@ -5,9 +5,10 @@ package graft.functions
   * R=G=B), baseline-sequential JPEG (dispatched to [[JpegKernels]],
   * round 8 — no codec library, pure T.81 math), 8-bit non-interlaced
   * PNG (dispatched to [[PngKernels]], round 9 — JDK Inflater + the
-  * five scanline filters, no imaging library), and GIF87a/89a
+  * five scanline filters, no imaging library), GIF87a/89a
   * (dispatched to [[GifKernels]], round 9 — variable-width LZW
-  * implemented directly). This
+  * implemented directly), and baseline TIFF (dispatched to
+  * [[TiffKernels]], round 11 — strips, PackBits/LZW). This
   * is the REAL decode path of [[graft.operators.Multimodal]]:
   * mean-RGB + dimensions come from actual pixel iteration, shrinking
   * the honest decode stub to VIDEO pixel data only. Replaces nothing
@@ -36,6 +37,9 @@ object RasterKernels {
       PngKernels.decode(bytes) // 8-bit non-interlaced PNG (round 9)
     else if (bytes(0) == 'G' && bytes(1) == 'I')
       GifKernels.decode(bytes) // GIF87a/89a LZW, first frame (round 9)
+    else if ((bytes(0) == 'I' && bytes(1) == 'I') ||
+             (bytes(0) == 'M' && bytes(1) == 'M'))
+      TiffKernels.decode(bytes) // baseline TIFF strips (round 11)
     else None
 
   private def leU16(b: Array[Byte], i: Int): Int =
