@@ -2234,6 +2234,77 @@ object Queries {
     * every division is a power of two except the sample-count mean,
     * which rounds identically in both engines). Every 7th blob
     * truncated mid-header → NULL stats, visible row. */
+  /** IMA ADPCM (WAV format 0x11) under the oracle (round 11): in-plan
+    * mono files of 1-3 blocks whose nibbles are ALL ZERO — at step
+    * index 0 a zero nibble adds step>>3 = 0 and the index clamps at 0,
+    * so every sample of a block IS its header predictor and n_frames /
+    * mean_abs / peak are closed-form for DuckDB. The real nibble
+    * dynamics (step walks, clamps, sign bits) are pinned against an
+    * independent transcription of the IMA recurrence in
+    * [[graft.AdpcmSpec]] — the same plumbing-under-oracle /
+    * dynamics-under-spec split as the PNG STORED-deflate families.
+    * Every 7th doc truncated (NULL row). */
+  private val qAudioAdpcm = Q("q_audio_adpcm",
+    (s, dir) => {
+      def h2(c: Column): Column = lpad(hex(c), 2, "0")
+      def le16h(c: Column): Column =
+        concat(h2(c.bitwiseAND(lit(255))), h2(shiftright(c, 8).bitwiseAND(lit(255))))
+      def le32h(c: Column): Column = concat(
+        h2(c.bitwiseAND(lit(255))),
+        h2(shiftright(c, 8).bitwiseAND(lit(255))),
+        h2(shiftright(c, 16).bitwiseAND(lit(255))),
+        h2(shiftright(c, 24).bitwiseAND(lit(255))))
+      val id = col("doc_id")
+      val nb = (lit(1) + pmod(id, lit(3))).cast("int") // 1..3 blocks
+      // block k's predictor in [-1000, 1000]; le16 of the two's
+      // complement via & 0xFFFF
+      val blocksHex = array_join(
+        transform(sequence(lit(0), nb - 1), k => {
+          val p = pmod(id * 37 + k * 101, lit(2001)).cast("int") - 1000
+          concat(le16h(p.bitwiseAND(lit(65535))), lit("0000"), lit("00000000"))
+        }), "")
+      val wavHex = concat(
+        lit("52494646"), le32h(lit(40) + nb * 8), lit("57415645"),
+        lit("666D7420"), le32h(lit(20)), le16h(lit(17)), le16h(lit(1)),
+        le32h(lit(8000)), le32h(lit(7111)), le16h(lit(8)), le16h(lit(4)),
+        le16h(lit(2)), le16h(lit(9)),
+        lit("64617461"), le32h(nb * 8), blocksHex)
+      val blobHex = when(pmod(id, lit(7)) === 0,
+        substring(wavHex, 1, 50)).otherwise(wavHex)
+      val media = t(s, dir, "documents")
+        .select(col("doc_id"), unhex(blobHex).as("blob"))
+      Multimodal.featurize(media, "doc_id", "blob", dim = 5,
+          decoder = Multimodal.pcm)
+        .select(col("media_id").cast("bigint").as("media_id"),
+          col("n_bytes").cast("bigint").as("n_bytes"),
+          get(col("feature"), lit(0)).cast("bigint").as("channels"),
+          get(col("feature"), lit(1)).cast("bigint").as("sample_rate"),
+          get(col("feature"), lit(2)).cast("bigint").as("n_frames"),
+          round(get(col("feature"), lit(3)).cast("double"), 6).as("mean_abs"),
+          round(get(col("feature"), lit(4)).cast("double"), 6).as("peak"))
+    },
+    Some("""WITH p AS (
+           |  SELECT doc_id, 1 + doc_id % 3 AS nb, doc_id % 7 = 0 AS trunc
+           |  FROM documents),
+           |blk AS (
+           |  SELECT doc_id, nb,
+           |         (doc_id * 37 + k * 101) % 2001 - 1000 AS pred
+           |  FROM p, (SELECT unnest(range(0, 3)) AS k) WHERE k < nb AND NOT trunc),
+           |agg AS (
+           |  SELECT doc_id, nb,
+           |         sum(abs(pred)) AS sp, max(abs(pred)) AS mp
+           |  FROM blk GROUP BY doc_id, nb)
+           |SELECT CAST(p.doc_id AS BIGINT) AS media_id,
+           |       CAST(CASE WHEN trunc THEN 25 ELSE 48 + p.nb * 8 END AS BIGINT) AS n_bytes,
+           |       CASE WHEN trunc THEN NULL ELSE CAST(1 AS BIGINT) END AS channels,
+           |       CASE WHEN trunc THEN NULL ELSE CAST(8000 AS BIGINT) END AS sample_rate,
+           |       CASE WHEN trunc THEN NULL ELSE CAST(p.nb * 9 AS BIGINT) END AS n_frames,
+           |       CASE WHEN trunc THEN NULL
+           |            ELSE round((9.0 * sp / 32768.0) / (9.0 * p.nb), 6) END AS mean_abs,
+           |       CASE WHEN trunc THEN NULL
+           |            ELSE round(mp / 32768.0, 6) END AS peak
+           |FROM p LEFT JOIN agg ON p.doc_id = agg.doc_id""".stripMargin))
+
   private val qAudioG711 = Q("q_audio_g711",
     (s, dir) => {
       def h2(c: Column): Column = lpad(hex(c), 2, "0")
@@ -4505,7 +4576,7 @@ object Queries {
     qDecontaminateBloom, qLmScore, qEventAttribution, qUpsert, qScd2,
     qZorder, qHilbert, qBpeTrain, qBpeTrainCapped, qBpeEncode, qImportance,
     qSampleGroup, qSampleBernoulli, qSampleWeighted, qSampleWeightedGroup, qScd2Multi, qSnapshotDiff, qTrainingOrder, qBlocklist,
-    qApproxTopk, qAudioFeatures, qAudioG711, qIncrementalEmbedding, qSplitClusterSafe,
+    qApproxTopk, qAudioFeatures, qAudioG711, qAudioAdpcm, qIncrementalEmbedding, qSplitClusterSafe,
     qIngestRouted, qBinaryIngest, qBloomLookup, qLineDedupWithin, qProfile, qJpegFeatures,
     qRepeatMixture, qScd2Lookup, qVideoStats, qVideoFrames,
     qCdcChunks, qCdcDedup, qNormalizeText, qIncrementalCdc, qOrcRoundtrip,

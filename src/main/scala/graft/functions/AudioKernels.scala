@@ -1,14 +1,16 @@
 package graft.functions
 
 /** Sample decode for the audio formats that need NO codec library —
-  * integer PCM (8-bit unsigned, 16-bit signed LE) and ITU-T G.711
-  * companded telephony audio (µ-law, format 7; A-law, format 6) inside
-  * a WAV/RIFF container. G.711 expansion is pure table arithmetic from
-  * the public spec (segment + mantissa + bias), so telephony corpora
-  * decode for real; the honest stub shrinks to the genuinely
-  * codec-bound formats (MP3/AAC/Opus), which this sandbox cannot
-  * decode. The audio analog of [[RasterKernels]]: amplitude statistics
-  * come from real sample iteration.
+  * integer PCM (8-bit unsigned, 16-bit signed LE), ITU-T G.711
+  * companded telephony audio (µ-law, format 7; A-law, format 6), and
+  * (round 11) IMA/DVI ADPCM (format 0x11, mono — the 4-bit speech
+  * codec of voicemail/telephony archives) inside a WAV/RIFF container.
+  * G.711 expansion is pure table arithmetic from the public spec
+  * (segment + mantissa + bias) and ADPCM is the public IMA step/index
+  * recurrence, so telephony corpora decode for real; the honest stub
+  * shrinks to the genuinely codec-bound formats (MP3/AAC/Opus), which
+  * this sandbox cannot decode. The audio analog of [[RasterKernels]]:
+  * amplitude statistics come from real sample iteration.
   *
   * Every parse failure — wrong magic, compressed/float payloads,
   * unsupported bit depth, truncated data — returns None rather than
@@ -57,6 +59,36 @@ object AudioKernels {
     if ((a & 0x80) != 0) t else -t
   }
 
+  /** IMA/DVI ADPCM tables (public IMA "Recommended Practices" spec —
+    * the WAV format-0x11 codec): 89-entry step table, 16-entry index
+    * adaptation. */
+  private val ImaStep: Array[Int] = Array(
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31,
+    34, 37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143,
+    157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544,
+    598, 658, 724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707,
+    1878, 2066, 2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871,
+    5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899,
+    15289, 16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767)
+  private val ImaIndex: Array[Int] = Array(
+    -1, -1, -1, -1, 2, 4, 6, 8, -1, -1, -1, -1, 2, 4, 6, 8)
+
+  /** One IMA ADPCM step: returns the new (predictor, index) packed as
+    * (pred << 8) | index — exposed so the spec's independent reference
+    * recurrence checks the SAME public algorithm, not this code. */
+  def imaStep(nibble: Int, pred: Int, index: Int): (Int, Int) = {
+    val step = ImaStep(index)
+    var diff = step >> 3
+    if ((nibble & 1) != 0) diff += step >> 2
+    if ((nibble & 2) != 0) diff += step >> 1
+    if ((nibble & 4) != 0) diff += step
+    val p0 = if ((nibble & 8) != 0) pred - diff else pred + diff
+    val p1 = if (p0 < -32768) -32768 else if (p0 > 32767) 32767 else p0
+    val i0 = index + ImaIndex(nibble)
+    val i1 = if (i0 < 0) 0 else if (i0 > 88) 88 else i0
+    (p1, i1)
+  }
+
   /** Decode integer-PCM WAV. Unlike [[MediaKernels.audioMeta]] (which
     * reports a truncated blob's surviving frames — triage wants the
     * real count), decode REQUIRES the declared data chunk to be fully
@@ -71,6 +103,8 @@ object AudioKernels {
     var channels = -1
     var rate = -1
     var bits = -1
+    var blockAlign = -1
+    var samplesPerBlock = -1
     var dataOff = -1L
     var dataLen = -1L
     var i = 12L
@@ -84,7 +118,11 @@ object AudioKernels {
         formatTag = leU16(b, j + 8)
         channels = leU16(b, j + 10)
         rate = leI32(b, j + 12)
+        blockAlign = leU16(b, j + 20)
         bits = leU16(b, j + 22)
+        // the ADPCM extension carries wSamplesPerBlock
+        if (size >= 20 && j + 8 + 20 <= b.length)
+          samplesPerBlock = leU16(b, j + 26)
       } else if (isData) {
         dataOff = j + 8L
         dataLen = size
@@ -93,9 +131,56 @@ object AudioKernels {
     }
     val pcm = formatTag == 1 && (bits == 8 || bits == 16)
     val g711 = (formatTag == 6 || formatTag == 7) && bits == 8
-    if (!(pcm || g711) || channels <= 0 || channels > 64 || rate <= 0 ||
-        dataOff < 0 || dataLen < 0) return None
+    val adpcm = formatTag == 0x11 && bits == 4
+    if (!(pcm || g711 || adpcm) || channels <= 0 || channels > 64 ||
+        rate <= 0 || dataOff < 0 || dataLen < 0) return None
     if (dataOff + dataLen > b.length) return None // truncated: refuse
+
+    if (adpcm) {
+      // IMA/DVI ADPCM (round 11), MONO scope: per-block 4-byte header
+      // (int16 predictor, uint8 step index, reserved) then low-nibble-
+      // first 4-bit codes; sample 0 of each block IS the header
+      // predictor. Stereo interleaves 8-nibble channel groups and is a
+      // declared refusal; partial trailing blocks and a samples-per-
+      // block that disagrees with the block size fail closed — stats
+      // over a misframed stream would be silently wrong.
+      if (channels != 1 || blockAlign < 5) return None
+      if (samplesPerBlock != (blockAlign - 4) * 2 + 1) return None
+      if (dataLen == 0 || dataLen % blockAlign != 0) return None
+      val nBlocks = (dataLen / blockAlign).toInt
+      var sumAbs = 0.0
+      var sumSq = 0.0
+      var peak = 0.0
+      def acc(sample: Int): Unit = {
+        val v = sample / 32768.0
+        val a = math.abs(v)
+        sumAbs += a
+        sumSq += v * v
+        if (a > peak) peak = a
+      }
+      var blk = 0
+      while (blk < nBlocks) {
+        val at = (dataOff + blk.toLong * blockAlign).toInt
+        var pred = ((b(at) & 0xff) | (b(at + 1) << 8)).toShort.toInt
+        var index = b(at + 2) & 0xff
+        if (index > 88) return None
+        acc(pred)
+        var i = at + 4
+        val end = at + blockAlign
+        while (i < end) {
+          val byte = b(i) & 0xff
+          val (p1, i1) = imaStep(byte & 0x0f, pred, index)
+          pred = p1; index = i1; acc(pred)
+          val (p2, i2) = imaStep(byte >> 4, pred, index)
+          pred = p2; index = i2; acc(pred)
+          i += 1
+        }
+        blk += 1
+      }
+      val nSamples = nBlocks.toLong * samplesPerBlock
+      return Some(Pcm(1, rate, 4, nSamples,
+        sumAbs / nSamples, sumSq / nSamples, peak))
+    }
     val bytesPerSample = bits / 8
     val frameBytes = channels.toLong * bytesPerSample
     val nFrames = dataLen / frameBytes
