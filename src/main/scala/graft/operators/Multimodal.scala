@@ -9,17 +9,19 @@ import org.apache.spark.sql.types._
   * resize / frame-sample run batched per partition.
   *
   * Decode is REAL for every still-image and audio family the engine
-  * featurizes — uncompressed 24-bit BMP, binary PPM/PGM, (since round
-  * 8) baseline-sequential JPEG, and (round 9) 8-bit non-interlaced
-  * PNG and GIF87a/89a LZW decode to dimensions + mean-RGB via
-  * [[graft.functions.RasterKernels]]/[[graft.functions.JpegKernels]]/
-  * [[graft.functions.PngKernels]]/[[graft.functions.GifKernels]]
+  * featurizes — uncompressed 24-bit BMP, binary PPM/PGM, baseline AND
+  * progressive JPEG (rounds 8/11), PNG at every legal (type, depth)
+  * pair incl. sub-byte and Adam7 (rounds 9–11), GIF87a/89a LZW with
+  * the full animation walk (rounds 9/11), and baseline TIFF with
+  * PackBits/LZW (round 11) decode to dimensions + mean-RGB via
+  * [[graft.functions.RasterKernels]] and its per-format kernels
   * ([[raster]]) — every format [[imageMeta]] can triage now decodes
-  * to pixels — and integer-PCM WAV decodes to frame/amplitude
-  * statistics via [[graft.functions.AudioKernels]] ([[pcm]]);
-  * q_multimodal_features, q_jpeg_features, q_png_features,
-  * q_gif_features, and q_audio_features hash-check these paths
-  * against the DuckDB oracle.
+  * to pixels — and integer-PCM/G.711/IMA-ADPCM WAV decodes to
+  * frame/amplitude statistics via [[graft.functions.AudioKernels]]
+  * ([[pcm]]); q_multimodal_features, q_jpeg_features, q_png_features,
+  * q_gif_features, q_gif_frames, q_tiff_features, q_audio_features,
+  * q_audio_g711, and q_audio_adpcm hash-check these paths against the
+  * DuckDB oracle.
   * Only VIDEO pixel data (MP4/ffmpeg codecs, not in this environment)
   * remains a clearly-marked deterministic STUB — with everything
   * Spark-side real and tested: schema, batching shape, partition-local
