@@ -2305,6 +2305,103 @@ object Queries {
            |            ELSE round(mp / 32768.0, 6) END AS peak
            |FROM p LEFT JOIN agg ON p.doc_id = agg.doc_id""".stripMargin))
 
+  /** 80-bit IEEE extended hex for an integer (AIFF sample rates). */
+  private def ext80Hex(v: Long): String = {
+    var m = v
+    var e = 16383 + 63
+    while ((m & (1L << 63)) == 0) { m <<= 1; e -= 1 }
+    f"$e%04X$m%016X"
+  }
+
+  /** AU and AIFF containers under the oracle (round 11): even ids are
+    * Sun AU µ-law telephony blobs (the SAME byte pattern as
+    * [[qAudioG711]], so the oracle reuses its closed-form G.711
+    * expansion — only the container walk differs), odd ids are AIFF
+    * big-endian PCM16 with dyadic samples (first frame +a·256, the
+    * rest −b·256 — exact in float32 and double). Both containers'
+    * decode is also pinned against javax.sound's own writers in
+    * [[graft.AudioContainersSpec]]. Every 7th doc truncated (NULL). */
+  private val qAudioContainers = Q("q_audio_containers",
+    (s, dir) => {
+      def h2(c: Column): Column = lpad(hex(c), 2, "0")
+      def be32h(c: Column): Column = concat(
+        h2(shiftright(c, 24).bitwiseAND(lit(255))),
+        h2(shiftright(c, 16).bitwiseAND(lit(255))),
+        h2(shiftright(c, 8).bitwiseAND(lit(255))),
+        h2(c.bitwiseAND(lit(255))))
+      def rep(px: Column, n: Column): Column = array_join(array_repeat(px, n), "")
+      val id = col("doc_id")
+      val n = (lit(16) + pmod(id, lit(3)) * 8).cast("int") // 16/24/32 frames
+      val isAu = pmod(id, lit(2)) === 0
+      val auData = array_join(
+        transform(sequence(lit(0), n - 1),
+          i => h2(pmod(id * 13 + i * 29, lit(256)))), "")
+      val auHex = concat(lit("2E736E64"), be32h(lit(24)), be32h(n),
+        be32h(lit(1)), be32h(lit(8000)), be32h(lit(1)), auData)
+      val a = (pmod(id, lit(127)) + 1).cast("int")
+      val b = (pmod(id * 3, lit(127)) + 1).cast("int")
+      val aiffData = concat(h2(a), lit("00"),
+        rep(concat(h2(lit(256) - b), lit("00")), n - 1))
+      val aiffHex = concat(lit("464F524D"), be32h(lit(46) + n * 2),
+        lit("41494646"),
+        lit("434F4D4D"), be32h(lit(18)), lit("0001"), be32h(n),
+        lit("0010"), lit(ext80Hex(8000)),
+        lit("53534E44"), be32h(lit(8) + n * 2), be32h(lit(0)), be32h(lit(0)),
+        aiffData)
+      val wavHex = when(isAu, auHex).otherwise(aiffHex)
+      val blobHex = when(pmod(id, lit(7)) === 0,
+        substring(wavHex, 1, 50)).otherwise(wavHex)
+      val media = t(s, dir, "documents")
+        .select(col("doc_id"), unhex(blobHex).as("blob"))
+      Multimodal.featurize(media, "doc_id", "blob", dim = 5,
+          decoder = Multimodal.pcm)
+        .select(col("media_id").cast("bigint").as("media_id"),
+          col("n_bytes").cast("bigint").as("n_bytes"),
+          get(col("feature"), lit(0)).cast("bigint").as("channels"),
+          get(col("feature"), lit(1)).cast("bigint").as("sample_rate"),
+          get(col("feature"), lit(2)).cast("bigint").as("n_frames"),
+          round(get(col("feature"), lit(3)).cast("double"), 6).as("mean_abs"),
+          round(get(col("feature"), lit(4)).cast("double"), 6).as("peak"))
+    },
+    Some("""WITH p AS (
+           |  SELECT doc_id, 16 + (doc_id % 3) * 8 AS n,
+           |         doc_id % 2 = 0 AS is_au, doc_id % 7 = 0 AS trunc,
+           |         doc_id % 127 + 1 AS a, (doc_id * 3) % 127 + 1 AS b
+           |  FROM documents),
+           |s AS (
+           |  SELECT doc_id, n, (doc_id * 13 + i * 29) % 256 AS bv
+           |  FROM p, (SELECT unnest(range(0, 32)) AS i)
+           |  WHERE i < n AND NOT trunc AND is_au),
+           |lin AS (
+           |  SELECT doc_id, n,
+           |    CASE WHEN (255 - bv) >= 128
+           |         THEN 132 - ((((255 - bv) % 16) * 8 + 132) * (1 << (((255 - bv) // 16) % 8)))
+           |         ELSE ((((255 - bv) % 16) * 8 + 132) * (1 << (((255 - bv) // 16) % 8))) - 132 END AS v
+           |  FROM s),
+           |agg AS (
+           |  -- the engine's feature vector is FLOAT32: squeeze the
+           |  -- double mean through a float before the 6-digit round
+           |  SELECT doc_id,
+           |         round(CAST(CAST(avg(abs(v)) / 32768 AS REAL) AS DOUBLE), 6) AS mean_abs,
+           |         round(CAST(CAST(max(abs(v)) / 32768.0 AS REAL) AS DOUBLE), 6) AS peak
+           |  FROM lin GROUP BY doc_id)
+           |SELECT CAST(p.doc_id AS BIGINT) AS media_id,
+           |       CAST(CASE WHEN trunc THEN 25
+           |                 WHEN is_au THEN 24 + n
+           |                 ELSE 54 + 2 * n END AS BIGINT) AS n_bytes,
+           |       CASE WHEN trunc THEN NULL ELSE CAST(1 AS BIGINT) END AS channels,
+           |       CASE WHEN trunc THEN NULL ELSE CAST(8000 AS BIGINT) END AS sample_rate,
+           |       CASE WHEN trunc THEN NULL ELSE CAST(n AS BIGINT) END AS n_frames,
+           |       CASE WHEN trunc THEN NULL
+           |            WHEN is_au THEN agg.mean_abs
+           |            ELSE round(CAST(CAST((a + (n - 1) * CAST(b AS DOUBLE)) / (128.0 * n) AS REAL) AS DOUBLE), 6)
+           |       END AS mean_abs,
+           |       CASE WHEN trunc THEN NULL
+           |            WHEN is_au THEN agg.peak
+           |            ELSE round(CAST(CAST(greatest(a, b) / 128.0 AS REAL) AS DOUBLE), 6)
+           |       END AS peak
+           |FROM p LEFT JOIN agg ON p.doc_id = agg.doc_id""".stripMargin))
+
   private val qAudioG711 = Q("q_audio_g711",
     (s, dir) => {
       def h2(c: Column): Column = lpad(hex(c), 2, "0")
@@ -4576,7 +4673,7 @@ object Queries {
     qDecontaminateBloom, qLmScore, qEventAttribution, qUpsert, qScd2,
     qZorder, qHilbert, qBpeTrain, qBpeTrainCapped, qBpeEncode, qImportance,
     qSampleGroup, qSampleBernoulli, qSampleWeighted, qSampleWeightedGroup, qScd2Multi, qSnapshotDiff, qTrainingOrder, qBlocklist,
-    qApproxTopk, qAudioFeatures, qAudioG711, qAudioAdpcm, qIncrementalEmbedding, qSplitClusterSafe,
+    qApproxTopk, qAudioFeatures, qAudioG711, qAudioAdpcm, qAudioContainers, qIncrementalEmbedding, qSplitClusterSafe,
     qIngestRouted, qBinaryIngest, qBloomLookup, qLineDedupWithin, qProfile, qJpegFeatures,
     qRepeatMixture, qScd2Lookup, qVideoStats, qVideoFrames,
     qCdcChunks, qCdcDedup, qNormalizeText, qIncrementalCdc, qOrcRoundtrip,

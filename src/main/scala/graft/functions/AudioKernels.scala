@@ -89,13 +89,147 @@ object AudioKernels {
     (p1, i1)
   }
 
-  /** Decode integer-PCM WAV. Unlike [[MediaKernels.audioMeta]] (which
-    * reports a truncated blob's surviving frames — triage wants the
-    * real count), decode REQUIRES the declared data chunk to be fully
-    * present: statistics over half the samples would be silently wrong
-    * in exactly the way a feature pipeline can't detect.
+  /** Container dispatch: RIFF/WAVE, Sun AU (.snd), and AIFF (round 11
+    * — the archival/telephony containers javax.sound itself writes).
+    * Unlike [[MediaKernels.audioMeta]] (which reports a truncated
+    * blob's surviving frames — triage wants the real count), decode
+    * REQUIRES the declared data to be fully present: statistics over
+    * half the samples would be silently wrong in exactly the way a
+    * feature pipeline can't detect.
     */
   def decode(b: Array[Byte]): Option[Pcm] = {
+    if (b == null || b.length < 12) return None
+    if (b(0) == '.' && b(1) == 's' && b(2) == 'n' && b(3) == 'd')
+      return decodeAu(b)
+    if (b(0) == 'F' && b(1) == 'O' && b(2) == 'R' && b(3) == 'M' &&
+        b(8) == 'A' && b(9) == 'I' && b(10) == 'F' && b(11) == 'F')
+      return decodeAiff(b)
+    decodeWav(b)
+  }
+
+  private def beI32(b: Array[Byte], i: Int): Int =
+    ((b(i) & 0xff) << 24) | ((b(i + 1) & 0xff) << 16) |
+      ((b(i + 2) & 0xff) << 8) | (b(i + 3) & 0xff)
+  private def beU16(b: Array[Byte], i: Int): Int =
+    ((b(i) & 0xff) << 8) | (b(i + 1) & 0xff)
+
+  /** Sun AU (.snd): 24-byte big-endian header (magic, data offset,
+    * data size — 0xFFFFFFFF = until EOF — encoding, rate, channels).
+    * Encodings: 1 µ-law, 2 signed PCM8, 3 signed PCM16 BE, 27 A-law.
+    * Everything else (floats, G.721/722, 24/32-bit) returns None. */
+  private def decodeAu(b: Array[Byte]): Option[Pcm] = {
+    if (b.length < 24) return None
+    val off = beI32(b, 4).toLong & 0xffffffffL
+    val dsz = beI32(b, 8).toLong & 0xffffffffL
+    val enc = beI32(b, 12)
+    val rate = beI32(b, 16)
+    val channels = beI32(b, 20)
+    if (off < 24 || off > b.length || channels <= 0 || channels > 64 ||
+        rate <= 0) return None
+    val bytesPerSample = enc match {
+      case 1 | 2 | 27 => 1
+      case 3 => 2
+      case _ => return None
+    }
+    val avail = b.length - off
+    val len = if (dsz == 0xffffffffL) avail else dsz
+    if (len > avail) return None // truncated: refuse
+    val frameBytes = channels.toLong * bytesPerSample
+    val nFrames = len / frameBytes
+    val nSamples = nFrames * channels
+    if (nSamples == 0) return None
+    var sumAbs = 0.0; var sumSq = 0.0; var peak = 0.0
+    var p = off.toInt
+    val end = (off + nSamples * bytesPerSample).toInt
+    while (p < end) {
+      val v = enc match {
+        case 1 => ulawToLinear(b(p) & 0xff) / 32768.0
+        case 27 => alawToLinear(b(p) & 0xff) / 32768.0
+        case 2 => b(p) / 128.0 // AU PCM8 is SIGNED (WAV's is unsigned)
+        case _ => ((b(p) << 8) | (b(p + 1) & 0xff)).toShort / 32768.0
+      }
+      val a = math.abs(v)
+      sumAbs += a; sumSq += v * v
+      if (a > peak) peak = a
+      p += bytesPerSample
+    }
+    Some(Pcm(channels, rate,
+      if (bytesPerSample == 2) 16 else 8, nFrames,
+      sumAbs / nSamples, sumSq / nSamples, peak))
+  }
+
+  /** 80-bit IEEE extended float (AIFF sample rates) → Long, or -1 when
+    * not a positive integer a sample rate could be. */
+  private def extended80(b: Array[Byte], i: Int): Long = {
+    if (i + 10 > b.length) return -1L
+    val se = beU16(b, i)
+    if ((se & 0x8000) != 0) return -1L // negative rate
+    val exp = se & 0x7fff
+    var mant = 0L
+    var j = 0
+    while (j < 8) { mant = (mant << 8) | (b(i + 2 + j) & 0xffL); j += 1 }
+    if (exp == 0 && mant == 0L) return -1L
+    // value = mant · 2^(exp − 16383 − 63); integers need the shift in
+    // [-63, 0] and no fractional bits
+    val shift = exp - 16383 - 63
+    if (shift > 0 || shift < -63) return -1L
+    if (shift != 0 && (mant & ((1L << -shift) - 1)) != 0) return -1L
+    mant >>> -shift
+  }
+
+  /** AIFF: big-endian IFF chunks — COMM (channels, frame count, bits,
+    * 80-bit-extended rate) + SSND (offset/blockSize then SIGNED BE
+    * PCM). 8/16-bit integer PCM only; AIFC compressed variants and
+    * other depths return None. */
+  private def decodeAiff(b: Array[Byte]): Option[Pcm] = {
+    var channels = -1
+    var nFrames = -1L
+    var bits = -1
+    var rate = -1L
+    var soundAt = -1L
+    var soundLen = -1L
+    var i = 12L
+    while (i + 8 <= b.length) {
+      val j = i.toInt
+      val size = beI32(b, j + 4).toLong & 0xffffffffL
+      if (b(j) == 'C' && b(j + 1) == 'O' && b(j + 2) == 'M' && b(j + 3) == 'M') {
+        if (size < 18 || j + 8 + 18 > b.length) return None
+        channels = beU16(b, j + 8)
+        nFrames = beI32(b, j + 10).toLong & 0xffffffffL
+        bits = beU16(b, j + 14)
+        rate = extended80(b, j + 16)
+      } else if (b(j) == 'S' && b(j + 1) == 'S' && b(j + 2) == 'N' && b(j + 3) == 'D') {
+        if (size < 8 || j + 16 > b.length) return None
+        val dataOff = beI32(b, j + 8).toLong & 0xffffffffL
+        soundAt = j + 16L + dataOff
+        soundLen = size - 8 - dataOff
+      }
+      i += 8L + size + (size & 1L)
+    }
+    if (channels <= 0 || channels > 64 || nFrames <= 0 || rate <= 0 ||
+        rate > 10000000L || (bits != 8 && bits != 16) ||
+        soundAt < 0 || soundLen < 0) return None
+    val bytesPerSample = bits / 8
+    val nSamples = nFrames * channels
+    val need = nSamples * bytesPerSample
+    if (need > soundLen || soundAt + need > b.length) return None
+    var sumAbs = 0.0; var sumSq = 0.0; var peak = 0.0
+    var p = soundAt.toInt
+    val end = (soundAt + need).toInt
+    while (p < end) {
+      val v =
+        if (bits == 16) ((b(p) << 8) | (b(p + 1) & 0xff)).toShort / 32768.0
+        else b(p) / 128.0 // AIFF PCM8 is SIGNED
+      val a = math.abs(v)
+      sumAbs += a; sumSq += v * v
+      if (a > peak) peak = a
+      p += bytesPerSample
+    }
+    Some(Pcm(channels, rate.toInt, bits, nFrames,
+      sumAbs / nSamples, sumSq / nSamples, peak))
+  }
+
+  private def decodeWav(b: Array[Byte]): Option[Pcm] = {
     if (b == null || b.length < 44) return None
     if (!(b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
           b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E')) return None
