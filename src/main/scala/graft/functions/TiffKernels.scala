@@ -33,6 +33,16 @@ object TiffKernels {
 
   def decode(b: Array[Byte]): Option[RasterKernels.Raster] = {
     if (b == null || b.length < 8) return None
+    try decodeInner(b) catch {
+      // defensive: any slip in the bounds discipline below must degrade
+      // to a NULL feature, never kill the executor task (the
+      // JpegKernels stance — and the fuzz spec hunts for these)
+      case _: ArrayIndexOutOfBoundsException | _: NegativeArraySizeException |
+           _: ArithmeticException => None
+    }
+  }
+
+  private def decodeInner(b: Array[Byte]): Option[RasterKernels.Raster] = {
     val little =
       if (b(0) == 'I' && b(1) == 'I') true
       else if (b(0) == 'M' && b(1) == 'M') false
@@ -65,7 +75,9 @@ object TiffKernels {
         case 1 => 1 case 3 => 2 case 4 => 4
         case _ => return null // RATIONAL etc.: not an integer tag we read
       }
-      if (cnt < 0 || cnt > cap) return null
+      // a zero count is as forged as an oversized one — callers index
+      // the first element (found by the round-11 fuzz spec)
+      if (cnt < 1 || cnt > cap) return null
       val total = cnt * size
       val at =
         if (total <= 4) entryAt + 8
