@@ -14,7 +14,8 @@ import scala.collection.mutable.ArrayBuffer
   *    construction (min code size 7 → 8-bit literal codes, a CLEAR
   *    every ≤100 literals so the width never grows) keeps every byte
   *    of the stream explainable by hand — interlacing, local palettes,
-  *    animation (first frame wins), and the fail-closed shapes are
+  *    animation (decode() reports frame 1; frames() walks them all,
+  *    round 11), and the fail-closed shapes are
   *    pinned there.
   */
 class GifSpec extends AnyFunSuite {
