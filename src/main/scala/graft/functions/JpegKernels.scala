@@ -128,11 +128,17 @@ object JpegKernels {
       v
     }
 
-    /** Skip to the next byte boundary and consume an expected RSTn. */
+    /** Skip to the next byte boundary and consume an expected RSTn.
+      * T.81 B.1.1.2 permits any run of 0xFF fill bytes before a marker,
+      * so skip repeats before classifying the code byte (mirroring
+      * readBit's fill handling — requiring the marker to start exactly
+      * at `pos` made legal padded restart streams decode to NULL). */
     def resync(): Boolean = {
       nbits = 0
       atMarker = false
       if (pos + 1 >= b.length || (b(pos) & 0xff) != 0xff) return false
+      while (pos + 1 < b.length && (b(pos + 1) & 0xff) == 0xff) pos += 1
+      if (pos + 1 >= b.length) return false
       val m = b(pos + 1) & 0xff
       if (m < 0xd0 || m > 0xd7) return false
       pos += 2
@@ -275,6 +281,7 @@ object JpegKernels {
     var mcusX = 0
     var mcusY = 0
     var sawScan = false
+    var nScans = 0
 
     def u16(i: Int): Int = ((b(i) & 0xff) << 8) | (b(i + 1) & 0xff)
 
@@ -386,6 +393,13 @@ object JpegKernels {
           val ss = b(seg + 1 + 2 * ns) & 0xff
           val se = b(seg + 2 + 2 * ns) & 0xff
           val aa = b(seg + 3 + 2 * ns) & 0xff
+          // each SOS header forces a walk of a full component grid and
+          // EOB runs make that walk near-free in entropy bytes, so an
+          // unbounded scan count is a CPU amplifier (blob/12 scans x up
+          // to ~1M block visits each); no legal encoder approaches this
+          // (cf. libjpeg-turbo/Mozilla progressive-scan limits)
+          nScans += 1
+          if (progressive && nScans > 256) return None
           if (coefs == null) {
             val hMax = comps.map(_.h).max
             val vMax = comps.map(_.v).max
@@ -397,11 +411,21 @@ object JpegKernels {
             // until EOI — cap tighter than the baseline byte planes so
             // a forged SOF degrades to None, never an executor OOM
             var ci2 = 0
+            var allBlocks = 0L
             while (ci2 < comps.length) {
-              if (blocksW(ci2).toLong * blocksH(ci2) * 64L > (1L << 26))
-                return None
+              val cb = blocksW(ci2).toLong * blocksH(ci2)
+              if (cb * 64L > (1L << 26)) return None
+              allBlocks += cb
               ci2 += 1
             }
+            // plausibility gate mirroring baseline decodeScan's: every
+            // block costs >= 1 entropy bit even in the cheapest scan
+            // shape (DC refinement), so a renderable stream needs
+            // blocks <= 8x the bytes remaining at first SOS — a
+            // ~100-byte forged SOF2+SOS must die BEFORE the grids
+            // (up to ~256 MB/component) are allocated
+            if (allBlocks > (b.length.toLong - segEnd + 1L) * 8L)
+              return None
             // non-interleaved scans walk the component's OWN block grid
             // (T.81 A.2.2), not the MCU-padded one
             compBx = comps.map(c =>

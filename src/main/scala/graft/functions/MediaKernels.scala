@@ -391,8 +391,14 @@ object MediaKernels {
         val tag = tu16(at)
         if (tag == 256 || tag == 257) {
           val typ = tu16(at + 2)
+          // count must be 1: a LONG with count>1 (or SHORT with count>2)
+          // stores an OFFSET in the value field, not the dimension —
+          // trusting it reports garbage dims for a blob TiffKernels
+          // itself refuses (its values() caps these tags at count 1)
+          val cnt = tu32(at + 4)
           val v =
-            if (typ == 3) tu16(at + 8).toLong
+            if (cnt != 1L) -1L
+            else if (typ == 3) tu16(at + 8).toLong
             else if (typ == 4) tu32(at + 8)
             else -1L
           if (tag == 256) w = v else h = v

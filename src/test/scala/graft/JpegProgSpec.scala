@@ -378,6 +378,62 @@ class JpegProgSpec extends AnyFunSuite {
     assert(r.meanR == want, s"got ${r.meanR}, want $want")
   }
 
+  test("forged SOF2 dies before the coefficient grids are allocated") {
+    // 8000x8000 gray = 1M blocks: the Int grid would be 64M entries
+    // (256 MB) — under the absolute 1<<26 cap, so only the
+    // bytes-remaining plausibility gate stands between a ~90-byte
+    // forged blob and that allocation. Measure thread allocation to
+    // pin that the gate fires BEFORE the grids are built (the forged
+    // blob also decodes to None either way, which alone can't tell
+    // gate-then-None from alloc-then-None).
+    val sof = Array(8.toByte,
+      (8000 >> 8).toByte, (8000 & 0xff).toByte,
+      (8000 >> 8).toByte, (8000 & 0xff).toByte,
+      1.toByte, 1.toByte, 0x11.toByte, 0.toByte)
+    val sos = seg(0xda, Array(1.toByte, 1.toByte, 0x00.toByte,
+      0.toByte, 0.toByte, 0x10.toByte))
+    val stream = Array(0xff.toByte, 0xd8.toByte) ++
+      dqt(0, flatQt) ++ dht(0, 0, DcBits, DcVals) ++
+      seg(0xc2, sof) ++ sos ++ Array(0.toByte) ++
+      Array(0xff.toByte, 0xd9.toByte)
+    val bean = java.lang.management.ManagementFactory.getThreadMXBean
+      .asInstanceOf[com.sun.management.ThreadMXBean]
+    val tid = Thread.currentThread().getId
+    val before = bean.getThreadAllocatedBytes(tid)
+    assert(JpegKernels.decode(stream).isEmpty)
+    val allocated = bean.getThreadAllocatedBytes(tid) - before
+    assert(allocated < 8L * 1024 * 1024,
+      s"decode allocated $allocated bytes on a forged SOF2 — " +
+        "the coefficient grids were built before the gate")
+  }
+
+  test("progressive scan count is bounded: a scan-spam stream returns None") {
+    // One 8x8 gray block, one legal DC-first scan, then 300 DC
+    // refinement scans (each shape-legal: ah=1, al=0, ~10 bytes). Every
+    // scan forces a full grid walk, so an unbounded count is a CPU
+    // amplifier; no legal encoder emits anything close to the 256 cap.
+    val dcC = codes(DcBits, DcVals)
+    def sos1(ss: Int, se: Int, ah: Int, al: Int): Array[Byte] =
+      seg(0xda, Array(1.toByte, 1.toByte, 0x00.toByte,
+        ss.toByte, se.toByte, ((ah << 4) | al).toByte))
+    val w1 = new BitWriter
+    locally { val (c, l) = dcC(0); w1.put(c, l) } // DC diff 0
+    w1.flushWithOnes()
+    val sof = Array(8.toByte, 0.toByte, 8.toByte, 0.toByte, 8.toByte,
+      1.toByte, 1.toByte, 0x11.toByte, 0.toByte)
+    val head = Array(0xff.toByte, 0xd8.toByte) ++
+      dqt(0, flatQt) ++ dht(0, 0, DcBits, DcVals) ++
+      seg(0xc2, sof) ++ sos1(0, 0, 0, 1) ++ w1.buf
+    val refine = sos1(0, 0, 1, 0) ++ Array(0.toByte) // one raw bit + 1-pad
+    val eoi = Array(0xff.toByte, 0xd9.toByte)
+    // 10 refinement scans: legal-ish, decodes
+    assert(JpegKernels.decode(
+      head ++ Array.fill(10)(refine).flatten ++ eoi).isDefined)
+    // 300: past the cap, refused
+    assert(JpegKernels.decode(
+      head ++ Array.fill(300)(refine).flatten ++ eoi).isEmpty)
+  }
+
   test("ImageIO progressive gray: multi-scan script tracks the JDK reader") {
     val (w, h) = (32, 24)
     val img = new java.awt.image.BufferedImage(

@@ -319,6 +319,26 @@ class JpegSpec extends AnyFunSuite {
     assert(r.meanR == er)
   }
 
+  test("0xFF fill bytes before restart markers decode (T.81 B.1.1.2)") {
+    // the standard permits any run of 0xFF fill bytes ahead of a
+    // marker; resync() used to demand the RST start exactly at pos,
+    // so a legal padded restart stream decoded to NULL
+    def blk(bx: Int, by: Int) = dcOnly(15 + 4 * bx + by)
+    val bytes = encode(32, 8, Seq((1, 1)), flatQt, _ => blk, restartInterval = 2)
+    val plain = JpegKernels.decode(bytes).get
+    val padded = scala.collection.mutable.ArrayBuffer.empty[Byte]
+    var i = 0
+    while (i < bytes.length) {
+      if (i + 1 < bytes.length && (bytes(i) & 0xff) == 0xff &&
+          (bytes(i + 1) & 0xff) >= 0xd0 && (bytes(i + 1) & 0xff) <= 0xd7) {
+        padded += 0xff.toByte; padded += 0xff.toByte // two fill bytes
+      }
+      padded += bytes(i); i += 1
+    }
+    assert(padded.length > bytes.length, "fixture carries no RST markers")
+    assert(JpegKernels.decode(padded.toArray).contains(plain))
+  }
+
   test("DQT is zigzag-ordered (T.81 B.2.4.1): non-flat table, clamped block") {
     // payload (zigzag order): element 2 -> natural position 8 (coef 1,0).
     // Round 11: the kernel stored the payload verbatim and indexed it

@@ -243,4 +243,21 @@ class TiffSpec extends AnyFunSuite {
     val m2 = graft.functions.MediaKernels.imageMeta(imageIoTiff(g, None))
     assert(m2 != null && m2.getInt(1) == 7 && m2.getInt(2) == 3)
   }
+
+  test("imageMeta refuses dimension entries whose value field is an offset") {
+    // a LONG entry with count > 1 stores an OFFSET in the value field
+    // (TIFF 6.0 §2); trusting it reported garbage dims for a blob the
+    // full decoder itself refuses (TiffKernels caps these tags at
+    // count 1)
+    val data = Array.fill[Byte](20)(9)
+    val blob = tiffLE(5, 4, 1, 1, data)
+    val at = 8 + data.length + 2 // first IFD entry = tag 256
+    assert(((blob(at) & 0xff) | ((blob(at + 1) & 0xff) << 8)) == 256)
+    val forged = blob.clone()
+    forged(at + 2) = 4 // type LONG
+    forged(at + 4) = 2 // count 2 -> value field no longer inline
+    forged(at + 8) = 0; forged(at + 9) = 4 // "width" now reads 1024
+    assert(graft.functions.TiffKernels.decode(forged).isEmpty)
+    assert(graft.functions.MediaKernels.imageMeta(forged) == null)
+  }
 }
