@@ -1,10 +1,9 @@
 package graft.motogp
 
 import graft.operators.{FuzzyMatch, Ops}
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
 
 /** The seven integrated tables of the reference's star schema, composed
   * Spark-first from the operator library. Each `lazy val` mirrors one
@@ -31,15 +30,15 @@ class MotoGpPipelines(spark: SparkSession, paths: MotoGpPaths) {
     MotoGpSources.json(spark, p, s)
 
   /** Contiguous 1-based id in file/stream order (Kettle `Add sequence`
-    * on a source stream). zipWithIndex preserves partition order =
-    * file order; deterministic for a fixed input file. One narrow pass —
-    * no global window bottleneck at fact scale.
+    * on a source stream) — [[Ops.zipWithIndexFileOrder]], the pure
+    * DataFrame form. The previous `rdd.zipWithIndex` formulation cut
+    * the plan with an ExistingRDD barrier on `resultsBase`, the
+    * race-results FACT table — forfeiting codegen/columnar/AQE on the
+    * hottest input at scale. Same ids: the file-order key is the scan's
+    * own (partition, row) position, which is what zipWithIndex counted.
     */
-  private def seqIdFileOrder(df: DataFrame, name: String): DataFrame = {
-    val schema = df.schema.add(name, LongType, nullable = false)
-    val rdd = df.rdd.zipWithIndex.map { case (r, i) => Row.fromSeq(r.toSeq :+ (i + 1L)) }
-    spark.createDataFrame(rdd, schema)
-  }
+  private def seqIdFileOrder(df: DataFrame, name: String): DataFrame =
+    Ops.zipWithIndexFileOrder(df, name)
 
   // ------------------------------------------------------------------ //
   // sources (§2.1 S1-S10)

@@ -135,6 +135,26 @@ object Ops {
       .drop("__zwi_pid")
   }
 
+  /** Contiguous 1-based id in FILE order — the pure-DataFrame twin of
+    * `rdd.zipWithIndex` for source streams (Kettle `Add sequence` on a
+    * file read, motogp.ktr:1204-1344). `monotonically_increasing_id()`
+    * evaluated directly above the scan is
+    * `(partitionId << 33) + row-position-in-partition`, so ordering by
+    * it reproduces EXACTLY the order zipWithIndex assigned (partition
+    * index, then arrival within the partition) — while the plan stays
+    * declarative: no ExistingRDD barrier, so whole-stage codegen,
+    * columnar scans and AQE survive across the fact table's id
+    * assignment. Determinism contract is zipWithIndex's own: stable for
+    * a fixed input file set (partition ids are a pure function of the
+    * splits, and lineage re-execution across the range exchange's
+    * sampling pass sees the same ids).
+    */
+  def zipWithIndexFileOrder(df: DataFrame, as: String): DataFrame = {
+    val mid = "__zwi_file_mid"
+    zipWithIndexOrdered(df.withColumn(mid, monotonically_increasing_id()),
+      Seq(col(mid)), as).drop(mid)
+  }
+
   /** Deterministic seeded global shuffle — the epoch-reshuffle primitive
     * of a training pipeline: order the corpus by a seeded cryptographic
     * hash of the id (a different `seed` gives an independent permutation

@@ -47,6 +47,19 @@ class MotoGpSpec extends SparkSpec {
     assert(ir.columns.contains("temp_max") && ir.columns.contains("id_race"))
   }
 
+  test("fact spine: resultsBase assigns race_id with no ExistingRDD barrier") {
+    // the file-order sequence must stay a declarative plan — an RDD
+    // round-trip here cuts codegen/columnar/AQE on the hottest input
+    val p = pipelines.resultsBase.queryExecution.executedPlan.toString
+    assert(!p.contains("ExistingRDD"), p)
+    // and the ids are still the contiguous 1..n file-order sequence
+    val rb = pipelines.resultsBase
+    val n = rb.count()
+    val ids = rb.agg(min("race_id"), max("race_id"),
+      countDistinct("race_id")).collect().head
+    assert(ids.getLong(0) == 1L && ids.getLong(1) == n && ids.getLong(2) == n)
+  }
+
   test("teams table: surrogate contiguous team_id over the teams file") {
     val tt = pipelines.teamsTable
     assert(tt.count() == 970)
