@@ -26,7 +26,10 @@ import org.apache.spark.sql.functions._
   * The cross-join is BroadcastNestedLoopJoin — embarrassingly parallel
   * over the main side, so it scales linearly with main-side partitions;
   * the lookup side must be broadcast-sized (dimension tables), which
-  * matches every use in the reference (68 circuits, 313 races).
+  * matches every use in the reference (68 circuits, 313 races). The
+  * contract is ENFORCED, not advisory: a plan-time row-count guard
+  * ([[maxLookupRows]]) refuses an oversized lookup with a named error
+  * before the broadcast build can OOM an executor.
   *
   * "Load order" is DECLARED, not observed: Kettle reads its lookup from
   * a file, so "first row wins" has a physical meaning there — but a
@@ -48,9 +51,38 @@ import org.apache.spark.sql.functions._
   */
 object FuzzyMatch {
 
+  /** Hard cap on lookup rows — ENFORCES the "broadcast-sized by
+    * contract" scaladoc. Without it, an oversized lookup fed to
+    * `coalesce(1)` + `broadcast()` surfaces as an executor OOM with no
+    * name on it; with it, the job dies at plan time with an error that
+    * says what to fix. Tunable per-deployment via the
+    * `graft.fuzzy.maxLookupRows` system property or the
+    * `GRAFT_FUZZY_MAX_LOOKUP_ROWS` environment variable. The default
+    * (1M rows) is already far beyond sense for this operator: the
+    * cross product scores |main| x |lookup| Jaro-Winkler pairs, so a
+    * lookup that big is a design error, not a tuning problem (the
+    * reference's lookups are 68 and 313 rows).
+    */
+  def maxLookupRows: Long =
+    sys.props.get("graft.fuzzy.maxLookupRows")
+      .orElse(sys.env.get("GRAFT_FUZZY_MAX_LOOKUP_ROWS"))
+      .map(_.toLong).getOrElse(1000000L)
+
   private def prepared(lookup: DataFrame, lookupField: String,
                        appendCols: Seq[String],
                        lookupOrder: Seq[Column]): DataFrame = {
+    // one count() job at plan time — the price of making the contract
+    // enforceable (the guard must trip BEFORE the broadcast build can
+    // OOM an executor). Dimension-sized by contract, so the pass is
+    // cheap; the same eager-guard pattern the dedup operators use.
+    val cap = maxLookupRows
+    val n = lookup.count()
+    require(n <= cap,
+      s"FuzzyMatch lookup side has $n rows, over the broadcast contract's " +
+        s"cap of $cap. This operator broadcasts the lookup and scores " +
+        s"|main| x |lookup| pairs, so it is for dimension-sized lookups " +
+        s"only; raise graft.fuzzy.maxLookupRows / GRAFT_FUZZY_MAX_LOOKUP_ROWS " +
+        s"if the deployment really has the memory for it.")
     val cols = (lookupField +: appendCols).distinct
     // The caller's lookupOrder is totalized by appending every projected
     // column as a trailing tie-break: a no-op when lookupOrder is already

@@ -123,6 +123,33 @@ class FuzzyMatchSpec extends SparkSpec {
     assert(w == 20L) // load_ts order: the later-keyed row loaded first
   }
 
+  test("oversized lookup trips the broadcast guard before any broadcast build") {
+    // the guard is the enforcement of "broadcast-sized by contract":
+    // it must fail at plan time with a named error, not as an executor
+    // OOM mid-broadcast
+    val main = Seq((1L, "mugello")).toDF("id", "name")
+    val lookup = spark.range(0, 50).select(col("id").as("cid"),
+      concat(lit("name_"), col("id")).as("cname"))
+    val prev = sys.props.get("graft.fuzzy.maxLookupRows")
+    sys.props("graft.fuzzy.maxLookupRows") = "10"
+    try {
+      val e = intercept[IllegalArgumentException] {
+        FuzzyMatch.bestMatchById(main, "id", "name", lookup, "cname", Seq("cid"))
+      }
+      assert(e.getMessage.contains("50 rows") &&
+        e.getMessage.contains("graft.fuzzy.maxLookupRows"), e.getMessage)
+      // at the cap is fine
+      sys.props("graft.fuzzy.maxLookupRows") = "50"
+      assert(FuzzyMatch.bestMatchById(main, "id", "name",
+        lookup, "cname", Seq("cid")).count() == 1)
+    } finally {
+      prev match {
+        case Some(v) => sys.props("graft.fuzzy.maxLookupRows") = v
+        case None => sys.props.remove("graft.fuzzy.maxLookupRows")
+      }
+    }
+  }
+
   test("appended score equals the scalar jaro_winkler") {
     val main = Seq((1L, "MARTHA")).toDF("id", "name")
     val lookup = Seq((10L, "MARHTA")).toDF("cid", "cname")
