@@ -2402,6 +2402,94 @@ object Queries {
            |       END AS peak
            |FROM p LEFT JOIN agg ON p.doc_id = agg.doc_id""".stripMargin))
 
+  /** WAVE_FORMAT_EXTENSIBLE (0xFFFE) under the oracle (round 12): the
+    * GUID wrapper real-world corpora use for >2-channel and 24-bit PCM.
+    * Three member classes by doc_id%3 — mono PCM16, STEREO PCM24, and
+    * 4-CHANNEL PCM16 — all wrapped in the extensible fmt chunk (cbSize
+    * 22, KSDATAFORMAT SubFormat GUID carrying the inner tag), assembled
+    * in-plan as hex. Samples are dyadic by construction (first sample
+    * +a·unit, the rest −b·unit with unit = 256 for 16-bit and 65536 for
+    * 24-bit, so every amplitude is exactly a/128 or b/128 in float32
+    * AND double) — DuckDB replays mean_abs/peak closed-form. A wrong
+    * GUID suffix and every 7th blob (truncated mid-fmt) must feature as
+    * NULL; [[graft.AudioContainersSpec]] additionally pins the
+    * fail-closed GUID and cbSize shapes byte-by-byte. */
+  private val qAudioExtensible = Q("q_audio_extensible",
+    (s, dir) => {
+      def h2(c: Column): Column = lpad(hex(c), 2, "0")
+      def le16h(c: Column): Column =
+        concat(h2(c.bitwiseAND(lit(255))), h2(shiftright(c, 8).bitwiseAND(lit(255))))
+      def le32h(c: Column): Column = concat(
+        h2(c.bitwiseAND(lit(255))),
+        h2(shiftright(c, 8).bitwiseAND(lit(255))),
+        h2(shiftright(c, 16).bitwiseAND(lit(255))),
+        h2(shiftright(c, 24).bitwiseAND(lit(255))))
+      val id = col("doc_id")
+      val m = pmod(id, lit(3))
+      val ch = when(m === 0, 1).when(m === 1, 2).otherwise(4).cast("int")
+      val bps = when(m === 1, 3).otherwise(2).cast("int") // bytes/sample
+      val n = lit(16) // frames
+      val a = (pmod(id, lit(127)) + 1).cast("int")
+      val b = (pmod(id * 3, lit(127)) + 1).cast("int")
+      val blockAlign = ch * bps
+      val dataLen = n * blockAlign
+      val rate = lit(8000)
+      // first sample +a·unit, the rest −b·unit (LE two's complement)
+      val firstHex = when(m === 1, concat(lit("0000"), h2(a)))
+        .otherwise(le16h(a * 256))
+      val restHex = when(m === 1, concat(lit("0000"), h2(lit(256) - b)))
+        .otherwise(le16h(lit(65536) - b * 256))
+      val dataHex = concat(firstHex,
+        array_join(array_repeat(restHex, n * ch - 1), ""))
+      // SubFormat GUID: inner tag (LE u16) + the fixed KSDATAFORMAT
+      // suffix 0000-0010-8000-00AA00389B71
+      val guidHex = concat(le16h(lit(1)), lit("000000001000800000AA00389B71"))
+      val fmtHex = concat(
+        le16h(lit(0xfffe)), le16h(ch), le32h(rate), le32h(rate * blockAlign),
+        le16h(blockAlign), le16h(bps * 8), // container bits
+        le16h(lit(22)),                    // cbSize
+        le16h(bps * 8),                    // wValidBitsPerSample
+        le32h(lit(0)),                     // dwChannelMask: unspecified
+        guidHex)
+      val wavHex = concat(
+        lit("52494646"), le32h(lit(60) + dataLen), lit("57415645"),
+        lit("666D7420"), le32h(lit(40)), fmtHex,
+        lit("64617461"), le32h(dataLen), dataHex)
+      val blobHex = when(pmod(id, lit(7)) === 0,
+        substring(wavHex, 1, 50)).otherwise(wavHex)
+      val media = t(s, dir, "documents")
+        .select(col("doc_id"), unhex(blobHex).as("blob"))
+      Multimodal.featurize(media, "doc_id", "blob", dim = 5,
+          decoder = Multimodal.pcm)
+        .select(col("media_id").cast("bigint").as("media_id"),
+          col("n_bytes").cast("bigint").as("n_bytes"),
+          get(col("feature"), lit(0)).cast("bigint").as("channels"),
+          get(col("feature"), lit(1)).cast("bigint").as("sample_rate"),
+          get(col("feature"), lit(2)).cast("bigint").as("n_frames"),
+          round(get(col("feature"), lit(3)).cast("double"), 6).as("mean_abs"),
+          round(get(col("feature"), lit(4)).cast("double"), 6).as("peak"))
+    },
+    Some("""WITH p AS (
+           |  SELECT doc_id,
+           |         CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 2 ELSE 4 END AS ch,
+           |         CASE doc_id % 3 WHEN 1 THEN 3 ELSE 2 END AS bps,
+           |         doc_id % 127 + 1 AS a, (doc_id * 3) % 127 + 1 AS b,
+           |         doc_id % 7 = 0 AS trunc
+           |  FROM documents)
+           |SELECT CAST(doc_id AS BIGINT) AS media_id,
+           |       CAST(CASE WHEN trunc THEN 25
+           |                 ELSE 68 + 16 * ch * bps END AS BIGINT) AS n_bytes,
+           |       CASE WHEN trunc THEN NULL ELSE CAST(ch AS BIGINT) END AS channels,
+           |       CASE WHEN trunc THEN NULL ELSE CAST(8000 AS BIGINT) END AS sample_rate,
+           |       CASE WHEN trunc THEN NULL ELSE CAST(16 AS BIGINT) END AS n_frames,
+           |       CASE WHEN trunc THEN NULL
+           |            ELSE round((a + (16 * ch - 1) * b) / (16.0 * ch * 128.0), 6)
+           |       END AS mean_abs,
+           |       CASE WHEN trunc THEN NULL
+           |            ELSE round(greatest(a, b) / 128.0, 6)
+           |       END AS peak
+           |FROM p""".stripMargin))
+
   private val qAudioG711 = Q("q_audio_g711",
     (s, dir) => {
       def h2(c: Column): Column = lpad(hex(c), 2, "0")
@@ -4673,7 +4761,8 @@ object Queries {
     qDecontaminateBloom, qLmScore, qEventAttribution, qUpsert, qScd2,
     qZorder, qHilbert, qBpeTrain, qBpeTrainCapped, qBpeEncode, qImportance,
     qSampleGroup, qSampleBernoulli, qSampleWeighted, qSampleWeightedGroup, qScd2Multi, qSnapshotDiff, qTrainingOrder, qBlocklist,
-    qApproxTopk, qAudioFeatures, qAudioG711, qAudioAdpcm, qAudioContainers, qIncrementalEmbedding, qSplitClusterSafe,
+    qApproxTopk, qAudioFeatures, qAudioG711, qAudioAdpcm, qAudioContainers,
+    qAudioExtensible, qIncrementalEmbedding, qSplitClusterSafe,
     qIngestRouted, qBinaryIngest, qBloomLookup, qLineDedupWithin, qProfile, qJpegFeatures,
     qRepeatMixture, qScd2Lookup, qVideoStats, qVideoFrames,
     qCdcChunks, qCdcDedup, qNormalizeText, qIncrementalCdc, qOrcRoundtrip,

@@ -1,10 +1,14 @@
 package graft.functions
 
 /** Sample decode for the audio formats that need NO codec library —
-  * integer PCM (8-bit unsigned, 16-bit signed LE), ITU-T G.711
+  * integer PCM (8-bit unsigned, 16/24-bit signed LE), ITU-T G.711
   * companded telephony audio (µ-law, format 7; A-law, format 6), and
   * (round 11) IMA/DVI ADPCM (format 0x11, mono — the 4-bit speech
   * codec of voicemail/telephony archives) inside a WAV/RIFF container.
+  * WAVE_FORMAT_EXTENSIBLE (0xFFFE, round 12) unwraps to the inner
+  * SubFormat GUID tag — the wrapper real-world corpora carry for
+  * >2-channel and 24-bit PCM — and fails closed on non-KSDATAFORMAT
+  * GUIDs.
   * G.711 expansion is pure table arithmetic from the public spec
   * (segment + mantissa + bias) and ADPCM is the public IMA step/index
   * recurrence, so telephony corpora decode for real; the honest stub
@@ -30,6 +34,14 @@ object AudioKernels {
   final case class Pcm(channels: Int, sampleRate: Int, bits: Int,
                        nFrames: Long, meanAbs: Double, meanSq: Double,
                        peak: Double)
+
+  /** Bytes 2..15 of every KSDATAFORMAT_SUBTYPE_* GUID
+    * ({xxxx}-0000-0010-8000-00AA00389B71): WAVE_FORMAT_EXTENSIBLE
+    * SubFormats carry the wrapped format tag in bytes 0..1 and this
+    * fixed suffix after it. */
+  private val KsGuidSuffix: Array[Int] = Array(
+    0x00, 0x00, 0x00, 0x00, 0x10, 0x00,
+    0x80, 0x00, 0x00, 0xAA, 0x00, 0x38, 0x9B, 0x71)
 
   private def leU16(b: Array[Byte], i: Int): Int =
     (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
@@ -254,16 +266,34 @@ object AudioKernels {
         rate = leI32(b, j + 12)
         blockAlign = leU16(b, j + 20)
         bits = leU16(b, j + 22)
-        // the ADPCM extension carries wSamplesPerBlock
+        // the ADPCM extension carries wSamplesPerBlock (in
+        // WAVEFORMATEXTENSIBLE the same union slot is wSamplesPerBlock
+        // for compressed SubFormats, so the read is right there too)
         if (size >= 20 && j + 8 + 20 <= b.length)
           samplesPerBlock = leU16(b, j + 26)
+        if (formatTag == 0xfffe) {
+          // WAVE_FORMAT_EXTENSIBLE (RFC 2361 / mmreg.h): the real
+          // format hides in the SubFormat GUID — inner tag as LE u16,
+          // then the fixed KSDATAFORMAT suffix. Real-world corpora use
+          // this wrapper for >2-channel and 24-bit PCM. Anything with
+          // a non-KS GUID suffix is an unknown codec: fail closed.
+          if (size < 40 || j + 8 + 40 > b.length) return None
+          if (leU16(b, j + 24) < 22) return None // cbSize
+          val g = j + 32 // SubFormat GUID at payload offset 24
+          var k = 0
+          while (k < 14) {
+            if ((b(g + 2 + k) & 0xff) != KsGuidSuffix(k)) return None
+            k += 1
+          }
+          formatTag = leU16(b, g) // inner tag joins the family checks
+        }
       } else if (isData) {
         dataOff = j + 8L
         dataLen = size
       }
       i += 8L + size + (size & 1L)
     }
-    val pcm = formatTag == 1 && (bits == 8 || bits == 16)
+    val pcm = formatTag == 1 && (bits == 8 || bits == 16 || bits == 24)
     val g711 = (formatTag == 6 || formatTag == 7) && bits == 8
     val adpcm = formatTag == 0x11 && bits == 4
     if (!(pcm || g711 || adpcm) || channels <= 0 || channels > 64 ||
@@ -332,6 +362,10 @@ object AudioKernels {
         else if (bits == 16) {
           val s = ((b(p) & 0xff) | (b(p + 1) << 8)).toShort
           s / 32768.0
+        } else if (bits == 24) {
+          // LE two's complement: the top byte's sign rides the Int shift
+          val s = (b(p + 2) << 16) | ((b(p + 1) & 0xff) << 8) | (b(p) & 0xff)
+          s / 8388608.0
         } else (( b(p) & 0xff) - 128) / 128.0
       val a = math.abs(v)
       sumAbs += a

@@ -136,4 +136,84 @@ class AudioContainersSpec extends AnyFunSuite {
     assert(AudioKernels.decode(aiff(1, 1, 24, 8000L, 0,
       Array[Byte](1, 2, 3))).isEmpty)
   }
+
+  // ---- WAVE_FORMAT_EXTENSIBLE (round 12) ----
+
+  /** Hand-built EXTENSIBLE WAV: every field explicit so the refusal
+    * cases can forge exactly one byte at a time. `samples` are written
+    * interleaved at `bits` depth, LE. */
+  private def wavExt(ch: Int, bits: Int, samples: Array[Int],
+                     innerTag: Int = 1, cbSize: Int = 22,
+                     fmtSize: Int = 40,
+                     suffixByte8: Int = 0x80): Array[Byte] = {
+    val bps = bits / 8
+    val dataLen = samples.length * bps
+    val b = java.nio.ByteBuffer.allocate(28 + fmtSize + 8 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes).putInt(20 + fmtSize + 8 + dataLen).put("WAVE".getBytes)
+    b.put("fmt ".getBytes).putInt(fmtSize)
+      .putShort(0xfffe.toShort).putShort(ch.toShort).putInt(8000)
+      .putInt(8000 * ch * bps).putShort((ch * bps).toShort).putShort(bits.toShort)
+    if (fmtSize >= 18) b.putShort(cbSize.toShort)
+    if (fmtSize >= 40) {
+      b.putShort(bits.toShort).putInt(0).putShort(innerTag.toShort)
+      Array(0x00, 0x00, 0x00, 0x00, 0x10, 0x00, suffixByte8, 0x00,
+        0x00, 0xAA, 0x00, 0x38, 0x9B, 0x71).foreach(x => b.put(x.toByte))
+    }
+    b.put("data".getBytes).putInt(dataLen)
+    samples.foreach { v =>
+      b.put((v & 0xff).toByte)
+      if (bps >= 2) b.put(((v >> 8) & 0xff).toByte)
+      if (bps >= 3) b.put(((v >> 16) & 0xff).toByte)
+    }
+    b.array()
+  }
+
+  test("WAVE_FORMAT_EXTENSIBLE: GUID-wrapped mono 16, stereo 24, 4-channel 16") {
+    // mono 16-bit: dyadic values, exact stats
+    val m = AudioKernels.decode(wavExt(1, 16,
+      Array(4 * 256, -6 * 256, 2 * 256, -2 * 256))).get
+    assert((m.channels, m.sampleRate, m.bits, m.nFrames) == ((1, 8000, 16, 4L)))
+    assert(m.meanAbs == 14 / (4 * 128.0) && m.peak == 6 / 128.0)
+    // stereo 24-bit: v = k·65536 decodes to exactly k/128
+    val s = AudioKernels.decode(wavExt(2, 24,
+      Array(5 * 65536, -3 * 65536, 7 * 65536, -1 * 65536))).get
+    assert((s.channels, s.bits, s.nFrames) == ((2, 24, 2L)))
+    assert(s.meanAbs == 16 / (4 * 128.0) && s.peak == 7 / 128.0)
+    // 4-channel 16-bit: one frame of four samples
+    val q = AudioKernels.decode(wavExt(4, 16,
+      Array(256, -512, 768, -1024))).get
+    assert((q.channels, q.nFrames) == ((4, 1L)))
+    assert(q.peak == 4 / 128.0)
+    // plain tag-1 24-bit PCM (no wrapper) also decodes now
+    val plain24 = {
+      val vals = Array(9 * 65536, -2 * 65536)
+      val b = java.nio.ByteBuffer.allocate(44 + vals.length * 3)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put("RIFF".getBytes).putInt(36 + vals.length * 3).put("WAVE".getBytes)
+      b.put("fmt ".getBytes).putInt(16).putShort(1).putShort(1)
+        .putInt(8000).putInt(24000).putShort(3).putShort(24)
+      b.put("data".getBytes).putInt(vals.length * 3)
+      vals.foreach { v =>
+        b.put((v & 0xff).toByte).put(((v >> 8) & 0xff).toByte)
+          .put(((v >> 16) & 0xff).toByte)
+      }
+      b.array()
+    }
+    val p = AudioKernels.decode(plain24).get
+    assert(p.bits == 24 && p.meanAbs == 11 / (2 * 128.0))
+  }
+
+  test("WAVE_FORMAT_EXTENSIBLE refusals: forged GUID, short cbSize, short fmt") {
+    val ok = Array(4 * 256, -6 * 256)
+    assert(AudioKernels.decode(wavExt(1, 16, ok)).isDefined) // control
+    // one wrong byte in the KSDATAFORMAT suffix: unknown codec, refuse
+    assert(AudioKernels.decode(wavExt(1, 16, ok, suffixByte8 = 0x81)).isEmpty)
+    // cbSize < 22: the GUID cannot be present, refuse
+    assert(AudioKernels.decode(wavExt(1, 16, ok, cbSize = 21)).isEmpty)
+    // fmt chunk too short to hold the GUID: refuse
+    assert(AudioKernels.decode(wavExt(1, 16, ok, fmtSize = 18)).isEmpty)
+    // inner tag IEEE float: outside the integer-PCM family, refuse
+    assert(AudioKernels.decode(wavExt(1, 16, ok, innerTag = 3)).isEmpty)
+  }
 }
