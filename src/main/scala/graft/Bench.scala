@@ -88,7 +88,11 @@ import org.apache.spark.sql.SparkSession
   * regression with an idle `SPARK_GRAFT_BENCH_ONLY` re-run before
   * believing it, expecting multi-stage queries to inflate
   * ~sched_factor (or worse, when the controls are the only signal) and
-  * single-stage ones ~contention_factor.
+  * single-stage ones ~contention_factor. Round 12: the line also
+  * carries `queries_min`/`queries_max` (per-query extremes across the
+  * timed passes) so the artifact self-documents its noise floor —
+  * compare pins median-to-median, and call a move drift only when the
+  * new median falls OUTSIDE the old run's [min, max] spread.
   */
 object Bench {
   /** Idle-machine pinned canary medians (this sandbox, local[32],
@@ -333,13 +337,24 @@ object Bench {
     def summaryLine(): String = {
       val results = names.map { case (name, _) =>
         val mine = acc(name)
-        (name, median(mine.map(_._1).toSeq), mine.forall(_._2))
+        val ts = mine.map(_._1).toSeq
+        (name, median(ts), mine.forall(_._2), ts.min, ts.max)
       }
-      val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
+      val qs = results.map { case (k, v, _, _, _) => "\"" + k + "\":" + v }
+        .mkString("{", ",", "}")
+      // per-query min/max across the timed passes, beside the median:
+      // sub-second queries swing ~2x between same-day evidence sweeps
+      // (r11: q_scd2 0.73→1.73), so pins compare on the median while
+      // the artifact self-documents its per-query noise floor — a
+      // median outside [min, max] of a later run is drift, a median
+      // inside the earlier spread is jitter
+      val qsMin = results.map { case (k, _, _, mn, _) => "\"" + k + "\":" + r3(mn) }
+        .mkString("{", ",", "}")
+      val qsMax = results.map { case (k, _, _, _, mx) => "\"" + k + "\":" + r3(mx) }
         .mkString("{", ",", "}")
       // failed queries are named explicitly — a time-to-failure must
       // never read as a fast success
-      val errs = results.collect { case (k, _, false) => "\"" + k + "\"" }
+      val errs = results.collect { case (k, _, false, _, _) => "\"" + k + "\"" }
         .mkString("[", ",", "]")
       val total = results.map(_._2).sum
       val canaryCompute = r3(median(canaries.map(_._1).toSeq))
@@ -351,8 +366,8 @@ object Bench {
       val schedFactor = if (pinsValid) r3(canarySched / PinnedSchedSec) else -1.0
       // in-band iff every benched control median ≤ 1.5× its band top;
       // emitted only when the pins apply and a control was benched
-      val controls = results.filter { case (n, _, _) => ControlBands.contains(n) }
-      val controlFields = controls.map { case (n, v, _) =>
+      val controls = results.filter { case (n, _, _, _, _) => ControlBands.contains(n) }
+      val controlFields = controls.map { case (n, v, _, _, _) =>
         s""""control_$n":${r3(v)},"band_$n":${ControlBands(n)}"""
       }.mkString(",")
       // a control that FAILED fast must not read as in-band: its
@@ -360,14 +375,14 @@ object Bench {
       // with the band check (ADVICE r10)
       val controlsInBand: Option[Boolean] =
         if (!pinsValid || controls.isEmpty) None
-        else Some(controls.forall { case (n, v, ok) =>
+        else Some(controls.forall { case (n, v, ok, _, _) =>
           ok && v <= ControlBands(n) * ControlHeadroom })
       val evidence: Option[Boolean] = controlsInBand.map { cb =>
         cb && contentionFactor >= 0 && contentionFactor <= 1.5 &&
           schedFactor >= 0 && schedFactor <= 1.5
       }
       def jb(o: Option[Boolean]): String = o.map(_.toString).getOrElse("null")
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"runs":$runs,"cpus":$cpus,""" +
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":$qsMin,"queries_max":$qsMax,"errors":$errs,"runs":$runs,"cpus":$cpus,""" +
         s""""passes_completed":$passesCompleted,"warmup_passes":$warmupCompleted,"budget_sec":$budgetSec,"budget_stopped":$budgetStopped,""" +
         s""""canary_compute_sec":$canaryCompute,"canary_sched_sec":$canarySched,""" +
         s""""pinned_compute_sec":$PinnedComputeSec,"pinned_sched_sec":$PinnedSchedSec,"pinned_cpus":$PinnedCpus,""" +

@@ -37,6 +37,11 @@ class BenchBudgetSpec extends SparkSpec {
       assert(e.getValue.asDouble() > 0.0, s"${e.getKey} has no real sample")
     }
     assert(root.get("errors").size() === 0)
+    // one pass ⇒ the jitter spread collapses onto the single sample
+    surface.foreach { q =>
+      assert(root.get("queries_min").get(q).asDouble() ===
+        root.get("queries_max").get(q).asDouble())
+    }
     // the curtailment is SAID, both ways it can happen
     assert(root.get("budget_stopped").asBoolean(), "between-pass budget exit must set budget_stopped")
     assert(root.get("metrics_skipped_budget").asBoolean())
@@ -74,6 +79,20 @@ class BenchBudgetSpec extends SparkSpec {
     // never a false contention verdict
     assert(root.get("contention_factor").asDouble() === -1.0)
     assert(root.get("evidence").isNull)
+    // per-query jitter fields (r12): min/max across the 3 passes bracket
+    // the median, on the full surface — the artifact self-documents its
+    // noise floor so pins compare median-to-median against a spread
+    for (f <- Seq("queries_min", "queries_max"))
+      assert(root.get(f).properties().asScala.map(_.getKey).toSet === surface)
+    surface.foreach { q =>
+      val mn = root.get("queries_min").get(q).asDouble()
+      val mx = root.get("queries_max").get(q).asDouble()
+      val med = root.get("queries").get(q).asDouble()
+      assert(mn > 0.0 && mn <= mx, s"$q spread [$mn, $mx] inverted")
+      // r3 rounding on the extremes: tolerate half-a-milli on the edges
+      assert(med >= mn - 0.0005 && med <= mx + 0.0005,
+        s"$q median $med outside [$mn, $mx]")
+    }
     val mRoot = mapper.readTree(Files.readString(Paths.get(s"$dir/metrics.json")))
     assert(mRoot.get("queries").properties().asScala.map(_.getKey).toSet === surface)
   }
