@@ -77,13 +77,14 @@ object AnnScale {
       if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
     }
 
-    println("[ann-scale] size  bruteT(s)  lshT(s)  ivfBuildT(s)  ivfProbeT(s)  lshRecall  ivfRecall")
-    println("[ann-scale] (brute/lsh/probe: per-column medians of the timed passes; build: ONE-shot offline buildIvfIndex = fit + assign + partitioned write, amortized in production; probe = ivfTopKIndexed partition-pruned scan)")
+    println("[ann-scale] size  bruteT(s)  lshT(s)  ivfBuildT(s)  ivfProbeT(s)  pqBuildT(s)  pqProbeT(s)  lshRecall  ivfRecall  pqRecall")
+    println("[ann-scale] (brute/lsh/probe: per-column medians of the timed passes; build: ONE-shot offline buildIvfIndex/buildIvfPqIndex = fit + assign + partitioned write, amortized in production; probe = ivfTopKIndexed / ivfPqTopKIndexed partition-pruned scans)")
     val results = sizes.map { n =>
       val c = corpus(n)
       val q = c.filter(col("vec_id") < nQueries).localCheckpoint(true)
       val nCentroids = math.max(16, math.sqrt(n.toDouble).toInt)
       val idxDir = s"/tmp/graft-ann-scale-index/$n"
+      val pqDir = s"/tmp/graft-ann-scale-pq/$n"
       // the index is built ONCE per size (production builds are offline
       // and amortized across every later query batch); its one-shot
       // wall time is reported alongside the per-pass medians.
@@ -93,7 +94,14 @@ object AnnScale {
         Similarity.buildIvfIndex(c, "embedding", "vec_id", idxDir,
           nCentroids = nCentroids, kmeansIters = 3)
       }
-      def pass(): (Double, Double, Double, Double, Double) = {
+      // PQ build adds codebook training + encode on top of the same
+      // coarse fit; the scan-side payoff is codes-only candidate reads
+      val (tPqBuild, _) = time {
+        Similarity.buildIvfPqIndex(c, "embedding", "vec_id", pqDir,
+          nCentroids = nCentroids, kmeansIters = 3,
+          pqM = 4, pqCodes = 16, pqIters = 2)
+      }
+      def pass(): (Double, Double, Double, Double, Double, Double, Double) = {
         val (tBrute, truth) = time {
           val t = Similarity.bruteForceTopK(c, q, "embedding", "vec_id", k)
             .localCheckpoint(true)
@@ -111,15 +119,31 @@ object AnnScale {
             "embedding", "vec_id", k, nProbes = 8).localCheckpoint(true)
           r
         }
+        // same probe budget, candidates scanned as 4 codes instead of
+        // 64 floats, O(M) ADC adds instead of O(dim) multiplies, then
+        // the bounded exact refine. rerank = 10·k: on planted clusters
+        // the ADC separates LISTS sharply but same-cluster candidates
+        // only noisily (their true scores differ by jitter), so the
+        // refine depth is the recall lever — measured 0.31 at 3·k,
+        // 1.000 at 10·k (PqRecallProbe), the standard IVFPQ+refine
+        // depth-vs-recall trade
+        val (tPq, pq) = time {
+          val r = Similarity.ivfPqTopKIndexed(spark, pqDir, q,
+            "embedding", "vec_id", k, nProbes = 8, rerank = 10 * k)
+            .localCheckpoint(true)
+          r
+        }
         val nTruth = truth.count().toDouble.max(1.0)
         def recall(out: DataFrame): Double =
           truth.join(out, Seq("query_id", "corpus_id"), "left_semi")
             .count() / nTruth
         val rLsh = recall(lsh)
         val rIvf = recall(ivf)
+        val rPq = recall(pq)
         import org.apache.spark.sql.GraftBridge.unpersistCheckpoint
-        unpersistCheckpoint(truth); unpersistCheckpoint(lsh); unpersistCheckpoint(ivf)
-        (tBrute, tLsh, tProbe, rLsh, rIvf)
+        unpersistCheckpoint(truth); unpersistCheckpoint(lsh)
+        unpersistCheckpoint(ivf); unpersistCheckpoint(pq)
+        (tBrute, tLsh, tProbe, tPq, rLsh, rIvf, rPq)
       }
       pass() // warmup: codegen + checkpoint page-in
       val all = (1 to runs).map(_ => pass())
@@ -127,21 +151,24 @@ object AnnScale {
       // median-total run would let one method's noise pick another's
       // reading
       val tb = median(all.map(_._1)); val tl = median(all.map(_._2))
-      val tp = median(all.map(_._3))
-      val rl = median(all.map(_._4)); val ri = median(all.map(_._5))
-      println(f"[ann-scale] $n%6d ${tb}%9.2f ${tl}%8.2f ${tBuild}%12.2f ${tp}%12.2f ${rl}%9.3f ${ri}%9.3f")
+      val tp = median(all.map(_._3)); val tq = median(all.map(_._4))
+      val rl = median(all.map(_._5)); val ri = median(all.map(_._6))
+      val rq = median(all.map(_._7))
+      println(f"[ann-scale] $n%6d ${tb}%9.2f ${tl}%8.2f ${tBuild}%12.2f ${tp}%12.2f ${tPqBuild}%11.2f ${tq}%11.2f ${rl}%9.3f ${ri}%9.3f ${rq}%8.3f")
       import org.apache.spark.sql.GraftBridge.unpersistCheckpoint
       unpersistCheckpoint(q); unpersistCheckpoint(c)
-      (n, tb, tl, tBuild, tp)
+      (n, tb, tl, tBuild, tp, tPqBuild, tq)
     }
     // pairwise growth exponents between adjacent ladder points
     results.sliding(2).foreach {
-      case Seq((n1, tb1, tl1, tf1, tp1), (n2, tb2, tl2, tf2, tp2)) =>
+      case Seq((n1, tb1, tl1, tf1, tp1, tg1, tq1),
+               (n2, tb2, tl2, tf2, tp2, tg2, tq2)) =>
         def ex(a: Double, b: Double) =
           math.log(b / a) / math.log(n2.toDouble / n1)
         println(f"[ann-scale] $n1%d->$n2%d: brute exp=${ex(tb1, tb2)}%.2f  " +
           f"lsh exp=${ex(tl1, tl2)}%.2f  ivf-build exp=${ex(tf1, tf2)}%.2f  " +
-          f"ivf-probe exp=${ex(tp1, tp2)}%.2f")
+          f"ivf-probe exp=${ex(tp1, tp2)}%.2f  pq-build exp=${ex(tg1, tg2)}%.2f  " +
+          f"pq-probe exp=${ex(tq1, tq2)}%.2f")
       case _ => ()
     }
     spark.stop()

@@ -1250,6 +1250,126 @@ object OracleSqlGen {
           "top5.query_id, top5.corpus_id, top5.cosine, top5.rank")}""".stripMargin
   }
 
+  /** Oracle for q_ann_ivfpq (round 12): the full IVF-PQ pipeline —
+    * coarse 16-centroid Lloyd chain (3 iterations, shared with
+    * [[annIvf]]), per-vector residual vs the assigned centroid, a
+    * 4-subspace × 8-codeword product-quantizer trained by 2 plain-L2
+    * Lloyd iterations over residual slices (assignment = argmax
+    * dot−½‖w‖² with ties to the smaller code — the EXACT expression
+    * `VectorKernels.pqEncode` evaluates), ADC scoring
+    * (q·c_list + Σ_m q_sub·w) rounded to 6 before the top-`rerank`
+    * shortlist cut, exact unit-dot re-rank to top-5, recall-gated vs
+    * brute force. Sound because every float decision's margin is
+    * measured far above summation-order noise: SimilaritySpec's audit
+    * reads min assignment margin 8.3e-6 and min rounding-boundary gap
+    * 2.2e-10 absolute vs ~1e-13 noise (the r9 audit pattern). Subspace
+    * geometry is derived from the data (`dims` CTE), so a testdata
+    * regeneration with a new dim keeps the oracle aligned with the
+    * engine as long as dim % 4 == 0. */
+  lazy val annIvfPq: String = {
+    val (nCent, iters, nProbes) = (16, 3, 2)
+    val (m, nCodes, pqIters, rerank, floor) = (4, 8, 2, 24, 0.4)
+    val pqGens = (1 to pqIters).map { g =>
+      s"""pa$g AS (
+         |  SELECT vec_id, m, sv, code FROM (
+         |    SELECT t.vec_id, t.m, t.sv, w.code,
+         |           row_number() OVER (PARTITION BY t.vec_id, t.m
+         |             ORDER BY list_dot_product(t.sv, w.w)
+         |                      - 0.5 * list_dot_product(w.w, w.w) DESC,
+         |                      w.code) AS rn
+         |    FROM rsub t JOIN pq${g - 1} w USING (m)) WHERE rn = 1),
+         |pm$g AS (
+         |  SELECT m, code, list(s / n ORDER BY i) AS mean
+         |  FROM (SELECT m, code, i, sum(sv[i]) AS s, count(*) AS n
+         |        FROM pa$g, (SELECT unnest(range(1, 1 + (SELECT sub FROM dims))) AS i)
+         |        GROUP BY m, code, i)
+         |  GROUP BY m, code),
+         |pq$g AS MATERIALIZED (
+         |  SELECT p.m, p.code, coalesce(pm.mean, p.w) AS w
+         |  FROM pq${g - 1} p LEFT JOIN pm$g pm USING (m, code))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH emb AS MATERIALIZED ($embBase),
+       |$unitCte,
+       |dims AS MATERIALIZED (
+       |  SELECT max(len(u)) AS d, max(len(u)) // $m AS sub FROM unit),
+       |${lloydChain(nCent, iters)},
+       |ca AS MATERIALIZED (
+       |  SELECT vec_id, u, cid FROM (
+       |    SELECT t.vec_id, t.u, c.cid,
+       |           row_number() OVER (PARTITION BY t.vec_id
+       |             ORDER BY list_dot_product(t.u, c.u) DESC, c.cid) AS rn
+       |    FROM unit t, c$iters c) WHERE rn = 1),
+       |resid AS MATERIALIZED (
+       |  SELECT a.vec_id, a.cid,
+       |         list_transform(range(1, 1 + (SELECT d FROM dims)),
+       |                        i -> a.u[i] - c.u[i]) AS r
+       |  FROM ca a JOIN c$iters c USING (cid)),
+       |rsub AS MATERIALIZED (
+       |  SELECT vec_id, m, list_slice(r, m * sub + 1, (m + 1) * sub) AS sv
+       |  FROM resid, dims, (SELECT unnest(range(0, $m)) AS m)),
+       |pq0 AS MATERIALIZED (
+       |  SELECT m, row_number() OVER (PARTITION BY m ORDER BY vec_id) AS code,
+       |         sv AS w
+       |  FROM rsub
+       |  WHERE vec_id IN (SELECT vec_id FROM resid ORDER BY vec_id LIMIT $nCodes)),
+       |$pqGens,
+       |pe AS MATERIALIZED (
+       |  SELECT vec_id, m, code FROM (
+       |    SELECT t.vec_id, t.m, w.code,
+       |           row_number() OVER (PARTITION BY t.vec_id, t.m
+       |             ORDER BY list_dot_product(t.sv, w.w)
+       |                      - 0.5 * list_dot_product(w.w, w.w) DESC,
+       |                      w.code) AS rn
+       |    FROM rsub t JOIN pq$pqIters w USING (m)) WHERE rn = 1),
+       |qprobe AS MATERIALIZED (
+       |  SELECT vec_id, u, cid, qc FROM (
+       |    SELECT t.vec_id, t.u, c.cid, list_dot_product(t.u, c.u) AS qc,
+       |           row_number() OVER (PARTITION BY t.vec_id
+       |             ORDER BY list_dot_product(t.u, c.u) DESC, c.cid) AS rn
+       |    FROM unit t, c$iters c WHERE t.vec_id < 16) WHERE rn <= $nProbes),
+       |approx AS MATERIALIZED (
+       |  SELECT q.vec_id AS query_id, a.vec_id AS corpus_id,
+       |         round(q.qc + sum(list_dot_product(
+       |           list_slice(q.u, pe.m * dims.sub + 1, (pe.m + 1) * dims.sub),
+       |           w.w)), 6) AS approx
+       |  FROM qprobe q
+       |  JOIN ca a USING (cid)
+       |  JOIN pe ON pe.vec_id = a.vec_id
+       |  JOIN pq$pqIters w ON w.m = pe.m AND w.code = pe.code
+       |  CROSS JOIN dims
+       |  WHERE q.vec_id <> a.vec_id
+       |  GROUP BY q.vec_id, a.vec_id, q.qc),
+       |short AS MATERIALIZED (
+       |  SELECT query_id, corpus_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id
+       |        ORDER BY approx DESC, corpus_id) AS rn FROM approx)
+       |  WHERE rn <= $rerank),
+       |ex AS (
+       |  SELECT s.query_id, s.corpus_id,
+       |         round(list_dot_product(qu.u, cu.u), 6) AS cosine
+       |  FROM short s
+       |  JOIN unit qu ON qu.vec_id = s.query_id
+       |  JOIN unit cu ON cu.vec_id = s.corpus_id),
+       |top5 AS MATERIALIZED (
+       |  SELECT CAST(query_id AS BIGINT) AS query_id,
+       |         CAST(corpus_id AS BIGINT) AS corpus_id, cosine,
+       |         CAST(rn AS BIGINT) AS rank
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+       |          ORDER BY cosine DESC, corpus_id) AS rn FROM ex)
+       |  WHERE rn <= 5),
+       |truth AS MATERIALIZED (
+       |  SELECT query_id, corpus_id FROM (
+       |    SELECT qe.vec_id AS query_id, ce.vec_id AS corpus_id,
+       |           row_number() OVER (PARTITION BY qe.vec_id
+       |             ORDER BY round(list_cosine_similarity(qe.v, ce.v), 6) DESC,
+       |                      ce.vec_id) AS rn
+       |    FROM emb qe, emb ce
+       |    WHERE qe.vec_id < 16 AND qe.vec_id <> ce.vec_id)
+       |  WHERE rn <= 5),
+       |${recallTail("top5", "truth", "query_id", "corpus_id", floor,
+          "top5.query_id, top5.corpus_id, top5.cosine, top5.rank")}""".stripMargin
+  }
+
   /** Oracle for q_embedding_neardup: 4 bands of 3-bit hyperplane
     * buckets (seeds 42-45) over UNIT vectors, same-bucket pairs with
     * rounded unit-dot cosine ≥ 0.4, band-deduped, recall-gated at 0.4

@@ -1031,6 +1031,34 @@ object Queries {
     // nondeterminism (~1e-14) — see OracleSqlGen ANN section
     Some(OracleSqlGen.annIvf))
 
+  /** IVF-PQ (round 12): the coarse-quantizer probe of [[qAnnIvf]] with
+    * product-quantized residuals — corpus vectors travel the candidate
+    * join as (list id, 4 codes) instead of 64 floats (the ~128×
+    * memory/shuffle tier a 100 TB vector corpus needs), ADC-scored in
+    * O(M) per candidate, top-24 shortlist re-ranked EXACTLY, top-5 out,
+    * recall-gated vs brute force. Floor 0.4 (measured 0.725 at sf0.01:
+    * the probe budget caps recall like plain IVF — 0.825 here — and PQ
+    * shortlist noise costs the rest; SimilaritySpec pins ≥0.3 recall on
+    * gaussian data and exact-score parity of the refine). The oracle
+    * replays the ENTIRE pipeline in DuckDB — coarse chain, residuals,
+    * 2-iteration PQ training, ADC, shortlist, refine — sound because
+    * the measured float margins (assignment 8.3e-6, rounding-boundary
+    * 2.2e-10) dwarf summation-order noise (~1e-13). */
+  private val qAnnIvfPq = Q("q_ann_ivfpq",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 16)
+      val out = Similarity.ivfPqTopK(emb, q, "embedding", "vec_id", k = 5,
+        nCentroids = 16, nProbes = 2, pqM = 4, pqCodes = 8, pqIters = 2,
+        rerank = 24)
+      val truth = Similarity.bruteForceTopK(emb, q, "embedding", "vec_id", k = 5)
+      Ops.recallGate(out, truth, Seq("query_id", "corpus_id"), floor = 0.4)
+        .select(col("query_id").cast("bigint").as("query_id"),
+          col("corpus_id").cast("bigint").as("corpus_id"),
+          col("cosine"), col("rank").cast("bigint").as("rank"), col("recall"))
+    },
+    Some(OracleSqlGen.annIvfPq))
+
   /** Multi-probe LSH recall-gated against exact brute force: 4 bits ×
     * (1 + 4 sign-flip probes) measured 0.54 (sf0.01) / 0.56 (sf0.1) —
     * near-uniform synthetic vectors are LSH's adversarial case (no
@@ -4747,7 +4775,7 @@ object Queries {
     qFuzzyMatch, qEventsHourly, qJsonExtract, qWindowSuite,
     qDedupExact, qDedupMinhash, qDedupSimhash, qNgramJaccard, qDupClusters,
     qDupClustersDist, qDedupPipeline,
-    qEmbeddingNearDup, qArrayFuncs, qAnnBrute, qAnnLsh, qAnnIvf,
+    qEmbeddingNearDup, qArrayFuncs, qAnnBrute, qAnnLsh, qAnnIvf, qAnnIvfPq,
     qTextStats, qCorpusStats, qChunkText, qFingerprint, qMultimodal,
     qStarJoin, qAggFused, qTopkPerGroup, qCountDistinct, qSessionizeBatch,
     qRollup, qSemiAnti, qSetOps, qAsofJoin, qPivot,

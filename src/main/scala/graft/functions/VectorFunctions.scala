@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.{Column, GraftBridge, TopCentroids, VectorCosine, VectorDot, VectorL2Normalize, VectorLshBucket}
+import org.apache.spark.sql.{CentroidDot, CentroidResidual, Column, GraftBridge, PqAdc, PqEncode, PqQueryTable, TopCentroids, VectorCosine, VectorDot, VectorL2Normalize, VectorLshBucket}
 import org.apache.spark.sql.functions._
 
 /** Vector math over `array<float>` / `array<double>` embedding columns.
@@ -50,4 +50,30 @@ object VectorFunctions {
     */
   def topCentroids(vec: Column, centroids: Array[Array[Double]], n: Int): Column =
     GraftBridge.column(TopCentroids(expr(d(vec)), centroids, n))
+
+  // ---- IVF-PQ (round 12) ----
+
+  /** vec − centroids(cid−1): the residual a product quantizer codes. */
+  def centroidResidual(vec: Column, cid: Column,
+                       centroids: Array[Array[Double]]): Column =
+    GraftBridge.column(CentroidResidual(expr(d(vec)), expr(cid.cast("long")), centroids))
+
+  /** dot(vec, centroids(cid−1)) — the q·c_list term of the ADC score. */
+  def centroidDot(vec: Column, cid: Column,
+                  centroids: Array[Array[Double]]): Column =
+    GraftBridge.column(CentroidDot(expr(d(vec)), expr(cid.cast("long")), centroids))
+
+  /** 1-based nearest-codeword id per subspace (min L2 as argmax
+    * dot−½‖w‖², ties to the smaller code). */
+  def pqEncode(vec: Column, codebooks: Array[Array[Array[Double]]]): Column =
+    GraftBridge.column(PqEncode(expr(d(vec)), codebooks))
+
+  /** Flattened per-query ADC table: tab(m·nCodes + c−1) =
+    * dot(q_sub(m), w(m)(c−1)). */
+  def pqQueryTable(vec: Column, codebooks: Array[Array[Array[Double]]]): Column =
+    GraftBridge.column(PqQueryTable(expr(d(vec)), codebooks))
+
+  /** Σ_m tab(m·nCodes + codes(m)−1): O(M) per-candidate ADC lookup. */
+  def pqAdc(tab: Column, codes: Column, nCodes: Int): Column =
+    GraftBridge.column(PqAdc(expr(tab), expr(codes), nCodes))
 }

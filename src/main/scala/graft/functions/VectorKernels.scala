@@ -244,4 +244,149 @@ object VectorKernels {
     }
     acc
   }
+
+  // ---- IVF-PQ kernels (round 12) --------------------------------------
+
+  private def checkCid(cid: Long, n: Int, op: String): Int = {
+    if (cid < 1 || cid > n) throw new IllegalArgumentException(
+      s"$op: centroid id $cid outside 1..$n — ids come from top_centroids")
+    (cid - 1).toInt
+  }
+
+  /** vec − centroids(cid−1): the IVF residual a product quantizer
+    * codes. Fails loudly on a dim mismatch or out-of-range id. */
+  def centroidResidual(vec: ArrayData, cid: Long,
+                       centroids: Array[Array[Double]]): ArrayData = {
+    checkNoNulls(vec, "centroid_residual")
+    val c = centroids(checkCid(cid, centroids.length, "centroid_residual"))
+    val n = vec.numElements()
+    if (n != c.length) throw new IllegalArgumentException(
+      s"centroid_residual: vector dimensions differ ($n vs ${c.length})")
+    val out = new Array[Double](n)
+    var i = 0
+    while (i < n) { out(i) = vec.getDouble(i) - c(i); i += 1 }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  /** dot(vec, centroids(cid−1)) — the q·c_list term of the IVF-PQ
+    * asymmetric score. */
+  def centroidDot(vec: ArrayData, cid: Long,
+                  centroids: Array[Array[Double]]): Double = {
+    checkNoNulls(vec, "centroid_dot")
+    val c = centroids(checkCid(cid, centroids.length, "centroid_dot"))
+    val n = vec.numElements()
+    if (n != c.length) throw new IllegalArgumentException(
+      s"centroid_dot: vector dimensions differ ($n vs ${c.length})")
+    var acc = 0.0
+    var i = 0
+    while (i < n) { acc += vec.getDouble(i) * c(i); i += 1 }
+    acc
+  }
+
+  /** PQ encode: the 1-based code of the nearest codeword per subspace
+    * (M codes out, one per `codebooks(m)`). "Nearest" is min L2,
+    * computed as argmax of dot(x_m, w) − ½·dot(w, w) — the ||x||² term
+    * is constant per subvector, so the argmax is identical, and the
+    * oracle replays this exact expression — ties to the smaller code.
+    * Codebook subspaces must tile the vector exactly. */
+  def pqEncode(vec: ArrayData,
+               codebooks: Array[Array[Array[Double]]]): ArrayData = {
+    checkNoNulls(vec, "pq_encode")
+    val m = codebooks.length
+    var dims = 0
+    var mi = 0
+    while (mi < m) { dims += codebooks(mi)(0).length; mi += 1 }
+    if (vec.numElements() != dims) throw new IllegalArgumentException(
+      s"pq_encode: vector dim ${vec.numElements()} != codebook tiling $dims")
+    val out = new Array[Long](m)
+    var off = 0
+    mi = 0
+    while (mi < m) {
+      val book = codebooks(mi)
+      val sub = book(0).length
+      var best = -1
+      var bestS = 0.0
+      var c = 0
+      while (c < book.length) {
+        val w = book(c)
+        var dotXW = 0.0
+        var dotWW = 0.0
+        var j = 0
+        while (j < sub) {
+          val wj = w(j)
+          dotXW += vec.getDouble(off + j) * wj
+          dotWW += wj * wj
+          j += 1
+        }
+        val s = dotXW - 0.5 * dotWW
+        if (best < 0 || s > bestS) { best = c; bestS = s }
+        c += 1
+      }
+      out(mi) = best + 1L
+      off += sub
+      mi += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  /** ADC lookup table for one query: tab(m·nCodes + c−1) =
+    * dot(q_sub(m), codebooks(m)(c−1)), flattened over uniform-width
+    * codebooks. Computed ONCE per query row; every candidate then
+    * scores in O(M) via [[pqAdc]] instead of O(dim). */
+  def pqQueryTable(vec: ArrayData,
+                   codebooks: Array[Array[Array[Double]]]): ArrayData = {
+    checkNoNulls(vec, "pq_query_table")
+    val m = codebooks.length
+    val nCodes = codebooks(0).length
+    var dims = 0
+    var mi = 0
+    while (mi < m) {
+      if (codebooks(mi).length != nCodes) throw new IllegalArgumentException(
+        "pq_query_table: ragged codebooks — every subspace must carry the same code count")
+      dims += codebooks(mi)(0).length
+      mi += 1
+    }
+    if (vec.numElements() != dims) throw new IllegalArgumentException(
+      s"pq_query_table: vector dim ${vec.numElements()} != codebook tiling $dims")
+    val out = new Array[Double](m * nCodes)
+    var off = 0
+    mi = 0
+    while (mi < m) {
+      val book = codebooks(mi)
+      val sub = book(0).length
+      var c = 0
+      while (c < nCodes) {
+        val w = book(c)
+        var acc = 0.0
+        var j = 0
+        while (j < sub) { acc += vec.getDouble(off + j) * w(j); j += 1 }
+        out(mi * nCodes + c) = acc
+        c += 1
+      }
+      off += sub
+      mi += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  /** Σ_m tab(m·nCodes + codes(m)−1): the O(M) asymmetric-distance
+    * lookup — approx q·residual from a candidate's PQ codes and the
+    * query's [[pqQueryTable]]. Out-of-range codes are a broken index
+    * contract, not data: fail loudly. */
+  def pqAdc(tab: ArrayData, codes: ArrayData, nCodes: Int): Double = {
+    checkNoNulls(tab, "pq_adc"); checkNoNulls(codes, "pq_adc")
+    val m = codes.numElements()
+    if (m * nCodes != tab.numElements()) throw new IllegalArgumentException(
+      s"pq_adc: table of ${tab.numElements()} slots does not tile $m subspaces × $nCodes codes")
+    var acc = 0.0
+    var mi = 0
+    while (mi < m) {
+      val c = codes.getLong(mi)
+      if (c < 1 || c > nCodes) throw new IllegalArgumentException(
+        s"pq_adc: code $c outside 1..$nCodes at subspace $mi")
+      acc += tab.getDouble(mi * nCodes + (c - 1).toInt)
+      mi += 1
+    }
+    acc
+  }
 }

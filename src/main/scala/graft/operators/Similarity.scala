@@ -22,6 +22,13 @@ import org.apache.spark.sql.functions._
   *    centroid's inverted list, queries probe the `nProbes` nearest
   *    lists. The standard billion-scale layout (IVF-Flat): candidate
   *    count scales with |corpus| * nProbes / nCentroids.
+  *  - [[ivfPqTopK]] (round 12): IVF-PQ — the same coarse quantizer with
+  *    PRODUCT-QUANTIZED residuals, so candidates travel as a handful of
+  *    byte-scale codes instead of raw floats and score in O(M) via an
+  *    ADC table; an exact refine of the rounded top-`rerank` shortlist
+  *    makes the output a pure function of the data. The memory tier:
+  *    at 100 TB the raw float vectors dominate executor memory, PQ
+  *    codes shrink the scanned/shuffled index ~dim·8/M×.
   */
 object Similarity {
 
@@ -330,6 +337,242 @@ object Similarity {
         struct(col("__s").as("s"), (lit(0d) - col("__clbl")).as("neg"))).as("__pred"))
       .groupBy(col("__lbl").as("label"), col("__pred").as("predicted"))
       .agg(count(lit(1)).as("n"))
+  }
+
+  /** Deterministic per-subspace Lloyd over PQ residual slices — plain
+    * (non-spherical) L2 k-means, the product-quantization trainer.
+    * Init: per subspace, the residual slices of the `nCodes` lowest-id
+    * vectors (the coarse chain's init rule, replayed by the oracle).
+    * Assignment runs the codegen [[graft.functions.VectorFunctions.pqEncode]]
+    * kernel (min L2 as argmax dot−½‖w‖², ties to the smaller code);
+    * means come from one map-side-combined reduceByKey keyed on
+    * (subspace, code) — a single tiny shuffle per iteration covering
+    * ALL subspaces at once, collecting only m·nCodes·subDim doubles.
+    * An empty codeword keeps its previous position (stable code count).
+    */
+  def pqCodebooks(residuals: DataFrame, vecCol: String, idCol: String,
+                  m: Int, nCodes: Int, iters: Int = 2): Array[Array[Array[Double]]] = {
+    val init = residuals.orderBy(col(idCol).asc).limit(nCodes)
+      .select(col(vecCol)).collect().map(_.getSeq[Double](0).toArray)
+    if (init.isEmpty) return Array.empty
+    val dim = init(0).length
+    require(dim % m == 0, s"PQ subspaces must tile the dimension: $dim % $m != 0")
+    val sub = dim / m
+    var books: Array[Array[Array[Double]]] = Array.tabulate(m)(mi =>
+      init.map(rv => rv.slice(mi * sub, (mi + 1) * sub)))
+    for (_ <- 1 to iters) {
+      val b = books
+      val sums = residuals
+        .select(VectorFunctions.pqEncode(col(vecCol), b).as("__codes"), col(vecCol))
+        .rdd
+        .flatMap { r =>
+          val codes = r.getSeq[Long](0)
+          val rv = r.getSeq[Double](1).toArray
+          (0 until m).map(mi =>
+            ((mi, codes(mi)), (rv.slice(mi * sub, (mi + 1) * sub), 1L)))
+        }
+        .reduceByKey { (a, c) =>
+          val (va, na) = a; val (vc, nc) = c
+          var i = 0
+          while (i < va.length) { va(i) += vc(i); i += 1 }
+          (va, na + nc)
+        }
+        .collectAsMap()
+      books = books.zipWithIndex.map { case (book, mi) =>
+        book.zipWithIndex.map { case (prev, ci) =>
+          sums.get((mi, ci + 1L)) match {
+            case Some((s, n)) => s.map(_ / n) // plain mean: residual space
+            case None => prev
+          }
+        }
+      }
+    }
+    books
+  }
+
+  /** IVF-PQ ANN (round 12): [[ivfTopK]]'s coarse quantizer with PRODUCT
+    * QUANTIZATION of the residuals — the memory tier for 100 TB of raw
+    * float vectors. Corpus vectors are re-expressed as (list id, M
+    * 1-byte-scale codes): dim·8 bytes → M bytes per vector in every
+    * structure past the encode, so the inverted lists — the thing that
+    * must fit executor memory at scale — shrink ~dim·8/M× (64-d → 4
+    * codes = 128×). Scoring is asymmetric (ADC): each query computes
+    * one M·nCodes lookup table, every candidate costs O(M) adds
+    * instead of O(dim) multiplies, and the approximate top-`rerank`
+    * shortlist is re-ranked EXACTLY against the raw vectors fetched by
+    * id — the standard billion-scale IVFPQ+refine layout
+    * (Jégou/Douze/Schmid, TPAMI 2011).
+    *
+    * Plan shape: candidates carry only ids + codes through the probe
+    * join (never raw vectors); the shortlist (≤ rerank·|queries| rows
+    * by construction) BROADCASTS back against the corpus for the exact
+    * refine, so the raw-vector side streams — no corpus shuffle at any
+    * stage. Approx scores round to 6 decimals before the shortlist cut
+    * (ties to the smaller corpus id), which is what makes the cut —
+    * and therefore the whole output — engine-independent and
+    * oracle-replayable.
+    */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame,
+                vecCol: String, idCol: String, k: Int,
+                nCentroids: Int = 16, nProbes: Int = 2,
+                pqM: Int = 4, pqCodes: Int = 8, pqIters: Int = 2,
+                rerank: Int = 20, kmeansIters: Int = 3): DataFrame = {
+    val centroids = kmeansCentroids(corpus, vecCol, idCol, nCentroids, kmeansIters)
+    if (centroids.isEmpty)
+      return bruteForceTopK(corpus, queries, vecCol, idCol, k)
+    val corpusUnit = corpus
+      .filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("corpus_id"),
+        VectorFunctions.l2Normalize(col(vecCol)).as("__cv"))
+      .withColumn("centroid_id",
+        element_at(VectorFunctions.topCentroids(col("__cv"), centroids, 1), 1))
+    val resid = corpusUnit.withColumn("__rv",
+      VectorFunctions.centroidResidual(col("__cv"), col("centroid_id"), centroids))
+    // training reads the residuals iters+1 times — persist like the
+    // coarse k-means does; unpersisted once the codebooks are collected
+    resid.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val books =
+      try pqCodebooks(resid.select(col("corpus_id"), col("__rv")),
+        "__rv", "corpus_id", pqM, pqCodes, pqIters)
+      finally resid.unpersist(blocking = false)
+    if (books.isEmpty)
+      return bruteForceTopK(corpus, queries, vecCol, idCol, k)
+    // the compressed index: ids + list id + M codes, nothing else
+    val encoded = resid
+      .withColumn("__codes", VectorFunctions.pqEncode(col("__rv"), books))
+      .select(col("corpus_id"), col("centroid_id"), col("__codes"))
+    pqProbePlan(encoded, corpusUnit.select(col("corpus_id"), col("__cv")),
+      queries, vecCol, idCol, centroids, books, k, nProbes, pqCodes, rerank)
+  }
+
+  /** The shared IVF-PQ probe plan: ADC scoring over (id, codes)
+    * candidates, rounded top-`rerank` shortlist, exact refine against
+    * the raw unit vectors. `encoded` = (corpus_id, centroid_id,
+    * __codes); `vectors` = (corpus_id, __cv). The shortlist (≤
+    * rerank·|queries| rows by construction) broadcasts back, so the
+    * raw-vector side streams — no corpus shuffle at any stage. */
+  private def pqProbePlan(encoded: DataFrame, vectors: DataFrame,
+                          queries: DataFrame, vecCol: String, idCol: String,
+                          centroids: Array[Array[Double]],
+                          books: Array[Array[Array[Double]]],
+                          k: Int, nProbes: Int, pqCodes: Int,
+                          rerank: Int): DataFrame = {
+    val probing = queries
+      .filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("query_id"),
+        VectorFunctions.l2Normalize(col(vecCol)).as("__qv"))
+      .withColumn("__qtab", VectorFunctions.pqQueryTable(col("__qv"), books))
+      .withColumn("centroid_id",
+        explode(VectorFunctions.topCentroids(col("__qv"), centroids, nProbes)))
+      .withColumn("__qc",
+        VectorFunctions.centroidDot(col("__qv"), col("centroid_id"), centroids))
+    val approx = encoded.join(probing.drop("__qv"), Seq("centroid_id"))
+      .filter(col("query_id") =!= col("corpus_id"))
+      .withColumn("cosine", round(col("__qc") +
+        VectorFunctions.pqAdc(col("__qtab"), col("__codes"), pqCodes), 6))
+    // approximate shortlist: same bounded top-k aggregation as every
+    // ANN tier (map-side pruning, never a full candidate shuffle)
+    val shortlist = topKPerQuery(approx, rerank)
+      .select(col("query_id"), col("corpus_id"))
+    val exact = vectors
+      .join(broadcast(shortlist), Seq("corpus_id"))
+      .join(broadcast(queries
+        .filter(col(vecCol).isNotNull)
+        .select(col(idCol).as("query_id"),
+          VectorFunctions.l2Normalize(col(vecCol)).as("__qv"))), Seq("query_id"))
+      .withColumn("cosine",
+        round(VectorFunctions.dot(col("__qv"), col("__cv")), 6))
+    topKPerQuery(exact, k)
+  }
+
+  /** Build a PERSISTENT IVF-PQ index under `dir`: `centroids` and
+    * `codebooks` (both tiny), plus ONE partitioned `lists` table
+    * carrying (corpus_id, codes, unit_vec) per centroid partition.
+    * Columnar pruning makes the single file set serve both probe
+    * phases minimally: the ADC scan reads only (corpus_id, codes) —
+    * M longs per vector, not dim floats — and the exact refine
+    * re-reads just (corpus_id, unit_vec) from the SAME probed
+    * partitions for the broadcast shortlist join. File count =
+    * nCentroids (the repartition-before-partitionBy lesson of
+    * [[buildIvfIndex]]). */
+  def buildIvfPqIndex(corpus: DataFrame, vecCol: String, idCol: String,
+                      dir: String, nCentroids: Int = 16, kmeansIters: Int = 3,
+                      pqM: Int = 4, pqCodes: Int = 8, pqIters: Int = 2): Unit = {
+    val spark = corpus.sparkSession
+    val centroids = kmeansCentroids(corpus, vecCol, idCol, nCentroids, kmeansIters)
+    require(centroids.nonEmpty, "cannot build an IVF-PQ index over an empty corpus")
+    val resid = corpus
+      .filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("corpus_id"),
+        VectorFunctions.l2Normalize(col(vecCol)).as("unit_vec"))
+      .withColumn("centroid_id",
+        element_at(VectorFunctions.topCentroids(col("unit_vec"), centroids, 1), 1))
+      .withColumn("__rv",
+        VectorFunctions.centroidResidual(col("unit_vec"), col("centroid_id"), centroids))
+    resid.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val books = pqCodebooks(resid.select(col("corpus_id"), col("__rv")),
+        "__rv", "corpus_id", pqM, pqCodes, pqIters)
+      require(books.nonEmpty, "PQ training produced no codebooks")
+      def vecRow(extra: Seq[Any], v: Array[Double]) =
+        org.apache.spark.sql.Row.fromSeq(extra :+ v.toSeq)
+      val lt = org.apache.spark.sql.types.LongType
+      val at = org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.DoubleType, containsNull = false)
+      def field(n: String, t: org.apache.spark.sql.types.DataType) =
+        org.apache.spark.sql.types.StructField(n, t, nullable = false)
+      spark.createDataFrame(
+          spark.sparkContext.parallelize(
+            centroids.zipWithIndex.map { case (v, i) => vecRow(Seq(i + 1L), v) }.toSeq, 1),
+          org.apache.spark.sql.types.StructType(Seq(field("centroid_id", lt), field("vec", at))))
+        .write.mode("overwrite").parquet(s"$dir/centroids")
+      spark.createDataFrame(
+          spark.sparkContext.parallelize((for {
+            (book, mi) <- books.zipWithIndex
+            (w, ci) <- book.zipWithIndex
+          } yield vecRow(Seq(mi.toLong, ci + 1L), w)).toSeq, 1),
+          org.apache.spark.sql.types.StructType(Seq(
+            field("m", lt), field("code", lt), field("w", at))))
+        .write.mode("overwrite").parquet(s"$dir/codebooks")
+      resid
+        .withColumn("codes", VectorFunctions.pqEncode(col("__rv"), books))
+        .select(col("corpus_id"), col("codes"), col("unit_vec"), col("centroid_id"))
+        .repartition(col("centroid_id"))
+        .write.mode("overwrite").partitionBy("centroid_id").parquet(s"$dir/lists")
+    } finally resid.unpersist(blocking = false)
+  }
+
+  /** Probe a [[buildIvfPqIndex]] index: the probed centroid ids become
+    * a static partition filter (like [[ivfTopKIndexed]]), the ADC pass
+    * reads only the codes column, the refine re-reads only the vector
+    * column of the same probed partitions. */
+  def ivfPqTopKIndexed(spark: org.apache.spark.sql.SparkSession, dir: String,
+                       queries: DataFrame, vecCol: String, idCol: String,
+                       k: Int, nProbes: Int = 2, rerank: Int = 20): DataFrame = {
+    val centroids = spark.read.parquet(s"$dir/centroids")
+      .orderBy(col("centroid_id").asc).select(col("vec"))
+      .collect().map(_.getSeq[Double](0).toArray)
+    require(centroids.nonEmpty, s"no centroids found under $dir")
+    val bookRows = spark.read.parquet(s"$dir/codebooks")
+      .orderBy(col("m").asc, col("code").asc)
+      .select(col("m"), col("w")).collect()
+    require(bookRows.nonEmpty, s"no codebooks found under $dir")
+    val books = bookRows.groupBy(_.getLong(0)).toSeq.sortBy(_._1)
+      .map(_._2.map(_.getSeq[Double](1).toArray)).toArray
+    val pqCodes = books(0).length
+    val probedIds = queries
+      .filter(col(vecCol).isNotNull)
+      .select(explode(VectorFunctions.topCentroids(
+        VectorFunctions.l2Normalize(col(vecCol)), centroids, nProbes)).as("cid"))
+      .distinct().collect().map(_.getLong(0))
+    // filter BEFORE the cast so partition pruning sees the raw attribute
+    val lists = spark.read.parquet(s"$dir/lists")
+      .filter(col("centroid_id").isin(probedIds: _*))
+      .withColumn("centroid_id", col("centroid_id").cast("long"))
+    pqProbePlan(
+      lists.select(col("corpus_id"), col("centroid_id"), col("codes").as("__codes")),
+      lists.select(col("corpus_id"), col("unit_vec").as("__cv")),
+      queries, vecCol, idCol, centroids, books, k, nProbes, pqCodes, rerank)
   }
 
   /** IVF-Flat ANN: corpus bucketed by nearest centroid, queries probe the

@@ -987,6 +987,172 @@ case class TopCentroids(child: Expression, centroids: Array[Array[Double]], n: I
     copy(child = newChild)
 }
 
+/** vec − centroids(cid−1): the IVF residual the product quantizer
+  * codes (round 12). Centroid matrix rides as a codegen reference like
+  * [[TopCentroids]]; array-field equality is by value for
+  * canonicalization. */
+case class CentroidResidual(left: Expression, right: Expression,
+                            centroids: Array[Array[Double]])
+    extends BinaryExpression with ExpectsInputTypes {
+  require(centroids.nonEmpty, "centroids must be non-empty")
+
+  override def equals(other: Any): Boolean = other match {
+    case t: CentroidResidual =>
+      left == t.left && right == t.right &&
+        java.util.Arrays.deepEquals(
+          centroids.asInstanceOf[Array[AnyRef]], t.centroids.asInstanceOf[Array[AnyRef]])
+    case _ => false
+  }
+  override def hashCode(): Int = java.util.Objects.hash(left, right,
+    Int.box(java.util.Arrays.deepHashCode(centroids.asInstanceOf[Array[AnyRef]])))
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(DoubleType), LongType)
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "centroid_residual"
+
+  override protected def nullSafeEval(v: Any, cid: Any): Any =
+    graft.functions.VectorKernels.centroidResidual(
+      v.asInstanceOf[ArrayData], cid.asInstanceOf[Long], centroids)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("centroids", centroids, "double[][]")
+    defineCodeGen(ctx, ev,
+      (v, cid) => s"graft.functions.VectorKernels.centroidResidual($v, $cid, $ref)")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CentroidResidual =
+    copy(left = newLeft, right = newRight)
+}
+
+/** dot(vec, centroids(cid−1)) — the q·c_list term of the IVF-PQ
+  * asymmetric score (round 12). */
+case class CentroidDot(left: Expression, right: Expression,
+                       centroids: Array[Array[Double]])
+    extends BinaryExpression with ExpectsInputTypes {
+  require(centroids.nonEmpty, "centroids must be non-empty")
+
+  override def equals(other: Any): Boolean = other match {
+    case t: CentroidDot =>
+      left == t.left && right == t.right &&
+        java.util.Arrays.deepEquals(
+          centroids.asInstanceOf[Array[AnyRef]], t.centroids.asInstanceOf[Array[AnyRef]])
+    case _ => false
+  }
+  override def hashCode(): Int = java.util.Objects.hash(left, right,
+    Int.box(java.util.Arrays.deepHashCode(centroids.asInstanceOf[Array[AnyRef]])))
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(DoubleType), LongType)
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "centroid_dot"
+
+  override protected def nullSafeEval(v: Any, cid: Any): Any =
+    graft.functions.VectorKernels.centroidDot(
+      v.asInstanceOf[ArrayData], cid.asInstanceOf[Long], centroids)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("centroids", centroids, "double[][]")
+    defineCodeGen(ctx, ev,
+      (v, cid) => s"graft.functions.VectorKernels.centroidDot($v, $cid, $ref)")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CentroidDot =
+    copy(left = newLeft, right = newRight)
+}
+
+/** PQ encode: 1-based nearest-codeword id per subspace (min L2 as
+  * argmax dot−½‖w‖², ties to the smaller code — the exact expression
+  * the oracle replays). Round 12. */
+case class PqEncode(child: Expression, codebooks: Array[Array[Array[Double]]])
+    extends UnaryExpression with ExpectsInputTypes {
+  require(codebooks.nonEmpty && codebooks.forall(_.nonEmpty),
+    "codebooks must be non-empty per subspace")
+
+  override def equals(other: Any): Boolean = other match {
+    case t: PqEncode =>
+      child == t.child && java.util.Arrays.deepEquals(
+        codebooks.asInstanceOf[Array[AnyRef]], t.codebooks.asInstanceOf[Array[AnyRef]])
+    case _ => false
+  }
+  override def hashCode(): Int = java.util.Objects.hash(child,
+    Int.box(java.util.Arrays.deepHashCode(codebooks.asInstanceOf[Array[AnyRef]])))
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(DoubleType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "pq_encode"
+
+  override protected def nullSafeEval(v: Any): Any =
+    graft.functions.VectorKernels.pqEncode(v.asInstanceOf[ArrayData], codebooks)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("codebooks", codebooks, "double[][][]")
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.VectorKernels.pqEncode($c, $ref)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PqEncode =
+    copy(child = newChild)
+}
+
+/** Per-query ADC lookup table over flattened uniform codebooks
+  * (round 12): tab(m·nCodes + c−1) = dot(q_sub(m), w(m)(c−1)). */
+case class PqQueryTable(child: Expression, codebooks: Array[Array[Array[Double]]])
+    extends UnaryExpression with ExpectsInputTypes {
+  require(codebooks.nonEmpty && codebooks.forall(_.nonEmpty),
+    "codebooks must be non-empty per subspace")
+
+  override def equals(other: Any): Boolean = other match {
+    case t: PqQueryTable =>
+      child == t.child && java.util.Arrays.deepEquals(
+        codebooks.asInstanceOf[Array[AnyRef]], t.codebooks.asInstanceOf[Array[AnyRef]])
+    case _ => false
+  }
+  override def hashCode(): Int = java.util.Objects.hash(child,
+    Int.box(java.util.Arrays.deepHashCode(codebooks.asInstanceOf[Array[AnyRef]])))
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(DoubleType))
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "pq_query_table"
+
+  override protected def nullSafeEval(v: Any): Any =
+    graft.functions.VectorKernels.pqQueryTable(v.asInstanceOf[ArrayData], codebooks)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("codebooks", codebooks, "double[][][]")
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.VectorKernels.pqQueryTable($c, $ref)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PqQueryTable =
+    copy(child = newChild)
+}
+
+/** O(M) asymmetric-distance lookup: Σ_m tab(m·nCodes + codes(m)−1)
+  * (round 12) — the per-candidate cost drop from O(dim) to O(M) that
+  * makes PQ the memory/compute tier under IVF. */
+case class PqAdc(left: Expression, right: Expression, nCodes: Int)
+    extends BinaryExpression with ExpectsInputTypes {
+  require(nCodes >= 1, s"nCodes must be >= 1, got $nCodes")
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(DoubleType), ArrayType(LongType))
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "pq_adc"
+
+  override protected def nullSafeEval(tab: Any, codes: Any): Any =
+    graft.functions.VectorKernels.pqAdc(
+      tab.asInstanceOf[ArrayData], codes.asInstanceOf[ArrayData], nCodes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (t, c) => s"graft.functions.VectorKernels.pqAdc($t, $c, $nCodes)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): PqAdc =
+    copy(left = newLeft, right = newRight)
+}
+
 case class VectorLshBucket(child: Expression, nBits: Int, seed: Long)
     extends UnaryExpression with ExpectsInputTypes {
   require(nBits >= 1 && nBits <= 63, s"nBits must be in [1, 63], got $nBits")

@@ -488,12 +488,15 @@ class MultimodalSpec extends SparkSpec {
     // decode must refuse rather than compute stats over half the data
     val full = wav(16, 1, 8000, Seq(100, 200, 300, 400))
     assert(AudioKernels.decode(full.dropRight(2)).isEmpty)
-    // unsupported payloads: IEEE float (tag 3), 24-bit, and a crafted
-    // chunk size that would overflow an Int cursor
+    // unsupported payloads: IEEE float (tag 3) and a crafted chunk size
+    // that would overflow an Int cursor. 24-bit PCM joined the integer
+    // family in round 12 (exact stats pinned in AudioContainersSpec) —
+    // re-declaring these bytes as 24-bit must now DECODE, reading the
+    // 8 data bytes as 2 whole 3-byte frames
     val floatTag = full.clone(); floatTag(20) = 3
     assert(AudioKernels.decode(floatTag).isEmpty)
     val deep = full.clone(); deep(34) = 24
-    assert(AudioKernels.decode(deep).isEmpty)
+    assert(AudioKernels.decode(deep).exists(p => p.bits == 24 && p.nFrames == 2))
     val hugeChunk = full.clone()
     hugeChunk(40) = -1; hugeChunk(41) = -1; hugeChunk(42) = -1; hugeChunk(43) = -1
     assert(AudioKernels.decode(hugeChunk).isEmpty) // declared 4 GiB data

@@ -88,6 +88,186 @@ class SimilaritySpec extends SparkSpec {
     assert(ivfRecall >= 0.3, s"IVF recall $ivfRecall")
   }
 
+  test("pqEncode kernel: nearest codeword by L2, ties to the smaller code") {
+    // m=1 subspace, two codewords on the axes. (1,0) is nearest c1;
+    // (0.6,0.6) is equidistant (biased dot 0.1 for both) -> code 1 wins
+    val books = Array(Array(Array(1.0, 0.0), Array(0.0, 1.0)))
+    val df = Seq((1L, Array(1.0f, 0.0f)), (2L, Array(0.6f, 0.6f)),
+      (3L, Array(0.1f, 0.9f))).toDF("id", "v")
+    val got = df.select(col("id"),
+        VectorFunctions.pqEncode(col("v"), books).as("c"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(got(1L) == Seq(1L) && got(2L) == Seq(1L) && got(3L) == Seq(2L))
+    // two subspaces tile a 4-dim vector independently
+    val books2 = Array(
+      Array(Array(1.0, 0.0), Array(0.0, 1.0)),
+      Array(Array(5.0, 5.0), Array(-1.0, -1.0)))
+    val g2 = Seq((1L, Array(0.0f, 1.0f, -0.9f, -1.1f))).toDF("id", "v")
+      .select(VectorFunctions.pqEncode(col("v"), books2))
+      .as[Seq[Long]].head()
+    assert(g2 == Seq(2L, 2L))
+  }
+
+  test("ivfPqTopK recalls clustered neighbors; output invariant to partitioning") {
+    // two tight clusters in 8 dims (dim % pqM == 0); PQ codes must keep
+    // same-cluster neighbors in the shortlist and the exact refine must
+    // order them correctly
+    val vecs = (0 until 40).map { i =>
+      val base = if (i % 2 == 0) Array(1f, 0f, 1f, 0f, 1f, 0f, 1f, 0f)
+                 else Array(0f, 1f, 0f, 1f, 0f, 1f, 0f, 1f)
+      (i.toLong, base.zipWithIndex.map { case (v, j) => v + 0.01f * ((i + j) % 5) })
+    }.toDF("vec_id", "embedding")
+    val q = vecs.filter(col("vec_id") === 0L)
+    def run(c: org.apache.spark.sql.DataFrame) =
+      Similarity.ivfPqTopK(c, q, "embedding", "vec_id", k = 5,
+          nCentroids = 2, nProbes = 1, pqM = 4, pqCodes = 4, rerank = 10)
+        .select("query_id", "corpus_id", "cosine", "rank")
+        .as[(Long, Long, Double, Int)].collect().toSet
+    val out = run(vecs)
+    assert(out.nonEmpty && out.forall(_._2 % 2 == 0), s"crossed clusters: $out")
+    // the rounded-score cut makes the whole pipeline a pure function of
+    // the data: any physical layout must produce identical rows
+    assert(run(vecs.repartition(13)) == out)
+  }
+
+  test("IVF-PQ recall measured vs exact brute force (floor pinned)") {
+    val rnd = new scala.util.Random(11)
+    val corpus = (0 until 300)
+      .map(i => (i.toLong, Array.fill(16)(rnd.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    val queries = corpus.filter(col("vec_id") < 10)
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("query_id", "corpus_id").as[(Long, Long)].collect().toSet
+    val exact = pairs(Similarity.bruteForceTopK(corpus, queries, "embedding", "vec_id", 5))
+    val pq = pairs(Similarity.ivfPqTopK(corpus, queries, "embedding", "vec_id", 5,
+      nCentroids = 8, nProbes = 3, pqM = 4, pqCodes = 8, rerank = 24))
+    val recall = exact.count(pq.contains).toDouble / exact.size
+    // measured, deterministic; near-uniform gaussians are the
+    // adversarial case for a 4x8 codebook — the probe budget (3/8
+    // lists) caps recall exactly like plain IVF, and PQ noise inside
+    // the shortlist costs a little more
+    assert(recall >= 0.3, s"IVF-PQ recall $recall")
+    // the exact refine means every reported cosine equals brute force's
+    val bf = Similarity.bruteForceTopK(corpus, queries, "embedding", "vec_id", 200)
+      .select("query_id", "corpus_id", "cosine")
+      .as[(Long, Long, Double)].collect()
+      .map { case (q, c, s) => (q, c) -> s }.toMap
+    Similarity.ivfPqTopK(corpus, queries, "embedding", "vec_id", 5,
+        nCentroids = 8, nProbes = 3, pqM = 4, pqCodes = 8, rerank = 24)
+      .select("query_id", "corpus_id", "cosine")
+      .as[(Long, Long, Double)].collect()
+      .foreach { case (q, c, s) =>
+        assert(bf.get((q, c)).forall(_ == s), s"approx score leaked into output at ($q,$c)")
+      }
+  }
+
+  test("IVF-PQ float margins at sf0.01 dwarf summation-order noise (oracle precondition)") {
+    // The q_ann_ivfpq oracle replays PQ training and ADC scoring in
+    // DuckDB with float arithmetic in a different summation order
+    // (~1e-13 divergence). That replay is sound iff every float
+    // DECISION in the chain has a margin far above that noise — the
+    // same precondition the round-9 audit measured for the coarse
+    // chain (tools/ann_margin_audit.py). Replicate the PQ chain
+    // driver-side in plain Scala (independent transcription) and
+    // measure: (1) per-iteration codeword-assignment margins,
+    // (2) the distributed trainer agrees with the transcription,
+    // (3) ADC scores sit far from their 6-decimal rounding boundaries.
+    val dir = "/root/testdata/sf0.01"
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val (m, nCodes, iters, nCent, nProbes) = (4, 8, 2, 16, 2)
+    val centroids = Similarity.kmeansCentroids(emb, "embedding", "vec_id", nCent, 3)
+    val rows = emb.select("vec_id", "embedding")
+      .as[(Long, Seq[Float])].collect().sortBy(_._1)
+      .map { case (id, v) =>
+        val d = v.map(_.toDouble).toArray
+        val n = math.sqrt(d.map(x => x * x).sum)
+        (id, if (n == 0) d else d.map(_ / n))
+      }
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    val dim = rows.head._2.length
+    val sub = dim / m
+    // coarse assignment (margins for THIS chain were audited in r9)
+    val resid = rows.map { case (id, u) =>
+      val ci = centroids.indices.maxBy(i => (dot(u, centroids(i)), -i))
+      (id, u.indices.map(j => u(j) - centroids(ci)(j)).toArray)
+    }
+    // PQ training replay, measuring assignment margins each iteration
+    var books = Array.tabulate(m)(mi =>
+      resid.sortBy(_._1).take(nCodes).map(_._2.slice(mi * sub, (mi + 1) * sub)))
+    var minMargin = Double.MaxValue
+    for (_ <- 1 to iters) {
+      val sums = Array.fill(m, nCodes)(new Array[Double](sub))
+      val counts = Array.fill(m, nCodes)(0L)
+      for ((_, rv) <- resid; mi <- 0 until m) {
+        val x = rv.slice(mi * sub, (mi + 1) * sub)
+        val scores = books(mi).map(w => dot(x, w) - 0.5 * dot(w, w))
+        val best = scores.indices.maxBy(i => (scores(i), -i))
+        val second = scores.indices.filter(_ != best)
+          .maxBy(i => (scores(i), -i))
+        minMargin = math.min(minMargin, scores(best) - scores(second))
+        val s = sums(mi)(best); var j = 0
+        while (j < sub) { s(j) += x(j); j += 1 }
+        counts(mi)(best) += 1
+      }
+      books = Array.tabulate(m)(mi => Array.tabulate(nCodes)(ci =>
+        if (counts(mi)(ci) == 0) books(mi)(ci)
+        else sums(mi)(ci).map(_ / counts(mi)(ci))))
+    }
+    assert(minMargin > 1e-9,
+      s"PQ assignment margin $minMargin too close to float noise — the oracle replay is unsound")
+    // the engine's distributed trainer converges to the same books
+    val engineBooks = Similarity.pqCodebooks(
+      emb.filter(col("embedding").isNotNull)
+        .select(col("vec_id").as("corpus_id"),
+          VectorFunctions.l2Normalize(col("embedding")).as("__cv"))
+        .withColumn("centroid_id",
+          element_at(VectorFunctions.topCentroids(col("__cv"), centroids, 1), 1))
+        .select(col("corpus_id"),
+          VectorFunctions.centroidResidual(col("__cv"), col("centroid_id"), centroids).as("__rv")),
+      "__rv", "corpus_id", m, nCodes, iters)
+    for (mi <- 0 until m; ci <- 0 until nCodes; j <- 0 until sub)
+      assert(math.abs(engineBooks(mi)(ci)(j) - books(mi)(ci)(j)) < 1e-10,
+        s"trainer drift at ($mi,$ci,$j)")
+    // ADC rounding-boundary gaps over the real query/candidate surface
+    val queries = rows.filter(_._1 < 16)
+    val assign = rows.map { case (id, u) =>
+      id -> centroids.indices.maxBy(i => (dot(u, centroids(i)), -i))
+    }.toMap
+    val codes = resid.map { case (id, rv) =>
+      id -> Array.tabulate(m) { mi =>
+        val x = rv.slice(mi * sub, (mi + 1) * sub)
+        val scores = books(mi).map(w => dot(x, w) - 0.5 * dot(w, w))
+        scores.indices.maxBy(i => (scores(i), -i))
+      }
+    }.toMap
+    var minBoundaryGap = Double.MaxValue
+    for ((qid, qu) <- queries) {
+      val probed = centroids.indices
+        .sortBy(i => (-dot(qu, centroids(i)), i)).take(nProbes).toSet
+      for ((cid2, _) <- rows if cid2 != qid && probed(assign(cid2))) {
+        val qc = dot(qu, centroids(assign(cid2)))
+        val adc = (0 until m).map { mi =>
+          dot(qu.slice(mi * sub, (mi + 1) * sub), books(mi)(codes(cid2)(mi)))
+        }.sum
+        val s = qc + adc
+        // rounding flips at the x.5 points of the 1e6-scaled value:
+        // the gap to the nearest such edge bounds how much summation-
+        // order noise the round(·, 6) can absorb
+        val frac = s * 1e6 - math.floor(s * 1e6)
+        minBoundaryGap = math.min(minBoundaryGap, math.abs(frac - 0.5))
+      }
+    }
+    // gap is in 1e-6 units: 1e-4 of a unit = 1e-10 absolute — still
+    // 1000x the 1e-13 summation-order noise
+    assert(minBoundaryGap > 1e-4,
+      s"an ADC score sits $minBoundaryGap rounding-units from a 6-decimal boundary")
+    info(f"min PQ assignment margin: $minMargin%.3e (noise floor ~1e-13)")
+    info(f"min ADC rounding-boundary gap: $minBoundaryGap%.3e rounding-units (~${minBoundaryGap * 1e-6}%.1e absolute)")
+  }
+
   test("multi-table LSH: recall never drops, output has no duplicate pairs") {
     val rnd = new scala.util.Random(17)
     val corpus = (0 until 300)
@@ -156,6 +336,38 @@ class SimilaritySpec extends SparkSpec {
       org.apache.spark.sql.execution.FormattedMode)
     val scanLine = f.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
     assert(scanLine.contains("centroid_id"), f)
+  }
+
+  test("persistent IVF-PQ index: probe equals build-and-probe; ADC scan reads codes only") {
+    val rnd = new scala.util.Random(37)
+    val corpus = (0 until 200)
+      .map(i => (i.toLong, Array.fill(8)(rnd.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    val queries = corpus.filter(col("vec_id") < 6)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfpq").toString
+    Similarity.buildIvfPqIndex(corpus, "embedding", "vec_id", dir,
+      nCentroids = 8, kmeansIters = 3, pqM = 4, pqCodes = 4, pqIters = 2)
+    val indexed = Similarity.ivfPqTopKIndexed(spark, dir, queries,
+      "embedding", "vec_id", k = 4, nProbes = 2, rerank = 12)
+    val direct = Similarity.ivfPqTopK(corpus, queries, "embedding", "vec_id",
+      k = 4, nCentroids = 8, nProbes = 2, pqM = 4, pqCodes = 4, pqIters = 2,
+      rerank = 12)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "corpus_id", "rank").as[(Long, Long, Int)].collect().toSet
+    // deterministic coarse chain + PQ trainer → identical codes, ADC
+    // scores and shortlists either way
+    assert(rows(indexed) == rows(direct))
+    val f = indexed.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    // both phases prune to the probed partitions...
+    val scans = f.linesIterator.filter(_.contains("PartitionFilters")).toSeq
+    assert(scans.nonEmpty && scans.forall(_.contains("centroid_id")), f)
+    // ...and the ADC pass reads only ids + codes — the raw vector
+    // column must appear in NO scan that also reads codes (columnar
+    // pruning is the 128x memory story)
+    val reads = f.linesIterator.filter(_.contains("ReadSchema")).toSeq
+    assert(reads.exists(r => r.contains("codes") && !r.contains("unit_vec")),
+      s"no codes-only scan:\n${reads.mkString("\n")}")
   }
 
   test("null embeddings never occupy top-k slots (brute force)") {
