@@ -23,9 +23,13 @@ object PlanSnapshot {
     sb.append(s"# Plan + metrics snapshot (sfDir=$dir)\n")
     sb.append("# Regenerate: sbt 'Test/runMain graft.PlanSnapshot <sfDir> <out> <names>'\n")
     names.foreach { name =>
-      val df = SparkEntry.queries(name)(spark, dir)
+      // the loop queries (pagerank, label propagation) run their
+      // iterations EAGERLY at construction over checkpointed state, so
+      // the metrics bracket must open before queries() is called — a
+      // post-construction bracket would credit them one projection
       org.apache.spark.sql.GraftBridge.drainListenerBus(spark)
       val before = m.snapshot()
+      val df = SparkEntry.queries(name)(spark, dir)
       df.write.format("noop").mode("overwrite").save()
       // exact attribution needs the bus empty before the delta read
       org.apache.spark.sql.GraftBridge.drainListenerBus(spark)
