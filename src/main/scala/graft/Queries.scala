@@ -425,6 +425,36 @@ object Queries {
            |  FROM nation n CROSS JOIN region r) x
            |WHERE rn = 1""".stripMargin))
 
+  /** Thresholded fuzzy join (round 12) — FuzzyMatch's documented
+    * non-broadcast path: all part-name pairs at JW >= 0.9 via the
+    * banded candidate generator (integer length bands + occurrence-
+    * tagged prefix signatures, both bounds proved at
+    * [[graft.functions.JaroWinkler.lengthBand]]), exact codegen-JW
+    * verify. DuckDB replays the BRUTE-FORCE definition — so this row
+    * being green is a machine-checked proof the pruning lost nothing
+    * on this corpus, every round, on top of FuzzyMatchSpec's random-
+    * string equality proof. */
+  private val qFuzzyThreshold = Q("q_fuzzy_threshold",
+    (s, dir) => {
+      val parts = t(s, dir, "part")
+      val lookup = parts.filter(pmod(col("p_partkey"), lit(20)) === 0)
+        .select(col("p_partkey").as("lkey"), col("p_name").as("lname"))
+      FuzzyMatch.thresholdJoin(
+          parts.select(col("p_partkey").as("pkey"), col("p_name").as("pname")),
+          "pkey", "pname", lookup, "lkey", "lname", tau = 0.9)
+        .filter(col("pkey") =!= col("lkey"))
+        .select(col("pkey").cast("bigint").as("pkey"),
+          col("lkey").cast("bigint").as("lkey"),
+          col("match_value"), col("match_score"))
+    },
+    Some("""SELECT CAST(a.p_partkey AS BIGINT) AS pkey,
+           |       CAST(b.p_partkey AS BIGINT) AS lkey,
+           |       b.p_name AS match_value,
+           |       round(jaro_winkler_similarity(lower(a.p_name), lower(b.p_name)), 6) AS match_score
+           |FROM part a, part b
+           |WHERE b.p_partkey % 20 = 0 AND a.p_partkey <> b.p_partkey
+           |  AND round(jaro_winkler_similarity(lower(a.p_name), lower(b.p_name)), 6) >= 0.9""".stripMargin))
+
   /** Semi-structured JSON column handling: schema-on-read extraction
     * from the `props` JSON string with a SINGLE typed `from_json` pass
     * (at corpus scale JSON parsing dominates this query's cost — one
@@ -4772,7 +4802,7 @@ object Queries {
     qAgg, qDistinct, qWindowRank, qSort, qUnionDedup,
     qStringFuncs, qSplitConcat, qDateParts, qSeqId,
     qEditDistance, qRegexExtract,
-    qFuzzyMatch, qEventsHourly, qJsonExtract, qWindowSuite,
+    qFuzzyMatch, qFuzzyThreshold, qEventsHourly, qJsonExtract, qWindowSuite,
     qDedupExact, qDedupMinhash, qDedupSimhash, qNgramJaccard, qDupClusters,
     qDupClustersDist, qDedupPipeline,
     qEmbeddingNearDup, qArrayFuncs, qAnnBrute, qAnnLsh, qAnnIvf, qAnnIvfPq,

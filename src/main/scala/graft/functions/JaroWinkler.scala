@@ -72,4 +72,79 @@ object JaroWinkler {
   def jaro_winkler(a: Column, b: Column): Column =
     GraftBridge.column(
       JaroWinklerSimilarity(GraftBridge.expression(a), GraftBridge.expression(b)))
+
+  // ---- thresholded-join pruning kernels (round 12) -------------------
+  //
+  // For pairs with JW >= tau the Jaro core obeys two provable bounds
+  // (sim() above: window matching, m <= min lengths, Winkler bonus
+  // <= 0.4·(1−J), so JW <= 0.4 + 0.6·J):
+  //   J >= jmin := (tau − 0.4)/0.6
+  //   (length ratio)  min(L1,L2)/max(L1,L2) >= r := 3·jmin − 2
+  //   (char overlap)  |bag(s1) ∩ bag(s2)| >= m >= (3·jmin − 1)·L1L2/(L1+L2)
+  // Both only bite for tau > 0.8 (r > 0) — the enforced contract of
+  // FuzzyMatch.thresholdJoin.
+
+  /** Length band with INTEGER boundaries c₀=1, c_{k+1} = ⌊c_k/r⌋ + 2:
+    * any pair with ratio >= r lands in adjacent-or-equal bands
+    * (c_{k+1} > c_k/r strictly, so r·c_{k+1} > c_k survives any float
+    * rounding of the division — a float `floor(log len / log(1/r))`
+    * band can split an exact-ratio pair by 2 at a boundary). len 0
+    * gets band −1: an empty string pairs only with another empty
+    * (JW = 1) and must meet nothing else. */
+  def lengthBand(len: Int, r: Double): Int = {
+    if (len <= 0) return -1
+    var c = 1L
+    var k = 0
+    var next = math.floor(c / r).toLong + 2
+    while (len >= next) { c = next; k += 1; next = math.floor(c / r).toLong + 2 }
+    k
+  }
+
+  /** Prefix-filter signature: the lowered string's chars sorted with
+    * occurrence tags ((char << 16) | occ — multiset-as-set, the PPJoin
+    * device), truncated to the first L − o + 1 entries where
+    * o = ⌈frac·L⌉ is this row's worst-case required overlap
+    * (frac = (3·jmin−1)·r/(1+r): the pair bound minimized over legal
+    * partner lengths [r·L, L/r], so o never exceeds any real pair's
+    * bound and the prefix lemma applies — two strings with overlap
+    * >= o MUST share a signature entry). The 1e-9 slack keeps a float
+    * product from rounding o past the true ceiling (a smaller o just
+    * lengthens the prefix: sound). Empty string → sentinel [−1]
+    * (meets only the other empties' sentinel). */
+  def signature(s: UTF8String, frac: Double): Array[Long] = {
+    val str = s.toString
+    val n = str.length
+    if (n == 0) return Array(-1L)
+    val chars = str.toCharArray
+    java.util.Arrays.sort(chars)
+    var o = math.ceil(frac * n - 1e-9).toInt
+    if (o < 1) o = 1
+    val sigLen = n - o + 1
+    if (sigLen <= 0) return Array.empty[Long]
+    val out = new Array[Long](sigLen)
+    var i = 0
+    var occ = 0
+    while (i < sigLen) {
+      if (i > 0 && chars(i) == chars(i - 1)) occ += 1 else occ = 0
+      out(i) = (chars(i).toLong << 16) | occ.toLong
+      i += 1
+    }
+    out
+  }
+
+  /** Codegen entry points (UTF-16 length, matching sim()'s units). */
+  def lengthBandOf(s: UTF8String, r: Double): Int =
+    lengthBand(s.toString.length, r)
+  def signatureData(s: UTF8String, frac: Double)
+      : org.apache.spark.sql.catalyst.util.ArrayData =
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(signature(s, frac))
+
+  def fuzzy_length_band(s: Column, r: Double): Column =
+    GraftBridge.column(
+      org.apache.spark.sql.FuzzyLengthBand(GraftBridge.expression(s), r))
+
+  def fuzzy_signature(s: Column, frac: Double): Column =
+    GraftBridge.column(
+      org.apache.spark.sql.FuzzySignature(GraftBridge.expression(s), frac))
 }

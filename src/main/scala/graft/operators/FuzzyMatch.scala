@@ -214,6 +214,90 @@ object FuzzyMatch {
     case _ => false
   }
 
+  /** Thresholded fuzzy join — the documented NON-BROADCAST path
+    * (round 12, the scale twin of [[bestMatch]]'s argmax): every
+    * (main, lookup) pair with Jaro-Winkler >= `tau`, case-insensitive,
+    * with neither side required to fit in memory.
+    *
+    * An unfiltered argmax cannot prune (a poor match still wins when
+    * nothing beats it), but a THRESHOLD can, with two provable bounds
+    * on the Jaro core (derivations at
+    * [[graft.functions.JaroWinkler.lengthBand]]/`signature`): a
+    * qualifying pair's length ratio is >= r = 3·jmin − 2 and its
+    * char-bag overlap >= (3·jmin − 1)·L₁L₂/(L₁+L₂), where
+    * jmin = (tau − 0.4)/0.6. Candidates are therefore generated by an
+    * EQUI-join on (integer length band, occurrence-tagged
+    * sorted-prefix signature char) — the PPJoin prefix-filter scheme —
+    * then deduped and verified with the exact codegen JW. Both bounds
+    * only bite above tau = 0.8, which is the enforced contract (below
+    * it JW admits arbitrarily dissimilar lengths and no sound blocking
+    * key exists — use [[bestMatch]] or raise tau).
+    *
+    * Scale shape: the candidate join and the pair-dedup shuffle carry
+    * (band, sig-char, id) triples and id pairs — never the strings;
+    * string values rejoin by id only for surviving candidate pairs.
+    * Hot (band, char) keys are the skew story of any prefix filter —
+    * AQE skew-join splits them (enabled session-wide), and the
+    * signature tags occurrences so a long run of one char fans out
+    * across distinct keys instead of one.
+    */
+  def thresholdJoin(main: DataFrame, mainId: String, mainField: String,
+                    lookup: DataFrame, lookupId: String, lookupField: String,
+                    tau: Double,
+                    matchCol: String = "match_value",
+                    scoreCol: String = "match_score"): DataFrame = {
+    require(tau >= 0.801 && tau <= 1.0,
+      s"thresholdJoin prunes with length-ratio and char-overlap bounds " +
+        s"that are vacuous at tau <= 0.8 (ratio bound 3*((tau-0.4)/0.6)-2 " +
+        s"<= 0); got tau = $tau. Use bestMatch (broadcast argmax) or a " +
+        s"higher threshold.")
+    // the output filter compares the 6-decimal ROUNDED score (oracle
+    // parity), which admits jw >= tau − 0.5e-6 — the pruning bounds
+    // must be derived from that effective threshold or a pair rounding
+    // up across tau could be pruned away yet demanded by the oracle
+    val tauEff = tau - 5e-7
+    val jmin = (tauEff - 0.4) / 0.6
+    val r = 3 * jmin - 2
+    val frac = (3 * jmin - 1) * r / (1 + r)
+    import graft.functions.JaroWinkler.{fuzzy_length_band, fuzzy_signature}
+    val m = main
+      .filter(col(mainField).isNotNull)
+      .select(col(mainId).as("__ft_mid"), lower(col(mainField)).as("__ft_mf"))
+      .withColumn("__ft_band", fuzzy_length_band(col("__ft_mf"), r))
+      .select(col("__ft_mid"), col("__ft_band"),
+        explode(fuzzy_signature(col("__ft_mf"), frac)).as("__ft_sig"))
+    val l = lookup
+      .filter(col(lookupField).isNotNull)
+      .select(col(lookupId).as("__ft_lid"), lower(col(lookupField)).as("__ft_lf"))
+      .withColumn("__ft_b0", fuzzy_length_band(col("__ft_lf"), r))
+      // a qualifying pair's bands differ by at most 1: the lookup side
+      // fans into its three neighbor bands, each pair meets on exactly
+      // one shift (plus possibly several shared signature chars — the
+      // id-pair distinct below collapses those)
+      .select(col("__ft_lid"), col("__ft_lf"),
+        explode(array(col("__ft_b0") - 1, col("__ft_b0"), col("__ft_b0") + 1))
+          .as("__ft_band"))
+      .select(col("__ft_lid"), col("__ft_band"),
+        explode(fuzzy_signature(col("__ft_lf"), frac)).as("__ft_sig"))
+    val cand = m.join(l, Seq("__ft_band", "__ft_sig"))
+      .select(col("__ft_mid"), col("__ft_lid"))
+      .distinct()
+    // strings rejoin by id for surviving candidates only; the ORIGINAL
+    // lookup value is what the output carries (scoring lowercases,
+    // mirroring bestMatch/Kettle)
+    cand
+      .join(main.select(col(mainId).as("__ft_mid"),
+        lower(col(mainField)).as("__ft_mf")), Seq("__ft_mid"))
+      .join(lookup.select(col(lookupId).as("__ft_lid"),
+        col(lookupField).as("__ft_orig"),
+        lower(col(lookupField)).as("__ft_lf")), Seq("__ft_lid"))
+      .withColumn(scoreCol,
+        round(jaro_winkler(col("__ft_mf"), col("__ft_lf")), 6))
+      .filter(col(scoreCol) >= tau)
+      .select(col("__ft_mid").as(mainId), col("__ft_lid").as(lookupId),
+        col("__ft_orig").as(matchCol), col(scoreCol))
+  }
+
   /** Variant keyed by an explicit unique id on the main side — the
     * zero-extra-shuffle path when main rows already carry one.
     */

@@ -35,6 +35,51 @@ case class JaroWinklerSimilarity(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Length band with integer boundaries for the thresholded fuzzy join's
+  * ratio filter (round 12) — see JaroWinkler.lengthBand for the
+  * soundness argument. */
+case class FuzzyLengthBand(child: Expression, r: Double)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(r > 0.0 && r < 1.0, s"ratio bound must be in (0, 1), got $r")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "fuzzy_length_band"
+
+  override protected def nullSafeEval(v: Any): Any =
+    graft.functions.JaroWinkler.lengthBandOf(v.asInstanceOf[UTF8String], r)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.JaroWinkler.lengthBandOf($c, $r)")
+
+  override protected def withNewChildInternal(newChild: Expression): FuzzyLengthBand =
+    copy(child = newChild)
+}
+
+/** Occurrence-tagged sorted-prefix signature for the thresholded fuzzy
+  * join (round 12) — two strings whose char-bag overlap can reach the
+  * JW >= tau bound must share a signature entry (PPJoin prefix lemma);
+  * see JaroWinkler.signature. */
+case class FuzzySignature(child: Expression, frac: Double)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(frac > 0.0 && frac <= 1.0, s"overlap fraction must be in (0, 1], got $frac")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "fuzzy_signature"
+
+  override protected def nullSafeEval(v: Any): Any =
+    graft.functions.JaroWinkler.signatureData(v.asInstanceOf[UTF8String], frac)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.JaroWinkler.signatureData($c, $frac)")
+
+  override protected def withNewChildInternal(newChild: Expression): FuzzySignature =
+    copy(child = newChild)
+}
+
 /** Distinct 64-bit hashes of the character n-gram shingles of a string.
   * One O(bytes) pass computing byte-window hashes at char boundaries —
   * versus the naive `transform(sequence(...), i => xxhash64(substr(t,i,n)))`

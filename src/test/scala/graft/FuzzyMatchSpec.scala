@@ -150,6 +150,62 @@ class FuzzyMatchSpec extends SparkSpec {
     }
   }
 
+  test("thresholdJoin equals the brute-force cross join, at several taus") {
+    // adversarial generator: shared fragments, single-char edits,
+    // duplicated chars (occurrence-tag path), case differences, exact
+    // dups, and length outliers — if either pruning bound (length
+    // ratio, prefix overlap) were unsound, some near-pair here would
+    // vanish from the banded output
+    val rnd = new scala.util.Random(41)
+    val frags = Vector("mugello", "jerez", "assen", "catalunya", "aaa", "zz")
+    def word(): String = {
+      val base = frags(rnd.nextInt(frags.size))
+      rnd.nextInt(5) match {
+        case 0 => base
+        case 1 => base.updated(rnd.nextInt(base.length), ('a' + rnd.nextInt(26)).toChar)
+        case 2 => base + ('a' + rnd.nextInt(26)).toChar
+        case 3 => (base + " " + frags(rnd.nextInt(frags.size))).take(4 + rnd.nextInt(12))
+        case _ => base.toUpperCase
+      }
+    }
+    val mains = (0 until 120).map(i => (i.toLong, word())).toDF("id", "name")
+    val lookups = (0 until 60).map(i => (1000L + i, word())).toDF("cid", "cname")
+    for (tau <- Seq(0.85, 0.9, 0.95)) {
+      val got = FuzzyMatch.thresholdJoin(mains, "id", "name",
+          lookups, "cid", "cname", tau)
+        .select("id", "cid", "match_score")
+        .as[(Long, Long, Double)].collect().toSet
+      val want = mains.crossJoin(lookups)
+        .withColumn("s", round(graft.functions.JaroWinkler.jaro_winkler(
+          lower(col("name")), lower(col("cname"))), 6))
+        .filter(col("s") >= tau)
+        .select("id", "cid", "s").as[(Long, Long, Double)].collect().toSet
+      assert(want.nonEmpty, s"generator produced no pairs at tau=$tau — test is vacuous")
+      assert(got == want,
+        s"tau=$tau: missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
+    }
+  }
+
+  test("thresholdJoin: empty strings pair only with each other; nulls drop; low tau refused") {
+    val m = Seq((1L, ""), (2L, "x"), (3L, null.asInstanceOf[String])).toDF("id", "name")
+    val l = Seq((10L, ""), (20L, "y")).toDF("cid", "cname")
+    val out = FuzzyMatch.thresholdJoin(m, "id", "name", l, "cid", "cname", 0.9)
+      .select("id", "cid", "match_score").as[(Long, Long, Double)].collect().toSet
+    assert(out == Set((1L, 10L, 1.0))) // JW("","") = 1; empty-vs-x absent; null row dropped
+    val e = intercept[IllegalArgumentException] {
+      FuzzyMatch.thresholdJoin(m, "id", "name", l, "cid", "cname", 0.8)
+    }
+    assert(e.getMessage.contains("vacuous"), e.getMessage)
+  }
+
+  test("thresholdJoin plan: equi-join candidates, never a cross product") {
+    val m = Seq((1L, "abc")).toDF("id", "name")
+    val l = Seq((10L, "abd")).toDF("cid", "cname")
+    val p = FuzzyMatch.thresholdJoin(m, "id", "name", l, "cid", "cname", 0.9)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("appended score equals the scalar jaro_winkler") {
     val main = Seq((1L, "MARTHA")).toDF("id", "name")
     val lookup = Seq((10L, "MARHTA")).toDF("cid", "cname")
