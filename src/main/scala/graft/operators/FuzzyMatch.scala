@@ -233,13 +233,19 @@ object FuzzyMatch {
     * it JW admits arbitrarily dissimilar lengths and no sound blocking
     * key exists — use [[bestMatch]] or raise tau).
     *
-    * Scale shape: the candidate join and the pair-dedup shuffle carry
-    * (band, sig-char, id) triples and id pairs — never the strings;
-    * string values rejoin by id only for surviving candidate pairs.
-    * Hot (band, char) keys are the skew story of any prefix filter —
-    * AQE skew-join splits them (enabled session-wide), and the
-    * signature tags occurrences so a long run of one char fans out
-    * across distinct keys instead of one.
+    * Scale shape: candidate generation, scoring and the pair dedup run
+    * over DISTINCT lowered values, never rows — real corpora are
+    * exact-dup heavy (sf0.1 part: 64 names across 20k rows, so a
+    * row-level join would re-score every surviving pair ~10⁵×; the
+    * same lesson [[bestMatch]]'s content-grouping learned), and ids
+    * re-expand by two hash joins on the lowered value at the end.
+    * Shuffles carry (band, sig-char, value) and qualifying value
+    * pairs — short match fields by construction; a corpus with long
+    * fields would hash the value for the re-expansion key. Hot
+    * (band, char) keys are the skew story of any prefix filter — AQE
+    * skew-join splits them (enabled session-wide), and the signature
+    * tags occurrences so a run of one char fans out across distinct
+    * keys instead of one.
     */
   def thresholdJoin(main: DataFrame, mainId: String, mainField: String,
                     lookup: DataFrame, lookupId: String, lookupField: String,
@@ -262,38 +268,40 @@ object FuzzyMatch {
     import graft.functions.JaroWinkler.{fuzzy_length_band, fuzzy_signature}
     val m = main
       .filter(col(mainField).isNotNull)
-      .select(col(mainId).as("__ft_mid"), lower(col(mainField)).as("__ft_mf"))
+      .select(lower(col(mainField)).as("__ft_mf")).distinct()
       .withColumn("__ft_band", fuzzy_length_band(col("__ft_mf"), r))
-      .select(col("__ft_mid"), col("__ft_band"),
+      .select(col("__ft_mf"), col("__ft_band"),
         explode(fuzzy_signature(col("__ft_mf"), frac)).as("__ft_sig"))
     val l = lookup
       .filter(col(lookupField).isNotNull)
-      .select(col(lookupId).as("__ft_lid"), lower(col(lookupField)).as("__ft_lf"))
+      .select(lower(col(lookupField)).as("__ft_lf")).distinct()
       .withColumn("__ft_b0", fuzzy_length_band(col("__ft_lf"), r))
       // a qualifying pair's bands differ by at most 1: the lookup side
       // fans into its three neighbor bands, each pair meets on exactly
       // one shift (plus possibly several shared signature chars — the
-      // id-pair distinct below collapses those)
-      .select(col("__ft_lid"), col("__ft_lf"),
+      // value-pair distinct below collapses those)
+      .select(col("__ft_lf"),
         explode(array(col("__ft_b0") - 1, col("__ft_b0"), col("__ft_b0") + 1))
           .as("__ft_band"))
-      .select(col("__ft_lid"), col("__ft_band"),
+      .select(col("__ft_lf"), col("__ft_band"),
         explode(fuzzy_signature(col("__ft_lf"), frac)).as("__ft_sig"))
-    val cand = m.join(l, Seq("__ft_band", "__ft_sig"))
-      .select(col("__ft_mid"), col("__ft_lid"))
+    // verify exact JW on distinct VALUE pairs; the rounded score is the
+    // one compared (oracle parity)
+    val scoredVals = m.join(l, Seq("__ft_band", "__ft_sig"))
+      .select(col("__ft_mf"), col("__ft_lf"))
       .distinct()
-    // strings rejoin by id for surviving candidates only; the ORIGINAL
-    // lookup value is what the output carries (scoring lowercases,
-    // mirroring bestMatch/Kettle)
-    cand
-      .join(main.select(col(mainId).as("__ft_mid"),
-        lower(col(mainField)).as("__ft_mf")), Seq("__ft_mid"))
-      .join(lookup.select(col(lookupId).as("__ft_lid"),
-        col(lookupField).as("__ft_orig"),
-        lower(col(lookupField)).as("__ft_lf")), Seq("__ft_lid"))
       .withColumn(scoreCol,
         round(jaro_winkler(col("__ft_mf"), col("__ft_lf")), 6))
       .filter(col(scoreCol) >= tau)
+    // re-expand to rows: every (main row, lookup row) whose lowered
+    // values form a qualifying pair, carrying the lookup row's ORIGINAL
+    // value (scoring lowercases, mirroring bestMatch/Kettle)
+    scoredVals
+      .join(main.select(col(mainId).as("__ft_mid"),
+        lower(col(mainField)).as("__ft_mf")), Seq("__ft_mf"))
+      .join(lookup.select(col(lookupId).as("__ft_lid"),
+        col(lookupField).as("__ft_orig"),
+        lower(col(lookupField)).as("__ft_lf")), Seq("__ft_lf"))
       .select(col("__ft_mid").as(mainId), col("__ft_lid").as(lookupId),
         col("__ft_orig").as(matchCol), col(scoreCol))
   }
