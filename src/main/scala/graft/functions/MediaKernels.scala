@@ -454,4 +454,48 @@ object MediaKernels {
     }
     null
   }
+
+  /** Per-row feature decode for [[graft.operators.Multimodal.featurize]]:
+    * invokes the caller's batch-shaped decoder with a singleton batch and
+    * unwraps the single feature vector as an unsafe float array. Called
+    * from the `decode_features` codegen expression — the decoder object
+    * rides along as an expression reference, so the decode stays inside
+    * whole-stage codegen with no RDD round-trip.
+    */
+  def decodeFeatures(decoder: scala.Function2[Seq[Array[Byte]], Int, Seq[Array[Float]]],
+                     blob: Array[Byte], dim: Int)
+      : org.apache.spark.sql.catalyst.util.ArrayData = {
+    val feats = decoder(Seq(blob), dim)
+    require(feats.length == 1,
+      s"decoder returned ${feats.length} feature vectors for 1 blob")
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(feats.head)
+  }
+
+  /** Fixed-size frame chunks of a blob, keeping every `stride`-th chunk:
+    * array of (frame_no, bytes) structs for the `frame_chunks` codegen
+    * expression behind [[graft.operators.Multimodal.sampleFrames]]. An
+    * empty blob yields an empty array (zero rows after explode); the
+    * last chunk may be shorter than `frameBytes`.
+    */
+  def frameChunks(blob: Array[Byte], frameBytes: Int, stride: Int)
+      : org.apache.spark.sql.catalyst.util.ArrayData = {
+    val total = blob.length
+    val nChunks = (total + frameBytes.toLong - 1) / frameBytes
+    val kept = ((nChunks + stride - 1) / stride).toInt
+    val out = new Array[Any](kept)
+    var i = 0L
+    var k = 0
+    while (i < nChunks) {
+      if (i % stride == 0) {
+        val from = (i * frameBytes).toInt
+        val until = math.min(from.toLong + frameBytes, total).toInt
+        out(k) = new GenericInternalRow(Array[Any](
+          i.toInt, java.util.Arrays.copyOfRange(blob, from, until)))
+        k += 1
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
 }

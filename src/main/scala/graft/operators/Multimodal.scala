@@ -1,8 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types._
 
 /** Multimodal-column plumbing: image/audio/video travel as opaque
   * `binary` columns with typed metadata; decode / feature-extract /
@@ -28,10 +27,12 @@ import org.apache.spark.sql.types._
   * execution, output contract. Swapping [[stub]] for a JNI/ONNX
   * decoder changes no plan shape.
   *
-  * Scale notes: `mapPartitions` keeps the decoder amortized (one model /
-  * codec init per partition, not per row) and the blobs never shuffle —
-  * featurization is a narrow transformation; only the (tiny) feature
-  * output ever moves.
+  * Scale notes: every decode path — metadata triage, frame demux,
+  * featurize, frame sampling — is a codegen Catalyst expression in a
+  * narrow projection (round 13 removed the last `df.rdd` barriers from
+  * featurize/sampleFrames), so the blobs never shuffle and never leave
+  * Tungsten: only the (tiny) feature output ever moves, and the whole
+  * spine stays inside whole-stage codegen under AQE.
   */
 object Multimodal {
 
@@ -191,67 +192,55 @@ object Multimodal {
     out
   }
 
-  private val featureSchema = StructType(Seq(
-    StructField("media_id", LongType, nullable = true),
-    StructField("n_bytes", LongType, nullable = false),
-    StructField("feature", ArrayType(FloatType, containsNull = false))))
-
-  /** Batched feature extraction over a binary column: the decoder is
-    * invoked once per `batchSize` blobs (vectorized-codec shape), rows
-    * with null ids pass through with a null `media_id` rather than
-    * crashing the task.
+  /** Feature extraction over a binary column as ONE codegen projection:
+    * the decoder rides the [[org.apache.spark.sql.DecodeFeatures]]
+    * expression as a plan reference, so decode stays inside whole-stage
+    * codegen with no RDD round-trip (through round 12 this was a
+    * `df.rdd.mapPartitions` barrier that deserialized every blob out of
+    * Tungsten and re-encoded it through an ExistingRDD — forfeiting
+    * codegen, columnar transfer, and AQE across the hottest multimodal
+    * boundary). Rows with null ids pass through with a null `media_id`,
+    * null blobs decode as empty payloads (n_bytes = 0) — both contracts
+    * unchanged.
+    *
+    * `batchSize` is retained for source compatibility: the engine now
+    * invokes the decoder with singleton batches (decode dominates any
+    * batching overhead; amortized codec/model state belongs in the
+    * decoder object, instantiated once per plan reference, not per row).
     */
   def featurize(df: DataFrame, idCol: String, blobCol: String,
                 dim: Int = 8, batchSize: Int = 32,
                 decoder: Decoder = stub): DataFrame = {
     require(batchSize >= 1)
-    val spark = df.sparkSession
-    val input = df.select(
-      col(idCol).cast("bigint").as("media_id"), col(blobCol).as("blob"))
-    val rdd = input.rdd.mapPartitions { it =>
-      it.grouped(batchSize).flatMap { batch =>
-        val blobs = batch.map { r =>
-          val blob = r.getAs[Array[Byte]](1)
-          if (blob == null) Array.emptyByteArray else blob
-        }
-        val feats = decoder(blobs, dim)
-        require(feats.length == batch.length,
-          s"decoder returned ${feats.length} features for ${batch.length} blobs")
-        batch.lazyZip(blobs).lazyZip(feats).map { (r, blob, feat) =>
-          val id: Any = if (r.isNullAt(0)) null else r.getLong(0)
-          Row(id, blob.length.toLong, feat.toSeq)
-        }
-      }
-    }
-    spark.createDataFrame(rdd, featureSchema)
+    import org.apache.spark.sql.{DecodeFeatures, GraftBridge}
+    val safeBlob = coalesce(col(blobCol), lit(Array.emptyByteArray))
+    df.select(
+      col(idCol).cast("bigint").as("media_id"),
+      length(safeBlob).cast("bigint").as("n_bytes"),
+      GraftBridge.column(
+        DecodeFeatures(GraftBridge.expression(safeBlob), dim, decoder))
+        .as("feature"))
   }
 
   /** Frame sampling: split a (stub) video blob into fixed-size chunks and
     * keep every `stride`-th chunk — the plumbing of frame extraction
-    * (real impl: container demux + keyframe select). One output row per
-    * sampled frame, exploded Spark-side so downstream per-frame ops
-    * parallelize.
+    * (real impl: container demux + keyframe select, e.g. [[mjpegFrames]]).
+    * One output row per sampled frame: the
+    * [[org.apache.spark.sql.FrameChunks]] codegen expression cuts the
+    * chunks in place and a Spark-side explode fans them out, so
+    * downstream per-frame ops parallelize with no RDD barrier. Null ids
+    * pass through with a null `media_id`; null blobs yield zero rows
+    * (explode drops the NULL array) — both contracts unchanged.
     */
   def sampleFrames(df: DataFrame, idCol: String, blobCol: String,
                    frameBytes: Int = 64, stride: Int = 4): DataFrame = {
     require(frameBytes > 0 && stride > 0)
-    val spark = df.sparkSession
-    val schema = StructType(Seq(
-      StructField("media_id", LongType, nullable = true),
-      StructField("frame_no", IntegerType, nullable = false),
-      StructField("frame", BinaryType)))
-    val input = df.select(
-      col(idCol).cast("bigint").as("media_id"), col(blobCol).as("blob"))
-    val rdd = input.rdd.flatMap { r =>
-      // a null id must not kill the task (same contract as featurize):
-      // frames pass through with a null media_id
-      val id: Any = if (r.isNullAt(0)) null else r.getLong(0)
-      val blob = r.getAs[Array[Byte]](1)
-      if (blob == null) Iterator.empty
-      else blob.grouped(frameBytes).zipWithIndex.collect {
-        case (chunk, i) if i % stride == 0 => Row(id, i, chunk)
-      }
-    }
-    spark.createDataFrame(rdd, schema)
+    import org.apache.spark.sql.{FrameChunks, GraftBridge}
+    df.select(
+        col(idCol).cast("bigint").as("media_id"),
+        explode(GraftBridge.column(FrameChunks(
+          GraftBridge.expression(col(blobCol)), frameBytes, stride))).as("f"))
+      .select(col("media_id"), col("f.frame_no").as("frame_no"),
+        col("f.frame").as("frame"))
   }
 }

