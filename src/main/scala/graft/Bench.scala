@@ -92,7 +92,13 @@ import org.apache.spark.sql.SparkSession
   * carries `queries_min`/`queries_max` (per-query extremes across the
   * timed passes) so the artifact self-documents its noise floor —
   * compare pins median-to-median, and call a move drift only when the
-  * new median falls OUTSIDE the old run's [min, max] spread.
+  * new median falls OUTSIDE the old run's [min, max] spread. Round 13:
+  * the spreads cover SUCCESSFUL samples only (a fast failure is not a
+  * noise floor), and when the budget cannot afford warmup + `runs`
+  * passes of the full surface, the bench narrows the QUERY SET to a
+  * priority subset at full protocol and names the dropped queries in
+  * `queries_skipped_budget` — see [[narrowSurface]] and BASELINE.md's
+  * round-13 reading rule.
   */
 object Bench {
   /** Idle-machine pinned canary medians (this sandbox, local[32],
@@ -119,6 +125,55 @@ object Bench {
     "q_agg" -> 0.32,
     "q_filter" -> 0.21)
   val ControlHeadroom = 1.5
+
+  /** Budget-degradation priority (round 13, VERDICT r12 #4). Round 12's
+    * driver spent 1,565 s producing `evidence: false` — warmup 0, one
+    * pass of all 131 queries: a complete measurement of nothing. When
+    * the wall budget cannot afford warmup + `runs` passes of the FULL
+    * surface, the bench now keeps a priority subset at the full
+    * protocol and NAMES the dropped queries
+    * (`queries_skipped_budget`) — a valid reading of 40 queries beats
+    * an invalid reading of 131. Priority: the controls first (the
+    * `evidence` verdict is computed from them), then the loop queries
+    * whose pinned bands need a fresh reading every round, then the
+    * queries newest in the surface (no cross-round history to fall
+    * back on), then everything else alphabetically as budget allows.
+    */
+  val LoopQueries: Seq[String] = Seq(
+    "q_pagerank", "q_dup_clusters_dist", "q_dup_clusters",
+    "q_bpe_train_capped", "q_kmeans", "q_quality_classifier",
+    "q_ann_ivfpq", "q_binary_ingest")
+  /** Queries added this round — refreshed each round so first-time pins
+    * always get a reading even under budget pressure. */
+  val NewQueries: Seq[String] = Seq()
+
+  /** Priority-ordered, cost-greedy surface selection: walk the priority
+    * order, keep a query while its projected cost (`est × runs`,
+    * unknown estimates assumed as bad as the worst observed) fits in
+    * 90% of the remaining budget; controls are kept unconditionally
+    * (they are the evidence verdict), and a query that doesn't fit
+    * doesn't block cheaper lower-priority ones. Returns (kept,
+    * skipped) in the surface's original order. Pure — BenchBudgetSpec
+    * pins the degradation order on synthetic estimates.
+    */
+  def narrowSurface(all: Seq[String], est: Map[String, Double],
+                    remainingSec: Double, runs: Int): (Seq[String], Seq[String]) = {
+    val prio = (ControlBands.keys.toSeq.sorted ++ LoopQueries ++ NewQueries)
+      .distinct.filter(all.contains)
+    val ordered = prio ++ (all.toSet -- prio).toSeq.sorted
+    val worst = if (est.nonEmpty) est.values.max else 0.0
+    def cost(n: String): Double = est.getOrElse(n, worst) * runs
+    val budget = remainingSec * 0.9
+    var cum = 0.0
+    val keep = scala.collection.mutable.LinkedHashSet.empty[String]
+    ordered.foreach { n =>
+      if (ControlBands.contains(n) || cum + cost(n) <= budget) {
+        keep += n; cum += cost(n)
+      }
+    }
+    if (keep.isEmpty) keep += ordered.head // never an empty surface
+    (all.filter(keep), all.filterNot(keep))
+  }
 
   /** Everything the pipeline needs, env-free so specs can drive it. */
   final case class BenchConfig(
@@ -302,6 +357,11 @@ object Bench {
     // pressure it aborts (said in the ledger) and the timed passes, whose
     // pass 1 always completes, still produce a full-surface artifact.
     var warmupCompleted = 0
+    var warmupAborted = false
+    // per-query warmup durations feed the budget projection below (JIT-
+    // inflated vs steady state, i.e. conservative — under pressure the
+    // bench narrows a little more, never less)
+    val warmEst = scala.collection.mutable.HashMap.empty[String, Double]
     locally {
       var w = 0
       while (w < cfg.warmup && elapsedSec <= budgetSec * 0.35) {
@@ -310,22 +370,65 @@ object Bench {
         var aborted = false
         names.foreach { case (name, fn) =>
           if (!aborted && elapsedSec > budgetSec * 0.35) {
-            aborted = true
+            aborted = true; warmupAborted = true
             ledger(s"""{"event":"warmup_stop_budget","pass":$w,"elapsed_sec":${r3(elapsedSec)}}""")
           }
-          if (!aborted)
+          if (!aborted) {
+            val q0 = System.nanoTime()
             try force(fn(spark, sfDir)) catch { case _: Throwable => () }
+            warmEst(name) = (System.nanoTime() - q0) / 1e9
+          }
         }
         if (!aborted) warmupCompleted = w
         ledger(s"""{"event":"warmup_pass","n":$w,"sec":${r3((System.nanoTime() - t0) / 1e9)},"complete":${!aborted}}""")
       }
     }
 
+    // ---- budget-aware surface narrowing (round 13, VERDICT r12 #4):
+    // if warmup could not finish a sweep, or the warmup-projected cost
+    // of `runs` full-surface passes exceeds the remaining timed budget,
+    // shrink the TIMED surface to the priority subset that fits and say
+    // so — the full warmup+passes protocol on fewer queries, instead of
+    // round 12's zero-warmup single pass of everything (a 1,565 s spend
+    // that self-disqualified). With no warmup sweep at all (warmup=0 or
+    // an instantly-exhausted budget) there are no estimates to narrow
+    // on, and the old full-surface degradation applies unchanged.
+    val (timedNames, skippedBudget) = {
+      val remaining = budgetSec * 0.70 - elapsedSec
+      if (warmEst.isEmpty) (names, Seq.empty[String])
+      else {
+        val worst = warmEst.values.max
+        val projected = names.map { case (n, _) =>
+          warmEst.getOrElse(n, worst) }.sum * runs
+        if (!warmupAborted && projected <= remaining * 0.9)
+          (names, Seq.empty[String])
+        else {
+          val (keep, skip) =
+            narrowSurface(names.map(_._1), warmEst.toMap, remaining, runs)
+          val keepSet = keep.toSet
+          ledger(s"""{"event":"surface_narrowed_budget","kept":${keep.size},"skipped":${skip.size},"remaining_sec":${r3(remaining)},"projected_full_sec":${r3(projected)}}""")
+          (names.filter { case (n, _) => keepSet(n) }, skip)
+        }
+      }
+    }
+    // a narrowed surface whose warmup sweep was cut short still gets its
+    // steady-state window: one untimed subset sweep (bounded at half the
+    // total budget) before the timed passes begin
+    if (skippedBudget.nonEmpty && warmupAborted && warmupCompleted == 0) {
+      var aborted = false
+      timedNames.foreach { case (_, fn) =>
+        if (elapsedSec > budgetSec * 0.5) aborted = true
+        if (!aborted) try force(fn(spark, sfDir)) catch { case _: Throwable => () }
+      }
+      if (!aborted) warmupCompleted = 1
+      ledger(s"""{"event":"warmup_pass_subset","complete":${!aborted},"elapsed_sec":${r3(elapsedSec)}}""")
+    }
+
     val canaries = scala.collection.mutable.ArrayBuffer.empty[(Double, Double)]
     // per-query samples accumulate across passes; pass 2+ may stop early
     // on budget, so sample counts can differ per query (≥1 always)
     val acc = scala.collection.mutable.LinkedHashMap(
-      names.map { case (n, _) => n -> scala.collection.mutable.ArrayBuffer.empty[(Double, Boolean)] }: _*)
+      timedNames.map { case (n, _) => n -> scala.collection.mutable.ArrayBuffer.empty[(Double, Boolean)] }: _*)
     var passesCompleted = 0
     var budgetStopped = false
 
@@ -335,12 +438,17 @@ object Bench {
     var metricRowsOut: Seq[(String, BenchMetrics.Snap)] = Nil
     var metricsSkippedBudget = false
     def summaryLine(): String = {
-      val results = names.map { case (name, _) =>
+      val results = timedNames.map { case (name, _) =>
         val mine = acc(name)
         val ts = mine.map(_._1).toSeq
-        (name, median(ts), mine.forall(_._2), ts.min, ts.max)
+        // the jitter spread covers SUCCESSFUL samples only (ADVICE r12):
+        // a fast failure is a time-to-failure, not a noise-floor reading
+        // — a query with zero successful passes gets a null spread (it
+        // is already named in `errors`)
+        val okTs = mine.collect { case (t, true) => t }.toSeq
+        (name, median(ts), mine.forall(_._2), okTs)
       }
-      val qs = results.map { case (k, v, _, _, _) => "\"" + k + "\":" + v }
+      val qs = results.map { case (k, v, _, _) => "\"" + k + "\":" + v }
         .mkString("{", ",", "}")
       // per-query min/max across the timed passes, beside the median:
       // sub-second queries swing ~2x between same-day evidence sweeps
@@ -348,13 +456,15 @@ object Bench {
       // the artifact self-documents its per-query noise floor — a
       // median outside [min, max] of a later run is drift, a median
       // inside the earlier spread is jitter
-      val qsMin = results.map { case (k, _, _, mn, _) => "\"" + k + "\":" + r3(mn) }
-        .mkString("{", ",", "}")
-      val qsMax = results.map { case (k, _, _, _, mx) => "\"" + k + "\":" + r3(mx) }
-        .mkString("{", ",", "}")
+      val qsMin = results.map { case (k, _, _, okTs) =>
+        "\"" + k + "\":" + (if (okTs.isEmpty) "null" else r3(okTs.min).toString)
+      }.mkString("{", ",", "}")
+      val qsMax = results.map { case (k, _, _, okTs) =>
+        "\"" + k + "\":" + (if (okTs.isEmpty) "null" else r3(okTs.max).toString)
+      }.mkString("{", ",", "}")
       // failed queries are named explicitly — a time-to-failure must
       // never read as a fast success
-      val errs = results.collect { case (k, _, false, _, _) => "\"" + k + "\"" }
+      val errs = results.collect { case (k, _, false, _) => "\"" + k + "\"" }
         .mkString("[", ",", "]")
       val total = results.map(_._2).sum
       val canaryCompute = r3(median(canaries.map(_._1).toSeq))
@@ -366,8 +476,8 @@ object Bench {
       val schedFactor = if (pinsValid) r3(canarySched / PinnedSchedSec) else -1.0
       // in-band iff every benched control median ≤ 1.5× its band top;
       // emitted only when the pins apply and a control was benched
-      val controls = results.filter { case (n, _, _, _, _) => ControlBands.contains(n) }
-      val controlFields = controls.map { case (n, v, _, _, _) =>
+      val controls = results.filter { case (n, _, _, _) => ControlBands.contains(n) }
+      val controlFields = controls.map { case (n, v, _, _) =>
         s""""control_$n":${r3(v)},"band_$n":${ControlBands(n)}"""
       }.mkString(",")
       // a control that FAILED fast must not read as in-band: its
@@ -375,7 +485,7 @@ object Bench {
       // with the band check (ADVICE r10)
       val controlsInBand: Option[Boolean] =
         if (!pinsValid || controls.isEmpty) None
-        else Some(controls.forall { case (n, v, ok, _, _) =>
+        else Some(controls.forall { case (n, v, ok, _) =>
           ok && v <= ControlBands(n) * ControlHeadroom })
       val evidence: Option[Boolean] = controlsInBand.map { cb =>
         cb && contentionFactor >= 0 && contentionFactor <= 1.5 &&
@@ -390,8 +500,9 @@ object Bench {
         (if (controlFields.nonEmpty) controlFields + "," else "") +
         s""""controls_in_band":${jb(controlsInBand)},"evidence":${jb(evidence)},""" +
         s""""metrics_skipped_budget":$metricsSkippedBudget,""" +
+        s""""queries_skipped_budget":${skippedBudget.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
         s""""schema_drift":${schemaDrift.size},"sf":"$sfDir"""" +
-        metricAggFields(metricRowsOut, names.size) + "}"
+        metricAggFields(metricRowsOut, timedNames.size) + "}"
     }
 
     // ---- timed passes. Pass 1 always completes (every query needs ≥1
@@ -406,7 +517,7 @@ object Bench {
       canaries += ((cc, cs))
       ledger(s"""{"event":"canary","pass":$pass,"compute_sec":${r3(cc)},"sched_sec":${r3(cs)}}""")
       var stopped = false
-      names.foreach { case (name, fn) =>
+      timedNames.foreach { case (name, fn) =>
         if (!stopped && pass > 1 && elapsedSec > timedBudget) {
           stopped = true; budgetStopped = true
           ledger(s"""{"event":"budget_stop","pass":$pass,"elapsed_sec":${r3(elapsedSec)}}""")
@@ -456,7 +567,7 @@ object Bench {
       if (!metricsOn || metricsSkippedBudget) Nil else {
         val ml = BenchMetrics.attach(spark)
         val rows = scala.collection.mutable.ArrayBuffer.empty[(String, BenchMetrics.Snap)]
-        val it = names.iterator
+        val it = timedNames.iterator
         var stopped = false
         while (it.hasNext && !stopped) {
           val (name, fn) = it.next()

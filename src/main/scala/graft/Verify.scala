@@ -55,7 +55,12 @@ object Verify {
       .mkString("{", ",", "}")
 
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    // args: sfDir outDir [comma-separated query subset] — the subset form
+    // is the local iteration loop (re-verify just the queries a change
+    // touches); the driver always calls the 2-arg full-surface form
+    val (sfDir, outDir) = (args(0), args(1))
+    val subset: Option[Set[String]] =
+      if (args.length > 2) Some(args(2).split(",").map(_.trim).toSet) else None
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -68,8 +73,15 @@ object Verify {
     // testdata-drift tripwire — round 7's regenerated events.parquet
     // surfaced as six AnalysisExceptions instead of one schema line
     SchemaGuard.warn(spark, sfDir)
-    val failures = runQueries(spark, sfDir, outDir, SparkEntry.queries)
-    val json = SparkEntry.oracleSql
+    val selected = subset match {
+      case Some(names) =>
+        val missing = names -- SparkEntry.queries.keySet
+        require(missing.isEmpty, s"unknown queries: ${missing.mkString(", ")}")
+        SparkEntry.queries.view.filterKeys(names).toMap
+      case None => SparkEntry.queries
+    }
+    val failures = runQueries(spark, sfDir, outDir, selected)
+    val json = SparkEntry.oracleSql.view.filterKeys(selected.keySet).toMap
       .map { case (k, v) => s"${jstr(k)}: ${jstr(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     Files.writeString(Paths.get(s"$outDir/_errors.json"), errorsJson(failures))

@@ -26,6 +26,46 @@ class BenchBudgetSpec extends SparkSpec {
     ledgerPath = s"$dir/ledger.jsonl",
     metricsPath = s"$dir/metrics.json")
 
+  test("budget narrowing (r13): controls, then loop queries, then new, then " +
+    "alphabetical — cost-greedy, controls unconditional, skipped returned") {
+    val all = Seq("q_agg", "q_alpha", "q_dup_clusters_dist", "q_filter",
+      "q_kmeans", "q_pagerank", "q_zeta")
+    val est = Map("q_agg" -> 1.0, "q_filter" -> 1.0, "q_pagerank" -> 10.0,
+      "q_dup_clusters_dist" -> 10.0, "q_kmeans" -> 10.0,
+      "q_alpha" -> 1.0, "q_zeta" -> 1.0)
+    // budget 90 (= 100 × 0.9), runs 3: controls cost 3+3, pagerank 30
+    // (cum 36), dup_clusters_dist 30 (66), kmeans 30 would hit 96 > 90
+    // → SKIPPED; the cheaper alphabetical tail still fits (69, 72)
+    val (keep, skip) = Bench.narrowSurface(all, est, remainingSec = 100.0, runs = 3)
+    assert(skip === Seq("q_kmeans"))
+    assert(keep.toSet === all.toSet - "q_kmeans")
+    // surface order is preserved for a stable artifact layout
+    assert(keep === all.filterNot(_ == "q_kmeans"))
+
+    // zero remaining budget: the controls are kept UNCONDITIONALLY (the
+    // evidence verdict is computed from them), everything else drops
+    val (keepMin, skipMin) = Bench.narrowSurface(all, est, remainingSec = 0.0, runs = 3)
+    assert(keepMin === Seq("q_agg", "q_filter"))
+    assert(skipMin.toSet === all.toSet -- keepMin)
+
+    // a query the warmup never reached is costed as bad as the WORST
+    // observed estimate (here q_big's 10 s) — optimism must not
+    // re-inflate the surface: q_unseen projects at 30 s and drops,
+    // while the cheap measured query still fits
+    val (keepW, skipW) = Bench.narrowSurface(
+      Seq("q_agg", "q_big", "q_cheap", "q_unseen"),
+      Map("q_agg" -> 1.0, "q_big" -> 10.0, "q_cheap" -> 1.0),
+      remainingSec = 10.0, runs = 3)
+    assert(!keepW.contains("q_unseen") && keepW.contains("q_cheap"))
+    assert(skipW.toSet === Set("q_big", "q_unseen"))
+
+    // a surface without controls never narrows to nothing
+    val (keepNc, _) = Bench.narrowSurface(
+      Seq("q_x", "q_y"), Map("q_x" -> 5.0, "q_y" -> 5.0),
+      remainingSec = 0.0, runs = 3)
+    assert(keepNc.nonEmpty)
+  }
+
   test("exhausted budget degrades to a full-surface 1-pass artifact") {
     val dir = Files.createTempDirectory("graft_benchbudget").toString
     val line = Bench.run(spark, cfg(dir, budget = 0.001))
@@ -48,6 +88,10 @@ class BenchBudgetSpec extends SparkSpec {
     // an exhausted budget also means no warmup sweep completed — the
     // artifact must not claim a steady-state window it never had
     assert(root.get("warmup_passes").asInt() === 0)
+    // with no warmup sweep there are no per-query estimates, so the
+    // r13 narrowing CANNOT engage — the surface stays full and the
+    // skip list is affirmatively empty (not absent)
+    assert(root.get("queries_skipped_budget").size() === 0)
     // skipped metrics ⇒ no aggregate totals that could masquerade as a
     // full-surface measurement
     assert(root.get("shuffle_write_mb_total") == null)
@@ -72,6 +116,8 @@ class BenchBudgetSpec extends SparkSpec {
     assert(root.get("warmup_passes").asInt() === 1)
     assert(!root.get("budget_stopped").asBoolean())
     assert(!root.get("metrics_skipped_budget").asBoolean())
+    // ample budget: warmup projection fits, nothing narrowed
+    assert(root.get("queries_skipped_budget").size() === 0)
     // full coverage is structurally visible (ADVICE r10): covered==total
     assert(root.get("metrics_queries_covered").asInt() === surface.size)
     assert(root.get("metrics_queries_total").asInt() === surface.size)
