@@ -71,14 +71,20 @@ object FuzzyMatch {
   private def prepared(lookup: DataFrame, lookupField: String,
                        appendCols: Seq[String],
                        lookupOrder: Seq[Column]): DataFrame = {
-    // one count() job at plan time — the price of making the contract
+    // one bounded job at plan time — the price of making the contract
     // enforceable (the guard must trip BEFORE the broadcast build can
-    // OOM an executor). Dimension-sized by contract, so the pass is
-    // cheap; the same eager-guard pattern the dedup operators use.
+    // OOM an executor). limit(cap + 1) means the guard reads at most
+    // cap + 1 rows even in the very case it protects against — an
+    // unbounded count() would fully compute the oversized lookup it is
+    // about to refuse (ADVICE r12). In the normal case the lookup
+    // lineage still computes twice (guard + broadcast): dimension-sized
+    // by contract, so the second pass is cheap.
     val cap = maxLookupRows
-    val n = lookup.count()
+    val capProbe = (math.min(cap, Int.MaxValue - 2L) + 1).toInt
+    val n = lookup.limit(capProbe).count()
     require(n <= cap,
-      s"FuzzyMatch lookup side has $n rows, over the broadcast contract's " +
+      s"FuzzyMatch lookup side has more than $cap rows (guard stopped " +
+        s"counting at $n), over the broadcast contract's " +
         s"cap of $cap. This operator broadcasts the lookup and scores " +
         s"|main| x |lookup| pairs, so it is for dimension-sized lookups " +
         s"only; raise graft.fuzzy.maxLookupRows / GRAFT_FUZZY_MAX_LOOKUP_ROWS " +
@@ -247,11 +253,17 @@ object FuzzyMatch {
     * tags occurrences so a run of one char fans out across distinct
     * keys instead of one.
     */
-  def thresholdJoin(main: DataFrame, mainId: String, mainField: String,
-                    lookup: DataFrame, lookupId: String, lookupField: String,
-                    tau: Double,
-                    matchCol: String = "match_value",
-                    scoreCol: String = "match_score"): DataFrame = {
+  /** Distinct candidate VALUE pairs (`__ft_mf`, `__ft_lf`) generated by
+    * the (band, signature) equi-join, BEFORE exact verification —
+    * [[thresholdJoin]] scores and filters exactly these. Exposed
+    * package-private so the skew/pruning measurement (FuzzySkewScale →
+    * SCALING.md) can count candidates against the brute-force
+    * |distinct main| × |distinct lookup| without re-implementing the
+    * construction it measures.
+    */
+  private[graft] def thresholdCandidates(main: DataFrame, mainField: String,
+                                         lookup: DataFrame, lookupField: String,
+                                         tau: Double): DataFrame = {
     require(tau >= 0.801 && tau <= 1.0,
       s"thresholdJoin prunes with length-ratio and char-overlap bounds " +
         s"that are vacuous at tau <= 0.8 (ratio bound 3*((tau-0.4)/0.6)-2 " +
@@ -285,11 +297,19 @@ object FuzzyMatch {
           .as("__ft_band"))
       .select(col("__ft_lf"), col("__ft_band"),
         explode(fuzzy_signature(col("__ft_lf"), frac)).as("__ft_sig"))
-    // verify exact JW on distinct VALUE pairs; the rounded score is the
-    // one compared (oracle parity)
-    val scoredVals = m.join(l, Seq("__ft_band", "__ft_sig"))
+    m.join(l, Seq("__ft_band", "__ft_sig"))
       .select(col("__ft_mf"), col("__ft_lf"))
       .distinct()
+  }
+
+  def thresholdJoin(main: DataFrame, mainId: String, mainField: String,
+                    lookup: DataFrame, lookupId: String, lookupField: String,
+                    tau: Double,
+                    matchCol: String = "match_value",
+                    scoreCol: String = "match_score"): DataFrame = {
+    // verify exact JW on distinct VALUE pairs; the rounded score is the
+    // one compared (oracle parity)
+    val scoredVals = thresholdCandidates(main, mainField, lookup, lookupField, tau)
       .withColumn(scoreCol,
         round(jaro_winkler(col("__ft_mf"), col("__ft_lf")), 6))
       .filter(col(scoreCol) >= tau)

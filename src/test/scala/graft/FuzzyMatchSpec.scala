@@ -136,7 +136,11 @@ class FuzzyMatchSpec extends SparkSpec {
       val e = intercept[IllegalArgumentException] {
         FuzzyMatch.bestMatchById(main, "id", "name", lookup, "cname", Seq("cid"))
       }
-      assert(e.getMessage.contains("50 rows") &&
+      // r13: the guard counts through limit(cap + 1), so it reads at
+      // most 11 rows of the 50-row lookup before refusing — the message
+      // reports the bounded count, not the (never computed) total
+      assert(e.getMessage.contains("more than 10 rows") &&
+        e.getMessage.contains("stopped counting at 11") &&
         e.getMessage.contains("graft.fuzzy.maxLookupRows"), e.getMessage)
       // at the cap is fine
       sys.props("graft.fuzzy.maxLookupRows") = "50"
@@ -184,6 +188,45 @@ class FuzzyMatchSpec extends SparkSpec {
       assert(got == want,
         s"tau=$tau: missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
     }
+  }
+
+  test("thresholdJoin stays lossless on a skewed boilerplate corpus " +
+    "(one hot band, near-identical signatures, Zipf row duplication)") {
+    // the adversarial regime for any prefix filter: every value is one
+    // boilerplate template with a tiny varying suffix, so the whole
+    // corpus lands in ONE length band and shares almost every signature
+    // char (maximally hot (band, sig) keys), and rows duplicate
+    // Zipf-style so the distinct-value collapse is load-bearing.
+    // Lossless means: banded output == brute force, exactly.
+    val rnd = new scala.util.Random(13)
+    def v(i: Int): String = s"connection timeout contacting upstream host $i"
+    // Zipf-ish row duplication over 97 distinct values
+    val mains = (0 until 800).map { _ =>
+      val idx = rnd.nextInt(rnd.nextInt(96) + 1)
+      (rnd.nextLong().abs, v(idx))
+    }.toDF("id", "name")
+    val lookups = (0 until 97).map(i => (2000L + i, v(i))).toDF("cid", "cname")
+    for (tau <- Seq(0.93, 0.97)) {
+      val got = FuzzyMatch.thresholdJoin(mains, "id", "name",
+          lookups, "cid", "cname", tau)
+        .select("id", "cid", "match_score")
+        .as[(Long, Long, Double)].collect().toSet
+      val want = mains.crossJoin(lookups)
+        .withColumn("s", round(graft.functions.JaroWinkler.jaro_winkler(
+          lower(col("name")), lower(col("cname"))), 6))
+        .filter(col("s") >= tau)
+        .select("id", "cid", "s").as[(Long, Long, Double)].collect().toSet
+      assert(want.nonEmpty, s"skewed fixture produced no pairs at tau=$tau")
+      assert(got == want,
+        s"tau=$tau: missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
+    }
+    // the candidate set the probe measures is the one the join verifies:
+    // bounded above by brute force, bounded below by the qualifying pairs
+    val cands = FuzzyMatch.thresholdCandidates(
+      mains, "name", lookups, "cname", 0.93).count()
+    val distinctVals = mains.select(lower(col("name"))).distinct().count() *
+      lookups.select(lower(col("cname"))).distinct().count()
+    assert(cands <= distinctVals)
   }
 
   test("thresholdJoin: empty strings pair only with each other; nulls drop; low tau refused") {

@@ -28,6 +28,26 @@ class JaroWinklerSpec extends AnyFunSuite {
     assert(JaroWinkler.sim("ab", "ba") <= 0.7 + 1e-12)
   }
 
+  test("memoized lengthBand equals the reference walk (r13), across r and " +
+    "interleaved lengths/ratios sharing the cache") {
+    // interleave lengths (big first, then small, then bigger) and ratios
+    // so the lazily-extended per-r boundary cache is exercised in every
+    // growth order — a coverage bug would disagree with the walk
+    val rs = Seq(0.805, 0.85, 0.9, 0.95, 0.99, 0.999)
+    val lens = Seq(5000, 1, 2, 17, 100000, 3, 64, 999, 7, 250000, 0, -1)
+    for (r <- rs; len <- lens; rAgain <- rs) {
+      assert(JaroWinkler.lengthBand(len, r) ==
+        JaroWinkler.lengthBandWalk(len, r), s"len=$len r=$r")
+      // touch another ratio's cache between queries
+      assert(JaroWinkler.lengthBand(len / 2 + 1, rAgain) ==
+        JaroWinkler.lengthBandWalk(len / 2 + 1, rAgain), s"len=${len / 2 + 1} r=$rAgain")
+    }
+    // exhaustive small-length sweep where band boundaries are densest
+    for (r <- rs; len <- 0 to 600)
+      assert(JaroWinkler.lengthBand(len, r) ==
+        JaroWinkler.lengthBandWalk(len, r), s"len=$len r=$r")
+  }
+
   test("property: symmetric, in [0,1], identity = 1 (seeded sweep)") {
     val rnd = new scala.util.Random(42)
     def word(): String =
