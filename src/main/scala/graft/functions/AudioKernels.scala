@@ -116,6 +116,8 @@ object AudioKernels {
     if (b(0) == 'F' && b(1) == 'O' && b(2) == 'R' && b(3) == 'M' &&
         b(8) == 'A' && b(9) == 'I' && b(10) == 'F' && b(11) == 'F')
       return decodeAiff(b)
+    if (b(0) == 'f' && b(1) == 'L' && b(2) == 'a' && b(3) == 'C')
+      return FlacKernels.decode(b) // round 13: lossless-compressed tier
     decodeWav(b)
   }
 
