@@ -843,6 +843,35 @@ object Dedup {
       .select(col("query_id").as("new_id"),
         col("corpus_id").as("hist_id"), col("cosine"))
 
+  /** [[incrementalEmbedding]] against a PRODUCT-QUANTIZED history index
+    * ([[Similarity.buildIvfPqIndex]]) — round 13, closing the memory
+    * objection on the 24/7 ingest story: the flat incremental index
+    * stores dim·8 bytes of raw floats per historical vector in every
+    * probed list, the PQ index stores M longs (64-d → 4 codes), so the
+    * per-ingest candidate scan reads ~dim·8/M× fewer bytes and the
+    * structure a deployment pins hot shrinks by the same factor. Raw
+    * vectors are touched only for the ≤ rerank·|batch| ADC-shortlisted
+    * rows (columnar pruning re-reads just the vector column of the
+    * probed partitions for the broadcast refine). Recall follows the
+    * probe budget AND the rerank depth; exhaustive probes with a
+    * rerank covering the probed lists reproduce the exact threshold
+    * join (the audit configuration q_incremental_embedding_pq runs
+    * under its oracle, recall-gated like the flat path).
+    *
+    * @return (new_id, hist_id, cosine) with EXACT cosine ≥ `threshold`
+    *         (the ADC approximation only selects the shortlist — scores
+    *         in the output are always exact), rounded to 6 places
+    */
+  def incrementalEmbeddingPq(newDocs: DataFrame, indexDir: String,
+                             vecCol: String, idCol: String,
+                             threshold: Double = 0.9,
+                             nProbes: Int = 2,
+                             rerank: Int = 20): DataFrame =
+    Similarity.ivfPqRangeIndexed(newDocs.sparkSession, indexDir, newDocs,
+        vecCol, idCol, threshold, nProbes, rerank)
+      .select(col("query_id").as("new_id"),
+        col("corpus_id").as("hist_id"), col("cosine"))
+
   /** Content-defined chunks, one row per chunk: (id, chunk_idx,
     * chunk_start, chunk_len, chunk_fp) with `chunk_fp` = hex MD5 of the
     * chunk text. The SHIFT-RESILIENT granularity of the dedup family:

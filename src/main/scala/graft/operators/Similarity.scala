@@ -441,22 +441,26 @@ object Similarity {
     val encoded = resid
       .withColumn("__codes", VectorFunctions.pqEncode(col("__rv"), books))
       .select(col("corpus_id"), col("centroid_id"), col("__codes"))
-    pqProbePlan(encoded, corpusUnit.select(col("corpus_id"), col("__cv")),
-      queries, vecCol, idCol, centroids, books, k, nProbes, pqCodes, rerank)
+    topKPerQuery(
+      pqProbeExact(encoded, corpusUnit.select(col("corpus_id"), col("__cv")),
+        queries, vecCol, idCol, centroids, books, nProbes, pqCodes, rerank), k)
   }
 
-  /** The shared IVF-PQ probe plan: ADC scoring over (id, codes)
-    * candidates, rounded top-`rerank` shortlist, exact refine against
-    * the raw unit vectors. `encoded` = (corpus_id, centroid_id,
-    * __codes); `vectors` = (corpus_id, __cv). The shortlist (≤
-    * rerank·|queries| rows by construction) broadcasts back, so the
-    * raw-vector side streams — no corpus shuffle at any stage. */
-  private def pqProbePlan(encoded: DataFrame, vectors: DataFrame,
-                          queries: DataFrame, vecCol: String, idCol: String,
-                          centroids: Array[Array[Double]],
-                          books: Array[Array[Array[Double]]],
-                          k: Int, nProbes: Int, pqCodes: Int,
-                          rerank: Int): DataFrame = {
+  /** The shared IVF-PQ probe plan up to the EXACT-scored shortlist: ADC
+    * scoring over (id, codes) candidates, rounded top-`rerank`
+    * shortlist, exact refine against the raw unit vectors — returned
+    * UNRANKED so [[ivfPqTopK]]/[[ivfPqTopKIndexed]] can cut top-k and
+    * [[ivfPqRangeIndexed]] can threshold-filter (the admission-control
+    * form). `encoded` = (corpus_id, centroid_id, __codes); `vectors` =
+    * (corpus_id, __cv). The shortlist (≤ rerank·|queries| rows by
+    * construction) broadcasts back, so the raw-vector side streams —
+    * no corpus shuffle at any stage. */
+  private def pqProbeExact(encoded: DataFrame, vectors: DataFrame,
+                           queries: DataFrame, vecCol: String, idCol: String,
+                           centroids: Array[Array[Double]],
+                           books: Array[Array[Array[Double]]],
+                           nProbes: Int, pqCodes: Int,
+                           rerank: Int): DataFrame = {
     val probing = queries
       .filter(col(vecCol).isNotNull)
       .select(col(idCol).as("query_id"),
@@ -482,7 +486,7 @@ object Similarity {
           VectorFunctions.l2Normalize(col(vecCol)).as("__qv"))), Seq("query_id"))
       .withColumn("cosine",
         round(VectorFunctions.dot(col("__qv"), col("__cv")), 6))
-    topKPerQuery(exact, k)
+    exact
   }
 
   /** Build a PERSISTENT IVF-PQ index under `dir`: `centroids` and
@@ -548,7 +552,34 @@ object Similarity {
     * column of the same probed partitions. */
   def ivfPqTopKIndexed(spark: org.apache.spark.sql.SparkSession, dir: String,
                        queries: DataFrame, vecCol: String, idCol: String,
-                       k: Int, nProbes: Int = 2, rerank: Int = 20): DataFrame = {
+                       k: Int, nProbes: Int = 2, rerank: Int = 20): DataFrame =
+    topKPerQuery(pqProbeIndexedExact(spark, dir, queries, vecCol, idCol,
+      nProbes, rerank), k)
+
+  /** Range probe of a [[buildIvfPqIndex]] index: every (query, corpus)
+    * pair surviving the ADC top-`rerank` shortlist whose EXACT cosine
+    * ≥ `threshold` — the PQ twin of [[ivfRangeIndexed]] and the
+    * 24/7-ingest admission screen ([[Dedup.incrementalEmbeddingPq]]).
+    * The codes-only candidate scan is what changes the ingest
+    * economics: per batch the probed lists are read as M longs per
+    * vector instead of dim floats, and raw vectors are touched only
+    * for the ≤ rerank·|batch| shortlist rows. Recall follows BOTH
+    * budgets — probes (which lists) and rerank (how deep the ADC
+    * shortlist goes); nProbes = nCentroids with rerank ≥ the largest
+    * probed-candidate count is the exhaustive audit configuration.
+    */
+  def ivfPqRangeIndexed(spark: org.apache.spark.sql.SparkSession, dir: String,
+                        queries: DataFrame, vecCol: String, idCol: String,
+                        threshold: Double, nProbes: Int = 2,
+                        rerank: Int = 20): DataFrame =
+    pqProbeIndexedExact(spark, dir, queries, vecCol, idCol, nProbes, rerank)
+      .filter(col("cosine") >= threshold)
+      .select(col("query_id"), col("corpus_id"), col("cosine"))
+
+  private def pqProbeIndexedExact(spark: org.apache.spark.sql.SparkSession,
+                                  dir: String, queries: DataFrame,
+                                  vecCol: String, idCol: String,
+                                  nProbes: Int, rerank: Int): DataFrame = {
     val centroids = spark.read.parquet(s"$dir/centroids")
       .orderBy(col("centroid_id").asc).select(col("vec"))
       .collect().map(_.getSeq[Double](0).toArray)
@@ -569,10 +600,10 @@ object Similarity {
     val lists = spark.read.parquet(s"$dir/lists")
       .filter(col("centroid_id").isin(probedIds: _*))
       .withColumn("centroid_id", col("centroid_id").cast("long"))
-    pqProbePlan(
+    pqProbeExact(
       lists.select(col("corpus_id"), col("centroid_id"), col("codes").as("__codes")),
       lists.select(col("corpus_id"), col("unit_vec").as("__cv")),
-      queries, vecCol, idCol, centroids, books, k, nProbes, pqCodes, rerank)
+      queries, vecCol, idCol, centroids, books, nProbes, pqCodes, rerank)
   }
 
   /** IVF-Flat ANN: corpus bucketed by nearest centroid, queries probe the

@@ -286,6 +286,52 @@ class DedupSpec extends SparkSpec {
         pruned)
   }
 
+  test("incrementalEmbeddingPq: exhaustive probe+rerank reproduces the exact " +
+      "threshold join; scores are always exact; rerank prunes, never invents") {
+    import graft.operators.Similarity
+    def v(base: Array[Double], eps: Double) =
+      base.zipWithIndex.map { case (x, i) => x + (if (i == 0) eps else 0.0) }.toSeq
+    val c1 = Array(10.0, 0.0, 0.0, 0.0)
+    val c2 = Array(0.0, 10.0, 0.0, 0.0)
+    val hist = (1 to 10).map(i =>
+      (i.toLong, v(if (i % 2 == 0) c1 else c2, i * 0.01))).toDF("vec_id", "vec")
+    val batch = Seq(
+      (101L, v(c1, 0.005)), (102L, v(c2, 0.005)),
+      (103L, Seq(0.0, 0.0, 7.0, 0.0))).toDF("vec_id", "vec")
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq_inc").toString
+    Similarity.buildIvfPqIndex(hist, "vec", "vec_id", dir,
+      nCentroids = 2, pqM = 2, pqCodes = 4, pqIters = 2)
+    // exhaustive audit configuration: all lists probed, rerank covers
+    // every probed candidate -> the ADC shortlist cannot drop anything
+    // and the output IS the exact cross-split threshold join
+    val exhaustive = Dedup.incrementalEmbeddingPq(batch, dir, "vec", "vec_id",
+      threshold = 0.9, nProbes = 2, rerank = 10)
+    val brute = Dedup.embeddingNearDupExact(
+        batch.unionByName(hist), "vec", "vec_id", threshold = 0.9)
+      .filter((col("id_a") >= 101L) =!= (col("id_b") >= 101L))
+    val exhaustivePairs =
+      exhaustive.select("new_id", "hist_id").as[(Long, Long)].collect().toSet
+    assert(exhaustive.count() == brute.count() &&
+      exhaustivePairs == ((1 to 10).map(i =>
+        (if (i % 2 == 0) 101L else 102L, i.toLong))).toSet)
+    // scores in the output are EXACT cosines (the ADC approximation only
+    // selects the shortlist): every score matches the flat path's
+    val flat = Dedup.incrementalEmbedding(batch,
+        { val d2 = java.nio.file.Files.createTempDirectory("ivf_ref").toString
+          Similarity.buildIvfIndex(hist, "vec", "vec_id", d2, nCentroids = 2); d2 },
+        "vec", "vec_id", threshold = 0.9, nProbes = 2)
+      .select("new_id", "hist_id", "cosine").as[(Long, Long, Double)].collect().toSet
+    assert(exhaustive.select("new_id", "hist_id", "cosine")
+      .as[(Long, Long, Double)].collect().toSet == flat)
+    // a tight rerank budget PRUNES (subset of the exact join) and still
+    // keeps per-row scores exact -- it never invents pairs
+    val tight = Dedup.incrementalEmbeddingPq(batch, dir, "vec", "vec_id",
+        threshold = 0.9, nProbes = 2, rerank = 3)
+      .select("new_id", "hist_id", "cosine").as[(Long, Long, Double)].collect()
+    assert(tight.map(t => (t._1, t._2)).toSet.subsetOf(exhaustivePairs))
+    assert(tight.forall(t => flat.contains(t)))
+  }
+
   test("spanDuplication: docs below n tokens drop out; minDocs raises the bar") {
     val tiny = Seq((1L, "a b c"), (2L, "a b c")).toDF("doc_id", "text")
     assert(Dedup.spanDuplication(tiny, "text", "doc_id", n = 4).count() == 0)
