@@ -145,7 +145,8 @@ object Bench {
     "q_ann_ivfpq", "q_binary_ingest")
   /** Queries added this round — refreshed each round so first-time pins
     * always get a reading even under budget pressure. */
-  val NewQueries: Seq[String] = Seq()
+  val NewQueries: Seq[String] = Seq(
+    "q_incremental_embedding_pq", "q_audio_flac")
 
   /** Priority-ordered, cost-greedy surface selection: walk the priority
     * order, keep a query while its projected cost (`est × runs`,

@@ -1173,22 +1173,22 @@ object OracleSqlGen {
     * every engine's assignment SETS identical, so any summation order
     * yields the same chain of assignments and centroids within 1e-13
     * — far inside the 6-decimal rounding tolerance of the scores. */
-  private def lloydChain(nCent: Int, iters: Int): String = {
+  private def lloydChain(nCent: Int, iters: Int, src: String = "unit"): String = {
     val c0 =
       s"""c0 AS MATERIALIZED (
          |  SELECT row_number() OVER (ORDER BY vec_id) AS cid, u
-         |  FROM (SELECT vec_id, u FROM unit ORDER BY vec_id LIMIT $nCent))""".stripMargin
+         |  FROM (SELECT vec_id, u FROM $src ORDER BY vec_id LIMIT $nCent))""".stripMargin
     val gens = (1 to iters).map { g =>
       s"""a$g AS (
          |  SELECT vec_id, u, cid FROM (
          |    SELECT t.vec_id, t.u, c.cid,
          |           row_number() OVER (PARTITION BY t.vec_id
          |             ORDER BY list_dot_product(t.u, c.u) DESC, c.cid) AS rn
-         |    FROM unit t, c${g - 1} c) WHERE rn = 1),
+         |    FROM $src t, c${g - 1} c) WHERE rn = 1),
          |m$g AS (
          |  SELECT cid, list(s / n ORDER BY i) AS mean
          |  FROM (SELECT cid, i, sum(u[i]) AS s, count(*) AS n
-         |        FROM a$g, (SELECT unnest(range(1, (SELECT max(len(u)) FROM unit) + 1)) AS i)
+         |        FROM a$g, (SELECT unnest(range(1, (SELECT max(len(u)) FROM $src) + 1)) AS i)
          |        GROUP BY cid, i)
          |  GROUP BY cid),
          |c$g AS MATERIALIZED (
@@ -1368,6 +1368,116 @@ object OracleSqlGen {
        |  WHERE rn <= 5),
        |${recallTail("top5", "truth", "query_id", "corpus_id", floor,
           "top5.query_id, top5.corpus_id, top5.cosine, top5.rank")}""".stripMargin
+  }
+
+  /** Oracle for q_incremental_embedding_pq (round 13): the incremental
+    * ingest screen against a PERSISTED PQ index, replayed end to end —
+    * coarse 8-centroid Lloyd chain trained on the HISTORY split only
+    * (vec_id % 4 <> 0, exactly `buildIvfPqIndex(hist, …)`), residuals,
+    * 4×8 PQ training (2 iterations), history encode, batch queries
+    * (vec_id % 4 = 0) probing ALL 8 lists with ADC scoring rounded to
+    * 6 before the top-`rerank` shortlist cut, exact unit-dot refine,
+    * threshold ≥ `thr` on the EXACT score, recall-gated against the
+    * exact cross-split threshold join. The same float-margin audit
+    * that makes [[annIvfPq]] sound covers this chain (identical
+    * kernels, same corpus). */
+  lazy val incrementalEmbeddingPq: String = {
+    val (nCent, iters, nProbes) = (8, 3, 8)
+    val (m, nCodes, pqIters, rerank, thr, floor) = (4, 8, 2, 80, 0.4, 0.7)
+    val pqGens = (1 to pqIters).map { g =>
+      s"""pa$g AS (
+         |  SELECT vec_id, m, sv, code FROM (
+         |    SELECT t.vec_id, t.m, t.sv, w.code,
+         |           row_number() OVER (PARTITION BY t.vec_id, t.m
+         |             ORDER BY list_dot_product(t.sv, w.w)
+         |                      - 0.5 * list_dot_product(w.w, w.w) DESC,
+         |                      w.code) AS rn
+         |    FROM rsub t JOIN pq${g - 1} w USING (m)) WHERE rn = 1),
+         |pm$g AS (
+         |  SELECT m, code, list(s / n ORDER BY i) AS mean
+         |  FROM (SELECT m, code, i, sum(sv[i]) AS s, count(*) AS n
+         |        FROM pa$g, (SELECT unnest(range(1, 1 + (SELECT sub FROM dims))) AS i)
+         |        GROUP BY m, code, i)
+         |  GROUP BY m, code),
+         |pq$g AS MATERIALIZED (
+         |  SELECT p.m, p.code, coalesce(pm.mean, p.w) AS w
+         |  FROM pq${g - 1} p LEFT JOIN pm$g pm USING (m, code))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH emb AS MATERIALIZED ($embBase),
+       |$unitCte,
+       |hunit AS MATERIALIZED (SELECT * FROM unit WHERE vec_id % 4 <> 0),
+       |qunit AS MATERIALIZED (SELECT * FROM unit WHERE vec_id % 4 = 0),
+       |dims AS MATERIALIZED (
+       |  SELECT max(len(u)) AS d, max(len(u)) // $m AS sub FROM hunit),
+       |${lloydChain(nCent, iters, src = "hunit")},
+       |ca AS MATERIALIZED (
+       |  SELECT vec_id, u, cid FROM (
+       |    SELECT t.vec_id, t.u, c.cid,
+       |           row_number() OVER (PARTITION BY t.vec_id
+       |             ORDER BY list_dot_product(t.u, c.u) DESC, c.cid) AS rn
+       |    FROM hunit t, c$iters c) WHERE rn = 1),
+       |resid AS MATERIALIZED (
+       |  SELECT a.vec_id, a.cid,
+       |         list_transform(range(1, 1 + (SELECT d FROM dims)),
+       |                        i -> a.u[i] - c.u[i]) AS r
+       |  FROM ca a JOIN c$iters c USING (cid)),
+       |rsub AS MATERIALIZED (
+       |  SELECT vec_id, m, list_slice(r, m * sub + 1, (m + 1) * sub) AS sv
+       |  FROM resid, dims, (SELECT unnest(range(0, $m)) AS m)),
+       |pq0 AS MATERIALIZED (
+       |  SELECT m, row_number() OVER (PARTITION BY m ORDER BY vec_id) AS code,
+       |         sv AS w
+       |  FROM rsub
+       |  WHERE vec_id IN (SELECT vec_id FROM resid ORDER BY vec_id LIMIT $nCodes)),
+       |$pqGens,
+       |pe AS MATERIALIZED (
+       |  SELECT vec_id, m, code FROM (
+       |    SELECT t.vec_id, t.m, w.code,
+       |           row_number() OVER (PARTITION BY t.vec_id, t.m
+       |             ORDER BY list_dot_product(t.sv, w.w)
+       |                      - 0.5 * list_dot_product(w.w, w.w) DESC,
+       |                      w.code) AS rn
+       |    FROM rsub t JOIN pq$pqIters w USING (m)) WHERE rn = 1),
+       |qprobe AS MATERIALIZED (
+       |  SELECT vec_id, u, cid, qc FROM (
+       |    SELECT t.vec_id, t.u, c.cid, list_dot_product(t.u, c.u) AS qc,
+       |           row_number() OVER (PARTITION BY t.vec_id
+       |             ORDER BY list_dot_product(t.u, c.u) DESC, c.cid) AS rn
+       |    FROM qunit t, c$iters c) WHERE rn <= $nProbes),
+       |approx AS MATERIALIZED (
+       |  SELECT q.vec_id AS new_id, a.vec_id AS hist_id,
+       |         round(q.qc + sum(list_dot_product(
+       |           list_slice(q.u, pe.m * dims.sub + 1, (pe.m + 1) * dims.sub),
+       |           w.w)), 6) AS approx
+       |  FROM qprobe q
+       |  JOIN ca a USING (cid)
+       |  JOIN pe ON pe.vec_id = a.vec_id
+       |  JOIN pq$pqIters w ON w.m = pe.m AND w.code = pe.code
+       |  CROSS JOIN dims
+       |  WHERE q.vec_id <> a.vec_id
+       |  GROUP BY q.vec_id, a.vec_id, q.qc),
+       |short AS MATERIALIZED (
+       |  SELECT new_id, hist_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY new_id
+       |        ORDER BY approx DESC, hist_id) AS rn FROM approx)
+       |  WHERE rn <= $rerank),
+       |out AS MATERIALIZED (
+       |  SELECT CAST(s.new_id AS BIGINT) AS new_id,
+       |         CAST(s.hist_id AS BIGINT) AS hist_id, cosine
+       |  FROM (SELECT s.new_id, s.hist_id,
+       |               round(list_dot_product(qu.u, cu.u), 6) AS cosine
+       |        FROM short s
+       |        JOIN qunit qu ON qu.vec_id = s.new_id
+       |        JOIN hunit cu ON cu.vec_id = s.hist_id) s
+       |  WHERE cosine >= $thr),
+       |truth AS MATERIALIZED (
+       |  SELECT CAST(a.vec_id AS BIGINT) AS new_id,
+       |         CAST(b.vec_id AS BIGINT) AS hist_id
+       |  FROM emb a JOIN emb b
+       |    ON a.vec_id % 4 = 0 AND b.vec_id % 4 <> 0
+       |  WHERE round(list_cosine_similarity(a.v, b.v), 6) >= $thr),
+       |${recallTail("out", "truth", "new_id", "hist_id", floor,
+          "out.new_id, out.hist_id, out.cosine")}""".stripMargin
   }
 
   /** Oracle for q_embedding_neardup: 4 bands of 3-bit hyperplane
