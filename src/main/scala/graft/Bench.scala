@@ -146,7 +146,7 @@ object Bench {
   /** Queries added this round — refreshed each round so first-time pins
     * always get a reading even under budget pressure. */
   val NewQueries: Seq[String] = Seq(
-    "q_incremental_embedding_pq", "q_audio_flac")
+    "q_incremental_embedding_pq", "q_audio_flac", "q_audio_meta")
 
   /** Priority-ordered, cost-greedy surface selection: walk the priority
     * order, keep a query while its projected cost (`est × runs`,

@@ -3746,6 +3746,70 @@ object Queries {
            |            ELSE CAST(50 + doc_id % 500 AS BIGINT) END AS height
            |FROM documents""".stripMargin))
 
+  /** Audio triage under the oracle (r13): [[Multimodal.audioMeta]] over
+    * in-plan WAV and FLAC streams — the codec-free pre-decode pass that
+    * routes/filters blobs BEFORE any decode is scheduled. doc_id%3
+    * picks the container (0 = FLAC with a varying declared
+    * total-samples, 1 = PCM WAV with a varying real payload, 2 = junk
+    * text → NULL); every 7th doc truncates to 10 bytes → NULL. The
+    * FLAC member has NO frames at all — triage reads STREAMINFO only,
+    * exactly the split from the decode tier (which refuses that same
+    * blob); the WAV member's n_frames comes from the REAL payload
+    * length, clamped like a truncated crawl blob would be.
+    */
+  private val qAudioMeta = Q("q_audio_meta",
+    (s, dir) => {
+      def h2(c: Column): Column = lpad(hex(c), 2, "0")
+      val id = col("doc_id")
+      // FLAC: fLaC + last-block STREAMINFO(34) header; constants below
+      // are the packed (rate 8000, mono, 16-bit) STREAMINFO prefix and
+      // a zero MD5; only total-samples' low 16 bits vary per doc
+      val total = (pmod(id, lit(300)) + 1).cast("int")
+      val flacHex = concat(
+        lit("664C6143" + "80000022" + "00C0" + "00C0" + "000000" + "000000" +
+          "01" + "F4" + "00" + "F0" + "00" + "00"),
+        h2(shiftright(total, 8)), h2(total.bitwiseAND(lit(0xff))),
+        lit("0" * 32))
+      // WAV: RIFF/WAVE + 16-byte PCM fmt (stereo, 16 kHz, 16-bit,
+      // blockAlign 4) + data chunk with a REAL n*4-byte payload
+      val n = (pmod(id, lit(50)) + 1).cast("int")
+      val wavHex = concat(
+        lit("52494646" + "00000000" + "57415645" +
+          "666D7420" + "10000000" + "0100" + "0200" + "803E0000" +
+          "00FA0000" + "0400" + "1000" + "64617461"),
+        h2((n * 4).bitwiseAND(lit(0xff))), h2(shiftright(n * 4, 8)),
+        lit("0000"),
+        array_join(array_repeat(lit("00000000"), n), ""))
+      val junkHex = lit("6E6F7420617564696F20617420616C6C2E2E2E2E") // "not audio at all...."
+      val fullHex = when(pmod(id, lit(3)) === 0, flacHex)
+        .when(pmod(id, lit(3)) === 1, wavHex)
+        .otherwise(junkHex)
+      val blobHex = when(pmod(id, lit(7)) === 0,
+        substring(fullHex, 1, 20)).otherwise(fullHex)
+      val m = Multimodal.audioMeta(unhex(blobHex))
+      t(s, dir, "documents").select(id.cast("bigint").as("doc_id"),
+        m.getField("format").as("format"),
+        m.getField("channels").cast("bigint").as("channels"),
+        m.getField("sample_rate").cast("bigint").as("sample_rate"),
+        m.getField("bits_per_sample").cast("bigint").as("bits_per_sample"),
+        m.getField("n_frames").cast("bigint").as("n_frames"))
+    },
+    Some("""WITH p AS (
+           |  SELECT doc_id, doc_id % 3 AS c, doc_id % 7 = 0 AS trunc
+           |  FROM documents)
+           |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           |       CASE WHEN trunc OR c = 2 THEN NULL
+           |            WHEN c = 0 THEN 'flac' ELSE 'wav' END AS format,
+           |       CASE WHEN trunc OR c = 2 THEN NULL
+           |            WHEN c = 0 THEN 1 ELSE 2 END AS channels,
+           |       CASE WHEN trunc OR c = 2 THEN NULL
+           |            WHEN c = 0 THEN 8000 ELSE 16000 END AS sample_rate,
+           |       CASE WHEN trunc OR c = 2 THEN NULL ELSE 16 END AS bits_per_sample,
+           |       CASE WHEN trunc OR c = 2 THEN NULL
+           |            WHEN c = 0 THEN CAST(doc_id % 300 + 1 AS BIGINT)
+           |            ELSE CAST(doc_id % 50 + 1 AS BIGINT) END AS n_frames
+           |FROM p""".stripMargin))
+
   /** Mixture reweighting over the `source` column: per-source corpus
     * shares (by characters) and the downsampling rates that hit a
     * declared target mixture — src0 capped at 1% and src1 at 2% of the
@@ -4930,5 +4994,5 @@ object Queries {
     qPageRank, qPngFeatures, qGifFeatures, qGifFrames, qTiffFeatures,
     qIntegrityChecksum,
     qQualityClassifier, qScoreAuc, qScoreCalibration, qScoreGate, qKmeans,
-    qSemanticDedup, qIncrementalEmbeddingPq, qAudioFlac)
+    qSemanticDedup, qIncrementalEmbeddingPq, qAudioFlac, qAudioMeta)
 }

@@ -116,8 +116,31 @@ object FlacKernels {
     }
   }
 
-  private def decodeStream(b: Array[Byte]): AudioKernels.Pcm = {
-    // ---- metadata walk: STREAMINFO must come first
+  /** Header-only STREAMINFO read for the codec-free triage tier
+    * ([[MediaKernels.audioMeta]]): (channels, sample_rate,
+    * bits_per_sample, total_samples) without touching a single frame —
+    * same magic/first-block/length/range validation as [[decode]]
+    * (shared [[metaWalk]]), so triage and decode can never disagree on
+    * what is a well-formed stream head. `total_samples` is the value
+    * the header DECLARES (0 = unknown is in-spec for streamed encodes);
+    * an n_frames this tier reports is a claim about the header, not the
+    * payload — the decode tier is what verifies frames. */
+  def streamInfo(b: Array[Byte]): Option[(Int, Int, Int, Long)] = {
+    if (b == null || b.length < 42) return None
+    if (!(b(0) == 'f' && b(1) == 'L' && b(2) == 'a' && b(3) == 'C')) return None
+    try {
+      val (_, rate, channels, bits, total) = metaWalk(b)
+      Some((channels, rate, bits, total))
+    } catch {
+      case _: Bad => None
+      case _: ArrayIndexOutOfBoundsException => None
+    }
+  }
+
+  /** The metadata-block walk both tiers share: validates STREAMINFO
+    * comes first with length 34, walks to the end of the block list,
+    * and returns (first frame offset, rate, channels, bits, total). */
+  private def metaWalk(b: Array[Byte]): (Long, Int, Int, Int, Long) = {
     var p = 4L
     var last = false
     var siRate = -1; var siChannels = -1; var siBits = -1
@@ -152,6 +175,12 @@ object FlacKernels {
       if (p > b.length) bad()
     }
     if (first) bad() // no metadata block at all
+    (p, siRate, siChannels, siBits, siTotal)
+  }
+
+  private def decodeStream(b: Array[Byte]): AudioKernels.Pcm = {
+    val (p0, siRate, siChannels, siBits, siTotal) = metaWalk(b)
+    var p = p0
 
     // ---- frames until EOF
     var sumAbs = 0.0

@@ -37,6 +37,18 @@ object MediaKernels {
     */
   def audioMeta(b: Array[Byte]): InternalRow = {
     if (b == null || b.length < 36) return null
+    // FLAC triage (r13): STREAMINFO is a pure header read — channels/
+    // rate/bits/declared total samples with the decoder's own
+    // validation (shared walk), no frame touched. n_frames here is the
+    // header's DECLARATION (0 = unknown is in-spec for streamed
+    // encodes); the decode tier (AudioKernels.decodePcm -> FlacKernels)
+    // is what verifies the payload, mirroring the WAV split between
+    // this triage row and the CRC-checked decode.
+    if (b(0) == 'f' && b(1) == 'L' && b(2) == 'a' && b(3) == 'C')
+      return FlacKernels.streamInfo(b).map { case (ch, rate, bits, total) =>
+        new GenericInternalRow(Array[Any](
+          UTF8String.fromString("flac"), ch, rate, bits, total))
+      }.orNull
     if (!(b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
           b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E')) return null
     var formatTag = -1

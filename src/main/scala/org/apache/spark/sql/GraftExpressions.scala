@@ -252,7 +252,8 @@ object AudioMeta {
     StructField("n_frames", LongType, nullable = false)))
 }
 
-/** WAV/RIFF audio metadata — NULL for non-WAV or truncated blobs. See
+/** WAV/RIFF + FLAC audio metadata (codec-free triage tier) — NULL for
+  * unrecognized or truncated blobs. See
   * [[graft.functions.MediaKernels.audioMeta]].
   */
 case class AudioMeta(child: Expression)

@@ -295,6 +295,32 @@ class FlacSpec extends AnyFunSuite {
     assert(FlacKernels.decode(badTotal).isEmpty)
   }
 
+  test("streamInfo triage: header-only read matches the encode parameters, " +
+    "declared-unknown total passes through, junk/truncation fail closed") {
+    val s = samples(192, _ => 1024L)
+    val blob = stream(44100, 2, 16, Seq(
+      frame(0, Array(s, s), 44100, 16, 0, Array("constant", "constant"))), 192)
+    assert(FlacKernels.streamInfo(blob).contains((2, 44100, 16, 192L)))
+    // header-only: the frame payload is never touched, so a stream with
+    // corrupt FRAMES still triages (decode is the tier that refuses it)
+    val corruptFrames = blob.clone()
+    corruptFrames(corruptFrames.length - 3) = 0x55
+    assert(FlacKernels.streamInfo(corruptFrames).contains((2, 44100, 16, 192L)))
+    assert(FlacKernels.decode(corruptFrames).isEmpty)
+    // total = 0 is the spec's declared-unknown sentinel, reported as-is
+    val unknownTotal = stream(8000, 1, 16, Seq(
+      frame(0, Array(s), 8000, 16, 0, Array("constant"))), 0)
+    assert(FlacKernels.streamInfo(unknownTotal).contains((1, 8000, 16, 0L)))
+    // fail closed: bad magic, truncated STREAMINFO, wrong first block
+    assert(FlacKernels.streamInfo("not flac at all".getBytes).isEmpty)
+    assert(FlacKernels.streamInfo(blob.take(20)).isEmpty)
+    val wrongFirst = blob.clone()
+    wrongFirst(4) = (0x04 | (wrongFirst(4) & 0x80)).toByte // VORBIS_COMMENT first
+    assert(FlacKernels.streamInfo(wrongFirst).isEmpty)
+    // the Spark-side audioMeta triage row is pinned in MultimodalSpec
+    // ("audioMeta triages FLAC from STREAMINFO alone")
+  }
+
   test("decode rides the shared AudioKernels dispatch") {
     val s = samples(192, _ => 1024L)
     val blob = stream(8000, 1, 16, Seq(

@@ -143,6 +143,47 @@ class MultimodalSpec extends SparkSpec {
     assert(out(6L) == ((2, 44100, 11025L)))
   }
 
+  test("audioMeta triages FLAC from STREAMINFO alone: no frame bytes needed, " +
+      "format tag 'flac', declared total passes through") {
+    // fLaC + last-block STREAMINFO(34): stereo, 44100 Hz, 16-bit,
+    // 192 declared samples — and NOT ONE frame byte, the point of the
+    // triage tier (the decode tier refuses this same blob)
+    def si(rate: Int, ch: Int, bits: Int, total: Long): Array[Byte] = {
+      val b = new scala.collection.mutable.ArrayBuffer[Byte]
+      b ++= "fLaC".getBytes
+      b ++= Array[Byte](0x80.toByte, 0, 0, 34)
+      b ++= Array[Byte](0, 0xC0.toByte, 0, 0xC0.toByte) // min/max blocksize 192
+      b ++= Array.fill[Byte](6)(0) // min/max frame size unknown
+      b += (rate >> 12).toByte
+      b += ((rate >> 4) & 0xff).toByte
+      b += (((rate & 0xf) << 4) | ((ch - 1) << 1) | ((bits - 1) >> 4)).toByte
+      b += ((((bits - 1) & 0xf) << 4) | ((total >> 32) & 0xf).toInt).toByte
+      b += ((total >> 24) & 0xff).toByte
+      b += ((total >> 16) & 0xff).toByte
+      b += ((total >> 8) & 0xff).toByte
+      b += (total & 0xff).toByte
+      b ++= Array.fill[Byte](16)(0) // MD5
+      b.toArray
+    }
+    val rows = Seq(
+      (1L, si(44100, 2, 16, 192L)),
+      (2L, si(8000, 1, 16, 0L)),          // 0 = declared-unknown, in-spec
+      (3L, si(44100, 2, 16, 192L).take(20))) // truncated head: refuse
+    val out = rows.toDF("id", "blob")
+      .select(col("id"), Multimodal.audioMeta(col("blob")).as("m"))
+      .select(col("id"), col("m.format"), col("m.channels"),
+        col("m.sample_rate"), col("m.bits_per_sample"), col("m.n_frames"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) null
+        else (r.getString(1), r.getInt(2), r.getInt(3), r.getInt(4), r.getLong(5))))
+      .toMap
+    assert(out(1L) == (("flac", 2, 44100, 16, 192L)))
+    assert(out(2L) == (("flac", 1, 8000, 16, 0L)))
+    assert(out(3L) == null)
+    // decode of the frameless blob refuses (declared 192, zero present):
+    // triage and decode answer DIFFERENT questions on the same bytes
+    assert(graft.functions.FlacKernels.decode(si(44100, 2, 16, 192L)).isEmpty)
+  }
+
   test("videoMeta parses a real MP4 box tree: brand, mvhd v0, track count") {
     def box(typ: String, content: Array[Byte]): Array[Byte] = {
       val b = java.nio.ByteBuffer.allocate(8 + content.length)
