@@ -370,6 +370,38 @@ class SimilaritySpec extends SparkSpec {
       s"no codes-only scan:\n${reads.mkString("\n")}")
   }
 
+  test("ivfPqRangeIndexed: threshold form keeps the pruned-plan contract and " +
+      "equals the top-k form's pairs above the threshold") {
+    val rnd = new scala.util.Random(41)
+    val corpus = (0 until 200)
+      .map(i => (i.toLong, Array.fill(8)(rnd.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    val queries = corpus.filter(col("vec_id") < 6)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfpq-rng").toString
+    Similarity.buildIvfPqIndex(corpus, "embedding", "vec_id", dir,
+      nCentroids = 8, kmeansIters = 3, pqM = 4, pqCodes = 4, pqIters = 2)
+    val range = Similarity.ivfPqRangeIndexed(spark, dir, queries,
+      "embedding", "vec_id", threshold = 0.2, nProbes = 2, rerank = 12)
+    // same probes + rerank: the range form is exactly the top-k form's
+    // exact-scored shortlist, threshold-filtered instead of rank-cut
+    val topk = Similarity.ivfPqTopKIndexed(spark, dir, queries,
+      "embedding", "vec_id", k = 12, nProbes = 2, rerank = 12)
+    assert(range.select("query_id", "corpus_id", "cosine")
+        .as[(Long, Long, Double)].collect().toSet ==
+      topk.filter(col("cosine") >= 0.2)
+        .select("query_id", "corpus_id", "cosine")
+        .as[(Long, Long, Double)].collect().toSet)
+    // the ingest-screen plan contract: probed-partition pruning and a
+    // codes-only ADC scan, same as the top-k pin
+    val f = range.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    val scans = f.linesIterator.filter(_.contains("PartitionFilters")).toSeq
+    assert(scans.nonEmpty && scans.forall(_.contains("centroid_id")), f)
+    val reads = f.linesIterator.filter(_.contains("ReadSchema")).toSeq
+    assert(reads.exists(r => r.contains("codes") && !r.contains("unit_vec")),
+      s"no codes-only scan:\n${reads.mkString("\n")}")
+  }
+
   test("null embeddings never occupy top-k slots (brute force)") {
     // a null vector yields a null cosine; the collect_smallest struct
     // ordering would rank a null negc FIRST — both the upstream filter
