@@ -1,8 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types._
 
 /** Structured Streaming surface over the `events` stream table.
@@ -148,6 +148,33 @@ object EventStreams {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("__fp")
       .drop("__fp")
+
+  /** The 24/7 ingest admission screen AS A STREAM: every micro-batch of
+    * arriving vectors probes the persisted IVF-PQ history index
+    * ([[graft.operators.Similarity.buildIvfPqIndex]]) through the same
+    * [[graft.operators.Dedup.incrementalEmbeddingPq]] the batch path
+    * runs — `foreachBatch` is the idiomatic bridge because the probe is
+    * a multi-stage batch plan (probe join + ADC window + refine) that
+    * streaming transformations cannot express, and it KEEPS the batch
+    * operator's guarantees per trigger: exact output cosines, candidate
+    * scan reading codes-only columns of the probed partitions, O(batch)
+    * per-ingest shuffle independent of corpus size. Each row is
+    * screened independently against the static index, so streamed
+    * output across any micro-batch split is EXACTLY the batch operator
+    * over the union (spec-pinned) — no watermark or state needed; the
+    * index itself evolves by the offline build/merge cadence, not per
+    * trigger. `sink` receives (admission pairs, epoch) and owns the
+    * write + checkpoint semantics of its landing.
+    */
+  def screenEmbeddingStream(batches: DataFrame, indexDir: String,
+                            vecCol: String, idCol: String,
+                            threshold: Double = 0.9, nProbes: Int = 2,
+                            rerank: Int = 20)
+                           (sink: (DataFrame, Long) => Unit): DataStreamWriter[Row] =
+    batches.writeStream.foreachBatch { (b: Dataset[Row], epoch: Long) =>
+      sink(graft.operators.Dedup.incrementalEmbeddingPq(
+        b.toDF(), indexDir, vecCol, idCol, threshold, nProbes, rerank), epoch)
+    }
 
   final case class SessionEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
   final case class SessionState(start: Long, end: Long, n: Long, total: Double)

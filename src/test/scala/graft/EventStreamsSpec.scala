@@ -10,6 +10,7 @@ object EventStreamsSpec {
   final case class Doc(doc_id: Long, ts: Timestamp, text: String)
   final case class Click(user_id: Long, click_ts: Timestamp, click_id: Long)
   final case class View(user_id: Long, view_ts: Timestamp, view_id: Long)
+  final case class Vec(vec_id: Long, vec: Seq[Double])
 }
 
 class EventStreamsSpec extends SparkSpec {
@@ -176,6 +177,46 @@ class EventStreamsSpec extends SparkSpec {
     assert(landed == Set(1L, 2L, 4L))
     // the checkpoint directory is real (offsets + commits written)
     assert(new java.io.File(s"$base/ckpt/commits").listFiles().nonEmpty)
+  }
+
+  test("streaming embedding screen: micro-batched output equals the batch " +
+      "operator over the union (per-row independence vs the static index)") {
+    import graft.operators.{Dedup, Similarity}
+    import EventStreamsSpec.Vec
+    def v(base: Array[Double], eps: Double) =
+      base.zipWithIndex.map { case (x, i) => x + (if (i == 0) eps else 0.0) }.toSeq
+    val c1 = Array(10.0, 0.0, 0.0, 0.0)
+    val c2 = Array(0.0, 10.0, 0.0, 0.0)
+    val hist = (1 to 10).map(i =>
+      (i.toLong, v(if (i % 2 == 0) c1 else c2, i * 0.01))).toDF("vec_id", "vec")
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq_stream").toString
+    Similarity.buildIvfPqIndex(hist, "vec", "vec_id", dir,
+      nCentroids = 2, pqM = 2, pqCodes = 4, pqIters = 2)
+    val arriving = Seq(
+      Vec(101L, v(c1, 0.005)), Vec(102L, v(c2, 0.005)),
+      Vec(103L, Seq(0.0, 0.0, 7.0, 0.0)))
+    val input = MemoryStream[Vec](spark, numPartitions = 1)
+    val landed = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+    val epochs = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = EventStreams.screenEmbeddingStream(input.toDF(), dir, "vec",
+        "vec_id", threshold = 0.9, nProbes = 2, rerank = 10) { (out, epoch) =>
+      landed.synchronized {
+        epochs += epoch
+        landed ++= out.select("new_id", "hist_id", "cosine")
+          .as[(Long, Long, Double)].collect()
+      }
+    }.start()
+    input.addData(arriving(0)) // the screen fires per micro-batch...
+    q.processAllAvailable()
+    input.addData(arriving(1), arriving(2))
+    q.processAllAvailable()
+    q.stop()
+    assert(epochs.size == 2) // ...one probe per trigger, not one per row
+    val batch = Dedup.incrementalEmbeddingPq(arriving.toDF(), dir, "vec",
+        "vec_id", threshold = 0.9, nProbes = 2, rerank = 10)
+      .select("new_id", "hist_id", "cosine")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(landed.toSet == batch && batch.nonEmpty)
   }
 
   test("streaming dedup drops same-content docs across batches, keeps distinct") {
