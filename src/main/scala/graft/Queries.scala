@@ -3748,9 +3748,10 @@ object Queries {
 
   /** Audio triage under the oracle (r13): [[Multimodal.audioMeta]] over
     * in-plan WAV and FLAC streams — the codec-free pre-decode pass that
-    * routes/filters blobs BEFORE any decode is scheduled. doc_id%3
+    * routes/filters blobs BEFORE any decode is scheduled. doc_id%4
     * picks the container (0 = FLAC with a varying declared
-    * total-samples, 1 = PCM WAV with a varying real payload, 2 = junk
+    * total-samples, 1 = PCM WAV with a varying real payload, 2 = MP3
+    * whose k Layer III frames must tile the blob exactly, 3 = junk
     * text → NULL); every 7th doc truncates to 10 bytes → NULL. The
     * FLAC member has NO frames at all — triage reads STREAMINFO only,
     * exactly the split from the decode tier (which refuses that same
@@ -3780,9 +3781,16 @@ object Queries {
         h2((n * 4).bitwiseAND(lit(0xff))), h2(shiftright(n * 4, 8)),
         lit("0000"),
         array_join(array_repeat(lit("00000000"), n), ""))
+      // MP3: MPEG1 Layer III 128 kbps 44.1 kHz mono CBR — header
+      // FF FB 90 C0 + 413 zero payload bytes per 417-byte frame; the
+      // triage walk requires the k frames to tile the blob exactly
+      val k = (pmod(id, lit(8)) + 1).cast("int")
+      val mp3Hex = array_join(
+        array_repeat(concat(lit("FFFB90C0"), lit("00" * 413)), k), "")
       val junkHex = lit("6E6F7420617564696F20617420616C6C2E2E2E2E") // "not audio at all...."
-      val fullHex = when(pmod(id, lit(3)) === 0, flacHex)
-        .when(pmod(id, lit(3)) === 1, wavHex)
+      val fullHex = when(pmod(id, lit(4)) === 0, flacHex)
+        .when(pmod(id, lit(4)) === 1, wavHex)
+        .when(pmod(id, lit(4)) === 2, mp3Hex)
         .otherwise(junkHex)
       val blobHex = when(pmod(id, lit(7)) === 0,
         substring(fullHex, 1, 20)).otherwise(fullHex)
@@ -3795,19 +3803,24 @@ object Queries {
         m.getField("n_frames").cast("bigint").as("n_frames"))
     },
     Some("""WITH p AS (
-           |  SELECT doc_id, doc_id % 3 AS c, doc_id % 7 = 0 AS trunc
+           |  SELECT doc_id, doc_id % 4 AS c, doc_id % 7 = 0 AS trunc
            |  FROM documents)
            |SELECT CAST(doc_id AS BIGINT) AS doc_id,
-           |       CASE WHEN trunc OR c = 2 THEN NULL
-           |            WHEN c = 0 THEN 'flac' ELSE 'wav' END AS format,
-           |       CASE WHEN trunc OR c = 2 THEN NULL
-           |            WHEN c = 0 THEN 1 ELSE 2 END AS channels,
-           |       CASE WHEN trunc OR c = 2 THEN NULL
-           |            WHEN c = 0 THEN 8000 ELSE 16000 END AS sample_rate,
-           |       CASE WHEN trunc OR c = 2 THEN NULL ELSE 16 END AS bits_per_sample,
-           |       CASE WHEN trunc OR c = 2 THEN NULL
+           |       CASE WHEN trunc OR c = 3 THEN NULL
+           |            WHEN c = 0 THEN 'flac' WHEN c = 1 THEN 'wav'
+           |            ELSE 'mp3' END AS format,
+           |       CASE WHEN trunc OR c = 3 THEN NULL
+           |            WHEN c = 0 THEN 1 WHEN c = 1 THEN 2
+           |            ELSE 1 END AS channels,
+           |       CASE WHEN trunc OR c = 3 THEN NULL
+           |            WHEN c = 0 THEN 8000 WHEN c = 1 THEN 16000
+           |            ELSE 44100 END AS sample_rate,
+           |       CASE WHEN trunc OR c = 3 THEN NULL
+           |            WHEN c = 2 THEN 0 ELSE 16 END AS bits_per_sample,
+           |       CASE WHEN trunc OR c = 3 THEN NULL
            |            WHEN c = 0 THEN CAST(doc_id % 300 + 1 AS BIGINT)
-           |            ELSE CAST(doc_id % 50 + 1 AS BIGINT) END AS n_frames
+           |            WHEN c = 1 THEN CAST(doc_id % 50 + 1 AS BIGINT)
+           |            ELSE CAST((doc_id % 8 + 1) * 1152 AS BIGINT) END AS n_frames
            |FROM p""".stripMargin))
 
   /** Mixture reweighting over the `source` column: per-source corpus

@@ -35,6 +35,54 @@ object MediaKernels {
     * LIST/INFO chunks commonly sit between), so duration is derivable
     * as n_frames / sample_rate without decoding anything.
     */
+  // Layer III bitrates (kbps) by version group; index 0 = free-format
+  // (frame length not derivable from the header -> refuse), 15 = bad
+  private val Mp3BitratesV1 = Array(
+    -1, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, -1)
+  private val Mp3BitratesV2 = Array(
+    -1, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160, -1)
+  private val Mp3Rates = Array( // [version 2.5, reserved, 2, 1][rateIdx]
+    Array(11025, 12000, 8000, -1), Array(-1, -1, -1, -1),
+    Array(22050, 24000, 16000, -1), Array(44100, 48000, 32000, -1))
+
+  /** MPEG Layer III frame-header walk from `start`: every frame header
+    * must be valid with a consistent (version, rate, mode) — bitrate
+    * and padding MAY vary per frame (VBR is in-spec) — and the frames
+    * must tile the payload exactly to the last byte: a blob whose tail
+    * is not a whole valid frame (truncated crawl, concatenated junk,
+    * false sync) is refused outright rather than triaged with a
+    * shortened duration it cannot vouch for. */
+  private def mp3Meta(b: Array[Byte], start: Int): InternalRow = {
+    var p = start
+    var version = -1; var rate = -1; var channels = -1
+    var frames = 0L
+    while (p + 4 <= b.length) {
+      if ((b(p) & 0xff) != 0xff || (b(p + 1) & 0xe0) != 0xe0) return null
+      val ver = (b(p + 1) >> 3) & 0x3   // 0=2.5, 1=reserved, 2=MPEG2, 3=MPEG1
+      val layer = (b(p + 1) >> 1) & 0x3 // 1 = Layer III
+      if (ver == 1 || layer != 1) return null
+      val brIdx = (b(p + 2) >> 4) & 0xf
+      val srIdx = (b(p + 2) >> 2) & 0x3
+      val padding = (b(p + 2) >> 1) & 0x1
+      val mode = (b(p + 3) >> 6) & 0x3 // 3 = mono
+      val kbps = (if (ver == 3) Mp3BitratesV1 else Mp3BitratesV2)(brIdx)
+      val sr = Mp3Rates(ver)(srIdx)
+      if (kbps <= 0 || sr <= 0) return null
+      val ch = if (mode == 3) 1 else 2
+      if (frames == 0L) { version = ver; rate = sr; channels = ch }
+      else if (ver != version || sr != rate || ch != channels) return null
+      val frameLen = (if (ver == 3) 144000 else 72000) * kbps / sr + padding
+      if (frameLen <= 4) return null
+      if (p + frameLen > b.length) return null // partial tail frame
+      p += frameLen
+      frames += 1L
+    }
+    if (frames == 0L || p != b.length) return null
+    val spf = if (version == 3) 1152L else 576L
+    new GenericInternalRow(Array[Any](
+      UTF8String.fromString("mp3"), channels, rate, 0, frames * spf))
+  }
+
   def audioMeta(b: Array[Byte]): InternalRow = {
     if (b == null || b.length < 36) return null
     // FLAC triage (r13): STREAMINFO is a pure header read — channels/
@@ -49,6 +97,25 @@ object MediaKernels {
         new GenericInternalRow(Array[Any](
           UTF8String.fromString("flac"), ch, rate, bits, total))
       }.orNull
+    // MP3 triage (r13): MPEG Layer III frame-header walk — the most
+    // common audio container in crawled corpora carries no global
+    // header at all, so triage IS the frame chain: skip an optional
+    // ID3v2 tag, then demand that VALID Layer III headers with a
+    // consistent (version, rate, mode) tile the payload end to end
+    // (a trailing partial frame is a truncated crawl blob -> NULL,
+    // never a duration the walk cannot vouch for). bits_per_sample = 0:
+    // MP3 has no PCM bit depth — 0 is the declared "not a PCM notion"
+    // sentinel, mirroring FLAC's declared-unknown total.
+    val mp3Start =
+      if (b(0) == 'I' && b(1) == 'D' && b(2) == '3' && b.length >= 10) {
+        // ID3v2: 4-byte syncsafe size after a 6-byte header prefix
+        if ((((b(6) | b(7) | b(8) | b(9)) & 0x80)) != 0) -1
+        else 10 + ((b(6) & 0x7f) << 21) + ((b(7) & 0x7f) << 14) +
+          ((b(8) & 0x7f) << 7) + (b(9) & 0x7f)
+      } else 0
+    if (mp3Start >= 0 && mp3Start + 4 <= b.length &&
+        (b(mp3Start) & 0xff) == 0xff && (b(mp3Start + 1) & 0xe0) == 0xe0)
+      return mp3Meta(b, mp3Start)
     if (!(b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
           b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E')) return null
     var formatTag = -1

@@ -184,6 +184,58 @@ class MultimodalSpec extends SparkSpec {
     assert(graft.functions.FlacKernels.decode(si(44100, 2, 16, 192L)).isEmpty)
   }
 
+  test("audioMeta triages MP3 by walking the frame chain: CBR, VBR, ID3v2 skip; " +
+      "partial tail / false sync / Layer II refused") {
+    // one Layer III frame: 4-byte header + zero payload to the exact
+    // frame length the header implies
+    def frame(ver: Int, kbps: Int, brIdx: Int, sr: Int, srIdx: Int,
+              mono: Boolean, padding: Int = 0): Array[Byte] = {
+      val len = (if (ver == 3) 144000 else 72000) * kbps / sr + padding
+      val out = new Array[Byte](len)
+      out(0) = 0xff.toByte
+      out(1) = (0xe0 | (ver << 3) | (1 << 1) | 1).toByte // layer III bits=01
+      out(2) = ((brIdx << 4) | (srIdx << 2) | (padding << 1)).toByte
+      out(3) = (if (mono) 0xc0 else 0x00).toByte
+      out
+    }
+    val cbr = frame(3, 128, 9, 44100, 0, mono = true) ++
+      frame(3, 128, 9, 44100, 0, mono = true) ++
+      frame(3, 128, 9, 44100, 0, mono = true, padding = 1)
+    val vbr = frame(3, 128, 9, 44100, 0, mono = false) ++
+      frame(3, 192, 11, 44100, 0, mono = false) // bitrate varies: in-spec
+    val id3 = {
+      val tagBody = 100
+      val h = Array[Byte]('I', 'D', '3', 4, 0, 0,
+        0, 0, 0, tagBody.toByte) // syncsafe 100
+      h ++ new Array[Byte](tagBody) ++ frame(0, 8, 1, 8000, 2, mono = true)
+    }
+    val partial = cbr.take(cbr.length - 50)     // truncated tail frame
+    val falseSync = frame(3, 128, 9, 44100, 0, mono = true) ++
+      Array.fill[Byte](40)(0x55)                // junk after a valid frame
+    val layerII = {
+      val f = frame(3, 128, 9, 44100, 0, mono = true)
+      f(1) = (0xe0 | (3 << 3) | (2 << 1) | 1).toByte; f
+    }
+    val rateDrift = frame(3, 128, 9, 44100, 0, mono = true) ++
+      frame(3, 128, 9, 48000, 1, mono = true)   // rate changes mid-stream
+    val rows = Seq((1L, cbr), (2L, vbr), (3L, id3), (4L, partial),
+      (5L, falseSync), (6L, layerII), (7L, rateDrift))
+    val out = rows.toDF("id", "blob")
+      .select(col("id"), Multimodal.audioMeta(col("blob")).as("m"))
+      .select(col("id"), col("m.format"), col("m.channels"),
+        col("m.sample_rate"), col("m.bits_per_sample"), col("m.n_frames"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) null
+        else (r.getString(1), r.getInt(2), r.getInt(3), r.getInt(4), r.getLong(5))))
+      .toMap
+    assert(out(1L) == (("mp3", 1, 44100, 0, 3 * 1152L)))
+    assert(out(2L) == (("mp3", 2, 44100, 0, 2 * 1152L)))
+    assert(out(3L) == (("mp3", 1, 8000, 0, 576L))) // MPEG2.5: 576/frame
+    assert(out(4L) == null) // partial tail: refuse, don't shorten
+    assert(out(5L) == null) // frames must tile to the last byte
+    assert(out(6L) == null) // Layer II outside triage scope
+    assert(out(7L) == null) // inconsistent rate mid-chain
+  }
+
   test("videoMeta parses a real MP4 box tree: brand, mvhd v0, track count") {
     def box(typ: String, content: Array[Byte]): Array[Byte] = {
       val b = java.nio.ByteBuffer.allocate(8 + content.length)
