@@ -488,6 +488,44 @@ object MediaKernels {
         row("tiff", w.toInt, h.toInt)
       else null
     }
+    // WEBP (r13): RIFF/WEBP, dims from the FIRST payload chunk — each
+    // of the three in-spec first chunks packs them differently, and a
+    // wrong-variant read reports garbage dims, so every branch checks
+    // its own signature bytes and fails closed. Sizes are 14-bit
+    // (VP8/VP8L) or 24-bit-minus-one (VP8X) fields: always positive by
+    // construction except the VP8 lossy zero case, checked explicitly.
+    if (b.length >= 25 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' &&
+        b(3) == 'F' && b(8) == 'W' && b(9) == 'E' && b(10) == 'B' &&
+        b(11) == 'P') {
+      val tag = new String(Array(b(12), b(13), b(14), b(15)), "ISO-8859-1")
+      if (tag == "VP8X") {
+        // extended header: 24-bit LE canvas dims minus one at 24/27
+        if (b.length < 30) return null
+        val w = 1 + ((b(24) & 0xff) | ((b(25) & 0xff) << 8) | ((b(26) & 0xff) << 16))
+        val h = 1 + ((b(27) & 0xff) | ((b(28) & 0xff) << 8) | ((b(29) & 0xff) << 16))
+        return row("webp", w, h)
+      }
+      if (tag == "VP8L") {
+        // lossless: 0x2F signature, then 14-bit w-1 / 14-bit h-1 packed LE
+        if ((b(20) & 0xff) != 0x2f) return null
+        val w = 1 + ((b(21) & 0xff) | ((b(22) & 0x3f) << 8))
+        val h = 1 + (((b(22) & 0xff) >> 6) | ((b(23) & 0xff) << 2) |
+          ((b(24) & 0x0f) << 10))
+        return row("webp", w, h)
+      }
+      if (tag == "VP8 ") {
+        // lossy: 3-byte frame tag (bit 0 must be 0 = keyframe — dims
+        // exist only in keyframes), start code 9D 01 2A, 14-bit LE dims
+        if (b.length < 30) return null
+        if ((b(20) & 0x1) != 0) return null
+        if ((b(23) & 0xff) != 0x9d || (b(24) & 0xff) != 0x01 ||
+            (b(25) & 0xff) != 0x2a) return null
+        val w = ((b(26) & 0xff) | ((b(27) & 0xff) << 8)) & 0x3fff
+        val h = ((b(28) & 0xff) | ((b(29) & 0xff) << 8)) & 0x3fff
+        return if (w > 0 && h > 0) row("webp", w, h) else null
+      }
+      return null
+    }
     // PNG: 8-byte magic, then the IHDR chunk (tag verified — a corrupt
     // blob keeping only the signature must not yield garbage dims);
     // width/height BE at 16/20, spec-valid only when positive

@@ -98,6 +98,53 @@ class MultimodalSpec extends SparkSpec {
     assert(out(10L) == null) // GIF with a zero logical-screen dimension
   }
 
+  test("imageMeta triages WEBP: VP8X canvas, VP8L packed, VP8 keyframe dims; " +
+      "wrong-variant signatures and interframes refused") {
+    def riff(tag: String, payload: Array[Byte]): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(20 + payload.length)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put("RIFF".getBytes).putInt(12 + payload.length).put("WEBP".getBytes)
+      b.put(tag.getBytes("ISO-8859-1")).putInt(payload.length).put(payload)
+      b.array()
+    }
+    def le24(v: Int) = Array[Byte]((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte)
+    val vp8x = riff("VP8X", Array[Byte](0, 0, 0, 0) ++ le24(799) ++ le24(599))
+    val vp8l = { // 1920x1080: w-1=1919=0x77F, h-1=1079=0x437
+      val w1 = 1919; val h1 = 1079
+      val b0 = (w1 & 0xff).toByte
+      val b1 = (((w1 >> 8) & 0x3f) | ((h1 & 0x3) << 6)).toByte
+      val b2 = ((h1 >> 2) & 0xff).toByte
+      val b3 = ((h1 >> 10) & 0xf).toByte
+      riff("VP8L", Array[Byte](0x2f, b0, b1, b2, b3, 0, 0, 0))
+    }
+    def vp8(keyframe: Boolean, goodStart: Boolean, w: Int, h: Int) =
+      riff("VP8 ", Array[Byte](if (keyframe) 0 else 1, 0, 0,
+        (if (goodStart) 0x9d else 0x11).toByte, 0x01, 0x2a,
+        (w & 0xff).toByte, ((w >> 8) & 0x3f).toByte,
+        (h & 0xff).toByte, ((h >> 8) & 0x3f).toByte))
+    val rows = Seq(
+      (1L, vp8x), (2L, vp8l), (3L, vp8(keyframe = true, goodStart = true, 640, 480)),
+      (4L, vp8(keyframe = false, goodStart = true, 640, 480)), // interframe
+      (5L, vp8(keyframe = true, goodStart = false, 640, 480)), // bad start code
+      (6L, riff("VP8L", Array[Byte](0x30, 1, 2, 3, 4, 0, 0, 0))), // bad VP8L sig
+      (7L, riff("ALPH", new Array[Byte](8))), // unknown first chunk
+      (8L, vp8x.take(20))) // truncated
+    val out = rows.toDF("id", "blob")
+      .select(col("id"), Multimodal.imageMeta(col("blob")).as("m"))
+      .select(col("id"), col("m.format"), col("m.width"), col("m.height"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) null
+        else (r.getString(1), r.getInt(2), r.getInt(3)))).toMap
+    assert(out(1L) == (("webp", 800, 600)))
+    assert(out(2L) == (("webp", 1920, 1080)))
+    assert(out(3L) == (("webp", 640, 480)))
+    assert(out(4L) == null)
+    assert(out(5L) == null)
+    assert(out(6L) == null)
+    assert(out(7L) == null)
+    assert(out(8L) == null)
+  }
+
   test("audioMeta parses a real WAV header with a LIST chunk between fmt and data") {
     def wav(channels: Int, rate: Int, bits: Int, dataBytes: Int): Array[Byte] = {
       val b = java.nio.ByteBuffer.allocate(12 + 24 + 12 + 8 + dataBytes)
