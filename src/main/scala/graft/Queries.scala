@@ -4976,7 +4976,179 @@ object Queries {
     Some(OracleSqlGen.scoreGate("0.25", 256)))
 
   /** Every query, in a stable order. */
+  /** HTML → text extraction under the oracle (r13): a crawl-style HTML
+    * page is CONSTRUCTED in-plan around each document's text — a
+    * rawtext script (with a lookalike close tag inside a string AND a
+    * quoted `>` attribute), a style block, a comment hiding markup,
+    * block tags, named + numeric character references, an `&nbsp;`,
+    * and a literal `2 < 3` — then stripped back by the
+    * [[TF.htmlExtract]] codegen kernel. The oracle recomputes the
+    * expected extraction from the same construction, replaying the
+    * whitespace-collapse contract with explicit RE2 classes — so tag
+    * stripping, rawtext skipping, entity decoding, block separation,
+    * and collapse are all hash-verified per document. One codegen
+    * projection over the scan: no shuffle, no UDF, crawl-scale by
+    * construction.
+    */
+  private val qHtmlExtract = Q("q_html_extract",
+    (s, dir) => {
+      // sanitize so the constructed markup is the ONLY markup: '<' '>'
+      // '&' and NBSP in the document text become spaces on both sides
+      val clean = regexp_replace(coalesce(col("text"), lit("")),
+        "[<>&\u00A0]", " ")
+      val digitRef = concat(lit("&#"),
+        (lit(48) + pmod(col("doc_id"), lit(10))).cast("int").cast("string"),
+        lit(";"))
+      val html = concat(
+        lit("<!DOCTYPE html><html><head><title>Doc "), digitRef,
+        lit("</title><style>p{color:red}</style>"),
+        lit("<script type=\"a>b\">var s = \"</scr\" + \"ipt>\"; if (1<2) {}</script></head>"),
+        lit("<body data-x=\"1>2\"><h1>Header &amp; &#167;</h1>"),
+        lit("<!-- hidden <p>not text</p> -->"),
+        lit("<p>"), clean, lit("</p>"),
+        lit("<ul><li>first</li><li>a&nbsp;&lt;3</li></ul>"),
+        lit("<table><tr><td>c1</td><td>2 < 3</td></tr></table>"),
+        lit("</body></html>"))
+      val ext = TF.htmlExtract(html)
+      t(s, dir, "documents").select(
+        col("doc_id").cast("bigint").as("doc_id"),
+        ext.as("extracted"),
+        length(ext).cast("bigint").as("n_chars"))
+    },
+    Some("""WITH c AS (
+           |  SELECT doc_id,
+           |         regexp_replace(coalesce(text, ''), '[<>&\x{00A0}]', ' ', 'g') AS cln
+           |  FROM documents),
+           |k AS (
+           |  -- the kernel's whitespace collapse, replayed: a run with a
+           |  -- newline -> one newline, else one space; ends trimmed
+           |  SELECT doc_id,
+           |         trim(
+           |           regexp_replace(
+           |             regexp_replace(cln, '[ \t\r]*\n[ \t\n\r]*', chr(10), 'g'),
+           |             '[ \t\r]+', ' ', 'g'),
+           |           ' ' || chr(10)) AS core
+           |  FROM c),
+           |e AS (
+           |  SELECT doc_id,
+           |         'Doc ' || chr(CAST(48 + doc_id % 10 AS INT)) || chr(10) ||
+           |         'Header & §' || chr(10) ||
+           |         CASE WHEN core = '' THEN '' ELSE core || chr(10) END ||
+           |         'first' || chr(10) || 'a <3' || chr(10) || 'c1 2 < 3' AS extracted
+           |  FROM k)
+           |SELECT CAST(doc_id AS BIGINT) AS doc_id, extracted,
+           |       CAST(len(extracted) AS BIGINT) AS n_chars
+           |FROM e""".stripMargin))
+
+  /** The canonical published pretraining quality-rule suites — Gopher
+    * (Rae et al. 2021, A1.1) and C4 (Raffel et al. 2020 §2.2) — as ONE
+    * codegen projection per document ([[TF.gopherRules]] /
+    * [[TF.c4Rules]]): word/line statistics, symbol and bullet/ellipsis
+    * ratios, stop-word presence, terminal-punctuation line filtering,
+    * lorem-ipsum/brace page rules, and the C4-cleaned text itself. The
+    * corpus text is born clean (no punctuation or newlines), so a
+    * realistic multi-line page is CONSTRUCTED in-plan around each
+    * document (deterministic per doc_id: a bullet line every 5th doc,
+    * an ellipsis line every 3rd, a symbol-spam line every 13th, lorem
+    * ipsum every 7th, a code brace every 11th) and the oracle replays
+    * construction + every rule with DuckDB list lambdas — all 15
+    * output columns hash-verified per document.
+    */
+  private val qQualityRules = Q("q_quality_rules",
+    (s, dir) => {
+      val id = col("doc_id")
+      val l1 = lit("The data pipeline works with care.")
+      val l2 = concat(coalesce(col("text"), lit("")),
+        when(pmod(id, lit(13)) === 0, lit(" ## ## ## ## ## ## ## ## ## ## ## ##"))
+          .when(pmod(id, lit(3)) === 0, lit("."))
+          .when(pmod(id, lit(3)) === 1, lit(" …"))
+          .otherwise(lit("")))
+      val l3 = when(pmod(id, lit(5)) === 0, lit("• bullet item here"))
+        .otherwise(lit("Columns of data flow fast!"))
+      val l4 = when(pmod(id, lit(7)) === 0, lit("lorem ipsum dolor sit amet."))
+        .when(pmod(id, lit(11)) === 0, lit("config { retries: 3 }"))
+        .otherwise(lit("That should be enough now?"))
+      val page = concat_ws("\n", l1, l2, l3, l4)
+      val g = TF.gopherRules(page, minWords = 20, maxWords = 100000)
+      val c = TF.c4Rules(page)
+      t(s, dir, "documents").select(
+        id.cast("bigint").as("doc_id"),
+        g.getField("n_words").as("n_words"),
+        g.getField("mean_word_len").as("mean_word_len"),
+        g.getField("symbol_ratio").as("symbol_ratio"),
+        g.getField("frac_alpha").as("frac_alpha"),
+        g.getField("bullet_frac").as("bullet_frac"),
+        g.getField("ellipsis_frac").as("ellipsis_frac"),
+        g.getField("stop_hits").as("stop_hits"),
+        g.getField("keep").as("gopher_keep"),
+        c.getField("n_kept_lines").as("c4_kept_lines"),
+        c.getField("n_sentences").as("c4_sentences"),
+        c.getField("has_lorem").as("has_lorem"),
+        c.getField("has_brace").as("has_brace"),
+        c.getField("keep").as("c4_keep"),
+        c.getField("clean").as("c4_clean"))
+    },
+    Some("""WITH p AS (
+           |  SELECT doc_id,
+           |    'The data pipeline works with care.' || chr(10) ||
+           |    coalesce(text,'') ||
+           |      CASE WHEN doc_id % 13 = 0 THEN ' ## ## ## ## ## ## ## ## ## ## ## ##'
+           |           WHEN doc_id % 3 = 0 THEN '.'
+           |           WHEN doc_id % 3 = 1 THEN ' …'
+           |           ELSE '' END || chr(10) ||
+           |    CASE WHEN doc_id % 5 = 0 THEN '• bullet item here'
+           |         ELSE 'Columns of data flow fast!' END || chr(10) ||
+           |    CASE WHEN doc_id % 7 = 0 THEN 'lorem ipsum dolor sit amet.'
+           |         WHEN doc_id % 11 = 0 THEN 'config { retries: 3 }'
+           |         ELSE 'That should be enough now?' END AS page
+           |  FROM documents),
+           |tok AS (
+           |  SELECT doc_id, page,
+           |    CASE WHEN len(trim(page)) = 0 THEN CAST([] AS VARCHAR[])
+           |         ELSE string_split_regex(trim(page), '[ \t\n\x0B\f\r]+') END AS t,
+           |    list_filter(string_split(page, chr(10)), l -> len(trim(l)) > 0) AS ls
+           |  FROM p),
+           |m AS (
+           |  SELECT doc_id, page, t, ls,
+           |    CAST(len(t) AS BIGINT) AS n_words,
+           |    CASE WHEN len(t) > 0 THEN
+           |      round(CAST(list_aggregate(list_transform(t, x -> len(x)), 'sum') AS DOUBLE)
+           |            / len(t), 6) END AS mean_word_len,
+           |    CAST((len(page) - len(replace(page, '#', ''))) +
+           |         (len(page) - len(replace(page, '…', ''))) +
+           |         ((len(page) - len(replace(page, '...', ''))) // 3) AS BIGINT) AS n_sym,
+           |    CAST(len(list_filter(t, x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT) AS n_alpha,
+           |    CAST(len(ls) AS BIGINT) AS n_lines,
+           |    CAST(len(list_filter(ls, l -> substr(trim(l),1,1) IN ('•','‣','-','*'))) AS BIGINT) AS n_bullet,
+           |    CAST(len(list_filter(ls, l -> ends_with(trim(l),'…') OR ends_with(trim(l),'...'))) AS BIGINT) AS n_ell,
+           |    CAST(len(list_filter(['the','be','to','of','and','that','have','with'],
+           |         w -> list_contains(list_transform(t, x -> lower(x)), w))) AS BIGINT) AS stop_hits,
+           |    list_filter(ls, l -> len(string_split_regex(trim(l), '[ \t\n\x0B\f\r]+')) >= 5
+           |                     AND right(trim(l), 1) IN ('.','!','?','"','''')) AS keptl,
+           |    CAST(len(regexp_extract_all(page, '[.!?]+')) AS BIGINT) AS n_sentences,
+           |    contains(lower(page), 'lorem ipsum') AS has_lorem,
+           |    contains(page, '{') AS has_brace
+           |  FROM tok),
+           |g AS (
+           |  SELECT *,
+           |    CASE WHEN n_words > 0 THEN round(CAST(n_sym AS DOUBLE)/n_words, 6) END AS symbol_ratio,
+           |    CASE WHEN n_words > 0 THEN round(CAST(n_alpha AS DOUBLE)/n_words, 6) END AS frac_alpha,
+           |    CASE WHEN n_lines > 0 THEN round(CAST(n_bullet AS DOUBLE)/n_lines, 6) ELSE 0.0 END AS bullet_frac,
+           |    CASE WHEN n_lines > 0 THEN round(CAST(n_ell AS DOUBLE)/n_lines, 6) ELSE 0.0 END AS ellipsis_frac
+           |  FROM m)
+           |SELECT CAST(doc_id AS BIGINT) AS doc_id, n_words, mean_word_len, symbol_ratio,
+           |  frac_alpha, bullet_frac, ellipsis_frac, stop_hits,
+           |  ((n_words BETWEEN 20 AND 100000) AND coalesce(mean_word_len BETWEEN 3 AND 10, false)
+           |    AND coalesce(symbol_ratio <= 0.1, false) AND coalesce(frac_alpha >= 0.8, false)
+           |    AND bullet_frac <= 0.9 AND ellipsis_frac <= 0.3 AND stop_hits >= 2) AS gopher_keep,
+           |  CAST(len(keptl) AS BIGINT) AS c4_kept_lines,
+           |  n_sentences AS c4_sentences, has_lorem, has_brace,
+           |  (n_sentences >= 3 AND NOT has_lorem AND NOT has_brace) AS c4_keep,
+           |  array_to_string(list_transform(keptl, l -> trim(l)), chr(10)) AS c4_clean
+           |FROM g""".stripMargin))
+
   val all: Seq[Q] = Seq(
+    qHtmlExtract, qQualityRules,
     qSelect, qFilter, qFilterRouter,
     qJoinInner, qJoinLeft3key, qJoinRight, qJoinMultiway,
     qAgg, qDistinct, qWindowRank, qSort, qUnionDedup,

@@ -269,6 +269,142 @@ object TextFunctions {
     GraftBridge.column(NN(GraftBridge.expression(text)))
   }
 
+  /** HTML → plain text (the crawl-corpus boilerplate strip): tags
+    * removed with block-level separation preserved as newlines,
+    * script/style/comment content dropped, character references
+    * decoded, whitespace collapsed. Exact semantics (and their SQL
+    * replayability) documented on [[HtmlKernels.htmlExtract]].
+    * NULL stays NULL.
+    */
+  def htmlExtract(html: Column): Column = {
+    import org.apache.spark.sql.{GraftBridge, HtmlExtract => HE}
+    GraftBridge.column(HE(GraftBridge.expression(html)))
+  }
+
+  /** Gopher's document-level stop words (Rae et al. 2021, A1.1): a doc
+    * must contain at least two DISTINCT members to pass the rule. */
+  val GopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Leading characters that mark a bulleted line. */
+  val BulletChars: Seq[String] = Seq("•", "‣", "-", "*")
+
+  /** Non-empty lines of `text` (split on `\n`, whitespace-only lines
+    * dropped) — the shared denominator of the line-level quality rules. */
+  private def nonEmptyLines(text: Column): Column =
+    filter(split(text, "\n"), l => length(trim(l)) > 0)
+
+  /** Words of one LINE under the family tokenization contract (trim,
+    * split on whitespace runs); 0 for a whitespace-only line. */
+  private def lineWordCount(l: Column): Column =
+    when(length(trim(l)) === 0, lit(0)).otherwise(size(split(trim(l), "\\s+")))
+
+  /** Gopher-style document quality rules (Rae et al. 2021, Appendix
+    * A1.1), composed entirely from codegen'd builtins so the whole
+    * struct evaluates in one projection over the scan — no UDF, no
+    * shuffle, and every field replays in ANSI SQL for the oracle:
+    *
+    *  - `n_words`: whitespace tokens of the trimmed text;
+    *  - `mean_word_len`: mean token length — rule: within [3, 10];
+    *  - `symbol_ratio`: (count of `#` chars + `…` chars + literal
+    *    `...` runs, non-overlapping left-to-right) / words — rule
+    *    ≤ 0.1;
+    *  - `frac_alpha`: fraction of words containing an ASCII letter —
+    *    rule ≥ 0.8;
+    *  - `bullet_frac` / `ellipsis_frac`: fraction of non-empty lines
+    *    starting with a bullet ([[BulletChars]]) / ending with `…` or
+    *    `...` — rules ≤ 0.9 and ≤ 0.3; both 0.0 when the doc has no
+    *    non-empty lines (nothing to violate);
+    *  - `stop_hits`: DISTINCT [[GopherStopwords]] present (lowercased
+    *    exact-token match) — rule ≥ 2;
+    *  - `keep`: the conjunction, with the word-count band
+    *    [`minWords`, `maxWords`] (Gopher's published 50/100k; callers
+    *    pass corpus-appropriate bounds). Never NULL: an empty doc
+    *    fails the word-count rule.
+    */
+  def gopherRules(text0: Column,
+                  minWords: Int = 50, maxWords: Int = 100000): Column = {
+    val text = coalesce(text0, lit(""))
+    val toks = tokens(text)
+    val nWords = size(toks).cast("bigint")
+    val sumLen = aggregate(toks, lit(0L), (acc, t) => acc + length(t).cast("long"))
+    val meanLen = when(nWords > 0,
+      round(sumLen.cast("double") / nWords.cast("double"), 6))
+    def charCount(c: String): Column =
+      (length(text) - length(regexp_replace(text, java.util.regex.Pattern.quote(c), ""))).cast("long")
+    val dots3 = ((length(text) -
+      length(regexp_replace(text, "\\.\\.\\.", ""))) / 3).cast("long")
+    val symbols = charCount("#") + charCount("…") + dots3
+    val symbolRatio = when(nWords > 0,
+      round(symbols.cast("double") / nWords.cast("double"), 6))
+    val alphaWords = size(filter(toks, t => t.rlike("[A-Za-z]"))).cast("bigint")
+    val fracAlpha = when(nWords > 0,
+      round(alphaWords.cast("double") / nWords.cast("double"), 6))
+    val lines = nonEmptyLines(text)
+    val nLines = size(lines)
+    val bullets = size(filter(lines,
+      l => substring(trim(l), 1, 1).isin(BulletChars: _*)))
+    val ellipses = size(filter(lines,
+      l => trim(l).endsWith("…") || trim(l).endsWith("...")))
+    val bulletFrac = when(nLines > 0,
+      round(bullets.cast("double") / nLines.cast("double"), 6)).otherwise(0.0)
+    val ellipsisFrac = when(nLines > 0,
+      round(ellipses.cast("double") / nLines.cast("double"), 6)).otherwise(0.0)
+    val lowerToks = transform(toks, lower(_))
+    val stopHits = size(filter(array(GopherStopwords.map(lit): _*),
+      w => array_contains(lowerToks, w))).cast("bigint")
+    val keep = nWords.between(minWords, maxWords) &&
+      coalesce(meanLen.between(3.0, 10.0), lit(false)) &&
+      coalesce(symbolRatio <= 0.1, lit(false)) &&
+      coalesce(fracAlpha >= 0.8, lit(false)) &&
+      bulletFrac <= 0.9 && ellipsisFrac <= 0.3 && stopHits >= 2
+    struct(
+      nWords.as("n_words"),
+      meanLen.as("mean_word_len"),
+      symbolRatio.as("symbol_ratio"),
+      fracAlpha.as("frac_alpha"),
+      bulletFrac.as("bullet_frac"),
+      ellipsisFrac.as("ellipsis_frac"),
+      stopHits.as("stop_hits"),
+      keep.as("keep"))
+  }
+
+  /** C4's page/line cleaning rules (Raffel et al. 2020 §2.2), as one
+    * codegen projection:
+    *
+    *  - line rule: keep non-empty lines with ≥ 5 words ending in a
+    *    terminal punctuation mark (`.`, `!`, `?`, closing `"` or `'`);
+    *    `clean` is the kept lines rejoined with `\n` (the actual C4
+    *    transform, not just a verdict);
+    *  - page rules: ≥ 3 sentences (runs of `[.!?]`), no
+    *    `lorem ipsum` (case-insensitive), no `{` (the code filter);
+    *  - `keep` = the page-rule conjunction. Never NULL.
+    */
+  def c4Rules(text0: Column): Column = {
+    val text = coalesce(text0, lit(""))
+    val lines = nonEmptyLines(text)
+    val nLines = size(lines).cast("bigint")
+    val terminal = Seq(".", "!", "?", "\"", "'")
+    val kept = filter(lines, l =>
+      lineWordCount(l) >= 5 &&
+        substring(trim(l), -1, 1).isin(terminal: _*))
+    val nKept = size(kept).cast("bigint")
+    val clean = array_join(transform(kept, trim(_)), "\n")
+    val nSentences = size(regexp_extract_all(text, lit("[.!?]+"), lit(0)))
+      .cast("bigint")
+    val hasLorem = lower(text).contains("lorem ipsum")
+    val hasBrace = text.contains("{")
+    val keep = nSentences >= 3 && !hasLorem && !hasBrace
+    struct(
+      nLines.as("n_lines"),
+      nKept.as("n_kept_lines"),
+      nSentences.as("n_sentences"),
+      hasLorem.as("has_lorem"),
+      hasBrace.as("has_brace"),
+      keep.as("keep"),
+      clean.as("clean"))
+  }
+
   def repetitionStats(text: Column): Column = {
     import org.apache.spark.sql.{GraftBridge, RepetitionCounts => RC}
     val k = GraftBridge.column(RC(GraftBridge.expression(text)))

@@ -1350,3 +1350,27 @@ case class NfcNormalize(child: Expression)
   override protected def withNewChildInternal(newChild: Expression): NfcNormalize =
     copy(child = newChild)
 }
+
+/** HTML → plain text (WET-style boilerplate strip): tags dropped with
+  * block separation preserved, script/style/comment contents removed,
+  * character references decoded, whitespace collapsed. One O(bytes)
+  * codegen kernel — see [[graft.functions.HtmlKernels.htmlExtract]]
+  * for the exact (oracle-replayable) semantics.
+  */
+case class HtmlExtract(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = StringType
+  override def prettyName: String = "html_extract"
+
+  override protected def nullSafeEval(v: Any): Any =
+    graft.functions.HtmlKernels.htmlExtract(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.HtmlKernels.htmlExtract($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): HtmlExtract =
+    copy(child = newChild)
+}

@@ -183,7 +183,14 @@ object GraftSqlFunctions {
       info("nfc_normalize",
         "nfc_normalize(text) - Unicode NFC normalization (UAX #15)"),
       arity("nfc_normalize", "nfc_normalize(text)", 1, 1)(
-        c => NfcNormalize(c(0)))))
+        c => NfcNormalize(c(0)))),
+    (FunctionIdentifier("html_extract"),
+      info("html_extract",
+        "html_extract(html) - plain text from HTML: tags stripped with " +
+          "block separation, script/style/comments dropped, character " +
+          "references decoded, whitespace collapsed"),
+      arity("html_extract", "html_extract(html)", 1, 1)(
+        c => HtmlExtract(c(0)))))
 
   /** Register on an already-built session. */
   def register(spark: SparkSession): Unit = {

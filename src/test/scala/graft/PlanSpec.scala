@@ -130,6 +130,20 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("*(1)"), p) // the whole query is one codegen stage
   }
 
+  test("q_html_extract: build + strip is one codegen projection — no exchange, no barrier") {
+    val p = plan("q_html_extract")
+    assert(!p.contains("Exchange"), p)
+    assert(!p.contains("ExistingRDD") && !p.contains("DeserializeToObject"), p)
+    assert(p.contains("*(1)"), p)
+  }
+
+  test("q_quality_rules: both rule suites evaluate in one scan-stage projection") {
+    val p = plan("q_quality_rules")
+    assert(!p.contains("Exchange"), p)
+    assert(!p.contains("ExistingRDD") && !p.contains("DeserializeToObject"), p)
+    assert(p.contains("*(1)"), p)
+  }
+
   test("q_cube: one Expand feeding one aggregate — no repeated scans") {
     val p = plan("q_cube")
     assert("Expand".r.findAllIn(p).size >= 1, p)
