@@ -5147,8 +5147,77 @@ object Queries {
            |  array_to_string(list_transform(keptl, l -> trim(l)), chr(10)) AS c4_clean
            |FROM g""".stripMargin))
 
+  /** URL canonicalization under the oracle (r13): six URL shapes are
+    * CONSTRUCTED per doc_id — scheme/host case noise + default port +
+    * dot segments + tracking params + unsorted query + fragment;
+    * a non-default port; a bare host (empty path); percent-escapes
+    * (unreserved decode, uppercase, malformed-verbatim); an ftp URL
+    * with its default port; and plain junk that must come back NULL —
+    * normalized by the [[TF.urlParts]] codegen kernel, with the oracle
+    * recomputing every field from the same construction arithmetic.
+    * One projection over the scan; at crawl scale `normalized` is the
+    * dedup key and `host`/`apex` the politeness/group keys.
+    */
+  private val qUrlNormalize = Q("q_url_normalize",
+    (s, dir) => {
+      val id = col("doc_id")
+      val k = pmod(id, lit(20)).cast("string")
+      val m = pmod(id, lit(6))
+      val url = when(m === 0, concat(lit("HTTP://Example"), k,
+          lit(".COM:80/a/./b/../c?utm_source=x&b=2&a=1#frag")))
+        .when(m === 1, concat(lit("https://Sub.Example"), k,
+          lit(".com:8443/path/"), id.cast("string")))
+        .when(m === 2, concat(lit("https://example"), k, lit(".com")))
+        .when(m === 3, concat(lit("http://example"), k,
+          lit(".com/%7euser/%2fdocs%zz")))
+        .when(m === 4, concat(lit("ftp://files.example"), k,
+          lit(".com:21/pub/data"), id.cast("string"), lit(".txt")))
+        .otherwise(concat(lit("not a url "), id.cast("string")))
+      val p = TF.urlParts(url)
+      t(s, dir, "documents").select(
+        id.cast("bigint").as("doc_id"),
+        p.getField("normalized").as("normalized"),
+        p.getField("scheme").as("scheme"),
+        p.getField("host").as("host"),
+        p.getField("port").cast("bigint").as("port"),
+        p.getField("path").as("path"),
+        p.getField("query").as("query"),
+        p.getField("apex").as("apex"))
+    },
+    Some("""WITH u AS (
+           |  SELECT doc_id, CAST(doc_id % 20 AS VARCHAR) AS k, doc_id % 6 AS m
+           |  FROM documents)
+           |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           |  CASE m WHEN 0 THEN 'http://example' || k || '.com/a/c?a=1&b=2'
+           |         WHEN 1 THEN 'https://sub.example' || k || '.com:8443/path/' || doc_id
+           |         WHEN 2 THEN 'https://example' || k || '.com/'
+           |         WHEN 3 THEN 'http://example' || k || '.com/~user/%2Fdocs%zz'
+           |         WHEN 4 THEN 'ftp://files.example' || k || '.com/pub/data' || doc_id || '.txt'
+           |         END AS normalized,
+           |  CASE m WHEN 0 THEN 'http' WHEN 1 THEN 'https' WHEN 2 THEN 'https'
+           |         WHEN 3 THEN 'http' WHEN 4 THEN 'ftp' END AS scheme,
+           |  CASE m WHEN 0 THEN 'example' || k || '.com'
+           |         WHEN 1 THEN 'sub.example' || k || '.com'
+           |         WHEN 2 THEN 'example' || k || '.com'
+           |         WHEN 3 THEN 'example' || k || '.com'
+           |         WHEN 4 THEN 'files.example' || k || '.com' END AS host,
+           |  CASE m WHEN 0 THEN 80 WHEN 1 THEN 8443 WHEN 2 THEN 443
+           |         WHEN 3 THEN 80 WHEN 4 THEN 21 END::BIGINT AS port,
+           |  CASE m WHEN 0 THEN '/a/c'
+           |         WHEN 1 THEN '/path/' || doc_id
+           |         WHEN 2 THEN '/'
+           |         WHEN 3 THEN '/~user/%2Fdocs%zz'
+           |         WHEN 4 THEN '/pub/data' || doc_id || '.txt' END AS path,
+           |  CASE m WHEN 0 THEN 'a=1&b=2' END AS query,
+           |  CASE m WHEN 0 THEN 'example' || k || '.com'
+           |         WHEN 1 THEN 'example' || k || '.com'
+           |         WHEN 2 THEN 'example' || k || '.com'
+           |         WHEN 3 THEN 'example' || k || '.com'
+           |         WHEN 4 THEN 'example' || k || '.com' END AS apex
+           |FROM u""".stripMargin))
+
   val all: Seq[Q] = Seq(
-    qHtmlExtract, qQualityRules,
+    qHtmlExtract, qQualityRules, qUrlNormalize,
     qSelect, qFilter, qFilterRouter,
     qJoinInner, qJoinLeft3key, qJoinRight, qJoinMultiway,
     qAgg, qDistinct, qWindowRank, qSort, qUnionDedup,

@@ -281,6 +281,15 @@ object TextFunctions {
     GraftBridge.column(HE(GraftBridge.expression(html)))
   }
 
+  /** URL canonicalization + parts: struct(normalized, scheme, host,
+    * port, path, query, apex), NULL for unparseable input — the key
+    * for crawl URL dedup and host-level grouping. Contract on
+    * [[UrlKernels.urlParts]]. */
+  def urlParts(url: Column): Column = {
+    import org.apache.spark.sql.{GraftBridge, UrlParts => UP}
+    GraftBridge.column(UP(GraftBridge.expression(url)))
+  }
+
   /** Gopher's document-level stop words (Rae et al. 2021, A1.1): a doc
     * must contain at least two DISTINCT members to pass the rule. */
   val GopherStopwords: Seq[String] =

@@ -1351,6 +1351,44 @@ case class NfcNormalize(child: Expression)
     copy(child = newChild)
 }
 
+object UrlParts {
+  val schema: StructType = StructType(Seq(
+    StructField("normalized", StringType, nullable = false),
+    StructField("scheme", StringType, nullable = false),
+    StructField("host", StringType, nullable = false),
+    StructField("port", IntegerType, nullable = true),
+    StructField("path", StringType, nullable = false),
+    StructField("query", StringType, nullable = true),
+    StructField("apex", StringType, nullable = false)))
+}
+
+/** URL canonicalization + parts — NULL for unparseable input
+  * (fail-closed). See [[graft.functions.UrlKernels.urlParts]] for the
+  * normalization contract.
+  */
+case class UrlParts(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = UrlParts.schema
+  override def nullable: Boolean = true
+  override def prettyName: String = "url_parts"
+
+  override protected def nullSafeEval(v: Any): Any =
+    graft.functions.UrlKernels.urlParts(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // the kernel returns null for NON-null unparseable input
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.UrlKernels.urlParts($c);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): UrlParts =
+    copy(child = newChild)
+}
+
 /** HTML → plain text (WET-style boilerplate strip): tags dropped with
   * block separation preserved, script/style/comment contents removed,
   * character references decoded, whitespace collapsed. One O(bytes)

@@ -184,6 +184,12 @@ object GraftSqlFunctions {
         "nfc_normalize(text) - Unicode NFC normalization (UAX #15)"),
       arity("nfc_normalize", "nfc_normalize(text)", 1, 1)(
         c => NfcNormalize(c(0)))),
+    (FunctionIdentifier("url_parts"),
+      info("url_parts",
+        "url_parts(url) - canonicalized URL and parts struct(normalized, " +
+          "scheme, host, port, path, query, apex); NULL when unparseable"),
+      arity("url_parts", "url_parts(url)", 1, 1)(
+        c => UrlParts(c(0)))),
     (FunctionIdentifier("html_extract"),
       info("html_extract",
         "html_extract(html) - plain text from HTML: tags stripped with " +

@@ -137,6 +137,13 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("*(1)"), p)
   }
 
+  test("q_url_normalize: canonicalization is one scan-stage projection") {
+    val p = plan("q_url_normalize")
+    assert(!p.contains("Exchange"), p)
+    assert(!p.contains("ExistingRDD") && !p.contains("DeserializeToObject"), p)
+    assert(p.contains("*(1)"), p)
+  }
+
   test("q_quality_rules: both rule suites evaluate in one scan-stage projection") {
     val p = plan("q_quality_rules")
     assert(!p.contains("Exchange"), p)

@@ -1,0 +1,121 @@
+package graft
+
+import graft.functions.{UrlKernels, TextFunctions => TF}
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** [[UrlKernels.urlParts]] — URL canonicalization. Hand-pinned cases
+  * for every normalization step, the fail-closed NULL contract for
+  * every malformed shape, the codegen/SQL paths, and fuzz totality.
+  */
+class UrlPartsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def parts(u: String): Row = {
+    val r = UrlKernels.urlParts(UTF8String.fromString(u))
+    if (r == null) null
+    else Row(r.getUTF8String(0).toString, r.getUTF8String(1).toString,
+      r.getUTF8String(2).toString,
+      if (r.isNullAt(3)) null else r.getInt(3),
+      r.getUTF8String(4).toString,
+      if (r.isNullAt(5)) null else r.getUTF8String(5).toString,
+      r.getUTF8String(6).toString)
+  }
+  private def norm(u: String): String = {
+    val p = parts(u); if (p == null) null else p.getString(0)
+  }
+
+  test("the kitchen-sink URL: case, default port, dot segments, tracking params, sort, fragment") {
+    val p = parts("HTTP://Example.COM:80/a/./b/../c?utm_source=x&b=2&a=1#frag")
+    assert(p.getString(0) == "http://example.com/a/c?a=1&b=2")
+    assert(p.getString(1) == "http" && p.getString(2) == "example.com")
+    assert(p.getInt(3) == 80) // effective port, stripped from the text
+    assert(p.getString(4) == "/a/c" && p.getString(5) == "a=1&b=2")
+    assert(p.getString(6) == "example.com")
+  }
+
+  test("default ports per scheme stripped; explicit non-default ports kept") {
+    assert(norm("https://h.com:443/x") == "https://h.com/x")
+    assert(norm("ftp://h.com:21/x") == "ftp://h.com/x")
+    assert(norm("https://h.com:8443/x") == "https://h.com:8443/x")
+    assert(parts("https://h.com:8443/x").getInt(3) == 8443)
+    // unknown scheme: no default, port null when absent
+    assert(parts("wss://h.com/x").isNullAt(3))
+    assert(parts("wss://h.com:9000/x").getInt(3) == 9000)
+  }
+
+  test("empty path becomes '/'; duplicate slashes are kept; root dot segments clamp") {
+    assert(norm("https://example.com") == "https://example.com/")
+    assert(norm("https://example.com?a=1") == "https://example.com/?a=1")
+    assert(norm("http://h.com//double//slash") == "http://h.com//double//slash")
+    assert(norm("http://h.com/..") == "http://h.com/")
+    assert(norm("http://h.com/a/b/..") == "http://h.com/a/")
+    assert(norm("http://h.com/a/b/.") == "http://h.com/a/b/")
+  }
+
+  test("percent-escapes: unreserved decoded, others uppercased, malformed verbatim") {
+    assert(norm("http://h.com/%7euser/%2fdocs") == "http://h.com/~user/%2Fdocs")
+    assert(norm("http://h.com/a%zz/b%4") == "http://h.com/a%zz/b%4")
+    assert(norm("http://h.com/x?k=%41%3d") == "http://h.com/x?k=A%3D")
+  }
+
+  test("query canonicalization: empties dropped, tracking removed, bytewise sort, valueless kept") {
+    assert(norm("http://h.com/x?b=2&&a=1&") == "http://h.com/x?a=1&b=2")
+    assert(norm("http://h.com/x?UTM_CAMPAIGN=c&gclid=1&fbclid=2&msclkid=3&q=ok")
+      == "http://h.com/x?q=ok")
+    assert(norm("http://h.com/x?utm_source=a") == "http://h.com/x")
+    assert(norm("http://h.com/x?flag&a=1") == "http://h.com/x?a=1&flag")
+    // "a=1" sorts before "a=10" (prefix first), both kept (no value merge)
+    assert(norm("http://h.com/x?a=10&a=1") == "http://h.com/x?a=1&a=10")
+  }
+
+  test("userinfo kept verbatim; IPv6 hosts bracketed and lowercased") {
+    assert(norm("http://user:pw@H.com/x") == "http://user:pw@h.com/x")
+    val p = parts("http://[2001:DB8::1]:8080/x")
+    assert(p.getString(2) == "[2001:db8::1]" && p.getInt(3) == 8080)
+    assert(p.getString(0) == "http://[2001:db8::1]:8080/x")
+  }
+
+  test("apex heuristic: last two labels; single-label and IPv6 hosts pass through") {
+    assert(parts("http://a.b.example.co/x").getString(6) == "example.co")
+    assert(parts("http://localhost/x").getString(6) == "localhost")
+    assert(parts("http://[2001:db8::1]/x").getString(6) == "[2001:db8::1]")
+  }
+
+  test("fail-closed NULL for every malformed shape") {
+    val bad = Seq(
+      "not a url", "http//x.com", "://x.com", "http://", "http://#f",
+      "http://:80/x", "http://h.com:ab/x", "http://h.com:99999999/x",
+      "http://h.com:70000/x", "http://[::1/x", "1http://h.com/", "",
+      "http:/h.com/x", "  ")
+    bad.foreach(u => assert(parts(u) == null, s"expected NULL for '$u'"))
+  }
+
+  test("DataFrame + SQL paths, NULL propagation") {
+    val df = Seq(
+      (1L, "HTTPS://A.Example.com/p?utm_source=x&z=1"),
+      (2L, "junk"), (3L, null.asInstanceOf[String])
+    ).toDF("id", "u")
+    val got = df.select(col("id"), TF.urlParts(col("u")).as("p"))
+      .select(col("id"), col("p.normalized"), col("p.apex"))
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getString(2))).toMap
+    assert(got(1L) == (("https://a.example.com/p?z=1", "example.com")))
+    assert(got(2L) == ((null, null)) && got(3L) == ((null, null)))
+    val sql = spark.sql(
+      "SELECT url_parts('http://X.com:80/a/../b').normalized AS n").as[String].head()
+    assert(sql == "http://x.com/b")
+  }
+
+  test("fuzz: arbitrary strings never throw") {
+    val rnd = new scala.util.Random(0x0731a17L)
+    val alphabet = ":/?#[]@!$&'()*+,;=%abcXYZ09._~-é "
+    for (_ <- 0 until 1000) {
+      val s = new String(Array.fill(rnd.nextInt(60))(
+        alphabet.charAt(rnd.nextInt(alphabet.length))))
+      UrlKernels.urlParts(UTF8String.fromString(s)) // no throw
+      UrlKernels.urlParts(UTF8String.fromString("http://" + s))
+      UrlKernels.urlParts(UTF8String.fromString("https://h.com/" + s))
+    }
+  }
+}
