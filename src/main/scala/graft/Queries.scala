@@ -5216,8 +5216,103 @@ object Queries {
            |         WHEN 4 THEN 'example' || k || '.com' END AS apex
            |FROM u""".stripMargin))
 
+  /** Matroska/WebM + OGG triage under the oracle (r13): the EBML and
+    * OGG arms of the codec-free routing tier, hash-verified the same
+    * way the BMFF/WAV/FLAC/MP3 arms are — containers CONSTRUCTED
+    * in-plan from doc_id arithmetic, parsed back by
+    * [[Multimodal.videoMeta]] / [[Multimodal.audioMeta]], the oracle
+    * recomputing every planted field. doc_id%5 picks the container:
+    * 0 = WebM (power-of-two float Duration so the IEEE bits are hex
+    * arithmetic, varying TrackEntry count), 1 = Matroska with an
+    * UNKNOWN-SIZE Segment (the streamed-mux path), 2 = OGG Vorbis
+    * (granule-declared sample count), 3 = OGG Opus (48 kHz granule
+    * clock), 4 = junk → NULL; every 7th doc truncates to 10 bytes →
+    * NULL. Video fields ride the EBML rows, audio fields the OGG rows
+    * — both NULL on the other family, pinning that neither arm
+    * misroutes the other's magic.
+    */
+  private val qContainerMeta = Q("q_container_meta",
+    (s, dir) => {
+      def h2(c: Column): Column = lpad(hex(c), 2, "0")
+      val id = col("doc_id")
+      val m = pmod(id, lit(5))
+      // EBML: duration 2^e as a float whose bits are (127+e)<<23
+      val e = pmod(id, lit(8)).cast("int")
+      val expBits = lit(127) + e
+      val durHex = concat(h2(shiftright(expBits, 1)),
+        h2(expBits.bitwiseAND(lit(1)) * 128), lit("0000"))
+      val infoHex = concat(lit("1549A9668F" + "2AD7B184000F4240" + "448984"),
+        durHex)
+      val k = (pmod(id, lit(3)) + 1).cast("int")
+      val tracksHex = concat(lit("1654AE6B"), h2(lit(0x80) + k * 5),
+        array_join(array_repeat(lit("AE83D78101"), k), ""))
+      val webmHex = concat(lit("1A45DFA3874282847765626D" + "18538067"),
+        h2(lit(153) + k * 5), infoHex, tracksHex)
+      val mkvHex = concat(lit("1A45DFA38B4282886D6174726F736B61" +
+        "18538067" + "FF"), infoHex, tracksHex)
+      // OGG: two pages (BOS id header + EOS data page carrying the
+      // granule); page CRCs are zero — triage doesn't checksum
+      val ch = (pmod(id, lit(2)) + 1).cast("int")
+      def le3(g: Column): Column = concat(h2(g.bitwiseAND(lit(0xff))),
+        h2(shiftright(g, 8).bitwiseAND(lit(0xff))),
+        h2(shiftright(g, 16).bitwiseAND(lit(0xff))), lit("0000000000"))
+      val gV = ((pmod(id, lit(100)) + 1) * 576).cast("int")
+      val vorbisHex = concat(
+        lit("4F676753" + "0002" + "0000000000000000" + "01000000" +
+          "00000000" + "00000000" + "01" + "1E" + "01766F72626973" +
+          "00000000"), h2(ch), lit("44AC0000" + "00" * 12 + "6601"),
+        lit("4F676753" + "0004"), le3(gV),
+        lit("01000000" + "01000000" + "00000000" + "01" + "14" + "5A" * 20))
+      val gO = ((pmod(id, lit(50)) + 1) * 960).cast("int")
+      val opusHex = concat(
+        lit("4F676753" + "0002" + "0000000000000000" + "01000000" +
+          "00000000" + "00000000" + "01" + "13" + "4F70757348656164" + "01"),
+        h2(ch), lit("0000" + "80BB0000" + "0000" + "00"),
+        lit("4F676753" + "0004"), le3(gO),
+        lit("01000000" + "01000000" + "00000000" + "01" + "14" + "5A" * 20))
+      val junkHex = lit("6E6F74206120636F6E7461696E65722E2E2E2E2E")
+      val fullHex = when(m === 0, webmHex).when(m === 1, mkvHex)
+        .when(m === 2, vorbisHex).when(m === 3, opusHex).otherwise(junkHex)
+      val blobHex = when(pmod(id, lit(7)) === 0,
+        substring(fullHex, 1, 20)).otherwise(fullHex)
+      val blob = unhex(blobHex)
+      val v = Multimodal.videoMeta(blob)
+      val a = Multimodal.audioMeta(blob)
+      t(s, dir, "documents").select(id.cast("bigint").as("doc_id"),
+        coalesce(v.getField("format"), a.getField("format")).as("format"),
+        v.getField("timescale").cast("bigint").as("timescale"),
+        v.getField("duration").cast("bigint").as("duration"),
+        v.getField("n_tracks").cast("bigint").as("n_tracks"),
+        a.getField("channels").cast("bigint").as("channels"),
+        a.getField("sample_rate").cast("bigint").as("sample_rate"),
+        a.getField("bits_per_sample").cast("bigint").as("bits_per_sample"),
+        a.getField("n_frames").cast("bigint").as("n_frames"))
+    },
+    Some("""WITH p AS (
+           |  SELECT doc_id, doc_id % 5 AS m, doc_id % 7 = 0 AS tr
+           |  FROM documents)
+           |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           |  CASE WHEN tr OR m = 4 THEN NULL
+           |       WHEN m = 0 THEN 'webm' WHEN m = 1 THEN 'matroska'
+           |       WHEN m = 2 THEN 'vorbis' ELSE 'opus' END AS format,
+           |  CAST(CASE WHEN tr OR m >= 2 THEN NULL ELSE 1000 END AS BIGINT) AS timescale,
+           |  CAST(CASE WHEN tr OR m >= 2 THEN NULL
+           |       ELSE power(2, doc_id % 8) END AS BIGINT) AS duration,
+           |  CAST(CASE WHEN tr OR m >= 2 THEN NULL
+           |       ELSE doc_id % 3 + 1 END AS BIGINT) AS n_tracks,
+           |  CAST(CASE WHEN tr OR m <= 1 OR m = 4 THEN NULL
+           |       ELSE doc_id % 2 + 1 END AS BIGINT) AS channels,
+           |  CAST(CASE WHEN tr OR m <= 1 OR m = 4 THEN NULL
+           |       WHEN m = 2 THEN 44100 ELSE 48000 END AS BIGINT) AS sample_rate,
+           |  CAST(CASE WHEN tr OR m <= 1 OR m = 4 THEN NULL
+           |       ELSE 0 END AS BIGINT) AS bits_per_sample,
+           |  CAST(CASE WHEN tr OR m <= 1 OR m = 4 THEN NULL
+           |       WHEN m = 2 THEN (doc_id % 100 + 1) * 576
+           |       ELSE (doc_id % 50 + 1) * 960 END AS BIGINT) AS n_frames
+           |FROM p""".stripMargin))
+
   val all: Seq[Q] = Seq(
-    qHtmlExtract, qQualityRules, qUrlNormalize,
+    qHtmlExtract, qQualityRules, qUrlNormalize, qContainerMeta,
     qSelect, qFilter, qFilterRouter,
     qJoinInner, qJoinLeft3key, qJoinRight, qJoinMultiway,
     qAgg, qDistinct, qWindowRank, qSort, qUnionDedup,

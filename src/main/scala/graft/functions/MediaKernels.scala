@@ -116,6 +116,9 @@ object MediaKernels {
     if (mp3Start >= 0 && mp3Start + 4 <= b.length &&
         (b(mp3Start) & 0xff) == 0xff && (b(mp3Start + 1) & 0xe0) == 0xe0)
       return mp3Meta(b, mp3Start)
+    // OGG triage (r13): Vorbis/Opus identification headers, page walk
+    if (b(0) == 'O' && b(1) == 'g' && b(2) == 'g' && b(3) == 'S')
+      return oggMeta(b)
     if (!(b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
           b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E')) return null
     var formatTag = -1
@@ -169,6 +172,214 @@ object MediaKernels {
   private def beI64(b: Array[Byte], i: Int): Long =
     ((beI32(b, i).toLong & 0xffffffffL) << 32) | (beI32(b, i + 4).toLong & 0xffffffffL)
 
+  private def leI64(b: Array[Byte], i: Int): Long =
+    (leI32(b, i).toLong & 0xffffffffL) | ((leI32(b, i + 4).toLong & 0xffffffffL) << 32)
+
+  // ---- Matroska / WebM (EBML) triage -------------------------------
+
+  /** Leading-zeros length of an EBML vint whose first byte is `first`
+    * (1..8); -1 for the invalid all-zero byte. */
+  private def ebmlVintLen(first: Int): Int = {
+    if (first == 0) return -1
+    var mask = 0x80; var n = 1
+    while ((first & mask) == 0) { mask >>= 1; n += 1 }
+    n
+  }
+
+  /** Element header at `i` within `[i, end)`: Array(id, size, bodyStart),
+    * id with its marker bits (the conventional spelling, 0x1A45DFA3…),
+    * size -1 for the reserved all-ones "unknown size". Null on any
+    * bounds or syntax violation. */
+  private def ebmlHeader(b: Array[Byte], i: Int, end: Int): Array[Long] = {
+    if (i < 0 || i >= end) return null
+    val idLen = ebmlVintLen(b(i) & 0xff)
+    if (idLen < 1 || idLen > 4 || i + idLen > end) return null
+    var id = 0L
+    var k = 0
+    while (k < idLen) { id = (id << 8) | (b(i + k) & 0xff); k += 1 }
+    val j = i + idLen
+    if (j >= end) return null
+    val szLen = ebmlVintLen(b(j) & 0xff)
+    if (szLen < 1 || szLen > 8 || j + szLen > end) return null
+    var size = (b(j) & 0xff & (0xff >>> szLen)).toLong
+    var allOnes = size == (0xffL >>> szLen)
+    k = 1
+    while (k < szLen) {
+      val v = (b(j + k) & 0xff).toLong
+      if (v != 0xffL) allOnes = false
+      size = (size << 8) | v
+      k += 1
+    }
+    Array(id, if (allOnes) -1L else size, (j + szLen).toLong)
+  }
+
+  private def ebmlUint(b: Array[Byte], from: Int, len: Int): Long = {
+    if (len < 1 || len > 8) return -1L
+    var v = 0L
+    var k = 0
+    while (k < len) { v = (v << 8) | (b(from + k) & 0xff); k += 1 }
+    v
+  }
+
+  /** (format = DocType, timescale = ticks/second, duration in ticks,
+    * n_tracks) from a Matroska/WebM container, or NULL — the EBML arm
+    * of [[videoMeta]]'s triage. Reads the EBML header (DocType,
+    * default "matroska" per spec), then the Segment's Info
+    * (TimestampScale, default 1,000,000 ns/tick → timescale 1000;
+    * Duration, a float element, floored to ticks) and Tracks
+    * (TrackEntry count). An unknown-size Segment (live/streamed
+    * muxing) extends to end-of-blob; an unknown-size CHILD (a
+    * streaming Cluster) ends the walk — Info and Tracks precede
+    * clusters in any seekable file. Fail-closed: any bounds/syntax
+    * violation, a missing Info, or a missing/non-finite Duration is
+    * NULL, mirroring the BMFF arm's timescale/duration demand.
+    * IDs per the public Matroska/EBML registry (RFC 8794).
+    */
+  private def mkvMeta(b: Array[Byte]): InternalRow = {
+    val n = b.length
+    val h = ebmlHeader(b, 0, n)
+    if (h == null || h(0) != 0x1a45dfa3L || h(1) < 0) return null
+    val hEnd = h(2) + h(1)
+    if (hEnd > n) return null
+    var docType = "matroska"
+    var i = h(2)
+    while (i < hEnd) {
+      val e = ebmlHeader(b, i.toInt, hEnd.toInt)
+      if (e == null || e(1) < 0) return null
+      val bodyEnd = e(2) + e(1)
+      if (bodyEnd > hEnd) return null
+      if (e(0) == 0x4282L)
+        docType = new String(b, e(2).toInt, e(1).toInt,
+          java.nio.charset.StandardCharsets.ISO_8859_1).trim.toLowerCase
+      i = bodyEnd
+    }
+    if (docType.isEmpty) return null
+    val sg = ebmlHeader(b, hEnd.toInt, n)
+    if (sg == null || sg(0) != 0x18538067L) return null
+    val segEnd = if (sg(1) < 0) n.toLong else sg(2) + sg(1)
+    if (segEnd > n) return null
+
+    var tsScale = 1000000L // ns per tick, Matroska default
+    var durTicks = -1L
+    var sawInfo = false
+    var tracks = 0
+    var c = sg(2)
+    var walking = true
+    while (walking && c < segEnd) {
+      val e = ebmlHeader(b, c.toInt, segEnd.toInt)
+      if (e == null) return null
+      else if (e(1) < 0) walking = false // streaming Cluster: stop, keep what precedes
+      else {
+        val bodyEnd = e(2) + e(1)
+        if (bodyEnd > segEnd) return null
+        if (e(0) == 0x1549a966L) { // Info
+          sawInfo = true
+          var j = e(2)
+          while (j < bodyEnd) {
+            val f = ebmlHeader(b, j.toInt, bodyEnd.toInt)
+            if (f == null || f(1) < 0) return null
+            val fEnd = f(2) + f(1)
+            if (fEnd > bodyEnd) return null
+            if (f(0) == 0x2ad7b1L) {
+              tsScale = ebmlUint(b, f(2).toInt, f(1).toInt)
+              if (tsScale <= 0) return null
+            } else if (f(0) == 0x4489L) {
+              val d =
+                if (f(1) == 4L) java.lang.Float.intBitsToFloat(beI32(b, f(2).toInt)).toDouble
+                else if (f(1) == 8L) java.lang.Double.longBitsToDouble(beI64(b, f(2).toInt))
+                else return null
+              if (java.lang.Double.isNaN(d) || java.lang.Double.isInfinite(d) || d < 0)
+                return null
+              durTicks = math.floor(d).toLong
+            }
+            j = fEnd
+          }
+        } else if (e(0) == 0x1654ae6bL) { // Tracks
+          var j = e(2)
+          while (j < bodyEnd) {
+            val f = ebmlHeader(b, j.toInt, bodyEnd.toInt)
+            if (f == null || f(1) < 0) return null
+            val fEnd = f(2) + f(1)
+            if (fEnd > bodyEnd) return null
+            if (f(0) == 0xaeL) tracks += 1
+            j = fEnd
+          }
+        }
+        c = bodyEnd
+      }
+    }
+    if (!sawInfo || durTicks < 0) return null
+    new GenericInternalRow(Array[Any](
+      UTF8String.fromString(docType), 1000000000L / tsScale, durTicks, tracks))
+  }
+
+  // ---- OGG (Vorbis / Opus) triage ----------------------------------
+
+  /** (format, channels, sample_rate, 0, n_frames = last granule
+    * position) from an OGG stream, or NULL — the OGG arm of
+    * [[audioMeta]]'s triage. Pages must tile the blob end to end with
+    * one logical stream (a shared serial) — a trailing partial page is
+    * a truncated crawl blob → NULL, the MP3 walk's contract. The codec
+    * is identified from the first packet: a Vorbis identification
+    * header (version 0; channels/rate at their fixed offsets) or an
+    * OpusHead (major version 0; granule units are 48 kHz BY SPEC, so
+    * sample_rate reports 48000 — the declared input rate is a remux
+    * hint, not the clock the granule counts in). bits_per_sample = 0:
+    * lossy codecs have no PCM depth (the MP3 sentinel). The granule of
+    * the last page that completes a packet (granule ≠ -1) is the
+    * stream's declared total samples; page CRCs are not verified —
+    * triage routes, the decode tier vouches.
+    */
+  private def oggMeta(b: Array[Byte]): InternalRow = {
+    var i = 0
+    var serial = 0
+    var first = true
+    var lastGranule = 0L
+    var fmt: String = null
+    var channels = -1
+    var rate = -1
+    while (i < b.length) {
+      if (i + 27 > b.length) return null
+      if (!(b(i) == 'O' && b(i + 1) == 'g' && b(i + 2) == 'g' && b(i + 3) == 'S'))
+        return null
+      if (b(i + 4) != 0) return null // stream structure version
+      val granule = leI64(b, i + 6)
+      val ser = leI32(b, i + 14)
+      if (first) serial = ser
+      else if (ser != serial) return null // multiplexed: not a triage row
+      val nSegs = b(i + 26) & 0xff
+      if (i + 27 + nSegs > b.length) return null
+      var payload = 0
+      var k = 0
+      while (k < nSegs) { payload += b(i + 27 + k) & 0xff; k += 1 }
+      val body = i + 27 + nSegs
+      if (body + payload > b.length) return null // truncated page
+      if (first) {
+        if (payload >= 30 && b(body) == 1 && b(body + 1) == 'v' &&
+          b(body + 2) == 'o' && b(body + 3) == 'r' && b(body + 4) == 'b' &&
+          b(body + 5) == 'i' && b(body + 6) == 's') {
+          if (leI32(b, body + 7) != 0) return null // vorbis_version
+          fmt = "vorbis"
+          channels = b(body + 11) & 0xff
+          rate = leI32(b, body + 12)
+        } else if (payload >= 19 && b(body) == 'O' && b(body + 1) == 'p' &&
+          b(body + 2) == 'u' && b(body + 3) == 's' && b(body + 4) == 'H' &&
+          b(body + 5) == 'e' && b(body + 6) == 'a' && b(body + 7) == 'd') {
+          if (((b(body + 8) & 0xff) >> 4) != 0) return null // incompatible major
+          fmt = "opus"
+          channels = b(body + 9) & 0xff
+          rate = 48000
+        } else return null
+        first = false
+      }
+      if (granule >= 0) lastGranule = granule
+      i = body + payload
+    }
+    if (fmt == null || channels <= 0 || rate <= 0) return null
+    new GenericInternalRow(Array[Any](
+      UTF8String.fromString(fmt), channels, rate, 0, lastGranule))
+  }
+
   /** (format = major brand, timescale, duration, n_tracks) from an
     * ISO-BMFF (MP4/MOV) container, or NULL for non-BMFF / truncated /
     * corrupt blobs. Walks the top-level box list for `ftyp` and `moov`,
@@ -202,6 +413,10 @@ object MediaKernels {
 
   def videoMeta(b: Array[Byte]): InternalRow = {
     if (b == null || b.length < 16) return null
+    // Matroska/WebM triage (r13): the other big crawl video container
+    if (b(0) == 0x1a.toByte && b(1) == 0x45.toByte &&
+        b(2) == 0xdf.toByte && b(3) == 0xa3.toByte)
+      return mkvMeta(b)
     def walk(from: Int, to: Int)(onEach: (String, Int, Int) => Unit): Unit =
       walkBoxes(b, from, to)(onEach)
     var brand: String = null

@@ -137,6 +137,13 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("*(1)"), p)
   }
 
+  test("q_container_meta: EBML/OGG triage is one scan-stage projection — blobs never shuffle") {
+    val p = plan("q_container_meta")
+    assert(!p.contains("Exchange"), p)
+    assert(!p.contains("ExistingRDD") && !p.contains("DeserializeToObject"), p)
+    assert(p.contains("*(1)"), p)
+  }
+
   test("q_url_normalize: canonicalization is one scan-stage projection") {
     val p = plan("q_url_normalize")
     assert(!p.contains("Exchange"), p)
