@@ -152,4 +152,43 @@ class StreamingKernelsSpec extends SparkSpec {
     // the clustering did real work: 3 distinct clusters in play
     assert(streamed.values.toSet.size == 3)
   }
+
+  test("crawl cleaning front-end: html_extract + quality rules + url_parts, stream equals batch") {
+    // the r13 crawl kernels are stateless codegen projections — the
+    // exact shape a 24/7 ingest query runs per micro-batch page
+    val pages = Seq(
+      (1L, "<p>The data flows with care.</p><script>x<y</script>",
+        "HTTP://Example.COM:80/a/../b?utm_source=x&q=1"),
+      (2L, "<ul><li>plain &amp; simple</li></ul>", "not a url"),
+      (3L, null.asInstanceOf[String], "https://Sub.Host.org/path/"))
+    def pipeline(df: org.apache.spark.sql.DataFrame) = df.select(
+      col("doc_id"),
+      TF.htmlExtract(col("html")).as("text"),
+      TF.gopherRules(TF.htmlExtract(col("html")), minWords = 3)
+        .getField("keep").as("gopher_keep"),
+      TF.c4Rules(TF.htmlExtract(col("html")))
+        .getField("n_kept_lines").as("c4_kept"),
+      TF.urlParts(col("url")).getField("normalized").as("canon_url"))
+
+    val batch = pipeline(pages.toDF("doc_id", "html", "url"))
+      .collect().map(_.toSeq).toSet
+
+    val input = MemoryStream[(Long, String, String)](spark, numPartitions = 1)
+    val q = pipeline(input.toDS().toDF("doc_id", "html", "url"))
+      .writeStream.format("memory").queryName("crawl_stream")
+      .outputMode("append").start()
+    input.addData(pages: _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("crawl_stream").collect().map(_.toSeq).toSet
+    assert(streamed == batch)
+    // and the kernels did real work across the batch
+    val byId = batch.groupBy(_.head).map { case (k, v) => k -> v.head }
+    assert(byId(1L)(1) == "The data flows with care.")
+    assert(byId(1L)(4) == "http://example.com/b?q=1")
+    assert(byId(2L)(1) == "plain & simple")
+    assert(byId(2L)(4) == null)
+    assert(byId(3L)(1) == null)
+    assert(byId(3L)(4) == "https://sub.host.org/path/")
+  }
 }
