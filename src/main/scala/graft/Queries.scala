@@ -5311,8 +5311,70 @@ object Queries {
            |       ELSE (doc_id % 50 + 1) * 960 END AS BIGINT) AS n_frames
            |FROM p""".stripMargin))
 
+  /** Robots (RFC 9309) corpus gate under the oracle (r13): per-host
+    * robots.txt texts are CONSTRUCTED over the `nation` dimension (the
+    * `*` group disallows /private with an anchored /private/ok$
+    * carve-out and an anchored `*.tmp$` glob; odd hosts add a named `graftbot`
+    * group that disallows only /tmp — so group selection flips real
+    * decisions), URLs over `documents` (four path shapes, one host
+    * with NO robots row pinning the default-allow). [[Robots.filter]]
+    * evaluates agent `graftbot`: named-group selection, glob matching,
+    * longest-pattern precedence with allow tie-break — and the oracle
+    * recomputes every decision and winning rule arithmetically. Plan:
+    * the corpus never shuffles — robots aggregate to one array row per
+    * host, broadcast, and each URL decides in a projection.
+    */
+  private val qRobotsFilter = Q("q_robots_filter",
+    (s, dir) => {
+      val id = col("doc_id")
+      val host = when(pmod(id, lit(11)) === 0, lit("norobots.com"))
+        .otherwise(concat(lit("host"), pmod(id, lit(25)).cast("string"),
+          lit(".com")))
+      val pc = pmod(id, lit(4))
+      val path = when(pc === 0, concat(lit("/public/a"), id.cast("string")))
+        .when(pc === 1, lit("/private/doc"))
+        .when(pc === 2, lit("/private/ok"))
+        .otherwise(lit("/tmp/archive.tmp"))
+      val urls = t(s, dir, "documents").select(id.cast("bigint").as("doc_id"),
+        host.as("host"), path.as("path"))
+      val base = "User-agent: *\nDisallow: /private\n" +
+        "Allow: /private/ok$\nDisallow: /*.tmp$\n"
+      val named = "User-agent: graftbot\nDisallow: /tmp\n"
+      val robots = t(s, dir, "nation").select(
+        concat(lit("host"), col("n_nationkey").cast("string"), lit(".com"))
+          .as("rhost"),
+        when(pmod(col("n_nationkey"), lit(2)) === 1, lit(base + named))
+          .otherwise(lit(base)).as("rtext"))
+      graft.operators.Robots
+        .filter(urls, "host", "path", robots, "rhost", "rtext", "GraftBot")
+        .select(col("doc_id"), col("host"), col("path"),
+          col("allowed"), col("robots_rule"))
+    },
+    Some("""WITH p AS (
+           |  SELECT doc_id, doc_id % 25 AS h, (doc_id % 25) % 2 = 1 AS odd,
+           |         doc_id % 11 = 0 AS nr, doc_id % 4 AS pc
+           |  FROM documents)
+           |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           |  CASE WHEN nr THEN 'norobots.com'
+           |       ELSE 'host' || h || '.com' END AS host,
+           |  CASE pc WHEN 0 THEN '/public/a' || doc_id
+           |       WHEN 1 THEN '/private/doc'
+           |       WHEN 2 THEN '/private/ok'
+           |       ELSE '/tmp/archive.tmp' END AS path,
+           |  CASE WHEN nr THEN true
+           |       WHEN pc = 1 THEN odd
+           |       WHEN pc = 3 THEN false
+           |       ELSE true END AS allowed,
+           |  CASE WHEN nr THEN NULL
+           |       WHEN pc = 1 AND NOT odd THEN '/private'
+           |       WHEN pc = 2 AND NOT odd THEN '/private/ok$'
+           |       WHEN pc = 3 AND odd THEN '/tmp'
+           |       WHEN pc = 3 THEN '/*.tmp$'
+           |       END AS robots_rule
+           |FROM p""".stripMargin))
+
   val all: Seq[Q] = Seq(
-    qHtmlExtract, qQualityRules, qUrlNormalize, qContainerMeta,
+    qHtmlExtract, qQualityRules, qUrlNormalize, qContainerMeta, qRobotsFilter,
     qSelect, qFilter, qFilterRouter,
     qJoinInner, qJoinLeft3key, qJoinRight, qJoinMultiway,
     qAgg, qDistinct, qWindowRank, qSort, qUnionDedup,

@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggreg
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.trees.UnaryLike
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData, TypeUtils}
-import org.apache.spark.sql.types.{AbstractDataType, ArrayType, BinaryType, DataType, DoubleType, FloatType, IntegerType, LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, BinaryType, BooleanType, DataType, DoubleType, FloatType, IntegerType, LongType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst expressions backing graft's custom functions. They live
@@ -1349,6 +1349,57 @@ case class NfcNormalize(child: Expression)
 
   override protected def withNewChildInternal(newChild: Expression): NfcNormalize =
     copy(child = newChild)
+}
+
+object RobotsParse {
+  val schema: DataType = ArrayType(StructType(Seq(
+    StructField("agent", StringType, nullable = false),
+    StructField("allow", BooleanType, nullable = false),
+    StructField("pattern", StringType, nullable = false))), containsNull = false)
+}
+
+/** robots.txt → (agent, allow, pattern) rule rows (RFC 9309 grouping).
+  * See [[graft.functions.RobotsKernels.parse]].
+  */
+case class RobotsParse(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = RobotsParse.schema
+  override def prettyName: String = "robots_parse"
+
+  override protected def nullSafeEval(v: Any): Any =
+    graft.functions.RobotsKernels.parse(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.RobotsKernels.parse($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): RobotsParse =
+    copy(child = newChild)
+}
+
+/** RFC 9309 robots path match: `*` wildcards, trailing `$` anchor,
+  * prefix semantics. See [[graft.functions.RobotsKernels.matches]].
+  */
+case class RobotsMatch(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType, StringType)
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "robots_match"
+
+  override protected def nullSafeEval(path: Any, pattern: Any): Any =
+    graft.functions.RobotsKernels.matches(
+      path.asInstanceOf[UTF8String], pattern.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (p, q) => s"graft.functions.RobotsKernels.matches($p, $q)")
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): RobotsMatch =
+    copy(left = newLeft, right = newRight)
 }
 
 object UrlParts {

@@ -184,6 +184,18 @@ object GraftSqlFunctions {
         "nfc_normalize(text) - Unicode NFC normalization (UAX #15)"),
       arity("nfc_normalize", "nfc_normalize(text)", 1, 1)(
         c => NfcNormalize(c(0)))),
+    (FunctionIdentifier("robots_parse"),
+      info("robots_parse",
+        "robots_parse(text) - robots.txt rule rows " +
+          "array<struct(agent, allow, pattern)> per RFC 9309 grouping"),
+      arity("robots_parse", "robots_parse(text)", 1, 1)(
+        c => RobotsParse(c(0)))),
+    (FunctionIdentifier("robots_match"),
+      info("robots_match",
+        "robots_match(path, pattern) - RFC 9309 robots path match " +
+          "(prefix with * wildcards, trailing $ anchor)"),
+      arity("robots_match", "robots_match(path, pattern)", 2, 2)(
+        c => RobotsMatch(c(0), c(1)))),
     (FunctionIdentifier("url_parts"),
       info("url_parts",
         "url_parts(url) - canonicalized URL and parts struct(normalized, " +

@@ -137,6 +137,19 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("*(1)"), p)
   }
 
+  test("q_robots_filter: the corpus never shuffles — dimension aggregates, broadcast join, projection") {
+    val p = plan("q_robots_filter")
+    assert(p.contains("BroadcastHashJoin"), p)
+    // nothing above the join shuffles, and the streamed (urls) subtree
+    // — between the join node and its BroadcastExchange child — has no
+    // Exchange: every exchange belongs to the robots dimension side
+    val joinAt = p.indexOf("BroadcastHashJoin")
+    assert(!p.substring(0, joinAt).contains("Exchange"), p)
+    val bcastAt = p.indexOf("BroadcastExchange", joinAt)
+    assert(bcastAt > 0, p)
+    assert(!p.substring(joinAt + 1, bcastAt).contains("Exchange"), p)
+  }
+
   test("q_container_meta: EBML/OGG triage is one scan-stage projection — blobs never shuffle") {
     val p = plan("q_container_meta")
     assert(!p.contains("Exchange"), p)
