@@ -5373,8 +5373,104 @@ object Queries {
            |       END AS robots_rule
            |FROM p""".stripMargin))
 
+  /** The composed crawl front-end (r13): html_extract → C4 page gate →
+    * robots gate → canonical-URL dedup, end-to-end in ONE query with
+    * per-document routing reasons — the pipeline a crawl corpus
+    * actually runs, proving the r13 operators compose. Pages/URLs are
+    * constructed per doc_id (every 3rd page lacks sentences, every
+    * 17th carries a lorem-ipsum block, every 7th lands on a
+    * robots-disallowed path (7 is coprime with the quality moduli, so
+    * the robots reason is actually reachable), URL keys collide mod 200 so the keep-first
+    * dedup does real work); the oracle replays extraction, the C4 page
+    * rules, the robots decision, and the min-doc_id winner per
+    * canonical URL. Reasons are first-failing-stage:
+    * quality → robots → dup_url → kept. Plan: one scan-stage
+    * projection + a broadcast robots join + ONE key shuffle (the
+    * dedup winner aggregation — partial-aggregated, key+id only).
+    */
+  private val qCrawlClean = Q("q_crawl_clean",
+    (s, dir) => {
+      val id = col("doc_id")
+      val clean0 = regexp_replace(coalesce(col("text"), lit("")),
+        "[<>&\\u00A0]", " ")
+      val html = concat(
+        lit("<html><body><p>"), clean0,
+        when(pmod(id, lit(3)) === 0, lit(""))
+          .otherwise(lit(" Enough sentences here. Good one! Done?")),
+        lit("</p><script>junk</script>"),
+        when(pmod(id, lit(17)) === 0, lit("<p>lorem ipsum</p>"))
+          .otherwise(lit("")),
+        lit("</body></html>"))
+      val text2 = TF.htmlExtract(html)
+      val qualityOk = TF.c4Rules(text2).getField("keep")
+      val host = concat(lit("host"), pmod(id, lit(25)).cast("string"),
+        lit(".com"))
+      val path = when(pmod(id, lit(7)) === 0, lit("/private/p"))
+        .otherwise(concat(lit("/page/"), pmod(id, lit(40)).cast("string")))
+      val rawUrl = concat(lit("HTTP://Host"), pmod(id, lit(25)).cast("string"),
+        lit(".COM"), path)
+      val base = t(s, dir, "documents").select(
+        id.cast("bigint").as("doc_id"),
+        qualityOk.as("quality_ok"),
+        host.as("host"), path.as("path"),
+        TF.urlParts(rawUrl).getField("normalized").as("url"))
+      val robots = t(s, dir, "nation").select(
+        concat(lit("host"), col("n_nationkey").cast("string"), lit(".com"))
+          .as("rhost"),
+        lit("User-agent: *\nDisallow: /private\n").as("rtext"))
+      val gated = graft.operators.Robots
+        .filter(base, "host", "path", robots, "rhost", "rtext", "graftbot")
+      val winners = gated.where(col("quality_ok") && col("allowed"))
+        .groupBy(col("url")).agg(min(col("doc_id")).as("wmin"))
+      gated.join(winners, Seq("url"), "left").select(
+        col("doc_id"), col("url"),
+        when(!col("quality_ok"), lit("quality"))
+          .when(!col("allowed"), lit("robots"))
+          .when(col("wmin") =!= col("doc_id"), lit("dup_url"))
+          .otherwise(lit("kept")).as("reason"))
+    },
+    Some("""WITH c AS (
+           |  SELECT doc_id,
+           |         regexp_replace(coalesce(text, ''), '[<>&\x{00A0}]', ' ', 'g') AS cln
+           |  FROM documents),
+           |t2 AS (
+           |  SELECT doc_id,
+           |    trim(regexp_replace(regexp_replace(
+           |        cln || CASE WHEN doc_id % 3 = 0 THEN ''
+           |                    ELSE ' Enough sentences here. Good one! Done?' END,
+           |        '[ \t\r]*\n[ \t\n\r]*', chr(10), 'g'),
+           |      '[ \t\r]+', ' ', 'g'), ' ' || chr(10)) AS ptext,
+           |    doc_id % 17 = 0 AS lorem_blk
+           |  FROM c),
+           |x AS (
+           |  SELECT doc_id,
+           |    CASE WHEN ptext = '' THEN CASE WHEN lorem_blk THEN 'lorem ipsum' ELSE '' END
+           |         WHEN lorem_blk THEN ptext || chr(10) || 'lorem ipsum'
+           |         ELSE ptext END AS text2
+           |  FROM t2),
+           |q AS (
+           |  SELECT doc_id,
+           |    len(regexp_extract_all(text2, '[.!?]+')) >= 3
+           |      AND NOT contains(lower(text2), 'lorem ipsum')
+           |      AND NOT contains(text2, '{') AS quality_ok,
+           |    doc_id % 7 <> 0 AS robots_ok,
+           |    'http://host' || doc_id % 25 || '.com' ||
+           |      CASE WHEN doc_id % 7 = 0 THEN '/private/p'
+           |           ELSE '/page/' || doc_id % 40 END AS url
+           |  FROM x),
+           |w AS (
+           |  SELECT url, min(doc_id) AS wmin FROM q
+           |  WHERE quality_ok AND robots_ok GROUP BY 1)
+           |SELECT CAST(q.doc_id AS BIGINT) AS doc_id, q.url,
+           |  CASE WHEN NOT quality_ok THEN 'quality'
+           |       WHEN NOT robots_ok THEN 'robots'
+           |       WHEN q.doc_id <> w.wmin THEN 'dup_url'
+           |       ELSE 'kept' END AS reason
+           |FROM q LEFT JOIN w ON q.url = w.url""".stripMargin))
+
   val all: Seq[Q] = Seq(
     qHtmlExtract, qQualityRules, qUrlNormalize, qContainerMeta, qRobotsFilter,
+    qCrawlClean,
     qSelect, qFilter, qFilterRouter,
     qJoinInner, qJoinLeft3key, qJoinRight, qJoinMultiway,
     qAgg, qDistinct, qWindowRank, qSort, qUnionDedup,

@@ -150,6 +150,18 @@ class PlanSpec extends SparkSpec {
     assert(!p.substring(joinAt + 1, bcastAt).contains("Exchange"), p)
   }
 
+  test("q_crawl_clean: composed front-end — broadcast joins, partial-agg dedup, no corpus-row shuffle") {
+    val p = plan("q_crawl_clean")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("Cartesian"), p)
+    // the URL-dedup winner is partial-aggregated below its exchange
+    // (tree text is parent-first): only (url, min_doc_id) pairs
+    // shuffle, never corpus rows
+    val ex = p.indexOf("Exchange hashpartitioning(url")
+    val pm = p.indexOf("partial_min")
+    assert(ex >= 0 && pm > ex, p)
+  }
+
   test("q_container_meta: EBML/OGG triage is one scan-stage projection — blobs never shuffle") {
     val p = plan("q_container_meta")
     assert(!p.contains("Exchange"), p)
