@@ -5468,9 +5468,44 @@ object Queries {
            |       ELSE 'kept' END AS reason
            |FROM q LEFT JOIN w ON q.url = w.url""".stripMargin))
 
+  /** Ingest decode under the oracle (r13): blobs CONSTRUCTED per
+    * doc_id — plain UTF-8, BOM'd UTF-8, UTF-8 with a planted invalid
+    * 0xE9 byte (the classic mislabeled-latin-1 page → windows-1252
+    * fallback), and BOM'd UTF-16LE — sniffed back by
+    * [[TF.decodeText]]; the oracle recomputes text, encoding, and the
+    * fallback byte count arithmetically (document text is stripped to
+    * printable ASCII on both sides so the planted bytes are the only
+    * non-ASCII). One codegen projection; fail-open by contract.
+    */
+  private val qTextDecode = Q("q_text_decode",
+    (s, dir) => {
+      val id = col("doc_id")
+      val m = pmod(id, lit(4))
+      val clean = regexp_replace(coalesce(col("text"), lit("")), "[^ -~]", "")
+      val blob = when(m === 0, encode(clean, "UTF-8"))
+        .when(m === 1, concat(unhex(lit("EFBBBF")), encode(clean, "UTF-8")))
+        .when(m === 2, concat(encode(clean, "UTF-8"), unhex(lit("E9"))))
+        .otherwise(concat(unhex(lit("FFFE")), encode(clean, "UTF-16LE")))
+      val d = TF.decodeText(blob)
+      t(s, dir, "documents").select(id.cast("bigint").as("doc_id"),
+        d.getField("text").as("text_out"),
+        d.getField("encoding").as("encoding"),
+        d.getField("n_fallback_bytes").cast("bigint").as("n_fallback_bytes"))
+    },
+    Some("""WITH p AS (
+           |  SELECT doc_id, doc_id % 4 AS m,
+           |         regexp_replace(coalesce(text, ''), '[^ -~]', '', 'g') AS clean
+           |  FROM documents)
+           |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           |  CASE WHEN m = 2 THEN clean || 'é' ELSE clean END AS text_out,
+           |  CASE WHEN m = 2 THEN 'windows-1252'
+           |       WHEN m = 3 THEN 'utf-16le' ELSE 'utf-8' END AS encoding,
+           |  CAST(CASE WHEN m = 2 THEN 1 ELSE 0 END AS BIGINT) AS n_fallback_bytes
+           |FROM p""".stripMargin))
+
   val all: Seq[Q] = Seq(
     qHtmlExtract, qQualityRules, qUrlNormalize, qContainerMeta, qRobotsFilter,
-    qCrawlClean,
+    qCrawlClean, qTextDecode,
     qSelect, qFilter, qFilterRouter,
     qJoinInner, qJoinLeft3key, qJoinRight, qJoinMultiway,
     qAgg, qDistinct, qWindowRank, qSort, qUnionDedup,

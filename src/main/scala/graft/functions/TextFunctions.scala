@@ -281,6 +281,17 @@ object TextFunctions {
     GraftBridge.column(HE(GraftBridge.expression(html)))
   }
 
+  /** Bytes → struct(text, encoding, n_fallback_bytes): BOM-aware
+    * encoding sniff (UTF-16 LE/BE), strict UTF-8 validation (RFC 3629
+    * — valid input passes through zero-copy), windows-1252 fallback
+    * for mislabeled web text. Fail-open: always produces text; the
+    * diagnosis rides beside it for quality gates. Contract on
+    * [[EncodingKernels.decodeText]]. NULL blob stays NULL. */
+  def decodeText(blob: Column): Column = {
+    import org.apache.spark.sql.{DecodeText => DT, GraftBridge}
+    GraftBridge.column(DT(GraftBridge.expression(blob)))
+  }
+
   /** URL canonicalization + parts: struct(normalized, scheme, host,
     * port, path, query, apex), NULL for unparseable input — the key
     * for crawl URL dedup and host-level grouping. Contract on

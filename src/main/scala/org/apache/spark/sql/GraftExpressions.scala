@@ -1351,6 +1351,36 @@ case class NfcNormalize(child: Expression)
     copy(child = newChild)
 }
 
+object DecodeText {
+  val schema: StructType = StructType(Seq(
+    StructField("text", StringType, nullable = false),
+    StructField("encoding", StringType, nullable = false),
+    StructField("n_fallback_bytes", LongType, nullable = false)))
+}
+
+/** Bytes → (text, encoding, n_fallback_bytes): BOM-aware encoding
+  * sniff with strict-UTF-8 validation and a windows-1252 fallback —
+  * fail-open (ingest never drops a page over encoding). See
+  * [[graft.functions.EncodingKernels.decodeText]].
+  */
+case class DecodeText(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
+  override def dataType: DataType = DecodeText.schema
+  override def prettyName: String = "decode_text"
+
+  override protected def nullSafeEval(v: Any): Any =
+    graft.functions.EncodingKernels.decodeText(v.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.EncodingKernels.decodeText($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): DecodeText =
+    copy(child = newChild)
+}
+
 object RobotsParse {
   val schema: DataType = ArrayType(StructType(Seq(
     StructField("agent", StringType, nullable = false),

@@ -184,6 +184,13 @@ object GraftSqlFunctions {
         "nfc_normalize(text) - Unicode NFC normalization (UAX #15)"),
       arity("nfc_normalize", "nfc_normalize(text)", 1, 1)(
         c => NfcNormalize(c(0)))),
+    (FunctionIdentifier("decode_text"),
+      info("decode_text",
+        "decode_text(binary) - struct(text, encoding, n_fallback_bytes): " +
+          "BOM-aware encoding sniff, strict UTF-8 validation, " +
+          "windows-1252 fallback; fail-open"),
+      arity("decode_text", "decode_text(binary)", 1, 1)(
+        c => DecodeText(c(0)))),
     (FunctionIdentifier("robots_parse"),
       info("robots_parse",
         "robots_parse(text) - robots.txt rule rows " +

@@ -162,6 +162,13 @@ class PlanSpec extends SparkSpec {
     assert(ex >= 0 && pm > ex, p)
   }
 
+  test("q_text_decode: encoding sniff is one scan-stage projection") {
+    val p = plan("q_text_decode")
+    assert(!p.contains("Exchange"), p)
+    assert(!p.contains("ExistingRDD") && !p.contains("DeserializeToObject"), p)
+    assert(p.contains("*(1)"), p)
+  }
+
   test("q_container_meta: EBML/OGG triage is one scan-stage projection — blobs never shuffle") {
     val p = plan("q_container_meta")
     assert(!p.contains("Exchange"), p)
