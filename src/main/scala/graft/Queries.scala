@@ -5503,9 +5503,80 @@ object Queries {
            |  CAST(CASE WHEN m = 2 THEN 1 ELSE 0 END AS BIGINT) AS n_fallback_bytes
            |FROM p""".stripMargin))
 
+  /** SQ8 scalar-quantization ANN (r13): the 4×-memory middle tier
+    * between raw floats (q_ann_brute) and PQ codes (q_ann_ivfpq) — the
+    * corpus travels the sweep as one byte per dimension, reconstructed
+    * in-register for the cosine rank. Train (per-dim min/max, one
+    * partial-aggregated pass) → encode → decode → rank, recall-gated
+    * at 0.9 against the exact brute-force top-5 (quantization noise is
+    * ≤ span/510 per dimension, so recall is ≈ 1.0 by construction on
+    * any non-degenerate corpus). The oracle replays the ENTIRE chain —
+    * stats, the affine encode with its exact clamp/floor arithmetic,
+    * the inverse-affine decode, the ranking, and the recall gate —
+    * sound because codes are integer-exact across engines (the same
+    * double expressions in the same order) and cosine rides the
+    * round(·,6) margin audited for the float ANN family.
+    */
+  private val qAnnSq8 = Q("q_ann_sq8",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 16)
+      val out = Similarity.sq8TopK(emb, q, "embedding", "vec_id", k = 5)
+      val truth = Similarity.bruteForceTopK(emb, q, "embedding", "vec_id", k = 5)
+      Ops.recallGate(out, truth, Seq("query_id", "corpus_id"), floor = 0.9)
+        .select(col("query_id").cast("bigint").as("query_id"),
+          col("corpus_id").cast("bigint").as("corpus_id"),
+          col("cosine"), col("rank").cast("bigint").as("rank"), col("recall"))
+    },
+    Some("""WITH c0 AS (
+           |  SELECT vec_id AS cid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           |  FROM embeddings WHERE embedding IS NOT NULL),
+           |e AS (
+           |  SELECT unnest(list_transform(v, (x, i) -> struct_pack(pos := i, x := x))) AS t
+           |  FROM c0),
+           |d AS (
+           |  SELECT t.pos AS pos, min(t.x) AS mn, max(t.x) - min(t.x) AS sp
+           |  FROM e GROUP BY 1),
+           |dm AS (
+           |  SELECT list(mn ORDER BY pos) AS mins, list(sp ORDER BY pos) AS spans
+           |  FROM d),
+           |enc AS (
+           |  SELECT cid,
+           |    list_transform(v, (x, i) ->
+           |      CASE WHEN spans[i] <= 0 THEN 0.0
+           |           ELSE least(255.0, greatest(0.0,
+           |                  floor((x - mins[i]) * 255.0 / spans[i] + 0.5))) END) AS codes
+           |  FROM c0, dm),
+           |dec AS (
+           |  SELECT cid,
+           |    list_transform(codes, (cd, i) -> mins[i] + (cd * spans[i]) / 255.0) AS cv
+           |  FROM enc, dm),
+           |q AS (
+           |  SELECT vec_id AS qid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+           |  FROM embeddings WHERE vec_id < 16 AND embedding IS NOT NULL),
+           |sq AS (
+           |  SELECT qid, cid, round(list_cosine_similarity(qv, cv), 6) AS cosine,
+           |         row_number() OVER (PARTITION BY qid
+           |           ORDER BY round(list_cosine_similarity(qv, cv), 6) DESC, cid) AS rn
+           |  FROM q, dec WHERE qid <> cid),
+           |o AS (SELECT qid, cid, cosine, rn FROM sq WHERE rn <= 5),
+           |tr AS (
+           |  SELECT qid, cid FROM (
+           |    SELECT q.qid, c0.cid,
+           |           row_number() OVER (PARTITION BY q.qid
+           |             ORDER BY round(list_cosine_similarity(q.qv, c0.v), 6) DESC, c0.cid) AS rn
+           |    FROM q, c0 WHERE q.qid <> c0.cid) x WHERE rn <= 5),
+           |rc AS (
+           |  SELECT CAST(sum(CASE WHEN oo.cid IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+           |           / count(*) AS recall_raw
+           |  FROM tr LEFT JOIN (SELECT DISTINCT qid, cid FROM o) oo USING (qid, cid))
+           |SELECT CAST(qid AS BIGINT) AS query_id, CAST(cid AS BIGINT) AS corpus_id,
+           |       cosine, CAST(rn AS BIGINT) AS rank, round(recall_raw, 6) AS recall
+           |FROM o, rc WHERE recall_raw >= 0.9""".stripMargin))
+
   val all: Seq[Q] = Seq(
     qHtmlExtract, qQualityRules, qUrlNormalize, qContainerMeta, qRobotsFilter,
-    qCrawlClean, qTextDecode,
+    qCrawlClean, qTextDecode, qAnnSq8,
     qSelect, qFilter, qFilterRouter,
     qJoinInner, qJoinLeft3key, qJoinRight, qJoinMultiway,
     qAgg, qDistinct, qWindowRank, qSort, qUnionDedup,

@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.{CentroidDot, CentroidResidual, Column, GraftBridge, PqAdc, PqEncode, PqQueryTable, TopCentroids, VectorCosine, VectorDot, VectorL2Normalize, VectorLshBucket}
+import org.apache.spark.sql.{CentroidDot, CentroidResidual, Column, GraftBridge, PqAdc, PqEncode, PqQueryTable, Sq8Decode, Sq8Encode, TopCentroids, VectorCosine, VectorDot, VectorL2Normalize, VectorLshBucket}
 import org.apache.spark.sql.functions._
 
 /** Vector math over `array<float>` / `array<double>` embedding columns.
@@ -21,6 +21,16 @@ object VectorFunctions {
 
   /** Euclidean (L2) norm. */
   def l2Norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** SQ8 encode: one byte per dimension with trained per-dimension
+    * (min, span) — the 4x-memory middle tier between raw floats and
+    * PQ codes. Oracle-exact arithmetic (see VectorKernels.sq8Encode). */
+  def sq8Encode(a: Column, mins: Array[Double], spans: Array[Double]): Column =
+    GraftBridge.column(Sq8Encode(expr(d(a)), mins, spans))
+
+  /** SQ8 decode back to array<double> for exact re-ranking. */
+  def sq8Decode(codes: Column, mins: Array[Double], spans: Array[Double]): Column =
+    GraftBridge.column(Sq8Decode(expr(codes), mins, spans))
 
   /** Cosine similarity in [-1, 1]; 0 when either vector has zero norm. */
   def cosineSimilarity(a: Column, b: Column): Column =

@@ -85,6 +85,57 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
+  /** Per-dimension (min, span) SQ8 training stats: ONE partial-
+    * aggregated pass (the corpus shuffles only (dim, min, max) partials
+    * — ≤ dim rows per map task) and a dim-bounded collect, the same
+    * bounded-collect contract as the k-means centroids. min/max are
+    * order-independent, so the stats — and therefore every code — are
+    * deterministic under any partitioning.
+    */
+  def sq8Stats(corpus: DataFrame, vecCol: String): (Array[Double], Array[Double]) = {
+    val rows = corpus.filter(col(vecCol).isNotNull)
+      .select(posexplode(col(vecCol).cast("array<double>")).as(Seq("__d", "__x")))
+      .groupBy(col("__d"))
+      .agg(min(col("__x")).as("mn"), max(col("__x")).as("mx"))
+      .collect() // bounded: one row per dimension
+    require(rows.nonEmpty, "sq8Stats: corpus has no non-null vectors")
+    val dim = rows.map(_.getInt(0)).max + 1
+    val mins = new Array[Double](dim)
+    val spans = new Array[Double](dim)
+    rows.foreach { r =>
+      mins(r.getInt(0)) = r.getDouble(1)
+      spans(r.getInt(0)) = r.getDouble(2) - r.getDouble(1)
+    }
+    (mins, spans)
+  }
+
+  /** SQ8 ANN: the 4×-memory middle tier between raw floats
+    * ([[bruteForceTopK]]) and PQ codes ([[ivfPqTopK]]) — the corpus
+    * travels the scoring sweep as one byte per dimension (64 B per
+    * 64-d vector) and is reconstructed in-register for an exact-shape
+    * cosine rank. Same plan as brute force: queries broadcast, corpus
+    * never shuffles to score, bounded top-k aggregation. Recall loss
+    * is pure quantization noise (≤ span/510 per dimension), measured
+    * ≈ 1.0 at the q_ann_sq8 gate — the tier a refine step runs on when
+    * raw floats don't fit executor memory but PQ's loss is too coarse.
+    */
+  def sq8TopK(corpus: DataFrame, queries: DataFrame,
+              vecCol: String, idCol: String, k: Int): DataFrame = {
+    val (mins, spans) = sq8Stats(corpus, vecCol)
+    val c = corpus.filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("corpus_id"),
+        VectorFunctions.sq8Encode(col(vecCol), mins, spans).as("__code"))
+      .select(col("corpus_id"),
+        VectorFunctions.sq8Decode(col("__code"), mins, spans).as("__cv"))
+    val q = queries.filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("corpus_id"))
+      .withColumn("cosine",
+        round(VectorFunctions.cosineSimilarity(col("__qv"), col("__cv")), 6))
+    topKPerQuery(scored, k)
+  }
+
   /** LSH-bucketed ANN: candidates = corpus vectors sharing the query's
     * hyperplane-sign bucket; exact cosine re-rank inside the bucket.
     * Three independent recall levers:

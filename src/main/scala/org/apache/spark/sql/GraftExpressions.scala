@@ -1274,6 +1274,81 @@ case class PqAdc(left: Expression, right: Expression, nCodes: Int)
     copy(left = newLeft, right = newRight)
 }
 
+/** SQ8 scalar-quantization encode: array<double> → one byte per
+  * dimension with the trained per-dimension (min, span). See
+  * [[graft.functions.VectorKernels.sq8Encode]].
+  */
+case class Sq8Encode(child: Expression, mins: Array[Double],
+                     spans: Array[Double])
+    extends UnaryExpression with ExpectsInputTypes {
+  require(mins.nonEmpty && mins.length == spans.length,
+    "sq8_encode: mins/spans must be non-empty and same length")
+
+  override def equals(other: Any): Boolean = other match {
+    case t: Sq8Encode =>
+      child == t.child && java.util.Arrays.equals(mins, t.mins) &&
+        java.util.Arrays.equals(spans, t.spans)
+    case _ => false
+  }
+  override def hashCode(): Int = java.util.Objects.hash(child,
+    Int.box(java.util.Arrays.hashCode(mins)),
+    Int.box(java.util.Arrays.hashCode(spans)))
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(DoubleType))
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "sq8_encode"
+
+  override protected def nullSafeEval(v: Any): Any =
+    graft.functions.VectorKernels.sq8Encode(v.asInstanceOf[ArrayData], mins, spans)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val mr = ctx.addReferenceObj("mins", mins, "double[]")
+    val sr = ctx.addReferenceObj("spans", spans, "double[]")
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.VectorKernels.sq8Encode($c, $mr, $sr)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Sq8Encode =
+    copy(child = newChild)
+}
+
+/** SQ8 decode: codes → reconstructed array<double>. See
+  * [[graft.functions.VectorKernels.sq8Decode]].
+  */
+case class Sq8Decode(child: Expression, mins: Array[Double],
+                     spans: Array[Double])
+    extends UnaryExpression with ExpectsInputTypes {
+  require(mins.nonEmpty && mins.length == spans.length,
+    "sq8_decode: mins/spans must be non-empty and same length")
+
+  override def equals(other: Any): Boolean = other match {
+    case t: Sq8Decode =>
+      child == t.child && java.util.Arrays.equals(mins, t.mins) &&
+        java.util.Arrays.equals(spans, t.spans)
+    case _ => false
+  }
+  override def hashCode(): Int = java.util.Objects.hash(child,
+    Int.box(java.util.Arrays.hashCode(mins)),
+    Int.box(java.util.Arrays.hashCode(spans)))
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "sq8_decode"
+
+  override protected def nullSafeEval(v: Any): Any =
+    graft.functions.VectorKernels.sq8Decode(v.asInstanceOf[Array[Byte]], mins, spans)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val mr = ctx.addReferenceObj("mins", mins, "double[]")
+    val sr = ctx.addReferenceObj("spans", spans, "double[]")
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.VectorKernels.sq8Decode($c, $mr, $sr)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Sq8Decode =
+    copy(child = newChild)
+}
+
 case class VectorLshBucket(child: Expression, nBits: Int, seed: Long)
     extends UnaryExpression with ExpectsInputTypes {
   require(nBits >= 1 && nBits <= 63, s"nBits must be in [1, 63], got $nBits")

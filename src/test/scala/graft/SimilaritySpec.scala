@@ -478,4 +478,58 @@ class SimilaritySpec extends SparkSpec {
         "embedding", "label", "vec_id")
     }
   }
+
+  test("SQ8: roundtrip error bounded by span/510 per dimension, codes cover the range") {
+    val rnd = new scala.util.Random(88)
+    val vecs = (0L until 200L).map(i =>
+      (i, Array.fill(8)((rnd.nextDouble() * 10 - 5).toFloat)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val (mins, spans) = Similarity.sq8Stats(df, "embedding")
+    assert(mins.length == 8 && spans.forall(_ > 0))
+    val rows = df.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("v"),
+        VectorFunctions.sq8Decode(
+          VectorFunctions.sq8Encode(col("embedding"), mins, spans),
+          mins, spans).as("vhat"))
+      .as[(Long, Seq[Double], Seq[Double])].collect()
+    for ((_, v, vhat) <- rows; i <- v.indices)
+      assert(math.abs(v(i) - vhat(i)) <= spans(i) / 510.0 + 1e-12,
+        s"dim $i: ${v(i)} vs ${vhat(i)} (span ${spans(i)})")
+  }
+
+  test("SQ8: constant dimension encodes to 0 and reconstructs the constant; dim mismatch rejected") {
+    val df = Seq((1L, Array(3.5f, 1.0f)), (2L, Array(3.5f, 2.0f))).toDF("vec_id", "embedding")
+    val (mins, spans) = Similarity.sq8Stats(df, "embedding")
+    assert(spans(0) == 0.0)
+    val vhat = df.orderBy("vec_id").select(VectorFunctions.sq8Decode(
+        VectorFunctions.sq8Encode(col("embedding"), mins, spans), mins, spans))
+      .as[Seq[Double]].collect()
+    assert(vhat.forall(_.head == 3.5)) // min + 0*span = the constant
+    val err = intercept[Throwable] {
+      Seq((1L, Array(1.0f, 2.0f, 3.0f))).toDF("vec_id", "embedding")
+        .select(VectorFunctions.sq8Encode(col("embedding"), mins, spans)).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(err).exists(_.contains("sq8_encode")), msgs(err).mkString(" | "))
+  }
+
+  test("SQ8 topK: recall 1.0 vs brute force on a spread corpus; invariant to partitioning") {
+    val rnd = new scala.util.Random(99)
+    val vecs = (0L until 300L).map(i =>
+      (i, Array.fill(16)((rnd.nextDouble() * 2 - 1).toFloat)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val q = df.filter(col("vec_id") < 8)
+    def pairs(d: org.apache.spark.sql.DataFrame) =
+      d.select("query_id", "corpus_id", "rank")
+        .as[(Long, Long, Int)].collect().toSet
+    val sq = pairs(Similarity.sq8TopK(df, q, "embedding", "vec_id", k = 5))
+    val truth = pairs(Similarity.bruteForceTopK(df, q, "embedding", "vec_id", k = 5))
+    // quantization noise can reorder near-ties, but the candidate SETS
+    // should essentially coincide on spread vectors
+    val overlap = sq.map(p => (p._1, p._2)) intersect truth.map(p => (p._1, p._2))
+    assert(overlap.size >= 38, s"recall ${overlap.size}/40") // >= 0.95
+    val repart = pairs(Similarity.sq8TopK(df.repartition(7), q, "embedding", "vec_id", k = 5))
+    assert(repart == sq) // stats + codes deterministic under partitioning
+  }
 }
