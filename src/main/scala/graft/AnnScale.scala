@@ -77,7 +77,7 @@ object AnnScale {
       if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
     }
 
-    println("[ann-scale] size  bruteT(s)  lshT(s)  ivfBuildT(s)  ivfProbeT(s)  pqBuildT(s)  pqProbeT(s)  lshRecall  ivfRecall  pqRecall")
+    println("[ann-scale] size  bruteT(s)  lshT(s)  sq8T(s)  ivfBuildT(s)  ivfProbeT(s)  pqBuildT(s)  pqProbeT(s)  lshRecall  sq8Recall  ivfRecall  pqRecall")
     println("[ann-scale] (brute/lsh/probe: per-column medians of the timed passes; build: ONE-shot offline buildIvfIndex/buildIvfPqIndex = fit + assign + partitioned write, amortized in production; probe = ivfTopKIndexed / ivfPqTopKIndexed partition-pruned scans)")
     val results = sizes.map { n =>
       val c = corpus(n)
@@ -101,7 +101,7 @@ object AnnScale {
           nCentroids = nCentroids, kmeansIters = 3,
           pqM = 4, pqCodes = 16, pqIters = 2)
       }
-      def pass(): (Double, Double, Double, Double, Double, Double, Double) = {
+      def pass(): (Double, Double, Double, Double, Double, Double, Double, Double, Double) = {
         val (tBrute, truth) = time {
           val t = Similarity.bruteForceTopK(c, q, "embedding", "vec_id", k)
             .localCheckpoint(true)
@@ -110,6 +110,14 @@ object AnnScale {
         val (tLsh, lsh) = time {
           val r = Similarity.lshTopK(c, q, "embedding", "vec_id", k,
             nBits = 8, multiProbe = true).localCheckpoint(true)
+          r
+        }
+        // SQ8 (r13): the brute-force sweep over 1-byte-per-dim codes —
+        // train (one min/max pass) + encode + decode + rank per call,
+        // the conservative reading (production trains once per corpus)
+        val (tSq8, sq8) = time {
+          val r = Similarity.sq8TopK(c, q, "embedding", "vec_id", k)
+            .localCheckpoint(true)
           r
         }
         // the per-batch scale path: partition-pruned scan of the probed
@@ -138,12 +146,14 @@ object AnnScale {
           truth.join(out, Seq("query_id", "corpus_id"), "left_semi")
             .count() / nTruth
         val rLsh = recall(lsh)
+        val rSq8 = recall(sq8)
         val rIvf = recall(ivf)
         val rPq = recall(pq)
         import org.apache.spark.sql.GraftBridge.unpersistCheckpoint
         unpersistCheckpoint(truth); unpersistCheckpoint(lsh)
-        unpersistCheckpoint(ivf); unpersistCheckpoint(pq)
-        (tBrute, tLsh, tProbe, tPq, rLsh, rIvf, rPq)
+        unpersistCheckpoint(sq8); unpersistCheckpoint(ivf)
+        unpersistCheckpoint(pq)
+        (tBrute, tLsh, tSq8, tProbe, tPq, rLsh, rSq8, rIvf, rPq)
       }
       pass() // warmup: codegen + checkpoint page-in
       val all = (1 to runs).map(_ => pass())
@@ -151,22 +161,24 @@ object AnnScale {
       // median-total run would let one method's noise pick another's
       // reading
       val tb = median(all.map(_._1)); val tl = median(all.map(_._2))
-      val tp = median(all.map(_._3)); val tq = median(all.map(_._4))
-      val rl = median(all.map(_._5)); val ri = median(all.map(_._6))
-      val rq = median(all.map(_._7))
-      println(f"[ann-scale] $n%6d ${tb}%9.2f ${tl}%8.2f ${tBuild}%12.2f ${tp}%12.2f ${tPqBuild}%11.2f ${tq}%11.2f ${rl}%9.3f ${ri}%9.3f ${rq}%8.3f")
+      val ts8 = median(all.map(_._3))
+      val tp = median(all.map(_._4)); val tq = median(all.map(_._5))
+      val rl = median(all.map(_._6)); val rs8 = median(all.map(_._7))
+      val ri = median(all.map(_._8)); val rq = median(all.map(_._9))
+      println(f"[ann-scale] $n%6d ${tb}%9.2f ${tl}%8.2f ${ts8}%8.2f ${tBuild}%12.2f ${tp}%12.2f ${tPqBuild}%11.2f ${tq}%11.2f ${rl}%9.3f ${rs8}%9.3f ${ri}%9.3f ${rq}%8.3f")
       import org.apache.spark.sql.GraftBridge.unpersistCheckpoint
       unpersistCheckpoint(q); unpersistCheckpoint(c)
-      (n, tb, tl, tBuild, tp, tPqBuild, tq)
+      (n, tb, tl, ts8, tBuild, tp, tPqBuild, tq)
     }
     // pairwise growth exponents between adjacent ladder points
     results.sliding(2).foreach {
-      case Seq((n1, tb1, tl1, tf1, tp1, tg1, tq1),
-               (n2, tb2, tl2, tf2, tp2, tg2, tq2)) =>
+      case Seq((n1, tb1, tl1, ts1, tf1, tp1, tg1, tq1),
+               (n2, tb2, tl2, ts2, tf2, tp2, tg2, tq2)) =>
         def ex(a: Double, b: Double) =
           math.log(b / a) / math.log(n2.toDouble / n1)
         println(f"[ann-scale] $n1%d->$n2%d: brute exp=${ex(tb1, tb2)}%.2f  " +
-          f"lsh exp=${ex(tl1, tl2)}%.2f  ivf-build exp=${ex(tf1, tf2)}%.2f  " +
+          f"lsh exp=${ex(tl1, tl2)}%.2f  sq8 exp=${ex(ts1, ts2)}%.2f  " +
+          f"ivf-build exp=${ex(tf1, tf2)}%.2f  " +
           f"ivf-probe exp=${ex(tp1, tp2)}%.2f  pq-build exp=${ex(tg1, tg2)}%.2f  " +
           f"pq-probe exp=${ex(tq1, tq2)}%.2f")
       case _ => ()
