@@ -77,6 +77,27 @@ object RobotsKernels {
     new GenericArrayData(out.toArray[Any])
   }
 
+  /** `Sitemap:` URLs of a robots.txt, in file order — group-independent
+    * per RFC 9309 §2.3 (a sitemap line belongs to no group), comments
+    * stripped, values verbatim. The crawl-discovery companion of
+    * [[parse]]. */
+  def sitemaps(s: UTF8String): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    s.toString.split("\n", -1).foreach { line0 =>
+      val line = {
+        val h = line0.indexOf('#')
+        if (h < 0) line0 else line0.substring(0, h)
+      }
+      val colon = line.indexOf(':')
+      if (colon > 0 &&
+        line.substring(0, colon).trim.equalsIgnoreCase("sitemap")) {
+        val v = line.substring(colon + 1).trim
+        if (v.nonEmpty) out += UTF8String.fromString(v)
+      }
+    }
+    new GenericArrayData(out.toArray)
+  }
+
   /** RFC 9309 match: does `pattern` (with `*` wildcards and an
     * optional trailing `$` anchor) match a prefix of `path`? */
   def matches(pathU: UTF8String, patternU: UTF8String): Boolean = {

@@ -255,4 +255,80 @@ object Sinks {
       .option("password", password)
       .options(extraOptions)
       .save()
+
+  // ---- versioned atomic publish (r13) --------------------------------
+
+  /** Atomic corpus publication: writers produce `root/v=N` directories
+    * and flip ONE small pointer file (`root/_CURRENT`) when — and only
+    * when — the version is completely written. Readers resolve the
+    * pointer first, so they see either the previous complete corpus or
+    * the new complete corpus, never a partially-written directory —
+    * the exactly-once publication contract a 24/7 training pipeline
+    * needs from its upstream, on any filesystem whose single-file
+    * rename is atomic (POSIX, HDFS; object stores get the same
+    * guarantee because the pointer is one PUT, not a directory
+    * rename — the versioned layout exists precisely to avoid
+    * renaming data directories).
+    *
+    * A crashed publish leaves an orphaned `v=N` directory and an
+    * untouched pointer: invisible to readers, reclaimed by the next
+    * successful [[publishVersion]] (which garbage-collects every
+    * version newer than keepVersions behind the new current).
+    * Returns the published version number.
+    */
+  def publishVersion(df: DataFrame, root: String,
+                     keepVersions: Int = 2,
+                     writer: (DataFrame, String) => Unit =
+                       (d, p) => d.write.mode("overwrite").parquet(p)): Long = {
+    require(keepVersions >= 1, s"keepVersions must be >= 1, got $keepVersions")
+    val dir = new java.io.File(root)
+    dir.mkdirs()
+    val existing = listVersions(root)
+    val next = (existing.headOption.getOrElse(0L)) + 1L
+    writer(df, s"$root/v=$next")
+    // the publish point: write the pointer to a temp name, fsync, rename
+    val tmp = java.nio.file.Paths.get(root, s"_CURRENT.tmp")
+    val cur = java.nio.file.Paths.get(root, "_CURRENT")
+    java.nio.file.Files.writeString(tmp, next.toString)
+    java.nio.file.Files.move(tmp, cur,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    // GC: keep the newest keepVersions COMMITTED versions (<= next);
+    // orphans from crashed publishes newer than `next` cannot exist
+    // (version numbers only grow through this method), stale ones from
+    // older crashes are <= next and age out like committed versions
+    listVersions(root).filter(_ <= next).drop(keepVersions).foreach { v =>
+      deleteRecursively(new java.io.File(s"$root/v=$v"))
+    }
+    next
+  }
+
+  /** The committed current version of `root`, or None before the first
+    * publish. */
+  def currentVersion(root: String): Option[Long] = {
+    val cur = java.nio.file.Paths.get(root, "_CURRENT")
+    if (!java.nio.file.Files.exists(cur)) None
+    else Some(java.nio.file.Files.readString(cur).trim.toLong)
+  }
+
+  /** Read the corpus the pointer commits to — never a partial write. */
+  def readCurrent(spark: org.apache.spark.sql.SparkSession,
+                  root: String): DataFrame = {
+    val v = currentVersion(root).getOrElse(throw new IllegalStateException(
+      s"no published version under $root (missing _CURRENT)"))
+    spark.read.parquet(s"$root/v=$v")
+  }
+
+  private def listVersions(root: String): Seq[Long] = {
+    val fs = new java.io.File(root).listFiles()
+    if (fs == null) Nil
+    else fs.toSeq.filter(_.isDirectory).map(_.getName)
+      .filter(_.startsWith("v=")).flatMap(n => n.drop(2).toLongOption)
+      .sorted(Ordering[Long].reverse)
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    val cs = f.listFiles(); if (cs != null) cs.foreach(deleteRecursively)
+    f.delete(); ()
+  }
 }

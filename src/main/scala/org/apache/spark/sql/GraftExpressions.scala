@@ -1484,6 +1484,27 @@ case class RobotsParse(child: Expression)
     copy(child = newChild)
 }
 
+/** `Sitemap:` URLs of a robots.txt, file order, group-independent.
+  * See [[graft.functions.RobotsKernels.sitemaps]].
+  */
+case class RobotsSitemaps(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "robots_sitemaps"
+
+  override protected def nullSafeEval(v: Any): Any =
+    graft.functions.RobotsKernels.sitemaps(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.RobotsKernels.sitemaps($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): RobotsSitemaps =
+    copy(child = newChild)
+}
+
 /** RFC 9309 robots path match: `*` wildcards, trailing `$` anchor,
   * prefix semantics. See [[graft.functions.RobotsKernels.matches]].
   */

@@ -197,6 +197,12 @@ object GraftSqlFunctions {
           "array<struct(agent, allow, pattern)> per RFC 9309 grouping"),
       arity("robots_parse", "robots_parse(text)", 1, 1)(
         c => RobotsParse(c(0)))),
+    (FunctionIdentifier("robots_sitemaps"),
+      info("robots_sitemaps",
+        "robots_sitemaps(text) - Sitemap: URLs of a robots.txt in file " +
+          "order (group-independent per RFC 9309)"),
+      arity("robots_sitemaps", "robots_sitemaps(text)", 1, 1)(
+        c => RobotsSitemaps(c(0)))),
     (FunctionIdentifier("robots_match"),
       info("robots_match",
         "robots_match(path, pattern) - RFC 9309 robots path match " +

@@ -137,6 +137,26 @@ class RobotsSpec extends SparkSpec {
     assert(spark.sql("SELECT robots_match('/a/b/c', '/a/*/c$') AS m").as[Boolean].head())
   }
 
+  test("sitemaps: group-independent, file order, comments stripped, case-insensitive") {
+    val txt =
+      """User-agent: a
+        |Disallow: /x
+        |Sitemap: https://h.com/map1.xml # primary
+        |User-agent: b
+        |SITEMAP: https://h.com/map2.xml
+        |Sitemap:
+        |""".stripMargin
+    import graft.functions.RobotsKernels
+    import org.apache.spark.unsafe.types.UTF8String
+    val arr = RobotsKernels.sitemaps(UTF8String.fromString(txt))
+    val got = (0 until arr.numElements()).map(arr.getUTF8String(_).toString)
+    assert(got == Seq("https://h.com/map1.xml", "https://h.com/map2.xml"))
+    val viaSql = spark.sql(
+      "SELECT robots_sitemaps('Sitemap: https://a/s.xml') AS s")
+      .as[Seq[String]].head()
+    assert(viaSql == Seq("https://a/s.xml"))
+  }
+
   test("kernel fuzz: parse and match never throw") {
     val rnd = new scala.util.Random(0x0b07513L)
     val alphabet = "Uuser-agnt:AlowDi/*$# \n\telborpqx."

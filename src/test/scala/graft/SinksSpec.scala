@@ -288,4 +288,41 @@ class SinksSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Sinks.writeParquetBloom(df, dir.toString, Seq("nope")))
   }
+
+  test("publishVersion: readers see committed versions only; GC keeps the window") {
+    val root = Files.createTempDirectory("graft-publish").toString
+    // before any publish: explicit failure, not an empty frame
+    intercept[IllegalStateException](Sinks.readCurrent(spark, root))
+    val v1 = Sinks.publishVersion(Seq((1L, "a")).toDF("id", "x"), root)
+    assert(v1 == 1L && Sinks.currentVersion(root).contains(1L))
+    assert(Sinks.readCurrent(spark, root).as[(Long, String)].collect().toSet ==
+      Set((1L, "a")))
+    val v2 = Sinks.publishVersion(Seq((2L, "b"), (3L, "c")).toDF("id", "x"), root)
+    assert(v2 == 2L)
+    assert(Sinks.readCurrent(spark, root).as[(Long, String)].collect().toSet ==
+      Set((2L, "b"), (3L, "c")))
+    // a crashed publish = data directory written, pointer untouched:
+    // readers stay on the committed version
+    Seq((9L, "junk")).toDF("id", "x").write.parquet(s"$root/v=3")
+    assert(Sinks.currentVersion(root).contains(2L))
+    assert(Sinks.readCurrent(spark, root).as[(Long, String)].collect().toSet ==
+      Set((2L, "b"), (3L, "c")))
+    // the next successful publish supersedes the orphan (version
+    // numbers grow monotonically past it) and GC enforces the window
+    val v4 = Sinks.publishVersion(Seq((4L, "d")).toDF("id", "x"), root,
+      keepVersions = 2)
+    assert(v4 == 4L)
+    assert(Sinks.readCurrent(spark, root).as[(Long, String)].collect().toSet ==
+      Set((4L, "d")))
+    val dirs = new java.io.File(root).listFiles().map(_.getName)
+      .filter(_.startsWith("v=")).toSet
+    assert(dirs == Set("v=4", "v=3")) // newest keepVersions committed-or-superseded
+    // the PREVIOUS committed version window: re-publishing keeps rolling
+    Sinks.publishVersion(Seq((5L, "e")).toDF("id", "x"), root, keepVersions = 1)
+    val dirs2 = new java.io.File(root).listFiles().map(_.getName)
+      .filter(_.startsWith("v=")).toSet
+    assert(dirs2 == Set("v=5"))
+    assert(Sinks.readCurrent(spark, root).as[(Long, String)].collect().toSet ==
+      Set((5L, "e")))
+  }
 }
