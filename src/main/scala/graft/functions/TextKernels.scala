@@ -179,6 +179,143 @@ object TextKernels {
     tokens
   }
 
+  // gopher stopwords (must stay in sync with TextFunctions.GopherStopwords)
+  private val GopherStops: Array[String] =
+    Array("the", "be", "to", "of", "and", "that", "have", "with")
+  private val Bullets: Set[Int] = Set('•'.toInt, '‣'.toInt, '-'.toInt, '*'.toInt)
+
+  /** SPACE-trim bounds of [from, until) — SQL `trim` semantics (0x20
+    * only), shared by the line-level rules. */
+  private def spaceTrim(str: String, from: Int, until: Int): (Int, Int) = {
+    var a = from; var b = until
+    while (a < b && str.charAt(a) == ' ') a += 1
+    while (b > a && str.charAt(b - 1) == ' ') b -= 1
+    (a, b)
+  }
+
+  /** One-pass counts behind [[TextFunctions.gopherRules]] —
+    * struct(n_words, sum_word_len, n_symbols, n_alpha_words, n_lines,
+    * n_bullet, n_ellipsis_lines, stop_hits), all longs. The
+    * higher-order-function formulation re-tokenized the document once
+    * PER RULE (HOF lambdas defeat codegen subexpression elimination —
+    * measured 5.6 s for q_quality_rules at sf0.1); this walks the text
+    * once for the token rules, once for the line rules, once for the
+    * symbol counts. Semantics are bit-compatible with the builtin
+    * formulation the DuckDB oracle replays: family tokenization
+    * (space-trim, ws-run split keeping boundary empties), codepoint
+    * token lengths, non-overlapping left-to-right `...` runs,
+    * space-trimmed line tests.
+    */
+  def gopherCounts(s: UTF8String): InternalRow = {
+    val str = s.toString
+    // token rules
+    var nWords = 0L; var sumLen = 0L; var nAlpha = 0L
+    var stopBits = 0
+    val toks = trimmedTokens(str)
+    if (toks != null) {
+      var i = 0
+      while (i < toks.length) {
+        val t = toks(i)
+        nWords += 1
+        sumLen += t.codePointCount(0, t.length)
+        var alpha = false
+        var j = 0
+        while (!alpha && j < t.length) {
+          val c = t.charAt(j)
+          if ((c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')) alpha = true
+          j += 1
+        }
+        if (alpha) nAlpha += 1
+        if (t.length <= 4) {
+          var k = 0
+          while (k < GopherStops.length) {
+            if ((stopBits & (1 << k)) == 0 &&
+              t.equalsIgnoreCase(GopherStops(k))) stopBits |= 1 << k
+            k += 1
+          }
+        }
+        i += 1
+      }
+    }
+    // symbol counts over the RAW text: '#' + '…' chars + '...' runs
+    // (left-to-right non-overlapping, the replace() contract)
+    var nSym = 0L
+    var i = 0
+    while (i < str.length) {
+      val c = str.charAt(i)
+      if (c == '#' || c == '…') { nSym += 1; i += 1 }
+      else if (c == '.' && i + 2 < str.length &&
+        str.charAt(i + 1) == '.' && str.charAt(i + 2) == '.') {
+        nSym += 1; i += 3
+      } else i += 1
+    }
+    // line rules (split on newlines, space-trimmed, empties skipped)
+    var nLines = 0L; var nBullet = 0L; var nEll = 0L
+    var ls = 0
+    while (ls <= str.length) {
+      var le = str.indexOf('\n', ls)
+      if (le < 0) le = str.length
+      val (a, b) = spaceTrim(str, ls, le)
+      if (b > a) {
+        nLines += 1
+        if (Bullets.contains(str.codePointAt(a))) nBullet += 1
+        if (str.charAt(b - 1) == '…' ||
+          (b - a >= 3 && str.charAt(b - 1) == '.' &&
+            str.charAt(b - 2) == '.' && str.charAt(b - 3) == '.')) nEll += 1
+      }
+      ls = le + 1
+    }
+    new GenericInternalRow(Array[Any](nWords, sumLen, nSym, nAlpha,
+      nLines, nBullet, nEll, java.lang.Integer.bitCount(stopBits).toLong))
+  }
+
+  /** One-pass counts + cleaned text behind [[TextFunctions.c4Rules]] —
+    * struct(n_lines, n_kept_lines, n_sentences, has_lorem, has_brace,
+    * clean). Same single-pass motivation and compatibility contract as
+    * [[gopherCounts]]: kept line = ≥ 5 family-contract words AND a
+    * terminal last character (. ! ? " '), `clean` = space-trimmed kept
+    * lines joined with newlines, sentences = maximal `[.!?]+` runs over
+    * the raw text.
+    */
+  def c4Counts(s: UTF8String): InternalRow = {
+    val str = s.toString
+    var nLines = 0L; var nKept = 0L
+    val clean = new java.lang.StringBuilder(math.min(str.length, 1 << 12))
+    var ls = 0
+    while (ls <= str.length) {
+      var le = str.indexOf('\n', ls)
+      if (le < 0) le = str.length
+      val (a, b) = spaceTrim(str, ls, le)
+      if (b > a) {
+        nLines += 1
+        val last = str.charAt(b - 1)
+        val terminal = last == '.' || last == '!' || last == '?' ||
+          last == '"' || last == '\''
+        if (terminal && splitKeepingEmpties(str, a, b).length >= 5) {
+          nKept += 1
+          if (clean.length() > 0) clean.append('\n')
+          clean.append(str, a, b)
+        }
+      }
+      ls = le + 1
+    }
+    var nSent = 0L
+    var i = 0
+    var inRun = false
+    while (i < str.length) {
+      val c = str.charAt(i)
+      val p = c == '.' || c == '!' || c == '?'
+      if (p && !inRun) { nSent += 1; inRun = true }
+      else if (!p) inRun = false
+      i += 1
+    }
+    val lower = s.toLowerCase
+    val hasLorem = lower.contains(UTF8String.fromString("lorem ipsum"))
+    val hasBrace = str.indexOf('{') >= 0
+    new GenericInternalRow(Array[Any](nLines, nKept, nSent,
+      hasLorem, hasBrace, UTF8String.fromString(clean.toString)))
+  }
+
   /** Unicode NFC normalization (UAX #15) behind
     * [[org.apache.spark.sql.NfcNormalize]]. `Normalizer.isNormalized`
     * first: for already-NFC input (all ASCII in particular) the input

@@ -1426,6 +1426,68 @@ case class NfcNormalize(child: Expression)
     copy(child = newChild)
 }
 
+object GopherCounts {
+  val schema: StructType = StructType(Seq(
+    StructField("n_words", LongType, nullable = false),
+    StructField("sum_word_len", LongType, nullable = false),
+    StructField("n_symbols", LongType, nullable = false),
+    StructField("n_alpha_words", LongType, nullable = false),
+    StructField("n_lines", LongType, nullable = false),
+    StructField("n_bullet", LongType, nullable = false),
+    StructField("n_ellipsis_lines", LongType, nullable = false),
+    StructField("stop_hits", LongType, nullable = false)))
+}
+
+/** One-pass Gopher rule counts — see
+  * [[graft.functions.TextKernels.gopherCounts]]. */
+case class GopherCounts(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = GopherCounts.schema
+  override def prettyName: String = "gopher_counts"
+
+  override protected def nullSafeEval(v: Any): Any =
+    graft.functions.TextKernels.gopherCounts(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.TextKernels.gopherCounts($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): GopherCounts =
+    copy(child = newChild)
+}
+
+object C4Counts {
+  val schema: StructType = StructType(Seq(
+    StructField("n_lines", LongType, nullable = false),
+    StructField("n_kept_lines", LongType, nullable = false),
+    StructField("n_sentences", LongType, nullable = false),
+    StructField("has_lorem", BooleanType, nullable = false),
+    StructField("has_brace", BooleanType, nullable = false),
+    StructField("clean", StringType, nullable = false)))
+}
+
+/** One-pass C4 rule counts + cleaned text — see
+  * [[graft.functions.TextKernels.c4Counts]]. */
+case class C4Counts(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = C4Counts.schema
+  override def prettyName: String = "c4_counts"
+
+  override protected def nullSafeEval(v: Any): Any =
+    graft.functions.TextKernels.c4Counts(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.TextKernels.c4Counts($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): C4Counts =
+    copy(child = newChild)
+}
+
 object DecodeText {
   val schema: StructType = StructType(Seq(
     StructField("text", StringType, nullable = false),
