@@ -5574,9 +5574,53 @@ object Queries {
            |       cosine, CAST(rn AS BIGINT) AS rank, round(recall_raw, 6) AS recall
            |FROM o, rc WHERE recall_raw >= 0.9""".stripMargin))
 
+  /** Language-ID under the oracle (r13): [[TF.langIdHeuristic]]'s
+    * stopword-vote argmax over every document, reported as a
+    * (label, predicted) confusion table against the corpus's own
+    * `lang` column — the accuracy-audit shape a routing pipeline runs.
+    * The oracle replays tokenization, all four vote counts, and the
+    * fixed-precedence argmax with DuckDB list lambdas, so the
+    * heuristic's every decision is hash-verified, not just its
+    * aggregate counts.
+    */
+  private val qLangId = Q("q_langid",
+    (s, dir) => t(s, dir, "documents")
+      .select(col("lang"),
+        TF.langIdHeuristic(coalesce(col("text"), lit(""))).as("predicted"))
+      .groupBy(col("lang"), col("predicted"))
+      .agg(count(lit(1)).cast("bigint").as("n")),
+    Some("""WITH tk AS (
+           |  SELECT doc_id, lang,
+           |    CASE WHEN len(trim(lower(coalesce(text, '')))) = 0
+           |         THEN CAST([] AS VARCHAR[])
+           |         ELSE string_split_regex(trim(lower(coalesce(text, ''))),
+           |                                 '[ \t\n\x0B\f\r]+') END AS t
+           |  FROM documents),
+           |v AS (
+           |  SELECT lang,
+           |    len(list_filter(t, x -> list_contains(
+           |      ['the','a','an','and','of','to','in','is','it','that'], x))) AS en,
+           |    len(list_filter(t, x -> list_contains(
+           |      ['le','la','les','de','des','et','un','une','est','que'], x))) AS fr,
+           |    len(list_filter(t, x -> list_contains(
+           |      ['el','la','los','las','de','y','un','una','es','que'], x))) AS es,
+           |    len(list_filter(t, x -> list_contains(
+           |      ['der','die','das','und','ein','eine','ist','von','zu','mit'], x))) AS de
+           |  FROM tk),
+           |p AS (
+           |  SELECT lang,
+           |    CASE WHEN greatest(en, fr, es, de) = 0 THEN 'und'
+           |         WHEN en = greatest(en, fr, es, de) THEN 'en'
+           |         WHEN fr = greatest(en, fr, es, de) THEN 'fr'
+           |         WHEN es = greatest(en, fr, es, de) THEN 'es'
+           |         ELSE 'de' END AS predicted
+           |  FROM v)
+           |SELECT lang, predicted, CAST(count(*) AS BIGINT) AS n
+           |FROM p GROUP BY 1, 2""".stripMargin))
+
   val all: Seq[Q] = Seq(
     qHtmlExtract, qQualityRules, qUrlNormalize, qContainerMeta, qRobotsFilter,
-    qCrawlClean, qTextDecode, qAnnSq8,
+    qCrawlClean, qTextDecode, qAnnSq8, qLangId,
     qSelect, qFilter, qFilterRouter,
     qJoinInner, qJoinLeft3key, qJoinRight, qJoinMultiway,
     qAgg, qDistinct, qWindowRank, qSort, qUnionDedup,
