@@ -5618,9 +5618,89 @@ object Queries {
            |SELECT lang, predicted, CAST(count(*) AS BIGINT) AS n
            |FROM p GROUP BY 1, 2""".stripMargin))
 
+  /** Deterministic negative sampling under the oracle (r13): four
+    * hash-derived negatives per anchor from the contiguous doc_id
+    * domain — [[Ops.negativeSample]]'s draw is `h mod (n−1)` bumped
+    * past the anchor, so the oracle replays every pair with the md5
+    * arithmetic the sampling family already uses. Pure
+    * projection + explode: no shuffle (plan-pinned).
+    */
+  private val qNegativeSample = Q("q_negative_sample",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val n = docs.count() // bounded: one scalar for the id-domain size
+      Ops.negativeSample(docs, "doc_id", k = 4, n = n)
+        .select(col("anchor_id").cast("bigint").as("anchor_id"),
+          col("neg_rank").cast("bigint").as("neg_rank"),
+          col("neg_id").cast("bigint").as("neg_id"))
+    },
+    Some("""WITH nn AS (SELECT count(*) AS n FROM documents),
+           |a AS (SELECT doc_id, unnest(range(0, 4)) AS j FROM documents),
+           |h AS (
+           |  SELECT a.doc_id, a.j,
+           |         ('0x' || substr(md5(a.doc_id || ':neg:' || a.j), 1, 8))::BIGINT
+           |           % (nn.n - 1) AS draw
+           |  FROM a, nn)
+           |SELECT CAST(doc_id AS BIGINT) AS anchor_id,
+           |       CAST(j AS BIGINT) AS neg_rank,
+           |       CAST(draw + CASE WHEN draw >= doc_id THEN 1 ELSE 0 END
+           |            AS BIGINT) AS neg_id
+           |FROM h""".stripMargin))
+
+  /** PSI drift monitoring under the oracle (r13):
+    * [[graft.operators.Evaluation.psiReport]] between the documents
+    * length distribution and a CONSTRUCTED drifted snapshot (every 3rd
+    * doc dropped, lengths shifted +120 — a selection bias plus a
+    * distribution shift, the two failure modes the monitor exists to
+    * catch). The oracle replays base-grid binning, the ε-floored
+    * fractions, every per-bin (p−q)·ln(p/q) contribution, and the
+    * total — drift measured, not asserted.
+    */
+  private val qDriftPsi = Q("q_drift_psi",
+    (s, dir) => {
+      val base = t(s, dir, "documents").select(col("n_chars"))
+      val cur = t(s, dir, "documents")
+        .where(pmod(col("doc_id"), lit(3)) =!= 0)
+        .select((col("n_chars") + lit(120)).as("n_chars"))
+      graft.operators.Evaluation.psiReport(base, cur, "n_chars", bins = 10)
+    },
+    Some("""WITH st AS (
+           |  SELECT min(CAST(n_chars AS DOUBLE)) AS mn,
+           |         max(CAST(n_chars AS DOUBLE)) AS mx
+           |  FROM documents WHERE n_chars IS NOT NULL),
+           |b AS (
+           |  SELECT CASE WHEN st.mx = st.mn THEN 0
+           |         ELSE least(9, greatest(0, CAST(floor(
+           |           (CAST(n_chars AS DOUBLE) - st.mn) / ((st.mx - st.mn) / 10))
+           |           AS BIGINT))) END AS bin, count(*) AS bc
+           |  FROM documents, st WHERE n_chars IS NOT NULL GROUP BY 1),
+           |c AS (
+           |  SELECT CASE WHEN st.mx = st.mn THEN 0
+           |         ELSE least(9, greatest(0, CAST(floor(
+           |           (CAST(n_chars + 120 AS DOUBLE) - st.mn) / ((st.mx - st.mn) / 10))
+           |           AS BIGINT))) END AS bin, count(*) AS cc
+           |  FROM documents, st WHERE doc_id % 3 <> 0 AND n_chars IS NOT NULL
+           |  GROUP BY 1),
+           |j AS (
+           |  SELECT coalesce(b.bin, c.bin) AS bin,
+           |         coalesce(b.bc, 0) AS bc, coalesce(c.cc, 0) AS cc
+           |  FROM b FULL OUTER JOIN c ON b.bin = c.bin),
+           |t AS (SELECT sum(bc) AS bt, sum(cc) AS ct FROM j),
+           |sc AS (
+           |  SELECT bin,
+           |         greatest(CAST(bc AS DOUBLE) / CAST(bt AS DOUBLE), 1e-6) AS p,
+           |         greatest(CAST(cc AS DOUBLE) / CAST(ct AS DOUBLE), 1e-6) AS q
+           |  FROM j, t),
+           |sc2 AS (SELECT bin, p, q, (p - q) * ln(p / q) AS contrib FROM sc),
+           |tot AS (SELECT sum(contrib) AS psi FROM sc2)
+           |SELECT CAST(bin AS BIGINT) AS bin, round(p, 6) AS base_frac,
+           |       round(q, 6) AS cur_frac, round(contrib, 6) AS psi_contrib,
+           |       round(psi, 6) AS psi_total
+           |FROM sc2, tot""".stripMargin))
+
   val all: Seq[Q] = Seq(
     qHtmlExtract, qQualityRules, qUrlNormalize, qContainerMeta, qRobotsFilter,
-    qCrawlClean, qTextDecode, qAnnSq8, qLangId,
+    qCrawlClean, qTextDecode, qAnnSq8, qLangId, qNegativeSample, qDriftPsi,
     qSelect, qFilter, qFilterRouter,
     qJoinInner, qJoinLeft3key, qJoinRight, qJoinMultiway,
     qAgg, qDistinct, qWindowRank, qSort, qUnionDedup,

@@ -164,4 +164,60 @@ object Evaluation {
         round(col("micro").cast("double") / (lit(MicroScale) * col("n")
           .cast("double")), 6).as("mean_score"))
   }
+
+  /** Population-Stability-Index drift report between a BASE corpus
+    * snapshot and a CURRENT one — the monitoring gate that catches a
+    * shifted ingest mix before it trains into a model. Fixed-width
+    * bins from the base's [min, max] (the deployed convention: the
+    * baseline defines the grid, out-of-range current values clamp to
+    * the edge bins), per-bin fractions ε-floored at 1e-6, and
+    * PSI = Σ (p − q)·ln(p/q); the conventional reading: < 0.1 stable,
+    * 0.1–0.25 moderate shift, > 0.25 action.
+    *
+    * Scale shape: two bins-bounded partial aggregations (one per
+    * snapshot), a 2-value stats broadcast, a bins-row join — the
+    * corpora stream once each and nothing corpus-sized shuffles. Every
+    * arithmetic step is written in the order the ANSI oracle replays
+    * (round(·,6) absorbs the ≤1-ulp ln/summation variation across
+    * engines, the sampleWeighted precedent). NULL values are excluded
+    * from both snapshots.
+    */
+  def psiReport(base: DataFrame, current: DataFrame, valueCol: String,
+                bins: Int): DataFrame = {
+    require(bins >= 2 && bins <= 10000, s"bins must be in [2, 10000], got $bins")
+    val v = col(valueCol).cast("double")
+    val stats = base.filter(v.isNotNull)
+      .agg(min(v).as("__mn"), max(v).as("__mx"))
+    def binned(df: DataFrame, cname: String): DataFrame =
+      df.filter(v.isNotNull).crossJoin(broadcast(stats))
+        .select(when(col("__mx") === col("__mn"), lit(0L)).otherwise(
+          least(lit(bins - 1L), greatest(lit(0L),
+            floor((v - col("__mn")) /
+              ((col("__mx") - col("__mn")) / bins)).cast("long"))))
+          .as("bin"))
+        .groupBy(col("bin")).agg(count(lit(1)).as(cname))
+    val b = binned(base, "__bc")
+    val c = binned(current, "__cc")
+    val joined = b.join(c, Seq("bin"), "full_outer")
+      .select(col("bin"), coalesce(col("__bc"), lit(0L)).as("__bc"),
+        coalesce(col("__cc"), lit(0L)).as("__cc"))
+    val totals = joined.agg(sum(col("__bc")).as("__bt"),
+      sum(col("__cc")).as("__ct"))
+    val eps = lit(1e-6)
+    val scored = joined.crossJoin(broadcast(totals))
+      .withColumn("base_frac",
+        greatest(col("__bc").cast("double") / col("__bt").cast("double"), eps))
+      .withColumn("cur_frac",
+        greatest(col("__cc").cast("double") / col("__ct").cast("double"), eps))
+      .withColumn("__contrib",
+        (col("base_frac") - col("cur_frac")) *
+          log(col("base_frac") / col("cur_frac")))
+    val total = scored.agg(sum(col("__contrib")).as("__psi"))
+    scored.crossJoin(broadcast(total))
+      .select(col("bin").cast("bigint").as("bin"),
+        round(col("base_frac"), 6).as("base_frac"),
+        round(col("cur_frac"), 6).as("cur_frac"),
+        round(col("__contrib"), 6).as("psi_contrib"),
+        round(col("__psi"), 6).as("psi_total"))
+  }
 }

@@ -654,6 +654,42 @@ object Ops {
     * map-side — no shuffle; at 100 TB the output is written straight to
     * shards or fed to [[trainingOrder]].
     */
+  /** Deterministic negative sampling for contrastive training: k
+    * pseudo-random negative ids per anchor, drawn uniformly from the
+    * OTHER members of a contiguous [0, n) id domain — the (anchor,
+    * negative) pair generator contrastive/embedding training feeds on.
+    *
+    * Each draw is `h mod (n−1)` bumped past the anchor (the classic
+    * skip trick: uniform over the n−1 non-anchor ids, never the anchor
+    * itself); `h` is the md5-derived 32-bit integer the sampling
+    * family already uses, so draws are a pure function of (id, tag,
+    * rank) — stable under repartitioning, retries, and re-runs, and
+    * exactly replayable by the ANSI oracle. Draws are independent
+    * across ranks (sampling WITH replacement: two ranks of one anchor
+    * may collide — at corpus n the collision odds are k²/n, and
+    * contrastive losses tolerate repeats; dedup in the caller if not).
+    *
+    * Pure projection + explode: no shuffle, no state — at 100 TB the
+    * pairs stream straight into the training-shard writer. Callers
+    * whose ids are not [0, n) map them first (a zipWithIndex-style
+    * dense rank); `n` is a parameter rather than a discovered count so
+    * the operator stays shuffle-free.
+    */
+  def negativeSample(df: DataFrame, idCol: String, k: Int, n: Long,
+                     tag: String = "neg"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(n >= 2, s"need at least 2 ids to have a non-anchor, got $n")
+    val id = col(idCol)
+    val j = explode(sequence(lit(0), lit(k - 1)))
+    val withJ = df.select(id.as("anchor_id"), j.as("neg_rank"))
+    val h = conv(substring(md5(concat(col("anchor_id").cast("string"),
+      lit(s":$tag:"), col("neg_rank").cast("string"))), 1, 8), 16, 10)
+      .cast("long")
+    val draw = pmod(h, lit(n - 1))
+    withJ.withColumn("neg_id",
+      draw + when(draw >= col("anchor_id"), 1L).otherwise(0L))
+  }
+
   def repeatByRate(df: DataFrame, idCol: String, rate: Column,
                    seed: String, copyCol: String = "copy_no"): DataFrame = {
     require(df.columns.contains(idCol), s"no $idCol column on df")

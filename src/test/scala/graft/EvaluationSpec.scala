@@ -102,4 +102,36 @@ class EvaluationSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Evaluation.gateTopRate(df, "s", keepRate = 1.5))
   }
+
+  test("psiReport: identical snapshots read zero; a planted shift crosses the action bar") {
+    val base = (1 to 400).map(i => (i % 100).toDouble).toDF("v")
+    val same = Evaluation.psiReport(base, base, "v", bins = 10)
+      .select("psi_total").distinct().as[Double].head()
+    assert(same == 0.0)
+    // shift the mass far right: most rows change bins
+    val cur = (1 to 400).map(i => (i % 100).toDouble + 60).toDF("v")
+    val rows = Evaluation.psiReport(base, cur, "v", bins = 10)
+      .as[(Long, Double, Double, Double, Double)].collect()
+    assert(rows.length <= 10 && rows.nonEmpty)
+    val psi = rows.head._5
+    assert(psi > 0.25, s"psi $psi") // the conventional action threshold
+    // out-of-range current values clamp to the edge bin
+    assert(rows.exists(r => r._1 == 9L && r._3 > r._2))
+  }
+
+  test("psiReport: empty bins use the epsilon floor; nulls excluded; constant base degenerates to one bin") {
+    val base = Seq(0.0, 0.0, 10.0, 10.0).toDF("v")
+    val cur = Seq(Some(0.0), Some(0.0), None).toDF("v") // upper bin empty, null dropped
+    val rows = Evaluation.psiReport(base, cur, "v", bins = 2)
+      .as[(Long, Double, Double, Double, Double)].collect().sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Seq(0L, 1L))
+    assert(rows(1)._3 == 1e-6) // empty current bin floored, not 0 (ln stays finite)
+    assert(rows(0)._3 == 1.0)
+    // constant base: everything lands in bin 0, identical snapshots -> 0
+    val const = Seq(5.0, 5.0, 5.0).toDF("v")
+    val c = Evaluation.psiReport(const, const, "v", bins = 4)
+      .as[(Long, Double, Double, Double, Double)].collect()
+    assert(c.map(_._1).toSeq == Seq(0L) && c.head._5 == 0.0)
+    intercept[IllegalArgumentException](Evaluation.psiReport(base, cur, "v", 1))
+  }
 }

@@ -638,4 +638,23 @@ class OpsSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Ops.integrityChecksum(Seq(1).toDF("id"), Seq("id"), Nil))
   }
+
+  test("negativeSample: never the anchor, in-domain, k per anchor, partition-invariant") {
+    val n = 40L
+    val df = spark.range(0L, n).toDF("id")
+    val out = Ops.negativeSample(df, "id", k = 5, n = n)
+      .as[(Long, Int, Long)].collect()
+    assert(out.length == 40 * 5)
+    assert(out.forall { case (a, _, g) => g != a && g >= 0 && g < n })
+    // every anchor gets exactly k ranks 0..k-1
+    assert(out.groupBy(_._1).forall(_._2.map(_._2).sorted.toSeq == Seq(0, 1, 2, 3, 4)))
+    // deterministic under partitioning
+    val repart = Ops.negativeSample(df.repartition(7), "id", k = 5, n = n)
+      .as[(Long, Int, Long)].collect().toSet
+    assert(repart == out.toSet)
+    // draws actually spread over the domain (uniformity sanity)
+    assert(out.map(_._3).distinct.length > 25)
+    intercept[IllegalArgumentException](Ops.negativeSample(df, "id", 0, n))
+    intercept[IllegalArgumentException](Ops.negativeSample(df, "id", 1, 1L))
+  }
 }

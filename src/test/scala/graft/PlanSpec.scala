@@ -162,6 +162,12 @@ class PlanSpec extends SparkSpec {
     assert(ex >= 0 && pm > ex, p)
   }
 
+  test("q_negative_sample: pair generation is projection + explode — no shuffle") {
+    val p = plan("q_negative_sample")
+    assert(!p.contains("Exchange"), p)
+    assert(p.contains("Generate"), p) // the explode
+  }
+
   test("q_text_decode: encoding sniff is one scan-stage projection") {
     val p = plan("q_text_decode")
     assert(!p.contains("Exchange"), p)
