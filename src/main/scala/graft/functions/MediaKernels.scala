@@ -309,8 +309,12 @@ object MediaKernels {
       }
     }
     if (!sawInfo || durTicks < 0) return null
+    val ticksPerSec = 1000000000L / tsScale
+    // a declared scale above 1 s/tick would floor to 0 ticks/sec —
+    // nonsense downstream arithmetic; refuse like the BMFF arm does
+    if (ticksPerSec <= 0) return null
     new GenericInternalRow(Array[Any](
-      UTF8String.fromString(docType), 1000000000L / tsScale, durTicks, tracks))
+      UTF8String.fromString(docType), ticksPerSec, durTicks, tracks))
   }
 
   // ---- OGG (Vorbis / Opus) triage ----------------------------------

@@ -112,6 +112,10 @@ class ContainerTriageSpec extends SparkSpec {
     val zeroScale = ebmlHeaderEl(Some("webm")) ++
       segment(infoEl(Some(0L), Some(Left(5f))), unknownSize = false)
     assert(vm(zeroScale) == null)
+    // a scale above 1 s/tick floors to 0 ticks/sec -> refused
+    val hugeScale = ebmlHeaderEl(Some("webm")) ++
+      segment(infoEl(Some(2000000000L), Some(Left(5f))), unknownSize = false)
+    assert(vm(hugeScale) == null)
   }
 
   test("fail-closed: every truncation of the webm fixture is NULL, never junk") {
