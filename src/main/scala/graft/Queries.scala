@@ -5698,9 +5698,55 @@ object Queries {
            |       round(psi, 6) AS psi_total
            |FROM sc2, tot""".stripMargin))
 
+  /** Hyperlink extraction under the oracle (r13): [[TF.htmlLinks]]
+    * over in-plan pages carrying five link shapes per document —
+    * double-quoted absolute (with `&amp;` entity in the query string),
+    * unquoted relative, single-quoted with an uppercase HREF, an
+    * `<area>`, and an href behind a quoted-`>` attribute — plus a
+    * comment link and a script-string link that must NOT surface. The
+    * oracle recomputes all five positions arithmetically, so document
+    * order, quote styles, entity decoding, and the skip contexts are
+    * hash-verified per row. One projection + explode; with url_parts
+    * and the robots gate this closes the frontier loop (extract →
+    * canonicalize → gate → dedup).
+    */
+  private val qLinkExtract = Q("q_link_extract",
+    (s, dir) => {
+      val id = col("doc_id")
+      val k = pmod(id, lit(20)).cast("string")
+      val idS = id.cast("string")
+      val html = concat(
+        lit("<html><body><p>text "),
+        lit("<a href=\"https://h"), k, lit(".example.com/p/"), idS,
+        lit("?a=1&amp;b=2\">abs</a> "),
+        lit("<!-- <a href=\"/no1\"> -->"),
+        lit("<a href=/rel/"), idS, lit(">r</a> "),
+        lit("<script>var s = '<a href=\"/no2\">';</script>"),
+        lit("<A HREF='/single/"), idS, lit("'>s</A>"),
+        lit("<area href=\"#frag\">"),
+        lit("<a class=\"k\" title=\"x>y\" href=\"/titled/"), idS,
+        lit("\">t</a></p></body></html>"))
+      t(s, dir, "documents")
+        .select(id.cast("bigint").as("doc_id"),
+          posexplode(TF.htmlLinks(html)).as(Seq("pos", "link")))
+        .select(col("doc_id"), col("pos").cast("bigint").as("pos"),
+          col("link"))
+    },
+    Some("""WITH p AS (
+           |  SELECT doc_id, CAST(doc_id % 20 AS VARCHAR) AS k FROM documents)
+           |SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(j AS BIGINT) AS pos,
+           |  CASE j
+           |    WHEN 0 THEN 'https://h' || k || '.example.com/p/' || doc_id || '?a=1&b=2'
+           |    WHEN 1 THEN '/rel/' || doc_id
+           |    WHEN 2 THEN '/single/' || doc_id
+           |    WHEN 3 THEN '#frag'
+           |    ELSE '/titled/' || doc_id END AS link
+           |FROM p CROSS JOIN (SELECT unnest(range(0, 5)) AS j) u""".stripMargin))
+
   val all: Seq[Q] = Seq(
     qHtmlExtract, qQualityRules, qUrlNormalize, qContainerMeta, qRobotsFilter,
     qCrawlClean, qTextDecode, qAnnSq8, qLangId, qNegativeSample, qDriftPsi,
+    qLinkExtract,
     qSelect, qFilter, qFilterRouter,
     qJoinInner, qJoinLeft3key, qJoinRight, qJoinMultiway,
     qAgg, qDistinct, qWindowRank, qSort, qUnionDedup,

@@ -282,4 +282,172 @@ object HtmlKernels {
   /** The public kernel: HTML in, collapsed plain text out. */
   def htmlExtract(s: UTF8String): UTF8String =
     UTF8String.fromBytes(collapse(strip(s.getBytes)))
+
+  /** Entity-decode one attribute value (same table/numeric rules as the
+    * text path — URLs in markup carry `&amp;` constantly). */
+  private def decodeEntities(b: Array[Byte], from: Int, to: Int): Array[Byte] = {
+    var has = false
+    var i = from
+    while (!has && i < to) { if (b(i) == '&') has = true; i += 1 }
+    if (!has) return java.util.Arrays.copyOfRange(b, from, to)
+    val out = new java.io.ByteArrayOutputStream(to - from)
+    i = from
+    while (i < to) {
+      if (b(i) == '&') {
+        var consumed = false
+        if (i + 1 < to && b(i + 1) == '#') {
+          var j = i + 2
+          var hex = false
+          if (j < to && (b(j) == 'x' || b(j) == 'X')) { hex = true; j += 1 }
+          var cp = 0L
+          var digits = 0
+          var ok = true
+          while (ok && j < to && digits <= 7 && b(j) != ';') {
+            val d = b(j)
+            val v =
+              if (d >= '0' && d <= '9') d - '0'
+              else if (hex && d >= 'a' && d <= 'f') d - 'a' + 10
+              else if (hex && d >= 'A' && d <= 'F') d - 'A' + 10
+              else -1
+            if (v < 0) ok = false
+            else { cp = cp * (if (hex) 16 else 10) + v; digits += 1; j += 1 }
+          }
+          if (ok && digits > 0 && digits <= 7 && j < to && b(j) == ';' &&
+            cp > 0 && cp <= 0x10ffff && !(cp >= 0xd800 && cp <= 0xdfff)) {
+            emitCodePoint(out, cp.toInt); i = j + 1; consumed = true
+          }
+        } else if (i + 1 < to && isAsciiLetter(b(i + 1))) {
+          var j = i + 1
+          val nb = new StringBuilder(MaxEntityName)
+          while (j < to && isAsciiLetter(b(j)) && nb.length <= MaxEntityName) {
+            nb.append(b(j).toChar); j += 1
+          }
+          if (j < to && b(j) == ';') {
+            Entities.get(nb.toString) match {
+              case Some(rep) =>
+                val rb = rep.getBytes("UTF-8")
+                out.write(rb, 0, rb.length)
+                i = j + 1; consumed = true
+              case None =>
+            }
+          }
+        }
+        if (!consumed) { out.write('&'); i += 1 }
+      } else { out.write(b(i)); i += 1 }
+    }
+    out.toByteArray
+  }
+
+  /** Hyperlink extraction — the frontier-discovery companion of
+    * [[htmlExtract]]: the `href` values of `<a>` / `<area>` tags, in
+    * document order, duplicates kept (the frontier dedups AFTER
+    * canonicalization). Same scanning discipline as the text strip —
+    * script/style rawtext, comments, CDATA, and declarations are
+    * skipped (a link inside a comment or a JS string is not a link),
+    * quoted attribute values may contain `>`, and values are
+    * entity-decoded (`&amp;` in query strings). Unquoted values end at
+    * whitespace or `>`; attribute names are case-insensitive; an `<a>`
+    * without `href` contributes nothing. Empty href values are kept
+    * verbatim (self-links are the caller's resolve step — this kernel
+    * does NOT resolve relative URLs; compose with a base + url_parts).
+    */
+  def htmlLinks(s: UTF8String): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val in = s.getBytes
+    val n = in.length
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    var i = 0
+    while (i < n) {
+      if (in(i) == '<') {
+        if (i + 1 >= n) i += 1
+        else {
+          val c = in(i + 1)
+          if (isAsciiLetter(c)) {
+            var j = i + 1
+            val nb = new StringBuilder(8)
+            while (j < n && (isAsciiLetter(in(j)) ||
+              (in(j) >= '0' && in(j) <= '9') || in(j) == '-')) {
+              nb.append(lower(in(j)).toChar); j += 1
+            }
+            val name = nb.toString
+            val wantHref = name == "a" || name == "area"
+            // attribute scan (quote-aware); collect href when wanted
+            var k = j
+            var done = false
+            var href: Array[Byte] = null
+            while (k < n && !done) {
+              val a = in(k)
+              if (a == '>') done = true
+              else if (a == '"' || a == '\'') {
+                k += 1
+                while (k < n && in(k) != a) k += 1
+                if (k < n) k += 1
+              } else if (wantHref && isAsciiLetter(a)) {
+                // attribute name
+                val as = k
+                while (k < n && (isAsciiLetter(in(k)) || in(k) == '-' ||
+                  (in(k) >= '0' && in(k) <= '9'))) k += 1
+                val attr = new String(in, as, k - as,
+                  java.nio.charset.StandardCharsets.ISO_8859_1).toLowerCase
+                // skip ws, optional '=' value
+                while (k < n && (in(k) == ' ' || in(k) == '\t' ||
+                  in(k) == '\r' || in(k) == '\n')) k += 1
+                if (k < n && in(k) == '=') {
+                  k += 1
+                  while (k < n && (in(k) == ' ' || in(k) == '\t' ||
+                    in(k) == '\r' || in(k) == '\n')) k += 1
+                  if (k < n && (in(k) == '"' || in(k) == '\'')) {
+                    val q = in(k)
+                    val vs = k + 1
+                    k += 1
+                    while (k < n && in(k) != q) k += 1
+                    if (attr == "href" && href == null)
+                      href = decodeEntities(in, vs, k)
+                    if (k < n) k += 1
+                  } else {
+                    val vs = k
+                    while (k < n && in(k) != '>' && in(k) != ' ' &&
+                      in(k) != '\t' && in(k) != '\r' && in(k) != '\n') k += 1
+                    if (attr == "href" && href == null)
+                      href = decodeEntities(in, vs, k)
+                  }
+                }
+              } else k += 1
+            }
+            i = if (done) k + 1 else n
+            // fail-closed: a tag left unterminated at EOF (or swallowed
+            // by an unclosed quote) contributes nothing
+            if (done && wantHref && href != null)
+              out += UTF8String.fromBytes(href)
+            if (done && (name == "script" || name == "style")) {
+              val close = ("</" + name).getBytes("US-ASCII")
+              val p = indexOfIgnoreCase(in, i, close)
+              if (p < 0) i = n
+              else {
+                var q = p + close.length
+                while (q < n && in(q) != '>') q += 1
+                i = if (q < n) q + 1 else n
+              }
+            }
+          } else if (c == '!') {
+            if (startsWith(in, i, "<!--")) {
+              val p = indexOfIgnoreCase(in, i + 4, "-->".getBytes("US-ASCII"))
+              i = if (p < 0) n else p + 3
+            } else if (startsWith(in, i, "<![CDATA[")) {
+              val p = indexOfIgnoreCase(in, i + 9, "]]>".getBytes("US-ASCII"))
+              i = if (p < 0) n else p + 3
+            } else {
+              var j = i + 2
+              while (j < n && in(j) != '>') j += 1
+              i = if (j < n) j + 1 else n
+            }
+          } else if (c == '/' || c == '?') {
+            var j = i + 2
+            while (j < n && in(j) != '>') j += 1
+            i = if (j < n) j + 1 else n
+          } else i += 1
+        }
+      } else i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+  }
 }

@@ -281,6 +281,16 @@ object TextFunctions {
     GraftBridge.column(HE(GraftBridge.expression(html)))
   }
 
+  /** `href` values of `<a>`/`<area>` tags in document order — the
+    * frontier-discovery companion of [[htmlExtract]] (crawl loop:
+    * extract links → canonicalize with [[urlParts]] → gate with
+    * Robots → dedup). Entity-decoded, script/style/comment content
+    * skipped, relative URLs NOT resolved. NULL stays NULL. */
+  def htmlLinks(html: Column): Column = {
+    import org.apache.spark.sql.{GraftBridge, HtmlLinks => HL}
+    GraftBridge.column(HL(GraftBridge.expression(html)))
+  }
+
   /** Bytes → struct(text, encoding, n_fallback_bytes): BOM-aware
     * encoding sniff (UTF-16 LE/BE), strict UTF-8 validation (RFC 3629
     * — valid input passes through zero-copy), windows-1252 fallback

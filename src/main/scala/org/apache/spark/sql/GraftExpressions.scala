@@ -1628,6 +1628,28 @@ case class UrlParts(child: Expression)
     copy(child = newChild)
 }
 
+/** `href` values of `<a>`/`<area>` tags in document order — the
+  * frontier-discovery pass. See
+  * [[graft.functions.HtmlKernels.htmlLinks]].
+  */
+case class HtmlLinks(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "html_links"
+
+  override protected def nullSafeEval(v: Any): Any =
+    graft.functions.HtmlKernels.htmlLinks(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.HtmlKernels.htmlLinks($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): HtmlLinks =
+    copy(child = newChild)
+}
+
 /** HTML → plain text (WET-style boilerplate strip): tags dropped with
   * block separation preserved, script/style/comment contents removed,
   * character references decoded, whitespace collapsed. One O(bytes)

@@ -215,6 +215,12 @@ object GraftSqlFunctions {
           "scheme, host, port, path, query, apex); NULL when unparseable"),
       arity("url_parts", "url_parts(url)", 1, 1)(
         c => UrlParts(c(0)))),
+    (FunctionIdentifier("html_links"),
+      info("html_links",
+        "html_links(html) - href values of <a>/<area> tags in document " +
+          "order, entity-decoded; script/style/comment content skipped"),
+      arity("html_links", "html_links(html)", 1, 1)(
+        c => HtmlLinks(c(0)))),
     (FunctionIdentifier("html_extract"),
       info("html_extract",
         "html_extract(html) - plain text from HTML: tags stripped with " +

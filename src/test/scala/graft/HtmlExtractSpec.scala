@@ -136,6 +136,48 @@ class HtmlExtractSpec extends SparkSpec {
     assert(got == "a\nb <3")
   }
 
+  private def links(html: String): Seq[String] = {
+    val arr = HtmlKernels.htmlLinks(UTF8String.fromString(html))
+    (0 until arr.numElements()).map(arr.getUTF8String(_).toString)
+  }
+
+  test("htmlLinks: href values in document order, quote styles, case-insensitive names") {
+    assert(links("""<a href="/x">t</a><a href='/y'>u</a>""") == Seq("/x", "/y"))
+    assert(links("<a href=/plain>t</a>") == Seq("/plain"))
+    assert(links("<a href=/p class=c>t</a>") == Seq("/p"))
+    assert(links("""<A HREF="/up">t</A><area href="/m">""") == Seq("/up", "/m"))
+    // only a/area carry frontier links; no-href anchors contribute nothing
+    assert(links("""<link href="/css"><div href="/no"><a>text</a>""").isEmpty)
+    assert(links("""<a data-href="/no" href="/yes">t</a>""") == Seq("/yes"))
+    // duplicate attribute: first wins (browser behavior)
+    assert(links("""<a href="/1" href="/2">t</a>""") == Seq("/1"))
+    // duplicates across tags are KEPT (frontier dedups after canonicalization)
+    assert(links("""<a href="/d">1</a><a href="/d">2</a>""") == Seq("/d", "/d"))
+    assert(links("""<a href="">self</a>""") == Seq(""))
+  }
+
+  test("htmlLinks: entity decoding in values; skipped contexts never leak links") {
+    assert(links("""<a href="/p?a=1&amp;b=2&#47;c">t</a>""") == Seq("/p?a=1&b=2/c"))
+    assert(links("""<!-- <a href="/no1"> --><a href="/ok">t</a>""") == Seq("/ok"))
+    assert(links("""<script>var s = '<a href="/no2">';</script><a href="/ok">t</a>""")
+      == Seq("/ok"))
+    assert(links("""<![CDATA[<a href="/no3">]]><a href="/ok">t</a>""") == Seq("/ok"))
+    // a quoted '>' in an EARLIER attribute doesn't end the tag
+    assert(links("""<a title="x>y" href="/z">t</a>""") == Seq("/z"))
+    // unterminated quote swallows the rest: fail-closed, no links
+    assert(links("""<a href="/unclosed rest of doc""").isEmpty)
+  }
+
+  test("htmlLinks: DataFrame + SQL paths, NULL propagation") {
+    val got = spark.sql(
+      """SELECT html_links('<a href="/a">x</a><area href="/b">') AS l""")
+      .as[Seq[String]].head()
+    assert(got == Seq("/a", "/b"))
+    val df = Seq((1L, null.asInstanceOf[String])).toDF("id", "html")
+      .select(TF.htmlLinks(col("html"))).collect()
+    assert(df.head.isNullAt(0))
+  }
+
   test("fuzz: arbitrary byte garbage never throws, output is bounded") {
     val rnd = new scala.util.Random(0x47ade13L)
     val alphabet = "<>&;!-/\"'= \t\n abcPSCRIPTstyle#x09[]DATA—é"
@@ -143,6 +185,7 @@ class HtmlExtractSpec extends SparkSpec {
       val len = rnd.nextInt(200)
       val s = new String(Array.fill(len)(alphabet.charAt(rnd.nextInt(alphabet.length))))
       val out = x(s) // must not throw
+      links(s)       // the link walker is total too
       assert(out.getBytes("UTF-8").length <= 2 * s.getBytes("UTF-8").length + 8,
         s"trial $trial blew the size bound: ${s.take(50)}")
     }

@@ -168,6 +168,12 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Generate"), p) // the explode
   }
 
+  test("q_link_extract: link harvest is projection + explode — no shuffle") {
+    val p = plan("q_link_extract")
+    assert(!p.contains("Exchange"), p)
+    assert(p.contains("Generate"), p)
+  }
+
   test("q_text_decode: encoding sniff is one scan-stage projection") {
     val p = plan("q_text_decode")
     assert(!p.contains("Exchange"), p)
