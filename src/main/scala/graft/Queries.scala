@@ -5743,10 +5743,57 @@ object Queries {
            |    ELSE '/titled/' || doc_id END AS link
            |FROM p CROSS JOIN (SELECT unnest(range(0, 5)) AS j) u""".stripMargin))
 
+  /** The frontier micro-pipeline composed end-to-end (r13):
+    * [[TF.htmlLinks]] → [[TF.urlResolve]] (RFC 3986 §5.2) →
+    * [[TF.urlParts]] canonicalization, over the same five-link pages
+    * as q_link_extract with a MIXED-CASE base URL — so relative hrefs
+    * resolve against the page URL and come out canonical (lowercased
+    * host), the absolute link passes through, and the same-document
+    * `#frag` link resolves back to the (fragment-free) page itself.
+    * One projection + explode; the oracle recomputes every resolved
+    * canonical URL arithmetically.
+    */
+  private val qFrontierLinks = Q("q_frontier_links",
+    (s, dir) => {
+      val id = col("doc_id")
+      val k = pmod(id, lit(20)).cast("string")
+      val idS = id.cast("string")
+      val html = concat(
+        lit("<html><body><p>text "),
+        lit("<a href=\"https://h"), k, lit(".example.com/p/"), idS,
+        lit("?a=1&amp;b=2\">abs</a> "),
+        lit("<!-- <a href=\"/no1\"> -->"),
+        lit("<a href=/rel/"), idS, lit(">r</a> "),
+        lit("<script>var s = '<a href=\"/no2\">';</script>"),
+        lit("<A HREF='/single/"), idS, lit("'>s</A>"),
+        lit("<area href=\"#frag\">"),
+        lit("<a class=\"k\" title=\"x>y\" href=\"/titled/"), idS,
+        lit("\">t</a></p></body></html>"))
+      val pageUrl = concat(lit("https://Base"), k,
+        lit(".example.com/dir/page.html"))
+      t(s, dir, "documents")
+        .select(id.cast("bigint").as("doc_id"), pageUrl.as("__base"),
+          posexplode(TF.htmlLinks(html)).as(Seq("pos", "__href")))
+        .select(col("doc_id"), col("pos").cast("bigint").as("pos"),
+          TF.urlParts(TF.urlResolve(col("__base"), col("__href")))
+            .getField("normalized").as("url"))
+    },
+    Some("""WITH p AS (
+           |  SELECT doc_id, CAST(doc_id % 20 AS VARCHAR) AS k FROM documents)
+           |SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(j AS BIGINT) AS pos,
+           |  CASE j
+           |    WHEN 0 THEN 'https://h' || k || '.example.com/p/' || doc_id || '?a=1&b=2'
+           |    WHEN 1 THEN 'https://base' || k || '.example.com/rel/' || doc_id
+           |    WHEN 2 THEN 'https://base' || k || '.example.com/single/' || doc_id
+           |    WHEN 3 THEN 'https://base' || k || '.example.com/dir/page.html'
+           |    ELSE 'https://base' || k || '.example.com/titled/' || doc_id
+           |    END AS url
+           |FROM p CROSS JOIN (SELECT unnest(range(0, 5)) AS j) u""".stripMargin))
+
   val all: Seq[Q] = Seq(
     qHtmlExtract, qQualityRules, qUrlNormalize, qContainerMeta, qRobotsFilter,
     qCrawlClean, qTextDecode, qAnnSq8, qLangId, qNegativeSample, qDriftPsi,
-    qLinkExtract,
+    qLinkExtract, qFrontierLinks,
     qSelect, qFilter, qFilterRouter,
     qJoinInner, qJoinLeft3key, qJoinRight, qJoinMultiway,
     qAgg, qDistinct, qWindowRank, qSort, qUnionDedup,

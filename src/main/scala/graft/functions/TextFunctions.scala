@@ -302,6 +302,15 @@ object TextFunctions {
     GraftBridge.column(DT(GraftBridge.expression(blob)))
   }
 
+  /** RFC 3986 §5.2 reference resolution: absolute URL of `ref` against
+    * `base` — the bridge from [[htmlLinks]]'s relative hrefs to
+    * [[urlParts]]. NULL for an unparseable base; resolution does NOT
+    * normalize (feed the result to [[urlParts]]). */
+  def urlResolve(base: Column, ref: Column): Column = {
+    import org.apache.spark.sql.{GraftBridge, UrlResolve => UR}
+    GraftBridge.column(UR(GraftBridge.expression(base), GraftBridge.expression(ref)))
+  }
+
   /** URL canonicalization + parts: struct(normalized, scheme, host,
     * port, path, query, apex), NULL for unparseable input — the key
     * for crawl URL dedup and host-level grouping. Contract on

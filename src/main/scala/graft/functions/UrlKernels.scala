@@ -126,6 +126,83 @@ object UrlKernels {
     if (kept.isEmpty) null else kept.mkString("&")
   }
 
+  /** RFC 3986 §5.2 reference resolution: the absolute form of `ref`
+    * against `base` — the step between [[graft.functions.TextFunctions.htmlLinks]]
+    * (which yields relative hrefs verbatim) and [[urlParts]] (which
+    * needs absolute URLs). Strict-mode RFC semantics, validated
+    * against the RFC's own §5.4 normal AND abnormal examples:
+    *
+    *  - a ref with its own scheme is returned as-is;
+    *  - `//authority…` adopts the base scheme; `/rooted` and
+    *    `relative` paths merge per §5.2.3 + remove_dot_segments;
+    *  - `?query` keeps the base path; an empty ref or `#frag` keeps
+    *    base path AND query (same-document reference);
+    *  - the base's fragment never survives; the ref's does (a later
+    *    [[urlParts]] canonicalization drops it — resolution and
+    *    normalization stay separate steps, as in the RFC).
+    *
+    * NULL when the base is unparseable (no scheme) — fail-closed like
+    * [[urlParts]]. The output is the raw absolute URL, NOT normalized.
+    */
+  def resolve(baseU: UTF8String, refU: UTF8String): UTF8String = {
+    val base = baseU.toString.trim
+    val ref = refU.toString.trim
+    // ref with a scheme stands alone
+    if (ref.nonEmpty && isAlpha(ref.charAt(0))) {
+      var i = 1
+      while (i < ref.length && (isAlpha(ref.charAt(i)) || isDigit(ref.charAt(i)) ||
+        ref.charAt(i) == '+' || ref.charAt(i) == '-' || ref.charAt(i) == '.')) i += 1
+      if (i < ref.length && ref.charAt(i) == ':')
+        return UTF8String.fromString(ref)
+    }
+    // parse base: scheme://authority path [?query] [#fragment]
+    if (base.isEmpty || !isAlpha(base.charAt(0))) return null
+    var i = 1
+    while (i < base.length && (isAlpha(base.charAt(i)) || isDigit(base.charAt(i)) ||
+      base.charAt(i) == '+' || base.charAt(i) == '-' || base.charAt(i) == '.')) i += 1
+    if (i + 2 >= base.length || base.charAt(i) != ':' ||
+      base.charAt(i + 1) != '/' || base.charAt(i + 2) != '/') return null
+    val scheme = base.substring(0, i)
+    val rest = base.substring(i + 3)
+    var aEnd = 0
+    while (aEnd < rest.length && rest.charAt(aEnd) != '/' &&
+      rest.charAt(aEnd) != '?' && rest.charAt(aEnd) != '#') aEnd += 1
+    val authority = rest.substring(0, aEnd)
+    if (authority.isEmpty) return null
+    val tail = rest.substring(aEnd)
+    val hashAt = tail.indexOf('#')
+    val noFrag = if (hashAt < 0) tail else tail.substring(0, hashAt)
+    val qAt = noFrag.indexOf('?')
+    val basePath = if (qAt < 0) noFrag else noFrag.substring(0, qAt)
+    val baseQuery = if (qAt < 0) "" else noFrag.substring(qAt) // incl '?'
+
+    val root = scheme + "://" + authority
+    val out =
+      if (ref.isEmpty) root + basePath + baseQuery
+      else if (ref.startsWith("#")) root + basePath + baseQuery + ref
+      else if (ref.startsWith("//")) scheme + ":" + ref
+      else if (ref.startsWith("?")) root + basePath + ref
+      else {
+        // split ref into path [?query][#fragment]; resolve the path part
+        val rHash = ref.indexOf('#')
+        val rNoFrag = if (rHash < 0) ref else ref.substring(0, rHash)
+        val rFrag = if (rHash < 0) "" else ref.substring(rHash)
+        val rqAt = rNoFrag.indexOf('?')
+        val rPath = if (rqAt < 0) rNoFrag else rNoFrag.substring(0, rqAt)
+        val rQuery = if (rqAt < 0) "" else rNoFrag.substring(rqAt)
+        val merged =
+          if (rPath.startsWith("/")) rPath
+          else {
+            // §5.2.3: base path up to (and including) its last '/';
+            // a base with an authority and an empty path merges as "/"
+            val slash = basePath.lastIndexOf('/')
+            (if (slash < 0) "/" else basePath.substring(0, slash + 1)) + rPath
+          }
+        root + removeDotSegments(merged) + rQuery + rFrag
+      }
+    UTF8String.fromString(out)
+  }
+
   /** Parse + canonicalize; null for anything unparseable.
     * Returns struct(normalized, scheme, host, port, path, query, apex)
     * — see the object Scaladoc for field semantics. */

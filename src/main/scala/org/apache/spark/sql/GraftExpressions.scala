@@ -1590,6 +1590,33 @@ case class RobotsMatch(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** RFC 3986 §5.2 reference resolution (base, ref) → absolute URL;
+  * NULL for an unparseable base. See
+  * [[graft.functions.UrlKernels.resolve]].
+  */
+case class UrlResolve(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType, StringType)
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def prettyName: String = "url_resolve"
+
+  override protected def nullSafeEval(base: Any, ref: Any): Any =
+    graft.functions.UrlKernels.resolve(
+      base.asInstanceOf[UTF8String], ref.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (b, r) => s"""
+      ${ev.value} = graft.functions.UrlKernels.resolve($b, $r);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): UrlResolve =
+    copy(left = newLeft, right = newRight)
+}
+
 object UrlParts {
   val schema: StructType = StructType(Seq(
     StructField("normalized", StringType, nullable = false),

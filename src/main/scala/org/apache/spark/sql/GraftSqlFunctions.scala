@@ -209,6 +209,12 @@ object GraftSqlFunctions {
           "(prefix with * wildcards, trailing $ anchor)"),
       arity("robots_match", "robots_match(path, pattern)", 2, 2)(
         c => RobotsMatch(c(0), c(1)))),
+    (FunctionIdentifier("url_resolve"),
+      info("url_resolve",
+        "url_resolve(base, ref) - RFC 3986 reference resolution to an " +
+          "absolute URL; NULL for an unparseable base"),
+      arity("url_resolve", "url_resolve(base, ref)", 2, 2)(
+        c => UrlResolve(c(0), c(1)))),
     (FunctionIdentifier("url_parts"),
       info("url_parts",
         "url_parts(url) - canonicalized URL and parts struct(normalized, " +

@@ -174,6 +174,12 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Generate"), p)
   }
 
+  test("q_frontier_links: extract + resolve + canonicalize is projection + explode — no shuffle") {
+    val p = plan("q_frontier_links")
+    assert(!p.contains("Exchange"), p)
+    assert(p.contains("Generate"), p)
+  }
+
   test("q_text_decode: encoding sniff is one scan-stage projection") {
     val p = plan("q_text_decode")
     assert(!p.contains("Exchange"), p)

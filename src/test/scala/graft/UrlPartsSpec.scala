@@ -107,6 +107,47 @@ class UrlPartsSpec extends SparkSpec {
     assert(sql == "http://x.com/b")
   }
 
+  test("urlResolve: the RFC 3986 section 5.4 vectors, normal and abnormal, strict mode") {
+    val base = "http://a/b/c/d;p?q"
+    def r(ref: String): String = {
+      val out = UrlKernels.resolve(
+        UTF8String.fromString(base), UTF8String.fromString(ref))
+      if (out == null) null else out.toString
+    }
+    val vectors = Seq(
+      "g:h" -> "g:h", "g" -> "http://a/b/c/g", "./g" -> "http://a/b/c/g",
+      "g/" -> "http://a/b/c/g/", "/g" -> "http://a/g", "//g" -> "http://g",
+      "?y" -> "http://a/b/c/d;p?y", "g?y" -> "http://a/b/c/g?y",
+      "#s" -> "http://a/b/c/d;p?q#s", "g#s" -> "http://a/b/c/g#s",
+      "g?y#s" -> "http://a/b/c/g?y#s", ";x" -> "http://a/b/c/;x",
+      "g;x" -> "http://a/b/c/g;x", "g;x?y#s" -> "http://a/b/c/g;x?y#s",
+      "" -> "http://a/b/c/d;p?q", "." -> "http://a/b/c/",
+      "./" -> "http://a/b/c/", ".." -> "http://a/b/", "../" -> "http://a/b/",
+      "../g" -> "http://a/b/g", "../.." -> "http://a/", "../../" -> "http://a/",
+      "../../g" -> "http://a/g",
+      // abnormal (5.4.2)
+      "../../../g" -> "http://a/g", "../../../../g" -> "http://a/g",
+      "/./g" -> "http://a/g", "/../g" -> "http://a/g",
+      "g." -> "http://a/b/c/g.", ".g" -> "http://a/b/c/.g",
+      "g.." -> "http://a/b/c/g..", "..g" -> "http://a/b/c/..g",
+      "./../g" -> "http://a/b/g", "./g/." -> "http://a/b/c/g/",
+      "g/./h" -> "http://a/b/c/g/h", "g/../h" -> "http://a/b/c/h",
+      "g;x=1/./y" -> "http://a/b/c/g;x=1/y",
+      "g;x=1/../y" -> "http://a/b/c/y",
+      "http:g" -> "http:g") // strict parser keeps the scheme'd ref
+    for ((ref, want) <- vectors)
+      assert(r(ref) == want, s"resolve('$ref') = ${r(ref)}, want $want")
+    // empty base path merges at root; unparseable base is NULL
+    assert(UrlKernels.resolve(UTF8String.fromString("http://h.com"),
+      UTF8String.fromString("g")).toString == "http://h.com/g")
+    assert(UrlKernels.resolve(UTF8String.fromString("not a url"),
+      UTF8String.fromString("g")) == null)
+    // SQL surface
+    val viaSql = spark.sql(
+      "SELECT url_resolve('http://a/b/c/d;p?q', '../g') AS u").as[String].head()
+    assert(viaSql == "http://a/b/g")
+  }
+
   test("fuzz: arbitrary strings never throw") {
     val rnd = new scala.util.Random(0x0731a17L)
     val alphabet = ":/?#[]@!$&'()*+,;=%abcXYZ09._~-é "
@@ -116,6 +157,9 @@ class UrlPartsSpec extends SparkSpec {
       UrlKernels.urlParts(UTF8String.fromString(s)) // no throw
       UrlKernels.urlParts(UTF8String.fromString("http://" + s))
       UrlKernels.urlParts(UTF8String.fromString("https://h.com/" + s))
+      UrlKernels.resolve(UTF8String.fromString("http://a/b/c/d;p?q"),
+        UTF8String.fromString(s))
+      UrlKernels.resolve(UTF8String.fromString(s), UTF8String.fromString("/x"))
     }
   }
 }
