@@ -5790,10 +5790,79 @@ object Queries {
            |    END AS url
            |FROM p CROSS JOIN (SELECT unnest(range(0, 5)) AS j) u""".stripMargin))
 
+  /** WARC ingest under the oracle (r13): a two-record WARC archive
+    * (warcinfo + an HTTP response whose body is an HTML page built
+    * from the document text) is CONSTRUCTED in-plan per doc — with
+    * Content-Length computed from the actual payload bytes — then
+    * pulled back through the FULL ingest chain:
+    * [[Multimodal.warcRecords]] → [[Multimodal.httpParts]] →
+    * [[TF.decodeText]] → [[TF.htmlExtract]]. The oracle recomputes
+    * record count, target URI, HTTP status, and the extracted text
+    * arithmetically; every 7th doc truncates the archive and must come
+    * back NULL (the fail-closed whole-blob contract). This is the
+    * CommonCrawl ingest shape end to end, one projection + explode.
+    */
+  private val qWarcIngest = Q("q_warc_ingest",
+    (s, dir) => {
+      val id = col("doc_id")
+      val k = pmod(id, lit(20)).cast("string")
+      val clean = regexp_replace(coalesce(col("text"), lit("")),
+        "[<>&\\u00A0]", " ")
+      val html = concat(lit("<html><body><p>"), clean,
+        lit("</p><script>x<y</script></body></html>"))
+      val httpPayload = concat(
+        lit("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"), html)
+      val infoPayload = lit("software: graft\r\n")
+      def record(hdr: Column, payload: Column): Column = concat(
+        hdr, lit("Content-Length: "),
+        length(encode(payload, "UTF-8")).cast("string"),
+        lit("\r\n\r\n"), payload, lit("\r\n\r\n"))
+      val warc = concat(
+        record(lit("WARC/1.0\r\nWARC-Type: warcinfo\r\n" +
+          "Content-Type: application/warc-fields\r\n"), infoPayload),
+        record(concat(lit("WARC/1.1\r\nWARC-Type: response\r\n" +
+          "WARC-Target-URI: https://h"), k, lit(".example.com/p/"),
+          id.cast("string"),
+          lit("\r\nContent-Type: application/http;msgtype=response\r\n")),
+          httpPayload))
+      val blobStr = when(pmod(id, lit(7)) === 0,
+        substring(warc, 1, 40)).otherwise(warc)
+      val recs = Multimodal.warcRecords(encode(blobStr, "UTF-8"))
+      val resp = element_at(recs, 2)
+      val hp = Multimodal.httpParts(resp.getField("payload"))
+      val ext = TF.htmlExtract(TF.decodeText(hp.getField("body"))
+        .getField("text"))
+      t(s, dir, "documents").select(id.cast("bigint").as("doc_id"),
+        size(recs).cast("bigint").as("n_records"),
+        resp.getField("target_uri").as("uri"),
+        hp.getField("status").cast("bigint").as("status"),
+        ext.as("extracted"))
+    },
+    Some("""WITH c AS (
+           |  SELECT doc_id, CAST(doc_id % 20 AS VARCHAR) AS k,
+           |         doc_id % 7 = 0 AS tr,
+           |         regexp_replace(coalesce(text, ''), '[<>&\x{00A0}]', ' ', 'g') AS cln
+           |  FROM documents),
+           |e AS (
+           |  SELECT doc_id, k, tr,
+           |         trim(
+           |           regexp_replace(
+           |             regexp_replace(cln, '[ \t\r]*\n[ \t\n\r]*', chr(10), 'g'),
+           |             '[ \t\r]+', ' ', 'g'),
+           |           ' ' || chr(10)) AS core
+           |  FROM c)
+           |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           |  CAST(CASE WHEN tr THEN NULL ELSE 2 END AS BIGINT) AS n_records,
+           |  CASE WHEN tr THEN NULL
+           |       ELSE 'https://h' || k || '.example.com/p/' || doc_id END AS uri,
+           |  CAST(CASE WHEN tr THEN NULL ELSE 200 END AS BIGINT) AS status,
+           |  CASE WHEN tr THEN NULL ELSE core END AS extracted
+           |FROM e""".stripMargin))
+
   val all: Seq[Q] = Seq(
     qHtmlExtract, qQualityRules, qUrlNormalize, qContainerMeta, qRobotsFilter,
     qCrawlClean, qTextDecode, qAnnSq8, qLangId, qNegativeSample, qDriftPsi,
-    qLinkExtract, qFrontierLinks,
+    qLinkExtract, qFrontierLinks, qWarcIngest,
     qSelect, qFilter, qFilterRouter,
     qJoinInner, qJoinLeft3key, qJoinRight, qJoinMultiway,
     qAgg, qDistinct, qWindowRank, qSort, qUnionDedup,

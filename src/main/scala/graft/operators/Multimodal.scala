@@ -51,6 +51,23 @@ object Multimodal {
     * bits_per_sample, n_frames) — duration = n_frames / sample_rate
     * without decoding a sample. NULL for non-WAV/truncated blobs.
     */
+  /** WARC (ISO 28500) blob -> record rows: array of struct(warc_type,
+    * target_uri, content_type, payload); gzip members inflated with a
+    * zip-bomb guard; NULL for malformed/truncated archives (the
+    * fail-closed triage contract). Explode, then [[httpParts]] the
+    * response payloads and hand the bodies to the crawl front-end. */
+  def warcRecords(blob: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.{GraftBridge, WarcRecords => WR}
+    GraftBridge.column(WR(GraftBridge.expression(blob)))
+  }
+
+  /** HTTP payload -> struct(status, content_type, body); NULL when the
+    * payload is not an HTTP message. */
+  def httpParts(payload: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.{GraftBridge, HttpParts => HP}
+    GraftBridge.column(HP(GraftBridge.expression(payload)))
+  }
+
   def audioMeta(blob: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
     import org.apache.spark.sql.{AudioMeta => AM, GraftBridge}
     GraftBridge.column(AM(GraftBridge.expression(blob)))

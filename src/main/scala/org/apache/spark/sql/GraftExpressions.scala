@@ -1426,6 +1426,70 @@ case class NfcNormalize(child: Expression)
     copy(child = newChild)
 }
 
+object WarcRecords {
+  val schema: DataType = ArrayType(StructType(Seq(
+    StructField("warc_type", StringType, nullable = true),
+    StructField("target_uri", StringType, nullable = true),
+    StructField("content_type", StringType, nullable = true),
+    StructField("payload", BinaryType, nullable = false))), containsNull = false)
+}
+
+/** WARC (ISO 28500) blob → record rows; gzip members inflated
+  * (zip-bomb-guarded), NULL for malformed/truncated archives. See
+  * [[graft.functions.WarcKernels.records]].
+  */
+case class WarcRecords(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
+  override def dataType: DataType = WarcRecords.schema
+  override def nullable: Boolean = true
+  override def prettyName: String = "warc_records"
+
+  override protected def nullSafeEval(v: Any): Any =
+    graft.functions.WarcKernels.records(v.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.WarcKernels.records($c);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
+
+  override protected def withNewChildInternal(newChild: Expression): WarcRecords =
+    copy(child = newChild)
+}
+
+object HttpParts {
+  val schema: StructType = StructType(Seq(
+    StructField("status", IntegerType, nullable = false),
+    StructField("content_type", StringType, nullable = true),
+    StructField("body", BinaryType, nullable = false)))
+}
+
+/** HTTP message payload → (status, content_type, body); NULL for
+  * non-HTTP payloads. See [[graft.functions.WarcKernels.httpParts]].
+  */
+case class HttpParts(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
+  override def dataType: DataType = HttpParts.schema
+  override def nullable: Boolean = true
+  override def prettyName: String = "http_parts"
+
+  override protected def nullSafeEval(v: Any): Any =
+    graft.functions.WarcKernels.httpParts(v.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.WarcKernels.httpParts($c);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
+
+  override protected def withNewChildInternal(newChild: Expression): HttpParts =
+    copy(child = newChild)
+}
+
 object GopherCounts {
   val schema: StructType = StructType(Seq(
     StructField("n_words", LongType, nullable = false),

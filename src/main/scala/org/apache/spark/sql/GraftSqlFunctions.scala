@@ -184,6 +184,19 @@ object GraftSqlFunctions {
         "nfc_normalize(text) - Unicode NFC normalization (UAX #15)"),
       arity("nfc_normalize", "nfc_normalize(text)", 1, 1)(
         c => NfcNormalize(c(0)))),
+    (FunctionIdentifier("warc_records"),
+      info("warc_records",
+        "warc_records(blob) - WARC (ISO 28500) records as " +
+          "array<struct(warc_type, target_uri, content_type, payload)>; " +
+          "gzip inflated; NULL for malformed archives"),
+      arity("warc_records", "warc_records(blob)", 1, 1)(
+        c => WarcRecords(c(0)))),
+    (FunctionIdentifier("http_parts"),
+      info("http_parts",
+        "http_parts(payload) - struct(status, content_type, body) of an " +
+          "HTTP message payload; NULL when not HTTP"),
+      arity("http_parts", "http_parts(payload)", 1, 1)(
+        c => HttpParts(c(0)))),
     (FunctionIdentifier("decode_text"),
       info("decode_text",
         "decode_text(binary) - struct(text, encoding, n_fallback_bytes): " +

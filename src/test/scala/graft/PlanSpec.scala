@@ -180,6 +180,12 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Generate"), p)
   }
 
+  test("q_warc_ingest: build + parse + split + extract is one scan-stage projection") {
+    val p = plan("q_warc_ingest")
+    assert(!p.contains("Exchange"), p)
+    assert(!p.contains("ExistingRDD") && !p.contains("DeserializeToObject"), p)
+  }
+
   test("q_text_decode: encoding sniff is one scan-stage projection") {
     val p = plan("q_text_decode")
     assert(!p.contains("Exchange"), p)
