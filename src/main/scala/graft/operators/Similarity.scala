@@ -205,6 +205,27 @@ object Similarity {
     } finally unit.unpersist(blocking = false)
   }
 
+  /** One Lloyd iteration's reduction as a PURE DataFrame aggregation:
+    * assign each unit vector to its top centroid (codegen kernel),
+    * posexplode to (centroid, dim) cells, hash-aggregate (sum, count).
+    * Partial aggregation collapses map-side, so the only exchange
+    * carries ≤ nCentroids·dim rows per map task — the same tiny-shuffle
+    * shape the old reduceByKey had, but with NO Tungsten exit: no
+    * `.rdd`, no DeserializeToObject, the whole per-row path stays in
+    * whole-stage codegen (PlanSpec pins it). Summation order remains
+    * scheduling-dependent exactly as reduceByKey's was; the oracle's
+    * documented assignment-margin argument (OracleSqlGen.lloydChain)
+    * is unchanged.
+    */
+  private[graft] def kmeansIterSums(unit: DataFrame,
+                                    centroids: Array[Array[Double]]): DataFrame =
+    unit
+      .select(element_at(VectorFunctions.topCentroids(col("__v"), centroids, 1), 1)
+          .as("centroid_id"),
+        posexplode(col("__v")).as(Seq("__pos", "__x")))
+      .groupBy(col("centroid_id"), col("__pos"))
+      .agg(sum(col("__x")).as("s"), count(lit(1)).as("n"))
+
   private def kmeansLoop(unit: DataFrame, nCentroids: Int,
                          iters: Int): Array[Array[Double]] = {
     // deterministic init: the nCentroids lowest-id vectors, centroid id =
@@ -213,29 +234,23 @@ object Similarity {
       unit.orderBy(col("__id").asc).limit(nCentroids)
         .select(col("__v")).collect().map(_.getSeq[Double](0).toArray)
     if (centroids.isEmpty) return centroids
+    val dim = centroids(0).length
     for (_ <- 1 to iters) {
-      val assigned = unit.withColumn("centroid_id",
-        element_at(VectorFunctions.topCentroids(col("__v"), centroids, 1), 1))
-      // per-centroid mean as one map-side-combined reduceByKey of
-      // (sum-vector, count) partials: a single tiny shuffle per
-      // iteration, no per-iteration multi-stage SQL plan
-      val sums = assigned.select(col("centroid_id"), col("__v")).rdd
-        .map { r =>
-          val v = r.getSeq[Double](1).toArray
-          (r.getLong(0), (v, 1L))
-        }
-        .reduceByKey { (a, b) =>
-          val (va, na) = a; val (vb, nb) = b
-          var i = 0
-          while (i < va.length) { va(i) += vb(i); i += 1 }
-          (va, na + nb)
-        }
-        .collectAsMap()
+      // one corpus scan, one nCentroids·dim-cell shuffle, a bounded
+      // nCentroids·dim-row collect — the KMeans.fit template
+      val cells = kmeansIterSums(unit, centroids).collect()
+      val sums = new java.util.HashMap[Long, (Array[Double], Long)]()
+      cells.foreach { r =>
+        val cid = r.getLong(0)
+        val acc = sums.computeIfAbsent(cid, _ => (new Array[Double](dim), 0L))
+        acc._1(r.getInt(1)) = r.getDouble(2)
+        sums.put(cid, (acc._1, r.getLong(3)))
+      }
       // a centroid that captured zero points this pass keeps its previous
       // position instead of vanishing (a shrinking centroid set would
       // silently degrade the nProbes/nCentroids recall math)
       centroids = centroids.zipWithIndex.map { case (prev, idx) =>
-        sums.get(idx + 1L) match {
+        Option(sums.get(idx + 1L)) match {
           case Some((sum, n)) =>
             val mean = sum.map(_ / n)
             val norm = math.sqrt(mean.map(x => x * x).sum)
@@ -264,8 +279,10 @@ object Similarity {
     val centroidRows = centroids.zipWithIndex.map { case (v, i) =>
       org.apache.spark.sql.Row(i + 1L, v.toSeq)
     }
+    // a LocalRelation, not parallelize(): the dimension write plan is a
+    // LocalTableScan, keeping the whole index build free of RDD scans
     spark.createDataFrame(
-        spark.sparkContext.parallelize(centroidRows, 1),
+        java.util.Arrays.asList(centroidRows: _*),
         org.apache.spark.sql.types.StructType(Seq(
           org.apache.spark.sql.types.StructField("centroid_id",
             org.apache.spark.sql.types.LongType, nullable = false),
@@ -396,9 +413,10 @@ object Similarity {
     * vectors (the coarse chain's init rule, replayed by the oracle).
     * Assignment runs the codegen [[graft.functions.VectorFunctions.pqEncode]]
     * kernel (min L2 as argmax dot−½‖w‖², ties to the smaller code);
-    * means come from one map-side-combined reduceByKey keyed on
-    * (subspace, code) — a single tiny shuffle per iteration covering
-    * ALL subspaces at once, collecting only m·nCodes·subDim doubles.
+    * means come from ONE DataFrame hash aggregation keyed on
+    * (subspace, code, position) — a single tiny map-side-combined
+    * shuffle per iteration covering ALL subspaces at once, collecting
+    * only m·nCodes·subDim cells ([[pqIterSums]]).
     * An empty codeword keeps its previous position (stable code count).
     */
   def pqCodebooks(residuals: DataFrame, vecCol: String, idCol: String,
@@ -412,26 +430,20 @@ object Similarity {
     var books: Array[Array[Array[Double]]] = Array.tabulate(m)(mi =>
       init.map(rv => rv.slice(mi * sub, (mi + 1) * sub)))
     for (_ <- 1 to iters) {
-      val b = books
-      val sums = residuals
-        .select(VectorFunctions.pqEncode(col(vecCol), b).as("__codes"), col(vecCol))
-        .rdd
-        .flatMap { r =>
-          val codes = r.getSeq[Long](0)
-          val rv = r.getSeq[Double](1).toArray
-          (0 until m).map(mi =>
-            ((mi, codes(mi)), (rv.slice(mi * sub, (mi + 1) * sub), 1L)))
-        }
-        .reduceByKey { (a, c) =>
-          val (va, na) = a; val (vc, nc) = c
-          var i = 0
-          while (i < va.length) { va(i) += vc(i); i += 1 }
-          (va, na + nc)
-        }
-        .collectAsMap()
+      // one residual scan, one m·nCodes·subDim-cell shuffle, a bounded
+      // dim·nCodes-row collect — same DataFrame-native shape as
+      // [[kmeansIterSums]]
+      val cells = pqIterSums(residuals, vecCol, books, sub).collect()
+      val sums = new java.util.HashMap[(Int, Long), (Array[Double], Long)]()
+      cells.foreach { r =>
+        val key = (r.getInt(0), r.getLong(1))
+        val acc = sums.computeIfAbsent(key, _ => (new Array[Double](sub), 0L))
+        acc._1(r.getInt(2)) = r.getDouble(3)
+        sums.put(key, (acc._1, r.getLong(4)))
+      }
       books = books.zipWithIndex.map { case (book, mi) =>
         book.zipWithIndex.map { case (prev, ci) =>
-          sums.get((mi, ci + 1L)) match {
+          Option(sums.get((mi, ci + 1L))) match {
             case Some((s, n)) => s.map(_ / n) // plain mean: residual space
             case None => prev
           }
@@ -440,6 +452,27 @@ object Similarity {
     }
     books
   }
+
+  /** One PQ Lloyd iteration's reduction, DataFrame-native: encode each
+    * residual through the codegen [[graft.functions.VectorFunctions.pqEncode]]
+    * kernel, posexplode the residual to (pos, x) cells, derive the
+    * (subspace, codeword, within-subspace position) key arithmetically,
+    * and hash-aggregate (sum, count) — ALL subspaces in one pass, one
+    * tiny exchange (≤ dim·nCodes cells per map task after map-side
+    * combine), no `.rdd` Tungsten exit (PlanSpec pins the plan).
+    */
+  private[graft] def pqIterSums(residuals: DataFrame, vecCol: String,
+                                books: Array[Array[Array[Double]]],
+                                sub: Int): DataFrame =
+    residuals
+      .select(VectorFunctions.pqEncode(col(vecCol), books).as("__codes"),
+        posexplode(col(vecCol)).as(Seq("__pos", "__x")))
+      .select(floor(col("__pos") / lit(sub)).cast("int").as("__m"),
+        col("__codes"), (col("__pos") % lit(sub)).as("__sp"), col("__x"))
+      .groupBy(col("__m"),
+        element_at(col("__codes"), col("__m") + lit(1)).as("__code"),
+        col("__sp"))
+      .agg(sum(col("__x")).as("s"), count(lit(1)).as("n"))
 
   /** IVF-PQ ANN (round 12): [[ivfTopK]]'s coarse quantizer with PRODUCT
     * QUANTIZATION of the residuals — the memory tier for 100 TB of raw
@@ -576,16 +609,18 @@ object Similarity {
         org.apache.spark.sql.types.DoubleType, containsNull = false)
       def field(n: String, t: org.apache.spark.sql.types.DataType) =
         org.apache.spark.sql.types.StructField(n, t, nullable = false)
+      // LocalRelations (not parallelize) keep the dimension writes — and
+      // therefore every job the build runs — free of RDD scans
       spark.createDataFrame(
-          spark.sparkContext.parallelize(
-            centroids.zipWithIndex.map { case (v, i) => vecRow(Seq(i + 1L), v) }.toSeq, 1),
+          java.util.Arrays.asList(
+            centroids.zipWithIndex.map { case (v, i) => vecRow(Seq(i + 1L), v) }: _*),
           org.apache.spark.sql.types.StructType(Seq(field("centroid_id", lt), field("vec", at))))
         .write.mode("overwrite").parquet(s"$dir/centroids")
       spark.createDataFrame(
-          spark.sparkContext.parallelize((for {
+          java.util.Arrays.asList((for {
             (book, mi) <- books.zipWithIndex
             (w, ci) <- book.zipWithIndex
-          } yield vecRow(Seq(mi.toLong, ci + 1L), w)).toSeq, 1),
+          } yield vecRow(Seq(mi.toLong, ci + 1L), w)): _*),
           org.apache.spark.sql.types.StructType(Seq(
             field("m", lt), field("code", lt), field("w", at))))
         .write.mode("overwrite").parquet(s"$dir/codebooks")
