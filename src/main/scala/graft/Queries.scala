@@ -5638,7 +5638,7 @@ object Queries {
            |a AS (SELECT doc_id, unnest(range(0, 4)) AS j FROM documents),
            |h AS (
            |  SELECT a.doc_id, a.j,
-           |         ('0x' || substr(md5(a.doc_id || ':neg:' || a.j), 1, 8))::BIGINT
+           |         ('0x' || substr(md5(a.doc_id || ':neg:' || a.j), 1, 15))::BIGINT
            |           % (nn.n - 1) AS draw
            |  FROM a, nn)
            |SELECT CAST(doc_id AS BIGINT) AS anchor_id,
@@ -5799,8 +5799,12 @@ object Queries {
     * [[TF.decodeText]] → [[TF.htmlExtract]]. The oracle recomputes
     * record count, target URI, HTTP status, and the extracted text
     * arithmetically; every 7th doc truncates the archive and must come
-    * back NULL (the fail-closed whole-blob contract). This is the
-    * CommonCrawl ingest shape end to end, one projection + explode.
+    * back NULL (the fail-closed whole-blob contract). Round 14: the
+    * response body rotates identity / `Transfer-Encoding: chunked`
+    * (extension + trailer shapes included) / `Content-Encoding: gzip`
+    * framings by doc_id%3 — httpParts must decode all three to the
+    * identity representation before the text chain sees them. This is
+    * the CommonCrawl ingest shape end to end, one projection + explode.
     */
   private val qWarcIngest = Q("q_warc_ingest",
     (s, dir) => {
@@ -5808,26 +5812,58 @@ object Queries {
       val k = pmod(id, lit(20)).cast("string")
       val clean = regexp_replace(coalesce(col("text"), lit("")),
         "[<>&\\u00A0]", " ")
-      val html = concat(lit("<html><body><p>"), clean,
-        lit("</p><script>x<y</script></body></html>"))
-      val httpPayload = concat(
+      val rest = concat(clean, lit("</p><script>x<y</script></body></html>"))
+      val html = concat(lit("<html><body><p>"), rest)
+      // round 14: three body framings, same decoded representation.
+      //  id%3==0: identity — body bytes are the page
+      //  id%3==1: Transfer-Encoding chunked — two chunks (the 15-byte
+      //           ASCII prefix, hex size "f" WITH a chunk extension,
+      //           then the variable remainder with an in-plan hex
+      //           size), a trailer header after the 0-chunk
+      //  id%3==2: Content-Encoding gzip — a fixed page gzipped at plan
+      //           build (the oracle checks the DECODED text, so JDK
+      //           deflate byte choices never matter)
+      val identityPayload = concat(
         lit("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"), html)
+      val chunkedPayload = concat(
+        lit("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n" +
+          "Transfer-Encoding: chunked\r\n\r\n"),
+        lit("f;x=graft\r\n<html><body><p>\r\n"),
+        lower(hex(length(encode(rest, "UTF-8")))), lit("\r\n"), rest,
+        lit("\r\n0\r\nX-Digest: none\r\n\r\n"))
+      val gzPage = "<html><body><p>gzip body roundtrip ok</p></body></html>"
+      val gzHex = {
+        val bos = new java.io.ByteArrayOutputStream()
+        val g = new java.util.zip.GZIPOutputStream(bos)
+        g.write(gzPage.getBytes("UTF-8")); g.close()
+        bos.toByteArray.map("%02x".format(_)).mkString
+      }
+      val gzPayloadBin = concat(
+        encode(lit("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n" +
+          "Content-Encoding: gzip\r\n\r\n"), "UTF-8"),
+        unhex(lit(gzHex)))
+      val httpPayloadBin = when(pmod(id, lit(3)) === 2, gzPayloadBin)
+        .when(pmod(id, lit(3)) === 1, encode(chunkedPayload, "UTF-8"))
+        .otherwise(encode(identityPayload, "UTF-8"))
       val infoPayload = lit("software: graft\r\n")
-      def record(hdr: Column, payload: Column): Column = concat(
-        hdr, lit("Content-Length: "),
-        length(encode(payload, "UTF-8")).cast("string"),
-        lit("\r\n\r\n"), payload, lit("\r\n\r\n"))
+      // binary record framing: Content-Length counts PAYLOAD BYTES, so
+      // the gzip branch's binary body frames exactly
+      def record(hdr: Column, payloadBin: Column): Column = concat(
+        encode(concat(hdr, lit("Content-Length: "),
+          length(payloadBin).cast("string"), lit("\r\n\r\n")), "UTF-8"),
+        payloadBin, encode(lit("\r\n\r\n"), "UTF-8"))
       val warc = concat(
         record(lit("WARC/1.0\r\nWARC-Type: warcinfo\r\n" +
-          "Content-Type: application/warc-fields\r\n"), infoPayload),
+          "Content-Type: application/warc-fields\r\n"),
+          encode(infoPayload, "UTF-8")),
         record(concat(lit("WARC/1.1\r\nWARC-Type: response\r\n" +
           "WARC-Target-URI: https://h"), k, lit(".example.com/p/"),
           id.cast("string"),
           lit("\r\nContent-Type: application/http;msgtype=response\r\n")),
-          httpPayload))
-      val blobStr = when(pmod(id, lit(7)) === 0,
+          httpPayloadBin))
+      val blob = when(pmod(id, lit(7)) === 0,
         substring(warc, 1, 40)).otherwise(warc)
-      val recs = Multimodal.warcRecords(encode(blobStr, "UTF-8"))
+      val recs = Multimodal.warcRecords(blob)
       val resp = element_at(recs, 2)
       val hp = Multimodal.httpParts(resp.getField("payload"))
       val ext = TF.htmlExtract(TF.decodeText(hp.getField("body"))
@@ -5840,11 +5876,11 @@ object Queries {
     },
     Some("""WITH c AS (
            |  SELECT doc_id, CAST(doc_id % 20 AS VARCHAR) AS k,
-           |         doc_id % 7 = 0 AS tr,
+           |         doc_id % 7 = 0 AS tr, doc_id % 3 AS m3,
            |         regexp_replace(coalesce(text, ''), '[<>&\x{00A0}]', ' ', 'g') AS cln
            |  FROM documents),
            |e AS (
-           |  SELECT doc_id, k, tr,
+           |  SELECT doc_id, k, tr, m3,
            |         trim(
            |           regexp_replace(
            |             regexp_replace(cln, '[ \t\r]*\n[ \t\n\r]*', chr(10), 'g'),
@@ -5856,7 +5892,9 @@ object Queries {
            |  CASE WHEN tr THEN NULL
            |       ELSE 'https://h' || k || '.example.com/p/' || doc_id END AS uri,
            |  CAST(CASE WHEN tr THEN NULL ELSE 200 END AS BIGINT) AS status,
-           |  CASE WHEN tr THEN NULL ELSE core END AS extracted
+           |  CASE WHEN tr THEN NULL
+           |       WHEN m3 = 2 THEN 'gzip body roundtrip ok'
+           |       ELSE core END AS extracted
            |FROM e""".stripMargin))
 
   val all: Seq[Q] = Seq(

@@ -84,31 +84,48 @@ object JaroWinkler {
   // Both only bite for tau > 0.8 (r > 0) — the enforced contract of
   // FuzzyMatch.thresholdJoin.
 
-  /** Length band with INTEGER boundaries c₀=1, c_{k+1} = ⌊c_k/r⌋ + 2:
-    * any pair with ratio >= r lands in adjacent-or-equal bands
-    * (c_{k+1} > c_k/r strictly, so r·c_{k+1} > c_k survives any float
-    * rounding of the division — a float `floor(log len / log(1/r))`
-    * band can split an exact-ratio pair by 2 at a boundary). len 0
-    * gets band −1: an empty string pairs only with another empty
-    * (JW = 1) and must meet nothing else.
+  /** Length band in CLOSED FORM (r14 — the tau→1 cost closed): the
+    * walk recurrence x ↦ ⌊x/r⌋ + 2 averages x/r + 1.5 (the floor loses
+    * half a unit in expectation), and the real recurrence x ↦ x/r + s
+    * has the fixed-point solution f(k) = (1+A)·(1/r)^k − A with
+    * A = s·r/(1−r); band(len) = max k with f(k) ≤ len + 0.5 — one log,
+    * one pow, a ≤-2-step float-guard adjust: O(1) per row, NO per-r
+    * cache, no boundary array whose size grows ~1/(1−r) as tau→1.
     *
-    * Per-row cost (ADVICE r12): the boundary walk is memoized per `r`
-    * — `r` is a plan-time constant, so the first row pays the walk and
-    * every later row binary-searches the cached boundary array,
-    * O(log #bands). The boundary COUNT is itself bounded: each step
-    * adds >= 2 AND multiplies by >= 1/r, so there are at most
-    * ~2r/(1−r) linear-regime boundaries before geometric growth takes
-    * over — even tau = 0.9999 over megabyte strings yields tens of
-    * thousands of boundaries, never O(len/2) per row. */
+    * Integer-boundary guarantee (same contract as the walk): a pair
+    * L1 ≤ L2 with L1 ≥ ⌈r·L2⌉ can never split by two bands. Proof:
+    * band(L2) ≥ k+1 and band(L1) ≤ k−1 would need f(k+1) ≤ L2 + 0.5
+    * and f(k) > L1 + 0.5; the recurrence gives f(k) = r·f(k+1) − s·r ≤
+    * r·L2 + 0.5r − s·r, so L1 < r·L2 − (s−0.5)·r − 0.5 < ⌈r·L2⌉ ≤ L1
+    * — a contradiction with slack (s−0.5)·r + 0.5 ≥ 0.5 for EVERY
+    * r ∈ (0,1) and any s ≥ 0.5 (s = 1.5 here), which is what makes the
+    * float evaluation of pow (error ~1e-10 at these magnitudes) safe:
+    * the half-integer comparison threshold sits 0.5 away from where
+    * the proof could break. Boundaries stay distinct integers because
+    * consecutive f values differ by ≥ (1−r)/r + s > 1.
+    *
+    * Pruning power tracks the walk: s = 1.5 matches the walk's mean
+    * step, measured within ±1 band over lengths ≤ 10⁴ across
+    * tau ∈ [0.8, 0.99] and within 2% at r = 0.999 (JaroWinklerSpec
+    * pins both the guarantee and the closeness). len 0 gets band −1:
+    * an empty string pairs only with another empty (JW = 1) and must
+    * meet nothing else. */
   def lengthBand(len: Int, r: Double): Int = {
     if (len <= 0) return -1
-    val bounds = boundsCovering(len, r)
-    val idx = java.util.Arrays.binarySearch(bounds, len.toLong)
-    if (idx >= 0) idx else -idx - 2 // greatest k with c_k <= len
+    val a = 1.5 * r / (1.0 - r)
+    val base = 1.0 + a
+    val target = len + 0.5
+    def f(k: Int): Double = base * math.pow(1.0 / r, k.toDouble) - a
+    var k = math.max(0,
+      math.floor(math.log((target + a) / base) / math.log(1.0 / r)).toInt)
+    while (f(k + 1) <= target) k += 1 // float-guard: ≤ 2 steps in practice
+    while (k > 0 && f(k) > target) k -= 1
+    k
   }
 
-  /** Reference walk (the original per-row loop) — kept as the oracle the
-    * memoized path is spec-pinned against. */
+  /** Reference walk (the original per-row loop, integer boundaries
+    * c₀=1, c_{k+1} = ⌊c_k/r⌋ + 2) — kept as the fixture the closed
+    * form is spec-pinned against for guarantee + closeness. */
   private[graft] def lengthBandWalk(len: Int, r: Double): Int = {
     if (len <= 0) return -1
     var c = 1L
@@ -116,28 +133,6 @@ object JaroWinkler {
     var next = math.floor(c / r).toLong + 2
     while (len >= next) { c = next; k += 1; next = math.floor(c / r).toLong + 2 }
     k
-  }
-
-  private val bandBounds =
-    new java.util.concurrent.ConcurrentHashMap[java.lang.Double, Array[Long]]()
-
-  /** The boundary array c₀..c_K for `r`, extended (and re-cached) until
-    * its last element EXCEEDS `len` — so the binary search above always
-    * has the full prefix it needs. A racing put of a shorter array is
-    * benign: every cached array is a correct boundary prefix, and each
-    * call re-checks coverage for its own `len`. */
-  private def boundsCovering(len: Int, r: Double): Array[Long] = {
-    val key = java.lang.Double.valueOf(r)
-    var b = bandBounds.get(key)
-    if (b == null || b(b.length - 1) <= len) {
-      val buf = scala.collection.mutable.ArrayBuffer.empty[Long]
-      if (b == null) buf += 1L else buf ++= b
-      var c = buf.last
-      while (c <= len) { c = math.floor(c / r).toLong + 2; buf += c }
-      b = buf.toArray
-      bandBounds.put(key, b)
-    }
-    b
   }
 
   /** Prefix-filter signature: the lowered string's chars with

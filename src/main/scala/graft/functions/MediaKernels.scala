@@ -51,12 +51,25 @@ object MediaKernels {
     * must tile the payload exactly to the last byte: a blob whose tail
     * is not a whole valid frame (truncated crawl, concatenated junk,
     * false sync) is refused outright rather than triaged with a
-    * shortened duration it cannot vouch for. */
+    * shortened duration it cannot vouch for. A standard ID3v1 trailer
+    * (the 128-byte "TAG" block at EOF — near-universal in crawled
+    * audio) and the 227-byte "TAG+" extended block preceding it are
+    * trimmed BEFORE the tiling demand (r14, ADVICE r13): they are tag
+    * metadata, not frame data, and refusing every ID3v1-tagged file
+    * defeated the triage goal. */
   private def mp3Meta(b: Array[Byte], start: Int): InternalRow = {
+    var end = b.length
+    if (end - start >= 128 + 4 &&
+        b(end - 128) == 'T' && b(end - 127) == 'A' && b(end - 126) == 'G') {
+      end -= 128
+      if (end - start >= 227 + 4 && b(end - 227) == 'T' &&
+          b(end - 226) == 'A' && b(end - 225) == 'G' && b(end - 224) == '+')
+        end -= 227
+    }
     var p = start
     var version = -1; var rate = -1; var channels = -1
     var frames = 0L
-    while (p + 4 <= b.length) {
+    while (p + 4 <= end) {
       if ((b(p) & 0xff) != 0xff || (b(p + 1) & 0xe0) != 0xe0) return null
       val ver = (b(p + 1) >> 3) & 0x3   // 0=2.5, 1=reserved, 2=MPEG2, 3=MPEG1
       val layer = (b(p + 1) >> 1) & 0x3 // 1 = Layer III
@@ -73,11 +86,11 @@ object MediaKernels {
       else if (ver != version || sr != rate || ch != channels) return null
       val frameLen = (if (ver == 3) 144000 else 72000) * kbps / sr + padding
       if (frameLen <= 4) return null
-      if (p + frameLen > b.length) return null // partial tail frame
+      if (p + frameLen > end) return null // partial tail frame
       p += frameLen
       frames += 1L
     }
-    if (frames == 0L || p != b.length) return null
+    if (frames == 0L || p != end) return null
     val spf = if (version == 3) 1152L else 576L
     new GenericInternalRow(Array[Any](
       UTF8String.fromString("mp3"), channels, rate, 0, frames * spf))

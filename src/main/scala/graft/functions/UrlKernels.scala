@@ -122,8 +122,27 @@ object UrlKernels {
         }
         name.startsWith("utm_") || TrackingExact.contains(name)
       }
-      .sorted
+      // BYTEWISE order (the documented + oracle contract), not String's
+      // UTF-16 code-unit order: they differ for non-BMP characters
+      // (surrogates sort below U+E000–U+FFFF in UTF-16 but above in
+      // UTF-8 bytes), and a divergent canonical key splits dedup
+      // groups across engines. Code-point comparison == UTF-8 bytewise.
+      .sortWith((a, b) => codePointCompare(a, b) < 0)
     if (kept.isEmpty) null else kept.mkString("&")
+  }
+
+  /** Code-point lexicographic comparison — identical to comparing the
+    * two strings' UTF-8 byte sequences (UTF-8 preserves code-point
+    * order), without allocating the byte arrays. */
+  private def codePointCompare(a: String, b: String): Int = {
+    var i = 0
+    val la = a.length; val lb = b.length
+    while (i < la && i < lb) {
+      val ca = a.codePointAt(i); val cb = b.codePointAt(i)
+      if (ca != cb) return Integer.compare(ca, cb)
+      i += Character.charCount(ca)
+    }
+    Integer.compare(la, lb) // prefix-equal: shorter first, both orders
   }
 
   /** RFC 3986 §5.2 reference resolution: the absolute form of `ref`

@@ -661,8 +661,10 @@ object Ops {
     *
     * Each draw is `h mod (n−1)` bumped past the anchor (the classic
     * skip trick: uniform over the n−1 non-anchor ids, never the anchor
-    * itself); `h` is the md5-derived 32-bit integer the sampling
-    * family already uses, so draws are a pure function of (id, tag,
+    * itself); `h` is a 60-bit md5 slice (15 hex chars, the
+    * fingerprint-family width — r14, ADVICE r13: an 8-hex/32-bit slice
+    * is only uniform for n up to ~2³², too narrow for a 100 TB id
+    * domain), so draws are a pure function of (id, tag,
     * rank) — stable under repartitioning, retries, and re-runs, and
     * exactly replayable by the ANSI oracle. Draws are independent
     * across ranks (sampling WITH replacement: two ranks of one anchor
@@ -683,7 +685,7 @@ object Ops {
     val j = explode(sequence(lit(0), lit(k - 1)))
     val withJ = df.select(id.as("anchor_id"), j.as("neg_rank"))
     val h = conv(substring(md5(concat(col("anchor_id").cast("string"),
-      lit(s":$tag:"), col("neg_rank").cast("string"))), 1, 8), 16, 10)
+      lit(s":$tag:"), col("neg_rank").cast("string"))), 1, 15), 16, 10)
       .cast("long")
     val draw = pmod(h, lit(n - 1))
     withJ.withColumn("neg_id",

@@ -220,9 +220,16 @@ object Similarity {
   private[graft] def kmeansIterSums(unit: DataFrame,
                                     centroids: Array[Array[Double]]): DataFrame =
     unit
+      // the assignment goes in its OWN select below the explode:
+      // ExtractGenerator moves every non-generator expression of a
+      // generator select into the Project ABOVE the Generate, which
+      // would re-evaluate the argmax once per exploded dimension —
+      // measured 30× the iteration cost at 200k×447 (TrainerProbe).
+      // Two selects keep it evaluated once per vector; PlanSpec pins
+      // the kernel below the Generate.
       .select(element_at(VectorFunctions.topCentroids(col("__v"), centroids, 1), 1)
-          .as("centroid_id"),
-        posexplode(col("__v")).as(Seq("__pos", "__x")))
+        .as("centroid_id"), col("__v"))
+      .select(col("centroid_id"), posexplode(col("__v")).as(Seq("__pos", "__x")))
       .groupBy(col("centroid_id"), col("__pos"))
       .agg(sum(col("__x")).as("s"), count(lit(1)).as("n"))
 
@@ -465,8 +472,12 @@ object Similarity {
                                 books: Array[Array[Array[Double]]],
                                 sub: Int): DataFrame =
     residuals
+      // pqEncode in its own select BELOW the explode — the same
+      // ExtractGenerator trap documented on [[kmeansIterSums]] (the
+      // all-subspace argmin would otherwise run once per dimension)
       .select(VectorFunctions.pqEncode(col(vecCol), books).as("__codes"),
-        posexplode(col(vecCol)).as(Seq("__pos", "__x")))
+        col(vecCol).as("__rvec"))
+      .select(col("__codes"), posexplode(col("__rvec")).as(Seq("__pos", "__x")))
       .select(floor(col("__pos") / lit(sub)).cast("int").as("__m"),
         col("__codes"), (col("__pos") % lit(sub)).as("__sp"), col("__x"))
       .groupBy(col("__m"),

@@ -286,13 +286,33 @@ object Sinks {
     val existing = listVersions(root)
     val next = (existing.headOption.getOrElse(0L)) + 1L
     writer(df, s"$root/v=$next")
-    // the publish point: write the pointer to a temp name, fsync, rename
+    // the publish point: write the pointer to a temp name, fsync the
+    // FILE CONTENT, atomic-rename, fsync the DIRECTORY so the rename
+    // itself is durable (r14, ADVICE r13: ATOMIC_MOVE guarantees reader
+    // atomicity, not durability — an un-synced pointer could roll back
+    // after a crash to a version this publish's GC already deleted)
     val tmp = java.nio.file.Paths.get(root, s"_CURRENT.tmp")
     val cur = java.nio.file.Paths.get(root, "_CURRENT")
-    java.nio.file.Files.writeString(tmp, next.toString)
+    val ch = java.nio.channels.FileChannel.open(tmp,
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.WRITE,
+      java.nio.file.StandardOpenOption.TRUNCATE_EXISTING)
+    try {
+      ch.write(java.nio.ByteBuffer.wrap(
+        next.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+      ch.force(true)
+    } finally ch.close()
     java.nio.file.Files.move(tmp, cur,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    // POSIX: rename durability requires an fsync of the containing
+    // directory; not every filesystem exposes a directory channel
+    // (Windows refuses READ on dirs) — best-effort by design there
+    try {
+      val dch = java.nio.channels.FileChannel.open(
+        java.nio.file.Paths.get(root), java.nio.file.StandardOpenOption.READ)
+      try dch.force(true) finally dch.close()
+    } catch { case _: Exception => () }
     // GC: keep the newest keepVersions COMMITTED versions (<= next);
     // orphans from crashed publishes newer than `next` cannot exist
     // (version numbers only grow through this method), stale ones from

@@ -567,11 +567,33 @@ class PlanSpec extends SparkSpec {
     val unit = trainerUnit
     val cents = unit.orderBy(col("__id")).limit(4).select(col("__v"))
       .collect().map(_.getSeq[Double](0).toArray)
-    val p = graft.operators.Similarity.kmeansIterSums(unit, cents)
-      .queryExecution.executedPlan.toString
+    val plan = graft.operators.Similarity.kmeansIterSums(unit, cents)
+      .queryExecution.executedPlan
+    val p = plan.toString
     assert(!p.contains("ExistingRDD") && !p.contains("DeserializeToObject"), p)
     assert("HashAggregate".r.findAllIn(p).size >= 2, p) // map-side combine
     assert(p.contains("top_centroids"), p)              // codegen assignment
+    assertKernelBelowGenerate(plan, "top_centroids")
+  }
+
+  /** The ExtractGenerator trap (r14, TrainerProbe-measured 30×): every
+    * non-generator expression of a generator select lands in the
+    * Project ABOVE the Generate and re-runs once per exploded element.
+    * Assert every occurrence of the expensive kernel sits BELOW the
+    * Generate node — once per vector, not once per dimension. */
+  private def assertKernelBelowGenerate(
+      plan: org.apache.spark.sql.execution.SparkPlan, kernel: String): Unit = {
+    // tree strings print root-first, so "below the Generate" = every
+    // kernel mention on a LATER line than the Generate node (the AQE
+    // wrapper hides GenerateExec from collect() before execution —
+    // line order is the robust structural check)
+    val lines = plan.toString.linesIterator.toVector
+    val genIdx = lines.indexWhere(_.contains("Generate "))
+    assert(genIdx >= 0, s"no Generate in:\n$plan")
+    lines.zipWithIndex.filter(_._1.contains(kernel)).foreach { case (_, i) =>
+      assert(i > genIdx,
+        s"$kernel above the Generate (per-element re-evaluation):\n$plan")
+    }
   }
 
   test("PQ trainer: per-iteration reduction is a DataFrame hash " +
@@ -581,12 +603,14 @@ class PlanSpec extends SparkSpec {
       .collect().map(_.getSeq[Double](0).toArray)
     val (m, sub) = (4, init(0).length / 4)
     val books = Array.tabulate(m)(mi => init.map(_.slice(mi * sub, (mi + 1) * sub)))
-    val p = graft.operators.Similarity
+    val plan = graft.operators.Similarity
       .pqIterSums(unit.select(col("__v")), "__v", books, sub)
-      .queryExecution.executedPlan.toString
+      .queryExecution.executedPlan
+    val p = plan.toString
     assert(!p.contains("ExistingRDD") && !p.contains("DeserializeToObject"), p)
     assert("HashAggregate".r.findAllIn(p).size >= 2, p)
     assert(p.contains("pq_encode"), p)                  // codegen assignment
+    assertKernelBelowGenerate(plan, "pq_encode")
   }
 
   test("buildIvfPqIndex: NO job in the entire build scans an RDD " +
