@@ -5897,10 +5897,97 @@ object Queries {
            |       ELSE core END AS extracted
            |FROM e""".stripMargin))
 
+  /** Sitemap discovery under the oracle (r14): the frontier loop's
+    * missing step — `robots.txt` → [[TF.robotsSitemaps]] (the sitemap
+    * URL) → [[TF.sitemapEntries]] (urlset vs sitemapindex split) →
+    * [[TF.urlResolve]] → [[TF.urlParts]] canonicalization. Four
+    * sitemap shapes rotate by doc_id%4: a two-entry urlset with an
+    * `&amp;` entity and a RELATIVE loc (resolved against the sitemap's
+    * own URL), a sitemapindex (kind='sitemap'), a CDATA loc behind a
+    * self-closing `xhtml:link` and a skipped `changefreq`, and a
+    * mixed-case host that canonicalization must lowercase. Every 9th
+    * doc truncates the XML mid-tag and must come back as ONE all-NULL
+    * row (posexplode_outer + the fail-closed whole-document contract).
+    * One projection + explode; the oracle recomputes every entry
+    * arithmetically.
+    */
+  private val qSitemapFrontier = Q("q_sitemap_frontier",
+    (s, dir) => {
+      val id = col("doc_id")
+      val k = pmod(id, lit(20)).cast("string")
+      val idS = id.cast("string")
+      val host = concat(lit("https://h"), k, lit(".example.com"))
+      val robots = concat(
+        lit("User-agent: *\nDisallow: /private/\nSitemap: "), host,
+        lit("/sitemap_"), idS, lit(".xml\n"))
+      val m4 = pmod(id, lit(4))
+      val xmlFull = when(m4 === 0, concat(
+          lit("<?xml version=\"1.0\" encoding=\"UTF-8\"?>" +
+            "<urlset xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">" +
+            "<url><loc>"), host, lit("/p/"), idS,
+          lit("?a=1&amp;b=2</loc><lastmod>2026-07-0"),
+          (pmod(id, lit(9)) + 1).cast("string"),
+          lit("</lastmod></url><url><loc>/rel/"), idS,
+          lit("</loc></url></urlset>")))
+        .when(m4 === 1, concat(
+          lit("<sitemapindex xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">" +
+            "<sitemap><loc>"), host, lit("/sm/"), idS,
+          lit(".xml</loc><lastmod>2026-08-01</lastmod></sitemap></sitemapindex>")))
+        .when(m4 === 2, concat(
+          lit("<urlset><!-- generated --><url>" +
+            "<xhtml:link rel=\"alternate\" href=\"/x\"/><loc><![CDATA["),
+          host, lit("/cd/"), idS,
+          lit("]]></loc><changefreq>daily</changefreq></url></urlset>")))
+        .otherwise(concat(
+          lit("<urlset><url><loc>https://H"), k, lit(".EXAMPLE.com/up/"), idS,
+          lit("</loc></url></urlset>")))
+      val xml = when(pmod(id, lit(9)) === 0, substring(xmlFull, 1, 30))
+        .otherwise(xmlFull)
+      t(s, dir, "documents")
+        .select(id.cast("bigint").as("doc_id"),
+          element_at(TF.robotsSitemaps(robots), 1).as("__sm"),
+          posexplode_outer(TF.sitemapEntries(xml)).as(Seq("pos", "e")))
+        .select(col("doc_id"), col("pos").cast("bigint").as("pos"),
+          col("e").getField("kind").as("kind"),
+          TF.urlParts(TF.urlResolve(col("__sm"), col("e").getField("loc")))
+            .getField("normalized").as("url"),
+          col("e").getField("lastmod").as("lastmod"))
+    },
+    Some("""WITH c AS (
+           |  SELECT doc_id, CAST(doc_id % 20 AS VARCHAR) AS k,
+           |         doc_id % 4 AS m4, doc_id % 9 = 0 AS tr
+           |  FROM documents),
+           |rows_ AS (
+           |  SELECT doc_id, 0 AS pos, 'url' AS kind,
+           |         'https://h'||k||'.example.com/p/'||doc_id||'?a=1&b=2' AS url,
+           |         '2026-07-0'||(doc_id % 9 + 1) AS lastmod
+           |  FROM c WHERE NOT tr AND m4 = 0
+           |  UNION ALL
+           |  SELECT doc_id, 1, 'url',
+           |         'https://h'||k||'.example.com/rel/'||doc_id, NULL
+           |  FROM c WHERE NOT tr AND m4 = 0
+           |  UNION ALL
+           |  SELECT doc_id, 0, 'sitemap',
+           |         'https://h'||k||'.example.com/sm/'||doc_id||'.xml', '2026-08-01'
+           |  FROM c WHERE NOT tr AND m4 = 1
+           |  UNION ALL
+           |  SELECT doc_id, 0, 'url',
+           |         'https://h'||k||'.example.com/cd/'||doc_id, NULL
+           |  FROM c WHERE NOT tr AND m4 = 2
+           |  UNION ALL
+           |  SELECT doc_id, 0, 'url',
+           |         'https://h'||k||'.example.com/up/'||doc_id, NULL
+           |  FROM c WHERE NOT tr AND m4 = 3
+           |  UNION ALL
+           |  SELECT doc_id, NULL, NULL, NULL, NULL FROM c WHERE tr)
+           |SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(pos AS BIGINT) AS pos,
+           |       kind, url, lastmod
+           |FROM rows_""".stripMargin))
+
   val all: Seq[Q] = Seq(
     qHtmlExtract, qQualityRules, qUrlNormalize, qContainerMeta, qRobotsFilter,
     qCrawlClean, qTextDecode, qAnnSq8, qLangId, qNegativeSample, qDriftPsi,
-    qLinkExtract, qFrontierLinks, qWarcIngest,
+    qLinkExtract, qFrontierLinks, qWarcIngest, qSitemapFrontier,
     qSelect, qFilter, qFilterRouter,
     qJoinInner, qJoinLeft3key, qJoinRight, qJoinMultiway,
     qAgg, qDistinct, qWindowRank, qSort, qUnionDedup,

@@ -306,6 +306,21 @@ object TextFunctions {
     * `base` — the bridge from [[htmlLinks]]'s relative hrefs to
     * [[urlParts]]. NULL for an unparseable base; resolution does NOT
     * normalize (feed the result to [[urlParts]]). */
+  /** `Sitemap:` URLs of a robots.txt in file order (group-independent
+    * per RFC 9309). */
+  def robotsSitemaps(robotsTxt: Column): Column = {
+    import org.apache.spark.sql.{GraftBridge, RobotsSitemaps => RS}
+    GraftBridge.column(RS(GraftBridge.expression(robotsTxt)))
+  }
+
+  /** Sitemap/sitemap-index parse: array of (kind, loc, lastmod)
+    * frontier entries, NULL on malformed framing (fail-closed). The
+    * discovery step between `robots_sitemaps` and [[urlResolve]]. */
+  def sitemapEntries(xml: Column): Column = {
+    import org.apache.spark.sql.{GraftBridge, SitemapEntries => SE}
+    GraftBridge.column(SE(GraftBridge.expression(xml)))
+  }
+
   def urlResolve(base: Column, ref: Column): Column = {
     import org.apache.spark.sql.{GraftBridge, UrlResolve => UR}
     GraftBridge.column(UR(GraftBridge.expression(base), GraftBridge.expression(ref)))

@@ -1631,6 +1631,32 @@ case class RobotsSitemaps(child: Expression)
     copy(child = newChild)
 }
 
+/** Sitemap / sitemap-index entries: array of (kind, loc, lastmod)
+  * structs in document order; NULL on any malformed framing. See
+  * [[graft.functions.SitemapKernels.entries]].
+  */
+case class SitemapEntries(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType =
+    ArrayType(graft.functions.SitemapKernels.schema, containsNull = false)
+  override def nullable: Boolean = true // NULL on malformed framing
+  override def prettyName: String = "sitemap_entries"
+
+  override protected def nullSafeEval(v: Any): Any =
+    graft.functions.SitemapKernels.entries(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.SitemapKernels.entries($c);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
+
+  override protected def withNewChildInternal(newChild: Expression): SitemapEntries =
+    copy(child = newChild)
+}
+
 /** RFC 9309 robots path match: `*` wildcards, trailing `$` anchor,
   * prefix semantics. See [[graft.functions.RobotsKernels.matches]].
   */

@@ -216,6 +216,12 @@ object GraftSqlFunctions {
           "order (group-independent per RFC 9309)"),
       arity("robots_sitemaps", "robots_sitemaps(text)", 1, 1)(
         c => RobotsSitemaps(c(0)))),
+    (FunctionIdentifier("sitemap_entries"),
+      info("sitemap_entries",
+        "sitemap_entries(xml) - sitemap/sitemap-index frontier entries " +
+          "array<struct(kind, loc, lastmod)>; NULL on malformed framing"),
+      arity("sitemap_entries", "sitemap_entries(xml)", 1, 1)(
+        c => SitemapEntries(c(0)))),
     (FunctionIdentifier("robots_match"),
       info("robots_match",
         "robots_match(path, pattern) - RFC 9309 robots path match " +
