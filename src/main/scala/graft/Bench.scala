@@ -196,7 +196,14 @@ object Bench {
       summaryPath: String,
       ledgerPath: String,
       metricsPath: String,
-      warmup: Int = 1)
+      warmup: Int = 1,
+      // test seam (r14): extra queries merged into the surface so
+      // BenchBudgetSpec can plant a deterministically-failing query
+      // and pin the failure-handling contract (errors named, spread
+      // over successful samples only). The driver's main() never sets
+      // it.
+      extraQueries: Map[String,
+        (SparkSession, String) => org.apache.spark.sql.DataFrame] = Map.empty)
 
   /** Aggregate execution-metric fields for the main JSON line: totals
     * over the queries the metrics pass actually covered (the per-query
@@ -326,13 +333,14 @@ object Bench {
     // runs of one query don't benefit from a still-hot page cache more
     // than the driver's single-pass methodology would
     val only = cfg.only
+    val allQueries = SparkEntry.queries ++ cfg.extraQueries
     only.foreach { o =>
-      val unknown = o -- SparkEntry.queries.keySet
+      val unknown = o -- allQueries.keySet
       require(unknown.isEmpty,
         s"SPARK_GRAFT_BENCH_ONLY names not in the query surface: " +
           s"${unknown.toSeq.sorted.mkString(",")} — a typo would silently bench nothing")
     }
-    val names = SparkEntry.queries.toSeq.sortBy(_._1)
+    val names = allQueries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
 
     def writeFile(path: String, body: String): Unit =

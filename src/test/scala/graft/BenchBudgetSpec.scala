@@ -106,6 +106,55 @@ class BenchBudgetSpec extends SparkSpec {
     assert(events.contains("metrics_skipped_budget"))
   }
 
+  test("planted mid-run failure (r14): errors name the query, the jitter " +
+    "spread covers SUCCESSFUL samples only, a zero-success query nulls out") {
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("graft_benchfail").toString
+    val calls = new java.util.concurrent.atomic.AtomicInteger(0)
+    // fails on its SECOND timed invocation only (warmup=0 below, so the
+    // call sequence is exactly pass1 ok, pass2 FAIL, pass3 ok)
+    val flaky: (org.apache.spark.sql.SparkSession, String) =>
+        org.apache.spark.sql.DataFrame = (s, _) =>
+      if (calls.incrementAndGet() == 2)
+        s.range(1).select(raise_error(lit("planted pass-2 failure")).as("x"))
+      else s.range(1000).select((col("id") % 7).as("k"))
+        .groupBy("k").agg(count(lit(1)).as("c"))
+    // fails on EVERY invocation: the zero-success shape
+    val dead: (org.apache.spark.sql.SparkSession, String) =>
+        org.apache.spark.sql.DataFrame = (s, _) =>
+      s.range(1).select(raise_error(lit("planted always-fail")).as("x"))
+    val c = cfg(dir, budget = 3600.0).copy(
+      only = Some(surface ++ Set("q_flaky_planted", "q_dead_planted")),
+      warmup = 0, metricsOn = false,
+      extraQueries = Map("q_flaky_planted" -> flaky, "q_dead_planted" -> dead))
+    val line = Bench.run(spark, c)
+    val root = mapper.readTree(line)
+    assert(root.get("passes_completed").asInt() === 3)
+    // a time-to-failure must never read as a fast success
+    val errs = root.get("errors").asScala.map(_.asText()).toSet
+    assert(errs === Set("q_flaky_planted", "q_dead_planted"))
+    // recompute the expected spread from the ledger's per-sample truth:
+    // min/max must equal the extremes of the OK samples alone
+    val samples = Files.readAllLines(Paths.get(s"$dir/ledger.jsonl")).asScala
+      .filter(_.nonEmpty).map(mapper.readTree(_))
+      .filter(n => n.get("event").asText() == "query" &&
+        n.get("q").asText() == "q_flaky_planted")
+    assert(samples.size === 3)
+    assert(samples.map(_.get("ok").asBoolean()).toSeq === Seq(true, false, true))
+    val okSecs = samples.filter(_.get("ok").asBoolean()).map(_.get("sec").asDouble())
+    assert(root.get("queries_min").get("q_flaky_planted").asDouble() === okSecs.min)
+    assert(root.get("queries_max").get("q_flaky_planted").asDouble() === okSecs.max)
+    // zero successful passes: spread is null (the query is already in
+    // errors), never a min/max synthesized from failure times
+    assert(root.get("queries_min").get("q_dead_planted").isNull)
+    assert(root.get("queries_max").get("q_dead_planted").isNull)
+    // untouched queries keep a full non-null spread
+    surface.foreach { q =>
+      assert(!root.get("queries_min").get(q).isNull)
+      assert(root.get("queries_min").get(q).asDouble() > 0.0)
+    }
+  }
+
   test("ample budget completes all passes and reports full metrics coverage") {
     val dir = Files.createTempDirectory("graft_benchbudget").toString
     val line = Bench.run(spark, cfg(dir, budget = 3600.0))
