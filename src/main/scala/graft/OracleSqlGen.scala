@@ -716,6 +716,135 @@ object OracleSqlGen {
        |LEFT JOIN sc s USING (doc_id)""".stripMargin
   }
 
+  /** Oracle for q_langid_model (round 14): the one-vs-rest hashed
+    * char-n-gram language-ID trainer
+    * ([[graft.operators.Classifier.trainLangId]]) replayed end to end —
+    * deterministic multi-script fixture, char `gramN`-gram shingle
+    * dictionary hashed through the XXH64 chain (bucket = h % buckets,
+    * valid because `buckets` divides 2⁶⁴), one [[classifier]]-style
+    * delta-rule chain PER LANGUAGE over the training split, argmax
+    * scoring of the eval split (ties to the first label = (z DESC, ci)
+    * row_number), the stopword-heuristic baseline recomputed on the
+    * same split, and the accuracy gate. Every CTE computes the same
+    * bits Spark does — the [[classifier]] determinism argument, ×
+    * `langs.size` chains. */
+  def langIdModel(buckets: Int, iters: Int, lr: String, langs: Seq[String],
+                  vocab: Seq[Seq[String]], nWords: Int, gramN: Int): String = {
+    require(Integer.bitCount(buckets) == 1,
+      s"buckets must be a power of two (so it divides 2^64 and the " +
+        s"unsigned-hash %% equals Spark's signed pmod): $buckets")
+    val S = "1000000000000.0"
+    val nl = langs.size
+    val vs = vocab.head.size
+    val langsLit = langs.map(l => s"'$l'").mkString("[", ", ", "]")
+    val vocabLit = vocab.map(v =>
+      v.map(w => s"'$w'").mkString("[", ", ", "]")).mkString("[", ", ", "]")
+    val base = "SELECT g, hex(encode(g)) AS hx FROM (SELECT DISTINCT g FROM gr)"
+    val (ch, hcol) = hashBytesChain(base, "hx")
+    def zOver(feats: String, wTab: String): String =
+      s"""SELECT f.doc_id,
+         |       CAST(SUM(CAST(round(w.w * f.x * $S, 0) AS BIGINT)) AS DOUBLE) / $S AS z
+         |    FROM $feats f JOIN $wTab w ON f.b = w.j
+         |    GROUP BY f.doc_id""".stripMargin
+    def sig(z: String): String = s"(0.5 + ($z) / (2.0 * (1.0 + abs($z))))"
+    val labCtes = langs.zipWithIndex.map { case (k, ci) =>
+      s"""lab$ci AS MATERIALIZED (
+         |  SELECT doc_id, CASE WHEN lang = '$k' THEN 1.0 ELSE 0.0 END AS y
+         |  FROM hist)""".stripMargin
+    }.mkString(",\n")
+    val trainCtes = langs.indices.map { ci =>
+      val chain = (1 to iters).map { k =>
+        s"""c${ci}e$k AS MATERIALIZED (
+           |  SELECT s.doc_id, ${sig("s.z")} - l.y AS err
+           |  FROM (${zOver("featsH", s"c${ci}w${k - 1}")}) s JOIN lab$ci l USING (doc_id)),
+           |c${ci}w$k AS MATERIALIZED (
+           |  SELECT w.j,
+           |         w.w - $lr * (CAST(COALESCE(g.g, 0) AS DOUBLE) / $S)
+           |               / (SELECT n FROM nn) AS w
+           |  FROM c${ci}w${k - 1} w LEFT JOIN (
+           |    SELECT f.b AS j,
+           |           SUM(CAST(round(e.err * f.x * $S, 0) AS BIGINT)) AS g
+           |    FROM featsH f JOIN c${ci}e$k e USING (doc_id)
+           |    GROUP BY f.b) g ON w.j = g.j)""".stripMargin
+      }.mkString(",\n")
+      s"c${ci}w0 AS (SELECT * FROM w0),\n$chain"
+    }.mkString(",\n")
+    val zUnion = langs.indices.map { ci =>
+      s"SELECT doc_id, $ci AS ci, z FROM (${zOver("featsE", s"c${ci}w$iters")})"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH fx AS MATERIALIZED (
+       |  SELECT doc_id,
+       |         $langsLit[CAST(doc_id % $nl AS INT) + 1] AS lang,
+       |         array_to_string(list_transform(range(0, $nWords), i ->
+       |           $vocabLit[CAST(doc_id % $nl AS INT) + 1]
+       |             [CAST((doc_id * 31 + i * 7) % $vs AS INT) + 1]), ' ') AS text
+       |  FROM documents),
+       |tt AS (SELECT doc_id, lower(trim(text)) AS t FROM fx),
+       |gr AS MATERIALIZED (
+       |  SELECT DISTINCT doc_id, substr(t, CAST(i AS INT), $gramN) AS g
+       |  FROM (SELECT doc_id, t, unnest(range(1, len(t) - ${gramN - 2})) AS i
+       |        FROM tt)),
+       |dictg AS MATERIALIZED (
+       |  SELECT g, CAST($hcol % $buckets AS BIGINT) AS b FROM (${ch.sql})),
+       |feats AS MATERIALIZED (
+       |  SELECT DISTINCT gr.doc_id, d.b, CAST(1.0 AS DOUBLE) AS x
+       |  FROM gr JOIN dictg d USING (g)),
+       |hist AS MATERIALIZED (
+       |  SELECT doc_id, lang FROM fx WHERE doc_id % 3 <> 0),
+       |nn AS MATERIALIZED (SELECT COUNT(*) AS n FROM hist),
+       |featsH AS MATERIALIZED (
+       |  SELECT f.* FROM feats f JOIN hist USING (doc_id)),
+       |ev AS MATERIALIZED (SELECT doc_id, lang FROM fx WHERE doc_id % 3 = 0),
+       |featsE AS MATERIALIZED (
+       |  SELECT f.* FROM feats f JOIN ev USING (doc_id)),
+       |w0 AS MATERIALIZED (
+       |  SELECT r.range AS j, CAST(0.0 AS DOUBLE) AS w FROM range($buckets) r),
+       |$labCtes,
+       |$trainCtes,
+       |zs AS MATERIALIZED (
+       |  $zUnion),
+       |pred AS MATERIALIZED (
+       |  SELECT e.doc_id, e.lang, $langsLit[r.ci + 1] AS predicted
+       |  FROM (SELECT doc_id, ci, row_number() OVER (PARTITION BY doc_id
+       |          ORDER BY z DESC, ci) AS rn FROM zs) r
+       |  JOIN ev e USING (doc_id) WHERE r.rn = 1),
+       |htk AS (
+       |  SELECT doc_id, lang,
+       |    CASE WHEN len(trim(lower(text))) = 0
+       |         THEN CAST([] AS VARCHAR[])
+       |         ELSE string_split_regex(trim(lower(text)),
+       |                                 '[ \\t\\n\\x0B\\f\\r]+') END AS t
+       |  FROM fx WHERE doc_id % 3 = 0),
+       |hv AS (
+       |  SELECT doc_id, lang,
+       |    len(list_filter(t, x -> list_contains(
+       |      ['the','a','an','and','of','to','in','is','it','that'], x))) AS en,
+       |    len(list_filter(t, x -> list_contains(
+       |      ['le','la','les','de','des','et','un','une','est','que'], x))) AS fr,
+       |    len(list_filter(t, x -> list_contains(
+       |      ['el','la','los','las','de','y','un','una','es','que'], x))) AS es,
+       |    len(list_filter(t, x -> list_contains(
+       |      ['der','die','das','und','ein','eine','ist','von','zu','mit'], x))) AS de
+       |  FROM htk),
+       |hp AS MATERIALIZED (
+       |  SELECT doc_id, lang,
+       |    CASE WHEN greatest(en, fr, es, de) = 0 THEN 'und'
+       |         WHEN en = greatest(en, fr, es, de) THEN 'en'
+       |         WHEN fr = greatest(en, fr, es, de) THEN 'fr'
+       |         WHEN es = greatest(en, fr, es, de) THEN 'es'
+       |         ELSE 'de' END AS predicted
+       |  FROM hv),
+       |acc AS MATERIALIZED (
+       |  SELECT round(avg(CASE WHEN p.predicted = p.lang THEN 1.0 ELSE 0.0 END), 6) AS model_acc,
+       |         round(avg(CASE WHEN h.predicted = h.lang THEN 1.0 ELSE 0.0 END), 6) AS heur_acc
+       |  FROM pred p JOIN hp h USING (doc_id))
+       |SELECT p.lang, p.predicted, CAST(count(*) AS BIGINT) AS n,
+       |       a.model_acc, a.heur_acc
+       |FROM pred p, acc a
+       |WHERE a.model_acc > a.heur_acc
+       |GROUP BY p.lang, p.predicted, a.model_acc, a.heur_acc""".stripMargin
+  }
+
   // -------------------------------------------------------------------
   // Deterministic sampling: both operators draw from
   // xxhash64(struct(row), seed) — Spark folds the struct FIELDS in

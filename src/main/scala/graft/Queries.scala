@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.{TextFunctions => TF, VectorFunctions => VF}
-import graft.operators.{Decontaminate, Dedup, Dimensions, FuzzyMatch, LmQuality, Multimodal, Ops, Packing, Ranking, Similarity}
+import graft.operators.{Classifier, Decontaminate, Dedup, Dimensions, FuzzyMatch, LmQuality, Multimodal, Ops, Packing, Ranking, Similarity}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -5897,6 +5897,76 @@ object Queries {
            |       ELSE core END AS extracted
            |FROM e""".stripMargin))
 
+  /** Language-ID MODEL under the oracle (r14): the r13 q_langid audit
+    * honestly showed the stopword heuristic reads the synthetic corpus
+    * as English under every label — it cannot power a mixture
+    * pipeline. This is the fastText-recipe upgrade on the
+    * deterministic trainer: a MULTI-SCRIPT fixture (en/fr Latin, ru
+    * Cyrillic, el Greek — deterministic 12-word sentences from
+    * per-language vocabularies), hashed char-trigram presence
+    * features, one [[Classifier]] delta-rule chain per language
+    * (one-vs-rest, bit-identical weights), argmax scoring of the
+    * held-out split as ONE codegen projection, confusion table out —
+    * with the heuristic's accuracy on the SAME split beside it and an
+    * in-plan gate `model_acc > heur_acc`, so the claimed upgrade is
+    * measured, not asserted (the heuristic scores ~0.5 here: ru/el
+    * have zero stopword hits and fall to 'und'). The oracle replays
+    * fixture, dictionary hash, all four training chains, both
+    * predictors, and the gate.
+    */
+  private val qLangIdModel = Q("q_langid_model",
+    (s, dir) => {
+      val id = col("doc_id")
+      val langs = Seq("en", "fr", "ru", "el")
+      val vocab = Seq(
+        Seq("the", "and", "of", "to", "house", "water", "bread", "good"),
+        Seq("le", "la", "les", "des", "maison", "eau", "pain", "bon"),
+        Seq("дом", "вода", "хлеб", "и", "не", "хорошо", "день", "утро"),
+        Seq("και", "το", "νερό", "ψωμί", "σπίτι", "καλό", "ημέρα", "δεν"))
+      val (buckets, iters, lr, nWords, gramN) = (256, 6, 2.0, 12, 3)
+      val li = pmod(id, lit(langs.size))
+      val lang = element_at(typedlit(langs), (li + 1).cast("int"))
+      val words = (0 until nWords).map { i =>
+        element_at(element_at(
+          typedlit(vocab.map(_.toIndexedSeq).toIndexedSeq), (li + 1).cast("int")),
+          (pmod(id * 31 + lit(i * 7), lit(vocab.head.size)) + 1).cast("int"))
+      }
+      val fixture = t(s, dir, "documents")
+        .select(id.cast("bigint").as("doc_id"), lang.as("lang"),
+          concat_ws(" ", words: _*).as("text"))
+      val hist = fixture.filter(pmod(col("doc_id"), lit(3)) =!= 0)
+      val eval = fixture.filter(pmod(col("doc_id"), lit(3)) === 0)
+      val frame = Classifier
+        .perDocCharFeatures(hist, "text", "doc_id", col("lang"), buckets, gramN)
+        .repartition(8, col("__id"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val ws =
+        try Classifier.trainLangId(frame, langs, buckets, iters, lr)
+        finally frame.unpersist(blocking = false)
+      val scored = eval.select(col("lang"),
+        Classifier.langIdPredictCol(
+          Classifier.charBucketSet(col("text"), buckets, gramN), langs, ws)
+          .as("predicted"),
+        TF.langIdHeuristic(col("text")).as("__heur"))
+      val acc = scored.agg(
+        round(avg((col("predicted") === col("lang")).cast("double")), 6)
+          .as("model_acc"),
+        round(avg((col("__heur") === col("lang")).cast("double")), 6)
+          .as("heur_acc"))
+      scored.groupBy(col("lang"), col("predicted"))
+        .agg(count(lit(1)).cast("bigint").as("n"))
+        .crossJoin(broadcast(acc))
+        .filter(col("model_acc") > col("heur_acc"))
+    },
+    Some(OracleSqlGen.langIdModel(256, 6, "2.0",
+      Seq("en", "fr", "ru", "el"),
+      Seq(
+        Seq("the", "and", "of", "to", "house", "water", "bread", "good"),
+        Seq("le", "la", "les", "des", "maison", "eau", "pain", "bon"),
+        Seq("дом", "вода", "хлеб", "и", "не", "хорошо", "день", "утро"),
+        Seq("και", "το", "νερό", "ψωμί", "σπίτι", "καλό", "ημέρα", "δεν")),
+      nWords = 12, gramN = 3)))
+
   /** Sitemap discovery under the oracle (r14): the frontier loop's
     * missing step — `robots.txt` → [[TF.robotsSitemaps]] (the sitemap
     * URL) → [[TF.sitemapEntries]] (urlset vs sitemapindex split) →
@@ -5988,6 +6058,7 @@ object Queries {
     qHtmlExtract, qQualityRules, qUrlNormalize, qContainerMeta, qRobotsFilter,
     qCrawlClean, qTextDecode, qAnnSq8, qLangId, qNegativeSample, qDriftPsi,
     qLinkExtract, qFrontierLinks, qWarcIngest, qSitemapFrontier,
+    qLangIdModel,
     qSelect, qFilter, qFilterRouter,
     qJoinInner, qJoinLeft3key, qJoinRight, qJoinMultiway,
     qAgg, qDistinct, qWindowRank, qSort, qUnionDedup,

@@ -250,4 +250,77 @@ object Classifier {
       perDoc.unpersist(blocking = false)
     }
   }
+
+  // ---- hashed char-n-gram language ID (round 14) ---------------------
+  //
+  // The fastText language-ID recipe (Joulin et al. 2016) re-expressed
+  // on the deterministic trainer above: character n-gram presence
+  // features hashed into `buckets`, one binary delta-rule classifier
+  // per language (one-vs-rest), prediction = argmax of the exact
+  // fixed-point scores with ties to the FIRST label in training order.
+  // Weights are bit-identical across runs/engines (the [[train]]
+  // contract), so the whole train→predict chain replays under the
+  // DuckDB oracle ([[graft.OracleSqlGen.langIdModel]]).
+
+  /** Per-doc char-n-gram incidence frame (__id, n_words, __lang, bs):
+    * the [[perDocFeatures]] shape with [[graft.functions.TextFunctions
+    * .charShingles]] tokens — script-sensitive, so Cyrillic/Greek/CJK
+    * text separates even when a word heuristic sees zero stopwords. */
+  def perDocCharFeatures(docs: DataFrame, textCol: String, idCol: String,
+                         labelCol: Column, buckets: Int,
+                         n: Int = 3): DataFrame = {
+    require(buckets >= 2 && buckets <= (1 << 20),
+      s"buckets must be in [2, 2^20], got $buckets")
+    docs
+      .select(col(idCol).as("__id"), labelCol.as("__lang"),
+        explode(graft.functions.TextFunctions.charShingles(col(textCol), n))
+          .as("g"))
+      .select(col("__id"), col("__lang"),
+        Importance.bucket(col("g"), buckets).as("b"))
+      .groupBy("__id")
+      .agg(count(lit(1)).as("n_words"), first(col("__lang")).as("__lang"),
+        collect_set(col("b")).as("bs"))
+  }
+
+  /** One-vs-rest training over a cached [[perDocCharFeatures]] frame:
+    * one [[train]] run per label (the frame is shared — featurization
+    * is ONE corpus pass regardless of label count), weights in
+    * `labels` order. */
+  def trainLangId(charFrame: DataFrame, labels: Seq[String], buckets: Int,
+                  iters: Int, lr: Double): Seq[Array[Double]] = {
+    require(labels.nonEmpty && labels.distinct == labels,
+      s"labels must be non-empty and distinct, got $labels")
+    requireFixedPointHeadroom(lr * iters.max(1), buckets,
+      s"trainLangId(iters=$iters, lr=$lr)")
+    labels.map { k =>
+      train(charFrame.select(col("__id"), col("n_words"),
+        (col("__lang") === k).cast("double").as("y"), col("bs")),
+        buckets, iters, lr)
+    }
+  }
+
+  /** Predicted label as a PURE PROJECTION over a bucket-set column —
+    * argmax of the per-class exact fixed-point scores (σ̃ is monotone,
+    * so the raw z ranks identically), ties to the first label. No
+    * aggregation, no state: runs unchanged in append-mode Structured
+    * Streaming — train offline, label the 24/7 ingest. */
+  def langIdPredictCol(bs: Column, labels: Seq[String],
+                       weights: Seq[Array[Double]]): Column = {
+    require(labels.size == weights.size,
+      s"${labels.size} labels vs ${weights.size} weight vectors")
+    val zs = array(weights.map(w =>
+      zCol(typedlit(w.map(quantize).toIndexedSeq), bs)): _*)
+    // array_position returns the FIRST index holding the max — the
+    // deterministic tie-break the oracle replays as (z DESC, class)
+    element_at(typedlit(labels),
+      array_position(zs, array_max(zs)).cast("int"))
+  }
+
+  /** The per-row bucket set for [[langIdPredictCol]], from raw text —
+    * the streaming-safe featurization twin of [[perDocCharFeatures]]
+    * (same distinct-bucket set, no group-by). */
+  def charBucketSet(text: Column, buckets: Int, n: Int = 3): Column =
+    array_distinct(transform(
+      graft.functions.TextFunctions.charShingles(text, n),
+      g => Importance.bucket(g, buckets)))
 }

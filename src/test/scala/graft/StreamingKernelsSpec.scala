@@ -125,6 +125,48 @@ class StreamingKernelsSpec extends SparkSpec {
     assert(docs.forall { case (id, _, pos) => (streamed(id) > 0.5) == pos })
   }
 
+  test("langid model: one-vs-rest argmax is a stateless stream " +
+    "projection, stream equals batch, multi-script separation") {
+    import graft.operators.Classifier
+    val langs = Seq("en", "ru", "el")
+    val vocab = Map(
+      "en" -> Seq("the", "house", "water", "bread", "good", "and"),
+      "ru" -> Seq("дом", "вода", "хлеб", "хорошо", "день", "не"),
+      "el" -> Seq("και", "νερό", "ψωμί", "σπίτι", "καλό", "ημέρα"))
+    val docs = (1 to 60).map { i =>
+      val lang = langs(i % 3)
+      val v = vocab(lang)
+      (i.toLong, (0 until 6).map(k => v((i + k) % v.size)).mkString(" "), lang)
+    }
+    val df = docs.toDF("doc_id", "text", "lang")
+    val (buckets, n) = (128, 3)
+    // offline one-vs-rest training; the weight vectors ride into the
+    // streaming query as data — prediction is argmax over exact
+    // fixed-point scores, a pure projection (no state, APPEND mode)
+    val ws = Classifier.trainLangId(
+      Classifier.perDocCharFeatures(df, "text", "doc_id", col("lang"), buckets, n),
+      langs, buckets, iters = 4, lr = 2.0)
+    def pipeline(in: org.apache.spark.sql.DataFrame) = in.select(
+      col("doc_id"),
+      Classifier.langIdPredictCol(
+        Classifier.charBucketSet(col("text"), buckets, n), langs, ws)
+        .as("predicted"))
+    val batch = pipeline(df).as[(Long, String)].collect().toMap
+
+    val input = MemoryStream[(Long, String)](spark, numPartitions = 1)
+    val q = pipeline(input.toDS().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("langid_stream")
+      .outputMode("append").start()
+    input.addData(docs.map(d => (d._1, d._2)): _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("langid_stream")
+      .as[(Long, String)].collect().toMap
+    assert(streamed == batch)
+    // and the model actually separates the three scripts
+    assert(docs.forall { case (id, _, lang) => streamed(id) == lang })
+  }
+
   test("k-means assignment: stateless stream projection equals batch fitAssign") {
     import graft.operators.KMeans
     val vecs = (0 until 60).map { i =>
