@@ -264,15 +264,86 @@ object FuzzyMatch {
   private[graft] def thresholdCandidates(main: DataFrame, mainField: String,
                                          lookup: DataFrame, lookupField: String,
                                          tau: Double): DataFrame = {
+    // the output filter compares the 6-decimal ROUNDED score (oracle
+    // parity), which admits jw >= tau − 0.5e-6 — the pruning bounds
+    // are derived from that effective threshold inside
+    // [[signatureFrames]] or a pair rounding up across tau could be
+    // pruned away yet demanded by the oracle
+    val (m, l) = signatureFrames(main, mainField, lookup, lookupField, tau)
+    m.join(l, Seq("__ft_band", "__ft_sig"))
+      .select(col("__ft_mf"), col("__ft_lf"))
+      .distinct()
+  }
+
+  /** Pre-flight REGIME PROBE for [[thresholdJoin]] (round 14, the
+    * boilerplate finding): the EXACT deduped candidate count of the
+    * (band, signature) prefix filter vs the distinct-value brute
+    * force. Returns (candidates, bruteForcePairs, share).
+    *
+    * A share ≥ ~1 diagnoses the templated-boilerplate regime
+    * (SCALING.md r13: one length band, near-identical char bags —
+    * candidates ≈ 100% of brute force BY CONSTRUCTION, because the
+    * pairs genuinely qualify and the cost is the OUTPUT); diverse
+    * corpora read the 16–67% shares of the measured tau ladder.
+    *
+    * Cost honesty: the probe runs candidate GENERATION (the hash join
+    * + pair dedup — cheap rows) to predict whether VERIFICATION (the
+    * O(len²) exact Jaro-Winkler per pair — the expensive half, and on
+    * boilerplate also the quadratic OUTPUT re-expansion) is about to
+    * degenerate. On a degenerate corpus the probe itself materializes
+    * ~brute-force count rows once; that is the price of a certain
+    * answer, and still orders below verifying + emitting them. */
+  def prefixFilterDegeneracy(main: DataFrame, mainField: String,
+                             lookup: DataFrame, lookupField: String,
+                             tau: Double): (Long, Long, Double) = {
+    val cands =
+      thresholdCandidates(main, mainField, lookup, lookupField, tau).count()
+    val mD = main.filter(col(mainField).isNotNull)
+      .select(lower(col(mainField))).distinct().count()
+    val lD = lookup.filter(col(lookupField).isNotNull)
+      .select(lower(col(lookupField))).distinct().count()
+    val brute = mD * lD
+    (cands, brute, if (brute == 0L) 0.0 else cands.toDouble / brute)
+  }
+
+  /** [[thresholdJoin]] behind the regime guard: runs
+    * [[prefixFilterDegeneracy]] first and REFUSES — a named error,
+    * never a silent quadratic grind — when the projected candidate
+    * share exceeds `maxShare`. The refusal message carries the
+    * numbers and the way out (the cost is the output: raise tau,
+    * pre-dedup the template, or accept the quadratic output and call
+    * thresholdJoin directly). */
+  def thresholdJoinChecked(main: DataFrame, mainId: String, mainField: String,
+                           lookup: DataFrame, lookupId: String,
+                           lookupField: String, tau: Double,
+                           maxShare: Double = 0.9,
+                           matchCol: String = "match_value",
+                           scoreCol: String = "match_score"): DataFrame = {
+    val (proj, brute, share) =
+      prefixFilterDegeneracy(main, mainField, lookup, lookupField, tau)
+    require(share <= maxShare,
+      f"thresholdJoin regime guard: projected candidates $proj%d are " +
+        f"$share%.2f of the $brute%d distinct-value brute force " +
+        f"(> maxShare=$maxShare%.2f) — templated/boilerplate values " +
+        "defeat the prefix filter BY CONSTRUCTION (the pairs genuinely " +
+        "qualify; the cost is the output). Raise tau, pre-deduplicate " +
+        "the template, or call thresholdJoin directly to accept the " +
+        "quadratic output.")
+    thresholdJoin(main, mainId, mainField, lookup, lookupId, lookupField,
+      tau, matchCol, scoreCol)
+  }
+
+  /** The two signature frames of [[thresholdCandidates]] — shared with
+    * [[prefixFilterDegeneracy]] so the guard measures EXACTLY the
+    * join keys the candidate generation uses. */
+  private def signatureFrames(main: DataFrame, mainField: String,
+                              lookup: DataFrame, lookupField: String,
+                              tau: Double): (DataFrame, DataFrame) = {
     require(tau >= 0.801 && tau <= 1.0,
       s"thresholdJoin prunes with length-ratio and char-overlap bounds " +
         s"that are vacuous at tau <= 0.8 (ratio bound 3*((tau-0.4)/0.6)-2 " +
         s"<= 0); got tau = $tau. Use bestMatch (broadcast argmax) or a " +
         s"higher threshold.")
-    // the output filter compares the 6-decimal ROUNDED score (oracle
-    // parity), which admits jw >= tau − 0.5e-6 — the pruning bounds
-    // must be derived from that effective threshold or a pair rounding
-    // up across tau could be pruned away yet demanded by the oracle
     val tauEff = tau - 5e-7
     val jmin = (tauEff - 0.4) / 0.6
     val r = 3 * jmin - 2
@@ -297,9 +368,7 @@ object FuzzyMatch {
           .as("__ft_band"))
       .select(col("__ft_lf"), col("__ft_band"),
         explode(fuzzy_signature(col("__ft_lf"), frac)).as("__ft_sig"))
-    m.join(l, Seq("__ft_band", "__ft_sig"))
-      .select(col("__ft_mf"), col("__ft_lf"))
-      .distinct()
+    (m, l)
   }
 
   def thresholdJoin(main: DataFrame, mainId: String, mainField: String,

@@ -229,6 +229,45 @@ class FuzzyMatchSpec extends SparkSpec {
     assert(cands <= distinctVals)
   }
 
+  test("regime guard (r14): degeneracy probe reads ~1.0 on boilerplate " +
+    "and thresholdJoinChecked refuses loudly; diverse values pass") {
+    def v(i: Int): String = s"connection timeout contacting upstream host $i"
+    val mains = (0 until 60).map(i => (i.toLong, v(i))).toDF("id", "name")
+    val lookups = (0 until 40).map(i => (2000L + i, v(i))).toDF("cid", "cname")
+    // boilerplate: one band, near-identical char bags — projected
+    // candidate share >= 1 (upper bound counts multi-entry meets)
+    val (proj, brute, share) = FuzzyMatch.prefixFilterDegeneracy(
+      mains, "name", lookups, "cname", 0.93)
+    assert(brute == 60L * 40L)
+    assert(share >= 0.9, s"boilerplate share read $share (proj=$proj)")
+    val err = intercept[IllegalArgumentException] {
+      FuzzyMatch.thresholdJoinChecked(mains, "id", "name",
+        lookups, "cid", "cname", tau = 0.93).count()
+    }
+    assert(err.getMessage.contains("regime guard"), err.getMessage)
+    assert(err.getMessage.contains("boilerplate"), err.getMessage)
+
+    // diverse values (the names regime of the SCALING tau ladder —
+    // short distinct words, tau high enough that the kept prefix is a
+    // few scrambled chars): the filter prunes, the probe says so, the
+    // checked join proceeds and equals the unchecked join
+    val rnd = new scala.util.Random(7)
+    def word(): String =
+      (0 until 8 + rnd.nextInt(7)).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    val dm = (0 until 300).map(i => (i.toLong, word())).toDF("id", "name")
+    val dl = (0 until 100).map(i => (5000L + i, word())).toDF("cid", "cname")
+    val (_, _, dShare) = FuzzyMatch.prefixFilterDegeneracy(
+      dm, "name", dl, "cname", 0.95)
+    assert(dShare < 0.7, s"diverse share read $dShare")
+    val checked = FuzzyMatch.thresholdJoinChecked(dm, "id", "name",
+      dl, "cid", "cname", tau = 0.95)
+      .select("id", "cid").as[(Long, Long)].collect().toSet
+    val plain = FuzzyMatch.thresholdJoin(dm, "id", "name",
+      dl, "cid", "cname", tau = 0.95)
+      .select("id", "cid").as[(Long, Long)].collect().toSet
+    assert(checked == plain)
+  }
+
   test("thresholdJoin: empty strings pair only with each other; nulls drop; low tau refused") {
     val m = Seq((1L, ""), (2L, "x"), (3L, null.asInstanceOf[String])).toDF("id", "name")
     val l = Seq((10L, ""), (20L, "y")).toDF("cid", "cname")
