@@ -5923,7 +5923,7 @@ object Queries {
         Seq("le", "la", "les", "des", "maison", "eau", "pain", "bon"),
         Seq("дом", "вода", "хлеб", "и", "не", "хорошо", "день", "утро"),
         Seq("και", "το", "νερό", "ψωμί", "σπίτι", "καλό", "ημέρα", "δεν"))
-      val (buckets, iters, lr, nWords, gramN) = (256, 6, 2.0, 12, 3)
+      val (buckets, iters, lr, nWords, gramN) = (256, 4, 2.0, 12, 3)
       val li = pmod(id, lit(langs.size))
       val lang = element_at(typedlit(langs), (li + 1).cast("int"))
       val words = (0 until nWords).map { i =>
@@ -5958,7 +5958,7 @@ object Queries {
         .crossJoin(broadcast(acc))
         .filter(col("model_acc") > col("heur_acc"))
     },
-    Some(OracleSqlGen.langIdModel(256, 6, "2.0",
+    Some(OracleSqlGen.langIdModel(256, 4, "2.0",
       Seq("en", "fr", "ru", "el"),
       Seq(
         Seq("the", "and", "of", "to", "house", "water", "bread", "good"),

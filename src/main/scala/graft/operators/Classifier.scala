@@ -155,9 +155,16 @@ object Classifier {
     * collect — the inherently-sequential global barrier of full-batch
     * gradient descent. */
   def train(perDoc: DataFrame, buckets: Int, iters: Int,
-            lr: Double): Array[Double] = {
+            lr: Double): Array[Double] =
+    train(perDoc, buckets, iters, lr, perDoc.count())
+
+  /** [[train]] with the doc count supplied — the one-vs-rest caller
+    * ([[trainLangId]]) shares one count across every class instead of
+    * re-counting the SAME cached frame per label. Semantics identical:
+    * `n` enters the update rule as the fixed full-batch divisor. */
+  private[operators] def train(perDoc: DataFrame, buckets: Int, iters: Int,
+                               lr: Double, n: Long): Array[Double] = {
     require(iters >= 0, s"iters must be >= 0, got $iters")
-    val n = perDoc.count() // docs with at least one word
     val w = Array.fill(buckets)(0.0)
     if (n == 0) return w
     for (_ <- 0 until iters) {
@@ -292,10 +299,11 @@ object Classifier {
       s"labels must be non-empty and distinct, got $labels")
     requireFixedPointHeadroom(lr * iters.max(1), buckets,
       s"trainLangId(iters=$iters, lr=$lr)")
+    val n = charFrame.count() // one count, shared by every class
     labels.map { k =>
       train(charFrame.select(col("__id"), col("n_words"),
         (col("__lang") === k).cast("double").as("y"), col("bs")),
-        buckets, iters, lr)
+        buckets, iters, lr, n)
     }
   }
 
