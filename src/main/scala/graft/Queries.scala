@@ -5973,7 +5973,8 @@ object Queries {
     * [[TF.urlResolve]] → [[TF.urlParts]] canonicalization. Four
     * sitemap shapes rotate by doc_id%4: a two-entry urlset with an
     * `&amp;` entity and a RELATIVE loc (resolved against the sitemap's
-    * own URL), a sitemapindex (kind='sitemap'), a CDATA loc behind a
+    * own URL), a GZIPPED sitemapindex (sitemap.xml.gz — decoded
+    * in-plan via the fail-closed `gunzip` kernel), a CDATA loc behind a
     * self-closing `xhtml:link` and a skipped `changefreq`, and a
     * mixed-case host that canonicalization must lowercase. Every 9th
     * doc truncates the XML mid-tag and must come back as ONE all-NULL
@@ -5991,6 +5992,7 @@ object Queries {
         lit("User-agent: *\nDisallow: /private/\nSitemap: "), host,
         lit("/sitemap_"), idS, lit(".xml\n"))
       val m4 = pmod(id, lit(4))
+      val tr = pmod(id, lit(9)) === 0
       val xmlFull = when(m4 === 0, concat(
           lit("<?xml version=\"1.0\" encoding=\"UTF-8\"?>" +
             "<urlset xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">" +
@@ -5999,10 +6001,6 @@ object Queries {
           (pmod(id, lit(9)) + 1).cast("string"),
           lit("</lastmod></url><url><loc>/rel/"), idS,
           lit("</loc></url></urlset>")))
-        .when(m4 === 1, concat(
-          lit("<sitemapindex xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">" +
-            "<sitemap><loc>"), host, lit("/sm/"), idS,
-          lit(".xml</loc><lastmod>2026-08-01</lastmod></sitemap></sitemapindex>")))
         .when(m4 === 2, concat(
           lit("<urlset><!-- generated --><url>" +
             "<xhtml:link rel=\"alternate\" href=\"/x\"/><loc><![CDATA["),
@@ -6011,8 +6009,27 @@ object Queries {
         .otherwise(concat(
           lit("<urlset><url><loc>https://H"), k, lit(".EXAMPLE.com/up/"), idS,
           lit("</loc></url></urlset>")))
-      val xml = when(pmod(id, lit(9)) === 0, substring(xmlFull, 1, 30))
-        .otherwise(xmlFull)
+      // the sitemapindex branch arrives GZIPPED (sitemap.xml.gz is the
+      // protocol's own size answer): fixed content gzipped at plan
+      // build, decoded in-plan through gunzip -> decode_text — the
+      // fail-closed inflate under the oracle. Truncation cuts the
+      // BYTES mid-member, so gunzip itself must refuse.
+      val gzSmXml = "<sitemapindex " +
+        "xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">" +
+        "<sitemap><loc>https://static.example.com/sm/a.xml</loc>" +
+        "<lastmod>2026-08-01</lastmod></sitemap></sitemapindex>"
+      val gzSmHex = {
+        val bos = new java.io.ByteArrayOutputStream()
+        val g = new java.util.zip.GZIPOutputStream(bos)
+        g.write(gzSmXml.getBytes("UTF-8")); g.close()
+        bos.toByteArray.map("%02x".format(_)).mkString
+      }
+      val gzBytes = unhex(lit(gzSmHex))
+      val xml = when(m4 === 1,
+          TF.decodeText(Multimodal.gunzip(
+            when(tr, substring(gzBytes, 1, 20)).otherwise(gzBytes)))
+            .getField("text"))
+        .otherwise(when(tr, substring(xmlFull, 1, 30)).otherwise(xmlFull))
       t(s, dir, "documents")
         .select(id.cast("bigint").as("doc_id"),
           element_at(TF.robotsSitemaps(robots), 1).as("__sm"),
@@ -6038,7 +6055,7 @@ object Queries {
            |  FROM c WHERE NOT tr AND m4 = 0
            |  UNION ALL
            |  SELECT doc_id, 0, 'sitemap',
-           |         'https://h'||k||'.example.com/sm/'||doc_id||'.xml', '2026-08-01'
+           |         'https://static.example.com/sm/a.xml', '2026-08-01'
            |  FROM c WHERE NOT tr AND m4 = 1
            |  UNION ALL
            |  SELECT doc_id, 0, 'url',

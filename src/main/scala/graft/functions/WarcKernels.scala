@@ -88,7 +88,7 @@ object WarcKernels {
     * every byte of the blob must be consumed by a complete,
     * CRC32+ISIZE-verified member or the whole blob is NULL — the
     * fail-closed contract [[records]] documents. */
-  private[graft] def gunzipAll(b: Array[Byte]): Array[Byte] = {
+  def gunzipAll(b: Array[Byte]): Array[Byte] = {
     val cap = math.max(MaxInflate.toLong, 200L * b.length)
       .min(Int.MaxValue.toLong).toInt
     try {

@@ -61,6 +61,15 @@ object Multimodal {
     GraftBridge.column(WR(GraftBridge.expression(blob)))
   }
 
+  /** Concatenated-member gzip inflate, member-exact + CRC/ISIZE
+    * verified + zip-bomb-guarded; NULL on any corruption (r14). The
+    * in-plan decompressor for `.xml.gz` sitemaps, `.jsonl.gz` shards,
+    * and any gzip payload. */
+  def gunzip(blob: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.{GraftBridge, Gunzip => GZ}
+    GraftBridge.column(GZ(GraftBridge.expression(blob)))
+  }
+
   /** HTTP payload -> struct(status, content_type, body); NULL when the
     * payload is not an HTTP message. */
   def httpParts(payload: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {

@@ -1582,6 +1582,34 @@ case class DecodeText(child: Expression)
     copy(child = newChild)
 }
 
+/** Concatenated-member gzip inflate (r14): member-exact, CRC32+ISIZE
+  * verified, zip-bomb-guarded; NULL on any corruption, truncation, or
+  * trailing garbage. The column form of the WARC ingest's inflater —
+  * gzipped sitemaps (`sitemap.xml.gz`), `.jsonl.gz` shards, and any
+  * other gzip payload decode in-plan through the same fail-closed
+  * kernel. See [[graft.functions.WarcKernels.gunzipAll]].
+  */
+case class Gunzip(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true // NULL on any corruption
+  override def prettyName: String = "gunzip"
+
+  override protected def nullSafeEval(v: Any): Any =
+    graft.functions.WarcKernels.gunzipAll(v.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.WarcKernels.gunzipAll($c);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
+
+  override protected def withNewChildInternal(newChild: Expression): Gunzip =
+    copy(child = newChild)
+}
+
 object RobotsParse {
   val schema: DataType = ArrayType(StructType(Seq(
     StructField("agent", StringType, nullable = false),

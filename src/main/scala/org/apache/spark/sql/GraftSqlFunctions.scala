@@ -216,6 +216,12 @@ object GraftSqlFunctions {
           "order (group-independent per RFC 9309)"),
       arity("robots_sitemaps", "robots_sitemaps(text)", 1, 1)(
         c => RobotsSitemaps(c(0)))),
+    (FunctionIdentifier("gunzip"),
+      info("gunzip",
+        "gunzip(binary) - concatenated-member gzip inflate, CRC/ISIZE " +
+          "verified, zip-bomb-guarded; NULL on any corruption"),
+      arity("gunzip", "gunzip(binary)", 1, 1)(
+        c => Gunzip(c(0)))),
     (FunctionIdentifier("sitemap_entries"),
       info("sitemap_entries",
         "sitemap_entries(xml) - sitemap/sitemap-index frontier entries " +
