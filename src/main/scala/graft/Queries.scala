@@ -5967,6 +5967,111 @@ object Queries {
         Seq("και", "το", "νερό", "ψωμί", "σπίτι", "καλό", "ημέρα", "δεν")),
       nWords = 12, gramN = 3)))
 
+  /** PDF ingest under the oracle (r14): a complete single-page PDF —
+    * header, catalog/pages/page objects, content stream, CLASSIC XREF
+    * TABLE with real 10-digit byte offsets computed in-plan from the
+    * variable-length pieces, trailer, startxref — is constructed per
+    * doc and pulled back through [[Multimodal.pdfMeta]] +
+    * [[Multimodal.pdfText]]. Three body shapes rotate by doc_id%3:
+    * per-doc literal strings with Td/T* line breaks, a CONSTANT
+    * FlateDecode content stream (deflated at plan build — the decoded
+    * text is what the oracle checks), and per-doc TJ kerning arrays.
+    * Every 6th doc truncates the blob and must come back all-NULL.
+    * The oracle recomputes version, page count, and the exact
+    * extracted text arithmetically.
+    */
+  private val qPdfExtract = Q("q_pdf_extract",
+    (s, dir) => {
+      val id = col("doc_id")
+      val idS = id.cast("string")
+      val word = element_at(
+        typedlit(Seq("alpha", "beta", "gamma", "delta", "omega")),
+        (pmod(id, lit(5)) + 1).cast("int"))
+      val m3 = pmod(id, lit(3))
+      val content = when(m3 === 2,
+          concat(lit("BT [(doc )-10("), idS, lit(")] TJ ET")))
+        .otherwise(concat(lit("BT /F1 12 Tf 72 720 Td (doc "), idS,
+          lit(" reports "), word, lit(") Tj T* (second line "), idS,
+          lit(") Tj ET")))
+      val h = lit("%PDF-1.4\n")
+      val o1 = lit("1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n")
+      val o2 = lit("2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n")
+      val o3 = lit("3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R >> endobj\n")
+      val o4 = concat(lit("4 0 obj << /Length "),
+        length(content).cast("string"), lit(" >> stream\n"), content,
+        lit("\nendstream endobj\n"))
+      // all pieces are ASCII, so char length == byte length and the
+      // xref offsets are plain length arithmetic
+      val off1 = length(h)
+      val off2 = off1 + length(o1)
+      val off3 = off2 + length(o2)
+      val off4 = off3 + length(o3)
+      val xrefOff = off4 + length(o4)
+      def entry(off: Column): Column =
+        concat(lpad(off.cast("string"), 10, "0"), lit(" 00000 n \n"))
+      val pdfStr = concat(h, o1, o2, o3, o4,
+        lit("xref\n0 5\n0000000000 65535 f \n"),
+        entry(off1), entry(off2), entry(off3), entry(off4),
+        lit("trailer << /Size 5 /Root 1 0 R >>\nstartxref\n"),
+        xrefOff.cast("string"), lit("\n%%EOF"))
+      // the FlateDecode branch: a constant document deflated at plan
+      // build (the oracle checks the DECODED text, so zlib byte
+      // choices never matter)
+      val flatePdfHex = {
+        def zb(x: String): Array[Byte] = {
+          val d = new java.util.zip.Deflater()
+          d.setInput(x.getBytes("ISO-8859-1")); d.finish()
+          val bos = new java.io.ByteArrayOutputStream()
+          val buf = new Array[Byte](4096)
+          while (!d.finished()) bos.write(buf, 0, d.deflate(buf))
+          d.end(); bos.toByteArray
+        }
+        val payload = zb("BT (flate fixture page) Tj ET")
+        val out = new java.io.ByteArrayOutputStream()
+        def emit(x: Array[Byte]): Unit = out.write(x)
+        def es(x: String): Unit = emit(x.getBytes("ISO-8859-1"))
+        val offs = scala.collection.mutable.ArrayBuffer[Long]()
+        es("%PDF-1.4\n")
+        offs += out.size(); es("1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n")
+        offs += out.size(); es("2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n")
+        offs += out.size(); es("3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R >> endobj\n")
+        offs += out.size()
+        es(s"4 0 obj << /Filter /FlateDecode /Length ${payload.length} >> stream\n")
+        emit(payload); es("\nendstream endobj\n")
+        val xo = out.size()
+        es("xref\n0 5\n0000000000 65535 f \n")
+        offs.foreach(o => es(f"$o%010d 00000 n \n"))
+        es(s"trailer << /Size 5 /Root 1 0 R >>\nstartxref\n$xo\n%%EOF")
+        out.toByteArray.map("%02x".format(_)).mkString
+      }
+      val blob = when(m3 === 1, unhex(lit(flatePdfHex)))
+        .otherwise(encode(pdfStr, "UTF-8"))
+      val blobTr = when(pmod(id, lit(6)) === 0, substring(blob, 1, 50))
+        .otherwise(blob)
+      val m = Multimodal.pdfMeta(blobTr)
+      t(s, dir, "documents").select(id.cast("bigint").as("doc_id"),
+        m.getField("version").as("version"),
+        m.getField("n_pages").cast("bigint").as("n_pages"),
+        m.getField("encrypted").as("encrypted"),
+        Multimodal.pdfText(blobTr).as("text"))
+    },
+    Some("""WITH c AS (
+           |  SELECT doc_id, doc_id % 3 AS m3, doc_id % 6 = 0 AS tr,
+           |         ['alpha','beta','gamma','delta','omega']
+           |           [CAST(doc_id % 5 AS INT) + 1] AS word
+           |  FROM documents)
+           |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           |  CASE WHEN tr THEN NULL ELSE '1.4' END AS version,
+           |  CAST(CASE WHEN tr THEN NULL ELSE 1 END AS BIGINT) AS n_pages,
+           |  CASE WHEN tr THEN NULL ELSE false END AS encrypted,
+           |  CASE WHEN tr THEN NULL
+           |       WHEN m3 = 1 THEN 'flate fixture page'
+           |       WHEN m3 = 2 THEN 'doc ' || doc_id
+           |       ELSE chr(10) || 'doc ' || doc_id || ' reports ' || word ||
+           |            chr(10) || 'second line ' || doc_id
+           |       END AS text
+           |FROM c""".stripMargin))
+
   /** Sitemap discovery under the oracle (r14): the frontier loop's
     * missing step — `robots.txt` → [[TF.robotsSitemaps]] (the sitemap
     * URL) → [[TF.sitemapEntries]] (urlset vs sitemapindex split) →
@@ -6075,7 +6180,7 @@ object Queries {
     qHtmlExtract, qQualityRules, qUrlNormalize, qContainerMeta, qRobotsFilter,
     qCrawlClean, qTextDecode, qAnnSq8, qLangId, qNegativeSample, qDriftPsi,
     qLinkExtract, qFrontierLinks, qWarcIngest, qSitemapFrontier,
-    qLangIdModel,
+    qLangIdModel, qPdfExtract,
     qSelect, qFilter, qFilterRouter,
     qJoinInner, qJoinLeft3key, qJoinRight, qJoinMultiway,
     qAgg, qDistinct, qWindowRank, qSort, qUnionDedup,

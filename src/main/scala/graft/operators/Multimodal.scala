@@ -61,6 +61,20 @@ object Multimodal {
     GraftBridge.column(WR(GraftBridge.expression(blob)))
   }
 
+  /** PDF triage: struct(version, n_pages, encrypted); NULL on
+    * malformed/unsupported framing (r14). */
+  def pdfMeta(blob: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.{GraftBridge, PdfMeta => PM}
+    GraftBridge.column(PM(GraftBridge.expression(blob)))
+  }
+
+  /** PDF text extraction across the page tree; NULL for encrypted or
+    * unsupported documents (r14). */
+  def pdfText(blob: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.{GraftBridge, PdfText => PT}
+    GraftBridge.column(PT(GraftBridge.expression(blob)))
+  }
+
   /** Concatenated-member gzip inflate, member-exact + CRC/ISIZE
     * verified + zip-bomb-guarded; NULL on any corruption (r14). The
     * in-plan decompressor for `.xml.gz` sitemaps, `.jsonl.gz` shards,

@@ -1582,6 +1582,65 @@ case class DecodeText(child: Expression)
     copy(child = newChild)
 }
 
+object PdfMeta {
+  val schema: DataType = StructType(Seq(
+    StructField("version", StringType, nullable = false),
+    StructField("n_pages", IntegerType, nullable = false),
+    StructField("encrypted", BooleanType, nullable = false)))
+}
+
+/** PDF triage (r14): (version, n_pages, encrypted) via the xref walk
+  * (classic tables + xref streams + /Prev chains); NULL for anything
+  * the fail-closed parser can't vouch for. See
+  * [[graft.functions.PdfKernels.meta]].
+  */
+case class PdfMeta(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
+  override def dataType: DataType = PdfMeta.schema
+  override def nullable: Boolean = true
+  override def prettyName: String = "pdf_meta"
+
+  override protected def nullSafeEval(v: Any): Any =
+    graft.functions.PdfKernels.meta(v.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.PdfKernels.meta($c);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
+
+  override protected def withNewChildInternal(newChild: Expression): PdfMeta =
+    copy(child = newChild)
+}
+
+/** PDF text extraction (r14): page-tree walk + content-stream
+  * text-showing operators (Tj ' " TJ, newlines on Td/TD/T*); NULL for
+  * encrypted documents, unsupported filters, or any framing the
+  * parser can't vouch for. See [[graft.functions.PdfKernels.text]].
+  */
+case class PdfText(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def prettyName: String = "pdf_text"
+
+  override protected def nullSafeEval(v: Any): Any =
+    graft.functions.PdfKernels.text(v.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.PdfKernels.text($c);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
+
+  override protected def withNewChildInternal(newChild: Expression): PdfText =
+    copy(child = newChild)
+}
+
 /** Concatenated-member gzip inflate (r14): member-exact, CRC32+ISIZE
   * verified, zip-bomb-guarded; NULL on any corruption, truncation, or
   * trailing garbage. The column form of the WARC ingest's inflater —

@@ -216,6 +216,18 @@ object GraftSqlFunctions {
           "order (group-independent per RFC 9309)"),
       arity("robots_sitemaps", "robots_sitemaps(text)", 1, 1)(
         c => RobotsSitemaps(c(0)))),
+    (FunctionIdentifier("pdf_meta"),
+      info("pdf_meta",
+        "pdf_meta(binary) - PDF triage struct(version, n_pages, " +
+          "encrypted); NULL on malformed/unsupported framing"),
+      arity("pdf_meta", "pdf_meta(binary)", 1, 1)(
+        c => PdfMeta(c(0)))),
+    (FunctionIdentifier("pdf_text"),
+      info("pdf_text",
+        "pdf_text(binary) - text-showing-operator extraction across the " +
+          "page tree; NULL for encrypted/unsupported documents"),
+      arity("pdf_text", "pdf_text(binary)", 1, 1)(
+        c => PdfText(c(0)))),
     (FunctionIdentifier("gunzip"),
       info("gunzip",
         "gunzip(binary) - concatenated-member gzip inflate, CRC/ISIZE " +

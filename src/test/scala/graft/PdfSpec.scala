@@ -1,0 +1,246 @@
+package graft
+
+import graft.functions.PdfKernels
+import org.apache.spark.sql.functions._
+
+/** [[PdfKernels]] — PDF triage + text extraction. Fixtures are built
+  * byte-by-byte with REAL cross-reference offsets (classic tables,
+  * xref streams with and without PNG predictors, compressed object
+  * streams), so the parser is exercised against the actual framing
+  * crawled PDFs carry, not a hand-wave.
+  */
+class PdfSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def b(s: String): Array[Byte] = s.getBytes("ISO-8859-1")
+
+  private def zlib(data: Array[Byte]): Array[Byte] = {
+    val d = new java.util.zip.Deflater()
+    d.setInput(data); d.finish()
+    val bos = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](1 << 12)
+    while (!d.finished()) bos.write(buf, 0, d.deflate(buf))
+    d.end()
+    bos.toByteArray
+  }
+
+  /** Classic-xref PDF with one content stream per page. */
+  private def classicPdf(pageContents: Seq[String],
+                         version: String = "1.4",
+                         flate: Boolean = false): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    val offsets = scala.collection.mutable.ArrayBuffer[Long](0L) // obj 0
+    def emit(s: Array[Byte]): Unit = out.write(s)
+    emit(b(s"%PDF-$version\n"))
+    val n = pageContents.size
+    // object numbering: 1 catalog, 2 pages, 3..3+n-1 page objs,
+    // 3+n..3+2n-1 content streams
+    offsets += out.size()
+    emit(b("1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n"))
+    offsets += out.size()
+    val kids = (0 until n).map(i => s"${3 + i} 0 R").mkString(" ")
+    emit(b(s"2 0 obj << /Type /Pages /Kids [$kids] /Count $n >> endobj\n"))
+    for (i <- 0 until n) {
+      offsets += out.size()
+      emit(b(s"${3 + i} 0 obj << /Type /Page /Parent 2 0 R " +
+        s"/Contents ${3 + n + i} 0 R >> endobj\n"))
+    }
+    for (i <- 0 until n) {
+      offsets += out.size()
+      val payload = if (flate) zlib(b(pageContents(i))) else b(pageContents(i))
+      val filter = if (flate) "/Filter /FlateDecode " else ""
+      emit(b(s"${3 + n + i} 0 obj << $filter/Length ${payload.length} >> stream\n"))
+      emit(payload)
+      emit(b("\nendstream endobj\n"))
+    }
+    val xrefOff = out.size()
+    emit(b(s"xref\n0 ${3 + 2 * n}\n"))
+    emit(b("0000000000 65535 f \n"))
+    for (i <- 1 until 3 + 2 * n)
+      emit(b(f"${offsets(i)}%010d 00000 n \n"))
+    emit(b(s"trailer << /Size ${3 + 2 * n} /Root 1 0 R >>\n" +
+      s"startxref\n$xrefOff\n%%EOF"))
+    out.toByteArray
+  }
+
+  /** xref-STREAM PDF; optionally stores catalog/pages/page dicts in a
+    * compressed object stream (type-2 entries) and optionally runs the
+    * xref rows through the PNG up predictor. */
+  private def xrefStreamPdf(content: String, objStm: Boolean,
+                            predictor: Boolean): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def emit(s: Array[Byte]): Unit = out.write(s)
+    emit(b("%PDF-1.5\n"))
+    val offsets = scala.collection.mutable.HashMap.empty[Int, Long]
+    // obj 4: the content stream (always top-level)
+    val payload = zlib(b(content))
+    // objects 1..3 either top-level or inside ObjStm obj 5
+    val catalog = "<< /Type /Catalog /Pages 2 0 R >>"
+    val pages = "<< /Type /Pages /Kids [3 0 R] /Count 1 >>"
+    val page = "<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>"
+    if (!objStm) {
+      offsets(1) = out.size(); emit(b(s"1 0 obj $catalog endobj\n"))
+      offsets(2) = out.size(); emit(b(s"2 0 obj $pages endobj\n"))
+      offsets(3) = out.size(); emit(b(s"3 0 obj $page endobj\n"))
+    } else {
+      // ObjStm obj 5: header "1 off1 2 off2 3 off3" then the dicts
+      val bodies = Seq(catalog, pages, page)
+      val sb = new StringBuilder
+      val offs = scala.collection.mutable.ArrayBuffer.empty[Int]
+      bodies.foreach { body => offs += sb.length; sb.append(body).append(' ') }
+      val header = (1 to 3).zip(offs).map { case (num, o) => s"$num $o" }
+        .mkString(" ") + " "
+      val stm = zlib(b(header + sb.toString))
+      offsets(5) = out.size()
+      emit(b(s"5 0 obj << /Type /ObjStm /N 3 /First ${header.length} " +
+        s"/Filter /FlateDecode /Length ${stm.length} >> stream\n"))
+      emit(stm)
+      emit(b("\nendstream endobj\n"))
+    }
+    offsets(4) = out.size()
+    emit(b(s"4 0 obj << /Filter /FlateDecode /Length ${payload.length} >> stream\n"))
+    emit(payload)
+    emit(b("\nendstream endobj\n"))
+    // obj 6: the xref stream. W = [1 4 2]; entries for objects 0..6.
+    val xrefOff = out.size()
+    def row(t: Int, f2: Long, f3: Int): Array[Byte] = {
+      val r = new Array[Byte](7)
+      r(0) = t.toByte
+      r(1) = ((f2 >> 24) & 0xff).toByte; r(2) = ((f2 >> 16) & 0xff).toByte
+      r(3) = ((f2 >> 8) & 0xff).toByte; r(4) = (f2 & 0xff).toByte
+      r(5) = ((f3 >> 8) & 0xff).toByte; r(6) = (f3 & 0xff).toByte
+      r
+    }
+    val rows: Seq[Array[Byte]] =
+      if (!objStm) Seq(
+        row(0, 0, 0xffff),
+        row(1, offsets(1), 0), row(1, offsets(2), 0), row(1, offsets(3), 0),
+        row(1, offsets(4), 0), row(0, 0, 0), row(1, xrefOff, 0))
+      else Seq(
+        row(0, 0, 0xffff),
+        row(2, 5, 0), row(2, 5, 1), row(2, 5, 2), // in ObjStm 5 at idx 0..2
+        row(1, offsets(4), 0), row(1, offsets(5), 0), row(1, xrefOff, 0))
+    val rawRows: Array[Byte] =
+      if (!predictor) rows.flatten.toArray
+      else {
+        // PNG Up (filter type 2) per row, filter byte prefixed
+        val filtered = new java.io.ByteArrayOutputStream()
+        var prev = new Array[Byte](7)
+        rows.foreach { r =>
+          filtered.write(2)
+          for (i <- 0 until 7)
+            filtered.write((r(i) - prev(i)) & 0xff)
+          prev = r
+        }
+        filtered.toByteArray
+      }
+    val xstm = zlib(rawRows)
+    val parms = if (predictor) "/DecodeParms << /Predictor 12 /Columns 7 >> " else ""
+    emit(b(s"6 0 obj << /Type /XRef /Size 7 /W [1 4 2] $parms" +
+      s"/Root 1 0 R /Filter /FlateDecode /Length ${xstm.length} >> stream\n"))
+    emit(xstm)
+    emit(b("\nendstream endobj\n"))
+    emit(b(s"startxref\n$xrefOff\n%%EOF"))
+    out.toByteArray
+  }
+
+  private def metaOf(pdf: Array[Byte]): Option[(String, Int, Boolean)] =
+    Option(PdfKernels.meta(pdf)).map(r =>
+      (r.getUTF8String(0).toString, r.getInt(1), r.getBoolean(2)))
+
+  private def textOf(pdf: Array[Byte]): String =
+    Option(PdfKernels.text(pdf)).map(_.toString).orNull
+
+  test("classic xref: meta + single-page Tj extraction") {
+    val pdf = classicPdf(Seq("BT /F1 12 Tf 72 720 Td (Hello classic) Tj ET"))
+    assert(metaOf(pdf).contains(("1.4", 1, false)))
+    assert(textOf(pdf) == "\nHello classic")
+  }
+
+  test("multi-page + TJ arrays + escapes + octal + hex strings + quote ops") {
+    val p1 = "BT (line one) Tj T* (line two) Tj ET"
+    val p2 = "BT [(kerned )-120(pa)5(irs)] TJ ET"
+    val p3 = "BT (esc \\(parens\\) \\\\slash \\101) Tj <48495F21> Tj ET"
+    val p4 = "BT (x) Tj (quoted) ' ET"
+    val pdf = classicPdf(Seq(p1, p2, p3, p4))
+    assert(metaOf(pdf).contains(("1.4", 4, false)))
+    assert(textOf(pdf) ==
+      "line one\nline two" +
+        "\nkerned pairs" +
+        "\nesc (parens) \\slash AHI_!" +
+        "\nx\nquoted")
+  }
+
+  test("FlateDecode content streams extract identically") {
+    val pdf = classicPdf(Seq("BT (flate page ok) Tj ET"), flate = true)
+    assert(textOf(pdf) == "flate page ok")
+  }
+
+  test("xref stream (W fields), with and without the PNG Up predictor") {
+    for (pred <- Seq(false, true)) {
+      val pdf = xrefStreamPdf("BT (xref stream text) Tj ET",
+        objStm = false, predictor = pred)
+      assert(metaOf(pdf).contains(("1.5", 1, false)), s"pred=$pred")
+      assert(textOf(pdf) == "xref stream text", s"pred=$pred")
+    }
+  }
+
+  test("compressed object streams (type-2 entries) resolve the page tree") {
+    val pdf = xrefStreamPdf("BT (objstm text) Tj ET",
+      objStm = true, predictor = true)
+    assert(metaOf(pdf).contains(("1.5", 1, false)))
+    assert(textOf(pdf) == "objstm text")
+  }
+
+  test("fail-closed: encryption, truncation, bad xref, unsupported filter") {
+    val good = classicPdf(Seq("BT (x) Tj ET"))
+    // encrypted: meta reports the flag, text refuses
+    val enc = new String(good, "ISO-8859-1").replace(
+      "trailer << /Size", "trailer << /Encrypt 9 0 R /Size")
+    // (offsets unchanged: the trailer is parsed after the xref table)
+    assert(metaOf(b(enc)).exists(_._3 == true))
+    assert(textOf(b(enc)) == null)
+    // truncations at every prefix: NULL or (full length) the real text
+    for (cut <- Seq(5, 20, good.length / 2))
+      assert(PdfKernels.meta(good.take(cut)) == null, s"cut=$cut")
+    // startxref pointing nowhere
+    val badOff = new String(good, "ISO-8859-1")
+      .replaceAll("startxref\\n\\d+", "startxref\n999999999")
+    assert(metaOf(b(badOff)).isEmpty)
+    // unsupported filter fails closed
+    val lzw = new String(classicPdf(Seq("BT (x) Tj ET"), flate = true), "ISO-8859-1")
+      .replace("/Filter /FlateDecode", "/Filter /LZWDecode__")
+    // (same length: name length preserved by the trailing underscores)
+    assert(textOf(b(lzw)) == null)
+    // not a PDF at all
+    assert(PdfKernels.meta("%PNG nope".getBytes) == null)
+    assert(PdfKernels.text(Array.emptyByteArray) == null)
+  }
+
+  test("fuzz: random bytes and random flips never throw") {
+    val rnd = new scala.util.Random(0x9df1L)
+    val good = classicPdf(Seq("BT (fuzz base) Tj ET"))
+    for (_ <- 0 until 200) {
+      val junk = Array.fill(rnd.nextInt(300))(rnd.nextInt(256).toByte)
+      PdfKernels.meta(junk); PdfKernels.text(junk)
+      val flipped = good.clone()
+      flipped(rnd.nextInt(flipped.length)) =
+        (flipped(rnd.nextInt(flipped.length)) ^ rnd.nextInt(256)).toByte
+      PdfKernels.meta(flipped); PdfKernels.text(flipped)
+    }
+  }
+
+  test("DataFrame + SQL surface") {
+    val pdf = classicPdf(Seq("BT (df text) Tj ET"))
+    val row = Seq((1L, pdf)).toDF("id", "blob")
+      .select(col("id"),
+        graft.operators.Multimodal.pdfMeta(col("blob")).as("m"),
+        graft.operators.Multimodal.pdfText(col("blob")).as("t"))
+      .select(col("m.version"), col("m.n_pages"), col("t")).head()
+    assert(row.getString(0) == "1.4" && row.getInt(1) == 1 &&
+      row.getString(2) == "df text")
+    val viaSql = spark.sql("SELECT pdf_meta(unhex('00')) IS NULL AS n")
+      .as[Boolean].head()
+    assert(viaSql)
+  }
+}
