@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.{TextFunctions => TF, VectorFunctions => VF}
-import graft.operators.{Classifier, Decontaminate, Dedup, Dimensions, FuzzyMatch, LmQuality, Multimodal, Ops, Packing, Ranking, Similarity}
+import graft.operators.{Classifier, Decontaminate, Dedup, Dimensions, FuzzyMatch, LmQuality, Multimodal, Ops, Packing, Ranking, Robots, Similarity}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -5967,6 +5967,65 @@ object Queries {
         Seq("και", "το", "νερό", "ψωμί", "σπίτι", "καλό", "ημέρα", "δεν")),
       nWords = 12, gramN = 3)))
 
+  /** Politeness scheduling under the oracle (r14):
+    * [[graft.operators.Robots.fetchSchedule]] — Crawl-delay directives
+    * parsed with RFC 9309 group attribution (named agent beats `*`,
+    * first directive in file order wins, malformed values skipped),
+    * broadcast to the frontier, and every URL assigned its host's
+    * fetch slot (deterministic rank × delay) with a VISIBLE
+    * `within_budget` flag at maxPerHost=10. Four robots shapes rotate
+    * by host: named-agent 2.5 s (the `*` 9 s must lose), `*` 0.5 s
+    * with a second directive that must NOT win, no delay (default),
+    * and a malformed value (default). The one exchange is the window's
+    * host partitioning — the partitioning a polite fetcher needs
+    * anyway. The oracle replays group selection, ranks, offsets, and
+    * the budget flag.
+    */
+  private val qFrontierSchedule = Q("q_frontier_schedule",
+    (s, dir) => {
+      val id = col("doc_id")
+      val k = pmod(id, lit(20))
+      val host = concat(lit("h"), k.cast("string"), lit(".example.com"))
+      val urls = t(s, dir, "documents").select(
+        concat(lit("https://"), host, lit("/p/"), id.cast("string")).as("url"),
+        host.as("host"))
+      val robots = t(s, dir, "documents")
+        .select(k.as("__k")).distinct()
+        .select(concat(lit("h"), col("__k").cast("string"),
+            lit(".example.com")).as("rhost"),
+          when(pmod(col("__k"), lit(4)) === 0,
+            lit("User-agent: graftbot\nCrawl-delay: 2.5\n" +
+              "User-agent: *\nCrawl-delay: 9\n"))
+            .when(pmod(col("__k"), lit(4)) === 1,
+              lit("User-agent: *\nCrawl-delay: 0.5\nDisallow: /private\n" +
+                "User-agent: *\nCrawl-delay: 7\n"))
+            .when(pmod(col("__k"), lit(4)) === 2,
+              lit("User-agent: *\nDisallow: /x\n"))
+            .otherwise(lit("User-agent: *\nCrawl-delay: soon\n"))
+            .as("rtext"))
+      Robots.fetchSchedule(urls, "url", "host", robots, "rhost", "rtext",
+          agent = "graftbot", defaultDelaySec = 1.0, maxPerHost = 10L)
+        .select(col("url"), col("host"), col("crawl_delay"),
+          col("fetch_rank"), col("fetch_offset_sec"), col("within_budget"))
+    },
+    Some("""WITH u AS (
+           |  SELECT 'https://h' || (doc_id % 20) || '.example.com/p/' || doc_id AS url,
+           |         'h' || (doc_id % 20) || '.example.com' AS host,
+           |         doc_id % 20 AS k
+           |  FROM documents),
+           |r AS (
+           |  SELECT url, host,
+           |         CASE WHEN k % 4 = 0 THEN 2.5
+           |              WHEN k % 4 = 1 THEN 0.5
+           |              ELSE 1.0 END AS crawl_delay,
+           |         CAST(row_number() OVER (PARTITION BY host ORDER BY url) - 1
+           |              AS BIGINT) AS fetch_rank
+           |  FROM u)
+           |SELECT url, host, crawl_delay, fetch_rank,
+           |       fetch_rank * crawl_delay AS fetch_offset_sec,
+           |       fetch_rank < 10 AS within_budget
+           |FROM r""".stripMargin))
+
   /** PDF ingest under the oracle (r14): a complete single-page PDF —
     * header, catalog/pages/page objects, content stream, CLASSIC XREF
     * TABLE with real 10-digit byte offsets computed in-plan from the
@@ -6180,7 +6239,7 @@ object Queries {
     qHtmlExtract, qQualityRules, qUrlNormalize, qContainerMeta, qRobotsFilter,
     qCrawlClean, qTextDecode, qAnnSq8, qLangId, qNegativeSample, qDriftPsi,
     qLinkExtract, qFrontierLinks, qWarcIngest, qSitemapFrontier,
-    qLangIdModel, qPdfExtract,
+    qLangIdModel, qPdfExtract, qFrontierSchedule,
     qSelect, qFilter, qFilterRouter,
     qJoinInner, qJoinLeft3key, qJoinRight, qJoinMultiway,
     qAgg, qDistinct, qWindowRank, qSort, qUnionDedup,

@@ -77,6 +77,50 @@ object RobotsKernels {
     new GenericArrayData(out.toArray[Any])
   }
 
+  /** `Crawl-delay:` directives with RFC 9309 group attribution
+    * (round 14): one (agent, delay-seconds) row per agent token of the
+    * group the directive sits in — the same accumulate-then-close
+    * grouping as [[parse]]. Non-numeric, negative, or absurd (> 1 day)
+    * values are skipped: a malformed politeness hint must not become a
+    * fetch-forever schedule. Crawl-delay is not in RFC 9309 but is the
+    * de-facto politeness contract large crawls honor. */
+  def crawlDelays(s: UTF8String): ArrayData = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
+    var agents = List.empty[String]
+    var groupOpen = false
+    val lines = s.toString.split("\n", -1)
+    var i = 0
+    while (i < lines.length) {
+      val noComment = {
+        val h = lines(i).indexOf('#')
+        if (h < 0) lines(i) else lines(i).substring(0, h)
+      }
+      val colon = noComment.indexOf(':')
+      if (colon > 0) {
+        val name = noComment.substring(0, colon).trim.toLowerCase
+        val value = noComment.substring(colon + 1).trim
+        name match {
+          case "user-agent" =>
+            if (value.nonEmpty) {
+              agents = if (groupOpen) value.toLowerCase :: agents
+                       else List(value.toLowerCase)
+              groupOpen = true
+            }
+          case "crawl-delay" =>
+            groupOpen = false
+            val d = value.toDoubleOption.getOrElse(-1.0)
+            if (d >= 0.0 && d <= 86400.0 && agents.nonEmpty)
+              agents.reverse.foreach(a => out += new GenericInternalRow(
+                Array[Any](UTF8String.fromString(a), d)))
+          case _ =>
+            groupOpen = false
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(out.toArray[Any])
+  }
+
   /** `Sitemap:` URLs of a robots.txt, in file order — group-independent
     * per RFC 9309 §2.3 (a sitemap line belongs to no group), comments
     * stripped, values verbatim. The crawl-discovery companion of

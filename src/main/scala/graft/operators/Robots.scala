@@ -80,4 +80,60 @@ object Robots {
       .withColumn("robots_rule", best.getField("pattern"))
       .drop("__robots_host", "__robots_rules")
   }
+
+  /** Per-host Crawl-delay for `agent`: the named group's delay when one
+    * exists, else the `*` group's, first directive in file order wins
+    * within a group — one (host, delay) row per host that declares
+    * one. Dimension-sized, like [[rules]]. */
+  def crawlDelays(robots: DataFrame, hostCol: String, textCol: String,
+                  agent: String): DataFrame = {
+    import org.apache.spark.sql.{GraftBridge, RobotsCrawlDelays}
+    val agentL = agent.toLowerCase(java.util.Locale.ROOT)
+    val parsed = GraftBridge.column(RobotsCrawlDelays(GraftBridge.expression(
+      coalesce(col(textCol), lit("")))))
+    robots.select(col(hostCol).as("host"),
+        posexplode(parsed).as(Seq("__i", "d")))
+      .select(col("host"), col("d.agent").as("agent"),
+        col("d.delay").as("delay"), col("__i"))
+      .where(col("agent") === agentL || col("agent") === "*")
+      .groupBy(col("host"))
+      // named group beats '*'; within a priority, the FIRST directive
+      // in file order wins (min_by on (priority, position))
+      .agg(min_by(col("delay"), struct(
+        when(col("agent") === agentL, 0).otherwise(1).as("p"),
+        col("__i").as("i"))).as("crawl_delay"))
+  }
+
+  /** POLITENESS SCHEDULE for a fetch frontier (round 14): every URL
+    * gets its host's fetch slot — `fetch_rank` (0-based position in
+    * the host's deterministic queue, ordered by the URL text) and
+    * `fetch_offset_sec` = rank × the host's Crawl-delay (named-agent
+    * group, else `*`, else `defaultDelaySec`). `within_budget` marks
+    * the first `maxPerHost` slots — crawl budgeting stays VISIBLE
+    * (rows are never silently dropped; the fetcher filters).
+    *
+    * Scale shape: the per-host dimension (delays) broadcasts; the one
+    * exchange is the window's hash partitioning on host — exactly the
+    * partitioning a polite fetcher needs anyway (all of a host's
+    * fetches serialize through one worker BY DESIGN; a host so large
+    * its queue dwarfs a partition is a politeness problem, not a skew
+    * problem — its schedule span makes that visible). */
+  def fetchSchedule(urls: DataFrame, urlCol: String, hostCol: String,
+                    robots: DataFrame, robotsHost: String, robotsText: String,
+                    agent: String, defaultDelaySec: Double = 1.0,
+                    maxPerHost: Long = Long.MaxValue): DataFrame = {
+    require(defaultDelaySec >= 0.0, s"negative default delay: $defaultDelaySec")
+    val delays = crawlDelays(robots, robotsHost, robotsText, agent)
+      .withColumnRenamed("host", "__rb_host")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(hostCol)).orderBy(col(urlCol))
+    urls
+      .join(broadcast(delays), urls(hostCol) === col("__rb_host"), "left")
+      .drop("__rb_host")
+      .withColumn("crawl_delay",
+        coalesce(col("crawl_delay"), lit(defaultDelaySec)))
+      .withColumn("fetch_rank", (row_number().over(w) - 1).cast("bigint"))
+      .withColumn("fetch_offset_sec", col("fetch_rank") * col("crawl_delay"))
+      .withColumn("within_budget", col("fetch_rank") < maxPerHost)
+  }
 }

@@ -1744,6 +1744,30 @@ case class SitemapEntries(child: Expression)
     copy(child = newChild)
 }
 
+/** `Crawl-delay:` directives of a robots.txt with group attribution:
+  * array of (agent, delay-seconds) rows. See
+  * [[graft.functions.RobotsKernels.crawlDelays]].
+  */
+case class RobotsCrawlDelays(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("agent", StringType, nullable = false),
+    StructField("delay", DoubleType, nullable = false))), containsNull = false)
+  override def prettyName: String = "robots_crawl_delays"
+
+  override protected def nullSafeEval(v: Any): Any =
+    graft.functions.RobotsKernels.crawlDelays(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.RobotsKernels.crawlDelays($c)")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): RobotsCrawlDelays = copy(child = newChild)
+}
+
 /** RFC 9309 robots path match: `*` wildcards, trailing `$` anchor,
   * prefix semantics. See [[graft.functions.RobotsKernels.matches]].
   */

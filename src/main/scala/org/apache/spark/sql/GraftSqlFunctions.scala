@@ -240,6 +240,12 @@ object GraftSqlFunctions {
           "array<struct(kind, loc, lastmod)>; NULL on malformed framing"),
       arity("sitemap_entries", "sitemap_entries(xml)", 1, 1)(
         c => SitemapEntries(c(0)))),
+    (FunctionIdentifier("robots_crawl_delays"),
+      info("robots_crawl_delays",
+        "robots_crawl_delays(text) - Crawl-delay directives with group " +
+          "attribution: array<struct(agent, delay)>"),
+      arity("robots_crawl_delays", "robots_crawl_delays(text)", 1, 1)(
+        c => RobotsCrawlDelays(c(0)))),
     (FunctionIdentifier("robots_match"),
       info("robots_match",
         "robots_match(path, pattern) - RFC 9309 robots path match " +

@@ -157,6 +157,62 @@ class RobotsSpec extends SparkSpec {
     assert(viaSql == Seq("https://a/s.xml"))
   }
 
+  test("crawlDelays kernel: group attribution, malformed/absurd values " +
+    "skipped, multi-agent groups fan out") {
+    import graft.functions.RobotsKernels
+    def rows(s: String): Seq[(String, Double)] = {
+      val a = RobotsKernels.crawlDelays(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s))
+      (0 until a.numElements()).map { i =>
+        val r = a.getStruct(i, 2)
+        (r.getUTF8String(0).toString, r.getDouble(1))
+      }
+    }
+    assert(rows("User-agent: A\nUser-agent: B\nCrawl-delay: 1.5\n") ==
+      Seq(("a", 1.5), ("b", 1.5)))
+    assert(rows("User-agent: *\nCrawl-delay: soon\n") == Seq.empty)   // NaN-ish
+    assert(rows("User-agent: *\nCrawl-delay: -1\n") == Seq.empty)     // negative
+    assert(rows("User-agent: *\nCrawl-delay: 100000\n") == Seq.empty) // absurd
+    assert(rows("Crawl-delay: 3\n") == Seq.empty)                     // no group
+    // a delay closes the group like a rule does: the next user-agent
+    // starts a NEW group
+    assert(rows("User-agent: A\nCrawl-delay: 1\nUser-agent: B\nCrawl-delay: 2\n")
+      == Seq(("a", 1.0), ("b", 2.0)))
+  }
+
+  test("fetchSchedule: named group beats *, first directive wins, default " +
+    "fills, ranks deterministic, budget visible; dimension broadcasts") {
+    import graft.operators.Robots
+    val urls = Seq(
+      ("https://a.com/1", "a.com"), ("https://a.com/2", "a.com"),
+      ("https://a.com/3", "a.com"),
+      ("https://b.com/x", "b.com"), ("https://b.com/y", "b.com"),
+      ("https://c.com/only", "c.com")).toDF("url", "host")
+    val robots = Seq(
+      ("a.com", "User-agent: bot\nCrawl-delay: 2\nUser-agent: *\nCrawl-delay: 9\n"),
+      ("b.com", "User-agent: *\nCrawl-delay: 0.5\nUser-agent: *\nCrawl-delay: 7\n"))
+      .toDF("rhost", "rtext") // c.com has no robots -> default
+    val out = Robots.fetchSchedule(urls, "url", "host", robots,
+      "rhost", "rtext", agent = "bot", defaultDelaySec = 1.0, maxPerHost = 2)
+    val got = out.select("url", "crawl_delay", "fetch_rank",
+        "fetch_offset_sec", "within_budget")
+      .as[(String, Double, Long, Double, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(got("https://a.com/1") == ((2.0, 0L, 0.0, true)))
+    assert(got("https://a.com/2") == ((2.0, 1L, 2.0, true)))
+    assert(got("https://a.com/3") == ((2.0, 2L, 4.0, false))) // over budget, kept
+    assert(got("https://b.com/x") == ((0.5, 0L, 0.0, true)))  // first directive
+    assert(got("https://b.com/y") == ((0.5, 1L, 0.5, true)))
+    assert(got("https://c.com/only") == ((1.0, 0L, 0.0, true))) // default
+    // plan: the delay dimension broadcasts; the frontier side pays
+    // exactly ONE exchange (the window's host partitioning — the
+    // fetcher's natural layout). The second hashpartitioning in the
+    // tree is the DIMENSION-side group-by inside the broadcast build.
+    val p = out.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 2, p)
+  }
+
   test("kernel fuzz: parse and match never throw") {
     val rnd = new scala.util.Random(0x0b07513L)
     val alphabet = "Uuser-agnt:AlowDi/*$# \n\telborpqx."
