@@ -845,6 +845,57 @@ object OracleSqlGen {
        |GROUP BY p.lang, p.predicted, a.model_acc, a.heur_acc""".stripMargin
   }
 
+  /** Oracle for q_image_phash (round 14): the dHash chain replayed
+    * arithmetically — per-doc 9×8 pixel grid (multiplicative-hash
+    * grays, the planted one-pixel edit on every 10th doc), luma ==
+    * gray for a grayscale image ((299+587+114)·g / 1000 = g, exact),
+    * one cell per pixel at exactly 9×8, the 64 left<right gradient
+    * bits packed row-major as a HUGEINT and wrapped to Spark's SIGNED
+    * long, then BRUTE-FORCE Hamming pairs at `maxHamming` — the banded
+    * pigeonhole path must reproduce them exactly. Junk (undecodable)
+    * docs are excluded on both sides, mirroring the NULL-hash drop. */
+  def imagePhash(maxHamming: Int): String = {
+    // bit (r, c) compares grid cells r*9+c and r*9+c+1 (1-based list
+    // indices +1), weighted 2^(r*8+c)
+    val bitTerms = (for {
+      r <- 0 until 8
+      c <- 0 until 8
+    } yield {
+      val left = r * 9 + c + 1
+      val right = left + 1
+      val w = java.math.BigInteger.ONE.shiftLeft(r * 8 + c)
+      s"(CASE WHEN g[$left] < g[$right] THEN ${w}::HUGEINT ELSE 0::HUGEINT END)"
+    }).mkString(" +\n         ")
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |         CASE WHEN doc_id % 10 = 1 THEN doc_id - 1 ELSE doc_id END AS base,
+       |         doc_id % 10 = 1 AS isdup,
+       |         doc_id % 13 = 0 AS junk
+       |  FROM documents),
+       |px AS MATERIALIZED (
+       |  SELECT doc_id, junk,
+       |         list_transform(range(0, 72), p ->
+       |           (((((base * 131 + p * 197) % 65521) *
+       |              ((base * 131 + p * 197) % 65521)) % 65521 + p * 13) % 256 +
+       |            CASE WHEN isdup AND p = 0 THEN 60
+       |                 WHEN isdup AND p = 40 THEN 75 ELSE 0 END) % 256) AS g
+       |  FROM d),
+       |hu AS (
+       |  SELECT doc_id,
+       |         ($bitTerms) AS h
+       |  FROM px WHERE NOT junk),
+       |sh AS MATERIALIZED (
+       |  SELECT doc_id,
+       |         CAST(CASE WHEN h >= $S63 THEN h - $M64 ELSE h END AS BIGINT) AS s
+       |  FROM hu)
+       |SELECT CAST(a.doc_id AS BIGINT) AS id_a,
+       |       CAST(b.doc_id AS BIGINT) AS id_b,
+       |       CAST(bit_count(xor(a.s, b.s)) AS BIGINT) AS hamming
+       |FROM sh a JOIN sh b
+       |  ON a.doc_id < b.doc_id
+       | AND bit_count(xor(a.s, b.s)) <= $maxHamming""".stripMargin
+  }
+
   // -------------------------------------------------------------------
   // Deterministic sampling: both operators draw from
   // xxhash64(struct(row), seed) — Spark folds the struct FIELDS in

@@ -5967,6 +5967,53 @@ object Queries {
         Seq("και", "το", "νερό", "ψωμί", "σπίτι", "καλό", "ημέρα", "δεν")),
       nWords = 12, gramN = 3)))
 
+  /** Perceptual image near-dup under the oracle (r14): one 9×8 PGM
+    * (P5) image per doc with quadratic-residue pixels — every 10th
+    * doc replicates its predecessor's image with a TWO-PIXEL edit (a
+    * planted near-dup within a few dHash bits; the pattern's own
+    * structural near-collisions join them, all verified bit-exact),
+    * every 13th doc is undecodable
+    * junk (NULL hash, no pairs, never a guess) —
+    * [[Dedup.imageNearDupPairs]] finds the planted pairs via the
+    * banded Hamming join (8 bands × 8 bits, pigeonhole-lossless at
+    * maxHamming 6). The oracle recomputes every pixel, every luma
+    * cell, all 64 gradient bits, the signed 64-bit pack, and the
+    * brute-force Hamming pairs — the banded path must match it
+    * exactly.
+    */
+  private val qImagePhash = Q("q_image_phash",
+    (s, dir) => {
+      val id = col("doc_id")
+      val base = when(pmod(id, lit(10)) === 1, id - 1).otherwise(id)
+      val isDup = pmod(id, lit(10)) === 1
+      def gray(p: Int): Column = {
+        // quadratic residue mod a prime covering every SF's id range:
+        // a LINEAR pattern has constant adjacent-pixel differences
+        // (near-identical gradient hashes corpus-wide — measured 10k
+        // accidental pairs); the quadratic decorrelates docs while
+        // staying exact in-plan integer arithmetic under ANSI mode
+        val v = pmod(base * 131 + lit(p * 197), lit(65521))
+        val g0 = pmod(pmod(v * v, lit(65521)) + lit(p * 13), lit(256))
+        val pert =
+          if (p == 0) when(isDup, 60L).otherwise(0L)
+          else if (p == 40) when(isDup, 75L).otherwise(0L)
+          else lit(0L)
+        pmod(g0 + pert, lit(256))
+      }
+      val pixels = concat((0 until 72).map(p =>
+        unhex(lpad(hex(gray(p)), 2, "0"))): _*)
+      val img = when(pmod(id, lit(13)) === 0, encode(lit("notanimage"), "UTF-8"))
+        .otherwise(concat(encode(lit("P5\n9 8\n255\n"), "UTF-8"), pixels))
+      val imgs = t(s, dir, "documents")
+        .select(id.cast("bigint").as("doc_id"), img.as("img"))
+      Dedup.imageNearDupPairs(imgs, "img", "doc_id",
+          maxHamming = 6, bands = 8)
+        .select(col("id_a").cast("bigint").as("id_a"),
+          col("id_b").cast("bigint").as("id_b"),
+          col("hamming").cast("bigint").as("hamming"))
+    },
+    Some(OracleSqlGen.imagePhash(maxHamming = 6)))
+
   /** Politeness scheduling under the oracle (r14):
     * [[graft.operators.Robots.fetchSchedule]] — Crawl-delay directives
     * parsed with RFC 9309 group attribution (named agent beats `*`,
@@ -6239,7 +6286,7 @@ object Queries {
     qHtmlExtract, qQualityRules, qUrlNormalize, qContainerMeta, qRobotsFilter,
     qCrawlClean, qTextDecode, qAnnSq8, qLangId, qNegativeSample, qDriftPsi,
     qLinkExtract, qFrontierLinks, qWarcIngest, qSitemapFrontier,
-    qLangIdModel, qPdfExtract, qFrontierSchedule,
+    qLangIdModel, qPdfExtract, qFrontierSchedule, qImagePhash,
     qSelect, qFilter, qFilterRouter,
     qJoinInner, qJoinLeft3key, qJoinRight, qJoinMultiway,
     qAgg, qDistinct, qWindowRank, qSort, qUnionDedup,

@@ -162,13 +162,50 @@ object Dedup {
     */
   def simhashPairs(df: DataFrame, textCol: String, idCol: String,
                    maxHamming: Int = 3, bands: Int = 4, maxBucket: Int = 4096,
-                   capObs: Option[Observation] = None): DataFrame = {
+                   capObs: Option[Observation] = None): DataFrame =
+    bandedHammingPairs(df.select(
+        col(idCol).as("__id"),
+        SimHash.simhashText(col(textCol)).as("__sh")),
+      maxHamming, bands, maxBucket, capObs)
+
+  /** Perceptual-hash image near-dup pairs (round 14): dHash64 over the
+    * raster blobs ([[graft.functions.PHashKernels]] — recompressions
+    * and small edits land within a few bits), then the SAME banded
+    * Hamming machinery as [[simhashPairs]]: pigeonhole bands as the
+    * candidate buckets, exact bit_count verification, bounded buckets
+    * with observable drops. Undecodable blobs (codec formats, tiny or
+    * malformed images) hash NULL and simply produce no pairs — the
+    * triage tier reports them, this operator never guesses. */
+  def imageNearDupPairs(df: DataFrame, bytesCol: String, idCol: String,
+                        maxHamming: Int = 6, bands: Int = 8,
+                        maxBucket: Int = 4096,
+                        capObs: Option[Observation] = None): DataFrame = {
+    require(bands > maxHamming, // this operator's contract is EXACT recall
+      s"imageNearDupPairs pigeonhole needs bands > maxHamming, " +
+        s"got $bands <= $maxHamming")
+    import org.apache.spark.sql.{DHash64, GraftBridge}
+    val h = GraftBridge.column(DHash64(GraftBridge.expression(col(bytesCol))))
+    bandedHammingPairs(
+      df.select(col(idCol).as("__id"), h.as("__sh"))
+        .filter(col("__sh").isNotNull),
+      maxHamming, bands, maxBucket, capObs)
+  }
+
+  /** The shared banded-Hamming candidate/verify core over a sketched
+    * frame (__id, __sh: 64-bit signature). Pigeonhole: a pair within
+    * `maxHamming` bits differs in at most maxHamming bands, so with
+    * bands > maxHamming it collides in at least one band — callers
+    * pick (bands, maxHamming) accordingly (4/3 for simhash text,
+    * 8/6 for image dHash). */
+  private def bandedHammingPairs(sketched: DataFrame,
+                                 maxHamming: Int, bands: Int, maxBucket: Int,
+                                 capObs: Option[Observation]): DataFrame = {
     require(bands >= 2 && bands <= 32 && 64 % bands == 0,
       s"bands must divide 64 and be in [2, 32], got $bands")
+    // bands > maxHamming makes the pigeonhole argument EXACT (some band
+    // must be difference-free); bands <= maxHamming is the documented
+    // approximate regime (recall measured by the callers' gates)
     val chunk = 64 / bands
-    val sketched = df.select(
-      col(idCol).as("__id"),
-      SimHash.simhashText(col(textCol)).as("__sh"))
 
     val banded = sketched.select(
       struct(col("__id").as("id"), col("__sh").as("sh")).as("__m"),

@@ -1582,6 +1582,34 @@ case class DecodeText(child: Expression)
     copy(child = newChild)
 }
 
+/** 64-bit perceptual dHash of an uncompressed raster blob (P6/P5/BMP);
+  * NULL for codec formats, tiny images, or malformed framing. See
+  * [[graft.functions.PHashKernels.dhash64]].
+  */
+case class DHash64(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "dhash64"
+
+  override protected def nullSafeEval(v: Any): Any = {
+    val h = graft.functions.PHashKernels.dhash64(v.asInstanceOf[Array[Byte]])
+    if (h == null) null else h.longValue()
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      java.lang.Long graftDh = graft.functions.PHashKernels.dhash64($c);
+      if (graftDh == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = graftDh.longValue(); }
+    """)
+
+  override protected def withNewChildInternal(newChild: Expression): DHash64 =
+    copy(child = newChild)
+}
+
 object PdfMeta {
   val schema: DataType = StructType(Seq(
     StructField("version", StringType, nullable = false),

@@ -216,6 +216,12 @@ object GraftSqlFunctions {
           "order (group-independent per RFC 9309)"),
       arity("robots_sitemaps", "robots_sitemaps(text)", 1, 1)(
         c => RobotsSitemaps(c(0)))),
+    (FunctionIdentifier("dhash64"),
+      info("dhash64",
+        "dhash64(binary) - 64-bit perceptual difference hash of an " +
+          "uncompressed raster (P6/P5/BMP); NULL otherwise"),
+      arity("dhash64", "dhash64(binary)", 1, 1)(
+        c => DHash64(c(0)))),
     (FunctionIdentifier("pdf_meta"),
       info("pdf_meta",
         "pdf_meta(binary) - PDF triage struct(version, n_pages, " +
