@@ -5967,6 +5967,62 @@ object Queries {
         Seq("και", "το", "νερό", "ψωμί", "σπίτι", "καλό", "ημέρα", "δεν")),
       nWords = 12, gramN = 3)))
 
+  /** HTML table extraction under the oracle (r14): [[TF.htmlTables]]
+    * over in-plan pages carrying a 3-row table with OMITTED closing
+    * tags (the HTML-legal form), an `&amp;` entity in a header cell,
+    * markup inside cells that must contribute only its text — plus a
+    * NESTED table whose text must land in ITS OWN cells (tables
+    * numbered in document order), and a mid-table truncation every
+    * 11th doc that must come back as one all-NULL row (fail-closed).
+    * One projection + explode; the oracle recomputes all nine cells
+    * per doc arithmetically.
+    */
+  private val qHtmlTables = Q("q_html_tables",
+    (s, dir) => {
+      val id = col("doc_id")
+      val idS = id.cast("string")
+      val word = element_at(typedlit(Seq("red", "green", "blue")),
+        (pmod(id, lit(3)) + 1).cast("int"))
+      val html = concat(
+        lit("<html><body><p>pre</p>" +
+          "<table><tr><th>name</th><th>count &amp; total</th></tr>" +
+          "<tr><td>doc "), idS, lit("</td><td>"),
+        pmod(id, lit(7)).cast("string"),
+        lit("</td><tr><td><a href=\"/x\">linked "), idS,
+        lit("</a><td> "), word,
+        lit(" </table><p>mid</p>" +
+          "<table><tr><td>outer A<table><tr><td>inner "), idS,
+        lit("</td></tr></table><td>outer B</td></tr></table></body></html>"))
+      val page = when(pmod(id, lit(11)) === 0, substring(html, 1, 60))
+        .otherwise(html)
+      t(s, dir, "documents")
+        .select(id.cast("bigint").as("doc_id"),
+          explode_outer(TF.htmlTables(page)).as("c"))
+        .select(col("doc_id"),
+          col("c.table").cast("bigint").as("tbl"),
+          col("c.row").cast("bigint").as("row"),
+          col("c.col").cast("bigint").as("col"),
+          col("c.text").as("text"))
+    },
+    Some("""WITH c AS (
+           |  SELECT doc_id, doc_id % 11 = 0 AS tr,
+           |         ['red','green','blue'][CAST(doc_id % 3 AS INT) + 1] AS word
+           |  FROM documents),
+           |cells AS (
+           |  SELECT doc_id, 0 AS tbl, 0 AS row_, 0 AS col_, 'name' AS text FROM c WHERE NOT tr
+           |  UNION ALL SELECT doc_id, 0, 0, 1, 'count & total' FROM c WHERE NOT tr
+           |  UNION ALL SELECT doc_id, 0, 1, 0, 'doc ' || doc_id FROM c WHERE NOT tr
+           |  UNION ALL SELECT doc_id, 0, 1, 1, CAST(doc_id % 7 AS VARCHAR) FROM c WHERE NOT tr
+           |  UNION ALL SELECT doc_id, 0, 2, 0, 'linked ' || doc_id FROM c WHERE NOT tr
+           |  UNION ALL SELECT doc_id, 0, 2, 1, word FROM c WHERE NOT tr
+           |  UNION ALL SELECT doc_id, 1, 0, 0, 'outer A' FROM c WHERE NOT tr
+           |  UNION ALL SELECT doc_id, 1, 0, 1, 'outer B' FROM c WHERE NOT tr
+           |  UNION ALL SELECT doc_id, 2, 0, 0, 'inner ' || doc_id FROM c WHERE NOT tr
+           |  UNION ALL SELECT doc_id, NULL, NULL, NULL, NULL FROM c WHERE tr)
+           |SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(tbl AS BIGINT) AS tbl,
+           |       CAST(row_ AS BIGINT) AS row, CAST(col_ AS BIGINT) AS col, text
+           |FROM cells""".stripMargin))
+
   /** Perceptual image near-dup under the oracle (r14): one 9×8 PGM
     * (P5) image per doc with quadratic-residue pixels — every 10th
     * doc replicates its predecessor's image with a TWO-PIXEL edit (a
@@ -6286,7 +6342,7 @@ object Queries {
     qHtmlExtract, qQualityRules, qUrlNormalize, qContainerMeta, qRobotsFilter,
     qCrawlClean, qTextDecode, qAnnSq8, qLangId, qNegativeSample, qDriftPsi,
     qLinkExtract, qFrontierLinks, qWarcIngest, qSitemapFrontier,
-    qLangIdModel, qPdfExtract, qFrontierSchedule, qImagePhash,
+    qLangIdModel, qPdfExtract, qFrontierSchedule, qImagePhash, qHtmlTables,
     qSelect, qFilter, qFilterRouter,
     qJoinInner, qJoinLeft3key, qJoinRight, qJoinMultiway,
     qAgg, qDistinct, qWindowRank, qSort, qUnionDedup,

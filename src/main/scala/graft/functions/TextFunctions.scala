@@ -306,6 +306,15 @@ object TextFunctions {
     * `base` — the bridge from [[htmlLinks]]'s relative hrefs to
     * [[urlParts]]. NULL for an unparseable base; resolution does NOT
     * normalize (feed the result to [[urlParts]]). */
+  /** HTML `<table>` cells as flat (table, row, col, text) rows —
+    * tables numbered in document order, nested tables separate, cell
+    * text entity-decoded and whitespace-collapsed; NULL on a
+    * truncated document (unclosed table). */
+  def htmlTables(html: Column): Column = {
+    import org.apache.spark.sql.{GraftBridge, HtmlTables => HT}
+    GraftBridge.column(HT(GraftBridge.expression(html)))
+  }
+
   /** `Sitemap:` URLs of a robots.txt in file order (group-independent
     * per RFC 9309). */
   def robotsSitemaps(robotsTxt: Column): Column = {

@@ -1582,6 +1582,32 @@ case class DecodeText(child: Expression)
     copy(child = newChild)
 }
 
+/** HTML `<table>` cells as flat (table, row, col, text) rows; NULL on
+  * a truncated document (unclosed table). See
+  * [[graft.functions.TableKernels.tables]].
+  */
+case class HtmlTables(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType =
+    ArrayType(graft.functions.TableKernels.cellSchema, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "html_tables"
+
+  override protected def nullSafeEval(v: Any): Any =
+    graft.functions.TableKernels.tables(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.TableKernels.tables($c);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
+
+  override protected def withNewChildInternal(newChild: Expression): HtmlTables =
+    copy(child = newChild)
+}
+
 /** 64-bit perceptual dHash of an uncompressed raster blob (P6/P5/BMP);
   * NULL for codec formats, tiny images, or malformed framing. See
   * [[graft.functions.PHashKernels.dhash64]].

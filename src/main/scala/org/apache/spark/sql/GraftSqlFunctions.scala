@@ -216,6 +216,12 @@ object GraftSqlFunctions {
           "order (group-independent per RFC 9309)"),
       arity("robots_sitemaps", "robots_sitemaps(text)", 1, 1)(
         c => RobotsSitemaps(c(0)))),
+    (FunctionIdentifier("html_tables"),
+      info("html_tables",
+        "html_tables(html) - <table> cells as flat (table, row, col, " +
+          "text) rows; NULL on an unclosed (truncated) table"),
+      arity("html_tables", "html_tables(html)", 1, 1)(
+        c => HtmlTables(c(0)))),
     (FunctionIdentifier("dhash64"),
       info("dhash64",
         "dhash64(binary) - 64-bit perceptual difference hash of an " +

@@ -125,6 +125,63 @@ class StreamingKernelsSpec extends SparkSpec {
     assert(docs.forall { case (id, _, pos) => (streamed(id) > 0.5) == pos })
   }
 
+  test("r14 crawl kernels (gunzip, sitemap_entries, pdf_text, dhash64): " +
+    "stateless projections, stream equals batch") {
+    def gz(b: Array[Byte]): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bos)
+      g.write(b); g.close(); bos.toByteArray
+    }
+    val sm = "<urlset><url><loc>https://a.example/p</loc></url></urlset>"
+    val pgm = "P5\n9 8\n255\n".getBytes("ISO-8859-1") ++
+      Array.tabulate(72)(i => ((i * 37) % 256).toByte)
+    val pdf = { // minimal classic-xref PDF (the PdfSpec recipe, one page)
+      val out = new java.io.ByteArrayOutputStream()
+      def es(x: String): Unit = out.write(x.getBytes("ISO-8859-1"))
+      val offs = scala.collection.mutable.ArrayBuffer[Long]()
+      es("%PDF-1.4\n")
+      offs += out.size(); es("1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n")
+      offs += out.size(); es("2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n")
+      offs += out.size(); es("3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R >> endobj\n")
+      offs += out.size(); es("4 0 obj << /Length 21 >> stream\nBT (stream pdf) Tj ET\nendstream endobj\n")
+      val xo = out.size()
+      es("xref\n0 5\n0000000000 65535 f \n")
+      offs.foreach(o => es(f"$o%010d 00000 n \n"))
+      es(s"trailer << /Size 5 /Root 1 0 R >>\nstartxref\n$xo\n%%EOF")
+      out.toByteArray
+    }
+    val rows = Seq(
+      (1L, gz(sm.getBytes("UTF-8")), pdf, pgm),
+      (2L, "not gzip".getBytes("UTF-8"), "not pdf".getBytes("UTF-8"),
+        "not img".getBytes("UTF-8")))
+    def pipeline(df: org.apache.spark.sql.DataFrame) = df.select(
+      col("id"),
+      element_at(TF.sitemapEntries(
+        decode(graft.operators.Multimodal.gunzip(col("smgz")), "UTF-8")), 1)
+        .getField("loc").as("loc"),
+      graft.operators.Multimodal.pdfText(col("pdf")).as("ptext"),
+      graft.operators.Multimodal.pdfMeta(col("pdf")).getField("n_pages").as("np"),
+      org.apache.spark.sql.GraftBridge.column(org.apache.spark.sql.DHash64(
+        org.apache.spark.sql.GraftBridge.expression(col("img")))).as("dh"))
+    val batch = pipeline(rows.toDF("id", "smgz", "pdf", "img"))
+      .collect().map(_.toSeq).toSet
+    val input = MemoryStream[(Long, Array[Byte], Array[Byte], Array[Byte])](
+      spark, numPartitions = 1)
+    val q = pipeline(input.toDS().toDF("id", "smgz", "pdf", "img"))
+      .writeStream.format("memory").queryName("crawl14_stream")
+      .outputMode("append").start()
+    input.addData(rows: _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("crawl14_stream").collect().map(_.toSeq).toSet
+    assert(streamed == batch)
+    val byId = batch.groupBy(_.head).map { case (k, v) => k -> v.head }
+    assert(byId(1L)(1) == "https://a.example/p")
+    assert(byId(1L)(2) == "stream pdf" && byId(1L)(3) == 1)
+    assert(byId(1L)(4) != null)
+    assert(byId(2L)(1) == null && byId(2L)(2) == null && byId(2L)(4) == null)
+  }
+
   test("langid model: one-vs-rest argmax is a stateless stream " +
     "projection, stream equals batch, multi-script separation") {
     import graft.operators.Classifier
