@@ -549,6 +549,31 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("dot_longs"), p)
   }
 
+  test("r14 crawl/ingest queries are single-scan codegen projections: " +
+    "no Exchange, no RDD, kernel present " +
+    "(q_pdf_extract, q_sitemap_frontier, q_html_tables, q_warc_ingest)") {
+    for ((q, kernel) <- Seq(
+      "q_pdf_extract" -> "pdf_text",
+      "q_sitemap_frontier" -> "sitemap_entries",
+      "q_html_tables" -> "html_tables",
+      "q_warc_ingest" -> "warc_records")) {
+      val p = plan(q)
+      assert(!p.contains("Exchange"), s"$q:\n$p")
+      assert(!p.contains("ExistingRDD") && !p.contains("DeserializeToObject"),
+        s"$q:\n$p")
+      assert(p.contains(kernel), s"$q:\n$p")
+    }
+  }
+
+  test("q_image_phash: hashes travel the banded exchange, blobs never do") {
+    val p = plan("q_image_phash")
+    assert(p.contains("dhash64"), p)
+    // the banded join exchanges (id, hash) structs and band keys only —
+    // the image binary column must not appear in any Exchange subtree
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).mkString("\n")
+    assert(!exchanges.contains("img"), p)
+  }
+
   // ---- round 14: IVF / PQ trainers are DataFrame-native (verdict r13 #1) ----
 
   import org.apache.spark.sql.functions._
