@@ -5967,6 +5967,97 @@ object Queries {
         Seq("και", "το", "νερό", "ψωμί", "σπίτι", "καλό", "ημέρα", "δεν")),
       nWords = 12, gramN = 3)))
 
+  /** ZIP ingest under the oracle (r14): a complete two-entry STORED
+    * archive — local headers, central directory, EOCD, with real CRC32
+    * fields (Spark's own `crc32` over the per-doc content) and real
+    * little-endian offsets computed in-plan — is constructed per doc
+    * and pulled back through [[Multimodal.zipEntries]] +
+    * [[Multimodal.zipExtract]] (listing, extraction, CRC+size verify,
+    * missing-name NULL). Every 5th doc instead carries a DEFLATED
+    * archive built by the JDK's ZipOutputStream at plan build (data
+    * descriptors, real deflate — the wild shape); every 9th truncates
+    * and must come back all-NULL. The oracle recomputes the listing
+    * and decoded text arithmetically.
+    */
+  private val qZipExtract = Q("q_zip_extract",
+    (s, dir) => {
+      val id = col("doc_id")
+      val idS = id.cast("string")
+      val word = element_at(typedlit(Seq("alpha", "beta", "gamma")),
+        (pmod(id, lit(3)) + 1).cast("int"))
+      def le16(v: Column): Column = {
+        val h = lpad(hex(v), 4, "0")
+        unhex(concat(substring(h, 3, 2), substring(h, 1, 2)))
+      }
+      def le32(v: Column): Column = {
+        val h = lpad(hex(v), 8, "0")
+        unhex(concat(substring(h, 7, 2), substring(h, 5, 2),
+          substring(h, 3, 2), substring(h, 1, 2)))
+      }
+      val c1 = encode(concat(lit("zip doc "), idS, lit(" says "), word), "UTF-8")
+      val c2 = encode(lit("generator=graft r14"), "UTF-8")
+      val n1 = lit("doc.txt")
+      val n2 = lit("meta/info.txt")
+      def lfh(nameS: Column, content: Column): Column = concat(
+        unhex(lit("504b0304")), le16(lit(20)), le16(lit(0)), le16(lit(0)),
+        le16(lit(0)), le16(lit(0)), le32(crc32(content)),
+        le32(length(content)), le32(length(content)),
+        le16(length(nameS)), le16(lit(0)),
+        encode(nameS, "UTF-8"), content)
+      def cdr(nameS: Column, content: Column, off: Column): Column = concat(
+        unhex(lit("504b0102")), le16(lit(20)), le16(lit(20)), le16(lit(0)),
+        le16(lit(0)), le16(lit(0)), le16(lit(0)), le32(crc32(content)),
+        le32(length(content)), le32(length(content)),
+        le16(length(nameS)), le16(lit(0)), le16(lit(0)), le16(lit(0)),
+        le16(lit(0)), le32(lit(0)), le32(off), encode(nameS, "UTF-8"))
+      val l1 = lfh(n1, c1)
+      val l2 = lfh(n2, c2)
+      val off2 = length(l1)
+      val cdOff = off2 + length(l2)
+      val cd = concat(cdr(n1, c1, lit(0)), cdr(n2, c2, off2))
+      val eocd = concat(unhex(lit("504b0506")), le16(lit(0)), le16(lit(0)),
+        le16(lit(2)), le16(lit(2)), le32(length(cd)), le32(cdOff),
+        le16(lit(0)))
+      val storedZip = concat(l1, l2, cd, eocd)
+      // the deflate branch: a constant archive from the JDK's own
+      // writer — data descriptors, real deflate, the wild layout
+      val deflHex = {
+        val bos = new java.io.ByteArrayOutputStream()
+        val z = new java.util.zip.ZipOutputStream(bos)
+        z.putNextEntry(new java.util.zip.ZipEntry("d.txt"))
+        z.write("deflated entry payload".getBytes("UTF-8"))
+        z.closeEntry(); z.close()
+        bos.toByteArray.map("%02x".format(_)).mkString
+      }
+      val blob0 = when(pmod(id, lit(5)) === 2, unhex(lit(deflHex)))
+        .otherwise(storedZip)
+      val blob = when(pmod(id, lit(9)) === 0, substring(blob0, 1, 40))
+        .otherwise(blob0)
+      val es = Multimodal.zipEntries(blob)
+      t(s, dir, "documents").select(id.cast("bigint").as("doc_id"),
+        size(es).cast("bigint").as("n_entries"),
+        element_at(es, 1).getField("name").as("name0"),
+        element_at(es, 1).getField("size").cast("bigint").as("size0"),
+        decode(Multimodal.zipExtract(blob,
+          when(pmod(id, lit(5)) === 2, lit("d.txt")).otherwise(lit("doc.txt"))),
+          "UTF-8").as("text"),
+        Multimodal.zipExtract(blob, lit("no/such/entry")).isNull
+          .as("missing_is_null"))
+    },
+    Some("""WITH c AS (
+           |  SELECT doc_id, doc_id % 9 = 0 AS tr, doc_id % 5 = 2 AS dfl,
+           |         ['alpha','beta','gamma'][CAST(doc_id % 3 AS INT) + 1] AS word
+           |  FROM documents)
+           |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           |  CAST(CASE WHEN tr THEN NULL WHEN dfl THEN 1 ELSE 2 END AS BIGINT) AS n_entries,
+           |  CASE WHEN tr THEN NULL WHEN dfl THEN 'd.txt' ELSE 'doc.txt' END AS name0,
+           |  CAST(CASE WHEN tr THEN NULL WHEN dfl THEN 22
+           |       ELSE length('zip doc ' || doc_id || ' says ' || word) END AS BIGINT) AS size0,
+           |  CASE WHEN tr THEN NULL WHEN dfl THEN 'deflated entry payload'
+           |       ELSE 'zip doc ' || doc_id || ' says ' || word END AS text,
+           |  true AS missing_is_null
+           |FROM c""".stripMargin))
+
   /** HTML table extraction under the oracle (r14): [[TF.htmlTables]]
     * over in-plan pages carrying a 3-row table with OMITTED closing
     * tags (the HTML-legal form), an `&amp;` entity in a header cell,
@@ -6343,6 +6434,7 @@ object Queries {
     qCrawlClean, qTextDecode, qAnnSq8, qLangId, qNegativeSample, qDriftPsi,
     qLinkExtract, qFrontierLinks, qWarcIngest, qSitemapFrontier,
     qLangIdModel, qPdfExtract, qFrontierSchedule, qImagePhash, qHtmlTables,
+    qZipExtract,
     qSelect, qFilter, qFilterRouter,
     qJoinInner, qJoinLeft3key, qJoinRight, qJoinMultiway,
     qAgg, qDistinct, qWindowRank, qSort, qUnionDedup,

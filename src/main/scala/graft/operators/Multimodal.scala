@@ -61,6 +61,21 @@ object Multimodal {
     GraftBridge.column(WR(GraftBridge.expression(blob)))
   }
 
+  /** ZIP central-directory listing (r14): (name, method,
+    * compressed_size, size) rows; NULL on malformed/zip64/encrypted
+    * archives. */
+  def zipEntries(blob: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.{GraftBridge, ZipEntries => ZE}
+    GraftBridge.column(ZE(GraftBridge.expression(blob)))
+  }
+
+  /** One ZIP entry's bytes by name, CRC32 + size verified (r14). */
+  def zipExtract(blob: org.apache.spark.sql.Column,
+                 name: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.{GraftBridge, ZipExtract => ZX}
+    GraftBridge.column(ZX(GraftBridge.expression(blob), GraftBridge.expression(name)))
+  }
+
   /** PDF triage: struct(version, n_pages, encrypted); NULL on
     * malformed/unsupported framing (r14). */
   def pdfMeta(blob: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {

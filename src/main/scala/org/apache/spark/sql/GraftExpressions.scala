@@ -1582,6 +1582,58 @@ case class DecodeText(child: Expression)
     copy(child = newChild)
 }
 
+/** ZIP central-directory listing: (name, method, compressed_size,
+  * size) rows in directory order; NULL on malformed/zip64/encrypted
+  * archives. See [[graft.functions.ZipKernels.entries]].
+  */
+case class ZipEntries(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
+  override def dataType: DataType =
+    ArrayType(graft.functions.ZipKernels.entrySchema, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "zip_entries"
+
+  override protected def nullSafeEval(v: Any): Any =
+    graft.functions.ZipKernels.entries(v.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.ZipKernels.entries($c);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
+
+  override protected def withNewChildInternal(newChild: Expression): ZipEntries =
+    copy(child = newChild)
+}
+
+/** One ZIP entry's bytes by name — stored/deflate, CRC32 + size
+  * verified, inflate-capped; NULL on a missing name or any mismatch.
+  * See [[graft.functions.ZipKernels.extract]].
+  */
+case class ZipExtract(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType, StringType)
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def prettyName: String = "zip_extract"
+
+  override protected def nullSafeEval(blob: Any, name: Any): Any =
+    graft.functions.ZipKernels.extract(
+      blob.asInstanceOf[Array[Byte]], name.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (b, n) => s"""
+      ${ev.value} = graft.functions.ZipKernels.extract($b, $n);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): ZipExtract = copy(left = newLeft, right = newRight)
+}
+
 /** HTML `<table>` cells as flat (table, row, col, text) rows; NULL on
   * a truncated document (unclosed table). See
   * [[graft.functions.TableKernels.tables]].

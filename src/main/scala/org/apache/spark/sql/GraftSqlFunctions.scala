@@ -216,6 +216,19 @@ object GraftSqlFunctions {
           "order (group-independent per RFC 9309)"),
       arity("robots_sitemaps", "robots_sitemaps(text)", 1, 1)(
         c => RobotsSitemaps(c(0)))),
+    (FunctionIdentifier("zip_entries"),
+      info("zip_entries",
+        "zip_entries(binary) - ZIP central-directory listing " +
+          "array<struct(name, method, compressed_size, size)>; NULL on " +
+          "malformed/zip64/encrypted archives"),
+      arity("zip_entries", "zip_entries(binary)", 1, 1)(
+        c => ZipEntries(c(0)))),
+    (FunctionIdentifier("zip_extract"),
+      info("zip_extract",
+        "zip_extract(binary, name) - one entry's bytes, CRC32+size " +
+          "verified; NULL on missing name or any mismatch"),
+      arity("zip_extract", "zip_extract(binary, name)", 2, 2)(
+        c => ZipExtract(c(0), c(1)))),
     (FunctionIdentifier("html_tables"),
       info("html_tables",
         "html_tables(html) - <table> cells as flat (table, row, col, " +
