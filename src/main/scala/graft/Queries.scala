@@ -6074,6 +6074,91 @@ object Queries {
            |  true AS missing_is_null
            |FROM c""".stripMargin))
 
+  /** TAR ingest under the oracle (r14): a two-member ustar archive —
+    * real headers with VERIFIED checksums (content is padded to a
+    * fixed 64 bytes, so every header byte except the payload is a
+    * plan-time constant and the checksum is exact), per-doc member
+    * text, end-of-archive zero blocks — pulled back through
+    * [[Multimodal.tarEntries]] + [[Multimodal.tarExtract]]. Every 4th
+    * doc instead carries a `.tar.gz` (fixed archive, decoded in-plan
+    * through [[Multimodal.gunzip]] — the chain crawled datasets
+    * actually arrive as); every 7th truncates mid-member → all-NULL.
+    */
+  private val qTarExtract = Q("q_tar_extract",
+    (s, dir) => {
+      val id = col("doc_id")
+      val idS = id.cast("string")
+      val word = element_at(typedlit(Seq("alpha", "beta", "gamma")),
+        (pmod(id, lit(3)) + 1).cast("int"))
+      def hdr(name: String, size: Int, typeflag: Char = '0'): Array[Byte] = {
+        val h = new Array[Byte](512)
+        def put(off: Int, sArr: String): Unit = {
+          val bs = sArr.getBytes("ISO-8859-1")
+          System.arraycopy(bs, 0, h, off, bs.length)
+        }
+        put(0, name)
+        put(100, "0000644 "); put(108, "0000000 "); put(116, "0000000 ")
+        put(124, f"$size%011o" + " ")
+        put(136, "00000000000 ")
+        h(156) = typeflag.toByte
+        put(257, "ustar 00")
+        java.util.Arrays.fill(h, 148, 156, ' '.toByte)
+        var sum = 0L
+        h.foreach(b => sum += (b & 0xff))
+        put(148, f"$sum%06o" + "  ")
+        h
+      }
+      def hex(b: Array[Byte]): String = b.map("%02x".format(_)).mkString
+      val readme = "archive readme: graft r14\n".getBytes("UTF-8")
+      val readmeBlock = java.util.Arrays.copyOf(readme, 512)
+      val zeros1024 = new Array[Byte](1024)
+      val h1 = hdr("data/doc.txt", 64)
+      val h2 = hdr("README", readme.length)
+      val content = rpad(concat(lit("tar doc "), idS, lit(" says "), word),
+        64, " ")
+      val tarBin = concat(
+        unhex(lit(hex(h1))), encode(content, "UTF-8"),
+        unhex(lit(hex(new Array[Byte](448)))),
+        unhex(lit(hex(h2))), unhex(lit(hex(readmeBlock))),
+        unhex(lit(hex(zeros1024))))
+      // the .tar.gz branch: a fixed archive gzipped at plan build
+      val tgzHex = {
+        val hh = hdr("gz/member.txt", 13)
+        val data = java.util.Arrays.copyOf("gz tar member".getBytes("UTF-8"), 512)
+        val tar = hh ++ data ++ new Array[Byte](1024)
+        val bos = new java.io.ByteArrayOutputStream()
+        val g = new java.util.zip.GZIPOutputStream(bos)
+        g.write(tar); g.close()
+        bos.toByteArray.map("%02x".format(_)).mkString
+      }
+      val blob0 = when(pmod(id, lit(4)) === 1,
+          Multimodal.gunzip(unhex(lit(tgzHex))))
+        .otherwise(tarBin)
+      t(s, dir, "documents")
+        .select(id.cast("bigint").as("doc_id"), pmod(id, lit(4)).as("__m4"),
+          when(pmod(id, lit(7)) === 0, substring(blob0, 1, 600))
+            .otherwise(blob0).as("__tar"))
+        .select(col("doc_id"), col("__m4"), col("__tar"),
+          Multimodal.tarEntries(col("__tar")).as("__es"))
+        .select(col("doc_id"),
+          size(col("__es")).cast("bigint").as("n_members"),
+          element_at(col("__es"), 1).getField("name").as("name0"),
+          rtrim(decode(Multimodal.tarExtract(col("__tar"),
+            when(col("__m4") === 1, lit("gz/member.txt"))
+              .otherwise(lit("data/doc.txt"))), "UTF-8")).as("text"))
+    },
+    Some("""WITH c AS (
+           |  SELECT doc_id, doc_id % 7 = 0 AS tr, doc_id % 4 = 1 AS gz,
+           |         ['alpha','beta','gamma'][CAST(doc_id % 3 AS INT) + 1] AS word
+           |  FROM documents)
+           |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           |  CAST(CASE WHEN tr THEN NULL WHEN gz THEN 1 ELSE 2 END AS BIGINT) AS n_members,
+           |  CASE WHEN tr THEN NULL WHEN gz THEN 'gz/member.txt'
+           |       ELSE 'data/doc.txt' END AS name0,
+           |  CASE WHEN tr THEN NULL WHEN gz THEN 'gz tar member'
+           |       ELSE 'tar doc ' || doc_id || ' says ' || word END AS text
+           |FROM c""".stripMargin))
+
   /** Office-document text under the oracle (r14): the docx/epub chain
     * COMPOSED from the r14 pieces — an OOXML-shaped archive (stored
     * ZIP carrying `word/document.xml`, real in-plan CRC/offsets as in
@@ -6512,7 +6597,7 @@ object Queries {
     qCrawlClean, qTextDecode, qAnnSq8, qLangId, qNegativeSample, qDriftPsi,
     qLinkExtract, qFrontierLinks, qWarcIngest, qSitemapFrontier,
     qLangIdModel, qPdfExtract, qFrontierSchedule, qImagePhash, qHtmlTables,
-    qZipExtract, qDocxText,
+    qZipExtract, qDocxText, qTarExtract,
     qSelect, qFilter, qFilterRouter,
     qJoinInner, qJoinLeft3key, qJoinRight, qJoinMultiway,
     qAgg, qDistinct, qWindowRank, qSort, qUnionDedup,

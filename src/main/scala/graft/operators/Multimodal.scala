@@ -61,6 +61,21 @@ object Multimodal {
     GraftBridge.column(WR(GraftBridge.expression(blob)))
   }
 
+  /** TAR (ustar) member listing (r14): (name, typeflag, size) rows,
+    * checksums verified; NULL on malformed framing. Compose with
+    * [[gunzip]] for .tar.gz. */
+  def tarEntries(blob: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.{GraftBridge, TarEntries => TE}
+    GraftBridge.column(TE(GraftBridge.expression(blob)))
+  }
+
+  /** One TAR regular member's bytes by name (r14). */
+  def tarExtract(blob: org.apache.spark.sql.Column,
+                 name: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.{GraftBridge, TarExtract => TX}
+    GraftBridge.column(TX(GraftBridge.expression(blob), GraftBridge.expression(name)))
+  }
+
   /** ZIP central-directory listing (r14): (name, method,
     * compressed_size, size) rows; NULL on malformed/zip64/encrypted
     * archives. */

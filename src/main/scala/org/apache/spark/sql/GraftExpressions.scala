@@ -1582,6 +1582,57 @@ case class DecodeText(child: Expression)
     copy(child = newChild)
 }
 
+/** TAR (ustar) member listing: (name, typeflag, size) rows, checksum
+  * verified per header; NULL on any malformed framing. See
+  * [[graft.functions.TarKernels.entries]].
+  */
+case class TarEntries(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
+  override def dataType: DataType =
+    ArrayType(graft.functions.TarKernels.entrySchema, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "tar_entries"
+
+  override protected def nullSafeEval(v: Any): Any =
+    graft.functions.TarKernels.entries(v.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.TarKernels.entries($c);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
+
+  override protected def withNewChildInternal(newChild: Expression): TarEntries =
+    copy(child = newChild)
+}
+
+/** One TAR regular member's bytes by name; NULL on a missing name or
+  * malformed archive. See [[graft.functions.TarKernels.extract]].
+  */
+case class TarExtract(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType, StringType)
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def prettyName: String = "tar_extract"
+
+  override protected def nullSafeEval(blob: Any, name: Any): Any =
+    graft.functions.TarKernels.extract(
+      blob.asInstanceOf[Array[Byte]], name.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (b, n) => s"""
+      ${ev.value} = graft.functions.TarKernels.extract($b, $n);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): TarExtract = copy(left = newLeft, right = newRight)
+}
+
 /** ZIP central-directory listing: (name, method, compressed_size,
   * size) rows in directory order; NULL on malformed/zip64/encrypted
   * archives. See [[graft.functions.ZipKernels.entries]].

@@ -216,6 +216,19 @@ object GraftSqlFunctions {
           "order (group-independent per RFC 9309)"),
       arity("robots_sitemaps", "robots_sitemaps(text)", 1, 1)(
         c => RobotsSitemaps(c(0)))),
+    (FunctionIdentifier("tar_entries"),
+      info("tar_entries",
+        "tar_entries(binary) - TAR (ustar) member listing " +
+          "array<struct(name, typeflag, size)>, header checksums " +
+          "verified; NULL on malformed framing"),
+      arity("tar_entries", "tar_entries(binary)", 1, 1)(
+        c => TarEntries(c(0)))),
+    (FunctionIdentifier("tar_extract"),
+      info("tar_extract",
+        "tar_extract(binary, name) - one regular member's bytes; NULL " +
+          "on missing name or malformed archive"),
+      arity("tar_extract", "tar_extract(binary, name)", 2, 2)(
+        c => TarExtract(c(0), c(1)))),
     (FunctionIdentifier("zip_entries"),
       info("zip_entries",
         "zip_entries(binary) - ZIP central-directory listing " +
