@@ -182,6 +182,51 @@ class StreamingKernelsSpec extends SparkSpec {
     assert(byId(2L)(1) == null && byId(2L)(2) == null && byId(2L)(4) == null)
   }
 
+  test("r14 container kernels (zip_extract, tar_extract, html_tables): " +
+    "stateless projections, stream equals batch") {
+    val zip = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val zo = new java.util.zip.ZipOutputStream(bos)
+      zo.putNextEntry(new java.util.zip.ZipEntry("m.txt"))
+      zo.write("zip stream member".getBytes("UTF-8"))
+      zo.closeEntry(); zo.close(); bos.toByteArray
+    }
+    val tarb = {
+      val data = "tar stream member".getBytes("UTF-8")
+      val h = new Array[Byte](512)
+      def put(off: Int, s: String): Unit =
+        System.arraycopy(s.getBytes("ISO-8859-1"), 0, h, off, s.length)
+      put(0, "m.txt"); put(100, "0000644 "); put(108, "0000000 ")
+      put(116, "0000000 "); put(124, f"${data.length}%011o" + " ")
+      put(136, "00000000000 "); h(156) = '0'.toByte; put(257, "ustar 00")
+      java.util.Arrays.fill(h, 148, 156, ' '.toByte)
+      var sum = 0L; h.foreach(b => sum += (b & 0xff))
+      put(148, f"$sum%06o" + "  ")
+      h ++ java.util.Arrays.copyOf(data, 512) ++ new Array[Byte](1024)
+    }
+    val html = "<table><tr><td>streamed cell</td></tr></table>"
+    val rows = Seq((1L, zip, tarb, html),
+      (2L, "junk".getBytes("UTF-8"), "junk".getBytes("UTF-8"), "<table><tr>"))
+    def pipeline(df: org.apache.spark.sql.DataFrame) = df.select(
+      col("id"),
+      decode(graft.operators.Multimodal.zipExtract(col("z"), lit("m.txt")), "UTF-8").as("zt"),
+      decode(graft.operators.Multimodal.tarExtract(col("t"), lit("m.txt")), "UTF-8").as("tt"),
+      TF.htmlTables(col("h")).as("cells"))
+    val batch = pipeline(rows.toDF("id", "z", "t", "h")).collect().map(_.toSeq).toSet
+    val input = MemoryStream[(Long, Array[Byte], Array[Byte], String)](
+      spark, numPartitions = 1)
+    val q = pipeline(input.toDS().toDF("id", "z", "t", "h"))
+      .writeStream.format("memory").queryName("cont14_stream")
+      .outputMode("append").start()
+    input.addData(rows: _*)
+    q.processAllAvailable()
+    q.stop()
+    assert(spark.table("cont14_stream").collect().map(_.toSeq).toSet == batch)
+    val byId = batch.groupBy(_.head).map { case (k, v) => k -> v.head }
+    assert(byId(1L)(1) == "zip stream member" && byId(1L)(2) == "tar stream member")
+    assert(byId(2L)(1) == null && byId(2L)(2) == null && byId(2L)(3) == null)
+  }
+
   test("langid model: one-vs-rest argmax is a stateless stream " +
     "projection, stream equals batch, multi-script separation") {
     import graft.operators.Classifier
