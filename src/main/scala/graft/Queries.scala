@@ -6074,6 +6074,58 @@ object Queries {
            |  true AS missing_is_null
            |FROM c""".stripMargin))
 
+  /** JSON structure profiling under the oracle (r14):
+    * [[TF.jsonPaths]] — the semi-structured ANALYZE run before
+    * committing a parquet schema to scraped JSON. Per-doc documents
+    * carry nested objects, an array whose SECOND element alternates
+    * string/number across docs (the mixed-type case the profile
+    * exists to surface), a non-identifier key (bracket path form),
+    * and an explicit null; every 11th doc is malformed and groups
+    * under the visible (NULL, NULL) row. One projection + explode +
+    * one aggregation; the oracle recomputes every (path, type, n)
+    * cell arithmetically.
+    */
+  private val qJsonProfile = Q("q_json_profile",
+    (s, dir) => {
+      val id = col("doc_id")
+      val idS = id.cast("string")
+      val word = element_at(typedlit(Seq("alpha", "beta", "gamma")),
+        (pmod(id, lit(3)) + 1).cast("int"))
+      val doc = concat(
+        lit("{\"id\": "), idS,
+        lit(", \"meta\": {\"lang\": \""), word,
+        lit("\", \"score\": "), pmod(id, lit(7)).cast("string"),
+        lit(".5}, \"tags\": [\"t"), pmod(id, lit(3)).cast("string"),
+        lit("\", "),
+        when(pmod(id, lit(2)) === 0, idS)
+          .otherwise(concat(lit("\"s"), idS, lit("\""))),
+        lit("], \"odd key!\": null}"))
+      val page = when(pmod(id, lit(11)) === 0, substring(doc, 1, 20))
+        .otherwise(doc)
+      t(s, dir, "documents")
+        .select(explode_outer(TF.jsonPaths(page)).as("p"))
+        .groupBy(col("p.path").as("path"), col("p.jtype").as("jtype"))
+        .agg(count(lit(1)).cast("bigint").as("n"))
+    },
+    Some("""WITH c AS (
+           |  SELECT count(*) AS total,
+           |         count(*) FILTER (doc_id % 11 = 0) AS bad,
+           |         count(*) FILTER (doc_id % 11 <> 0) AS ok,
+           |         count(*) FILTER (doc_id % 11 <> 0 AND doc_id % 2 = 0) AS oknum
+           |  FROM documents)
+           |SELECT path, jtype, CAST(n AS BIGINT) AS n FROM (
+           |  SELECT '$' AS path, 'object' AS jtype, ok AS n FROM c
+           |  UNION ALL SELECT '$.id', 'number', ok FROM c
+           |  UNION ALL SELECT '$.meta', 'object', ok FROM c
+           |  UNION ALL SELECT '$.meta.lang', 'string', ok FROM c
+           |  UNION ALL SELECT '$.meta.score', 'number', ok FROM c
+           |  UNION ALL SELECT '$.tags', 'array', ok FROM c
+           |  UNION ALL SELECT '$.tags[*]', 'string', ok FROM c
+           |  UNION ALL SELECT '$.tags[*]', 'number', oknum FROM c
+           |  UNION ALL SELECT '$[''odd key!'']', 'null', ok FROM c
+           |  UNION ALL SELECT NULL, NULL, bad FROM c)
+           |WHERE n > 0""".stripMargin))
+
   /** TAR ingest under the oracle (r14): a two-member ustar archive —
     * real headers with VERIFIED checksums (content is padded to a
     * fixed 64 bytes, so every header byte except the payload is a
@@ -6597,7 +6649,7 @@ object Queries {
     qCrawlClean, qTextDecode, qAnnSq8, qLangId, qNegativeSample, qDriftPsi,
     qLinkExtract, qFrontierLinks, qWarcIngest, qSitemapFrontier,
     qLangIdModel, qPdfExtract, qFrontierSchedule, qImagePhash, qHtmlTables,
-    qZipExtract, qDocxText, qTarExtract,
+    qZipExtract, qDocxText, qTarExtract, qJsonProfile,
     qSelect, qFilter, qFilterRouter,
     qJoinInner, qJoinLeft3key, qJoinRight, qJoinMultiway,
     qAgg, qDistinct, qWindowRank, qSort, qUnionDedup,

@@ -306,6 +306,15 @@ object TextFunctions {
     * `base` — the bridge from [[htmlLinks]]'s relative hrefs to
     * [[urlParts]]. NULL for an unparseable base; resolution does NOT
     * normalize (feed the result to [[urlParts]]). */
+  /** JSON structure profile: every node as a (path, jtype) row —
+    * array elements merged under `[*]`, keys beyond identifier chars
+    * bracketed — NULL for anything that is not one valid RFC 8259
+    * document. The semi-structured ANALYZE primitive. */
+  def jsonPaths(doc: Column): Column = {
+    import org.apache.spark.sql.{GraftBridge, JsonPaths => JP}
+    GraftBridge.column(JP(GraftBridge.expression(doc)))
+  }
+
   /** HTML `<table>` cells as flat (table, row, col, text) rows —
     * tables numbered in document order, nested tables separate, cell
     * text entity-decoded and whitespace-collapsed; NULL on a

@@ -1582,6 +1582,33 @@ case class DecodeText(child: Expression)
     copy(child = newChild)
 }
 
+/** JSON structure profile: every node as a (path, jtype) row, array
+  * elements merged under `[*]`; NULL for anything that is not one
+  * valid RFC 8259 document. See
+  * [[graft.functions.JsonShapeKernels.paths]].
+  */
+case class JsonPaths(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType =
+    ArrayType(graft.functions.JsonShapeKernels.rowSchema, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "json_paths"
+
+  override protected def nullSafeEval(v: Any): Any =
+    graft.functions.JsonShapeKernels.paths(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.JsonShapeKernels.paths($c);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
+
+  override protected def withNewChildInternal(newChild: Expression): JsonPaths =
+    copy(child = newChild)
+}
+
 /** TAR (ustar) member listing: (name, typeflag, size) rows, checksum
   * verified per header; NULL on any malformed framing. See
   * [[graft.functions.TarKernels.entries]].

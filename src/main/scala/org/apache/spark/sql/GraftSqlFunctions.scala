@@ -216,6 +216,12 @@ object GraftSqlFunctions {
           "order (group-independent per RFC 9309)"),
       arity("robots_sitemaps", "robots_sitemaps(text)", 1, 1)(
         c => RobotsSitemaps(c(0)))),
+    (FunctionIdentifier("json_paths"),
+      info("json_paths",
+        "json_paths(doc) - every JSON node as (path, jtype) rows, array " +
+          "elements merged under [*]; NULL on malformed documents"),
+      arity("json_paths", "json_paths(doc)", 1, 1)(
+        c => JsonPaths(c(0)))),
     (FunctionIdentifier("tar_entries"),
       info("tar_entries",
         "tar_entries(binary) - TAR (ustar) member listing " +
