@@ -6074,6 +6074,43 @@ object Queries {
            |  true AS missing_is_null
            |FROM c""".stripMargin))
 
+  /** IDN canonicalization under the oracle (r14): unicode hosts fold
+    * to their RFC 3492 punycode ACE form inside [[TF.urlParts]], so a
+    * crawl that sees `bücher.example` and `xn--bcher-kva.example`
+    * dedups them to ONE key — asserted in-plan by `ace_equal`
+    * (normalized(unicode form) == normalized(ACE form), per row). The
+    * oracle carries the published ACE vectors for four scripts.
+    */
+  private val qUrlIdn = Q("q_url_idn",
+    (s, dir) => {
+      val id = col("doc_id")
+      val hosts = Seq("bücher.example", "münchen.de", "пример.рф",
+        "例え.jp", "plain.example")
+      val aces = Seq("xn--bcher-kva.example", "xn--mnchen-3ya.de",
+        "xn--e1afmkfd.xn--p1ai", "xn--r8jz45g.jp", "plain.example")
+      val hi = (pmod(id, lit(5)) + 1).cast("int")
+      val url = concat(lit("https://"), element_at(typedlit(hosts), hi),
+        lit("/p/"), id.cast("string"))
+      val aceUrl = concat(lit("https://"), element_at(typedlit(aces), hi),
+        lit("/p/"), id.cast("string"))
+      t(s, dir, "documents").select(id.cast("bigint").as("doc_id"),
+        TF.urlParts(url).getField("normalized").as("url"),
+        TF.urlParts(url).getField("host").as("host"),
+        (TF.urlParts(url).getField("normalized") ===
+          TF.urlParts(aceUrl).getField("normalized")).as("ace_equal"))
+    },
+    Some("""WITH c AS (
+           |  SELECT doc_id,
+           |         ['xn--bcher-kva.example','xn--mnchen-3ya.de',
+           |          'xn--e1afmkfd.xn--p1ai','xn--r8jz45g.jp','plain.example']
+           |           [CAST(doc_id % 5 AS INT) + 1] AS ace
+           |  FROM documents)
+           |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           |       'https://' || ace || '/p/' || doc_id AS url,
+           |       ace AS host,
+           |       true AS ace_equal
+           |FROM c""".stripMargin))
+
   /** JSON structure profiling under the oracle (r14):
     * [[TF.jsonPaths]] — the semi-structured ANALYZE run before
     * committing a parquet schema to scraped JSON. Per-doc documents
@@ -6649,7 +6686,7 @@ object Queries {
     qCrawlClean, qTextDecode, qAnnSq8, qLangId, qNegativeSample, qDriftPsi,
     qLinkExtract, qFrontierLinks, qWarcIngest, qSitemapFrontier,
     qLangIdModel, qPdfExtract, qFrontierSchedule, qImagePhash, qHtmlTables,
-    qZipExtract, qDocxText, qTarExtract, qJsonProfile,
+    qZipExtract, qDocxText, qTarExtract, qJsonProfile, qUrlIdn,
     qSelect, qFilter, qFilterRouter,
     qJoinInner, qJoinLeft3key, qJoinRight, qJoinMultiway,
     qAgg, qDistinct, qWindowRank, qSort, qUnionDedup,

@@ -35,8 +35,11 @@ import org.apache.spark.unsafe.types.UTF8String
   *    octet is unreserved (ALPHA / DIGIT / `-._~`, RFC 3986 §6.2.2.2),
   *    otherwise hex uppercased; a malformed escape is kept verbatim.
   *
-  * Out of scope, documented: IDN/punycode host folding and
-  * public-suffix-list apex extraction (the `apex` field is the
+  * IDN hosts fold to their punycode ACE form (round 14, RFC 3492):
+  * `bücher.example` and `xn--bcher-kva.example` share one dedup key.
+  * Out of scope, documented: full IDNA2008 mapping (bidi, contextual
+  * joiners — upstream NFC + lowercase covers crawl canonicalization)
+  * and public-suffix-list apex extraction (the `apex` field is the
   * last-two-labels heuristic — callers with a PSL join one in).
   */
 object UrlKernels {
@@ -129,6 +132,83 @@ object UrlKernels {
       // groups across engines. Code-point comparison == UTF-8 bytewise.
       .sortWith((a, b) => codePointCompare(a, b) < 0)
     if (kept.isEmpty) null else kept.mkString("&")
+  }
+
+  /** RFC 3492 punycode of one (already-lowercased, non-ASCII) label —
+    * the bootstring algorithm with the RFC's parameters verbatim
+    * (base 36, tmin 1, tmax 26, skew 38, damp 700, initial bias 72,
+    * initial n 128). Verified against `java.net.IDN.toASCII` across a
+    * fuzz corpus (UrlPartsSpec). */
+  private def punycodeLabel(label: String): String = {
+    val cps = label.codePoints().toArray
+    val out = new StringBuilder
+    cps.foreach(c => if (c < 128) out.append(c.toChar))
+    val b = out.length
+    var h = b
+    if (b > 0) out.append('-')
+    var n = 128
+    var delta = 0L
+    var bias = 72
+    def adapt(d0: Long, numpoints: Int, first: Boolean): Int = {
+      var d = if (first) d0 / 700 else d0 / 2
+      d += d / numpoints
+      var k = 0
+      while (d > (35 * 26) / 2) { d /= 35; k += 36 }
+      k + ((36 * d) / (d + 38)).toInt
+    }
+    def digit(d: Long): Char =
+      if (d < 26) ('a' + d).toChar else ('0' + d - 26).toChar
+    while (h < cps.length) {
+      var m = Int.MaxValue
+      cps.foreach(c => if (c >= n && c < m) m = c)
+      delta += (m - n).toLong * (h + 1)
+      n = m
+      cps.foreach { c =>
+        if (c < n) delta += 1
+        if (c == n) {
+          var q = delta
+          var k = 36
+          var going = true
+          while (going) {
+            val t = if (k <= bias) 1 else if (k >= bias + 26) 26 else k - bias
+            if (q < t) going = false
+            else {
+              out.append(digit(t + (q - t) % (36 - t)))
+              q = (q - t) / (36 - t)
+              k += 36
+            }
+          }
+          out.append(digit(q))
+          bias = adapt(delta, h + 1, h == b)
+          delta = 0
+          h += 1
+        }
+      }
+      delta += 1
+      n += 1
+    }
+    out.toString
+  }
+
+  /** IDN host folding (round 14): non-ASCII labels become their
+    * `xn--` punycode ACE form, per label, after the lowercase — so
+    * `bücher.example` and `xn--bcher-kva.example` canonicalize to the
+    * SAME dedup key. ASCII hosts pass untouched (the overwhelmingly
+    * common case pays one scan). IDNA2003/2008 mapping subtleties
+    * (bidi rules, contextual joiners) are out of scope — upstream NFC
+    * (`nfc_normalize`) plus lowercase covers the crawl-canonicalization
+    * need; a label the encoder cannot improve is kept verbatim. */
+  private[graft] def idnaHost(host: String): String = {
+    var ascii = true
+    var i = 0
+    while (ascii && i < host.length) {
+      if (host.charAt(i) >= 128) ascii = false
+      i += 1
+    }
+    if (ascii) return host
+    host.split("\\.", -1).map { l =>
+      if (l.forall(_ < 128)) l else "xn--" + punycodeLabel(l)
+    }.mkString(".")
   }
 
   /** Code-point lexicographic comparison — identical to comparing the
@@ -263,9 +343,9 @@ object UrlKernels {
       else if (after.nonEmpty) return null
     } else {
       val colon = hostport.indexOf(':')
-      if (colon < 0) host = hostport.toLowerCase
+      if (colon < 0) host = idnaHost(hostport.toLowerCase)
       else {
-        host = hostport.substring(0, colon).toLowerCase
+        host = idnaHost(hostport.substring(0, colon).toLowerCase)
         portStr = hostport.substring(colon + 1)
       }
       if (host.isEmpty) return null

@@ -148,6 +148,82 @@ class UrlPartsSpec extends SparkSpec {
     assert(viaSql == "http://a/b/g")
   }
 
+  test("IDN hosts fold to punycode ACE (r14): known vectors, ACE " +
+    "passthrough equivalence, fuzz vs java.net.IDN") {
+    assert(norm("https://BÜCHER.example/p") == "https://xn--bcher-kva.example/p")
+    assert(norm("http://münchen.de") == "http://xn--mnchen-3ya.de/")
+    assert(norm("https://пример.рф/x") == "https://xn--e1afmkfd.xn--p1ai/x")
+    assert(norm("https://例え.jp/") == "https://xn--r8jz45g.jp/")
+    assert(norm("https://mixed-ascii.örg") == "https://mixed-ascii.xn--rg-eka/")
+    // the unicode form and its ACE form share ONE canonical key
+    assert(norm("https://bücher.example/p") == norm("https://xn--bcher-kva.example/p"))
+    // ASCII hosts untouched
+    assert(norm("https://plain.example/p") == "https://plain.example/p")
+    // fuzz the punycode encoder against the platform's IDNA (same
+    // bootstring algorithm) over random lowercase BMP labels
+    val rnd = new scala.util.Random(0x1d4a)
+    def cp(): Int = {
+      val r = rnd.nextInt(4)
+      if (r == 0) 'a' + rnd.nextInt(26)
+      else if (r == 1) 0xe0 + rnd.nextInt(0x250 - 0xe0)   // latin ext / IPA
+      else if (r == 2) 0x430 + rnd.nextInt(0x45f - 0x430) // cyrillic lower
+      else 0x3b1 + rnd.nextInt(0x3c9 - 0x3b1)             // greek lower
+    }
+    // roundtrip through an INDEPENDENT RFC 3492 §6.2 decoder (the
+    // platform IDN.toUnicode refuses labels nameprep would remap, like
+    // ς→σ — an IDNA2003 mapping outside our documented scope, not a
+    // punycode property)
+    def punyDecode(in: String): String = {
+      val lastDash = in.lastIndexOf('-')
+      val out = scala.collection.mutable.ArrayBuffer.empty[Int]
+      if (lastDash > 0) in.substring(0, lastDash).foreach(c => out += c.toInt)
+      var n = 128; var i = 0; var bias = 72
+      var p = if (lastDash >= 0) lastDash + 1 else 0
+      def adapt(d0: Int, numpoints: Int, first: Boolean): Int = {
+        var d = if (first) d0 / 700 else d0 / 2
+        d += d / numpoints
+        var k = 0
+        while (d > (35 * 26) / 2) { d /= 35; k += 36 }
+        k + (36 * d) / (d + 38)
+      }
+      while (p < in.length) {
+        val oldi = i
+        var w = 1
+        var k = 36
+        var going = true
+        while (going) {
+          val c = in.charAt(p); p += 1
+          val digit = if (c >= 'a' && c <= 'z') c - 'a'
+            else if (c >= '0' && c <= '9') c - '0' + 26 else fail(s"bad digit $c")
+          i += digit * w
+          val t = if (k <= bias) 1 else if (k >= bias + 26) 26 else k - bias
+          if (digit < t) going = false else { w *= 36 - t; k += 36 }
+        }
+        bias = adapt(i - oldi, out.length + 1, oldi == 0)
+        n += i / (out.length + 1)
+        i %= out.length + 1
+        out.insert(i, n)
+        i += 1
+      }
+      new String(out.toArray, 0, out.length)
+    }
+    def fail(m: String): Nothing = throw new AssertionError(m)
+    var checked = 0
+    for (_ <- 0 until 400) {
+      val label = (0 until 1 + rnd.nextInt(12)).map(_ => cp().toChar).mkString
+      if (label.exists(_ >= 128)) {
+        val mine = norm(s"https://$label.example/")
+        val ace = mine.stripPrefix("https://").takeWhile(_ != '.')
+        assert(ace.startsWith("xn--"), s"label '$label': $mine")
+        val back = punyDecode(ace.stripPrefix("xn--"))
+        checked += 1
+        assert(back == label.toLowerCase,
+          s"label '$label': ace=$ace decodes to '$back'")
+      }
+    }
+    assert(checked > 200, s"fuzz only checked $checked labels")
+  }
+
   test("fuzz: arbitrary strings never throw") {
     val rnd = new scala.util.Random(0x0731a17L)
     val alphabet = ":/?#[]@!$&'()*+,;=%abcXYZ09._~-é "
