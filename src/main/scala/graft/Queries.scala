@@ -6074,6 +6074,172 @@ object Queries {
            |  true AS missing_is_null
            |FROM c""".stripMargin))
 
+  /** Unified binary ingestion ROUTER under the oracle (r14): a mixed
+    * blob corpus (PDF / ZIP / TAR / gzip / PNG / WAV / Avro rotating
+    * by doc, plus undecodable junk) routed by the triage kernels
+    * themselves — kind = the first triage that vouches for the blob,
+    * detail = that kind's headline metadatum. This is the first
+    * operator a 100 TB drop hits: one projection decides which decode
+    * budget each blob deserves, fail-closed blobs route to 'unknown'
+    * instead of crashing a lane. The oracle replays the routing table
+    * arithmetically.
+    */
+  private val qBinaryRoute = Q("q_binary_route",
+    (s, dir) => {
+      val id = col("doc_id")
+      def hexOf(b: Array[Byte]): String = b.map("%02x".format(_)).mkString
+      val pdfHex = {
+        val out = new java.io.ByteArrayOutputStream()
+        def es(x: String): Unit = out.write(x.getBytes("ISO-8859-1"))
+        val offs = scala.collection.mutable.ArrayBuffer[Long]()
+        es("%PDF-1.6\n")
+        offs += out.size(); es("1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n")
+        offs += out.size(); es("2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n")
+        offs += out.size(); es("3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R >> endobj\n")
+        offs += out.size(); es("4 0 obj << /Length 20 >> stream\nBT (router pdf) Tj ET\nendstream endobj\n")
+        val xo = out.size()
+        es("xref\n0 5\n0000000000 65535 f \n")
+        offs.foreach(o => es(f"$o%010d 00000 n \n"))
+        es(s"trailer << /Size 5 /Root 1 0 R >>\nstartxref\n$xo\n%%EOF")
+        hexOf(out.toByteArray)
+      }
+      val zipHex = {
+        val bos = new java.io.ByteArrayOutputStream()
+        val z = new java.util.zip.ZipOutputStream(bos)
+        z.putNextEntry(new java.util.zip.ZipEntry("a.txt"))
+        z.write("router zip".getBytes("UTF-8")); z.closeEntry()
+        z.putNextEntry(new java.util.zip.ZipEntry("b.txt"))
+        z.write("two".getBytes("UTF-8")); z.closeEntry(); z.close()
+        hexOf(bos.toByteArray)
+      }
+      val tarHex = {
+        val data = java.util.Arrays.copyOf("router tar".getBytes("UTF-8"), 512)
+        val h = new Array[Byte](512)
+        def put(off: Int, x: String): Unit =
+          System.arraycopy(x.getBytes("ISO-8859-1"), 0, h, off, x.length)
+        put(0, "r.txt"); put(100, "0000644 "); put(108, "0000000 ")
+        put(116, "0000000 "); put(124, f"${10}%011o" + " ")
+        put(136, "00000000000 "); h(156) = '0'.toByte; put(257, "ustar 00")
+        java.util.Arrays.fill(h, 148, 156, ' '.toByte)
+        var sum = 0L; h.foreach(x => sum += (x & 0xff))
+        put(148, f"$sum%06o" + "  ")
+        hexOf(h ++ data ++ new Array[Byte](1024))
+      }
+      val gzHex = {
+        val bos = new java.io.ByteArrayOutputStream()
+        val g = new java.util.zip.GZIPOutputStream(bos)
+        g.write("router gzip payload".getBytes("UTF-8")); g.close()
+        hexOf(bos.toByteArray)
+      }
+      // 1x1 gray PNG (fixed, from PngKernels' own test corpus shape)
+      val pngHex = {
+        def chunk(tag: String, data: Array[Byte]): Array[Byte] = {
+          val crc = new java.util.zip.CRC32
+          crc.update(tag.getBytes("ISO-8859-1")); crc.update(data)
+          java.nio.ByteBuffer.allocate(12 + data.length)
+            .putInt(data.length).put(tag.getBytes("ISO-8859-1")).put(data)
+            .putInt(crc.getValue.toInt).array()
+        }
+        val ihdr = java.nio.ByteBuffer.allocate(13)
+          .putInt(1).putInt(1).put(8.toByte).put(0.toByte)
+          .put(0.toByte).put(0.toByte).put(0.toByte).array()
+        val raw = Array[Byte](0, 77) // filter 0, one gray pixel
+        val d = new java.util.zip.Deflater()
+        d.setInput(raw); d.finish()
+        val zbuf = new Array[Byte](64)
+        val zn = d.deflate(zbuf); d.end()
+        val sig = Array[Byte](0x89.toByte, 'P', 'N', 'G', 13, 10, 26, 10)
+        hexOf(sig ++ chunk("IHDR", ihdr) ++
+          chunk("IDAT", java.util.Arrays.copyOf(zbuf, zn)) ++
+          chunk("IEND", Array.emptyByteArray))
+      }
+      val wavHex = {
+        val nFrames = 8
+        val data = new Array[Byte](nFrames * 2) // 8 mono 16-bit frames
+        val bb = java.nio.ByteBuffer.allocate(44 + data.length)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        bb.put("RIFF".getBytes).putInt(36 + data.length).put("WAVE".getBytes)
+        bb.put("fmt ".getBytes).putInt(16).putShort(1).putShort(1)
+          .putInt(8000).putInt(16000).putShort(2).putShort(16)
+        bb.put("data".getBytes).putInt(data.length).put(data)
+        hexOf(bb.array())
+      }
+      val avroHex = {
+        val bos = new java.io.ByteArrayOutputStream()
+        def vz(n: Long): Unit = { // zigzag varint
+          var u = (n << 1) ^ (n >> 63)
+          var going = true
+          while (going) {
+            val byte = (u & 0x7f).toInt
+            u >>>= 7
+            if (u == 0) { bos.write(byte); going = false }
+            else bos.write(byte | 0x80)
+          }
+        }
+        def bs(x: Array[Byte]): Unit = { vz(x.length); bos.write(x) }
+        bos.write("Obj".getBytes); bos.write(1)
+        vz(2) // metadata map: one block of 2 entries
+        bs("avro.schema".getBytes); bs("\"bytes\"".getBytes)
+        bs("avro.codec".getBytes); bs("null".getBytes)
+        vz(0) // end of map
+        val sync = Array.tabulate[Byte](16)(i => (i * 7 + 3).toByte)
+        bos.write(sync)
+        def block(count: Int, data: Array[Byte]): Unit = {
+          vz(count); vz(data.length); bos.write(data); bos.write(sync)
+        }
+        block(3, "abcde".getBytes)
+        block(2, "fg".getBytes)
+        hexOf(bos.toByteArray)
+      }
+      val m8 = pmod(id, lit(8))
+      val blob = when(m8 === 0, unhex(lit(pdfHex)))
+        .when(m8 === 1, unhex(lit(zipHex)))
+        .when(m8 === 2, unhex(lit(tarHex)))
+        .when(m8 === 3, unhex(lit(gzHex)))
+        .when(m8 === 4, unhex(lit(pngHex)))
+        .when(m8 === 5, unhex(lit(wavHex)))
+        .when(m8 === 6, unhex(lit(avroHex)))
+        .otherwise(encode(concat(lit("junk "), id.cast("string")), "UTF-8"))
+      val routed = t(s, dir, "documents")
+        .select(id.cast("bigint").as("doc_id"), blob.as("__b"))
+        .select(col("doc_id"),
+          Multimodal.pdfMeta(col("__b")).as("__pdf"),
+          Multimodal.zipEntries(col("__b")).as("__zip"),
+          Multimodal.tarEntries(col("__b")).as("__tar"),
+          Multimodal.gunzip(col("__b")).as("__gz"),
+          Multimodal.imageMeta(col("__b")).as("__img"),
+          Multimodal.audioMeta(col("__b")).as("__wav"),
+          Multimodal.avroMeta(col("__b")).as("__avro"))
+      routed.select(col("doc_id"),
+        when(col("__pdf").isNotNull, lit("pdf"))
+          .when(col("__zip").isNotNull, lit("zip"))
+          .when(col("__tar").isNotNull, lit("tar"))
+          .when(col("__gz").isNotNull, lit("gzip"))
+          .when(col("__img").isNotNull, lit("image"))
+          .when(col("__wav").isNotNull, lit("audio"))
+          .when(col("__avro").isNotNull, lit("avro"))
+          .otherwise(lit("unknown")).as("kind"),
+        coalesce(
+          col("__pdf").getField("n_pages").cast("bigint"),
+          size(col("__zip")).cast("bigint"),
+          size(col("__tar")).cast("bigint"),
+          length(col("__gz")).cast("bigint"),
+          col("__img").getField("width").cast("bigint"),
+          col("__wav").getField("sample_rate").cast("bigint"),
+          col("__avro").getField("n_records").cast("bigint"))
+          .as("detail"))
+    },
+    Some("""SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           |  CASE doc_id % 8
+           |    WHEN 0 THEN 'pdf' WHEN 1 THEN 'zip' WHEN 2 THEN 'tar'
+           |    WHEN 3 THEN 'gzip' WHEN 4 THEN 'image' WHEN 5 THEN 'audio'
+           |    WHEN 6 THEN 'avro' ELSE 'unknown' END AS kind,
+           |  CAST(CASE doc_id % 8
+           |    WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 1
+           |    WHEN 3 THEN 19 WHEN 4 THEN 1 WHEN 5 THEN 8000
+           |    WHEN 6 THEN 5 ELSE NULL END AS BIGINT) AS detail
+           |FROM documents""".stripMargin))
+
   /** IDN canonicalization under the oracle (r14): unicode hosts fold
     * to their RFC 3492 punycode ACE form inside [[TF.urlParts]], so a
     * crawl that sees `bücher.example` and `xn--bcher-kva.example`
@@ -6686,7 +6852,7 @@ object Queries {
     qCrawlClean, qTextDecode, qAnnSq8, qLangId, qNegativeSample, qDriftPsi,
     qLinkExtract, qFrontierLinks, qWarcIngest, qSitemapFrontier,
     qLangIdModel, qPdfExtract, qFrontierSchedule, qImagePhash, qHtmlTables,
-    qZipExtract, qDocxText, qTarExtract, qJsonProfile, qUrlIdn,
+    qZipExtract, qDocxText, qTarExtract, qJsonProfile, qUrlIdn, qBinaryRoute,
     qSelect, qFilter, qFilterRouter,
     qJoinInner, qJoinLeft3key, qJoinRight, qJoinMultiway,
     qAgg, qDistinct, qWindowRank, qSort, qUnionDedup,

@@ -61,6 +61,14 @@ object Multimodal {
     GraftBridge.column(WR(GraftBridge.expression(blob)))
   }
 
+  /** Avro object-container triage (r14): (schema_json, codec,
+    * n_blocks, n_records) from frame arithmetic alone — records never
+    * decoded. NULL on malformed framing. */
+  def avroMeta(blob: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.{AvroMeta => AVM, GraftBridge}
+    GraftBridge.column(AVM(GraftBridge.expression(blob)))
+  }
+
   /** TAR (ustar) member listing (r14): (name, typeflag, size) rows,
     * checksums verified; NULL on malformed framing. Compose with
     * [[gunzip]] for .tar.gz. */

@@ -1582,6 +1582,31 @@ case class DecodeText(child: Expression)
     copy(child = newChild)
 }
 
+/** Avro object-container triage: (schema_json, codec, n_blocks,
+  * n_records) from frame arithmetic alone — no record decode; NULL on
+  * malformed framing. See [[graft.functions.AvroKernels.meta]].
+  */
+case class AvroMeta(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
+  override def dataType: DataType = graft.functions.AvroKernels.schema
+  override def nullable: Boolean = true
+  override def prettyName: String = "avro_meta"
+
+  override protected def nullSafeEval(v: Any): Any =
+    graft.functions.AvroKernels.meta(v.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.AvroKernels.meta($c);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
+
+  override protected def withNewChildInternal(newChild: Expression): AvroMeta =
+    copy(child = newChild)
+}
+
 /** JSON structure profile: every node as a (path, jtype) row, array
   * elements merged under `[*]`; NULL for anything that is not one
   * valid RFC 8259 document. See

@@ -216,6 +216,13 @@ object GraftSqlFunctions {
           "order (group-independent per RFC 9309)"),
       arity("robots_sitemaps", "robots_sitemaps(text)", 1, 1)(
         c => RobotsSitemaps(c(0)))),
+    (FunctionIdentifier("avro_meta"),
+      info("avro_meta",
+        "avro_meta(binary) - Avro container struct(schema_json, codec, " +
+          "n_blocks, n_records) from frame arithmetic; NULL on " +
+          "malformed framing"),
+      arity("avro_meta", "avro_meta(binary)", 1, 1)(
+        c => AvroMeta(c(0)))),
     (FunctionIdentifier("json_paths"),
       info("json_paths",
         "json_paths(doc) - every JSON node as (path, jtype) rows, array " +
