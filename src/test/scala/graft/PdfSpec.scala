@@ -192,6 +192,33 @@ class PdfSpec extends SparkSpec {
     assert(textOf(pdf) == "objstm text")
   }
 
+  test("incremental update (/Prev chain): the newest xref wins, older " +
+    "sections fill the gaps") {
+    // the classic save-in-place layout: original document, then an
+    // APPENDED update that replaces the content stream (object 4) and
+    // adds an xref section whose trailer /Prev points at the original
+    val orig = classicPdf(Seq("BT (original text) Tj ET"))
+    val origXrefOff = {
+      val s = new String(orig, "ISO-8859-1")
+      s.substring(s.lastIndexOf("startxref") + 10).trim.takeWhile(_.isDigit)
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(orig)
+    out.write('\n')
+    val newContent = "BT (updated text) Tj ET"
+    val obj4Off = out.size()
+    out.write(b(s"4 0 obj << /Length ${newContent.length} >> stream\n" +
+      s"$newContent\nendstream endobj\n"))
+    val xrefOff = out.size()
+    out.write(b("xref\n4 1\n" + f"$obj4Off%010d" + " 00000 n \n"))
+    out.write(b(s"trailer << /Size 5 /Root 1 0 R /Prev $origXrefOff >>\n" +
+      s"startxref\n$xrefOff\n%%EOF"))
+    val updated = out.toByteArray
+    assert(metaOf(updated).contains(("1.4", 1, false)))
+    assert(textOf(updated) == "updated text") // newest section wins
+    assert(textOf(orig) == "original text")   // the original still reads
+  }
+
   test("fail-closed: encryption, truncation, bad xref, unsupported filter") {
     val good = classicPdf(Seq("BT (x) Tj ET"))
     // encrypted: meta reports the flag, text refuses
