@@ -6076,9 +6076,10 @@ object Queries {
 
   /** Unified binary ingestion ROUTER under the oracle (r14): a mixed
     * blob corpus (PDF / ZIP / TAR / gzip / PNG / WAV / Avro rotating
-    * by doc, plus undecodable junk) routed by the triage kernels
-    * themselves — kind = the first triage that vouches for the blob,
-    * detail = that kind's headline metadatum. This is the first
+    * by doc, plus undecodable junk) routed by MAGIC dispatch first —
+    * exactly ONE triage kernel runs per row, inside its CASE branch —
+    * kind = the magic's claim only when that kernel vouches for the
+    * blob, detail = the kind's headline metadatum. This is the first
     * operator a 100 TB drop hits: one projection decides which decode
     * budget each blob deserves, fail-closed blobs route to 'unknown'
     * instead of crashing a lane. The oracle replays the routing table
@@ -6200,34 +6201,48 @@ object Queries {
         .when(m8 === 5, unhex(lit(wavHex)))
         .when(m8 === 6, unhex(lit(avroHex)))
         .otherwise(encode(concat(lit("junk "), id.cast("string")), "UTF-8"))
-      val routed = t(s, dir, "documents")
+      // MAGIC dispatch FIRST, then exactly ONE kernel per row inside a
+      // lazily-evaluated CASE branch — running every parser on every
+      // blob would pay ~7x triage cost at 100 TB. A blob whose magic
+      // matches but whose kernel refuses (truncated pdf, corrupt zip)
+      // degrades to 'unknown' via the null detail.
+      t(s, dir, "documents")
         .select(id.cast("bigint").as("doc_id"), blob.as("__b"))
+        .select(col("doc_id"), col("__b"),
+          when(substring(col("__b"), 1, 5) === encode(lit("%PDF-"), "UTF-8"),
+            lit("pdf"))
+            .when(substring(col("__b"), 1, 2) === encode(lit("PK"), "UTF-8"),
+              lit("zip"))
+            .when(substring(col("__b"), 1, 2) === unhex(lit("1f8b")), lit("gzip"))
+            .when(substring(col("__b"), 1, 4) === unhex(lit("89504e47")),
+              lit("image"))
+            .when(substring(col("__b"), 1, 4) === encode(lit("RIFF"), "UTF-8"),
+              lit("audio"))
+            .when(substring(col("__b"), 1, 4) === unhex(lit("4f626a01")),
+              lit("avro"))
+            .when(substring(col("__b"), 258, 5) === encode(lit("ustar"), "UTF-8"),
+              lit("tar"))
+            .otherwise(lit("unknown")).as("__mk"))
+        .select(col("doc_id"), col("__mk"),
+          when(col("__mk") === "pdf",
+            Multimodal.pdfMeta(col("__b")).getField("n_pages").cast("bigint"))
+            .when(col("__mk") === "zip",
+              size(Multimodal.zipEntries(col("__b"))).cast("bigint"))
+            .when(col("__mk") === "gzip",
+              length(Multimodal.gunzip(col("__b"))).cast("bigint"))
+            .when(col("__mk") === "image",
+              Multimodal.imageMeta(col("__b")).getField("width").cast("bigint"))
+            .when(col("__mk") === "audio",
+              Multimodal.audioMeta(col("__b")).getField("sample_rate").cast("bigint"))
+            .when(col("__mk") === "avro",
+              Multimodal.avroMeta(col("__b")).getField("n_records").cast("bigint"))
+            .when(col("__mk") === "tar",
+              size(Multimodal.tarEntries(col("__b"))).cast("bigint"))
+            .as("detail"))
         .select(col("doc_id"),
-          Multimodal.pdfMeta(col("__b")).as("__pdf"),
-          Multimodal.zipEntries(col("__b")).as("__zip"),
-          Multimodal.tarEntries(col("__b")).as("__tar"),
-          Multimodal.gunzip(col("__b")).as("__gz"),
-          Multimodal.imageMeta(col("__b")).as("__img"),
-          Multimodal.audioMeta(col("__b")).as("__wav"),
-          Multimodal.avroMeta(col("__b")).as("__avro"))
-      routed.select(col("doc_id"),
-        when(col("__pdf").isNotNull, lit("pdf"))
-          .when(col("__zip").isNotNull, lit("zip"))
-          .when(col("__tar").isNotNull, lit("tar"))
-          .when(col("__gz").isNotNull, lit("gzip"))
-          .when(col("__img").isNotNull, lit("image"))
-          .when(col("__wav").isNotNull, lit("audio"))
-          .when(col("__avro").isNotNull, lit("avro"))
-          .otherwise(lit("unknown")).as("kind"),
-        coalesce(
-          col("__pdf").getField("n_pages").cast("bigint"),
-          size(col("__zip")).cast("bigint"),
-          size(col("__tar")).cast("bigint"),
-          length(col("__gz")).cast("bigint"),
-          col("__img").getField("width").cast("bigint"),
-          col("__wav").getField("sample_rate").cast("bigint"),
-          col("__avro").getField("n_records").cast("bigint"))
-          .as("detail"))
+          when(col("detail").isNotNull, col("__mk"))
+            .otherwise(lit("unknown")).as("kind"),
+          col("detail"))
     },
     Some("""SELECT CAST(doc_id AS BIGINT) AS doc_id,
            |  CASE doc_id % 8
