@@ -516,9 +516,25 @@ object PdfKernels {
         val count = lx.next() match { case p: PNum => p.i; case _ => throw Bad }
         if (count < 0 || count > 1000000) throw Bad
         lx.skipWs()
+        // Spec rows are fixed 20 bytes: nnnnnnnnnn ggggg t + 2-char EOL
+        // ("SP CR", "SP LF", or "CR LF"); single-char-EOL writers emit 19.
+        // Detect the width ONCE per subsection from the first row's EOL
+        // bytes — the old per-row "is the overshot byte a digit?" heuristic
+        // mis-stepped on the LAST row of every 19-byte subsection, eating
+        // the first byte of `trailer` (ADVICE r14).
+        var rowLen = 20
+        if (count > 0) {
+          val p0 = lx.pos
+          if (p0 + 19 > b.length) throw Bad
+          val e0 = b(p0 + 18)
+          rowLen =
+            if (e0 == ' ') 20
+            else if (e0 == '\r' && p0 + 19 < b.length && b(p0 + 19) == '\n') 20
+            else if (e0 == '\r' || e0 == '\n') 19
+            else throw Bad
+        }
         var i = 0
         while (i < count) {
-          // fixed 20-byte entries: nnnnnnnnnn ggggg t(space)(eol eol)
           val p = lx.pos
           if (p + 18 > b.length) throw Bad
           val o = new String(b, p, 10, java.nio.charset.StandardCharsets.ISO_8859_1)
@@ -526,10 +542,7 @@ object PdfKernels {
           if (!o.forall(c => c >= '0' && c <= '9')) throw Bad
           if (typ == 'n')
             doc.xref.getOrElseUpdate(start + i, Left(o.toLong))
-          lx.pos = p + 20
-          // tolerate 19-byte rows (single-char EOL writers)
-          if (lx.pos <= b.length && lx.pos - 1 < b.length &&
-              (b(lx.pos - 1) >= '0' && b(lx.pos - 1) <= '9')) lx.pos -= 1
+          lx.pos = p + rowLen
           i += 1
         }
         going = true

@@ -102,6 +102,18 @@ object TableKernels {
     }
   }
 
+  /** Case-insensitive indexOf via regionMatches — no per-call copy of the
+    * haystack. ASCII-folding is exactly what HTML tag names need. */
+  private def indexOfIgnoreCase(s: String, needle: String, from: Int): Int = {
+    val last = s.length - needle.length
+    var j = math.max(from, 0)
+    while (j <= last) {
+      if (s.regionMatches(true, j, needle, 0, needle.length)) return j
+      j += 1
+    }
+    -1
+  }
+
   def tables(u: UTF8String): ArrayData = {
     if (u == null) return null
     val s = u.toString
@@ -145,8 +157,11 @@ object TableKernels {
             i = te
             name match {
               case "script" | "style" if !closing =>
+                // regionMatches, not s.toLowerCase.indexOf: lowercasing the
+                // whole document per script tag is O(n²) time + allocation
+                // on script-heavy crawled pages (ADVICE r14).
                 val close = s"</$name"
-                val e = s.toLowerCase.indexOf(close, i)
+                val e = indexOfIgnoreCase(s, close, i)
                 i = if (e < 0) n else {
                   val t2 = tagEnd(e + close.length)
                   if (t2 < 0) n else t2

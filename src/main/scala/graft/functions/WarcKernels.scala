@@ -89,6 +89,10 @@ object WarcKernels {
     * CRC32+ISIZE-verified member or the whole blob is NULL — the
     * fail-closed contract [[records]] documents. */
   def gunzipAll(b: Array[Byte]): Array[Byte] = {
+    // An empty blob is not a valid gzip stream (no member header); the
+    // member loop below would otherwise never run and "decode" it to
+    // empty bytes, violating the fail-closed contract (ADVICE r14).
+    if (b.length == 0) return null
     val cap = math.max(MaxInflate.toLong, 200L * b.length)
       .min(Int.MaxValue.toLong).toInt
     try {

@@ -302,7 +302,15 @@ object FuzzyMatch {
       .select(lower(col(mainField))).distinct().count()
     val lD = lookup.filter(col(lookupField).isNotNull)
       .select(lower(col(lookupField))).distinct().count()
-    val brute = mD * lD
+    // mD * lD overflows Long at ~3e9 × 3e9 distinct values (plausible at
+    // 100 TB), which would flip share negative and silently pass the regime
+    // guard on exactly the inputs it exists to refuse (ADVICE r14).
+    // Saturate to Long.MaxValue instead: share then underestimates toward 0
+    // only in the sense of a gigantic denominator, and a genuinely
+    // quadratic candidate count still trips the guard via cands itself.
+    val brute =
+      try Math.multiplyExact(mD, lD)
+      catch { case _: ArithmeticException => Long.MaxValue }
     (cands, brute, if (brute == 0L) 0.0 else cands.toDouble / brute)
   }
 

@@ -1781,11 +1781,18 @@ case class DHash64(child: Expression)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, c => s"""
-      java.lang.Long graftDh = graft.functions.PHashKernels.dhash64($c);
-      if (graftDh == null) { ${ev.isNull} = true; }
-      else { ${ev.value} = graftDh.longValue(); }
-    """)
+    nullSafeCodeGen(ctx, ev, c => {
+      // ctx.freshName, not a fixed identifier: with a non-nullable child
+      // nullSafeCodeGen emits this block unbraced, so two dhash64 calls in
+      // one projection would otherwise declare duplicate locals and kick
+      // the whole stage back to interpreted mode (ADVICE r14).
+      val dh = ctx.freshName("dhash")
+      s"""
+      java.lang.Long $dh = graft.functions.PHashKernels.dhash64($c);
+      if ($dh == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = $dh.longValue(); }
+    """
+    })
 
   override protected def withNewChildInternal(newChild: Expression): DHash64 =
     copy(child = newChild)

@@ -124,4 +124,29 @@ class PHashSpec extends SparkSpec {
     val viaSql = spark.sql(s"SELECT dhash64(unhex('$hex')) AS h").as[Long].head()
     assert(viaSql == h64(pgm(9, 8, i => i * 3)).longValue())
   }
+
+  test("codegen: two dhash64 calls over NON-NULLABLE children in one " +
+    "projection compile (fresh locals, no duplicate identifier — ADVICE r14)") {
+    val a = pgm(9, 8, i => i * 2)
+    val c = pgm(9, 8, i => 255 - i)
+    // coalesce(col, lit) is non-nullable (lit is) and non-foldable (col is):
+    // nullSafeCodeGen emits the kernel block UNBRACED, the regime where a
+    // fixed-name local collides. fallback=false turns a Janino failure into
+    // a thrown error instead of a silent interpreted fallback.
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val rows = Seq((1, null.asInstanceOf[Array[Byte]]))
+        .toDF("id", "binCol")
+        .select(
+          // X'..' literals (not unhex: Unhex is nullable and would brace
+          // the generated block, missing the collision regime)
+          expr("dhash64(coalesce(binCol, X'" +
+            a.map("%02x".format(_)).mkString + "'))").as("ha"),
+          expr("dhash64(coalesce(binCol, X'" +
+            c.map("%02x".format(_)).mkString + "'))").as("hc"))
+        .head()
+      assert(rows.getLong(0) == h64(a).longValue())
+      assert(rows.getLong(1) == h64(c).longValue())
+    } finally spark.conf.unset("spark.sql.codegen.fallback")
+  }
 }

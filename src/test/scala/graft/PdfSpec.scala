@@ -27,7 +27,8 @@ class PdfSpec extends SparkSpec {
   /** Classic-xref PDF with one content stream per page. */
   private def classicPdf(pageContents: Seq[String],
                          version: String = "1.4",
-                         flate: Boolean = false): Array[Byte] = {
+                         flate: Boolean = false,
+                         xrefEol: String = " \n"): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
     val offsets = scala.collection.mutable.ArrayBuffer[Long](0L) // obj 0
     def emit(s: Array[Byte]): Unit = out.write(s)
@@ -55,9 +56,9 @@ class PdfSpec extends SparkSpec {
     }
     val xrefOff = out.size()
     emit(b(s"xref\n0 ${3 + 2 * n}\n"))
-    emit(b("0000000000 65535 f \n"))
+    emit(b(s"0000000000 65535 f$xrefEol"))
     for (i <- 1 until 3 + 2 * n)
-      emit(b(f"${offsets(i)}%010d 00000 n \n"))
+      emit(b(f"${offsets(i)}%010d 00000 n$xrefEol"))
     emit(b(s"trailer << /Size ${3 + 2 * n} /Root 1 0 R >>\n" +
       s"startxref\n$xrefOff\n%%EOF"))
     out.toByteArray
@@ -155,6 +156,19 @@ class PdfSpec extends SparkSpec {
     val pdf = classicPdf(Seq("BT /F1 12 Tf 72 720 Td (Hello classic) Tj ET"))
     assert(metaOf(pdf).contains(("1.4", 1, false)))
     assert(textOf(pdf) == "\nHello classic")
+  }
+
+  test("classic xref: 19-byte single-char-EOL rows (LF and CR writers) — " +
+    "the last row of a subsection must not eat `trailer` (ADVICE r14)") {
+    for (eol <- Seq("\n", "\r")) {
+      val pdf = classicPdf(
+        Seq("BT (short rows) Tj ET", "BT (page two) Tj ET"), xrefEol = eol)
+      assert(metaOf(pdf).contains(("1.4", 2, false)), s"eol=${eol.map(_.toInt)}")
+      assert(textOf(pdf) == "short rows\npage two", s"eol=${eol.map(_.toInt)}")
+    }
+    // spec 20-byte CR LF variant still parses
+    val crlf = classicPdf(Seq("BT (crlf rows) Tj ET"), xrefEol = "\r\n")
+    assert(textOf(crlf) == "crlf rows")
   }
 
   test("multi-page + TJ arrays + escapes + octal + hex strings + quote ops") {
