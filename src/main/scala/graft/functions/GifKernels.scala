@@ -34,7 +34,14 @@ object GifKernels {
     * size before any LZW output, so a crafted stream cannot balloon. */
   private val MaxPixels = 1L << 28
 
-  def decode(b: Array[Byte]): Option[RasterKernels.Raster] = {
+  def decode(b: Array[Byte]): Option[RasterKernels.Raster] = decode(b, null)
+
+  /** Decode the first frame with an optional [[RasterKernels.PixelSink]]
+    * (round 15): de-interlaced image-space coordinates, transparent
+    * pixels delivered with their palette color (the single-frame
+    * stance the means take). */
+  def decode(b: Array[Byte],
+             sink: RasterKernels.PixelSink): Option[RasterKernels.Raster] = {
     if (b == null || b.length < 13) return None
     if (b(0) != 'G' || b(1) != 'I' || b(2) != 'F' || b(3) != '8' ||
         (b(4) != '7' && b(4) != '9') || b(5) != 'a') return None
@@ -79,7 +86,8 @@ object GifKernels {
           }
           if (w <= 0 || h <= 0 || table < 0 || pos > b.length) return None
           if (w.toLong * h > MaxPixels) return None
-          return decodeImage(b, pos, w, h, interlaced, table, tableSize)
+          return decodeImage(b, pos, w, h, interlaced, table, tableSize,
+            sink)
         case _ => return None // not a valid block introducer
       }
     }
@@ -91,9 +99,10 @@ object GifKernels {
   private val InterlaceStep = Array(8, 8, 4, 2)
 
   private def decodeImage(b: Array[Byte], start: Int, w: Int, h: Int,
-                          interlaced: Boolean, table: Int,
-                          tableSize: Int): Option[RasterKernels.Raster] =
-    decodeFrameCore(b, start, w, h, interlaced, table, tableSize, -1)
+                          interlaced: Boolean, table: Int, tableSize: Int,
+                          sink: RasterKernels.PixelSink)
+      : Option[RasterKernels.Raster] =
+    decodeFrameCore(b, start, w, h, interlaced, table, tableSize, -1, sink)
       .map { case (mr, mg, mb, _, _) => RasterKernels.Raster(w, h, mr, mg, mb) }
 
   /** One frame's LZW data from `start` (the min-code byte) through its
@@ -104,7 +113,8 @@ object GifKernels {
     * single-frame stance. */
   private def decodeFrameCore(b: Array[Byte], start: Int, w: Int, h: Int,
                               interlaced: Boolean, table: Int,
-                              tableSize: Int, transparentIdx: Int)
+                              tableSize: Int, transparentIdx: Int,
+                              sink: RasterKernels.PixelSink = null)
       : Option[(Double, Double, Double, Long, Int)] = {
     if (start >= b.length) return None
     val minCode = b(start) & 0xff
@@ -225,7 +235,9 @@ object GifKernels {
     while (q < b.length && (b(q) & 0xff) != 0) q += 1 + (b(q) & 0xff)
     if (q >= b.length) return None
 
-    // palette lookup + channel sums
+    // palette lookup + channel sums (+ the round-15 pixel sink: px is
+    // already de-interlaced, so i/w and i%w ARE image coordinates)
+    if (sink != null && !sink.begin(w, h)) return None
     var sr = 0L; var sg = 0L; var sb = 0L
     var tpx = 0L
     var i = 0
@@ -234,7 +246,9 @@ object GifKernels {
       if (idx >= tableSize) return None
       if (idx == transparentIdx) tpx += 1
       val o = table + 3 * idx
-      sr += b(o) & 0xff; sg += b(o + 1) & 0xff; sb += b(o + 2) & 0xff
+      val pr = b(o) & 0xff; val pg = b(o + 1) & 0xff; val pb = b(o + 2) & 0xff
+      sr += pr; sg += pg; sb += pb
+      if (sink != null) sink.add(i % w, i / w, pr, pg, pb)
       i += 1
     }
     Some((sr.toDouble / nPixels, sg.toDouble / nPixels,

@@ -219,10 +219,14 @@ object JpegKernels {
 
   /** Means over the REAL image area with nearest chroma upsampling and
     * the JFIF YCbCr conversion — shared by the baseline and progressive
-    * render paths. */
+    * render paths. With a non-null `sink`, every pixel's integer RGB is
+    * also delivered (round 15: the dHash pixel-sink mode); returns null
+    * when `sink.begin` refuses the dimensions. */
   private def meansFromPlanes(planes: Array[Array[Byte]], planeW: Array[Int],
                               comps: Array[Component], width: Int, height: Int,
-                              hMax: Int, vMax: Int): Raster = {
+                              hMax: Int, vMax: Int,
+                              sink: RasterKernels.PixelSink): Raster = {
+    if (sink != null && !sink.begin(width, height)) return null
     var sumR = 0.0; var sumG = 0.0; var sumB = 0.0
     val gray = comps.length == 1
     var y = 0
@@ -231,15 +235,19 @@ object JpegKernels {
       while (x < width) {
         val yy = planes(0)((y * comps(0).v / vMax) * planeW(0) +
           x * comps(0).h / hMax) & 0xff
-        if (gray) { sumR += yy; sumG += yy; sumB += yy }
-        else {
+        if (gray) {
+          sumR += yy; sumG += yy; sumB += yy
+          if (sink != null) sink.add(x, y, yy, yy, yy)
+        } else {
           val cb = (planes(1)((y * comps(1).v / vMax) * planeW(1) +
             x * comps(1).h / hMax) & 0xff) - 128
           val cr = (planes(2)((y * comps(2).v / vMax) * planeW(2) +
             x * comps(2).h / hMax) & 0xff) - 128
-          sumR += clamp255(math.round(yy + 1.402 * cr))
-          sumG += clamp255(math.round(yy - 0.344136 * cb - 0.714136 * cr))
-          sumB += clamp255(math.round(yy + 1.772 * cb))
+          val r = clamp255(math.round(yy + 1.402 * cr))
+          val g = clamp255(math.round(yy - 0.344136 * cb - 0.714136 * cr))
+          val bl = clamp255(math.round(yy + 1.772 * cb))
+          sumR += r; sumG += g; sumB += bl
+          if (sink != null) sink.add(x, y, r.toInt, g.toInt, bl.toInt)
         }
         x += 1
       }
@@ -249,10 +257,13 @@ object JpegKernels {
     Raster(width, height, sumR / n, sumG / n, sumB / n)
   }
 
-  def decode(b: Array[Byte]): Option[Raster] = {
+  def decode(b: Array[Byte]): Option[Raster] = decode(b, null)
+
+  /** Decode with an optional [[RasterKernels.PixelSink]] (round 15). */
+  def decode(b: Array[Byte], sink: RasterKernels.PixelSink): Option[Raster] = {
     if (b == null || b.length < 4 ||
         (b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8) return None
-    try decodeInner(b) catch {
+    try decodeInner(b, sink) catch {
       // defensive: any slip in the bounds discipline below must degrade
       // to a NULL feature, never kill the executor task
       case _: ArrayIndexOutOfBoundsException | _: NegativeArraySizeException |
@@ -261,7 +272,8 @@ object JpegKernels {
   }
 
   // scalastyle:off method.length cyclomatic.complexity
-  private def decodeInner(b: Array[Byte]): Option[Raster] = {
+  private def decodeInner(b: Array[Byte],
+                          sink: RasterKernels.PixelSink): Option[Raster] = {
     val quant = new Array[Array[Int]](4)
     val dcTables = new Array[Huff](4)
     val acTables = new Array[Huff](4)
@@ -295,7 +307,7 @@ object JpegKernels {
         // stream this is still "no image"
         return if (progressive && sawScan)
           finishProgressive(comps, quant, coefs, blocksW, blocksH,
-            width, height)
+            width, height, sink)
         else None
       }
       if (p + 4 > b.length) return None
@@ -388,7 +400,7 @@ object JpegKernels {
             // frame components
             if (ns != comps.length) return None
             return decodeScan(b, segEnd, comps, quant, dcTables, acTables,
-              width, height, restartInterval)
+              width, height, restartInterval, sink)
           }
           val ss = b(seg + 1 + 2 * ns) & 0xff
           val se = b(seg + 2 + 2 * ns) & 0xff
@@ -675,7 +687,8 @@ object JpegKernels {
   private def finishProgressive(comps: Array[Component],
       quant: Array[Array[Int]], coefs: Array[Array[Int]],
       blocksW: Array[Int], blocksH: Array[Int],
-      width: Int, height: Int): Option[Raster] = {
+      width: Int, height: Int,
+      sink: RasterKernels.PixelSink): Option[Raster] = {
     if (comps == null || coefs == null) return None
     var ci = 0
     while (ci < comps.length) {
@@ -708,14 +721,15 @@ object JpegKernels {
       }
       ci += 1
     }
-    Some(meansFromPlanes(planes, planeW, comps, width, height, hMax, vMax))
+    Option(meansFromPlanes(planes, planeW, comps, width, height, hMax, vMax,
+      sink))
   }
 
   private def decodeScan(b: Array[Byte], scanStart: Int,
                          comps: Array[Component], quant: Array[Array[Int]],
                          dcTables: Array[Huff], acTables: Array[Huff],
-                         width: Int, height: Int,
-                         restartInterval: Int): Option[Raster] = {
+                         width: Int, height: Int, restartInterval: Int,
+                         sink: RasterKernels.PixelSink): Option[Raster] = {
     val hMax = comps.map(_.h).max
     val vMax = comps.map(_.v).max
     val mcuW = 8 * hMax
@@ -808,7 +822,8 @@ object JpegKernels {
       mcu += 1
     }
 
-    Some(meansFromPlanes(planes, planeW, comps, width, height, hMax, vMax))
+    Option(meansFromPlanes(planes, planeW, comps, width, height, hMax, vMax,
+      sink))
   }
   // scalastyle:on method.length cyclomatic.complexity
 

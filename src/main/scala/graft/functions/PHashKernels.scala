@@ -15,15 +15,22 @@ package graft.functions
   * hash is bit-identical across engines and replayable by the DuckDB
   * oracle.
   *
-  * v1 decode surface: the UNCOMPRESSED rasters (binary PPM P6,
-  * PGM P5, 24-bit BI_RGB BMP with bottom-up/top-down orientation
-  * honored — dHash is orientation-sensitive, unlike the mean-RGB
-  * featurizer). Codec formats (PNG/JPEG/GIF/TIFF) return NULL here:
-  * their decoders summarize means in-loop without exposing a pixel
-  * sink, and extending them is a later round's refactor — the triage
-  * tier already identifies them, so the gap is visible, not silent.
-  * Images narrower than 9 or shorter than 8 pixels are NULL (an
-  * empty grid cell would make the gradient undefined).
+  * Decode surface: the uncompressed rasters (binary PPM P6, PGM P5,
+  * 24-bit BI_RGB BMP with bottom-up/top-down orientation honored —
+  * dHash is orientation-sensitive, unlike the mean-RGB featurizer)
+  * keep their strict exact-framing fast paths below; the CODEC
+  * formats — PNG (incl. Adam7/16-bit/palette), baseline+progressive
+  * JPEG, GIF87a/89a first frame, baseline TIFF — route through the
+  * real decoders' round-15 pixel-sink mode
+  * ([[RasterKernels.PixelSink]]), so perceptual near-dup covers what
+  * a crawl actually contains. The grid contract is unchanged either
+  * way: integer luma, floor means, floor cell mapping. JPEG pixel
+  * bytes come out of an IEEE-double IDCT — deterministic on the JVM
+  * (Math.sqrt is correctly rounded; the Cos table is fixed), and the
+  * oracle fixtures use constant 8×8 blocks (DC-only, exact by
+  * construction) so the DuckDB replay never depends on rounding
+  * margins. Images narrower than 9 or shorter than 8 pixels are NULL
+  * (an empty grid cell would make the gradient undefined).
   */
 object PHashKernels {
 
@@ -34,7 +41,7 @@ object PHashKernels {
       if (b(0) == 'P' && b(1) == '6') pnmCells(b, rgb = true)
       else if (b(0) == 'P' && b(1) == '5') pnmCells(b, rgb = false)
       else if (b(0) == 'B' && b(1) == 'M') bmpCells(b)
-      else null
+      else codecCells(b)
     if (cells == null) return null
     var h = 0L
     var r = 0
@@ -69,6 +76,24 @@ object PHashKernels {
       }
       m
     }
+  }
+
+  /** Codec formats (PNG/JPEG/GIF/TIFF) through the real decoders'
+    * pixel-sink mode; null when undecodable or smaller than the grid. */
+  private def codecCells(b: Array[Byte]): Array[Long] = {
+    val sink = new GridSink
+    if (RasterKernels.decodeTo(b, sink)) sink.grid.means() else null
+  }
+
+  private final class GridSink extends RasterKernels.PixelSink {
+    var grid: Grid = null
+    override def begin(w: Int, h: Int): Boolean = {
+      if (w < 9 || h < 8) return false
+      grid = new Grid(w, h)
+      true
+    }
+    override def add(x: Int, y: Int, r: Int, g: Int, b: Int): Unit =
+      grid.add(x, y, r, g, b)
   }
 
   private def pnmCells(b: Array[Byte], rgb: Boolean): Array[Long] = {

@@ -49,7 +49,13 @@ object PngKernels {
     ((b(i) & 0xff) << 24) | ((b(i + 1) & 0xff) << 16) |
       ((b(i + 2) & 0xff) << 8) | (b(i + 3) & 0xff)
 
-  def decode(b: Array[Byte]): Option[RasterKernels.Raster] = {
+  def decode(b: Array[Byte]): Option[RasterKernels.Raster] = decode(b, null)
+
+  /** Decode with an optional [[RasterKernels.PixelSink]] (round 15):
+    * pixels are delivered in pass order with IMAGE-SPACE coordinates
+    * (Adam7 sub-image positions mapped back through the pass grid). */
+  def decode(b: Array[Byte],
+             sink: RasterKernels.PixelSink): Option[RasterKernels.Raster] = {
     // magic + IHDR (must be the first chunk, per spec) + room for IEND
     if (b == null || b.length < 8 + 25 + 12) return None
     var i = 0
@@ -87,20 +93,23 @@ object PngKernels {
     // pixel of the full image appears in EXACTLY ONE pass, so channel
     // sums can accumulate per pass without materializing the
     // deinterlaced raster. (xStart, yStart, xStep, yStep) per pass.
-    val passes: Array[(Long, Long)] =
-      if (interlace == 0) Array((width, height))
+    // (passW, passH, x0, y0, dx, dy) — the origin/stride ride along so
+    // the pixel sink can map sub-image positions back to image space
+    val passes: Array[(Long, Long, Long, Long, Long, Long)] =
+      if (interlace == 0) Array((width, height, 0L, 0L, 1L, 1L))
       else {
         val grid = Array((0L, 0L, 8L, 8L), (4L, 0L, 8L, 8L), (0L, 4L, 4L, 8L),
           (2L, 0L, 4L, 4L), (0L, 2L, 2L, 4L), (1L, 0L, 2L, 2L), (0L, 1L, 1L, 2L))
         grid.map { case (x0, y0, dx, dy) =>
-          (((width - x0 + dx - 1) / dx).max(0L), ((height - y0 + dy - 1) / dy).max(0L))
-        }.filter { case (pw, ph) => pw > 0 && ph > 0 }
+          (((width - x0 + dx - 1) / dx).max(0L),
+            ((height - y0 + dy - 1) / dy).max(0L), x0, y0, dx, dy)
+        }.filter { case (pw, ph, _, _, _, _) => pw > 0 && ph > 0 }
       }
     // raw size is declared by the IHDR before any inflate happens, so a
     // zip-bomb IDAT can never allocate more than MaxRawBytes; Long math
     // so crafted dimensions can't overflow the check
     var rawLenL = 0L
-    passes.foreach { case (pw, ph) =>
+    passes.foreach { case (pw, ph, _, _, _, _) =>
       val rb = rowBytesOf(pw)
       if (rb > MaxRawBytes - 1 || ph > MaxRawBytes / (rb + 1)) return None
       rawLenL += ph * (rb + 1)
@@ -174,8 +183,9 @@ object PngKernels {
     // range by the exact rational /257 only at the final division.
     var sr = 0L; var sg = 0L; var sb = 0L
     def s16(p: Int): Long = (((raw(p) & 0xff) << 8) | (raw(p + 1) & 0xff)).toLong
+    if (sink != null && !sink.begin(width.toInt, height.toInt)) return None
     var passOff = 0
-    passes.foreach { case (pwL, phL) =>
+    passes.foreach { case (pwL, phL, px0, py0, pdx, pdy) =>
       val pw = pwL.toInt; val ph = phL.toInt
       val rowBytes = rowBytesOf(pwL).toInt
       val stride = rowBytes + 1
@@ -217,20 +227,24 @@ object PngKernels {
         r = 0
         while (r < ph) {
           val rowStart = passOff + r * stride + 1
+          val iy = (py0 + r * pdy).toInt
           var x = 0
           while (x < pw) {
             val bitPos = x * bitDepth
             val v = (raw(rowStart + (bitPos >> 3)) >> (8 - bitDepth - (bitPos & 7))) & mask
             if (colorType == 0) {
               val g = v * grayScale; sr += g; sg += g; sb += g
+              if (sink != null) sink.add((px0 + x * pdx).toInt, iy, g, g, g)
             } else {
               val idx = v * 3
               // index past the palette end is a spec violation: NULL
               // row, never a read of whatever chunk follows PLTE
               if (idx + 2 >= plteLen) return None
-              sr += b(plteAt + idx) & 0xff
-              sg += b(plteAt + idx + 1) & 0xff
-              sb += b(plteAt + idx + 2) & 0xff
+              val pr = b(plteAt + idx) & 0xff
+              val pg = b(plteAt + idx + 1) & 0xff
+              val pb = b(plteAt + idx + 2) & 0xff
+              sr += pr; sg += pg; sb += pb
+              if (sink != null) sink.add((px0 + x * pdx).toInt, iy, pr, pg, pb)
             }
             x += 1
           }
@@ -240,28 +254,44 @@ object PngKernels {
         r = 0
         while (r < ph) {
           var p = passOff + r * stride + 1
+          val iy = (py0 + r * pdy).toInt
           var x = 0
           while (x < pw) {
+            val ix = if (sink != null) (px0 + x * pdx).toInt else 0
             colorType match {
               case 0 | 4 =>
                 if (sampleBytes == 1) {
                   val g = raw(p) & 0xff; sr += g; sg += g; sb += g
+                  if (sink != null) sink.add(ix, iy, g, g, g)
                 } else {
                   val g = s16(p); sr += g; sg += g; sb += g
+                  if (sink != null) {
+                    val g8 = (g / 257L).toInt // exact 16→8 on full scale
+                    sink.add(ix, iy, g8, g8, g8)
+                  }
                 }
               case 3 =>
                 val idx = (raw(p) & 0xff) * 3
                 // index past the palette end is a spec violation: NULL
                 // row, never a read of whatever chunk follows PLTE
                 if (idx + 2 >= plteLen) return None
-                sr += b(plteAt + idx) & 0xff
-                sg += b(plteAt + idx + 1) & 0xff
-                sb += b(plteAt + idx + 2) & 0xff
+                val pr = b(plteAt + idx) & 0xff
+                val pg = b(plteAt + idx + 1) & 0xff
+                val pb = b(plteAt + idx + 2) & 0xff
+                sr += pr; sg += pg; sb += pb
+                if (sink != null) sink.add(ix, iy, pr, pg, pb)
               case _ =>
                 if (sampleBytes == 1) {
-                  sr += raw(p) & 0xff; sg += raw(p + 1) & 0xff; sb += raw(p + 2) & 0xff
+                  val pr = raw(p) & 0xff; val pg = raw(p + 1) & 0xff
+                  val pb = raw(p + 2) & 0xff
+                  sr += pr; sg += pg; sb += pb
+                  if (sink != null) sink.add(ix, iy, pr, pg, pb)
                 } else {
-                  sr += s16(p); sg += s16(p + 2); sb += s16(p + 4)
+                  val pr = s16(p); val pg = s16(p + 2); val pb = s16(p + 4)
+                  sr += pr; sg += pg; sb += pb
+                  if (sink != null)
+                    sink.add(ix, iy, (pr / 257L).toInt, (pg / 257L).toInt,
+                      (pb / 257L).toInt)
                 }
             }
             p += bpp

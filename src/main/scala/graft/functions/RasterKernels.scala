@@ -26,6 +26,52 @@ object RasterKernels {
   final case class Raster(width: Int, height: Int,
                           meanR: Double, meanG: Double, meanB: Double)
 
+  /** Per-pixel consumer for the codec decoders (round 15): the
+    * pixel-sink mode that lets [[PHashKernels.dhash64]] hash what a
+    * crawl actually contains (PNG/JPEG/GIF/TIFF) instead of only
+    * uncompressed rasters. Contract:
+    *
+    *  - `begin(w, h)` is called once, after the header is validated
+    *    and BEFORE any pixel; returning false aborts the decode (the
+    *    caller sees None — e.g. an image too small for a 9×8 grid).
+    *  - `add` receives every pixel exactly once with 8-bit integer
+    *    channels and IMAGE-SPACE coordinates (PNG Adam7 passes and
+    *    GIF interlacing are mapped back; BMP orientation honored by
+    *    its decoder). Arrival ORDER is decoder-defined — consumers
+    *    must be order-invariant (the dHash grid accumulator is).
+    *  - 16-bit samples (PNG, TIFF palette) scale to 8-bit by floor
+    *    division /257 (65535→255, exact on full-scale values), the
+    *    same rational the mean paths use.
+    *
+    * The mean-summing `decode` paths are untouched (sink == null costs
+    * one branch per pixel); this keeps the r14-pinned mean/feature
+    * oracles byte-identical while exposing real pixels. */
+  trait PixelSink {
+    def begin(w: Int, h: Int): Boolean
+    def add(x: Int, y: Int, r: Int, g: Int, b: Int): Unit
+  }
+
+  /** Decode `bytes` INTO `sink` (codec formats: JPEG, PNG, GIF first
+    * frame, TIFF). Returns true iff the blob fully decoded and every
+    * pixel was delivered. PPM/PGM/BMP are not routed here —
+    * [[PHashKernels]] keeps its own stricter exact-framing paths for
+    * those, and the mean path never needs a sink. */
+  def decodeTo(bytes: Array[Byte], sink: PixelSink): Boolean = {
+    if (bytes == null || bytes.length < 2 || sink == null) return false
+    val r =
+      if (bytes(0) == 0xff.toByte && bytes(1) == 0xd8.toByte)
+        JpegKernels.decode(bytes, sink)
+      else if (bytes(0) == 0x89.toByte && bytes(1) == 'P')
+        PngKernels.decode(bytes, sink)
+      else if (bytes(0) == 'G' && bytes(1) == 'I')
+        GifKernels.decode(bytes, sink)
+      else if ((bytes(0) == 'I' && bytes(1) == 'I') ||
+               (bytes(0) == 'M' && bytes(1) == 'M'))
+        TiffKernels.decode(bytes, sink)
+      else None
+    r.isDefined
+  }
+
   def decode(bytes: Array[Byte]): Option[Raster] =
     if (bytes == null || bytes.length < 2) None
     else if (bytes(0) == 'B' && bytes(1) == 'M') decodeBmp(bytes)

@@ -31,9 +31,15 @@ object TiffKernels {
     * strip is touched, so forged dimensions can't balloon. */
   private val MaxRawBytes = 1L << 28
 
-  def decode(b: Array[Byte]): Option[RasterKernels.Raster] = {
+  def decode(b: Array[Byte]): Option[RasterKernels.Raster] = decode(b, null)
+
+  /** Decode with an optional [[RasterKernels.PixelSink]] (round 15):
+    * strip-order delivery, image-space coordinates; 16-bit ColorMap
+    * entries scale to 8-bit by the exact /257. */
+  def decode(b: Array[Byte],
+             sink: RasterKernels.PixelSink): Option[RasterKernels.Raster] = {
     if (b == null || b.length < 8) return None
-    try decodeInner(b) catch {
+    try decodeInner(b, sink) catch {
       // defensive: any slip in the bounds discipline below must degrade
       // to a NULL feature, never kill the executor task (the
       // JpegKernels stance — and the fuzz spec hunts for these)
@@ -42,7 +48,8 @@ object TiffKernels {
     }
   }
 
-  private def decodeInner(b: Array[Byte]): Option[RasterKernels.Raster] = {
+  private def decodeInner(b: Array[Byte], sink: RasterKernels.PixelSink)
+      : Option[RasterKernels.Raster] = {
     val little =
       if (b(0) == 'I' && b(1) == 'I') true
       else if (b(0) == 'M' && b(1) == 'M') false
@@ -162,6 +169,7 @@ object TiffKernels {
 
     val w = width.toInt
     val h = height.toInt
+    if (sink != null && !sink.begin(w, h)) return None
     var sr = 0L; var sg = 0L; var sb = 0L
     val strip = new Array[Byte]((rps * rowBytes).toInt)
 
@@ -194,23 +202,36 @@ object TiffKernels {
           r += 1
         }
       }
-      // accumulate channel sums
+      // accumulate channel sums (+ round-15 pixel sink: pixel index
+      // within the strip is i/nSamples, image row = rowsDone + /w)
       var i = 0
       val end = need
+      var pi = 0 // pixel index within this strip
       while (i < end) {
+        var pr = 0; var pg = 0; var pb = 0
         photometric match {
-          case 0 => val g = 255 - (strip(i) & 0xff); sr += g; sg += g; sb += g
-          case 1 => val g = strip(i) & 0xff; sr += g; sg += g; sb += g
+          case 0 =>
+            val g = 255 - (strip(i) & 0xff); sr += g; sg += g; sb += g
+            pr = g; pg = g; pb = g
+          case 1 =>
+            val g = strip(i) & 0xff; sr += g; sg += g; sb += g
+            pr = g; pg = g; pb = g
           case 3 =>
             val idx = strip(i) & 0xff
             sr += colorMap(idx)
             sg += colorMap(256 + idx)
             sb += colorMap(512 + idx)
+            pr = (colorMap(idx) / 257).toInt
+            pg = (colorMap(256 + idx) / 257).toInt
+            pb = (colorMap(512 + idx) / 257).toInt
           case _ =>
-            sr += strip(i) & 0xff
-            sg += strip(i + 1) & 0xff
-            sb += strip(i + 2) & 0xff
+            pr = strip(i) & 0xff
+            pg = strip(i + 1) & 0xff
+            pb = strip(i + 2) & 0xff
+            sr += pr; sg += pg; sb += pb
         }
+        if (sink != null) sink.add(pi % w, rowsDone + pi / w, pr, pg, pb)
+        pi += 1
         i += nSamples
       }
       rowsDone += rows

@@ -83,13 +83,78 @@ class PHashSpec extends SparkSpec {
     assert(h64("P5\n9 8\n255\n".getBytes ++ new Array[Byte](71)) == null) // short data
     assert(h64(pgm(9, 8, _ => 1) ++ "junk".getBytes) == null) // trailing bytes
     assert(h64("P5\n9 8\n65535\n".getBytes ++ new Array[Byte](144)) == null) // 16-bit
-    assert(h64(Array[Byte](0x89.toByte, 'P', 'N', 'G')) == null) // codec format
+    assert(h64(Array[Byte](0x89.toByte, 'P', 'N', 'G')) == null) // truncated codec stream
     assert(h64(Array.emptyByteArray) == null)
     assert(h64(null) == null)
     // fuzz: random bytes never throw
     val rnd = new scala.util.Random(0x9a5e)
     for (_ <- 0 until 300)
       h64(Array.fill(rnd.nextInt(200))(rnd.nextInt(256).toByte))
+  }
+
+  // ---- round 15: codec formats through the decoders' pixel-sink mode ----
+
+  private def gridPx(f: Int => Int): Array[Int] = Array.tabulate(72)(f)
+
+  test("codec dhash: PNG/GIF/TIFF of the same gray pixels hash identically " +
+    "to the PGM (lossless decode through the pixel sink)") {
+    import graft.functions.ImageEncoders
+    val px = gridPx(i => (i * 37 + (i * i) % 91) % 256)
+    val ref = h64(pgm(9, 8, px(_)))
+    assert(ref != null)
+    assert(h64(ImageEncoders.pngGray(9, 8, px)) == ref)
+    assert(h64(ImageEncoders.gifGray(9, 8, px)) == ref)
+    assert(h64(ImageEncoders.tiffGray(9, 8, px)) == ref)
+    // larger-than-grid: downsampling means must agree across formats
+    val big = Array.tabulate(27 * 16)(i => (i * 53 + i / 27 * 11) % 256)
+    val refBig = h64("P5\n27 16\n255\n".getBytes("ISO-8859-1") ++
+      big.map(_.toByte))
+    assert(refBig != null)
+    assert(h64(ImageEncoders.pngGray(27, 16, big)) == refBig)
+    assert(h64(ImageEncoders.tiffGray(27, 16, big)) == refBig)
+    // too small for the grid: codec decode succeeds, sink refuses
+    assert(h64(ImageEncoders.pngGray(8, 8, Array.fill(64)(5))) == null)
+    assert(h64(ImageEncoders.gifGray(9, 7, Array.fill(63)(5))) == null)
+  }
+
+  test("codec dhash: DC-only constant-block JPEG (72x64, one block per " +
+    "grid cell) equals the 9x8 PGM of the block values — lossy made exact") {
+    import graft.functions.ImageEncoders
+    val px = gridPx(i => ((i * 73) % 251 + i) % 256)
+    val blocks = Array.tabulate(8, 9)((r, c) => px(r * 9 + c))
+    val jpeg = ImageEncoders.jpegGrayBlocks(blocks)
+    assert(h64(jpeg) != null)
+    assert(h64(jpeg) == h64(pgm(9, 8, px(_))))
+  }
+
+  test("codec dhash: ImageIO-encoded PNG (real encoder filters) and its " +
+    "Adam7 interlaced form hash identically to the equivalent PPM — " +
+    "pass-to-image coordinate mapping pinned") {
+    val (w, h) = (23, 17)
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val rgbPx = Array.tabulate(w * h) { i =>
+      val x = i % w; val y = i / w
+      ((x * 31 + y * 57) % 256, (x * 7 + y * 3) % 256, (x * x + y) % 256)
+    }
+    rgbPx.zipWithIndex.foreach { case ((r, g, b), i) =>
+      img.setRGB(i % w, i / w, (r << 16) | (g << 8) | b) }
+    val ref = h64(ppm(w, h, rgbPx(_)))
+    assert(ref != null)
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "png", bos))
+    assert(h64(bos.toByteArray) == ref)
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("png").next()
+    val p = writer.getDefaultWriteParam
+    p.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
+    val b2 = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(b2)
+    writer.setOutput(ios)
+    writer.write(null, new javax.imageio.IIOImage(img, null, null), p)
+    writer.dispose(); ios.close()
+    val adam7 = b2.toByteArray
+    assert(adam7(28) == 1, "encoder did not produce an Adam7 stream")
+    assert(h64(adam7) == ref)
   }
 
   test("imageNearDupPairs: banded join equals brute force; NULL hashes drop") {
