@@ -854,6 +854,24 @@ object OracleSqlGen {
     * long, then BRUTE-FORCE Hamming pairs at `maxHamming` — the banded
     * pigeonhole path must reproduce them exactly. Junk (undecodable)
     * docs are excluded on both sides, mirroring the NULL-hash drop. */
+  /** Codec fixture rows for q_image_phash (round 15): negative ids so
+    * they can never collide with documents; each carries the SAME
+    * quadratic-residue gray grid as document `base` (optionally with
+    * the one-cell `tweak` perturbation), encoded driver-side as a real
+    * PNG / GIF / TIFF (9×8, lossless) or a DC-only constant-block
+    * 72×64 baseline JPEG (pixel-exact by construction —
+    * [[graft.functions.ImageEncoders.jpegGrayBlocks]]). The oracle
+    * replays only the grid arithmetic; the decode roundtrip is the
+    * Spark side's burden. `fmt` is ignored by the SQL. */
+  final case class PhashFixture(id: Long, base: Long, tweakP: Int,
+                                tweakDelta: Int, fmt: String)
+  val phashFixtures: Seq[PhashFixture] = Seq(
+    PhashFixture(-1002L, 2L, -1, 0, "png"),   // 0-Hamming twin of doc 2
+    PhashFixture(-2003L, 3L, -1, 0, "gif"),   // 0-Hamming twin of doc 3
+    PhashFixture(-3004L, 4L, -1, 0, "tiff"),  // 0-Hamming twin of doc 4
+    PhashFixture(-4007L, 7L, -1, 0, "jpeg"),  // 0-Hamming twin of doc 7
+    PhashFixture(-1102L, 2L, 40, 75, "png"))  // near-dup of doc 2 / -1002
+
   def imagePhash(maxHamming: Int): String = {
     // bit (r, c) compares grid cells r*9+c and r*9+c+1 (1-based list
     // indices +1), weighted 2^(r*8+c)
@@ -866,6 +884,9 @@ object OracleSqlGen {
       val w = java.math.BigInteger.ONE.shiftLeft(r * 8 + c)
       s"(CASE WHEN g[$left] < g[$right] THEN ${w}::HUGEINT ELSE 0::HUGEINT END)"
     }).mkString(" +\n         ")
+    val fxRows = phashFixtures
+      .map(f => s"(${f.id}, ${f.base}, ${f.tweakP}, ${f.tweakDelta})")
+      .mkString(", ")
     s"""WITH d AS (
        |  SELECT doc_id,
        |         CASE WHEN doc_id % 10 = 1 THEN doc_id - 1 ELSE doc_id END AS base,
@@ -880,10 +901,20 @@ object OracleSqlGen {
        |            CASE WHEN isdup AND p = 0 THEN 60
        |                 WHEN isdup AND p = 40 THEN 75 ELSE 0 END) % 256) AS g
        |  FROM d),
+       |fx(doc_id, base, tp, td) AS (VALUES $fxRows),
+       |fpx AS (
+       |  SELECT doc_id,
+       |         list_transform(range(0, 72), p ->
+       |           (((((base * 131 + p * 197) % 65521) *
+       |              ((base * 131 + p * 197) % 65521)) % 65521 + p * 13) % 256 +
+       |            CASE WHEN p = tp THEN td ELSE 0 END) % 256) AS g
+       |  FROM fx),
+       |apx AS (SELECT doc_id, g FROM px WHERE NOT junk
+       |        UNION ALL SELECT doc_id, g FROM fpx),
        |hu AS (
        |  SELECT doc_id,
        |         ($bitTerms) AS h
-       |  FROM px WHERE NOT junk),
+       |  FROM apx),
        |sh AS MATERIALIZED (
        |  SELECT doc_id,
        |         CAST(CASE WHEN h >= $S63 THEN h - $M64 ELSE h END AS BIGINT) AS s

@@ -6584,8 +6584,33 @@ object Queries {
         unhex(lpad(hex(gray(p)), 2, "0"))): _*)
       val img = when(pmod(id, lit(13)) === 0, encode(lit("notanimage"), "UTF-8"))
         .otherwise(concat(encode(lit("P5\n9 8\n255\n"), "UTF-8"), pixels))
+      // round 15: CODEC fixture rows (negative ids) — the same grid as
+      // their base doc, but encoded as real PNG/GIF/TIFF/DC-only-JPEG
+      // blobs driver-side, so the banded join must pair a crawled-format
+      // image with its PGM twin at Hamming 0 (and the tweaked PNG at a
+      // few bits). One truncated PNG (id -9999) must hash NULL and
+      // appear in no pair. The oracle replays only grid arithmetic.
+      val fixtures: Seq[(Long, Array[Byte])] =
+        OracleSqlGen.phashFixtures.map { f =>
+          val px = Array.tabulate(72) { p =>
+            val v = (f.base * 131 + p * 197) % 65521
+            val g0 = ((v * v) % 65521 + p * 13) % 256
+            (if (p == f.tweakP) (g0 + f.tweakDelta) % 256 else g0).toInt
+          }
+          val blob = f.fmt match {
+            case "png" => graft.functions.ImageEncoders.pngGray(9, 8, px)
+            case "gif" => graft.functions.ImageEncoders.gifGray(9, 8, px)
+            case "tiff" => graft.functions.ImageEncoders.tiffGray(9, 8, px)
+            case "jpeg" => graft.functions.ImageEncoders.jpegGrayBlocks(
+              Array.tabulate(8, 9)((r, c) => px(r * 9 + c)))
+          }
+          (f.id, blob)
+        } :+ ((-9999L, graft.functions.ImageEncoders
+          .pngGray(9, 8, Array.tabulate(72)(p => (p * 29) % 256)).take(20)))
+      val fxDf = s.createDataFrame(fixtures).toDF("doc_id", "img")
       val imgs = t(s, dir, "documents")
         .select(id.cast("bigint").as("doc_id"), img.as("img"))
+        .unionAll(fxDf)
       Dedup.imageNearDupPairs(imgs, "img", "doc_id",
           maxHamming = 6, bands = 8)
         .select(col("id_a").cast("bigint").as("id_a"),
