@@ -152,10 +152,37 @@ object Bench {
     "q_pagerank", "q_dup_clusters_dist", "q_dup_clusters",
     "q_bpe_train_capped", "q_kmeans", "q_quality_classifier",
     "q_ann_ivfpq", "q_binary_ingest")
-  /** Queries added this round — refreshed each round so first-time pins
-    * always get a reading even under budget pressure. */
-  val NewQueries: Seq[String] = Seq(
-    "q_incremental_embedding_pq", "q_audio_flac", "q_audio_meta")
+
+  /** Queries new this round, DERIVED (round 15, VERDICT r14 #2): a
+    * hand-maintained list went stale the one round it mattered —
+    * BENCH_r14 narrowed under budget and four r14-new queries got no
+    * driver reading. "New" now means "present in the registry but
+    * absent from the committed pinning sweep's per-query map"
+    * (`bench_last.json` at HEAD — exactly the set with no pin to fall
+    * back on). `SPARK_GRAFT_NEW_QUERIES` overrides for spec/driver
+    * seams. With no history file, nothing is distinguishable as new.
+    */
+  def newQueries(all: Seq[String], prevPinned: Set[String]): Seq[String] =
+    if (prevPinned.isEmpty) Seq.empty
+    else all.filterNot(prevPinned).sorted
+
+  /** The previous graded sweep's (pinned-query set, budget-skipped
+    * list) from `historyPath`; empty on any parse/read failure — the
+    * bench must never die on its own history. */
+  def priorSurface(historyPath: String): (Set[String], Seq[String]) = {
+    import scala.jdk.CollectionConverters._
+    try {
+      val txt = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(historyPath)), "UTF-8")
+      val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(txt)
+      val pinned = Option(root.get("queries"))
+        .map(_.fieldNames.asScala.toSet).getOrElse(Set.empty[String])
+      val skipped = Option(root.get("queries_skipped_budget"))
+        .map(_.elements.asScala.map(_.asText).toSeq)
+        .getOrElse(Seq.empty[String])
+      (pinned, skipped)
+    } catch { case _: Exception => (Set.empty, Seq.empty) }
+  }
 
   /** Priority-ordered, cost-greedy surface selection: walk the priority
     * order, keep a query while its projected cost (`est × runs`,
@@ -165,12 +192,25 @@ object Bench {
     * doesn't block cheaper lower-priority ones. Returns (kept,
     * skipped) in the surface's original order. Pure — BenchBudgetSpec
     * pins the degradation order on synthetic estimates.
+    *
+    * Residual ROTATION (round 15, VERDICT r14 #2): after the priority
+    * tiers, `skippedFirst` (last sweep's budget-skipped queries) runs
+    * before the alphabetical rest — under sustained pressure the same
+    * alphabetical tail used to starve every round; now any query
+    * skipped in round N is first in line in round N+1, so the full
+    * surface gets driver coverage within two pressured rounds.
     */
   def narrowSurface(all: Seq[String], est: Map[String, Double],
-                    remainingSec: Double, runs: Int): (Seq[String], Seq[String]) = {
-    val prio = (ControlBands.keys.toSeq.sorted ++ LoopQueries ++ NewQueries)
+                    remainingSec: Double, runs: Int,
+                    newQs: Seq[String] = Seq.empty,
+                    skippedFirst: Seq[String] = Seq.empty)
+      : (Seq[String], Seq[String]) = {
+    val prio = (ControlBands.keys.toSeq.sorted ++ LoopQueries ++ newQs)
       .distinct.filter(all.contains)
-    val ordered = prio ++ (all.toSet -- prio).toSeq.sorted
+    val rest = all.toSet -- prio
+    val ordered = prio ++
+      skippedFirst.distinct.filter(rest.contains).sorted ++
+      (rest -- skippedFirst).toSeq.sorted
     val worst = if (est.nonEmpty) est.values.max else 0.0
     def cost(n: String): Double = est.getOrElse(n, worst) * runs
     val budget = remainingSec * 0.9
@@ -197,6 +237,9 @@ object Bench {
       ledgerPath: String,
       metricsPath: String,
       warmup: Int = 1,
+      // committed previous pinning sweep, for new-query derivation and
+      // skip rotation (round 15); specs point it at temp files
+      historyPath: String = "bench_last.json",
       // test seam (r14): extra queries merged into the surface so
       // BenchBudgetSpec can plant a deterministically-failing query
       // and pin the failure-handling contract (errors named, spread
@@ -421,10 +464,15 @@ object Bench {
         if (!warmupAborted && projected <= remaining * 0.9)
           (names, Seq.empty[String])
         else {
-          val (keep, skip) =
-            narrowSurface(names.map(_._1), warmEst.toMap, remaining, runs)
+          val (prevPinned, prevSkipped) = priorSurface(cfg.historyPath)
+          val newQs = sys.env.get("SPARK_GRAFT_NEW_QUERIES") match {
+            case Some(s) => s.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+            case None => newQueries(names.map(_._1), prevPinned)
+          }
+          val (keep, skip) = narrowSurface(names.map(_._1), warmEst.toMap,
+            remaining, runs, newQs, prevSkipped)
           val keepSet = keep.toSet
-          ledger(s"""{"event":"surface_narrowed_budget","kept":${keep.size},"skipped":${skip.size},"remaining_sec":${r3(remaining)},"projected_full_sec":${r3(projected)}}""")
+          ledger(s"""{"event":"surface_narrowed_budget","kept":${keep.size},"skipped":${skip.size},"remaining_sec":${r3(remaining)},"projected_full_sec":${r3(projected)},"new_queries":${newQs.map("\"" + _ + "\"").mkString("[", ",", "]")},"rotated_first":${prevSkipped.size}}""")
           (names.filter { case (n, _) => keepSet(n) }, skip)
         }
       }

@@ -66,6 +66,54 @@ class BenchBudgetSpec extends SparkSpec {
     assert(keepNc.nonEmpty)
   }
 
+  test("new queries derive from the committed pin surface, not a " +
+    "hand-maintained list (r15, VERDICT r14 #2)") {
+    val all = Seq("q_agg", "q_filter", "q_new_a", "q_new_b", "q_old")
+    // everything pinned last round except the two r-new queries
+    val prevPinned = Set("q_agg", "q_filter", "q_old")
+    assert(Bench.newQueries(all, prevPinned) === Seq("q_new_a", "q_new_b"))
+    // no history → nothing distinguishable as new (never guess)
+    assert(Bench.newQueries(all, Set.empty) === Seq.empty)
+    // and the derived set rides the priority tier: under a budget that
+    // fits only controls + 2 more, the NEW queries survive while the
+    // alphabetically-earlier old query drops
+    val est = all.map(_ -> 1.0).toMap
+    val (keep, _) = Bench.narrowSurface(all, est, remainingSec = 14.0,
+      runs = 3, newQs = Seq("q_new_a", "q_new_b"))
+    assert(keep.toSet === Set("q_agg", "q_filter", "q_new_a", "q_new_b"))
+  }
+
+  test("skip rotation: queries skipped last sweep run first in the " +
+    "residual, so the full surface is covered within 2 pressured rounds") {
+    val all = (1 to 8).map(i => f"q_t$i%02d") ++ Seq("q_agg", "q_filter")
+    val est = all.map(_ -> 1.0).toMap
+    // budget fits controls + 4 residuals per round (remaining 20 ×
+    // 0.9 = 18; 6 queries × 3 runs = 18)
+    val (keep1, skip1) = Bench.narrowSurface(all, est, 20.0, 3)
+    assert(keep1.count(_.startsWith("q_t")) === 4)
+    // round 2: last round's skips go first
+    val (keep2, skip2) = Bench.narrowSurface(all, est, 20.0, 3,
+      skippedFirst = skip1)
+    assert(skip1.toSet.subsetOf(keep2.toSet),
+      s"rotation must run all previously-skipped first: $skip1 vs $keep2")
+    // two pressured rounds cover every query
+    assert((keep1 ++ keep2).toSet === all.toSet)
+    assert(skip2.toSet.subsetOf(keep1.toSet))
+  }
+
+  test("priorSurface reads the committed sweep (pinned set + skipped " +
+    "list) and never dies on absent/garbage history") {
+    val dir = Files.createTempDirectory("graft_hist").toString
+    val p = s"$dir/hist.json"
+    Files.write(Paths.get(p),
+      """{"queries":{"q_a":1.0,"q_b":2.0},"queries_skipped_budget":["q_c","q_d"]}"""
+        .getBytes("UTF-8"))
+    assert(Bench.priorSurface(p) === ((Set("q_a", "q_b"), Seq("q_c", "q_d"))))
+    assert(Bench.priorSurface(s"$dir/absent.json") === ((Set.empty, Seq.empty)))
+    Files.write(Paths.get(p), "not json{".getBytes("UTF-8"))
+    assert(Bench.priorSurface(p) === ((Set.empty, Seq.empty)))
+  }
+
   test("exhausted budget degrades to a full-surface 1-pass artifact") {
     val dir = Files.createTempDirectory("graft_benchbudget").toString
     val line = Bench.run(spark, cfg(dir, budget = 0.001))
