@@ -5842,8 +5842,18 @@ object Queries {
         encode(lit("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n" +
           "Content-Encoding: gzip\r\n\r\n"), "UTF-8"),
         unhex(lit(gzHex)))
-      val httpPayloadBin = when(pmod(id, lit(3)) === 2, gzPayloadBin)
-        .when(pmod(id, lit(3)) === 1, encode(chunkedPayload, "UTF-8"))
+      //  id%4==3 (round 15): Content-Encoding br — a RECOGNIZED coding
+      //  with no decoder; the record must SURVIVE as known-but-undecoded
+      //  (status + uri real, body NULL, coding name in `undecoded`)
+      //  instead of NULLing like garbage. The body bytes are opaque.
+      val brPayloadBin = concat(
+        encode(lit("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n" +
+          "Content-Encoding: br\r\n\r\n"), "UTF-8"),
+        unhex(lit("1b3f00f8258dbacf")))
+      val m4 = pmod(id, lit(4))
+      val httpPayloadBin = when(m4 === 2, gzPayloadBin)
+        .when(m4 === 1, encode(chunkedPayload, "UTF-8"))
+        .when(m4 === 3, brPayloadBin)
         .otherwise(encode(identityPayload, "UTF-8"))
       val infoPayload = lit("software: graft\r\n")
       // binary record framing: Content-Length counts PAYLOAD BYTES, so
@@ -5872,15 +5882,16 @@ object Queries {
         size(recs).cast("bigint").as("n_records"),
         resp.getField("target_uri").as("uri"),
         hp.getField("status").cast("bigint").as("status"),
-        ext.as("extracted"))
+        ext.as("extracted"),
+        hp.getField("encoding_undecoded").as("undecoded"))
     },
     Some("""WITH c AS (
            |  SELECT doc_id, CAST(doc_id % 20 AS VARCHAR) AS k,
-           |         doc_id % 7 = 0 AS tr, doc_id % 3 AS m3,
+           |         doc_id % 7 = 0 AS tr, doc_id % 4 AS m4,
            |         regexp_replace(coalesce(text, ''), '[<>&\x{00A0}]', ' ', 'g') AS cln
            |  FROM documents),
            |e AS (
-           |  SELECT doc_id, k, tr, m3,
+           |  SELECT doc_id, k, tr, m4,
            |         trim(
            |           regexp_replace(
            |             regexp_replace(cln, '[ \t\r]*\n[ \t\n\r]*', chr(10), 'g'),
@@ -5893,8 +5904,11 @@ object Queries {
            |       ELSE 'https://h' || k || '.example.com/p/' || doc_id END AS uri,
            |  CAST(CASE WHEN tr THEN NULL ELSE 200 END AS BIGINT) AS status,
            |  CASE WHEN tr THEN NULL
-           |       WHEN m3 = 2 THEN 'gzip body roundtrip ok'
-           |       ELSE core END AS extracted
+           |       WHEN m4 = 2 THEN 'gzip body roundtrip ok'
+           |       WHEN m4 = 3 THEN NULL
+           |       ELSE core END AS extracted,
+           |  CASE WHEN tr THEN NULL
+           |       WHEN m4 = 3 THEN 'br' ELSE NULL END AS undecoded
            |FROM e""".stripMargin))
 
   /** Language-ID MODEL under the oracle (r14): the r13 q_langid audit
@@ -6192,14 +6206,19 @@ object Queries {
         block(2, "fg".getBytes)
         hexOf(bos.toByteArray)
       }
-      val m8 = pmod(id, lit(8))
-      val blob = when(m8 === 0, unhex(lit(pdfHex)))
-        .when(m8 === 1, unhex(lit(zipHex)))
-        .when(m8 === 2, unhex(lit(tarHex)))
-        .when(m8 === 3, unhex(lit(gzHex)))
-        .when(m8 === 4, unhex(lit(pngHex)))
-        .when(m8 === 5, unhex(lit(wavHex)))
-        .when(m8 === 6, unhex(lit(avroHex)))
+      // zstd frame magic (RFC 8878 §3.1.1) + an opaque tail: the router
+      // must LABEL it (kind 'zstd', NULL detail) — a known compressed
+      // format with no decoder here is not junk (round 15)
+      val zstdHex = "28b52ffd" + "20aa1500002f" * 3
+      val m9 = pmod(id, lit(9))
+      val blob = when(m9 === 0, unhex(lit(pdfHex)))
+        .when(m9 === 1, unhex(lit(zipHex)))
+        .when(m9 === 2, unhex(lit(tarHex)))
+        .when(m9 === 3, unhex(lit(gzHex)))
+        .when(m9 === 4, unhex(lit(pngHex)))
+        .when(m9 === 5, unhex(lit(wavHex)))
+        .when(m9 === 6, unhex(lit(avroHex)))
+        .when(m9 === 7, unhex(lit(zstdHex)))
         .otherwise(encode(concat(lit("junk "), id.cast("string")), "UTF-8"))
       // MAGIC dispatch FIRST, then exactly ONE kernel per row inside a
       // lazily-evaluated CASE branch — running every parser on every
@@ -6222,6 +6241,8 @@ object Queries {
               lit("avro"))
             .when(substring(col("__b"), 258, 5) === encode(lit("ustar"), "UTF-8"),
               lit("tar"))
+            .when(substring(col("__b"), 1, 4) === unhex(lit("28b52ffd")),
+              lit("zstd"))
             .otherwise(lit("unknown")).as("__mk"))
         .select(col("doc_id"), col("__mk"),
           when(col("__mk") === "pdf",
@@ -6240,16 +6261,20 @@ object Queries {
               size(Multimodal.tarEntries(col("__b"))).cast("bigint"))
             .as("detail"))
         .select(col("doc_id"),
-          when(col("detail").isNotNull, col("__mk"))
+          // zstd is EXEMPT from the null-detail downgrade: the label IS
+          // the honest answer when no decoder exists (r15) — a matched
+          // magic whose kernel refused still degrades to 'unknown'
+          when(col("detail").isNotNull || col("__mk") === "zstd", col("__mk"))
             .otherwise(lit("unknown")).as("kind"),
           col("detail"))
     },
     Some("""SELECT CAST(doc_id AS BIGINT) AS doc_id,
-           |  CASE doc_id % 8
+           |  CASE doc_id % 9
            |    WHEN 0 THEN 'pdf' WHEN 1 THEN 'zip' WHEN 2 THEN 'tar'
            |    WHEN 3 THEN 'gzip' WHEN 4 THEN 'image' WHEN 5 THEN 'audio'
-           |    WHEN 6 THEN 'avro' ELSE 'unknown' END AS kind,
-           |  CAST(CASE doc_id % 8
+           |    WHEN 6 THEN 'avro' WHEN 7 THEN 'zstd'
+           |    ELSE 'unknown' END AS kind,
+           |  CAST(CASE doc_id % 9
            |    WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 1
            |    WHEN 3 THEN 19 WHEN 4 THEN 1 WHEN 5 THEN 8000
            |    WHEN 6 THEN 5 ELSE NULL END AS BIGINT) AS detail

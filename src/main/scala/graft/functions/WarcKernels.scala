@@ -310,12 +310,24 @@ object WarcKernels {
         // that earned `deflate` its reputation
         val z = inflateOne(body, raw = false, cap)
         body = if (z != null) z else inflateOne(body, raw = true, cap)
-      case _ => return null // br/zstd/unknown: undecodable here, refuse
+      case enc @ ("br" | "zstd") =>
+        // RFC 7932 brotli / RFC 8878 zstd: RECOGNIZED codings with no
+        // decoder here (round 15). The old `return null` made the
+        // second-most-common web coding indistinguishable from garbage;
+        // now status/content-type survive, body is NULL, and the coding
+        // name rides `encoding_undecoded` so triage can label the lane.
+        return new GenericInternalRow(Array[Any](
+          code.toInt,
+          utf8OrNull(hm.get("content-type")),
+          null,
+          org.apache.spark.unsafe.types.UTF8String.fromString(enc)))
+      case _ => return null // unknown coding: refuse
     }
     if (body == null) return null
     new GenericInternalRow(Array[Any](
       code.toInt,
       utf8OrNull(hm.get("content-type")),
-      body))
+      body,
+      null))
   }
 }

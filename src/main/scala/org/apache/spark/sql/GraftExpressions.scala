@@ -1463,11 +1463,17 @@ object HttpParts {
   val schema: StructType = StructType(Seq(
     StructField("status", IntegerType, nullable = false),
     StructField("content_type", StringType, nullable = true),
-    StructField("body", BinaryType, nullable = false)))
+    StructField("body", BinaryType, nullable = true),
+    // round 15: 'br' / 'zstd' when the Content-Encoding is RECOGNIZED
+    // but this kernel carries no decoder for it — body is NULL, the
+    // rest of the message survives, and triage can count these as
+    // known-but-undecoded instead of lumping them with junk
+    StructField("encoding_undecoded", StringType, nullable = true)))
 }
 
-/** HTTP message payload → (status, content_type, body); NULL for
-  * non-HTTP payloads. See [[graft.functions.WarcKernels.httpParts]].
+/** HTTP message payload → (status, content_type, body,
+  * encoding_undecoded); NULL for non-HTTP payloads. See
+  * [[graft.functions.WarcKernels.httpParts]].
   */
 case class HttpParts(child: Expression)
     extends UnaryExpression with ExpectsInputTypes {
