@@ -6516,6 +6516,91 @@ object Queries {
            |       END AS text
            |FROM c""".stripMargin))
 
+  /** XLSX cell extraction under the oracle (round 15): the docx
+    * container chain extended with the SpreadsheetML cell model — a
+    * two-member stored ZIP built in-plan (real CRC/offsets, as in
+    * q_docx_text) carrying `xl/sharedStrings.xml` (constant string
+    * table: header cells + an `&amp;` entity) and a per-doc
+    * `xl/worksheets/sheet1.xml` mixing shared-string, inline-string,
+    * numeric, and formula-string cells on SPARSE ref-addressed
+    * columns (A1/C1, skipping B1 — positional parsing would misplace
+    * them). Every 9th doc truncates the archive → ONE all-NULL row
+    * (explode_outer + the whole-blob fail-closed contract). The
+    * oracle recomputes all five cells per doc arithmetically.
+    */
+  private val qXlsxCells = Q("q_xlsx_cells",
+    (s, dir) => {
+      val id = col("doc_id")
+      val idS = id.cast("string")
+      val word = element_at(typedlit(Seq("alpha", "beta", "gamma")),
+        (pmod(id, lit(3)) + 1).cast("int"))
+      def le16(v: Column): Column = {
+        val h = lpad(hex(v), 4, "0")
+        unhex(concat(substring(h, 3, 2), substring(h, 1, 2)))
+      }
+      def le32(v: Column): Column = {
+        val h = lpad(hex(v), 8, "0")
+        unhex(concat(substring(h, 7, 2), substring(h, 5, 2),
+          substring(h, 3, 2), substring(h, 1, 2)))
+      }
+      val shared = lit("<sst count=\"2\" uniqueCount=\"2\">" +
+        "<si><t>name</t></si><si><t>count &amp; total</t></si></sst>")
+      val sheet = concat(
+        lit("<worksheet><sheetData>" +
+          "<row r=\"1\"><c r=\"A1\" t=\"s\"><v>0</v></c>" +
+          "<c r=\"C1\" t=\"s\"><v>1</v></c></row>" +
+          "<row r=\"2\"><c r=\"A2\" t=\"inlineStr\"><is><t>doc "), idS,
+        lit(" &amp; co</t></is></c><c r=\"B2\"><v>"),
+        pmod(id, lit(7)).cast("string"),
+        lit("</v></c><c r=\"C2\" t=\"str\"><v>w-"), word,
+        lit("</v></c></row></sheetData></worksheet>"))
+      val c1 = encode(shared, "UTF-8")
+      val n1 = lit("xl/sharedStrings.xml")
+      val c2 = encode(sheet, "UTF-8")
+      val n2 = lit("xl/worksheets/sheet1.xml")
+      def lfh(c: Column, n: Column): Column = concat(
+        unhex(lit("504b0304")), le16(lit(20)), le16(lit(0)), le16(lit(0)),
+        le16(lit(0)), le16(lit(0)), le32(crc32(c)),
+        le32(length(c)), le32(length(c)),
+        le16(length(n)), le16(lit(0)), encode(n, "UTF-8"), c)
+      def cde(c: Column, n: Column, off: Column): Column = concat(
+        unhex(lit("504b0102")), le16(lit(20)), le16(lit(20)), le16(lit(0)),
+        le16(lit(0)), le16(lit(0)), le16(lit(0)), le32(crc32(c)),
+        le32(length(c)), le32(length(c)),
+        le16(length(n)), le16(lit(0)), le16(lit(0)), le16(lit(0)),
+        le16(lit(0)), le32(lit(0)), le32(off), encode(n, "UTF-8"))
+      val l1 = lfh(c1, n1)
+      val l2 = lfh(c2, n2)
+      val cd = concat(cde(c1, n1, lit(0)), cde(c2, n2, length(l1)))
+      val eocd = concat(unhex(lit("504b0506")), le16(lit(0)), le16(lit(0)),
+        le16(lit(2)), le16(lit(2)), le32(length(cd)),
+        le32(length(l1) + length(l2)), le16(lit(0)))
+      val zip0 = concat(l1, l2, cd, eocd)
+      val zip = when(pmod(id, lit(9)) === 0, substring(zip0, 1, 60))
+        .otherwise(zip0)
+      t(s, dir, "documents")
+        .select(id.cast("bigint").as("doc_id"),
+          explode_outer(Multimodal.xlsxCells(zip)).as("c"))
+        .select(col("doc_id"),
+          col("c.row").cast("bigint").as("row"),
+          col("c.col").cast("bigint").as("col"),
+          col("c.value").as("value"))
+    },
+    Some("""WITH c AS (
+           |  SELECT doc_id, doc_id % 9 = 0 AS tr,
+           |         ['alpha','beta','gamma'][CAST(doc_id % 3 AS INT) + 1] AS word
+           |  FROM documents),
+           |cells AS (
+           |  SELECT doc_id, 0 AS r, 0 AS cl, 'name' AS v FROM c WHERE NOT tr
+           |  UNION ALL SELECT doc_id, 0, 2, 'count & total' FROM c WHERE NOT tr
+           |  UNION ALL SELECT doc_id, 1, 0, 'doc ' || doc_id || ' & co' FROM c WHERE NOT tr
+           |  UNION ALL SELECT doc_id, 1, 1, CAST(doc_id % 7 AS VARCHAR) FROM c WHERE NOT tr
+           |  UNION ALL SELECT doc_id, 1, 2, 'w-' || word FROM c WHERE NOT tr
+           |  UNION ALL SELECT doc_id, NULL, NULL, NULL FROM c WHERE tr)
+           |SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(r AS BIGINT) AS row,
+           |       CAST(cl AS BIGINT) AS col, v AS value
+           |FROM cells""".stripMargin))
+
   /** HTML table extraction under the oracle (r14): [[TF.htmlTables]]
     * over in-plan pages carrying a 3-row table with OMITTED closing
     * tags (the HTML-legal form), an `&amp;` entity in a header cell,
@@ -6917,7 +7002,7 @@ object Queries {
     qCrawlClean, qTextDecode, qAnnSq8, qLangId, qNegativeSample, qDriftPsi,
     qLinkExtract, qFrontierLinks, qWarcIngest, qSitemapFrontier,
     qLangIdModel, qPdfExtract, qFrontierSchedule, qImagePhash, qHtmlTables,
-    qZipExtract, qDocxText, qTarExtract, qJsonProfile, qUrlIdn, qBinaryRoute,
+    qZipExtract, qDocxText, qXlsxCells, qTarExtract, qJsonProfile, qUrlIdn, qBinaryRoute,
     qSelect, qFilter, qFilterRouter,
     qJoinInner, qJoinLeft3key, qJoinRight, qJoinMultiway,
     qAgg, qDistinct, qWindowRank, qSort, qUnionDedup,

@@ -99,6 +99,14 @@ object Multimodal {
     GraftBridge.column(ZX(GraftBridge.expression(blob), GraftBridge.expression(name)))
   }
 
+  /** XLSX sheet1 cells as flat (row, col, value) rows —
+    * sharedStrings-resolved, ref-addressed; NULL on malformed
+    * archives (r15). */
+  def xlsxCells(blob: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.{GraftBridge, XlsxCells => XC}
+    GraftBridge.column(XC(GraftBridge.expression(blob)))
+  }
+
   /** PDF triage: struct(version, n_pages, encrypted); NULL on
     * malformed/unsupported framing (r14). */
   def pdfMeta(blob: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {

@@ -1769,6 +1769,32 @@ case class HtmlTables(child: Expression)
     copy(child = newChild)
 }
 
+/** XLSX (SpreadsheetML) cells as flat (row, col, value) rows from
+  * sheet1 + sharedStrings; NULL on truncated/malformed archives. See
+  * [[graft.functions.XlsxKernels.cells]].
+  */
+case class XlsxCells(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
+  override def dataType: DataType =
+    ArrayType(graft.functions.XlsxKernels.cellSchema, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "xlsx_cells"
+
+  override protected def nullSafeEval(v: Any): Any =
+    graft.functions.XlsxKernels.cells(v.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.XlsxKernels.cells($c);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
+
+  override protected def withNewChildInternal(newChild: Expression): XlsxCells =
+    copy(child = newChild)
+}
+
 /** 64-bit perceptual dHash of an uncompressed raster blob (P6/P5/BMP);
   * NULL for codec formats, tiny images, or malformed framing. See
   * [[graft.functions.PHashKernels.dhash64]].

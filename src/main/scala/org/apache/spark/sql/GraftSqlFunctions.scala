@@ -261,6 +261,12 @@ object GraftSqlFunctions {
           "text) rows; NULL on an unclosed (truncated) table"),
       arity("html_tables", "html_tables(html)", 1, 1)(
         c => HtmlTables(c(0)))),
+    (FunctionIdentifier("xlsx_cells"),
+      info("xlsx_cells",
+        "xlsx_cells(binary) - XLSX sheet1 cells as flat (row, col, " +
+          "value) rows via sharedStrings; NULL on malformed archives"),
+      arity("xlsx_cells", "xlsx_cells(binary)", 1, 1)(
+        c => XlsxCells(c(0)))),
     (FunctionIdentifier("dhash64"),
       info("dhash64",
         "dhash64(binary) - 64-bit perceptual difference hash of an " +
