@@ -6808,8 +6808,8 @@ object Queries {
       val word = element_at(
         typedlit(Seq("alpha", "beta", "gamma", "delta", "omega")),
         (pmod(id, lit(5)) + 1).cast("int"))
-      val m3 = pmod(id, lit(3))
-      val content = when(m3 === 2,
+      val m5 = pmod(id, lit(5))
+      val content = when(m5 === 2,
           concat(lit("BT [(doc )-10("), idS, lit(")] TJ ET")))
         .otherwise(concat(lit("BT /F1 12 Tf 72 720 Td (doc "), idS,
           lit(" reports "), word, lit(") Tj T* (second line "), idS,
@@ -6835,19 +6835,11 @@ object Queries {
         entry(off1), entry(off2), entry(off3), entry(off4),
         lit("trailer << /Size 5 /Root 1 0 R >>\nstartxref\n"),
         xrefOff.cast("string"), lit("\n%%EOF"))
-      // the FlateDecode branch: a constant document deflated at plan
-      // build (the oracle checks the DECODED text, so zlib byte
-      // choices never matter)
-      val flatePdfHex = {
-        def zb(x: String): Array[Byte] = {
-          val d = new java.util.zip.Deflater()
-          d.setInput(x.getBytes("ISO-8859-1")); d.finish()
-          val bos = new java.io.ByteArrayOutputStream()
-          val buf = new Array[Byte](4096)
-          while (!d.finished()) bos.write(buf, 0, d.deflate(buf))
-          d.end(); bos.toByteArray
-        }
-        val payload = zb("BT (flate fixture page) Tj ET")
+      // filtered-stream branches: constant documents encoded at plan
+      // build (the oracle checks the DECODED text, so filter byte
+      // choices never matter). Round 15 adds the LZWDecode and the
+      // ASCII85+Flate chain pages older crawled PDFs carry.
+      def fixturePdfHex(filterSpec: String, payload: Array[Byte]): String = {
         val out = new java.io.ByteArrayOutputStream()
         def emit(x: Array[Byte]): Unit = out.write(x)
         def es(x: String): Unit = emit(x.getBytes("ISO-8859-1"))
@@ -6857,7 +6849,7 @@ object Queries {
         offs += out.size(); es("2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n")
         offs += out.size(); es("3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R >> endobj\n")
         offs += out.size()
-        es(s"4 0 obj << /Filter /FlateDecode /Length ${payload.length} >> stream\n")
+        es(s"4 0 obj << /Filter $filterSpec /Length ${payload.length} >> stream\n")
         emit(payload); es("\nendstream endobj\n")
         val xo = out.size()
         es("xref\n0 5\n0000000000 65535 f \n")
@@ -6865,7 +6857,25 @@ object Queries {
         es(s"trailer << /Size 5 /Root 1 0 R >>\nstartxref\n$xo\n%%EOF")
         out.toByteArray.map("%02x".format(_)).mkString
       }
-      val blob = when(m3 === 1, unhex(lit(flatePdfHex)))
+      def zb(x: String): Array[Byte] = {
+        val d = new java.util.zip.Deflater()
+        d.setInput(x.getBytes("ISO-8859-1")); d.finish()
+        val bos = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](4096)
+        while (!d.finished()) bos.write(buf, 0, d.deflate(buf))
+        d.end(); bos.toByteArray
+      }
+      val flatePdfHex = fixturePdfHex("/FlateDecode",
+        zb("BT (flate fixture page) Tj ET"))
+      val lzwPdfHex = fixturePdfHex("/LZWDecode",
+        graft.functions.PdfStreamEncoders.lzw(
+          "BT (lzw fixture page) Tj ET".getBytes("ISO-8859-1")))
+      val a85PdfHex = fixturePdfHex("[/ASCII85Decode /FlateDecode]",
+        graft.functions.PdfStreamEncoders.ascii85(
+          zb("BT (a85 flate chain page) Tj ET")))
+      val blob = when(m5 === 1, unhex(lit(flatePdfHex)))
+        .when(m5 === 3, unhex(lit(lzwPdfHex)))
+        .when(m5 === 4, unhex(lit(a85PdfHex)))
         .otherwise(encode(pdfStr, "UTF-8"))
       val blobTr = when(pmod(id, lit(6)) === 0, substring(blob, 1, 50))
         .otherwise(blob)
@@ -6877,7 +6887,7 @@ object Queries {
         Multimodal.pdfText(blobTr).as("text"))
     },
     Some("""WITH c AS (
-           |  SELECT doc_id, doc_id % 3 AS m3, doc_id % 6 = 0 AS tr,
+           |  SELECT doc_id, doc_id % 5 AS m5, doc_id % 6 = 0 AS tr,
            |         ['alpha','beta','gamma','delta','omega']
            |           [CAST(doc_id % 5 AS INT) + 1] AS word
            |  FROM documents)
@@ -6886,8 +6896,10 @@ object Queries {
            |  CAST(CASE WHEN tr THEN NULL ELSE 1 END AS BIGINT) AS n_pages,
            |  CASE WHEN tr THEN NULL ELSE false END AS encrypted,
            |  CASE WHEN tr THEN NULL
-           |       WHEN m3 = 1 THEN 'flate fixture page'
-           |       WHEN m3 = 2 THEN 'doc ' || doc_id
+           |       WHEN m5 = 1 THEN 'flate fixture page'
+           |       WHEN m5 = 3 THEN 'lzw fixture page'
+           |       WHEN m5 = 4 THEN 'a85 flate chain page'
+           |       WHEN m5 = 2 THEN 'doc ' || doc_id
            |       ELSE chr(10) || 'doc ' || doc_id || ' reports ' || word ||
            |            chr(10) || 'second line ' || doc_id
            |       END AS text

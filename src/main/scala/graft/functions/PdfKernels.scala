@@ -15,8 +15,11 @@ import org.apache.spark.unsafe.types.UTF8String
   *    (/W field widths, /Index subsections, /Prev chains with
   *    newest-wins precedence, PNG predictors 10–15 and TIFF 2);
   *  - compressed object streams (/Type /ObjStm);
-  *  - stream filters: none and /FlateDecode (zlib) — anything else
-  *    (DCT, LZW, ASCII85…) fails closed;
+  *  - stream filters: none, /FlateDecode (zlib), and — round 15 —
+  *    /LZWDecode (EarlyChange honored, predictors shared with Flate),
+  *    /ASCII85Decode, /ASCIIHexDecode, chained in any order the
+  *    /Filter array declares; anything else (DCT, JBIG2, JPX, RunLength)
+  *    fails closed;
   *  - [[meta]]: (version, n_pages, encrypted) — page count resolved
   *    through the /Root → /Pages → /Count chain, indirect refs
   *    followed with a cycle guard;
@@ -269,6 +272,144 @@ object PdfKernels {
     } finally inf.end()
   }
 
+  /** PDF LZWDecode (ISO 32000-1 §7.4.4, round 15): MSB-first
+    * variable-width codes (9→12 bits), 256 = clear table, 257 = EOD;
+    * `EarlyChange` 1 (the default) bumps the code width one dictionary
+    * entry EARLY — the quirk that distinguishes PDF/TIFF LZW from
+    * GIF's. Fail-closed: a missing EOD, an out-of-range code, a
+    * non-literal chain bottom, or blowing [[MaxInflate]] all throw. */
+  private[graft] def lzwDecode(src: Array[Byte], earlyChange: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(
+      math.min(src.length * 4, 1 << 20))
+    val prefix = new Array[Int](4096)
+    val suffix = new Array[Byte](4096)
+    val first = new Array[Byte](4096)
+    val stack = new Array[Byte](4096)
+    val early = if (earlyChange == 0) 0 else 1
+    var dictSize = 258
+    var width = 9
+    var prev = -1
+    var acc = 0L
+    var bits = 0
+    var i = 0
+    def emit(code: Int): Unit = {
+      var sp = 0
+      var c = code
+      while (c >= 258) { stack(sp) = suffix(c); sp += 1; c = prefix(c) }
+      if (c >= 256) throw Bad // chain must bottom out at a literal
+      out.write(c)
+      while (sp > 0) { sp -= 1; out.write(stack(sp) & 0xff) }
+      if (out.size() > MaxInflate) throw Bad
+    }
+    def firstByte(code: Int): Byte =
+      if (code < 256) code.toByte else first(code)
+    while (i < src.length || bits >= width) {
+      if (bits < width) {
+        acc = (acc << 8) | (src(i) & 0xff); bits += 8; i += 1
+      } else {
+        val code = ((acc >>> (bits - width)) & ((1L << width) - 1)).toInt
+        bits -= width
+        if (code == 256) { dictSize = 258; width = 9; prev = -1 }
+        else if (code == 257) return out.toByteArray
+        else if (prev < 0) {
+          if (code >= 256) throw Bad // first code after (re)start: literal
+          out.write(code)
+          prev = code
+        } else {
+          if (code > dictSize || code >= 4096) throw Bad
+          val head: Byte =
+            if (code == dictSize) firstByte(prev) // KwKwK
+            else firstByte(code)
+          if (dictSize < 4096) {
+            prefix(dictSize) = prev
+            suffix(dictSize) = head
+            first(dictSize) = firstByte(prev)
+            dictSize += 1
+            if (dictSize + early == (1 << width) && width < 12) width += 1
+          }
+          emit(code)
+          prev = code
+        }
+      }
+    }
+    throw Bad // ran out of bytes before EOD
+  }
+
+  /** ASCII85Decode (§7.4.3): 5 chars `!`..`u` → 4 bytes, `z` = four
+    * zeros, whitespace transparent, `~>` terminates (a trailing group
+    * of n chars yields n−1 bytes; a 1-char group is malformed). */
+  private[graft] def ascii85Decode(src: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(src.length * 4 / 5 + 8)
+    var tuple = 0L
+    var n = 0
+    var i = 0
+    if (src.length >= 2 && src(0) == '<' && src(1) == '~') i = 2
+    while (i < src.length) {
+      val c = src(i) & 0xff
+      if (c == '~') {
+        if (i + 1 >= src.length || src(i + 1) != '>') throw Bad
+        if (n == 1) throw Bad
+        if (n >= 2) {
+          var t = tuple
+          var k = n
+          while (k < 5) { t = t * 85 + 84; k += 1 }
+          if (t > 0xffffffffL) throw Bad
+          var sh = 24
+          k = 0
+          while (k < n - 1) { out.write(((t >>> sh) & 0xff).toInt); sh -= 8; k += 1 }
+        }
+        return out.toByteArray
+      } else if (c == 'z' && n == 0) {
+        out.write(0); out.write(0); out.write(0); out.write(0)
+        if (out.size() > MaxInflate) throw Bad
+      } else if (c == ' ' || c == '\t' || c == '\r' || c == '\n' ||
+                 c == '\f' || c == 0) {
+        () // whitespace transparent
+      } else if (c >= '!' && c <= 'u') {
+        tuple = tuple * 85 + (c - '!')
+        n += 1
+        if (n == 5) {
+          if (tuple > 0xffffffffL) throw Bad
+          out.write(((tuple >>> 24) & 0xff).toInt)
+          out.write(((tuple >>> 16) & 0xff).toInt)
+          out.write(((tuple >>> 8) & 0xff).toInt)
+          out.write((tuple & 0xff).toInt)
+          if (out.size() > MaxInflate) throw Bad
+          tuple = 0; n = 0
+        }
+      } else throw Bad
+      i += 1
+    }
+    throw Bad // no `~>` EOD
+  }
+
+  /** ASCIIHexDecode (§7.4.2): hex pairs, whitespace transparent, `>`
+    * terminates; an odd trailing digit is padded with 0 per spec. */
+  private[graft] def asciiHexDecode(src: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(src.length / 2 + 4)
+    var hi = -1
+    var i = 0
+    while (i < src.length) {
+      val c = src(i) & 0xff
+      val h =
+        if (c >= '0' && c <= '9') c - '0'
+        else if (c >= 'a' && c <= 'f') c - 'a' + 10
+        else if (c >= 'A' && c <= 'F') c - 'A' + 10
+        else -1
+      if (h >= 0) {
+        if (hi < 0) hi = h
+        else { out.write((hi << 4) | h); hi = -1 }
+        if (out.size() > MaxInflate) throw Bad
+      } else if (c == '>') {
+        if (hi >= 0) out.write(hi << 4)
+        return out.toByteArray
+      } else if (!(c == ' ' || c == '\t' || c == '\r' || c == '\n' ||
+                   c == '\f' || c == 0)) throw Bad
+      i += 1
+    }
+    throw Bad // no `>` EOD
+  }
+
   /** PNG (10–15) / TIFF (2) predictor inversion over decoded bytes. */
   private def unpredict(data: Array[Byte], predictor: Int, columns: Int,
                         colors: Int, bpc: Int): Array[Byte] = {
@@ -438,23 +579,27 @@ object PdfKernels {
         case _ => throw Bad
       }
       var data = raw
+      def ip(parms: Map[String, Obj], k: String, dflt: Int): Int =
+        parms.get(k).map(resolve) match {
+          case Some(p: PNum) => p.i
+          case _ => dflt
+        }
+      // Flate and LZW both take the Predictor family (§7.4.4.4)
+      def withPred(parms: Map[String, Obj], d: Array[Byte]): Array[Byte] = {
+        val pred = ip(parms, "Predictor", 1)
+        if (pred <= 1) d
+        else unpredict(d, pred, ip(parms, "Columns", 1),
+          ip(parms, "Colors", 1), ip(parms, "BitsPerComponent", 8))
+      }
       filters.zipAll(parmsList, "", Map.empty[String, Obj]).foreach {
         case ("FlateDecode", parms) =>
-          data = inflateZlib(data)
-          val pred = parms.get("Predictor").map(resolve) match {
-            case Some(p: PNum) => p.i
-            case _ => 1
-          }
-          if (pred > 1) {
-            def ip(k: String, dflt: Int) = parms.get(k).map(resolve) match {
-              case Some(p: PNum) => p.i
-              case _ => dflt
-            }
-            data = unpredict(data, pred, ip("Columns", 1), ip("Colors", 1),
-              ip("BitsPerComponent", 8))
-          }
+          data = withPred(parms, inflateZlib(data))
+        case ("LZWDecode", parms) => // round 15: older crawled PDFs
+          data = withPred(parms, lzwDecode(data, ip(parms, "EarlyChange", 1)))
+        case ("ASCII85Decode", _) => data = ascii85Decode(data)
+        case ("ASCIIHexDecode", _) => data = asciiHexDecode(data)
         case ("", _) => ()
-        case _ => throw Bad // unsupported filter: fail closed
+        case _ => throw Bad // unsupported filter (DCT, JBIG2…): fail closed
       }
       data
     }

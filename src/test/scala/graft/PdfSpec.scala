@@ -24,11 +24,15 @@ class PdfSpec extends SparkSpec {
     bos.toByteArray
   }
 
-  /** Classic-xref PDF with one content stream per page. */
+  /** Classic-xref PDF with one content stream per page; `filter` runs
+    * each content stream through an encoder chain with the given
+    * /Filter value (r15: LZW / ASCII85 / ASCIIHex and chains). */
   private def classicPdf(pageContents: Seq[String],
                          version: String = "1.4",
                          flate: Boolean = false,
-                         xrefEol: String = " \n"): Array[Byte] = {
+                         xrefEol: String = " \n",
+                         filter: Option[(String, Array[Byte] => Array[Byte])] = None)
+      : Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
     val offsets = scala.collection.mutable.ArrayBuffer[Long](0L) // obj 0
     def emit(s: Array[Byte]): Unit = out.write(s)
@@ -48,9 +52,13 @@ class PdfSpec extends SparkSpec {
     }
     for (i <- 0 until n) {
       offsets += out.size()
-      val payload = if (flate) zlib(b(pageContents(i))) else b(pageContents(i))
-      val filter = if (flate) "/Filter /FlateDecode " else ""
-      emit(b(s"${3 + n + i} 0 obj << $filter/Length ${payload.length} >> stream\n"))
+      val payload =
+        if (flate) zlib(b(pageContents(i)))
+        else filter.map(_._2(b(pageContents(i)))).getOrElse(b(pageContents(i)))
+      val filterSpec =
+        if (flate) "/Filter /FlateDecode "
+        else filter.map(f => s"/Filter ${f._1} ").getOrElse("")
+      emit(b(s"${3 + n + i} 0 obj << $filterSpec/Length ${payload.length} >> stream\n"))
       emit(payload)
       emit(b("\nendstream endobj\n"))
     }
@@ -188,6 +196,79 @@ class PdfSpec extends SparkSpec {
   test("FlateDecode content streams extract identically") {
     val pdf = classicPdf(Seq("BT (flate page ok) Tj ET"), flate = true)
     assert(textOf(pdf) == "flate page ok")
+  }
+
+  test("LZWDecode (r15): the ISO 32000 §7.4.4 worked example decodes " +
+    "bit-exactly; encoder/decoder roundtrip crosses the 9→10→11 width " +
+    "bumps; EarlyChange=0 honored; malformed streams fail closed") {
+    import graft.functions.{PdfKernels, PdfStreamEncoders}
+    // spec example: codes 256,45,258,258,65,259,66,257 at width 9
+    // decode to "-----A---B" (45×5, 65, 45×3, 66)
+    val codes = Seq(256, 45, 258, 258, 65, 259, 66, 257)
+    var acc = 0L; var nb = 0
+    val bs = new java.io.ByteArrayOutputStream()
+    codes.foreach { c =>
+      acc = (acc << 9) | c; nb += 9
+      while (nb >= 8) { bs.write(((acc >>> (nb - 8)) & 0xff).toInt); nb -= 8 }
+    }
+    if (nb > 0) bs.write(((acc << (8 - nb)) & 0xff).toInt)
+    assert(PdfKernels.lzwDecode(bs.toByteArray, 1).toSeq ==
+      "-----A---B".getBytes("US-ASCII").toSeq)
+    // roundtrip across width bumps: >1500 additions crosses 9→10→11
+    val rnd = new scala.util.Random(0x12f5)
+    for (early <- Seq(1, 0); len <- Seq(10, 300, 2600)) {
+      val data = Array.fill(len)(rnd.nextInt(256).toByte)
+      val enc = PdfStreamEncoders.lzw(data, early)
+      assert(PdfKernels.lzwDecode(enc, early).toSeq == data.toSeq,
+        s"early=$early len=$len")
+    }
+    // repetitive data exercises real dictionary chains + KwKwK
+    val rep = ("abcabcabcab" * 400).getBytes("US-ASCII")
+    assert(PdfKernels.lzwDecode(PdfStreamEncoders.lzw(rep), 1).toSeq == rep.toSeq)
+    // fail-closed: truncation (no EOD) and first-code-not-literal
+    intercept[Exception] {
+      PdfKernels.lzwDecode(PdfStreamEncoders.lzw(rep).dropRight(3), 1) }
+    // end-to-end: an LZWDecode content stream page
+    val pdf = classicPdf(Seq("BT (lzw page ok) Tj ET"),
+      filter = Some(("/LZWDecode", d => PdfStreamEncoders.lzw(d))))
+    assert(metaOf(pdf).contains(("1.4", 1, false)))
+    assert(textOf(pdf) == "lzw page ok")
+  }
+
+  test("ASCII85 / ASCIIHex (r15): z-shorthand, partial groups, " +
+    "whitespace, odd-digit padding; an ASCII85+Flate CHAIN page " +
+    "extracts; malformed streams fail closed") {
+    import graft.functions.{PdfKernels, PdfStreamEncoders}
+    def a85(s: String): Array[Byte] =
+      PdfKernels.ascii85Decode(s.getBytes("US-ASCII"))
+    // z = four zeros; partial final group; whitespace transparent
+    assert(a85("z~>").toSeq == Seq[Byte](0, 0, 0, 0))
+    assert(a85("<~ 87 cUR\n~>").toSeq == "Hell".getBytes("US-ASCII").toSeq)
+    val rnd = new scala.util.Random(0x85)
+    for (len <- Seq(0, 1, 2, 3, 4, 5, 63)) {
+      val d = Array.fill(len)(rnd.nextInt(256).toByte)
+      assert(PdfKernels.ascii85Decode(PdfStreamEncoders.ascii85(d)).toSeq
+        == d.toSeq, s"len=$len")
+      assert(PdfKernels.asciiHexDecode(PdfStreamEncoders.asciiHex(d)).toSeq
+        == d.toSeq, s"len=$len")
+    }
+    // odd trailing hex digit pads with 0; '>' required
+    assert(PdfKernels.asciiHexDecode("4 16\n77>".getBytes).toSeq ==
+      Seq[Byte](0x41, 0x67, 0x70))
+    intercept[Exception] { PdfKernels.asciiHexDecode("41".getBytes) }
+    intercept[Exception] { a85("abc") }        // no ~> terminator
+    intercept[Exception] { a85("v~>") }        // 'v' out of range
+    intercept[Exception] { a85("!~>") }        // 1-char group malformed
+    // chain: A85 wraps Flate — /Filter [/ASCII85Decode /FlateDecode]
+    val pdf = classicPdf(Seq("BT (a85 flate chain) Tj ET"),
+      filter = Some(("[/ASCII85Decode /FlateDecode]",
+        d => PdfStreamEncoders.ascii85(zlib(d)))))
+    assert(textOf(pdf) == "a85 flate chain")
+    // and LZW behind ASCIIHex
+    val pdf2 = classicPdf(Seq("BT (hex lzw chain) Tj ET"),
+      filter = Some(("[/ASCIIHexDecode /LZWDecode]",
+        d => PdfStreamEncoders.asciiHex(PdfStreamEncoders.lzw(d)))))
+    assert(textOf(pdf2) == "hex lzw chain")
   }
 
   test("xref stream (W fields), with and without the PNG Up predictor") {
