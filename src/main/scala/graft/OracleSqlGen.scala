@@ -927,6 +927,53 @@ object OracleSqlGen {
        | AND bit_count(xor(a.s, b.s)) <= $maxHamming""".stripMargin
   }
 
+  /** Oracle for q_incremental_phash (round 15): the q_image_phash
+    * pixel/hash chain on the DOC family only (no codec fixtures), then
+    * the brute-force CROSS-SPLIT Hamming join — batch (doc_id%4≠0)
+    * against history (doc_id%4=0). The operator's partial-probe banded
+    * path (maxHamming+1 of 8 band partitions) must reproduce it
+    * exactly: partial-probe pigeonhole is an exactness claim, and this
+    * oracle is its check. */
+  def imagePhashIncremental(maxHamming: Int): String = {
+    val bitTerms = (for {
+      r <- 0 until 8
+      c <- 0 until 8
+    } yield {
+      val left = r * 9 + c + 1
+      val right = left + 1
+      val w = java.math.BigInteger.ONE.shiftLeft(r * 8 + c)
+      s"(CASE WHEN g[$left] < g[$right] THEN ${w}::HUGEINT ELSE 0::HUGEINT END)"
+    }).mkString(" +\n         ")
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |         CASE WHEN doc_id % 10 = 1 THEN doc_id - 1 ELSE doc_id END AS base,
+       |         doc_id % 10 = 1 AS isdup,
+       |         doc_id % 13 = 0 AS junk
+       |  FROM documents),
+       |px AS MATERIALIZED (
+       |  SELECT doc_id, junk,
+       |         list_transform(range(0, 72), p ->
+       |           (((((base * 131 + p * 197) % 65521) *
+       |              ((base * 131 + p * 197) % 65521)) % 65521 + p * 13) % 256 +
+       |            CASE WHEN isdup AND p = 0 THEN 60
+       |                 WHEN isdup AND p = 40 THEN 75 ELSE 0 END) % 256) AS g
+       |  FROM d),
+       |hu AS (
+       |  SELECT doc_id,
+       |         ($bitTerms) AS h
+       |  FROM px WHERE NOT junk),
+       |sh AS MATERIALIZED (
+       |  SELECT doc_id,
+       |         CAST(CASE WHEN h >= $S63 THEN h - $M64 ELSE h END AS BIGINT) AS s
+       |  FROM hu)
+       |SELECT CAST(a.doc_id AS BIGINT) AS new_id,
+       |       CAST(b.doc_id AS BIGINT) AS hist_id,
+       |       CAST(bit_count(xor(a.s, b.s)) AS BIGINT) AS hamming
+       |FROM sh a JOIN sh b
+       |  ON a.doc_id % 4 <> 0 AND b.doc_id % 4 = 0
+       | AND bit_count(xor(a.s, b.s)) <= $maxHamming""".stripMargin
+  }
+
   // -------------------------------------------------------------------
   // Deterministic sampling: both operators draw from
   // xxhash64(struct(row), seed) — Spark folds the struct FIELDS in

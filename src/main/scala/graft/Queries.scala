@@ -6671,29 +6671,38 @@ object Queries {
     * brute-force Hamming pairs — the banded path must match it
     * exactly.
     */
+  /** The shared in-plan 9×8 PGM image family of q_image_phash and
+    * q_incremental_phash: quadratic-residue pixels per doc, every 10th
+    * doc a two-pixel-edited near-dup of its predecessor, every 13th
+    * undecodable junk. Kept in ONE place so both oracles replay one
+    * pixel formula. */
+  private def phashDocImage(id: Column): Column = {
+    val base = when(pmod(id, lit(10)) === 1, id - 1).otherwise(id)
+    val isDup = pmod(id, lit(10)) === 1
+    def gray(p: Int): Column = {
+      // quadratic residue mod a prime covering every SF's id range:
+      // a LINEAR pattern has constant adjacent-pixel differences
+      // (near-identical gradient hashes corpus-wide — measured 10k
+      // accidental pairs); the quadratic decorrelates docs while
+      // staying exact in-plan integer arithmetic under ANSI mode
+      val v = pmod(base * 131 + lit(p * 197), lit(65521))
+      val g0 = pmod(pmod(v * v, lit(65521)) + lit(p * 13), lit(256))
+      val pert =
+        if (p == 0) when(isDup, 60L).otherwise(0L)
+        else if (p == 40) when(isDup, 75L).otherwise(0L)
+        else lit(0L)
+      pmod(g0 + pert, lit(256))
+    }
+    val pixels = concat((0 until 72).map(p =>
+      unhex(lpad(hex(gray(p)), 2, "0"))): _*)
+    when(pmod(id, lit(13)) === 0, encode(lit("notanimage"), "UTF-8"))
+      .otherwise(concat(encode(lit("P5\n9 8\n255\n"), "UTF-8"), pixels))
+  }
+
   private val qImagePhash = Q("q_image_phash",
     (s, dir) => {
       val id = col("doc_id")
-      val base = when(pmod(id, lit(10)) === 1, id - 1).otherwise(id)
-      val isDup = pmod(id, lit(10)) === 1
-      def gray(p: Int): Column = {
-        // quadratic residue mod a prime covering every SF's id range:
-        // a LINEAR pattern has constant adjacent-pixel differences
-        // (near-identical gradient hashes corpus-wide — measured 10k
-        // accidental pairs); the quadratic decorrelates docs while
-        // staying exact in-plan integer arithmetic under ANSI mode
-        val v = pmod(base * 131 + lit(p * 197), lit(65521))
-        val g0 = pmod(pmod(v * v, lit(65521)) + lit(p * 13), lit(256))
-        val pert =
-          if (p == 0) when(isDup, 60L).otherwise(0L)
-          else if (p == 40) when(isDup, 75L).otherwise(0L)
-          else lit(0L)
-        pmod(g0 + pert, lit(256))
-      }
-      val pixels = concat((0 until 72).map(p =>
-        unhex(lpad(hex(gray(p)), 2, "0"))): _*)
-      val img = when(pmod(id, lit(13)) === 0, encode(lit("notanimage"), "UTF-8"))
-        .otherwise(concat(encode(lit("P5\n9 8\n255\n"), "UTF-8"), pixels))
+      val img = phashDocImage(id)
       // round 15: CODEC fixture rows (negative ids) — the same grid as
       // their base doc, but encoded as real PNG/GIF/TIFF/DC-only-JPEG
       // blobs driver-side, so the banded join must pair a crawled-format
@@ -6728,6 +6737,35 @@ object Queries {
           col("hamming").cast("bigint").as("hamming"))
     },
     Some(OracleSqlGen.imagePhash(maxHamming = 6)))
+
+  /** Ingestion-time perceptual near-dup screen under the oracle
+    * (round 15, VERDICT r14 #7): history images (doc_id%4==0, the
+    * same in-plan PGM family as q_image_phash) are indexed ONCE via
+    * [[Dedup.phashIndex]] and persisted `partitionBy("band")`; the
+    * batch (the other 3/4) is screened through
+    * [[Dedup.incrementalPhash]], which probes only maxHamming+1 of
+    * the 8 band partitions — partial-probe pigeonhole keeps recall
+    * EXACT while the scan prunes to 7/8 of the index (plan contract
+    * pinned in PlanSpec). The oracle replays pixels, hashes, and the
+    * brute-force cross-split Hamming join.
+    */
+  private val qIncrementalPhash = Q("q_incremental_phash",
+    (s, dir) => {
+      val id = col("doc_id")
+      val imgs = t(s, dir, "documents")
+        .select(id.cast("bigint").as("doc_id"), phashDocImage(id).as("img"))
+      val hist = imgs.filter(pmod(col("doc_id"), lit(4)) === 0)
+      val batch = imgs.filter(pmod(col("doc_id"), lit(4)) =!= 0)
+      val idxDir = scratch("phash_inc")
+      Dedup.phashIndex(hist, "img", "doc_id")
+        .write.mode("overwrite").partitionBy("band").parquet(idxDir)
+      Dedup.incrementalPhash(batch, idxDir, "img", "doc_id",
+          maxHamming = 6, bands = 8)
+        .select(col("new_id").cast("bigint").as("new_id"),
+          col("hist_id").cast("bigint").as("hist_id"),
+          col("hamming").cast("bigint").as("hamming"))
+    },
+    Some(OracleSqlGen.imagePhashIncremental(maxHamming = 6)))
 
   /** Politeness scheduling under the oracle (r14):
     * [[graft.operators.Robots.fetchSchedule]] — Crawl-delay directives
@@ -7013,7 +7051,8 @@ object Queries {
     qHtmlExtract, qQualityRules, qUrlNormalize, qContainerMeta, qRobotsFilter,
     qCrawlClean, qTextDecode, qAnnSq8, qLangId, qNegativeSample, qDriftPsi,
     qLinkExtract, qFrontierLinks, qWarcIngest, qSitemapFrontier,
-    qLangIdModel, qPdfExtract, qFrontierSchedule, qImagePhash, qHtmlTables,
+    qLangIdModel, qPdfExtract, qFrontierSchedule, qImagePhash,
+    qIncrementalPhash, qHtmlTables,
     qZipExtract, qDocxText, qXlsxCells, qTarExtract, qJsonProfile, qUrlIdn, qBinaryRoute,
     qSelect, qFilter, qFilterRouter,
     qJoinInner, qJoinLeft3key, qJoinRight, qJoinMultiway,

@@ -622,4 +622,68 @@ class DedupSpec extends SparkSpec {
     assert(sampled == full.filter(p => p._1 % 2 == 0 && p._2 % 2 == 0))
     assert(sampled.nonEmpty, "fixture must keep a measurable subfamily")
   }
+
+  // ---- round 15: incremental perceptual screen ----
+
+  private def pgm9x8(px: Int => Int): Array[Byte] =
+    "P5\n9 8\n255\n".getBytes("ISO-8859-1") ++
+      Array.tabulate(72)(i => px(i).toByte)
+
+  test("incrementalPhash (r15): partial-probe banded screen equals the " +
+    "brute-force cross-split join — pigeonhole stays EXACT probing only " +
+    "maxHamming+1 of 8 band partitions; junk blobs emit no pairs") {
+    val rnd = new scala.util.Random(0x9815ea)
+    val base = Array.fill(48)(Array.tabulate(72)(_ => rnd.nextInt(256)))
+    val rows = (0 until 48).map { i =>
+      // every 3rd batch image is a near-copy of a HISTORY image (one
+      // two-pixel edit), the rest are independent
+      if (i % 4 != 0 && i % 3 == 0) {
+        val h = (i / 4) * 4 // a history id
+        val edit = base(h).clone(); edit(20) = (edit(20) + 90) % 256
+        (i.toLong, pgm9x8(edit(_)))
+      } else (i.toLong, pgm9x8(base(i)(_)))
+    } :+ ((999L, "junk not an image".getBytes("UTF-8")))
+    val df = rows.toDF("doc_id", "img")
+    val hist = df.filter(col("doc_id") % 4 === 0)
+    val batch = df.filter(col("doc_id") % 4 =!= 0)
+    val dir = java.nio.file.Files.createTempDirectory("phidx").toString
+    Dedup.phashIndex(hist, "img", "doc_id")
+      .write.mode("overwrite").partitionBy("band").parquet(dir)
+    val out = Dedup.incrementalPhash(batch, dir, "img", "doc_id",
+      maxHamming = 6, bands = 8)
+    val got = out.as[(Long, Long, Int)].collect().toSet
+    // brute force over the same hashes, cross-split only
+    val hs = rows.flatMap { case (id, b) =>
+      Option(graft.functions.PHashKernels.dhash64(b))
+        .map(h => id -> h.longValue()) }
+    val brute = (for {
+      (a, ha) <- hs if a % 4 != 0
+      (b, hb) <- hs if b % 4 == 0
+      d = java.lang.Long.bitCount(ha ^ hb) if d <= 6
+    } yield (a, b, d)).toSet
+    assert(got == brute)
+    assert(brute.exists { case (a, b, d) => d > 0 && a % 3 == 0 },
+      "fixture must plant at least one nonzero-Hamming cross pair")
+    assert(!got.exists(p => p._1 == 999L || p._2 == 999L))
+    // the probe reaches the scan as a PARTITION filter (files skipped),
+    // and blobs never enter an exchange
+    val f = out.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    val scanLine = f.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(scanLine.contains("band"), f)
+    val exchanges = f.linesIterator.filter(_.contains("Exchange")).mkString("\n")
+    assert(!exchanges.contains("img"), f)
+  }
+
+  test("incrementalPhash: band-count mismatch with the index fails loudly") {
+    val df = Seq((0L, pgm9x8(i => i * 3))).toDF("doc_id", "img")
+    val dir = java.nio.file.Files.createTempDirectory("phidx4").toString
+    Dedup.phashIndex(df, "img", "doc_id", bands = 4)
+      .write.mode("overwrite").partitionBy("band").parquet(dir)
+    val e = intercept[IllegalArgumentException] {
+      Dedup.incrementalPhash(Seq((1L, pgm9x8(i => i * 3))).toDF("doc_id", "img"),
+        dir, "img", "doc_id", maxHamming = 3, bands = 8)
+    }
+    assert(e.getMessage.contains("built with"))
+  }
 }

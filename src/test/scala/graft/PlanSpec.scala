@@ -574,6 +574,20 @@ class PlanSpec extends SparkSpec {
     assert(!exchanges.contains("img"), p)
   }
 
+  test("q_incremental_phash (r15): the band probe reaches the index scan " +
+    "as a PARTITION filter — unprobed band files are never read; blobs " +
+    "stay out of every exchange") {
+    val f = formatted("q_incremental_phash")
+    // the persisted index is partitionBy("band"); probing maxHamming+1=7
+    // of 8 bands must prune at the partition level, not post-scan
+    val scanLine = f.linesIterator.filter(_.contains("PartitionFilters"))
+      .mkString("\n")
+    assert(scanLine.contains("band"), f)
+    val exchanges = f.linesIterator.filter(_.contains("Exchange")).mkString("\n")
+    assert(!exchanges.contains("img"), f)
+    assert(f.contains("dhash64"), f)
+  }
+
   // ---- round 14: IVF / PQ trainers are DataFrame-native (verdict r13 #1) ----
 
   import org.apache.spark.sql.functions._
