@@ -289,10 +289,22 @@ object Classifier {
         collect_set(col("b")).as("bs"))
   }
 
-  /** One-vs-rest training over a cached [[perDocCharFeatures]] frame:
-    * one [[train]] run per label (the frame is shared — featurization
-    * is ONE corpus pass regardless of label count), weights in
-    * `labels` order. */
+  /** One-vs-rest training over a cached [[perDocCharFeatures]] frame,
+    * JOINT per iteration (round 15, the corpus-scale training shape):
+    * the K one-vs-rest problems are INDEPENDENT — class k's chain
+    * never reads class j's weights — so iteration i can compute every
+    * class's gradient in ONE aggregation pass (K error projections
+    * over the shared cache, one explode, one (bucket, K decimal sums)
+    * shuffle, one ≤`buckets`-row collect) instead of K separate jobs.
+    * Weights are BIT-IDENTICAL to the sequential per-class chain
+    * (same values, same fixed-point reductions, same within-class
+    * order — ClassifierSpec pins equality), so q_langid_model's
+    * oracle replays unchanged while the barrier count drops from
+    * K·iters to iters: at fastText's ~200 languages that is the
+    * difference between 800 and 4 sequential full-corpus passes. The
+    * error projections stay BELOW the Generate (one evaluation per
+    * doc, not per exploded bucket — the r14 ExtractGenerator trap,
+    * pinned in PlanSpec). */
   def trainLangId(charFrame: DataFrame, labels: Seq[String], buckets: Int,
                   iters: Int, lr: Double): Seq[Array[Double]] = {
     require(labels.nonEmpty && labels.distinct == labels,
@@ -300,6 +312,44 @@ object Classifier {
     requireFixedPointHeadroom(lr * iters.max(1), buckets,
       s"trainLangId(iters=$iters, lr=$lr)")
     val n = charFrame.count() // one count, shared by every class
+    val k = labels.size
+    val ws = Array.fill(k)(Array.fill(buckets)(0.0))
+    if (n == 0) return ws.toSeq
+    for (_ <- 0 until iters) {
+      val errCols = labels.zipWithIndex.map { case (lbl, ki) =>
+        val qw = typedlit(ws(ki).map(quantize).toIndexedSeq)
+        (fastSigmoid(zCol(qw, col("bs"))) -
+          (col("__lang") === lbl).cast("double")).as(s"__err$ki")
+      }
+      val gradExprs = labels.indices.map(ki =>
+        sum(round(col(s"__err$ki") * lit(Scale), 0)
+          .cast("decimal(38,0)")).as(s"__g$ki"))
+      val grads = charFrame
+        .select(errCols :+ explode(col("bs")).as("b"): _*)
+        .groupBy(col("b"))
+        .agg(gradExprs.head, gradExprs.tail: _*)
+        .collect()
+      grads.foreach { r =>
+        val j = r.getLong(0).toInt
+        var ki = 0
+        while (ki < k) {
+          val s = r.getDecimal(1 + ki)
+          if (s != null) ws(ki)(j) = ws(ki)(j) - lr * (s.doubleValue() / Scale) / n
+          ki += 1
+        }
+      }
+    }
+    ws.toSeq
+  }
+
+  /** The pre-r15 sequential one-vs-rest chain — kept as the reference
+    * [[trainLangId]] is pinned bit-identical against (ClassifierSpec);
+    * also the shape to prefer when K is huge but only a few classes
+    * are being re-trained. */
+  private[graft] def trainLangIdSequential(charFrame: DataFrame,
+      labels: Seq[String], buckets: Int, iters: Int,
+      lr: Double): Seq[Array[Double]] = {
+    val n = charFrame.count()
     labels.map { k =>
       train(charFrame.select(col("__id"), col("n_words"),
         (col("__lang") === k).cast("double").as("y"), col("bs")),

@@ -109,4 +109,30 @@ class ClassifierSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Classifier.trainScore(d, "text", "doc_id", col("y") === 1, iters = -1))
   }
+
+  test("trainLangId JOINT per-iteration gradients are BIT-IDENTICAL to " +
+    "the sequential per-class chain (r15) — iters jobs instead of " +
+    "K*iters; error kernels stay below the Generate") {
+    import spark.implicits._
+    val langs = Seq("en", "fr", "ru", "el")
+    val vocab = Map(
+      "en" -> Seq("the", "quick", "brown", "fox", "jumps", "lazy", "dog"),
+      "fr" -> Seq("le", "renard", "brun", "rapide", "saute", "chien", "paresseux"),
+      "ru" -> Seq("быстрая", "лиса", "прыгает", "через", "ленивую", "собаку", "и"),
+      "el" -> Seq("γρήγορη", "αλεπού", "πηδά", "πάνω", "τεμπέλικο", "σκυλί", "και"))
+    val docs = (0 until 64).map { i =>
+      val lang = langs(i % 4)
+      val v = vocab(lang)
+      (i.toLong, (0 until 6).map(k => v((i + k) % v.size)).mkString(" "), lang)
+    }.toDF("doc_id", "text", "lang")
+    val frame = Classifier.perDocCharFeatures(
+      docs, "text", "doc_id", col("lang"), buckets = 128, n = 3)
+    val joint = Classifier.trainLangId(frame, langs, 128, iters = 4, lr = 2.0)
+    val seqW = Classifier.trainLangIdSequential(frame, langs, 128, 4, 2.0)
+    langs.indices.foreach { ki =>
+      assert(java.util.Arrays.equals(joint(ki), seqW(ki)),
+        s"class ${langs(ki)} diverged from the sequential chain")
+    }
+    assert(joint.exists(_.exists(_ != 0.0)), "trained weights all zero?")
+  }
 }
