@@ -6543,8 +6543,30 @@ object Queries {
         unhex(concat(substring(h, 7, 2), substring(h, 5, 2),
           substring(h, 3, 2), substring(h, 1, 2)))
       }
-      val shared = lit("<sst count=\"2\" uniqueCount=\"2\">" +
+      // member 1 (sharedStrings.xml) is CONSTANT — its local header and
+      // central-directory entry fold to literals at plan build. Only the
+      // per-doc sheet member is constructed in-plan, and that follows
+      // the LAYERED-projection rule (SCALING.md r14: inlined, the CRC —
+      // and the encode beneath it — re-expands once per little-endian
+      // byte and the projection falls out of codegen).
+      val n1 = "xl/sharedStrings.xml"
+      val shared = ("<sst count=\"2\" uniqueCount=\"2\">" +
         "<si><t>name</t></si><si><t>count &amp; total</t></si></sst>")
+        .getBytes("UTF-8")
+      val crc1 = { val c = new java.util.zip.CRC32; c.update(shared); c.getValue }
+      def leB(v: Long, n: Int): Array[Byte] =
+        Array.tabulate(n)(i => ((v >>> (8 * i)) & 0xff).toByte)
+      val l1Bytes = Array[Byte](0x50, 0x4b, 3, 4) ++ leB(20, 2) ++
+        leB(0, 2) ++ leB(0, 2) ++ leB(0, 2) ++ leB(0, 2) ++ leB(crc1, 4) ++
+        leB(shared.length, 4) ++ leB(shared.length, 4) ++
+        leB(n1.length, 2) ++ leB(0, 2) ++ n1.getBytes("UTF-8") ++ shared
+      val cd1Bytes = Array[Byte](0x50, 0x4b, 1, 2) ++ leB(20, 2) ++
+        leB(20, 2) ++ leB(0, 2) ++ leB(0, 2) ++ leB(0, 2) ++ leB(0, 2) ++
+        leB(crc1, 4) ++ leB(shared.length, 4) ++ leB(shared.length, 4) ++
+        leB(n1.length, 2) ++ leB(0, 2) ++ leB(0, 2) ++ leB(0, 2) ++
+        leB(0, 2) ++ leB(0, 4) ++ leB(0, 4) ++ n1.getBytes("UTF-8")
+      def hexOf(b: Array[Byte]) = b.map("%02x".format(_)).mkString
+      val n2 = "xl/worksheets/sheet1.xml"
       val sheet = concat(
         lit("<worksheet><sheetData>" +
           "<row r=\"1\"><c r=\"A1\" t=\"s\"><v>0</v></c>" +
@@ -6554,33 +6576,35 @@ object Queries {
         pmod(id, lit(7)).cast("string"),
         lit("</v></c><c r=\"C2\" t=\"str\"><v>w-"), word,
         lit("</v></c></row></sheetData></worksheet>"))
-      val c1 = encode(shared, "UTF-8")
-      val n1 = lit("xl/sharedStrings.xml")
-      val c2 = encode(sheet, "UTF-8")
-      val n2 = lit("xl/worksheets/sheet1.xml")
-      def lfh(c: Column, n: Column): Column = concat(
-        unhex(lit("504b0304")), le16(lit(20)), le16(lit(0)), le16(lit(0)),
-        le16(lit(0)), le16(lit(0)), le32(crc32(c)),
-        le32(length(c)), le32(length(c)),
-        le16(length(n)), le16(lit(0)), encode(n, "UTF-8"), c)
-      def cde(c: Column, n: Column, off: Column): Column = concat(
-        unhex(lit("504b0102")), le16(lit(20)), le16(lit(20)), le16(lit(0)),
-        le16(lit(0)), le16(lit(0)), le16(lit(0)), le32(crc32(c)),
-        le32(length(c)), le32(length(c)),
-        le16(length(n)), le16(lit(0)), le16(lit(0)), le16(lit(0)),
-        le16(lit(0)), le32(lit(0)), le32(off), encode(n, "UTF-8"))
-      val l1 = lfh(c1, n1)
-      val l2 = lfh(c2, n2)
-      val cd = concat(cde(c1, n1, lit(0)), cde(c2, n2, length(l1)))
-      val eocd = concat(unhex(lit("504b0506")), le16(lit(0)), le16(lit(0)),
-        le16(lit(2)), le16(lit(2)), le32(length(cd)),
-        le32(length(l1) + length(l2)), le16(lit(0)))
-      val zip0 = concat(l1, l2, cd, eocd)
-      val zip = when(pmod(id, lit(9)) === 0, substring(zip0, 1, 60))
-        .otherwise(zip0)
       t(s, dir, "documents")
         .select(id.cast("bigint").as("doc_id"),
-          explode_outer(Multimodal.xlsxCells(zip)).as("c"))
+          (pmod(id, lit(9)) === 0).as("__tr"),
+          encode(sheet, "UTF-8").as("__c2"))
+        .select(col("*"),
+          crc32(col("__c2")).as("__r2"), length(col("__c2")).as("__s2"))
+        .select(col("doc_id"), col("__tr"), col("__r2"), col("__s2"),
+          concat(unhex(lit("504b0304")), le16(lit(20)), le16(lit(0)),
+            le16(lit(0)), le16(lit(0)), le16(lit(0)), le32(col("__r2")),
+            le32(col("__s2")), le32(col("__s2")), le16(lit(n2.length)),
+            le16(lit(0)), encode(lit(n2), "UTF-8"), col("__c2")).as("__l2"))
+        .select(col("doc_id"), col("__tr"), col("__l2"),
+          concat(unhex(lit(hexOf(cd1Bytes))),
+            unhex(lit("504b0102")), le16(lit(20)), le16(lit(20)),
+            le16(lit(0)), le16(lit(0)), le16(lit(0)), le16(lit(0)),
+            le32(col("__r2")), le32(col("__s2")), le32(col("__s2")),
+            le16(lit(n2.length)), le16(lit(0)), le16(lit(0)), le16(lit(0)),
+            le16(lit(0)), le32(lit(0)), le32(lit(l1Bytes.length)),
+            encode(lit(n2), "UTF-8")).as("__cd"))
+        .select(col("doc_id"), col("__tr"),
+          concat(unhex(lit(hexOf(l1Bytes))), col("__l2"), col("__cd"),
+            unhex(lit("504b0506")), le16(lit(0)), le16(lit(0)),
+            le16(lit(2)), le16(lit(2)), le32(length(col("__cd"))),
+            le32(length(col("__l2")) + lit(l1Bytes.length)), le16(lit(0)))
+            .as("__zip0"))
+        .select(col("doc_id"),
+          explode_outer(Multimodal.xlsxCells(
+            when(col("__tr"), substring(col("__zip0"), 1, 60))
+              .otherwise(col("__zip0")))).as("c"))
         .select(col("doc_id"),
           col("c.row").cast("bigint").as("row"),
           col("c.col").cast("bigint").as("col"),
