@@ -6701,24 +6701,27 @@ object Queries {
     * undecodable junk. Kept in ONE place so both oracles replay one
     * pixel formula. */
   private def phashDocImage(id: Column): Column = {
+    // quadratic residue mod a prime covering every SF's id range: a
+    // LINEAR pattern has constant adjacent-pixel differences
+    // (near-identical gradient hashes corpus-wide — measured 10k
+    // accidental pairs); the quadratic decorrelates docs while staying
+    // exact in-plan integer arithmetic under ANSI mode
     val base = when(pmod(id, lit(10)) === 1, id - 1).otherwise(id)
     val isDup = pmod(id, lit(10)) === 1
-    def gray(p: Int): Column = {
-      // quadratic residue mod a prime covering every SF's id range:
-      // a LINEAR pattern has constant adjacent-pixel differences
-      // (near-identical gradient hashes corpus-wide — measured 10k
-      // accidental pairs); the quadratic decorrelates docs while
-      // staying exact in-plan integer arithmetic under ANSI mode
-      val v = pmod(base * 131 + lit(p * 197), lit(65521))
-      val g0 = pmod(pmod(v * v, lit(65521)) + lit(p * 13), lit(256))
-      val pert =
-        if (p == 0) when(isDup, 60L).otherwise(0L)
-        else if (p == 40) when(isDup, 75L).otherwise(0L)
-        else lit(0L)
-      pmod(g0 + pert, lit(256))
-    }
-    val pixels = concat((0 until 72).map(p =>
-      unhex(lpad(hex(gray(p)), 2, "0"))): _*)
+    // ONE lambda over sequence(0,71) instead of a 72-term concat: the
+    // expanded form blew whole-stage codegen's 64 KB method limit
+    // (observed r15 — the stage fell back with a Janino error on every
+    // run). transform is a higher-order function (interpreted lambda),
+    // but the expression tree is ~72x smaller, the surrounding stage
+    // stays inside codegen, and the arithmetic — hence the oracle — is
+    // unchanged.
+    val pixels = unhex(array_join(transform(sequence(lit(0), lit(71)), p => {
+      val v = pmod(base * 131 + p * 197, lit(65521))
+      val g0 = pmod(pmod(v * v, lit(65521)) + p * 13, lit(256))
+      val pert = when(isDup && p === 0, 60L)
+        .when(isDup && p === 40, 75L).otherwise(0L)
+      lpad(hex(pmod(g0 + pert, lit(256))), 2, "0")
+    }), ""))
     when(pmod(id, lit(13)) === 0, encode(lit("notanimage"), "UTF-8"))
       .otherwise(concat(encode(lit("P5\n9 8\n255\n"), "UTF-8"), pixels))
   }
