@@ -6102,6 +6102,7 @@ object Queries {
   private val qBinaryRoute = Q("q_binary_route",
     (s, dir) => {
       val id = col("doc_id")
+      val idS = id.cast("string")
       def hexOf(b: Array[Byte]): String = b.map("%02x".format(_)).mkString
       val pdfHex = {
         val out = new java.io.ByteArrayOutputStream()
@@ -6206,10 +6207,19 @@ object Queries {
         block(2, "fg".getBytes)
         hexOf(bos.toByteArray)
       }
-      // zstd frame magic (RFC 8878 §3.1.1) + an opaque tail: the router
-      // must LABEL it (kind 'zstd', NULL detail) — a known compressed
-      // format with no decoder here is not junk (round 15)
-      val zstdHex = "28b52ffd" + "20aa1500002f" * 3
+      // zstd (round 15): a real RFC 8878 store-mode frame built IN-PLAN
+      // per doc (magic + single-segment FHD + 4-byte FCS + one raw
+      // block), so the router DECODES it — detail = decompressed
+      // length, which the oracle recomputes arithmetically
+      def le(v: Column, bytes: Int): Column = {
+        val h = lpad(hex(v), bytes * 2, "0")
+        unhex(concat((0 until bytes).map(i =>
+          substring(h, (bytes - 1 - i) * 2 + 1, 2)): _*))
+      }
+      val zPayload = encode(concat(lit("zstd doc "), idS), "UTF-8")
+      val zstdBlob = concat(unhex(lit("28b52ffd")), unhex(lit("a0")),
+        le(length(zPayload), 4),
+        le(shiftleft(length(zPayload), 3) + 1, 3), zPayload)
       val m9 = pmod(id, lit(9))
       val blob = when(m9 === 0, unhex(lit(pdfHex)))
         .when(m9 === 1, unhex(lit(zipHex)))
@@ -6218,7 +6228,7 @@ object Queries {
         .when(m9 === 4, unhex(lit(pngHex)))
         .when(m9 === 5, unhex(lit(wavHex)))
         .when(m9 === 6, unhex(lit(avroHex)))
-        .when(m9 === 7, unhex(lit(zstdHex)))
+        .when(m9 === 7, zstdBlob)
         .otherwise(encode(concat(lit("junk "), id.cast("string")), "UTF-8"))
       // MAGIC dispatch FIRST, then exactly ONE kernel per row inside a
       // lazily-evaluated CASE branch — running every parser on every
@@ -6259,12 +6269,11 @@ object Queries {
               Multimodal.avroMeta(col("__b")).getField("n_records").cast("bigint"))
             .when(col("__mk") === "tar",
               size(Multimodal.tarEntries(col("__b"))).cast("bigint"))
+            .when(col("__mk") === "zstd",
+              length(Multimodal.zstdDecompress(col("__b"))).cast("bigint"))
             .as("detail"))
         .select(col("doc_id"),
-          // zstd is EXEMPT from the null-detail downgrade: the label IS
-          // the honest answer when no decoder exists (r15) — a matched
-          // magic whose kernel refused still degrades to 'unknown'
-          when(col("detail").isNotNull || col("__mk") === "zstd", col("__mk"))
+          when(col("detail").isNotNull, col("__mk"))
             .otherwise(lit("unknown")).as("kind"),
           col("detail"))
     },
@@ -6277,7 +6286,9 @@ object Queries {
            |  CAST(CASE doc_id % 9
            |    WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 1
            |    WHEN 3 THEN 19 WHEN 4 THEN 1 WHEN 5 THEN 8000
-           |    WHEN 6 THEN 5 ELSE NULL END AS BIGINT) AS detail
+           |    WHEN 6 THEN 5
+           |    WHEN 7 THEN length('zstd doc ' || doc_id)
+           |    ELSE NULL END AS BIGINT) AS detail
            |FROM documents""".stripMargin))
 
   /** IDN canonicalization under the oracle (r14): unicode hosts fold

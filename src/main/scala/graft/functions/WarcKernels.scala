@@ -184,6 +184,13 @@ object WarcKernels {
     val b =
       if (b0.length >= 2 && (b0(0) & 0xff) == 0x1f && (b0(1) & 0xff) == 0x8b)
         gunzipAll(b0)
+      else if (b0.length >= 4 && (b0(0) & 0xff) == 0x28 &&
+               (b0(1) & 0xff) == 0xb5 && (b0(2) & 0xff) == 0x2f &&
+               (b0(3) & 0xff) == 0xfd)
+        // .warc.zst (r15): frame-concatenated archives decode through
+        // the fail-closed RFC 8878 kernel (skippable dictionary frames
+        // are skipped; dictionary-COMPRESSED members refuse — NULL)
+        ZstdKernels.decompress(b0)
       else b0
     if (b == null) return null
     val out = scala.collection.mutable.ArrayBuffer.empty[Any]
@@ -310,11 +317,16 @@ object WarcKernels {
         // that earned `deflate` its reputation
         val z = inflateOne(body, raw = false, cap)
         body = if (z != null) z else inflateOne(body, raw = true, cap)
-      case enc @ ("br" | "zstd") =>
-        // RFC 7932 brotli / RFC 8878 zstd: RECOGNIZED codings with no
-        // decoder here (round 15). The old `return null` made the
-        // second-most-common web coding indistinguishable from garbage;
-        // now status/content-type survive, body is NULL, and the coding
+      case "zstd" =>
+        // RFC 8878: decoded for real since round 15's ZstdKernels —
+        // fail-closed like gzip (a body the coding can't decode
+        // bit-exactly is NULL, never raw bytes passed downstream)
+        body = ZstdKernels.decompress(body)
+      case enc @ "br" =>
+        // RFC 7932 brotli: a RECOGNIZED coding with no decoder here
+        // (round 15). The old `return null` made the second-most-common
+        // web coding indistinguishable from garbage; now
+        // status/content-type survive, body is NULL, and the coding
         // name rides `encoding_undecoded` so triage can label the lane.
         return new GenericInternalRow(Array[Any](
           code.toInt,

@@ -130,6 +130,14 @@ object Multimodal {
     GraftBridge.column(GZ(GraftBridge.expression(blob)))
   }
 
+  /** Zstandard decompression (r15, RFC 8878 pure-JVM decoder):
+    * multi-frame, checksum-verified, dictionaries refused; NULL on any
+    * corruption. */
+  def zstdDecompress(blob: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.{GraftBridge, ZstdDecompress => ZD}
+    GraftBridge.column(ZD(GraftBridge.expression(blob)))
+  }
+
   /** HTTP payload -> struct(status, content_type, body); NULL when the
     * payload is not an HTTP message. */
   def httpParts(payload: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {

@@ -1917,6 +1917,33 @@ case class Gunzip(child: Expression)
     copy(child = newChild)
 }
 
+/** Zstandard decompression (round 15, RFC 8878 — pure-JVM decoder):
+  * multi-frame, skippable frames skipped, XXH64 checksum verified,
+  * dictionaries refused, inflation-capped; NULL on any corruption.
+  * The `.warc.zst` / `Content-Encoding: zstd` column form. See
+  * [[graft.functions.ZstdKernels.decompress]].
+  */
+case class ZstdDecompress(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true // NULL on any corruption
+  override def prettyName: String = "zstd_decompress"
+
+  override protected def nullSafeEval(v: Any): Any =
+    graft.functions.ZstdKernels.decompress(v.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.ZstdKernels.decompress($c);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
+
+  override protected def withNewChildInternal(newChild: Expression): ZstdDecompress =
+    copy(child = newChild)
+}
+
 object RobotsParse {
   val schema: DataType = ArrayType(StructType(Seq(
     StructField("agent", StringType, nullable = false),

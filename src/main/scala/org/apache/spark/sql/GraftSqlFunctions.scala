@@ -291,6 +291,13 @@ object GraftSqlFunctions {
           "verified, zip-bomb-guarded; NULL on any corruption"),
       arity("gunzip", "gunzip(binary)", 1, 1)(
         c => Gunzip(c(0)))),
+    (FunctionIdentifier("zstd_decompress"),
+      info("zstd_decompress",
+        "zstd_decompress(binary) - Zstandard decompression (RFC 8878: " +
+          "multi-frame, checksum-verified, dictionaries refused); NULL " +
+          "on any corruption"),
+      arity("zstd_decompress", "zstd_decompress(binary)", 1, 1)(
+        c => ZstdDecompress(c(0)))),
     (FunctionIdentifier("sitemap_entries"),
       info("sitemap_entries",
         "sitemap_entries(xml) - sitemap/sitemap-index frontier entries " +

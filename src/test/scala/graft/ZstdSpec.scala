@@ -1,0 +1,154 @@
+package graft
+
+import graft.functions.ZstdKernels
+import org.scalatest.funsuite.AnyFunSuite
+
+/** [[ZstdKernels]] against the REAL `zstd` CLI: the decoder is checked
+  * on reference-encoder output across levels and data shapes (not
+  * against itself), and [[ZstdKernels.compressStore]]'s frames are
+  * decoded by the reference binary. Corruption/truncation fuzz pins
+  * the fail-closed contract.
+  */
+class ZstdSpec extends AnyFunSuite {
+
+  private val cli: Option[String] =
+    Seq("/root/miniconda/bin/zstd", "/usr/bin/zstd", "/usr/local/bin/zstd")
+      .find(p => new java.io.File(p).canExecute)
+
+  private def cliCompress(data: Array[Byte], args: String*): Array[Byte] = {
+    val dir = java.nio.file.Files.createTempDirectory("zst")
+    val in = dir.resolve("in.raw"); val out = dir.resolve("out.zst")
+    java.nio.file.Files.write(in, data)
+    val cmd = Seq(cli.get, "-f", "-q") ++ args ++ Seq(in.toString, "-o", out.toString)
+    val p = new ProcessBuilder(cmd: _*).inheritIO().start()
+    assert(p.waitFor() == 0, s"zstd CLI failed: $cmd")
+    java.nio.file.Files.readAllBytes(out)
+  }
+
+  private def cliDecompress(comp: Array[Byte]): Array[Byte] = {
+    val dir = java.nio.file.Files.createTempDirectory("zstd")
+    val in = dir.resolve("in.zst"); val out = dir.resolve("out.raw")
+    java.nio.file.Files.write(in, comp)
+    val p = new ProcessBuilder(cli.get, "-d", "-f", "-q",
+      in.toString, "-o", out.toString).inheritIO().start()
+    assert(p.waitFor() == 0, "zstd -d failed on compressStore output")
+    java.nio.file.Files.readAllBytes(out)
+  }
+
+  private def shapes: Seq[(String, Array[Byte])] = {
+    val rnd = new scala.util.Random(0x25d)
+    val words = Seq("alpha", "beta", "gamma", "delta", "epsilon", "zeta")
+    Seq(
+      "empty" -> Array.emptyByteArray,
+      "one" -> Array[Byte]('x'),
+      "tiny-rep" -> ("ab" * 10).getBytes("US-ASCII"),
+      "flat" -> Array.fill[Byte](100000)('a'),
+      "text" -> (0 until 200000).map(_ => words(rnd.nextInt(words.size)))
+        .mkString(" ").getBytes("US-ASCII"),
+      "runs" -> Array.concat((0 until 20000).map(_ =>
+        Array.fill[Byte](rnd.nextInt(30) + 1)(rnd.nextInt(256).toByte)): _*),
+      "random" -> Array.fill[Byte](60000)(rnd.nextInt(256).toByte))
+  }
+
+  test("decodes reference-encoder frames bit-exactly: levels 1/3/19 and " +
+    "ultra-22, with and without checksum, every data shape (raw/RLE/" +
+    "compressed blocks, 1+4-stream Huffman, FSE + repeat modes, " +
+    "multi-block windows)") {
+    assume(cli.isDefined, "no zstd CLI in this environment")
+    for ((name, data) <- shapes; lvl <- Seq("-1", "-3", "-19")) {
+      val dec = ZstdKernels.decompress(cliCompress(data, lvl))
+      assert(dec != null && java.util.Arrays.equals(dec, data),
+        s"$name @$lvl")
+    }
+    val big = shapes.find(_._1 == "text").get._2
+    for (extra <- Seq(Seq("--ultra", "-22"), Seq("-19", "--no-check"))) {
+      val dec = ZstdKernels.decompress(cliCompress(big, extra: _*))
+      assert(dec != null && java.util.Arrays.equals(dec, big), extra.toString)
+    }
+  }
+
+  test("multi-frame concatenation decodes to the concatenated content; " +
+    "skippable frames are skipped; skippable-only input is NULL") {
+    assume(cli.isDefined, "no zstd CLI in this environment")
+    val a = "first frame payload ".getBytes("US-ASCII")
+    val b = "and the second".getBytes("US-ASCII")
+    val fa = cliCompress(a, "-3")
+    val fb = cliCompress(b, "-19")
+    // a legal skippable frame: magic 0x184D2A5x + LE size + junk
+    val skip = Array[Byte](0x5a, 0x2a, 0x4d, 0x18, 4, 0, 0, 0, 9, 9, 9, 9)
+    val dec = ZstdKernels.decompress(fa ++ skip ++ fb)
+    assert(dec != null && java.util.Arrays.equals(dec, a ++ b))
+    assert(ZstdKernels.decompress(skip) == null) // no content frame
+  }
+
+  test("compressStore frames decode in the REFERENCE binary (with and " +
+    "without checksum) and in this decoder; multi-block above 128 KB") {
+    val rnd = new scala.util.Random(0x570e)
+    for (n <- Seq(0, 1, 1000, (1 << 17) - 1, (1 << 17), 300000);
+         check <- Seq(false, true)) {
+      val data = Array.fill[Byte](n)(rnd.nextInt(256).toByte)
+      val frame = ZstdKernels.compressStore(data, withChecksum = check)
+      val own = ZstdKernels.decompress(frame)
+      assert(own != null && java.util.Arrays.equals(own, data),
+        s"own decode n=$n check=$check")
+      if (cli.isDefined)
+        assert(java.util.Arrays.equals(cliDecompress(frame), data),
+          s"reference decode n=$n check=$check")
+    }
+  }
+
+  test("fail-closed: dictionary frames refused, checksum mismatch NULL, " +
+    "truncations NULL, bit-flip fuzz never throws and never returns " +
+    "wrong bytes silently on a checksummed frame") {
+    assume(cli.isDefined, "no zstd CLI in this environment")
+    val data = ("zstd fail closed " * 400).getBytes("US-ASCII")
+    val frame = cliCompress(data, "-19") // CLI default adds XXH64 check
+    // truncations
+    for (cut <- Seq(1, 4, 9, frame.length / 2, frame.length - 1))
+      assert(ZstdKernels.decompress(frame.take(cut)) == null, s"cut=$cut")
+    // checksum mismatch: flip a bit in the trailing 4-byte XXH64
+    val bad = frame.clone(); bad(bad.length - 1) = (bad.last ^ 1).toByte
+    assert(ZstdKernels.decompress(bad) == null)
+    // dictionary-trained frame must refuse (Dictionary_ID != 0):
+    // build one by setting the DID flag on a store frame is invalid —
+    // instead craft a minimal frame header with DID=1
+    val dict = Array[Byte](0x28, 0xb5.toByte, 0x2f, 0xfd.toByte,
+      0x21, 1, 0) // FHD: single-segment(0x20)+DID1(0x01); DID=1; FCS=0
+    assert(ZstdKernels.decompress(dict) == null)
+    // bit-flip fuzz: any single-bit corruption either NULLs or (when it
+    // hits dead padding) reproduces the exact content — never throws
+    val rnd = new scala.util.Random(0xf1ab)
+    var i = 0
+    while (i < 400) {
+      val mut = frame.clone()
+      val at = rnd.nextInt(mut.length)
+      mut(at) = (mut(at) ^ (1 << rnd.nextInt(8))).toByte
+      val dec = ZstdKernels.decompress(mut)
+      if (dec != null)
+        assert(java.util.Arrays.equals(dec, data),
+          s"checksummed frame decoded to WRONG bytes after flip at $at")
+      i += 1
+    }
+    // random garbage never throws
+    for (_ <- 0 until 300) {
+      val junk = Array.fill[Byte](rnd.nextInt(200))(rnd.nextInt(256).toByte)
+      ZstdKernels.decompress(junk)
+    }
+    assert(ZstdKernels.decompress(Array.emptyByteArray) == null)
+    assert(ZstdKernels.decompress(null) == null)
+  }
+
+  test("xxh64 matches the published test vectors") {
+    // XXH64 reference vectors (seed 0): empty and known strings
+    assert(ZstdKernels.xxh64(Array.emptyByteArray, 0, 0) == 0xEF46DB3751D8E999L)
+    val abc = "abc".getBytes("US-ASCII")
+    assert(ZstdKernels.xxh64(abc, 0, 3) == 0x44BC2CF5AD770999L)
+    val longer = "xxhash is a fast non-cryptographic hash".getBytes("US-ASCII")
+    // 32+ byte path: cross-check against the CLI-independent property
+    // that the checksummed store-frame roundtrip passes (asserted in
+    // the compressStore test); here pin stability
+    assert(ZstdKernels.xxh64(longer, 0, longer.length) ==
+      ZstdKernels.xxh64(("pad" + new String(longer, "US-ASCII"))
+        .getBytes("US-ASCII"), 3, longer.length))
+  }
+}
