@@ -17,9 +17,9 @@ import org.apache.spark.unsafe.types.UTF8String
   *  - compressed object streams (/Type /ObjStm);
   *  - stream filters: none, /FlateDecode (zlib), and — round 15 —
   *    /LZWDecode (EarlyChange honored, predictors shared with Flate),
-  *    /ASCII85Decode, /ASCIIHexDecode, chained in any order the
-  *    /Filter array declares; anything else (DCT, JBIG2, JPX, RunLength)
-  *    fails closed;
+  *    /ASCII85Decode, /ASCIIHexDecode, /RunLengthDecode, chained in any order the
+  *    /Filter array declares; anything else (DCT, JBIG2, JPX) fails
+  *    closed;
   *  - [[meta]]: (version, n_pages, encrypted) — page count resolved
   *    through the /Root → /Pages → /Count chain, indirect refs
   *    followed with a cycle guard;
@@ -410,6 +410,29 @@ object PdfKernels {
     throw Bad // no `>` EOD
   }
 
+  /** RunLengthDecode (§7.4.5): n ≤ 127 copies n+1 literals, n ≥ 129
+    * repeats the next byte 257−n times, 128 = EOD (required). */
+  private[graft] def runLengthDecode(src: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(src.length * 2 + 8)
+    var i = 0
+    while (i < src.length) {
+      val n = src(i) & 0xff
+      if (n == 128) return out.toByteArray // EOD
+      if (n <= 127) {
+        if (i + 1 + n + 1 > src.length) throw Bad
+        out.write(src, i + 1, n + 1)
+        i += n + 2
+      } else {
+        if (i + 1 >= src.length) throw Bad
+        var k = 257 - n
+        while (k > 0) { out.write(src(i + 1)); k -= 1 }
+        i += 2
+      }
+      if (out.size() > MaxInflate) throw Bad
+    }
+    throw Bad // missing EOD
+  }
+
   /** PNG (10–15) / TIFF (2) predictor inversion over decoded bytes. */
   private def unpredict(data: Array[Byte], predictor: Int, columns: Int,
                         colors: Int, bpc: Int): Array[Byte] = {
@@ -598,6 +621,7 @@ object PdfKernels {
           data = withPred(parms, lzwDecode(data, ip(parms, "EarlyChange", 1)))
         case ("ASCII85Decode", _) => data = ascii85Decode(data)
         case ("ASCIIHexDecode", _) => data = asciiHexDecode(data)
+        case ("RunLengthDecode", _) => data = runLengthDecode(data)
         case ("", _) => ()
         case _ => throw Bad // unsupported filter (DCT, JBIG2…): fail closed
       }

@@ -269,6 +269,26 @@ class PdfSpec extends SparkSpec {
       filter = Some(("[/ASCIIHexDecode /LZWDecode]",
         d => PdfStreamEncoders.asciiHex(PdfStreamEncoders.lzw(d)))))
     assert(textOf(pdf2) == "hex lzw chain")
+    // RunLengthDecode: literal runs + repeats + the 128 EOD
+    def rle(d: Array[Byte]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      var i = 0
+      while (i < d.length) { // naive: 1-literal packets
+        val n = math.min(128, d.length - i)
+        out.write(n - 1); out.write(d, i, n); i += n
+      }
+      out.write(128)
+      out.toByteArray
+    }
+    assert(PdfKernels.runLengthDecode(
+      Array[Byte](2, 'a', 'b', 'c', (257 - 250 - 1).toByte)
+        .take(4) ++ Array[Byte](250.toByte, 'x', 128.toByte)).toSeq ==
+      ("abc" + "x" * 7).getBytes("US-ASCII").toSeq)
+    intercept[Exception] { PdfKernels.runLengthDecode(Array[Byte](2, 'a')) }
+    intercept[Exception] { PdfKernels.runLengthDecode(Array[Byte](0, 'a')) } // no EOD
+    val pdf3 = classicPdf(Seq("BT (rle page) Tj ET"),
+      filter = Some(("/RunLengthDecode", rle)))
+    assert(textOf(pdf3) == "rle page")
   }
 
   test("xref stream (W fields), with and without the PNG Up predictor") {
