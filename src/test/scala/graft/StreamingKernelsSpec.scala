@@ -335,4 +335,51 @@ class StreamingKernelsSpec extends SparkSpec {
     assert(byId(3L)(1) == null)
     assert(byId(3L)(4) == "https://sub.host.org/path/")
   }
+
+  test("r15 kernels (zstd_decompress, xlsx_cells, codec dhash64): " +
+    "stateless projections, stream equals batch") {
+    import graft.functions.{ImageEncoders, ZstdKernels}
+    val xlsx = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val z = new java.util.zip.ZipOutputStream(bos)
+      z.putNextEntry(new java.util.zip.ZipEntry("xl/worksheets/sheet1.xml"))
+      z.write(("<worksheet><sheetData><row r=\"1\">" +
+        "<c r=\"B1\" t=\"inlineStr\"><is><t>cell one</t></is></c>" +
+        "</row></sheetData></worksheet>").getBytes("UTF-8"))
+      z.closeEntry(); z.close(); bos.toByteArray
+    }
+    val png = ImageEncoders.pngGray(9, 8,
+      Array.tabulate(72)(i => (i * 41) % 256))
+    val zst = ZstdKernels.compressStore(
+      "zstd streamed payload".getBytes("UTF-8"), withChecksum = true)
+    val rows = Seq(
+      (1L, zst, xlsx, png),
+      (2L, "junk".getBytes("UTF-8"), "junk".getBytes("UTF-8"),
+        "junk".getBytes("UTF-8")))
+    def pipeline(df: org.apache.spark.sql.DataFrame) = df.select(
+      col("id"),
+      decode(graft.operators.Multimodal.zstdDecompress(col("zst")), "UTF-8")
+        .as("ztext"),
+      element_at(graft.operators.Multimodal.xlsxCells(col("xl")), 1)
+        .getField("value").as("cell"),
+      org.apache.spark.sql.GraftBridge.column(org.apache.spark.sql.DHash64(
+        org.apache.spark.sql.GraftBridge.expression(col("img")))).as("dh"))
+    val batch = pipeline(rows.toDF("id", "zst", "xl", "img"))
+      .collect().map(_.toSeq).toSet
+    val input = MemoryStream[(Long, Array[Byte], Array[Byte], Array[Byte])](
+      spark, numPartitions = 1)
+    val q = pipeline(input.toDS().toDF("id", "zst", "xl", "img"))
+      .writeStream.format("memory").queryName("r15_stream")
+      .outputMode("append").start()
+    input.addData(rows: _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("r15_stream").collect().map(_.toSeq).toSet
+    assert(streamed == batch)
+    val byId2 = batch.groupBy(_.head).map { case (k, v) => k -> v.head }
+    assert(byId2(1L)(1) == "zstd streamed payload")
+    assert(byId2(1L)(2) == "cell one")
+    assert(byId2(1L)(3) == graft.functions.PHashKernels.dhash64(png).longValue())
+    assert(byId2(2L)(1) == null && byId2(2L)(2) == null && byId2(2L)(3) == null)
+  }
 }
