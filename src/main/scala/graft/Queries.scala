@@ -6789,7 +6789,7 @@ object Queries {
         .select(id.cast("bigint").as("doc_id"), img.as("img"))
         .unionAll(fxDf)
       Dedup.imageNearDupPairs(imgs, "img", "doc_id",
-          maxHamming = 6, bands = 8)
+          maxHamming = 6, bands = 8, keyBands = 2)
         .select(col("id_a").cast("bigint").as("id_a"),
           col("id_b").cast("bigint").as("id_b"),
           col("hamming").cast("bigint").as("hamming"))

@@ -179,7 +179,8 @@ object Dedup {
   def imageNearDupPairs(df: DataFrame, bytesCol: String, idCol: String,
                         maxHamming: Int = 6, bands: Int = 8,
                         maxBucket: Int = 4096,
-                        capObs: Option[Observation] = None): DataFrame = {
+                        capObs: Option[Observation] = None,
+                        keyBands: Int = 1): DataFrame = {
     require(bands > maxHamming, // this operator's contract is EXACT recall
       s"imageNearDupPairs pigeonhole needs bands > maxHamming, " +
         s"got $bands <= $maxHamming")
@@ -188,7 +189,7 @@ object Dedup {
     bandedHammingPairs(
       df.select(col(idCol).as("__id"), h.as("__sh"))
         .filter(col("__sh").isNotNull),
-      maxHamming, bands, maxBucket, capObs)
+      maxHamming, bands, maxBucket, capObs, keyBands)
   }
 
   /** The shared banded-Hamming candidate/verify core over a sketched
@@ -196,22 +197,43 @@ object Dedup {
     * `maxHamming` bits differs in at most maxHamming bands, so with
     * bands > maxHamming it collides in at least one band — callers
     * pick (bands, maxHamming) accordingly (4/3 for simhash text,
-    * 8/6 for image dHash). */
+    * 8/6 for image dHash).
+    *
+    * `keyBands` (round 15, the Manku-style generalization): bucket
+    * keys drawn from keyBands-SUBSETS of the bands. A pair within
+    * maxHamming bits agrees on ≥ bands−maxHamming bands, so any
+    * keyBands ≤ bands−maxHamming keeps recall EXACT while widening
+    * the key from 64/bands to keyBands·64/bands bits — the candidate
+    * volume term drops from ~bands·n²/2^(64/b) to
+    * ~C(bands,keyBands)·n²/2^(k·64/b). With 8 bands / maxHamming 6,
+    * keyBands=2 gives 28 tables of 16-bit keys: 73× fewer accidental
+    * candidates, the difference between a ~10M-image regime and a
+    * ~1B-image one (PhashScale measures both). */
   private def bandedHammingPairs(sketched: DataFrame,
                                  maxHamming: Int, bands: Int, maxBucket: Int,
-                                 capObs: Option[Observation]): DataFrame = {
+                                 capObs: Option[Observation],
+                                 keyBands: Int = 1): DataFrame = {
     require(bands >= 2 && bands <= 32 && 64 % bands == 0,
       s"bands must divide 64 and be in [2, 32], got $bands")
-    // bands > maxHamming makes the pigeonhole argument EXACT (some band
-    // must be difference-free); bands <= maxHamming is the documented
-    // approximate regime (recall measured by the callers' gates)
+    require(keyBands == 1 || keyBands == 2,
+      s"keyBands must be 1 or 2, got $keyBands")
+    // bands - maxHamming >= keyBands makes the pigeonhole argument
+    // EXACT; below that is the documented approximate regime (recall
+    // measured by the callers' gates) — only meaningful for keyBands=1
+    if (keyBands > 1) require(bands - maxHamming >= keyBands,
+      s"keyBands=$keyBands needs bands - maxHamming >= $keyBands, " +
+        s"got bands=$bands maxHamming=$maxHamming")
     val chunk = 64 / bands
+    def chunkOf(b: Int): Column =
+      shiftright(col("__sh"), b * chunk).bitwiseAND(lit((1L << chunk) - 1))
+    val keys: Seq[Column] =
+      if (keyBands == 1) (0 until bands).map(chunkOf)
+      else for { i <- 0 until bands; j <- (i + 1) until bands }
+        yield chunkOf(i).bitwiseOR(shiftleft(chunkOf(j), chunk))
 
     val banded = sketched.select(
       struct(col("__id").as("id"), col("__sh").as("sh")).as("__m"),
-      posexplode(array((0 until bands).map { b =>
-        shiftright(col("__sh"), b * chunk).bitwiseAND(lit((1L << chunk) - 1))
-      }: _*)).as(Seq("__band", "__bandkey")))
+      posexplode(array(keys: _*)).as(Seq("__band", "__bandkey")))
 
     // same bounded-buffer cap + observable drop count as minhashLsh
     val buckets = banded
@@ -924,24 +946,33 @@ object Dedup {
     * column metadata so a mismatched ingest fails loudly.
     */
   def phashIndex(docs: DataFrame, bytesCol: String, idCol: String,
-                 bands: Int = 8): DataFrame = {
+                 bands: Int = 8, keyBands: Int = 1): DataFrame = {
     require(bands >= 2 && bands <= 32 && 64 % bands == 0,
       s"bands must divide 64 and be in [2, 32], got $bands")
+    require(keyBands == 1 || keyBands == 2,
+      s"keyBands must be 1 or 2, got $keyBands")
     val chunk = 64 / bands
-    val meta = new MetadataBuilder().putLong(MetaPhashBands, bands.toLong).build()
+    val meta = new MetadataBuilder()
+      .putLong(MetaPhashBands, bands.toLong)
+      .putLong(MetaPhashKeyBands, keyBands.toLong).build()
     import org.apache.spark.sql.{DHash64, GraftBridge}
     val h = GraftBridge.column(DHash64(GraftBridge.expression(col(bytesCol))))
+    def chunkOf(b: Int): Column =
+      shiftright(col("__h"), b * chunk).bitwiseAND(lit((1L << chunk) - 1))
+    val keys: Seq[Column] =
+      if (keyBands == 1) (0 until bands).map(chunkOf)
+      else for { i <- 0 until bands; j <- (i + 1) until bands }
+        yield chunkOf(i).bitwiseOR(shiftleft(chunkOf(j), chunk))
     docs.select(col(idCol).as("doc_id"), h.as("__h"))
       .filter(col("__h").isNotNull)
       .select(col("doc_id"), col("__h"),
-        posexplode(array((0 until bands).map { b =>
-          shiftright(col("__h"), b * chunk).bitwiseAND(lit((1L << chunk) - 1))
-        }: _*)).as(Seq("band", "bandkey")))
+        posexplode(array(keys: _*)).as(Seq("band", "bandkey")))
       .select(col("doc_id"), col("__h").as("hash"), col("band"),
         col("bandkey").as("bandkey", meta))
   }
 
   private val MetaPhashBands = "graft.phash.bands"
+  private val MetaPhashKeyBands = "graft.phash.keyBands"
 
   /** Ingestion-time perceptual near-dup screen — the image member of
     * the incremental family: new-batch images are checked against the
@@ -966,32 +997,50 @@ object Dedup {
                        bytesCol: String, idCol: String,
                        maxHamming: Int = 6, bands: Int = 8,
                        maxBucket: Int = 4096,
-                       capObs: Option[Observation] = None): DataFrame = {
+                       capObs: Option[Observation] = None,
+                       keyBands: Int = 1): DataFrame = {
     require(bands > maxHamming, // EXACT recall is this operator's contract
       s"incrementalPhash pigeonhole needs bands > maxHamming, " +
         s"got $bands <= $maxHamming")
+    require(keyBands == 1 || keyBands == 2,
+      s"keyBands must be 1 or 2, got $keyBands")
+    if (keyBands > 1) require(bands - maxHamming >= keyBands,
+      s"keyBands=$keyBands needs bands - maxHamming >= $keyBands")
     val spark = newDocs.sparkSession
     val index = spark.read.parquet(indexDir)
     index.schema.fields.find(_.name == "bandkey").foreach { f =>
       if (f.metadata.contains(MetaPhashBands)) {
         val got = f.metadata.getLong(MetaPhashBands)
-        require(got == bands.toLong,
+        val gotK = if (f.metadata.contains(MetaPhashKeyBands))
+          f.metadata.getLong(MetaPhashKeyBands) else 1L
+        require(got == bands.toLong && gotK == keyBands.toLong,
           s"incrementalPhash: index at $indexDir was built with " +
-            s"bands=$got but this call uses bands=$bands — rebuild the " +
-            "index or match its parameters")
+            s"(bands=$got, keyBands=$gotK) but this call uses " +
+            s"(bands=$bands, keyBands=$keyBands) — rebuild the index " +
+            "or match its parameters")
       }
     }
     val chunk = 64 / bands
-    val probeBands = maxHamming + 1
+    // keyBands=1: the partial-probe pruning applies (any maxHamming+1
+    // bands catch every pair). keyBands=2: the ≥2 agreeing bands can be
+    // ANY of the C(bands,2) subsets, so every subset is probed — the
+    // trade is 3.5x index rows and no pruning for ~73x fewer accidental
+    // candidates (SCALING.md, PhashScale-measured).
+    val probeBands = if (keyBands == 1) maxHamming + 1
+      else bands * (bands - 1) / 2
     import org.apache.spark.sql.{DHash64, GraftBridge}
     val h = GraftBridge.column(DHash64(GraftBridge.expression(col(bytesCol))))
+    def chunkOfA(b: Int): Column =
+      shiftright(col("__ha"), b * chunk).bitwiseAND(lit((1L << chunk) - 1))
+    val probeKeys: Seq[Column] =
+      if (keyBands == 1) (0 until probeBands).map(chunkOfA)
+      else for { i <- 0 until bands; j <- (i + 1) until bands }
+        yield chunkOfA(i).bitwiseOR(shiftleft(chunkOfA(j), chunk))
     val batch = newDocs
       .select(col(idCol).as("__nid"), h.as("__ha"))
       .filter(col("__ha").isNotNull)
       .select(struct(col("__nid").as("id"), col("__ha").as("sh")).as("__m"),
-        posexplode(array((0 until probeBands).map { b =>
-          shiftright(col("__ha"), b * chunk).bitwiseAND(lit((1L << chunk) - 1))
-        }: _*)).as(Seq("band", "bandkey")))
+        posexplode(array(probeKeys: _*)).as(Seq("band", "bandkey")))
     val grouped = batch
       .groupBy(col("band"), col("bandkey"))
       .agg(collectSmallest(col("__m"), maxBucket).as("__ms"),

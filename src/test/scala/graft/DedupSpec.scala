@@ -675,6 +675,55 @@ class DedupSpec extends SparkSpec {
     assert(!exchanges.contains("img"), f)
   }
 
+  test("incrementalPhash keyBands=2 (r15): paired-band keys equal the " +
+    "brute-force join exactly (pigeonhole: >=2 agreeing bands at h<=6) " +
+    "and the single-band path") {
+    val rnd = new scala.util.Random(0x2b2b)
+    val base = Array.fill(40)(Array.tabulate(72)(_ => rnd.nextInt(256)))
+    val rows = (0 until 40).map { i =>
+      if (i % 4 != 0 && i % 3 == 0) {
+        val h = (i / 4) * 4
+        val edit = base(h).clone(); edit(11) = (edit(11) + 70) % 256
+        (i.toLong, pgm9x8(edit(_)))
+      } else (i.toLong, pgm9x8(base(i)(_)))
+    }
+    val df = rows.toDF("doc_id", "img")
+    val hist = df.filter(col("doc_id") % 4 === 0)
+    val batch = df.filter(col("doc_id") % 4 =!= 0)
+    val d1 = java.nio.file.Files.createTempDirectory("ph_k1").toString
+    val d2 = java.nio.file.Files.createTempDirectory("ph_k2").toString
+    Dedup.phashIndex(hist, "img", "doc_id", keyBands = 1)
+      .write.mode("overwrite").partitionBy("band").parquet(d1)
+    Dedup.phashIndex(hist, "img", "doc_id", keyBands = 2)
+      .write.mode("overwrite").partitionBy("band").parquet(d2)
+    val one = Dedup.incrementalPhash(batch, d1, "img", "doc_id",
+      maxHamming = 6, bands = 8, keyBands = 1)
+      .as[(Long, Long, Int)].collect().toSet
+    val two = Dedup.incrementalPhash(batch, d2, "img", "doc_id",
+      maxHamming = 6, bands = 8, keyBands = 2)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(one == two)
+    assert(two.nonEmpty, "fixture must plant pairs")
+    // a keyBands mismatch against the index is refused
+    val e = intercept[IllegalArgumentException] {
+      Dedup.incrementalPhash(batch, d2, "img", "doc_id",
+        maxHamming = 6, bands = 8, keyBands = 1).collect()
+    }
+    assert(e.getMessage.contains("built with"))
+    // pairs operator: keyBands=2 equals keyBands=1 equals brute force
+    val p1 = Dedup.imageNearDupPairs(df, "img", "doc_id",
+      maxHamming = 6, bands = 8).as[(Long, Long, Int)].collect().toSet
+    val p2 = Dedup.imageNearDupPairs(df, "img", "doc_id",
+      maxHamming = 6, bands = 8, keyBands = 2)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(p1 == p2)
+    // exactness precondition is enforced: keyBands=2 needs b-h >= 2
+    intercept[IllegalArgumentException] {
+      Dedup.imageNearDupPairs(df, "img", "doc_id",
+        maxHamming = 7, bands = 8, keyBands = 2)
+    }
+  }
+
   test("incrementalPhash: band-count mismatch with the index fails loudly") {
     val df = Seq((0L, pgm9x8(i => i * 3))).toDF("doc_id", "img")
     val dir = java.nio.file.Files.createTempDirectory("phidx4").toString
