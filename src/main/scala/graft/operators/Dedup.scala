@@ -162,11 +162,12 @@ object Dedup {
     */
   def simhashPairs(df: DataFrame, textCol: String, idCol: String,
                    maxHamming: Int = 3, bands: Int = 4, maxBucket: Int = 4096,
-                   capObs: Option[Observation] = None): DataFrame =
+                   capObs: Option[Observation] = None,
+                   keyBands: Int = 1): DataFrame =
     bandedHammingPairs(df.select(
         col(idCol).as("__id"),
         SimHash.simhashText(col(textCol)).as("__sh")),
-      maxHamming, bands, maxBucket, capObs)
+      maxHamming, bands, maxBucket, capObs, keyBands)
 
   /** Perceptual-hash image near-dup pairs (round 14): dHash64 over the
     * raster blobs ([[graft.functions.PHashKernels]] — recompressions
@@ -209,27 +210,46 @@ object Dedup {
     * keyBands=2 gives 28 tables of 16-bit keys: 73× fewer accidental
     * candidates, the difference between a ~10M-image regime and a
     * ~1B-image one (PhashScale measures both). */
-  private def bandedHammingPairs(sketched: DataFrame,
-                                 maxHamming: Int, bands: Int, maxBucket: Int,
-                                 capObs: Option[Observation],
-                                 keyBands: Int = 1): DataFrame = {
-    require(bands >= 2 && bands <= 32 && 64 % bands == 0,
-      s"bands must divide 64 and be in [2, 32], got $bands")
-    require(keyBands == 1 || keyBands == 2,
-      s"keyBands must be 1 or 2, got $keyBands")
+  /** All keyBands-subsets of band indices, in lexicographic order —
+    * shared by the pair ops and the persisted index so keys align. */
+  private[operators] def bandSubsets(bands: Int, keyBands: Int): Seq[Seq[Int]] =
+    (0 until bands).combinations(keyBands).map(_.toSeq).toSeq
+
+  private def subsetKeys(sh: Column, bands: Int,
+                         keyBands: Int): Seq[Column] = {
+    val chunk = 64 / bands
+    def chunkOf(b: Int): Column =
+      shiftright(sh, b * chunk).bitwiseAND(lit((1L << chunk) - 1))
+    bandSubsets(bands, keyBands).map { sub =>
+      sub.zipWithIndex.map { case (b, k) =>
+        shiftleft(chunkOf(b), k * chunk): Column
+      }.reduce(_.bitwiseOR(_))
+    }
+  }
+
+  private def requireKeyBands(bands: Int, maxHamming: Int,
+                              keyBands: Int): Unit = {
+    require(keyBands >= 1 && keyBands * (64 / bands) <= 63,
+      s"keyBands=$keyBands keys exceed 63 bits at bands=$bands")
+    val tables = bandSubsets(bands, keyBands).size
+    require(tables <= 64,
+      s"keyBands=$keyBands over $bands bands is $tables tables — cap 64")
     // bands - maxHamming >= keyBands makes the pigeonhole argument
     // EXACT; below that is the documented approximate regime (recall
     // measured by the callers' gates) — only meaningful for keyBands=1
     if (keyBands > 1) require(bands - maxHamming >= keyBands,
       s"keyBands=$keyBands needs bands - maxHamming >= $keyBands, " +
         s"got bands=$bands maxHamming=$maxHamming")
-    val chunk = 64 / bands
-    def chunkOf(b: Int): Column =
-      shiftright(col("__sh"), b * chunk).bitwiseAND(lit((1L << chunk) - 1))
-    val keys: Seq[Column] =
-      if (keyBands == 1) (0 until bands).map(chunkOf)
-      else for { i <- 0 until bands; j <- (i + 1) until bands }
-        yield chunkOf(i).bitwiseOR(shiftleft(chunkOf(j), chunk))
+  }
+
+  private def bandedHammingPairs(sketched: DataFrame,
+                                 maxHamming: Int, bands: Int, maxBucket: Int,
+                                 capObs: Option[Observation],
+                                 keyBands: Int = 1): DataFrame = {
+    require(bands >= 2 && bands <= 32 && 64 % bands == 0,
+      s"bands must divide 64 and be in [2, 32], got $bands")
+    requireKeyBands(bands, maxHamming, keyBands)
+    val keys: Seq[Column] = subsetKeys(col("__sh"), bands, keyBands)
 
     val banded = sketched.select(
       struct(col("__id").as("id"), col("__sh").as("sh")).as("__m"),
@@ -949,20 +969,14 @@ object Dedup {
                  bands: Int = 8, keyBands: Int = 1): DataFrame = {
     require(bands >= 2 && bands <= 32 && 64 % bands == 0,
       s"bands must divide 64 and be in [2, 32], got $bands")
-    require(keyBands == 1 || keyBands == 2,
-      s"keyBands must be 1 or 2, got $keyBands")
-    val chunk = 64 / bands
+    require(keyBands >= 1 && keyBands * (64 / bands) <= 63,
+      s"keyBands=$keyBands keys exceed 63 bits at bands=$bands")
     val meta = new MetadataBuilder()
       .putLong(MetaPhashBands, bands.toLong)
       .putLong(MetaPhashKeyBands, keyBands.toLong).build()
     import org.apache.spark.sql.{DHash64, GraftBridge}
     val h = GraftBridge.column(DHash64(GraftBridge.expression(col(bytesCol))))
-    def chunkOf(b: Int): Column =
-      shiftright(col("__h"), b * chunk).bitwiseAND(lit((1L << chunk) - 1))
-    val keys: Seq[Column] =
-      if (keyBands == 1) (0 until bands).map(chunkOf)
-      else for { i <- 0 until bands; j <- (i + 1) until bands }
-        yield chunkOf(i).bitwiseOR(shiftleft(chunkOf(j), chunk))
+    val keys: Seq[Column] = subsetKeys(col("__h"), bands, keyBands)
     docs.select(col(idCol).as("doc_id"), h.as("__h"))
       .filter(col("__h").isNotNull)
       .select(col("doc_id"), col("__h"),
@@ -1002,10 +1016,7 @@ object Dedup {
     require(bands > maxHamming, // EXACT recall is this operator's contract
       s"incrementalPhash pigeonhole needs bands > maxHamming, " +
         s"got $bands <= $maxHamming")
-    require(keyBands == 1 || keyBands == 2,
-      s"keyBands must be 1 or 2, got $keyBands")
-    if (keyBands > 1) require(bands - maxHamming >= keyBands,
-      s"keyBands=$keyBands needs bands - maxHamming >= $keyBands")
+    requireKeyBands(bands, maxHamming, keyBands)
     val spark = newDocs.sparkSession
     val index = spark.read.parquet(indexDir)
     index.schema.fields.find(_.name == "bandkey").foreach { f =>
@@ -1027,15 +1038,13 @@ object Dedup {
     // trade is 3.5x index rows and no pruning for ~73x fewer accidental
     // candidates (SCALING.md, PhashScale-measured).
     val probeBands = if (keyBands == 1) maxHamming + 1
-      else bands * (bands - 1) / 2
+      else bandSubsets(bands, keyBands).size
     import org.apache.spark.sql.{DHash64, GraftBridge}
     val h = GraftBridge.column(DHash64(GraftBridge.expression(col(bytesCol))))
-    def chunkOfA(b: Int): Column =
-      shiftright(col("__ha"), b * chunk).bitwiseAND(lit((1L << chunk) - 1))
     val probeKeys: Seq[Column] =
-      if (keyBands == 1) (0 until probeBands).map(chunkOfA)
-      else for { i <- 0 until bands; j <- (i + 1) until bands }
-        yield chunkOfA(i).bitwiseOR(shiftleft(chunkOfA(j), chunk))
+      if (keyBands == 1)
+        subsetKeys(col("__ha"), bands, 1).take(probeBands)
+      else subsetKeys(col("__ha"), bands, keyBands)
     val batch = newDocs
       .select(col(idCol).as("__nid"), h.as("__ha"))
       .filter(col("__ha").isNotNull)

@@ -724,6 +724,37 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("simhashPairs keyBands=3 over 8 bands (r15): 24-bit subset keys " +
+    "equal the exact all-pairs reference at maxHamming 3") {
+    // near-dup pairs planted by ONE-token edits over ~40-token docs (a
+    // single token moves only a few simhash bits at that length);
+    // 8 bands × h=3 leaves b−h=5 ≥ 3, so 3-subset keys stay exact
+    def doc(i: Int, edit: Boolean): String = {
+      val words = (0 until 40).map(k => s"tok${(i * 7 + k * k) % 23}_$k")
+      val w = if (edit) words.updated(20, "edited") else words
+      w.mkString(" ")
+    }
+    val docs = (0 until 60).map(i => (i.toLong, doc(i, edit = false))) ++
+      (0 until 60 by 5).map(i => (1000L + i, doc(i, edit = true)))
+    val df = docs.toDF("doc_id", "text")
+    val exact = Dedup.simhashPairsExact(df, "text", "doc_id", maxHamming = 3)
+      .as[(Long, Long, Int)].collect().toSet
+    val banded = Dedup.simhashPairs(df, "text", "doc_id",
+      maxHamming = 3, bands = 8, keyBands = 3)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(banded == exact)
+    assert(exact.nonEmpty, "fixture must produce pairs")
+    // guards: key width and table-count caps, exactness precondition
+    intercept[IllegalArgumentException] {
+      Dedup.simhashPairs(df, "text", "doc_id", maxHamming = 3,
+        bands = 4, keyBands = 2) // b-h = 1 < 2
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.simhashPairs(df, "text", "doc_id", maxHamming = 1,
+        bands = 16, keyBands = 3) // C(16,3) = 560 tables > 64
+    }
+  }
+
   test("incrementalPhash: band-count mismatch with the index fails loudly") {
     val df = Seq((0L, pgm9x8(i => i * 3))).toDF("doc_id", "img")
     val dir = java.nio.file.Files.createTempDirectory("phidx4").toString
