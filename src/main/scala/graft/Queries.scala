@@ -53,6 +53,15 @@ object Queries {
     p
   }
 
+  /** Little-endian byte column of `v`'s low `bytes` bytes — THE shared
+    * in-plan binary-construction helper (r15 review: four private
+    * copies had accumulated across the fixture queries). */
+  private def leCol(v: Column, bytes: Int): Column = {
+    val h = lpad(hex(v), bytes * 2, "0")
+    unhex(concat((0 until bytes).map(i =>
+      substring(h, (bytes - 1 - i) * 2 + 1, 2)): _*))
+  }
+
   private def scratch(name: String): String = {
     val d = scratchRoot.resolve(name)
     // clear any previous contents: writers overwrite per-FILE, so if one
@@ -5876,11 +5885,7 @@ object Queries {
       // computed once) — the decode is output-invisible, so the oracle
       // is untouched while the zstd ingest path runs under it
       val zwrap = pmod(id, lit(5)) === 2
-      def zle(v: Column, nb: Int): Column = {
-        val h = lpad(hex(v), nb * 2, "0")
-        unhex(concat((0 until nb).map(i =>
-          substring(h, (nb - 1 - i) * 2 + 1, 2)): _*))
-      }
+      def zle(v: Column, nb: Int): Column = leCol(v, nb)
       val blob = when(pmod(id, lit(7)) === 0,
         substring(warc, 1, 40)).otherwise(warc)
       val base = t(s, dir, "documents")
@@ -6231,11 +6236,7 @@ object Queries {
       // per doc (magic + single-segment FHD + 4-byte FCS + one raw
       // block), so the router DECODES it — detail = decompressed
       // length, which the oracle recomputes arithmetically
-      def le(v: Column, bytes: Int): Column = {
-        val h = lpad(hex(v), bytes * 2, "0")
-        unhex(concat((0 until bytes).map(i =>
-          substring(h, (bytes - 1 - i) * 2 + 1, 2)): _*))
-      }
+      def le(v: Column, bytes: Int): Column = leCol(v, bytes)
       val zPayload = encode(concat(lit("zstd doc "), idS), "UTF-8")
       val zstdBlob = concat(unhex(lit("28b52ffd")), unhex(lit("a0")),
         le(length(zPayload), 4),
@@ -6565,15 +6566,8 @@ object Queries {
       val idS = id.cast("string")
       val word = element_at(typedlit(Seq("alpha", "beta", "gamma")),
         (pmod(id, lit(3)) + 1).cast("int"))
-      def le16(v: Column): Column = {
-        val h = lpad(hex(v), 4, "0")
-        unhex(concat(substring(h, 3, 2), substring(h, 1, 2)))
-      }
-      def le32(v: Column): Column = {
-        val h = lpad(hex(v), 8, "0")
-        unhex(concat(substring(h, 7, 2), substring(h, 5, 2),
-          substring(h, 3, 2), substring(h, 1, 2)))
-      }
+      def le16(v: Column): Column = leCol(v, 2)
+      def le32(v: Column): Column = leCol(v, 4)
       // member 1 (sharedStrings.xml) is CONSTANT — its local header and
       // central-directory entry fold to literals at plan build. Only the
       // per-doc sheet member is constructed in-plan, and that follows

@@ -85,41 +85,9 @@ object SitemapKernels {
     null
   }
 
-  /** XML entity decode (the five predefined + numeric refs);
-    * unrecognized entities pass through verbatim (crawled sitemaps
-    * carry raw ampersands in URLs despite the spec). */
-  private def decodeEntities(t: String): String = {
-    if (t.indexOf('&') < 0) return t
-    val sb = new StringBuilder(t.length)
-    var i = 0
-    while (i < t.length) {
-      val c = t.charAt(i)
-      if (c == '&') {
-        val semi = t.indexOf(';', i + 1)
-        if (semi < 0 || semi - i > 10) { sb.append(c); i += 1 }
-        else {
-          val ent = t.substring(i + 1, semi)
-          val rep: String = ent match {
-            case "amp" => "&"
-            case "lt" => "<"
-            case "gt" => ">"
-            case "quot" => "\""
-            case "apos" => "'"
-            case e if e.length > 2 && (e.startsWith("#x") || e.startsWith("#X")) =>
-              try new String(Character.toChars(Integer.parseInt(e.substring(2), 16)))
-              catch { case _: Exception => null }
-            case e if e.length > 1 && e.charAt(0) == '#' =>
-              try new String(Character.toChars(Integer.parseInt(e.substring(1))))
-              catch { case _: Exception => null }
-            case _ => null
-          }
-          if (rep == null) { sb.append(c); i += 1 }
-          else { sb.append(rep); i = semi + 1 }
-        }
-      } else { sb.append(c); i += 1 }
-    }
-    sb.toString
-  }
+  /** XML entity decode — the shared [[XmlEntities]] (five predefined
+    * entities + numeric refs; unrecognized pass through verbatim). */
+  private def decodeEntities(t: String): String = XmlEntities.decode(t)
 
   /** Text content (CDATA-capable) up to `</name>`; no nested elements
     * allowed inside. Returns (decoded trimmed text, index past the

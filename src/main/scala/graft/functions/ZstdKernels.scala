@@ -271,6 +271,7 @@ object ZstdKernels {
                                 val nbBits: Array[Int])
 
   private def huffBuild(weights: Array[Int]): HuffTable = {
+    if (weights.length > 255) throw Bad // +1 implicit symbol; 256 total max
     var sum = 0L
     weights.foreach { w =>
       if (w < 0 || w > 11) throw Bad
@@ -339,7 +340,11 @@ object ZstdKernels {
       // of the stream, the OTHER state flushes its symbol and we stop
       var done = false
       while (!done) {
-        if (weights.length > 254) throw Bad
+        // ≤253 before a possible DOUBLE append: the s2 flush below must
+        // never push the explicit count past 255 (one more weight is
+        // implicit), or symbol 256 would silently decode as 0x00
+        // instead of failing closed (r15 review)
+        if (weights.length > 253) throw Bad
         weights += tab.symbol(s1)
         val nb = tab.nbBits(s1)
         if (nb > bits.remaining) {

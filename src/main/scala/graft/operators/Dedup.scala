@@ -971,6 +971,13 @@ object Dedup {
       s"bands must divide 64 and be in [2, 32], got $bands")
     require(keyBands >= 1 && keyBands * (64 / bands) <= 63,
       s"keyBands=$keyBands keys exceed 63 bits at bands=$bands")
+    // same table-count cap the screen enforces — otherwise a build
+    // could spend hours producing an index every ingest refuses
+    // (r15 review); the maxHamming exactness bound is checked at
+    // probe time (the index doesn't know the query threshold)
+    require(bandSubsets(bands, keyBands).size <= 64,
+      s"keyBands=$keyBands over $bands bands is " +
+        s"${bandSubsets(bands, keyBands).size} tables — cap 64")
     val meta = new MetadataBuilder()
       .putLong(MetaPhashBands, bands.toLong)
       .putLong(MetaPhashKeyBands, keyBands.toLong).build()

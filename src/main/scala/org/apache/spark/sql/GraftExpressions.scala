@@ -1795,8 +1795,10 @@ case class XlsxCells(child: Expression)
     copy(child = newChild)
 }
 
-/** 64-bit perceptual dHash of an uncompressed raster blob (P6/P5/BMP);
-  * NULL for codec formats, tiny images, or malformed framing. See
+/** 64-bit perceptual dHash of an image blob — uncompressed rasters
+  * (P6/P5/BMP) and, since round 15, the codec formats (PNG/JPEG/GIF/
+  * TIFF) through the decoders' pixel-sink mode; NULL for undecodable,
+  * sub-9×8, or malformed input. See
   * [[graft.functions.PHashKernels.dhash64]].
   */
 case class DHash64(child: Expression)

@@ -269,8 +269,9 @@ object GraftSqlFunctions {
         c => XlsxCells(c(0)))),
     (FunctionIdentifier("dhash64"),
       info("dhash64",
-        "dhash64(binary) - 64-bit perceptual difference hash of an " +
-          "uncompressed raster (P6/P5/BMP); NULL otherwise"),
+        "dhash64(binary) - 64-bit perceptual difference hash of a " +
+          "raster or codec image (P6/P5/BMP; PNG/JPEG/GIF/TIFF via the " +
+          "real decoders since r15); NULL on undecodable or sub-9x8 input"),
       arity("dhash64", "dhash64(binary)", 1, 1)(
         c => DHash64(c(0)))),
     (FunctionIdentifier("pdf_meta"),

@@ -755,6 +755,17 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("phashIndex refuses table-count and key-width blowups at BUILD " +
+    "time (r15 review) — never an index every ingest would reject") {
+    val df = Seq((0L, pgm9x8(i => i))).toDF("doc_id", "img")
+    intercept[IllegalArgumentException] {
+      Dedup.phashIndex(df, "img", "doc_id", bands = 16, keyBands = 8)
+    } // C(16,8) = 12870 tables
+    intercept[IllegalArgumentException] {
+      Dedup.phashIndex(df, "img", "doc_id", bands = 2, keyBands = 2)
+    } // 2 x 32-bit chunks = 64-bit key > 63
+  }
+
   test("incrementalPhash: band-count mismatch with the index fails loudly") {
     val df = Seq((0L, pgm9x8(i => i * 3))).toDF("doc_id", "img")
     val dir = java.nio.file.Files.createTempDirectory("phidx4").toString

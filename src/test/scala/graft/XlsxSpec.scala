@@ -96,6 +96,36 @@ class XlsxSpec extends SparkSpec {
     for (cut <- 1 until full.length by 17) XlsxKernels.cells(full.take(cut))
   }
 
+  test("r15 review fixes: whitespace after the cell name parses (pretty-" +
+    "printed writers), malformed inlineStr NULLs the whole blob, and a " +
+    "large sheet extracts in one linear scan") {
+    val wsSheet = "<worksheet><sheetData><row r=\"1\"><c\n  r=\"A1\"" +
+      " t=\"inlineStr\"><is><t>ws cell</t></is></c><c\tr=\"B1\"><v>5</v>" +
+      "</c></row></sheetData></worksheet>"
+    assert(cellsOf(zip("xl/worksheets/sheet1.xml" -> wsSheet)).get ===
+      Seq((0, 0, "ws cell"), (0, 1, "5")))
+    // a truncated <t> inside <is> is structural damage, not a skipped cell
+    val badIs = """<worksheet><sheetData><row r="1">
+      |<c r="A1" t="inlineStr"><is><t>never closed</is></c>
+      |</row></sheetData></worksheet>""".stripMargin
+    assert(cellsOf(zip("xl/worksheets/sheet1.xml" -> badIs)).isEmpty)
+    // 20k spec-legal cells (every cell attributed, so the old bare-"<c>"
+    // rescan would touch ~the whole document per cell): linear now
+    val big = new StringBuilder("<worksheet><sheetData>")
+    for (r <- 1 to 500) {
+      big.append(s"""<row r="$r">""")
+      for (c <- 0 until 40)
+        big.append(s"""<c r="${('A' + c % 26).toChar}$r"><v>${r * 40 + c}</v></c>""")
+      big.append("</row>")
+    }
+    big.append("</sheetData></worksheet>")
+    val t0 = System.nanoTime()
+    val got = cellsOf(zip("xl/worksheets/sheet1.xml" -> big.toString)).get
+    val sec = (System.nanoTime() - t0) / 1e9
+    assert(got.size === 500 * 40)
+    assert(sec < 10.0, f"large-sheet extraction took $sec%.1f s — rescan regression?")
+  }
+
   test("DataFrame + SQL surface") {
     val sheet = """<worksheet><sheetData>
       |<row r="2"><c r="B2" t="inlineStr"><is><t>df cell</t></is></c></row>
