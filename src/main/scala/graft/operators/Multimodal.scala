@@ -102,9 +102,10 @@ object Multimodal {
   /** XLSX sheet1 cells as flat (row, col, value) rows —
     * sharedStrings-resolved, ref-addressed; NULL on malformed
     * archives (r15). */
-  def xlsxCells(blob: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+  def xlsxCells(blob: org.apache.spark.sql.Column,
+                sheet: Int = 1): org.apache.spark.sql.Column = {
     import org.apache.spark.sql.{GraftBridge, XlsxCells => XC}
-    GraftBridge.column(XC(GraftBridge.expression(blob)))
+    GraftBridge.column(XC(GraftBridge.expression(blob), sheet))
   }
 
   /** PDF triage: struct(version, n_pages, encrypted); NULL on

@@ -1770,10 +1770,11 @@ case class HtmlTables(child: Expression)
 }
 
 /** XLSX (SpreadsheetML) cells as flat (row, col, value) rows from
-  * sheet1 + sharedStrings; NULL on truncated/malformed archives. See
+  * the `sheet`-th worksheet (1-based, default 1) + sharedStrings;
+  * NULL on truncated/malformed archives or an absent sheet. See
   * [[graft.functions.XlsxKernels.cells]].
   */
-case class XlsxCells(child: Expression)
+case class XlsxCells(child: Expression, sheet: Int = 1)
     extends UnaryExpression with ExpectsInputTypes {
 
   override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
@@ -1783,11 +1784,11 @@ case class XlsxCells(child: Expression)
   override def prettyName: String = "xlsx_cells"
 
   override protected def nullSafeEval(v: Any): Any =
-    graft.functions.XlsxKernels.cells(v.asInstanceOf[Array[Byte]])
+    graft.functions.XlsxKernels.cells(v.asInstanceOf[Array[Byte]], sheet)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c => s"""
-      ${ev.value} = graft.functions.XlsxKernels.cells($c);
+      ${ev.value} = graft.functions.XlsxKernels.cells($c, $sheet);
       ${ev.isNull} = ${ev.value} == null;
     """)
 

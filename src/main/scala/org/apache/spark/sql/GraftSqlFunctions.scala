@@ -263,10 +263,12 @@ object GraftSqlFunctions {
         c => HtmlTables(c(0)))),
     (FunctionIdentifier("xlsx_cells"),
       info("xlsx_cells",
-        "xlsx_cells(binary) - XLSX sheet1 cells as flat (row, col, " +
-          "value) rows via sharedStrings; NULL on malformed archives"),
-      arity("xlsx_cells", "xlsx_cells(binary)", 1, 1)(
-        c => XlsxCells(c(0)))),
+        "xlsx_cells(binary[, sheet]) - XLSX worksheet cells as flat " +
+          "(row, col, value) rows via sharedStrings (sheet 1-based, " +
+          "default 1); NULL on malformed archives or an absent sheet"),
+      arity("xlsx_cells", "xlsx_cells(binary[, sheet])", 1, 2)(
+        c => if (c.length == 1) XlsxCells(c(0))
+             else XlsxCells(c(0), intArg(c(1), "xlsx_cells")))),
     (FunctionIdentifier("dhash64"),
       info("dhash64",
         "dhash64(binary) - 64-bit perceptual difference hash of a " +

@@ -126,6 +126,29 @@ class XlsxSpec extends SparkSpec {
     assert(sec < 10.0, f"large-sheet extraction took $sec%.1f s — rescan regression?")
   }
 
+  test("multi-sheet workbooks (r15): sheet N by 1-based part number; an " +
+    "absent sheet is NULL, never a guessed empty array") {
+    val s1 = """<worksheet><sheetData><row r="1">
+      |<c r="A1" t="inlineStr"><is><t>first</t></is></c>
+      |</row></sheetData></worksheet>""".stripMargin
+    val s2 = s1.replace("first", "second")
+    val wb = zip("xl/worksheets/sheet1.xml" -> s1,
+      "xl/worksheets/sheet2.xml" -> s2)
+    def at(sheet: Int) = Option(XlsxKernels.cells(wb, sheet)).map { a =>
+      (0 until a.numElements()).map(i =>
+        a.getStruct(i, 3).getUTF8String(2).toString)
+    }
+    assert(at(1).get === Seq("first"))
+    assert(at(2).get === Seq("second"))
+    assert(at(3).isEmpty)  // absent part: NULL
+    assert(at(0).isEmpty)  // nonsense index: NULL
+    import spark.implicits._
+    val viaSql = spark.sql("SELECT inline(xlsx_cells(unhex('" +
+      wb.map("%02x".format(_)).mkString + "'), 2))")
+      .as[(Int, Int, String)].collect().toSeq
+    assert(viaSql === Seq((0, 0, "second")))
+  }
+
   test("DataFrame + SQL surface") {
     val sheet = """<worksheet><sheetData>
       |<row r="2"><c r="B2" t="inlineStr"><is><t>df cell</t></is></c></row>
