@@ -62,6 +62,29 @@ object Queries {
       substring(h, (bytes - 1 - i) * 2 + 1, 2)): _*))
   }
 
+  /** RFC 8878 store-mode frame built IN-PLAN: magic + single-segment
+    * FHD + 4-byte FCS + raw blocks CHUNKED at Block_Maximum_Size
+    * (128 KB), so the frame is spec-valid at ANY payload size. The r15
+    * form packed one block whose 21-bit Block_Size field silently
+    * overflowed past 2 MiB and whose raw block exceeded the 128 KB
+    * maximum reference decoders enforce (r15 ADVICE) — the chunked
+    * form is what [[graft.functions.ZstdKernels.compressStore]] does
+    * driver-side, expressed as columns. */
+  private[graft] def zstdStoreFrameCol(payload: Column): Column = {
+    val cs = 131072 // Block_Maximum_Size = min(Window_Size, 128 KB)
+    val n = length(payload)
+    val nBlocks = greatest(ceil(n.cast("double") / cs).cast("int"), lit(1))
+    val blocks = aggregate(
+      sequence(lit(0), nBlocks - lit(1)),
+      lit(Array.empty[Byte]),
+      (acc, i) => {
+        val chunk = payload.substr(i * lit(cs) + lit(1), lit(cs))
+        val last = when(i === nBlocks - lit(1), lit(1)).otherwise(lit(0))
+        concat(acc, leCol(shiftleft(length(chunk), 3) + last, 3), chunk)
+      })
+    concat(unhex(lit("28b52ffd")), unhex(lit("a0")), leCol(n, 4), blocks)
+  }
+
   private def scratch(name: String): String = {
     val d = scratchRoot.resolve(name)
     // clear any previous contents: writers overwrite per-FILE, so if one
@@ -5885,18 +5908,13 @@ object Queries {
       // computed once) — the decode is output-invisible, so the oracle
       // is untouched while the zstd ingest path runs under it
       val zwrap = pmod(id, lit(5)) === 2
-      def zle(v: Column, nb: Int): Column = leCol(v, nb)
       val blob = when(pmod(id, lit(7)) === 0,
         substring(warc, 1, 40)).otherwise(warc)
       val base = t(s, dir, "documents")
         .select(id.cast("bigint").as("doc_id"), zwrap.as("__zw"),
           blob.as("__blob"))
         .select(col("doc_id"),
-          when(col("__zw"),
-            concat(unhex(lit("28b52ffd")), unhex(lit("a0")),
-              zle(length(col("__blob")), 4),
-              zle(shiftleft(length(col("__blob")), 3) + 1, 3),
-              col("__blob")))
+          when(col("__zw"), zstdStoreFrameCol(col("__blob")))
             .otherwise(col("__blob")).as("__b"))
       val recs2 = Multimodal.warcRecords(col("__b"))
       val resp2 = element_at(recs2, 2)
@@ -6236,11 +6254,8 @@ object Queries {
       // per doc (magic + single-segment FHD + 4-byte FCS + one raw
       // block), so the router DECODES it — detail = decompressed
       // length, which the oracle recomputes arithmetically
-      def le(v: Column, bytes: Int): Column = leCol(v, bytes)
       val zPayload = encode(concat(lit("zstd doc "), idS), "UTF-8")
-      val zstdBlob = concat(unhex(lit("28b52ffd")), unhex(lit("a0")),
-        le(length(zPayload), 4),
-        le(shiftleft(length(zPayload), 3) + 1, 3), zPayload)
+      val zstdBlob = zstdStoreFrameCol(zPayload)
       val m9 = pmod(id, lit(9))
       val blob = when(m9 === 0, unhex(lit(pdfHex)))
         .when(m9 === 1, unhex(lit(zipHex)))
@@ -6424,15 +6439,15 @@ object Queries {
           System.arraycopy(bs, 0, h, off, bs.length)
         }
         put(0, name)
-        put(100, "0000644 "); put(108, "0000000 "); put(116, "0000000 ")
-        put(124, f"$size%011o" + " ")
-        put(136, "00000000000 ")
+        put(100, "0000644\u0000"); put(108, "0000000\u0000"); put(116, "0000000\u0000")
+        put(124, f"$size%011o" + "\u0000")
+        put(136, "00000000000\u0000")
         h(156) = typeflag.toByte
-        put(257, "ustar 00")
+        put(257, "ustar\u000000")
         java.util.Arrays.fill(h, 148, 156, ' '.toByte)
         var sum = 0L
         h.foreach(b => sum += (b & 0xff))
-        put(148, f"$sum%06o" + "  ")
+        put(148, f"$sum%06o" + "\u0000 ")
         h
       }
       def hex(b: Array[Byte]): String = b.map("%02x".format(_)).mkString

@@ -316,19 +316,7 @@ object Classifier {
     val ws = Array.fill(k)(Array.fill(buckets)(0.0))
     if (n == 0) return ws.toSeq
     for (_ <- 0 until iters) {
-      val errCols = labels.zipWithIndex.map { case (lbl, ki) =>
-        val qw = typedlit(ws(ki).map(quantize).toIndexedSeq)
-        (fastSigmoid(zCol(qw, col("bs"))) -
-          (col("__lang") === lbl).cast("double")).as(s"__err$ki")
-      }
-      val gradExprs = labels.indices.map(ki =>
-        sum(round(col(s"__err$ki") * lit(Scale), 0)
-          .cast("decimal(38,0)")).as(s"__g$ki"))
-      val grads = charFrame
-        .select(errCols :+ explode(col("bs")).as("b"): _*)
-        .groupBy(col("b"))
-        .agg(gradExprs.head, gradExprs.tail: _*)
-        .collect()
+      val grads = langIdIterGrads(charFrame, labels, ws).collect()
       grads.foreach { r =>
         val j = r.getLong(0).toInt
         var ki = 0
@@ -340,6 +328,34 @@ object Classifier {
       }
     }
     ws.toSeq
+  }
+
+  /** One joint gradient pass: all K error projections evaluated in
+    * their OWN select (once per doc), then a second select that
+    * explodes the bucket set over cheap attribute refs, then one
+    * (bucket, K decimal sums) aggregation. The two-select split is
+    * load-bearing: with the explode in the same select,
+    * ExtractGenerator hoists the error expressions into the Project
+    * ABOVE the Generate and each σ̃(w·bs) dot product re-runs once per
+    * exploded bucket element — O(K·|bs|²) per doc instead of O(K·|bs|)
+    * (the r14 trap, measured 30× on the trainers; PlanSpec pins every
+    * sum_indexed kernel below the Generate). */
+  private[graft] def langIdIterGrads(charFrame: DataFrame,
+      labels: Seq[String], ws: Array[Array[Double]]): DataFrame = {
+    val errCols = labels.zipWithIndex.map { case (lbl, ki) =>
+      val qw = typedlit(ws(ki).map(quantize).toIndexedSeq)
+      (fastSigmoid(zCol(qw, col("bs"))) -
+        (col("__lang") === lbl).cast("double")).as(s"__err$ki")
+    }
+    val gradExprs = labels.indices.map(ki =>
+      sum(round(col(s"__err$ki") * lit(Scale), 0)
+        .cast("decimal(38,0)")).as(s"__g$ki"))
+    charFrame
+      .select(errCols :+ col("bs"): _*)
+      .select(labels.indices.map(ki => col(s"__err$ki")) :+
+        explode(col("bs")).as("b"): _*)
+      .groupBy(col("b"))
+      .agg(gradExprs.head, gradExprs.tail: _*)
   }
 
   /** The pre-r15 sequential one-vs-rest chain — kept as the reference

@@ -185,11 +185,11 @@ class WarcSpec extends SparkSpec {
     val deflatePart = plain.drop(10) // strip the minimal 10-byte header
     def hdr(flg: Int, extra: Array[Byte]): Array[Byte] =
       Array[Byte](0x1f, 0x8b.toByte, 8, flg.toByte, 0, 0, 0, 0, 0, 0) ++ extra
-    val fname = hdr(8, "name.warc ".getBytes("ISO-8859-1")) ++ deflatePart
+    val fname = hdr(8, "name.warc\u0000".getBytes("ISO-8859-1")) ++ deflatePart
     assert(parse(fname).length == 1)
     val fextra = hdr(4, Array[Byte](3, 0, 1, 2, 3)) ++ deflatePart
     assert(parse(fextra).length == 1)
-    val fcomment = hdr(16, "hi ".getBytes("ISO-8859-1")) ++ deflatePart
+    val fcomment = hdr(16, "hi\u0000".getBytes("ISO-8859-1")) ++ deflatePart
     assert(parse(fcomment).length == 1)
     // truncated FNAME (no terminator): fail-closed
     assert(parse(hdr(8, "noterm".getBytes("ISO-8859-1"))) == null)

@@ -138,6 +138,35 @@ class ZstdSpec extends AnyFunSuite {
     assert(ZstdKernels.decompress(null) == null)
   }
 
+  test("in-plan store frame (zstdStoreFrameCol) chunks >128 KB payloads " +
+    "into spec-valid raw blocks the reference CLI accepts") {
+    // r15 ADVICE: the single-block form overflowed the 21-bit
+    // Block_Size field at ≥2 MiB and emitted >128 KB raw blocks that
+    // reference decoders refuse. Pin: 0 B (degenerate), one-byte-under,
+    // exact-boundary, and a 300 KB multi-block payload all round-trip
+    // through BOTH the in-repo decoder and the zstd CLI.
+    val spark = SparkSpec.session
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(0x16)
+    val payloads = Seq(0, 131071, 131072, 131073, 300 * 1024).map { n =>
+      Array.fill[Byte](n)(rnd.nextInt(256).toByte)
+    }
+    val df = spark.createDataFrame(
+      java.util.Arrays.asList(payloads.map(org.apache.spark.sql.Row(_)): _*),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("p",
+          org.apache.spark.sql.types.BinaryType))))
+    val frames = df.select(Queries.zstdStoreFrameCol(col("p")).as("f"))
+      .collect().map(_.getAs[Array[Byte]]("f"))
+    frames.zip(payloads).foreach { case (f, p) =>
+      assert(java.util.Arrays.equals(ZstdKernels.decompress(f), p),
+        s"in-repo decoder failed at ${p.length} B")
+      if (cli.isDefined)
+        assert(java.util.Arrays.equals(cliDecompress(f), p),
+          s"reference CLI refused the in-plan frame at ${p.length} B")
+    }
+  }
+
   test("xxh64 matches the published test vectors") {
     // XXH64 reference vectors (seed 0): empty and known strings
     assert(ZstdKernels.xxh64(Array.emptyByteArray, 0, 0) == 0xEF46DB3751D8E999L)
