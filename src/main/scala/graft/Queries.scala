@@ -5874,14 +5874,24 @@ object Queries {
         encode(lit("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n" +
           "Content-Encoding: gzip\r\n\r\n"), "UTF-8"),
         unhex(lit(gzHex)))
-      //  id%4==3 (round 15): Content-Encoding br — a RECOGNIZED coding
-      //  with no decoder; the record must SURVIVE as known-but-undecoded
-      //  (status + uri real, body NULL, coding name in `undecoded`)
-      //  instead of NULLing like garbage. The body bytes are opaque.
+      //  id%4==3 (round 16): Content-Encoding br — a REAL RFC 7932
+      //  stream (a fixed page compressed by the reference encoder at
+      //  q=11, pinned as hex) decoded through BrotliKernels like the
+      //  gzip lane; the oracle checks the DECODED text, so the
+      //  encoder's byte choices never matter
+      val brPage = "<html><body><p>brotli body roundtrip ok</p></body></html>"
+      val brHex = "1b3800e82d8ec7ed57e3a831341c1fa1d29b278ded4dc2adbd148f" +
+        "5881d0958f1c6cc0017b3da00c78092cf58f5115978e333172f013b3849bc3134c"
+      locally { // fixture honesty: the pinned hex must decode to brPage
+        val got = graft.functions.BrotliKernels.decompress(
+          brHex.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray)
+        require(got != null && new String(got, "UTF-8") == brPage,
+          "pinned brotli fixture does not decode to its page")
+      }
       val brPayloadBin = concat(
         encode(lit("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n" +
           "Content-Encoding: br\r\n\r\n"), "UTF-8"),
-        unhex(lit("1b3f00f8258dbacf")))
+        unhex(lit(brHex)))
       val m4 = pmod(id, lit(4))
       val httpPayloadBin = when(m4 === 2, gzPayloadBin)
         .when(m4 === 1, encode(chunkedPayload, "UTF-8"))
@@ -5948,10 +5958,9 @@ object Queries {
            |  CAST(CASE WHEN tr THEN NULL ELSE 200 END AS BIGINT) AS status,
            |  CASE WHEN tr THEN NULL
            |       WHEN m4 = 2 THEN 'gzip body roundtrip ok'
-           |       WHEN m4 = 3 THEN NULL
+           |       WHEN m4 = 3 THEN 'brotli body roundtrip ok'
            |       ELSE core END AS extracted,
-           |  CASE WHEN tr THEN NULL
-           |       WHEN m4 = 3 THEN 'br' ELSE NULL END AS undecoded
+           |  CAST(NULL AS VARCHAR) AS undecoded
            |FROM e""".stripMargin))
 
   /** Language-ID MODEL under the oracle (r14): the r13 q_langid audit
@@ -7068,9 +7077,34 @@ object Queries {
         bos.toByteArray.map("%02x".format(_)).mkString
       }
       val gzBytes = unhex(lit(gzSmHex))
-      val xml = when(m4 === 1,
+      // round 16: the compressed-sitemap lane splits by id%8 — 1 ->
+      // sitemap.xml.gz (gunzip), 5 -> sitemap.xml.br (RFC 7932,
+      // reference-encoder bytes pinned as hex, decoded through
+      // BrotliKernels) — both protocol-blessed size answers, both
+      // fail-closed under truncation
+      val brSmXml = "<sitemapindex " +
+        "xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">" +
+        "<sitemap><loc>https://static.example.com/sm/b.xml</loc>" +
+        "<lastmod>2026-08-02</lastmod></sitemap></sitemapindex>"
+      val brSmHex = "1bae0000c4f296fa77ee27b19d4b1d22139e6e2ee4ae0e41b108" +
+        "03d3c34b78787aacd7538f5b2048957b2ba2ae89dfefe2b3db8996892024036d" +
+        "6308038e039e9b29cb473c6fe949a7e02c38a310edb8989bd344f0cd33e2dfb7" +
+        "b5ac93bc8a55083b89daa6799321"
+      locally { // fixture honesty: the pinned hex must decode to brSmXml
+        val got = graft.functions.BrotliKernels.decompress(
+          brSmHex.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray)
+        require(got != null && new String(got, "UTF-8") == brSmXml,
+          "pinned brotli sitemap fixture does not decode to its xml")
+      }
+      val brBytes = unhex(lit(brSmHex))
+      val m8 = pmod(id, lit(8))
+      val xml = when(m8 === 1,
           TF.decodeText(Multimodal.gunzip(
             when(tr, substring(gzBytes, 1, 20)).otherwise(gzBytes)))
+            .getField("text"))
+        .when(m8 === 5,
+          TF.decodeText(Multimodal.brotliDecompress(
+            when(tr, substring(brBytes, 1, 20)).otherwise(brBytes)))
             .getField("text"))
         .otherwise(when(tr, substring(xmlFull, 1, 30)).otherwise(xmlFull))
       t(s, dir, "documents")
@@ -7099,7 +7133,11 @@ object Queries {
            |  UNION ALL
            |  SELECT doc_id, 0, 'sitemap',
            |         'https://static.example.com/sm/a.xml', '2026-08-01'
-           |  FROM c WHERE NOT tr AND m4 = 1
+           |  FROM c WHERE NOT tr AND doc_id % 8 = 1
+           |  UNION ALL
+           |  SELECT doc_id, 0, 'sitemap',
+           |         'https://static.example.com/sm/b.xml', '2026-08-02'
+           |  FROM c WHERE NOT tr AND doc_id % 8 = 5
            |  UNION ALL
            |  SELECT doc_id, 0, 'url',
            |         'https://h'||k||'.example.com/cd/'||doc_id, NULL

@@ -322,12 +322,19 @@ object WarcKernels {
         // fail-closed like gzip (a body the coding can't decode
         // bit-exactly is NULL, never raw bytes passed downstream)
         body = ZstdKernels.decompress(body)
-      case enc @ "br" =>
-        // RFC 7932 brotli: a RECOGNIZED coding with no decoder here
-        // (round 15). The old `return null` made the second-most-common
-        // web coding indistinguishable from garbage; now
-        // status/content-type survive, body is NULL, and the coding
-        // name rides `encoding_undecoded` so triage can label the lane.
+      case "br" =>
+        // RFC 7932 brotli: decoded for real since round 16's
+        // BrotliKernels — fail-closed like gzip/zstd (a body the
+        // coding can't decode bit-exactly is NULL, never raw bytes or
+        // a half-labeled row passed downstream). The r15
+        // `encoding_undecoded` lane now carries only codings this
+        // engine genuinely cannot decode.
+        body = BrotliKernels.decompress(body)
+      case enc @ ("compress" | "x-compress") =>
+        // RFC 9110-registered LZW coding with no decoder here: the
+        // record SURVIVES as known-but-undecoded (status/content-type
+        // real, body NULL, coding name in `encoding_undecoded`) so
+        // triage can count these lanes instead of lumping with junk
         return new GenericInternalRow(Array[Any](
           code.toInt,
           utf8OrNull(hm.get("content-type")),

@@ -139,6 +139,14 @@ object Multimodal {
     GraftBridge.column(ZD(GraftBridge.expression(blob)))
   }
 
+  /** Brotli decompression (r16, RFC 7932 pure-JVM decoder): full
+    * format incl. static dictionary + transforms; NULL on any
+    * corruption. */
+  def brotliDecompress(blob: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.{BrotliDecompress => BD, GraftBridge}
+    GraftBridge.column(BD(GraftBridge.expression(blob)))
+  }
+
   /** HTTP payload -> struct(status, content_type, body); NULL when the
     * payload is not an HTTP message. */
   def httpParts(payload: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {

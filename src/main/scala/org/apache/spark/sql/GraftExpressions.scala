@@ -1464,10 +1464,11 @@ object HttpParts {
     StructField("status", IntegerType, nullable = false),
     StructField("content_type", StringType, nullable = true),
     StructField("body", BinaryType, nullable = true),
-    // round 15: 'br' / 'zstd' when the Content-Encoding is RECOGNIZED
-    // but this kernel carries no decoder for it — body is NULL, the
-    // rest of the message survives, and triage can count these as
-    // known-but-undecoded instead of lumping them with junk
+    // 'compress' (r16: gzip/deflate/zstd/br all decode now) when the
+    // Content-Encoding is RECOGNIZED but this kernel carries no
+    // decoder for it — body is NULL, the rest of the message
+    // survives, and triage can count these as known-but-undecoded
+    // instead of lumping them with junk
     StructField("encoding_undecoded", StringType, nullable = true)))
 }
 
@@ -1944,6 +1945,33 @@ case class ZstdDecompress(child: Expression)
     """)
 
   override protected def withNewChildInternal(newChild: Expression): ZstdDecompress =
+    copy(child = newChild)
+}
+
+/** Brotli decompression (round 16, RFC 7932 — pure-JVM decoder): the
+  * full format incl. the static dictionary with all 121 transforms,
+  * context modeling and block switching; inflation-capped; NULL on
+  * any corruption. The `Content-Encoding: br` / `.br` asset column
+  * form. See [[graft.functions.BrotliKernels.decompress]].
+  */
+case class BrotliDecompress(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true // NULL on any corruption
+  override def prettyName: String = "brotli_decompress"
+
+  override protected def nullSafeEval(v: Any): Any =
+    graft.functions.BrotliKernels.decompress(v.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.BrotliKernels.decompress($c);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
+
+  override protected def withNewChildInternal(newChild: Expression): BrotliDecompress =
     copy(child = newChild)
 }
 

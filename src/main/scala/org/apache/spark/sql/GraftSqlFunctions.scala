@@ -301,6 +301,13 @@ object GraftSqlFunctions {
           "on any corruption"),
       arity("zstd_decompress", "zstd_decompress(binary)", 1, 1)(
         c => ZstdDecompress(c(0)))),
+    (FunctionIdentifier("brotli_decompress"),
+      info("brotli_decompress",
+        "brotli_decompress(binary) - Brotli decompression (RFC 7932: " +
+          "full format incl. static dictionary + transforms); NULL on " +
+          "any corruption"),
+      arity("brotli_decompress", "brotli_decompress(binary)", 1, 1)(
+        c => BrotliDecompress(c(0)))),
     (FunctionIdentifier("sitemap_entries"),
       info("sitemap_entries",
         "sitemap_entries(xml) - sitemap/sitemap-index frontier entries " +

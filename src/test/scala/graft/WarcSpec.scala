@@ -261,15 +261,25 @@ class WarcSpec extends SparkSpec {
       "5\r\nab\r\n0\r\n\r\n".getBytes)) == null)                 // bad chunk framing
     assert(WarcKernels.httpParts(httpRaw("Content-Encoding: gzip\r\n",
       page)) == null)                                            // not gzip bytes
-    // br (r15): a RECOGNIZED coding with no decoder — the record
-    // SURVIVES as known-but-undecoded (status + content-type + coding
-    // label, NULL body), never NULL-indistinguishable from garbage
+    // br (r16): DECODED for real through BrotliKernels — the `page`
+    // bytes compressed by the reference encoder (brotlicffi q=9),
+    // pinned as hex so the test is python-free
+    val brPage = ("1b2500004427471ad841be93b795b51504d5843032c94232b528" +
+      "9404253d9cc6bfdac3366f891cf100")
+      .grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    assert(bodyOf(httpRaw("Content-Encoding: br\r\n", brPage)) == page.toSeq)
+    assert(WarcKernels.httpParts(httpRaw("Content-Encoding: br\r\n",
+      page)) == null) // not brotli bytes: refuse like gzip
+    // `compress` (r16): the remaining RECOGNIZED coding with no
+    // decoder — the record SURVIVES as known-but-undecoded (status +
+    // content-type + coding label, NULL body), never
+    // NULL-indistinguishable from garbage
     locally {
       val r = WarcKernels.httpParts(httpRaw(
-        "Content-Type: text/html\r\nContent-Encoding: br\r\n", page))
-      assert(r != null, "br record must survive triage")
+        "Content-Type: text/html\r\nContent-Encoding: compress\r\n", page))
+      assert(r != null, "compress record must survive triage")
       assert(r.getInt(0) == 200 && r.isNullAt(2))
-      assert(r.getUTF8String(3).toString == "br")
+      assert(r.getUTF8String(3).toString == "compress")
     }
     // zstd (r15): DECODED for real through ZstdKernels, fail-closed
     assert(bodyOf(httpRaw("Content-Encoding: zstd\r\n",
@@ -278,11 +288,9 @@ class WarcSpec extends SparkSpec {
     assert(WarcKernels.httpParts(httpRaw("Content-Encoding: zstd\r\n",
       page)) == null) // not zstd bytes: refuse like gzip
     // ...including behind chunked TE (wire coding applies first)
-    val rBr = WarcKernels.httpParts(httpRaw(
+    assert(bodyOf(httpRaw(
       "Transfer-Encoding: chunked\r\nContent-Encoding: br\r\n",
-      chunked(Seq(page))))
-    assert(rBr != null && rBr.isNullAt(2) &&
-      rBr.getUTF8String(3).toString == "br")
+      chunked(Seq(brPage.take(11), brPage.drop(11))))) == page.toSeq)
     // a decodable coding leaves the label NULL
     assert(WarcKernels.httpParts(httpRaw("Content-Encoding: gzip\r\n",
       gz(page))).isNullAt(3))
