@@ -6987,7 +6987,51 @@ object Queries {
       val a85PdfHex = fixturePdfHex("[/ASCII85Decode /FlateDecode]",
         graft.functions.PdfStreamEncoders.ascii85(
           zb("BT (a85 flate chain page) Tj ET")))
-      val blob = when(m5 === 1, unhex(lit(flatePdfHex)))
+      // round 16: a Type0 composite-font page whose Tj operand is
+      // 2-byte GLYPH CODES — readable only through the font's
+      // /ToUnicode CMap (bfchar + incremental and array bfranges; the
+      // trailing /F1 string pins the per-font Tf switch back to the
+      // Latin-1 passthrough). Most post-2010 PDFs are this shape.
+      val type0PdfHex = {
+        val out = new java.io.ByteArrayOutputStream()
+        def es(x: String): Unit = out.write(x.getBytes("ISO-8859-1"))
+        val offs = scala.collection.mutable.ArrayBuffer[Long]()
+        val cmap = "begincmap\n1 begincodespacerange\n<0000> <FFFF>\n" +
+          "endcodespacerange\n2 beginbfchar\n<0001> <0055>\n<0002> <006E>\n" +
+          "endbfchar\n2 beginbfrange\n<0010> <0013> <0069>\n" +
+          "<0020> <0021> [<00E9> <2713>]\nendbfrange\nendcmap"
+        val content = "BT /F9 12 Tf " +
+          "<00010002001000110012001300200021> Tj T* " +
+          "/F1 12 Tf (latin tail) Tj ET"
+        es("%PDF-1.7\n")
+        offs += out.size(); es("1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n")
+        offs += out.size(); es("2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n")
+        offs += out.size(); es("3 0 obj << /Type /Page /Parent 2 0 R " +
+          "/Contents 4 0 R /Resources << /Font << /F9 5 0 R >> >> >> endobj\n")
+        offs += out.size()
+        es(s"4 0 obj << /Length ${content.length} >> stream\n" + content +
+          "\nendstream endobj\n")
+        offs += out.size()
+        es("5 0 obj << /Type /Font /Subtype /Type0 /BaseFont /T " +
+          "/ToUnicode 6 0 R >> endobj\n")
+        offs += out.size()
+        es(s"6 0 obj << /Length ${cmap.length} >> stream\n" + cmap +
+          "\nendstream endobj\n")
+        val xo = out.size()
+        es("xref\n0 7\n0000000000 65535 f \n")
+        offs.foreach(o => es(f"$o%010d 00000 n \n"))
+        es(s"trailer << /Size 7 /Root 1 0 R >>\nstartxref\n$xo\n%%EOF")
+        out.toByteArray.map("%02x".format(_)).mkString
+      }
+      locally { // fixture honesty: the CMap must translate the codes
+        val got = graft.functions.PdfKernels.text(
+          type0PdfHex.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray)
+        require(got != null &&
+          got.toString == "Unijklé✓\nlatin tail",
+          s"type0 fixture extraction drifted: $got")
+      }
+      val blob = when(pmod(id, lit(7)) === 3, unhex(lit(type0PdfHex)))
+        .when(m5 === 1, unhex(lit(flatePdfHex)))
         .when(m5 === 3, unhex(lit(lzwPdfHex)))
         .when(m5 === 4, unhex(lit(a85PdfHex)))
         .otherwise(encode(pdfStr, "UTF-8"))
@@ -7002,14 +7046,16 @@ object Queries {
     },
     Some("""WITH c AS (
            |  SELECT doc_id, doc_id % 5 AS m5, doc_id % 6 = 0 AS tr,
+           |         doc_id % 7 = 3 AS t0,
            |         ['alpha','beta','gamma','delta','omega']
            |           [CAST(doc_id % 5 AS INT) + 1] AS word
            |  FROM documents)
            |SELECT CAST(doc_id AS BIGINT) AS doc_id,
-           |  CASE WHEN tr THEN NULL ELSE '1.4' END AS version,
+           |  CASE WHEN tr THEN NULL WHEN t0 THEN '1.7' ELSE '1.4' END AS version,
            |  CAST(CASE WHEN tr THEN NULL ELSE 1 END AS BIGINT) AS n_pages,
            |  CASE WHEN tr THEN NULL ELSE false END AS encrypted,
            |  CASE WHEN tr THEN NULL
+           |       WHEN t0 THEN 'Unijklé✓' || chr(10) || 'latin tail'
            |       WHEN m5 = 1 THEN 'flate fixture page'
            |       WHEN m5 = 3 THEN 'lzw fixture page'
            |       WHEN m5 = 4 THEN 'a85 flate chain page'

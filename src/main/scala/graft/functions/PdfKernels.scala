@@ -32,11 +32,14 @@ import org.apache.spark.unsafe.types.UTF8String
   * Encoding honesty: literal strings decode as PDFDocEncoding
   * (≈ Latin-1 on the printable range — the difference rows are
   * control/quote glyphs fixtures avoid); hex strings decode UTF-16BE
-  * when BOM-tagged, Latin-1 otherwise. Composite-font glyph-index
-  * strings WITHOUT a ToUnicode map are not translatable by any
-  * extractor without the font — those bytes pass through as their
-  * Latin-1 reading, documented, not hidden. Encrypted documents
-  * report `encrypted = true` in [[meta]] and NULL text.
+  * when BOM-tagged, Latin-1 otherwise. Round 16: fonts carrying a
+  * /ToUnicode CMap (Type0/composite fonts — most post-2010 PDFs)
+  * translate their glyph-code strings through the CMap
+  * (bfchar/bfrange, codespace-driven code widths, U+FFFD for mapped
+  * fonts' unmapped codes); fonts WITHOUT one are not translatable by
+  * any extractor without the font — those bytes pass through as
+  * their Latin-1 reading, documented, not hidden. Encrypted
+  * documents report `encrypted = true` in [[meta]] and NULL text.
   */
 object PdfKernels {
 
@@ -829,33 +832,238 @@ object PdfKernels {
     else new String(bs, java.nio.charset.StandardCharsets.ISO_8859_1)
   }
 
-  /** Text-showing walk of one content stream, appended to `out`. */
-  private def extractOps(data: Array[Byte], out: StringBuilder): Unit = {
+  // ---------------------------------------------------------------
+  // ToUnicode CMaps (round 16, ISO 32000-1 §9.10.3): composite-font
+  // glyph-code strings translate through the font's /ToUnicode CMap
+  // when one is present — most post-2010 PDFs use Type0 fonts whose
+  // Tj/TJ operands are glyph indexes, unreadable without this map.
+  // Fonts WITHOUT a ToUnicode stay on the documented Latin-1
+  // passthrough (not translatable by any extractor without the font).
+  // ---------------------------------------------------------------
+  /** One parsed ToUnicode CMap: codespace ranges determine the code
+    * byte width (1–4, byte-wise prefix match per the spec's algorithm);
+    * bfchar/bfrange entries map codes to UTF-16BE strings. Codes
+    * inside the codespace but unmapped render U+FFFD — visible, never
+    * silently dropped. */
+  private[graft] final class ToUni {
+    // per-width: (lo, hi) byte-bound ranges and code -> string maps
+    private val ranges: Array[List[(Array[Byte], Array[Byte])]] =
+      Array.fill(5)(Nil)
+    private val maps = Array.fill(5)(
+      new java.util.HashMap[Integer, String]())
+    private var anyRange = false
+
+    def addRange(lo: Array[Byte], hi: Array[Byte]): Unit = {
+      val w = lo.length
+      if (w >= 1 && w <= 4 && hi.length == w) {
+        ranges(w) = (lo, hi) :: ranges(w); anyRange = true
+      }
+    }
+    def put(src: Array[Byte], dst: String): Unit = {
+      val w = src.length
+      if (w >= 1 && w <= 4) maps(w).put(beInt(src), dst)
+    }
+    private def beInt(bs: Array[Byte]): Int = {
+      var v = 0; var i = 0
+      while (i < bs.length) { v = (v << 8) | (bs(i) & 0xff); i += 1 }
+      v
+    }
+    private def inRange(bs: Array[Byte], off: Int, w: Int): Boolean =
+      ranges(w).exists { case (lo, hi) =>
+        var ok = true; var i = 0
+        while (ok && i < w) {
+          val b = bs(off + i) & 0xff
+          ok = b >= (lo(i) & 0xff) && b <= (hi(i) & 0xff)
+          i += 1
+        }
+        ok
+      }
+    /** Widths to try when the CMap declares no codespace (malformed
+      * but seen in the wild): the widths its mappings actually use. */
+    private lazy val mappedWidths: Array[Int] =
+      (1 to 4).filter(w => !maps(w).isEmpty).toArray
+
+    /** No mappings at all (garbage or stub stream): the caller falls
+      * back to the Latin-1 passthrough rather than all-U+FFFD. */
+    def isEmpty: Boolean = (1 to 4).forall(w => maps(w).isEmpty)
+
+    def decode(bs: Array[Byte]): String = {
+      val sb = new java.lang.StringBuilder(bs.length)
+      var i = 0
+      while (i < bs.length) {
+        var w = 0
+        if (anyRange) {
+          var k = 1
+          while (w == 0 && k <= 4) {
+            if (i + k <= bs.length && inRange(bs, i, k)) w = k
+            k += 1
+          }
+        } else {
+          var k = 0
+          while (w == 0 && k < mappedWidths.length) {
+            val mw = mappedWidths(k)
+            if (i + mw <= bs.length &&
+                maps(mw).containsKey(beInt(java.util.Arrays
+                  .copyOfRange(bs, i, i + mw)))) w = mw
+            k += 1
+          }
+        }
+        if (w == 0) { sb.append('�'); i += 1 }
+        else {
+          val s = maps(w).get(beInt(
+            java.util.Arrays.copyOfRange(bs, i, i + w)))
+          sb.append(if (s != null) s else "�")
+          i += w
+        }
+      }
+      sb.toString
+    }
+  }
+
+  /** UTF-16BE destination string of a CMap hex operand; odd lengths
+    * (malformed) fall back to Latin-1 rather than throwing. */
+  private def cmapDst(bs: Array[Byte]): String =
+    if (bs.length % 2 == 0)
+      new String(bs, java.nio.charset.StandardCharsets.UTF_16BE)
+    else new String(bs, java.nio.charset.StandardCharsets.ISO_8859_1)
+
+  /** Big-endian increment of `bs` by `add` (bfrange successors). */
+  private def beAdd(bs: Array[Byte], add: Int): Array[Byte] = {
+    val r = bs.clone()
+    var carry = add
+    var i = r.length - 1
+    while (i >= 0 && carry != 0) {
+      val v = (r(i) & 0xff) + carry
+      r(i) = (v & 0xff).toByte
+      carry = v >>> 8
+      i -= 1
+    }
+    r
+  }
+
+  private val MaxBfRange = 65536
+
+  /** Parse a ToUnicode CMap stream (PostScript-ish; the object lexer
+    * reads its hex strings, names and numbers natively — unknown
+    * operators are skipped). */
+  private[graft] def parseToUnicode(data: Array[Byte]): ToUni = {
+    val t = new ToUni
+    try parseToUnicodeInto(t, data)
+    catch { case _: Exception => () }
+    // a lex error mid-CMap keeps what parsed so far; a CMap that
+    // yielded nothing falls back to passthrough at the caller
+    t
+  }
+
+  private def parseToUnicodeInto(t: ToUni, data: Array[Byte]): Unit = {
     val lx = new Lexer(data, 0, data.length)
     val operands = scala.collection.mutable.ArrayBuffer.empty[Obj]
+    var section = "" // "", codespace, bfchar, bfrange
+    while ({ lx.skipWs(); lx.pos < lx.end }) {
+      lx.next() match {
+        case POp("begincodespacerange") => section = "codespace"; operands.clear()
+        case POp("beginbfchar") => section = "bfchar"; operands.clear()
+        case POp("beginbfrange") => section = "bfrange"; operands.clear()
+        case POp("endcodespacerange") | POp("endbfchar") |
+             POp("endbfrange") =>
+          section = ""; operands.clear()
+        case s: PStr if section == "codespace" =>
+          operands += s
+          if (operands.length == 2) {
+            (operands(0), operands(1)) match {
+              case (lo: PStr, hi: PStr) => t.addRange(lo.bytes, hi.bytes)
+              case _ => ()
+            }
+            operands.clear()
+          }
+        case s: PStr if section == "bfchar" =>
+          operands += s
+          if (operands.length == 2) {
+            (operands(0), operands(1)) match {
+              case (src: PStr, dst: PStr) =>
+                t.put(src.bytes, cmapDst(dst.bytes))
+              case _ => ()
+            }
+            operands.clear()
+          }
+        case o @ (_: PStr | _: PArr) if section == "bfrange" =>
+          operands += o
+          if (operands.length == 3) {
+            (operands(0), operands(1), operands(2)) match {
+              case (lo: PStr, hi: PStr, dst) if lo.bytes.length == hi.bytes.length =>
+                val w = lo.bytes.length
+                var loV = 0L; var hiV = 0L
+                lo.bytes.foreach(b => loV = (loV << 8) | (b & 0xff))
+                hi.bytes.foreach(b => hiV = (hiV << 8) | (b & 0xff))
+                val n = hiV - loV
+                if (n >= 0 && n < MaxBfRange) dst match {
+                  case d: PStr =>
+                    var k = 0L
+                    while (k <= n) {
+                      t.put(beAdd(lo.bytes, k.toInt),
+                        cmapDst(beAdd(d.bytes, k.toInt)))
+                      k += 1
+                    }
+                  case PArr(items) =>
+                    var k = 0
+                    while (k <= n && k < items.length) {
+                      items(k) match {
+                        case d: PStr =>
+                          t.put(beAdd(lo.bytes, k), cmapDst(d.bytes))
+                        case _ => ()
+                      }
+                      k += 1
+                    }
+                  case _ => ()
+                }
+              case _ => ()
+            }
+            operands.clear()
+          }
+        case _ => operands.clear() // any other token resets the tuple
+      }
+    }
+  }
+
+  /** Text-showing walk of one content stream, appended to `out`.
+    * `fonts` maps resource names of fonts carrying a /ToUnicode CMap;
+    * the `Tf` operator switches the active map (null = the documented
+    * Latin-1 passthrough for unmapped fonts). */
+  private def extractOps(data: Array[Byte], out: StringBuilder,
+                         fonts: Map[String, ToUni]): Unit = {
+    val lx = new Lexer(data, 0, data.length)
+    val operands = scala.collection.mutable.ArrayBuffer.empty[Obj]
+    var cur: ToUni = null
+    def show(s: PStr): Unit =
+      out.append(if (cur != null) cur.decode(s.bytes) else decodeStr(s))
     while ({ lx.skipWs(); lx.pos < lx.end }) {
       lx.next() match {
         case POp(op) =>
           op match {
+            case "Tf" =>
+              if (operands.length >= 2) operands(operands.length - 2) match {
+                case PName(n) => cur = fonts.getOrElse(n, null)
+                case _ => ()
+              }
             case "Tj" => operands.lastOption.foreach {
-              case s: PStr => out.append(decodeStr(s))
+              case s: PStr => show(s)
               case _ => ()
             }
             case "'" =>
               out.append('\n')
               operands.lastOption.foreach {
-                case s: PStr => out.append(decodeStr(s))
+                case s: PStr => show(s)
                 case _ => ()
               }
             case "\"" =>
               out.append('\n')
               operands.lastOption.foreach {
-                case s: PStr => out.append(decodeStr(s))
+                case s: PStr => show(s)
                 case _ => ()
               }
             case "TJ" => operands.lastOption.foreach {
               case PArr(items) => items.foreach {
-                case s: PStr => out.append(decodeStr(s))
+                case s: PStr => show(s)
                 case _ => () // kerning numbers
               }
               case _ => ()
@@ -879,30 +1087,56 @@ object PdfKernels {
       val out = new StringBuilder
       var pageCount = 0
       val visited = scala.collection.mutable.HashSet.empty[Int]
-      def contents(page: Map[String, Obj]): Unit = {
+      // ToUnicode CMaps cached per /ToUnicode stream object — shared
+      // font dicts across pages parse once
+      val cmapCache = scala.collection.mutable.HashMap.empty[Int, ToUni]
+      def fontsOf(res: Obj): Map[String, ToUni] =
+        doc.resolve(res) match {
+          case PDict(r) => doc.resolve(r.getOrElse("Font", PNull)) match {
+            case PDict(fm) => fm.flatMap { case (name, fo) =>
+              doc.resolve(fo) match {
+                case PDict(fd) => fd.get("ToUnicode") match {
+                  case Some(PRef(n, _)) =>
+                    val cm = cmapCache.getOrElseUpdate(n,
+                      parseToUnicode(doc.streamBytes(n)))
+                    // empty/garbage CMap: fall back to passthrough
+                    if (cm.isEmpty) None else Some(name -> cm)
+                  case _ => None // no ToUnicode: Latin-1 passthrough
+                }
+                case _ => None
+              }
+            }
+            case _ => Map.empty
+          }
+          case _ => Map.empty
+        }
+      def contents(page: Map[String, Obj], inheritedRes: Obj): Unit = {
+        // /Resources inherits down the page tree (ISO 32000-1 §7.7.3.4)
+        val fonts = fontsOf(page.getOrElse("Resources", inheritedRes))
         doc.resolve(page.getOrElse("Contents", PNull)) match {
           case PNull => ()
           case PDict(_) => page.get("Contents") match {
-            case Some(PRef(n, _)) => extractOps(doc.streamBytes(n), out)
+            case Some(PRef(n, _)) => extractOps(doc.streamBytes(n), out, fonts)
             case _ => throw Bad // direct stream dicts can't carry data here
           }
           case PArr(items) => items.foreach {
             case PRef(n, _) =>
-              extractOps(doc.streamBytes(n), out)
+              extractOps(doc.streamBytes(n), out, fonts)
               out.append('\n')
             case _ => throw Bad
           }
           case _ => throw Bad
         }
       }
-      def walk(node: Map[String, Obj], depth: Int): Unit = {
+      def walk(node: Map[String, Obj], depth: Int, inheritedRes: Obj): Unit = {
         if (depth > 64) throw Bad
+        val res = node.getOrElse("Resources", inheritedRes)
         doc.resolve(node.getOrElse("Type", PNull)) match {
           case PName("Page") =>
             pageCount += 1
             if (pageCount > MaxPages) throw Bad
             if (out.nonEmpty) out.append('\n')
-            contents(node)
+            contents(node, inheritedRes)
           case PName("Pages") =>
             doc.resolve(node.getOrElse("Kids", throw Bad)) match {
               case PArr(kids) => kids.foreach { k =>
@@ -912,7 +1146,7 @@ object PdfKernels {
                   case _ => ()
                 }
                 doc.resolve(k) match {
-                  case PDict(m) => walk(m, depth + 1)
+                  case PDict(m) => walk(m, depth + 1, res)
                   case _ => throw Bad
                 }
               }
@@ -921,7 +1155,7 @@ object PdfKernels {
           case _ => throw Bad
         }
       }
-      walk(pagesRoot(doc), 0)
+      walk(pagesRoot(doc), 0, PNull)
       UTF8String.fromString(out.toString)
     } catch { case _: Exception => null }
   }

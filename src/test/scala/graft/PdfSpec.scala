@@ -334,6 +334,92 @@ class PdfSpec extends SparkSpec {
     assert(textOf(orig) == "original text")   // the original still reads
   }
 
+  test("ToUnicode CMaps (r16): Type0 glyph codes translate through " +
+    "bfchar/bfrange; Tf switches per font; no-ToUnicode keeps the " +
+    "Latin-1 passthrough; unmapped codes surface as U+FFFD") {
+    def type0Pdf(cmap: String, content: String,
+                 fontHasMap: Boolean = true): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      val offsets = scala.collection.mutable.ArrayBuffer[Long](0L)
+      def emit(s: String): Unit = out.write(b(s))
+      emit("%PDF-1.7\n")
+      offsets += out.size()
+      emit("1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n")
+      offsets += out.size()
+      emit("2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n")
+      offsets += out.size()
+      emit("3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R " +
+        "/Resources << /Font << /F9 5 0 R >> >> >> endobj\n")
+      offsets += out.size()
+      emit(s"4 0 obj << /Length ${content.length} >> stream\n" +
+        content + "\nendstream endobj\n")
+      offsets += out.size()
+      val tu = if (fontHasMap) "/ToUnicode 6 0 R " else ""
+      emit("5 0 obj << /Type /Font /Subtype /Type0 /BaseFont /T " +
+        tu + ">> endobj\n")
+      offsets += out.size()
+      emit(s"6 0 obj << /Length ${cmap.length} >> stream\n" +
+        cmap + "\nendstream endobj\n")
+      val xrefOff = out.size()
+      emit("xref\n0 7\n0000000000 65535 f \n")
+      (1 to 6).foreach(i => emit(f"${offsets(i)}%010d 00000 n \n"))
+      emit(s"trailer << /Size 7 /Root 1 0 R >>\nstartxref\n$xrefOff\n%%EOF")
+      out.toByteArray
+    }
+    val cmap =
+      """/CIDInit /ProcSet findresource begin
+        |12 dict begin
+        |begincmap
+        |1 begincodespacerange
+        |<0000> <FFFF>
+        |endcodespacerange
+        |2 beginbfchar
+        |<0001> <0055>
+        |<0002> <006E>
+        |endbfchar
+        |2 beginbfrange
+        |<0010> <0013> <0069>
+        |<0020> <0021> [<00E9> <2713>]
+        |endbfrange
+        |endcmap
+        |CMapName currentdict /CMap defineresource pop
+        |end
+        |end""".stripMargin
+    // 2-byte glyph codes: bfchar "Un", bfrange run "ijkl", array "é✓";
+    // then Tf to an unmapped font name -> literal passthrough
+    val pdf = type0Pdf(cmap,
+      "BT /F9 12 Tf <00010002001000110012001300200021> Tj T* " +
+        "/F1 12 Tf (latin passthrough) Tj ET")
+    assert(textOf(pdf) == "Unijklé✓\nlatin passthrough")
+    // CMaps apply to LITERAL strings of the mapped font too (code
+    // bytes are code bytes regardless of string syntax) -- PDF octal
+    // escapes carry the 2-byte codes 0x0001 0x0002
+    assert(textOf(type0Pdf(cmap,
+      "BT /F9 1 Tf (\\000\\001\\000\\002) Tj ET")) == "Un")
+    // an unmapped code inside a mapped font is VISIBLE, not dropped
+    assert(textOf(type0Pdf(cmap, "BT /F9 1 Tf <00010099> Tj ET")) == "U�")
+    // 1-byte codespace form (simple font with ToUnicode)
+    val cmap1 =
+      """begincmap
+        |1 begincodespacerange
+        |<00> <FF>
+        |endcodespacerange
+        |1 beginbfchar
+        |<41> <0042>
+        |endbfchar
+        |endcmap""".stripMargin
+    assert(textOf(type0Pdf(cmap1, "BT /F9 1 Tf (A) Tj ET")) == "B")
+    // no ToUnicode at all: documented Latin-1 passthrough
+    assert(textOf(type0Pdf(cmap, "BT /F9 1 Tf (plain) Tj ET",
+      fontHasMap = false)) == "plain")
+    // garbage CMap stream: falls back to passthrough, never throws
+    assert(textOf(type0Pdf("not a cmap at all ((", "BT /F9 1 Tf (ok) Tj ET"))
+      == "ok")
+    // TJ arrays route through the same per-font map
+    assert(textOf(type0Pdf(cmap, "BT /F9 1 Tf [<0001> -20 <0002>] TJ ET"))
+      == "Un")
+  }
+
   test("fail-closed: encryption, truncation, bad xref, unsupported filter") {
     val good = classicPdf(Seq("BT (x) Tj ET"))
     // encrypted: meta reports the flag, text refuses
