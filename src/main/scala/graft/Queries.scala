@@ -5512,11 +5512,33 @@ object Queries {
   private val qTextDecode = Q("q_text_decode",
     (s, dir) => {
       val id = col("doc_id")
-      val m = pmod(id, lit(4))
+      val m = pmod(id, lit(9))
       val clean = regexp_replace(coalesce(col("text"), lit("")), "[^ -~]", "")
+      // round 16: legacy-CJK hint lanes — constant pages with a
+      // declared charset, encoded AT PLAN BUILD by the JVM charsets
+      // the kernel decodes with (the oracle checks the decoded
+      // constants, so encoder byte choices never matter), plus a
+      // FALSE-hint lane whose bytes the declared charset rejects
+      def hintedHex(family: String, text: String, cs: String): String = {
+        val b = s"""<meta charset="$family">""".getBytes("US-ASCII") ++
+          text.getBytes(cs)
+        b.map("%02x".format(_)).mkString
+      }
+      val sjisHex = hintedHex("shift_jis", "こんにちは世界", "windows-31j")
+      val gbkHex = hintedHex("gbk", "你好世界", "GBK")
+      val eucKrHex = hintedHex("euc-kr", "안녕하세요", "x-windows-949")
+      val big5Hex = hintedHex("big5", "繁體中文", "Big5")
+      val falseHex = ("""<meta charset="shift_jis">x"""
+        .getBytes("US-ASCII") ++ Array(0xff.toByte, 0xff.toByte))
+        .map("%02x".format(_)).mkString
       val blob = when(m === 0, encode(clean, "UTF-8"))
         .when(m === 1, concat(unhex(lit("EFBBBF")), encode(clean, "UTF-8")))
         .when(m === 2, concat(encode(clean, "UTF-8"), unhex(lit("E9"))))
+        .when(m === 4, unhex(lit(sjisHex)))
+        .when(m === 5, unhex(lit(gbkHex)))
+        .when(m === 6, unhex(lit(eucKrHex)))
+        .when(m === 7, unhex(lit(big5Hex)))
+        .when(m === 8, unhex(lit(falseHex)))
         .otherwise(concat(unhex(lit("FFFE")), encode(clean, "UTF-16LE")))
       val d = TF.decodeText(blob)
       t(s, dir, "documents").select(id.cast("bigint").as("doc_id"),
@@ -5525,14 +5547,27 @@ object Queries {
         d.getField("n_fallback_bytes").cast("bigint").as("n_fallback_bytes"))
     },
     Some("""WITH p AS (
-           |  SELECT doc_id, doc_id % 4 AS m,
+           |  SELECT doc_id, doc_id % 9 AS m,
            |         regexp_replace(coalesce(text, ''), '[^ -~]', '', 'g') AS clean
            |  FROM documents)
            |SELECT CAST(doc_id AS BIGINT) AS doc_id,
-           |  CASE WHEN m = 2 THEN clean || 'é' ELSE clean END AS text_out,
+           |  CASE WHEN m = 2 THEN clean || 'é'
+           |       WHEN m = 4 THEN '<meta charset="shift_jis">こんにちは世界'
+           |       WHEN m = 5 THEN '<meta charset="gbk">你好世界'
+           |       WHEN m = 6 THEN '<meta charset="euc-kr">안녕하세요'
+           |       WHEN m = 7 THEN '<meta charset="big5">繁體中文'
+           |       WHEN m = 8 THEN '<meta charset="shift_jis">xÿÿ'
+           |       ELSE clean END AS text_out,
            |  CASE WHEN m = 2 THEN 'windows-1252'
-           |       WHEN m = 3 THEN 'utf-16le' ELSE 'utf-8' END AS encoding,
-           |  CAST(CASE WHEN m = 2 THEN 1 ELSE 0 END AS BIGINT) AS n_fallback_bytes
+           |       WHEN m = 3 THEN 'utf-16le'
+           |       WHEN m = 4 THEN 'shift_jis'
+           |       WHEN m = 5 THEN 'gbk'
+           |       WHEN m = 6 THEN 'euc-kr'
+           |       WHEN m = 7 THEN 'big5'
+           |       WHEN m = 8 THEN 'windows-1252'
+           |       ELSE 'utf-8' END AS encoding,
+           |  CAST(CASE WHEN m = 2 THEN 1 WHEN m = 8 THEN 2 ELSE 0
+           |       END AS BIGINT) AS n_fallback_bytes
            |FROM p""".stripMargin))
 
   /** SQ8 scalar-quantization ANN (r13): the 4×-memory middle tier

@@ -16,7 +16,19 @@ import org.apache.spark.unsafe.types.UTF8String
   *  3. bytes that validate as STRICT UTF-8 (no overlongs, no
   *     surrogates, no > U+10FFFF — the table from RFC 3629) pass
   *     through untouched (zero copy, zero allocation);
-  *  4. anything else decodes as windows-1252 (the de-facto fallback
+  *  4. round 16 — when the document CARRIES a charset hint (an HTML
+  *     `<meta charset=…>` / `<meta http-equiv content=…charset=…>` in
+  *     the first 1024 bytes, or an XML declaration `encoding=`) naming
+  *     a legacy multi-byte CJK family (Shift_JIS / GBK / GB18030 /
+  *     Big5 / EUC-KR / EUC-JP), the bytes are decoded with the JVM
+  *     charset under STRICT validation (malformed/unmappable →
+  *     REPORT): a clean decode is accepted and reported under the
+  *     canonical family name with `n_fallback_bytes = 0`; a FALSE
+  *     hint (bytes the declared charset rejects) falls through — the
+  *     hint is metadata and metadata lies. Decode charsets follow the
+  *     WHATWG mappings (shift_jis → windows-31j, euc-kr →
+  *     windows-949, gb2312 → GBK);
+  *  5. anything else decodes as windows-1252 (the de-facto fallback
   *     for mislabeled latin-1/cp1252 web text), `n_fallback_bytes` =
   *     the count of transcoded (≥ 0x80) bytes.
   *
@@ -62,6 +74,69 @@ object EncodingKernels {
   private def result(text: UTF8String, enc: String, nBad: Long): InternalRow =
     new GenericInternalRow(Array[Any](text, UTF8String.fromString(enc), nBad))
 
+  // ---- legacy-charset hint handling (round 16) --------------------
+  private val HintScanLimit = 1024
+  private val XmlDeclRe = java.util.regex.Pattern.compile(
+    "^<\\?xml[^>]{0,200}?encoding\\s*=\\s*[\"']([a-z0-9._-]+)")
+  private val CharsetRe = java.util.regex.Pattern.compile(
+    "charset\\s*=\\s*[\"']?\\s*([a-z0-9._-]+)")
+
+  /** Declared charset token from the first 1 KiB (lowercased), or
+    * null: the XML declaration, else `charset=` inside a still-open
+    * `<meta` tag (the WHATWG prescan shape). */
+  private[graft] def sniffHint(b: Array[Byte]): String = {
+    val n = math.min(b.length, HintScanLimit)
+    if (n == 0) return null
+    val head = new String(b, 0, n,
+      java.nio.charset.StandardCharsets.ISO_8859_1).toLowerCase
+    val xm = XmlDeclRe.matcher(head)
+    if (xm.find()) return xm.group(1)
+    val mm = CharsetRe.matcher(head)
+    while (mm.find()) {
+      val tag = head.lastIndexOf("<meta", mm.start)
+      if (tag >= 0) {
+        val close = head.indexOf('>', tag)
+        if (close < 0 || close >= mm.start) return mm.group(1)
+      }
+    }
+    null
+  }
+
+  /** (canonical family name, decode charset) per the WHATWG encoding
+    * mappings; null for hints outside the legacy multi-byte families
+    * (single-byte mislabels keep the windows-1252 fallback — a wrong
+    * single-byte decode is undetectable, so the default stays). */
+  private[graft] def resolveHint(h: String):
+      (String, java.nio.charset.Charset) = {
+    def cs(name: String) = java.nio.charset.Charset.forName(name)
+    h match {
+      case "shift_jis" | "shift-jis" | "sjis" | "x-sjis" | "shiftjis" |
+           "ms_kanji" | "windows-31j" | "cp932" =>
+        ("shift_jis", cs("windows-31j"))
+      case "gbk" | "gb2312" | "gb_2312-80" | "x-gbk" | "csgb2312" |
+           "chinese" =>
+        ("gbk", cs("GBK"))
+      case "gb18030" => ("gb18030", cs("GB18030"))
+      case "big5" | "csbig5" => ("big5", cs("Big5"))
+      case "big5-hkscs" => ("big5", cs("Big5-HKSCS"))
+      case "euc-kr" | "ks_c_5601-1987" | "korean" | "windows-949" |
+           "cseuckr" =>
+        ("euc-kr", cs("x-windows-949"))
+      case "euc-jp" | "cseucpkdfmtjapanese" => ("euc-jp", cs("EUC-JP"))
+      case _ => null
+    }
+  }
+
+  /** Strict decode: any malformed or unmappable sequence → null. */
+  private def strictDecode(b: Array[Byte],
+                           cs: java.nio.charset.Charset): String = {
+    val dec = cs.newDecoder()
+      .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
+      .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPORT)
+    try dec.decode(java.nio.ByteBuffer.wrap(b)).toString
+    catch { case _: Exception => null }
+  }
+
   def decodeText(b: Array[Byte]): InternalRow = {
     val n = b.length
     // UTF-16 BOMs
@@ -85,6 +160,17 @@ object EncodingKernels {
         if (start == 0) UTF8String.fromBytes(b) // zero copy
         else UTF8String.fromBytes(b, start, n - start)
       return result(text, "utf-8", 0L)
+    }
+    // charset hint (r16): a declared legacy CJK family, decoded under
+    // strict validation; a false hint falls through to the 1252 floor
+    val hint = sniffHint(b)
+    if (hint != null) {
+      val r = resolveHint(hint)
+      if (r != null) {
+        val s = strictDecode(b, r._2)
+        if (s != null)
+          return result(UTF8String.fromString(s), r._1, 0L)
+      }
     }
     // windows-1252 fallback (JDK cp1252 table)
     var high = 0L

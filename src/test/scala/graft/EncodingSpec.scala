@@ -67,6 +67,55 @@ class EncodingSpec extends SparkSpec {
       Row("ab", "utf-16le", 1L))
   }
 
+  test("charset hints (r16): declared Shift_JIS/GBK/EUC-KR/Big5/GB18030/" +
+    "EUC-JP decode under strict validation; false hints fall to 1252; " +
+    "UTF-8 still wins over any hint") {
+    def page(meta: String, text: String, cs: String): Array[Byte] = {
+      val head = s"""<html><head><meta charset="$meta"></head>""".getBytes("US-ASCII")
+      head ++ text.getBytes(cs)
+    }
+    val cases = Seq(
+      ("shift_jis", "こんにちは世界", "windows-31j", "shift_jis"),
+      ("Shift-JIS", "日本語テスト", "windows-31j", "shift_jis"),
+      ("gbk", "你好世界中文测试", "GBK", "gbk"),
+      ("gb2312", "简体中文", "GBK", "gbk"),
+      ("gb18030", "汉字编码", "GB18030", "gb18030"),
+      ("euc-kr", "안녕하세요 한국어", "x-windows-949", "euc-kr"),
+      ("big5", "繁體中文測試", "Big5", "big5"),
+      ("euc-jp", "にほんご", "EUC-JP", "euc-jp"))
+    for ((meta, text, javaCs, want) <- cases) {
+      val b = page(meta, text, javaCs)
+      val r = d(b)
+      assert(r.getString(1) == want, s"$meta -> ${r.getString(1)}")
+      assert(r.getString(0).endsWith(text), s"$meta text mismatch")
+      assert(r.getLong(2) == 0L)
+    }
+    // http-equiv form and XML declaration both count as hints
+    val he = ("""<meta http-equiv="Content-Type" """ +
+      """content="text/html; charset=shift_jis">""").getBytes("US-ASCII") ++
+      "カタカナ".getBytes("windows-31j")
+    assert(d(he).getString(1) == "shift_jis")
+    val xml = """<?xml version="1.0" encoding="euc-kr"?><r>"""
+      .getBytes("US-ASCII") ++ "한글".getBytes("x-windows-949") ++
+      "</r>".getBytes("US-ASCII")
+    assert(d(xml).getString(1) == "euc-kr")
+    // FALSE hint: declared shift_jis, bytes the charset rejects ->
+    // the 1252 floor, hint ignored (metadata lies)
+    val falseHint = """<meta charset="shift_jis">x""".getBytes("US-ASCII") ++
+      bytes(0xff, 0xff)
+    assert(d(falseHint).getString(1) == "windows-1252")
+    // a hint on VALID UTF-8 bytes never reaches the hint path
+    val utf8Hinted = """<meta charset="big5">中文""".getBytes("UTF-8")
+    assert(d(utf8Hinted) == Row("""<meta charset="big5">中文""", "utf-8", 0L))
+    // charset= OUTSIDE a meta tag is not a hint
+    val noTag = "charset=shift_jis ".getBytes("US-ASCII") ++ bytes(0xe9)
+    assert(d(noTag).getString(1) == "windows-1252")
+    // single-byte hints keep the 1252 fallback (wrong single-byte
+    // decode is undetectable; the default stays)
+    val sb = """<meta charset="iso-8859-7">x""".getBytes("US-ASCII") ++ bytes(0xe9)
+    assert(d(sb).getString(1) == "windows-1252")
+  }
+
   test("DataFrame path and NULL propagation; SQL registration") {
     val df = Seq(
       (1L, "good text".getBytes("UTF-8")),
