@@ -870,7 +870,15 @@ object OracleSqlGen {
     PhashFixture(-2003L, 3L, -1, 0, "gif"),   // 0-Hamming twin of doc 3
     PhashFixture(-3004L, 4L, -1, 0, "tiff"),  // 0-Hamming twin of doc 4
     PhashFixture(-4007L, 7L, -1, 0, "jpeg"),  // 0-Hamming twin of doc 7
+    PhashFixture(-5005L, 5L, -1, 0, "webp"),  // 0-Hamming twin of doc 5 (r16: VP8L)
     PhashFixture(-1102L, 2L, 40, 75, "png"))  // near-dup of doc 2 / -1002
+
+  /** Incremental-screen codec fixtures (r16): (id, base) rows UNIONed
+    * into the BATCH side — ids chosen ≡ −1 (mod 4) so both engines
+    * route them to the batch (Spark pmod 3, DuckDB −1), bases ≡ 0 so
+    * the matching history doc exists. */
+  val phashIncFixtures: Seq[(Long, Long, String)] =
+    Seq((-6009L, 8L, "webp"))
 
   def imagePhash(maxHamming: Int): String = {
     // bit (r, c) compares grid cells r*9+c and r*9+c+1 (1-based list
@@ -944,12 +952,17 @@ object OracleSqlGen {
       val w = java.math.BigInteger.ONE.shiftLeft(r * 8 + c)
       s"(CASE WHEN g[$left] < g[$right] THEN ${w}::HUGEINT ELSE 0::HUGEINT END)"
     }).mkString(" +\n         ")
+    val incFx = phashIncFixtures
+      .map { case (id, base, _) => s"($id, $base, false, false)" }
+      .mkString(", ")
     s"""WITH d AS (
        |  SELECT doc_id,
        |         CASE WHEN doc_id % 10 = 1 THEN doc_id - 1 ELSE doc_id END AS base,
        |         doc_id % 10 = 1 AS isdup,
        |         doc_id % 13 = 0 AS junk
-       |  FROM documents),
+       |  FROM documents
+       |  UNION ALL
+       |  SELECT * FROM (VALUES $incFx) fx(doc_id, base, isdup, junk)),
        |px AS MATERIALIZED (
        |  SELECT doc_id, junk,
        |         list_transform(range(0, 72), p ->

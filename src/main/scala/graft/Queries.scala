@@ -6833,6 +6833,8 @@ object Queries {
             case "tiff" => graft.functions.ImageEncoders.tiffGray(9, 8, px)
             case "jpeg" => graft.functions.ImageEncoders.jpegGrayBlocks(
               Array.tabulate(8, 9)((r, c) => px(r * 9 + c)))
+            case "webp" => graft.functions.WebpKernels.encodeLossless(9, 8,
+              px.map(g => 0xff000000 | (g << 16) | (g << 8) | g))
           }
           (f.id, blob)
         } :+ ((-9999L, graft.functions.ImageEncoders
@@ -6866,7 +6868,23 @@ object Queries {
       val imgs = t(s, dir, "documents")
         .select(id.cast("bigint").as("doc_id"), phashDocImage(id).as("img"))
       val hist = imgs.filter(pmod(col("doc_id"), lit(4)) === 0)
+      // r16: codec fixture rows on the batch side — crawled-format
+      // blobs (VP8L webp) whose grid twins a history doc, so the
+      // incremental screen must pair them at Hamming 0
+      val incFx: Seq[(Long, Array[Byte])] =
+        OracleSqlGen.phashIncFixtures.map { case (fid, base, fmt) =>
+          val px = Array.tabulate(72) { p =>
+            val v = (base * 131 + p * 197) % 65521
+            (((v * v) % 65521 + p * 13) % 256).toInt
+          }
+          val blob = fmt match {
+            case "webp" => graft.functions.WebpKernels.encodeLossless(9, 8,
+              px.map(g => 0xff000000 | (g << 16) | (g << 8) | g))
+          }
+          (fid, blob)
+        }
       val batch = imgs.filter(pmod(col("doc_id"), lit(4)) =!= 0)
+        .unionAll(s.createDataFrame(incFx).toDF("doc_id", "img"))
       val idxDir = scratch("phash_inc")
       Dedup.phashIndex(hist, "img", "doc_id")
         .write.mode("overwrite").partitionBy("band").parquet(idxDir)

@@ -52,7 +52,7 @@ object RasterKernels {
   }
 
   /** Decode `bytes` INTO `sink` (codec formats: JPEG, PNG, GIF first
-    * frame, TIFF). Returns true iff the blob fully decoded and every
+    * frame, TIFF, VP8L lossless WebP). Returns true iff the blob fully decoded and every
     * pixel was delivered. PPM/PGM/BMP are not routed here —
     * [[PHashKernels]] keeps its own stricter exact-framing paths for
     * those, and the mean path never needs a sink. */
@@ -68,6 +68,8 @@ object RasterKernels {
       else if ((bytes(0) == 'I' && bytes(1) == 'I') ||
                (bytes(0) == 'M' && bytes(1) == 'M'))
         TiffKernels.decode(bytes, sink)
+      else if (bytes(0) == 'R' && bytes(1) == 'I')
+        WebpKernels.decode(bytes, sink) // VP8L lossless (round 16)
       else None
     r.isDefined
   }
@@ -86,6 +88,8 @@ object RasterKernels {
     else if ((bytes(0) == 'I' && bytes(1) == 'I') ||
              (bytes(0) == 'M' && bytes(1) == 'M'))
       TiffKernels.decode(bytes) // baseline TIFF strips (round 11)
+    else if (bytes(0) == 'R' && bytes(1) == 'I')
+      WebpKernels.decode(bytes) // VP8L lossless WebP (round 16)
     else None
 
   private def leU16(b: Array[Byte], i: Int): Int =
