@@ -942,6 +942,90 @@ object OracleSqlGen {
     * path (maxHamming+1 of 8 band partitions) must reproduce it
     * exactly: partial-probe pigeonhole is an exactness claim, and this
     * oracle is its check. */
+  // -------------------------------------------------------------------
+  // Audio energy-envelope fingerprints (round 16): the q_image_phash
+  // structure on [[graft.functions.AudioKernels.energyDhash64]] — 130
+  // 8-bit WAV samples per doc, 65 two-sample frames, mean |16-bit|
+  // amplitude per frame (exact integer floor), bit i = e[i] < e[i+1].
+  // -------------------------------------------------------------------
+  private val audioEnergyList: String =
+    "list_transform(range(0, 65), f -> " +
+      "(abs(g[2*f+1] - 128) * 256 + abs(g[2*f+2] - 128) * 256) // 2)"
+
+  private val audioBitTerms: String = (0 until 64).map { i =>
+    val w = java.math.BigInteger.ONE.shiftLeft(i)
+    s"(CASE WHEN e[${i + 1}] < e[${i + 2}] THEN ${w}::HUGEINT " +
+      "ELSE 0::HUGEINT END)"
+  }.mkString(" +\n         ")
+
+  private def audioSampleList: String =
+    """list_transform(range(0, 130), p ->
+      |           (((((base * 131 + p * 197) % 65521) *
+      |              ((base * 131 + p * 197) % 65521)) % 65521 + p * 13) % 256 +
+      |            CASE WHEN isdup AND p = 0 THEN 60
+      |                 WHEN isdup AND p = 80 THEN 75 ELSE 0 END) % 256""".stripMargin + ") AS g"
+
+  /** Oracle for q_audio_neardup: per-doc sample/energy/fingerprint
+    * chain, then the brute-force Hamming pair join the banded operator
+    * must reproduce exactly (pigeonhole exactness check). */
+  def audioNearDup(maxHamming: Int): String =
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |         CASE WHEN doc_id % 10 = 1 THEN doc_id - 1 ELSE doc_id END AS base,
+       |         doc_id % 10 = 1 AS isdup,
+       |         doc_id % 13 = 0 AS junk
+       |  FROM documents),
+       |px AS MATERIALIZED (
+       |  SELECT doc_id, junk, $audioSampleList
+       |  FROM d),
+       |en AS (
+       |  SELECT doc_id, $audioEnergyList AS e
+       |  FROM px WHERE NOT junk),
+       |hu AS (
+       |  SELECT doc_id,
+       |         ($audioBitTerms) AS h
+       |  FROM en),
+       |sh AS MATERIALIZED (
+       |  SELECT doc_id,
+       |         CAST(CASE WHEN h >= $S63 THEN h - $M64 ELSE h END AS BIGINT) AS s
+       |  FROM hu)
+       |SELECT CAST(a.doc_id AS BIGINT) AS id_a,
+       |       CAST(b.doc_id AS BIGINT) AS id_b,
+       |       CAST(bit_count(xor(a.s, b.s)) AS BIGINT) AS hamming
+       |FROM sh a JOIN sh b
+       |  ON a.doc_id < b.doc_id
+       | AND bit_count(xor(a.s, b.s)) <= $maxHamming""".stripMargin
+
+  /** Oracle for q_incremental_audio: same chain, cross-split join —
+    * batch (doc_id%4≠0) against history (doc_id%4=0). */
+  def audioIncremental(maxHamming: Int): String =
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |         CASE WHEN doc_id % 10 = 1 THEN doc_id - 1 ELSE doc_id END AS base,
+       |         doc_id % 10 = 1 AS isdup,
+       |         doc_id % 13 = 0 AS junk
+       |  FROM documents),
+       |px AS MATERIALIZED (
+       |  SELECT doc_id, junk, $audioSampleList
+       |  FROM d),
+       |en AS (
+       |  SELECT doc_id, $audioEnergyList AS e
+       |  FROM px WHERE NOT junk),
+       |hu AS (
+       |  SELECT doc_id,
+       |         ($audioBitTerms) AS h
+       |  FROM en),
+       |sh AS MATERIALIZED (
+       |  SELECT doc_id,
+       |         CAST(CASE WHEN h >= $S63 THEN h - $M64 ELSE h END AS BIGINT) AS s
+       |  FROM hu)
+       |SELECT CAST(a.doc_id AS BIGINT) AS new_id,
+       |       CAST(b.doc_id AS BIGINT) AS hist_id,
+       |       CAST(bit_count(xor(a.s, b.s)) AS BIGINT) AS hamming
+       |FROM sh a JOIN sh b
+       |  ON a.doc_id % 4 <> 0 AND b.doc_id % 4 = 0
+       | AND bit_count(xor(a.s, b.s)) <= $maxHamming""".stripMargin
+
   def imagePhashIncremental(maxHamming: Int): String = {
     val bitTerms = (for {
       r <- 0 until 8

@@ -6896,6 +6896,85 @@ object Queries {
     },
     Some(OracleSqlGen.imagePhashIncremental(maxHamming = 6)))
 
+  /** Per-doc 130-sample 8-bit mono WAV, built IN-PLAN like
+    * [[phashDocImage]]: quadratic-residue samples (decorrelated
+    * envelopes doc to doc), every 10th doc a near-twin of its
+    * predecessor (two perturbed samples → ≤3 fingerprint bits), every
+    * 13th doc junk bytes (NULL fingerprint, no pairs). The 44-byte
+    * header is a plan-build constant; only samples vary. */
+  private def audioDocWav(id: Column): Column = {
+    val base = when(pmod(id, lit(10)) === 1, id - 1).otherwise(id)
+    val isDup = pmod(id, lit(10)) === 1
+    val samples = array_join(transform(sequence(lit(0), lit(129)), p => {
+      val v = pmod(base * 131 + p * 197, lit(65521))
+      val g0 = pmod(pmod(v * v, lit(65521)) + p * 13, lit(256))
+      val pert = when(isDup && p === 0, 60L)
+        .when(isDup && p === 80, 75L).otherwise(0L)
+      lpad(hex(pmod(g0 + pert, lit(256))), 2, "0")
+    }), "")
+    val hdrHex = {
+      val bos = new java.io.ByteArrayOutputStream()
+      def s4(x: String): Unit = bos.write(x.getBytes("US-ASCII"))
+      def le32(v: Int): Unit = { bos.write(v & 0xff); bos.write((v >>> 8) & 0xff)
+        bos.write((v >>> 16) & 0xff); bos.write((v >>> 24) & 0xff) }
+      def le16(v: Int): Unit = { bos.write(v & 0xff); bos.write((v >>> 8) & 0xff) }
+      val n = 130
+      s4("RIFF"); le32(36 + n); s4("WAVE"); s4("fmt "); le32(16)
+      le16(1); le16(1); le32(8000); le32(8000); le16(1); le16(8)
+      s4("data"); le32(n)
+      bos.toByteArray.map("%02x".format(_)).mkString
+    }
+    when(pmod(id, lit(13)) === 0, encode(lit("notaudio!"), "UTF-8"))
+      .otherwise(unhex(concat(lit(hdrHex), samples)))
+  }
+
+  /** Audio perceptual near-dup under the oracle (round 16): the
+    * [[qImagePhash]] recipe on decoded PCM —
+    * [[Dedup.audioNearDupPairs]] fingerprints each in-plan WAV with
+    * the temporal energy-envelope dHash (65 integer frame energies
+    * over the 16-bit-normalized samples, gradient bits), then the
+    * banded Hamming machinery with Manku keyBands=2 subsets. The
+    * oracle replays samples → energies → 64 bit terms → brute-force
+    * pair join, so the banded path's pigeonhole EXACTNESS is what is
+    * being checked, not just plumbing. Junk docs hash NULL and appear
+    * in no pair. */
+  private val qAudioNearDup = Q("q_audio_neardup",
+    (s, dir) => {
+      val id = col("doc_id")
+      val clips = t(s, dir, "documents")
+        .select(id.cast("bigint").as("doc_id"), audioDocWav(id).as("clip"))
+      Dedup.audioNearDupPairs(clips, "clip", "doc_id",
+          maxHamming = 6, bands = 8, keyBands = 2)
+        .select(col("id_a").cast("bigint").as("id_a"),
+          col("id_b").cast("bigint").as("id_b"),
+          col("hamming").cast("bigint").as("hamming"))
+    },
+    Some(OracleSqlGen.audioNearDup(maxHamming = 6)))
+
+  /** Incremental audio screen under the oracle (round 16): history
+    * clips (doc_id%4=0) build a persisted band-partitioned
+    * [[Dedup.audioFingerprintIndex]]; the batch probes it through
+    * [[Dedup.incrementalAudio]]'s partial-probe pigeonhole (bands
+    * 0..maxHamming only — the partition-pruned scan). The oracle is
+    * the brute-force cross-split join. */
+  private val qIncrementalAudio = Q("q_incremental_audio",
+    (s, dir) => {
+      val id = col("doc_id")
+      val clips = t(s, dir, "documents")
+        .select(id.cast("bigint").as("doc_id"), audioDocWav(id).as("clip"))
+      val hist = clips.filter(pmod(col("doc_id"), lit(4)) === 0)
+      val batch = clips.filter(pmod(col("doc_id"), lit(4)) =!= 0)
+      val idxDir = scratch("audio_inc")
+      Dedup.audioFingerprintIndex(hist, "clip", "doc_id")
+        .write.mode("overwrite").partitionBy("band").parquet(idxDir)
+      Dedup.incrementalAudio(batch, idxDir, "clip", "doc_id",
+          maxHamming = 6, bands = 8)
+        .select(col("new_id").cast("bigint").as("new_id"),
+          col("hist_id").cast("bigint").as("hist_id"),
+          col("hamming").cast("bigint").as("hamming"))
+    },
+    Some(OracleSqlGen.audioIncremental(maxHamming = 6)))
+
   /** Politeness scheduling under the oracle (r14):
     * [[graft.operators.Robots.fetchSchedule]] — Crawl-delay directives
     * parsed with RFC 9309 group attribution (named agent beats `*`,
@@ -7256,7 +7335,7 @@ object Queries {
     qCrawlClean, qTextDecode, qAnnSq8, qLangId, qNegativeSample, qDriftPsi,
     qLinkExtract, qFrontierLinks, qWarcIngest, qSitemapFrontier,
     qLangIdModel, qPdfExtract, qFrontierSchedule, qImagePhash,
-    qIncrementalPhash, qHtmlTables,
+    qIncrementalPhash, qAudioNearDup, qIncrementalAudio, qHtmlTables,
     qZipExtract, qDocxText, qXlsxCells, qTarExtract, qJsonProfile, qUrlIdn, qBinaryRoute,
     qSelect, qFilter, qFilterRouter,
     qJoinInner, qJoinLeft3key, qJoinRight, qJoinMultiway,

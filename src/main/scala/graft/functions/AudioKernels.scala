@@ -35,6 +35,60 @@ object AudioKernels {
                        nFrames: Long, meanAbs: Double, meanSq: Double,
                        peak: Double)
 
+  /** Per-sample consumer (round 16) — the audio twin of
+    * [[RasterKernels.PixelSink]]: `begin` once with the stream shape
+    * and the TOTAL interleaved sample count (false aborts the decode,
+    * e.g. unknown FLAC totals); `add` every sample exactly once, in
+    * INTERLEAVED order, normalized to a signed 16-bit integer
+    * (8-bit << 8, 24-bit >> 8, mu/A-law through their linear tables,
+    * FLAC shifted by |bps-16|) — integer-exact and decoder-invariant,
+    * so the same audio fingerprints identically from WAV and FLAC. */
+  trait SampleSink {
+    def begin(channels: Int, sampleRate: Int, nSamples: Long): Boolean
+    def add(v16: Int): Unit
+  }
+
+  /** 64-bit temporal energy-envelope fingerprint — the dHash trick on
+    * the time axis: the interleaved |16-bit| amplitudes are split into
+    * 65 equal frames (frame of sample k = k*65/N, integer), each
+    * frame's mean |amplitude| computed in exact integer floor
+    * arithmetic, and bit i set iff energy(i) < energy(i+1). Gain-step
+    * edits move ALL energies together (gradient bits mostly survive),
+    * clipping or re-encoding at equal content lands within a few bits
+    * — the property the banded near-dup family needs. Streams shorter
+    * than 65 samples, unknown totals, and undecodable blobs are null. */
+  def energyDhash64(b: Array[Byte]): java.lang.Long = {
+    val sums = new Array[Long](65)
+    val counts = new Array[Long](65)
+    var total = 0L
+    var k = 0L
+    val sink = new SampleSink {
+      def begin(ch: Int, rate: Int, n: Long): Boolean = {
+        if (n < 65) return false
+        total = n
+        true
+      }
+      def add(v16: Int): Unit = {
+        val f = (k * 65 / total).toInt
+        sums(f) += math.abs(v16)
+        counts(f) += 1
+        k += 1
+      }
+    }
+    decode(b, sink) match {
+      case Some(_) if total > 0 && k == total =>
+        var h = 0L
+        var i = 0
+        while (i < 64) {
+          if (sums(i) / counts(i) < sums(i + 1) / counts(i + 1))
+            h |= 1L << i
+          i += 1
+        }
+        java.lang.Long.valueOf(h)
+      case _ => null
+    }
+  }
+
   /** Bytes 2..15 of every KSDATAFORMAT_SUBTYPE_* GUID
     * ({xxxx}-0000-0010-8000-00AA00389B71): WAVE_FORMAT_EXTENSIBLE
     * SubFormats carry the wrapped format tag in bytes 0..1 and this
@@ -109,16 +163,20 @@ object AudioKernels {
     * half the samples would be silently wrong in exactly the way a
     * feature pipeline can't detect.
     */
-  def decode(b: Array[Byte]): Option[Pcm] = {
+  def decode(b: Array[Byte]): Option[Pcm] = decode(b, null)
+
+  /** Decode with an optional [[SampleSink]] (round 16): every sample
+    * delivered once, interleaved, 16-bit-normalized. */
+  def decode(b: Array[Byte], sink: SampleSink): Option[Pcm] = {
     if (b == null || b.length < 12) return None
     if (b(0) == '.' && b(1) == 's' && b(2) == 'n' && b(3) == 'd')
-      return decodeAu(b)
+      return decodeAu(b, sink)
     if (b(0) == 'F' && b(1) == 'O' && b(2) == 'R' && b(3) == 'M' &&
         b(8) == 'A' && b(9) == 'I' && b(10) == 'F' && b(11) == 'F')
-      return decodeAiff(b)
+      return decodeAiff(b, sink)
     if (b(0) == 'f' && b(1) == 'L' && b(2) == 'a' && b(3) == 'C')
-      return FlacKernels.decode(b) // round 13: lossless-compressed tier
-    decodeWav(b)
+      return FlacKernels.decode(b, sink) // round 13: lossless tier
+    decodeWav(b, sink)
   }
 
   private def beI32(b: Array[Byte], i: Int): Int =
@@ -131,7 +189,7 @@ object AudioKernels {
     * data size — 0xFFFFFFFF = until EOF — encoding, rate, channels).
     * Encodings: 1 µ-law, 2 signed PCM8, 3 signed PCM16 BE, 27 A-law.
     * Everything else (floats, G.721/722, 24/32-bit) returns None. */
-  private def decodeAu(b: Array[Byte]): Option[Pcm] = {
+  private def decodeAu(b: Array[Byte], sink: SampleSink): Option[Pcm] = {
     if (b.length < 24) return None
     val off = beI32(b, 4).toLong & 0xffffffffL
     val dsz = beI32(b, 8).toLong & 0xffffffffL
@@ -152,15 +210,22 @@ object AudioKernels {
     val nFrames = len / frameBytes
     val nSamples = nFrames * channels
     if (nSamples == 0) return None
+    if (sink != null && !sink.begin(channels, rate, nSamples)) return None
     var sumAbs = 0.0; var sumSq = 0.0; var peak = 0.0
     var p = off.toInt
     val end = (off + nSamples * bytesPerSample).toInt
     while (p < end) {
+      val vi = enc match {
+        case 1 => ulawToLinear(b(p) & 0xff)
+        case 27 => alawToLinear(b(p) & 0xff)
+        case 2 => b(p) << 8 // AU PCM8 is SIGNED (WAV's is unsigned)
+        case _ => ((b(p) << 8) | (b(p + 1) & 0xff)).toShort.toInt
+      }
+      if (sink != null) sink.add(vi)
       val v = enc match {
-        case 1 => ulawToLinear(b(p) & 0xff) / 32768.0
-        case 27 => alawToLinear(b(p) & 0xff) / 32768.0
-        case 2 => b(p) / 128.0 // AU PCM8 is SIGNED (WAV's is unsigned)
-        case _ => ((b(p) << 8) | (b(p + 1) & 0xff)).toShort / 32768.0
+        case 1 | 27 => vi / 32768.0
+        case 2 => b(p) / 128.0
+        case _ => vi / 32768.0
       }
       val a = math.abs(v)
       sumAbs += a; sumSq += v * v
@@ -195,7 +260,7 @@ object AudioKernels {
     * 80-bit-extended rate) + SSND (offset/blockSize then SIGNED BE
     * PCM). 8/16-bit integer PCM only; AIFC compressed variants and
     * other depths return None. */
-  private def decodeAiff(b: Array[Byte]): Option[Pcm] = {
+  private def decodeAiff(b: Array[Byte], sink: SampleSink): Option[Pcm] = {
     var channels = -1
     var nFrames = -1L
     var bits = -1
@@ -227,13 +292,19 @@ object AudioKernels {
     val nSamples = nFrames * channels
     val need = nSamples * bytesPerSample
     if (need > soundLen || soundAt + need > b.length) return None
+    if (sink != null && !sink.begin(channels, rate.toInt, nSamples))
+      return None
     var sumAbs = 0.0; var sumSq = 0.0; var peak = 0.0
     var p = soundAt.toInt
     val end = (soundAt + need).toInt
     while (p < end) {
+      val vi =
+        if (bits == 16) ((b(p) << 8) | (b(p + 1) & 0xff)).toShort.toInt
+        else b(p) << 8 // AIFF PCM8 is SIGNED
+      if (sink != null) sink.add(vi)
       val v =
-        if (bits == 16) ((b(p) << 8) | (b(p + 1) & 0xff)).toShort / 32768.0
-        else b(p) / 128.0 // AIFF PCM8 is SIGNED
+        if (bits == 16) vi / 32768.0
+        else b(p) / 128.0
       val a = math.abs(v)
       sumAbs += a; sumSq += v * v
       if (a > peak) peak = a
@@ -243,7 +314,7 @@ object AudioKernels {
       sumAbs / nSamples, sumSq / nSamples, peak))
   }
 
-  private def decodeWav(b: Array[Byte]): Option[Pcm] = {
+  private def decodeWav(b: Array[Byte], sink: SampleSink): Option[Pcm] = {
     if (b == null || b.length < 44) return None
     if (!(b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
           b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E')) return None
@@ -314,10 +385,14 @@ object AudioKernels {
       if (samplesPerBlock != (blockAlign - 4) * 2 + 1) return None
       if (dataLen == 0 || dataLen % blockAlign != 0) return None
       val nBlocks = (dataLen / blockAlign).toInt
+      if (sink != null &&
+          !sink.begin(1, rate, nBlocks.toLong * samplesPerBlock))
+        return None
       var sumAbs = 0.0
       var sumSq = 0.0
       var peak = 0.0
       def acc(sample: Int): Unit = {
+        if (sink != null) sink.add(sample)
         val v = sample / 32768.0
         val a = math.abs(v)
         sumAbs += a
@@ -352,23 +427,28 @@ object AudioKernels {
     val nFrames = dataLen / frameBytes
     val nSamples = nFrames * channels
     if (nSamples == 0) return None
+    if (sink != null && !sink.begin(channels, rate, nSamples)) return None
     var sumAbs = 0.0
     var sumSq = 0.0
     var peak = 0.0
     var p = dataOff.toInt
     val end = (dataOff + nSamples * bytesPerSample).toInt
     while (p < end) {
+      var v16 = 0
       val v =
-        if (formatTag == 7) ulawToLinear(b(p) & 0xff) / 32768.0
-        else if (formatTag == 6) alawToLinear(b(p) & 0xff) / 32768.0
+        if (formatTag == 7) { v16 = ulawToLinear(b(p) & 0xff); v16 / 32768.0 }
+        else if (formatTag == 6) { v16 = alawToLinear(b(p) & 0xff); v16 / 32768.0 }
         else if (bits == 16) {
           val s = ((b(p) & 0xff) | (b(p + 1) << 8)).toShort
+          v16 = s.toInt
           s / 32768.0
         } else if (bits == 24) {
           // LE two's complement: the top byte's sign rides the Int shift
           val s = (b(p + 2) << 16) | ((b(p + 1) & 0xff) << 8) | (b(p) & 0xff)
+          v16 = s >> 8
           s / 8388608.0
-        } else (( b(p) & 0xff) - 128) / 128.0
+        } else { v16 = ((b(p) & 0xff) - 128) << 8; (( b(p) & 0xff) - 128) / 128.0 }
+      if (sink != null) sink.add(v16)
       val a = math.abs(v)
       sumAbs += a
       sumSq += v * v

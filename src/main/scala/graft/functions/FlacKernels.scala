@@ -107,10 +107,18 @@ object FlacKernels {
     0, 88200, 176400, 192000, 8000, 16000, 22050, 24000,
     32000, 44100, 48000, 96000, -12, -13, -14, -1)
 
-  def decode(b: Array[Byte]): Option[AudioKernels.Pcm] = {
+  def decode(b: Array[Byte]): Option[AudioKernels.Pcm] = decode(b, null)
+
+  /** Decode with an optional [[AudioKernels.SampleSink]] (round 16):
+    * samples delivered INTERLEAVED (the WAV order, regardless of
+    * FLAC's channel-major frame layout) and 16-bit-normalized; an
+    * unknown STREAMINFO total (0) aborts a sinked decode — the
+    * fingerprint needs the count up front. */
+  def decode(b: Array[Byte],
+             sink: AudioKernels.SampleSink): Option[AudioKernels.Pcm] = {
     if (b == null || b.length < 42) return None
     if (!(b(0) == 'f' && b(1) == 'L' && b(2) == 'a' && b(3) == 'C')) return None
-    try Some(decodeStream(b)) catch {
+    try Some(decodeStream(b, sink)) catch {
       case _: Bad => None
       case _: ArrayIndexOutOfBoundsException => None
     }
@@ -178,8 +186,13 @@ object FlacKernels {
     (p, siRate, siChannels, siBits, siTotal)
   }
 
-  private def decodeStream(b: Array[Byte]): AudioKernels.Pcm = {
+  private def decodeStream(b: Array[Byte],
+      sink: AudioKernels.SampleSink = null): AudioKernels.Pcm = {
     val (p0, siRate, siChannels, siBits, siTotal) = metaWalk(b)
+    if (sink != null) {
+      if (siTotal == 0) bad() // unknown total: no sinked decode
+      if (!sink.begin(siChannels, siRate, siTotal * siChannels)) bad()
+    }
     var p = p0
 
     // ---- frames until EOF
@@ -296,6 +309,23 @@ object FlacKernels {
           i += 1
         }
         ch += 1
+      }
+      if (sink != null) {
+        // interleaved delivery (i-major) so WAV and FLAC of the same
+        // audio fingerprint identically; 16-bit normalization by shift
+        var i = 0
+        while (i < blockSize) {
+          ch = 0
+          while (ch < channels) {
+            val s = samples(ch)(i)
+            val v16 =
+              if (siBits >= 16) (s >> (siBits - 16)).toInt
+              else (s << (16 - siBits)).toInt
+            sink.add(v16)
+            ch += 1
+          }
+          i += 1
+        }
       }
       totalFrames += blockSize
     }

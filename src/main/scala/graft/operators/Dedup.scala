@@ -193,6 +193,30 @@ object Dedup {
       maxHamming, bands, maxBucket, capObs, keyBands)
   }
 
+  /** Audio perceptual near-dup pairs (round 16): the image banding
+    * pattern applied to decoded PCM — [[org.apache.spark.sql.AudioDhash64]]
+    * (temporal energy-envelope fingerprint over WAV/G.711/ADPCM/AU/
+    * AIFF/FLAC samples, integer-exact) sketches each blob to 64 bits,
+    * then the SAME banded Hamming machinery as [[imageNearDupPairs]]:
+    * pigeonhole bands, exact bit_count verification, bounded buckets
+    * with observable drops, Manku-style keyBands subsets. Undecodable
+    * or sub-65-sample blobs hash NULL and produce no pairs. */
+  def audioNearDupPairs(df: DataFrame, bytesCol: String, idCol: String,
+                        maxHamming: Int = 6, bands: Int = 8,
+                        maxBucket: Int = 4096,
+                        capObs: Option[Observation] = None,
+                        keyBands: Int = 1): DataFrame = {
+    require(bands > maxHamming, // EXACT recall is this operator's contract
+      s"audioNearDupPairs pigeonhole needs bands > maxHamming, " +
+        s"got $bands <= $maxHamming")
+    import org.apache.spark.sql.{AudioDhash64, GraftBridge}
+    val h = GraftBridge.column(AudioDhash64(GraftBridge.expression(col(bytesCol))))
+    bandedHammingPairs(
+      df.select(col(idCol).as("__id"), h.as("__sh"))
+        .filter(col("__sh").isNotNull),
+      maxHamming, bands, maxBucket, capObs, keyBands)
+  }
+
   /** The shared banded-Hamming candidate/verify core over a sketched
     * frame (__id, __sh: 64-bit signature). Pigeonhole: a pair within
     * `maxHamming` bits differs in at most maxHamming bands, so with
@@ -983,6 +1007,34 @@ object Dedup {
       .putLong(MetaPhashKeyBands, keyBands.toLong).build()
     import org.apache.spark.sql.{DHash64, GraftBridge}
     val h = GraftBridge.column(DHash64(GraftBridge.expression(col(bytesCol))))
+    sigIndexCore(docs, h, idCol, bands, keyBands, meta)
+  }
+
+  /** [[phashIndex]]'s audio twin (round 16): the persisted
+    * band-partitioned fingerprint index over
+    * [[org.apache.spark.sql.AudioDhash64]] energy envelopes — same
+    * banding, same metadata stamp, same probe contract. */
+  def audioFingerprintIndex(docs: DataFrame, bytesCol: String,
+                            idCol: String, bands: Int = 8,
+                            keyBands: Int = 1): DataFrame = {
+    require(bands >= 2 && bands <= 32 && 64 % bands == 0,
+      s"bands must divide 64 and be in [2, 32], got $bands")
+    require(keyBands >= 1 && keyBands * (64 / bands) <= 63,
+      s"keyBands=$keyBands keys exceed 63 bits at bands=$bands")
+    require(bandSubsets(bands, keyBands).size <= 64,
+      s"keyBands=$keyBands over $bands bands is " +
+        s"${bandSubsets(bands, keyBands).size} tables — cap 64")
+    val meta = new MetadataBuilder()
+      .putLong(MetaPhashBands, bands.toLong)
+      .putLong(MetaPhashKeyBands, keyBands.toLong).build()
+    import org.apache.spark.sql.{AudioDhash64, GraftBridge}
+    val h = GraftBridge.column(AudioDhash64(GraftBridge.expression(col(bytesCol))))
+    sigIndexCore(docs, h, idCol, bands, keyBands, meta)
+  }
+
+  private def sigIndexCore(docs: DataFrame, h: Column, idCol: String,
+                           bands: Int, keyBands: Int,
+                           meta: org.apache.spark.sql.types.Metadata): DataFrame = {
     val keys: Seq[Column] = subsetKeys(col("__h"), bands, keyBands)
     docs.select(col(idCol).as("doc_id"), h.as("__h"))
       .filter(col("__h").isNotNull)
@@ -1020,8 +1072,37 @@ object Dedup {
                        maxBucket: Int = 4096,
                        capObs: Option[Observation] = None,
                        keyBands: Int = 1): DataFrame = {
+    import org.apache.spark.sql.{DHash64, GraftBridge}
+    incrementalSig("incrementalPhash", newDocs, indexDir,
+      GraftBridge.column(DHash64(GraftBridge.expression(col(bytesCol)))),
+      idCol, maxHamming, bands, maxBucket, capObs, keyBands)
+  }
+
+  /** [[incrementalPhash]]'s audio twin (round 16): new-batch audio
+    * blobs are fingerprinted ([[org.apache.spark.sql.AudioDhash64]])
+    * and screened against a persisted [[audioFingerprintIndex]] with
+    * the same partial-probe pigeonhole, partition pruning and bounded
+    * buckets — blobs never enter an exchange, per-ingest shuffle is
+    * O(batch). */
+  def incrementalAudio(newDocs: DataFrame, indexDir: String,
+                       bytesCol: String, idCol: String,
+                       maxHamming: Int = 6, bands: Int = 8,
+                       maxBucket: Int = 4096,
+                       capObs: Option[Observation] = None,
+                       keyBands: Int = 1): DataFrame = {
+    import org.apache.spark.sql.{AudioDhash64, GraftBridge}
+    incrementalSig("incrementalAudio", newDocs, indexDir,
+      GraftBridge.column(AudioDhash64(GraftBridge.expression(col(bytesCol)))),
+      idCol, maxHamming, bands, maxBucket, capObs, keyBands)
+  }
+
+  private def incrementalSig(what: String, newDocs: DataFrame,
+                             indexDir: String, h: Column, idCol: String,
+                             maxHamming: Int, bands: Int, maxBucket: Int,
+                             capObs: Option[Observation],
+                             keyBands: Int): DataFrame = {
     require(bands > maxHamming, // EXACT recall is this operator's contract
-      s"incrementalPhash pigeonhole needs bands > maxHamming, " +
+      s"$what pigeonhole needs bands > maxHamming, " +
         s"got $bands <= $maxHamming")
     requireKeyBands(bands, maxHamming, keyBands)
     val spark = newDocs.sparkSession
@@ -1032,7 +1113,7 @@ object Dedup {
         val gotK = if (f.metadata.contains(MetaPhashKeyBands))
           f.metadata.getLong(MetaPhashKeyBands) else 1L
         require(got == bands.toLong && gotK == keyBands.toLong,
-          s"incrementalPhash: index at $indexDir was built with " +
+          s"$what: index at $indexDir was built with " +
             s"(bands=$got, keyBands=$gotK) but this call uses " +
             s"(bands=$bands, keyBands=$keyBands) — rebuild the index " +
             "or match its parameters")
@@ -1046,8 +1127,6 @@ object Dedup {
     // candidates (SCALING.md, PhashScale-measured).
     val probeBands = if (keyBands == 1) maxHamming + 1
       else bandSubsets(bands, keyBands).size
-    import org.apache.spark.sql.{DHash64, GraftBridge}
-    val h = GraftBridge.column(DHash64(GraftBridge.expression(col(bytesCol))))
     val probeKeys: Seq[Column] =
       if (keyBands == 1)
         subsetKeys(col("__ha"), bands, 1).take(probeBands)

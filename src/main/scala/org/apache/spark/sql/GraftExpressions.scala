@@ -1834,6 +1834,38 @@ case class DHash64(child: Expression)
     copy(child = newChild)
 }
 
+/** 64-bit temporal energy-envelope fingerprint of an audio blob
+  * (WAV PCM/G.711/IMA-ADPCM, AU, AIFF, FLAC) — the dHash trick on the
+  * time axis; NULL for undecodable blobs or streams shorter than 65
+  * samples. See [[graft.functions.AudioKernels.energyDhash64]].
+  */
+case class AudioDhash64(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "audio_dhash64"
+
+  override protected def nullSafeEval(v: Any): Any = {
+    val h = graft.functions.AudioKernels.energyDhash64(v.asInstanceOf[Array[Byte]])
+    if (h == null) null else h.longValue()
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val dh = ctx.freshName("adhash")
+      s"""
+      java.lang.Long $dh = graft.functions.AudioKernels.energyDhash64($c);
+      if ($dh == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = $dh.longValue(); }
+    """
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): AudioDhash64 =
+    copy(child = newChild)
+}
+
 object PdfMeta {
   val schema: DataType = StructType(Seq(
     StructField("version", StringType, nullable = false),

@@ -272,10 +272,17 @@ object GraftSqlFunctions {
     (FunctionIdentifier("dhash64"),
       info("dhash64",
         "dhash64(binary) - 64-bit perceptual difference hash of a " +
-          "raster or codec image (P6/P5/BMP; PNG/JPEG/GIF/TIFF via the " +
-          "real decoders since r15); NULL on undecodable or sub-9x8 input"),
+          "raster or codec image (P6/P5/BMP; PNG/JPEG/GIF/TIFF since r15, " +
+          "VP8L webp since r16); NULL on undecodable or sub-9x8 input"),
       arity("dhash64", "dhash64(binary)", 1, 1)(
         c => DHash64(c(0)))),
+    (FunctionIdentifier("audio_dhash64"),
+      info("audio_dhash64",
+        "audio_dhash64(binary) - 64-bit temporal energy-envelope " +
+          "fingerprint of an audio blob (WAV PCM/G.711/ADPCM, AU, " +
+          "AIFF, FLAC); NULL on undecodable or sub-65-sample input"),
+      arity("audio_dhash64", "audio_dhash64(binary)", 1, 1)(
+        c => AudioDhash64(c(0)))),
     (FunctionIdentifier("pdf_meta"),
       info("pdf_meta",
         "pdf_meta(binary) - PDF triage struct(version, n_pages, " +
