@@ -1026,6 +1026,50 @@ object OracleSqlGen {
        |  ON a.doc_id % 4 <> 0 AND b.doc_id % 4 = 0
        | AND bit_count(xor(a.s, b.s)) <= $maxHamming""".stripMargin
 
+  /** Oracle for q_video_neardup (round 16): 68 per-frame DC values →
+    * decoded lumas (128 + v, exact for flat frames) → the 65-position
+    * sampled envelope (pos i = i·68/65) → 64 gradient bit terms →
+    * brute-force Hamming pair join. */
+  def videoNearDup(maxHamming: Int): String = {
+    val bits = (0 until 64).map { i =>
+      val w = java.math.BigInteger.ONE.shiftLeft(i)
+      s"(CASE WHEN e[${i + 1}] < e[${i + 2}] THEN ${w}::HUGEINT " +
+        "ELSE 0::HUGEINT END)"
+    }.mkString(" +\n         ")
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |         CASE WHEN doc_id % 10 = 1 THEN doc_id - 1 ELSE doc_id END AS base,
+       |         doc_id % 10 = 1 AS isdup,
+       |         doc_id % 9 = 0 AS junk
+       |  FROM documents),
+       |vf AS MATERIALIZED (
+       |  SELECT doc_id,
+       |         list_transform(range(0, 68), f ->
+       |           128 + 32 + (((((base * 131 + f * 197) % 65521) *
+       |              ((base * 131 + f * 197) % 65521)) % 65521 + f * 13) % 32 +
+       |            CASE WHEN isdup AND (f = 0 OR f = 40) THEN 8
+       |                 ELSE 0 END) % 32) AS m
+       |  FROM d WHERE NOT junk),
+       |en AS (
+       |  SELECT doc_id,
+       |         list_transform(range(0, 65), i -> m[(i * 68) // 65 + 1]) AS e
+       |  FROM vf),
+       |hu AS (
+       |  SELECT doc_id,
+       |         ($bits) AS h
+       |  FROM en),
+       |sh AS MATERIALIZED (
+       |  SELECT doc_id,
+       |         CAST(CASE WHEN h >= $S63 THEN h - $M64 ELSE h END AS BIGINT) AS s
+       |  FROM hu)
+       |SELECT CAST(a.doc_id AS BIGINT) AS id_a,
+       |       CAST(b.doc_id AS BIGINT) AS id_b,
+       |       CAST(bit_count(xor(a.s, b.s)) AS BIGINT) AS hamming
+       |FROM sh a JOIN sh b
+       |  ON a.doc_id < b.doc_id
+       | AND bit_count(xor(a.s, b.s)) <= $maxHamming""".stripMargin
+  }
+
   def imagePhashIncremental(maxHamming: Int): String = {
     val bitTerms = (for {
       r <- 0 until 8

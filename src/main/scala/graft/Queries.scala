@@ -2770,6 +2770,9 @@ object Queries {
     * [1110|v5..v0|EOB|pad]. v in [32, 63] keeps every byte below the
     * 0xFF stuffing threshold and every pixel in [160, 191] (no clamp).
     */
+  /** Test seam for the video-fingerprint spec builders. */
+  private[graft] def jpegFixtureForTests: (String, String, Int, Int) = jpegFixture
+
   private lazy val jpegFixture: (String, String, Int, Int) = {
     def seg(marker: Int, payload: Array[Int]): Array[Int] =
       Array(0xff, marker, (payload.length + 2) >> 8, (payload.length + 2) & 0xff) ++
@@ -2883,20 +2886,28 @@ object Queries {
     * pointing at byte 24 (mdat content — constant because every header
     * before it is). Every 9th doc is garbage (the corrupt channel).
     * All box sizes are closed-form from the gray JPEG fixture length. */
-  private def constructedMjpegMp4Blob(id: Column): Column = {
+  /** In-plan MJPEG MP4: `nFrames` single-MCU gray frames whose DC
+    * values come from `frameVal(id, f)` (must land in [0, 127] for the
+    * fixed-length scan encoding; decoded pixel value = 128 + v). All
+    * frames share one size, so the sample tables stay constant-width
+    * and only mdat content + two counts vary with nFrames. */
+  private def constructedMjpegMp4Blob(id: Column, nFrames: Int = 4,
+      frameVal: (Column, Int) => Column =
+        (id, f) => pmod(id + lit(7 * f), lit(32)) + 32): Column = {
     def h2(c: Column): Column = lpad(hex(c), 2, "0")
     def be32(n: Long): String = f"$n%08X"
     val z = "00000000"
     val (grayHead, _, grayLen, _) = jpegFixture
-    val frames = (0 until 4).map { f =>
-      val v = (pmod(id + lit(7 * f), lit(32)) + 32).cast("int")
+    val frames = (0 until nFrames).map { f =>
+      val v = frameVal(id, f).cast("int")
       concat(lit(grayHead), h2(shiftright(v, 2) + lit(224)),
         h2(v.bitwiseAND(lit(3)) * 64 + lit(43)), lit("FFD9"))
     }
-    val mdat = concat(lit(be32(8 + 4L * grayLen) + "6D646174"), concat(frames: _*))
+    val mdat = concat(lit(be32(8 + nFrames.toLong * grayLen) + "6D646174"),
+      concat(frames: _*))
     val stsd = be32(24) + "73747364" + z + be32(1) + be32(8) + "6A706567"
-    val stsz = be32(20) + "7374737A" + z + be32(grayLen.toLong) + be32(4)
-    val stsc = be32(28) + "73747363" + z + be32(1) + be32(1) + be32(4) + be32(1)
+    val stsz = be32(20) + "7374737A" + z + be32(grayLen.toLong) + be32(nFrames.toLong)
+    val stsc = be32(28) + "73747363" + z + be32(1) + be32(1) + be32(nFrames.toLong) + be32(1)
     val stco = be32(20) + "7374636F" + z + be32(1) + be32(24)
     val stbl = be32(100) + "7374626C" + stsd + stsz + stsc + stco
     val minf = be32(108) + "6D696E66" + stbl
@@ -2909,6 +2920,41 @@ object Queries {
     val good = concat(lit(be32(16) + "66747970" + "69736F6D" + z), mdat, lit(moov))
     unhex(when(pmod(id, lit(9)) === 0, lit("DEADBEEF00112233")).otherwise(good))
   }
+
+  /** Video perceptual near-dup under the oracle (round 16): the audio
+    * envelope recipe on the frame axis — 68-frame in-plan MJPEG MP4s
+    * (quadratic per-frame DC values, every 10th doc a near-twin with
+    * two perturbed frames → ≤3 fingerprint bits, every 9th doc junk
+    * bytes → NULL, no pairs), fingerprinted by
+    * [[org.apache.spark.sql.VideoDhash64]] (REAL demux + JPEG decode
+    * per frame, integer mean floor-lumas, 65 sampled envelope
+    * positions, gradient bits) and paired by the banded Hamming
+    * machinery. The oracle replays frame values → lumas → envelope →
+    * 64 bit terms → brute-force join; frames never shuffle (the
+    * fingerprint collapses each video to 8 bytes in the scan
+    * projection — pinned in PlanSpec alongside the image family). */
+  private val qVideoNearDup = Q("q_video_neardup",
+    (s, dir) => {
+      val id = col("doc_id")
+      val blob = constructedMjpegMp4Blob(id, nFrames = 68,
+        frameVal = (idc, f) => {
+          val base = when(pmod(idc, lit(10)) === 1, idc - 1).otherwise(idc)
+          val isDup = pmod(idc, lit(10)) === 1
+          val v = pmod(base * 131 + lit(f) * 197, lit(65521))
+          val g0 = pmod(pmod(v * v, lit(65521)) + lit(f) * 13, lit(32))
+          val pert = if (f == 0 || f == 40) when(isDup, 8L).otherwise(lit(0L))
+            else lit(0L)
+          pmod(g0 + pert, lit(32)) + 32
+        })
+      val vids = t(s, dir, "documents")
+        .select(id.cast("bigint").as("doc_id"), blob.as("video"))
+      Dedup.videoNearDupPairs(vids, "video", "doc_id",
+          maxHamming = 6, bands = 8, keyBands = 2)
+        .select(col("id_a").cast("bigint").as("id_a"),
+          col("id_b").cast("bigint").as("id_b"),
+          col("hamming").cast("bigint").as("hamming"))
+    },
+    Some(OracleSqlGen.videoNearDup(maxHamming = 6)))
 
   /** Video PIXEL decode for the MJPEG codec class — the capability that
     * retires the last codec stub for self-contained-frame video:
@@ -7335,7 +7381,7 @@ object Queries {
     qCrawlClean, qTextDecode, qAnnSq8, qLangId, qNegativeSample, qDriftPsi,
     qLinkExtract, qFrontierLinks, qWarcIngest, qSitemapFrontier,
     qLangIdModel, qPdfExtract, qFrontierSchedule, qImagePhash,
-    qIncrementalPhash, qAudioNearDup, qIncrementalAudio, qHtmlTables,
+    qIncrementalPhash, qAudioNearDup, qIncrementalAudio, qVideoNearDup, qHtmlTables,
     qZipExtract, qDocxText, qXlsxCells, qTarExtract, qJsonProfile, qUrlIdn, qBinaryRoute,
     qSelect, qFilter, qFilterRouter,
     qJoinInner, qJoinLeft3key, qJoinRight, qJoinMultiway,

@@ -278,7 +278,15 @@ object GifKernels {
     * rendering semantics. Any structural failure in ANY frame returns
     * None blob-wide — a partial frame list would read as a shorter
     * animation (the [[MediaKernels.mjpegFrames]] contract). */
-  def frames(b: Array[Byte]): Option[Vector[Frame]] = {
+  def frames(b: Array[Byte]): Option[Vector[Frame]] = frames(b, null)
+
+  /** [[frames]] with an optional per-frame pixel-sink factory (round
+    * 16, the video-fingerprint hook): `frameSink(frameIdx, w, h)` is
+    * invoked per rendering block and receives that frame's pixels AS
+    * STORED (same stance as the stats — no compositing). */
+  def frames(b: Array[Byte],
+             frameSink: (Int, Int, Int) => RasterKernels.PixelSink)
+      : Option[Vector[Frame]] = {
     if (b == null || b.length < 14) return None
     if (b(0) != 'G' || b(1) != 'I' || b(2) != 'F' || b(3) != '8' ||
         (b(4) != '7' && b(4) != '9') || b(5) != 'a') return None
@@ -341,7 +349,8 @@ object GifKernels {
           if (w <= 0 || h <= 0 || table < 0 || pos > b.length) return None
           if (w.toLong * h > MaxPixels) return None
           decodeFrameCore(b, pos, w, h, interlaced, table, tableSize,
-              transparent) match {
+              transparent,
+              if (frameSink != null) frameSink(nFrames, w, h) else null) match {
             case None => return None
             case Some((mr, mg, mb, tpx, after)) =>
               out += Frame(x0, y0, w, h, delay, disposal, tpx, mr, mg, mb)

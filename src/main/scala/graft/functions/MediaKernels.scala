@@ -569,6 +569,71 @@ object MediaKernels {
     * crafted header can demand; the copied bytes are bounded by the
     * blob itself.
     */
+  /** Integer floor-luma mean accumulator (the dHash luma convention:
+    * (299r+587g+114b)/1000 per pixel, floored) for per-frame video
+    * fingerprints. */
+  private final class LumaSink extends RasterKernels.PixelSink {
+    var sum = 0L
+    var n = 0L
+    def begin(w: Int, h: Int): Boolean = true
+    def add(x: Int, y: Int, r: Int, g: Int, b: Int): Unit = {
+      sum += (299 * r + 587 * g + 114 * b) / 1000
+      n += 1
+    }
+    def luma: Long = sum / n
+  }
+
+  /** 64-bit temporal luma-envelope fingerprint of a video blob (round
+    * 16) — the audio energy-envelope trick on the frame axis: every
+    * frame's integer mean floor-luma is computed through the REAL
+    * frame decoders (MJPEG MP4 samples via [[mjpegFrames]] +
+    * [[JpegKernels]]; animated GIF frames AS STORED via
+    * [[GifKernels.frames]]'s pixel sink), 65 positions are sampled
+    * along the frame sequence (pos i = i·n/65 — n ≥ 65 samples evenly,
+    * shorter videos repeat frames into a blocky but well-defined
+    * envelope), and bit i is set iff luma(i) < luma(i+1). Re-encodes
+    * and frame-accurate trims land within a few bits; content
+    * reorderings move many. Single-frame blobs, undecodable
+    * containers and ANY undecodable frame are null — the
+    * partial-frame-list stance of both frame walkers. */
+  def videoDhash64(b: Array[Byte]): java.lang.Long = {
+    if (b == null || b.length < 6) return null
+    val lumas: Array[Long] =
+      if (b(0) == 'G' && b(1) == 'I' && b(2) == 'F') {
+        val sinks = scala.collection.mutable.ArrayBuffer.empty[LumaSink]
+        GifKernels.frames(b,
+            (_, _, _) => { val s = new LumaSink; sinks += s; s }) match {
+          case None => return null
+          case Some(_) => sinks.map(_.luma).toArray
+        }
+      } else {
+        val fr = mjpegFrames(b)
+        if (fr == null) return null
+        val n = fr.numElements()
+        val out = new Array[Long](n)
+        var i = 0
+        while (i < n) {
+          val s = new LumaSink
+          if (!RasterKernels.decodeTo(fr.getBinary(i), s) || s.n == 0)
+            return null
+          out(i) = s.luma
+          i += 1
+        }
+        out
+      }
+    val n = lumas.length
+    if (n < 2) return null
+    var h = 0L
+    var i = 0
+    while (i < 64) {
+      val a = lumas((i.toLong * n / 65).toInt)
+      val c = lumas(((i + 1).toLong * n / 65).toInt)
+      if (a < c) h |= 1L << i
+      i += 1
+    }
+    java.lang.Long.valueOf(h)
+  }
+
   def mjpegFrames(b: Array[Byte]): org.apache.spark.sql.catalyst.util.ArrayData = {
     if (b == null || b.length < 16) return null
     val MaxEntries = 4096

@@ -217,6 +217,29 @@ object Dedup {
       maxHamming, bands, maxBucket, capObs, keyBands)
   }
 
+  /** Video near-dup pairs (round 16): [[audioNearDupPairs]]'s frame
+    * twin — [[org.apache.spark.sql.VideoDhash64]] (temporal
+    * luma-envelope over decoded MJPEG-MP4 / animated-GIF frames,
+    * integer-exact) sketches each blob, then the shared banded
+    * Hamming machinery. Frames never enter an exchange — the
+    * fingerprint collapses each video to 8 bytes inside the scan
+    * projection. */
+  def videoNearDupPairs(df: DataFrame, bytesCol: String, idCol: String,
+                        maxHamming: Int = 6, bands: Int = 8,
+                        maxBucket: Int = 4096,
+                        capObs: Option[Observation] = None,
+                        keyBands: Int = 1): DataFrame = {
+    require(bands > maxHamming, // EXACT recall is this operator's contract
+      s"videoNearDupPairs pigeonhole needs bands > maxHamming, " +
+        s"got $bands <= $maxHamming")
+    import org.apache.spark.sql.{GraftBridge, VideoDhash64}
+    val h = GraftBridge.column(VideoDhash64(GraftBridge.expression(col(bytesCol))))
+    bandedHammingPairs(
+      df.select(col(idCol).as("__id"), h.as("__sh"))
+        .filter(col("__sh").isNotNull),
+      maxHamming, bands, maxBucket, capObs, keyBands)
+  }
+
   /** The shared banded-Hamming candidate/verify core over a sketched
     * frame (__id, __sh: 64-bit signature). Pigeonhole: a pair within
     * `maxHamming` bits differs in at most maxHamming bands, so with

@@ -1866,6 +1866,38 @@ case class AudioDhash64(child: Expression)
     copy(child = newChild)
 }
 
+/** 64-bit temporal luma-envelope fingerprint of a video blob (MJPEG
+  * MP4 / animated GIF); NULL for undecodable containers, any
+  * undecodable frame, or fewer than 2 frames. See
+  * [[graft.functions.MediaKernels.videoDhash64]].
+  */
+case class VideoDhash64(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "video_dhash64"
+
+  override protected def nullSafeEval(v: Any): Any = {
+    val h = graft.functions.MediaKernels.videoDhash64(v.asInstanceOf[Array[Byte]])
+    if (h == null) null else h.longValue()
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val dh = ctx.freshName("vdhash")
+      s"""
+      java.lang.Long $dh = graft.functions.MediaKernels.videoDhash64($c);
+      if ($dh == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = $dh.longValue(); }
+    """
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): VideoDhash64 =
+    copy(child = newChild)
+}
+
 object PdfMeta {
   val schema: DataType = StructType(Seq(
     StructField("version", StringType, nullable = false),

@@ -283,6 +283,13 @@ object GraftSqlFunctions {
           "AIFF, FLAC); NULL on undecodable or sub-65-sample input"),
       arity("audio_dhash64", "audio_dhash64(binary)", 1, 1)(
         c => AudioDhash64(c(0)))),
+    (FunctionIdentifier("video_dhash64"),
+      info("video_dhash64",
+        "video_dhash64(binary) - 64-bit temporal luma-envelope " +
+          "fingerprint of a video blob (MJPEG MP4, animated GIF); " +
+          "NULL on undecodable input or < 2 frames"),
+      arity("video_dhash64", "video_dhash64(binary)", 1, 1)(
+        c => VideoDhash64(c(0)))),
     (FunctionIdentifier("pdf_meta"),
       info("pdf_meta",
         "pdf_meta(binary) - PDF triage struct(version, n_pages, " +

@@ -574,6 +574,19 @@ class PlanSpec extends SparkSpec {
     assert(!exchanges.contains("img"), p)
   }
 
+  test("r16 media near-dup family: audio/video fingerprints travel the " +
+    "banded exchanges, clip/video blobs never do") {
+    for ((q, kernel, blobCol) <- Seq(
+        ("q_audio_neardup", "audio_dhash64", "clip"),
+        ("q_video_neardup", "video_dhash64", "video"),
+        ("q_incremental_audio", "audio_dhash64", "clip"))) {
+      val p = plan(q)
+      assert(p.contains(kernel), s"$q: $kernel not in plan\n$p")
+      val exchanges = p.linesIterator.filter(_.contains("Exchange")).mkString("\n")
+      assert(!exchanges.contains(blobCol), s"$q: $blobCol in an exchange\n$p")
+    }
+  }
+
   test("q_incremental_phash (r15): the band probe reaches the index scan " +
     "as a PARTITION filter — unprobed band files are never read; blobs " +
     "stay out of every exchange") {
