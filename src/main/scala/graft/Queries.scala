@@ -6232,6 +6232,69 @@ object Queries {
     * instead of crashing a lane. The oracle replays the routing table
     * arithmetically.
     */
+  /** Legacy .doc text under the oracle (round 16): REAL v3 compound
+    * files from the in-repo CFB writer — full header/FAT/directory/
+    * miniFAT framing — with the doc_id SPLICED into a fixed-width slot
+    * of the WordDocument text region in-plan (the container layout is
+    * length-invariant, so one driver-built template serves every doc).
+    * Six lanes: windows-1252 text (+ a 1Table sibling stream), UTF-16
+    * text, fComplex refusal, fEncrypted refusal, non-CFB junk, and a
+    * truncated container — the refusal lanes come back NULL with the
+    * directory listing intact where the container survives. */
+  private val qDocText = Q("q_doc_text",
+    (s, dir) => {
+      val id = col("doc_id")
+      val idS = id.cast("string")
+      val m = pmod(id, lit(6))
+      def hexOf(b: Array[Byte]): String = b.map("%02x".format(_)).mkString
+      val marker = "0000000"
+      // splice `repl` (7 chars, fixed width) over the marker bytes
+      def splice(blob: Array[Byte], needle: Array[Byte],
+                 repl: Column): Column = {
+        val at = blob.indexOfSlice(needle)
+        require(at >= 0 &&
+          blob.indexOfSlice(needle, at + 1) < 0, "marker not unique")
+        concat(unhex(lit(hexOf(blob.take(at)))), repl,
+          unhex(lit(hexOf(blob.drop(at + needle.length)))))
+      }
+      import graft.functions.CfbKernels
+      val doc1252 = CfbKernels.buildDoc(
+        s"legacy doc $marker body\rpara two", unicode = false,
+        extra = Seq("1Table" -> Array.fill[Byte](48)(3)))
+      val docU = CfbKernels.buildDoc(s"unicode δoc $marker ✓", unicode = true)
+      val docC = CfbKernels.buildDoc("x", unicode = false, complex = true)
+      val docE = CfbKernels.buildDoc("x", unicode = false, encrypted = true)
+      val pad7 = lpad(idS, 7, "0")
+      val d0 = splice(doc1252,
+        marker.getBytes(java.nio.charset.Charset.forName("windows-1252")),
+        encode(pad7, "ISO-8859-1"))
+      val d1 = splice(docU,
+        marker.getBytes(java.nio.charset.StandardCharsets.UTF_16LE),
+        encode(pad7, "UTF-16LE"))
+      val blob = when(m === 0, d0)
+        .when(m === 1, d1)
+        .when(m === 2, unhex(lit(hexOf(docC))))
+        .when(m === 3, unhex(lit(hexOf(docE))))
+        .when(m === 4, encode(concat(lit("not a doc "), idS), "UTF-8"))
+        .otherwise(unhex(lit(hexOf(doc1252.take(300)))))
+      t(s, dir, "documents")
+        .select(id.cast("bigint").as("doc_id"), blob.as("__b"))
+        .select(col("doc_id"),
+          size(Multimodal.cfbEntries(col("__b"))).cast("bigint").as("n_entries"),
+          Multimodal.docText(col("__b")).as("text"))
+    },
+    Some("""SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           |  CAST(CASE doc_id % 6
+           |    WHEN 0 THEN 3 WHEN 1 THEN 2 WHEN 2 THEN 2 WHEN 3 THEN 2
+           |    ELSE NULL END AS BIGINT) AS n_entries,
+           |  CASE doc_id % 6
+           |    WHEN 0 THEN 'legacy doc ' || lpad(CAST(doc_id AS VARCHAR), 7, '0')
+           |                || ' body' || chr(10) || 'para two'
+           |    WHEN 1 THEN 'unicode δoc ' || lpad(CAST(doc_id AS VARCHAR), 7, '0')
+           |                || ' ✓'
+           |    ELSE NULL END AS text
+           |FROM documents""".stripMargin))
+
   private val qBinaryRoute = Q("q_binary_route",
     (s, dir) => {
       val id = col("doc_id")
@@ -6346,7 +6409,13 @@ object Queries {
       // length, which the oracle recomputes arithmetically
       val zPayload = encode(concat(lit("zstd doc "), idS), "UTF-8")
       val zstdBlob = zstdStoreFrameCol(zPayload)
-      val m9 = pmod(id, lit(9))
+      // cfb (round 16): a REAL v3 compound file (.doc shape) from the
+      // in-repo writer — detail = directory entry count
+      val cfbHex = graft.functions.CfbKernels.buildDoc(
+        "router doc", unicode = false,
+        extra = Seq("1Table" -> Array.fill[Byte](32)(5)))
+        .map("%02x".format(_)).mkString
+      val m9 = pmod(id, lit(10))
       val blob = when(m9 === 0, unhex(lit(pdfHex)))
         .when(m9 === 1, unhex(lit(zipHex)))
         .when(m9 === 2, unhex(lit(tarHex)))
@@ -6355,6 +6424,7 @@ object Queries {
         .when(m9 === 5, unhex(lit(wavHex)))
         .when(m9 === 6, unhex(lit(avroHex)))
         .when(m9 === 7, zstdBlob)
+        .when(m9 === 8, unhex(lit(cfbHex)))
         .otherwise(encode(concat(lit("junk "), id.cast("string")), "UTF-8"))
       // MAGIC dispatch FIRST, then exactly ONE kernel per row inside a
       // lazily-evaluated CASE branch — running every parser on every
@@ -6379,6 +6449,8 @@ object Queries {
               lit("tar"))
             .when(substring(col("__b"), 1, 4) === unhex(lit("28b52ffd")),
               lit("zstd"))
+            .when(substring(col("__b"), 1, 8) === unhex(lit("d0cf11e0a1b11ae1")),
+              lit("cfb"))
             .otherwise(lit("unknown")).as("__mk"))
         .select(col("doc_id"), col("__mk"),
           when(col("__mk") === "pdf",
@@ -6397,6 +6469,8 @@ object Queries {
               size(Multimodal.tarEntries(col("__b"))).cast("bigint"))
             .when(col("__mk") === "zstd",
               length(Multimodal.zstdDecompress(col("__b"))).cast("bigint"))
+            .when(col("__mk") === "cfb",
+              size(Multimodal.cfbEntries(col("__b"))).cast("bigint"))
             .as("detail"))
         .select(col("doc_id"),
           when(col("detail").isNotNull, col("__mk"))
@@ -6404,16 +6478,17 @@ object Queries {
           col("detail"))
     },
     Some("""SELECT CAST(doc_id AS BIGINT) AS doc_id,
-           |  CASE doc_id % 9
+           |  CASE doc_id % 10
            |    WHEN 0 THEN 'pdf' WHEN 1 THEN 'zip' WHEN 2 THEN 'tar'
            |    WHEN 3 THEN 'gzip' WHEN 4 THEN 'image' WHEN 5 THEN 'audio'
-           |    WHEN 6 THEN 'avro' WHEN 7 THEN 'zstd'
+           |    WHEN 6 THEN 'avro' WHEN 7 THEN 'zstd' WHEN 8 THEN 'cfb'
            |    ELSE 'unknown' END AS kind,
-           |  CAST(CASE doc_id % 9
+           |  CAST(CASE doc_id % 10
            |    WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 1
            |    WHEN 3 THEN 19 WHEN 4 THEN 1 WHEN 5 THEN 8000
            |    WHEN 6 THEN 5
            |    WHEN 7 THEN length('zstd doc ' || doc_id)
+           |    WHEN 8 THEN 3
            |    ELSE NULL END AS BIGINT) AS detail
            |FROM documents""".stripMargin))
 
@@ -7407,7 +7482,7 @@ object Queries {
     qSampleGroup, qSampleBernoulli, qSampleWeighted, qSampleWeightedGroup, qScd2Multi, qSnapshotDiff, qTrainingOrder, qBlocklist,
     qApproxTopk, qAudioFeatures, qAudioG711, qAudioAdpcm, qAudioContainers,
     qAudioExtensible, qIncrementalEmbedding, qSplitClusterSafe,
-    qIngestRouted, qBinaryIngest, qBloomLookup, qLineDedupWithin, qProfile, qJpegFeatures,
+    qIngestRouted, qBinaryIngest, qDocText, qBloomLookup, qLineDedupWithin, qProfile, qJpegFeatures,
     qRepeatMixture, qScd2Lookup, qVideoStats, qVideoFrames,
     qCdcChunks, qCdcDedup, qNormalizeText, qIncrementalCdc, qOrcRoundtrip,
     qPageRank, qPngFeatures, qGifFeatures, qGifFrames, qTiffFeatures,

@@ -147,6 +147,20 @@ object Multimodal {
     GraftBridge.column(BD(GraftBridge.expression(blob)))
   }
 
+  /** OLE2/CFB directory listing (r16): array of struct(name,
+    * entry_type, size); NULL on malformed input. */
+  def cfbEntries(blob: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.{CfbEntries => CE, GraftBridge}
+    GraftBridge.column(CE(GraftBridge.expression(blob)))
+  }
+
+  /** Legacy .doc text (r16): non-complex unencrypted WordDocument
+    * stream; NULL otherwise. */
+  def docText(blob: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.{DocText => DT, GraftBridge}
+    GraftBridge.column(DT(GraftBridge.expression(blob)))
+  }
+
   /** HTTP payload -> struct(status, content_type, body); NULL when the
     * payload is not an HTTP message. */
   def httpParts(payload: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {

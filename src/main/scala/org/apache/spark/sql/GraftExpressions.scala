@@ -1898,6 +1898,66 @@ case class VideoDhash64(child: Expression)
     copy(child = newChild)
 }
 
+object CfbEntries {
+  val elementSchema: StructType = StructType(Seq(
+    StructField("name", StringType, nullable = false),
+    StructField("entry_type", IntegerType, nullable = false),
+    StructField("size", LongType, nullable = false)))
+}
+
+/** OLE2 / Compound File Binary member listing (round 16): flat
+  * directory entries as struct(name, entry_type, size) — entry_type
+  * 1 = storage, 2 = stream, 5 = root; NULL blob-wide on any
+  * structural failure. See [[graft.functions.CfbKernels.entries]].
+  */
+case class CfbEntries(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
+  override def dataType: DataType =
+    ArrayType(CfbEntries.elementSchema, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "cfb_entries"
+
+  override protected def nullSafeEval(v: Any): Any =
+    graft.functions.CfbKernels.entries(v.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.CfbKernels.entries($c);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
+
+  override protected def withNewChildInternal(newChild: Expression): CfbEntries =
+    copy(child = newChild)
+}
+
+/** Legacy `.doc` text (round 16): the WordDocument stream's
+  * contiguous [fcMin, fcMax) range of a NON-COMPLEX, unencrypted
+  * Word file; NULL otherwise. See
+  * [[graft.functions.CfbKernels.docText]].
+  */
+case class DocText(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def prettyName: String = "doc_text"
+
+  override protected def nullSafeEval(v: Any): Any =
+    graft.functions.CfbKernels.docText(v.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.CfbKernels.docText($c);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
+
+  override protected def withNewChildInternal(newChild: Expression): DocText =
+    copy(child = newChild)
+}
+
 object PdfMeta {
   val schema: DataType = StructType(Seq(
     StructField("version", StringType, nullable = false),

@@ -290,6 +290,19 @@ object GraftSqlFunctions {
           "NULL on undecodable input or < 2 frames"),
       arity("video_dhash64", "video_dhash64(binary)", 1, 1)(
         c => VideoDhash64(c(0)))),
+    (FunctionIdentifier("cfb_entries"),
+      info("cfb_entries",
+        "cfb_entries(binary) - OLE2/Compound File directory listing as " +
+          "array of struct(name, entry_type, size); NULL on malformed " +
+          "input"),
+      arity("cfb_entries", "cfb_entries(binary)", 1, 1)(
+        c => CfbEntries(c(0)))),
+    (FunctionIdentifier("doc_text"),
+      info("doc_text",
+        "doc_text(binary) - legacy Word .doc text (non-complex, " +
+          "unencrypted WordDocument stream); NULL otherwise"),
+      arity("doc_text", "doc_text(binary)", 1, 1)(
+        c => DocText(c(0)))),
     (FunctionIdentifier("pdf_meta"),
       info("pdf_meta",
         "pdf_meta(binary) - PDF triage struct(version, n_pages, " +
