@@ -6415,7 +6415,19 @@ object Queries {
         "router doc", unicode = false,
         extra = Seq("1Table" -> Array.fill[Byte](32)(5)))
         .map("%02x".format(_)).mkString
-      val m9 = pmod(id, lit(10))
+      // parquet (round 16, the r15 stretch lane): a REAL file written
+      // by Spark's own writer at plan build — triage reads only the
+      // footer (detail = num_rows)
+      val pqHex = {
+        val d = scratch("route_pq")
+        s.range(7).selectExpr("id", "CAST(id AS STRING) AS s")
+          .coalesce(1).write.mode("overwrite").parquet(d)
+        val part = new java.io.File(d).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        java.nio.file.Files.readAllBytes(part.toPath)
+          .map("%02x".format(_)).mkString
+      }
+      val m9 = pmod(id, lit(11))
       val blob = when(m9 === 0, unhex(lit(pdfHex)))
         .when(m9 === 1, unhex(lit(zipHex)))
         .when(m9 === 2, unhex(lit(tarHex)))
@@ -6425,6 +6437,7 @@ object Queries {
         .when(m9 === 6, unhex(lit(avroHex)))
         .when(m9 === 7, zstdBlob)
         .when(m9 === 8, unhex(lit(cfbHex)))
+        .when(m9 === 9, unhex(lit(pqHex)))
         .otherwise(encode(concat(lit("junk "), id.cast("string")), "UTF-8"))
       // MAGIC dispatch FIRST, then exactly ONE kernel per row inside a
       // lazily-evaluated CASE branch — running every parser on every
@@ -6451,6 +6464,8 @@ object Queries {
               lit("zstd"))
             .when(substring(col("__b"), 1, 8) === unhex(lit("d0cf11e0a1b11ae1")),
               lit("cfb"))
+            .when(substring(col("__b"), 1, 4) === encode(lit("PAR1"), "UTF-8"),
+              lit("parquet"))
             .otherwise(lit("unknown")).as("__mk"))
         .select(col("doc_id"), col("__mk"),
           when(col("__mk") === "pdf",
@@ -6471,6 +6486,9 @@ object Queries {
               length(Multimodal.zstdDecompress(col("__b"))).cast("bigint"))
             .when(col("__mk") === "cfb",
               size(Multimodal.cfbEntries(col("__b"))).cast("bigint"))
+            .when(col("__mk") === "parquet",
+              Multimodal.parquetMeta(col("__b")).getField("num_rows")
+                .cast("bigint"))
             .as("detail"))
         .select(col("doc_id"),
           when(col("detail").isNotNull, col("__mk"))
@@ -6478,17 +6496,18 @@ object Queries {
           col("detail"))
     },
     Some("""SELECT CAST(doc_id AS BIGINT) AS doc_id,
-           |  CASE doc_id % 10
+           |  CASE doc_id % 11
            |    WHEN 0 THEN 'pdf' WHEN 1 THEN 'zip' WHEN 2 THEN 'tar'
            |    WHEN 3 THEN 'gzip' WHEN 4 THEN 'image' WHEN 5 THEN 'audio'
            |    WHEN 6 THEN 'avro' WHEN 7 THEN 'zstd' WHEN 8 THEN 'cfb'
+           |    WHEN 9 THEN 'parquet'
            |    ELSE 'unknown' END AS kind,
-           |  CAST(CASE doc_id % 10
+           |  CAST(CASE doc_id % 11
            |    WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 1
            |    WHEN 3 THEN 19 WHEN 4 THEN 1 WHEN 5 THEN 8000
            |    WHEN 6 THEN 5
            |    WHEN 7 THEN length('zstd doc ' || doc_id)
-           |    WHEN 8 THEN 3
+           |    WHEN 8 THEN 3 WHEN 9 THEN 7
            |    ELSE NULL END AS BIGINT) AS detail
            |FROM documents""".stripMargin))
 

@@ -161,6 +161,13 @@ object Multimodal {
     GraftBridge.column(DT(GraftBridge.expression(blob)))
   }
 
+  /** Parquet blob triage (r16): footer-only struct(version, num_rows,
+    * n_row_groups, n_schema_elements); NULL on malformed framing. */
+  def parquetMeta(blob: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.{GraftBridge, ParquetMeta => PQ}
+    GraftBridge.column(PQ(GraftBridge.expression(blob)))
+  }
+
   /** HTTP payload -> struct(status, content_type, body); NULL when the
     * payload is not an HTTP message. */
   def httpParts(payload: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {

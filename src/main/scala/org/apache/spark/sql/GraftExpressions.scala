@@ -1958,6 +1958,40 @@ case class DocText(child: Expression)
     copy(child = newChild)
 }
 
+object ParquetMeta {
+  val schema: StructType = StructType(Seq(
+    StructField("version", IntegerType, nullable = false),
+    StructField("num_rows", LongType, nullable = false),
+    StructField("n_row_groups", LongType, nullable = false),
+    StructField("n_schema_elements", LongType, nullable = false)))
+}
+
+/** Parquet blob triage (round 16): footer-only metadata —
+  * struct(version, num_rows, n_row_groups, n_schema_elements); no
+  * column chunk read; NULL on malformed framing. See
+  * [[graft.functions.ParquetKernels.meta]].
+  */
+case class ParquetMeta(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
+  override def dataType: DataType = ParquetMeta.schema
+  override def nullable: Boolean = true
+  override def prettyName: String = "parquet_meta"
+
+  override protected def nullSafeEval(v: Any): Any =
+    graft.functions.ParquetKernels.meta(v.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.ParquetKernels.meta($c);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
+
+  override protected def withNewChildInternal(newChild: Expression): ParquetMeta =
+    copy(child = newChild)
+}
+
 object PdfMeta {
   val schema: DataType = StructType(Seq(
     StructField("version", StringType, nullable = false),

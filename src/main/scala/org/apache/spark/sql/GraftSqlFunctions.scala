@@ -303,6 +303,13 @@ object GraftSqlFunctions {
           "unencrypted WordDocument stream); NULL otherwise"),
       arity("doc_text", "doc_text(binary)", 1, 1)(
         c => DocText(c(0)))),
+    (FunctionIdentifier("parquet_meta"),
+      info("parquet_meta",
+        "parquet_meta(binary) - footer-only parquet triage: " +
+          "struct(version, num_rows, n_row_groups, n_schema_elements); " +
+          "NULL on malformed framing"),
+      arity("parquet_meta", "parquet_meta(binary)", 1, 1)(
+        c => ParquetMeta(c(0)))),
     (FunctionIdentifier("pdf_meta"),
       info("pdf_meta",
         "pdf_meta(binary) - PDF triage struct(version, n_pages, " +
