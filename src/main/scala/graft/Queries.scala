@@ -2892,19 +2892,25 @@ object Queries {
     * frames share one size, so the sample tables stay constant-width
     * and only mdat content + two counts vary with nFrames. */
   private def constructedMjpegMp4Blob(id: Column, nFrames: Int = 4,
-      frameVal: (Column, Int) => Column =
-        (id, f) => pmod(id + lit(7 * f), lit(32)) + 32): Column = {
+      frameVal: (Column, Column) => Column =
+        (id, f) => pmod(id + lit(7) * f, lit(32)) + 32): Column = {
     def h2(c: Column): Column = lpad(hex(c), 2, "0")
     def be32(n: Long): String = f"$n%08X"
     val z = "00000000"
     val (grayHead, _, grayLen, _) = jpegFixture
-    val frames = (0 until nFrames).map { f =>
-      val v = frameVal(id, f).cast("int")
-      concat(lit(grayHead), h2(shiftright(v, 2) + lit(224)),
-        h2(v.bitwiseAND(lit(3)) * 64 + lit(43)), lit("FFD9"))
-    }
+    // ONE transform/sequence lambda, not nFrames unrolled concat
+    // pieces: the 68-frame near-dup fixture blew whole-stage codegen's
+    // 64 KB method limit in the expanded form (the r15 phash lesson) —
+    // the stage silently fell back to interpreted mode and the query
+    // cost 9.4 s instead of ~1 s at sf0.1
+    val framesHex = array_join(
+      transform(sequence(lit(0), lit(nFrames - 1)), f => {
+        val v = frameVal(id, f).cast("int")
+        concat(lit(grayHead), h2(shiftright(v, 2) + lit(224)),
+          h2(v.bitwiseAND(lit(3)) * 64 + lit(43)), lit("FFD9"))
+      }), "")
     val mdat = concat(lit(be32(8 + nFrames.toLong * grayLen) + "6D646174"),
-      concat(frames: _*))
+      framesHex)
     val stsd = be32(24) + "73747364" + z + be32(1) + be32(8) + "6A706567"
     val stsz = be32(20) + "7374737A" + z + be32(grayLen.toLong) + be32(nFrames.toLong)
     val stsc = be32(28) + "73747363" + z + be32(1) + be32(1) + be32(nFrames.toLong) + be32(1)
@@ -2940,10 +2946,9 @@ object Queries {
         frameVal = (idc, f) => {
           val base = when(pmod(idc, lit(10)) === 1, idc - 1).otherwise(idc)
           val isDup = pmod(idc, lit(10)) === 1
-          val v = pmod(base * 131 + lit(f) * 197, lit(65521))
-          val g0 = pmod(pmod(v * v, lit(65521)) + lit(f) * 13, lit(32))
-          val pert = if (f == 0 || f == 40) when(isDup, 8L).otherwise(lit(0L))
-            else lit(0L)
+          val v = pmod(base * 131 + f * 197, lit(65521))
+          val g0 = pmod(pmod(v * v, lit(65521)) + f * 13, lit(32))
+          val pert = when(isDup && (f === 0 || f === 40), 8L).otherwise(lit(0L))
           pmod(g0 + pert, lit(32)) + 32
         })
       val vids = t(s, dir, "documents")
