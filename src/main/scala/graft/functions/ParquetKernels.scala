@@ -66,16 +66,23 @@ object ParquetKernels {
         val h = r.u8()
         val n = if ((h >>> 4) == 15) r.varint() else (h >>> 4).toLong
         val et = h & 0x0f
-        var i = 0L
-        while (i < n) { skip(r, et, depth + 1); i += 1 }
+        // bool CONTAINER elements serialize as one byte each (the
+        // value-in-type-nibble trick only applies to struct fields)
+        if (et == 1 || et == 2) r.skipBytes(n)
+        else {
+          var i = 0L
+          while (i < n) { skip(r, et, depth + 1); i += 1 }
+        }
       case 11 => // map
         val n = r.varint()
         if (n > 0) {
           val kv = r.u8()
+          def skipElem(t: Int): Unit =
+            if (t == 1 || t == 2) r.skipBytes(1) else skip(r, t, depth + 1)
           var i = 0L
           while (i < n) {
-            skip(r, kv >>> 4, depth + 1)
-            skip(r, kv & 0x0f, depth + 1)
+            skipElem(kv >>> 4)
+            skipElem(kv & 0x0f)
             i += 1
           }
         }

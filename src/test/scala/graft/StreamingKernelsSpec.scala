@@ -382,4 +382,62 @@ class StreamingKernelsSpec extends SparkSpec {
     assert(byId2(1L)(3) == graft.functions.PHashKernels.dhash64(png).longValue())
     assert(byId2(2L)(1) == null && byId2(2L)(2) == null && byId2(2L)(3) == null)
   }
+
+  test("r16 kernels (brotli_decompress, audio/video dhash, doc_text, " +
+    "parquet_meta, hinted decode_text): stateless projections, " +
+    "stream equals batch") {
+    import graft.functions.{CfbKernels, WebpKernels}
+    // brotli: pinned reference-encoder bytes of "payload text" page
+    val br = ("1b2500004427471ad841be93b795b51504d5843032c94232b528" +
+      "9404253d9cc6bfdac3366f891cf100")
+      .grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    val wav = { // 130-sample 8-bit mono WAV
+      val samples = Array.tabulate[Byte](130)(k => ((k * 37) % 256).toByte)
+      val bos = new java.io.ByteArrayOutputStream()
+      def a(s: String) = bos.write(s.getBytes("US-ASCII"))
+      def le32(v: Int) = { bos.write(v & 0xff); bos.write((v >> 8) & 0xff)
+        bos.write((v >> 16) & 0xff); bos.write((v >> 24) & 0xff) }
+      def le16(v: Int) = { bos.write(v & 0xff); bos.write((v >> 8) & 0xff) }
+      a("RIFF"); le32(36 + 130); a("WAVE"); a("fmt "); le32(16)
+      le16(1); le16(1); le32(8000); le32(8000); le16(1); le16(8)
+      a("data"); le32(130); bos.write(samples); bos.toByteArray
+    }
+    val webp = WebpKernels.encodeLossless(12, 10,
+      Array.tabulate(120)(i => 0xff000000 | ((i % 12) * 21 << 16) |
+        ((i % 12) * 21 << 8) | (i % 12) * 21))
+    val doc = CfbKernels.buildDoc("streamed doc text", unicode = false)
+    val cjk = ("""<meta charset="gbk">""".getBytes("US-ASCII") ++
+      "你好".getBytes("GBK"))
+    val rows = Seq(
+      (1L, br, wav, webp, doc, cjk),
+      (2L, "x".getBytes, "x".getBytes, "x".getBytes, "x".getBytes,
+        "plain ascii".getBytes))
+    def pipeline(df: org.apache.spark.sql.DataFrame) = df.selectExpr(
+      "id",
+      "CAST(brotli_decompress(br) AS STRING) AS btext",
+      "audio_dhash64(wav) AS ah",
+      "dhash64(img) AS ih",
+      "doc_text(doc) AS dtext",
+      "decode_text(cjk).encoding AS enc")
+    val batch = pipeline(rows.toDF("id", "br", "wav", "img", "doc", "cjk"))
+      .collect().map(_.toSeq).toSet
+    val input = MemoryStream[(Long, Array[Byte], Array[Byte], Array[Byte],
+      Array[Byte], Array[Byte])](spark, numPartitions = 1)
+    val q = pipeline(input.toDS().toDF("id", "br", "wav", "img", "doc", "cjk"))
+      .writeStream.format("memory").queryName("r16_stream")
+      .outputMode("append").start()
+    input.addData(rows: _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("r16_stream").collect().map(_.toSeq).toSet
+    assert(streamed == batch)
+    val byId = batch.groupBy(_.head).map { case (k, v) => k -> v.head }
+    assert(byId(1L)(1) == "<html><body>payload text</body></html>")
+    assert(byId(1L)(2) ==
+      graft.functions.AudioKernels.energyDhash64(wav).longValue())
+    assert(byId(1L)(4) == "streamed doc text")
+    assert(byId(1L)(5) == "gbk")
+    assert(byId(2L)(1) == null && byId(2L)(2) == null && byId(2L)(4) == null)
+    assert(byId(2L)(5) == "utf-8")
+  }
 }
