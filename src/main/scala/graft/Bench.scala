@@ -101,14 +101,20 @@ import org.apache.spark.sql.SparkSession
   * round-13 reading rule.
   */
 object Bench {
-  /** Idle-machine pinned canary medians (this sandbox, local[32],
-    * measured round 7: two independent 4-sample medians gave
-    * compute 0.62/0.60 s and sched 2.38/1.86 s). If the harness
-    * hardware changes, re-pin by running the bench idle and copying the
-    * canary medians from the JSON line.
+  /** Idle-machine pinned canary medians (this sandbox, local[32]).
+    * Re-pinned round 17 from three independent idle BENCH_ONLY
+    * sessions (compute 0.31/0.41/0.43 s, sched 0.94/1.17/1.34 s —
+    * medians 0.41/1.17): the round-7 pins (0.60/2.10) were ~1.5×
+    * today's idle floor, so every factor since read "faster than
+    * pin" even when the machine was at its ordinary floor, which is
+    * exactly the canary/sweep contradiction VERDICT r16 flagged (a
+    * closing sweep at 1.2× the query pins with contention 0.603 —
+    * 0.603·0.60 = 0.36 s is simply today's idle canary, not a fast
+    * machine). If the harness hardware changes, re-pin by running the
+    * bench idle and copying the canary medians from the JSON line.
     */
-  val PinnedComputeSec = 0.60
-  val PinnedSchedSec = 2.10
+  val PinnedComputeSec = 0.41
+  val PinnedSchedSec = 1.17
   /** The pins above are only valid at this parallelism (the driver's
     * `cpus: 32` in every BENCH artifact). The canary cost scales with
     * `local[N]` — at other cpus the factors are emitted as -1 rather

@@ -279,8 +279,13 @@ object BrotliKernels {
           if (repeatLen != 0) space2 -= delta << (15 - repeatLen)
         }
       }
-      if (space2 < 0) throw Bad
-      new Huff(lens) // Kraft check inside rejects under-subscription
+      // exact consumption required: the reference decoder refuses a
+      // complex code whose lengths under-subscribe the space, INCLUDING
+      // the single-nonzero-symbol case Huff would otherwise accept as a
+      // degenerate 0-bit code (that reading is reserved for the simple
+      // path's NSYM=1 form) — ADVICE r16
+      if (space2 != 0) throw Bad
+      new Huff(lens)
     }
   }
 
@@ -422,8 +427,10 @@ object BrotliKernels {
       } else {
         val nibCode = br.readBits(2)
         if (nibCode == 3) {
-          // metadata metablock: skipped, not counted as output
-          if (isLast) throw Bad
+          // metadata metablock: skipped, not counted as output. A
+          // last+metadata block is legal (the reference decoder accepts
+          // e.g. the 1-byte stream 0x1a as b'' — ADVICE r16): the loop
+          // then exits on isLast and the aligned-at-end check applies.
           if (br.readBits(1) != 0) throw Bad // reserved
           val skipBytes = br.readBits(2)
           var skipLen = 0

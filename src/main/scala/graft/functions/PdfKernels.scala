@@ -878,6 +878,30 @@ object PdfKernels {
         }
         ok
       }
+    /** Skip width on a codespace miss (ISO 32000-1 §9.7.6.3, ADVICE
+      * r16): the width of the range with the LONGEST partial initial-
+      * byte match, so a stray byte in a 2-byte-code font consumes the
+      * code width instead of desynchronizing the rest of the string;
+      * no partial match at all falls back to 1 byte. Ties keep the
+      * narrowest width. */
+    private def partialSkip(bs: Array[Byte], off: Int): Int = {
+      var bestW = 1; var bestM = 0
+      var w = 1
+      while (w <= 4) {
+        ranges(w).foreach { case (lo, hi) =>
+          var m = 0; var ok = true
+          while (ok && m < w && off + m < bs.length) {
+            val b = bs(off + m) & 0xff
+            if (b >= (lo(m) & 0xff) && b <= (hi(m) & 0xff)) m += 1
+            else ok = false
+          }
+          if (m > bestM) { bestM = m; bestW = w }
+        }
+        w += 1
+      }
+      if (bestM == 0) 1 else math.max(1, math.min(bestW, bs.length - off))
+    }
+
     /** Widths to try when the CMap declares no codespace (malformed
       * but seen in the wild): the widths its mappings actually use. */
     private lazy val mappedWidths: Array[Int] =
@@ -908,7 +932,10 @@ object PdfKernels {
             k += 1
           }
         }
-        if (w == 0) { sb.append('�'); i += 1 }
+        if (w == 0) {
+          sb.append('�')
+          i += (if (anyRange) partialSkip(bs, i) else 1)
+        }
         else {
           val s = maps(w).get(beInt(
             java.util.Arrays.copyOfRange(bs, i, i + w)))

@@ -75,14 +75,22 @@ object Evaluation {
       .groupBy(col("bin"))
       .agg(count(lit(1)).as("n"), sum(col("y")).as("np"))
       .withColumn("nn", col("n") - col("np"))
-    // prefix sums over the ≤`bins`-row bin table (see object scaladoc)
+    // prefix sums over the ≤`bins`-row bin table (see object scaladoc).
+    // Totals ride a full-frame window over the SAME single-partition
+    // sort instead of a second aggregation branch — a separate
+    // `perBin.agg(...)` subtree recomputes the whole upstream scorer
+    // (scan + fit + join) a third time, which at sf0.1 doubled this
+    // query's stage count for a ≤bins-row table (r17, VERDICT r16 #1).
+    // Integer sums are order-exact, so the window form is bit-identical.
     val below = Window.orderBy(col("bin"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val tot = perBin.agg(sum(col("np")).as("p_tot"), sum(col("nn")).as("n_tot"))
+    val full = Window.orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     val cum = perBin
       .withColumn("cumneg", coalesce(sum(col("nn")).over(below), lit(0L)))
       .withColumn("cumpos", coalesce(sum(col("np")).over(below), lit(0L)))
-      .crossJoin(broadcast(tot))
+      .withColumn("p_tot", sum(col("np")).over(full))
+      .withColumn("n_tot", sum(col("nn")).over(full))
     cum
       .agg(sum(col("n")).as("n"), max(col("p_tot")).as("n_pos"),
         max(col("n_tot")).as("n_neg"),
@@ -122,8 +130,12 @@ object Evaluation {
     require(keepRate > 0.0 && keepRate <= 1.0,
       s"keepRate must be in (0, 1], got $keepRate")
     val flt = scored.filter(col(scoreCol).isNotNull)
+    // the corpus total rides the same one-pass stats aggregate as the
+    // min/max — a separate `perBin.agg(sum(n))` branch would recompute
+    // the entire upstream scorer a fourth time (r17, VERDICT r16 #1)
     val mm = flt.agg(min(col(scoreCol).cast("double")).as("mn"),
-      max(col(scoreCol).cast("double")).as("mx"))
+      max(col(scoreCol).cast("double")).as("mx"),
+      count(lit(1)).as("__total"))
     val withBin = flt.crossJoin(broadcast(mm))
       .withColumn("__bin",
         when(col("mx") === col("mn"), lit(0L))
@@ -132,18 +144,18 @@ object Evaluation {
               / (col("mx") - col("mn")) * lit(bins.toDouble)).cast("long"),
             lit(bins - 1L))))
       .drop("mn", "mx")
-    val perBin = withBin.groupBy(col("__bin")).agg(count(lit(1)).as("n"))
+    val perBin = withBin.groupBy(col("__bin"))
+      .agg(count(lit(1)).as("n"), max(col("__total")).as("__total"))
     // suffix sums over the ≤`bins`-row bin table, highest bin first
     val fromTop = Window.orderBy(col("__bin").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val tDf = perBin
       .withColumn("cum", sum(col("n")).over(fromTop))
-      .crossJoin(broadcast(perBin.agg(sum(col("n")).as("total"))))
-      .filter(col("cum") >= ceil(lit(keepRate) * col("total").cast("double")))
+      .filter(col("cum") >= ceil(lit(keepRate) * col("__total").cast("double")))
       .agg(max(col("__bin")).as("__t"))
     withBin.crossJoin(broadcast(tDf))
       .withColumn("kept", (col("__bin") >= col("__t")).cast("bigint"))
-      .drop("__bin", "__t")
+      .drop("__bin", "__t", "__total")
   }
 
   /** Calibration table: one row per non-empty bin with its size, the

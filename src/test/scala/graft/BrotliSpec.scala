@@ -73,9 +73,80 @@ class BrotliSpec extends AnyFunSuite {
     )
   }
 
+  /** The vendored corpus (ADVICE r16): tools/brotli_fixtures.py
+    * compressed this deterministic shape set with the reference
+    * encoder and committed the streams, so decoder-vs-reference
+    * coverage no longer depends on a live interpreter — the live
+    * matrix test below still runs (wider q/lgwin grid) when one
+    * exists. Byte-for-byte mirror of the python generator. */
+  private def vendorShapes: Map[String, Array[Byte]] = {
+    val dictWords = "time down life left back code data show only site " +
+      "city open just like free work the of and that with from this have"
+    val html = ("<html><body class=\"main\"><p>This is a test of the " +
+      "emergency broadcast system.</p><a href=\"https://example.com/\">" +
+      "link</a></body></html>") * 5
+    val utf8 = ("naïve café résumé — Привет мир — こんにちは" +
+      "世界 — mañana übergroß ÉCOLE Über ") * 8
+    Map(
+      "empty" -> Array.emptyByteArray,
+      "one-byte" -> Array[Byte]('x'),
+      "short-ascii" -> "hello world".getBytes("UTF-8"),
+      "dict-words" -> (dictWords + " " + dictWords.toUpperCase + ". " +
+        "The quick brown fox jumps over the lazy dog. " +
+        "Attachment forwarding notification available immediately. " +
+        dictWords.capitalize).getBytes("UTF-8"),
+      "html" -> html.getBytes("UTF-8"),
+      "utf8" -> utf8.getBytes("UTF-8"),
+      "repetitive" -> ("abcabcabc" * 500).getBytes("UTF-8"),
+      "runs" -> Array.fill[Byte](4096)(7),
+      "noise-2k" -> Array.tabulate[Byte](2048)(i =>
+        ((i * 6364136223846793005L + 1442695040888963407L) >>> 33).toByte),
+      "binary-8k" -> Array.tabulate[Byte](8192)(i =>
+        ((i * 2654435761L) >> 13).toByte))
+  }
+
+  test("vendored reference-encoder streams round-trip (python-free)") {
+    val path = java.nio.file.Paths.get("fixtures/brotli_ref_streams.tsv")
+    assert(java.nio.file.Files.exists(path),
+      "vendored brotli fixtures missing — run tools/brotli_fixtures.py")
+    val exp = vendorShapes
+    var cases = 0
+    scala.jdk.CollectionConverters.ListHasAsScala(
+      java.nio.file.Files.readAllLines(path)).asScala
+      .filterNot(l => l.startsWith("#") || l.isEmpty).foreach { line =>
+        val Array(label, q, lgwin, mode, hex) = line.split("\t")
+        val comp = hex.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+        val got = BrotliKernels.decompress(comp)
+        assert(got != null,
+          s"$label q=$q lgwin=$lgwin mode=$mode: decoder refused")
+        assert(java.util.Arrays.equals(got, exp(label)),
+          s"$label q=$q lgwin=$lgwin mode=$mode: roundtrip mismatch")
+        cases += 1
+      }
+    assert(cases >= 70, s"vendored corpus unexpectedly small: $cases")
+  }
+
+  test("edge streams pinned against the reference decoder: " +
+    "last+metadata accepted as empty, degenerate complex code refused") {
+    // both verified against brotlicffi in tools/brotli_fixtures.py
+    // (ADVICE r16): 0x1a = WBITS16, ISLAST, !ISLASTEMPTY, MNIBBLES=0
+    // metadata, skip 0 -> b''; the second stream's literal tree is a
+    // complex prefix code whose lengths collapse to one nonzero symbol
+    // (Kraft space not exactly consumed) -> reference refuses.
+    val metaLast = Array[Byte](0x1a)
+    val got = BrotliKernels.decompress(metaLast)
+    assert(got != null && got.length == 0, "0x1a must decode to empty")
+    val degenerate = ("0200000070c00100000000000000080000000000000000000000" +
+      "0000000000000000000000000000")
+      .grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    assert(BrotliKernels.decompress(degenerate) == null,
+      "single-nonzero-symbol complex code must be refused")
+  }
+
   test("round-trips reference-encoder output across qualities, " +
     "windows and modes") {
-    assume(py.isDefined, "no python with brotlicffi available")
+    assume(py.isDefined, "no python with brotlicffi available — vendored " +
+      "corpus test above still covers decoder-vs-reference")
     var cases = 0
     for ((name, data) <- shapes;
          q <- Seq(0, 1, 2, 5, 9, 11);

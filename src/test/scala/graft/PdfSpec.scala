@@ -418,6 +418,27 @@ class PdfSpec extends SparkSpec {
     // TJ arrays route through the same per-font map
     assert(textOf(type0Pdf(cmap, "BT /F9 1 Tf [<0001> -20 <0002>] TJ ET"))
       == "Un")
+    // codespace MISS skip width (ADVICE r16, §9.7.6.3): with a partial
+    // initial-byte match the full range width is consumed (here 2
+    // bytes: 0x25 is inside [0x20,0x2F] but 0x60 is past 0x50), so one
+    // bad code gives ONE U+FFFD and the next code stays in sync
+    val cmapNarrow =
+      """begincmap
+        |1 begincodespacerange
+        |<2000> <2F50>
+        |endcodespacerange
+        |2 beginbfchar
+        |<2001> <0041>
+        |<2002> <0042>
+        |endbfchar
+        |endcmap""".stripMargin
+    assert(textOf(type0Pdf(cmapNarrow, "BT /F9 1 Tf <200125602002> Tj ET"))
+      == "A�B")
+    // no partial match at all (first byte outside every range): 1-byte
+    // skip is the documented fallback — the trailing in-range code
+    // still decodes after an ODD number of junk bytes
+    assert(textOf(type0Pdf(cmapNarrow, "BT /F9 1 Tf <4040402001> Tj ET"))
+      == "���A")
   }
 
   test("fail-closed: encryption, truncation, bad xref, unsupported filter") {
