@@ -6854,6 +6854,108 @@ object Queries {
            |       CAST(cl AS BIGINT) AS col, v AS value
            |FROM cells""".stripMargin))
 
+  /** Legacy `.xls` cell extraction under the oracle (round 17,
+    * VERDICT r16 #2): REAL BIFF8 workbooks — CFB container, globals
+    * substream, SST (with a forced Continue split in the compressed
+    * lane), BoundSheet8, worksheet substreams — built by the in-repo
+    * writers at plan time, with the doc_id SPLICED into a fixed-width
+    * SST slot in-plan (the q_doc_text pattern: layout is length-
+    * invariant, one template serves every doc). Six lanes: a unicode
+    * workbook exercising every cell record type (LabelSst/Number/
+    * RK×100/MulRk/Label/BoolErr/Formula num+str), a compressed-SST
+    * workbook whose string table spans a Continue record, FilePass
+    * (encrypted) refusal, BIFF5 refusal, non-CFB junk, and a
+    * second-sheet read — refusal lanes surface as ONE all-NULL row
+    * via explode_outer. */
+  private val qXlsCells = Q("q_xls_cells",
+    (s, dir) => {
+      import graft.functions.XlsKernels
+      import graft.functions.XlsKernels._
+      val id = col("doc_id")
+      val idS = id.cast("string")
+      val m = pmod(id, lit(6))
+      def hexOf(b: Array[Byte]): String = b.map("%02x".format(_)).mkString
+      val marker = "0000000"
+      def splice(blob: Array[Byte], needle: Array[Byte],
+                 repl: Column): Column = {
+        val at = blob.indexOfSlice(needle)
+        require(at >= 0 &&
+          blob.indexOfSlice(needle, at + 1) < 0, "marker not unique")
+        concat(unhex(lit(hexOf(blob.take(at)))), repl,
+          unhex(lit(hexOf(blob.drop(at + needle.length)))))
+      }
+      val wbU = XlsKernels.build(Seq(Seq(
+        XSst(0, 0, s"xls δ $marker ✓"),
+        XNum(1, 1, 2.5),
+        XRkInt(2, 2, 123456, x100 = true),
+        XMulRk(3, 3, Seq(7, 8, 9)),
+        XLabelC(4, 4, "inline label"),
+        XBool(5, 5, v = true),
+        XErr(6, 5, 0x07),
+        XFormulaNum(7, 6, 42.0),
+        XFormulaStr(8, 6, "fx result"))))
+      val wbC = XlsKernels.build(Seq(Seq(
+        XSst(0, 0, s"$marker continued tail str"),
+        XSst(0, 1, "second sst"),
+        XNum(1, 2, -3.75),
+        XRkInt(1, 3, -42))), sstSplit = 10)
+      val wbEnc = XlsKernels.build(Seq(Seq(XNum(0, 0, 1))), filePass = true)
+      val wb5 = XlsKernels.build(Seq(Seq(XNum(0, 0, 1))), biff5 = true)
+      val wb2 = XlsKernels.build(Seq(
+        Seq(XLabelC(0, 0, "first")),
+        Seq(XLabelC(0, 0, "on sheet two"), XNum(0, 1, 9.0))))
+      val pad7 = lpad(idS, 7, "0")
+      val d0 = splice(wbU,
+        marker.getBytes(java.nio.charset.StandardCharsets.UTF_16LE),
+        encode(pad7, "UTF-16LE"))
+      val d1 = splice(wbC, marker.getBytes("ISO-8859-1"),
+        encode(pad7, "ISO-8859-1"))
+      val blob = when(m === 0, d0)
+        .when(m === 1, d1)
+        .when(m === 2, unhex(lit(hexOf(wbEnc))))
+        .when(m === 3, unhex(lit(hexOf(wb5))))
+        .when(m === 4, encode(concat(lit("not an xls "), idS), "UTF-8"))
+        .otherwise(unhex(lit(hexOf(wb2))))
+      t(s, dir, "documents")
+        .select(id.cast("bigint").as("doc_id"), m.as("__m"), blob.as("__b"))
+        .select(col("doc_id"),
+          explode_outer(when(col("__m") === 5,
+            Multimodal.xlsCells(col("__b"), 2))
+            .otherwise(Multimodal.xlsCells(col("__b")))).as("c"))
+        .select(col("doc_id"),
+          col("c.row").cast("bigint").as("row"),
+          col("c.col").cast("bigint").as("col"),
+          col("c.value").as("value"))
+    },
+    Some("""WITH c AS (
+           |  SELECT doc_id, CAST(doc_id % 6 AS INT) AS m,
+           |         lpad(CAST(doc_id AS VARCHAR), 7, '0') AS pad
+           |  FROM documents),
+           |cells AS (
+           |  SELECT doc_id, 0 AS r, 0 AS cl, 'xls δ ' || pad || ' ✓' AS v
+           |    FROM c WHERE m = 0
+           |  UNION ALL SELECT doc_id, 1, 1, '2.5' FROM c WHERE m = 0
+           |  UNION ALL SELECT doc_id, 2, 2, '1234.56' FROM c WHERE m = 0
+           |  UNION ALL SELECT doc_id, 3, 3, '7' FROM c WHERE m = 0
+           |  UNION ALL SELECT doc_id, 3, 4, '8' FROM c WHERE m = 0
+           |  UNION ALL SELECT doc_id, 3, 5, '9' FROM c WHERE m = 0
+           |  UNION ALL SELECT doc_id, 4, 4, 'inline label' FROM c WHERE m = 0
+           |  UNION ALL SELECT doc_id, 5, 5, 'TRUE' FROM c WHERE m = 0
+           |  UNION ALL SELECT doc_id, 6, 5, '#DIV/0!' FROM c WHERE m = 0
+           |  UNION ALL SELECT doc_id, 7, 6, '42' FROM c WHERE m = 0
+           |  UNION ALL SELECT doc_id, 8, 6, 'fx result' FROM c WHERE m = 0
+           |  UNION ALL SELECT doc_id, 0, 0, pad || ' continued tail str'
+           |    FROM c WHERE m = 1
+           |  UNION ALL SELECT doc_id, 0, 1, 'second sst' FROM c WHERE m = 1
+           |  UNION ALL SELECT doc_id, 1, 2, '-3.75' FROM c WHERE m = 1
+           |  UNION ALL SELECT doc_id, 1, 3, '-42' FROM c WHERE m = 1
+           |  UNION ALL SELECT doc_id, 0, 0, 'on sheet two' FROM c WHERE m = 5
+           |  UNION ALL SELECT doc_id, 0, 1, '9' FROM c WHERE m = 5
+           |  UNION ALL SELECT doc_id, NULL, NULL, NULL FROM c WHERE m IN (2, 3, 4))
+           |SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(r AS BIGINT) AS row,
+           |       CAST(cl AS BIGINT) AS col, v AS value
+           |FROM cells""".stripMargin))
+
   /** HTML table extraction under the oracle (r14): [[TF.htmlTables]]
     * over in-plan pages carrying a 3-row table with OMITTED closing
     * tags (the HTML-legal form), an `&amp;` entity in a header cell,
@@ -7481,7 +7583,7 @@ object Queries {
     qLinkExtract, qFrontierLinks, qWarcIngest, qSitemapFrontier,
     qLangIdModel, qPdfExtract, qFrontierSchedule, qImagePhash,
     qIncrementalPhash, qAudioNearDup, qIncrementalAudio, qVideoNearDup, qHtmlTables,
-    qZipExtract, qDocxText, qXlsxCells, qTarExtract, qJsonProfile, qUrlIdn, qBinaryRoute,
+    qZipExtract, qDocxText, qXlsxCells, qXlsCells, qTarExtract, qJsonProfile, qUrlIdn, qBinaryRoute,
     qSelect, qFilter, qFilterRouter,
     qJoinInner, qJoinLeft3key, qJoinRight, qJoinMultiway,
     qAgg, qDistinct, qWindowRank, qSort, qUnionDedup,

@@ -222,6 +222,18 @@ object CfbKernels {
     } catch { case _: Exception => null }
   }
 
+  /** One named stream's bytes from a CFB container, or null when the
+    * container is malformed or the stream absent — the shared access
+    * path for the Office-family kernels (.doc/.xls/.ppt). */
+  private[functions] def openStream(b: Array[Byte], name: String): Array[Byte] = {
+    if (b == null) return null
+    try {
+      val doc = new Doc(b)
+      doc.dirEntries.find(e => e.entryType == 2 && e.name == name)
+        .map(doc.streamBytes).orNull
+    } catch { case _: Exception => null }
+  }
+
   /** Text of a non-complex, unencrypted legacy `.doc`, or null. */
   def docText(b: Array[Byte]): UTF8String = {
     if (b == null) return null

@@ -161,6 +161,14 @@ object Multimodal {
     GraftBridge.column(DT(GraftBridge.expression(blob)))
   }
 
+  /** Legacy .xls BIFF8 worksheet cells (r17): flat (row, col, value),
+    * the XLSX contract over the CFB Workbook stream; NULL on damaged/
+    * encrypted/BIFF5 input or an absent sheet. */
+  def xlsCells(blob: org.apache.spark.sql.Column, sheet: Int = 1): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.{GraftBridge, XlsCells => XC}
+    GraftBridge.column(XC(GraftBridge.expression(blob), sheet))
+  }
+
   /** Parquet blob triage (r16): footer-only struct(version, num_rows,
     * n_row_groups, n_schema_elements); NULL on malformed framing. */
   def parquetMeta(blob: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {

@@ -1797,6 +1797,33 @@ case class XlsxCells(child: Expression, sheet: Int = 1)
     copy(child = newChild)
 }
 
+/** Legacy `.xls` (BIFF8) worksheet cells (round 17): the same flat
+  * (row, col, value) contract as [[XlsxCells]], decoded from the CFB
+  * `Workbook` stream; NULL for damaged/encrypted/BIFF5 blobs or a
+  * missing sheet. See [[graft.functions.XlsKernels.cells]].
+  */
+case class XlsCells(child: Expression, sheet: Int = 1)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
+  override def dataType: DataType =
+    ArrayType(graft.functions.XlsxKernels.cellSchema, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "xls_cells"
+
+  override protected def nullSafeEval(v: Any): Any =
+    graft.functions.XlsKernels.cells(v.asInstanceOf[Array[Byte]], sheet)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.XlsKernels.cells($c, $sheet);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
+
+  override protected def withNewChildInternal(newChild: Expression): XlsCells =
+    copy(child = newChild)
+}
+
 /** 64-bit perceptual dHash of an image blob — uncompressed rasters
   * (P6/P5/BMP) and, since round 15, the codec formats (PNG/JPEG/GIF/
   * TIFF) through the decoders' pixel-sink mode; NULL for undecodable,

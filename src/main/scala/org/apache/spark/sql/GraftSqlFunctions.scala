@@ -269,6 +269,15 @@ object GraftSqlFunctions {
       arity("xlsx_cells", "xlsx_cells(binary[, sheet])", 1, 2)(
         c => if (c.length == 1) XlsxCells(c(0))
              else XlsxCells(c(0), intArg(c(1), "xlsx_cells")))),
+    (FunctionIdentifier("xls_cells"),
+      info("xls_cells",
+        "xls_cells(binary[, sheet]) - legacy .xls (BIFF8) worksheet " +
+          "cells as flat (row, col, value) rows (sheet 1-based, " +
+          "default 1); NULL on damaged/encrypted/BIFF5 input or an " +
+          "absent sheet"),
+      arity("xls_cells", "xls_cells(binary[, sheet])", 1, 2)(
+        c => if (c.length == 1) XlsCells(c(0))
+             else XlsCells(c(0), intArg(c(1), "xls_cells")))),
     (FunctionIdentifier("dhash64"),
       info("dhash64",
         "dhash64(binary) - 64-bit perceptual difference hash of a " +
