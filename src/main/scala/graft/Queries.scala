@@ -6300,6 +6300,76 @@ object Queries {
            |    ELSE NULL END AS text
            |FROM documents""".stripMargin))
 
+  /** Legacy .ppt slide text under the oracle (round 17, VERDICT r16
+    * #3): REAL record trees (Document container → SlideListWithText →
+    * text atoms) in REAL CFB containers from the in-repo writers, with
+    * the doc_id SPLICED into a fixed-width slot of a text atom
+    * in-plan. Six lanes: a UTF-16 TextCharsAtom deck (CR/VT
+    * normalization exercised), a latin-1 TextBytesAtom deck, a
+    * CryptSession10 encrypted deck (refused with the container listing
+    * intact), non-CFB junk, a truncated container, and a
+    * nested-container deck — the q_doc_text contract on the third
+    * Office lane. */
+  private val qPptText = Q("q_ppt_text",
+    (s, dir) => {
+      val id = col("doc_id")
+      val idS = id.cast("string")
+      val m = pmod(id, lit(6))
+      def hexOf(b: Array[Byte]): String = b.map("%02x".format(_)).mkString
+      val marker = "0000000"
+      def splice(blob: Array[Byte], needle: Array[Byte],
+                 repl: Column): Column = {
+        val at = blob.indexOfSlice(needle)
+        require(at >= 0 &&
+          blob.indexOfSlice(needle, at + 1) < 0, "marker not unique")
+        concat(unhex(lit(hexOf(blob.take(at)))), repl,
+          unhex(lit(hexOf(blob.drop(at + needle.length)))))
+      }
+      import graft.functions.PptKernels
+      val deckU = PptKernels.build(
+        PptKernels.textChars(s"Deck δ $marker ✓"),
+        PptKernels.textChars("line one\rline\u000Btwo"))
+      val deckB = PptKernels.build(
+        PptKernels.textBytes(s"bytes $marker deck"),
+        PptKernels.textBytes("tail"))
+      val deckE = PptKernels.build(
+        PptKernels.textBytes("secret"), PptKernels.cryptSession())
+      val deckN = PptKernels.build(
+        PptKernels.container(0x03EE,
+          PptKernels.container(0x0FC8, PptKernels.textBytes("deep text"))),
+        PptKernels.textChars("after"))
+      val pad7 = lpad(idS, 7, "0")
+      val d0 = splice(deckU,
+        marker.getBytes(java.nio.charset.StandardCharsets.UTF_16LE),
+        encode(pad7, "UTF-16LE"))
+      val d1 = splice(deckB, marker.getBytes("ISO-8859-1"),
+        encode(pad7, "ISO-8859-1"))
+      val blob = when(m === 0, d0)
+        .when(m === 1, d1)
+        .when(m === 2, unhex(lit(hexOf(deckE))))
+        .when(m === 3, encode(concat(lit("not a ppt "), idS), "UTF-8"))
+        .when(m === 4, unhex(lit(hexOf(deckU.take(400)))))
+        .otherwise(unhex(lit(hexOf(deckN))))
+      t(s, dir, "documents")
+        .select(id.cast("bigint").as("doc_id"), blob.as("__b"))
+        .select(col("doc_id"),
+          size(Multimodal.cfbEntries(col("__b"))).cast("bigint").as("n_entries"),
+          Multimodal.pptText(col("__b")).as("text"))
+    },
+    Some("""SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           |  CAST(CASE doc_id % 6
+           |    WHEN 0 THEN 3 WHEN 1 THEN 3 WHEN 2 THEN 3 WHEN 5 THEN 3
+           |    ELSE NULL END AS BIGINT) AS n_entries,
+           |  CASE doc_id % 6
+           |    WHEN 0 THEN 'Deck δ ' || lpad(CAST(doc_id AS VARCHAR), 7, '0')
+           |                || ' ✓' || chr(10) || 'line one' || chr(10)
+           |                || 'line' || chr(10) || 'two'
+           |    WHEN 1 THEN 'bytes ' || lpad(CAST(doc_id AS VARCHAR), 7, '0')
+           |                || ' deck' || chr(10) || 'tail'
+           |    WHEN 5 THEN 'deep text' || chr(10) || 'after'
+           |    ELSE NULL END AS text
+           |FROM documents""".stripMargin))
+
   private val qBinaryRoute = Q("q_binary_route",
     (s, dir) => {
       val id = col("doc_id")
@@ -6414,11 +6484,29 @@ object Queries {
       // length, which the oracle recomputes arithmetically
       val zPayload = encode(concat(lit("zstd doc "), idS), "UTF-8")
       val zstdBlob = zstdStoreFrameCol(zPayload)
-      // cfb (round 16): a REAL v3 compound file (.doc shape) from the
-      // in-repo writer — detail = directory entry count
+      // cfb (round 16, subkinds r17): REAL v3 compound files from the
+      // in-repo writers. The CFB magic alone says "Office-era
+      // container"; the directory names say WHICH lane — .doc
+      // (detail = text length), .xls (detail = cell count), .ppt
+      // (detail = text length), or a bare container (detail = entry
+      // count).
       val cfbHex = graft.functions.CfbKernels.buildDoc(
         "router doc", unicode = false,
         extra = Seq("1Table" -> Array.fill[Byte](32)(5)))
+        .map("%02x".format(_)).mkString
+      val xlsHex = {
+        import graft.functions.XlsKernels
+        XlsKernels.build(Seq(Seq(
+          XlsKernels.XSst(0, 0, "router xls"),
+          XlsKernels.XNum(1, 1, 5.0),
+          XlsKernels.XRkInt(2, 2, 7)))).map("%02x".format(_)).mkString
+      }
+      val pptHex = graft.functions.PptKernels.build(
+        graft.functions.PptKernels.textBytes("router deck"))
+        .map("%02x".format(_)).mkString
+      val cfbPlainHex = graft.functions.CfbKernels.build(Seq(
+        "Data" -> Array.fill[Byte](100)(1),
+        "Meta" -> "plain cfb".getBytes("UTF-8")))
         .map("%02x".format(_)).mkString
       // parquet (round 16, the r15 stretch lane): a REAL file written
       // by Spark's own writer at plan build — triage reads only the
@@ -6432,7 +6520,7 @@ object Queries {
         java.nio.file.Files.readAllBytes(part.toPath)
           .map("%02x".format(_)).mkString
       }
-      val m9 = pmod(id, lit(11))
+      val m9 = pmod(id, lit(14))
       val blob = when(m9 === 0, unhex(lit(pdfHex)))
         .when(m9 === 1, unhex(lit(zipHex)))
         .when(m9 === 2, unhex(lit(tarHex)))
@@ -6443,6 +6531,9 @@ object Queries {
         .when(m9 === 7, zstdBlob)
         .when(m9 === 8, unhex(lit(cfbHex)))
         .when(m9 === 9, unhex(lit(pqHex)))
+        .when(m9 === 10, unhex(lit(xlsHex)))
+        .when(m9 === 11, unhex(lit(pptHex)))
+        .when(m9 === 12, unhex(lit(cfbPlainHex)))
         .otherwise(encode(concat(lit("junk "), id.cast("string")), "UTF-8"))
       // MAGIC dispatch FIRST, then exactly ONE kernel per row inside a
       // lazily-evaluated CASE branch — running every parser on every
@@ -6468,7 +6559,22 @@ object Queries {
             .when(substring(col("__b"), 1, 4) === unhex(lit("28b52ffd")),
               lit("zstd"))
             .when(substring(col("__b"), 1, 8) === unhex(lit("d0cf11e0a1b11ae1")),
-              lit("cfb"))
+              // the magic says "Office-era container"; the directory
+              // names say which Office lane (r17). Identical
+              // cfb_entries calls collapse under codegen subexpression
+              // elimination — one walk per row.
+              coalesce(
+                when(array_contains(transform(
+                  Multimodal.cfbEntries(col("__b")),
+                  e => e.getField("name")), "Workbook"), lit("xls"))
+                  .when(array_contains(transform(
+                    Multimodal.cfbEntries(col("__b")),
+                    e => e.getField("name")), "WordDocument"), lit("doc"))
+                  .when(array_contains(transform(
+                    Multimodal.cfbEntries(col("__b")),
+                    e => e.getField("name")), "PowerPoint Document"),
+                    lit("ppt")),
+                lit("cfb")))
             .when(substring(col("__b"), 1, 4) === encode(lit("PAR1"), "UTF-8"),
               lit("parquet"))
             .otherwise(lit("unknown")).as("__mk"))
@@ -6489,6 +6595,12 @@ object Queries {
               size(Multimodal.tarEntries(col("__b"))).cast("bigint"))
             .when(col("__mk") === "zstd",
               length(Multimodal.zstdDecompress(col("__b"))).cast("bigint"))
+            .when(col("__mk") === "doc",
+              length(Multimodal.docText(col("__b"))).cast("bigint"))
+            .when(col("__mk") === "xls",
+              size(Multimodal.xlsCells(col("__b"))).cast("bigint"))
+            .when(col("__mk") === "ppt",
+              length(Multimodal.pptText(col("__b"))).cast("bigint"))
             .when(col("__mk") === "cfb",
               size(Multimodal.cfbEntries(col("__b"))).cast("bigint"))
             .when(col("__mk") === "parquet",
@@ -6501,18 +6613,21 @@ object Queries {
           col("detail"))
     },
     Some("""SELECT CAST(doc_id AS BIGINT) AS doc_id,
-           |  CASE doc_id % 11
+           |  CASE doc_id % 14
            |    WHEN 0 THEN 'pdf' WHEN 1 THEN 'zip' WHEN 2 THEN 'tar'
            |    WHEN 3 THEN 'gzip' WHEN 4 THEN 'image' WHEN 5 THEN 'audio'
-           |    WHEN 6 THEN 'avro' WHEN 7 THEN 'zstd' WHEN 8 THEN 'cfb'
-           |    WHEN 9 THEN 'parquet'
+           |    WHEN 6 THEN 'avro' WHEN 7 THEN 'zstd' WHEN 8 THEN 'doc'
+           |    WHEN 9 THEN 'parquet' WHEN 10 THEN 'xls' WHEN 11 THEN 'ppt'
+           |    WHEN 12 THEN 'cfb'
            |    ELSE 'unknown' END AS kind,
-           |  CAST(CASE doc_id % 11
+           |  CAST(CASE doc_id % 14
            |    WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 1
            |    WHEN 3 THEN 19 WHEN 4 THEN 1 WHEN 5 THEN 8000
            |    WHEN 6 THEN 5
            |    WHEN 7 THEN length('zstd doc ' || doc_id)
-           |    WHEN 8 THEN 3 WHEN 9 THEN 7
+           |    WHEN 8 THEN length('router doc') WHEN 9 THEN 7
+           |    WHEN 10 THEN 3 WHEN 11 THEN length('router deck')
+           |    WHEN 12 THEN 3
            |    ELSE NULL END AS BIGINT) AS detail
            |FROM documents""".stripMargin))
 
@@ -7608,7 +7723,7 @@ object Queries {
     qSampleGroup, qSampleBernoulli, qSampleWeighted, qSampleWeightedGroup, qScd2Multi, qSnapshotDiff, qTrainingOrder, qBlocklist,
     qApproxTopk, qAudioFeatures, qAudioG711, qAudioAdpcm, qAudioContainers,
     qAudioExtensible, qIncrementalEmbedding, qSplitClusterSafe,
-    qIngestRouted, qBinaryIngest, qDocText, qBloomLookup, qLineDedupWithin, qProfile, qJpegFeatures,
+    qIngestRouted, qBinaryIngest, qDocText, qPptText, qBloomLookup, qLineDedupWithin, qProfile, qJpegFeatures,
     qRepeatMixture, qScd2Lookup, qVideoStats, qVideoFrames,
     qCdcChunks, qCdcDedup, qNormalizeText, qIncrementalCdc, qOrcRoundtrip,
     qPageRank, qPngFeatures, qGifFeatures, qGifFrames, qTiffFeatures,

@@ -161,6 +161,14 @@ object Multimodal {
     GraftBridge.column(DT(GraftBridge.expression(blob)))
   }
 
+  /** Legacy .ppt slide text (r17): TextCharsAtom/TextBytesAtom walk
+    * of the PowerPoint Document stream, newline-joined; NULL for
+    * encrypted or malformed decks. */
+  def pptText(blob: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.{GraftBridge, PptText => PT}
+    GraftBridge.column(PT(GraftBridge.expression(blob)))
+  }
+
   /** Legacy .xls BIFF8 worksheet cells (r17): flat (row, col, value),
     * the XLSX contract over the CFB Workbook stream; NULL on damaged/
     * encrypted/BIFF5 input or an absent sheet. */

@@ -1985,6 +1985,32 @@ case class DocText(child: Expression)
     copy(child = newChild)
 }
 
+/** Legacy `.ppt` text (round 17): TextCharsAtom/TextBytesAtom
+  * contents of the PowerPoint Document record tree, newline-joined;
+  * NULL for encrypted (CryptSession10Container) or malformed decks.
+  * See [[graft.functions.PptKernels.pptText]].
+  */
+case class PptText(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def prettyName: String = "ppt_text"
+
+  override protected def nullSafeEval(v: Any): Any =
+    graft.functions.PptKernels.pptText(v.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.PptKernels.pptText($c);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
+
+  override protected def withNewChildInternal(newChild: Expression): PptText =
+    copy(child = newChild)
+}
+
 object ParquetMeta {
   val schema: StructType = StructType(Seq(
     StructField("version", IntegerType, nullable = false),

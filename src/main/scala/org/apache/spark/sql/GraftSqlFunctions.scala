@@ -312,6 +312,13 @@ object GraftSqlFunctions {
           "unencrypted WordDocument stream); NULL otherwise"),
       arity("doc_text", "doc_text(binary)", 1, 1)(
         c => DocText(c(0)))),
+    (FunctionIdentifier("ppt_text"),
+      info("ppt_text",
+        "ppt_text(binary) - legacy PowerPoint .ppt slide text " +
+          "(TextCharsAtom/TextBytesAtom walk, newline-joined); NULL " +
+          "for encrypted or malformed decks"),
+      arity("ppt_text", "ppt_text(binary)", 1, 1)(
+        c => PptText(c(0)))),
     (FunctionIdentifier("parquet_meta"),
       info("parquet_meta",
         "parquet_meta(binary) - footer-only parquet triage: " +
