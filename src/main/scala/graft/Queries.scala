@@ -6370,6 +6370,57 @@ object Queries {
            |    ELSE NULL END AS text
            |FROM documents""".stripMargin))
 
+  /** Zstd DICTIONARY frames under the oracle (round 17, RFC 8878 §5):
+    * reference-encoder fixtures (CLI-trained 1 KB structured
+    * dictionary + frames, vendored by tools/zstd_dict_fixtures.py
+    * into [[graft.functions.ZstdDictFixture]]) decode in-plan through
+    * the 2-arg `zstd_decompress`. Six lanes: three structured-dict
+    * frames (two levels), a raw-content-dictionary frame, a
+    * declared-dictionary frame WITHOUT its dictionary (refused), and
+    * an ID-mismatched dictionary (refused) — the oracle replays the
+    * known payload strings. */
+  private val qZstdDict = Q("q_zstd_dict",
+    (s, dir) => {
+      import graft.functions.ZstdDictFixture
+      val id = col("doc_id")
+      val m = pmod(id, lit(6))
+      val dict = unhex(lit(ZstdDictFixture.dictHex))
+      // embedded-ID mismatch: Dictionary_ID lives at dict bytes 4-7
+      val wrongDict = unhex(lit {
+        val h = ZstdDictFixture.dictHex.toCharArray
+        h(8) = if (h(8) == 'f') '0' else 'f'
+        new String(h)
+      })
+      val blob = when(m === 0 || m === 4 || m === 5,
+        unhex(lit(ZstdDictFixture.frame0Hex)))
+        .when(m === 1, unhex(lit(ZstdDictFixture.frame1Hex)))
+        .when(m === 2, unhex(lit(ZstdDictFixture.frame2Hex)))
+        .otherwise(unhex(lit(ZstdDictFixture.rawFrameHex)))
+      val dec = when(m === 4, Multimodal.zstdDecompress(col("__b")))
+        .when(m === 5, Multimodal.zstdDecompress(col("__b"), wrongDict))
+        .when(m === 3, Multimodal.zstdDecompress(col("__b"),
+          unhex(lit(ZstdDictFixture.rawDictHex))))
+        .otherwise(Multimodal.zstdDecompress(col("__b"), dict))
+      t(s, dir, "documents")
+        .select(id.cast("bigint").as("doc_id"), m.as("__m"), blob.as("__b"))
+        .select(col("doc_id"), dec.cast("string").as("text"),
+          length(dec).cast("bigint").as("n_bytes"))
+    },
+    Some(s"""SELECT CAST(doc_id AS BIGINT) AS doc_id,
+            |  CASE doc_id % 6
+            |    WHEN 0 THEN '${graft.functions.ZstdDictFixture.payload0}'
+            |    WHEN 1 THEN '${graft.functions.ZstdDictFixture.payload1}'
+            |    WHEN 2 THEN '${graft.functions.ZstdDictFixture.payload2}'
+            |    WHEN 3 THEN '${graft.functions.ZstdDictFixture.payload1}'
+            |    ELSE NULL END AS text,
+            |  CAST(CASE doc_id % 6
+            |    WHEN 0 THEN ${graft.functions.ZstdDictFixture.payload0.length}
+            |    WHEN 1 THEN ${graft.functions.ZstdDictFixture.payload1.length}
+            |    WHEN 2 THEN ${graft.functions.ZstdDictFixture.payload2.length}
+            |    WHEN 3 THEN ${graft.functions.ZstdDictFixture.payload1.length}
+            |    ELSE NULL END AS BIGINT) AS n_bytes
+            |FROM documents""".stripMargin))
+
   private val qBinaryRoute = Q("q_binary_route",
     (s, dir) => {
       val id = col("doc_id")
@@ -7699,6 +7750,7 @@ object Queries {
     qLangIdModel, qPdfExtract, qFrontierSchedule, qImagePhash,
     qIncrementalPhash, qAudioNearDup, qIncrementalAudio, qVideoNearDup, qHtmlTables,
     qZipExtract, qDocxText, qXlsxCells, qXlsCells, qTarExtract, qJsonProfile, qUrlIdn, qBinaryRoute,
+    qZstdDict,
     qSelect, qFilter, qFilterRouter,
     qJoinInner, qJoinLeft3key, qJoinRight, qJoinMultiway,
     qAgg, qDistinct, qWindowRank, qSort, qUnionDedup,

@@ -12,8 +12,12 @@ package graft.functions
   *  - frame header: all FCS field sizes, single-segment and windowed,
   *    XXH64 content checksum VERIFIED when present (own [[xxh64]] —
   *    the public XXH64 algorithm);
-  *  - dictionaries REFUSED (Dictionary_ID ≠ 0 → null): a content-only
-  *    decode would be silently wrong;
+  *  - dictionaries (r17, §5): structured (entropy tables + recent
+  *    offsets + content, embedded ID checked against the frame's
+  *    Dictionary_ID) and raw-content forms decode when the dictionary
+  *    blob is supplied; a frame declaring Dictionary_ID ≠ 0 WITHOUT a
+  *    supplied dictionary is still refused — a content-only decode
+  *    would be silently wrong;
   *  - blocks: Raw, RLE, Compressed;
   *  - literals: Raw, RLE, Huffman-compressed (1- and 4-stream, direct
   *    4-bit weights and FSE-compressed weights), Treeless (previous
@@ -434,6 +438,11 @@ object ZstdKernels {
       java.util.Arrays.fill(buf, size, size + len, v)
       size += len
     }
+    /** Dictionary content prepended to the match history (r17, RFC
+      * 8878 §5): offsets past the decoded output read its tail. */
+    var hist: Array[Byte] = null
+    def histLen: Long = if (hist == null) 0L else hist.length.toLong
+
     /** Copy `len` bytes from `offset` back (byte-wise: overlap legal). */
     def selfCopy(offset: Long, len: Int): Unit = {
       if (offset <= 0 || offset > size) throw Bad
@@ -443,6 +452,55 @@ object ZstdKernels {
       while (i < len) { buf(size + i) = buf(from + i); i += 1 }
       size += len
     }
+
+    /** Match copy whose source starts inside the dictionary content
+      * (offset > size); walks byte-wise so a match can span from the
+      * dictionary into freshly decoded output. */
+    def historyCopy(offset: Long, len: Int): Unit = {
+      if (offset <= 0 || offset > size + histLen) throw Bad
+      ensure(len)
+      var i = 0
+      while (i < len) {
+        val src = size - offset // negative → dictionary tail
+        buf(size) =
+          if (src >= 0) buf(src.toInt)
+          else hist(hist.length + src.toInt)
+        size += 1
+        i += 1
+      }
+    }
+  }
+
+  // -----------------------------------------------------------------
+  // dictionaries (r17, RFC 8878 §5): magic 0xEC30A437 → Dictionary_ID,
+  // entropy tables (Huffman literals, then FSE offsets / match
+  // lengths / literals lengths), three recent offsets, content; a blob
+  // without the magic is a RAW content dictionary (history only).
+  // -----------------------------------------------------------------
+  private final class Dict(val dictId: Long, val content: Array[Byte],
+                           val huff: HuffTable, val ll: FseTable,
+                           val of: FseTable, val ml: FseTable,
+                           val rep1: Long, val rep2: Long, val rep3: Long,
+                           val structured: Boolean)
+
+  private def parseDict(d: Array[Byte]): Dict = {
+    if (d == null || d.length == 0) throw Bad
+    if (d.length < 8 || leI(d, 0) != 0xEC30A437L)
+      return new Dict(0L, d, null, null, null, null, 1L, 4L, 8L,
+        structured = false)
+    val dictId = leI(d, 4)
+    var pos = 8
+    val (huffT, p1) = huffRead(d, pos, d.length); pos = p1
+    val (ofT, p2) = fseRead(d, pos, d.length, 8, 31); pos = p2
+    val (mlT, p3) = fseRead(d, pos, d.length, 9, 52); pos = p3
+    val (llT, p4) = fseRead(d, pos, d.length, 9, 35); pos = p4
+    if (pos + 12 > d.length) throw Bad
+    val r1 = leI(d, pos); val r2 = leI(d, pos + 4); val r3 = leI(d, pos + 8)
+    if (r1 <= 0 || r2 <= 0 || r3 <= 0) throw Bad
+    pos += 12
+    val content = java.util.Arrays.copyOfRange(d, pos, d.length)
+    new Dict(dictId, content, huffT, llT, ofT, mlT, r1, r2, r3,
+      structured = true)
   }
 
   // -----------------------------------------------------------------
@@ -621,9 +679,13 @@ object ZstdKernels {
       if (litPos + litLen > lits.length) throw Bad
       buf.append(lits, litPos, litLen)
       litPos += litLen
-      if (offset > buf.size - windowBase + 0L && offset > windowSize) throw Bad
-      if (offset > buf.size) throw Bad
-      buf.selfCopy(offset, matchLen)
+      // dictionary content extends the reachable history (§5): offsets
+      // may run up to Window_Size + dictionary length back
+      if (offset > buf.size - windowBase + buf.histLen &&
+          offset > windowSize + buf.histLen) throw Bad
+      if (offset > buf.size + buf.histLen) throw Bad
+      if (offset > buf.size) buf.historyCopy(offset, matchLen)
+      else buf.selfCopy(offset, matchLen)
       seq += 1
       if (seq < nbSeq) {
         llS = llT.base(llS) + bits.read(llT.nbBits(llS))
@@ -643,9 +705,17 @@ object ZstdKernels {
   /** Decompress one or more concatenated zstd frames (skippable frames
     * skipped); null on any corruption, dictionary requirement,
     * checksum mismatch, or the cap. */
-  def decompress(b: Array[Byte]): Array[Byte] = {
+  def decompress(b: Array[Byte]): Array[Byte] = decompress(b, null)
+
+  /** Dictionary form (r17, RFC 8878 §5): `dict` may be a structured
+    * dictionary (magic 0xEC30A437 — entropy tables + recent offsets +
+    * content; a frame's non-zero Dictionary_ID must match its ID) or
+    * raw content (history only). Frames with Dictionary_ID ≠ 0 and no
+    * supplied dictionary are still refused. */
+  def decompress(b: Array[Byte], dictBytes: Array[Byte]): Array[Byte] = {
     if (b == null || b.length == 0) return null
     try {
+      val dict = if (dictBytes == null) null else parseDict(dictBytes)
       val out = new java.io.ByteArrayOutputStream(math.min(b.length * 4, 1 << 20))
       var pos = 0
       var frames = 0
@@ -658,7 +728,7 @@ object ZstdKernels {
           if (pos + 8 + sz > b.length) throw Bad
           pos += 8 + sz.toInt
         } else if (magic == 0xfd2fb528L) {
-          pos = frame(b, pos + 4, out)
+          pos = frame(b, pos + 4, out, dict)
           frames += 1
         } else throw Bad
       }
@@ -668,7 +738,7 @@ object ZstdKernels {
   }
 
   private def frame(b: Array[Byte], start: Int,
-                    out: java.io.ByteArrayOutputStream): Int = {
+                    out: java.io.ByteArrayOutputStream, dict: Dict): Int = {
     var pos = start
     if (pos >= b.length) throw Bad
     val fhd = b(pos) & 0xff; pos += 1
@@ -694,7 +764,12 @@ object ZstdKernels {
     var i = 0
     while (i < didBytes) { dictId |= (b(pos + i) & 0xffL) << (8 * i); i += 1 }
     pos += didBytes
-    if (dictId != 0) throw Bad
+    // a declared dictionary requires a supplied one whose embedded ID
+    // matches (raw dictionaries carry no ID to check); content-only
+    // decodes of dictionary frames would be silently wrong
+    if (dictId != 0 &&
+        (dict == null || (dict.structured && dict.dictId != dictId)))
+      throw Bad
     val fcsBytes = fcsFlag match {
       case 0 => if (singleSegment) 1 else 0
       case 1 => 2; case 2 => 4; case _ => 8
@@ -712,6 +787,12 @@ object ZstdKernels {
     if (fcs > MaxOut || windowSize > MaxOut) throw Bad
     val st = new FrameState
     val buf = new GrowBuf
+    if (dict != null) {
+      buf.hist = dict.content
+      st.huff = dict.huff
+      st.ll = dict.ll; st.of = dict.of; st.ml = dict.ml
+      st.rep1 = dict.rep1; st.rep2 = dict.rep2; st.rep3 = dict.rep3
+    }
     var last = false
     while (!last) {
       if (pos + 3 > b.length) throw Bad

@@ -139,6 +139,16 @@ object Multimodal {
     GraftBridge.column(ZD(GraftBridge.expression(blob)))
   }
 
+  /** Dictionary-frame zstd decode (r17, RFC 8878 §5): `dict` is a
+    * structured or raw-content dictionary blob; frames declaring a
+    * Dictionary_ID are checked against its embedded ID. */
+  def zstdDecompress(blob: org.apache.spark.sql.Column,
+                     dict: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.{GraftBridge, ZstdDecompressDict => ZDD}
+    GraftBridge.column(ZDD(
+      GraftBridge.expression(blob), GraftBridge.expression(dict)))
+  }
+
   /** Brotli decompression (r16, RFC 7932 pure-JVM decoder): full
     * format incl. static dictionary + transforms; NULL on any
     * corruption. */

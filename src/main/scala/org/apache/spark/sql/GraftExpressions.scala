@@ -2159,6 +2159,36 @@ case class ZstdDecompress(child: Expression)
     copy(child = newChild)
 }
 
+/** Dictionary-frame Zstandard decompression (round 17, RFC 8878 §5):
+  * `right` is the dictionary blob — structured (magic 0xEC30A437,
+  * entropy tables + recent offsets + content, embedded ID checked
+  * against the frame's Dictionary_ID) or raw content. NULL on any
+  * corruption, ID mismatch, or a NULL dictionary.
+  * See [[graft.functions.ZstdKernels.decompress]].
+  */
+case class ZstdDecompressDict(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType, BinaryType)
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def prettyName: String = "zstd_decompress"
+
+  override protected def nullSafeEval(v: Any, d: Any): Any =
+    graft.functions.ZstdKernels.decompress(
+      v.asInstanceOf[Array[Byte]], d.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (c, d) => s"""
+      ${ev.value} = graft.functions.ZstdKernels.decompress($c, $d);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ZstdDecompressDict =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Brotli decompression (round 16, RFC 7932 — pure-JVM decoder): the
   * full format incl. the static dictionary with all 121 transforms,
   * context modeling and block switching; inflation-capped; NULL on

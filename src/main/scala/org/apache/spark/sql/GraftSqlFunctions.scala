@@ -346,11 +346,13 @@ object GraftSqlFunctions {
         c => Gunzip(c(0)))),
     (FunctionIdentifier("zstd_decompress"),
       info("zstd_decompress",
-        "zstd_decompress(binary) - Zstandard decompression (RFC 8878: " +
-          "multi-frame, checksum-verified, dictionaries refused); NULL " +
-          "on any corruption"),
-      arity("zstd_decompress", "zstd_decompress(binary)", 1, 1)(
-        c => ZstdDecompress(c(0)))),
+        "zstd_decompress(binary[, dict]) - Zstandard decompression " +
+          "(RFC 8878: multi-frame, checksum-verified; structured or " +
+          "raw dictionaries via the 2-arg form, declared-but-missing " +
+          "dictionaries refused); NULL on any corruption"),
+      arity("zstd_decompress", "zstd_decompress(binary[, dict])", 1, 2)(
+        c => if (c.length == 1) ZstdDecompress(c(0))
+             else ZstdDecompressDict(c(0), c(1)))),
     (FunctionIdentifier("brotli_decompress"),
       info("brotli_decompress",
         "brotli_decompress(binary) - Brotli decompression (RFC 7932: " +

@@ -138,6 +138,96 @@ class ZstdSpec extends AnyFunSuite {
     assert(ZstdKernels.decompress(null) == null)
   }
 
+  test("dictionary frames (r17, RFC 8878 §5): CLI-trained structured " +
+    "dictionaries and raw-content dictionaries round-trip; ID mismatch, " +
+    "corrupt entropy section, and missing dictionary refuse") {
+    assume(cli.isDefined, "no zstd CLI in this environment")
+    val dir = java.nio.file.Files.createTempDirectory("zdict")
+    val rnd = new scala.util.Random(0x8878)
+    val words = Seq("the", "crawl", "pipeline", "ingests", "terabytes",
+      "of", "documents", "with", "shared", "headers", "zstd",
+      "dictionary", "compression", "benefits", "small", "records")
+    val samples = (1 to 50).map { i =>
+      val p = dir.resolve(s"s$i.txt")
+      val body = (0 until 150).map(_ => words(rnd.nextInt(words.size)))
+        .mkString(" ")
+      java.nio.file.Files.write(p, body.getBytes("US-ASCII"))
+      p.toString
+    }
+    val dictPath = dir.resolve("dict.bin")
+    val train = new ProcessBuilder(
+      (Seq(cli.get, "-q", "--train") ++ samples ++
+        Seq("-o", dictPath.toString)): _*).start()
+    assert(train.waitFor() == 0, "zstd --train failed")
+    val dict = java.nio.file.Files.readAllBytes(dictPath)
+    assert((dict(0) & 0xff) == 0x37 && (dict(3) & 0xff) == 0xec,
+      "trained dictionary missing the structured magic")
+    def dCompress(data: Array[Byte], dPath: String, lvl: String): Array[Byte] = {
+      val in = dir.resolve("in.raw"); val out = dir.resolve("out.zst")
+      java.nio.file.Files.write(in, data)
+      val p = new ProcessBuilder(cli.get, "-f", "-q", lvl, "-D", dPath,
+        in.toString, "-o", out.toString).inheritIO().start()
+      assert(p.waitFor() == 0, "zstd -D compress failed")
+      java.nio.file.Files.readAllBytes(out)
+    }
+    val payloads = Seq(
+      "short shared headers doc",
+      ("the crawl pipeline ingests documents " * 40) + "tail",
+      (0 until 4000).map(_ => words(rnd.nextInt(words.size))).mkString(" "))
+      .map(_.getBytes("US-ASCII"))
+    for (data <- payloads; lvl <- Seq("-1", "-3", "-19")) {
+      val comp = dCompress(data, dictPath.toString, lvl)
+      // without the dictionary: refused (declared Dictionary_ID)
+      assert(ZstdKernels.decompress(comp) == null,
+        "dictionary frame decoded without its dictionary")
+      val dec = ZstdKernels.decompress(comp, dict)
+      assert(dec != null && java.util.Arrays.equals(dec, data),
+        s"structured-dict roundtrip failed lvl=$lvl n=${data.length}")
+    }
+    // raw-content dictionary (no magic): history-only
+    val rawDict = ("shared headers the crawl pipeline ingests " * 30)
+      .getBytes("US-ASCII")
+    val rawPath = dir.resolve("raw.dict")
+    java.nio.file.Files.write(rawPath, rawDict)
+    for (data <- payloads) {
+      val comp = dCompress(data, rawPath.toString, "-19")
+      val dec = ZstdKernels.decompress(comp, rawDict)
+      assert(dec != null && java.util.Arrays.equals(dec, data),
+        "raw-dict roundtrip failed")
+    }
+    // embedded-ID mismatch: flip a Dictionary_ID byte in the dict
+    val otherDict = dict.clone()
+    otherDict(4) = (otherDict(4) ^ 0x5a).toByte
+    val comp0 = dCompress(payloads(1), dictPath.toString, "-19")
+    assert(ZstdKernels.decompress(comp0, otherDict) == null,
+      "ID-mismatched dictionary accepted")
+    // corrupt entropy section: must refuse, never throw
+    var i = 0
+    while (i < 200) {
+      val mut = dict.clone()
+      val at = 8 + rnd.nextInt(64)
+      mut(at) = (mut(at) ^ (1 << rnd.nextInt(8))).toByte
+      ZstdKernels.decompress(comp0, mut) // null or correct, no throw
+      i += 1
+    }
+    // wrong-content raw dict on a checksummed frame: checksum catches it
+    val compRaw = dCompress(payloads(1), rawPath.toString, "-19")
+    val wrongRaw = rawDict.map(b => (b ^ 1).toByte)
+    assert(ZstdKernels.decompress(compRaw, wrongRaw) == null,
+      "wrong raw dictionary produced silently accepted output")
+    // SQL 2-arg form
+    val spark = SparkSpec.session
+    import spark.implicits._
+    val df = Seq((1, comp0, dict), (2, comp0, null.asInstanceOf[Array[Byte]]))
+      .toDF("id", "b", "d")
+    df.createOrReplaceTempView("zd_t")
+    val rows = spark.sql(
+      "SELECT id, CAST(zstd_decompress(b, d) AS STRING) AS t FROM zd_t " +
+        "ORDER BY id").collect()
+    assert(rows(0).getString(1) == new String(payloads(1), "US-ASCII"))
+    assert(rows(1).isNullAt(1))
+  }
+
   test("in-plan store frame (zstdStoreFrameCol) chunks >128 KB payloads " +
     "into spec-valid raw blocks the reference CLI accepts") {
     // r15 ADVICE: the single-block form overflowed the 21-bit
