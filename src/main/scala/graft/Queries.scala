@@ -7575,7 +7575,32 @@ object Queries {
           got.toString == "Unijklé✓\nlatin tail",
           s"type0 fixture extraction drifted: $got")
       }
-      val blob = when(pmod(id, lit(7)) === 3, unhex(lit(type0PdfHex)))
+      // round 17: ENCRYPTED lanes (standard security handler, empty
+      // user password — the owner-password-only majority) — RC4-128,
+      // AES-128+Flate, and a real-user-password document the decoder
+      // must refuse while meta still reports encrypted=true
+      import graft.functions.PdfKernels
+      def hexB(b: Array[Byte]): String = b.map("%02x".format(_)).mkString
+      val encRc4Hex = hexB(PdfKernels.buildEncryptedFixture(
+        "BT (rc4 secure page) Tj ET", 2, 3, 16, aes = false))
+      val encAesHex = hexB(PdfKernels.buildEncryptedFixture(
+        "BT (aes secure page) Tj ET", 4, 4, 16, aes = true, flate = true))
+      val encLockedHex = hexB(PdfKernels.buildEncryptedFixture(
+        "BT (locked away) Tj ET", 2, 3, 16, aes = false, flipU = true))
+      locally { // fixture honesty: decrypt works, wrong password refuses
+        def un(h: String) = h.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+        require(Option(PdfKernels.text(un(encRc4Hex)))
+          .exists(_.toString == "rc4 secure page"), "rc4 fixture drifted")
+        require(Option(PdfKernels.text(un(encAesHex)))
+          .exists(_.toString == "aes secure page"), "aes fixture drifted")
+        require(PdfKernels.text(un(encLockedHex)) == null,
+          "locked fixture unexpectedly decrypted")
+      }
+      val e11 = pmod(id, lit(11))
+      val blob = when(e11 === 5, unhex(lit(encRc4Hex)))
+        .when(e11 === 7, unhex(lit(encAesHex)))
+        .when(e11 === 9, unhex(lit(encLockedHex)))
+        .when(pmod(id, lit(7)) === 3, unhex(lit(type0PdfHex)))
         .when(m5 === 1, unhex(lit(flatePdfHex)))
         .when(m5 === 3, unhex(lit(lzwPdfHex)))
         .when(m5 === 4, unhex(lit(a85PdfHex)))
@@ -7591,15 +7616,19 @@ object Queries {
     },
     Some("""WITH c AS (
            |  SELECT doc_id, doc_id % 5 AS m5, doc_id % 6 = 0 AS tr,
-           |         doc_id % 7 = 3 AS t0,
+           |         doc_id % 7 = 3 AS t0, doc_id % 11 AS e11,
            |         ['alpha','beta','gamma','delta','omega']
            |           [CAST(doc_id % 5 AS INT) + 1] AS word
            |  FROM documents)
            |SELECT CAST(doc_id AS BIGINT) AS doc_id,
-           |  CASE WHEN tr THEN NULL WHEN t0 THEN '1.7' ELSE '1.4' END AS version,
+           |  CASE WHEN tr THEN NULL WHEN e11 IN (5, 7, 9) THEN '1.6'
+           |       WHEN t0 THEN '1.7' ELSE '1.4' END AS version,
            |  CAST(CASE WHEN tr THEN NULL ELSE 1 END AS BIGINT) AS n_pages,
-           |  CASE WHEN tr THEN NULL ELSE false END AS encrypted,
+           |  CASE WHEN tr THEN NULL ELSE e11 IN (5, 7, 9) END AS encrypted,
            |  CASE WHEN tr THEN NULL
+           |       WHEN e11 = 5 THEN 'rc4 secure page'
+           |       WHEN e11 = 7 THEN 'aes secure page'
+           |       WHEN e11 = 9 THEN NULL
            |       WHEN t0 THEN 'Unijklé✓' || chr(10) || 'latin tail'
            |       WHEN m5 = 1 THEN 'flate fixture page'
            |       WHEN m5 = 3 THEN 'lzw fixture page'

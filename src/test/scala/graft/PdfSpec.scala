@@ -441,6 +441,112 @@ class PdfSpec extends SparkSpec {
       == "���A")
   }
 
+  /** An encrypted single-page PDF (standard security handler): /O is
+    * derived from a REAL owner password via Algorithm 3, /U from the
+    * empty user password via Algorithms 4/5, and the content stream is
+    * encrypted per Algorithm 1 — a faithful owner-password-only
+    * document of the kind the r16 verdict flagged as the encrypted
+    * majority. */
+  private def encryptedPdf(content: String, v: Int, r: Int, keyLen: Int,
+                           aes: Boolean, flate: Boolean = false,
+                           flipU: Boolean = false,
+                           ownerPwd: String = "s3cret-owner"): Array[Byte] = {
+    import graft.functions.PdfKernels
+    def md5(parts: Array[Byte]*): Array[Byte] = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      parts.foreach(md.update)
+      md.digest()
+    }
+    def pad32(pw: String): Array[Byte] =
+      (pw.getBytes("ISO-8859-1") ++ PdfKernels.PdfPad).take(32)
+    val id0 = Array.tabulate[Byte](16)(i => (i * 17 + 3).toByte)
+    // Algorithm 3: the /O entry from the owner password
+    var h = md5(pad32(ownerPwd))
+    if (r >= 3) (0 until 50).foreach(_ =>
+      h = md5(java.util.Arrays.copyOf(h, keyLen)))
+    val oKey = java.util.Arrays.copyOf(h, keyLen)
+    var oEntry = PdfKernels.rc4(oKey, pad32(""))
+    if (r >= 3) (1 to 19).foreach { i =>
+      oEntry = PdfKernels.rc4(oKey.map(x => (x ^ i).toByte), oEntry)
+    }
+    val p = -3904
+    val key = PdfKernels.fileKey(oEntry, p, id0, r, keyLen,
+      encryptMetadata = true)
+    val u16 = PdfKernels.expectedU(key, id0, r)
+    val uEntry =
+      (if (r == 2) u16 else u16.take(16) ++ new Array[Byte](16)).clone()
+    if (flipU) uEntry(3) = (uEntry(3) ^ 0x40).toByte
+    val encf = PdfKernels.fixtureEncryptor(key, aes)
+    def hx(a: Array[Byte]): String = a.map("%02x".format(_)).mkString
+    val out = new java.io.ByteArrayOutputStream()
+    val offsets = scala.collection.mutable.ArrayBuffer[Long](0L)
+    def emit(s: String): Unit = out.write(b(s))
+    emit("%PDF-1.6\n")
+    offsets += out.size()
+    emit("1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n")
+    offsets += out.size()
+    emit("2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n")
+    offsets += out.size()
+    emit("3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R >> endobj\n")
+    offsets += out.size()
+    val plain = if (flate) zlib(b(content)) else b(content)
+    val payload = encf(4, 0, plain)
+    val fspec = if (flate) "/Filter /FlateDecode " else ""
+    emit(s"4 0 obj << $fspec/Length ${payload.length} >> stream\n")
+    out.write(payload)
+    emit("\nendstream endobj\n")
+    offsets += out.size()
+    val cf = if (v == 4)
+      "/CF << /StdCF << /CFM " + (if (aes) "/AESV2" else "/V2") +
+        " /AuthEvent /DocOpen /Length " + keyLen + " >> >> " +
+        "/StmF /StdCF /StrF /StdCF "
+    else ""
+    emit(s"5 0 obj << /Filter /Standard /V $v /R $r " +
+      s"/Length ${keyLen * 8} $cf/O <${hx(oEntry)}> /U <${hx(uEntry)}> " +
+      s"/P $p >> endobj\n")
+    val xrefOff = out.size()
+    emit("xref\n0 6\n0000000000 65535 f \n")
+    (1 to 5).foreach(i => emit(f"${offsets(i)}%010d 00000 n \n"))
+    emit(s"trailer << /Size 6 /Root 1 0 R /Encrypt 5 0 R " +
+      s"/ID [<${hx(id0)}> <${hx(id0)}>] >>\nstartxref\n$xrefOff\n%%EOF")
+    out.toByteArray
+  }
+
+  test("encrypted PDFs with an empty user password decrypt (r17): " +
+    "RC4-40, RC4-128, AES-128, with and without Flate; meta still " +
+    "reports encrypted=true; a real user password stays NULL") {
+    val variants = Seq(
+      ("rc4-40 V1 R2", encryptedPdf("BT (rc4 forty) Tj ET", 1, 2, 5,
+        aes = false), "rc4 forty"),
+      ("rc4-128 V2 R3", encryptedPdf("BT (rc4 onetwentyeight) Tj ET", 2, 3,
+        16, aes = false), "rc4 onetwentyeight"),
+      ("rc4-128 V4 R4 CFM V2", encryptedPdf("BT (cf v2) Tj ET", 4, 4, 16,
+        aes = false), "cf v2"),
+      ("aes-128 V4 R4", encryptedPdf("BT (aes page) Tj ET", 4, 4, 16,
+        aes = true), "aes page"),
+      ("aes-128 + flate", encryptedPdf("BT (aes flate body) Tj ET", 4, 4,
+        16, aes = true, flate = true), "aes flate body"),
+      ("rc4-40 + flate", encryptedPdf("BT (forty flate) Tj ET", 1, 2, 5,
+        aes = false, flate = true), "forty flate"))
+    for ((label, pdf, want) <- variants) {
+      assert(metaOf(pdf).exists(m => m._2 == 1 && m._3), s"$label meta")
+      assert(textOf(pdf) == want, s"$label text")
+    }
+    // a document whose USER password is not empty: /U validation fails
+    assert(textOf(encryptedPdf("BT (locked) Tj ET", 2, 3, 16, aes = false,
+      flipU = true)) == null)
+    // V5 / AES-256: declared out of scope, refused
+    val v5 = new String(encryptedPdf("BT (x) Tj ET", 4, 4, 16, aes = true),
+      "ISO-8859-1").replace("/V 4 /R 4", "/V 5 /R 6")
+    assert(textOf(b(v5)) == null)
+    // truncated AES payload (not a whole number of blocks): refused
+    val aesPdf = encryptedPdf("BT (aes page) Tj ET", 4, 4, 16, aes = true)
+    val cutAt = new String(aesPdf, "ISO-8859-1").indexOf("stream\n") + 20
+    val mut = aesPdf.clone()
+    mut(cutAt) = (mut(cutAt) ^ 0x11).toByte // corrupt ciphertext
+    assert(textOf(mut) != "aes page") // never silently-wrong text
+  }
+
   test("fail-closed: encryption, truncation, bad xref, unsupported filter") {
     val good = classicPdf(Seq("BT (x) Tj ET"))
     // encrypted: meta reports the flag, text refuses
