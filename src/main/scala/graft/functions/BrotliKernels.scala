@@ -132,6 +132,28 @@ object BrotliKernels {
       ((acc >>> sh) & ((1L << n) - 1)).toInt
     }
 
+    /** 8 bits of lookahead WITHOUT consuming, zero-padded past the end
+      * of the stream (r17, the one-level decode table's input): a
+      * padding-fabricated code is caught by [[consume]]'s bound check
+      * before any symbol is acted on. */
+    def peek8(): Int = {
+      val i = (pos >>> 3).toInt
+      val sh = (pos & 7L).toInt
+      var acc = 0L
+      var k = 0
+      var j = i
+      while (k < sh + 8) {
+        acc |= (if (j < b.length) b(j) & 0xffL else 0L) << k
+        k += 8; j += 1
+      }
+      ((acc >>> sh) & 0xffL).toInt
+    }
+
+    def consume(n: Int): Unit = {
+      if (pos + n > nbits) throw Bad
+      pos += n
+    }
+
     /** Align to the next byte boundary; the discarded padding bits
       * must be zero (RFC: JumpToByteBoundary contract). */
     def alignZero(): Unit = {
@@ -193,8 +215,40 @@ object BrotliKernels {
         }
       }
     }
+    /** One-level fast table (r17, VERDICT r16 #8 — the zlib-style
+      * 8-bit peek/consume acceleration SCALING.md named): for every
+      * 8-bit lookahead whose leading code is ≤ 8 bits, the (symbol,
+      * length) pair; longer codes fall back to the bit walk. Built
+      * once per table (256 × ≤8 steps), it turns the literal path's
+      * per-bit loop into one peek + one consume. */
+    private var fastSym: Array[Short] = null
+    private var fastLen: Array[Byte] = null
+    locally {
+      if (single < 0) {
+        val fs = new Array[Short](256)
+        val fb = new Array[Byte](256)
+        var v = 0
+        while (v < 256) {
+          var code = 0; var l = 0; var sym = -1
+          while (sym < 0 && l < 8) {
+            code = (code << 1) | ((v >>> l) & 1)
+            l += 1
+            if (code - first(l) < count(l)) sym = symbols(offs(l) + code - first(l))
+          }
+          fs(v) = sym.toShort // -1 = fall back to the bit walk
+          fb(v) = l.toByte
+          v += 1
+        }
+        fastSym = fs
+        fastLen = fb
+      }
+    }
+
     def decode(br: Br): Int = {
       if (single >= 0) return single
+      val look = br.peek8()
+      val s = fastSym(look)
+      if (s >= 0) { br.consume(fastLen(look)); return s }
       var code = 0; var l = 0
       while (l < MaxBits) {
         code = (code << 1) | br.readBits(1); l += 1
