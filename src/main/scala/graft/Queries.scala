@@ -7639,6 +7639,157 @@ object Queries {
            |       END AS text
            |FROM c""".stripMargin))
 
+  /** PDF embedded-image extraction under the oracle (round 17,
+    * VERDICT r16 #9) — the container tier feeding the image near-dup
+    * tier: image XObjects slice out of the object walk as verbatim
+    * JPEG payloads / P6/P5 rasters and run through the SAME decode
+    * (raster features) and dhash machinery as crawled images. Four
+    * lanes: an uncompressed DeviceRGB image whose first pixel is the
+    * doc_id SPLICED in-plan (means replayed arithmetically), a
+    * two-image document (Flate gray raster + DCT jpeg — the jpeg
+    * lane's dhash is a plan-build constant pinned in the oracle), an
+    * Indexed image surfaced as `unsupported`, and a truncated
+    * document (one all-NULL row via explode_outer). */
+  // fixture constants shared by q_pdf_images' plan and its oracle
+  private lazy val pdfImagesGrayPx: Array[Int] =
+    Array.tabulate(64)(p => (p * 31) % 256)
+  private lazy val pdfImagesJpeg: Array[Byte] =
+    graft.functions.ImageEncoders.jpegGrayBlocks(
+      Array.tabulate(8, 8)((r, c) => (r * 8 + c) * 3 % 256))
+  private lazy val pdfImagesGrayMean: Double = pdfImagesGrayPx.sum / 64.0
+  private lazy val pdfImagesJpegDhash: Long = {
+    val d = graft.functions.PHashKernels.dhash64(pdfImagesJpeg)
+    require(d != null, "jpeg fixture must dhash")
+    d.longValue()
+  }
+
+  private val qPdfImages = Q("q_pdf_images",
+    (s, dir) => {
+      import graft.functions.{ImageEncoders, PdfKernels, PHashKernels}
+      val id = col("doc_id")
+      val m = pmod(id, lit(4))
+      def hexOf(b: Array[Byte]): String = b.map("%02x".format(_)).mkString
+      def pdfWith(extra: Seq[(String, Array[Byte])]): Array[Byte] = {
+        val out = new java.io.ByteArrayOutputStream()
+        val offsets = scala.collection.mutable.ArrayBuffer[Long](0L)
+        def es(x: String): Unit = out.write(x.getBytes("ISO-8859-1"))
+        es("%PDF-1.5\n")
+        offsets += out.size()
+        es("1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n")
+        offsets += out.size()
+        es("2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n")
+        offsets += out.size()
+        es("3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R >> endobj\n")
+        offsets += out.size()
+        es("4 0 obj << /Length 14 >> stream\nBT (host) Tj ET\nendstream endobj\n")
+        extra.zipWithIndex.foreach { case ((dict, payload), i) =>
+          offsets += out.size()
+          es(s"${5 + i} 0 obj << $dict /Length ${payload.length} >> stream\n")
+          out.write(payload)
+          es("\nendstream endobj\n")
+        }
+        val total = 5 + extra.size
+        val xo = out.size()
+        es(s"xref\n0 $total\n0000000000 65535 f \n")
+        (1 until total).foreach(i => es(f"${offsets(i)}%010d 00000 n \n"))
+        es(s"trailer << /Size $total /Root 1 0 R >>\nstartxref\n$xo\n%%EOF")
+        out.toByteArray
+      }
+      // lane 0: raw RGB 4x4, pixel 0 = marker spliced per doc
+      val marker = Array[Byte](0xFE.toByte, 0xED.toByte, 0xFA.toByte)
+      val rgbRest = Array.tabulate[Byte](15 * 3)(i =>
+        (i % 3 match { case 0 => 8; case 1 => 16; case _ => 32 }).toByte)
+      val pdfRgb = pdfWith(Seq(
+        ("/Subtype /Image /Width 4 /Height 4 /ColorSpace /DeviceRGB " +
+          "/BitsPerComponent 8", marker ++ rgbRest)))
+      val at = pdfRgb.indexOfSlice(marker)
+      require(at >= 0 && pdfRgb.indexOfSlice(marker, at + 1) < 0,
+        "pixel marker not unique")
+      def h2(c: Column): Column = lpad(hex(c.cast("int")), 2, "0")
+      val d0 = concat(unhex(lit(hexOf(pdfRgb.take(at)))),
+        unhex(concat(h2(pmod(id, lit(256))),
+          h2(pmod(id * 7, lit(256))), h2(pmod(id * 13, lit(256))))),
+        unhex(lit(hexOf(pdfRgb.drop(at + 3)))))
+      // lane 1: Flate gray 8x8 + DCT jpeg — both constant fixtures
+      val grayZ = {
+        val d = new java.util.zip.Deflater()
+        d.setInput(pdfImagesGrayPx.map(_.toByte)); d.finish()
+        val bos = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](512)
+        while (!d.finished()) bos.write(buf, 0, d.deflate(buf))
+        d.end(); bos.toByteArray
+      }
+      val jpeg = pdfImagesJpeg
+      val pdfTwo = pdfWith(Seq(
+        ("/Subtype /Image /Width 8 /Height 8 /ColorSpace /DeviceGray " +
+          "/BitsPerComponent 8 /Filter /FlateDecode", grayZ),
+        ("/Subtype /Image /Width 8 /Height 8 /ColorSpace /DeviceGray " +
+          "/BitsPerComponent 8 /Filter /DCTDecode", jpeg)))
+      val pdfIdx = pdfWith(Seq(
+        ("/Subtype /Image /Width 2 /Height 2 /BitsPerComponent 8 " +
+          "/ColorSpace [/Indexed /DeviceRGB 1 <000000FFFFFF>]",
+          Array[Byte](0, 1, 1, 0))))
+      locally { // fixture honesty: the extraction pipeline holds
+        val imgs = PdfKernels.images(pdfTwo)
+        require(imgs != null && imgs.numElements() == 2,
+          "two-image fixture drifted")
+      }
+      val blob = when(m === 0, d0)
+        .when(m === 1, unhex(lit(hexOf(pdfTwo))))
+        .when(m === 2, unhex(lit(hexOf(pdfIdx))))
+        .otherwise(unhex(lit(hexOf(pdfRgb.take(120)))))
+      val decode = org.apache.spark.sql.GraftBridge.column(
+        org.apache.spark.sql.DecodeFeatures(
+          org.apache.spark.sql.GraftBridge.expression(
+            coalesce(col("c.data"), lit(Array.emptyByteArray))),
+          5, Multimodal.raster))
+      t(s, dir, "documents")
+        .select(id.cast("bigint").as("doc_id"), blob.as("__b"))
+        .select(col("doc_id"),
+          explode_outer(Multimodal.pdfImages(col("__b"))).as("c"))
+        .select(col("doc_id"),
+          col("c.obj").cast("bigint").as("obj"),
+          col("c.format").as("format"),
+          col("c.width").cast("bigint").as("width"),
+          col("c.height").cast("bigint").as("height"),
+          when(col("c.format").isin("ppm", "pgm"), decode).as("__f"),
+          when(col("c.format") === "jpeg",
+            org.apache.spark.sql.GraftBridge.column(
+              org.apache.spark.sql.DHash64(
+                org.apache.spark.sql.GraftBridge.expression(
+                  col("c.data"))))).as("dhash"))
+        .select(col("doc_id"), col("obj"), col("format"), col("width"),
+          col("height"),
+          round(get(col("__f"), lit(2)).cast("double"), 6).as("mean_r"),
+          round(get(col("__f"), lit(3)).cast("double"), 6).as("mean_g"),
+          round(get(col("__f"), lit(4)).cast("double"), 6).as("mean_b"),
+          col("dhash"))
+    },
+    Some(s"""WITH c AS (
+            |  SELECT doc_id, CAST(doc_id % 4 AS INT) AS m FROM documents),
+            |rows_ AS (
+            |  SELECT doc_id, 5 AS obj, 'ppm' AS fmt, 4 AS w, 4 AS h,
+            |         round((doc_id % 256 + 15 * 8) / 16.0, 6) AS mr,
+            |         round(((doc_id * 7) % 256 + 15 * 16) / 16.0, 6) AS mg,
+            |         round(((doc_id * 13) % 256 + 15 * 32) / 16.0, 6) AS mb,
+            |         CAST(NULL AS BIGINT) AS dh
+            |    FROM c WHERE m = 0
+            |  UNION ALL SELECT doc_id, 5, 'pgm', 8, 8,
+            |         ${f"$pdfImagesGrayMean%.6f"}, ${f"$pdfImagesGrayMean%.6f"},
+            |         ${f"$pdfImagesGrayMean%.6f"}, NULL FROM c WHERE m = 1
+            |  UNION ALL SELECT doc_id, 6, 'jpeg', 8, 8,
+            |         NULL, NULL, NULL, $pdfImagesJpegDhash FROM c WHERE m = 1
+            |  UNION ALL SELECT doc_id, 5, 'unsupported', 2, 2,
+            |         NULL, NULL, NULL, NULL FROM c WHERE m = 2
+            |  UNION ALL SELECT doc_id, NULL, NULL, NULL, NULL,
+            |         NULL, NULL, NULL, NULL FROM c WHERE m = 3)
+            |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+            |       CAST(obj AS BIGINT) AS obj, fmt AS format,
+            |       CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+            |       CAST(mr AS DOUBLE) AS mean_r, CAST(mg AS DOUBLE) AS mean_g,
+            |       CAST(mb AS DOUBLE) AS mean_b, CAST(dh AS BIGINT) AS dhash
+            |FROM rows_""".stripMargin))
+
   /** Sitemap discovery under the oracle (r14): the frontier loop's
     * missing step — `robots.txt` → [[TF.robotsSitemaps]] (the sitemap
     * URL) → [[TF.sitemapEntries]] (urlset vs sitemapindex split) →
@@ -7776,7 +7927,7 @@ object Queries {
     qHtmlExtract, qQualityRules, qUrlNormalize, qContainerMeta, qRobotsFilter,
     qCrawlClean, qTextDecode, qAnnSq8, qLangId, qNegativeSample, qDriftPsi,
     qLinkExtract, qFrontierLinks, qWarcIngest, qSitemapFrontier,
-    qLangIdModel, qPdfExtract, qFrontierSchedule, qImagePhash,
+    qLangIdModel, qPdfExtract, qPdfImages, qFrontierSchedule, qImagePhash,
     qIncrementalPhash, qAudioNearDup, qIncrementalAudio, qVideoNearDup, qHtmlTables,
     qZipExtract, qDocxText, qXlsxCells, qXlsCells, qTarExtract, qJsonProfile, qUrlIdn, qBinaryRoute,
     qZstdDict,

@@ -729,7 +729,45 @@ object PdfKernels {
       applyFilters(dict, raw)
     }
 
-    def applyFilters(dict: Map[String, Obj], raw: Array[Byte]): Array[Byte] = {
+    /** Top-level stream object as (dict, DECRYPTED raw bytes, gen) —
+      * BEFORE filters run (r17: the image extractor wants to keep a
+      * trailing DCTDecode intact as JPEG bytes). None for non-stream
+      * objects. */
+    def rawStreamObject(num: Int): Option[(Map[String, Obj], Array[Byte])] =
+      xref.get(num) match {
+        case Some(Left(off)) =>
+          val (n, g, o, lx) = parseAt(off)
+          if (n != num) throw Bad
+          o match {
+            case PDict(dict) =>
+              lx.skipWs()
+              if (!lx.startsWith("stream")) None
+              else {
+                lx.next() match { case POp("stream") => (); case _ => throw Bad }
+                var p = lx.pos
+                if (p < b.length && b(p) == '\r') p += 1
+                if (p < b.length && b(p) == '\n') p += 1
+                val len = resolve(dict.getOrElse("Length", throw Bad)) match {
+                  case q: PNum => q.i
+                  case _ => throw Bad
+                }
+                if (len < 0 || p + len > b.length) throw Bad
+                var raw = java.util.Arrays.copyOfRange(b, p, p + len)
+                val isXref = resolve(dict.getOrElse("Type", PNull)) match {
+                  case PName("XRef") => true
+                  case _ => false
+                }
+                if (enc != null && !isXref) raw = enc.decrypt(num, g, raw)
+                Some((dict, raw))
+              }
+            case _ => None
+          }
+        case _ => None
+      }
+
+    /** The declared filter chain: (names, per-filter parms). */
+    def filterChain(dict: Map[String, Obj])
+        : (Seq[String], Seq[Map[String, Obj]]) = {
       val filters = resolve(dict.getOrElse("Filter", PNull)) match {
         case PNull => Nil
         case PName(n) => Seq(n)
@@ -749,6 +787,17 @@ object PdfKernels {
         }
         case _ => throw Bad
       }
+      (filters, parmsList)
+    }
+
+    def applyFilters(dict: Map[String, Obj], raw: Array[Byte]): Array[Byte] = {
+      val (filters, parmsList) = filterChain(dict)
+      applyFilterList(filters, parmsList, raw)
+    }
+
+    def applyFilterList(filters: Seq[String],
+                        parmsList: Seq[Map[String, Obj]],
+                        raw: Array[Byte]): Array[Byte] = {
       var data = raw
       def ip(parms: Map[String, Obj], k: String, dflt: Int): Int =
         parms.get(k).map(resolve) match {
@@ -1413,6 +1462,111 @@ object PdfKernels {
         case o => operands += o
       }
     }
+  }
+
+  // ---------------------------------------------------------------
+  // embedded images (round 17, VERDICT r16 #9): image XObjects sliced
+  // out of the object walk and routed into the near-dup tier.
+  // ---------------------------------------------------------------
+  /** [[images]] element type: (obj, format, width, height, data).
+    * `format`: `jpeg` = the DCTDecode payload verbatim (a standalone
+    * JFIF stream for [[JpegKernels]]/dhash); `ppm`/`pgm` = decoded
+    * DeviceRGB/DeviceGray rasters re-framed as binary P6/P5 (1-bit
+    * gray rows expand, byte-aligned per §8.9.5.2); `unsupported` =
+    * an image the extractor recognizes but does not decode (Indexed/
+    * ICC/CMYK/JPX/JBIG2/CCITT/ImageMask), surfaced with NULL data
+    * rather than silently dropped. */
+  val imageSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("obj", IntegerType, nullable = false),
+      StructField("format", StringType, nullable = false),
+      StructField("width", IntegerType, nullable = true),
+      StructField("height", IntegerType, nullable = true),
+      StructField("data", BinaryType, nullable = true)))
+  }
+
+  private def pnm(magic: String, w: Int, h: Int,
+                  px: Array[Byte]): Array[Byte] =
+    s"$magic\n$w $h\n255\n".getBytes(
+      java.nio.charset.StandardCharsets.US_ASCII) ++ px
+
+  /** Embedded image XObjects of the whole document in object-number
+    * order, or null for anything the fail-closed walk can't vouch for
+    * (including encrypted docs without an empty user password). */
+  def images(b: Array[Byte]): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    if (b == null) return null
+    try {
+      val doc = load(b)
+      if (doc.trailer.contains("Encrypt")) doc.enc = setupEnc(doc)
+      val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+      def emit(num: Int, fmt: String, w: Int, h: Int,
+               data: Array[Byte]): Unit =
+        out += new GenericInternalRow(Array[Any](
+          num, UTF8String.fromString(fmt),
+          if (w >= 0) w else null, if (h >= 0) h else null, data))
+      doc.xref.keys.toVector.sorted.foreach { num =>
+        doc.rawStreamObject(num).foreach { case (dict, raw) =>
+          val isImage = doc.resolve(dict.getOrElse("Subtype", PNull)) match {
+            case PName("Image") => true
+            case _ => false
+          }
+          if (isImage) {
+            def intOf(k: String, dflt: Int): Int =
+              dict.get(k).map(doc.resolve) match {
+                case Some(p: PNum) => p.i
+                case None => dflt
+                case _ => throw Bad
+              }
+            val w = intOf("Width", -1)
+            val h = intOf("Height", -1)
+            if (w <= 0 || h <= 0 || w.toLong * h > (1L << 26)) throw Bad
+            val bpc = intOf("BitsPerComponent", 8)
+            val mask = doc.resolve(dict.getOrElse("ImageMask", PNull)) match {
+              case PBool(x) => x
+              case _ => false
+            }
+            val cs = doc.resolve(dict.getOrElse("ColorSpace", PNull))
+            val (filters, parms) = doc.filterChain(dict)
+            if (filters.lastOption.contains("DCTDecode")) {
+              val jpeg = doc.applyFilterList(
+                filters.dropRight(1), parms.dropRight(1), raw)
+              emit(num, "jpeg", w, h, jpeg)
+            } else (cs, bpc, mask) match {
+              case (PName("DeviceRGB"), 8, false) =>
+                val px = doc.applyFilterList(filters, parms, raw)
+                if (px.length < w * h * 3) throw Bad
+                emit(num, "ppm", w, h,
+                  pnm("P6", w, h, java.util.Arrays.copyOf(px, w * h * 3)))
+              case (PName("DeviceGray"), 8, false) =>
+                val px = doc.applyFilterList(filters, parms, raw)
+                if (px.length < w * h) throw Bad
+                emit(num, "pgm", w, h,
+                  pnm("P5", w, h, java.util.Arrays.copyOf(px, w * h)))
+              case (PName("DeviceGray"), 1, false) =>
+                val px = doc.applyFilterList(filters, parms, raw)
+                val rowBytes = (w + 7) / 8
+                if (px.length < rowBytes * h) throw Bad
+                val gray = new Array[Byte](w * h)
+                var y = 0
+                while (y < h) {
+                  var x = 0
+                  while (x < w) {
+                    val bit = (px(y * rowBytes + (x >> 3)) >> (7 - (x & 7))) & 1
+                    gray(y * w + x) = if (bit != 0) 0xFF.toByte else 0x00
+                    x += 1
+                  }
+                  y += 1
+                }
+                emit(num, "pgm", w, h, pnm("P5", w, h, gray))
+              case _ =>
+                emit(num, "unsupported", w, h, null)
+            }
+          }
+        }
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+    } catch { case _: Exception => null }
   }
 
   /** Extracted text of the whole document, or null (fail-closed —

@@ -171,6 +171,14 @@ object Multimodal {
     GraftBridge.column(DT(GraftBridge.expression(blob)))
   }
 
+  /** Embedded PDF image XObjects (r17): struct(obj, format, width,
+    * height, data) rows — jpeg verbatim, rasters as P6/P5 for the
+    * dhash tier; NULL blob-wide on malformed documents. */
+  def pdfImages(blob: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.{GraftBridge, PdfImages => PI}
+    GraftBridge.column(PI(GraftBridge.expression(blob)))
+  }
+
   /** Legacy .ppt slide text (r17): TextCharsAtom/TextBytesAtom walk
     * of the PowerPoint Document stream, newline-joined; NULL for
     * encrypted or malformed decks. */

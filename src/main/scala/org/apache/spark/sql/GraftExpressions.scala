@@ -2011,6 +2011,36 @@ case class PptText(child: Expression)
     copy(child = newChild)
 }
 
+/** Embedded PDF image XObjects (round 17): array of struct(obj,
+  * format, width, height, data) — DCTDecode payloads verbatim as
+  * `jpeg`, decoded DeviceRGB/DeviceGray rasters re-framed as binary
+  * P6/P5 (`ppm`/`pgm`) ready for the dhash tier, recognized-but-
+  * undecoded spaces as `unsupported` with NULL data. NULL blob-wide
+  * on malformed/undecryptable documents.
+  * See [[graft.functions.PdfKernels.images]].
+  */
+case class PdfImages(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
+  override def dataType: DataType =
+    ArrayType(graft.functions.PdfKernels.imageSchema, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "pdf_images"
+
+  override protected def nullSafeEval(v: Any): Any =
+    graft.functions.PdfKernels.images(v.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.PdfKernels.images($c);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
+
+  override protected def withNewChildInternal(newChild: Expression): PdfImages =
+    copy(child = newChild)
+}
+
 object ParquetMeta {
   val schema: StructType = StructType(Seq(
     StructField("version", IntegerType, nullable = false),

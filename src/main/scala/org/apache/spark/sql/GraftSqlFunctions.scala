@@ -312,6 +312,14 @@ object GraftSqlFunctions {
           "unencrypted WordDocument stream); NULL otherwise"),
       arity("doc_text", "doc_text(binary)", 1, 1)(
         c => DocText(c(0)))),
+    (FunctionIdentifier("pdf_images"),
+      info("pdf_images",
+        "pdf_images(binary) - embedded PDF image XObjects as array of " +
+          "struct(obj, format, width, height, data): jpeg payloads " +
+          "verbatim, RGB/gray rasters as P6/P5, others surfaced as " +
+          "'unsupported'; NULL on malformed/undecryptable documents"),
+      arity("pdf_images", "pdf_images(binary)", 1, 1)(
+        c => PdfImages(c(0)))),
     (FunctionIdentifier("ppt_text"),
       info("ppt_text",
         "ppt_text(binary) - legacy PowerPoint .ppt slide text " +

@@ -547,6 +547,154 @@ class PdfSpec extends SparkSpec {
     assert(textOf(mut) != "aes page") // never silently-wrong text
   }
 
+  /** Classic-xref PDF with arbitrary extra stream objects (numbered
+    * from 5): the image-extraction fixtures. */
+  private def pdfWithStreams(extra: Seq[(String, Array[Byte])]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    val offsets = scala.collection.mutable.ArrayBuffer[Long](0L)
+    def emit(s: Array[Byte]): Unit = out.write(s)
+    emit(b("%PDF-1.5\n"))
+    offsets += out.size()
+    emit(b("1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n"))
+    offsets += out.size()
+    emit(b("2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n"))
+    offsets += out.size()
+    emit(b("3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R >> endobj\n"))
+    offsets += out.size()
+    val content = "BT (img host) Tj ET"
+    emit(b(s"4 0 obj << /Length ${content.length} >> stream\n$content\nendstream endobj\n"))
+    extra.zipWithIndex.foreach { case ((dict, payload), i) =>
+      offsets += out.size()
+      emit(b(s"${5 + i} 0 obj << $dict /Length ${payload.length} >> stream\n"))
+      emit(payload)
+      emit(b("\nendstream endobj\n"))
+    }
+    val total = 5 + extra.size
+    val xrefOff = out.size()
+    emit(b(s"xref\n0 $total\n0000000000 65535 f \n"))
+    (1 until total).foreach(i => emit(b(f"${offsets(i)}%010d 00000 n \n")))
+    emit(b(s"trailer << /Size $total /Root 1 0 R >>\nstartxref\n$xrefOff\n%%EOF"))
+    out.toByteArray
+  }
+
+  private def imagesOf(pdf: Array[Byte]): Seq[(Int, String, Option[Int], Option[Int], Option[Array[Byte]])] = {
+    val a = graft.functions.PdfKernels.images(pdf)
+    if (a == null) null
+    else (0 until a.numElements()).map { i =>
+      val r = a.getStruct(i, 5)
+      (r.getInt(0), r.getUTF8String(1).toString,
+        if (r.isNullAt(2)) None else Some(r.getInt(2)),
+        if (r.isNullAt(3)) None else Some(r.getInt(3)),
+        if (r.isNullAt(4)) None else Some(r.getBinary(4)))
+    }
+  }
+
+  test("pdf_images (r17): DCT payloads come back verbatim as jpeg, " +
+    "Flate RGB/gray decode to P6/P5, 1-bit gray expands with row " +
+    "padding, unsupported spaces are surfaced, damage fails closed") {
+    val jpeg = graft.functions.ImageEncoders.jpegGrayBlocks(
+      Array.tabulate(8, 8)((r, c) => (r * 8 + c) * 3 % 256))
+    val rgb = Array.tabulate[Byte](4 * 4 * 3)(i => ((i * 37) % 256).toByte)
+    val gray = Array.tabulate[Byte](6 * 2)(i => ((i * 41) % 256).toByte)
+    // 1-bit 10x3: rows are byte-aligned (2 bytes per row)
+    val bits = Array[Byte](0xAA.toByte, 0x80.toByte, 0x55, 0x40,
+      0xFF.toByte, 0xC0.toByte)
+    val pdf = pdfWithStreams(Seq(
+      ("/Subtype /Image /Width 8 /Height 8 /ColorSpace /DeviceGray " +
+        "/BitsPerComponent 8 /Filter /DCTDecode", jpeg),
+      ("/Subtype /Image /Width 4 /Height 4 /ColorSpace /DeviceRGB " +
+        "/BitsPerComponent 8 /Filter /FlateDecode", zlib(rgb)),
+      ("/Subtype /Image /Width 6 /Height 2 /ColorSpace /DeviceGray " +
+        "/BitsPerComponent 8", gray),
+      ("/Subtype /Image /Width 10 /Height 3 /ColorSpace /DeviceGray " +
+        "/BitsPerComponent 1", bits),
+      ("/Subtype /Image /Width 2 /Height 2 /BitsPerComponent 8 " +
+        "/ColorSpace [/Indexed /DeviceRGB 1 <000000FFFFFF>]",
+        Array[Byte](0, 1, 1, 0))))
+    val imgs = imagesOf(pdf)
+    assert(imgs.map(x => (x._1, x._2)) == Seq(
+      (5, "jpeg"), (6, "ppm"), (7, "pgm"), (8, "pgm"), (9, "unsupported")))
+    // jpeg payload byte-identical and decodable by the JPEG tier
+    assert(java.util.Arrays.equals(imgs(0)._5.get, jpeg))
+    assert(graft.functions.PHashKernels.dhash64(imgs(0)._5.get) != null)
+    // P6 framing + exact pixels
+    assert(java.util.Arrays.equals(imgs(1)._5.get,
+      "P6\n4 4\n255\n".getBytes("US-ASCII") ++ rgb))
+    assert(java.util.Arrays.equals(imgs(2)._5.get,
+      "P5\n6 2\n255\n".getBytes("US-ASCII") ++ gray))
+    // 1-bit expansion: 0xAA80 -> alternating, padding bits dropped
+    val exp = imgs(3)._5.get.drop("P5\n10 3\n255\n".length)
+    assert(exp.length == 30)
+    assert(exp.take(10).map(x => if (x == -1) 1 else 0).toSeq ==
+      Seq(1, 0, 1, 0, 1, 0, 1, 0, 1, 0))
+    assert(exp.slice(20, 30).forall(_ == -1.toByte)) // 0xFFC0 row
+    assert(imgs(4)._4 == Some(2) && imgs(4)._5.isEmpty)
+    // truncated document: whole-blob NULL
+    assert(imagesOf(java.util.Arrays.copyOf(pdf, pdf.length / 2)) == null)
+    // a PDF with no images: empty array
+    assert(imagesOf(classicPdf(Seq("BT (no images) Tj ET"))).isEmpty)
+  }
+
+  test("pdf_images on ENCRYPTED documents: the image stream decrypts " +
+    "with the same empty-user-password handler as text") {
+    import graft.functions.PdfKernels
+    // assemble an encrypted doc whose obj 6 is a Flate gray image
+    def md5(parts: Array[Byte]*): Array[Byte] = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      parts.foreach(md.update); md.digest()
+    }
+    def pad32(pw: String): Array[Byte] =
+      (pw.getBytes("ISO-8859-1") ++ PdfKernels.PdfPad).take(32)
+    val keyLen = 16
+    val id0 = Array.tabulate[Byte](16)(i => (i * 11 + 5).toByte)
+    var h = md5(pad32("owner2"))
+    (0 until 50).foreach(_ => h = md5(java.util.Arrays.copyOf(h, keyLen)))
+    val oKey = java.util.Arrays.copyOf(h, keyLen)
+    var oEntry = PdfKernels.rc4(oKey, pad32(""))
+    (1 to 19).foreach(i =>
+      oEntry = PdfKernels.rc4(oKey.map(x => (x ^ i).toByte), oEntry))
+    val p = -3904
+    val key = PdfKernels.fileKey(oEntry, p, id0, 3, keyLen, true)
+    val u = PdfKernels.expectedU(key, id0, 3).take(16) ++ new Array[Byte](16)
+    val encf = PdfKernels.fixtureEncryptor(key, aes = false)
+    def hx(a: Array[Byte]): String = a.map("%02x".format(_)).mkString
+    val gray = Array.tabulate[Byte](3 * 2)(i => ((i * 50) % 256).toByte)
+    val out = new java.io.ByteArrayOutputStream()
+    val offsets = scala.collection.mutable.ArrayBuffer[Long](0L)
+    def emit(s: String): Unit = out.write(b(s))
+    emit("%PDF-1.6\n")
+    offsets += out.size()
+    emit("1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n")
+    offsets += out.size()
+    emit("2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n")
+    offsets += out.size()
+    emit("3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R >> endobj\n")
+    offsets += out.size()
+    val c4 = encf(4, 0, b("BT (enc img host) Tj ET"))
+    emit(s"4 0 obj << /Length ${c4.length} >> stream\n")
+    out.write(c4); emit("\nendstream endobj\n")
+    offsets += out.size()
+    val img = encf(6, 0, zlib(gray))
+    emit(s"5 0 obj << /Filter /Standard /V 2 /R 3 /Length 128 " +
+      s"/O <${hx(oEntry)}> /U <${hx(u)}> /P $p >> endobj\n")
+    offsets += out.size()
+    emit(s"6 0 obj << /Subtype /Image /Width 3 /Height 2 " +
+      s"/ColorSpace /DeviceGray /BitsPerComponent 8 " +
+      s"/Filter /FlateDecode /Length ${img.length} >> stream\n")
+    out.write(img); emit("\nendstream endobj\n")
+    val xrefOff = out.size()
+    emit("xref\n0 7\n0000000000 65535 f \n")
+    (1 to 6).foreach(i => emit(f"${offsets(i)}%010d 00000 n \n"))
+    emit(s"trailer << /Size 7 /Root 1 0 R /Encrypt 5 0 R " +
+      s"/ID [<${hx(id0)}> <${hx(id0)}>] >>\nstartxref\n$xrefOff\n%%EOF")
+    val pdf = out.toByteArray
+    assert(textOf(pdf) == "enc img host")
+    val imgs = imagesOf(pdf)
+    assert(imgs.map(x => (x._1, x._2)) == Seq((6, "pgm")))
+    assert(java.util.Arrays.equals(imgs(0)._5.get,
+      "P5\n3 2\n255\n".getBytes("US-ASCII") ++ gray))
+  }
+
   test("fail-closed: encryption, truncation, bad xref, unsupported filter") {
     val good = classicPdf(Seq("BT (x) Tj ET"))
     // encrypted: meta reports the flag, text refuses
