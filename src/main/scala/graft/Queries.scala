@@ -6559,6 +6559,13 @@ object Queries {
         "Data" -> Array.fill[Byte](100)(1),
         "Meta" -> "plain cfb".getBytes("UTF-8")))
         .map("%02x".format(_)).mkString
+      // archive triage lanes (r17 stretch): 7z + RAR5, CRC-verified
+      // header walks, no payload decode
+      val szHex = graft.functions.ArchiveKernels.build7z(
+        Array.tabulate[Byte](300)(i => (i * 7).toByte),
+        Array[Byte](0x17, 0x06, 0x01)).map("%02x".format(_)).mkString
+      val rarHex = graft.functions.ArchiveKernels.buildRar5(Seq(10, 20))
+        .map("%02x".format(_)).mkString
       // parquet (round 16, the r15 stretch lane): a REAL file written
       // by Spark's own writer at plan build — triage reads only the
       // footer (detail = num_rows)
@@ -6571,7 +6578,7 @@ object Queries {
         java.nio.file.Files.readAllBytes(part.toPath)
           .map("%02x".format(_)).mkString
       }
-      val m9 = pmod(id, lit(14))
+      val m9 = pmod(id, lit(16))
       val blob = when(m9 === 0, unhex(lit(pdfHex)))
         .when(m9 === 1, unhex(lit(zipHex)))
         .when(m9 === 2, unhex(lit(tarHex)))
@@ -6585,6 +6592,8 @@ object Queries {
         .when(m9 === 10, unhex(lit(xlsHex)))
         .when(m9 === 11, unhex(lit(pptHex)))
         .when(m9 === 12, unhex(lit(cfbPlainHex)))
+        .when(m9 === 13, unhex(lit(szHex)))
+        .when(m9 === 14, unhex(lit(rarHex)))
         .otherwise(encode(concat(lit("junk "), id.cast("string")), "UTF-8"))
       // MAGIC dispatch FIRST, then exactly ONE kernel per row inside a
       // lazily-evaluated CASE branch — running every parser on every
@@ -6628,6 +6637,10 @@ object Queries {
                 lit("cfb")))
             .when(substring(col("__b"), 1, 4) === encode(lit("PAR1"), "UTF-8"),
               lit("parquet"))
+            .when(substring(col("__b"), 1, 6) === unhex(lit("377abcaf271c")),
+              lit("7z"))
+            .when(substring(col("__b"), 1, 6) === unhex(lit("526172211a07")),
+              lit("rar"))
             .otherwise(lit("unknown")).as("__mk"))
         .select(col("doc_id"), col("__mk"),
           when(col("__mk") === "pdf",
@@ -6657,6 +6670,12 @@ object Queries {
             .when(col("__mk") === "parquet",
               Multimodal.parquetMeta(col("__b")).getField("num_rows")
                 .cast("bigint"))
+            .when(col("__mk") === "7z",
+              Multimodal.sevenZipMeta(col("__b")).getField("pack_bytes")
+                .cast("bigint"))
+            .when(col("__mk") === "rar",
+              Multimodal.rarMeta(col("__b")).getField("n_files")
+                .cast("bigint"))
             .as("detail"))
         .select(col("doc_id"),
           when(col("detail").isNotNull, col("__mk"))
@@ -6664,21 +6683,21 @@ object Queries {
           col("detail"))
     },
     Some("""SELECT CAST(doc_id AS BIGINT) AS doc_id,
-           |  CASE doc_id % 14
+           |  CASE doc_id % 16
            |    WHEN 0 THEN 'pdf' WHEN 1 THEN 'zip' WHEN 2 THEN 'tar'
            |    WHEN 3 THEN 'gzip' WHEN 4 THEN 'image' WHEN 5 THEN 'audio'
            |    WHEN 6 THEN 'avro' WHEN 7 THEN 'zstd' WHEN 8 THEN 'doc'
            |    WHEN 9 THEN 'parquet' WHEN 10 THEN 'xls' WHEN 11 THEN 'ppt'
-           |    WHEN 12 THEN 'cfb'
+           |    WHEN 12 THEN 'cfb' WHEN 13 THEN '7z' WHEN 14 THEN 'rar'
            |    ELSE 'unknown' END AS kind,
-           |  CAST(CASE doc_id % 14
+           |  CAST(CASE doc_id % 16
            |    WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 1
            |    WHEN 3 THEN 19 WHEN 4 THEN 1 WHEN 5 THEN 8000
            |    WHEN 6 THEN 5
            |    WHEN 7 THEN length('zstd doc ' || doc_id)
            |    WHEN 8 THEN length('router doc') WHEN 9 THEN 7
            |    WHEN 10 THEN 3 WHEN 11 THEN length('router deck')
-           |    WHEN 12 THEN 3
+           |    WHEN 12 THEN 3 WHEN 13 THEN 300 WHEN 14 THEN 2
            |    ELSE NULL END AS BIGINT) AS detail
            |FROM documents""".stripMargin))
 

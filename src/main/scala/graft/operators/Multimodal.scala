@@ -171,6 +171,21 @@ object Multimodal {
     GraftBridge.column(DT(GraftBridge.expression(blob)))
   }
 
+  /** 7z triage (r17): CRC-verified signature-header arithmetic —
+    * struct(version, next_header_size, encoded, pack_bytes); NULL on
+    * malformed framing. */
+  def sevenZipMeta(blob: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.{GraftBridge, SevenZipMeta => SZ}
+    GraftBridge.column(SZ(GraftBridge.expression(blob)))
+  }
+
+  /** RAR4/RAR5 triage (r17): CRC-verified block walk — struct(version,
+    * n_blocks, n_files, encrypted); NULL on malformed framing. */
+  def rarMeta(blob: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.{GraftBridge, RarMeta => RM}
+    GraftBridge.column(RM(GraftBridge.expression(blob)))
+  }
+
   /** Embedded PDF image XObjects (r17): struct(obj, format, width,
     * height, data) rows — jpeg verbatim, rasters as P6/P5 for the
     * dhash tier; NULL blob-wide on malformed documents. */

@@ -2011,6 +2011,74 @@ case class PptText(child: Expression)
     copy(child = newChild)
 }
 
+object SevenZipMeta {
+  val schema: StructType = StructType(Seq(
+    StructField("version", StringType, nullable = false),
+    StructField("next_header_size", LongType, nullable = false),
+    StructField("encoded", BooleanType, nullable = false),
+    StructField("pack_bytes", LongType, nullable = false)))
+}
+
+/** 7z triage (round 17): CRC-verified signature-header arithmetic —
+  * struct(version, next_header_size, encoded, pack_bytes); no payload
+  * decode; NULL on malformed framing.
+  * See [[graft.functions.ArchiveKernels.sevenZipMeta]].
+  */
+case class SevenZipMeta(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
+  override def dataType: DataType = SevenZipMeta.schema
+  override def nullable: Boolean = true
+  override def prettyName: String = "sevenzip_meta"
+
+  override protected def nullSafeEval(v: Any): Any =
+    graft.functions.ArchiveKernels.sevenZipMeta(v.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.ArchiveKernels.sevenZipMeta($c);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
+
+  override protected def withNewChildInternal(newChild: Expression): SevenZipMeta =
+    copy(child = newChild)
+}
+
+object RarMeta {
+  val schema: StructType = StructType(Seq(
+    StructField("version", IntegerType, nullable = false),
+    StructField("n_blocks", LongType, nullable = false),
+    StructField("n_files", LongType, nullable = false),
+    StructField("encrypted", BooleanType, nullable = false)))
+}
+
+/** RAR4/RAR5 triage (round 17): CRC-verified block-header walk —
+  * struct(version, n_blocks, n_files, encrypted); encrypted headers
+  * stop the walk honestly; NULL on malformed framing.
+  * See [[graft.functions.ArchiveKernels.rarMeta]].
+  */
+case class RarMeta(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
+  override def dataType: DataType = RarMeta.schema
+  override def nullable: Boolean = true
+  override def prettyName: String = "rar_meta"
+
+  override protected def nullSafeEval(v: Any): Any =
+    graft.functions.ArchiveKernels.rarMeta(v.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.ArchiveKernels.rarMeta($c);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
+
+  override protected def withNewChildInternal(newChild: Expression): RarMeta =
+    copy(child = newChild)
+}
+
 /** Embedded PDF image XObjects (round 17): array of struct(obj,
   * format, width, height, data) — DCTDecode payloads verbatim as
   * `jpeg`, decoded DeviceRGB/DeviceGray rasters re-framed as binary

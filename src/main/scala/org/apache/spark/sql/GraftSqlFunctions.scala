@@ -312,6 +312,20 @@ object GraftSqlFunctions {
           "unencrypted WordDocument stream); NULL otherwise"),
       arity("doc_text", "doc_text(binary)", 1, 1)(
         c => DocText(c(0)))),
+    (FunctionIdentifier("sevenzip_meta"),
+      info("sevenzip_meta",
+        "sevenzip_meta(binary) - 7z triage: CRC-verified struct(" +
+          "version, next_header_size, encoded, pack_bytes); NULL on " +
+          "malformed framing"),
+      arity("sevenzip_meta", "sevenzip_meta(binary)", 1, 1)(
+        c => SevenZipMeta(c(0)))),
+    (FunctionIdentifier("rar_meta"),
+      info("rar_meta",
+        "rar_meta(binary) - RAR4/RAR5 triage: CRC-verified block walk " +
+          "as struct(version, n_blocks, n_files, encrypted); NULL on " +
+          "malformed framing"),
+      arity("rar_meta", "rar_meta(binary)", 1, 1)(
+        c => RarMeta(c(0)))),
     (FunctionIdentifier("pdf_images"),
       info("pdf_images",
         "pdf_images(binary) - embedded PDF image XObjects as array of " +
