@@ -6421,6 +6421,54 @@ object Queries {
             |    ELSE NULL END AS BIGINT) AS n_bytes
             |FROM documents""".stripMargin))
 
+  /** RTF text extraction under the oracle (round 17): per-doc RTF
+    * documents with the doc_id SPLICED into a body run — six lanes:
+    * a full document (font/color/info destinations, formatting words,
+    * `\'hh` cp1252 bytes, paragraph marks), a `{\*\...}`-skip +
+    * symbol-word document, a `\bin`-skip document, non-RTF junk,
+    * an unbalanced document, and a truncated one — refusals come back
+    * NULL. */
+  private val qRtfText = Q("q_rtf_text",
+    (s, dir) => {
+      val id = col("doc_id")
+      val idS = id.cast("string")
+      val m = pmod(id, lit(6))
+      val marker = "0000000"
+      def spliceStr(tpl: String, repl: Column): Column = {
+        val at = tpl.indexOf(marker)
+        require(at >= 0 && tpl.indexOf(marker, at + 1) < 0,
+          "marker not unique")
+        concat(lit(tpl.substring(0, at)), repl,
+          lit(tpl.substring(at + marker.length)))
+      }
+      val pad7 = lpad(idS, 7, "0")
+      val full = """{\rtf1\ansi\deff0{\fonttbl{\f0\fswiss Arial;}}""" +
+        """{\colortbl;\red0\green0\blue0;}{\info{\author bot}}""" +
+        """\f0\fs22\b rtf body 0000000\b0  caf\'e9\par second line}"""
+      val skipDoc = """{\rtf1{\*\generator Acme 9;}""" +
+        """quote \ldblquote 0000000\rdblquote\emdash end}"""
+      val binDoc = """{\rtf1 pre\bin4 XXXX 0000000 post}"""
+      val blob = when(m === 0, encode(spliceStr(full, pad7), "ISO-8859-1"))
+        .when(m === 1, encode(spliceStr(skipDoc, pad7), "ISO-8859-1"))
+        .when(m === 2, encode(spliceStr(binDoc, pad7), "ISO-8859-1"))
+        .when(m === 3, encode(concat(lit("not rtf "), idS), "UTF-8"))
+        .when(m === 4, encode(concat(lit("""{\rtf1 un}bal}"""), idS), "UTF-8"))
+        .otherwise(encode(lit("""{\rtf1 trunca"""), "UTF-8"))
+      t(s, dir, "documents")
+        .select(id.cast("bigint").as("doc_id"), blob.as("__b"))
+        .select(col("doc_id"), Multimodal.rtfText(col("__b")).as("text"))
+    },
+    Some("""SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           |  CASE doc_id % 6
+           |    WHEN 0 THEN 'rtf body ' || lpad(CAST(doc_id AS VARCHAR), 7, '0')
+           |                || ' café' || chr(10) || 'second line'
+           |    WHEN 1 THEN 'quote “' || lpad(CAST(doc_id AS VARCHAR), 7, '0')
+           |                || '”—end'
+           |    WHEN 2 THEN 'pre ' || lpad(CAST(doc_id AS VARCHAR), 7, '0')
+           |                || ' post'
+           |    ELSE NULL END AS text
+           |FROM documents""".stripMargin))
+
   private val qBinaryRoute = Q("q_binary_route",
     (s, dir) => {
       val id = col("doc_id")
@@ -7974,7 +8022,7 @@ object Queries {
     qSampleGroup, qSampleBernoulli, qSampleWeighted, qSampleWeightedGroup, qScd2Multi, qSnapshotDiff, qTrainingOrder, qBlocklist,
     qApproxTopk, qAudioFeatures, qAudioG711, qAudioAdpcm, qAudioContainers,
     qAudioExtensible, qIncrementalEmbedding, qSplitClusterSafe,
-    qIngestRouted, qBinaryIngest, qDocText, qPptText, qBloomLookup, qLineDedupWithin, qProfile, qJpegFeatures,
+    qIngestRouted, qBinaryIngest, qDocText, qPptText, qRtfText, qBloomLookup, qLineDedupWithin, qProfile, qJpegFeatures,
     qRepeatMixture, qScd2Lookup, qVideoStats, qVideoFrames,
     qCdcChunks, qCdcDedup, qNormalizeText, qIncrementalCdc, qOrcRoundtrip,
     qPageRank, qPngFeatures, qGifFeatures, qGifFrames, qTiffFeatures,

@@ -171,6 +171,13 @@ object Multimodal {
     GraftBridge.column(DT(GraftBridge.expression(blob)))
   }
 
+  /** RTF text (r17): destination-skipping control-word walk, cp1252 +
+    * unicode escapes; NULL for non-RTF/damaged input. */
+  def rtfText(blob: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.{GraftBridge, RtfText => RT}
+    GraftBridge.column(RT(GraftBridge.expression(blob)))
+  }
+
   /** 7z triage (r17): CRC-verified signature-header arithmetic —
     * struct(version, next_header_size, encoded, pack_bytes); NULL on
     * malformed framing. */

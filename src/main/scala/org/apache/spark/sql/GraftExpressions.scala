@@ -2011,6 +2011,32 @@ case class PptText(child: Expression)
     copy(child = newChild)
 }
 
+/** RTF text (round 17): group-structured control-word walk with
+  * destination skipping, cp1252 + `\uN` decoding, and the symbol
+  * words; NULL for non-RTF or structurally damaged input.
+  * See [[graft.functions.RtfKernels.rtfText]].
+  */
+case class RtfText(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def prettyName: String = "rtf_text"
+
+  override protected def nullSafeEval(v: Any): Any =
+    graft.functions.RtfKernels.rtfText(v.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.RtfKernels.rtfText($c);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
+
+  override protected def withNewChildInternal(newChild: Expression): RtfText =
+    copy(child = newChild)
+}
+
 object SevenZipMeta {
   val schema: StructType = StructType(Seq(
     StructField("version", StringType, nullable = false),

@@ -312,6 +312,13 @@ object GraftSqlFunctions {
           "unencrypted WordDocument stream); NULL otherwise"),
       arity("doc_text", "doc_text(binary)", 1, 1)(
         c => DocText(c(0)))),
+    (FunctionIdentifier("rtf_text"),
+      info("rtf_text",
+        "rtf_text(binary) - RTF text extraction (destination skipping, " +
+          "cp1252 + \\uN unicode, symbol words); NULL for non-RTF or " +
+          "damaged input"),
+      arity("rtf_text", "rtf_text(binary)", 1, 1)(
+        c => RtfText(c(0)))),
     (FunctionIdentifier("sevenzip_meta"),
       info("sevenzip_meta",
         "sevenzip_meta(binary) - 7z triage: CRC-verified struct(" +
