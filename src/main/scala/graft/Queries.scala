@@ -6469,6 +6469,89 @@ object Queries {
            |    ELSE NULL END AS text
            |FROM documents""".stripMargin))
 
+  /** EML/MIME extraction under the oracle (round 17): per-doc mail
+    * messages with the doc_id SPLICED into subject/body slots — a
+    * plain 7bit message, a quoted-printable latin-1 message with an
+    * RFC 2047 B-word from-name, a nested multipart (alternative
+    * inside mixed, html part extracted, attachment skipped), and
+    * three refusal lanes (junk, unknown charset, unterminated
+    * multipart). */
+  private val qEmlText = Q("q_eml_text",
+    (s, dir) => {
+      val id = col("doc_id")
+      val idS = id.cast("string")
+      val m = pmod(id, lit(6))
+      val marker = "0000000"
+      def spliceStr(tpl: String, repl: Column): Column = {
+        val at = tpl.indexOf(marker)
+        require(at >= 0 && tpl.indexOf(marker, at + 1) < 0,
+          "marker not unique")
+        concat(lit(tpl.substring(0, at)), repl,
+          lit(tpl.substring(at + marker.length)))
+      }
+      val pad7 = lpad(idS, 7, "0")
+      val plain = "From: Ada <ada@example.org>\r\n" +
+        "Subject: report 0000000\r\n" +
+        "Date: Mon, 1 Jan 2024 10:00:00 +0000\r\n\r\n" +
+        "plain body\r\nsecond line"
+      val b64name = java.util.Base64.getEncoder.encodeToString(
+        "Team δ".getBytes("UTF-8"))
+      val qp = s"From: =?utf-8?B?$b64name?= <t@example.org>\n" +
+        "Subject: qp mail\n" +
+        "Content-Type: text/plain; charset=iso-8859-1\n" +
+        "Content-Transfer-Encoding: quoted-printable\n\n" +
+        "caf=E9 0000000 =\nsoft-wrapped"
+      val multi = "From: list@example.org\nSubject: digest\n" +
+        "Content-Type: multipart/mixed; boundary=out\n\n" +
+        "--out\nContent-Type: multipart/alternative; boundary=in\n\n" +
+        "--in\nContent-Type: text/html\n\n<p>html alt</p>\n" +
+        "--in\nContent-Type: text/plain\n\nalt plain 0000000\n" +
+        "--in--\n" +
+        "--out\nContent-Type: application/pdf\n\nATTACHMENT\n" +
+        "--out\nContent-Type: text/plain\n\ntail part\n" +
+        "--out--\n"
+      val badCs = "From: x@y\nSubject: s\n" +
+        "Content-Type: text/plain; charset=x-unknown\n\nbody"
+      val unterm = "From: x@y\nSubject: s\n" +
+        "Content-Type: multipart/mixed; boundary=q\n\n" +
+        "--q\nContent-Type: text/plain\n\nnever closed"
+      val blob = when(m === 0, encode(spliceStr(plain, pad7), "ISO-8859-1"))
+        .when(m === 1, encode(spliceStr(qp, pad7), "ISO-8859-1"))
+        .when(m === 2, encode(spliceStr(multi, pad7), "ISO-8859-1"))
+        .when(m === 3, encode(concat(lit("no mail "), idS), "UTF-8"))
+        .when(m === 4, encode(lit(badCs), "ISO-8859-1"))
+        .otherwise(encode(lit(unterm), "ISO-8859-1"))
+      val p = Multimodal.emlParts(col("__b"))
+      t(s, dir, "documents")
+        .select(id.cast("bigint").as("doc_id"), blob.as("__b"))
+        .select(col("doc_id"),
+          p.getField("from").as("from"),
+          p.getField("subject").as("subject"),
+          p.getField("n_parts").cast("bigint").as("n_parts"),
+          p.getField("text").as("text"))
+    },
+    Some("""SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           |  CASE doc_id % 6
+           |    WHEN 0 THEN 'Ada <ada@example.org>'
+           |    WHEN 1 THEN 'Team δ <t@example.org>'
+           |    WHEN 2 THEN 'list@example.org'
+           |    ELSE NULL END AS "from",
+           |  CASE doc_id % 6
+           |    WHEN 0 THEN 'report ' || lpad(CAST(doc_id AS VARCHAR), 7, '0')
+           |    WHEN 1 THEN 'qp mail' WHEN 2 THEN 'digest'
+           |    ELSE NULL END AS subject,
+           |  CAST(CASE doc_id % 6
+           |    WHEN 0 THEN 1 WHEN 1 THEN 1 WHEN 2 THEN 6
+           |    ELSE NULL END AS BIGINT) AS n_parts,
+           |  CASE doc_id % 6
+           |    WHEN 0 THEN 'plain body' || chr(13) || chr(10) || 'second line'
+           |    WHEN 1 THEN 'café ' || lpad(CAST(doc_id AS VARCHAR), 7, '0')
+           |                || ' soft-wrapped'
+           |    WHEN 2 THEN 'alt plain ' || lpad(CAST(doc_id AS VARCHAR), 7, '0')
+           |                || chr(10) || chr(10) || 'tail part'
+           |    ELSE NULL END AS text
+           |FROM documents""".stripMargin))
+
   private val qBinaryRoute = Q("q_binary_route",
     (s, dir) => {
       val id = col("doc_id")
@@ -8022,7 +8105,7 @@ object Queries {
     qSampleGroup, qSampleBernoulli, qSampleWeighted, qSampleWeightedGroup, qScd2Multi, qSnapshotDiff, qTrainingOrder, qBlocklist,
     qApproxTopk, qAudioFeatures, qAudioG711, qAudioAdpcm, qAudioContainers,
     qAudioExtensible, qIncrementalEmbedding, qSplitClusterSafe,
-    qIngestRouted, qBinaryIngest, qDocText, qPptText, qRtfText, qBloomLookup, qLineDedupWithin, qProfile, qJpegFeatures,
+    qIngestRouted, qBinaryIngest, qDocText, qPptText, qRtfText, qEmlText, qBloomLookup, qLineDedupWithin, qProfile, qJpegFeatures,
     qRepeatMixture, qScd2Lookup, qVideoStats, qVideoFrames,
     qCdcChunks, qCdcDedup, qNormalizeText, qIncrementalCdc, qOrcRoundtrip,
     qPageRank, qPngFeatures, qGifFeatures, qGifFrames, qTiffFeatures,

@@ -171,6 +171,13 @@ object Multimodal {
     GraftBridge.column(DT(GraftBridge.expression(blob)))
   }
 
+  /** EML/MIME extraction (r17): struct(from, to, subject, date,
+    * n_parts, text); NULL for non-mail/undecodable input. */
+  def emlParts(blob: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.{EmlParts => EP, GraftBridge}
+    GraftBridge.column(EP(GraftBridge.expression(blob)))
+  }
+
   /** RTF text (r17): destination-skipping control-word walk, cp1252 +
     * unicode escapes; NULL for non-RTF/damaged input. */
   def rtfText(blob: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {

@@ -2011,6 +2011,33 @@ case class PptText(child: Expression)
     copy(child = newChild)
 }
 
+/** EML/MIME message extraction (round 17): struct(from, to, subject,
+  * date, n_parts, text) — RFC 2047 header words, RFC 2045 transfer
+  * encodings, RFC 2046 multipart walk with text/html parts routed
+  * through the crawl tier's HTML extractor; NULL for non-mail or
+  * undecodable input. See [[graft.functions.EmlKernels.emlParts]].
+  */
+case class EmlParts(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
+  override def dataType: DataType = graft.functions.EmlKernels.schema
+  override def nullable: Boolean = true
+  override def prettyName: String = "eml_parts"
+
+  override protected def nullSafeEval(v: Any): Any =
+    graft.functions.EmlKernels.emlParts(v.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.EmlKernels.emlParts($c);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
+
+  override protected def withNewChildInternal(newChild: Expression): EmlParts =
+    copy(child = newChild)
+}
+
 /** RTF text (round 17): group-structured control-word walk with
   * destination skipping, cp1252 + `\uN` decoding, and the symbol
   * words; NULL for non-RTF or structurally damaged input.

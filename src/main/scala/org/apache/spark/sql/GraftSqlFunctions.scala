@@ -312,6 +312,14 @@ object GraftSqlFunctions {
           "unencrypted WordDocument stream); NULL otherwise"),
       arity("doc_text", "doc_text(binary)", 1, 1)(
         c => DocText(c(0)))),
+    (FunctionIdentifier("eml_parts"),
+      info("eml_parts",
+        "eml_parts(binary) - EML/MIME message extraction: struct(from, " +
+          "to, subject, date, n_parts, text) with RFC 2047 header words, " +
+          "quoted-printable/base64 bodies, multipart walk; NULL for " +
+          "non-mail or undecodable input"),
+      arity("eml_parts", "eml_parts(binary)", 1, 1)(
+        c => EmlParts(c(0)))),
     (FunctionIdentifier("rtf_text"),
       info("rtf_text",
         "rtf_text(binary) - RTF text extraction (destination skipping, " +
