@@ -6552,6 +6552,86 @@ object Queries {
            |    ELSE NULL END AS text
            |FROM documents""".stripMargin))
 
+  /** MP3 metadata under the oracle (round 17): ID3 tags + the r13
+    * frame-chain triage composed over REAL tagged MP3 blobs (ID3v2 +
+    * valid Layer III frame chain + ID3v1 trailer, in-repo builders,
+    * doc_id spliced into tag slots). PCM decode stays a declared gap
+    * (the ISO Huffman tables are not available offline — SCALING.md);
+    * tags + duration are what a corpus pipeline joins on. Five lanes:
+    * v2-titled chain with v1 fallback fields, v1-only chain, v2.4
+    * utf-8 chain, junk (all NULL), and a tagless chain (duration
+    * without tags). */
+  private val qMp3Meta = Q("q_mp3_meta",
+    (s, dir) => {
+      import graft.functions.Id3Kernels
+      val id = col("doc_id")
+      val idS = id.cast("string")
+      val m = pmod(id, lit(5))
+      val marker = "0000000"
+      def hexOf(b: Array[Byte]): String = b.map("%02x".format(_)).mkString
+      def splice(blob: Array[Byte], repl: Column): Column = {
+        val needle = marker.getBytes("US-ASCII")
+        val at = blob.indexOfSlice(needle)
+        require(at >= 0 && blob.indexOfSlice(needle, at + 1) < 0,
+          "marker not unique")
+        concat(unhex(lit(hexOf(blob.take(at)))), repl,
+          unhex(lit(hexOf(blob.drop(at + needle.length)))))
+      }
+      val pad7 = encode(lpad(idS, 7, "0"), "ISO-8859-1")
+      val lane0 = Id3Kernels.buildV2(3, Seq(
+        ("TIT2", s"track $marker", 0), ("TYER", "2003", 0))) ++
+        Id3Kernels.buildFrames(3) ++
+        Id3Kernels.buildV1("ignored title", "Fallback Artist", "Fall Album", "1999")
+      // v2 title wins; artist/album/year... TYER present so year=2003
+      val lane1 = Id3Kernels.buildFrames(5) ++
+        Id3Kernels.buildV1(s"v1 $marker", "Solo Artist", "Lone", "1977")
+      val lane2 = Id3Kernels.buildV2(4, Seq(
+        ("TIT2", "統一タイトル", 3), ("TPE1", "誰か", 3),
+        ("TDRC", "2015-06-01", 3))) ++ Id3Kernels.buildFrames(2)
+      val lane4 = Id3Kernels.buildFrames(4)
+      val blob = when(m === 0, splice(lane0, pad7))
+        .when(m === 1, splice(lane1, pad7))
+        .when(m === 2, unhex(lit(hexOf(lane2))))
+        .when(m === 3, encode(concat(lit("no mp3 "), idS), "UTF-8"))
+        .otherwise(unhex(lit(hexOf(lane4))))
+      val tg = Multimodal.id3Tags(col("__b"))
+      val am = Multimodal.audioMeta(col("__b"))
+      t(s, dir, "documents")
+        .select(id.cast("bigint").as("doc_id"), blob.as("__b"))
+        .select(col("doc_id"),
+          tg.getField("title").as("title"),
+          tg.getField("artist").as("artist"),
+          tg.getField("year").as("year"),
+          am.getField("sample_rate").cast("bigint").as("sample_rate"),
+          am.getField("n_frames").cast("bigint").as("n_samples"),
+          round(am.getField("n_frames").cast("double") /
+            am.getField("sample_rate").cast("double"), 6).as("seconds"))
+    },
+    Some("""SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           |  CASE doc_id % 5
+           |    WHEN 0 THEN 'track ' || lpad(CAST(doc_id AS VARCHAR), 7, '0')
+           |    WHEN 1 THEN 'v1 ' || lpad(CAST(doc_id AS VARCHAR), 7, '0')
+           |    WHEN 2 THEN '統一タイトル'
+           |    ELSE NULL END AS title,
+           |  CASE doc_id % 5
+           |    WHEN 0 THEN 'Fallback Artist' WHEN 1 THEN 'Solo Artist'
+           |    WHEN 2 THEN '誰か'
+           |    ELSE NULL END AS artist,
+           |  CASE doc_id % 5
+           |    WHEN 0 THEN '2003' WHEN 1 THEN '1977' WHEN 2 THEN '2015'
+           |    ELSE NULL END AS year,
+           |  CAST(CASE WHEN doc_id % 5 = 3 THEN NULL ELSE 44100
+           |    END AS BIGINT) AS sample_rate,
+           |  CAST(CASE doc_id % 5
+           |    WHEN 0 THEN 3 * 1152 WHEN 1 THEN 5 * 1152
+           |    WHEN 2 THEN 2 * 1152 WHEN 4 THEN 4 * 1152
+           |    ELSE NULL END AS BIGINT) AS n_samples,
+           |  round(CAST(CASE doc_id % 5
+           |    WHEN 0 THEN 3 * 1152 WHEN 1 THEN 5 * 1152
+           |    WHEN 2 THEN 2 * 1152 WHEN 4 THEN 4 * 1152
+           |    ELSE NULL END AS DOUBLE) / 44100.0, 6) AS seconds
+           |FROM documents""".stripMargin))
+
   private val qBinaryRoute = Q("q_binary_route",
     (s, dir) => {
       val id = col("doc_id")
@@ -8103,7 +8183,7 @@ object Queries {
     qDecontaminateBloom, qLmScore, qEventAttribution, qUpsert, qScd2,
     qZorder, qHilbert, qBpeTrain, qBpeTrainCapped, qBpeEncode, qImportance,
     qSampleGroup, qSampleBernoulli, qSampleWeighted, qSampleWeightedGroup, qScd2Multi, qSnapshotDiff, qTrainingOrder, qBlocklist,
-    qApproxTopk, qAudioFeatures, qAudioG711, qAudioAdpcm, qAudioContainers,
+    qApproxTopk, qAudioFeatures, qMp3Meta, qAudioG711, qAudioAdpcm, qAudioContainers,
     qAudioExtensible, qIncrementalEmbedding, qSplitClusterSafe,
     qIngestRouted, qBinaryIngest, qDocText, qPptText, qRtfText, qEmlText, qBloomLookup, qLineDedupWithin, qProfile, qJpegFeatures,
     qRepeatMixture, qScd2Lookup, qVideoStats, qVideoFrames,

@@ -171,6 +171,13 @@ object Multimodal {
     GraftBridge.column(DT(GraftBridge.expression(blob)))
   }
 
+  /** ID3 tags (r17): struct(title, artist, album, year) from
+    * ID3v2/v1; NULL when no tag or damaged framing. */
+  def id3Tags(blob: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.{GraftBridge, Id3Tags => IT}
+    GraftBridge.column(IT(GraftBridge.expression(blob)))
+  }
+
   /** EML/MIME extraction (r17): struct(from, to, subject, date,
     * n_parts, text); NULL for non-mail/undecodable input. */
   def emlParts(blob: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {

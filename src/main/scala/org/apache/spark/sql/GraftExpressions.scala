@@ -2011,6 +2011,33 @@ case class PptText(child: Expression)
     copy(child = newChild)
 }
 
+/** ID3 tag extraction (round 17): struct(title, artist, album, year)
+  * from ID3v2.2/2.3/2.4 text frames (unsynchronization reversed,
+  * encodings 0-3) with ID3v1 per-field fallback; NULL when no tag is
+  * present or the v2 framing is damaged.
+  * See [[graft.functions.Id3Kernels.id3Tags]].
+  */
+case class Id3Tags(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
+  override def dataType: DataType = graft.functions.Id3Kernels.schema
+  override def nullable: Boolean = true
+  override def prettyName: String = "id3_tags"
+
+  override protected def nullSafeEval(v: Any): Any =
+    graft.functions.Id3Kernels.id3Tags(v.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.Id3Kernels.id3Tags($c);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
+
+  override protected def withNewChildInternal(newChild: Expression): Id3Tags =
+    copy(child = newChild)
+}
+
 /** EML/MIME message extraction (round 17): struct(from, to, subject,
   * date, n_parts, text) — RFC 2047 header words, RFC 2045 transfer
   * encodings, RFC 2046 multipart walk with text/html parts routed

@@ -312,6 +312,13 @@ object GraftSqlFunctions {
           "unencrypted WordDocument stream); NULL otherwise"),
       arity("doc_text", "doc_text(binary)", 1, 1)(
         c => DocText(c(0)))),
+    (FunctionIdentifier("id3_tags"),
+      info("id3_tags",
+        "id3_tags(binary) - ID3v2.2/2.3/2.4 + ID3v1 tag extraction as " +
+          "struct(title, artist, album, year); NULL when no tag or " +
+          "damaged v2 framing"),
+      arity("id3_tags", "id3_tags(binary)", 1, 1)(
+        c => Id3Tags(c(0)))),
     (FunctionIdentifier("eml_parts"),
       info("eml_parts",
         "eml_parts(binary) - EML/MIME message extraction: struct(from, " +
