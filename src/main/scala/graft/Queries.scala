@@ -6632,6 +6632,77 @@ object Queries {
            |    ELSE NULL END AS DOUBLE) / 44100.0, 6) AS seconds
            |FROM documents""".stripMargin))
 
+  /** RSS/Atom discovery under the oracle (round 17): per-doc feeds
+    * CONSTRUCTED in-plan — an RSS channel (two items: entities in the
+    * title, a CDATA description, a skipped category; second item
+    * dateless) and an Atom feed (rel-preference link choice, published
+    * fallback) — plus a truncated document and non-feed junk, each one
+    * all-NULL row via posexplode_outer. One codegen projection +
+    * explode; the oracle recomputes every entry arithmetically. */
+  private val qFeedEntries = Q("q_feed_entries",
+    (s, dir) => {
+      val id = col("doc_id")
+      val idS = id.cast("string")
+      val m = pmod(id, lit(4))
+      val rss = concat(
+        lit("<?xml version=\"1.0\"?><rss version=\"2.0\"><channel>" +
+          "<title>Site</title><link>https://ex.org/</link>"),
+        lit("<item><title>Post &amp; note "), idS,
+        lit("</title><link>https://ex.org/p/"), idS,
+        lit("?a=1&amp;b=2</link><pubDate>Mon, 0"),
+        (pmod(id, lit(9)) + 1).cast("string"),
+        lit(" Jan 2024 10:00:00 GMT</pubDate>" +
+          "<description><![CDATA[body <i>"), idS,
+        lit("</i>]]></description><category>x</category></item>"),
+        lit("<item><title>Second "), idS,
+        lit("</title><link>https://ex.org/q/"), idS,
+        lit("</link></item></channel></rss>"))
+      val atom = concat(
+        lit("<feed xmlns=\"http://www.w3.org/2005/Atom\">" +
+          "<title>Blog</title><id>urn:x</id><entry><title>Entry "), idS,
+        lit("</title><link rel=\"self\" href=\"https://b.ex/self\"/>" +
+          "<link rel=\"alternate\" href=\"https://b.ex/e/"), idS,
+        lit("\"/><published>2024-03-03T00:00:00Z</published>" +
+          "<summary>sum "), idS,
+        lit("</summary></entry></feed>"))
+      val xml = when(m === 0, rss)
+        .when(m === 1, atom)
+        .when(m === 2, substring(rss, 1, 90))
+        .otherwise(concat(lit("<html><body>not a feed "), idS,
+          lit("</body></html>")))
+      t(s, dir, "documents")
+        .select(id.cast("bigint").as("doc_id"), xml.as("__x"))
+        .select(col("doc_id"),
+          posexplode_outer(TF.feedEntries(col("__x"))).as(Seq("pos", "e")))
+        .select(col("doc_id"), col("pos").cast("bigint").as("pos"),
+          col("e.kind").as("kind"), col("e.title").as("title"),
+          col("e.link").as("link"), col("e.date").as("date"),
+          col("e.summary").as("summary"))
+    },
+    Some("""WITH c AS (
+           |  SELECT doc_id, CAST(doc_id % 4 AS INT) AS m FROM documents),
+           |rows_ AS (
+           |  SELECT doc_id, 0 AS pos, 'rss' AS kind,
+           |         'Post & note ' || doc_id AS title,
+           |         'https://ex.org/p/' || doc_id || '?a=1&b=2' AS link,
+           |         'Mon, 0' || (doc_id % 9 + 1) ||
+           |           ' Jan 2024 10:00:00 GMT' AS date_,
+           |         'body <i>' || doc_id || '</i>' AS summary
+           |    FROM c WHERE m = 0
+           |  UNION ALL SELECT doc_id, 1, 'rss', 'Second ' || doc_id,
+           |         'https://ex.org/q/' || doc_id, NULL, NULL
+           |    FROM c WHERE m = 0
+           |  UNION ALL SELECT doc_id, 0, 'atom', 'Entry ' || doc_id,
+           |         'https://b.ex/e/' || doc_id,
+           |         '2024-03-03T00:00:00Z', 'sum ' || doc_id
+           |    FROM c WHERE m = 1
+           |  UNION ALL SELECT doc_id, NULL, NULL, NULL, NULL, NULL, NULL
+           |    FROM c WHERE m IN (2, 3))
+           |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           |       CAST(pos AS BIGINT) AS pos, kind, title, link,
+           |       date_ AS date, summary
+           |FROM rows_""".stripMargin))
+
   private val qBinaryRoute = Q("q_binary_route",
     (s, dir) => {
       val id = col("doc_id")
@@ -8156,7 +8227,7 @@ object Queries {
   val all: Seq[Q] = Seq(
     qHtmlExtract, qQualityRules, qUrlNormalize, qContainerMeta, qRobotsFilter,
     qCrawlClean, qTextDecode, qAnnSq8, qLangId, qNegativeSample, qDriftPsi,
-    qLinkExtract, qFrontierLinks, qWarcIngest, qSitemapFrontier,
+    qLinkExtract, qFrontierLinks, qWarcIngest, qSitemapFrontier, qFeedEntries,
     qLangIdModel, qPdfExtract, qPdfImages, qFrontierSchedule, qImagePhash,
     qIncrementalPhash, qAudioNearDup, qIncrementalAudio, qVideoNearDup, qHtmlTables,
     qZipExtract, qDocxText, qXlsxCells, qXlsCells, qTarExtract, qJsonProfile, qUrlIdn, qBinaryRoute,

@@ -39,22 +39,22 @@ object SitemapKernels {
     StructField("loc", StringType, nullable = false),
     StructField("lastmod", StringType, nullable = true)))
 
-  private def isNameChar(c: Char): Boolean =
+  private[functions] def isNameChar(c: Char): Boolean =
     c.isLetterOrDigit || c == ':' || c == '-' || c == '_' || c == '.'
 
-  private def nameEnd(s: String, from: Int): Int = {
+  private[functions] def nameEnd(s: String, from: Int): Int = {
     var i = from
     while (i < s.length && isNameChar(s.charAt(i))) i += 1
     i
   }
 
-  private def localName(n: String): String = {
+  private[functions] def localName(n: String): String = {
     val c = n.lastIndexOf(':')
     (if (c < 0) n else n.substring(c + 1)).toLowerCase
   }
 
   /** Whitespace + comments; -1 on an unterminated comment. */
-  private def skipMisc(s: String, from: Int): Int = {
+  private[functions] def skipMisc(s: String, from: Int): Int = {
     var i = from
     while (i < s.length) {
       if (Character.isWhitespace(s.charAt(i))) i += 1
@@ -69,7 +69,7 @@ object SitemapKernels {
 
   /** Scan past a tag's attributes to `>`; quoted values may contain
     * `>`/`/`. Returns (index past '>', selfClosing) or null. */
-  private def tagEnd(s: String, from: Int): (Int, Boolean) = {
+  private[functions] def tagEnd(s: String, from: Int): (Int, Boolean) = {
     var i = from
     while (i < s.length) {
       val c = s.charAt(i)
@@ -92,7 +92,7 @@ object SitemapKernels {
   /** Text content (CDATA-capable) up to `</name>`; no nested elements
     * allowed inside. Returns (decoded trimmed text, index past the
     * close tag) or null. */
-  private def textUntilClose(s: String, from: Int, name: String): (String, Int) = {
+  private[functions] def textUntilClose(s: String, from: Int, name: String): (String, Int) = {
     val sb = new StringBuilder
     var i = from
     while (i < s.length) {
@@ -116,7 +116,7 @@ object SitemapKernels {
   /** Skip a whole element body (open tag already consumed) including
     * arbitrarily nested children, comments, CDATA. Returns the index
     * past the balancing close tag, or -1. */
-  private def skipElement(s: String, from: Int): Int = {
+  private[functions] def skipElement(s: String, from: Int): Int = {
     var depth = 1
     var i = from
     while (i < s.length) {

@@ -339,6 +339,14 @@ object TextFunctions {
     GraftBridge.column(SE(GraftBridge.expression(xml)))
   }
 
+  /** RSS/Atom feed parse (r17): array of (kind, title, link, date,
+    * summary) entries, NULL on malformed framing — the fresh-content
+    * discovery surface next to [[sitemapEntries]]. */
+  def feedEntries(xml: Column): Column = {
+    import org.apache.spark.sql.{FeedEntries => FE, GraftBridge}
+    GraftBridge.column(FE(GraftBridge.expression(xml)))
+  }
+
   def urlResolve(base: Column, ref: Column): Column = {
     import org.apache.spark.sql.{GraftBridge, UrlResolve => UR}
     GraftBridge.column(UR(GraftBridge.expression(base), GraftBridge.expression(ref)))

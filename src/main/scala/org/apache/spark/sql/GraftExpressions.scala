@@ -2469,6 +2469,32 @@ case class SitemapEntries(child: Expression)
     copy(child = newChild)
 }
 
+/** RSS/Atom feed entries (round 17): array of (kind, title, link,
+  * date, summary) structs in document order; NULL on any malformed
+  * framing. See [[graft.functions.FeedKernels.feedEntries]].
+  */
+case class FeedEntries(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType =
+    ArrayType(graft.functions.FeedKernels.schema, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "feed_entries"
+
+  override protected def nullSafeEval(v: Any): Any =
+    graft.functions.FeedKernels.feedEntries(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.FeedKernels.feedEntries($c);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
+
+  override protected def withNewChildInternal(newChild: Expression): FeedEntries =
+    copy(child = newChild)
+}
+
 /** `Crawl-delay:` directives of a robots.txt with group attribution:
   * array of (agent, delay-seconds) rows. See
   * [[graft.functions.RobotsKernels.crawlDelays]].

@@ -410,6 +410,12 @@ object GraftSqlFunctions {
           "array<struct(kind, loc, lastmod)>; NULL on malformed framing"),
       arity("sitemap_entries", "sitemap_entries(xml)", 1, 1)(
         c => SitemapEntries(c(0)))),
+    (FunctionIdentifier("feed_entries"),
+      info("feed_entries",
+        "feed_entries(xml) - RSS/Atom feed entries as array<struct(" +
+          "kind, title, link, date, summary)>; NULL on malformed framing"),
+      arity("feed_entries", "feed_entries(xml)", 1, 1)(
+        c => FeedEntries(c(0)))),
     (FunctionIdentifier("robots_crawl_delays"),
       info("robots_crawl_delays",
         "robots_crawl_delays(text) - Crawl-delay directives with group " +
