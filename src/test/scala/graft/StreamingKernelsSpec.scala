@@ -440,4 +440,62 @@ class StreamingKernelsSpec extends SparkSpec {
     assert(byId(2L)(1) == null && byId(2L)(2) == null && byId(2L)(4) == null)
     assert(byId(2L)(5) == "utf-8")
   }
+
+  test("r17 kernels (xls_cells, ppt_text, rtf_text, eml_parts, " +
+    "id3_tags, feed_entries, pdf_images, archive triage, zstd dict): " +
+    "stateless projections, stream equals batch") {
+    import graft.functions.{ArchiveKernels, Id3Kernels, PptKernels,
+      XlsKernels, ZstdDictFixture}
+    val xls = XlsKernels.build(Seq(Seq(
+      XlsKernels.XSst(0, 0, "stream cell"), XlsKernels.XNum(1, 1, 2.5))))
+    val ppt = PptKernels.build(PptKernels.textBytes("stream deck"))
+    val rtf = """{\rtf1 stream body\par}""".getBytes("ISO-8859-1")
+    val eml = "From: s@t\nSubject: stream mail\n\nmail body"
+      .getBytes("ISO-8859-1")
+    val mp3 = Id3Kernels.buildV2(3, Seq(("TIT2", "stream song", 0))) ++
+      Id3Kernels.buildFrames(2)
+    val feed = "<feed><entry><title>st</title><link href=\"u\"/></entry></feed>"
+    val sz = ArchiveKernels.build7z(Array[Byte](1, 2, 3), Array[Byte](0x01))
+    val zf = ZstdDictFixture.frame0Hex
+      .grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    val zd = ZstdDictFixture.dictHex
+      .grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    val rows = Seq(
+      (1L, xls, ppt, rtf, eml, mp3, feed, sz, zf),
+      (2L, "x".getBytes, "x".getBytes, "x".getBytes, "x".getBytes,
+        "x".getBytes, "nope", "x".getBytes, "x".getBytes))
+    def pipeline(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("zd", lit(zd))
+      .selectExpr(
+        "id",
+        "size(xls_cells(xls)) AS ncells",
+        "ppt_text(ppt) AS deck",
+        "rtf_text(rtf) AS rtf_t",
+        "eml_parts(eml).subject AS subj",
+        "id3_tags(mp3).title AS song",
+        "size(feed_entries(feed)) AS nfeed",
+        "sevenzip_meta(sz).pack_bytes AS pb",
+        "CAST(zstd_decompress(zf, zd) AS STRING) AS zt")
+    val batch = pipeline(rows.toDF("id", "xls", "ppt", "rtf", "eml",
+      "mp3", "feed", "sz", "zf")).collect().map(_.toSeq).toSet
+    val input = MemoryStream[(Long, Array[Byte], Array[Byte], Array[Byte],
+      Array[Byte], Array[Byte], String, Array[Byte], Array[Byte])](
+      spark, numPartitions = 1)
+    val q = pipeline(input.toDS().toDF("id", "xls", "ppt", "rtf", "eml",
+      "mp3", "feed", "sz", "zf"))
+      .writeStream.format("memory").queryName("r17_stream")
+      .outputMode("append").start()
+    input.addData(rows: _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("r17_stream").collect().map(_.toSeq).toSet
+    assert(streamed == batch)
+    val byId = batch.groupBy(_.head).map { case (k, v) => k -> v.head }
+    assert(byId(1L)(1) == 2 && byId(1L)(2) == "stream deck")
+    assert(byId(1L)(3) == "stream body\n")
+    assert(byId(1L)(4) == "stream mail" && byId(1L)(5) == "stream song")
+    assert(byId(1L)(6) == 1 && byId(1L)(7) == 3L)
+    assert(byId(1L)(8) == ZstdDictFixture.payload0)
+    assert((1 to 8).forall(k => byId(2L)(k) == null))
+  }
 }
