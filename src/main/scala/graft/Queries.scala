@@ -6703,6 +6703,96 @@ object Queries {
            |       date_ AS date, summary
            |FROM rows_""".stripMargin))
 
+  /** The unified text front door under the oracle (round 17):
+    * [[Multimodal.documentText]] — ONE magic-dispatched column that
+    * yields "the text of whatever this blob is" across the whole
+    * format surface this engine decodes. Twelve lanes: pdf, docx,
+    * pptx, xlsx (cell values), legacy doc/ppt/xls, rtf, eml, html
+    * (in-plan, doc_id-bearing), plain text, and a damaged-pdf NULL
+    * lane. This is the operator a 100 TB ingest actually calls first;
+    * the per-format queries remain the deep oracles. */
+  private val qDocumentText = Q("q_document_text",
+    (s, dir) => {
+      import graft.functions.{CfbKernels, PptKernels, XlsKernels}
+      val id = col("doc_id")
+      val idS = id.cast("string")
+      val m = pmod(id, lit(12))
+      def hexOf(b: Array[Byte]): String = b.map("%02x".format(_)).mkString
+      def zipOf(members: (String, String)*): Array[Byte] = {
+        val bos = new java.io.ByteArrayOutputStream()
+        val z = new java.util.zip.ZipOutputStream(bos)
+        members.foreach { case (n, c) =>
+          z.putNextEntry(new java.util.zip.ZipEntry(n))
+          z.write(c.getBytes("UTF-8")); z.closeEntry()
+        }
+        z.close(); bos.toByteArray
+      }
+      val pdf = {
+        val out = new java.io.ByteArrayOutputStream()
+        def es(x: String): Unit = out.write(x.getBytes("ISO-8859-1"))
+        val offs = scala.collection.mutable.ArrayBuffer[Long]()
+        es("%PDF-1.4\n")
+        offs += out.size(); es("1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n")
+        offs += out.size(); es("2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n")
+        offs += out.size(); es("3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R >> endobj\n")
+        offs += out.size()
+        val content = "BT (pdf lane text) Tj ET"
+        es(s"4 0 obj << /Length ${content.length} >> stream\n$content\nendstream endobj\n")
+        val xo = out.size()
+        es("xref\n0 5\n0000000000 65535 f \n")
+        offs.foreach(o => es(f"$o%010d 00000 n \n"))
+        es(s"trailer << /Size 5 /Root 1 0 R >>\nstartxref\n$xo\n%%EOF")
+        out.toByteArray
+      }
+      val docx = zipOf("word/document.xml" ->
+        "<w:document><w:body><w:p><w:r><w:t>docx lane text</w:t></w:r></w:p></w:body></w:document>")
+      val pptx = zipOf("ppt/slides/slide1.xml" ->
+        "<p:sld><a:p><a:t>pptx lane text</a:t></a:p></p:sld>")
+      val xlsx = zipOf("xl/worksheets/sheet1.xml" ->
+        ("<worksheet><sheetData><row r=\"1\">" +
+          "<c r=\"A1\" t=\"inlineStr\"><is><t>cell one</t></is></c></row>" +
+          "<row r=\"2\"><c r=\"A2\" t=\"inlineStr\"><is><t>cell two</t></is></c>" +
+          "</row></sheetData></worksheet>"))
+      val doc = CfbKernels.buildDoc("doc lane text", unicode = false)
+      val ppt = PptKernels.build(PptKernels.textBytes("ppt lane text"))
+      val xls = XlsKernels.build(Seq(Seq(
+        XlsKernels.XLabelC(0, 0, "xls one"), XlsKernels.XNum(1, 1, 7.0))))
+      val rtf = """{\rtf1 rtf lane text\par}""".getBytes("ISO-8859-1")
+      val eml = "From: a@b\nSubject: s\n\nmail lane text".getBytes("ISO-8859-1")
+      val blob = when(m === 0, unhex(lit(hexOf(pdf))))
+        .when(m === 1, unhex(lit(hexOf(docx))))
+        .when(m === 2, unhex(lit(hexOf(pptx))))
+        .when(m === 3, unhex(lit(hexOf(xlsx))))
+        .when(m === 4, unhex(lit(hexOf(doc))))
+        .when(m === 5, unhex(lit(hexOf(ppt))))
+        .when(m === 6, unhex(lit(hexOf(xls))))
+        .when(m === 7, unhex(lit(hexOf(rtf))))
+        .when(m === 8, unhex(lit(hexOf(eml))))
+        .when(m === 9, encode(concat(lit("<html><body><p>html lane "), idS,
+          lit("</p></body></html>")), "UTF-8"))
+        .when(m === 10, encode(concat(lit("plain lane "), idS), "UTF-8"))
+        .otherwise(unhex(lit(hexOf(pdf.take(60))))) // damaged pdf: NULL
+      t(s, dir, "documents")
+        .select(id.cast("bigint").as("doc_id"), blob.as("__b"))
+        .select(col("doc_id"),
+          Multimodal.documentText(col("__b")).as("text"))
+    },
+    Some("""SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           |  CASE doc_id % 12
+           |    WHEN 0 THEN 'pdf lane text'
+           |    WHEN 1 THEN 'docx lane text'
+           |    WHEN 2 THEN 'pptx lane text'
+           |    WHEN 3 THEN 'cell one' || chr(10) || 'cell two'
+           |    WHEN 4 THEN 'doc lane text'
+           |    WHEN 5 THEN 'ppt lane text'
+           |    WHEN 6 THEN 'xls one' || chr(10) || '7'
+           |    WHEN 7 THEN 'rtf lane text' || chr(10)
+           |    WHEN 8 THEN 'mail lane text'
+           |    WHEN 9 THEN 'html lane ' || doc_id
+           |    WHEN 10 THEN 'plain lane ' || doc_id
+           |    ELSE NULL END AS text
+           |FROM documents""".stripMargin))
+
   private val qBinaryRoute = Q("q_binary_route",
     (s, dir) => {
       val id = col("doc_id")
@@ -7216,6 +7306,58 @@ object Queries {
            |SELECT CAST(doc_id AS BIGINT) AS doc_id,
            |  CASE WHEN tr THEN NULL
            |       ELSE 'docx body ' || doc_id || chr(10) || word || ' & paragraph'
+           |       END AS text
+           |FROM c""".stripMargin))
+
+  /** PPTX slide text under the oracle (round 17) — the OOXML trio's
+    * third member (docx r14, xlsx r15): a one-member stored ZIP built
+    * in-plan (real CRC/offsets) whose `ppt/slides/slide1.xml` carries
+    * per-doc DrawingML runs — split runs inside one paragraph, an
+    * entity, an empty `<a:t/>`, and a second paragraph. Every 7th doc
+    * truncates the archive → NULL. */
+  private val qPptxText = Q("q_pptx_text",
+    (s, dir) => {
+      val id = col("doc_id")
+      val idS = id.cast("string")
+      val word = element_at(typedlit(Seq("alpha", "beta", "gamma")),
+        (pmod(id, lit(3)) + 1).cast("int"))
+      def le16(v: Column): Column = leCol(v, 2)
+      def le32(v: Column): Column = leCol(v, 4)
+      val n1 = "ppt/slides/slide1.xml"
+      val xml = concat(
+        lit("<p:sld><p:cSld><a:p><a:t>deck "), idS,
+        lit("</a:t><a:r/><a:t/><a:t> &amp; "), word,
+        lit("</a:t></a:p><a:p><a:t>closing line</a:t></a:p>" +
+          "</p:cSld></p:sld>"))
+      val c1 = encode(xml, "UTF-8")
+      val l1 = concat(
+        unhex(lit("504b0304")), le16(lit(20)), le16(lit(0)), le16(lit(0)),
+        le16(lit(0)), le16(lit(0)), le32(crc32(c1)),
+        le32(length(c1)), le32(length(c1)),
+        le16(lit(n1.length)), le16(lit(0)), encode(lit(n1), "UTF-8"), c1)
+      val cd = concat(
+        unhex(lit("504b0102")), le16(lit(20)), le16(lit(20)), le16(lit(0)),
+        le16(lit(0)), le16(lit(0)), le16(lit(0)), le32(crc32(c1)),
+        le32(length(c1)), le32(length(c1)),
+        le16(lit(n1.length)), le16(lit(0)), le16(lit(0)), le16(lit(0)),
+        le16(lit(0)), le32(lit(0)), le32(lit(0)), encode(lit(n1), "UTF-8"))
+      val eocd = concat(unhex(lit("504b0506")), le16(lit(0)), le16(lit(0)),
+        le16(lit(1)), le16(lit(1)), le32(length(cd)), le32(length(l1)),
+        le16(lit(0)))
+      val zip0 = concat(l1, cd, eocd)
+      val zip = when(pmod(id, lit(7)) === 0, substring(zip0, 1, 40))
+        .otherwise(zip0)
+      t(s, dir, "documents").select(id.cast("bigint").as("doc_id"),
+        Multimodal.pptxText(zip).as("text"))
+    },
+    Some("""WITH c AS (
+           |  SELECT doc_id, doc_id % 7 = 0 AS tr,
+           |         ['alpha','beta','gamma'][CAST(doc_id % 3 AS INT) + 1] AS word
+           |  FROM documents)
+           |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           |  CASE WHEN tr THEN NULL
+           |       ELSE 'deck ' || doc_id || ' & ' || word || chr(10) ||
+           |            'closing line'
            |       END AS text
            |FROM c""".stripMargin))
 
@@ -8230,7 +8372,7 @@ object Queries {
     qLinkExtract, qFrontierLinks, qWarcIngest, qSitemapFrontier, qFeedEntries,
     qLangIdModel, qPdfExtract, qPdfImages, qFrontierSchedule, qImagePhash,
     qIncrementalPhash, qAudioNearDup, qIncrementalAudio, qVideoNearDup, qHtmlTables,
-    qZipExtract, qDocxText, qXlsxCells, qXlsCells, qTarExtract, qJsonProfile, qUrlIdn, qBinaryRoute,
+    qZipExtract, qDocxText, qPptxText, qXlsxCells, qXlsCells, qDocumentText, qTarExtract, qJsonProfile, qUrlIdn, qBinaryRoute,
     qZstdDict,
     qSelect, qFilter, qFilterRouter,
     qJoinInner, qJoinLeft3key, qJoinRight, qJoinMultiway,

@@ -171,6 +171,50 @@ object Multimodal {
     GraftBridge.column(DT(GraftBridge.expression(blob)))
   }
 
+  /** The "text of whatever this blob is" ingest front door (r17):
+    * magic-dispatched composition of the format extractors —
+    *  - `%PDF-` → [[pdfText]];
+    *  - ZIP → docx (`word/document.xml` through decode + HTML-strip),
+    *    else [[pptxText]], else XLSX cell values newline-joined;
+    *  - CFB → [[docText]], else [[pptText]], else `.xls` cell values;
+    *  - `{\rtf` → [[rtfText]];
+    *  - otherwise: a mail-shaped blob yields [[emlParts]]' text, and
+    *    the fallback is charset-sniffed decode + HTML-strip (which
+    *    whitespace-normalizes plain text — the corpus-text contract,
+    *    not byte preservation).
+    * NULL when nothing can vouch for the bytes. Entirely lazy: each
+    * row runs ONE magic branch; the coalesce alternatives inside a
+    * branch only run on the (rare) earlier-extractor NULLs.
+    */
+  def documentText(blob: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import graft.functions.{TextFunctions => TF}
+    import org.apache.spark.sql.functions._
+    def cellsText(cells: org.apache.spark.sql.Column) =
+      array_join(transform(cells, c => c.getField("value")), "\n")
+    val docxXml = zipExtract(blob, lit("word/document.xml"))
+    when(substring(blob, 1, 5) === encode(lit("%PDF-"), "UTF-8"),
+      pdfText(blob))
+      .when(substring(blob, 1, 2) === encode(lit("PK"), "UTF-8"),
+        coalesce(
+          TF.htmlExtract(TF.decodeText(docxXml).getField("text")),
+          pptxText(blob),
+          cellsText(xlsxCells(blob))))
+      .when(substring(blob, 1, 8) === unhex(lit("d0cf11e0a1b11ae1")),
+        coalesce(docText(blob), pptText(blob), cellsText(xlsCells(blob))))
+      .when(substring(blob, 1, 5) === encode(lit("{\\rtf"), "UTF-8"),
+        rtfText(blob))
+      .otherwise(coalesce(
+        emlParts(blob).getField("text"),
+        TF.htmlExtract(TF.decodeText(blob).getField("text"))))
+  }
+
+  /** PPTX slide text (r17): a:t runs per slide part, paragraphs as
+    * lines; NULL for damaged archives / non-presentations. */
+  def pptxText(blob: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.{GraftBridge, PptxText => PX}
+    GraftBridge.column(PX(GraftBridge.expression(blob)))
+  }
+
   /** ID3 tags (r17): struct(title, artist, album, year) from
     * ID3v2/v1; NULL when no tag or damaged framing. */
   def id3Tags(blob: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {

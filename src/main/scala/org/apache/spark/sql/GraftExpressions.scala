@@ -2011,6 +2011,32 @@ case class PptText(child: Expression)
     copy(child = newChild)
 }
 
+/** PPTX slide text (round 17): `<a:t>` runs of `ppt/slides/slideN.xml`
+  * in part order, paragraphs as lines, slides blank-line-separated;
+  * NULL for damaged archives or non-presentations.
+  * See [[graft.functions.PptxKernels.pptxText]].
+  */
+case class PptxText(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def prettyName: String = "pptx_text"
+
+  override protected def nullSafeEval(v: Any): Any =
+    graft.functions.PptxKernels.pptxText(v.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.PptxKernels.pptxText($c);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
+
+  override protected def withNewChildInternal(newChild: Expression): PptxText =
+    copy(child = newChild)
+}
+
 /** ID3 tag extraction (round 17): struct(title, artist, album, year)
   * from ID3v2.2/2.3/2.4 text frames (unsynchronization reversed,
   * encodings 0-3) with ID3v1 per-field fallback; NULL when no tag is

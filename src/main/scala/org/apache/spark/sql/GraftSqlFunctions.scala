@@ -312,6 +312,13 @@ object GraftSqlFunctions {
           "unencrypted WordDocument stream); NULL otherwise"),
       arity("doc_text", "doc_text(binary)", 1, 1)(
         c => DocText(c(0)))),
+    (FunctionIdentifier("pptx_text"),
+      info("pptx_text",
+        "pptx_text(binary) - PPTX slide text (a:t runs per slide part, " +
+          "paragraphs as lines); NULL for damaged archives or " +
+          "non-presentations"),
+      arity("pptx_text", "pptx_text(binary)", 1, 1)(
+        c => PptxText(c(0)))),
     (FunctionIdentifier("id3_tags"),
       info("id3_tags",
         "id3_tags(binary) - ID3v2.2/2.3/2.4 + ID3v1 tag extraction as " +
