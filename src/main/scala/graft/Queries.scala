@@ -3813,8 +3813,16 @@ object Queries {
       val blobFull = concat(
         lit(Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)),
         be32(lit(13)), lit("IHDR".getBytes), be32(w), be32(h))
+      // SVG lane (r17): every 5th doc carries XML with per-doc
+      // width/height attributes — the vector-format side of the triage
+      val svgBlob = encode(concat(
+        lit("<?xml version=\"1.0\"?><svg xmlns=\"x\" width=\""),
+        w.cast("string"), lit("px\" height=\""), h.cast("string"),
+        lit("\"><rect/></svg>")), "UTF-8")
       val blob = when(pmod(col("doc_id"), lit(7)) === 0,
-        substring(blobFull, 1, 12)).otherwise(blobFull)
+        substring(blobFull, 1, 12))
+        .when(pmod(col("doc_id"), lit(5)) === 0, svgBlob)
+        .otherwise(blobFull)
       val m = Multimodal.imageMeta(blob)
       t(s, dir, "documents").select(col("doc_id").cast("bigint").as("doc_id"),
         m.getField("format").as("format"),
@@ -3822,7 +3830,9 @@ object Queries {
         m.getField("height").cast("bigint").as("height"))
     },
     Some("""SELECT CAST(doc_id AS BIGINT) AS doc_id,
-           |       CASE WHEN doc_id % 7 = 0 THEN NULL ELSE 'png' END AS format,
+           |       CASE WHEN doc_id % 7 = 0 THEN NULL
+           |            WHEN doc_id % 5 = 0 THEN 'svg'
+           |            ELSE 'png' END AS format,
            |       CASE WHEN doc_id % 7 = 0 THEN NULL
            |            ELSE CAST(100 + doc_id % 900 AS BIGINT) END AS width,
            |       CASE WHEN doc_id % 7 = 0 THEN NULL
@@ -6793,6 +6803,57 @@ object Queries {
            |    ELSE NULL END AS text
            |FROM documents""".stripMargin))
 
+  /** mbox → messages under the oracle (round 17): per-doc two-message
+    * archives constructed in-plan (envelope lines, a `>From ` quoted
+    * body line, QP second message), split + parsed in one statement —
+    * plus junk and a truncated single-envelope refusal lane, each one
+    * all-NULL row via posexplode_outer. */
+  private val qMboxMessages = Q("q_mbox_messages",
+    (s, dir) => {
+      val id = col("doc_id")
+      val idS = id.cast("string")
+      val m = pmod(id, lit(3))
+      val mbox = concat(
+        lit("From alice@example.org Mon Jan  1 10:00:00 2024\n" +
+          "From: alice@example.org\nSubject: first "), idS,
+        lit("\n\nbody one\n>From quoted survives\n" +
+          "From bob@example.org Mon Jan  1 11:00:00 2024\n" +
+          "From: bob@example.org\nSubject: second "), idS,
+        lit("\nContent-Type: text/plain; charset=iso-8859-1\n" +
+          "Content-Transfer-Encoding: quoted-printable\n\ncaf=E9 "), idS,
+        lit("\n"))
+      val blob = when(m === 0, encode(mbox, "ISO-8859-1"))
+        .when(m === 1, encode(concat(lit("no mbox "), idS), "UTF-8"))
+        .otherwise(encode(lit("From "), "UTF-8"))
+      val p = Multimodal.emlParts(col("m"))
+      t(s, dir, "documents")
+        .select(id.cast("bigint").as("doc_id"), blob.as("__b"))
+        .select(col("doc_id"),
+          posexplode_outer(Multimodal.mboxMessages(col("__b")))
+            .as(Seq("pos", "m")))
+        .select(col("doc_id"), col("pos").cast("bigint").as("pos"),
+          p.getField("from").as("from"),
+          p.getField("subject").as("subject"),
+          p.getField("text").as("text"))
+    },
+    Some("""WITH c AS (
+           |  SELECT doc_id, CAST(doc_id % 3 AS INT) AS m FROM documents),
+           |rows_ AS (
+           |  SELECT doc_id, 0 AS pos, 'alice@example.org' AS f,
+           |         'first ' || doc_id AS subj,
+           |         'body one' || chr(10) || 'From quoted survives'
+           |           || chr(10) AS text
+           |    FROM c WHERE m = 0
+           |  UNION ALL SELECT doc_id, 1, 'bob@example.org',
+           |         'second ' || doc_id, 'café ' || doc_id || chr(10)
+           |    FROM c WHERE m = 0
+           |  UNION ALL SELECT doc_id, NULL, NULL, NULL, NULL
+           |    FROM c WHERE m IN (1, 2))
+           |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           |       CAST(pos AS BIGINT) AS pos, f AS "from", subj AS subject,
+           |       text
+           |FROM rows_""".stripMargin))
+
   private val qBinaryRoute = Q("q_binary_route",
     (s, dir) => {
       val id = col("doc_id")
@@ -8398,7 +8459,7 @@ object Queries {
     qSampleGroup, qSampleBernoulli, qSampleWeighted, qSampleWeightedGroup, qScd2Multi, qSnapshotDiff, qTrainingOrder, qBlocklist,
     qApproxTopk, qAudioFeatures, qMp3Meta, qAudioG711, qAudioAdpcm, qAudioContainers,
     qAudioExtensible, qIncrementalEmbedding, qSplitClusterSafe,
-    qIngestRouted, qBinaryIngest, qDocText, qPptText, qRtfText, qEmlText, qBloomLookup, qLineDedupWithin, qProfile, qJpegFeatures,
+    qIngestRouted, qBinaryIngest, qDocText, qPptText, qRtfText, qEmlText, qMboxMessages, qBloomLookup, qLineDedupWithin, qProfile, qJpegFeatures,
     qRepeatMixture, qScd2Lookup, qVideoStats, qVideoFrames,
     qCdcChunks, qCdcDedup, qNormalizeText, qIncrementalCdc, qOrcRoundtrip,
     qPageRank, qPngFeatures, qGifFeatures, qGifFrames, qTiffFeatures,

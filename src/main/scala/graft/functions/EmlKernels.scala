@@ -271,6 +271,43 @@ object EmlKernels {
     out.toSeq
   }
 
+  private val MaxMessages = 1 << 16
+
+  /** mbox archive → individual messages (r17): `From ` envelope
+    * separator lines (mboxo/mboxrd), each message's bytes WITHOUT its
+    * envelope line, `>From `-quoting reversed per mboxrd. NULL unless
+    * the blob starts with an envelope line; each element feeds
+    * [[emlParts]]. */
+  def mboxMessages(b: Array[Byte]): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    if (b == null) return null
+    try {
+      val s = new String(b, java.nio.charset.StandardCharsets.ISO_8859_1)
+      if (!s.startsWith("From ")) return null
+      val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+      var i = 0
+      while (i >= 0 && i < s.length) {
+        // skip the envelope line
+        val eol = s.indexOf('\n', i)
+        if (eol < 0) return null // envelope line without a message
+        val bodyStart = eol + 1
+        val next = s.indexOf("\nFrom ", bodyStart)
+        val bodyEnd = if (next < 0) s.length else next + 1
+        val raw = s.substring(bodyStart, bodyEnd)
+        // mboxrd unescape: a line of >+From loses one '>'
+        val un = raw.split("\n", -1).map { line =>
+          var k = 0
+          while (k < line.length && line.charAt(k) == '>') k += 1
+          if (k > 0 && line.startsWith("From ", k)) line.substring(1)
+          else line
+        }.mkString("\n")
+        if (out.length >= MaxMessages) return null
+        out += un.map(c => (c.toInt & 0xff).toByte).toArray
+        i = if (next < 0) -1 else next + 1
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+    } catch { case _: Exception => null }
+  }
+
   /** Parsed message: struct(from, to, subject, date, n_parts, text),
     * or null for non-mail / undecodable input. */
   def emlParts(b: Array[Byte]): GenericInternalRow = {

@@ -866,6 +866,89 @@ object MediaKernels {
       }
       return null
     }
+    // SVG (r17): the one vector format crawls carry in volume — XML
+    // text, so "dimensions" are the root <svg> tag's width/height
+    // attributes (plain or px-suffixed integers) falling back to the
+    // viewBox extent; percentage/em/unitless-float sizings without a
+    // viewBox are genuinely dimensionless and refuse.
+    locally {
+      val head = new String(b, 0, math.min(b.length, 4096),
+        java.nio.charset.StandardCharsets.ISO_8859_1)
+      var i = 0
+      if (b.length >= 3 && (b(0) & 0xff) == 0xef &&
+          (b(1) & 0xff) == 0xbb && (b(2) & 0xff) == 0xbf) i = 3 // UTF-8 BOM
+      while (i < head.length && Character.isWhitespace(head.charAt(i))) i += 1
+      if (head.startsWith("<?xml", i)) {
+        val e = head.indexOf("?>", i)
+        if (e < 0) return null
+        i = e + 2
+      }
+      var at = head.indexOf("<svg", i)
+      while (at >= 0 && at + 4 < head.length &&
+             !(head.charAt(at + 4) == ' ' || head.charAt(at + 4) == '>' ||
+               head.charAt(at + 4) == '\n' || head.charAt(at + 4) == '\t' ||
+               head.charAt(at + 4) == '\r'))
+        at = head.indexOf("<svg", at + 4)
+      if (at >= 0) {
+        // only leading whitespace/comments/doctype may precede <svg
+        var p = i
+        var clean = true
+        while (clean && p < at) {
+          if (Character.isWhitespace(head.charAt(p))) p += 1
+          else if (head.startsWith("<!--", p)) {
+            val e = head.indexOf("-->", p + 4)
+            if (e < 0 || e + 3 > at) clean = false else p = e + 3
+          } else if (head.startsWith("<!", p)) {
+            val e = head.indexOf('>', p + 2)
+            if (e < 0 || e + 1 > at) clean = false else p = e + 1
+          } else clean = false
+        }
+        if (!clean) return null
+        val gt = head.indexOf('>', at + 4)
+        if (gt < 0) return null
+        val tag = head.substring(at + 4, gt)
+        def attrOf(name: String): String = {
+          val k = name + "="
+          var j = 0
+          while (j >= 0 && j < tag.length) {
+            j = tag.indexOf(k, j)
+            if (j < 0) return null
+            val before = if (j == 0) ' ' else tag.charAt(j - 1)
+            if (Character.isWhitespace(before)) {
+              val q = tag.charAt(j + k.length)
+              if (q == '"' || q == '\'') {
+                val e = tag.indexOf(q, j + k.length + 1)
+                if (e < 0) return null
+                return tag.substring(j + k.length + 1, e).trim
+              }
+            }
+            j += k.length
+          }
+          null
+        }
+        def px(v: String): Int = {
+          if (v == null) return -1
+          val t = if (v.endsWith("px")) v.dropRight(2).trim else v
+          if (t.nonEmpty && t.forall(_.isDigit) && t.length <= 7) t.toInt
+          else -1
+        }
+        val w = px(attrOf("width"))
+        val h = px(attrOf("height"))
+        if (w > 0 && h > 0) return row("svg", w, h)
+        val vb = attrOf("viewBox")
+        if (vb != null) {
+          val parts = vb.trim.split("[ ,]+")
+          if (parts.length == 4) {
+            try {
+              val vw = math.floor(parts(2).toDouble + 0.5).toInt
+              val vh = math.floor(parts(3).toDouble + 0.5).toInt
+              if (vw > 0 && vh > 0) return row("svg", vw, vh)
+            } catch { case _: NumberFormatException => () }
+          }
+        }
+        return null
+      }
+    }
     null
   }
 

@@ -229,6 +229,13 @@ object Multimodal {
     GraftBridge.column(EP(GraftBridge.expression(blob)))
   }
 
+  /** mbox splitting (r17): per-message binaries, envelope lines
+    * dropped, mboxrd unescaped; feeds [[emlParts]]. */
+  def mboxMessages(blob: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.{GraftBridge, MboxMessages => MM}
+    GraftBridge.column(MM(GraftBridge.expression(blob)))
+  }
+
   /** RTF text (r17): destination-skipping control-word walk, cp1252 +
     * unicode escapes; NULL for non-RTF/damaged input. */
   def rtfText(blob: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {

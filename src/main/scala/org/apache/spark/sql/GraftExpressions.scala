@@ -2091,6 +2091,32 @@ case class EmlParts(child: Expression)
     copy(child = newChild)
 }
 
+/** mbox splitting (round 17): `From ` envelope-separated messages as
+  * array<binary> (envelope lines dropped, mboxrd `>From ` unescaped);
+  * each element feeds [[EmlParts]]. NULL for non-mbox input.
+  * See [[graft.functions.EmlKernels.mboxMessages]].
+  */
+case class MboxMessages(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
+  override def dataType: DataType = ArrayType(BinaryType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "mbox_messages"
+
+  override protected def nullSafeEval(v: Any): Any =
+    graft.functions.EmlKernels.mboxMessages(v.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.EmlKernels.mboxMessages($c);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
+
+  override protected def withNewChildInternal(newChild: Expression): MboxMessages =
+    copy(child = newChild)
+}
+
 /** RTF text (round 17): group-structured control-word walk with
   * destination skipping, cp1252 + `\uN` decoding, and the symbol
   * words; NULL for non-RTF or structurally damaged input.

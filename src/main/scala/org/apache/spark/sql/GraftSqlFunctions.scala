@@ -334,6 +334,13 @@ object GraftSqlFunctions {
           "non-mail or undecodable input"),
       arity("eml_parts", "eml_parts(binary)", 1, 1)(
         c => EmlParts(c(0)))),
+    (FunctionIdentifier("mbox_messages"),
+      info("mbox_messages",
+        "mbox_messages(binary) - mbox archive split into per-message " +
+          "binaries ('From ' envelopes dropped, mboxrd '>From ' " +
+          "unescaped); NULL for non-mbox input"),
+      arity("mbox_messages", "mbox_messages(binary)", 1, 1)(
+        c => MboxMessages(c(0)))),
     (FunctionIdentifier("rtf_text"),
       info("rtf_text",
         "rtf_text(binary) - RTF text extraction (destination skipping, " +

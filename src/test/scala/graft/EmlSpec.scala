@@ -120,6 +120,36 @@ class EmlSpec extends AnyFunSuite {
     }
   }
 
+  test("mbox splitting (r17): envelope lines dropped, >From unescaped, " +
+    "messages compose with emlParts; non-mbox refused") {
+    import graft.functions.EmlKernels.mboxMessages
+    val mbox = ("From alice@example.org Mon Jan  1 10:00:00 2024\n" +
+      "From: alice@example.org\nSubject: one\n\nbody one\n" +
+      ">From quoted line survives\n" +
+      "From bob@example.org Mon Jan  1 11:00:00 2024\n" +
+      "From: bob@example.org\nSubject: two\n\nbody two\n")
+      .getBytes("ISO-8859-1")
+    val msgs = mboxMessages(mbox)
+    assert(msgs != null && msgs.numElements() == 2)
+    val m1 = new String(msgs.getBinary(0), "ISO-8859-1")
+    assert(m1.contains("Subject: one"))
+    assert(m1.contains("\nFrom quoted line survives"), m1)
+    assert(!m1.contains(">From"))
+    val p2 = EmlKernels.emlParts(msgs.getBinary(1))
+    assert(p2 != null && p2.getUTF8String(2).toString == "two")
+    assert(mboxMessages("not an mbox".getBytes("UTF-8")) == null)
+    assert(mboxMessages("From ".getBytes("UTF-8")) == null) // no message
+    assert(EmlKernels.mboxMessages(null) == null)
+    // SQL: split + explode + parse in one statement
+    val spark = SparkSpec.session
+    import spark.implicits._
+    Seq((1, mbox)).toDF("id", "b").createOrReplaceTempView("mbox_t")
+    val rows = spark.sql(
+      "SELECT eml_parts(m).subject AS s FROM mbox_t " +
+        "LATERAL VIEW explode(mbox_messages(b)) t AS m ORDER BY s").collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("one", "two"))
+  }
+
   test("SQL + column form") {
     val spark = SparkSpec.session
     import spark.implicits._

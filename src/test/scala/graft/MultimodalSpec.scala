@@ -145,6 +145,35 @@ class MultimodalSpec extends SparkSpec {
     assert(out(8L) == null)
   }
 
+  test("imageMeta triages SVG (r17): width/height attrs (px ok), " +
+    "viewBox fallback, XML prolog/comment/doctype tolerated, " +
+    "dimensionless and non-svg XML refused") {
+    def b(s: String) = s.getBytes("UTF-8")
+    val rows = Seq(
+      (1L, b("""<svg width="640" height="480"><rect/></svg>""")),
+      (2L, b("<?xml version=\"1.0\"?>\n<!-- c -->\n<!DOCTYPE svg>\n" +
+        "<svg xmlns=\"http://www.w3.org/2000/svg\" width=\"120px\" " +
+        "height=\"80px\"/>")),
+      (3L, b("""<svg viewBox="0 0 300.5 150"><g/></svg>""")),
+      (4L, b("""<svg width="100%" height="50%"><g/></svg>""")), // dimensionless
+      (5L, b("""<html><svg width="9" height="9"/></html>""")), // not root
+      (6L, b("""<svgg width="5" height="5"/>""")), // name boundary
+      (7L, Array[Byte](0xEF.toByte, 0xBB.toByte, 0xBF.toByte) ++
+        b("""<svg width="7" height="8"></svg>""")))
+    val out = rows.toDF("id", "blob")
+      .select(col("id"), Multimodal.imageMeta(col("blob")).as("m"))
+      .select(col("id"), col("m.format"), col("m.width"), col("m.height"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) null
+        else (r.getString(1), r.getInt(2), r.getInt(3)))).toMap
+    assert(out(1L) == (("svg", 640, 480)))
+    assert(out(2L) == (("svg", 120, 80)))
+    assert(out(3L) == (("svg", 301, 150))) // viewBox rounds to nearest
+    assert(out(4L) == null)
+    assert(out(5L) == null)
+    assert(out(6L) == null)
+    assert(out(7L) == (("svg", 7, 8)))
+  }
+
   test("audioMeta parses a real WAV header with a LIST chunk between fmt and data") {
     def wav(channels: Int, rate: Int, bits: Int, dataBytes: Int): Array[Byte] = {
       val b = java.nio.ByteBuffer.allocate(12 + 24 + 12 + 8 + dataBytes)
