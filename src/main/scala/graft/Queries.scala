@@ -6854,6 +6854,53 @@ object Queries {
            |       text
            |FROM rows_""".stripMargin))
 
+  /** HTML page-head metadata under the oracle (round 17):
+    * [[TF.htmlMeta]] over per-doc constructed pages — a full head
+    * (title with entities + fold whitespace, og:* triple, name
+    * description, canonical after a stylesheet link, lang, a script
+    * carrying a decoy title), a bare-body page (all NULL fields), and
+    * plain non-HTML text. Best-effort contract: soup never NULLs the
+    * struct, only its absent fields. */
+  private val qHtmlMeta = Q("q_html_meta",
+    (s, dir) => {
+      val id = col("doc_id")
+      val idS = id.cast("string")
+      val m = pmod(id, lit(3))
+      val page = concat(
+        lit("<!DOCTYPE html><html lang=\"en\"><head><title> Doc &amp;\n  "),
+        idS, lit(" </title>" +
+          "<meta property=\"og:title\" content=\"OG "), idS,
+        lit("\"><meta name=\"description\" content=\"desc "), idS,
+        lit("\"><link rel=\"stylesheet\" href=\"s.css\">" +
+          "<link href=\"https://ex.org/c/"), idS,
+        lit("\" rel=\"canonical\">" +
+          "<script>var t = \"<title>decoy</title>\";</script>" +
+          "</head><body><p>body</p></body></html>"))
+      val html = when(m === 0, page)
+        .when(m === 1, concat(lit("<p>just a body "), idS, lit("</p>")))
+        .otherwise(concat(lit("plain text "), idS))
+      val mt = TF.htmlMeta(col("__h"))
+      t(s, dir, "documents")
+        .select(id.cast("bigint").as("doc_id"), html.as("__h"))
+        .select(col("doc_id"),
+          mt.getField("title").as("title"),
+          mt.getField("description").as("description"),
+          mt.getField("og_title").as("og_title"),
+          mt.getField("canonical").as("canonical"),
+          mt.getField("lang").as("lang"))
+    },
+    Some("""SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           |  CASE WHEN doc_id % 3 = 0 THEN 'Doc & ' || doc_id
+           |       ELSE NULL END AS title,
+           |  CASE WHEN doc_id % 3 = 0 THEN 'desc ' || doc_id
+           |       ELSE NULL END AS description,
+           |  CASE WHEN doc_id % 3 = 0 THEN 'OG ' || doc_id
+           |       ELSE NULL END AS og_title,
+           |  CASE WHEN doc_id % 3 = 0 THEN 'https://ex.org/c/' || doc_id
+           |       ELSE NULL END AS canonical,
+           |  CASE WHEN doc_id % 3 = 0 THEN 'en' ELSE NULL END AS lang
+           |FROM documents""".stripMargin))
+
   private val qBinaryRoute = Q("q_binary_route",
     (s, dir) => {
       val id = col("doc_id")
@@ -8428,7 +8475,7 @@ object Queries {
            |FROM rows_""".stripMargin))
 
   val all: Seq[Q] = Seq(
-    qHtmlExtract, qQualityRules, qUrlNormalize, qContainerMeta, qRobotsFilter,
+    qHtmlExtract, qHtmlMeta, qQualityRules, qUrlNormalize, qContainerMeta, qRobotsFilter,
     qCrawlClean, qTextDecode, qAnnSq8, qLangId, qNegativeSample, qDriftPsi,
     qLinkExtract, qFrontierLinks, qWarcIngest, qSitemapFrontier, qFeedEntries,
     qLangIdModel, qPdfExtract, qPdfImages, qFrontierSchedule, qImagePhash,

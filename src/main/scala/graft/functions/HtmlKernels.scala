@@ -450,4 +450,167 @@ object HtmlKernels {
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
   }
+
+  // -----------------------------------------------------------------
+  // page metadata (round 17): the head-scraping pass a corpus
+  // pipeline runs on every page — title, description, OpenGraph
+  // fields, canonical URL, declared language. BEST-EFFORT by design
+  // (HTML is soup; a page without the fields yields NULL fields, and
+  // only a NULL input yields a NULL struct) — unlike the container
+  // kernels there is no framing to vouch for.
+  // -----------------------------------------------------------------
+  import org.apache.spark.sql.types._
+  val metaSchema: StructType = StructType(Seq(
+    StructField("title", StringType, nullable = true),
+    StructField("description", StringType, nullable = true),
+    StructField("og_title", StringType, nullable = true),
+    StructField("og_description", StringType, nullable = true),
+    StructField("og_image", StringType, nullable = true),
+    StructField("canonical", StringType, nullable = true),
+    StructField("lang", StringType, nullable = true)))
+
+  /** Quote-aware attribute scan of one tag starting after its name:
+    * (lowercased name → entity-decoded value, index past '>', closed). */
+  private def tagAttrs(in: Array[Byte], from: Int)
+      : (Map[String, String], Int, Boolean) = {
+    val n = in.length
+    val attrs = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    var k = from
+    var done = false
+    while (k < n && !done) {
+      val a = in(k)
+      if (a == '>') done = true
+      else if (a == '"' || a == '\'') {
+        k += 1
+        while (k < n && in(k) != a) k += 1
+        if (k < n) k += 1
+      } else if (isAsciiLetter(a)) {
+        val as = k
+        while (k < n && (isAsciiLetter(in(k)) || in(k) == '-' ||
+          in(k) == ':' || (in(k) >= '0' && in(k) <= '9'))) k += 1
+        val attr = new String(in, as, k - as,
+          java.nio.charset.StandardCharsets.ISO_8859_1).toLowerCase
+        while (k < n && (in(k) == ' ' || in(k) == '\t' ||
+          in(k) == '\r' || in(k) == '\n')) k += 1
+        if (k < n && in(k) == '=') {
+          k += 1
+          while (k < n && (in(k) == ' ' || in(k) == '\t' ||
+            in(k) == '\r' || in(k) == '\n')) k += 1
+          if (k < n && (in(k) == '"' || in(k) == '\'')) {
+            val q = in(k)
+            val vs = k + 1
+            k += 1
+            while (k < n && in(k) != q) k += 1
+            if (!attrs.contains(attr))
+              attrs(attr) = new String(decodeEntities(in, vs, k),
+                java.nio.charset.StandardCharsets.UTF_8)
+            if (k < n) k += 1
+          } else {
+            val vs = k
+            while (k < n && in(k) != '>' && in(k) != ' ' &&
+              in(k) != '\t' && in(k) != '\r' && in(k) != '\n') k += 1
+            if (!attrs.contains(attr))
+              attrs(attr) = new String(decodeEntities(in, vs, k),
+                java.nio.charset.StandardCharsets.UTF_8)
+          }
+        } else if (!attrs.contains(attr)) attrs(attr) = ""
+      } else k += 1
+    }
+    (attrs.toMap, if (done) k + 1 else n, done)
+  }
+
+  /** struct(title, description, og_title, og_description, og_image,
+    * canonical, lang); first occurrence wins per field. */
+  def htmlMeta(s: UTF8String): org.apache.spark.sql.catalyst.expressions.GenericInternalRow = {
+    if (s == null) return null
+    val in = s.getBytes
+    val n = in.length
+    var title: String = null
+    var description: String = null
+    var ogTitle: String = null
+    var ogDesc: String = null
+    var ogImage: String = null
+    var canonical: String = null
+    var lang: String = null
+    var i = 0
+    while (i < n) {
+      if (in(i) == '<' && i + 1 < n) {
+        val c = in(i + 1)
+        if (isAsciiLetter(c)) {
+          var j = i + 1
+          val nb = new StringBuilder(8)
+          while (j < n && (isAsciiLetter(in(j)) ||
+            (in(j) >= '0' && in(j) <= '9') || in(j) == '-')) {
+            nb.append(lower(in(j)).toChar); j += 1
+          }
+          val name = nb.toString
+          val (attrs, after, closed) = tagAttrs(in, j)
+          i = after
+          if (closed) name match {
+            case "html" =>
+              if (lang == null) lang = attrs.get("lang").filter(_.nonEmpty).orNull
+            case "title" =>
+              if (title == null) {
+                val close = indexOfIgnoreCase(in, i, "</title".getBytes("US-ASCII"))
+                if (close >= 0) {
+                  val t = new String(decodeEntities(in, i, close),
+                    java.nio.charset.StandardCharsets.UTF_8)
+                      .replaceAll("[\\s\\u00A0]+", " ").trim
+                  if (t.nonEmpty) title = t
+                  var q = close + 7
+                  while (q < n && in(q) != '>') q += 1
+                  i = if (q < n) q + 1 else n
+                }
+              }
+            case "meta" =>
+              val content = attrs.get("content").filter(_.nonEmpty)
+              attrs.get("property").orElse(attrs.get("name"))
+                .map(_.toLowerCase) match {
+                case Some("og:title") =>
+                  if (ogTitle == null) ogTitle = content.orNull
+                case Some("og:description") =>
+                  if (ogDesc == null) ogDesc = content.orNull
+                case Some("og:image") =>
+                  if (ogImage == null) ogImage = content.orNull
+                case Some("description") =>
+                  if (description == null) description = content.orNull
+                case _ => ()
+              }
+            case "link" =>
+              if (canonical == null &&
+                  attrs.get("rel").exists(_.equalsIgnoreCase("canonical")))
+                canonical = attrs.get("href").filter(_.nonEmpty).orNull
+            case "script" | "style" =>
+              val close = ("</" + name).getBytes("US-ASCII")
+              val p = indexOfIgnoreCase(in, i, close)
+              if (p < 0) i = n
+              else {
+                var q = p + close.length
+                while (q < n && in(q) != '>') q += 1
+                i = if (q < n) q + 1 else n
+              }
+            case _ => ()
+          }
+        } else if (c == '!') {
+          if (startsWith(in, i, "<!--")) {
+            val p = indexOfIgnoreCase(in, i + 4, "-->".getBytes("US-ASCII"))
+            i = if (p < 0) n else p + 3
+          } else {
+            var j = i + 2
+            while (j < n && in(j) != '>') j += 1
+            i = if (j < n) j + 1 else n
+          }
+        } else if (c == '/' || c == '?') {
+          var j = i + 2
+          while (j < n && in(j) != '>') j += 1
+          i = if (j < n) j + 1 else n
+        } else i += 1
+      } else i += 1
+    }
+    def u(x: String) =
+      if (x == null) null else UTF8String.fromString(x)
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](u(title), u(description), u(ogTitle), u(ogDesc),
+        u(ogImage), u(canonical), u(lang)))
+  }
 }

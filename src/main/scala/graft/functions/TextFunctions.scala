@@ -339,6 +339,14 @@ object TextFunctions {
     GraftBridge.column(SE(GraftBridge.expression(xml)))
   }
 
+  /** HTML page metadata (r17): struct(title, description, og_title,
+    * og_description, og_image, canonical, lang) — best-effort head
+    * scraping, NULL fields when absent. */
+  def htmlMeta(html: Column): Column = {
+    import org.apache.spark.sql.{GraftBridge, HtmlMeta => HM}
+    GraftBridge.column(HM(GraftBridge.expression(html)))
+  }
+
   /** RSS/Atom feed parse (r17): array of (kind, title, link, date,
     * summary) entries, NULL on malformed framing — the fresh-content
     * discovery surface next to [[sitemapEntries]]. */

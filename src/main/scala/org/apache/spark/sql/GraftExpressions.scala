@@ -2521,6 +2521,33 @@ case class SitemapEntries(child: Expression)
     copy(child = newChild)
 }
 
+/** HTML page metadata (round 17): struct(title, description,
+  * og_title, og_description, og_image, canonical, lang) — best-effort
+  * head scraping (HTML is soup: fields are NULL when absent, the
+  * struct is NULL only for NULL input).
+  * See [[graft.functions.HtmlKernels.htmlMeta]].
+  */
+case class HtmlMeta(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = graft.functions.HtmlKernels.metaSchema
+  override def nullable: Boolean = true
+  override def prettyName: String = "html_meta"
+
+  override protected def nullSafeEval(v: Any): Any =
+    graft.functions.HtmlKernels.htmlMeta(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.HtmlKernels.htmlMeta($c);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
+
+  override protected def withNewChildInternal(newChild: Expression): HtmlMeta =
+    copy(child = newChild)
+}
+
 /** RSS/Atom feed entries (round 17): array of (kind, title, link,
   * date, summary) structs in document order; NULL on any malformed
   * framing. See [[graft.functions.FeedKernels.feedEntries]].

@@ -424,6 +424,13 @@ object GraftSqlFunctions {
           "array<struct(kind, loc, lastmod)>; NULL on malformed framing"),
       arity("sitemap_entries", "sitemap_entries(xml)", 1, 1)(
         c => SitemapEntries(c(0)))),
+    (FunctionIdentifier("html_meta"),
+      info("html_meta",
+        "html_meta(html) - page-head metadata as struct(title, " +
+          "description, og_title, og_description, og_image, canonical, " +
+          "lang); best-effort, NULL fields when absent"),
+      arity("html_meta", "html_meta(html)", 1, 1)(
+        c => HtmlMeta(c(0)))),
     (FunctionIdentifier("feed_entries"),
       info("feed_entries",
         "feed_entries(xml) - RSS/Atom feed entries as array<struct(" +

@@ -195,4 +195,39 @@ class HtmlExtractSpec extends SparkSpec {
       HtmlKernels.htmlExtract(UTF8String.fromBytes(bytes)) // no throw
     }
   }
+
+  test("html_meta (r17): title collapse + entities, og fields, name " +
+    "description, canonical link, html lang; first occurrence wins; " +
+    "best-effort on soup") {
+    def meta(html: String) = {
+      val r = HtmlKernels.htmlMeta(UTF8String.fromString(html))
+      (0 until 7).map(i =>
+        if (r.isNullAt(i)) null else r.getUTF8String(i).toString)
+    }
+    val page = """<!DOCTYPE html><html lang="en-GB"><head>
+      |<title>  A &amp;
+      |  Title  </title>
+      |<meta property="og:title" content="OG &quot;Title&quot;">
+      |<meta property="og:description" content="og desc"/>
+      |<meta property="og:image" content="https://x/img.png">
+      |<meta name="description" content="plain desc">
+      |<link rel="stylesheet" href="s.css">
+      |<link href="https://x/canon" rel="canonical">
+      |<script>var t = "<title>not me</title>";</script>
+      |<title>second ignored</title>
+      |</head><body><p>body</p></body></html>""".stripMargin
+    assert(meta(page) == Seq("A & Title", "plain desc", "OG \"Title\"",
+      "og desc", "https://x/img.png", "https://x/canon", "en-GB"))
+    // soup: fields absent -> nulls, struct present
+    assert(meta("<p>no head at all</p>") == Seq.fill(7)(null))
+    assert(meta("") == Seq.fill(7)(null))
+    assert(HtmlKernels.htmlMeta(null) == null)
+    // unquoted attribute values and single quotes
+    assert(meta("<html lang=fr><title>t</title>")(6) == "fr")
+    assert(meta("<meta property='og:title' content='sq'>")(2) == "sq")
+    // SQL surface
+    val rows = spark.sql(
+      "SELECT html_meta('<title>sql t</title>').title AS t").collect()
+    assert(rows(0).getString(0) == "sql t")
+  }
 }
