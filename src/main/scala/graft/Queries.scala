@@ -6901,6 +6901,70 @@ object Queries {
            |  CASE WHEN doc_id % 3 = 0 THEN 'en' ELSE NULL END AS lang
            |FROM documents""".stripMargin))
 
+  /** Web-font triage under the oracle (round 17): REAL sfnt/WOFF
+    * framing from the in-repo builders — a TTF whose Windows name
+    * record carries the doc_id (spliced UTF-16BE), a WOFF with a
+    * zlib-compressed name table, a WOFF2 header-only census row, and
+    * junk/truncation refusals. */
+  private val qFontMeta = Q("q_font_meta",
+    (s, dir) => {
+      import graft.functions.FontKernels
+      val id = col("doc_id")
+      val idS = id.cast("string")
+      val m = pmod(id, lit(5))
+      val marker = "0000000"
+      def hexOf(b: Array[Byte]): String = b.map("%02x".format(_)).mkString
+      val ttf = FontKernels.buildSfnt(otf = false, Seq(
+        "name" -> FontKernels.buildNameTable(s"Font $marker"),
+        "maxp" -> FontKernels.buildMaxp(256),
+        "glyf" -> Array.fill[Byte](32)(1)))
+      val needle = marker.getBytes(
+        java.nio.charset.StandardCharsets.UTF_16BE)
+      val at = ttf.indexOfSlice(needle)
+      require(at >= 0 && ttf.indexOfSlice(needle, at + 1) < 0,
+        "font marker not unique")
+      val d0 = concat(unhex(lit(hexOf(ttf.take(at)))),
+        encode(lpad(idS, 7, "0"), "UTF-16BE"),
+        unhex(lit(hexOf(ttf.drop(at + needle.length)))))
+      val woff = FontKernels.buildWoff(otf = false, Seq(
+        ("name", FontKernels.buildNameTable("Webby Sans"), true),
+        ("maxp", FontKernels.buildMaxp(77), false)))
+      val woff2 = {
+        val out = new java.io.ByteArrayOutputStream()
+        out.write("wOF2".getBytes("US-ASCII"))
+        out.write(Array[Byte](0, 1, 0, 0))
+        out.write(Array[Byte](0, 0, 8, 0))
+        out.write(Array[Byte](0, 9))
+        out.write(new Array[Byte](34))
+        out.toByteArray
+      }
+      val blob = when(m === 0, d0)
+        .when(m === 1, unhex(lit(hexOf(woff))))
+        .when(m === 2, unhex(lit(hexOf(woff2))))
+        .when(m === 3, encode(concat(lit("no font "), idS), "UTF-8"))
+        .otherwise(unhex(lit(hexOf(ttf.take(30)))))
+      val fm = Multimodal.fontMeta(col("__b"))
+      t(s, dir, "documents")
+        .select(id.cast("bigint").as("doc_id"), blob.as("__b"))
+        .select(col("doc_id"),
+          fm.getField("format").as("format"),
+          fm.getField("family").as("family"),
+          fm.getField("n_glyphs").cast("bigint").as("n_glyphs"),
+          fm.getField("n_tables").cast("bigint").as("n_tables"))
+    },
+    Some("""SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           |  CASE doc_id % 5 WHEN 0 THEN 'ttf' WHEN 1 THEN 'woff-ttf'
+           |    WHEN 2 THEN 'woff2' ELSE NULL END AS format,
+           |  CASE doc_id % 5
+           |    WHEN 0 THEN 'Font ' || lpad(CAST(doc_id AS VARCHAR), 7, '0')
+           |    WHEN 1 THEN 'Webby Sans'
+           |    ELSE NULL END AS family,
+           |  CAST(CASE doc_id % 5 WHEN 0 THEN 256 WHEN 1 THEN 77
+           |    ELSE NULL END AS BIGINT) AS n_glyphs,
+           |  CAST(CASE doc_id % 5 WHEN 0 THEN 3 WHEN 1 THEN 2 WHEN 2 THEN 9
+           |    ELSE NULL END AS BIGINT) AS n_tables
+           |FROM documents""".stripMargin))
+
   private val qBinaryRoute = Q("q_binary_route",
     (s, dir) => {
       val id = col("doc_id")
@@ -8506,7 +8570,7 @@ object Queries {
     qSampleGroup, qSampleBernoulli, qSampleWeighted, qSampleWeightedGroup, qScd2Multi, qSnapshotDiff, qTrainingOrder, qBlocklist,
     qApproxTopk, qAudioFeatures, qMp3Meta, qAudioG711, qAudioAdpcm, qAudioContainers,
     qAudioExtensible, qIncrementalEmbedding, qSplitClusterSafe,
-    qIngestRouted, qBinaryIngest, qDocText, qPptText, qRtfText, qEmlText, qMboxMessages, qBloomLookup, qLineDedupWithin, qProfile, qJpegFeatures,
+    qIngestRouted, qBinaryIngest, qFontMeta, qDocText, qPptText, qRtfText, qEmlText, qMboxMessages, qBloomLookup, qLineDedupWithin, qProfile, qJpegFeatures,
     qRepeatMixture, qScd2Lookup, qVideoStats, qVideoFrames,
     qCdcChunks, qCdcDedup, qNormalizeText, qIncrementalCdc, qOrcRoundtrip,
     qPageRank, qPngFeatures, qGifFeatures, qGifFrames, qTiffFeatures,

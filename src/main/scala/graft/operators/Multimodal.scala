@@ -229,6 +229,13 @@ object Multimodal {
     GraftBridge.column(EP(GraftBridge.expression(blob)))
   }
 
+  /** Web-font triage (r17): struct(format, family, n_glyphs,
+    * n_tables); NULL on malformed framing. */
+  def fontMeta(blob: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.{FontMeta => FM, GraftBridge}
+    GraftBridge.column(FM(GraftBridge.expression(blob)))
+  }
+
   /** mbox splitting (r17): per-message binaries, envelope lines
     * dropped, mboxrd unescaped; feeds [[emlParts]]. */
   def mboxMessages(blob: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {

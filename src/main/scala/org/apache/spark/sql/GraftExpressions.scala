@@ -2521,6 +2521,31 @@ case class SitemapEntries(child: Expression)
     copy(child = newChild)
 }
 
+/** Web-font triage (round 17): struct(format, family, n_glyphs,
+  * n_tables) for TTF/OTF/TTC/WOFF (WOFF2 header-only); NULL on
+  * malformed framing. See [[graft.functions.FontKernels.fontMeta]].
+  */
+case class FontMeta(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
+  override def dataType: DataType = graft.functions.FontKernels.schema
+  override def nullable: Boolean = true
+  override def prettyName: String = "font_meta"
+
+  override protected def nullSafeEval(v: Any): Any =
+    graft.functions.FontKernels.fontMeta(v.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.FontKernels.fontMeta($c);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
+
+  override protected def withNewChildInternal(newChild: Expression): FontMeta =
+    copy(child = newChild)
+}
+
 /** HTML page metadata (round 17): struct(title, description,
   * og_title, og_description, og_image, canonical, lang) — best-effort
   * head scraping (HTML is soup: fields are NULL when absent, the

@@ -424,6 +424,13 @@ object GraftSqlFunctions {
           "array<struct(kind, loc, lastmod)>; NULL on malformed framing"),
       arity("sitemap_entries", "sitemap_entries(xml)", 1, 1)(
         c => SitemapEntries(c(0)))),
+    (FunctionIdentifier("font_meta"),
+      info("font_meta",
+        "font_meta(binary) - web-font triage as struct(format, family, " +
+          "n_glyphs, n_tables) for TTF/OTF/TTC/WOFF (WOFF2 header-only); " +
+          "NULL on malformed framing"),
+      arity("font_meta", "font_meta(binary)", 1, 1)(
+        c => FontMeta(c(0)))),
     (FunctionIdentifier("html_meta"),
       info("html_meta",
         "html_meta(html) - page-head metadata as struct(title, " +
