@@ -498,4 +498,60 @@ class StreamingKernelsSpec extends SparkSpec {
     assert(byId(1L)(8) == ZstdDictFixture.payload0)
     assert((1 to 8).forall(k => byId(2L)(k) == null))
   }
+
+  test("r17 kernels, second batch (pptx_text, document_text, " +
+    "mbox_messages, html_meta, font_meta, svg imageMeta): stateless " +
+    "projections, stream equals batch") {
+    import graft.functions.FontKernels
+    val pptx = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val z = new java.util.zip.ZipOutputStream(bos)
+      z.putNextEntry(new java.util.zip.ZipEntry("ppt/slides/slide1.xml"))
+      z.write("<p:sld><a:p><a:t>stream slide</a:t></a:p></p:sld>"
+        .getBytes("UTF-8"))
+      z.closeEntry(); z.close(); bos.toByteArray
+    }
+    val mbox = ("From a@b Mon Jan  1 00:00:00 2024\n" +
+      "From: a@b\nSubject: sm\n\nbody").getBytes("ISO-8859-1")
+    val font = FontKernels.buildSfnt(otf = false, Seq(
+      "name" -> FontKernels.buildNameTable("Stream Sans"),
+      "maxp" -> FontKernels.buildMaxp(4)))
+    val svg = """<svg width="33" height="44"/>""".getBytes("UTF-8")
+    val html = "<html lang=\"de\"><title>st</title>" +
+      "<meta property=\"og:title\" content=\"ogt\">"
+    val rows = Seq(
+      (1L, pptx, mbox, font, svg, html),
+      (2L, "x".getBytes, "x".getBytes, "x".getBytes, "x".getBytes, "nah"))
+    def pipeline(df: org.apache.spark.sql.DataFrame) = {
+      import graft.operators.Multimodal
+      df.select(col("id"),
+        Multimodal.pptxText(col("px")).as("deck"),
+        Multimodal.documentText(col("px")).as("dtext"),
+        size(Multimodal.mboxMessages(col("mb"))).as("nmsg"),
+        Multimodal.fontMeta(col("ft")).getField("family").as("fam"),
+        Multimodal.imageMeta(col("sv")).getField("format").as("ifmt"),
+        TF.htmlMeta(col("ht")).getField("og_title").as("ogt"))
+    }
+    val batch = pipeline(rows.toDF("id", "px", "mb", "ft", "sv", "ht"))
+      .collect().map(_.toSeq).toSet
+    val input = MemoryStream[(Long, Array[Byte], Array[Byte], Array[Byte],
+      Array[Byte], String)](spark, numPartitions = 1)
+    val q = pipeline(input.toDS().toDF("id", "px", "mb", "ft", "sv", "ht"))
+      .writeStream.format("memory").queryName("r17b_stream")
+      .outputMode("append").start()
+    input.addData(rows: _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("r17b_stream").collect().map(_.toSeq).toSet
+    assert(streamed == batch)
+    val byId = batch.groupBy(_.head).map { case (k, v) => k -> v.head }
+    assert(byId(1L)(1) == "stream slide" && byId(1L)(2) == "stream slide")
+    assert(byId(1L)(3) == 1 && byId(1L)(4) == "Stream Sans")
+    assert(byId(1L)(5) == "svg" && byId(1L)(6) == "ogt")
+    // junk row: everything refuses EXCEPT document_text, whose
+    // fallback correctly reads unknown bytes as plain text
+    assert(byId(2L)(1) == null && byId(2L)(2) == "x")
+    assert(byId(2L)(3) == null && byId(2L)(4) == null)
+    assert(byId(2L)(5) == null && byId(2L)(6) == null)
+  }
 }
