@@ -64,29 +64,38 @@ object PptxKernels {
     out.toString
   }
 
-  /** Text of a .pptx presentation, or null. */
+  private val SlideName = """ppt/slides/slide(\d{1,5})\.xml""".r
+
+  /** Text of a .pptx presentation, or null. ONE central-directory
+    * scan collects every slide part (r17 perf fix: the per-name probe
+    * loop re-walked the directory once per slide — O(slides²-ish) on
+    * big decks); parts read in slide-number order from 1 up to the
+    * first gap (the OOXML numbering convention). */
   def pptxText(b: Array[Byte]): UTF8String = {
     if (b == null) return null
     try {
+      val parts = ZipKernels.extractMatching(b,
+        name => SlideName.pattern.matcher(name).matches())
+      if (parts == null) return null
+      val byN = parts.flatMap { case (name, data) =>
+        name match {
+          case SlideName(n) => Some(n.toInt -> data)
+          case _ => None
+        }
+      }.toMap
+      if (!byN.contains(1) || byN.size > MaxSlides) return null
       val out = new java.lang.StringBuilder()
       var n = 1
-      var going = true
-      while (going && n <= MaxSlides) {
-        val raw = ZipKernels.extract(b,
-          UTF8String.fromString(s"ppt/slides/slide$n.xml"))
-        if (raw == null) going = false
-        else {
-          val t = slideText(new String(raw,
-            java.nio.charset.StandardCharsets.UTF_8))
-          if (t == null) return null
-          if (t.nonEmpty) {
-            if (out.length() > 0) out.append("\n\n")
-            out.append(t)
-          }
-          n += 1
+      while (byN.contains(n)) {
+        val t = slideText(new String(byN(n),
+          java.nio.charset.StandardCharsets.UTF_8))
+        if (t == null) return null
+        if (t.nonEmpty) {
+          if (out.length() > 0) out.append("\n\n")
+          out.append(t)
         }
+        n += 1
       }
-      if (n == 1) return null // no slide1.xml: not a pptx we can vouch for
       UTF8String.fromString(out.toString)
     } catch { case _: Exception => null }
   }

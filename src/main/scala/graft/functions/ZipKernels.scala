@@ -122,7 +122,37 @@ object ZipKernels {
       if (cd == null) return null
       cd.find(_._1 == name) match {
         case None => null
-        case Some((_, method, csize, usize, lfh, crcExpected)) =>
+        case Some(e) => payloadOf(b, e)
+      }
+    } catch { case _: Exception => null }
+  }
+
+  /** All members whose names satisfy `pred`, ONE directory scan (r17:
+    * the pptx kernel reads N slide parts — per-name extract() was
+    * O(parts × directory)). Null on a damaged archive or any failing
+    * member payload. */
+  private[functions] def extractMatching(b: Array[Byte],
+      pred: String => Boolean): Seq[(String, Array[Byte])] = {
+    try {
+      val cd = centralDirectory(b)
+      if (cd == null) return null
+      val out = scala.collection.mutable.ArrayBuffer.empty[(String, Array[Byte])]
+      cd.foreach { e =>
+        if (pred(e._1)) {
+          val d = payloadOf(b, e)
+          if (d == null) return null
+          out += ((e._1, d))
+        }
+      }
+      out.toSeq
+    } catch { case _: Exception => null }
+  }
+
+  private def payloadOf(b: Array[Byte],
+      entry: (String, Int, Long, Long, Long, Long)): Array[Byte] = {
+    try {
+      entry match {
+        case (_, method, csize, usize, lfh, crcExpected) =>
           val p = lfh.toInt
           // data starts after the local header's own name+extra (which
           // may differ in extra length from the central copy)
