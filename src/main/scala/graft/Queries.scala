@@ -6965,6 +6965,64 @@ object Queries {
            |    ELSE NULL END AS BIGINT) AS n_tables
            |FROM documents""".stripMargin))
 
+  /** EXIF extraction under the oracle (round 17): a REAL tagged JPEG
+    * (APP1 spliced into the in-repo encoder's output — still
+    * pixel-decodable) with the doc_id SPLICED into the Model string
+    * and a GPS fix, a bare big-little TIFF block without GPS, an
+    * untagged JPEG (NULL — nothing to vouch for), and junk. */
+  private val qExifMeta = Q("q_exif_meta",
+    (s, dir) => {
+      import graft.functions.{ExifKernels, ImageEncoders}
+      val id = col("doc_id")
+      val idS = id.cast("string")
+      val m = pmod(id, lit(4))
+      val marker = "0000000"
+      def hexOf(b: Array[Byte]): String = b.map("%02x".format(_)).mkString
+      val jpeg = ImageEncoders.jpegGrayBlocks(
+        Array.tabulate(8, 8)((r, c) => (r * 7 + c * 3) % 256))
+      val tagged = ExifKernels.app1Splice(jpeg,
+        ExifKernels.buildExif(6, "Acme", s"Cam $marker",
+          "2021:07:14 12:34:56", Some((48.8584, -123.5))))
+      val needle = marker.getBytes("US-ASCII")
+      val at = tagged.indexOfSlice(needle)
+      require(at >= 0 && tagged.indexOfSlice(needle, at + 1) < 0,
+        "exif marker not unique")
+      val d0 = concat(unhex(lit(hexOf(tagged.take(at)))),
+        encode(lpad(idS, 7, "0"), "US-ASCII"),
+        unhex(lit(hexOf(tagged.drop(at + needle.length)))))
+      val bare = ExifKernels.buildExif(1, "Bare", "Tiff Block",
+        "2019:12:31 23:59:59", None)
+      val blob = when(m === 0, d0)
+        .when(m === 1, unhex(lit(hexOf(bare))))
+        .when(m === 2, unhex(lit(hexOf(jpeg))))
+        .otherwise(encode(concat(lit("no exif "), idS), "UTF-8"))
+      val em = Multimodal.exifMeta(col("__b"))
+      t(s, dir, "documents")
+        .select(id.cast("bigint").as("doc_id"), blob.as("__b"))
+        .select(col("doc_id"),
+          em.getField("orientation").cast("bigint").as("orientation"),
+          em.getField("datetime").as("datetime"),
+          em.getField("make").as("make"),
+          em.getField("model").as("model"),
+          em.getField("gps_lat").as("gps_lat"),
+          em.getField("gps_lon").as("gps_lon"))
+    },
+    Some("""SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           |  CAST(CASE doc_id % 4 WHEN 0 THEN 6 WHEN 1 THEN 1
+           |    ELSE NULL END AS BIGINT) AS orientation,
+           |  CASE doc_id % 4 WHEN 0 THEN '2021:07:14 12:34:56'
+           |    WHEN 1 THEN '2019:12:31 23:59:59' ELSE NULL END AS datetime,
+           |  CASE doc_id % 4 WHEN 0 THEN 'Acme' WHEN 1 THEN 'Bare'
+           |    ELSE NULL END AS make,
+           |  CASE doc_id % 4
+           |    WHEN 0 THEN 'Cam ' || lpad(CAST(doc_id AS VARCHAR), 7, '0')
+           |    WHEN 1 THEN 'Tiff Block' ELSE NULL END AS model,
+           |  CAST(CASE doc_id % 4 WHEN 0 THEN 48.8584
+           |    ELSE NULL END AS DOUBLE) AS gps_lat,
+           |  CAST(CASE doc_id % 4 WHEN 0 THEN -123.5
+           |    ELSE NULL END AS DOUBLE) AS gps_lon
+           |FROM documents""".stripMargin))
+
   private val qBinaryRoute = Q("q_binary_route",
     (s, dir) => {
       val id = col("doc_id")
@@ -8570,7 +8628,7 @@ object Queries {
     qSampleGroup, qSampleBernoulli, qSampleWeighted, qSampleWeightedGroup, qScd2Multi, qSnapshotDiff, qTrainingOrder, qBlocklist,
     qApproxTopk, qAudioFeatures, qMp3Meta, qAudioG711, qAudioAdpcm, qAudioContainers,
     qAudioExtensible, qIncrementalEmbedding, qSplitClusterSafe,
-    qIngestRouted, qBinaryIngest, qFontMeta, qDocText, qPptText, qRtfText, qEmlText, qMboxMessages, qBloomLookup, qLineDedupWithin, qProfile, qJpegFeatures,
+    qIngestRouted, qBinaryIngest, qFontMeta, qExifMeta, qDocText, qPptText, qRtfText, qEmlText, qMboxMessages, qBloomLookup, qLineDedupWithin, qProfile, qJpegFeatures,
     qRepeatMixture, qScd2Lookup, qVideoStats, qVideoFrames,
     qCdcChunks, qCdcDedup, qNormalizeText, qIncrementalCdc, qOrcRoundtrip,
     qPageRank, qPngFeatures, qGifFeatures, qGifFrames, qTiffFeatures,

@@ -229,6 +229,13 @@ object Multimodal {
     GraftBridge.column(EP(GraftBridge.expression(blob)))
   }
 
+  /** EXIF metadata (r17): struct(orientation, datetime, make, model,
+    * gps_lat, gps_lon); NULL when no EXIF block or damaged. */
+  def exifMeta(blob: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.{ExifMeta => EM, GraftBridge}
+    GraftBridge.column(EM(GraftBridge.expression(blob)))
+  }
+
   /** Web-font triage (r17): struct(format, family, n_glyphs,
     * n_tables); NULL on malformed framing. */
   def fontMeta(blob: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {

@@ -2521,6 +2521,32 @@ case class SitemapEntries(child: Expression)
     copy(child = newChild)
 }
 
+/** EXIF metadata (round 17): struct(orientation, datetime, make,
+  * model, gps_lat, gps_lon) from a JPEG APP1 Exif segment or bare
+  * TIFF; NULL when no EXIF block exists or its structure is damaged.
+  * See [[graft.functions.ExifKernels.exifMeta]].
+  */
+case class ExifMeta(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
+  override def dataType: DataType = graft.functions.ExifKernels.schema
+  override def nullable: Boolean = true
+  override def prettyName: String = "exif_meta"
+
+  override protected def nullSafeEval(v: Any): Any =
+    graft.functions.ExifKernels.exifMeta(v.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.ExifKernels.exifMeta($c);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
+
+  override protected def withNewChildInternal(newChild: Expression): ExifMeta =
+    copy(child = newChild)
+}
+
 /** Web-font triage (round 17): struct(format, family, n_glyphs,
   * n_tables) for TTF/OTF/TTC/WOFF (WOFF2 header-only); NULL on
   * malformed framing. See [[graft.functions.FontKernels.fontMeta]].

@@ -424,6 +424,13 @@ object GraftSqlFunctions {
           "array<struct(kind, loc, lastmod)>; NULL on malformed framing"),
       arity("sitemap_entries", "sitemap_entries(xml)", 1, 1)(
         c => SitemapEntries(c(0)))),
+    (FunctionIdentifier("exif_meta"),
+      info("exif_meta",
+        "exif_meta(binary) - EXIF metadata from a JPEG APP1 segment or " +
+          "bare TIFF: struct(orientation, datetime, make, model, " +
+          "gps_lat, gps_lon); NULL when no EXIF block or damaged"),
+      arity("exif_meta", "exif_meta(binary)", 1, 1)(
+        c => ExifMeta(c(0)))),
     (FunctionIdentifier("font_meta"),
       info("font_meta",
         "font_meta(binary) - web-font triage as struct(format, family, " +
