@@ -5988,10 +5988,24 @@ object Queries {
         encode(lit("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n" +
           "Content-Encoding: br\r\n\r\n"), "UTF-8"),
         unhex(lit(brHex)))
-      val m4 = pmod(id, lit(4))
-      val httpPayloadBin = when(m4 === 2, gzPayloadBin)
-        .when(m4 === 1, encode(chunkedPayload, "UTF-8"))
-        .when(m4 === 3, brPayloadBin)
+      //  id%5==4 (round 17): Content-Encoding x-compress — a REAL
+      //  block-mode LZW .Z stream (LzwKernels.compress output is
+      //  pinned decodable by gzip AND libarchive in LzwSpec) decoded
+      //  through LzwKernels like the gzip/br lanes; the x- alias form
+      //  exercises the RFC 9110 alias
+      val czPage = "<html><body><p>lzw body roundtrip ok</p></body></html>"
+      val czHex = graft.functions.LzwKernels
+        .compress(czPage.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      val czPayloadBin = concat(
+        encode(lit("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n" +
+          "Content-Encoding: x-compress\r\n\r\n"), "UTF-8"),
+        unhex(lit(czHex)))
+      val m5 = pmod(id, lit(5))
+      val httpPayloadBin = when(m5 === 2, gzPayloadBin)
+        .when(m5 === 1, encode(chunkedPayload, "UTF-8"))
+        .when(m5 === 3, brPayloadBin)
+        .when(m5 === 4, czPayloadBin)
         .otherwise(encode(identityPayload, "UTF-8"))
       val infoPayload = lit("software: graft\r\n")
       // binary record framing: Content-Length counts PAYLOAD BYTES, so
@@ -6036,11 +6050,11 @@ object Queries {
     },
     Some("""WITH c AS (
            |  SELECT doc_id, CAST(doc_id % 20 AS VARCHAR) AS k,
-           |         doc_id % 7 = 0 AS tr, doc_id % 4 AS m4,
+           |         doc_id % 7 = 0 AS tr, doc_id % 5 AS m5,
            |         regexp_replace(coalesce(text, ''), '[<>&\x{00A0}]', ' ', 'g') AS cln
            |  FROM documents),
            |e AS (
-           |  SELECT doc_id, k, tr, m4,
+           |  SELECT doc_id, k, tr, m5,
            |         trim(
            |           regexp_replace(
            |             regexp_replace(cln, '[ \t\r]*\n[ \t\n\r]*', chr(10), 'g'),
@@ -6053,8 +6067,9 @@ object Queries {
            |       ELSE 'https://h' || k || '.example.com/p/' || doc_id END AS uri,
            |  CAST(CASE WHEN tr THEN NULL ELSE 200 END AS BIGINT) AS status,
            |  CASE WHEN tr THEN NULL
-           |       WHEN m4 = 2 THEN 'gzip body roundtrip ok'
-           |       WHEN m4 = 3 THEN 'brotli body roundtrip ok'
+           |       WHEN m5 = 2 THEN 'gzip body roundtrip ok'
+           |       WHEN m5 = 3 THEN 'brotli body roundtrip ok'
+           |       WHEN m5 = 4 THEN 'lzw body roundtrip ok'
            |       ELSE core END AS extracted,
            |  CAST(NULL AS VARCHAR) AS undecoded
            |FROM e""".stripMargin))
@@ -6430,6 +6445,50 @@ object Queries {
             |    WHEN 3 THEN ${graft.functions.ZstdDictFixture.payload1.length}
             |    ELSE NULL END AS BIGINT) AS n_bytes
             |FROM documents""".stripMargin))
+
+  /** LZW `.Z` (Unix compress) under the oracle (round 17): the
+    * RFC 9110 `compress` coding decoded for real — a DYNAMIC per-row
+    * roundtrip (doc text + id → in-plan [[Multimodal.lzwCompress]],
+    * whose output format LzwSpec pins as decodable by gzip AND
+    * libarchive → [[Multimodal.lzwDecompress]]), a pinned
+    * gzip-validated block-mode fixture, a corrupt stream (NULL), and
+    * a pinned NON-BLOCK-mode stream (the pre-1985 format libarchive
+    * doesn't even implement). */
+  private val qLzwRoundtrip = Q("q_lzw_roundtrip",
+    (s, dir) => {
+      val id = col("doc_id")
+      val m = pmod(id, lit(4))
+      val clean = regexp_replace(coalesce(col("text"), lit("")), "[^ -~]", "")
+      val dynText = concat(lit("lzw "), clean, lit(" #"), id.cast("string"))
+      // gzip-validated at fixture build (LzwSpec pins the same hex)
+      val blockHex = "1f9d90549e0829f2448a932754020e2ca890a04184"
+      val oldHex = "1f9d10418400141890e040"
+      // literal 'A' then code 300 (beyond free_ent): provably corrupt
+      // (.Z has no checksum, so only a future-code reference is a
+      // GUARANTEED refusal rather than a garbage decode)
+      val corruptHex = "1f9d90415802"
+      val blob = when(m === 0, Multimodal.lzwCompress(encode(dynText, "UTF-8")))
+        .when(m === 1, unhex(lit(blockHex)))
+        .when(m === 2, unhex(lit(corruptHex)))
+        .otherwise(unhex(lit(oldHex)))
+      val dec = Multimodal.lzwDecompress(col("__b"))
+      t(s, dir, "documents")
+        .select(id.cast("bigint").as("doc_id"), blob.as("__b"))
+        .select(col("doc_id"), dec.cast("string").as("text_out"),
+          length(dec).cast("bigint").as("n_bytes"))
+    },
+    Some("""WITH c AS (
+           |  SELECT doc_id, doc_id % 4 AS m,
+           |    'lzw ' || regexp_replace(coalesce(text, ''), '[^ -~]', '', 'g')
+           |      || ' #' || doc_id AS dyn
+           |  FROM documents)
+           |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           |  CASE m WHEN 0 THEN dyn
+           |    WHEN 1 THEN 'TOBEORNOTTOBEORTOBEORNOT'
+           |    WHEN 3 THEN 'ABABABABABABABAB' ELSE NULL END AS text_out,
+           |  CAST(CASE m WHEN 0 THEN length(dyn) WHEN 1 THEN 24
+           |    WHEN 3 THEN 16 ELSE NULL END AS BIGINT) AS n_bytes
+           |FROM c""".stripMargin))
 
   /** RTF text extraction under the oracle (round 17): per-doc RTF
     * documents with the doc_id SPLICED into a body run — six lanes:
@@ -7180,7 +7239,7 @@ object Queries {
         java.nio.file.Files.readAllBytes(part.toPath)
           .map("%02x".format(_)).mkString
       }
-      val m9 = pmod(id, lit(16))
+      val m9 = pmod(id, lit(17))
       val blob = when(m9 === 0, unhex(lit(pdfHex)))
         .when(m9 === 1, unhex(lit(zipHex)))
         .when(m9 === 2, unhex(lit(tarHex)))
@@ -7196,6 +7255,9 @@ object Queries {
         .when(m9 === 12, unhex(lit(cfbPlainHex)))
         .when(m9 === 13, unhex(lit(szHex)))
         .when(m9 === 14, unhex(lit(rarHex)))
+        .when(m9 === 15,
+          Multimodal.lzwCompress(encode(concat(lit("lzw doc "),
+            id.cast("string")), "UTF-8")))
         .otherwise(encode(concat(lit("junk "), id.cast("string")), "UTF-8"))
       // MAGIC dispatch FIRST, then exactly ONE kernel per row inside a
       // lazily-evaluated CASE branch — running every parser on every
@@ -7210,6 +7272,7 @@ object Queries {
             .when(substring(col("__b"), 1, 2) === encode(lit("PK"), "UTF-8"),
               lit("zip"))
             .when(substring(col("__b"), 1, 2) === unhex(lit("1f8b")), lit("gzip"))
+            .when(substring(col("__b"), 1, 2) === unhex(lit("1f9d")), lit("lzw"))
             .when(substring(col("__b"), 1, 4) === unhex(lit("89504e47")),
               lit("image"))
             .when(substring(col("__b"), 1, 4) === encode(lit("RIFF"), "UTF-8"),
@@ -7251,6 +7314,8 @@ object Queries {
               size(Multimodal.zipEntries(col("__b"))).cast("bigint"))
             .when(col("__mk") === "gzip",
               length(Multimodal.gunzip(col("__b"))).cast("bigint"))
+            .when(col("__mk") === "lzw",
+              length(Multimodal.lzwDecompress(col("__b"))).cast("bigint"))
             .when(col("__mk") === "image",
               Multimodal.imageMeta(col("__b")).getField("width").cast("bigint"))
             .when(col("__mk") === "audio",
@@ -7285,14 +7350,15 @@ object Queries {
           col("detail"))
     },
     Some("""SELECT CAST(doc_id AS BIGINT) AS doc_id,
-           |  CASE doc_id % 16
+           |  CASE doc_id % 17
            |    WHEN 0 THEN 'pdf' WHEN 1 THEN 'zip' WHEN 2 THEN 'tar'
            |    WHEN 3 THEN 'gzip' WHEN 4 THEN 'image' WHEN 5 THEN 'audio'
            |    WHEN 6 THEN 'avro' WHEN 7 THEN 'zstd' WHEN 8 THEN 'doc'
            |    WHEN 9 THEN 'parquet' WHEN 10 THEN 'xls' WHEN 11 THEN 'ppt'
            |    WHEN 12 THEN 'cfb' WHEN 13 THEN '7z' WHEN 14 THEN 'rar'
+           |    WHEN 15 THEN 'lzw'
            |    ELSE 'unknown' END AS kind,
-           |  CAST(CASE doc_id % 16
+           |  CAST(CASE doc_id % 17
            |    WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 1
            |    WHEN 3 THEN 19 WHEN 4 THEN 1 WHEN 5 THEN 8000
            |    WHEN 6 THEN 5
@@ -7300,6 +7366,7 @@ object Queries {
            |    WHEN 8 THEN length('router doc') WHEN 9 THEN 7
            |    WHEN 10 THEN 3 WHEN 11 THEN length('router deck')
            |    WHEN 12 THEN 3 WHEN 13 THEN 300 WHEN 14 THEN 2
+           |    WHEN 15 THEN length('lzw doc ' || doc_id)
            |    ELSE NULL END AS BIGINT) AS detail
            |FROM documents""".stripMargin))
 
@@ -8630,7 +8697,7 @@ object Queries {
     qAudioExtensible, qIncrementalEmbedding, qSplitClusterSafe,
     qIngestRouted, qBinaryIngest, qFontMeta, qExifMeta, qDocText, qPptText, qRtfText, qEmlText, qMboxMessages, qBloomLookup, qLineDedupWithin, qProfile, qJpegFeatures,
     qRepeatMixture, qScd2Lookup, qVideoStats, qVideoFrames,
-    qCdcChunks, qCdcDedup, qNormalizeText, qIncrementalCdc, qOrcRoundtrip,
+    qCdcChunks, qCdcDedup, qNormalizeText, qLzwRoundtrip, qIncrementalCdc, qOrcRoundtrip,
     qPageRank, qPngFeatures, qGifFeatures, qGifFrames, qTiffFeatures,
     qIntegrityChecksum,
     qQualityClassifier, qScoreAuc, qScoreCalibration, qScoreGate, qKmeans,

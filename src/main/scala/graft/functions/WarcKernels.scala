@@ -330,16 +330,14 @@ object WarcKernels {
         // `encoding_undecoded` lane now carries only codings this
         // engine genuinely cannot decode.
         body = BrotliKernels.decompress(body)
-      case enc @ ("compress" | "x-compress") =>
-        // RFC 9110-registered LZW coding with no decoder here: the
-        // record SURVIVES as known-but-undecoded (status/content-type
-        // real, body NULL, coding name in `encoding_undecoded`) so
-        // triage can count these lanes instead of lumping with junk
-        return new GenericInternalRow(Array[Any](
-          code.toInt,
-          utf8OrNull(hm.get("content-type")),
-          null,
-          org.apache.spark.unsafe.types.UTF8String.fromString(enc)))
+      case "compress" | "x-compress" =>
+        // RFC 9110-registered LZW coding: decoded for real since round
+        // 17's LzwKernels — fail-closed like gzip/zstd/br (a body the
+        // coding can't decode bit-exactly is NULL, never raw bytes
+        // passed downstream). This was the LAST coding in the
+        // `encoding_undecoded` lane; the lane stays in the schema for
+        // codings future crawls may register.
+        body = LzwKernels.decompress(body)
       case _ => return null // unknown coding: refuse
     }
     if (body == null) return null

@@ -157,6 +157,20 @@ object Multimodal {
     GraftBridge.column(BD(GraftBridge.expression(blob)))
   }
 
+  /** LZW `.Z` (Unix compress) decompression (r17): block + non-block
+    * modes, maxbits 9..16; NULL on any corruption. */
+  def lzwDecompress(blob: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.{LzwDecompress => LD, GraftBridge}
+    GraftBridge.column(LD(GraftBridge.expression(blob)))
+  }
+
+  /** LZW `.Z` block-mode compression (r17) — in-plan encoder twin for
+    * fixtures and roundtrip pipelines. */
+  def lzwCompress(blob: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.{LzwCompress => LC, GraftBridge}
+    GraftBridge.column(LC(GraftBridge.expression(blob)))
+  }
+
   /** OLE2/CFB directory listing (r16): array of struct(name,
     * entry_type, size); NULL on malformed input. */
   def cfbEntries(blob: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {

@@ -2446,6 +2446,57 @@ case class BrotliDecompress(child: Expression)
     copy(child = newChild)
 }
 
+/** LZW `.Z` (Unix compress) decompression (round 17): the RFC
+  * 9110-registered `compress` content coding and the 0x1F9D magic in
+  * old crawls; block and non-block modes, maxbits 9..16;
+  * inflation-capped; NULL on any corruption.
+  * See [[graft.functions.LzwKernels.decompress]].
+  */
+case class LzwDecompress(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true // NULL on any corruption
+  override def prettyName: String = "lzw_decompress"
+
+  override protected def nullSafeEval(v: Any): Any =
+    graft.functions.LzwKernels.decompress(v.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.LzwKernels.decompress($c);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
+
+  override protected def withNewChildInternal(newChild: Expression): LzwDecompress =
+    copy(child = newChild)
+}
+
+/** LZW `.Z` COMPRESSION (round 17) — the in-plan encoder twin of
+  * [[LzwDecompress]], so fixtures and roundtrip pipelines can make
+  * real block-mode streams per row (LzwSpec pins the encoder's output
+  * as decodable by gzip and libarchive). Greedy table build, maxbits
+  * 16. See [[graft.functions.LzwKernels.compress]].
+  */
+case class LzwCompress(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "lzw_compress"
+
+  override protected def nullSafeEval(v: Any): Any =
+    graft.functions.LzwKernels.compress(v.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.LzwKernels.compress($c, 16, 0)")
+
+  override protected def withNewChildInternal(newChild: Expression): LzwCompress =
+    copy(child = newChild)
+}
+
 object RobotsParse {
   val schema: DataType = ArrayType(StructType(Seq(
     StructField("agent", StringType, nullable = false),

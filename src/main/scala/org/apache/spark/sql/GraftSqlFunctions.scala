@@ -418,6 +418,19 @@ object GraftSqlFunctions {
           "any corruption"),
       arity("brotli_decompress", "brotli_decompress(binary)", 1, 1)(
         c => BrotliDecompress(c(0)))),
+    (FunctionIdentifier("lzw_decompress"),
+      info("lzw_decompress",
+        "lzw_decompress(binary) - Unix compress .Z (LZW) decompression " +
+          "(block + non-block modes, maxbits 9..16); NULL on any " +
+          "corruption"),
+      arity("lzw_decompress", "lzw_decompress(binary)", 1, 1)(
+        c => LzwDecompress(c(0)))),
+    (FunctionIdentifier("lzw_compress"),
+      info("lzw_compress",
+        "lzw_compress(binary) - Unix compress .Z (LZW) block-mode " +
+          "compression, maxbits 16 (reference-decoder-validated)"),
+      arity("lzw_compress", "lzw_compress(binary)", 1, 1)(
+        c => LzwCompress(c(0)))),
     (FunctionIdentifier("sitemap_entries"),
       info("sitemap_entries",
         "sitemap_entries(xml) - sitemap/sitemap-index frontier entries " +

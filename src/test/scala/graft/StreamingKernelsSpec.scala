@@ -554,4 +554,36 @@ class StreamingKernelsSpec extends SparkSpec {
     assert(byId(2L)(3) == null && byId(2L)(4) == null)
     assert(byId(2L)(5) == null && byId(2L)(6) == null)
   }
+
+  test("r17 kernels, third batch (exif_meta, lzw compress/decompress): " +
+    "stateless projections, stream equals batch") {
+    import graft.functions.{ExifKernels, LzwKernels}
+    import graft.operators.Multimodal
+    val exif = ExifKernels.buildExif(3, "Stream", "Cam S",
+      "2020:01:02 03:04:05", Some((12.5, -45.25)))
+    val z = LzwKernels.compress("stream lzw payload".getBytes("UTF-8"))
+    val rows = Seq((1L, exif, z, "dynamic text"),
+      (2L, "x".getBytes, "x".getBytes, "other"))
+    def pipeline(df: org.apache.spark.sql.DataFrame) = df.select(col("id"),
+      Multimodal.exifMeta(col("ex")).getField("model").as("model"),
+      Multimodal.lzwDecompress(col("lz")).cast("string").as("unz"),
+      Multimodal.lzwDecompress(Multimodal.lzwCompress(encode(col("tx"),
+        "UTF-8"))).cast("string").as("rt"))
+    val batch = pipeline(rows.toDF("id", "ex", "lz", "tx"))
+      .collect().map(_.toSeq).toSet
+    val input = MemoryStream[(Long, Array[Byte], Array[Byte], String)](
+      spark, numPartitions = 1)
+    val q = pipeline(input.toDS().toDF("id", "ex", "lz", "tx"))
+      .writeStream.format("memory").queryName("r17c_stream")
+      .outputMode("append").start()
+    input.addData(rows: _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("r17c_stream").collect().map(_.toSeq).toSet
+    assert(streamed == batch)
+    val byId = batch.groupBy(_.head).map { case (k, v) => k -> v.head }
+    assert(byId(1L)(1) == "Cam S" && byId(1L)(2) == "stream lzw payload")
+    assert(byId(1L)(3) == "dynamic text" && byId(2L)(3) == "other")
+    assert(byId(2L)(1) == null && byId(2L)(2) == null)
+  }
 }
