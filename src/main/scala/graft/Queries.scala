@@ -6490,6 +6490,54 @@ object Queries {
            |    WHEN 3 THEN 16 ELSE NULL END AS BIGINT) AS n_bytes
            |FROM c""".stripMargin))
 
+  /** LZ4 frames under the oracle (round 17): a DYNAMIC per-row
+    * roundtrip (doc text + id -> in-plan [[Multimodal.lz4CompressStore]],
+    * whose frames Lz4Spec pins as decodable by the reference binary ->
+    * [[Multimodal.lz4Decompress]]), a pinned reference-CLI fixture
+    * (lz4 -9 -BD --content-size: linked blocks + declared size +
+    * content checksum), and a corrupt-checksum stream (NULL). */
+  private val qLz4Roundtrip = Q("q_lz4_roundtrip",
+    (s, dir) => {
+      val id = col("doc_id")
+      val m = pmod(id, lit(3))
+      val clean = regexp_replace(coalesce(col("text"), lit("")), "[^ -~]", "")
+      val dynText = concat(lit("lz4 "), clean, lit(" #"), id.cast("string"))
+      val fixPage = "lz4 reference fixture payload lz4 reference fixture payload"
+      // produced by the reference CLI (lz4 v1.9.4, -9 -BD --content-size)
+      val fixHex = "04224d186c403b000000000000009429000000ff0f6c7a3420726566" +
+        "6572656e63652066697874757265207061796c6f6164201e000550796c6f6164" +
+        "0000000021b4258d"
+      locally { // fixture honesty: the pinned hex must decode to its page
+        val got = graft.functions.Lz4Kernels.decompress(
+          fixHex.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray)
+        require(got != null && new String(got, "UTF-8") == fixPage,
+          "pinned lz4 fixture does not decode to its page")
+      }
+      // flip the last content-checksum byte: guaranteed refusal
+      val badHex = fixHex.dropRight(2) + "8c"
+      val blob = when(m === 0,
+        Multimodal.lz4CompressStore(encode(dynText, "UTF-8")))
+        .when(m === 1, unhex(lit(fixHex)))
+        .otherwise(unhex(lit(badHex)))
+      val dec = Multimodal.lz4Decompress(col("__b"))
+      t(s, dir, "documents")
+        .select(id.cast("bigint").as("doc_id"), blob.as("__b"))
+        .select(col("doc_id"), dec.cast("string").as("text_out"),
+          length(dec).cast("bigint").as("n_bytes"))
+    },
+    Some("""WITH c AS (
+           |  SELECT doc_id, doc_id % 3 AS m,
+           |    'lz4 ' || regexp_replace(coalesce(text, ''), '[^ -~]', '', 'g')
+           |      || ' #' || doc_id AS dyn
+           |  FROM documents)
+           |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           |  CASE m WHEN 0 THEN dyn
+           |    WHEN 1 THEN 'lz4 reference fixture payload lz4 reference fixture payload'
+           |    ELSE NULL END AS text_out,
+           |  CAST(CASE m WHEN 0 THEN length(dyn) WHEN 1 THEN 59
+           |    ELSE NULL END AS BIGINT) AS n_bytes
+           |FROM c""".stripMargin))
+
   /** RTF text extraction under the oracle (round 17): per-doc RTF
     * documents with the doc_id SPLICED into a body run — six lanes:
     * a full document (font/color/info destinations, formatting words,
@@ -7239,7 +7287,7 @@ object Queries {
         java.nio.file.Files.readAllBytes(part.toPath)
           .map("%02x".format(_)).mkString
       }
-      val m9 = pmod(id, lit(17))
+      val m9 = pmod(id, lit(18))
       val blob = when(m9 === 0, unhex(lit(pdfHex)))
         .when(m9 === 1, unhex(lit(zipHex)))
         .when(m9 === 2, unhex(lit(tarHex)))
@@ -7258,6 +7306,9 @@ object Queries {
         .when(m9 === 15,
           Multimodal.lzwCompress(encode(concat(lit("lzw doc "),
             id.cast("string")), "UTF-8")))
+        .when(m9 === 16,
+          Multimodal.lz4CompressStore(encode(concat(lit("lz4 doc "),
+            id.cast("string")), "UTF-8")))
         .otherwise(encode(concat(lit("junk "), id.cast("string")), "UTF-8"))
       // MAGIC dispatch FIRST, then exactly ONE kernel per row inside a
       // lazily-evaluated CASE branch — running every parser on every
@@ -7273,6 +7324,8 @@ object Queries {
               lit("zip"))
             .when(substring(col("__b"), 1, 2) === unhex(lit("1f8b")), lit("gzip"))
             .when(substring(col("__b"), 1, 2) === unhex(lit("1f9d")), lit("lzw"))
+            .when(substring(col("__b"), 1, 4) === unhex(lit("04224d18")),
+              lit("lz4"))
             .when(substring(col("__b"), 1, 4) === unhex(lit("89504e47")),
               lit("image"))
             .when(substring(col("__b"), 1, 4) === encode(lit("RIFF"), "UTF-8"),
@@ -7316,6 +7369,8 @@ object Queries {
               length(Multimodal.gunzip(col("__b"))).cast("bigint"))
             .when(col("__mk") === "lzw",
               length(Multimodal.lzwDecompress(col("__b"))).cast("bigint"))
+            .when(col("__mk") === "lz4",
+              length(Multimodal.lz4Decompress(col("__b"))).cast("bigint"))
             .when(col("__mk") === "image",
               Multimodal.imageMeta(col("__b")).getField("width").cast("bigint"))
             .when(col("__mk") === "audio",
@@ -7350,15 +7405,15 @@ object Queries {
           col("detail"))
     },
     Some("""SELECT CAST(doc_id AS BIGINT) AS doc_id,
-           |  CASE doc_id % 17
+           |  CASE doc_id % 18
            |    WHEN 0 THEN 'pdf' WHEN 1 THEN 'zip' WHEN 2 THEN 'tar'
            |    WHEN 3 THEN 'gzip' WHEN 4 THEN 'image' WHEN 5 THEN 'audio'
            |    WHEN 6 THEN 'avro' WHEN 7 THEN 'zstd' WHEN 8 THEN 'doc'
            |    WHEN 9 THEN 'parquet' WHEN 10 THEN 'xls' WHEN 11 THEN 'ppt'
            |    WHEN 12 THEN 'cfb' WHEN 13 THEN '7z' WHEN 14 THEN 'rar'
-           |    WHEN 15 THEN 'lzw'
+           |    WHEN 15 THEN 'lzw' WHEN 16 THEN 'lz4'
            |    ELSE 'unknown' END AS kind,
-           |  CAST(CASE doc_id % 17
+           |  CAST(CASE doc_id % 18
            |    WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 1
            |    WHEN 3 THEN 19 WHEN 4 THEN 1 WHEN 5 THEN 8000
            |    WHEN 6 THEN 5
@@ -7367,6 +7422,7 @@ object Queries {
            |    WHEN 10 THEN 3 WHEN 11 THEN length('router deck')
            |    WHEN 12 THEN 3 WHEN 13 THEN 300 WHEN 14 THEN 2
            |    WHEN 15 THEN length('lzw doc ' || doc_id)
+           |    WHEN 16 THEN length('lz4 doc ' || doc_id)
            |    ELSE NULL END AS BIGINT) AS detail
            |FROM documents""".stripMargin))
 
@@ -8697,7 +8753,7 @@ object Queries {
     qAudioExtensible, qIncrementalEmbedding, qSplitClusterSafe,
     qIngestRouted, qBinaryIngest, qFontMeta, qExifMeta, qDocText, qPptText, qRtfText, qEmlText, qMboxMessages, qBloomLookup, qLineDedupWithin, qProfile, qJpegFeatures,
     qRepeatMixture, qScd2Lookup, qVideoStats, qVideoFrames,
-    qCdcChunks, qCdcDedup, qNormalizeText, qLzwRoundtrip, qIncrementalCdc, qOrcRoundtrip,
+    qCdcChunks, qCdcDedup, qNormalizeText, qLzwRoundtrip, qLz4Roundtrip, qIncrementalCdc, qOrcRoundtrip,
     qPageRank, qPngFeatures, qGifFeatures, qGifFrames, qTiffFeatures,
     qIntegrityChecksum,
     qQualityClassifier, qScoreAuc, qScoreCalibration, qScoreGate, qKmeans,

@@ -171,6 +171,20 @@ object Multimodal {
     GraftBridge.column(LC(GraftBridge.expression(blob)))
   }
 
+  /** LZ4 frame decompression (r17): standard + legacy frames, linked
+    * blocks, XXH32 verified; NULL on any corruption. */
+  def lz4Decompress(blob: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.{Lz4Decompress => L4, GraftBridge}
+    GraftBridge.column(L4(GraftBridge.expression(blob)))
+  }
+
+  /** LZ4 store-mode frame (r17) — in-plan encoder twin for fixtures
+    * and roundtrip pipelines. */
+  def lz4CompressStore(blob: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.{Lz4CompressStore => L4C, GraftBridge}
+    GraftBridge.column(L4C(GraftBridge.expression(blob)))
+  }
+
   /** OLE2/CFB directory listing (r16): array of struct(name,
     * entry_type, size); NULL on malformed input. */
   def cfbEntries(blob: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {

@@ -2497,6 +2497,56 @@ case class LzwCompress(child: Expression)
     copy(child = newChild)
 }
 
+/** LZ4 frame decompression (round 17): standard + legacy frames,
+  * linked/independent blocks, XXH32 checksums verified, skippable
+  * frames, multi-frame input; dictionary frames refused;
+  * inflation-capped; NULL on any corruption.
+  * See [[graft.functions.Lz4Kernels.decompress]].
+  */
+case class Lz4Decompress(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true // NULL on any corruption
+  override def prettyName: String = "lz4_decompress"
+
+  override protected def nullSafeEval(v: Any): Any =
+    graft.functions.Lz4Kernels.decompress(v.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.Lz4Kernels.decompress($c);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
+
+  override protected def withNewChildInternal(newChild: Expression): Lz4Decompress =
+    copy(child = newChild)
+}
+
+/** LZ4 store-mode frame COMPRESSION (round 17) — the in-plan encoder
+  * twin of [[Lz4Decompress]] (uncompressed 64 KB blocks + XXH32
+  * content checksum; Lz4Spec pins the frames as decodable by the
+  * reference binary). See [[graft.functions.Lz4Kernels.compressStore]].
+  */
+case class Lz4CompressStore(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "lz4_compress_store"
+
+  override protected def nullSafeEval(v: Any): Any =
+    graft.functions.Lz4Kernels.compressStore(v.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.Lz4Kernels.compressStore($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Lz4CompressStore =
+    copy(child = newChild)
+}
+
 object RobotsParse {
   val schema: DataType = ArrayType(StructType(Seq(
     StructField("agent", StringType, nullable = false),

@@ -431,6 +431,19 @@ object GraftSqlFunctions {
           "compression, maxbits 16 (reference-decoder-validated)"),
       arity("lzw_compress", "lzw_compress(binary)", 1, 1)(
         c => LzwCompress(c(0)))),
+    (FunctionIdentifier("lz4_decompress"),
+      info("lz4_decompress",
+        "lz4_decompress(binary) - LZ4 frame decompression (standard + " +
+          "legacy frames, linked blocks, XXH32 verified); NULL on any " +
+          "corruption"),
+      arity("lz4_decompress", "lz4_decompress(binary)", 1, 1)(
+        c => Lz4Decompress(c(0)))),
+    (FunctionIdentifier("lz4_compress_store"),
+      info("lz4_compress_store",
+        "lz4_compress_store(binary) - LZ4 store-mode frame (64 KB raw " +
+          "blocks + XXH32 content checksum, reference-decoder-validated)"),
+      arity("lz4_compress_store", "lz4_compress_store(binary)", 1, 1)(
+        c => Lz4CompressStore(c(0)))),
     (FunctionIdentifier("sitemap_entries"),
       info("sitemap_entries",
         "sitemap_entries(xml) - sitemap/sitemap-index frontier entries " +

@@ -555,8 +555,8 @@ class StreamingKernelsSpec extends SparkSpec {
     assert(byId(2L)(5) == null && byId(2L)(6) == null)
   }
 
-  test("r17 kernels, third batch (exif_meta, lzw compress/decompress): " +
-    "stateless projections, stream equals batch") {
+  test("r17 kernels, third batch (exif_meta, lzw + lz4 compress/" +
+    "decompress): stateless projections, stream equals batch") {
     import graft.functions.{ExifKernels, LzwKernels}
     import graft.operators.Multimodal
     val exif = ExifKernels.buildExif(3, "Stream", "Cam S",
@@ -568,7 +568,9 @@ class StreamingKernelsSpec extends SparkSpec {
       Multimodal.exifMeta(col("ex")).getField("model").as("model"),
       Multimodal.lzwDecompress(col("lz")).cast("string").as("unz"),
       Multimodal.lzwDecompress(Multimodal.lzwCompress(encode(col("tx"),
-        "UTF-8"))).cast("string").as("rt"))
+        "UTF-8"))).cast("string").as("rt"),
+      Multimodal.lz4Decompress(Multimodal.lz4CompressStore(encode(col("tx"),
+        "UTF-8"))).cast("string").as("rt4"))
     val batch = pipeline(rows.toDF("id", "ex", "lz", "tx"))
       .collect().map(_.toSeq).toSet
     val input = MemoryStream[(Long, Array[Byte], Array[Byte], String)](
@@ -584,6 +586,7 @@ class StreamingKernelsSpec extends SparkSpec {
     val byId = batch.groupBy(_.head).map { case (k, v) => k -> v.head }
     assert(byId(1L)(1) == "Cam S" && byId(1L)(2) == "stream lzw payload")
     assert(byId(1L)(3) == "dynamic text" && byId(2L)(3) == "other")
+    assert(byId(1L)(4) == "dynamic text" && byId(2L)(4) == "other")
     assert(byId(2L)(1) == null && byId(2L)(2) == null)
   }
 }
