@@ -270,17 +270,17 @@ class WarcSpec extends SparkSpec {
     assert(bodyOf(httpRaw("Content-Encoding: br\r\n", brPage)) == page.toSeq)
     assert(WarcKernels.httpParts(httpRaw("Content-Encoding: br\r\n",
       page)) == null) // not brotli bytes: refuse like gzip
-    // `compress` (r16): the remaining RECOGNIZED coding with no
-    // decoder — the record SURVIVES as known-but-undecoded (status +
-    // content-type + coding label, NULL body), never
-    // NULL-indistinguishable from garbage
-    locally {
-      val r = WarcKernels.httpParts(httpRaw(
-        "Content-Type: text/html\r\nContent-Encoding: compress\r\n", page))
-      assert(r != null, "compress record must survive triage")
-      assert(r.getInt(0) == 200 && r.isNullAt(2))
-      assert(r.getUTF8String(3).toString == "compress")
-    }
+    // `compress` (r17): DECODED for real through LzwKernels —
+    // fail-closed like gzip/zstd/br (a non-LZW body under the coding
+    // refuses the record; a valid .Z body decodes to identity with a
+    // NULL `encoding_undecoded` label)
+    assert(bodyOf(httpRaw("Content-Encoding: compress\r\n",
+      graft.functions.LzwKernels.compress(page))) == page.toSeq)
+    assert(WarcKernels.httpParts(httpRaw(
+      "Content-Type: text/html\r\nContent-Encoding: compress\r\n", page))
+      == null) // not LZW bytes: refuse like gzip
+    assert(WarcKernels.httpParts(httpRaw("Content-Encoding: compress\r\n",
+      graft.functions.LzwKernels.compress(page))).isNullAt(3))
     // zstd (r15): DECODED for real through ZstdKernels, fail-closed
     assert(bodyOf(httpRaw("Content-Encoding: zstd\r\n",
       graft.functions.ZstdKernels.compressStore(page, withChecksum = true)))
