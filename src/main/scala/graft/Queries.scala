@@ -2951,8 +2951,15 @@ object Queries {
           val pert = when(isDup && (f === 0 || f === 40), 8L).otherwise(lit(0L))
           pmod(g0 + pert, lit(32)) + 32
         })
-      val vids = t(s, dir, "documents")
-        .select(id.cast("bigint").as("doc_id"), blob.as("video"))
+      // r17 opt: the 68-frame JPEG decode per doc is the cost — fan the
+      // NARROW id projection out across cores BEFORE the blob is built,
+      // so the decode parallelizes while the exchange carries 8 bytes a
+      // row and frames still never shuffle (guide §2.5; Ops
+      // .fanOutForCompute is a no-op once the scan has >= cores splits)
+      val vids = Ops.fanOutForCompute(
+          t(s, dir, "documents").select(id.cast("bigint").as("doc_id")),
+          col("doc_id"))
+        .select(col("doc_id"), blob.as("video"))
       Dedup.videoNearDupPairs(vids, "video", "doc_id",
           maxHamming = 6, bands = 8, keyBands = 2)
         .select(col("id_a").cast("bigint").as("id_a"),
@@ -4828,7 +4835,7 @@ object Queries {
       val ratios = Importance.fitLogRatios(
         docs.filter(col("lang") === "en"),
         docs.filter(col("lang") =!= "en" || col("lang").isNull),
-        "text", buckets = 256)
+        "text", buckets = 256, persistModel = true)
       Importance.selectTopK(
         Importance.score(docs, "text", "doc_id", ratios, buckets = 256)
           .select(col("doc_id").cast("bigint").as("doc_id"),
@@ -5028,7 +5035,7 @@ object Queries {
     val ratios = Importance.fitLogRatios(
       docs.filter(col("lang") === "en"),
       docs.filter(col("lang") =!= "en" || col("lang").isNull),
-      "text", buckets = 256)
+      "text", buckets = 256, persistModel = true)
     Importance.score(docs, "text", "doc_id", ratios, buckets = 256)
       .join(docs.select(col("doc_id"),
         when(col("lang") === "en", 1L).otherwise(0L).as("y")), Seq("doc_id"))
@@ -8049,8 +8056,13 @@ object Queries {
         } :+ ((-9999L, graft.functions.ImageEncoders
           .pngGray(9, 8, Array.tabulate(72)(p => (p * 29) % 256)).take(20)))
       val fxDf = s.createDataFrame(fixtures).toDF("doc_id", "img")
-      val imgs = t(s, dir, "documents")
-        .select(id.cast("bigint").as("doc_id"), img.as("img"))
+      // r17 opt: fan the id projection out before the raster is built —
+      // the per-doc encode+dhash decode parallelizes (guide §2.5); the
+      // few driver-side fixture rows union in after
+      val imgs = Ops.fanOutForCompute(
+          t(s, dir, "documents").select(id.cast("bigint").as("doc_id")),
+          col("doc_id"))
+        .select(col("doc_id"), img.as("img"))
         .unionAll(fxDf)
       Dedup.imageNearDupPairs(imgs, "img", "doc_id",
           maxHamming = 6, bands = 8, keyBands = 2)
@@ -8074,8 +8086,12 @@ object Queries {
   private val qIncrementalPhash = Q("q_incremental_phash",
     (s, dir) => {
       val id = col("doc_id")
-      val imgs = t(s, dir, "documents")
-        .select(id.cast("bigint").as("doc_id"), phashDocImage(id).as("img"))
+      // r17 opt: same fan-out as q_image_phash — index build and batch
+      // screen both decode in parallel
+      val imgs = Ops.fanOutForCompute(
+          t(s, dir, "documents").select(id.cast("bigint").as("doc_id")),
+          col("doc_id"))
+        .select(col("doc_id"), phashDocImage(col("doc_id")).as("img"))
       val hist = imgs.filter(pmod(col("doc_id"), lit(4)) === 0)
       // r16: codec fixture rows on the batch side — crawled-format
       // blobs (VP8L webp) whose grid twins a history doc, so the
@@ -8150,8 +8166,12 @@ object Queries {
   private val qAudioNearDup = Q("q_audio_neardup",
     (s, dir) => {
       val id = col("doc_id")
-      val clips = t(s, dir, "documents")
-        .select(id.cast("bigint").as("doc_id"), audioDocWav(id).as("clip"))
+      // r17 opt: fan the id projection out before the WAV is built —
+      // PCM decode parallelizes, the exchange carries only doc_id
+      val clips = Ops.fanOutForCompute(
+          t(s, dir, "documents").select(id.cast("bigint").as("doc_id")),
+          col("doc_id"))
+        .select(col("doc_id"), audioDocWav(col("doc_id")).as("clip"))
       Dedup.audioNearDupPairs(clips, "clip", "doc_id",
           maxHamming = 6, bands = 8, keyBands = 2)
         .select(col("id_a").cast("bigint").as("id_a"),
@@ -8169,8 +8189,12 @@ object Queries {
   private val qIncrementalAudio = Q("q_incremental_audio",
     (s, dir) => {
       val id = col("doc_id")
-      val clips = t(s, dir, "documents")
-        .select(id.cast("bigint").as("doc_id"), audioDocWav(id).as("clip"))
+      // r17 opt: same fan-out as q_audio_neardup — both the index build
+      // and the batch screen decode in parallel
+      val clips = Ops.fanOutForCompute(
+          t(s, dir, "documents").select(id.cast("bigint").as("doc_id")),
+          col("doc_id"))
+        .select(col("doc_id"), audioDocWav(col("doc_id")).as("clip"))
       val hist = clips.filter(pmod(col("doc_id"), lit(4)) === 0)
       val batch = clips.filter(pmod(col("doc_id"), lit(4)) =!= 0)
       val idxDir = scratch("audio_inc")

@@ -98,9 +98,15 @@ object Dedup {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
 
-    val base = df
-      .select(col(idCol).as("__id"),
-        TextFunctions.shingleHashes(col(textCol), shingleSize).as("__hs"))
+    // r17 opt: shingle hashing is the per-row-expensive kernel — fan
+    // the narrow (id, text) projection out first so an under-split
+    // source (single-row-group file) does not serialize it on one core
+    // (no-op once the scan has >= cores splits; guide §2.5)
+    val base = Ops.fanOutForCompute(
+        df.select(col(idCol).as("__id"), col(textCol).as("__t")),
+        col("__id"))
+      .select(col("__id"),
+        TextFunctions.shingleHashes(col("__t"), shingleSize).as("__hs"))
 
     // signature: per family member k, min over re-mixed shingle hashes
     val withSig = base.withColumn("__sig", minhashSignature(col("__hs"), numHashes))
@@ -164,9 +170,13 @@ object Dedup {
                    maxHamming: Int = 3, bands: Int = 4, maxBucket: Int = 4096,
                    capObs: Option[Observation] = None,
                    keyBands: Int = 1): DataFrame =
-    bandedHammingPairs(df.select(
-        col(idCol).as("__id"),
-        SimHash.simhashText(col(textCol)).as("__sh")),
+    // r17 opt: sketching (tokenize + per-word hash) is the expensive
+    // projection — fan the narrow input out first (guide §2.5)
+    bandedHammingPairs(
+      Ops.fanOutForCompute(
+          df.select(col(idCol).as("__id"), col(textCol).as("__t")),
+          col("__id"))
+        .select(col("__id"), SimHash.simhashText(col("__t")).as("__sh")),
       maxHamming, bands, maxBucket, capObs, keyBands)
 
   /** Perceptual-hash image near-dup pairs (round 14): dHash64 over the
@@ -187,9 +197,11 @@ object Dedup {
         s"got $bands <= $maxHamming")
     import org.apache.spark.sql.{DHash64, GraftBridge}
     val h = GraftBridge.column(DHash64(GraftBridge.expression(col(bytesCol))))
+    // null sketches are absorbed inside bandedHammingPairs (r17 opt:
+    // a filter here was predicate-pushed below the sketch Project and
+    // re-evaluated the whole decode kernel — guide §4.4)
     bandedHammingPairs(
-      df.select(col(idCol).as("__id"), h.as("__sh"))
-        .filter(col("__sh").isNotNull),
+      df.select(col(idCol).as("__id"), h.as("__sh")),
       maxHamming, bands, maxBucket, capObs, keyBands)
   }
 
@@ -211,9 +223,11 @@ object Dedup {
         s"got $bands <= $maxHamming")
     import org.apache.spark.sql.{AudioDhash64, GraftBridge}
     val h = GraftBridge.column(AudioDhash64(GraftBridge.expression(col(bytesCol))))
+    // null sketches are absorbed inside bandedHammingPairs (r17 opt:
+    // a filter here was predicate-pushed below the sketch Project and
+    // re-evaluated the whole decode kernel — guide §4.4)
     bandedHammingPairs(
-      df.select(col(idCol).as("__id"), h.as("__sh"))
-        .filter(col("__sh").isNotNull),
+      df.select(col(idCol).as("__id"), h.as("__sh")),
       maxHamming, bands, maxBucket, capObs, keyBands)
   }
 
@@ -234,9 +248,11 @@ object Dedup {
         s"got $bands <= $maxHamming")
     import org.apache.spark.sql.{GraftBridge, VideoDhash64}
     val h = GraftBridge.column(VideoDhash64(GraftBridge.expression(col(bytesCol))))
+    // null sketches are absorbed inside bandedHammingPairs (r17 opt:
+    // a filter here was predicate-pushed below the sketch Project and
+    // re-evaluated the whole decode kernel — guide §4.4)
     bandedHammingPairs(
-      df.select(col(idCol).as("__id"), h.as("__sh"))
-        .filter(col("__sh").isNotNull),
+      df.select(col(idCol).as("__id"), h.as("__sh")),
       maxHamming, bands, maxBucket, capObs, keyBands)
   }
 
@@ -298,9 +314,19 @@ object Dedup {
     requireKeyBands(bands, maxHamming, keyBands)
     val keys: Seq[Column] = subsetKeys(col("__sh"), bands, keyBands)
 
+    // NULL sketches are dropped by the null-absorbing explode (a null
+    // array emits zero rows) instead of a `.filter(__sh.isNotNull)` —
+    // r17 opt: Catalyst pushes a deterministic filter on a computed
+    // column below the fan-out exchange AND below the sketch Project,
+    // so the filter form evaluated the whole decode+hash kernel TWICE
+    // per row (guide §4.4's duplicated-evaluation trap, measured: the
+    // pushed filter ran the full serial decode pre-exchange). The
+    // `when` form keeps exactly the same pair semantics: a null
+    // sketch enters no bucket, so it appears in no pair.
     val banded = sketched.select(
       struct(col("__id").as("id"), col("__sh").as("sh")).as("__m"),
-      posexplode(array(keys: _*)).as(Seq("__band", "__bandkey")))
+      posexplode(when(col("__sh").isNotNull, array(keys: _*)))
+        .as(Seq("__band", "__bandkey")))
 
     // same bounded-buffer cap + observable drop count as minhashLsh
     val buckets = banded
@@ -334,10 +360,15 @@ object Dedup {
     */
   def simhashPairsExact(df: DataFrame, textCol: String, idCol: String,
                         maxHamming: Int = 3): DataFrame = {
-    val sk = df.select(col(idCol).as("__id"),
-      SimHash.simhashText(col(textCol)).as("__sh"))
-    val a = sk.select(col("__id").as("id_a"), col("__sh").as("__sha"))
-    val b = sk.select(col("__id").as("id_b"), col("__sh").as("__shb"))
+    val src = df.select(col(idCol).as("__id"), col(textCol).as("__t"))
+    def sk(d: DataFrame) = d.select(col("__id"),
+      SimHash.simhashText(col("__t")).as("__sh"))
+    // r17 opt: the broadcast nested-loop probe runs in the STREAMED
+    // side's tasks — fan that side out so the O(n²) sketch compares
+    // use every core (no-op at real scan parallelism; guide §2.5)
+    val a = sk(Ops.fanOutForCompute(src, col("__id")))
+      .select(col("__id").as("id_a"), col("__sh").as("__sha"))
+    val b = sk(src).select(col("__id").as("id_b"), col("__sh").as("__shb"))
     // hamming bound INSIDE the nested-loop condition: candidate pairs
     // are filtered as they stream, never materialized
     a.join(broadcast(b), col("id_a") < col("id_b") &&
@@ -366,10 +397,15 @@ object Dedup {
     val sampled =
       if (truthSampleOneIn == 1) df
       else df.filter(pmod(col(idCol), lit(truthSampleOneIn)) === 0)
-    val unit = sampled.filter(col(vecCol).isNotNull)
-      .select(col(idCol).as("__id"), VectorFunctions.l2Normalize(col(vecCol)).as("__v"))
-    val a = unit.select(col("__id").as("id_a"), col("__v").as("__va"))
-    val b = unit.select(col("__id").as("id_b"), col("__v").as("__vb"))
+    val src = sampled.filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("__id"), col(vecCol).as("__raw"))
+    def unit(d: DataFrame) = d.select(col("__id"),
+      VectorFunctions.l2Normalize(col("__raw")).as("__v"))
+    // r17 opt: the O(n²) dot products run in the streamed side's tasks
+    // — fan that side out (no-op at real scan parallelism; guide §2.5)
+    val a = unit(Ops.fanOutForCompute(src, col("__id")))
+      .select(col("__id").as("id_a"), col("__v").as("__va"))
+    val b = unit(src).select(col("__id").as("id_b"), col("__v").as("__vb"))
     a.join(broadcast(b), col("id_a") < col("id_b"))
       .withColumn("cosine", round(VectorFunctions.dot(col("__va"), col("__vb")), 6))
       .filter(col("cosine") >= threshold)
@@ -394,11 +430,18 @@ object Dedup {
                         blockCol: String, n: Int = 3,
                         minJaccard: Double = 0.0): DataFrame = {
     require(minJaccard >= 0.0 && minJaccard <= 1.0, s"bad minJaccard $minJaccard")
-    val g = df.select(
-      col(blockCol).as("__blk"), col(idCol).as("__id"),
-      TextFunctions.shingleHashes(col(textCol), n).as("__sh"))
-    val a = g.select(col("__blk"), col("__id").as("id_a"), col("__sh").as("__sh_a"))
-    val b = g.select(col("__blk"), col("__id").as("id_b"), col("__sh").as("__sh_b"))
+    val src = df.select(
+      col(blockCol).as("__blk"), col(idCol).as("__id"), col(textCol).as("__t"))
+    def g(d: DataFrame) = d.select(col("__blk"), col("__id"),
+      TextFunctions.shingleHashes(col("__t"), n).as("__sh"))
+    // r17 opt: the quadratic per-block merge runs in the join stage,
+    // i.e. in the streamed side's tasks — fan that side out so an
+    // under-split source does not serialize the whole pair stage on
+    // one core (no-op at real scan parallelism; guide §2.5)
+    val a = g(Ops.fanOutForCompute(src, col("__id")))
+      .select(col("__blk"), col("__id").as("id_a"), col("__sh").as("__sh_a"))
+    val b = g(src)
+      .select(col("__blk"), col("__id").as("id_b"), col("__sh").as("__sh_b"))
     val joined = a.join(b, Seq("__blk")).filter(col("id_a") < col("id_b"))
     // 1e-6 slack: the post-filter compares the ROUNDED (6-decimal)
     // score, so a pair rounding up across the threshold must not be
@@ -1059,10 +1102,13 @@ object Dedup {
                            bands: Int, keyBands: Int,
                            meta: org.apache.spark.sql.types.Metadata): DataFrame = {
     val keys: Seq[Column] = subsetKeys(col("__h"), bands, keyBands)
+    // null-absorbing explode, not a filter — the filter form was
+    // predicate-pushed below the hash Project and ran the decode
+    // kernel twice per row (r17 opt, guide §4.4)
     docs.select(col(idCol).as("doc_id"), h.as("__h"))
-      .filter(col("__h").isNotNull)
       .select(col("doc_id"), col("__h"),
-        posexplode(array(keys: _*)).as(Seq("band", "bandkey")))
+        posexplode(when(col("__h").isNotNull, array(keys: _*)))
+          .as(Seq("band", "bandkey")))
       .select(col("doc_id"), col("__h").as("hash"), col("band"),
         col("bandkey").as("bandkey", meta))
   }
@@ -1154,11 +1200,13 @@ object Dedup {
       if (keyBands == 1)
         subsetKeys(col("__ha"), bands, 1).take(probeBands)
       else subsetKeys(col("__ha"), bands, keyBands)
+    // null-absorbing explode, not a filter (r17 opt — see
+    // bandedHammingPairs: the filter form re-ran the decode kernel)
     val batch = newDocs
       .select(col(idCol).as("__nid"), h.as("__ha"))
-      .filter(col("__ha").isNotNull)
       .select(struct(col("__nid").as("id"), col("__ha").as("sh")).as("__m"),
-        posexplode(array(probeKeys: _*)).as(Seq("band", "bandkey")))
+        posexplode(when(col("__ha").isNotNull, array(probeKeys: _*)))
+          .as(Seq("band", "bandkey")))
     val grouped = batch
       .groupBy(col("band"), col("bandkey"))
       .agg(collectSmallest(col("__m"), maxBucket).as("__ms"),

@@ -37,9 +37,20 @@ object Importance {
 
   /** Per-bucket log importance ratios λ_b = ln(p_target(b)) −
     * ln(p_source(b)) with add-one smoothing — `buckets` rows, the
-    * whole model. */
+    * whole model.
+    *
+    * `persistModel = true` (r17 opt, same contract as
+    * [[LmQuality.train]]) eagerly localCheckpoints the ratio frame:
+    * the model is ≤ `buckets` rows but its PLAN contains two
+    * corpus-wide fit aggregations, and every downstream reference
+    * (the score join, a calibration min/max, a gate threshold)
+    * re-expands that plan — q_score_gate's un-persisted plan carried
+    * the fit subtree 4× (126 Exchange nodes at sf0.001; guide §3.3
+    * "materialising an intermediate truncates the plan"). On a real
+    * cluster prefer writing the model or `checkpoint()` —
+    * localCheckpoint state dies with an executor. */
   def fitLogRatios(target: DataFrame, source: DataFrame, textCol: String,
-                   buckets: Int): DataFrame = {
+                   buckets: Int, persistModel: Boolean = false): DataFrame = {
     require(buckets >= 2 && buckets <= (1 << 24),
       s"buckets must be in [2, 2^24], got $buckets")
     val spark = target.sparkSession
@@ -52,7 +63,7 @@ object Importance {
       .select(coalesce(col("tt"), lit(0L)).as("tt"),
         coalesce(col("ts"), lit(0L)).as("ts"))
     // dense bucket axis: empty cells still get their smoothed mass
-    spark.range(buckets.toLong).select(col("id").as("b"))
+    val model = spark.range(buckets.toLong).select(col("id").as("b"))
       .join(tc, Seq("b"), "left").join(sc, Seq("b"), "left")
       .crossJoin(broadcast(totals))
       .select(col("b"),
@@ -61,6 +72,7 @@ object Importance {
           log((coalesce(col("cs"), lit(0L)) + lit(1.0)) /
             (col("ts") + lit(buckets.toDouble))))
           .as("lambda"))
+    if (persistModel) model.localCheckpoint(true) else model
   }
 
   /** Per-document importance: mean λ over word occurrences, rounded

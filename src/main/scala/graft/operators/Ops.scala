@@ -817,6 +817,42 @@ object Ops {
       .drop("__recall_raw")
   }
 
+  /** Scale-adaptive compute fan-out (optimization guide §2.5 "input
+    * skew" / §1.2 "the distributed algorithm"): when a stage's cost is
+    * CPU per row — blob decode, quadratic pair verification, shingle
+    * hashing — an under-split source starves every core. This corpus's
+    * tables are single-row-group parquet files, so every scan is ONE
+    * task at every SF and a per-row-expensive projection runs serially
+    * on a 32-core machine; the same happens in production whenever one
+    * unsplittable file (gzip, a single huge row group) feeds an
+    * expensive kernel.
+    *
+    * The fix is the guide's own: "repartition immediately after the
+    * read" — but ONLY when the source is actually under-split. The
+    * gate compares the df's planned partition count against the
+    * cluster's `defaultParallelism`; at 100 TB a scan has thousands of
+    * splits, the gate reads >= cores, and the plan is UNCHANGED (no
+    * exchange added, AQE skew handling untouched). The exchange, when
+    * it fires, is hash-partitioned on the caller's key (deterministic
+    * under retries — guide §2.5 warns off rand-derived keys; a unique
+    * id hash spreads evenly) and carries whatever the caller projected
+    * — callers fan out the NARROW pre-kernel projection (ids, text),
+    * never decoded payloads, so the blobs-never-shuffle contract of
+    * the media operators is preserved by construction.
+    *
+    * `keys` empty falls back to round-robin (pays Spark's
+    * sort-before-repartition of the input rows — prefer a key).
+    */
+  def fanOutForCompute(df: DataFrame, keys: Column*): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    // planned partition count of THIS frame (file splits for a bare
+    // scan+project); planning a narrow projection is milliseconds and
+    // no job runs
+    if (df.rdd.getNumPartitions >= target) df
+    else if (keys.nonEmpty) df.repartition(target, keys: _*)
+    else df.repartition(target)
+  }
+
   /** Self-verifying predicate for sketch queries: the approximate value
     * sits within `relTol` of its exact twin. Rows that drift vanish, so
     * a query emitting the EXACT column filtered by this gate is both
