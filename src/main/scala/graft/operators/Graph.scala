@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, GraftBridge}
+import org.apache.spark.sql.{DataFrame, GraftBridge, Observation}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -51,9 +51,11 @@ import org.apache.spark.storage.StorageLevel
   * hash-partitioned on src (its one setup shuffle also serves the
   * dedup aggregate — subset-key co-location — and every round's
   * contribution join), and reused across iterations. The dangling
-  * total enters each round as a broadcast 1-row aggregate, never a
-  * driver collect, so one round = one job (its eager checkpoint); the
-  * only per-round driver state is the loop counter. Each round is
+  * total rides each round's own checkpoint materialization as an
+  * Observation metric (r17: previously a 1-row aggregate + broadcast
+  * subtree per round) and enters the next round as a literal, so one
+  * round = one job with no side jobs; per-round driver state is two
+  * longs (loop counter, dangling mass). Each round is
   * `localCheckpoint`ed — lineage would otherwise grow with the
   * iteration count — and the superseded round's storage is released
   * eagerly ([[GraftBridge.unpersistCheckpoint]]); on a real cluster
@@ -91,10 +93,19 @@ object Graph {
         System.err.println(s"[pageRank] edge materialize: " +
           s"${(System.nanoTime() - setupT0) / 1e9}s, |E|=$ec")
       }
-      var state = initState(e, scale).localCheckpoint(true)
-      // N is a property of the fixed edge set — one bounded collect up
-      // front, spliced into every round's arithmetic as a literal
-      val n = state.count()
+      // r17 opt: N and each round's dangling mass ride the checkpoint
+      // materialization itself as Observation metrics (exact integer
+      // sums — same values the old 1-row aggregate computed), so a
+      // round is ONE job with no separate dangling-aggregate subtree
+      // and no per-round BroadcastExchange: the mass enters the next
+      // round's arithmetic as a literal. Bounded driver state: two
+      // longs per round.
+      val obs0 = Observation()
+      var state = initState(e, scale)
+        .observe(obs0, count(lit(1)).as("n"), danglingMass)
+        .localCheckpoint(true)
+      val n = obs0.get("n").asInstanceOf[Long]
+      var dang = obs0.get("dang").asInstanceOf[Long]
       if (sys.env.contains("GRAFT_DEBUG_PR"))
         System.err.println(s"[pageRank] setup (edges + degrees + initial " +
           s"state): ${(System.nanoTime() - setupT0) / 1e9}s, n=$n")
@@ -102,8 +113,11 @@ object Graph {
       if (n == 0) return state.select(col("id"), col("rank")) // empty graph
       for (it <- 0 until iters) {
         val roundT0 = System.nanoTime()
-        val next = round(e, state, n, base, dampNum, dampDen)
+        val obs = Observation()
+        val next = round(e, state, n, base, dampNum, dampDen, dang)
+          .observe(obs, danglingMass)
           .localCheckpoint(true)
+        dang = obs.get("dang").asInstanceOf[Long]
         GraftBridge.unpersistCheckpoint(state)
         state = next
         if (sys.env.contains("GRAFT_DEBUG_PR"))
@@ -113,6 +127,11 @@ object Graph {
       state.select(col("id"), col("rank"))
     } finally e.unpersist(blocking = false)
   }
+
+  /** Total rank mass on sinks — the Observation metric each round's
+    * materialization carries (exact long sum, order-independent). */
+  private def danglingMass: org.apache.spark.sql.Column =
+    coalesce(sum(when(col("outdeg") === 0L, col("rank"))), lit(0L)).as("dang")
 
   /** ONE setup shuffle on src: the distinct's Aggregate(src, dst)
     * requires only co-location on a subset of its keys, so the explicit
@@ -143,27 +162,33 @@ object Graph {
     * final query plan is just the last checkpoint's LogicalRDD, which
     * would hide a regression here). */
   private[graft] def round(e: DataFrame, state: DataFrame, n: Long,
-                           base: Long, dampNum: Long, dampDen: Long): DataFrame = {
-    // total rank mass sitting on sinks, as a 1-row aggregate BROADCAST
-    // into the round's plan — never a driver collect, so each round is
-    // exactly one job (the eager checkpoint)
-    val dang = state.filter(col("outdeg") === 0L)
-      .agg(coalesce(sum(col("rank")), lit(0L)).as("__dang"))
+                           base: Long, dampNum: Long, dampDen: Long,
+                           dang: Long): DataFrame = {
+    // the dangling share enters as a LITERAL (r17 opt): the previous
+    // round's Observation already summed the sink mass exactly, so the
+    // old 1-row aggregate + BroadcastExchange subtree is gone — both
+    // floor divisions on non-negative longs, identical arithmetic
+    val dangShare = dang / n
     // (dst, rank div outdeg) summed per dst — partial-aggregated
     // map-side, so the shuffle carries one row per (task, dst); the
     // contribution is computed BEFORE the join so the edge-side probe
     // carries one long, not (rank, outdeg)
     val contribs = state.filter(col("outdeg") > 0L)
       .select(col("id").as("src"), expr("rank div outdeg").as("__c"))
-    val inbound = e.join(contribs, Seq("src"))
+    // SHUFFLE_HASH on the state-sized side (r17 opt, guide §3.1): the
+    // planner's sort-merge would re-SORT the cached 100 TB-side edge
+    // frame every round (measured: the join stage dominated each
+    // round); hashing the per-partition state slice — bounded by
+    // N/partitions rows — streams the edges unsorted. Same rows out,
+    // different join algorithm only.
+    val inbound = e.join(contribs.hint("shuffle_hash"), Seq("src"))
       .groupBy(col("dst").as("id"))
       .agg(sum(col("__c")).as("__in"))
     // `div` (not `/`): Column./ is DOUBLE division even on longs,
     // which would silently forfeit the exact-integer contract
-    state.join(inbound, Seq("id"), "left")
-      .crossJoin(broadcast(dang))
+    state.join(inbound.hint("shuffle_hash"), Seq("id"), "left")
       .select(col("id"), col("outdeg"),
-        expr(s"$base + ($dampNum * (coalesce(__in, CAST(0 AS BIGINT)) + __dang div $n)) " +
+        expr(s"$base + ($dampNum * (coalesce(__in, CAST(0 AS BIGINT)) + $dangShare)) " +
           s"div $dampDen").cast("long").as("rank"))
   }
 }

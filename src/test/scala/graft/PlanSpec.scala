@@ -465,7 +465,7 @@ class PlanSpec extends SparkSpec {
     try {
       e.count()
       val state = g.initState(e, 1000000000L).localCheckpoint(true)
-      val f = g.round(e, state, state.count(), 150000000L, 17L, 20L)
+      val f = g.round(e, state, state.count(), 150000000L, 17L, 20L, 0L)
         .queryExecution.executedPlan.toString
       val lines = f.linesIterator.toVector
       // the edge side reads the cache IN PLACE: its HashPartitioning(src)
@@ -488,9 +488,11 @@ class PlanSpec extends SparkSpec {
         .size <= 3, f)
       // contribution sum is partial-aggregated before its shuffle
       assert(f.contains("partial_sum"), f)
-      // the dangling total rides a 1-ROW broadcast, never a cartesian
+      // the dangling total is a LITERAL from the previous round's
+      // Observation (r17): no per-round aggregate/broadcast subtree —
+      // and certainly no cartesian — may reappear for it
       assert(!f.contains("CartesianProduct"), f)
-      assert(f.contains("BroadcastNestedLoopJoin"), f)
+      assert(!f.contains("BroadcastNestedLoopJoin"), f)
     } finally {
       e.unpersist(blocking = false)
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBcast)
