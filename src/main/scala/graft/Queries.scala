@@ -2955,10 +2955,13 @@ object Queries {
       // NARROW id projection out across cores BEFORE the blob is built,
       // so the decode parallelizes while the exchange carries 8 bytes a
       // row and frames still never shuffle (guide §2.5; Ops
-      // .fanOutForCompute is a no-op once the scan has >= cores splits)
+      // .fanOutForCompute is a no-op once the scan has >= cores splits).
+      // r18 cost gate: 2 KB of id-projection bytes per task — the most
+      // expensive kernel on the surface (68 decodes/row) keeps near-max
+      // fan-out (driver-verified 7.2× in r17).
       val vids = Ops.fanOutForCompute(
           t(s, dir, "documents").select(id.cast("bigint").as("doc_id")),
-          col("doc_id"))
+          2 * 1024L, col("doc_id"))
         .select(col("doc_id"), blob.as("video"))
       Dedup.videoNearDupPairs(vids, "video", "doc_id",
           maxHamming = 6, bands = 8, keyBands = 2)
@@ -8058,10 +8061,13 @@ object Queries {
       val fxDf = s.createDataFrame(fixtures).toDF("doc_id", "img")
       // r17 opt: fan the id projection out before the raster is built —
       // the per-doc encode+dhash decode parallelizes (guide §2.5); the
-      // few driver-side fixture rows union in after
+      // few driver-side fixture rows union in after. r18 cost gate:
+      // 8 KB/task — one encode+decode per row; PERF r17's 8-core run
+      // beat the 32-way fan-out (ratio 0.53), so ~8 tasks at this SF
+      // is the sweet spot and larger inputs still scale to all cores.
       val imgs = Ops.fanOutForCompute(
           t(s, dir, "documents").select(id.cast("bigint").as("doc_id")),
-          col("doc_id"))
+          8 * 1024L, col("doc_id"))
         .select(col("doc_id"), img.as("img"))
         .unionAll(fxDf)
       Dedup.imageNearDupPairs(imgs, "img", "doc_id",
@@ -8087,10 +8093,10 @@ object Queries {
     (s, dir) => {
       val id = col("doc_id")
       // r17 opt: same fan-out as q_image_phash — index build and batch
-      // screen both decode in parallel
+      // screen both decode in parallel (r18: same 8 KB/task cost gate)
       val imgs = Ops.fanOutForCompute(
           t(s, dir, "documents").select(id.cast("bigint").as("doc_id")),
-          col("doc_id"))
+          8 * 1024L, col("doc_id"))
         .select(col("doc_id"), phashDocImage(col("doc_id")).as("img"))
       val hist = imgs.filter(pmod(col("doc_id"), lit(4)) === 0)
       // r16: codec fixture rows on the batch side — crawled-format
@@ -8167,10 +8173,12 @@ object Queries {
     (s, dir) => {
       val id = col("doc_id")
       // r17 opt: fan the id projection out before the WAV is built —
-      // PCM decode parallelizes, the exchange carries only doc_id
+      // PCM decode parallelizes, the exchange carries only doc_id.
+      // r18 cost gate: 8 KB/task (one PCM decode per row; the 8-core
+      // run beat the 32-way fan-out here too — PERF r17 ratio 0.63).
       val clips = Ops.fanOutForCompute(
           t(s, dir, "documents").select(id.cast("bigint").as("doc_id")),
-          col("doc_id"))
+          8 * 1024L, col("doc_id"))
         .select(col("doc_id"), audioDocWav(col("doc_id")).as("clip"))
       Dedup.audioNearDupPairs(clips, "clip", "doc_id",
           maxHamming = 6, bands = 8, keyBands = 2)
@@ -8189,11 +8197,13 @@ object Queries {
   private val qIncrementalAudio = Q("q_incremental_audio",
     (s, dir) => {
       val id = col("doc_id")
-      // r17 opt: same fan-out as q_audio_neardup — both the index build
-      // and the batch screen decode in parallel
+      // r17 fanned both the index build and the batch screen out to all
+      // 32 cores and the driver measured a 1.16× regression (VERDICT
+      // r17 #2) — two exchanges plus 64 near-empty tasks over ~500
+      // rows. r18 cost gate: 8 KB/task sizes each side to its input.
       val clips = Ops.fanOutForCompute(
           t(s, dir, "documents").select(id.cast("bigint").as("doc_id")),
-          col("doc_id"))
+          8 * 1024L, col("doc_id"))
         .select(col("doc_id"), audioDocWav(col("doc_id")).as("clip"))
       val hist = clips.filter(pmod(col("doc_id"), lit(4)) === 0)
       val batch = clips.filter(pmod(col("doc_id"), lit(4)) =!= 0)

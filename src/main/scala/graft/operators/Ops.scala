@@ -829,28 +829,63 @@ object Ops {
     *
     * The fix is the guide's own: "repartition immediately after the
     * read" — but ONLY when the source is actually under-split. The
-    * gate compares the df's planned partition count against the
-    * cluster's `defaultParallelism`; at 100 TB a scan has thousands of
-    * splits, the gate reads >= cores, and the plan is UNCHANGED (no
-    * exchange added, AQE skew handling untouched). The exchange, when
-    * it fires, is hash-partitioned on the caller's key (deterministic
-    * under retries — guide §2.5 warns off rand-derived keys; a unique
-    * id hash spreads evenly) and carries whatever the caller projected
-    * — callers fan out the NARROW pre-kernel projection (ids, text),
-    * never decoded payloads, so the blobs-never-shuffle contract of
-    * the media operators is preserved by construction.
+    * exchange, when it fires, is hash-partitioned on the caller's key
+    * (deterministic under retries — guide §2.5 warns off rand-derived
+    * keys; a unique id hash spreads evenly) and carries whatever the
+    * caller projected — callers fan out the NARROW pre-kernel
+    * projection (ids, text), never decoded payloads, so the
+    * blobs-never-shuffle contract of the media operators is preserved
+    * by construction.
     *
     * `keys` empty falls back to round-robin (pays Spark's
     * sort-before-repartition of the input rows — prefer a key).
     */
-  def fanOutForCompute(df: DataFrame, keys: Column*): DataFrame = {
-    val target = df.sparkSession.sparkContext.defaultParallelism
-    // planned partition count of THIS frame (file splits for a bare
-    // scan+project); planning a narrow projection is milliseconds and
-    // no job runs
-    if (df.rdd.getNumPartitions >= target) df
-    else if (keys.nonEmpty) df.repartition(target, keys: _*)
-    else df.repartition(target)
+  def fanOutForCompute(df: DataFrame, keys: Column*): DataFrame =
+    fanOutForCompute(df, 1L, keys: _*)
+
+  /** Cost-aware fan-out (r18, VERDICT r17 #1): the r17 gate fanned any
+    * under-split source out to `defaultParallelism`, which regressed
+    * cheap-kernel queries 2× at the benched SF — the exchange plus 32
+    * near-empty tasks cost more than the kernel they parallelized
+    * (driver-verified: q_dedup_simhash 0.69→1.34 s). The target task
+    * count is now sized to the work: the optimizer's size estimate of
+    * THIS frame (`optimizedPlan.stats.sizeInBytes` — column-pruned, no
+    * job) divided by `maxTaskBytes`, the caller's declaration of how
+    * many pre-kernel bytes keep one task busy, clamped to
+    * [1, defaultParallelism]. A tiny input therefore gets FEW OR ZERO
+    * extra tasks while a 100 TB one still reaches every core — and at
+    * real scan parallelism (splits >= target) the plan is UNCHANGED,
+    * exactly as before. Callers calibrate `maxTaskBytes` to the
+    * kernel: per-byte-cheap text sketches declare ~1 MB, per-row
+    * multi-frame blob decodes a few KB (the frame is an id projection,
+    * so its bytes are small relative to the decode they fan out).
+    * `maxTaskBytes = 1` reproduces the maximal fan-out.
+    *
+    * ADVICE r17: probing partition count via `df.rdd` finalizes AQE
+    * and eagerly RUNS any upstream shuffle stages as discarded jobs.
+    * Fan-out is only meant for bare scan+project frames, so a plan
+    * that already contains an exchange is returned unchanged — its
+    * parallelism is shuffle-partition-governed, not scan-governed —
+    * and the `.rdd` probe below only ever sees exchange-free plans,
+    * where it plans without running anything.
+    */
+  def fanOutForCompute(df: DataFrame, maxTaskBytes: Long,
+                       keys: Column*): DataFrame = {
+    require(maxTaskBytes >= 1, s"maxTaskBytes must be >= 1, got $maxTaskBytes")
+    val cores = df.sparkSession.sparkContext.defaultParallelism
+    val qe = df.queryExecution
+    val hasExchange = qe.sparkPlan.find(
+      _.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeLike])
+      .isDefined
+    if (hasExchange) df
+    else {
+      val estBytes = qe.optimizedPlan.stats.sizeInBytes
+      val target = (estBytes / maxTaskBytes)
+        .min(BigInt(cores)).max(BigInt(1)).toInt
+      if (target <= 1 || df.rdd.getNumPartitions >= target) df
+      else if (keys.nonEmpty) df.repartition(target, keys: _*)
+      else df.repartition(target)
+    }
   }
 
   /** Self-verifying predicate for sketch queries: the approximate value

@@ -657,4 +657,33 @@ class OpsSpec extends SparkSpec {
     intercept[IllegalArgumentException](Ops.negativeSample(df, "id", 0, n))
     intercept[IllegalArgumentException](Ops.negativeSample(df, "id", 1, 1L))
   }
+
+  test("fanOutForCompute (r18 cost gate): tiny inputs skip the exchange, " +
+    "mid budgets shrink it, max budget reaches defaultParallelism, " +
+    "exchange-bearing plans pass through untouched") {
+    import org.apache.spark.sql.functions._
+    // one-slice range: an under-split source with ~800 estimated bytes
+    // (100 rows × 8-byte long) — the stats the gate reads
+    val src = spark.range(0L, 100L, 1L, numPartitions = 1).toDF("id")
+    // generous per-task budget → target 1 → NO exchange, plan unchanged
+    val same = Ops.fanOutForCompute(src, 1024 * 1024L, col("id"))
+    assert(!same.queryExecution.executedPlan.toString.contains("Exchange"))
+    assert(same.rdd.getNumPartitions === 1)
+    // maximal budget (legacy signature) → defaultParallelism tasks
+    val full = Ops.fanOutForCompute(src, col("id"))
+    assert(full.rdd.getNumPartitions ===
+      spark.sparkContext.defaultParallelism)
+    // intermediate budget → proportionally fewer tasks (800 / 300 = 2)
+    val mid = Ops.fanOutForCompute(src, 300L, col("id"))
+    assert(mid.rdd.getNumPartitions === 2)
+    // fan-out never changes the rows
+    assert(full.agg(sum("id")).head.getLong(0) === 4950L)
+    // ADVICE r17: a plan that already contains an exchange must be
+    // returned AS-IS — probing it would finalize AQE and eagerly run
+    // the upstream shuffle as a discarded job
+    val shuffled = src.repartition(2, col("id"))
+    assert(Ops.fanOutForCompute(shuffled, col("id")) eq shuffled)
+    intercept[IllegalArgumentException](
+      Ops.fanOutForCompute(src, 0L, col("id")))
+  }
 }
