@@ -499,8 +499,18 @@ object Dedup {
   def dupClusters(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
                   maxIters: Int = 25, localEdgeLimit: Long = 4_000_000L): DataFrame = {
     import org.apache.spark.storage.StorageLevel
+    // ONE setup shuffle on b (r18, the prepareEdges trick): the
+    // distinct's Aggregate(a, b) needs only co-location on a SUBSET of
+    // its keys, so the explicit HashPartitioning(b) satisfies it with
+    // no second exchange — and every ROUND's neighbor join (keyed on b)
+    // then reuses the cache's recorded partitioning instead of
+    // re-shuffling the edge frame once per round, which is what the
+    // r17 shape paid (the biggest frame in the loop moving every
+    // iteration; guide §2.4 "two operations keyed the same way can
+    // share one exchange").
     val sym = pairs.select(col(idA).as("a"), col(idB).as("b"))
       .unionByName(pairs.select(col(idB).as("a"), col(idA).as("b")))
+      .repartition(col("b"))
       .distinct()
     sym.persist(StorageLevel.MEMORY_AND_DISK)
     val integralIds = Set[org.apache.spark.sql.types.DataType](
@@ -523,8 +533,21 @@ object Dedup {
       // that they waited on the nondeterministic ContextCleaner); on a
       // real cluster prefer reliable `checkpoint()` — localCheckpoint
       // state also dies with an executor.
+      // post-round label-state width, derived from the MEASURED edge
+      // count (the count also pre-materializes the sym cache, so round
+      // 1 no longer pays the pair-graph compute inside its own timing):
+      // the label frame is one row per node (≤ |sym|), ~16 B each —
+      // coalescing the tiny state to few partitions stops every round
+      // paying full 32-task waves over near-empty partitions, while a
+      // real graph keeps every shuffle partition (scale-adaptive, the
+      // same rule as Graph.pageRank's round coalesce; narrow, never a
+      // shuffle).
+      val parts = math.min(
+        sym.sparkSession.conf.get("spark.sql.shuffle.partitions").toLong,
+        math.max(1L, sym.count() / 524288L + 1L)).toInt
       var labels = sym.select(col("a").as("id")).distinct()
         .withColumn("label", col("id"))
+        .coalesce(parts)
         .localCheckpoint(true)
       var iter = 0
       var done = false
@@ -544,12 +567,25 @@ object Dedup {
           .select(col("id"),
             least(col("label"), coalesce(col("__nbr"), col("label"))).as("label"),
             col("label").as("__prev"))
-        // 2) pointer jump (path halving): label := label's label — labels
-        // only ever decrease, so the inner join target always exists
+        // 2) pointer jump (path halving): label := label's label. The
+        // lookup side is the ROUND-START label table (the materialized
+        // checkpoint), not `pulled` — r18: a self-join on `pulled`
+        // duplicated its whole subtree (the sym join + neighbor-min
+        // aggregate ran TWICE per round; StageProbe-measured as the
+        // two dominant 32-task stages), because the two differently-
+        // projected references defeat exchange reuse. Stale-table
+        // jumping is the classic Shiloach–Vishkin shape: every label
+        // VALUE is a graph id (induction from label=id at init), so
+        // the inner join target still always exists, labels still only
+        // ever decrease, and the fixpoint — neighbor-min stable under
+        // a symmetric edge set ⇒ labels constant per component ⇒ equal
+        // to the component min — is unchanged; only the round count at
+        // which it is reached can differ, never the converged output.
         val jumped = pulled
-          .join(pulled.select(col("id").as("__jid"), col("label").as("__jl")),
+          .join(labels.select(col("id").as("__jid"), col("label").as("__jl")),
             col("label") === col("__jid"))
           .select(col("id"), col("__jl").as("label"), col("__prev"))
+          .coalesce(parts)
           // lazy: the changed-count below materializes the checkpoint in
           // the same job instead of spending a separate eager action
           .localCheckpoint(false)

@@ -32,6 +32,14 @@ object GraftBridge {
       case _                       => ()
     }
 
+  /** Non-blocking read of an [[Observation]]'s metrics — empty until
+    * the listener event lands. `Observation.get` blocks with NO
+    * timeout on an async listener event (ADVICE r17: a dropped event
+    * would hang an iterative driver loop forever); `getOrEmpty` is
+    * `private[spark]`, so the bounded-wait loops poll through here.
+    */
+  def observationOrEmpty(obs: Observation): Map[String, Any] = obs.getOrEmpty
+
   /** Block until every queued listener event has been delivered.
     *
     * `SparkContext.listenerBus` is `private[spark]`; the bench's
