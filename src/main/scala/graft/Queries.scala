@@ -694,8 +694,16 @@ object Queries {
         nCentroids = 8, kmeansIters = 3, pqM = 4, pqCodes = 8, pqIters = 2)
       val out = Dedup.incrementalEmbeddingPq(batch, idxDir, "embedding",
         "vec_id", threshold = 0.4, nProbes = 8, rerank = 80)
-      val truth = emb.filter(pmod(col("vec_id"), lit(4)) === 0)
-        .select(col("vec_id").as("new_id"), col("embedding").as("__a"))
+      // r18: the truth side is a quadratic brute-force audit (batch ×
+      // broadcast history cosines) running in the STREAMED side's tasks
+      // — StageProbe showed it serialized on the single parquet split
+      // as the two dominant 1.2 s single-task stages. Fan the narrow
+      // batch projection out (cost-gated; no-op at real scan
+      // parallelism — guide §2.5).
+      val truth = Ops.fanOutForCompute(
+          emb.filter(pmod(col("vec_id"), lit(4)) === 0)
+            .select(col("vec_id").as("new_id"), col("embedding").as("__a")),
+          32 * 1024L, col("new_id"))
         .crossJoin(broadcast(hist
           .select(col("vec_id").as("hist_id"), col("embedding").as("__b"))))
         .filter(round(VF.cosineSimilarity(col("__a").cast("array<double>"), col("__b").cast("array<double>")), 6) >= 0.4)

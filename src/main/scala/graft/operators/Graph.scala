@@ -201,12 +201,8 @@ object Graph {
     * and any real edge set saturates the configured shuffle
     * parallelism, where this clamp is a no-op. */
   /** Edge-pipeline partition count from the source's leaf size. */
-  private[graft] def edgePartitions(edges: DataFrame): Int = {
-    val cap = BigInt(edges.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt)
-    val sized = edges.queryExecution.optimizedPlan.collectLeaves()
-      .map(_.stats.sizeInBytes).sum / (4L * 1024 * 1024) + 1
-    sized.min(cap).max(BigInt(1)).toInt
-  }
+  private[graft] def edgePartitions(edges: DataFrame): Int =
+    Ops.sizedPartitions(edges, 4L * 1024 * 1024)
 
   private[graft] def prepareEdges(edges: DataFrame, srcCol: String,
                                   dstCol: String): DataFrame =

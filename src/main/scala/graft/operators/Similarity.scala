@@ -555,11 +555,26 @@ object Similarity {
                            centroids: Array[Array[Double]],
                            books: Array[Array[Array[Double]]],
                            nProbes: Int, pqCodes: Int,
-                           rerank: Int): DataFrame = {
-    val probing = queries
-      .filter(col(vecCol).isNotNull)
-      .select(col(idCol).as("query_id"),
-        VectorFunctions.l2Normalize(col(vecCol)).as("__qv"))
+                           rerank: Int,
+                           probeFanOutBytes: Long = 0L): DataFrame = {
+    // r18: the ADC candidate scoring runs in the probing side's tasks —
+    // an under-split query source (single-row-group parquet) serialized
+    // the whole O(|queries|·|candidates|) scan on one core (StageProbe:
+    // the dominant 1.2 s single-task stage of the incremental-PQ path).
+    // The INGEST path fans the narrow (id, raw vec) projection out
+    // (probeFanOutBytes > 0, cost-gated like the media kernels; no-op
+    // at real scan parallelism — guide §2.5); the in-memory audit path
+    // passes 0 — its query set is a tiny top-k probe sample by
+    // construction, and the optimizer's size estimate cannot see the
+    // selective id filter that makes it tiny (measured: an
+    // unconditional fan-out regressed q_ann_ivfpq 15%).
+    val qNarrow = queries.filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("query_id"), col(vecCol).as("__qraw"))
+    val probing = (if (probeFanOutBytes > 0)
+        Ops.fanOutForCompute(qNarrow, probeFanOutBytes, col("query_id"))
+      else qNarrow)
+      .select(col("query_id"),
+        VectorFunctions.l2Normalize(col("__qraw")).as("__qv"))
       .withColumn("__qtab", VectorFunctions.pqQueryTable(col("__qv"), books))
       .withColumn("centroid_id",
         explode(VectorFunctions.topCentroids(col("__qv"), centroids, nProbes)))
@@ -700,7 +715,8 @@ object Similarity {
     pqProbeExact(
       lists.select(col("corpus_id"), col("centroid_id"), col("codes").as("__codes")),
       lists.select(col("corpus_id"), col("unit_vec").as("__cv")),
-      queries, vecCol, idCol, centroids, books, nProbes, pqCodes, rerank)
+      queries, vecCol, idCol, centroids, books, nProbes, pqCodes, rerank,
+      probeFanOutBytes = 32 * 1024L)
   }
 
   /** IVF-Flat ANN: corpus bucketed by nearest centroid, queries probe the
