@@ -48,7 +48,18 @@ object Importance {
     * the fit subtree 4× (126 Exchange nodes at sf0.001; guide §3.3
     * "materialising an intermediate truncates the plan"). On a real
     * cluster prefer writing the model or `checkpoint()` —
-    * localCheckpoint state dies with an executor. */
+    * localCheckpoint state dies with an executor.
+    *
+    * Storage-release contract (ADVICE r17): nothing here eagerly
+    * unpersists the checkpointed model — an eager release would be
+    * unsafe the moment two queries share a session (truncated lineage
+    * cannot recompute). The leak is BOUNDED, not JVM-lifetime: the
+    * cached RDD is reachable only through the returned frame, and
+    * Spark's ContextCleaner unpersists checkpoint RDDs once the frame
+    * is garbage-collected; each model is ≤ `buckets` rows (~4 KB at
+    * the default 256) in the interim. Callers that want deterministic
+    * release can still call GraftBridge.unpersistCheckpoint after
+    * their terminal action. */
   def fitLogRatios(target: DataFrame, source: DataFrame, textCol: String,
                    buckets: Int, persistModel: Boolean = false): DataFrame = {
     require(buckets >= 2 && buckets <= (1 << 24),
