@@ -5180,24 +5180,35 @@ object Queries {
         .when(pmod(id, lit(11)) === 0, lit("config { retries: 3 }"))
         .otherwise(lit("That should be enough now?"))
       val page = concat_ws("\n", l1, l2, l3, l4)
+      // r18: materialize the two rule structs as NAMED columns first and
+      // getField from the attributes — inlining `g`/`c` into all 15
+      // output columns duplicated the whole kernel-over-page expression
+      // tree 15×, and StageProbe showed the query spending ~3 s of its
+      // wall in driver-side analysis of that tree (guide §7.3 "very
+      // large query plans"), dwarfing its 0.5 s of execution.
+      // CollapseProject keeps the split (the struct kernels are not
+      // cheap-to-duplicate), so the plan carries each kernel once.
+      // Same columns, same values — q_text_stats' established shape.
       val g = TF.gopherRules(page, minWords = 20, maxWords = 100000)
       val c = TF.c4Rules(page)
-      t(s, dir, "documents").select(
-        id.cast("bigint").as("doc_id"),
-        g.getField("n_words").as("n_words"),
-        g.getField("mean_word_len").as("mean_word_len"),
-        g.getField("symbol_ratio").as("symbol_ratio"),
-        g.getField("frac_alpha").as("frac_alpha"),
-        g.getField("bullet_frac").as("bullet_frac"),
-        g.getField("ellipsis_frac").as("ellipsis_frac"),
-        g.getField("stop_hits").as("stop_hits"),
-        g.getField("keep").as("gopher_keep"),
-        c.getField("n_kept_lines").as("c4_kept_lines"),
-        c.getField("n_sentences").as("c4_sentences"),
-        c.getField("has_lorem").as("has_lorem"),
-        c.getField("has_brace").as("has_brace"),
-        c.getField("keep").as("c4_keep"),
-        c.getField("clean").as("c4_clean"))
+      t(s, dir, "documents")
+        .select(id.cast("bigint").as("doc_id"), g.as("__g"), c.as("__c"))
+        .select(
+          col("doc_id"),
+          col("__g").getField("n_words").as("n_words"),
+          col("__g").getField("mean_word_len").as("mean_word_len"),
+          col("__g").getField("symbol_ratio").as("symbol_ratio"),
+          col("__g").getField("frac_alpha").as("frac_alpha"),
+          col("__g").getField("bullet_frac").as("bullet_frac"),
+          col("__g").getField("ellipsis_frac").as("ellipsis_frac"),
+          col("__g").getField("stop_hits").as("stop_hits"),
+          col("__g").getField("keep").as("gopher_keep"),
+          col("__c").getField("n_kept_lines").as("c4_kept_lines"),
+          col("__c").getField("n_sentences").as("c4_sentences"),
+          col("__c").getField("has_lorem").as("has_lorem"),
+          col("__c").getField("has_brace").as("has_brace"),
+          col("__c").getField("keep").as("c4_keep"),
+          col("__c").getField("clean").as("c4_clean"))
     },
     Some("""WITH p AS (
            |  SELECT doc_id,
