@@ -545,12 +545,34 @@ object Dedup {
       val parts = math.min(
         sym.sparkSession.conf.get("spark.sql.shuffle.partitions").toLong,
         math.max(1L, sym.count() / 524288L + 1L)).toInt
-      var labels = sym.select(col("a").as("id")).distinct()
-        .withColumn("label", col("id"))
+      // FUSED init + first neighbor-min round (r18): with identity
+      // initial labels, round 1's neighbor-min is just
+      // least(a, min(b)) — one aggregation over the edge frame, no
+      // label join — and the pointer jump over an identity label table
+      // is the identity, so the whole first round (distinct + two
+      // joins + jump) collapses into the init aggregation. The state
+      // entering round 2 is bit-identical to the unfused loop's.
+      // NULL ids drop here explicitly (the unfused shape dropped them
+      // via the jump's inner join); a node whose only partner is NULL
+      // still registers as its own cluster (min over no non-null
+      // neighbors is NULL, coalesced back to the id below)
+      val round1 = sym.filter(col("a").isNotNull)
+        .groupBy(col("a"))
+        .agg(min(col("b")).as("__nbr"))
+        .select(col("a").as("id"),
+          least(col("a"), coalesce(col("__nbr"), col("a"))).as("label"),
+          col("a").as("__prev"))
         .coalesce(parts)
-        .localCheckpoint(true)
-      var iter = 0
-      var done = false
+        .localCheckpoint(false)
+      val changed1 = round1.filter(col("label") =!= col("__prev")).count()
+      if (sys.env.contains("GRAFT_DEBUG_CC"))
+        System.err.println(s"[dupClusters] round 1 (fused init): $changed1 labels changed")
+      // labels keeps round1's (id, label, __prev) checkpoint frame
+      // directly so unpersistCheckpoint sees the LogicalRDD; __prev is
+      // simply never read again
+      var labels = round1
+      var iter = 1
+      var done = changed1 == 0
       while (!done) {
         val roundT0 = System.nanoTime()
         if (iter >= maxIters) throw new IllegalStateException(
